@@ -1,0 +1,107 @@
+"""fill() semantics: bucket-spine generation + the four fill modes.
+
+In the reference, `fill(...)` is propagated verbatim to the InfluxDB data
+nodes which gap-fill server-side (merge/query_merge.go:72-81); Spark has no
+built-in equivalent, so this is real engine work (SURVEY.md §4 item 2):
+
+1. build the complete bucket spine for the query time range via
+   `sequence()` + `explode` (per series group — a lateral cross of
+   distinct-groups × spine, NOT a driver loop);
+2. left-join the aggregated buckets onto the spine;
+3. fill: `null` (default), `none` (drop), number (`coalesce(lit)`),
+   `previous` (`last(ignorenulls) over`), `linear` (lead/lag interpolation).
+
+Scale notes: the spine size is range/interval buckets per series — bounded
+by the query's WHERE time range, exactly like InfluxDB (which refuses
+unbounded GROUP BY time() queries). The join key is (group tags, bucket); the
+distinct-groups side is small (it is the series cardinality of the filter),
+so Catalyst broadcast-joins the spine side after AQE sizes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucket_spine(df_aggregated: DataFrame, bucket_col: str, interval_ns: int,
+                 start_ns: int | None, end_ns: int | None,
+                 group_cols: list[str]) -> DataFrame:
+    """All buckets in [start, end) per distinct group combination.
+
+    When the query gave no explicit time bounds, fall back to the observed
+    min/max bucket (InfluxDB bounds the spine by the WHERE time range;
+    min/max is the sensible batch analog).
+    """
+    if start_ns is None or end_ns is None:
+        lo, hi = df_aggregated.agg(
+            F.min(bucket_col), F.max(bucket_col)).first()
+        if lo is None:
+            return df_aggregated.select(*group_cols, bucket_col).limit(0)
+        start_ns = lo if start_ns is None else start_ns
+        end_ns = hi + interval_ns if end_ns is None else end_ns
+    first_bucket = start_ns - (start_ns % interval_ns)
+    spine = F.explode(F.sequence(
+        F.lit(first_bucket), F.lit(end_ns - 1), F.lit(interval_ns))).alias(bucket_col)
+    if group_cols:
+        groups = df_aggregated.select(*group_cols).distinct()
+        return groups.select(*group_cols, spine)
+    return df_aggregated.sparkSession.range(1).select(spine)
+
+
+def fill_buckets(df_aggregated: DataFrame, bucket_col: str, interval_ns: int,
+                 mode: str | float | int | None, value_cols: list[str],
+                 group_cols: list[str] | None = None,
+                 start_ns: int | None = None,
+                 end_ns: int | None = None) -> DataFrame:
+    """Apply fill() to a bucket-aggregated DataFrame.
+
+    mode: None → 'null' semantics (emit empty buckets as null);
+          'none' → drop empty buckets (no spine join needed);
+          'previous' | 'linear' | numeric constant.
+    """
+    group_cols = group_cols or []
+    if mode == "none":
+        preds = [F.col(c).isNotNull() for c in value_cols]
+        keep = preds[0]
+        for p in preds[1:]:
+            keep = keep | p
+        return df_aggregated.where(keep)
+
+    spine = bucket_spine(df_aggregated, bucket_col, interval_ns,
+                         start_ns, end_ns, group_cols)
+    joined = spine.join(df_aggregated, on=group_cols + [bucket_col], how="left")
+
+    if mode is None or mode == "null":
+        return joined
+    if isinstance(mode, (int, float)) and not isinstance(mode, bool):
+        exprs = [F.coalesce(F.col(c), F.lit(mode)).alias(c) for c in value_cols]
+        return joined.select(*group_cols, bucket_col, *exprs)
+    if mode == "previous":
+        w = (Window.partitionBy(*group_cols).orderBy(bucket_col)
+             if group_cols else Window.orderBy(bucket_col))
+        wprev = w.rowsBetween(Window.unboundedPreceding, 0)
+        exprs = [F.coalesce(F.col(c),
+                            F.last(F.col(c), ignorenulls=True).over(wprev)).alias(c)
+                 for c in value_cols]
+        return joined.select(*group_cols, bucket_col, *exprs)
+    if mode == "linear":
+        w = (Window.partitionBy(*group_cols).orderBy(bucket_col)
+             if group_cols else Window.orderBy(bucket_col))
+        wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+        wnext = w.rowsBetween(1, Window.unboundedFollowing)
+        exprs = []
+        for c in value_cols:
+            v = F.col(c)
+            prev_v = F.last(v, ignorenulls=True).over(wprev)
+            next_v = F.first(v, ignorenulls=True).over(wnext)
+            prev_b = F.last(F.when(v.isNotNull(), F.col(bucket_col)),
+                            ignorenulls=True).over(wprev)
+            next_b = F.first(F.when(v.isNotNull(), F.col(bucket_col)),
+                             ignorenulls=True).over(wnext)
+            interp = prev_v + (next_v - prev_v) * (
+                (F.col(bucket_col) - prev_b).cast("double")
+                / (next_b - prev_b).cast("double"))
+            exprs.append(F.coalesce(v, interp).alias(c))
+        return joined.select(*group_cols, bucket_col, *exprs)
+    raise ValueError(f"unknown fill mode: {mode!r}")

@@ -1,0 +1,118 @@
+"""InfluxQL transform functions as Spark window expressions.
+
+The reference cannot merge any of these across nodes — they are on its
+explicit unsupported list ("InfluxQL function '%s' is not supported when
+merging results from multiple hosts", merge/query_merge.go:171-184) because
+its partial results carry values without timestamps. On single-node queries
+it forwards them verbatim (coordinator.go:238-241), so capability parity
+requires them. In Spark each is a `lag`/window expression over
+(series tags) × time — one shuffle on the series key, then a per-partition
+sort; at 100 TB the partitionBy(tags) keeps state per-series, never global.
+
+`moving_average` is the one frame op the reference *does* merge —
+approximately (count-weighted mean of per-node MAs, calls.go:17-44); the
+window form below is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..timeutil import SECOND
+
+
+def _series_window(time_col: str, by: list[str]):
+    w = Window.orderBy(time_col)
+    if by:
+        w = Window.partitionBy(*by).orderBy(time_col)
+    return w
+
+
+def difference(df: DataFrame, field: str, time_col: str = "time",
+               by: list[str] | None = None, out: str = "difference") -> DataFrame:
+    """f - lag(f) per series (query_merge.go:221-254 commented-out list)."""
+    w = _series_window(time_col, by or [])
+    return (df.withColumn(out, F.col(field) - F.lag(field).over(w))
+            .where(F.col(out).isNotNull()))
+
+
+def non_negative_difference(df: DataFrame, field: str, time_col: str = "time",
+                            by: list[str] | None = None,
+                            out: str = "non_negative_difference") -> DataFrame:
+    d = difference(df, field, time_col, by, out)
+    return d.where(F.col(out) >= 0)
+
+
+def derivative(df: DataFrame, field: str, unit_ns: int = SECOND,
+               time_col: str = "time", by: list[str] | None = None,
+               out: str = "derivative") -> DataFrame:
+    """(f - lag(f)) / (time - lag(time)) * unit — InfluxQL derivative(f, unit)."""
+    w = _series_window(time_col, by or [])
+    dt = (F.col(time_col) - F.lag(time_col).over(w)).cast("double")
+    dv = F.col(field) - F.lag(field).over(w)
+    return (df.withColumn(out, dv / dt * F.lit(float(unit_ns)))
+            .where(F.col(out).isNotNull()))
+
+
+def non_negative_derivative(df: DataFrame, field: str, unit_ns: int = SECOND,
+                            time_col: str = "time", by: list[str] | None = None,
+                            out: str = "non_negative_derivative") -> DataFrame:
+    d = derivative(df, field, unit_ns, time_col, by, out)
+    return d.where(F.col(out) >= 0)
+
+
+def cumulative_sum(df: DataFrame, field: str, time_col: str = "time",
+                   by: list[str] | None = None,
+                   out: str = "cumulative_sum") -> DataFrame:
+    w = _series_window(time_col, by or []).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out, F.sum(field).over(w))
+
+
+def elapsed(df: DataFrame, unit_ns: int = 1, time_col: str = "time",
+            by: list[str] | None = None, out: str = "elapsed") -> DataFrame:
+    """time - lag(time), in `unit` (default ns) — InfluxQL elapsed(f, unit)."""
+    w = _series_window(time_col, by or [])
+    d = ((F.col(time_col) - F.lag(time_col).over(w)) / F.lit(unit_ns)).cast("long")
+    return df.withColumn(out, d).where(F.col(out).isNotNull())
+
+
+def moving_average(df: DataFrame, field: str, n: int, time_col: str = "time",
+                   by: list[str] | None = None,
+                   out: str = "moving_average") -> DataFrame:
+    """Trailing n-point average; emitted only once n points exist (InfluxQL
+    semantics). Exact, unlike the reference merge (calls.go:17-44)."""
+    w = _series_window(time_col, by or []).rowsBetween(-(n - 1), 0)
+    cnt = F.count(field).over(w)
+    return (df.withColumn(out, F.avg(field).over(w))
+            .where(cnt >= n))
+
+
+def integral(df: DataFrame, field: str, unit_ns: int = SECOND,
+             time_col: str = "time", by: list[str] | None = None,
+             out: str = "integral") -> DataFrame:
+    """Trapezoidal area under the curve per series, in `unit` seconds.
+
+    InfluxQL integral(f, unit): Σ (v_i + v_{i-1})/2 * Δt / unit. Expressed as
+    lag arithmetic + a plain sum — partial/final aggregation applies.
+    Returns one row per series group.
+    """
+    w = _series_window(time_col, by or [])
+    dt = (F.col(time_col) - F.lag(time_col).over(w)).cast("double")
+    trap = (F.col(field) + F.lag(field).over(w)) / F.lit(2.0) * dt / F.lit(float(unit_ns))
+    stepped = df.withColumn("__trap", trap)
+    if by:
+        return stepped.groupBy(*by).agg(F.sum("__trap").alias(out))
+    return stepped.agg(F.sum("__trap").alias(out))
+
+
+def histogram(df: DataFrame, field: str, lo: float, hi: float, nbuckets: int,
+              by: list[str] | None = None) -> DataFrame:
+    """Equi-width histogram via `width_bucket` + groupBy — a native
+    two-phase aggregation (InfluxQL 1.x lacks this; listed unsupported at
+    query_merge.go:171-184; capability parity + scale win)."""
+    b = F.width_bucket(F.col(field), F.lit(lo), F.lit(hi), F.lit(nbuckets))
+    keys = (by or []) + ["bucket"]
+    return (df.withColumn("bucket", b)
+            .groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_count"))
+            .orderBy(*keys))

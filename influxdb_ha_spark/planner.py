@@ -1,0 +1,528 @@
+"""InfluxQL AST → DataFrame planner.
+
+This module is the Spark-side analog of the reference's read path
+(service/coordinator.go:172-249 + service/merge/*): where the reference
+extracts tag equalities for hash routing, rewrites the SELECT into partial
+aggregates, scatters HTTP queries, and merges per time bucket, this planner
+just declares the equivalent logical plan — `filter → withColumn(bucket) →
+groupBy(bucket, tags).agg(...) → fill → orderBy → limit` — and lets Catalyst
+do pruning, partial/final aggregation, and shuffle placement.
+
+Collapsed reference strategies (coordinator.go:238-259, 204-237):
+- single-partition fast path     → same plan, pruned to one partition
+- scatter + k-way merge-sort     → scan + orderBy(time)
+- scatter + merge tree           → groupBy().agg() (partial+final is automatic)
+
+100 TB notes: every aggregate here is a native Catalyst aggregate (map-side
+partial combine); predicate pushdown carries the WHERE to the parquet/Delta
+scan; the only Python in the hot path is plan *construction*.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .functions.aggregates import AGGREGATES, agg_column
+from .functions.fill import fill_buckets
+from .functions.math import MATH_FUNCS, apply_math, binary_op
+from .functions import transforms as T
+from .influxql.ast import (BinaryExpr, Call, DurationLit, IntegerLit,
+                           NumberLit, SelectStatement, StringLit, VarRef,
+                           Wildcard)
+from .model import Catalog, Measurement, TIME_COL
+from .timeutil import parse_time_literal_ns, time_bucket
+
+TRANSFORMS = {"derivative", "non_negative_derivative", "difference",
+              "non_negative_difference", "cumulative_sum", "elapsed",
+              "moving_average", "integral"}
+ROW_SELECTORS = {"top", "bottom", "distinct", "sample"}
+
+
+class QueryError(Exception):
+    """Maps to HTTP 400 in the server façade (query_handler.go error path)."""
+
+
+class PartitionKeyError(QueryError):
+    """Strict mode: query tags don't cover the partition key
+    (coordinator.go:185-193 — the reference errors instead of scanning)."""
+
+
+@dataclass
+class PlanContext:
+    measurement: Measurement
+    now_ns: int
+    start_ns: int | None = None
+    end_ns: int | None = None
+
+
+class Planner:
+    def __init__(self, catalog: Catalog, database: str = "default",
+                 now_ns: int | None = None, compat: bool = False,
+                 strict_partition_key: bool = False):
+        self.catalog = catalog
+        self.database = database
+        self.now_ns = now_ns if now_ns is not None else _time.time_ns()
+        self.compat = compat  # InfluxDB quirk emulation (div0→0, int %)
+        self.strict_partition_key = strict_partition_key
+
+    # ------------------------------------------------------------------
+    def plan(self, stmt: SelectStatement) -> DataFrame:
+        db = stmt.source.database or self.database
+        m = self.catalog.get(db, stmt.source.name)
+        ctx = PlanContext(measurement=m, now_ns=self.now_ns)
+
+        df = m.df
+        if stmt.where is not None:
+            df = df.where(self._where_expr(stmt.where, ctx))
+        if self.strict_partition_key:
+            self._check_partition_key(stmt, db, m)
+
+        group_tags = self._expand_tags(stmt.group_by_tags, m)
+        calls = self._find_calls(stmt)
+
+        if not calls:
+            if stmt.group_by_time_ns:
+                # fixture golden: raw field + GROUP BY time() is a 400
+                # (FIXTURES.md §1; InfluxDB: "GROUP BY requires at least one
+                # aggregate function")
+                raise QueryError("GROUP BY time() requires an aggregate function")
+            out = self._plan_raw(stmt, df, m)
+        elif len(calls) == 1 and calls[0].name in ROW_SELECTORS:
+            out = self._plan_row_selector(stmt, df, m, group_tags, ctx)
+        elif len(calls) == 1 and calls[0].name in TRANSFORMS and \
+                not self._has_inner_agg(calls[0]):
+            out = self._plan_transform_raw(stmt, df, m, group_tags, ctx)
+        else:
+            out = self._plan_aggregate(stmt, df, m, group_tags, ctx)
+
+        out = self._apply_series_limits(stmt, out, group_tags)
+        order = [F.col(TIME_COL).desc() if stmt.order_desc else F.col(TIME_COL).asc()] \
+            if TIME_COL in out.columns else []
+        if order:
+            out = out.orderBy(*order, *[F.col(t) for t in group_tags
+                                        if t in out.columns])
+        if stmt.offset:
+            out = out.offset(stmt.offset)
+        if stmt.limit is not None:
+            # applied post-merge, globally — fixes the reference's
+            # per-node LIMIT semantics (query_merge.go:86-92, SURVEY §2.6)
+            out = out.limit(stmt.limit)
+        return out
+
+    # -- raw projection ---------------------------------------------------
+    def _plan_raw(self, stmt: SelectStatement, df: DataFrame,
+                  m: Measurement) -> DataFrame:
+        cols: list[Column] = [F.col(TIME_COL)]
+        for f in stmt.fields:
+            if isinstance(f.expr, Wildcard):
+                cols += [F.col(c) for c in m.tags + m.fields]
+                continue
+            c = self._value_expr(f.expr, agg=None)
+            cols.append(c.alias(f.alias) if f.alias else
+                        c.alias(self._default_name(f.expr)))
+        return df.select(*cols)
+
+    # -- aggregate path ---------------------------------------------------
+    def _plan_aggregate(self, stmt: SelectStatement, df: DataFrame,
+                        m: Measurement, group_tags: list[str],
+                        ctx: PlanContext) -> DataFrame:
+        keys: list[str] = []
+        if stmt.group_by_time_ns:
+            df = df.withColumn("__bucket", time_bucket(
+                F.col(TIME_COL), stmt.group_by_time_ns, stmt.group_by_offset_ns))
+            keys.append("__bucket")
+        keys += group_tags
+
+        # collect aggregate sub-calls across all select fields
+        agg_exprs: dict[str, Column] = {}
+        outer_transform = None
+        post_fields: list[tuple[str, object]] = []  # (output name, expr)
+        for i, f in enumerate(stmt.fields):
+            name = f.alias or self._default_name(f.expr)
+            expr = f.expr
+            if isinstance(expr, Call) and expr.name in TRANSFORMS and \
+                    self._has_inner_agg(expr):
+                # e.g. derivative(mean(value), 1s) over GROUP BY time()
+                outer_transform = (name, expr)
+                expr = expr.args[0]
+                name = f"__inner_{i}"
+            self._collect_aggs(expr, agg_exprs)
+            post_fields.append((name, expr))
+
+        grouped = df.groupBy(*[F.col(k) for k in keys]) if keys else df.groupBy()
+        agged = grouped.agg(*[c.alias(n) for n, c in agg_exprs.items()])
+
+        sel: list[Column] = []
+        if stmt.group_by_time_ns:
+            sel.append(F.col("__bucket").alias(TIME_COL))
+        sel += [F.col(t) for t in group_tags]
+        value_names: list[str] = []
+        for name, expr in post_fields:
+            sel.append(self._post_agg_expr(expr).alias(name))
+            value_names.append(name)
+        out = agged.select(*sel)
+
+        if outer_transform is not None:
+            tname, texpr = outer_transform
+            inner_col = value_names[0]
+            out = self._apply_transform(out, texpr, inner_col, tname,
+                                        group_tags, stmt.group_by_time_ns)
+            value_names = [tname]
+
+        if stmt.group_by_time_ns and stmt.fill != "none_skip_spine":
+            tr = self._time_range(stmt, ctx)
+            out = fill_buckets(out, TIME_COL, stmt.group_by_time_ns, stmt.fill,
+                               value_names, group_tags,
+                               start_ns=tr[0], end_ns=tr[1])
+        return out
+
+    def _apply_transform(self, out: DataFrame, texpr: Call, inner_col: str,
+                         tname: str, group_tags: list[str],
+                         bucket_ns: int | None) -> DataFrame:
+        args = texpr.args[1:]
+        unit = args[0].ns if args and isinstance(args[0], DurationLit) else None
+        n = args[0].value if args and isinstance(args[0], IntegerLit) else None
+        kw = dict(time_col=TIME_COL, by=group_tags, out=tname)
+        if texpr.name == "derivative":
+            return T.derivative(out, inner_col, unit or bucket_ns or 10**9, **kw) \
+                .drop(inner_col)
+        if texpr.name == "non_negative_derivative":
+            return T.non_negative_derivative(out, inner_col,
+                                             unit or bucket_ns or 10**9, **kw).drop(inner_col)
+        if texpr.name == "difference":
+            return T.difference(out, inner_col, **kw).drop(inner_col)
+        if texpr.name == "non_negative_difference":
+            return T.non_negative_difference(out, inner_col, **kw).drop(inner_col)
+        if texpr.name == "cumulative_sum":
+            return T.cumulative_sum(out, inner_col, **kw).drop(inner_col)
+        if texpr.name == "moving_average":
+            return T.moving_average(out, inner_col, int(n or 2), **kw).drop(inner_col)
+        raise QueryError(f"transform {texpr.name} not supported over aggregates")
+
+    # -- transforms on raw series -----------------------------------------
+    def _plan_transform_raw(self, stmt: SelectStatement, df: DataFrame,
+                            m: Measurement, group_tags: list[str],
+                            ctx: PlanContext) -> DataFrame:
+        f = stmt.fields[0]
+        call = f.expr
+        field = call.args[0].name
+        name = f.alias or call.name
+        args = call.args[1:]
+        unit = args[0].ns if args and isinstance(args[0], DurationLit) else None
+        n = args[0].value if args and isinstance(args[0], IntegerLit) else None
+        base = df.select(TIME_COL, *group_tags, field)
+        kw = dict(time_col=TIME_COL, by=group_tags, out=name)
+        if call.name == "derivative":
+            out = T.derivative(base, field, unit or 10**9, **kw)
+        elif call.name == "non_negative_derivative":
+            out = T.non_negative_derivative(base, field, unit or 10**9, **kw)
+        elif call.name == "difference":
+            out = T.difference(base, field, **kw)
+        elif call.name == "non_negative_difference":
+            out = T.non_negative_difference(base, field, **kw)
+        elif call.name == "cumulative_sum":
+            out = T.cumulative_sum(base, field, **kw)
+        elif call.name == "elapsed":
+            out = T.elapsed(base, unit or 1, time_col=TIME_COL, by=group_tags, out=name)
+        elif call.name == "moving_average":
+            out = T.moving_average(base, field, int(n or 2), **kw)
+        elif call.name == "integral":
+            out = T.integral(base, field, unit or 10**9, time_col=TIME_COL,
+                             by=group_tags, out=name)
+            return out  # aggregate output: no time column
+        else:
+            raise QueryError(f"unsupported transform {call.name}")
+        return out.select(TIME_COL, *group_tags, name)
+
+    # -- row-producing selectors ------------------------------------------
+    def _plan_row_selector(self, stmt: SelectStatement, df: DataFrame,
+                           m: Measurement, group_tags: list[str],
+                           ctx: PlanContext) -> DataFrame:
+        f = stmt.fields[0]
+        call = f.expr
+        name = f.alias or call.name
+        field = call.args[0].name
+        keys: list[Column] = []
+        if stmt.group_by_time_ns:
+            df = df.withColumn("__bucket", time_bucket(
+                F.col(TIME_COL), stmt.group_by_time_ns, stmt.group_by_offset_ns))
+            keys.append(F.col("__bucket"))
+        keys += [F.col(t) for t in group_tags]
+
+        if call.name == "distinct":
+            sel = keys + [F.col(field).alias(name)]
+            out = df.select(*sel).distinct()
+            if stmt.group_by_time_ns:
+                out = out.withColumnRenamed("__bucket", TIME_COL)
+            return out
+
+        n = call.args[1].value if len(call.args) > 1 else 1
+        if call.name == "sample":  # calls.go:136-151 (defined but unwired)
+            order = F.rand(seed=42)
+        else:
+            asc = call.name == "bottom"
+            order = F.col(field).asc() if asc else F.col(field).desc()
+        w = Window.partitionBy(*keys).orderBy(order, F.col(TIME_COL).asc()) \
+            if keys else Window.orderBy(order, F.col(TIME_COL).asc())
+        out = (df.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= int(n)).drop("__rn"))
+        # InfluxQL top/bottom keep the point's own time + requested tag cols
+        sel = [F.col(TIME_COL)] + [F.col(t) for t in group_tags] + \
+              [F.col(field).alias(name)]
+        return out.select(*sel)
+
+    # -- series limits (SLIMIT/SOFFSET — query_merge.go:93-98) -------------
+    def _apply_series_limits(self, stmt: SelectStatement, out: DataFrame,
+                             group_tags: list[str]) -> DataFrame:
+        if stmt.slimit is None and stmt.soffset is None:
+            return out
+        if not group_tags:
+            return out
+        sk = F.dense_rank().over(
+            Window.orderBy(*[F.col(t) for t in group_tags]))
+        lo = (stmt.soffset or 0)
+        hi = lo + (stmt.slimit if stmt.slimit is not None else 1 << 60)
+        return (out.withColumn("__srank", sk)
+                .where((F.col("__srank") > lo) & (F.col("__srank") <= hi))
+                .drop("__srank"))
+
+    # -- expression helpers ------------------------------------------------
+    def _expand_tags(self, tags: list[str], m: Measurement) -> list[str]:
+        out: list[str] = []
+        for t in tags:
+            if t == "*":
+                out += [x for x in m.tags if x not in out]
+            elif t not in out:
+                out.append(t)
+        return out
+
+    def _find_calls(self, stmt: SelectStatement) -> list[Call]:
+        calls: list[Call] = []
+
+        def walk(e):
+            if isinstance(e, Call):
+                if e.name in AGGREGATES or e.name in TRANSFORMS or \
+                        e.name in ROW_SELECTORS:
+                    calls.append(e)
+                    return
+                for a in e.args:
+                    walk(a)
+            elif isinstance(e, BinaryExpr):
+                walk(e.lhs)
+                walk(e.rhs)
+
+        for f in stmt.fields:
+            walk(f.expr)
+        return calls
+
+    def _has_inner_agg(self, call: Call) -> bool:
+        return any(isinstance(a, Call) and a.name in AGGREGATES
+                   for a in call.args)
+
+    def _collect_aggs(self, expr, sink: dict[str, Column]) -> None:
+        if isinstance(expr, Call) and expr.name in AGGREGATES:
+            key = self._agg_key(expr)
+            if key not in sink:
+                field = expr.args[0]
+                if not isinstance(field, VarRef):
+                    raise QueryError(f"{expr.name}() argument must be a field")
+                extra = tuple(self._literal_value(a) for a in expr.args[1:])
+                sink[key] = agg_column(expr.name, F.col(field.name),
+                                       F.col(TIME_COL), extra)
+        elif isinstance(expr, Call):
+            for a in expr.args:
+                self._collect_aggs(a, sink)
+        elif isinstance(expr, BinaryExpr):
+            self._collect_aggs(expr.lhs, sink)
+            self._collect_aggs(expr.rhs, sink)
+
+    def _agg_key(self, call: Call) -> str:
+        # mirrors the reference's alias mangling `sum_value_`, `top_value__1_`
+        # (merge/query_merge.go:34-43) — stable per (fn, field, args)
+        parts = [call.name] + [self._expr_text(a) for a in call.args]
+        return "_".join(parts) + "_"
+
+    def _expr_text(self, e) -> str:
+        if isinstance(e, VarRef):
+            return e.name
+        if isinstance(e, (IntegerLit,)):
+            return f"_{e.value}"
+        if isinstance(e, NumberLit):
+            return f"_{e.value}"
+        if isinstance(e, DurationLit):
+            return f"_{e.text}"
+        return "x"
+
+    def _post_agg_expr(self, expr) -> Column:
+        """Build the post-aggregation scalar expression (the merge tree's
+        expression layer — query_merge.go:211-335)."""
+        if isinstance(expr, Call) and expr.name in AGGREGATES:
+            return F.col(self._agg_key(expr))
+        if isinstance(expr, Call) and expr.name in MATH_FUNCS:
+            args = [self._post_agg_expr(a) for a in expr.args]
+            return apply_math(expr.name, *args)
+        if isinstance(expr, Call):
+            raise QueryError(f"unsupported function in projection: {expr.name}")
+        if isinstance(expr, BinaryExpr):
+            return binary_op(expr.op, self._post_agg_expr(expr.lhs),
+                             self._post_agg_expr(expr.rhs), self.compat)
+        if isinstance(expr, NumberLit):
+            return F.lit(expr.value)
+        if isinstance(expr, IntegerLit):
+            return F.lit(expr.value)
+        if isinstance(expr, VarRef):
+            return F.col(expr.name)
+        raise QueryError(f"unsupported projection expression: {expr!r}")
+
+    def _value_expr(self, expr, agg) -> Column:
+        if isinstance(expr, VarRef):
+            return F.col(expr.name)
+        if isinstance(expr, NumberLit):
+            return F.lit(expr.value)
+        if isinstance(expr, IntegerLit):
+            return F.lit(expr.value)
+        if isinstance(expr, Call) and expr.name in MATH_FUNCS:
+            return apply_math(expr.name, *[self._value_expr(a, agg)
+                                           for a in expr.args])
+        if isinstance(expr, BinaryExpr):
+            return binary_op(expr.op, self._value_expr(expr.lhs, agg),
+                             self._value_expr(expr.rhs, agg), self.compat)
+        raise QueryError(f"unsupported raw projection: {expr!r}")
+
+    def _default_name(self, expr) -> str:
+        if isinstance(expr, Call):
+            return expr.name
+        if isinstance(expr, VarRef):
+            return expr.name
+        return "expr"
+
+    # -- WHERE translation -------------------------------------------------
+    def _where_expr(self, expr, ctx: PlanContext) -> Column:
+        if isinstance(expr, BinaryExpr):
+            if expr.op == "AND":
+                return self._where_expr(expr.lhs, ctx) & self._where_expr(expr.rhs, ctx)
+            if expr.op == "OR":
+                return self._where_expr(expr.lhs, ctx) | self._where_expr(expr.rhs, ctx)
+            return self._comparison(expr, ctx)
+        raise QueryError(f"unsupported WHERE expression: {expr!r}")
+
+    def _comparison(self, expr: BinaryExpr, ctx: PlanContext) -> Column:
+        lhs, rhs, op = expr.lhs, expr.rhs, expr.op
+        if isinstance(rhs, VarRef) and not isinstance(lhs, VarRef):
+            lhs, rhs = rhs, lhs
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+            op = flip.get(op, op)
+        if not isinstance(lhs, VarRef):
+            raise QueryError(f"unsupported comparison: {expr!r}")
+
+        if lhs.name.lower() == "time":
+            ns = self._time_value_ns(rhs, ctx)
+            col = F.col(TIME_COL)
+            out = self._cmp(col, op, F.lit(ns))
+            # track the query time range for fill spines
+            if op in (">", ">="):
+                s = ns + (1 if op == ">" else 0)
+                ctx.start_ns = max(ctx.start_ns, s) if ctx.start_ns is not None else s
+            elif op in ("<", "<="):
+                e = ns + (1 if op == "<=" else 0)
+                ctx.end_ns = min(ctx.end_ns, e) if ctx.end_ns is not None else e
+            return out
+
+        col = F.col(lhs.name)
+        if isinstance(rhs, StringLit):
+            val: Column = F.lit(rhs.value)
+        elif isinstance(rhs, (NumberLit, IntegerLit)):
+            val = F.lit(rhs.value)
+        elif isinstance(rhs, BinaryExpr) or isinstance(rhs, Call):
+            val = self._value_expr(rhs, None)
+        else:
+            raise QueryError(f"unsupported comparison value: {rhs!r}")
+        return self._cmp(col, op, val)
+
+    def _cmp(self, col: Column, op: str, val: Column) -> Column:
+        return {"=": col == val, "!=": col != val, "<": col < val,
+                "<=": col <= val, ">": col > val, ">=": col >= val}[op]
+
+    def _time_value_ns(self, expr, ctx: PlanContext) -> int:
+        if isinstance(expr, Call) and expr.name == "now":
+            return ctx.now_ns
+        if isinstance(expr, StringLit):
+            return parse_time_literal_ns(expr.value)
+        if isinstance(expr, IntegerLit):
+            return expr.value
+        if isinstance(expr, DurationLit):
+            return expr.ns
+        if isinstance(expr, BinaryExpr):
+            l = self._time_value_ns(expr.lhs, ctx)
+            r = self._time_value_ns(expr.rhs, ctx)
+            if expr.op == "+":
+                return l + r
+            if expr.op == "-":
+                return l - r
+        raise QueryError(f"unsupported time expression: {expr!r}")
+
+    def _literal_value(self, e):
+        if isinstance(e, (IntegerLit, NumberLit)):
+            return e.value
+        if isinstance(e, DurationLit):
+            return e.ns
+        if isinstance(e, StringLit):
+            return e.value
+        raise QueryError(f"expected literal argument, got {e!r}")
+
+    def _time_range(self, stmt: SelectStatement,
+                    ctx: PlanContext) -> tuple[int | None, int | None]:
+        # re-walk WHERE (cheap) so fill() knows the query bounds
+        c = PlanContext(ctx.measurement, ctx.now_ns)
+        if stmt.where is not None:
+            try:
+                self._where_expr(stmt.where, c)
+            except QueryError:
+                pass
+        end = c.end_ns
+        if end is None and stmt.where is not None:
+            pass
+        return c.start_ns, end
+
+    # -- strict partition key (coordinator.go:182-193) ----------------------
+    def _check_partition_key(self, stmt: SelectStatement, db: str,
+                             m: Measurement) -> None:
+        pk = self.catalog.partition_key_for(db, m.name)
+        if pk is None:
+            return
+        covered = self._equality_tags(stmt.where)
+        missing = [t for t in pk.tags if t not in covered]
+        if missing:
+            raise PartitionKeyError(
+                f"the query does not specify values for tags {missing} "
+                f"required by the partition key")
+
+    def _equality_tags(self, expr) -> set[str]:
+        """Tag-equality extraction, the planner-side mirror of
+        `tagFinder.findTags` (coordinator.go:304-362): only `=` conjuncts
+        (and OR fan-outs of `=`) count; any other operator on a tag makes it
+        unusable for pruning."""
+        out: set[str] = set()
+        if isinstance(expr, BinaryExpr):
+            if expr.op in ("AND",):
+                return self._equality_tags(expr.lhs) | self._equality_tags(expr.rhs)
+            if expr.op == "OR":
+                l = self._equality_tags(expr.lhs)
+                r = self._equality_tags(expr.rhs)
+                return l & r  # an OR branch covers a tag only if both do
+            if expr.op == "=" and isinstance(expr.lhs, VarRef) and \
+                    isinstance(expr.rhs, StringLit):
+                return {expr.lhs.name}
+        return out
+
+
+def influxql_df(catalog: Catalog, query: str, database: str = "default",
+                now_ns: int | None = None, **kw) -> DataFrame:
+    """Parse + plan an InfluxQL SELECT into a DataFrame."""
+    from .influxql.parser import parse_select
+    stmt = parse_select(query)
+    return Planner(catalog, database, now_ns=now_ns, **kw).plan(stmt)

@@ -1,0 +1,105 @@
+"""Nanosecond-precision time helpers.
+
+InfluxDB's native time resolution is nanoseconds (reference
+service/write_handler.go:48-51: precision defaults to "nanoseconds";
+syncing/importer.go:392-397 parses result times with `time.Unix(0, ns)`).
+Spark's TimestampType is microseconds, so the engine's canonical `time`
+column is LongType ns; these helpers do bucket math and duration parsing.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NS = 1
+US = 1_000
+MS = 1_000_000
+SECOND = 1_000_000_000
+MINUTE = 60 * SECOND
+HOUR = 60 * MINUTE
+DAY = 24 * HOUR
+WEEK = 7 * DAY
+
+_DURATION_UNITS = {
+    "ns": NS, "u": US, "µ": US, "us": US, "ms": MS,
+    "s": SECOND, "m": MINUTE, "h": HOUR, "d": DAY, "w": WEEK,
+}
+
+_DURATION_RE = re.compile(r"(\d+)(ns|us|µ|u|ms|s|m|h|d|w)")
+
+# Precision strings accepted by the reference's /write and /query endpoints
+# (write_handler.go:48-51, coordinator.go:210-216 epoch formatting).
+PRECISIONS = {"ns": NS, "n": NS, "u": US, "µ": US, "ms": MS, "s": SECOND,
+              "m": MINUTE, "h": HOUR}
+
+
+def parse_duration_ns(text: str) -> int:
+    """Parse an InfluxQL duration literal like ``1d``, ``90m``, ``1h30m`` → ns."""
+    text = text.strip()
+    pos = 0
+    total = 0
+    for m in _DURATION_RE.finditer(text):
+        if m.start() != pos:
+            raise ValueError(f"invalid duration literal: {text!r}")
+        total += int(m.group(1)) * _DURATION_UNITS[m.group(2)]
+        pos = m.end()
+    if pos != len(text) or total == 0 and text not in ("0", "0s"):
+        if not (pos == len(text) and pos > 0):
+            raise ValueError(f"invalid duration literal: {text!r}")
+    return total
+
+
+def parse_time_literal_ns(text: str) -> int:
+    """RFC3339(-ish) string → epoch ns (InfluxQL time literals)."""
+    t = text.strip().strip("'\"")
+    fmts = ["%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S",
+            "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"]
+    for fmt in fmts:
+        try:
+            dt = datetime.strptime(t, fmt).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp()) * SECOND + dt.microsecond * US
+        except ValueError:
+            continue
+    raise ValueError(f"cannot parse time literal: {text!r}")
+
+
+def time_bucket(time_col: Column, interval_ns: int, offset_ns: int = 0) -> Column:
+    """Floor an ns-long time column to its `GROUP BY time(interval)` bucket.
+
+    InfluxDB aligns buckets to the epoch (plus optional offset); for positive
+    epochs this is plain floor-div arithmetic — stays fully inside
+    whole-stage codegen, no UDF. (Reference delegates bucketing to the data
+    nodes — coordinator.go:196-204; here Catalyst owns it.)
+    """
+    shifted = time_col - F.lit(offset_ns)
+    return (shifted - _pmod(shifted, interval_ns)) + F.lit(offset_ns)
+
+
+def _pmod(col: Column, divisor: int) -> Column:
+    return F.pmod(col, F.lit(divisor))
+
+
+def ns_to_timestamp(time_col: Column) -> Column:
+    """ns-long → TimestampType (µs truncation) for APIs that need timestamps."""
+    return F.timestamp_micros((time_col / F.lit(1000)).cast("long"))
+
+
+def timestamp_to_ns(ts_col: Column) -> Column:
+    """TimestampType → ns-long (µs precision preserved, sub-µs zero)."""
+    return F.unix_micros(ts_col) * F.lit(1000)
+
+
+def format_time(time_col: Column, epoch: str | None) -> Column:
+    """Format result `time` per the client's `epoch` parameter.
+
+    The reference emits RFC3339 strings by default and numeric epochs when
+    `epoch=ns|u|ms|s|m|h` is passed (coordinator.go:210-216).
+    """
+    if epoch is None:
+        return F.date_format(ns_to_timestamp(time_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    div = PRECISIONS[epoch]
+    return (time_col / F.lit(div)).cast("long")
