@@ -1,0 +1,166 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each a composition of native DataFrame ops (no Python in the
+hot path) with an eye on 100 TB behavior:
+
+- exact         : hash-groupBy on md5(text) — one shuffle on the digest; the
+                  digest groupBy key keeps skew bounded (uniform hash space).
+- fingerprint   : canonicalized (sorted distinct tokens) hash — catches
+                  reordered/near-identical docs cheaply.
+- MinHash + LSH : shingle → signature → band buckets → candidate join →
+                  verified Jaccard. The band join is the only quadratic risk;
+                  buckets are capped (see `minhash_candidates`) so a
+                  degenerate bucket (boilerplate docs) cannot produce an
+                  O(n²) pair explosion on a 1000-executor run.
+- SimHash       : 32-bit sign-sum sketch; near-dups = small Hamming distance.
+- embedding     : cosine near-dup over vector columns (see similarity.py).
+
+Everything is deterministic and mirrored in DuckDB SQL by the oracle layer
+(hashing.py conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import (MERSENNE_P, hash64_expr, minhash_coeffs,
+                      minhash_perm_expr, shingles_expr, tokens_expr)
+
+
+# -- exact -----------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact text digest.
+
+    groupBy(md5) + min(id) → two-phase aggregate, map-side combine does most
+    of the work since true duplicates are rare; no sort, no window.
+    """
+    return (df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+            .groupBy("digest").agg(F.min(id_col).alias(id_col)))
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Dedup on the canonical token-set fingerprint (order/punct-insensitive)."""
+    fp = F.md5(F.concat_ws(" ", F.array_sort(
+        F.array_distinct(tokens_expr(F.col(text_col))))))
+    return (df.select(fp.alias("fingerprint"), F.col(id_col))
+            .groupBy("fingerprint").agg(F.min(id_col).alias(id_col),
+                                        F.count("*").alias("n_docs")))
+
+
+# -- MinHash / LSH ---------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 16,
+                       shingle_k: int = 3) -> DataFrame:
+    """doc → MinHash signature (array<bigint>, one slot per permutation).
+
+    Fully columnar: shingling and all permutations are `transform`/`array_min`
+    expressions inside whole-stage codegen — zero Python, zero shuffle.
+    Docs with fewer than `shingle_k` tokens get a null signature (excluded
+    downstream).
+    """
+    coeffs = minhash_coeffs(num_perm)
+    sh = shingles_expr(tokens_expr(F.col(text_col)), shingle_k)
+    out = df.select(F.col(id_col), sh.alias("__sh"))
+    sig = F.array(*[minhash_perm_expr(F.col("__sh"), a, b) for a, b in coeffs])
+    return (out.where(F.size("__sh") > 0)
+            .select(F.col(id_col), sig.alias("signature")))
+
+
+def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
+                       bands: int = 4, rows: int = 4,
+                       max_bucket: int = 200) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Scale mechanics: explode to (band_id, band_key) — a shuffle keyed on the
+    band hash; bucket membership lists are capped at `max_bucket` docs so one
+    boilerplate cluster can't emit O(n²) pairs (cap → at most
+    max_bucket²/2 pairs per bucket; flagged, not silently dropped: the
+    `truncated` column marks capped buckets).
+    """
+    band_structs = F.array(*[
+        F.struct(F.lit(i).alias("band_id"),
+                 F.md5(F.concat_ws(",", *[
+                     F.element_at("signature", i * rows + j + 1).cast("string")
+                     for j in range(rows)])).alias("band_key"))
+        for i in range(bands)])
+    exploded = (sigs.select(F.col(id_col), F.explode(band_structs).alias("b"))
+                .select(id_col, "b.band_id", "b.band_key"))
+    buckets = (exploded.groupBy("band_id", "band_key")
+               .agg(F.sort_array(F.collect_list(id_col)).alias("ids"),
+                    F.count("*").alias("n")))
+    capped = buckets.where(F.col("n") > 1).select(
+        "band_id", "band_key",
+        F.slice("ids", 1, max_bucket).alias("ids"),
+        (F.col("n") > max_bucket).alias("truncated"))
+    # pairs within a bucket: posexplode × slice upper triangle
+    a = F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("ids") - 1),
+        lambda i: F.struct(
+            F.element_at("ids", i).alias("a"),
+            F.slice("ids", i + 1, F.size("ids") - i).alias("rest"))))
+    pairs = (capped.select(a.alias("p"), "truncated")
+             .select(F.col("p.a").alias("id_a"),
+                     F.explode("p.rest").alias("id_b"), "truncated"))
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.max("truncated").alias("truncated"))
+
+
+def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", num_perm: int = 16,
+                            bands: int = 4, rows: int = 4, shingle_k: int = 3,
+                            threshold: float = 0.7) -> DataFrame:
+    """Full pipeline: signatures → LSH candidates → exact shingle-set Jaccard
+    verification on candidates only (the candidate set is LSH-bounded, so the
+    verify join touches a tiny fraction of the corpus)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    cands = minhash_candidates(sigs, id_col, bands, rows)
+    sh = (df.select(F.col(id_col),
+                    F.array_distinct(
+                        shingles_expr(tokens_expr(F.col(text_col)), shingle_k))
+                    .alias("sh")))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates (alias of the verified
+    pipeline with threshold applied); kept as a named operator for the
+    inventory."""
+    return minhash_near_duplicates(df, text_col, id_col, threshold=threshold,
+                                   shingle_k=k)
+
+
+# -- SimHash ---------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """32-bit SimHash: bit j is set iff Σ_tokens sign(bit j of hash64(token)) > 0.
+
+    Implemented as explode(tokens) → groupBy(doc) with `bits` conditional
+    sums — a single two-phase aggregation; the per-doc state is `bits` longs.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+    h = hash64_expr(F.col("tok"))
+    sums = [F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                         F.lit(1)).otherwise(F.lit(-1))).alias(f"b{j}")
+            for j in range(bits)]
+    agged = toks.groupBy(id_col).agg(*sums)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agged.select(F.col(id_col), sim.cast("bigint").alias("simhash"))

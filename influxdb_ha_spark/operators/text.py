@@ -1,0 +1,113 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All pure column expressions (codegen'd, map-only —
+the ideal 100 TB shape: no shuffle at all until an aggregation is asked for).
+
+Deterministic + SQL-mirrorable; stopword tables are module constants shared
+with the DuckDB oracle builder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import tokens_expr
+
+# Tiny per-language stopword tables for the n-gram/stopword-hit heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "es"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "dans", "que"],
+}
+
+LANGS = sorted(STOPWORDS)  # deterministic tie-break order
+
+
+def _hits(tokens: Column, words: list[str]) -> Column:
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda x: F.array_contains(lit_arr, x)))
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                out: str = "n_tokens") -> DataFrame:
+    """Whitespace/punct token count + a BPE-ish subword estimate
+    (≈ chars/4 bounded below by word count — the common LLM heuristic)."""
+    toks = tokens_expr(F.col(text_col))
+    n_words = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    bpe_est = F.greatest(n_words, F.ceil(n_chars / F.lit(4)).cast("int"))
+    return df.withColumn(out, n_words).withColumn("n_tokens_bpe_est", bpe_est)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / word-shape statistics."""
+    t = F.col(text_col)
+    toks = tokens_expr(t)
+    n_chars = F.length(t)
+    n_words = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    mean_wl = F.when(n_words > 0,
+                     F.aggregate(toks, F.lit(0),
+                                 lambda acc, x: acc + F.length(x))
+                     .cast("double") / n_words).otherwise(F.lit(0.0))
+    return (df.withColumn("n_chars_c", n_chars)
+            .withColumn("n_words", n_words)
+            .withColumn("punct_ratio",
+                        F.round(F.when(n_chars > 0, n_punct / n_chars.cast("double"))
+                                .otherwise(F.lit(0.0)), 6))
+            .withColumn("mean_word_len", F.round(mean_wl, 6)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  out: str = "quality") -> DataFrame:
+    """Heuristic document quality in [0,1]: rewards stopword presence and
+    sane word lengths, penalizes punctuation soup and trivial length.
+    (The classic cheap pre-filter before expensive model-based scoring.)"""
+    t = F.col(text_col)
+    toks = tokens_expr(t)
+    n_words = F.size(toks)
+    n_chars = F.length(t)
+    sw = _hits(toks, STOPWORDS["en"])
+    sw_ratio = F.when(n_words > 0, sw / n_words.cast("double")).otherwise(F.lit(0.0))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(F.lit(0.0))
+    mean_wl = F.when(n_words > 0,
+                     F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+                     .cast("double") / n_words).otherwise(F.lit(0.0))
+    len_term = F.least(n_words.cast("double") / F.lit(20.0), F.lit(1.0))
+    sw_term = F.least(sw_ratio * F.lit(3.0), F.lit(1.0))
+    wl_term = F.when((mean_wl >= 3) & (mean_wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * F.lit(4.0))
+    score = F.round((len_term + sw_term + wl_term + punct_term) / F.lit(4.0), 6)
+    return df.withColumn(out, score)
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                out: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language ID across the STOPWORDS tables; deterministic
+    alphabetical tie-break; 'und' (undetermined) when nothing hits."""
+    toks = tokens_expr(F.col(text_col))
+    scored = F.array(*[
+        F.struct(_hits(toks, STOPWORDS[lang]).alias("hits"),
+                 F.lit(lang).alias("lang"))
+        for lang in LANGS])
+    # array_max on struct orders by first field (hits), ties by lang desc —
+    # invert lang for asc tie-break determinism
+    best = F.array_max(F.transform(
+        scored, lambda s: F.struct(
+            s["hits"].alias("hits"),
+            # negative alphabetical: later langs lose ties
+            F.lit(0) - F.array_position(
+                F.array(*[F.lit(x) for x in LANGS]), s["lang"]).alias("neg"),
+            s["lang"].alias("lang"))))
+    return df.withColumn(
+        out, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out: str = "fingerprint") -> DataFrame:
+    """Canonical content fingerprint: md5 of the sorted distinct token set."""
+    fp = F.md5(F.concat_ws(" ", F.array_sort(
+        F.array_distinct(tokens_expr(F.col(text_col))))))
+    return df.withColumn(out, fp)
