@@ -1,0 +1,67 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall seconds.
+
+Execution is forced with the `noop` sink (full plan runs, nothing collected
+to the driver) — the honest analog of cluster execution cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+
+HEADLINE = [
+    "tpch_q1",            # classic pricing-summary aggregation
+    "agg_median_percentile",  # exact order statistics
+    "join_brand_revenue",  # broadcast dim join + agg
+    "iq_mean_1h",          # InfluxQL frontend: GROUP BY time()
+    "iq_fill_linear",      # bucket spine + linear interpolation
+    "tr_moving_average",   # per-series window frame
+    "tr_derivative",       # lag arithmetic per series
+    "dedup_points",        # full-row distinct (replica dedup)
+    "doc_near_dups",       # MinHash LSH + verified jaccard
+    "doc_simhash",         # 32-bit sketch, explode+agg
+    "emb_brute_topk",      # broadcast cosine top-k
+    "text_quality",        # map-only text scoring
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from influxdb_ha_spark.session import get_spark
+    spark = get_spark(app_name="bench")
+
+    qs = entry.queries()
+    # JVM/session warmup on a trivial plan
+    spark.range(1000).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -83,9 +83,9 @@ def moving_average(df: DataFrame, field: str, n: int, time_col: str = "time",
     """Trailing n-point average; emitted only once n points exist (InfluxQL
     semantics). Exact, unlike the reference merge (calls.go:17-44)."""
     w = _series_window(time_col, by or []).rowsBetween(-(n - 1), 0)
-    cnt = F.count(field).over(w)
     return (df.withColumn(out, F.avg(field).over(w))
-            .where(cnt >= n))
+            .withColumn("__cnt", F.count(field).over(w))
+            .where(F.col("__cnt") >= n).drop("__cnt"))
 
 
 def integral(df: DataFrame, field: str, unit_ns: int = SECOND,

@@ -25,7 +25,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import (MERSENNE_P, hash64_expr, minhash_coeffs,
-                      minhash_perm_expr, shingles_expr, tokens_expr)
+                      minhash_perm_expr, shingle_hashes_expr, shingles_expr,
+                      tokens_expr)
 
 
 # -- exact -----------------------------------------------------------------
@@ -65,10 +66,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """
     coeffs = minhash_coeffs(num_perm)
     sh = shingles_expr(tokens_expr(F.col(text_col)), shingle_k)
-    out = df.select(F.col(id_col), sh.alias("__sh"))
-    sig = F.array(*[minhash_perm_expr(F.col("__sh"), a, b) for a, b in coeffs])
-    return (out.where(F.size("__sh") > 0)
-            .select(F.col(id_col), sig.alias("signature")))
+    hashed = (df.select(F.col(id_col), sh.alias("__sh"))
+              .where(F.size("__sh") > 0)
+              .select(F.col(id_col),
+                      shingle_hashes_expr(F.col("__sh")).alias("__h")))
+    sig = F.array(*[minhash_perm_expr(F.col("__h"), a, b) for a, b in coeffs])
+    return hashed.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",

@@ -1,0 +1,558 @@
+"""DuckDB oracle SQL for every entry in __spark_entry__.queries().
+
+Each string mirrors the Spark query's arithmetic exactly (same rounding
+points, same tie-breaks, same hash primitives — see
+influxdb_ha_spark/operators/hashing.py for the shared conventions).
+Tables region..embeddings are pre-registered views on the same parquet.
+"""
+
+from __future__ import annotations
+
+from influxdb_ha_spark.operators.hashing import (
+    MERSENNE_P, duck_hash64, duck_tokens, minhash_coeffs)
+from influxdb_ha_spark.operators.text import LANGS, STOPWORDS
+
+NOW_NS = 1_717_200_000_000_000_000
+JAN1 = 1_704_067_200_000_000_000
+FEB1 = 1_706_745_600_000_000_000
+HOUR = 3_600_000_000_000
+DAY = 24 * HOUR
+
+TOKS = duck_tokens("text")
+EV_TIME = "epoch_ns(ts)"
+
+
+def fr(x: str, k: int) -> str:
+    """Deterministic rounding mirror of __spark_entry__._fr."""
+    s = 10 ** k
+    return f"(floor(({x}) * {s}.0 + 0.5) / {s}.0)"
+
+
+def dsum(col: str, scale: int = 2) -> str:
+    """Exact DECIMAL-accumulated sum mirror of __spark_entry__._dsum."""
+    return f"(sum(({col})::DECIMAL(28,{scale}))::DOUBLE)"
+
+
+def _shingles_cte(k: int = 3) -> str:
+    """doc_id → word k-shingle list (mirror of shingles_expr)."""
+    return f"""
+      SELECT doc_id,
+             CASE WHEN len({TOKS}) < {k} THEN []::VARCHAR[]
+                  ELSE [array_to_string(({TOKS})[i:i+{k - 1}], ' ')
+                        FOR i IN generate_series(1, len({TOKS}) - {k - 1})]
+             END AS sh
+      FROM documents"""
+
+
+def _minhash_sig_sql(num_perm: int = 16, k: int = 3) -> str:
+    """sh CTE → doc_id + signature list (mirror of minhash_signatures):
+    shingles hashed once, then the permutations run over the numeric list."""
+    coeffs = minhash_coeffs(num_perm)
+    h = duck_hash64("s")
+    mh = [f"list_min(list_transform(hh, h -> ({a} * h + {b}) % {MERSENNE_P}))"
+          for a, b in coeffs]
+    return (f"SELECT doc_id, [{', '.join(mh)}] AS s FROM ("
+            f"SELECT doc_id, list_transform(sh, s -> {h} % {MERSENNE_P}) AS hh "
+            f"FROM sh WHERE len(sh) > 0)")
+
+
+def _bands_sql(bands: int = 4, rows: int = 4) -> str:
+    parts = []
+    for i in range(bands):
+        key = " || ',' || ".join(
+            f"s[{i * rows + j + 1}]::VARCHAR" for j in range(rows))
+        parts.append(f"SELECT doc_id, {i} AS band_id, md5({key}) AS band_key FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+def _candidates_sql(k: int = 3) -> str:
+    return f"""
+      WITH sh AS ({_shingles_cte(k)}),
+      sig AS ({_minhash_sig_sql(16, k)}),
+      bands AS ({_bands_sql()})
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, false AS truncated
+      FROM bands a JOIN bands b USING (band_id, band_key)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3"""
+
+
+def _near_dups_sql(k: int, threshold: float) -> str:
+    return f"""
+      WITH sh AS ({_shingles_cte(k)}),
+      sig AS ({_minhash_sig_sql(16, k)}),
+      bands AS ({_bands_sql()}),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_id, band_key)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh)
+      SELECT id_a, id_b,
+             round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE
+                   / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE,
+                   6) AS jaccard
+      FROM cand JOIN shd sa ON sa.doc_id = id_a JOIN shd sb ON sb.doc_id = id_b
+      WHERE round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))::DOUBLE
+                  / len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE,
+                  6) >= {threshold}"""
+
+
+def _cos(a: str, b: str, dim: int = 64) -> str:
+    """Sequential-fold cosine mirroring F.aggregate/zip_with exactly."""
+    dot = (f"list_reduce([{a}[i] * {b}[i] FOR i IN generate_series(1, {dim})], "
+           f"(x, y) -> x + y)")
+    na = (f"sqrt(list_reduce([{a}[i] * {a}[i] FOR i IN generate_series(1, {dim})], "
+          f"(x, y) -> x + y))")
+    nb = (f"sqrt(list_reduce([{b}[i] * {b}[i] FOR i IN generate_series(1, {dim})], "
+          f"(x, y) -> x + y))")
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    h = duck_hash64("tok")
+    sums = ", ".join(
+        f"sum(CASE WHEN (({h} >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits))
+    terms = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        for j in range(bits))
+    return f"""
+      WITH toks AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+      s AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+      SELECT doc_id, ({terms})::BIGINT AS simhash FROM s"""
+
+
+def _lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({TOKS}, x -> list_contains([{words}], x)))"
+
+
+_EN_WORDS = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+_FILLSRC = f"""
+      agg AS (
+        SELECT ({EV_TIME} // {6 * HOUR}) * {6 * HOUR} AS time, sum(value) AS mv
+        FROM events
+        WHERE {EV_TIME} >= {JAN1} AND {EV_TIME} < {FEB1}
+          AND event_type = 'signup'
+        GROUP BY 1),
+      spine AS (
+        SELECT unnest(generate_series({JAN1}, {FEB1} - 1, {6 * HOUR})) AS time),
+      j AS (SELECT s.time, a.mv FROM spine s LEFT JOIN agg a USING (time))"""
+
+
+def build_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    # -- aggregations ------------------------------------------------------
+    o["agg_count"] = """
+      SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+             count(l_quantity) AS n_qty
+      FROM lineitem GROUP BY 1, 2"""
+    o["agg_sum"] = f"""
+      SELECT l_returnflag, l_linestatus,
+             {dsum('l_quantity')} AS sum_qty,
+             {dsum('l_extendedprice')} AS sum_price
+      FROM lineitem GROUP BY 1, 2"""
+    o["agg_mean"] = f"""
+      SELECT l_returnflag, l_linestatus,
+             {dsum('l_quantity')} / count(l_quantity) AS mean_qty,
+             {dsum('l_extendedprice')} / count(l_extendedprice) AS mean_price,
+             {dsum('l_discount')} / count(l_discount) AS mean_disc
+      FROM lineitem GROUP BY 1, 2"""
+    o["agg_min_max_spread"] = """
+      SELECT l_returnflag, l_linestatus,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+             max(l_extendedprice) - min(l_extendedprice) AS spread_price
+      FROM lineitem GROUP BY 1, 2"""
+    o["agg_stddev"] = f"""
+      SELECT l_returnflag, l_linestatus,
+             {fr('stddev(l_quantity)', 4)} AS stddev_qty,
+             {fr('stddev(l_discount)', 6)} AS stddev_disc
+      FROM lineitem GROUP BY 1, 2"""
+    o["agg_median_percentile"] = f"""
+      SELECT l_returnflag, l_linestatus,
+             {fr('median(l_quantity)', 4)} AS median_qty,
+             {fr('quantile_cont(l_quantity, 0.9)', 4)} AS p90_qty,
+             {fr('quantile_cont(l_extendedprice, 0.5)', 4)} AS p50_price
+      FROM lineitem GROUP BY 1, 2"""
+    o["agg_mode"] = """
+      WITH c AS (
+        SELECT l_returnflag, l_quantity, count(*) AS n
+        FROM lineitem GROUP BY 1, 2),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY n DESC, l_quantity ASC) AS rk
+        FROM c)
+      SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_count
+      FROM r WHERE rk = 1"""
+    o["agg_count_distinct"] = """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+             count(DISTINCT l_suppkey) AS nd_supp
+      FROM lineitem GROUP BY 1"""
+    o["agg_first_last"] = f"""
+      SELECT event_type,
+             min_by(value, {EV_TIME}) AS first_value,
+             max_by(value, {EV_TIME}) AS last_value,
+             min({EV_TIME}) AS first_time, max({EV_TIME}) AS last_time
+      FROM events GROUP BY 1"""
+    o["agg_top_bottom"] = """
+      WITH t AS (
+        SELECT *, row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rank
+        FROM lineitem),
+      b AS (
+        SELECT *, row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rank
+        FROM lineitem)
+      SELECT 'top' AS which, l_returnflag, rank, l_orderkey, l_linenumber,
+             l_extendedprice FROM t WHERE rank <= 3
+      UNION ALL
+      SELECT 'bottom' AS which, l_returnflag, rank, l_orderkey, l_linenumber,
+             l_extendedprice FROM b WHERE rank <= 3"""
+    o["tpch_q1"] = f"""
+      SELECT l_returnflag, l_linestatus,
+             {dsum('l_quantity')} AS sum_qty,
+             {dsum('l_extendedprice')} AS sum_base_price,
+             {dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+             {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+             {dsum('l_quantity')} / count(*) AS avg_qty,
+             {dsum('l_extendedprice')} / count(*) AS avg_price,
+             {dsum('l_discount')} / count(*) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY 1, 2"""
+
+    # -- joins -------------------------------------------------------------
+    o["join_revenue_by_segment"] = f"""
+      SELECT c_mktsegment, {dsum('o_totalprice')} AS revenue,
+             count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1"""
+    o["join_brand_revenue"] = f"""
+      SELECT p_brand, {dsum('l_extendedprice')} AS revenue,
+             {dsum('l_quantity')} / count(*) AS avg_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1"""
+    o["join_nation_customers"] = f"""
+      SELECT r_name, count(*) AS n_customers,
+             {dsum('c_acctbal')} AS sum_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1"""
+
+    # -- InfluxQL frontend -------------------------------------------------
+    o["iq_mean_1h"] = f"""
+      WITH a AS (
+        SELECT ({EV_TIME} // {HOUR}) * {HOUR} AS time,
+               sum(value) AS sv, count(value) AS n
+        FROM events WHERE {EV_TIME} <= {NOW_NS} GROUP BY 1)
+      SELECT time, (floor(sv * 100 + 0.5) / 100) / n AS mean_value, n
+      FROM a"""
+    o["iq_mean_1d_tag"] = f"""
+      WITH a AS (
+        SELECT ({EV_TIME} // {DAY}) * {DAY} AS time, event_type,
+               sum(value) AS sv, count(value) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT time, event_type,
+             (floor(sv * 100 + 0.5) / 100) / n AS mean_value,
+             floor(sv * 100 + 0.5) / 100 AS sum_value
+      FROM a"""
+    o["iq_raw_limit"] = f"""
+      SELECT {EV_TIME} AS time, value, event_id
+      FROM events
+      WHERE {EV_TIME} >= {JAN1} AND {EV_TIME} < {JAN1 + 7 * DAY}
+        AND event_type = 'click'
+      ORDER BY time LIMIT 100"""
+    o["iq_fill_zero"] = f"""
+      WITH {_FILLSRC}
+      SELECT time, {fr('coalesce(mv, 0)', 4)} AS mv FROM j"""
+    o["iq_fill_previous"] = f"""
+      WITH {_FILLSRC}
+      SELECT time,
+             {fr("coalesce(mv, last_value(mv IGNORE NULLS) OVER "
+                 "(ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))", 4)}
+               AS mv
+      FROM j"""
+    o["iq_fill_linear"] = f"""
+      WITH {_FILLSRC},
+      l AS (
+        SELECT time, mv,
+          last_value(mv IGNORE NULLS) OVER
+            (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+          last_value(CASE WHEN mv IS NOT NULL THEN time END IGNORE NULLS) OVER
+            (ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
+          first_value(mv IGNORE NULLS) OVER
+            (ORDER BY time ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN mv IS NOT NULL THEN time END IGNORE NULLS) OVER
+            (ORDER BY time ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb
+        FROM j)
+      SELECT time,
+             {fr("coalesce(mv, pv + (nv - pv) * ((time - pb)::DOUBLE / (nb - pb)::DOUBLE))", 4)}
+               AS mv
+      FROM l"""
+    o["iq_top5"] = f"""
+      WITH r AS (
+        SELECT {EV_TIME} AS time, event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, {EV_TIME} ASC) AS rn
+        FROM events)
+      SELECT time, event_type, value AS top_value FROM r WHERE rn <= 5"""
+    o["iq_math_over_agg"] = f"""
+      SELECT event_type,
+             abs(round(sum(value) / count(value) * -3.55)) AS scaled,
+             {fr('sum(value) / count(value)', 4)} AS ratio
+      FROM events GROUP BY 1"""
+    o["iq_spread_tag"] = """
+      SELECT event_type, max(value) - min(value) AS spread_value,
+             max(value) AS max_value
+      FROM events GROUP BY 1"""
+    o["iq_distinct"] = "SELECT DISTINCT user_id FROM events"
+    o["iq_slimit"] = """
+      WITH a AS (SELECT event_type, sum(value) AS sv, count(value) AS n
+                 FROM events GROUP BY 1),
+      r AS (SELECT *, dense_rank() OVER (ORDER BY event_type) AS rk FROM a)
+      SELECT event_type, (floor(sv * 100 + 0.5) / 100) / n AS mv
+      FROM r WHERE rk > 1 AND rk <= 3"""
+
+    # -- transforms --------------------------------------------------------
+    w = f"OVER (PARTITION BY event_type ORDER BY {EV_TIME})"
+    o["tr_difference"] = f"""
+      WITH d AS (
+        SELECT {EV_TIME} AS time, event_type,
+               value - lag(value) {w} AS difference
+        FROM events)
+      SELECT time, event_type, {fr('difference', 4)} AS difference
+      FROM d WHERE difference IS NOT NULL"""
+    o["tr_derivative"] = f"""
+      WITH d AS (
+        SELECT {EV_TIME} AS time, event_type,
+               (value - lag(value) {w})
+                 / ({EV_TIME} - lag({EV_TIME}) {w})::DOUBLE
+                 * {float(HOUR)} AS derivative
+        FROM events)
+      SELECT time, event_type, {fr('derivative', 4)} AS derivative
+      FROM d WHERE derivative IS NOT NULL"""
+    o["tr_cumulative_sum"] = f"""
+      SELECT {EV_TIME} AS time, event_type,
+             {fr("sum(value) OVER (PARTITION BY event_type ORDER BY " + EV_TIME +
+                 " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 4)}
+             AS cumulative_sum
+      FROM events"""
+    o["tr_elapsed"] = f"""
+      WITH d AS (
+        SELECT {EV_TIME} AS time, event_type,
+               floor(({EV_TIME} - lag({EV_TIME}) {w}) / 1000000000.0)::BIGINT
+                 AS elapsed
+        FROM events)
+      SELECT time, event_type, elapsed FROM d WHERE elapsed IS NOT NULL"""
+    o["tr_moving_average"] = f"""
+      WITH d AS (
+        SELECT {EV_TIME} AS time, event_type,
+               avg(value) OVER (PARTITION BY event_type ORDER BY {EV_TIME}
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma,
+               count(value) OVER (PARTITION BY event_type ORDER BY {EV_TIME}
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS c
+        FROM events)
+      SELECT time, event_type, {fr('ma', 4)} AS moving_average
+      FROM d WHERE c >= 7"""
+    o["tr_integral"] = f"""
+      WITH d AS (
+        SELECT event_type,
+               (value + lag(value) {w}) / 2.0
+                 * ({EV_TIME} - lag({EV_TIME}) {w})::DOUBLE / {float(HOUR)}
+                 AS trap
+        FROM events)
+      SELECT event_type, {fr('sum(trap)', 2)} AS integral
+      FROM d GROUP BY 1"""
+    o["tr_histogram"] = """
+      SELECT event_type,
+             (CASE WHEN value < 0 THEN 0
+                   WHEN value >= 200 THEN 21
+                   ELSE floor(value / 10.0)::INT + 1 END)::BIGINT AS bucket,
+             count(*) AS bucket_count
+      FROM events GROUP BY 1, 2"""
+
+    # -- sort/limit/dedup --------------------------------------------------
+    ev_cols = f"event_id, {EV_TIME} AS time, user_id, event_type, value, props"
+    o["dedup_points"] = f"""
+      SELECT DISTINCT * FROM (
+        SELECT {ev_cols} FROM events
+        UNION ALL
+        SELECT {ev_cols} FROM events)"""
+    o["limit_offset"] = f"""
+      SELECT {EV_TIME} AS time, event_id, event_type, value
+      FROM events ORDER BY time, event_id LIMIT 200 OFFSET 50"""
+
+    # -- meta --------------------------------------------------------------
+    names = ", ".join(f"('{n}')" for n in sorted(
+        ["region", "nation", "customer", "supplier", "part", "orders",
+         "lineitem", "events", "documents", "embeddings"]))
+    o["show_measurements"] = f"SELECT name FROM (VALUES {names}) t(name)"
+    o["show_tag_values"] = """
+      SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events"""
+    o["show_series"] = """
+      SELECT DISTINCT 'events,event_type=' || event_type AS key FROM events"""
+
+    # -- LLM ops -----------------------------------------------------------
+    o["doc_exact_dedup"] = """
+      SELECT md5(text) AS digest, min(doc_id) AS doc_id
+      FROM documents GROUP BY 1"""
+    o["doc_fingerprint_dedup"] = f"""
+      SELECT md5(array_to_string(list_sort(list_distinct({TOKS})), ' '))
+               AS fingerprint,
+             min(doc_id) AS doc_id, count(*) AS n_docs
+      FROM documents GROUP BY 1"""
+    o["doc_minhash_sig"] = f"""
+      WITH sh AS ({_shingles_cte(3)}),
+      sig AS ({_minhash_sig_sql(16, 3)})
+      SELECT doc_id, (g - 1)::INT AS perm, u AS minhash
+      FROM (SELECT doc_id, unnest(s) AS u, generate_subscripts(s, 1) AS g
+            FROM sig)"""
+    o["doc_minhash_candidates"] = _candidates_sql(3)
+    o["doc_near_dups"] = _near_dups_sql(3, 0.7)
+    o["doc_ngram_jaccard"] = _near_dups_sql(2, 0.5)
+    o["doc_simhash"] = _simhash_sql(32)
+
+    emb_cast = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+    cos_qc = _cos("q.v", "c.v")
+    o["emb_brute_topk"] = f"""
+      WITH e AS ({emb_cast}),
+      q AS (SELECT * FROM e WHERE vec_id < 10),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({cos_qc}, 6) AS cosine
+        FROM e c CROSS JOIN q WHERE c.vec_id != q.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+      SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5"""
+    o["emb_ivf_topk"] = f"""
+      WITH e AS ({emb_cast}),
+      q AS (SELECT * FROM e WHERE vec_id < 10),
+      cent AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < 8),
+      assign0 AS (
+        SELECT q.vec_id, c.centroid_id, {_cos("q.v", "c.v")} AS sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_cos("q.v", "c.v")} DESC, c.centroid_id ASC) AS r
+        FROM e q CROSS JOIN cent c),
+      assigned AS (SELECT vec_id AS neighbor_id, centroid_id
+                   FROM assign0 WHERE r = 1),
+      probes0 AS (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_cos("q.v", "c.v")} DESC, c.centroid_id ASC) AS r
+        FROM q CROSS JOIN cent c),
+      probes AS (SELECT query_id, centroid_id FROM probes0 WHERE r <= 2),
+      cand AS (
+        SELECT p.query_id, a.neighbor_id
+        FROM probes p JOIN assigned a USING (centroid_id)
+        WHERE a.neighbor_id != p.query_id),
+      scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round({_cos("qe.v", "ne.v")}, 6) AS cosine
+        FROM cand
+        JOIN e qe ON qe.vec_id = cand.query_id
+        JOIN e ne ON ne.vec_id = cand.neighbor_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+      SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5"""
+    o["emb_near_dup_pairs"] = f"""
+      WITH e AS ({emb_cast})
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_cos("a.v", "b.v")}, 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round({_cos("a.v", "b.v")}, 6) >= 0.9"""
+
+    mean_wl = (f"CASE WHEN len({TOKS}) > 0 THEN "
+               f"list_reduce(list_transform({TOKS}, x -> length(x)), "
+               f"(a, b) -> a + b)::DOUBLE / len({TOKS}) ELSE 0.0 END")
+    punct = (r"(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))")
+    o["text_stats"] = f"""
+      SELECT doc_id,
+             length(text)::BIGINT AS n_chars_c,
+             len({TOKS})::BIGINT AS n_words,
+             round(CASE WHEN length(text) > 0
+                        THEN {punct} / length(text)::DOUBLE ELSE 0.0 END, 6)
+               AS punct_ratio,
+             round({mean_wl}, 6) AS mean_word_len
+      FROM documents"""
+    o["text_quality"] = f"""
+      WITH b AS (
+        SELECT doc_id, len({TOKS}) AS n_words, length(text) AS n_chars,
+               len(list_filter({TOKS}, x -> list_contains([{_EN_WORDS}], x)))
+                 AS sw,
+               {punct} AS n_punct,
+               {mean_wl} AS mean_wl
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+               least(n_words::DOUBLE / 20.0, 1.0) AS len_term,
+               least(CASE WHEN n_words > 0
+                          THEN sw / n_words::DOUBLE ELSE 0.0 END * 3.0, 1.0)
+                 AS sw_term,
+               CASE WHEN mean_wl >= 3 AND mean_wl <= 10 THEN 1.0 ELSE 0.5 END
+                 AS wl_term,
+               greatest(0.0, 1.0 - CASE WHEN n_chars > 0
+                 THEN n_punct / n_chars::DOUBLE ELSE 0.0 END * 4.0) AS punct_term
+        FROM b)
+      SELECT doc_id,
+             round((len_term + sw_term + wl_term + punct_term) / 4.0, 6) AS quality
+      FROM c"""
+    lang_case = "CASE WHEN " + " + ".join(
+        f"h_{lang}" for lang in LANGS) + " IS NULL THEN 'und' " + \
+        f"WHEN greatest({', '.join('h_' + lang for lang in LANGS)}) = 0 THEN 'und' "
+    conds = []
+    for i, lang in enumerate(LANGS):
+        others = [x for x in LANGS[i + 1:]]
+        if others:
+            cond = " AND ".join(f"h_{lang} >= h_{x}" for x in others)
+            conds.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            conds.append(f"ELSE '{lang}'")
+    lang_case += " ".join(conds) + " END"
+    hits_cols = ", ".join(f"{_lang_hits(lang)} AS h_{lang}" for lang in LANGS)
+    o["text_langid"] = f"""
+      WITH h AS (SELECT doc_id, lang, {hits_cols} FROM documents)
+      SELECT doc_id, lang, {lang_case} AS lang_pred FROM h"""
+    o["text_tokens"] = f"""
+      SELECT doc_id, len({TOKS})::BIGINT AS n_tokens,
+             greatest(len({TOKS}),
+                      ceil(length(text) / 4.0)::BIGINT)::BIGINT
+               AS n_tokens_bpe_est
+      FROM documents"""
+    o["text_fingerprint"] = f"""
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({TOKS})), ' '))
+               AS fingerprint
+      FROM documents"""
+
+    o["mm_meta"] = """
+      SELECT doc_id, octet_length(encode(text))::BIGINT AS payload_bytes,
+             md5(text) AS payload_md5
+      FROM documents"""
+    o["mm_decode"] = """
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN 0
+                  ELSE ('0x' || substring(md5(text), 1, 4))::BIGINT % 4096 + 1
+             END AS width,
+             CASE WHEN text IS NULL THEN 0
+                  ELSE ('0x' || substring(md5(text), 5, 4))::BIGINT % 4096 + 1
+             END AS height,
+             CASE WHEN text IS NULL THEN 0 ELSE 3 END AS channels,
+             text IS NOT NULL AS decode_ok
+      FROM documents"""
+    o["mm_frames"] = """
+      WITH f AS (
+        SELECT doc_id, text,
+               floor(octet_length(encode(text)) / 16.0)::INT AS n_frames
+        FROM documents),
+      g AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, greatest(n_frames - 1, 0), 10))
+                 AS frame_index
+        FROM f)
+      SELECT doc_id, frame_index,
+             md5(text || frame_index::VARCHAR) AS frame_md5
+      FROM g"""
+    return o

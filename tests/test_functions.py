@@ -1,0 +1,127 @@
+"""Operator-library unit tests: fill modes, window transforms, math quirks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxdb_ha_spark.functions import fill, transforms as T
+from influxdb_ha_spark.functions.math import binary_op
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    # one series, buckets 0,2,5 present out of 0..5 (interval 1)
+    rows = [(0, 10.0), (2, 30.0), (5, 0.0)]
+    return spark.createDataFrame(rows, "time long, v double")
+
+
+def _fill(df, mode):
+    out = fill.fill_buckets(df, "time", 1, mode, ["v"],
+                            start_ns=0, end_ns=6)
+    return {r["time"]: r["v"] for r in out.collect()}
+
+
+def test_fill_null(series):
+    got = _fill(series, None)
+    assert got == {0: 10.0, 1: None, 2: 30.0, 3: None, 4: None, 5: 0.0}
+
+
+def test_fill_number(series):
+    got = _fill(series, -1)
+    assert got[1] == -1 and got[3] == -1 and got[0] == 10.0
+
+
+def test_fill_none(series):
+    got = _fill(series, "none")
+    assert got == {0: 10.0, 2: 30.0, 5: 0.0}
+
+
+def test_fill_previous(series):
+    got = _fill(series, "previous")
+    assert got == {0: 10.0, 1: 10.0, 2: 30.0, 3: 30.0, 4: 30.0, 5: 0.0}
+
+
+def test_fill_linear(series):
+    got = _fill(series, "linear")
+    assert got[1] == pytest.approx(20.0)
+    assert got[3] == pytest.approx(20.0)
+    assert got[4] == pytest.approx(10.0)
+
+
+def test_fill_grouped(spark):
+    rows = [(0, "a", 1.0), (2, "a", 3.0), (1, "b", 5.0)]
+    df = spark.createDataFrame(rows, "time long, tag string, v double")
+    out = fill.fill_buckets(df, "time", 1, 0, ["v"], group_cols=["tag"],
+                            start_ns=0, end_ns=3)
+    got = {(r["tag"], r["time"]): r["v"] for r in out.collect()}
+    assert got[("a", 1)] == 0.0 and got[("b", 0)] == 0.0 and got[("b", 2)] == 0.0
+    assert len(got) == 6
+
+
+@pytest.fixture(scope="module")
+def walk(spark):
+    rows = [(i * 1_000_000_000, "s", float(v))
+            for i, v in enumerate([1, 3, 2, 6, 6, 10])]
+    return spark.createDataFrame(rows, "time long, tag string, value double")
+
+
+def test_difference(walk):
+    out = T.difference(walk, "value", by=["tag"]).collect()
+    assert [r["difference"] for r in out] == [2.0, -1.0, 4.0, 0.0, 4.0]
+
+
+def test_non_negative_difference(walk):
+    out = T.non_negative_difference(walk, "value", by=["tag"]).collect()
+    assert [r["non_negative_difference"] for r in out] == [2.0, 4.0, 0.0, 4.0]
+
+
+def test_derivative_per_second(walk):
+    out = T.derivative(walk, "value", unit_ns=1_000_000_000, by=["tag"]).collect()
+    assert [r["derivative"] for r in out] == [2.0, -1.0, 4.0, 0.0, 4.0]
+
+
+def test_cumulative_sum(walk):
+    out = T.cumulative_sum(walk, "value", by=["tag"]).collect()
+    assert [r["cumulative_sum"] for r in out] == [1.0, 4.0, 6.0, 12.0, 18.0, 28.0]
+
+
+def test_elapsed_seconds(walk):
+    out = T.elapsed(walk, unit_ns=1_000_000_000, by=["tag"]).collect()
+    assert [r["elapsed"] for r in out] == [1, 1, 1, 1, 1]
+
+
+def test_moving_average(walk):
+    out = T.moving_average(walk, "value", n=3, by=["tag"]).collect()
+    assert [r["moving_average"] for r in out] == \
+        pytest.approx([2.0, 11 / 3, 14 / 3, 22 / 3])
+    # emitted only once n points exist
+    assert len(out) == 4
+
+
+def test_integral_trapezoid(walk):
+    out = T.integral(walk, "value", unit_ns=1_000_000_000, by=["tag"]).collect()
+    # trapezoids: 2+2.5+4+6+8 = 22.5
+    assert out[0]["integral"] == pytest.approx(22.5)
+
+
+def test_histogram(spark):
+    rows = [(i, float(v)) for i, v in enumerate([-5, 0, 5, 15, 95, 205])]
+    df = spark.createDataFrame(rows, "time long, v double")
+    out = T.histogram(df, "v", lo=0.0, hi=100.0, nbuckets=10)
+    got = {r["bucket"]: r["bucket_count"] for r in out.collect()}
+    assert got[0] == 1       # below range
+    assert got[1] == 2       # values 0 and 5
+    assert got[2] == 1       # value 15
+    assert got[10] == 1      # value 95
+    assert got[11] == 1      # above range
+
+
+def test_binary_op_compat():
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    df = spark.range(1).select(F.lit(10.0).alias("a"), F.lit(0.0).alias("b"))
+    std = df.select(binary_op("/", F.col("a"), F.col("b"), compat=False)).first()[0]
+    cmp = df.select(binary_op("/", F.col("a"), F.col("b"), compat=True)).first()[0]
+    assert std is None or std != std or std == float("inf")  # SQL semantics
+    assert cmp == 0.0  # query_merge.go:319-323
+    mod = df.select(binary_op("%", F.lit(7.9), F.lit(3.0), compat=True)).first()[0]
+    assert mod == 1  # int-cast modulo (query_merge.go:325-329)

@@ -1,0 +1,171 @@
+"""InfluxQL frontend tests: parser units + planner goldens.
+
+The golden expectations replicate the reference's own test queries
+(service/query_handler_test.go:11-49, coordinator_test.go:86-132 — via
+FIXTURES.md §1), so parity with the reference is asserted directly.
+"""
+
+import pytest
+
+from influxdb_ha_spark.influxql import parse_query, parse_select
+from influxdb_ha_spark.influxql.ast import SelectStatement, ShowStatement
+from influxdb_ha_spark.planner import PartitionKeyError, QueryError, influxql_df
+from influxdb_ha_spark.timeutil import DAY, HOUR, MINUTE, parse_duration_ns
+
+from .conftest import NOW
+
+
+# -- parser ----------------------------------------------------------------
+
+def test_parse_basic_select():
+    s = parse_select(
+        "SELECT mean(value) FROM treasures WHERE time <= now() AND "
+        "(type='gold' OR type='trash') GROUP BY time(1d) LIMIT 1")
+    assert isinstance(s, SelectStatement)
+    assert s.group_by_time_ns == DAY
+    assert s.limit == 1
+    assert s.fields[0].expr.name == "mean"
+
+
+def test_parse_durations():
+    assert parse_duration_ns("90m") == 90 * MINUTE
+    assert parse_duration_ns("1h30m") == HOUR + 30 * MINUTE
+    assert parse_duration_ns("1w") == 7 * DAY
+
+
+def test_parse_fill_variants():
+    for arg, want in [("none", "none"), ("previous", "previous"),
+                      ("linear", "linear"), ("0", 0), ("3.5", 3.5), ("null", None)]:
+        s = parse_select(f"SELECT sum(v) FROM m GROUP BY time(1h) fill({arg})")
+        assert s.fill == want, arg
+
+
+def test_parse_slimit_order_into():
+    s = parse_select("SELECT mean(v) INTO dst FROM src GROUP BY time(1h), host "
+                     "ORDER BY time DESC LIMIT 5 OFFSET 2 SLIMIT 3 SOFFSET 1")
+    assert s.into.name == "dst"
+    assert s.order_desc and s.limit == 5 and s.offset == 2
+    assert s.slimit == 3 and s.soffset == 1
+    assert s.group_by_tags == ["host"]
+
+
+def test_parse_show():
+    s = parse_query("SHOW MEASUREMENTS ON mydb")
+    assert isinstance(s, ShowStatement) and s.what == "MEASUREMENTS"
+    s = parse_query("SHOW TAG KEYS FROM cpu")
+    assert s.what == "TAG KEYS" and s.measurement == "cpu"
+    s = parse_query("SHOW TAG VALUES FROM cpu WITH KEY = host")
+    assert s.with_key == "host"
+
+
+def test_parse_errors():
+    with pytest.raises(SyntaxError):
+        parse_select("SELECT mean(value FROM t")
+    with pytest.raises(SyntaxError):
+        parse_select("SELECT mean(v) FROM t ORDER BY value")
+
+
+# -- planner goldens (reference query_handler_test.go) ---------------------
+
+def _run(cat, q, **kw):
+    return influxql_df(cat, q, database="sharded", now_ns=NOW, **kw)
+
+
+def test_mean_two_partitions(treasures):
+    # query_handler_test.go:11-16 — values 100 (gold) & 0 (trash) in the
+    # first bucket → mean 50 merged across the two partitioned tags
+    rows = _run(treasures,
+                "SELECT mean(value) FROM treasures WHERE time <= now() AND "
+                "time > now() - 2d AND (type='gold' OR type='trash') "
+                "GROUP BY time(5d) LIMIT 1").collect()
+    assert len(rows) == 1
+    assert rows[0]["mean"] == 50.0
+
+
+def test_mean_single_partition(treasures):
+    rows = _run(treasures,
+                "SELECT mean(value) FROM treasures WHERE type='trash'").collect()
+    assert rows[0]["mean"] == 0.0
+
+
+def test_raw_merge_sorted(treasures):
+    # query_handler_test.go:30-36 — columns [time, value], time-ascending
+    df = _run(treasures, "SELECT value FROM treasures WHERE time <= now()")
+    assert df.columns == ["time", "value"]
+    vals = [r["time"] for r in df.collect()]
+    assert vals == sorted(vals)
+
+
+def test_raw_with_time_group_is_error(treasures):
+    # query_handler_test.go:45-49 — 400
+    with pytest.raises(QueryError):
+        _run(treasures,
+             "SELECT value FROM treasures WHERE time > now() - 5m GROUP BY time(1m)")
+
+
+def test_expression_over_aggregate(treasures):
+    # coordinator_test.go:114-120 — abs(round(mean * -3.55))
+    rows = _run(treasures,
+                "SELECT abs(round(mean(value) * -3.55)) FROM treasures "
+                "WHERE type='gold'").collect()
+    # mean(gold)=80 → 80*-3.55=-284 → abs(round)=284
+    assert rows[0][0] == 284.0
+
+
+def test_max_spread_by_tag(treasures):
+    rows = {r["type"]: r for r in _run(
+        treasures, "SELECT max(value), spread(value) FROM treasures "
+                   "GROUP BY type").collect()}
+    assert rows["gold"]["max"] == 100.0
+    assert rows["gold"]["spread"] == 40.0
+    assert rows["silver"]["spread"] == 48.0
+
+
+def test_top_bottom(treasures):
+    rows = _run(treasures, "SELECT top(value, 2) FROM treasures").collect()
+    # top-2 values, emitted in time order (100@t0, 60@t0+2h)
+    assert [r["top"] for r in rows] == [100.0, 60.0]
+    rows = _run(treasures, "SELECT bottom(value, 1) FROM treasures").collect()
+    assert [r["bottom"] for r in rows] == [0.0]
+
+
+def test_distinct(treasures):
+    rows = _run(treasures, "SELECT distinct(value) FROM treasures").collect()
+    assert sorted(r[0] for r in rows) == [0.0, 2.0, 50.0, 60.0, 100.0]
+
+
+def test_strict_partition_key(treasures):
+    with pytest.raises(PartitionKeyError):
+        _run(treasures, "SELECT mean(value) FROM treasures",
+             strict_partition_key=True)
+    # covering the key is fine
+    _run(treasures, "SELECT mean(value) FROM treasures WHERE type='gold'",
+         strict_partition_key=True).collect()
+
+
+def test_order_desc_and_offset(treasures):
+    rows = _run(treasures,
+                "SELECT value FROM treasures ORDER BY time DESC LIMIT 2 OFFSET 1"
+                ).collect()
+    assert len(rows) == 2
+    times = [r["time"] for r in rows]
+    assert times == sorted(times, reverse=True)
+
+
+def test_compat_div_by_zero(treasures):
+    # query_merge.go:319-323 — div0 → 0 under compat, null otherwise
+    rows = _run(treasures,
+                "SELECT sum(value) / (count(value) - count(value)) FROM treasures "
+                "WHERE type='gold'", compat=True).collect()
+    assert rows[0][0] == 0.0
+
+
+def test_fill_previous_and_linear(treasures):
+    q = ("SELECT sum(value) FROM treasures WHERE type='gold' AND "
+         f"time >= {NOW - DAY} AND time < {NOW - DAY + 6 * HOUR} "
+         "GROUP BY time(1h) fill(previous)")
+    rows = _run(treasures, q).collect()
+    # NOW is not hour-aligned, so the spine starts at the bucket containing
+    # the range start → 7 buckets cover [start, start+6h)
+    assert len(rows) == 7
+    assert [r["sum"] for r in rows] == [100.0, 100.0, 60.0, 60.0, 60.0, 60.0, 60.0]

@@ -1,0 +1,58 @@
+"""Catalog / data-model / meta-surface tests (SURVEY §2.11 SHOW statements)."""
+
+import os
+
+import pytest
+
+from influxdb_ha_spark.model import Catalog, PartitionKey, events_measurement
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def cat(spark):
+    c, _ = events_measurement(spark, SF)
+    return c
+
+
+def test_show_measurements(cat):
+    names = [r["name"] for r in cat.show_measurements("default").collect()]
+    assert names == ["events"]
+
+
+def test_show_tag_and_field_keys(cat):
+    tags = [(r["measurement"], r["tagKey"])
+            for r in cat.show_tag_keys("default").collect()]
+    assert tags == [("events", "event_type")]
+    fields = {r["fieldKey"]: r["fieldType"]
+              for r in cat.show_field_keys("default", "events").collect()}
+    assert fields["value"] == "double"
+
+
+def test_show_tag_values(cat):
+    vals = [r["value"] for r in
+            cat.show_tag_values("default", "events", "event_type").collect()]
+    assert "click" in vals and vals == sorted(vals)
+
+
+def test_show_series_keys(cat):
+    keys = [r["key"] for r in cat.show_series("default", "events").collect()]
+    assert all(k.startswith("events,event_type=") for k in keys)
+    assert len(keys) == 5
+
+
+def test_partition_key_precedence(spark):
+    c = Catalog(spark)
+    c.partition_keys.append(PartitionKey("db", "", ["region"]))
+    c.partition_keys.append(PartitionKey("db", "cpu", ["host"]))
+    # measurement-level wins (partitioner.go:131-137)
+    assert c.partition_key_for("db", "cpu").tags == ["host"]
+    assert c.partition_key_for("db", "mem").tags == ["region"]
+
+
+def test_ns_time_column(cat):
+    m = cat.get("default", "events")
+    dt = dict(m.df.dtypes)
+    assert dt["time"] == "bigint"
+    t = m.df.selectExpr("min(time) AS t").first()["t"]
+    assert t > 1_700_000_000_000_000_000  # ns magnitude, not µs/ms

@@ -1,0 +1,105 @@
+"""LLM-pipeline operator tests: dedup, similarity, text, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxdb_ha_spark.operators import (
+    attach_binary_payload, binary_metadata, brute_force_topk, decode_image_stub,
+    exact_dedup, fingerprint_dedup, ivf_topk, minhash_candidates,
+    minhash_near_duplicates, minhash_signatures, simhash)
+from influxdb_ha_spark.operators.text import (
+    fingerprint, language_id, quality_score, text_stats, token_count)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "today while the sun shines bright over the green valley and the "
+            "river flows gently past the old stone bridge near the village")
+    rows = [
+        (1, base),
+        (2, base),                              # exact dup of 1
+        (3, base + " suffix"),                  # near-dup of 1 (high jaccard)
+        (4, "completely different content about spark query planning engines"),
+        (5, "Dog lazy the over jumps fox brown quick the!"),  # reordered words
+        (6, "a b"),                             # too short to shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs)
+    assert out.count() == 5  # 1&2 collapse
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 1 in kept and 2 not in kept
+
+
+def test_fingerprint_dedup(docs):
+    out = fingerprint_dedup(docs).collect()
+    by_id = {r["doc_id"]: r["n_docs"] for r in out}
+    assert by_id[1] == 2  # doc 2 joins doc 1's fingerprint group
+
+
+def test_minhash_near_dups(docs):
+    sigs = minhash_signatures(docs)
+    assert sigs.where(F.col("doc_id") == 6).count() == 0  # too short
+    assert sigs.first()["signature"].__len__() == 16
+    nd = minhash_near_duplicates(docs, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in nd.collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_similar_docs_close(docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert out[1] == out[2]
+    ham_13 = bin(out[1] ^ out[3]).count("1")
+    ham_14 = bin(out[1] ^ out[4]).count("1")
+    assert ham_13 < ham_14  # near-dup closer than unrelated
+
+
+def test_brute_force_and_ivf(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)] +
+        [(10, [1.0, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") == 10)
+    top = brute_force_topk(emb, q, k=2).collect()
+    assert top[0]["neighbor_id"] == 0  # axis-0 vector is nearest
+    cent = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    ivf = ivf_topk(emb, q, cent, k=2, nprobe=1).collect()
+    assert ivf[0]["neighbor_id"] == 0
+
+
+def test_text_operators(docs):
+    tc = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    assert tc[6] == 2
+    st = text_stats(docs).where(F.col("doc_id") == 5).first()
+    assert st["punct_ratio"] > 0
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert q[1] > q[6]  # real sentence beats "a b"
+    lang = language_id(docs).where(F.col("doc_id") == 1).first()["lang_pred"]
+    assert lang == "en"
+    fp = fingerprint(docs).collect()
+    by_id = {r["doc_id"]: r["fingerprint"] for r in fp}
+    assert by_id[1] == by_id[2]
+
+
+def test_multimodal_plumbing(docs):
+    mm = attach_binary_payload(docs, "text")
+    assert dict(mm.dtypes)["payload"] == "binary"
+    meta = binary_metadata(mm).first()
+    assert meta["n_bytes"] > 0 and meta["sniffed_format"] == "unknown"
+    dec = decode_image_stub(mm)
+    rows = dec.collect()
+    assert len(rows) == 6 and all(r["decode_ok"] for r in rows)
+    with pytest.raises(Exception):  # real codec path is explicitly stubbed
+        decode_image_stub(mm, real_codec=True).collect()
+
+
+def test_minhash_candidates_truncation_flag(docs):
+    sigs = minhash_signatures(docs)
+    cands = minhash_candidates(sigs, max_bucket=2)
+    assert "truncated" in cands.columns
