@@ -1,0 +1,100 @@
+"""Write path: the Spark analog of the reference's /write pipeline.
+
+Reference flow (service/write_handler.go:36-137, SURVEY §3.2): parse line
+protocol → validate partition-key tags (reject if missing —
+cluster/partitioner.go:110-121) → group points by FNV hash of partition-tag
+values → relay each group to its replica nodes → hinted-handoff on failure.
+
+Spark flow: parse (lineprotocol.py) → validate (dead-letter rows with null
+partition tags) → `repartition(partition cols)` → transactional append to
+the measurement table, partitioned by the key tags. Replication, retry, and
+handoff collapse into storage-layer guarantees + task retry; idempotent
+re-ingest is `dropDuplicates` on (time, tags, fields) — the hashPoint dedup
+of coordinator.go:97-118.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .model import Catalog, Measurement, PartitionKey, TIME_COL
+
+
+@dataclass
+class IngestResult:
+    accepted: DataFrame     # wide rows that passed validation
+    rejected: DataFrame     # dead-letter rows + reason
+    n_accepted: int
+    n_rejected: int
+
+
+def validate_partition_key(wide: DataFrame, pk: PartitionKey | None
+                           ) -> tuple[DataFrame, DataFrame]:
+    """Split rows into (valid, dead-letter) on partition-key completeness.
+
+    Mirrors `Partitioner.FulfillsKey` (partitioner.go:110-121) — a write
+    missing any key tag is rejected, surfaced like write_handler.go:104-112.
+    """
+    if pk is None or not pk.tags:
+        return wide, wide.limit(0).withColumn("reject_reason", F.lit(""))
+    cond = None
+    for t in pk.tags:
+        c = F.col(t).isNull() if t in wide.columns else F.lit(True)
+        cond = c if cond is None else (cond | c)
+    rejected = wide.where(cond).withColumn(
+        "reject_reason",
+        F.lit(f"missing partition key tags {pk.tags}"))
+    return wide.where(~cond), rejected
+
+
+def write_measurement(wide: DataFrame, path: str, pk: PartitionKey | None,
+                      mode: str = "append") -> None:
+    """Append rows to a measurement table partitioned by its key tags.
+
+    `partitionBy(tags)` gives directory-level pruning (the batch analog of
+    the reference's hash routing); the pre-write `repartition` on the same
+    columns co-locates each partition's rows into one task → one file per
+    partition per batch instead of tasks×partitions small files — the
+    classic 100 TB ingest mistake avoided.
+    """
+    tags = [t for t in (pk.tags if pk else []) if t in wide.columns]
+    writer = wide
+    if tags:
+        writer = wide.repartition(*[F.col(t) for t in tags])
+    w = writer.write.mode(mode)
+    if tags:
+        w = w.partitionBy(*tags)
+    w.parquet(path)
+
+
+def ingest_lines(catalog: Catalog, lines: DataFrame, database: str,
+                 measurement: str, tag_keys: list[str], table_path: str,
+                 default_time_ns: int | None = None) -> IngestResult:
+    """Full batch /write: parse → pivot → validate → partitioned append →
+    register/refresh the measurement in the catalog."""
+    from .lineprotocol import parse_lines_df, pivot_points
+
+    long_df = parse_lines_df(lines, default_time_ns=default_time_ns)
+    wide = pivot_points(long_df, measurement, tag_keys)
+    pk = catalog.partition_key_for(database, measurement)
+    valid, rejected = validate_partition_key(wide, pk)
+    write_measurement(valid, table_path, pk)
+
+    spark = lines.sparkSession
+    stored = spark.read.parquet(table_path)
+    fields = [c for c in stored.columns if c != TIME_COL and c not in tag_keys]
+    catalog.register(Measurement(name=measurement, database=database,
+                                 tags=list(tag_keys), fields=fields,
+                                 df=stored))
+    return IngestResult(accepted=valid, rejected=rejected,
+                        n_accepted=valid.count(), n_rejected=rejected.count())
+
+
+def dedup_replicated(wide: DataFrame) -> DataFrame:
+    """Idempotent replicated-ingest dedup (coordinator.go:97-118 hashPoint):
+    identical points arriving from multiple replicas collapse to one."""
+    return wide.dropDuplicates()

@@ -1,0 +1,162 @@
+"""Engine façade: the statement-routing surface of the reference's /query
+endpoint (service/routing.go:96-152, SURVEY §2.11), minus HTTP.
+
+`Engine.query(q)` dispatches exactly like `RoutingStrategyFactory.Build`:
+
+- clusterql admin statements (regex-detected first — admin.go:16-22)
+- SELECT → Planner (the RouteWithCoordination path)
+- SHOW meta statements → Catalog (the RouteToFirstAvailable path)
+- DDL (CREATE/DROP DATABASE, DROP MEASUREMENT, DELETE/DROP SERIES) →
+  catalog mutations (the RouteToAll broadcast path)
+- unsupported statements → QueryError, mirroring the 400 "Statement is not
+  supported on cluster" (routing.go:113-119)
+
+An HTTP layer (stdlib http.server) can wrap this 1:1; the engine surface is
+what parity requires and what tests drive.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from .admin import AdminHandler
+from .influxql.ast import SelectStatement, ShowStatement
+from .influxql.clusterql import is_admin_statement
+from .influxql.parser import parse_query
+from .model import Catalog
+from .planner import Planner, QueryError
+from .result import empty_result, to_influx_series
+from .streaming.cq import ContinuousQuery, CQRunner
+
+_REJECTED = re.compile(
+    r"^\s*(DROP\s+SHARD|KILL\s+QUERY|SHOW\s+(SHARD|STATS|DIAGNOSTICS))",
+    re.IGNORECASE)
+
+_DDL = re.compile(
+    r"^\s*(CREATE|DROP)\s+DATABASE\s+(\S+)|^\s*DROP\s+MEASUREMENT\s+(\S+)"
+    r"|^\s*(DELETE|DROP)\s+SERIES\s+FROM\s+(\S+)(?:\s+WHERE\s+(.*))?",
+    re.IGNORECASE)
+
+_CQ = re.compile(
+    r"^\s*CREATE\s+CONTINUOUS\s+QUERY\s+(\S+)\s+ON\s+(\S+)\s+BEGIN\s+(.*?)\s+END\s*$",
+    re.IGNORECASE | re.DOTALL)
+_DROP_CQ = re.compile(
+    r"^\s*DROP\s+CONTINUOUS\s+QUERY\s+(\S+)\s+ON\s+(\S+)", re.IGNORECASE)
+
+
+class Engine:
+    def __init__(self, catalog: Catalog, database: str = "default",
+                 now_ns: int | None = None, **planner_kw):
+        self.catalog = catalog
+        self.database = database
+        self.now_ns = now_ns
+        self.planner_kw = planner_kw
+        self.admin = AdminHandler(catalog)
+        self.cq = CQRunner(catalog, now_ns=now_ns)
+
+    # -- the /query surface --------------------------------------------------
+    def query_df(self, q: str, database: str | None = None) -> DataFrame:
+        db = database or self.database
+        if _REJECTED.match(q):
+            # routing.go:113-119 → 400
+            raise QueryError("Statement is not supported on cluster")
+        if is_admin_statement(q):
+            return self.admin.handle(q)
+        m = _CQ.match(q)
+        if m:
+            self.cq.create(ContinuousQuery(name=m.group(1), database=db,
+                                           query=m.group(3)))
+            return self.catalog.spark.createDataFrame([], "ok string")
+        m = _DROP_CQ.match(q)
+        if m:
+            self.cq.drop(m.group(1))
+            return self.catalog.spark.createDataFrame([], "ok string")
+        if re.match(r"^\s*SHOW\s+CONTINUOUS\s+QUERIES", q, re.IGNORECASE):
+            return self.cq.show()
+        m = _DDL.match(q)
+        if m:
+            return self._ddl(m, db)
+
+        stmt = parse_query(q)
+        if isinstance(stmt, SelectStatement):
+            planner = Planner(self.catalog, db, now_ns=self.now_ns,
+                              **self.planner_kw)
+            return planner.plan(stmt)
+        if isinstance(stmt, ShowStatement):
+            return self._show(stmt, db)
+        raise QueryError(f"unsupported statement: {q[:60]}")
+
+    def query(self, q: str, database: str | None = None,
+              epoch: str | None = None) -> dict:
+        """Full /query semantics: DataFrame + InfluxDB JSON shaping."""
+        df = self.query_df(q, database)
+        rows = df.columns
+        if not rows:
+            return empty_result()
+        measurement = self._measurement_of(q) or ""
+        tag_cols = []
+        try:
+            m = self.catalog.get(database or self.database, measurement)
+            tag_cols = [t for t in m.tags if t in df.columns]
+        except KeyError:
+            pass
+        return to_influx_series(df, measurement, tag_cols, epoch)
+
+    # -- SHOW routing (routing.go:121-135) ------------------------------------
+    def _show(self, stmt: ShowStatement, db: str) -> DataFrame:
+        what = stmt.what.upper()
+        database = stmt.database or db
+        if what == "DATABASES":
+            return self.catalog.show_databases()
+        if what == "MEASUREMENTS":
+            return self.catalog.show_measurements(database)
+        if what == "SERIES":
+            return self.catalog.show_series(database, stmt.measurement)
+        if what == "TAG KEYS":
+            return self.catalog.show_tag_keys(database, stmt.measurement)
+        if what == "FIELD KEYS":
+            return self.catalog.show_field_keys(database, stmt.measurement)
+        if what == "TAG VALUES":
+            if not stmt.with_key or not stmt.measurement:
+                raise QueryError("SHOW TAG VALUES requires FROM and WITH KEY")
+            return self.catalog.show_tag_values(database, stmt.measurement,
+                                                stmt.with_key)
+        if what == "RETENTION POLICIES":
+            rows = self.catalog.retention_policies.get(database, [])
+            return self.catalog.spark.createDataFrame(
+                [(r.get("name"), r.get("duration"), r.get("default", False))
+                 for r in rows] or [],
+                "name string, duration string, `default` boolean")
+        raise QueryError(f"unsupported SHOW statement: {what}")
+
+    # -- DDL broadcast path (routing.go:98-111) --------------------------------
+    def _ddl(self, m: re.Match, db: str) -> DataFrame:
+        spark = self.catalog.spark
+        if m.group(1):  # CREATE/DROP DATABASE
+            name = m.group(2)
+            if m.group(1).upper() == "CREATE":
+                self.catalog.databases.setdefault(name, {})
+            else:
+                self.catalog.databases.pop(name, None)
+        elif m.group(3):  # DROP MEASUREMENT
+            self.catalog.databases.get(db, {}).pop(m.group(3), None)
+        elif m.group(5):  # DELETE/DROP SERIES FROM msmt [WHERE tag='v' ...]
+            name, cond = m.group(5), m.group(6)
+            meas = self.catalog.get(db, name)
+            if cond:
+                from .influxql.parser import Parser
+                expr = Parser(cond).parse_expr()
+                planner = Planner(self.catalog, db, now_ns=self.now_ns)
+                from .planner import PlanContext
+                ctx = PlanContext(meas, planner.now_ns)
+                meas.df = meas.df.where(~planner._where_expr(expr, ctx))
+            else:
+                meas.df = meas.df.limit(0)
+        return spark.createDataFrame([], "ok string")
+
+    @staticmethod
+    def _measurement_of(q: str) -> str | None:
+        m = re.search(r"\bFROM\s+([\w\".]+)", q, re.IGNORECASE)
+        return m.group(1).split(".")[-1].strip('"') if m else None

@@ -1,0 +1,196 @@
+"""clusterql, admin handler, engine routing, CQ, and result-shaping tests."""
+
+import pytest
+
+from influxdb_ha_spark.admin import AdminHandler, ConflictError
+from influxdb_ha_spark.influxql.clusterql import (ClusterQLError,
+                                                  CreatePartitionKey,
+                                                  is_admin_statement,
+                                                  parse_clusterql)
+from influxdb_ha_spark.model import Catalog
+from influxdb_ha_spark.planner import QueryError
+from influxdb_ha_spark.result import to_influx_series
+from influxdb_ha_spark.server import Engine
+from influxdb_ha_spark.streaming.cq import ContinuousQuery, CQRunner
+
+from .conftest import NOW
+
+
+# -- clusterql parser (parser_test.go / admin_test.go goldens) ---------------
+
+def test_admin_detection():
+    assert is_admin_statement("SHOW PARTITION KEYS")
+    assert is_admin_statement("create partition key type ON sharded")
+    assert not is_admin_statement("SELECT * FROM treasures")
+    assert not is_admin_statement("SHOW MEASUREMENTS")
+
+
+def test_parse_create_partition_key():
+    s = parse_clusterql("CREATE PARTITION KEY type.host ON db.cpu")
+    assert isinstance(s, CreatePartitionKey)
+    assert s.tags == ["type", "host"] and s.database == "db" and s.measurement == "cpu"
+
+
+def test_parse_error_golden():
+    # admin_test.go:88-90 error format
+    with pytest.raises(ClusterQLError, match="unexpected end of statement, expecting KEY"):
+        parse_clusterql("CREATE PARTITION")
+
+
+def test_admin_handler_partition_keys(spark):
+    cat = Catalog(spark)
+    h = AdminHandler(cat)
+    h.handle("CREATE PARTITION KEY server_id ON test_db.cpu")
+    rows = h.handle("SHOW PARTITION KEYS").collect()
+    assert [tuple(r) for r in rows] == [("test_db", "cpu", "server_id")]
+    with pytest.raises(ConflictError):   # duplicate → 409 (admin_test.go:53-54)
+        h.handle("CREATE PARTITION KEY other ON test_db.cpu")
+    h.handle("DROP PARTITION KEY ON test_db.cpu")
+    assert h.handle("SHOW PARTITION KEYS").count() == 0
+
+
+def test_show_nodes(spark):
+    h = AdminHandler(Catalog(spark))
+    df = h.show_nodes()
+    assert df.columns == ["name", "data location"]  # admin.go:143
+    assert df.count() >= 1
+
+
+def test_replication_factor(spark):
+    cat = Catalog(spark)
+    h = AdminHandler(cat)
+    assert cat.replication_factors[""] == 2  # resolver.go:36 default
+    h.handle("SET REPLICATION FACTOR 3 ON mydb")
+    assert cat.replication_factors["mydb."] == 3
+
+
+def test_users_auth(spark):
+    h = AdminHandler(Catalog(spark))
+    with pytest.raises(PermissionError):   # first user must be admin
+        h.create_user("bob", "pw")
+    h.create_user("root", "secret", admin=True)
+    h.create_user("bob", "pw")
+    assert h.authenticate("root", "secret")
+    assert not h.authenticate("root", "wrong")
+    assert h.authorize("root", "anydb", "WRITE")      # admin → all
+    assert not h.authorize("bob", "db1", "READ")
+    h.grant("bob", "db1", "READ")
+    assert h.authorize("bob", "db1", "READ")
+    assert not h.authorize("bob", "db1", "WRITE")
+    h.set_password("bob", "pw2")
+    assert h.authenticate("bob", "pw2")
+    users = h.show_users().collect()
+    assert [(r[0], r[1]) for r in users] == [("bob", False), ("root", True)]
+
+
+# -- Engine routing (routing.go:96-152) ---------------------------------------
+
+@pytest.fixture()
+def engine(treasures):
+    return Engine(treasures, database="sharded", now_ns=NOW)
+
+
+def test_engine_select(engine):
+    rows = engine.query_df(
+        "SELECT mean(value) FROM treasures WHERE type='gold'").collect()
+    assert rows[0]["mean"] == 80.0
+
+
+def test_engine_show(engine):
+    names = [r["name"] for r in engine.query_df("SHOW MEASUREMENTS").collect()]
+    assert names == ["treasures"]
+    keys = engine.query_df("SHOW TAG KEYS").collect()
+    assert [(r[0], r[1]) for r in keys] == [("treasures", "type")]
+    vals = [r["value"] for r in engine.query_df(
+        "SHOW TAG VALUES FROM treasures WITH KEY = type").collect()]
+    assert vals == ["gold", "silver", "trash"]
+
+
+def test_engine_admin_route(engine):
+    engine.query_df("CREATE PARTITION KEY host ON otherdb.cpu")
+    assert engine.query_df("SHOW PARTITION KEYS ON otherdb").count() == 1
+
+
+def test_engine_rejected_statements(engine):
+    for q in ("DROP SHARD 1", "KILL QUERY 2", "SHOW SHARDS", "SHOW STATS"):
+        with pytest.raises(QueryError, match="not supported on cluster"):
+            engine.query_df(q)  # routing.go:113-119
+
+
+def test_engine_drop_series(spark, treasures):
+    # isolated catalog — DROP SERIES mutates the measurement
+    iso = Catalog(spark)
+    iso.register_dataframe("sharded", "treasures",
+                           treasures.get("sharded", "treasures").df,
+                           time_col="time", tags=["type"])
+    eng = Engine(iso, database="sharded", now_ns=NOW)
+    before = eng.query_df("SELECT value FROM treasures").count()
+    eng.query_df("DROP SERIES FROM treasures WHERE type='gold'")
+    after = eng.query_df("SELECT value FROM treasures").count()
+    assert after == before - 2
+
+
+def test_engine_json_result(engine):
+    out = engine.query("SELECT mean(value) FROM treasures WHERE type='gold'")
+    series = out["results"][0]["series"][0]
+    assert series["name"] == "treasures"
+    assert series["columns"][0] == "time" or "mean" in series["columns"]
+    out = engine.query("SELECT value FROM treasures WHERE type='gold'",
+                       epoch="s")
+    vals = out["results"][0]["series"][0]["values"]
+    assert all(isinstance(v[0], int) for v in vals)  # numeric epoch
+
+
+def test_result_shaping_groups_series(spark, treasures):
+    df = Engine(treasures, "sharded", now_ns=NOW).query_df(
+        "SELECT mean(value) FROM treasures GROUP BY type")
+    shaped = to_influx_series(df, "treasures", ["type"])
+    series = shaped["results"][0]["series"]
+    assert len(series) == 3
+    assert {s["tags"]["type"] for s in series} == {"gold", "silver", "trash"}
+
+
+# -- continuous queries --------------------------------------------------------
+
+def test_cq_batch_and_show(spark, treasures):
+    eng = Engine(treasures, database="sharded", now_ns=NOW)
+    eng.query_df("CREATE CONTINUOUS QUERY avg_t ON sharded BEGIN "
+                 "SELECT mean(value) INTO mean_treasure FROM treasures "
+                 "GROUP BY time(1h) END")
+    shows = eng.query_df("SHOW CONTINUOUS QUERIES").collect()
+    assert shows[0]["name"] == "avg_t"
+    out = eng.cq.run_batch("avg_t")
+    assert out.count() > 0
+    # INTO target became a queryable measurement
+    assert eng.query_df("SELECT mean(mean) FROM mean_treasure").count() == 1
+    eng.query_df("DROP CONTINUOUS QUERY avg_t ON sharded")
+    assert eng.query_df("SHOW CONTINUOUS QUERIES").count() == 0
+
+
+def test_cq_stream_plan(spark, treasures, tmp_path):
+    """CQ over a real stream: rate source → windowed mean → memory sink."""
+    runner = CQRunner(treasures, now_ns=NOW)
+    runner.create(ContinuousQuery(
+        name="s", database="sharded",
+        query="SELECT mean(value) INTO m2 FROM treasures GROUP BY time(1s)"))
+    stream = (spark.readStream.format("rate").option("rowsPerSecond", "50")
+              .load()
+              .selectExpr("CAST(unix_micros(timestamp) AS BIGINT) * 1000 AS time",
+                          "CAST(value AS DOUBLE) AS value"))
+    plan = runner.stream_plan("s", stream, watermark="2 seconds")
+    q = (plan.writeStream.format("memory").queryName("cq_out")
+         .outputMode("append").start())
+    try:
+        import time as _t
+        deadline = _t.time() + 60
+        n = 0
+        while _t.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT * FROM cq_out").count()
+            if n > 0:
+                break
+            _t.sleep(1)
+        assert spark.table("cq_out").columns[0] == "time"
+        assert n > 0
+    finally:
+        q.stop()

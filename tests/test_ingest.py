@@ -1,0 +1,112 @@
+"""Line protocol, write path, and streaming ingest tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxdb_ha_spark.ingest import ingest_lines, validate_partition_key, \
+    dedup_replicated
+from influxdb_ha_spark.lineprotocol import (errors_df, parse_line,
+                                            parse_lines_df, pivot_points)
+from influxdb_ha_spark.model import Catalog, PartitionKey
+
+
+def test_parse_line_basic():
+    recs = parse_line("weather,location=us,season=summer "
+                      "temperature=82,humidity=71i,ok=true,note=\"hi\" "
+                      "1465839830100400200")
+    assert len(recs) == 4
+    by_key = {r["field_key"]: r for r in recs}
+    assert by_key["temperature"]["f_float"] == 82.0
+    assert by_key["humidity"]["f_int"] == 71
+    assert by_key["ok"]["f_bool"] is True
+    assert by_key["note"]["f_str"] == "hi"
+    assert recs[0]["tags"] == {"location": "us", "season": "summer"}
+    assert recs[0]["time"] == 1465839830100400200
+
+
+def test_parse_line_escapes():
+    recs = parse_line(r"my\,m,tag\ key=va\=lue value=1 5")
+    assert recs[0]["measurement"] == "my,m"
+    assert recs[0]["tags"] == {"tag key": "va=lue"}
+
+
+def test_parse_line_errors():
+    assert parse_line("")[0:] == []
+    bad = parse_line("no_fields_here")
+    assert bad[0]["error"] is not None
+    bad = parse_line("m,t= value=1")
+    assert bad[0]["error"] is not None
+
+
+def test_parse_lines_df_and_pivot(spark):
+    lines = spark.createDataFrame(
+        [("asdf,type=gold value=29 1439856000000000000",),
+         ("asdf,type=gold value=29 1439859000000000000",),   # write_test.go:20-29
+         ("asdf,type=silver value=3,count=2i 1439859000000000001",),
+         ("garbage line without fields",)],
+        "value string")
+    long_df = parse_lines_df(lines)
+    assert errors_df(long_df).count() == 1
+    wide = pivot_points(long_df, "asdf", ["type"])
+    rows = {(r["time"], r["type"]): r for r in wide.collect()}
+    assert rows[(1439856000000000000, "gold")]["value"] == 29.0
+    assert rows[(1439859000000000001, "silver")]["count"] == 2
+    assert len(rows) == 3
+
+
+def test_partition_key_validation(spark):
+    wide = spark.createDataFrame(
+        [(1, "gold", 1.0), (2, None, 2.0)],
+        "time long, type string, value double")
+    valid, rejected = validate_partition_key(
+        wide, PartitionKey("db", "m", ["type"]))
+    assert valid.count() == 1
+    rej = rejected.collect()
+    assert len(rej) == 1 and "type" in rej[0]["reject_reason"]
+
+
+def test_ingest_end_to_end(spark, tmp_path):
+    cat = Catalog(spark)
+    cat.partition_keys.append(PartitionKey("sharded", "asdf", ["type"]))
+    lines = spark.createDataFrame(
+        [("asdf,type=gold value=29 1439856000000000000",),
+         ("asdf,type=gold value=29 1439859000000000000",),
+         ("asdf value=5 1439859000000000002",)],  # missing key tag → reject
+        "value string")
+    res = ingest_lines(cat, lines, "sharded", "asdf", ["type"],
+                       str(tmp_path / "asdf"))
+    assert res.n_accepted == 2
+    assert res.n_rejected == 1
+    m = cat.get("sharded", "asdf")
+    assert m.df.count() == 2
+    # partitioned layout → partition pruning on the key tag
+    assert (tmp_path / "asdf" / "type=gold").exists()
+
+
+def test_dedup_replicated(spark):
+    df = spark.createDataFrame([(1, "a", 1.0)] * 2 + [(2, "b", 2.0)],
+                               "time long, tag string, v double")
+    assert dedup_replicated(df).count() == 2
+
+
+def test_stream_ingest(spark, tmp_path):
+    """availableNow streaming drain — the mirror/bookmark shape."""
+    from influxdb_ha_spark.streaming import stream_ingest_lines
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "batch1.txt").write_text(
+        "m,host=a v=1 1000000000\n"
+        "m,host=b v=2 2000000000\n"
+        "m v=3 3000000000\n")          # missing tag → dead letter
+    cat = Catalog(spark)
+    cat.partition_keys.append(PartitionKey("db", "m", ["host"]))
+    stream = spark.readStream.format("text").load(str(src))
+    q = stream_ingest_lines(
+        cat, stream, "db", "m", ["host"], str(tmp_path / "table"),
+        str(tmp_path / "ckpt"), dead_letter_path=str(tmp_path / "dlq"),
+        trigger_once=True)
+    q.awaitTermination(120)
+    stored = spark.read.parquet(str(tmp_path / "table"))
+    assert stored.count() == 2
+    dlq = spark.read.json(str(tmp_path / "dlq"))
+    assert dlq.count() == 1
