@@ -545,6 +545,58 @@ def q_mm_frames(spark, sf):
                      "frame_md5")
 
 
+
+
+def q_iq_first_last(spark, sf):
+    """first()/last() through the InfluxQL planner — min_by/max_by on time;
+    the reference cannot merge these (query_merge.go:174-182)."""
+    return _iq(spark, sf,
+               "SELECT first(value) AS first_value, last(value) AS last_value "
+               "FROM events GROUP BY event_type")
+
+
+def q_iq_order_desc(spark, sf):
+    return _iq(spark, sf,
+               "SELECT value, event_id FROM events WHERE event_type='click' "
+               f"AND time >= {JAN1} AND time < {JAN1 + 3 * DAY} "
+               "ORDER BY time DESC LIMIT 50")
+
+
+def q_iq_sample(spark, sf):
+    """sample(f, n) — defined but unwired in the reference (calls.go:136-151);
+    seeded rand is deterministic within Spark but not mirrorable -> rows-only."""
+    return _iq(spark, sf, "SELECT sample(value, 10) AS sample FROM events")
+
+
+def q_tr_non_negative(spark, sf):
+    ev = _events_us(spark, sf).select("time", "event_type", "value")
+    d = T.non_negative_difference(ev, "value", by=["event_type"],
+                                  out="nn_difference")
+    return d.select("time", "event_type",
+                    _fr(F.col("nn_difference"), 4).alias("nn_difference"))
+
+
+def q_rollup_revenue(spark, sf):
+    """Grouping sets / rollup — free Catalyst capability beyond the
+    reference (SURVEY §2.4 'grouping sets absent in reference')."""
+    li = _t(spark, sf, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(_dsum("l_extendedprice").alias("revenue"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+                    "revenue", "n"))
+
+
+def q_union_measurements(spark, sf):
+    """union-all of per-partition result streams (coordinator.go:261-302) —
+    here: same-schema union + global distinct."""
+    ev = _events_us(spark, sf).select("event_type").distinct()
+    ev2 = _events_us(spark, sf).where(F.col("value") > 100) \
+        .select("event_type").distinct()
+    return ev.unionByName(ev2).distinct()
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -573,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_segment": q_join_revenue_by_segment,
         "join_brand_revenue": q_join_brand_revenue,
         "join_nation_customers": q_join_nation_customers,
+        "rollup_revenue": q_rollup_revenue,
+        "union_measurements": q_union_measurements,
         # InfluxQL frontend (§3.1)
         "iq_mean_1h": q_iq_mean_1h,
         "iq_mean_1d_tag": q_iq_mean_1d_tag,
@@ -585,6 +639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iq_spread_tag": q_iq_spread_tag,
         "iq_distinct": q_iq_distinct,
         "iq_slimit": q_iq_slimit,
+        "iq_first_last": q_iq_first_last,
+        "iq_order_desc": q_iq_order_desc,
+        "iq_sample": q_iq_sample,
         # transforms (§2.4 unsupported-list / §2.5)
         "tr_difference": q_tr_difference,
         "tr_derivative": q_tr_derivative,
@@ -593,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_moving_average": q_tr_moving_average,
         "tr_integral": q_tr_integral,
         "tr_histogram": q_tr_histogram,
+        "tr_non_negative": q_tr_non_negative,
         # sort/limit/dedup (§2.6)
         "dedup_points": q_dedup_points,
         "limit_offset": q_limit_offset,

@@ -555,4 +555,34 @@ def build_oracles() -> dict[str, str]:
       SELECT doc_id, frame_index,
              md5(text || frame_index::VARCHAR) AS frame_md5
       FROM g"""
+
+    o["iq_first_last"] = f"""
+      SELECT event_type,
+             min_by(value, {EV_TIME}) AS first_value,
+             max_by(value, {EV_TIME}) AS last_value
+      FROM events GROUP BY 1"""
+    o["iq_order_desc"] = f"""
+      SELECT {EV_TIME} AS time, value, event_id
+      FROM events
+      WHERE event_type = 'click' AND {EV_TIME} >= {JAN1}
+        AND {EV_TIME} < {JAN1 + 3 * DAY}
+      ORDER BY time DESC LIMIT 50"""
+    o["tr_non_negative"] = f"""
+      WITH d AS (
+        SELECT {EV_TIME} AS time, event_type,
+               value - lag(value) OVER (PARTITION BY event_type
+                                        ORDER BY {EV_TIME}) AS nn_difference
+        FROM events)
+      SELECT time, event_type, {fr('nn_difference', 4)} AS nn_difference
+      FROM d WHERE nn_difference IS NOT NULL AND nn_difference >= 0"""
+    o["rollup_revenue"] = f"""
+      SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+             coalesce(l_linestatus, 'ALL') AS l_linestatus,
+             {dsum('l_extendedprice')} AS revenue, count(*) AS n
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+    o["union_measurements"] = """
+      SELECT DISTINCT event_type FROM (
+        SELECT DISTINCT event_type FROM events
+        UNION ALL
+        SELECT DISTINCT event_type FROM events WHERE value > 100)"""
     return o
