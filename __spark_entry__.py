@@ -568,6 +568,39 @@ def q_iq_sample(spark, sf):
     return _iq(spark, sf, "SELECT sample(value, 10) AS sample FROM events")
 
 
+def q_iq_stats(spark, sf):
+    """stddev/median/percentile through the InfluxQL frontend — exact where
+    the reference's merge is approximate (calls.go:46-133)."""
+    df = _iq(spark, sf,
+             "SELECT stddev(value) AS sd, median(value) AS med, "
+             "percentile(value, 90) AS p90 FROM events GROUP BY event_type")
+    return df.select("event_type", _fr(F.col("sd"), 4).alias("sd"),
+                     _fr(F.col("med"), 4).alias("med"),
+                     _fr(F.col("p90"), 4).alias("p90"))
+
+
+def q_iq_rate_1h(spark, sf):
+    """derivative(count()) over GROUP BY time() — transform-over-aggregate,
+    which the reference rejects when merging (query_merge.go:171-184)."""
+    df = _iq(spark, sf,
+             "SELECT derivative(count(value), 1h) AS rate "
+             "FROM events GROUP BY time(1h), event_type fill(none)")
+    return df.select("time", "event_type", _fr(F.col("rate"), 4).alias("rate"))
+
+
+def q_iq_cumsum_1d(spark, sf):
+    return _iq(spark, sf,
+               "SELECT cumulative_sum(count(value)) AS total "
+               "FROM events GROUP BY time(1d), event_type fill(none)")
+
+
+def q_iq_moving_count(spark, sf):
+    df = _iq(spark, sf,
+             "SELECT moving_average(count(value), 4) AS mc "
+             "FROM events GROUP BY time(1d), event_type fill(none)")
+    return df.select("time", "event_type", _fr(F.col("mc"), 4).alias("mc"))
+
+
 def q_tr_non_negative(spark, sf):
     ev = _events_us(spark, sf).select("time", "event_type", "value")
     d = T.non_negative_difference(ev, "value", by=["event_type"],
@@ -642,6 +675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iq_first_last": q_iq_first_last,
         "iq_order_desc": q_iq_order_desc,
         "iq_sample": q_iq_sample,
+        "iq_stats": q_iq_stats,
+        "iq_rate_1h": q_iq_rate_1h,
+        "iq_cumsum_1d": q_iq_cumsum_1d,
+        "iq_moving_count": q_iq_moving_count,
         # transforms (§2.4 unsupported-list / §2.5)
         "tr_difference": q_tr_difference,
         "tr_derivative": q_tr_derivative,

@@ -567,6 +567,44 @@ def build_oracles() -> dict[str, str]:
       WHERE event_type = 'click' AND {EV_TIME} >= {JAN1}
         AND {EV_TIME} < {JAN1 + 3 * DAY}
       ORDER BY time DESC LIMIT 50"""
+    o["iq_stats"] = f"""
+      SELECT event_type, {fr('stddev(value)', 4)} AS sd,
+             {fr('median(value)', 4)} AS med,
+             {fr('quantile_cont(value, 0.9)', 4)} AS p90
+      FROM events GROUP BY 1"""
+    o["iq_rate_1h"] = f"""
+      WITH a AS (
+        SELECT ({EV_TIME} // {HOUR}) * {HOUR} AS time, event_type,
+               count(value) AS c
+        FROM events GROUP BY 1, 2),
+      d AS (
+        SELECT time, event_type,
+               (c - lag(c) OVER w)::DOUBLE
+                 / (time - lag(time) OVER w) * {float(HOUR)} AS rate
+        FROM a WINDOW w AS (PARTITION BY event_type ORDER BY time))
+      SELECT time, event_type, {fr('rate', 4)} AS rate
+      FROM d WHERE rate IS NOT NULL"""
+    o["iq_cumsum_1d"] = f"""
+      WITH a AS (
+        SELECT ({EV_TIME} // {DAY}) * {DAY} AS time, event_type,
+               count(value) AS c
+        FROM events GROUP BY 1, 2)
+      SELECT time, event_type,
+             (sum(c) OVER (PARTITION BY event_type ORDER BY time))::BIGINT
+               AS total
+      FROM a"""
+    o["iq_moving_count"] = f"""
+      WITH a AS (
+        SELECT ({EV_TIME} // {DAY}) * {DAY} AS time, event_type,
+               count(value) AS c
+        FROM events GROUP BY 1, 2),
+      d AS (
+        SELECT time, event_type,
+               avg(c) OVER w AS mc, count(c) OVER w AS nw
+        FROM a WINDOW w AS (PARTITION BY event_type ORDER BY time
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+      SELECT time, event_type, {fr('mc', 4)} AS mc
+      FROM d WHERE nw >= 4"""
     o["tr_non_negative"] = f"""
       WITH d AS (
         SELECT {EV_TIME} AS time, event_type,
