@@ -266,10 +266,17 @@ class Planner:
         else:
             asc = call.name == "bottom"
             order = F.col(field).asc() if asc else F.col(field).desc()
-        w = Window.partitionBy(*keys).orderBy(order, F.col(TIME_COL).asc()) \
-            if keys else Window.orderBy(order, F.col(TIME_COL).asc())
-        out = (df.withColumn("__rn", F.row_number().over(w))
-               .where(F.col("__rn") <= int(n)).drop("__rn"))
+        if keys:
+            w = Window.partitionBy(*keys).orderBy(order, F.col(TIME_COL).asc())
+            out = (df.withColumn("__rn", F.row_number().over(w))
+                   .where(F.col("__rn") <= int(n)).drop("__rn"))
+        else:
+            # No group keys: sort+limit compiles to TakeOrderedAndProject
+            # (per-partition top-N, then merge of N·P candidates on the
+            # driver-side reduce) — the scalable form of the reference's
+            # top-K merge (calls.go:153-217). A global-orderBy Window here
+            # would funnel every row through one partition.
+            out = df.orderBy(order, F.col(TIME_COL).asc()).limit(int(n))
         # InfluxQL top/bottom keep the point's own time + requested tag cols
         sel = [F.col(TIME_COL)] + [F.col(t) for t in group_tags] + \
               [F.col(field).alias(name)]
@@ -282,13 +289,16 @@ class Planner:
             return out
         if not group_tags:
             return out
-        sk = F.dense_rank().over(
-            Window.orderBy(*[F.col(t) for t in group_tags]))
         lo = (stmt.soffset or 0)
-        hi = lo + (stmt.slimit if stmt.slimit is not None else 1 << 60)
-        return (out.withColumn("__srank", sk)
-                .where((F.col("__srank") > lo) & (F.col("__srank") <= hi))
-                .drop("__srank"))
+        n = stmt.slimit if stmt.slimit is not None else (1 << 31)
+        # Scalable form: rank only the distinct series keys (bounded by
+        # series cardinality, not row count), then broadcast-semi-join the
+        # selected keys back. A dense_rank over a keyless Window would pull
+        # every result row into a single partition.
+        picked = (out.select(*group_tags).distinct()
+                  .orderBy(*[F.col(t) for t in group_tags])
+                  .offset(lo).limit(n))
+        return out.join(F.broadcast(picked), on=group_tags, how="inner")
 
     # -- expression helpers ------------------------------------------------
     def _expand_tags(self, tags: list[str], m: Measurement) -> list[str]:
