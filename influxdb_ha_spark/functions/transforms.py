@@ -9,6 +9,11 @@ requires them. In Spark each is a `lag`/window expression over
 (series tags) × time — one shuffle on the series key, then a per-partition
 sort; at 100 TB the partitionBy(tags) keeps state per-series, never global.
 
+Ungrouped calls (`by=[]` — the whole measurement as one series) do NOT fall
+back to a keyless Window (which would drag every row through one task);
+they run the distributed scan in `scan.py`: time-quantile bucketing +
+boundary-carry rows, P-way parallel.
+
 `moving_average` is the one frame op the reference *does* merge —
 approximately (count-weighted mean of per-node MAs, calls.go:17-44); the
 window form below is exact.
@@ -16,10 +21,13 @@ window form below is exact.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..timeutil import SECOND
+from . import scan
 
 
 def _series_window(time_col: str, by: list[str]):
@@ -29,12 +37,26 @@ def _series_window(time_col: str, by: list[str]):
     return w
 
 
+def _windowed(df: DataFrame, time_col: str, by: list[str], k: int,
+              compute: Callable[["Window"], list[tuple[str, Column]]]
+              ) -> DataFrame:
+    """Apply window expressions per series; ungrouped → distributed scan."""
+    if by:
+        w = Window.partitionBy(*by).orderBy(time_col)
+        d = df
+    else:
+        d, w = scan.with_carry(df, time_col, k)
+    for name, col in compute(w):
+        d = d.withColumn(name, col)
+    return d if by else scan.finish_carry(d)
+
+
 def difference(df: DataFrame, field: str, time_col: str = "time",
                by: list[str] | None = None, out: str = "difference") -> DataFrame:
     """f - lag(f) per series (query_merge.go:221-254 commented-out list)."""
-    w = _series_window(time_col, by or [])
-    return (df.withColumn(out, F.col(field) - F.lag(field).over(w))
-            .where(F.col(out).isNotNull()))
+    d = _windowed(df, time_col, by or [], 1,
+                  lambda w: [(out, F.col(field) - F.lag(field).over(w))])
+    return d.where(F.col(out).isNotNull())
 
 
 def non_negative_difference(df: DataFrame, field: str, time_col: str = "time",
@@ -48,11 +70,12 @@ def derivative(df: DataFrame, field: str, unit_ns: int = SECOND,
                time_col: str = "time", by: list[str] | None = None,
                out: str = "derivative") -> DataFrame:
     """(f - lag(f)) / (time - lag(time)) * unit — InfluxQL derivative(f, unit)."""
-    w = _series_window(time_col, by or [])
-    dt = (F.col(time_col) - F.lag(time_col).over(w)).cast("double")
-    dv = F.col(field) - F.lag(field).over(w)
-    return (df.withColumn(out, dv / dt * F.lit(float(unit_ns)))
-            .where(F.col(out).isNotNull()))
+    def compute(w):
+        dt = (F.col(time_col) - F.lag(time_col).over(w)).cast("double")
+        dv = F.col(field) - F.lag(field).over(w)
+        return [(out, dv / dt * F.lit(float(unit_ns)))]
+    d = _windowed(df, time_col, by or [], 1, compute)
+    return d.where(F.col(out).isNotNull())
 
 
 def non_negative_derivative(df: DataFrame, field: str, unit_ns: int = SECOND,
@@ -65,16 +88,19 @@ def non_negative_derivative(df: DataFrame, field: str, unit_ns: int = SECOND,
 def cumulative_sum(df: DataFrame, field: str, time_col: str = "time",
                    by: list[str] | None = None,
                    out: str = "cumulative_sum") -> DataFrame:
-    w = _series_window(time_col, by or []).rowsBetween(Window.unboundedPreceding, 0)
-    return df.withColumn(out, F.sum(field).over(w))
+    if by:
+        w = _series_window(time_col, by).rowsBetween(Window.unboundedPreceding, 0)
+        return df.withColumn(out, F.sum(field).over(w))
+    return scan.distributed_cumsum(df, field, time_col, out)
 
 
 def elapsed(df: DataFrame, unit_ns: int = 1, time_col: str = "time",
             by: list[str] | None = None, out: str = "elapsed") -> DataFrame:
     """time - lag(time), in `unit` (default ns) — InfluxQL elapsed(f, unit)."""
-    w = _series_window(time_col, by or [])
-    d = ((F.col(time_col) - F.lag(time_col).over(w)) / F.lit(unit_ns)).cast("long")
-    return df.withColumn(out, d).where(F.col(out).isNotNull())
+    d = _windowed(df, time_col, by or [], 1, lambda w: [
+        (out, ((F.col(time_col) - F.lag(time_col).over(w))
+               / F.lit(unit_ns)).cast("long"))])
+    return d.where(F.col(out).isNotNull())
 
 
 def moving_average(df: DataFrame, field: str, n: int, time_col: str = "time",
@@ -82,10 +108,12 @@ def moving_average(df: DataFrame, field: str, n: int, time_col: str = "time",
                    out: str = "moving_average") -> DataFrame:
     """Trailing n-point average; emitted only once n points exist (InfluxQL
     semantics). Exact, unlike the reference merge (calls.go:17-44)."""
-    w = _series_window(time_col, by or []).rowsBetween(-(n - 1), 0)
-    return (df.withColumn(out, F.avg(field).over(w))
-            .withColumn("__cnt", F.count(field).over(w))
-            .where(F.col("__cnt") >= n).drop("__cnt"))
+    def compute(w):
+        wf = w.rowsBetween(-(n - 1), 0)
+        return [(out, F.avg(field).over(wf)),
+                ("__cnt", F.count(field).over(wf))]
+    d = _windowed(df, time_col, by or [], n - 1, compute)
+    return d.where(F.col("__cnt") >= n).drop("__cnt")
 
 
 def integral(df: DataFrame, field: str, unit_ns: int = SECOND,
@@ -97,10 +125,12 @@ def integral(df: DataFrame, field: str, unit_ns: int = SECOND,
     lag arithmetic + a plain sum — partial/final aggregation applies.
     Returns one row per series group.
     """
-    w = _series_window(time_col, by or [])
-    dt = (F.col(time_col) - F.lag(time_col).over(w)).cast("double")
-    trap = (F.col(field) + F.lag(field).over(w)) / F.lit(2.0) * dt / F.lit(float(unit_ns))
-    stepped = df.withColumn("__trap", trap)
+    def compute(w):
+        dt = (F.col(time_col) - F.lag(time_col).over(w)).cast("double")
+        trap = (F.col(field) + F.lag(field).over(w)) / F.lit(2.0) \
+            * dt / F.lit(float(unit_ns))
+        return [("__trap", trap)]
+    stepped = _windowed(df, time_col, by or [], 1, compute)
     if by:
         return stepped.groupBy(*by).agg(F.sum("__trap").alias(out))
     return stepped.agg(F.sum("__trap").alias(out))

@@ -125,3 +125,75 @@ def test_binary_op_compat():
     assert cmp == 0.0  # query_merge.go:319-323
     mod = df.select(binary_op("%", F.lit(7.9), F.lit(3.0), compat=True)).first()[0]
     assert mod == 1  # int-cast modulo (query_merge.go:325-329)
+
+
+# -- distributed single-series scan (scan.py): ungrouped by=[] must match
+# -- the per-series semantics while staying P-way parallel ------------------
+
+@pytest.fixture(scope="module")
+def longwalk(spark):
+    import random
+    rng = random.Random(7)
+    vals, v = [], 0.0
+    for _ in range(500):
+        v += rng.uniform(-2, 3)
+        vals.append(v)
+    rows = [(1_700_000_000_000_000_000 + i * 1_000_000_000, float(v))
+            for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "time long, value double").repartition(4)
+
+
+def _expected_lagged(longwalk, f):
+    rows = sorted(longwalk.collect(), key=lambda r: r["time"])
+    return f(rows)
+
+
+def test_global_difference_matches_serial(longwalk):
+    out = T.difference(longwalk, "value").orderBy("time").collect()
+    rows = _expected_lagged(longwalk, lambda rs: [
+        rs[i]["value"] - rs[i - 1]["value"] for i in range(1, len(rs))])
+    assert [r["difference"] for r in out] == pytest.approx(rows)
+
+
+def test_global_cumsum_matches_serial(longwalk):
+    out = T.cumulative_sum(longwalk, "value").orderBy("time").collect()
+    rows = sorted(longwalk.collect(), key=lambda r: r["time"])
+    acc, exp = 0.0, []
+    for r in rows:
+        acc += r["value"]
+        exp.append(acc)
+    assert [r["cumulative_sum"] for r in out] == pytest.approx(exp)
+
+
+def test_global_moving_average_matches_serial(longwalk):
+    out = T.moving_average(longwalk, "value", n=7).orderBy("time").collect()
+    rows = sorted(longwalk.collect(), key=lambda r: r["time"])
+    exp = [sum(x["value"] for x in rows[i - 6:i + 1]) / 7
+           for i in range(6, len(rows))]
+    assert [r["moving_average"] for r in out] == pytest.approx(exp)
+
+
+def test_global_elapsed_and_derivative(longwalk):
+    out = T.elapsed(longwalk, unit_ns=1_000_000_000).orderBy("time").collect()
+    assert len(out) == 499 and all(r["elapsed"] == 1 for r in out)
+    d = T.derivative(longwalk, "value", unit_ns=1_000_000_000) \
+        .orderBy("time").collect()
+    assert len(d) == 499
+
+
+def test_global_integral_matches_serial(longwalk):
+    out = T.integral(longwalk, "value", unit_ns=1_000_000_000).collect()
+    rows = sorted(longwalk.collect(), key=lambda r: r["time"])
+    exp = sum((rows[i]["value"] + rows[i - 1]["value"]) / 2
+              for i in range(1, len(rows)))
+    assert out[0]["integral"] == pytest.approx(exp)
+
+
+def test_scan_is_parallel(longwalk):
+    """The plan must not contain a keyless (single-partition) Window."""
+    plan = T.difference(longwalk, "value")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # every Window should partition on __pid, never on nothing
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line.lower():
+            assert "__pid" in line, line
