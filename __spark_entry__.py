@@ -461,6 +461,14 @@ def q_doc_near_dups(spark, sf):
     return D.minhash_near_duplicates(_t(spark, sf, "documents"), threshold=0.7)
 
 
+def q_doc_near_dups_fast(spark, sf):
+    """Production-path variant: xxhash64 signatures (not DuckDB-mirrorable
+    -> rows-only check); verified-Jaccard output is hash-independent up to
+    LSH recall."""
+    return D.minhash_near_duplicates(_t(spark, sf, "documents"),
+                                     threshold=0.7, hash_fn="fast")
+
+
 def q_doc_ngram_jaccard(spark, sf):
     return D.minhash_near_duplicates(_t(spark, sf, "documents"),
                                      shingle_k=2, threshold=0.5)
@@ -701,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_sig": q_doc_minhash_sig,
         "doc_minhash_candidates": q_doc_minhash_candidates,
         "doc_near_dups": q_doc_near_dups,
+        "doc_near_dups_fast": q_doc_near_dups_fast,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
         "emb_brute_topk": q_emb_brute_topk,

@@ -56,7 +56,7 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 16,
-                       shingle_k: int = 3) -> DataFrame:
+                       shingle_k: int = 3, hash_fn: str = "md5") -> DataFrame:
     """doc → MinHash signature (array<bigint>, one slot per permutation).
 
     Fully columnar: shingling and all permutations are `transform`/`array_min`
@@ -69,7 +69,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     hashed = (df.select(F.col(id_col), sh.alias("__sh"))
               .where(F.size("__sh") > 0)
               .select(F.col(id_col),
-                      shingle_hashes_expr(F.col("__sh")).alias("__h")))
+                      shingle_hashes_expr(F.col("__sh"), hash_fn).alias("__h")))
     sig = F.array(*[minhash_perm_expr(F.col("__h"), a, b) for a, b in coeffs])
     return hashed.select(F.col(id_col), sig.alias("signature"))
 
@@ -116,11 +116,17 @@ def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", num_perm: int = 16,
                             bands: int = 4, rows: int = 4, shingle_k: int = 3,
-                            threshold: float = 0.7) -> DataFrame:
+                            threshold: float = 0.7,
+                            hash_fn: str = "md5") -> DataFrame:
     """Full pipeline: signatures → LSH candidates → exact shingle-set Jaccard
     verification on candidates only (the candidate set is LSH-bounded, so the
-    verify join touches a tiny fraction of the corpus)."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    verify join touches a tiny fraction of the corpus).
+
+    hash_fn="fast" switches signature hashing to xxhash64 for production
+    runs; the verified-Jaccard output is hash-independent up to LSH recall,
+    so results are near-identical while the map stage gets much cheaper."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
+                              hash_fn)
     cands = minhash_candidates(sigs, id_col, bands, rows)
     sh = (df.select(F.col(id_col),
                     F.array_distinct(
