@@ -494,7 +494,17 @@ def q_emb_ivf_topk(spark, sf):
     return S.ivf_topk(emb, q, cent, k=5, nprobe=2)
 
 
+def q_emb_near_dup_lsh(spark, sf):
+    """Scale path: hyperplane-LSH buckets + exact cosine verification —
+    shuffles on the bucket key, never materializes N² pairs."""
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return S.cosine_near_dup_pairs(emb, threshold=0.9)
+
+
 def q_emb_near_dup_pairs(spark, sf):
+    """Exact all-pairs baseline (quadratic by construction — kept as the
+    correctness reference; production uses emb_near_dup_lsh)."""
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
@@ -715,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_brute_topk": q_emb_brute_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,

@@ -16,12 +16,23 @@ by the query's WHERE time range, exactly like InfluxDB (which refuses
 unbounded GROUP BY time() queries). The join key is (group tags, bucket); the
 distinct-groups side is small (it is the series cardinality of the filter),
 so Catalyst broadcast-joins the spine side after AQE sizes it.
+
+Ungrouped previous/linear fills over a LARGE spine (a year of 1 s buckets is
+31 M rows) do not use a keyless Window: the spine is evenly spaced with
+bounds known at plan time, so rows are segmented into fixed bucket ranges
+and stitched with per-segment carry partials (the segmented-scan trick —
+see functions/scan.py for the irregular-time variant). Spines up to
+`_SMALL_SPINE` rows keep the plain single-window plan.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_SMALL_SPINE = 65_536
 
 
 def bucket_spine(df_aggregated: DataFrame, bucket_col: str, interval_ns: int,
@@ -77,6 +88,14 @@ def fill_buckets(df_aggregated: DataFrame, bucket_col: str, interval_ns: int,
     if isinstance(mode, (int, float)) and not isinstance(mode, bool):
         exprs = [F.coalesce(F.col(c), F.lit(mode)).alias(c) for c in value_cols]
         return joined.select(*group_cols, bucket_col, *exprs)
+
+    if not group_cols:
+        nbuckets = _spine_size(df_aggregated, bucket_col, interval_ns,
+                               start_ns, end_ns)
+        if nbuckets > _SMALL_SPINE and mode in ("previous", "linear"):
+            return _fill_ungrouped_segmented(joined, bucket_col, interval_ns,
+                                             mode, value_cols, nbuckets)
+
     if mode == "previous":
         w = (Window.partitionBy(*group_cols).orderBy(bucket_col)
              if group_cols else Window.orderBy(bucket_col))
@@ -105,3 +124,78 @@ def fill_buckets(df_aggregated: DataFrame, bucket_col: str, interval_ns: int,
             exprs.append(F.coalesce(v, interp).alias(c))
         return joined.select(*group_cols, bucket_col, *exprs)
     raise ValueError(f"unknown fill mode: {mode!r}")
+
+
+def _spine_size(df_aggregated: DataFrame, bucket_col: str, interval_ns: int,
+                start_ns: int | None, end_ns: int | None) -> int:
+    if start_ns is None or end_ns is None:
+        lo, hi = df_aggregated.agg(F.min(bucket_col), F.max(bucket_col)).first()
+        if lo is None:
+            return 0
+        start_ns = lo if start_ns is None else start_ns
+        end_ns = hi + interval_ns if end_ns is None else end_ns
+    first_bucket = start_ns - (start_ns % interval_ns)
+    return max(0, (end_ns - 1 - first_bucket) // interval_ns + 1)
+
+
+def _fill_ungrouped_segmented(joined: DataFrame, bucket_col: str,
+                              interval_ns: int, mode: str,
+                              value_cols: list[str], nbuckets: int) -> DataFrame:
+    """previous/linear fill over one big evenly-spaced spine, P-way parallel.
+
+    Segment id = bucket position // rows-per-segment (pure projection —
+    the spine is arithmetic, so no range shuffle or sampling). Per-segment
+    windows handle in-segment gaps; cross-segment gaps are stitched with
+    per-segment extreme partials (P rows) broadcast back — a segmented scan.
+    """
+    spark = joined.sparkSession
+    try:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        parts = 32
+    rpp = max(1, math.ceil(nbuckets / parts))
+    pos = (F.col(bucket_col) / F.lit(interval_ns)).cast("long")
+    d = joined.withColumn("__pid", (pos / F.lit(rpp)).cast("long"))
+
+    def nn(c):  # non-null (bucket, value) struct for ordering
+        return F.when(F.col(c).isNotNull(),
+                      F.struct(F.col(bucket_col).alias("b"),
+                               F.col(c).alias("v")))
+
+    # per-segment extreme partials: P rows — tiny by construction
+    partials = d.groupBy("__pid").agg(
+        *[F.max(nn(c)).alias(f"__last_{c}") for c in value_cols],
+        *([F.min(nn(c)).alias(f"__first_{c}") for c in value_cols]
+          if mode == "linear" else []))
+    wfwd = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    wbwd = Window.orderBy(F.col("__pid").desc()) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    carry_cols = [F.max(F.col(f"__last_{c}")).over(wfwd).alias(f"__cprev_{c}")
+                  for c in value_cols]
+    if mode == "linear":
+        carry_cols += [F.min(F.col(f"__first_{c}")).over(wbwd)
+                       .alias(f"__cnext_{c}") for c in value_cols]
+    carries = partials.select("__pid", *carry_cols)
+    d = d.join(F.broadcast(carries), on="__pid", how="left")
+
+    w = Window.partitionBy("__pid").orderBy(bucket_col)
+    exprs = []
+    if mode == "previous":
+        wprev = w.rowsBetween(Window.unboundedPreceding, 0)
+        for c in value_cols:
+            within = F.last(nn(c), ignorenulls=True).over(wprev)
+            prev = F.coalesce(within, F.col(f"__cprev_{c}"))
+            exprs.append(F.coalesce(F.col(c), prev["v"]).alias(c))
+    else:  # linear
+        wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+        wnext = w.rowsBetween(1, Window.unboundedFollowing)
+        for c in value_cols:
+            prev = F.coalesce(F.last(nn(c), ignorenulls=True).over(wprev),
+                              F.col(f"__cprev_{c}"))
+            nxt = F.coalesce(F.first(nn(c), ignorenulls=True).over(wnext),
+                             F.col(f"__cnext_{c}"))
+            interp = prev["v"] + (nxt["v"] - prev["v"]) * (
+                (F.col(bucket_col) - prev["b"]).cast("double")
+                / (nxt["b"] - prev["b"]).cast("double"))
+            exprs.append(F.coalesce(F.col(c), interp).alias(c))
+    return d.select(bucket_col, *exprs)

@@ -94,3 +94,70 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+# -- near-duplicate pairs ---------------------------------------------------
+
+def _hyperplanes(dim: int, bits: int, tables: int,
+                 seed: int = 7) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim (MINSTD LCG) —
+    plain literals, identical on every executor and across engines."""
+    state = seed
+    out = []
+    for _ in range(tables):
+        tbl = []
+        for _ in range(bits):
+            plane = []
+            for _ in range(dim):
+                state = (state * 48_271) % 2_147_483_647
+                plane.append(state / 2_147_483_647 * 2.0 - 1.0)
+            tbl.append(plane)
+        out.append(tbl)
+    return out
+
+
+def _sign_key(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-packed sign pattern of `vec` against each hyperplane."""
+    key = F.lit(0)
+    for b, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(p) for p in plane]),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        key = key + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return key
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          dim: int = 64, bits: int = 10,
+                          tables: int = 3) -> DataFrame:
+    """All pairs with cosine >= threshold, LSH-bucketed — the scale path.
+
+    Random-hyperplane LSH: vectors agreeing on all `bits` signs in any of
+    `tables` hash tables become candidates; candidates are verified with
+    exact cosine. Precision is exact (verification); recall is the standard
+    SimHash-LSH bound (P[pair found] = 1-(1-(1-θ/π)^bits)^tables — raise
+    `tables`/lower `bits` to trade cost for recall). The corpus shuffles on
+    the bucket key only; no N² cross join ever materializes, unlike the
+    exact baseline which is quadratic by construction.
+    """
+    planes = _hyperplanes(dim, bits, tables, seed=7)
+    keys = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 _sign_key(F.col(vec_col), planes[t]).alias("key"))
+        for t in range(tables)])
+    keyed = (df.select(F.col(id_col), F.col(vec_col), keys.alias("__k"))
+             .select(id_col, vec_col, F.explode("__k").alias("k"))
+             .select(id_col, vec_col, "k.tbl", "k.key"))
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                     "tbl", "key")
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                     "tbl", "key")
+    cand = (a.join(b, ["tbl", "key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+            .dropDuplicates(["id_a", "id_b"]))
+    cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+    return (cand.select("id_a", "id_b", cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold))

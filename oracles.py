@@ -457,6 +457,14 @@ def build_oracles() -> dict[str, str]:
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
       SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5"""
+    # LSH-verified pairs ⊆ exact pairs; exact-precision verification means
+    # the exact SQL is the right oracle (recall caveat in the operator doc).
+    o["emb_near_dup_lsh"] = f"""
+      WITH e AS ({emb_cast})
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_cos("a.v", "b.v")}, 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round({_cos("a.v", "b.v")}, 6) >= 0.9"""
     o["emb_near_dup_pairs"] = f"""
       WITH e AS ({emb_cast})
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -197,3 +197,39 @@ def test_scan_is_parallel(longwalk):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line.lower():
             assert "__pid" in line, line
+
+
+def test_fill_segmented_matches_plain(spark, monkeypatch):
+    """Ungrouped previous/linear over a big spine takes the segmented-scan
+    path; force it with a tiny threshold and check it equals the plain
+    single-window result bucket-for-bucket."""
+    interval = 10
+    # sparse observations over a 300-bucket spine, with long gaps
+    rows = [(b * interval, float(v)) for b, v in
+            [(3, 5.0), (7, 9.0), (55, 1.0), (120, 33.0), (121, 2.0), (290, 8.0)]]
+    agg = spark.createDataFrame(rows, "bucket long, val double")
+    for mode in ("previous", "linear"):
+        plain = fill.fill_buckets(agg, "bucket", interval, mode, ["val"],
+                                  [], 0, 300 * interval)
+        monkeypatch.setattr(fill, "_SMALL_SPINE", 16)
+        seg = fill.fill_buckets(agg, "bucket", interval, mode, ["val"],
+                                [], 0, 300 * interval)
+        monkeypatch.setattr(fill, "_SMALL_SPINE", 65_536)
+        p = {r["bucket"]: r["val"] for r in plain.collect()}
+        s = {r["bucket"]: r["val"] for r in seg.collect()}
+        assert len(p) == 300 and len(s) == 300
+        for b in p:
+            if p[b] is None:
+                assert s[b] is None, (mode, b)
+            else:
+                assert s[b] == pytest.approx(p[b]), (mode, b)
+    # and the segmented plan must not contain a keyless window
+    monkeypatch.setattr(fill, "_SMALL_SPINE", 16)
+    seg = fill.fill_buckets(agg, "bucket", interval, "linear", ["val"],
+                            [], 0, 300 * interval)
+    plan = seg._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        low = line.lower()
+        if "windowspecdefinition(" in low and "__pid" not in low:
+            # the only keyless window allowed is the P-row carry table
+            assert "__last_" in low or "__first_" in low, line
