@@ -85,7 +85,9 @@ def main():
             flags.append("CARTESIAN")
         if a["py_row_udf"]:
             flags.append("ROW_PYTHON")
-        if a["keyless_window"]:
+        if a["keyless_window"] and name not in BOUNDED_SINGLE_PARTITION:
+            # bounded allowlist: spines below _SMALL_SPINE rows keep the
+            # plain window; large spines switch to the segmented scan
             flags.append("KEYLESS_WINDOW")
         if a["single_part"] and name not in BOUNDED_SINGLE_PARTITION:
             flags.append(f"SINGLE_PARTITION×{a['single_part']}")
