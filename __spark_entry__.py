@@ -586,6 +586,16 @@ def q_iq_sample(spark, sf):
     return _iq(spark, sf, "SELECT sample(value, 10) AS sample FROM events")
 
 
+def q_iq_regex_tag(spark, sf):
+    """tag =~ /re/ predicate — influxql regex matchers (unanchored search),
+    forwarded verbatim by the reference's WHERE pass-through
+    (merge/query_merge.go:64-67)."""
+    df = _iq(spark, sf,
+             "SELECT count(value) AS n, sum(value) AS sv FROM events "
+             "WHERE event_type =~ /^(click|view)$/ GROUP BY event_type")
+    return df.select("event_type", "n", _fr(F.col("sv"), 2).alias("sv"))
+
+
 def q_iq_stats(spark, sf):
     """stddev/median/percentile through the InfluxQL frontend — exact where
     the reference's merge is approximate (calls.go:46-133)."""
@@ -693,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iq_first_last": q_iq_first_last,
         "iq_order_desc": q_iq_order_desc,
         "iq_sample": q_iq_sample,
+        "iq_regex_tag": q_iq_regex_tag,
         "iq_stats": q_iq_stats,
         "iq_rate_1h": q_iq_rate_1h,
         "iq_cumsum_1d": q_iq_cumsum_1d,

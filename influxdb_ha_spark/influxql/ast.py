@@ -38,6 +38,11 @@ class DurationLit:
 
 
 @dataclass
+class RegexLit:
+    pattern: str
+
+
+@dataclass
 class Call:
     name: str
     args: list = field(default_factory=list)
@@ -52,9 +57,10 @@ class BinaryExpr:
 
 @dataclass
 class MeasurementRef:
-    name: str
+    name: str | None
     database: str | None = None
     retention_policy: str | None = None
+    regex: str | None = None  # FROM /re/ — name is None
 
 
 @dataclass

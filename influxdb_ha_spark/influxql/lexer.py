@@ -34,10 +34,29 @@ class Token:
     pos: int
 
 
+_REGEX_RE = re.compile(r"/(?:[^/\\]|\\.)*/")
+
+def _regex_context(out: list["Token"]) -> bool:
+    """A `/` starts a regex literal (not division) right after `=~`, `!~`,
+    or FROM — mirroring influxql's context-sensitive scanner."""
+    if not out:
+        return False
+    t = out[-1]
+    return (t.kind == "OP" and t.text in ("=~", "!~")) or \
+        (t.kind == "KEYWORD" and t.text == "FROM")
+
+
 def tokenize(s: str) -> list[Token]:
     out: list[Token] = []
     pos = 0
     while pos < len(s):
+        if s[pos] == "/" and _regex_context(out):
+            m = _REGEX_RE.match(s, pos)
+            if not m:
+                raise SyntaxError(f"unterminated regex at position {pos}")
+            out.append(Token("REGEX", m.group()[1:-1].replace("\\/", "/"), pos))
+            pos = m.end()
+            continue
         m = _TOKEN_RE.match(s, pos)
         if not m:
             raise SyntaxError(f"illegal character {s[pos]!r} at position {pos}")

@@ -10,8 +10,8 @@ multiplicative.
 from __future__ import annotations
 
 from .ast import (BinaryExpr, Call, DurationLit, IntegerLit, MeasurementRef,
-                  NumberLit, SelectField, SelectStatement, ShowStatement,
-                  StringLit, VarRef, Wildcard)
+                  NumberLit, RegexLit, SelectField, SelectStatement,
+                  ShowStatement, StringLit, VarRef, Wildcard)
 from .lexer import Token, tokenize
 from ..timeutil import parse_duration_ns
 
@@ -134,6 +134,8 @@ class Parser:
         raise SyntaxError(f"error parsing query: bad fill argument {t.text!r}")
 
     def parse_measurement_ref(self) -> MeasurementRef:
+        if self.peek().kind == "REGEX":
+            return MeasurementRef(name=None, regex=self.next().text)
         parts = [self.expect_name()]
         while self.accept("OP", "."):
             parts.append(self.expect_name())
@@ -181,7 +183,10 @@ class Parser:
                                              "=~", "!~"):
                 self.next()
                 op = "!=" if t.text == "<>" else t.text
-                lhs = BinaryExpr(op, lhs, self.parse_add())
+                if self.peek().kind == "REGEX":
+                    lhs = BinaryExpr(op, lhs, RegexLit(self.next().text))
+                else:
+                    lhs = BinaryExpr(op, lhs, self.parse_add())
             else:
                 return lhs
 

@@ -31,8 +31,8 @@ from .functions.fill import fill_buckets
 from .functions.math import MATH_FUNCS, apply_math, binary_op
 from .functions import transforms as T
 from .influxql.ast import (BinaryExpr, Call, DurationLit, IntegerLit,
-                           NumberLit, SelectStatement, StringLit, VarRef,
-                           Wildcard)
+                           NumberLit, RegexLit, SelectStatement, StringLit,
+                           VarRef, Wildcard)
 from .model import Catalog, Measurement, TIME_COL
 from .timeutil import parse_time_literal_ns, time_bucket
 
@@ -72,6 +72,8 @@ class Planner:
     # ------------------------------------------------------------------
     def plan(self, stmt: SelectStatement) -> DataFrame:
         db = stmt.source.database or self.database
+        if stmt.source.regex is not None:
+            return self._plan_regex_source(stmt, db)
         m = self.catalog.get(db, stmt.source.name)
         ctx = PlanContext(measurement=m, now_ns=self.now_ns)
 
@@ -112,6 +114,29 @@ class Planner:
             # per-node LIMIT semantics (query_merge.go:86-92, SURVEY §2.6)
             out = out.limit(stmt.limit)
         return out
+
+    def _plan_regex_source(self, stmt: SelectStatement, db: str) -> DataFrame:
+        """FROM /re/ — run the statement against every matching measurement
+        and union the results, tagged with a `measurement` column (the
+        analog of InfluxDB's per-measurement series names; influxql supports
+        regex sources, the reference forwards them verbatim)."""
+        import copy
+        import re as _re
+        rx = _re.compile(stmt.source.regex)
+        names = sorted(n for n in self.catalog.databases.get(db, {})
+                       if rx.search(n))
+        if not names:
+            raise QueryError(
+                f"no measurements match /{stmt.source.regex}/ in {db}")
+        outs = []
+        for n in names:
+            sub = copy.deepcopy(stmt)
+            sub.source = type(stmt.source)(name=n, database=db)
+            outs.append(self.plan(sub).withColumn("measurement", F.lit(n)))
+        result = outs[0]
+        for o in outs[1:]:
+            result = result.unionByName(o, allowMissingColumns=True)
+        return result
 
     # -- raw projection ---------------------------------------------------
     def _plan_raw(self, stmt: SelectStatement, df: DataFrame,
@@ -443,6 +468,14 @@ class Planner:
             return out
 
         col = F.col(lhs.name)
+        if isinstance(rhs, RegexLit):
+            # influxql `tag =~ /re/` is an unanchored RE2 search; Spark's
+            # rlike is likewise an unanchored Java-regex search.
+            if op == "=~":
+                return col.rlike(rhs.pattern)
+            if op == "!~":
+                return ~col.rlike(rhs.pattern)
+            raise QueryError(f"regex requires =~ or !~, got {op}")
         if isinstance(rhs, StringLit):
             val: Column = F.lit(rhs.value)
         elif isinstance(rhs, (NumberLit, IntegerLit)):

@@ -575,6 +575,11 @@ def build_oracles() -> dict[str, str]:
       WHERE event_type = 'click' AND {EV_TIME} >= {JAN1}
         AND {EV_TIME} < {JAN1 + 3 * DAY}
       ORDER BY time DESC LIMIT 50"""
+    o["iq_regex_tag"] = f"""
+      SELECT event_type, count(value) AS n,
+             {fr('sum(value)', 2)} AS sv
+      FROM events WHERE regexp_matches(event_type, '^(click|view)$')
+      GROUP BY 1"""
     o["iq_stats"] = f"""
       SELECT event_type, {fr('stddev(value)', 4)} AS sd,
              {fr('median(value)', 4)} AS med,

@@ -169,3 +169,30 @@ def test_fill_previous_and_linear(treasures):
     # the range start → 7 buckets cover [start, start+6h)
     assert len(rows) == 7
     assert [r["sum"] for r in rows] == [100.0, 100.0, 60.0, 60.0, 60.0, 60.0, 60.0]
+
+
+def test_regex_tag_predicate(treasures):
+    from influxdb_ha_spark.planner import influxql_df
+    out = influxql_df(treasures, "SELECT sum(value) AS s FROM treasures "
+                      "WHERE type =~ /^(gold|silver)$/ GROUP BY type",
+                      database="sharded")
+    got = {r["type"]: r["s"] for r in out.collect()}
+    assert got == {"gold": 160.0, "silver": 52.0}
+    out = influxql_df(treasures, "SELECT sum(value) AS s FROM treasures "
+                      "WHERE type !~ /l/ GROUP BY type", database="sharded")
+    assert {r["type"] for r in out.collect()} == {"trash"}
+
+
+def test_regex_from_source(treasures):
+    from influxdb_ha_spark.planner import influxql_df
+    out = influxql_df(treasures, "SELECT count(value) AS n FROM /^trea/",
+                      database="sharded")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 5 and rows[0]["measurement"] == "treasures"
+
+
+def test_regex_division_not_confused():
+    from influxdb_ha_spark.influxql.parser import parse_select
+    stmt = parse_select("SELECT sum(a) / sum(b) FROM m WHERE c =~ /x\\/y/")
+    assert stmt.where.rhs.pattern == "x/y"
