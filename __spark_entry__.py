@@ -596,6 +596,15 @@ def q_iq_regex_tag(spark, sf):
     return df.select("event_type", "n", _fr(F.col("sv"), 2).alias("sv"))
 
 
+def q_iq_subquery(spark, sf):
+    """Subquery source — influxql feature the reference cannot run
+    (README.md:190-194); outer agg over inner GROUP BY time() aggregate."""
+    return _iq(spark, sf,
+               "SELECT max(c) AS max_daily, min(c) AS min_daily FROM "
+               "(SELECT count(value) AS c FROM events "
+               "GROUP BY time(1d), event_type fill(none)) GROUP BY event_type")
+
+
 def q_iq_stats(spark, sf):
     """stddev/median/percentile through the InfluxQL frontend — exact where
     the reference's merge is approximate (calls.go:46-133)."""
@@ -704,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iq_order_desc": q_iq_order_desc,
         "iq_sample": q_iq_sample,
         "iq_regex_tag": q_iq_regex_tag,
+        "iq_subquery": q_iq_subquery,
         "iq_stats": q_iq_stats,
         "iq_rate_1h": q_iq_rate_1h,
         "iq_cumsum_1d": q_iq_cumsum_1d,

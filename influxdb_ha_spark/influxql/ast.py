@@ -64,6 +64,13 @@ class MeasurementRef:
 
 
 @dataclass
+class SubQuery:
+    stmt: object  # SelectStatement
+    database: str | None = None
+    regex: str | None = None  # shape-compat with MeasurementRef checks
+
+
+@dataclass
 class SelectField:
     expr: object
     alias: str | None = None

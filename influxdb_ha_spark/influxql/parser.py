@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from .ast import (BinaryExpr, Call, DurationLit, IntegerLit, MeasurementRef,
                   NumberLit, RegexLit, SelectField, SelectStatement,
-                  ShowStatement, StringLit, VarRef, Wildcard)
+                  ShowStatement, StringLit, SubQuery, VarRef, Wildcard)
 from .lexer import Token, tokenize
 from ..timeutil import parse_duration_ns
 
@@ -64,7 +64,15 @@ class Parser:
         if self.accept("KEYWORD", "INTO"):
             into = self.parse_measurement_ref()
         self.expect("KEYWORD", "FROM")
-        source = self.parse_measurement_ref()
+        if self.peek().kind == "OP" and self.peek().text == "(":
+            # subquery source — unsupported in the reference
+            # (README.md:190-194) but part of influxql; free on Spark
+            self.next()
+            inner = self.parse_select()
+            self.expect("OP", ")")
+            source = SubQuery(stmt=inner)
+        else:
+            source = self.parse_measurement_ref()
         stmt = SelectStatement(fields=fields, source=source, into=into)
         if self.accept("KEYWORD", "WHERE"):
             stmt.where = self.parse_expr()

@@ -32,7 +32,7 @@ from .functions.math import MATH_FUNCS, apply_math, binary_op
 from .functions import transforms as T
 from .influxql.ast import (BinaryExpr, Call, DurationLit, IntegerLit,
                            NumberLit, RegexLit, SelectStatement, StringLit,
-                           VarRef, Wildcard)
+                           SubQuery, VarRef, Wildcard)
 from .model import Catalog, Measurement, TIME_COL
 from .timeutil import parse_time_literal_ns, time_bucket
 
@@ -74,7 +74,10 @@ class Planner:
         db = stmt.source.database or self.database
         if stmt.source.regex is not None:
             return self._plan_regex_source(stmt, db)
-        m = self.catalog.get(db, stmt.source.name)
+        if isinstance(stmt.source, SubQuery):
+            m = self._subquery_measurement(stmt.source, db)
+        else:
+            m = self.catalog.get(db, stmt.source.name)
         ctx = PlanContext(measurement=m, now_ns=self.now_ns)
 
         df = m.df
@@ -114,6 +117,31 @@ class Planner:
             # per-node LIMIT semantics (query_merge.go:86-92, SURVEY §2.6)
             out = out.limit(stmt.limit)
         return out
+
+    def _subquery_measurement(self, src: SubQuery, db: str) -> Measurement:
+        """FROM (SELECT …) — plan the inner statement and adopt its result
+        as a synthetic measurement. The reference cannot do this
+        (README.md:190-194 "subqueries currently do not work at all",
+        though coordinator.go:376-387 recurses into SubQuery nodes in
+        preparation); on Spark the inner plan simply becomes the scan."""
+        inner_stmt = src.stmt
+        inner_df = self.plan(inner_stmt)
+        cols = inner_df.columns
+        tags: list[str] = []
+        isrc = inner_stmt.source
+        if getattr(isrc, "name", None) and getattr(isrc, "regex", None) is None \
+                and not isinstance(isrc, SubQuery):
+            try:
+                im = self.catalog.get(isrc.database or db, isrc.name)
+                tags = [t for t in im.tags if t in cols]
+            except KeyError:
+                pass
+        for t in inner_stmt.group_by_tags:
+            if t != "*" and t in cols and t not in tags:
+                tags.append(t)
+        fields = [c for c in cols if c != TIME_COL and c not in tags]
+        return Measurement(name="(subquery)", database=db, tags=tags,
+                           fields=fields, df=inner_df)
 
     def _plan_regex_source(self, stmt: SelectStatement, db: str) -> DataFrame:
         """FROM /re/ — run the statement against every matching measurement

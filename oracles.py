@@ -580,6 +580,13 @@ def build_oracles() -> dict[str, str]:
              {fr('sum(value)', 2)} AS sv
       FROM events WHERE regexp_matches(event_type, '^(click|view)$')
       GROUP BY 1"""
+    o["iq_subquery"] = f"""
+      WITH a AS (
+        SELECT ({EV_TIME} // {DAY}) * {DAY} AS time, event_type,
+               count(value) AS c
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, max(c) AS max_daily, min(c) AS min_daily
+      FROM a GROUP BY 1"""
     o["iq_stats"] = f"""
       SELECT event_type, {fr('stddev(value)', 4)} AS sd,
              {fr('median(value)', 4)} AS med,

@@ -196,3 +196,26 @@ def test_regex_division_not_confused():
     from influxdb_ha_spark.influxql.parser import parse_select
     stmt = parse_select("SELECT sum(a) / sum(b) FROM m WHERE c =~ /x\\/y/")
     assert stmt.where.rhs.pattern == "x/y"
+
+
+def test_subquery_source(treasures):
+    """InfluxQL subquery (unsupported in the reference, README.md:190-194):
+    outer aggregate over an inner per-tag aggregate."""
+    from influxdb_ha_spark.planner import influxql_df
+    out = influxql_df(
+        treasures,
+        "SELECT max(s) AS max_per_type FROM "
+        "(SELECT sum(value) AS s FROM treasures GROUP BY type)",
+        database="sharded")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["max_per_type"] == 160.0
+
+
+def test_subquery_raw_filter(treasures):
+    from influxdb_ha_spark.planner import influxql_df
+    out = influxql_df(
+        treasures,
+        "SELECT count(value) AS n FROM "
+        "(SELECT value FROM treasures WHERE type = 'gold')",
+        database="sharded")
+    assert out.collect()[0]["n"] == 2
