@@ -31,8 +31,8 @@ from .functions.fill import fill_buckets
 from .functions.math import MATH_FUNCS, apply_math, binary_op
 from .functions import transforms as T
 from .influxql.ast import (BinaryExpr, Call, DurationLit, IntegerLit,
-                           NumberLit, RegexLit, SelectStatement, StringLit,
-                           SubQuery, VarRef, Wildcard)
+                           NumberLit, RegexLit, SelectField, SelectStatement,
+                           StringLit, SubQuery, VarRef, Wildcard)
 from .model import Catalog, Measurement, TIME_COL
 from .timeutil import parse_time_literal_ns, time_bucket
 
@@ -87,6 +87,7 @@ class Planner:
             self._check_partition_key(stmt, db, m)
 
         group_tags = self._expand_tags(stmt.group_by_tags, m)
+        stmt = self._expand_wildcard_calls(stmt, m)
         calls = self._find_calls(stmt)
 
         if not calls:
@@ -116,6 +117,34 @@ class Planner:
             # applied post-merge, globally — fixes the reference's
             # per-node LIMIT semantics (query_merge.go:86-92, SURVEY §2.6)
             out = out.limit(stmt.limit)
+        return out
+
+    def _expand_wildcard_calls(self, stmt: SelectStatement,
+                               m: Measurement) -> SelectStatement:
+        """`agg(*)` → one call per field, named `agg_field` (InfluxDB's
+        wildcard-expansion naming)."""
+        if not any(isinstance(f.expr, Call) and f.expr.args
+                   and isinstance(f.expr.args[0], Wildcard)
+                   for f in stmt.fields):
+            return stmt
+        import copy
+        out = copy.copy(stmt)
+        out.fields = []
+        for f in stmt.fields:
+            e = f.expr
+            if isinstance(e, Call) and e.args and isinstance(e.args[0], Wildcard):
+                numeric = {"int", "bigint", "smallint", "tinyint",
+                           "float", "double", "decimal"}
+                dtypes = dict(m.df.dtypes)
+                flds = [fl for fl in m.fields
+                        if dtypes.get(fl, "").split("(")[0] in numeric] \
+                    if e.name != "count" else m.fields
+                for fld in flds:
+                    call = Call(e.name, [VarRef(fld)] + list(e.args[1:]))
+                    out.fields.append(SelectField(
+                        expr=call, alias=f"{e.name}_{fld}"))
+            else:
+                out.fields.append(f)
         return out
 
     def _subquery_measurement(self, src: SubQuery, db: str) -> Measurement:

@@ -219,3 +219,12 @@ def test_subquery_raw_filter(treasures):
         "(SELECT value FROM treasures WHERE type = 'gold')",
         database="sharded")
     assert out.collect()[0]["n"] == 2
+
+
+def test_wildcard_aggregate_expansion(treasures):
+    from influxdb_ha_spark.planner import influxql_df
+    out = influxql_df(treasures, "SELECT mean(*) FROM treasures GROUP BY type",
+                      database="sharded")
+    assert "mean_value" in out.columns
+    got = {r["type"]: r["mean_value"] for r in out.collect()}
+    assert got["gold"] == 80.0
