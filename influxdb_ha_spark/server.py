@@ -45,6 +45,37 @@ _CQ = re.compile(
 _DROP_CQ = re.compile(
     r"^\s*DROP\s+CONTINUOUS\s+QUERY\s+(\S+)\s+ON\s+(\S+)", re.IGNORECASE)
 
+# RouteToAll statements (routing.go:98-111) not covered by _DDL
+_RP = re.compile(
+    r"^\s*(CREATE|ALTER)\s+RETENTION\s+POLICY\s+\"?([\w.]+)\"?\s+ON\s+\"?(\w+)\"?"
+    r"(?:\s+DURATION\s+(\S+))?(?:\s+REPLICATION\s+(\d+))?"
+    r"(?:\s+SHARD\s+DURATION\s+(\S+))?(\s+DEFAULT)?", re.IGNORECASE)
+_DROP_RP = re.compile(
+    r"^\s*DROP\s+RETENTION\s+POLICY\s+\"?([\w.]+)\"?\s+ON\s+\"?(\w+)\"?",
+    re.IGNORECASE)
+_SUB = re.compile(
+    r"^\s*CREATE\s+SUBSCRIPTION\s+\"([^\"]+)\"\s+ON\s+\"?(\w+)\"?\.\"?(\w+)\"?"
+    r"\s+DESTINATIONS\s+(ALL|ANY)\s+(.*)$", re.IGNORECASE)
+_DROP_SUB = re.compile(
+    r"^\s*DROP\s+SUBSCRIPTION\s+\"([^\"]+)\"\s+ON\s+\"?(\w+)\"?\.\"?(\w+)\"?",
+    re.IGNORECASE)
+
+# RouteAuthService statements (routing.go:140-148; service/auth.go:205-243)
+_CREATE_USER = re.compile(
+    r"^\s*CREATE\s+USER\s+\"?(\w+)\"?\s+WITH\s+PASSWORD\s+'([^']*)'"
+    r"(\s+WITH\s+ALL\s+PRIVILEGES)?", re.IGNORECASE)
+_DROP_USER = re.compile(r"^\s*DROP\s+USER\s+\"?(\w+)\"?", re.IGNORECASE)
+_SET_PASSWORD = re.compile(
+    r"^\s*SET\s+PASSWORD\s+FOR\s+\"?(\w+)\"?\s*=\s*'([^']*)'", re.IGNORECASE)
+_GRANT = re.compile(
+    r"^\s*GRANT\s+(READ|WRITE|ALL)(?:\s+PRIVILEGES)?(?:\s+ON\s+\"?(\w+)\"?)?"
+    r"\s+TO\s+\"?(\w+)\"?", re.IGNORECASE)
+_REVOKE = re.compile(
+    r"^\s*REVOKE\s+(?:READ|WRITE|ALL)(?:\s+PRIVILEGES)?(?:\s+ON\s+\"?(\w+)\"?)?"
+    r"\s+FROM\s+\"?(\w+)\"?", re.IGNORECASE)
+_SHOW_USERS = re.compile(r"^\s*SHOW\s+USERS", re.IGNORECASE)
+_SHOW_SUBS = re.compile(r"^\s*SHOW\s+SUBSCRIPTIONS", re.IGNORECASE)
+
 
 class Engine:
     def __init__(self, catalog: Catalog, database: str = "default",
@@ -55,6 +86,7 @@ class Engine:
         self.planner_kw = planner_kw
         self.admin = AdminHandler(catalog)
         self.cq = CQRunner(catalog, now_ns=now_ns)
+        self.subscriptions: list[dict] = []
 
     # -- the /query surface --------------------------------------------------
     def query_df(self, q: str, database: str | None = None) -> DataFrame:
@@ -78,6 +110,9 @@ class Engine:
         m = _DDL.match(q)
         if m:
             return self._ddl(m, db)
+        out = self._route_meta(q, db)
+        if out is not None:
+            return out
 
         stmt = parse_query(q)
         if isinstance(stmt, SelectStatement):
@@ -103,6 +138,69 @@ class Engine:
         except KeyError:
             pass
         return to_influx_series(df, measurement, tag_cols, epoch)
+
+    def _route_meta(self, q: str, db: str) -> DataFrame | None:
+        """Retention-policy / subscription / user statements — the rest of
+        the RouteToAll + RouteAuthService surface (routing.go:98-111,
+        140-148). Returns None if `q` is none of these."""
+        spark = self.catalog.spark
+        ok = lambda: spark.createDataFrame([], "ok string")  # noqa: E731
+        m = _RP.match(q)
+        if m:
+            rps = self.catalog.retention_policies.setdefault(m.group(3), [])
+            rps[:] = [r for r in rps if r.get("name") != m.group(2)]
+            rps.append({"name": m.group(2), "duration": m.group(4) or "0s",
+                        "replicas": int(m.group(5) or 1),
+                        "shard_duration": m.group(6),
+                        "default": bool(m.group(7))})
+            return ok()
+        m = _DROP_RP.match(q)
+        if m:
+            rps = self.catalog.retention_policies.get(m.group(2), [])
+            rps[:] = [r for r in rps if r.get("name") != m.group(1)]
+            return ok()
+        m = _SUB.match(q)
+        if m:
+            self.subscriptions.append(
+                {"name": m.group(1), "database": m.group(2), "rp": m.group(3),
+                 "mode": m.group(4).upper(), "destinations": m.group(5)})
+            return ok()
+        m = _DROP_SUB.match(q)
+        if m:
+            self.subscriptions[:] = [
+                s for s in self.subscriptions
+                if not (s["name"] == m.group(1) and s["database"] == m.group(2)
+                        and s["rp"] == m.group(3))]
+            return ok()
+        if _SHOW_SUBS.match(q):
+            rows = [(s["database"], s["rp"], s["name"], s["mode"],
+                     s["destinations"]) for s in self.subscriptions]
+            return spark.createDataFrame(
+                rows or [], "database string, retention_policy string, "
+                            "name string, mode string, destinations string")
+        m = _CREATE_USER.match(q)
+        if m:
+            self.admin.create_user(m.group(1), m.group(2), bool(m.group(3)))
+            return ok()
+        m = _DROP_USER.match(q)
+        if m:
+            self.admin.drop_user(m.group(1))
+            return ok()
+        m = _SET_PASSWORD.match(q)
+        if m:
+            self.admin.set_password(m.group(1), m.group(2))
+            return ok()
+        m = _GRANT.match(q)
+        if m:
+            self.admin.grant(m.group(3), m.group(2) or "", m.group(1).upper())
+            return ok()
+        m = _REVOKE.match(q)
+        if m:
+            self.admin.revoke(m.group(2), m.group(1) or "")
+            return ok()
+        if _SHOW_USERS.match(q):
+            return self.admin.show_users()
+        return None
 
     # -- SHOW routing (routing.go:121-135) ------------------------------------
     def _show(self, stmt: ShowStatement, db: str) -> DataFrame:

@@ -194,3 +194,40 @@ def test_cq_stream_plan(spark, treasures, tmp_path):
         assert n > 0
     finally:
         q.stop()
+
+
+def test_engine_retention_policy_statements(engine):
+    engine.query_df("CREATE RETENTION POLICY weekly ON sharded "
+                    "DURATION 168h REPLICATION 2 DEFAULT")
+    rows = engine.query_df("SHOW RETENTION POLICIES ON sharded").collect()
+    assert any(r["name"] == "weekly" and r["default"] for r in rows)
+    engine.query_df("DROP RETENTION POLICY weekly ON sharded")
+    rows = engine.query_df("SHOW RETENTION POLICIES ON sharded").collect()
+    assert not any(r["name"] == "weekly" for r in rows)
+
+
+def test_engine_subscription_statements(engine):
+    engine.query_df('CREATE SUBSCRIPTION "sub0" ON "sharded"."autogen" '
+                    "DESTINATIONS ALL 'http://h1:9092'")
+    rows = engine.query_df("SHOW SUBSCRIPTIONS").collect()
+    assert rows[0]["name"] == "sub0" and rows[0]["mode"] == "ALL"
+    engine.query_df('DROP SUBSCRIPTION "sub0" ON "sharded"."autogen"')
+    assert engine.query_df("SHOW SUBSCRIPTIONS").count() == 0
+
+
+def test_engine_user_statements(engine):
+    engine.query_df("CREATE USER root WITH PASSWORD 'secret' "
+                    "WITH ALL PRIVILEGES")
+    engine.query_df("CREATE USER reader WITH PASSWORD 'r'")
+    engine.query_df("GRANT READ ON sharded TO reader")
+    users = {r["user"]: r["admin"]
+             for r in engine.query_df("SHOW USERS").collect()}
+    assert users == {"root": True, "reader": False}
+    assert engine.admin.authorize("reader", "sharded", "READ")
+    assert not engine.admin.authorize("reader", "sharded", "WRITE")
+    engine.query_df("REVOKE READ ON sharded FROM reader")
+    assert not engine.admin.authorize("reader", "sharded", "READ")
+    engine.query_df("SET PASSWORD FOR reader = 'n3w'")
+    assert engine.admin.authenticate("reader", "n3w")
+    engine.query_df("DROP USER reader")
+    assert engine.query_df("SHOW USERS").count() == 1
