@@ -98,3 +98,26 @@ def dedup_replicated(wide: DataFrame) -> DataFrame:
     """Idempotent replicated-ingest dedup (coordinator.go:97-118 hashPoint):
     identical points arriving from multiple replicas collapse to one."""
     return wide.dropDuplicates()
+
+
+def mirror_measurement(m: Measurement, target_path: str,
+                       bookmark_ns: int | None,
+                       pk: PartitionKey | None = None) -> int | None:
+    """Incremental cross-deployment copy with a time bookmark.
+
+    The reference's mirror tool re-imports each measurement with
+    `WHERE time > '<bookmark>'`, persisting the max imported timestamp per
+    measurement (syncing/importer.go:114-139; cmd/mirror/main.go:90-123).
+    Here: one filtered scan (predicate pushed to parquet) + partitioned
+    append; returns the new bookmark (max time copied, ns) or the old one
+    if nothing new. Streaming-checkpoint ingest supersedes this for live
+    feeds; this is the batch/backfill form.
+    """
+    src = m.df
+    if bookmark_ns is not None:
+        src = src.where(F.col(TIME_COL) > F.lit(bookmark_ns))
+    hi = src.agg(F.max(TIME_COL)).first()[0]
+    if hi is None:
+        return bookmark_ns
+    write_measurement(src, target_path, pk)
+    return hi

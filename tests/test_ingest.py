@@ -110,3 +110,30 @@ def test_stream_ingest(spark, tmp_path):
     assert stored.count() == 2
     dlq = spark.read.json(str(tmp_path / "dlq"))
     assert dlq.count() == 1
+
+
+def test_mirror_bookmark(spark, tmp_path):
+    """Mirror copies only rows past the bookmark and advances it
+    (syncing/importer.go:114-139 semantics)."""
+    from influxdb_ha_spark.ingest import mirror_measurement
+    from influxdb_ha_spark.model import Catalog
+
+    rows = [(i * 1000, "a", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "time long, tag string, value double")
+    cat = Catalog(spark)
+    m = cat.register_dataframe("db", "m", df, time_col="time", tags=["tag"])
+    tgt = str(tmp_path / "mirror")
+
+    bm = mirror_measurement(m, tgt, None)
+    assert bm == 9000
+    assert spark.read.parquet(tgt).count() == 10
+    # nothing new → bookmark unchanged, no duplicate append
+    assert mirror_measurement(m, tgt, bm) == 9000
+    assert spark.read.parquet(tgt).count() == 10
+    # late/new data past the bookmark is picked up incrementally
+    more = spark.createDataFrame([(12000, "a", 12.0)],
+                                 "time long, tag string, value double")
+    m2 = cat.register_dataframe("db", "m", df.unionByName(more),
+                                time_col="time", tags=["tag"])
+    assert mirror_measurement(m2, tgt, bm) == 12000
+    assert spark.read.parquet(tgt).count() == 11
