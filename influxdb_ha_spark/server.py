@@ -20,12 +20,13 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .admin import AdminHandler
 from .influxql.ast import SelectStatement, ShowStatement
 from .influxql.clusterql import is_admin_statement
 from .influxql.parser import parse_query
-from .model import Catalog
+from .model import Catalog, Measurement
 from .planner import Planner, QueryError
 from .result import empty_result, to_influx_series
 from .streaming.cq import ContinuousQuery, CQRunner
@@ -258,3 +259,78 @@ class Engine:
     def _measurement_of(q: str) -> str | None:
         m = re.search(r"\bFROM\s+([\w\".]+)", q, re.IGNORECASE)
         return m.group(1).split(".")[-1].strip('"') if m else None
+
+
+# -- in-memory write path (the /write surface without storage paths) --------
+
+_PRECISION_NS = {"ns": 1, "n": 1, "nanoseconds": 1, "u": 1_000, "us": 1_000,
+                 "µ": 1_000, "microseconds": 1_000, "ms": 1_000_000,
+                 "milliseconds": 1_000_000, "s": 1_000_000_000,
+                 "seconds": 1_000_000_000, "m": 60_000_000_000,
+                 "h": 3_600_000_000_000}
+
+
+class WriteError(Exception):
+    pass
+
+
+def write_lines(engine: Engine, database: str, body: str,
+                precision: str = "ns",
+                default_time_ns: int | None = None) -> int:
+    """Batch /write semantics against the in-memory catalog: parse line
+    protocol, pivot per measurement, validate partition keys, merge into
+    (or register) each measurement. Returns accepted point count; raises
+    WriteError on malformed lines or unfulfilled partition keys, mirroring
+    the reference's 400s (write_handler.go:74-78, 104-112)."""
+    from .ingest import validate_partition_key
+    from .lineprotocol import parse_lines_df, pivot_points
+
+    spark = engine.catalog.spark
+    factor = _PRECISION_NS.get(precision or "ns")
+    if factor is None:
+        raise WriteError(f"invalid precision {precision!r}")
+    lines = [ln for ln in body.splitlines() if ln.strip()]
+    if not lines:
+        return 0
+    raw = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    long_df = parse_lines_df(raw, default_time_ns=default_time_ns)
+    if factor != 1:
+        long_df = long_df.withColumn(
+            "time", (F.col("time") * F.lit(factor)).cast("long"))
+    long_df = long_df.cache()
+    errs = [r["error"] for r in
+            long_df.where(F.col("error").isNotNull()).select("error").take(1)]
+    if errs:
+        raise WriteError(f"unable to parse points: {errs[0]}")
+    total = 0
+    names = [r["measurement"] for r in
+             long_df.select("measurement").distinct().collect()]
+    for name in sorted(n for n in names if n):
+        tag_keys = sorted(r["k"] for r in
+                          long_df.where(F.col("measurement") == name)
+                          .select(F.explode(F.map_keys("tags")).alias("k"))
+                          .distinct().collect())
+        wide = pivot_points(long_df, name, tag_keys)
+        pk = engine.catalog.partition_key_for(database, name)
+        valid, rejected = validate_partition_key(wide, pk)
+        bad = rejected.take(1)
+        if bad:
+            raise WriteError(
+                f"missing partition key tags {pk.tags} for {name}")
+        try:
+            m = engine.catalog.get(database, name)
+            merged = m.df.unionByName(valid, allowMissingColumns=True)
+            tags = sorted(set(m.tags) | set(tag_keys))
+            fields = [c for c in merged.columns
+                      if c != "time" and c not in tags]
+            engine.catalog.register(Measurement(
+                name=name, database=database, tags=tags, fields=fields,
+                df=merged))
+        except KeyError:
+            fields = [c for c in valid.columns
+                      if c != "time" and c not in tag_keys]
+            engine.catalog.register(Measurement(
+                name=name, database=database, tags=list(tag_keys),
+                fields=fields, df=valid))
+        total += valid.count()
+    return total

@@ -1,0 +1,102 @@
+"""End-to-end HTTP façade tests: /ping, /write (line protocol, gzip,
+precision), /query (JSON shape, multi-statement, errors) — the reference's
+three routes (service/server.go:31-35)."""
+
+import gzip
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from influxdb_ha_spark.http_server import serve
+from influxdb_ha_spark.model import Catalog, PartitionKey
+from influxdb_ha_spark.server import Engine
+
+
+@pytest.fixture(scope="module")
+def http(spark):
+    cat = Catalog(spark)
+    cat.partition_keys.append(PartitionKey("sharded", "treasures", ["type"]))
+    engine = Engine(cat, database="sharded")
+    srv, port = serve(engine)
+    yield f"http://127.0.0.1:{port}", engine
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url) as r:
+        return r.status, r.headers, r.read()
+
+
+def _post(url, data, headers=None):
+    req = urllib.request.Request(url, data=data, headers=headers or {})
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.headers, r.read()
+
+
+def test_ping(http):
+    base, _ = http
+    status, headers, _ = _get(base + "/ping")
+    assert status == 204
+    assert "influxdb" in headers["X-Influxdb-Version"].lower()
+
+
+def test_write_then_query_roundtrip(http):
+    base, _ = http
+    body = (b"treasures,type=gold value=100 1500000000000000000\n"
+            b"treasures,type=gold value=60 1500000000000000001\n"
+            b"treasures,type=trash value=0 1500000000000000002\n")
+    status, _, _ = _post(base + "/write?db=sharded", body)
+    assert status == 204
+    status, _, out = _get(base + "/query?db=sharded&q=" +
+                          urllib.request.quote(
+                              "SELECT sum(value) AS s FROM treasures "
+                              "GROUP BY type"))
+    assert status == 200
+    res = json.loads(out)["results"][0]
+    by_tag = {s["tags"]["type"]: s["values"][0] for s in res["series"]}
+    assert by_tag["gold"][-1] == 160.0 and by_tag["trash"][-1] == 0.0
+
+
+def test_write_gzip_and_precision(http):
+    base, _ = http
+    raw = b"treasures,type=silver value=5 1500000001\n"
+    status, _, _ = _post(base + "/write?db=sharded&precision=s",
+                         gzip.compress(raw),
+                         {"Content-Encoding": "gzip"})
+    assert status == 204
+    status, _, out = _get(base + "/query?db=sharded&epoch=ns&q=" +
+                          urllib.request.quote(
+                              "SELECT value FROM treasures "
+                              "WHERE type='silver'"))
+    vals = json.loads(out)["results"][0]["series"][0]["values"]
+    assert vals[0][0] == 1500000001_000_000_000  # seconds → ns
+
+
+def test_write_missing_db_is_400(http):
+    base, _ = http
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/write", b"m v=1")
+    assert e.value.code == 400
+
+
+def test_write_partition_key_violation_is_400(http):
+    base, _ = http
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/write?db=sharded", b"treasures value=1 1500000000000000005")
+    assert e.value.code == 400
+    assert "partition key" in json.loads(e.value.read())["error"]
+
+
+def test_query_multi_statement_and_errors(http):
+    base, _ = http
+    q = "SELECT count(value) AS n FROM treasures; SHOW MEASUREMENTS"
+    status, _, out = _get(base + "/query?db=sharded&q=" +
+                          urllib.request.quote(q))
+    res = json.loads(out)["results"]
+    assert [r["statement_id"] for r in res] == [0, 1]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base + "/query?db=sharded&q=" +
+             urllib.request.quote("DROP SHARD 1"))
+    assert e.value.code == 400
