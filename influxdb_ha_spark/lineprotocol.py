@@ -57,7 +57,52 @@ def _split_escaped(s: str, sep: str) -> list[str]:
 
 
 def _unescape(s: str) -> str:
-    return _ESCAPED_COMMA_SPACE.sub(r"\1", s)
+    """Drop one level of backslash escaping (`\\x` → `x`, incl. `\\\\`)."""
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            out.append(s[i + 1])
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def _split_quote_aware(s: str, sep: str) -> list[str]:
+    """Split on `sep` unless backslash-escaped or inside double quotes
+    (string field values may contain separators — influx line protocol)."""
+    out, cur, i, in_q = [], [], 0, False
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            cur.append(c)
+            cur.append(s[i + 1])
+            i += 2
+            continue
+        if c == '"':
+            in_q = not in_q
+        if c == sep and not in_q:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
+def _partition_unescaped_eq(s: str) -> tuple[str, str]:
+    """Split key=value at the first unescaped `=` (keys may contain `\\=`)."""
+    i = 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            i += 2
+            continue
+        if s[i] == "=":
+            return s[:i], s[i + 1:]
+        i += 1
+    raise ValueError(f"missing '=' in {s!r}")
 
 
 def parse_line(line: str, default_time_ns: int | None = None) -> list[dict]:
@@ -68,7 +113,7 @@ def parse_line(line: str, default_time_ns: int | None = None) -> list[dict]:
         return []
     try:
         # measurement[,tags] <space> fields [<space> timestamp]
-        parts = _split_escaped(line, " ")
+        parts = _split_quote_aware(line, " ")
         parts = [p for p in parts if p != ""]
         if len(parts) < 2:
             raise ValueError("missing fields")
@@ -80,20 +125,18 @@ def parse_line(line: str, default_time_ns: int | None = None) -> list[dict]:
             raise ValueError("missing measurement")
         tags = {}
         for t in head_parts[1:]:
-            k, _, v = t.partition("=")
+            k, v = _partition_unescaped_eq(t)
             if not k or not v:
                 raise ValueError(f"bad tag: {t!r}")
             tags[_unescape(k)] = _unescape(v)
         out = []
-        for fp in _split_escaped(fields_part, ","):
-            k, eq, v = fp.partition("=")
-            if not eq:
-                raise ValueError(f"bad field: {fp!r}")
+        for fp in _split_quote_aware(fields_part, ","):
+            k, v = _partition_unescaped_eq(fp)
             rec = {"measurement": measurement, "tags": tags,
                    "field_key": _unescape(k), "f_float": None, "f_int": None,
                    "f_bool": None, "f_str": None, "time": ts, "error": None}
             if v.startswith('"') and v.endswith('"') and len(v) >= 2:
-                rec["f_str"] = v[1:-1].replace('\\"', '"')
+                rec["f_str"] = _unescape(v[1:-1])
             elif v in ("t", "T", "true", "True", "TRUE"):
                 rec["f_bool"] = True
             elif v in ("f", "F", "false", "False", "FALSE"):
@@ -161,3 +204,39 @@ def pivot_points(long_df: DataFrame, measurement: str,
 def errors_df(long_df: DataFrame) -> DataFrame:
     """Malformed lines (the dead-letter stream)."""
     return long_df.where(F.col("error").isNotNull()).select("error")
+
+
+# -- formatting (the write/export direction) --------------------------------
+
+def _escape_key(s: str) -> str:
+    return s.replace("\\", "\\\\").replace(",", "\\,") \
+            .replace(" ", "\\ ").replace("=", "\\=")
+
+
+def format_point(measurement: str, tags: dict[str, str],
+                 fields: dict[str, object], time_ns: int | None = None) -> str:
+    """Point → line protocol (the inverse of `parse_line`; the export shape
+    the reference relays to data nodes, write_handler.go:166-172).
+
+    Field typing mirrors InfluxDB: int → `42i`, bool → `true`/`false`,
+    str → quoted with escaped quotes, float → repr.
+    """
+    head = _escape_key(measurement)
+    for k in sorted(tags):
+        head += f",{_escape_key(k)}={_escape_key(str(tags[k]))}"
+    fps = []
+    for k in sorted(fields):
+        v = fields[k]
+        if isinstance(v, bool):
+            s = "true" if v else "false"
+        elif isinstance(v, int):
+            s = f"{v}i"
+        elif isinstance(v, float):
+            s = repr(v)
+        else:
+            s = '"' + str(v).replace("\\", "\\\\").replace('"', '\\"') + '"'
+        fps.append(f"{_escape_key(k)}={s}")
+    line = f"{head} {','.join(fps)}"
+    if time_ns is not None:
+        line += f" {time_ns}"
+    return line

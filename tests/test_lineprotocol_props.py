@@ -1,0 +1,53 @@
+"""Property-based round-trip: format_point → parse_line recovers the point
+exactly, for arbitrary measurement/tag/field content including characters
+that require escaping (commas, spaces, equals, quotes, backslashes)."""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from influxdb_ha_spark.lineprotocol import format_point, parse_line
+
+name = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\n\r\\\"",
+                           exclude_categories=("Cc",)),
+    min_size=1, max_size=12).filter(lambda s: s.strip() == s and s)
+
+field_val = st.one_of(
+    st.integers(min_value=-2**62, max_value=2**62),
+    st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(alphabet=st.characters(codec="ascii", exclude_characters="\n\r",
+                                   exclude_categories=("Cc",)), max_size=20))
+
+
+@settings(max_examples=200, deadline=None)
+@given(measurement=name,
+       tags=st.dictionaries(name, name, max_size=3),
+       fields=st.dictionaries(name, field_val, min_size=1, max_size=3),
+       time_ns=st.integers(min_value=0, max_value=2**62))
+def test_roundtrip(measurement, tags, fields, time_ns):
+    line = format_point(measurement, tags, fields, time_ns)
+    recs = parse_line(line)
+    assert recs and all(r["error"] is None for r in recs), (line, recs)
+    r0 = recs[0]
+    assert r0["measurement"] == measurement
+    assert r0["tags"] == tags
+    assert r0["time"] == time_ns
+    got = {}
+    for r in recs:
+        if r["f_int"] is not None:
+            got[r["field_key"]] = r["f_int"]
+        elif r["f_bool"] is not None:
+            got[r["field_key"]] = r["f_bool"]
+        elif r["f_float"] is not None:
+            got[r["field_key"]] = r["f_float"]
+        else:
+            got[r["field_key"]] = r["f_str"]
+    for k, v in fields.items():
+        if isinstance(v, bool):
+            assert got[k] is v
+        elif isinstance(v, float):
+            assert math.isclose(got[k], v, rel_tol=0, abs_tol=0) or got[k] == v
+        else:
+            assert got[k] == v
