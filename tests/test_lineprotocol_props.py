@@ -22,7 +22,7 @@ field_val = st.one_of(
 
 
 @settings(max_examples=200, deadline=None)
-@given(measurement=name,
+@given(measurement=name.filter(lambda s: not s.startswith("#")),
        tags=st.dictionaries(name, name, max_size=3),
        fields=st.dictionaries(name, field_val, min_size=1, max_size=3),
        time_ns=st.integers(min_value=0, max_value=2**62))
