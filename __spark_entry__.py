@@ -596,6 +596,14 @@ def q_iq_regex_tag(spark, sf):
     return df.select("event_type", "n", _fr(F.col("sv"), 2).alias("sv"))
 
 
+def q_iq_bucket_offset(spark, sf):
+    """GROUP BY time(1d, 6h) — offset-aligned buckets
+    (influxql interval offset; bucketing in timeutil.time_bucket)."""
+    return _iq(spark, sf,
+               "SELECT count(value) AS n FROM events "
+               "GROUP BY time(1d, 6h), event_type fill(none)")
+
+
 def q_iq_subquery(spark, sf):
     """Subquery source — influxql feature the reference cannot run
     (README.md:190-194); outer agg over inner GROUP BY time() aggregate."""
@@ -714,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iq_sample": q_iq_sample,
         "iq_regex_tag": q_iq_regex_tag,
         "iq_subquery": q_iq_subquery,
+        "iq_bucket_offset": q_iq_bucket_offset,
         "iq_stats": q_iq_stats,
         "iq_rate_1h": q_iq_rate_1h,
         "iq_cumsum_1d": q_iq_cumsum_1d,

@@ -119,7 +119,28 @@ class Engine:
         if isinstance(stmt, SelectStatement):
             planner = Planner(self.catalog, db, now_ns=self.now_ns,
                               **self.planner_kw)
-            return planner.plan(stmt)
+            out = planner.plan(stmt)
+            if stmt.into is not None:
+                # batch SELECT … INTO target: materialize the result as a
+                # new measurement (InfluxDB writes it back; the CQ runner
+                # uses the same path on a schedule — importer.go:579-594)
+                tags = [t for t in stmt.group_by_tags
+                        if t != "*" and t in out.columns]
+                stored = out
+                if "time" not in stored.columns:
+                    # ungrouped-time aggregates land at epoch 0, like
+                    # InfluxDB's INTO behavior
+                    stored = stored.withColumn("time", F.lit(0).cast("long"))
+                fields = [c for c in stored.columns
+                          if c != "time" and c not in tags]
+                self.catalog.register(Measurement(
+                    name=stmt.into.name,
+                    database=stmt.into.database or db,
+                    tags=tags, fields=fields, df=stored))
+                n = out.count()
+                return self.catalog.spark.createDataFrame(
+                    [(stmt.into.name, n)], "written string, n long")
+            return out
         if isinstance(stmt, ShowStatement):
             return self._show(stmt, db)
         raise QueryError(f"unsupported statement: {q[:60]}")

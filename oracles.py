@@ -580,6 +580,10 @@ def build_oracles() -> dict[str, str]:
              {fr('sum(value)', 2)} AS sv
       FROM events WHERE regexp_matches(event_type, '^(click|view)$')
       GROUP BY 1"""
+    o["iq_bucket_offset"] = f"""
+      SELECT (({EV_TIME} - {6 * HOUR}) // {DAY}) * {DAY} + {6 * HOUR} AS time,
+             event_type, count(value) AS n
+      FROM events GROUP BY 1, 2"""
     o["iq_subquery"] = f"""
       WITH a AS (
         SELECT ({EV_TIME} // {DAY}) * {DAY} AS time, event_type,

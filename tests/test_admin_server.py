@@ -231,3 +231,13 @@ def test_engine_user_statements(engine):
     assert engine.admin.authenticate("reader", "n3w")
     engine.query_df("DROP USER reader")
     assert engine.query_df("SHOW USERS").count() == 1
+
+
+def test_select_into(engine):
+    """Batch SELECT … INTO materializes the result as a queryable
+    measurement (the non-scheduled form of a CQ)."""
+    r = engine.query_df("SELECT sum(value) AS s INTO treasure_sums "
+                        "FROM treasures GROUP BY type").collect()
+    assert r[0]["written"] == "treasure_sums" and r[0]["n"] == 3
+    out = engine.query_df("SELECT s FROM treasure_sums WHERE type='gold'")
+    assert out.collect()[0]["s"] == 160.0
