@@ -1,0 +1,24 @@
+"""Driver-contract hygiene: queries()/oracle_sql() stay in sync."""
+
+import __spark_entry__ as entry
+import oracles
+
+# rows-only by design: seeded-rand sample, xxhash64 variant, and Spark's
+# HLL++ sketch (none DuckDB-mirrorable)
+ROWS_ONLY = {"iq_sample", "doc_near_dups_fast", "agg_approx_distinct"}
+
+
+def test_every_query_has_oracle_or_is_rows_only():
+    qs = set(entry.queries())
+    os_ = set(entry.oracle_sql())
+    assert os_ <= qs, f"orphan oracles: {os_ - qs}"
+    assert qs - os_ == ROWS_ONLY, f"missing oracles: {qs - os_ - ROWS_ONLY}"
+
+
+def test_oracles_module_matches_entry():
+    assert entry.oracle_sql() == oracles.build_oracles()
+
+
+def test_queries_are_callable():
+    for name, fn in entry.queries().items():
+        assert callable(fn), name
