@@ -434,6 +434,30 @@ def q_show_series(spark, sf):
     return cat.show_series("default", "events")
 
 
+def q_show_tag_keys(spark, sf):
+    """SHOW TAG KEYS from schema metadata (importer.go:596-612 queries the
+    data nodes; here it's a catalog lookup — zero scan)."""
+    return _catalog(spark, sf).show_tag_keys("default", "events")
+
+
+def q_show_field_keys(spark, sf):
+    return (_catalog(spark, sf).show_field_keys("default", "events")
+            .select("measurement", "fieldKey"))
+
+
+def q_cq_backfill(spark, sf):
+    """Continuous-query machinery under the correctness gate: create a CQ
+    and run its batch/backfill pass (streaming/cq.py run_batch; the
+    reference only copies CQ definitions, importer.go:579-594)."""
+    from influxdb_ha_spark.server import Engine
+    eng = Engine(_catalog(spark, sf), database="default", now_ns=NOW_NS)
+    eng.query_df("CREATE CONTINUOUS QUERY daily_counts ON default BEGIN "
+                 "SELECT count(value) AS n INTO daily_events FROM events "
+                 "GROUP BY time(1d), event_type fill(none) END")
+    out = eng.cq.run_batch("daily_counts")
+    return out.select("time", "event_type", "n")
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline operators (added scope — SURVEY.md §7)
 # --------------------------------------------------------------------------
@@ -743,6 +767,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "show_measurements": q_show_measurements,
         "show_tag_values": q_show_tag_values,
         "show_series": q_show_series,
+        "show_tag_keys": q_show_tag_keys,
+        "show_field_keys": q_show_field_keys,
+        "cq_backfill": q_cq_backfill,
         # LLM-pipeline scope (§7)
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_fingerprint_dedup": q_doc_fingerprint_dedup,

@@ -394,6 +394,16 @@ def build_oracles() -> dict[str, str]:
       SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events"""
     o["show_series"] = """
       SELECT DISTINCT 'events,event_type=' || event_type AS key FROM events"""
+    # schema-derived meta: the oracle states the known schema roles
+    o["show_tag_keys"] = """
+      SELECT 'events' AS measurement, 'event_type' AS tagKey"""
+    o["show_field_keys"] = """
+      SELECT 'events' AS measurement, unnest(['value','event_id','user_id',
+             'props']) AS fieldKey"""
+    o["cq_backfill"] = f"""
+      SELECT ({EV_TIME} // {DAY}) * {DAY} AS time, event_type,
+             count(value) AS n
+      FROM events GROUP BY 1, 2"""
 
     # -- LLM ops -----------------------------------------------------------
     o["doc_exact_dedup"] = """
