@@ -76,6 +76,11 @@ _REVOKE = re.compile(
     r"\s+FROM\s+\"?(\w+)\"?", re.IGNORECASE)
 _SHOW_USERS = re.compile(r"^\s*SHOW\s+USERS", re.IGNORECASE)
 _SHOW_SUBS = re.compile(r"^\s*SHOW\s+SUBSCRIPTIONS", re.IGNORECASE)
+_SHOW_GRANTS = re.compile(r"^\s*SHOW\s+GRANTS\s+FOR\s+\"?(\w+)\"?",
+                          re.IGNORECASE)
+_SHOW_QUERIES = re.compile(r"^\s*SHOW\s+QUERIES", re.IGNORECASE)
+_DELETE = re.compile(r"^\s*DELETE\s+FROM\s+(\S+)(?:\s+WHERE\s+(.*))?$",
+                     re.IGNORECASE | re.DOTALL)
 
 
 class Engine:
@@ -222,6 +227,33 @@ class Engine:
             return ok()
         if _SHOW_USERS.match(q):
             return self.admin.show_users()
+        m = _SHOW_GRANTS.match(q)
+        if m:
+            u = self.admin.users.get(m.group(1), {})
+            rows = sorted((d, p) for d, p in u.get("grants", {}).items())
+            return spark.createDataFrame(
+                rows or [], "database string, privilege string")
+        if _SHOW_QUERIES.match(q):
+            rows = [(s.id, s.name or "", "streaming")
+                    for s in spark.streams.active]
+            return spark.createDataFrame(
+                rows or [], "qid string, query string, kind string")
+        m = _DELETE.match(q)
+        if m:
+            # DELETE FROM m [WHERE …] — same broadcast path as DROP SERIES
+            # (routing.go:98-111); WHERE may include time bounds.
+            meas = self.catalog.get(db, m.group(1))
+            cond = m.group(2)
+            if cond:
+                from .influxql.parser import Parser
+                from .planner import PlanContext
+                expr = Parser(cond).parse_expr()
+                planner = Planner(self.catalog, db, now_ns=self.now_ns)
+                ctx = PlanContext(meas, planner.now_ns)
+                meas.df = meas.df.where(~planner._where_expr(expr, ctx))
+            else:
+                meas.df = meas.df.limit(0)
+            return ok()
         return None
 
     # -- SHOW routing (routing.go:121-135) ------------------------------------

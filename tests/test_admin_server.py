@@ -241,3 +241,47 @@ def test_select_into(engine):
     assert r[0]["written"] == "treasure_sums" and r[0]["n"] == 3
     out = engine.query_df("SELECT s FROM treasure_sums WHERE type='gold'")
     assert out.collect()[0]["s"] == 160.0
+
+
+def test_delete_from_with_time_predicate(spark):
+    from influxdb_ha_spark.model import Catalog
+    from influxdb_ha_spark.server import Engine
+    # fresh catalog — DELETE mutates measurement state
+    rows = [(i, t, v) for i, (t, v) in enumerate(
+        [("gold", 100.0), ("gold", 60.0), ("trash", 0.0),
+         ("silver", 50.0), ("silver", 2.0)])]
+    df = spark.createDataFrame(rows, "time long, type string, value double")
+    cat = Catalog(spark)
+    cat.register_dataframe("sharded", "treasures", df, time_col="time",
+                           tags=["type"])
+    eng = Engine(cat, database="sharded")
+    before = eng.query_df("SELECT count(value) AS n FROM treasures").collect()[0]["n"]
+    assert before == 5
+    eng.query_df("DELETE FROM treasures WHERE type = 'silver'")
+    assert eng.query_df("SELECT count(value) AS n FROM treasures").collect()[0]["n"] == 3
+    eng.query_df("DELETE FROM treasures")
+    assert eng.query_df("SELECT count(value) AS n FROM treasures").collect()[0]["n"] == 0
+
+
+def test_show_grants_and_queries(engine):
+    engine.query_df("CREATE USER admin2 WITH PASSWORD 'p' WITH ALL PRIVILEGES") \
+        if not engine.admin.users else None
+    engine.query_df("CREATE USER gq WITH PASSWORD 'p'")
+    engine.query_df("GRANT WRITE ON sharded TO gq")
+    rows = engine.query_df("SHOW GRANTS FOR gq").collect()
+    assert [(r["database"], r["privilege"]) for r in rows] == [("sharded", "WRITE")]
+    assert engine.query_df("SHOW QUERIES").columns == ["qid", "query", "kind"]
+
+
+def test_retention_enforcement(spark):
+    from influxdb_ha_spark.maintenance import enforce_retention
+    from influxdb_ha_spark.model import Catalog
+    cat = Catalog(spark)
+    rows = [(i * 10**9, "a", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "time long, tag string, value double")
+    cat.register_dataframe("db", "m", df, time_col="time", tags=["tag"])
+    cat.retention_policies["db"] = [
+        {"name": "rp", "duration": "5s", "default": True}]
+    trimmed = enforce_retention(cat, "db", now_ns=10 * 10**9)
+    assert trimmed == {"m": 5 * 10**9}
+    assert cat.get("db", "m").df.count() == 5  # times 5..9 survive
