@@ -233,13 +233,23 @@ def test_engine_user_statements(engine):
     assert engine.query_df("SHOW USERS").count() == 1
 
 
-def test_select_into(engine):
+def test_select_into(spark):
     """Batch SELECT … INTO materializes the result as a queryable
-    measurement (the non-scheduled form of a CQ)."""
-    r = engine.query_df("SELECT sum(value) AS s INTO treasure_sums "
-                        "FROM treasures GROUP BY type").collect()
+    measurement (the non-scheduled form of a CQ). Fresh catalog — INTO
+    registers a new measurement."""
+    from influxdb_ha_spark.model import Catalog
+    from influxdb_ha_spark.server import Engine
+    rows = [(i, t, v) for i, (t, v) in enumerate(
+        [("gold", 100.0), ("gold", 60.0), ("trash", 0.0), ("silver", 52.0)])]
+    df = spark.createDataFrame(rows, "time long, type string, value double")
+    cat = Catalog(spark)
+    cat.register_dataframe("sharded", "treasures", df, time_col="time",
+                           tags=["type"])
+    eng = Engine(cat, database="sharded")
+    r = eng.query_df("SELECT sum(value) AS s INTO treasure_sums "
+                     "FROM treasures GROUP BY type").collect()
     assert r[0]["written"] == "treasure_sums" and r[0]["n"] == 3
-    out = engine.query_df("SELECT s FROM treasure_sums WHERE type='gold'")
+    out = eng.query_df("SELECT s FROM treasure_sums WHERE type='gold'")
     assert out.collect()[0]["s"] == 160.0
 
 
