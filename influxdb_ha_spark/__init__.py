@@ -21,3 +21,8 @@ Architecture (Spark-first, NOT a port):
 """
 
 __version__ = "0.1.0"
+
+from .model import Catalog, Measurement, PartitionKey, TIME_COL  # noqa: E402,F401
+from .planner import Planner, QueryError, influxql_df  # noqa: E402,F401
+from .server import Engine, write_lines  # noqa: E402,F401
+from .session import get_spark  # noqa: E402,F401
