@@ -71,6 +71,13 @@ class SubQuery:
 
 
 @dataclass
+class SourceList:
+    refs: list  # list[MeasurementRef] — FROM m1, m2, …
+    database: str | None = None
+    regex: str | None = None  # shape-compat
+
+
+@dataclass
 class SelectField:
     expr: object
     alias: str | None = None

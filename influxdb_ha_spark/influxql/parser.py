@@ -11,7 +11,8 @@ from __future__ import annotations
 
 from .ast import (BinaryExpr, Call, DurationLit, IntegerLit, MeasurementRef,
                   NumberLit, RegexLit, SelectField, SelectStatement,
-                  ShowStatement, StringLit, SubQuery, VarRef, Wildcard)
+                  ShowStatement, SourceList, StringLit, SubQuery, VarRef,
+                  Wildcard)
 from .lexer import Token, tokenize
 from ..timeutil import parse_duration_ns
 
@@ -73,6 +74,14 @@ class Parser:
             source = SubQuery(stmt=inner)
         else:
             source = self.parse_measurement_ref()
+            if self.peek().kind == "OP" and self.peek().text == ",":
+                # FROM m1, m2 — union of per-measurement results (the
+                # reference rejects this on partitioned data,
+                # README.md:196-200; free on Spark)
+                refs = [source]
+                while self.accept("OP", ","):
+                    refs.append(self.parse_measurement_ref())
+                source = SourceList(refs=refs)
         stmt = SelectStatement(fields=fields, source=source, into=into)
         if self.accept("KEYWORD", "WHERE"):
             stmt.where = self.parse_expr()

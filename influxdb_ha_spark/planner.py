@@ -32,7 +32,7 @@ from .functions.math import MATH_FUNCS, apply_math, binary_op
 from .functions import transforms as T
 from .influxql.ast import (BinaryExpr, Call, DurationLit, IntegerLit,
                            NumberLit, RegexLit, SelectField, SelectStatement,
-                           StringLit, SubQuery, VarRef, Wildcard)
+                           SourceList, StringLit, SubQuery, VarRef, Wildcard)
 from .model import Catalog, Measurement, TIME_COL
 from .timeutil import parse_time_literal_ns, time_bucket
 
@@ -74,6 +74,8 @@ class Planner:
         db = stmt.source.database or self.database
         if stmt.source.regex is not None:
             return self._plan_regex_source(stmt, db)
+        if isinstance(stmt.source, SourceList):
+            return self._plan_source_list(stmt, db)
         if isinstance(stmt.source, SubQuery):
             m = self._subquery_measurement(stmt.source, db)
         else:
@@ -171,6 +173,22 @@ class Planner:
         fields = [c for c in cols if c != TIME_COL and c not in tags]
         return Measurement(name="(subquery)", database=db, tags=tags,
                            fields=fields, df=inner_df)
+
+    def _plan_source_list(self, stmt: SelectStatement, db: str) -> DataFrame:
+        """FROM m1, m2 — per-measurement plans unioned with a `measurement`
+        column (README.md:196-200: rejected by the reference on partitioned
+        data; the Spark union is the natural semantics)."""
+        import copy
+        outs = []
+        for ref in stmt.source.refs:
+            sub = copy.deepcopy(stmt)
+            sub.source = ref
+            outs.append(self.plan(sub).withColumn(
+                "measurement", F.lit(ref.name)))
+        result = outs[0]
+        for o in outs[1:]:
+            result = result.unionByName(o, allowMissingColumns=True)
+        return result
 
     def _plan_regex_source(self, stmt: SelectStatement, db: str) -> DataFrame:
         """FROM /re/ — run the statement against every matching measurement

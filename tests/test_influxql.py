@@ -228,3 +228,15 @@ def test_wildcard_aggregate_expansion(treasures):
     assert "mean_value" in out.columns
     got = {r["type"]: r["mean_value"] for r in out.collect()}
     assert got["gold"] == 80.0
+
+
+def test_from_measurement_list(treasures):
+    """FROM m1, m2 — rejected by the reference on partitioned data
+    (README.md:196-200); here a per-measurement union."""
+    from influxdb_ha_spark.planner import influxql_df
+    out = influxql_df(treasures,
+                      "SELECT count(value) AS n FROM treasures, treasures",
+                      database="sharded")
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r["n"] == 5 and r["measurement"] == "treasures" for r in rows)
