@@ -105,6 +105,7 @@ class SelectStatement:
     slimit: int | None = None
     soffset: int | None = None
     into: MeasurementRef | None = None  # SELECT ... INTO (continuous queries)
+    tz: str | None = None          # tz('America/Chicago') — local buckets
 
 
 @dataclass

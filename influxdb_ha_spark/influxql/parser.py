@@ -109,6 +109,12 @@ class Parser:
             stmt.slimit = int(self.expect("INTEGER").text)
         if self.accept("KEYWORD", "SOFFSET"):
             stmt.soffset = int(self.expect("INTEGER").text)
+        t = self.peek()
+        if t.kind == "IDENT" and t.text.lower() == "tz":
+            self.next()
+            self.expect("OP", "(")
+            stmt.tz = self.expect("STRING").text
+            self.expect("OP", ")")
         return stmt
 
     def _parse_group_by(self, stmt: SelectStatement) -> None:

@@ -34,7 +34,7 @@ from .influxql.ast import (BinaryExpr, Call, DurationLit, IntegerLit,
                            NumberLit, RegexLit, SelectField, SelectStatement,
                            SourceList, StringLit, SubQuery, VarRef, Wildcard)
 from .model import Catalog, Measurement, TIME_COL
-from .timeutil import parse_time_literal_ns, time_bucket
+from .timeutil import parse_time_literal_ns, time_bucket, time_bucket_tz
 
 TRANSFORMS = {"derivative", "non_negative_derivative", "difference",
               "non_negative_difference", "cumulative_sum", "elapsed",
@@ -232,8 +232,12 @@ class Planner:
                         ctx: PlanContext) -> DataFrame:
         keys: list[str] = []
         if stmt.group_by_time_ns:
-            df = df.withColumn("__bucket", time_bucket(
-                F.col(TIME_COL), stmt.group_by_time_ns, stmt.group_by_offset_ns))
+            bucket = (time_bucket_tz(F.col(TIME_COL), stmt.group_by_time_ns,
+                                     stmt.tz, stmt.group_by_offset_ns)
+                      if stmt.tz else
+                      time_bucket(F.col(TIME_COL), stmt.group_by_time_ns,
+                                  stmt.group_by_offset_ns))
+            df = df.withColumn("__bucket", bucket)
             keys.append("__bucket")
         keys += group_tags
 
@@ -348,8 +352,12 @@ class Planner:
         field = call.args[0].name
         keys: list[Column] = []
         if stmt.group_by_time_ns:
-            df = df.withColumn("__bucket", time_bucket(
-                F.col(TIME_COL), stmt.group_by_time_ns, stmt.group_by_offset_ns))
+            bucket = (time_bucket_tz(F.col(TIME_COL), stmt.group_by_time_ns,
+                                     stmt.tz, stmt.group_by_offset_ns)
+                      if stmt.tz else
+                      time_bucket(F.col(TIME_COL), stmt.group_by_time_ns,
+                                  stmt.group_by_offset_ns))
+            df = df.withColumn("__bucket", bucket)
             keys.append(F.col("__bucket"))
         keys += [F.col(t) for t in group_tags]
 

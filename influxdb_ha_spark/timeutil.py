@@ -103,3 +103,23 @@ def format_time(time_col: Column, epoch: str | None) -> Column:
         return F.date_format(ns_to_timestamp(time_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
     div = PRECISIONS[epoch]
     return (time_col / F.lit(div)).cast("long")
+
+
+def time_bucket_tz(time_col: Column, interval_ns: int, zone: str,
+                   offset_ns: int = 0) -> Column:
+    """tz('zone') bucketing: floor in local wall-clock time, then map the
+    bucket edge back to the UTC instant (influxql's tz clause; the
+    reference forwards it verbatim inside the statement).
+
+    Shift-floor-unshift at µs precision: from_utc_timestamp applies the
+    zone offset in effect at each point, so buckets track DST the way the
+    local calendar does. Sub-µs interval alignment is unsupported with tz
+    (as is sub-second in practice).
+    """
+    local = F.from_utc_timestamp(ns_to_timestamp(time_col), zone)
+    local_ns = F.unix_micros(local) * F.lit(1000)
+    shifted = local_ns - F.lit(offset_ns)
+    floored = (shifted - _pmod(shifted, interval_ns)) + F.lit(offset_ns)
+    back = F.to_utc_timestamp(F.timestamp_micros(
+        (floored / F.lit(1000)).cast("long")), zone)
+    return F.unix_micros(back) * F.lit(1000)

@@ -240,3 +240,29 @@ def test_from_measurement_list(treasures):
     rows = out.collect()
     assert len(rows) == 2
     assert all(r["n"] == 5 and r["measurement"] == "treasures" for r in rows)
+
+
+def test_tz_clause_daily_buckets(spark):
+    """tz('America/Chicago'): daily buckets align to local midnight
+    (UTC-6 in winter), not UTC midnight."""
+    from influxdb_ha_spark.model import Catalog
+    from influxdb_ha_spark.planner import influxql_df
+    # 2024-01-10T05:00Z = Jan 9 23:00 Chicago; 2024-01-10T07:00Z = Jan 10 01:00
+    t1 = 1704862800000000000  # 2024-01-10T05:00:00Z
+    t2 = t1 + 2 * 3_600_000_000_000
+    df = spark.createDataFrame([(t1, "a", 1.0), (t2, "a", 2.0)],
+                               "time long, tag string, value double")
+    cat = Catalog(spark)
+    cat.register_dataframe("db", "m", df, time_col="time", tags=["tag"])
+    out = influxql_df(cat, "SELECT sum(value) AS s FROM m "
+                      "GROUP BY time(1d) fill(none) tz('America/Chicago')",
+                      database="db")
+    rows = {r["time"]: r["s"] for r in out.collect()}
+    jan9_local_midnight_utc = 1704780000000000000   # 2024-01-09T06:00:00Z
+    jan10_local_midnight_utc = 1704866400000000000  # 2024-01-10T06:00:00Z
+    assert rows == {jan9_local_midnight_utc: 1.0,
+                    jan10_local_midnight_utc: 2.0}
+    # without tz both points land in the same UTC day
+    out2 = influxql_df(cat, "SELECT sum(value) AS s FROM m "
+                       "GROUP BY time(1d) fill(none)", database="db")
+    assert len(out2.collect()) == 1
