@@ -628,6 +628,25 @@ def q_iq_bucket_offset(spark, sf):
                "GROUP BY time(1d, 6h), event_type fill(none)")
 
 
+def q_iq_tz_daily(spark, sf):
+    """tz('America/New_York') — DST-correct local-midnight daily buckets
+    (influxql tz clause; timeutil.time_bucket_tz shift-floor-unshift)."""
+    return _iq(spark, sf,
+               "SELECT count(value) AS n FROM events "
+               "GROUP BY time(1d), event_type fill(none) "
+               "tz('America/New_York')")
+
+
+def q_iq_fill_null(spark, sf):
+    """fill(null) default: empty buckets emitted with null values over the
+    WHERE-bounded spine (merge/query_merge.go:72-81 semantics)."""
+    df = _iq(spark, sf,
+             "SELECT sum(value) AS mv FROM events "
+             f"WHERE time >= {JAN1} AND time < {JAN1 + 7 * DAY} "
+             "AND event_type='signup' GROUP BY time(6h)")
+    return df.select("time", _fr(F.col("mv"), 4).alias("mv"))
+
+
 def q_iq_subquery(spark, sf):
     """Subquery source — influxql feature the reference cannot run
     (README.md:190-194); outer agg over inner GROUP BY time() aggregate."""
@@ -747,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iq_regex_tag": q_iq_regex_tag,
         "iq_subquery": q_iq_subquery,
         "iq_bucket_offset": q_iq_bucket_offset,
+        "iq_tz_daily": q_iq_tz_daily,
+        "iq_fill_null": q_iq_fill_null,
         "iq_stats": q_iq_stats,
         "iq_rate_1h": q_iq_rate_1h,
         "iq_cumsum_1d": q_iq_cumsum_1d,

@@ -594,6 +594,33 @@ def build_oracles() -> dict[str, str]:
       SELECT (({EV_TIME} - {6 * HOUR}) // {DAY}) * {DAY} + {6 * HOUR} AS time,
              event_type, count(value) AS n
       FROM events GROUP BY 1, 2"""
+    o["iq_tz_daily"] = f"""
+      WITH a AS (
+        SELECT epoch_us(timezone('America/New_York',
+                 to_timestamp({EV_TIME} / 1000000000.0)::TIMESTAMPTZ)) * 1000
+               AS lns, event_type, value
+        FROM events),
+      b AS (
+        SELECT (lns // {DAY}) * {DAY} AS fl, event_type,
+               count(value) AS n
+        FROM a GROUP BY 1, 2)
+      SELECT epoch_us(timezone('America/New_York',
+               make_timestamp(fl // 1000))) * 1000 AS time,
+             event_type, n
+      FROM b"""
+    o["iq_fill_null"] = f"""
+      WITH spine AS (
+        SELECT unnest(generate_series({JAN1}, {JAN1 + 7 * DAY - 1},
+                                      {6 * HOUR})) AS time),
+      a AS (
+        SELECT ({EV_TIME} // {6 * HOUR}) * {6 * HOUR} AS time,
+               sum(value) AS mv
+        FROM events
+        WHERE {EV_TIME} >= {JAN1} AND {EV_TIME} < {JAN1 + 7 * DAY}
+          AND event_type = 'signup'
+        GROUP BY 1)
+      SELECT spine.time, {fr('a.mv', 4)} AS mv
+      FROM spine LEFT JOIN a ON spine.time = a.time"""
     o["iq_subquery"] = f"""
       WITH a AS (
         SELECT ({EV_TIME} // {DAY}) * {DAY} AS time, event_type,
