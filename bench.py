@@ -30,6 +30,9 @@ HEADLINE = [
     "doc_simhash",         # 32-bit sketch, explode+agg
     "emb_brute_topk",      # broadcast cosine top-k
     "text_quality",        # map-only text scoring
+    "tr_cumulative_sum",   # distributed prefix sum (scan.py)
+    "emb_near_dup_lsh",    # hyperplane-LSH bucketed near-dup (no N² join)
+    "iq_subquery",         # nested InfluxQL planning
 ]
 
 
@@ -47,6 +50,16 @@ def main():
     spark.range(1000).count()
     warm = os.path.join(sf_dir, "region.parquet")
     spark.read.parquet(warm).write.format("noop").mode("overwrite").save()
+    # spawn the Arrow python workers once (several headline ops use
+    # pandas_udf; worker fork cost is infrastructure, not query cost)
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    def _ident(s):
+        return s
+    _ident.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    spark.range(100).select(pandas_udf(_ident, "long")("id")).write \
+        .format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

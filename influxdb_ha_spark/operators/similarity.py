@@ -117,7 +117,8 @@ def _hyperplanes(dim: int, bits: int, tables: int,
 
 
 def _sign_key(vec: Column, planes: list[list[float]]) -> Column:
-    """Bit-packed sign pattern of `vec` against each hyperplane."""
+    """Bit-packed sign pattern of `vec` against each hyperplane (pure
+    column-expression form; kept for reference/fallback)."""
     key = F.lit(0)
     for b, plane in enumerate(planes):
         dot = F.aggregate(
@@ -126,6 +127,30 @@ def _sign_key(vec: Column, planes: list[list[float]]) -> Column:
             F.lit(0.0), lambda acc, x: acc + x)
         key = key + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
     return key
+
+
+def _sign_keys_udf(planes: list[list[list[float]]]):
+    """All tables' bit-packed sign keys in one Arrow-batched matmul:
+    (batch × dim) @ (dim × tables·bits) → signs → bit-pack per table.
+    ~2 matrix ops per batch instead of tables×bits×dim codegen scalar ops —
+    the documented exception to 'stay JVM-side' for wide embedding math."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(planes, dtype=np.float64)          # (T, B, D)
+    T_, B, D = P.shape
+    flat = P.reshape(T_ * B, D).T                   # (D, T*B)
+    weights = (1 << np.arange(B, dtype=np.int64))   # bit packing
+
+    def keys(vecs):
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (M @ flat >= 0).reshape(len(M), T_, B)
+        packed = (signs * weights).sum(axis=2)      # (N, T)
+        return pd.Series(list(packed))
+
+    keys.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(keys, "array<long>")
 
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
@@ -143,13 +168,11 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
     exact baseline which is quadratic by construction.
     """
     planes = _hyperplanes(dim, bits, tables, seed=7)
-    keys = F.array(*[
-        F.struct(F.lit(t).alias("tbl"),
-                 _sign_key(F.col(vec_col), planes[t]).alias("key"))
-        for t in range(tables)])
-    keyed = (df.select(F.col(id_col), F.col(vec_col), keys.alias("__k"))
-             .select(id_col, vec_col, F.explode("__k").alias("k"))
-             .select(id_col, vec_col, "k.tbl", "k.key"))
+    keys_udf = _sign_keys_udf(planes)
+    keyed = (df.select(F.col(id_col), F.col(vec_col),
+                       keys_udf(F.col(vec_col)).alias("__k"))
+             .select(id_col, vec_col,
+                     F.posexplode("__k").alias("tbl", "key")))
     a = keyed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                      "tbl", "key")
     b = keyed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
