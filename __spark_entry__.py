@@ -565,6 +565,12 @@ def q_text_fingerprint(spark, sf):
     return TX.fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
 
 
+def q_text_rolling(spark, sf):
+    """Rabin–Karp rolling window fingerprints (winnowing shape) — one row
+    per (doc, window position)."""
+    return TX.rolling_fingerprints(_t(spark, sf, "documents"), w=8)
+
+
 def q_mm_meta(spark, sf):
     mm = MM.attach_binary_payload(_t(spark, sf, "documents"), "text")
     return mm.select("doc_id", F.col("payload_bytes").cast("long").alias("payload_bytes"),
@@ -809,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "text_rolling": q_text_rolling,
         "mm_meta": q_mm_meta,
         "mm_decode": q_mm_decode,
         "mm_frames": q_mm_frames,

@@ -26,7 +26,7 @@ HEADLINE = [
     "tr_moving_average",   # per-series window frame
     "tr_derivative",       # lag arithmetic per series
     "dedup_points",        # full-row distinct (replica dedup)
-    "doc_near_dups",       # MinHash LSH + verified jaccard
+    "doc_near_dups_fast",  # MinHash LSH + verified jaccard (xxhash64 prod path)
     "doc_simhash",         # 32-bit sketch, explode+agg
     "emb_brute_topk",      # broadcast cosine top-k
     "text_quality",        # map-only text scoring

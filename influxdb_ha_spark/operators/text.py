@@ -111,3 +111,29 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     fp = F.md5(F.concat_ws(" ", F.array_sort(
         F.array_distinct(tokens_expr(F.col(text_col))))))
     return df.withColumn(out, fp)
+
+
+def rolling_fingerprints(df: DataFrame, w: int = 8, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Rabin–Karp-style rolling window fingerprints over the token stream.
+
+    Each position i of a document yields hash(tokens[i:i+w]) =
+    Σ h(tok_j)·B^(w-1-(j-i)) mod p — the winnowing/plagiarism-detection
+    shape (added scope: document fingerprinting via rolling hash). Fully
+    columnar: per-token hashes computed once, windows as slice+aggregate
+    over the array; one output row per (doc, window position).
+    """
+    from .hashing import MERSENNE_P, hash64_expr, tokens_expr
+
+    B = 1_000_003  # polynomial base, coprime with p
+    p = F.lit(MERSENNE_P)
+    toks = tokens_expr(F.col(text_col))
+    hashes = F.transform(toks, lambda t: hash64_expr(t) % p)
+    d = (df.select(F.col(id_col), hashes.alias("__h"))
+         .where(F.size("__h") >= w))
+    idx = F.sequence(F.lit(1), F.size("__h") - (w - 1))
+    win = F.transform(idx, lambda i: F.aggregate(
+        F.slice("__h", i, w), F.lit(0).cast("long"),
+        lambda acc, h: (acc * B + h) % p))
+    return (d.select(id_col, F.posexplode(win).alias("pos", "whash"))
+            .select(id_col, (F.col("pos") + 1).alias("pos"), "whash"))

@@ -467,6 +467,16 @@ def build_oracles() -> dict[str, str]:
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
       SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5"""
+    o["text_rolling"] = f"""
+      WITH h AS (
+        SELECT doc_id, list_transform({TOKS},
+                 t -> {duck_hash64('t')} % {MERSENNE_P}) AS hs
+        FROM documents),
+      g AS (SELECT doc_id, hs FROM h WHERE len(hs) >= 8)
+      SELECT doc_id, i AS pos,
+             list_reduce(hs[i:i+7],
+               (a, b) -> (a * 1000003 + b) % {MERSENNE_P}) AS whash
+      FROM g, unnest(generate_series(1, len(hs) - 7)) AS t(i)"""
     # LSH-verified pairs ⊆ exact pairs; exact-precision verification means
     # the exact SQL is the right oracle (recall caveat in the operator doc).
     o["emb_near_dup_lsh"] = f"""
