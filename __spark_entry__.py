@@ -565,6 +565,17 @@ def q_text_fingerprint(spark, sf):
     return TX.fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
 
 
+def q_mm_resize(spark, sf):
+    mm = MM.attach_binary_payload(_t(spark, sf, "documents"), "text")
+    return MM.resize_stub(mm).select(
+        "doc_id", "width", "height", "out_w", "out_h", "scale_x", "scale_y")
+
+
+def q_mm_audio(spark, sf):
+    mm = MM.attach_binary_payload(_t(spark, sf, "documents"), "text")
+    return MM.audio_features_stub(mm)
+
+
 def q_text_rolling(spark, sf):
     """Rabin–Karp rolling window fingerprints (winnowing shape) — one row
     per (doc, window position)."""
@@ -819,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_meta": q_mm_meta,
         "mm_decode": q_mm_decode,
         "mm_frames": q_mm_frames,
+        "mm_resize": q_mm_resize,
+        "mm_audio": q_mm_audio,
     }
 
 

@@ -104,3 +104,71 @@ def frame_sample_stub(df: DataFrame, id_col: str = "doc_id",
             .withColumn("frame_md5",
                         F.md5(F.concat(F.col(payload_col).cast("string"),
                                        F.col("frame_index").cast("string")))))
+
+
+RESIZED_SCHEMA = ("doc_id long, width long, height long, out_w long, "
+                  "out_h long, scale_x double, scale_y double")
+
+
+def resize_stub(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "payload",
+                target: tuple = (256, 256)) -> DataFrame:
+    """Image-resize plumbing via `mapInPandas`: fake-decode dimensions
+    (digest-derived, same convention as decode_image_stub), compute the
+    scale factors a real resampler would use. Swap the body for
+    PIL.Image.resize when a codec is present — schema and batch shape
+    stay identical."""
+    tw, th = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "out_w",
+                                    "out_h", "scale_x", "scale_y")}
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                d = hashlib.md5(bytes(b)).digest()
+                w = (d[0] << 8 | d[1]) % 4096 + 1
+                h = (d[2] << 8 | d[3]) % 4096 + 1
+                rows["doc_id"].append(i)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_w"].append(tw)
+                rows["out_h"].append(th)
+                rows["scale_x"].append(round(tw / w, 6))
+                rows["scale_y"].append(round(th / h, 6))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = "doc_id long, window int, energy double"
+
+
+def audio_features_stub(df: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "payload",
+                        window_bytes: int = 64) -> DataFrame:
+    """Audio feature-extraction plumbing: one row per fixed-size window with
+    a deterministic fake energy value (digest-derived). The windowing
+    explode — the shape that matters for partitioning at 100 TB of audio —
+    is real; plug an actual DSP/torchaudio call into the body."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in batches:
+            rows = {"doc_id": [], "window": [], "energy": []}
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                n = max(1, len(raw) // window_bytes)
+                for w in range(n):
+                    hx = hashlib.md5(raw + str(w).encode()).hexdigest()
+                    rows["doc_id"].append(i)
+                    rows["window"].append(w)
+                    rows["energy"].append(
+                        int(hx[:8], 16) % 1_000_000 / 1_000_000)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_SCHEMA)

@@ -467,6 +467,25 @@ def build_oracles() -> dict[str, str]:
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
       SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5"""
+    o["mm_resize"] = """
+      WITH d AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(text), 1, 4))::BIGINT % 4096 + 1 AS width,
+               ('0x' || substring(md5(text), 5, 4))::BIGINT % 4096 + 1 AS height
+        FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id, width, height, 256 AS out_w, 256 AS out_h,
+             round(256.0 / width, 6) AS scale_x,
+             round(256.0 / height, 6) AS scale_y
+      FROM d"""
+    o["mm_audio"] = """
+      WITH d AS (
+        SELECT doc_id, text,
+               greatest(1, octet_length(encode(text)) // 64)::INT AS n
+        FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id, w AS window,
+             ('0x' || substring(md5(text || CAST(w AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000 / 1000000.0 AS energy
+      FROM d, unnest(generate_series(0, n - 1)) AS t(w)"""
     o["text_rolling"] = f"""
       WITH h AS (
         SELECT doc_id, list_transform({TOKS},
