@@ -518,6 +518,18 @@ def q_emb_ivf_topk(spark, sf):
     return S.ivf_topk(emb, q, cent, k=5, nprobe=2)
 
 
+def q_emb_kmeans_train(spark, sf):
+    """Distributed Lloyd's k-means (IVF centroid training) — iterative
+    algorithm, not SQL-expressible -> rows-only check."""
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    cents = S.kmeans_centroids(emb, k=8, iters=3)
+    return cents.select("centroid_id",
+                        F.round(F.aggregate("embedding", F.lit(0.0),
+                                            lambda a, x: a + x), 4)
+                        .alias("coord_sum"))
+
+
 def q_emb_near_dup_lsh(spark, sf):
     """Scale path: hyperplane-LSH buckets + exact cosine verification —
     shuffles on the bucket key, never materializes N² pairs."""
@@ -821,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "emb_kmeans_train": q_emb_kmeans_train,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,

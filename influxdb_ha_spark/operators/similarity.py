@@ -184,3 +184,43 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
     cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
     return (cand.select("id_a", "id_b", cos.alias("cosine"))
             .where(F.col("cosine") >= threshold))
+
+
+# -- centroid training ------------------------------------------------------
+
+def kmeans_centroids(corpus: DataFrame, k: int = 8, iters: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Distributed Lloyd's k-means for IVF centroid training.
+
+    Each iteration: nearest-centroid assignment (broadcast of k×dim
+    literals — a map-only pass over the corpus) then element-wise mean per
+    cluster via posexplode → groupBy(centroid, dim) avg → regroup. The only
+    driver-side data is the k×dim centroid table itself, collected per
+    iteration to rebuild the broadcast — the standard distributed k-means
+    shape; corpus rows never leave the executors. Deterministic init:
+    lowest-id vectors.
+    """
+    cents = (corpus.orderBy(id_col).limit(k)
+             .select(F.col(vec_col))
+             .rdd.map(lambda r: r[0]).collect())
+
+    for _ in range(iters):
+        cdf = corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            f"centroid_id int, {vec_col} array<double>")
+        assigned = assign_centroids(corpus, cdf, id_col, vec_col)
+        means = (assigned.select("centroid_id",
+                                 F.posexplode(vec_col).alias("pos", "v"))
+                 .groupBy("centroid_id", "pos").agg(F.avg("v").alias("m"))
+                 .groupBy("centroid_id")
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("pos", "m"))).alias("pm"))
+                 .select("centroid_id",
+                         F.transform("pm", lambda s: s["m"]).alias(vec_col)))
+        got = {r["centroid_id"]: r[vec_col] for r in means.collect()}
+        cents = [got.get(i, cents[i]) for i in range(k)]
+
+    return corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        f"centroid_id int, {vec_col} array<double>")

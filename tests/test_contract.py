@@ -3,9 +3,10 @@
 import __spark_entry__ as entry
 import oracles
 
-# rows-only by design: seeded-rand sample, xxhash64 variant, and Spark's
-# HLL++ sketch (none DuckDB-mirrorable)
-ROWS_ONLY = {"iq_sample", "doc_near_dups_fast", "agg_approx_distinct"}
+# rows-only by design: seeded-rand sample, xxhash64 variant, Spark's HLL++
+# sketch, and iterative k-means (none DuckDB-mirrorable)
+ROWS_ONLY = {"iq_sample", "doc_near_dups_fast", "agg_approx_distinct",
+             "emb_kmeans_train"}
 
 
 def test_every_query_has_oracle_or_is_rows_only():

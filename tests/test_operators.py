@@ -124,3 +124,22 @@ def test_cosine_near_dup_lsh_finds_planted_pairs(spark):
     assert found == {(j, 100 + j) for j in range(5)}
     for r in out:
         assert r.cosine >= 0.99
+
+
+def test_kmeans_centroids_separates_blobs(spark):
+    """Lloyd's k-means recovers two well-separated clusters."""
+    import random
+    from influxdb_ha_spark.operators import similarity as S
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        center = 10.0 if i % 2 == 0 else -10.0
+        rows.append((i, [center + rng.gauss(0, 0.5) for _ in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = S.kmeans_centroids(df, k=2, iters=4)
+    got = sorted(sum(c) / len(c) for c in
+                 [r["embedding"] for r in cents.collect()])
+    assert got[0] < -9 and got[1] > 9
+    # and the trained centroids drive ivf_topk end-to-end
+    out = S.ivf_topk(df, df.limit(2), cents, k=3, nprobe=1)
+    assert out.count() == 6
