@@ -21,6 +21,12 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS = {
+    # Driver heap stays at Spark's default: measured at sf0.1/local[32],
+    # larger heaps (4g/24g) consistently benched SLOWER than the default
+    # (bigger young-gen pauses, page-cache displacement). Override with
+    # SPARK_GRAFT_DRIVER_MEM for workloads with large cached state.
+    **({"spark.driver.memory": os.environ["SPARK_GRAFT_DRIVER_MEM"]}
+       if os.environ.get("SPARK_GRAFT_DRIVER_MEM") else {}),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
