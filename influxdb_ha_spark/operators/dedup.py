@@ -70,6 +70,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
               .where(F.size("__sh") > 0)
               .select(F.col(id_col),
                       shingle_hashes_expr(F.col("__sh"), hash_fn).alias("__h")))
+    # permutation minima as codegen expressions (JVM-side, no Arrow hop).
+    # hashing.minhash_sig_udf is the bit-identical numpy alternative —
+    # benched neutral at this scale, kept for very-wide num_perm configs.
     sig = F.array(*[minhash_perm_expr(F.col("__h"), a, b) for a, b in coeffs])
     return hashed.select(F.col(id_col), sig.alias("signature"))
 
