@@ -134,6 +134,11 @@ class Parser:
                 stmt.group_by_tags.append("*")
             elif t.kind == "IDENT":
                 stmt.group_by_tags.append(self.next().text)
+            elif t.kind == "KEYWORD":
+                # tags may collide with keywords (a tag named "tag"/"key");
+                # in item position a keyword is unambiguous — influxql also
+                # allows quoting ("tag") which lexes as IDENT already
+                stmt.group_by_tags.append(self.next().text.lower())
             else:
                 raise SyntaxError(f"error parsing query: bad GROUP BY at {t.text!r}")
             if not self.accept("OP", ","):

@@ -58,3 +58,47 @@ def test_running_stats_across_batches(spark, tmp_path):
     gold = [r for r in collected if r["series"] == "gold"][-1]
     assert gold["n"] == 3 and gold["sum"] == 35.0
     assert gold["min"] == 5.0 and gold["last_time"] == 5
+
+
+def test_cq_stream_end_to_end(spark, tmp_path):
+    """CQ as a live streaming aggregation: file stream of points →
+    stream_plan (window + watermark) → foreachBatch → windowed counts match
+    the batch GROUP BY time() result for the same data."""
+    import json as _json
+    from influxdb_ha_spark.model import Catalog
+    from influxdb_ha_spark.streaming.cq import ContinuousQuery, CQRunner
+
+    src = str(tmp_path / "pts")
+    os.makedirs(src)
+    base = 1_700_002_800_000_000_000  # hour-aligned (472223 * 3600 s)
+    HOUR = 3_600_000_000_000
+    rows = [{"time": base + i * HOUR // 2, "tag": "a", "value": float(i)}
+            for i in range(8)]  # 4 hourly windows x 2 points
+    _write_batch(src, "b0.json", rows)
+
+    cat = Catalog(spark)
+    schema = "time long, tag string, value double"
+    cat.register_dataframe("db", "m",
+                           spark.createDataFrame([], schema),
+                           time_col="time", tags=["tag"])
+    runner = CQRunner(cat)
+    runner.create(ContinuousQuery(
+        name="hourly", database="db",
+        query="SELECT count(value) AS n, sum(value) AS s INTO m_hourly "
+              "FROM m GROUP BY time(1h), tag"))
+
+    stream = spark.readStream.schema(schema).json(src)
+    plan = runner.stream_plan("hourly", stream, watermark="10 minutes")
+    collected = []
+    q = (plan.writeStream.foreachBatch(
+            lambda df, _id: collected.extend(df.collect()))
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["time"], r["tag"]): (r["n"], r["s"]) for r in collected}
+    assert len(got) == 4
+    for i in range(4):
+        w = base + i * HOUR
+        assert got[(w, "a")] == (2, float(2 * i) + float(2 * i + 1))
