@@ -25,6 +25,8 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
+import base64
+
 from .planner import PartitionKeyError, QueryError
 from .server import Engine, WriteError, write_lines
 
@@ -63,6 +65,28 @@ class _Handler(BaseHTTPRequestHandler):
         qs = parse_qs(urlparse(self.path).query)
         return {k: v[0] for k, v in qs.items()}
 
+    def _authed(self, params: dict, database: str | None,
+                privilege: str) -> bool:
+        """Basic-auth gate, active once any user exists — the reference's
+        model (query_handler.go:90-114: auth optional until users are
+        created; then per-statement privilege checks). Credentials via
+        Authorization: Basic or u/p query params (InfluxDB compat)."""
+        admin = self.engine.admin
+        if not admin.users:
+            return True
+        user = pw = None
+        hdr = self.headers.get("Authorization") or ""
+        if hdr.startswith("Basic "):
+            try:
+                user, _, pw = base64.b64decode(hdr[6:]).decode().partition(":")
+            except Exception:
+                return False
+        elif params.get("u"):
+            user, pw = params.get("u"), params.get("p") or ""
+        if user is None or not admin.authenticate(user, pw):
+            return False
+        return admin.authorize(user, database or "", privilege)
+
     def _handle_query(self, params: dict, body: str):
         q = params.get("q") or ""
         if not q and body:
@@ -71,6 +95,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(400, {"error": "missing required parameter \"q\""})
             return
         db = params.get("db")
+        if not self._authed(params, db, "READ"):
+            self._send(401, {"error": "authorization failed"})
+            return
         epoch = params.get("epoch")
         results = []
         for i, stmt in enumerate(_split_statements(q)):
@@ -89,6 +116,9 @@ class _Handler(BaseHTTPRequestHandler):
         if not db:
             # write_handler.go:40-44
             self._send(400, {"error": "missing required parameter \"db\""})
+            return
+        if not self._authed(params, db, "WRITE"):
+            self._send(401, {"error": "authorization failed"})
             return
         try:
             write_lines(self.engine, db, self._body(),

@@ -100,3 +100,41 @@ def test_query_multi_statement_and_errors(http):
         _get(base + "/query?db=sharded&q=" +
              urllib.request.quote("DROP SHARD 1"))
     assert e.value.code == 400
+
+
+def test_auth_lifecycle(http):
+    """Reference auth model (query_handler.go:90-114,
+    query_handler_test.go:51-81): open until a user exists, then basic-auth
+    + per-statement privileges. Runs LAST in this module (users persist on
+    the shared engine)."""
+    import base64
+    base, engine = http
+    # open access before any user exists
+    _get(base + "/query?db=sharded&q=" +
+         urllib.request.quote("SHOW MEASUREMENTS"))
+    engine.admin.create_user("boss", "pw", admin=True)
+    engine.admin.create_user("reader", "r", admin=False)
+    engine.admin.grant("reader", "sharded", "READ")
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base + "/query?db=sharded&q=" +
+             urllib.request.quote("SHOW MEASUREMENTS"))
+    assert e.value.code == 401
+
+    creds = base64.b64encode(b"reader:r").decode()
+    req = urllib.request.Request(
+        base + "/query?db=sharded&q=" +
+        urllib.request.quote("SELECT count(value) AS n FROM treasures"),
+        headers={"Authorization": f"Basic {creds}"})
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+
+    # reader has no WRITE privilege
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base + "/write?db=sharded&u=reader&p=r",
+              b"treasures,type=x value=1 1500000000000000009")
+    assert e.value.code == 401
+    # admin via u/p params can write
+    status, _, _ = _post(base + "/write?db=sharded&u=boss&p=pw",
+                         b"treasures,type=x value=1 1500000000000000009")
+    assert status == 204
