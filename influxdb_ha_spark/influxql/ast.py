@@ -116,3 +116,5 @@ class ShowStatement:
     database: str | None = None
     measurement: str | None = None
     with_key: str | None = None    # SHOW TAG VALUES ... WITH KEY = x
+    with_keys: list | None = None  # ... WITH KEY IN ("a", "b")
+    with_key_regex: str | None = None  # ... WITH KEY =~ /re/

@@ -299,8 +299,22 @@ class Parser:
             stmt.measurement = self.parse_measurement_ref().name
         if self.accept("KEYWORD", "WITH"):
             self.expect("KEYWORD", "KEY")
-            self.expect("OP", "=")
-            stmt.with_key = self.expect_name()
+            t = self.peek()
+            if t.kind == "IDENT" and t.text.upper() == "IN":
+                # WITH KEY IN ("k1", "k2")
+                self.next()
+                self.expect("OP", "(")
+                keys = [self.expect_name()]
+                while self.accept("OP", ","):
+                    keys.append(self.expect_name())
+                self.expect("OP", ")")
+                stmt.with_keys = keys
+            elif t.kind == "OP" and t.text == "=~":
+                self.next()
+                stmt.with_key_regex = self.expect("REGEX").text
+            else:
+                self.expect("OP", "=")
+                stmt.with_key = self.expect_name()
         return stmt
 
 

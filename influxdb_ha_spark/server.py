@@ -271,10 +271,26 @@ class Engine:
         if what == "FIELD KEYS":
             return self.catalog.show_field_keys(database, stmt.measurement)
         if what == "TAG VALUES":
-            if not stmt.with_key or not stmt.measurement:
+            if not stmt.measurement or not (stmt.with_key or stmt.with_keys
+                                            or stmt.with_key_regex):
                 raise QueryError("SHOW TAG VALUES requires FROM and WITH KEY")
-            return self.catalog.show_tag_values(database, stmt.measurement,
-                                                stmt.with_key)
+            m = self.catalog.get(database, stmt.measurement)
+            if stmt.with_key:
+                keys = [stmt.with_key]
+            elif stmt.with_keys:
+                keys = [k for k in stmt.with_keys if k in m.tags]
+            else:
+                rx = re.compile(stmt.with_key_regex)
+                keys = [t for t in m.tags if rx.search(t)]
+            dfs = [self.catalog.show_tag_values(database, stmt.measurement, k)
+                   for k in keys]
+            if not dfs:
+                return self.catalog.spark.createDataFrame(
+                    [], "key string, value string")
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
         if what == "RETENTION POLICIES":
             rows = self.catalog.retention_policies.get(database, [])
             return self.catalog.spark.createDataFrame(

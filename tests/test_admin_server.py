@@ -295,3 +295,16 @@ def test_retention_enforcement(spark):
     trimmed = enforce_retention(cat, "db", now_ns=10 * 10**9)
     assert trimmed == {"m": 5 * 10**9}
     assert cat.get("db", "m").df.count() == 5  # times 5..9 survive
+
+
+def test_show_tag_values_key_variants(engine):
+    one = engine.query_df('SHOW TAG VALUES ON sharded FROM treasures '
+                          'WITH KEY = "type"').collect()
+    inl = engine.query_df('SHOW TAG VALUES ON sharded FROM treasures '
+                          'WITH KEY IN ("type", "nope")').collect()
+    rex = engine.query_df('SHOW TAG VALUES ON sharded FROM treasures '
+                          'WITH KEY =~ /^ty/').collect()
+    vals = sorted(r["value"] for r in one)
+    assert vals == ["gold", "silver", "trash"]
+    assert sorted(r["value"] for r in inl) == vals
+    assert sorted(r["value"] for r in rex) == vals
