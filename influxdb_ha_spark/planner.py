@@ -90,6 +90,16 @@ class Planner:
 
         group_tags = self._expand_tags(stmt.group_by_tags, m)
         stmt = self._expand_wildcard_calls(stmt, m)
+        unknown = self._unknown_refs(stmt, m)
+        if unknown:
+            # InfluxDB returns an empty result set (not an error) when a
+            # selected field does not exist in the measurement
+            names = [f.alias or self._default_name(f.expr)
+                     for f in stmt.fields]
+            schema = ", ".join([f"`{TIME_COL}` long"] +
+                               [f"`{n}` double" for n in names
+                                if n != TIME_COL])
+            return df.sparkSession.createDataFrame([], schema)
         calls = self._find_calls(stmt)
 
         if not calls:
@@ -119,6 +129,29 @@ class Planner:
             # applied post-merge, globally — fixes the reference's
             # per-node LIMIT semantics (query_merge.go:86-92, SURVEY §2.6)
             out = out.limit(stmt.limit)
+        return out
+
+    def _unknown_refs(self, stmt: SelectStatement,
+                      m: Measurement) -> set[str]:
+        """Field/tag names referenced in the SELECT list that the
+        measurement does not have (time/tags/fields)."""
+        known = set(m.tags) | set(m.fields) | {TIME_COL}
+        known |= set(m.df.columns)
+        out: set[str] = set()
+
+        def walk(e):
+            if isinstance(e, VarRef):
+                if e.name not in known and e.name.lower() != "time":
+                    out.add(e.name)
+            elif isinstance(e, Call):
+                for a in e.args:
+                    walk(a)
+            elif isinstance(e, BinaryExpr):
+                walk(e.lhs)
+                walk(e.rhs)
+
+        for f in stmt.fields:
+            walk(f.expr)
         return out
 
     def _expand_wildcard_calls(self, stmt: SelectStatement,

@@ -266,3 +266,15 @@ def test_tz_clause_daily_buckets(spark):
     out2 = influxql_df(cat, "SELECT sum(value) AS s FROM m "
                        "GROUP BY time(1d) fill(none)", database="db")
     assert len(out2.collect()) == 1
+
+
+def test_unknown_field_returns_empty(treasures):
+    """InfluxDB returns an empty result (not an error) for a nonexistent
+    field."""
+    from influxdb_ha_spark.planner import influxql_df
+    out = influxql_df(treasures, "SELECT nosuch FROM treasures",
+                      database="sharded")
+    assert out.count() == 0
+    out = influxql_df(treasures, "SELECT mean(nosuch) AS m FROM treasures",
+                      database="sharded")
+    assert out.count() == 0 and "m" in out.columns
