@@ -118,3 +118,5 @@ class ShowStatement:
     with_key: str | None = None    # SHOW TAG VALUES ... WITH KEY = x
     with_keys: list | None = None  # ... WITH KEY IN ("a", "b")
     with_key_regex: str | None = None  # ... WITH KEY =~ /re/
+    limit: int | None = None       # SHOW ... LIMIT n OFFSET m (paginated
+    offset: int | None = None      # meta scans — series.go:67-89 pages)

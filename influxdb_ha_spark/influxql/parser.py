@@ -315,6 +315,10 @@ class Parser:
             else:
                 self.expect("OP", "=")
                 stmt.with_key = self.expect_name()
+        if self.accept("KEYWORD", "LIMIT"):
+            stmt.limit = int(self.expect("INTEGER").text)
+        if self.accept("KEYWORD", "OFFSET"):
+            stmt.offset = int(self.expect("INTEGER").text)
         return stmt
 
 

@@ -258,6 +258,16 @@ class Engine:
 
     # -- SHOW routing (routing.go:121-135) ------------------------------------
     def _show(self, stmt: ShowStatement, db: str) -> DataFrame:
+        out = self._show_inner(stmt, db)
+        # SHOW ... LIMIT/OFFSET — paginated meta scans (the reference pages
+        # SHOW SERIES 1000 at a time, syncing/series.go:67-89)
+        if stmt.offset:
+            out = out.offset(stmt.offset)
+        if stmt.limit is not None:
+            out = out.limit(stmt.limit)
+        return out
+
+    def _show_inner(self, stmt: ShowStatement, db: str) -> DataFrame:
         what = stmt.what.upper()
         database = stmt.database or db
         if what == "DATABASES":

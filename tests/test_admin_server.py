@@ -308,3 +308,10 @@ def test_show_tag_values_key_variants(engine):
     assert vals == ["gold", "silver", "trash"]
     assert sorted(r["value"] for r in inl) == vals
     assert sorted(r["value"] for r in rex) == vals
+
+
+def test_show_limit_offset(engine):
+    vals = [r["value"] for r in engine.query_df(
+        'SHOW TAG VALUES FROM treasures WITH KEY = "type" '
+        "LIMIT 1 OFFSET 1").collect()]
+    assert vals == ["silver"]
