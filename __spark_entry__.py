@@ -726,6 +726,38 @@ def q_tr_non_negative(spark, sf):
                     _fr(F.col("nn_difference"), 4).alias("nn_difference"))
 
 
+def q_join_semi_urgent(spark, sf):
+    """Left-semi join (EXISTS): customers with at least one URGENT order —
+    semi joins never materialize the right side's columns."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+            .select("c_custkey", "c_mktsegment"))
+
+
+def q_window_rank(spark, sf):
+    """Ranking window (absent in InfluxQL 1.x — SURVEY §2.5 'free in
+    Spark'): top-3 orders by price within each priority."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("o_orderpriority", "rnk", "o_orderkey",
+                    _fr(F.col("o_totalprice"), 2).alias("o_totalprice")))
+
+
+def q_cube_counts(spark, sf):
+    """CUBE grouping sets over order flags."""
+    o = _t(spark, sf, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+                    "n"))
+
+
 def q_rollup_revenue(spark, sf):
     """Grouping sets / rollup — free Catalyst capability beyond the
     reference (SURVEY §2.4 'grouping sets absent in reference')."""
@@ -776,6 +808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_brand_revenue": q_join_brand_revenue,
         "join_nation_customers": q_join_nation_customers,
         "rollup_revenue": q_rollup_revenue,
+        "join_semi_urgent": q_join_semi_urgent,
+        "window_rank": q_window_rank,
+        "cube_counts": q_cube_counts,
         "union_measurements": q_union_measurements,
         # InfluxQL frontend (§3.1)
         "iq_mean_1h": q_iq_mean_1h,

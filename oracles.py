@@ -614,6 +614,25 @@ def build_oracles() -> dict[str, str]:
       WHERE event_type = 'click' AND {EV_TIME} >= {JAN1}
         AND {EV_TIME} < {JAN1 + 3 * DAY}
       ORDER BY time DESC LIMIT 50"""
+    o["join_semi_urgent"] = """
+      SELECT c_custkey, c_mktsegment FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')"""
+    o["window_rank"] = f"""
+      WITH r AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        FROM orders)
+      SELECT o_orderpriority, rnk, o_orderkey,
+             {fr('o_totalprice', 2)} AS o_totalprice
+      FROM r WHERE rnk <= 3"""
+    o["cube_counts"] = """
+      SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+             coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+             count(*) AS n
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
     o["iq_regex_tag"] = f"""
       SELECT event_type, count(value) AS n,
              {fr('sum(value)', 2)} AS sv
