@@ -121,3 +121,43 @@ def mirror_measurement(m: Measurement, target_path: str,
         return bookmark_ns
     write_measurement(src, target_path, pk)
     return hi
+
+
+def upsert_points(existing: DataFrame, incoming: DataFrame,
+                  tags: list[str]) -> DataFrame:
+    """InfluxDB point-overwrite semantics: a new point with the same
+    (time, tagset) replaces the old one's field values field-by-field
+    (nulls don't clobber). write_handler.go relays verbatim and InfluxDB
+    upserts server-side; in Spark it's a groupBy on the series+time key
+    keeping the newest non-null value per field.
+
+    `existing` and `incoming` may have different field columns (schema
+    grows on write); output has the union. One shuffle on (time, tags) —
+    the same key the table is partitioned by, so at scale AQE turns this
+    into a partition-local aggregation after the first write.
+    """
+    old = existing.withColumn("__gen", F.lit(0))
+    new = incoming.withColumn("__gen", F.lit(1))
+    both = old.unionByName(new, allowMissingColumns=True)
+    keys = [TIME_COL] + [t for t in tags if t in both.columns]
+    fields = [c for c in both.columns if c not in keys + ["__gen"]]
+    aggs = [F.max_by(c, F.when(F.col(c).isNotNull(), F.col("__gen")))
+            .alias(c) for c in fields]
+    return both.groupBy(*keys).agg(*aggs)
+
+
+class FieldTypeConflict(ValueError):
+    """InfluxDB rejects writes whose field type conflicts with the
+    first-written type for that field (first-write-wins typing)."""
+
+
+def check_field_types(existing: DataFrame, incoming: DataFrame,
+                      tags: list[str]) -> None:
+    et, it = dict(existing.dtypes), dict(incoming.dtypes)
+    for c, t in it.items():
+        if c == TIME_COL or c in tags or c.startswith("__"):
+            continue
+        old = et.get(c)
+        if old is not None and old != t:
+            raise FieldTypeConflict(
+                f"field {c!r} already exists as {old}, write sends {t}")

@@ -398,8 +398,15 @@ def write_lines(engine: Engine, database: str, body: str,
                 f"missing partition key tags {pk.tags} for {name}")
         try:
             m = engine.catalog.get(database, name)
-            merged = m.df.unionByName(valid, allowMissingColumns=True)
             tags = sorted(set(m.tags) | set(tag_keys))
+            from .ingest import (FieldTypeConflict, check_field_types,
+                                 upsert_points)
+            try:
+                check_field_types(m.df, valid, tags)
+            except FieldTypeConflict as e:
+                raise WriteError(str(e))  # first-write-wins typing
+            # InfluxDB upsert: same (time, tagset) → newest fields win
+            merged = upsert_points(m.df, valid, tags)
             fields = [c for c in merged.columns
                       if c != "time" and c not in tags]
             engine.catalog.register(Measurement(

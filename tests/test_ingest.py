@@ -137,3 +137,34 @@ def test_mirror_bookmark(spark, tmp_path):
                                 time_col="time", tags=["tag"])
     assert mirror_measurement(m2, tgt, bm) == 12000
     assert spark.read.parquet(tgt).count() == 11
+
+
+def test_upsert_last_write_wins(spark):
+    """InfluxDB point-overwrite: same (time, tagset) → new field values
+    replace old; fields absent from the new point survive."""
+    from influxdb_ha_spark.ingest import upsert_points
+    old = spark.createDataFrame(
+        [(1, "a", 10.0, 100.0), (2, "a", 20.0, 200.0)],
+        "time long, tag string, x double, y double")
+    new = spark.createDataFrame([(2, "a", 99.0)],
+                                "time long, tag string, x double")
+    out = {(r["time"], r["tag"]): (r["x"], r["y"])
+           for r in upsert_points(old, new, ["tag"]).collect()}
+    assert out[(1, "a")] == (10.0, 100.0)
+    assert out[(2, "a")] == (99.0, 200.0)  # x replaced, y survives
+
+
+def test_write_lines_upsert_and_type_conflict(spark):
+    from influxdb_ha_spark.model import Catalog
+    from influxdb_ha_spark.server import Engine, WriteError, write_lines
+    import pytest as _pytest
+    eng = Engine(Catalog(spark), database="db")
+    write_lines(eng, "db", "m,tag=a x=1.5 1000\nm,tag=a x=2.5 2000\n")
+    # overwrite the point at time 1000
+    write_lines(eng, "db", "m,tag=a x=9.5 1000\n")
+    rows = {r["time"]: r["x"] for r in
+            eng.query_df("SELECT x FROM m").collect()}
+    assert rows == {1000: 9.5, 2000: 2.5}
+    # int field where float was first written → rejected
+    with _pytest.raises(WriteError, match="exists as double"):
+        write_lines(eng, "db", "m,tag=a x=3i 3000\n")
