@@ -14,6 +14,8 @@ without rewriting live data.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from .model import Catalog, Measurement, TIME_COL
@@ -47,3 +49,43 @@ def expired_partition_predicate(duration_ns: int, now_ns: int) -> str:
     """SQL predicate selecting expired rows — push to `DELETE WHERE` on a
     transactional table or a partition-drop job on hive layout."""
     return f"{TIME_COL} < {now_ns - duration_ns}"
+
+
+def compact_measurement(spark, path: str, partition_cols: list[str],
+                        target_rows_per_file: int = 1_000_000) -> dict:
+    """Small-files compaction for a partitioned measurement table — the
+    operational analog of the reference's token rebalance jobs
+    (syncing/importer.go): streaming ingest produces one file per
+    partition per micro-batch; periodically rewrite each hive partition
+    into ~target-sized files.
+
+    Returns {"files_before": n, "files_after": m, "rows": r}. The rewrite
+    is one job: read → repartition within partitions → overwrite (dynamic
+    partition overwrite keeps untouched partitions intact on real
+    storage; local parquet overwrites the whole path atomically enough
+    for tests).
+    """
+    import glob
+    import math
+
+    def count_files():
+        return len([p for p in glob.glob(os.path.join(path, "**", "*.parquet"),
+                                         recursive=True)])
+
+    before = count_files()
+    df = spark.read.parquet(path)
+    rows = df.count()
+    nfiles = max(1, math.ceil(rows / target_rows_per_file))
+    writer = (df.repartition(nfiles, *[F.col(c) for c in partition_cols])
+              if partition_cols else df.repartition(nfiles))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    w = writer.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
+    # swap (local-fs test path; object stores would write-then-repoint)
+    import shutil
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return {"files_before": before, "files_after": count_files(),
+            "rows": rows}

@@ -315,3 +315,21 @@ def test_show_limit_offset(engine):
         'SHOW TAG VALUES FROM treasures WITH KEY = "type" '
         "LIMIT 1 OFFSET 1").collect()]
     assert vals == ["silver"]
+
+
+def test_compaction(spark, tmp_path):
+    """Small-files compaction: many micro-batch files → few, same rows."""
+    from influxdb_ha_spark.maintenance import compact_measurement
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(1000)],
+        "time long, tag string, value double")
+    # simulate many tiny micro-batch appends
+    for chunk in range(10):
+        (df.where((df.time % 10) == chunk).repartition(4)
+           .write.mode("append").partitionBy("tag").parquet(path))
+    stats = compact_measurement(spark, path, ["tag"],
+                                target_rows_per_file=1000)
+    assert stats["rows"] == 1000
+    assert stats["files_after"] < stats["files_before"] / 4
+    assert spark.read.parquet(path).count() == 1000
