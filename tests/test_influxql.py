@@ -278,3 +278,31 @@ def test_unknown_field_returns_empty(treasures):
     out = influxql_df(treasures, "SELECT mean(nosuch) AS m FROM treasures",
                       database="sharded")
     assert out.count() == 0 and "m" in out.columns
+
+
+def test_quoted_identifiers_and_strings(spark):
+    """Double-quoted identifiers (weird names), single-quoted strings."""
+    from influxdb_ha_spark.model import Catalog
+    from influxdb_ha_spark.planner import influxql_df
+    df = spark.createDataFrame([(1, "x y", 1.0)],
+                               "time long, `weird tag` string, value double")
+    cat = Catalog(spark)
+    cat.register_dataframe("db", "m", df, time_col="time",
+                           tags=["weird tag"])
+    out = influxql_df(cat, 'SELECT value FROM m WHERE "weird tag" = \'x y\'',
+                      database="db")
+    assert out.count() == 1
+
+
+def test_negative_and_scientific_literals(treasures):
+    from influxdb_ha_spark.planner import influxql_df
+    out = influxql_df(treasures,
+                      "SELECT sum(value) * -1.5e-1 AS s FROM treasures",
+                      database="sharded")
+    assert out.collect()[0]["s"] == pytest.approx(-31.8)
+
+
+def test_multi_statement_parse_query():
+    from influxdb_ha_spark.influxql.parser import parse_query
+    stmt = parse_query("SELECT mean(v) FROM m;")
+    assert stmt.fields[0].expr.name == "mean"
