@@ -502,6 +502,13 @@ def q_doc_simhash(spark, sf):
     return D.simhash(_t(spark, sf, "documents"), bits=32)
 
 
+def q_doc_simhash_near(spark, sf):
+    """SimHash near-dups via pigeonhole banding + exact Hamming verify —
+    the oracle brute-forces all pairs; banding must find the same set
+    (max_hamming=3 < 4 bands guarantees recall)."""
+    return D.simhash_near_dups(_t(spark, sf, "documents"), max_hamming=3)
+
+
 def q_emb_brute_topk(spark, sf):
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
@@ -864,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_near_dups_fast": q_doc_near_dups_fast,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
+        "doc_simhash_near": q_doc_simhash_near,
         "emb_brute_topk": q_emb_brute_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,

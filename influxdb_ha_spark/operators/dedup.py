@@ -176,3 +176,35 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agged.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3,
+                      bits: int = 32, bands: int = 4) -> DataFrame:
+    """SimHash near-duplicates: pairs within `max_hamming` bit flips.
+
+    Pigeonhole banding: split the sketch into `bands` bit-slices; any pair
+    within max_hamming (< bands) must agree exactly on ≥1 slice, so
+    candidates come from a shuffle join on (band, slice-value) — never an
+    N² comparison. Verified with exact popcount(xor).
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    sk = simhash(df, text_col, id_col, bits)
+    slices = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright("simhash", b * width)
+                 .bitwiseAND(F.lit(mask)).alias("key"))
+        for b in range(bands)])
+    keyed = (sk.select(id_col, "simhash", F.explode(slices).alias("s"))
+             .select(id_col, "simhash", "s.band", "s.key"))
+    a = keyed.select(F.col(id_col).alias("id_a"),
+                     F.col("simhash").alias("sh_a"), "band", "key")
+    b = keyed.select(F.col(id_col).alias("id_b"),
+                     F.col("simhash").alias("sh_b"), "band", "key")
+    cand = (a.join(b, ["band", "key"]).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.select("id_a", "id_b", ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

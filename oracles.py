@@ -424,6 +424,12 @@ def build_oracles() -> dict[str, str]:
     o["doc_near_dups"] = _near_dups_sql(3, 0.7)
     o["doc_ngram_jaccard"] = _near_dups_sql(2, 0.5)
     o["doc_simhash"] = _simhash_sql(32)
+    o["doc_simhash_near"] = f"""
+      WITH sk AS ({_simhash_sql(32)})
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
     emb_cast = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
     cos_qc = _cos("q.v", "c.v")
