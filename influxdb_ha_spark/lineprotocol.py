@@ -240,3 +240,46 @@ def format_point(measurement: str, tags: dict[str, str],
     if time_ns is not None:
         line += f" {time_ns}"
     return line
+
+
+def _escape_col(c: Column) -> Column:
+    """Columnar key/tag-value escaping (mirror of `_escape_key`)."""
+    out = F.regexp_replace(c, r"\\", r"\\\\")
+    out = F.regexp_replace(out, ",", r"\\,")
+    out = F.regexp_replace(out, " ", r"\\ ")
+    return F.regexp_replace(out, "=", r"\\=")
+
+
+def to_line_protocol(df: DataFrame, measurement: str, tags: list[str],
+                     fields: list[str], time_col: str = "time") -> DataFrame:
+    """Wide rows → line-protocol strings, fully columnar (the export
+    direction of the reference's import/export cycle —
+    convertRowToPoints, syncing/importer.go:361-404 — with no per-row
+    Python). Output: one `line` string column; null fields are omitted
+    per-row via array_compact.
+    """
+    head = F.concat_ws(",", F.lit(_escape_key(measurement)), *[
+        F.when(F.col(t).isNotNull(),
+               F.concat(F.lit(_escape_key(t) + "="), _escape_col(F.col(t))))
+        for t in tags])
+    dtypes = dict(df.dtypes)
+    fps = []
+    for fld in fields:
+        c = F.col(fld)
+        t = dtypes.get(fld, "double")
+        if t in ("bigint", "int", "smallint", "tinyint", "long"):
+            v = F.concat(c.cast("string"), F.lit("i"))
+        elif t == "boolean":
+            v = F.when(c, "true").otherwise("false")
+        elif t in ("double", "float"):
+            v = c.cast("string")
+        else:
+            quoted = F.regexp_replace(
+                F.regexp_replace(c, r"\\", r"\\\\"), '"', r'\\"')
+            v = F.concat(F.lit('"'), quoted, F.lit('"'))
+        fps.append(F.when(c.isNotNull(),
+                          F.concat(F.lit(_escape_key(fld) + "="), v)))
+    field_part = F.array_join(F.array_compact(F.array(*fps)), ",")
+    line = F.concat(head, F.lit(" "), field_part, F.lit(" "),
+                    F.col(time_col).cast("string"))
+    return df.select(line.alias("line"))

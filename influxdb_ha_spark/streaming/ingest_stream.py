@@ -28,7 +28,8 @@ def stream_ingest_lines(catalog: Catalog, lines_stream: DataFrame,
                         table_path: str, checkpoint_path: str,
                         dead_letter_path: str | None = None,
                         default_time_ns: int | None = None,
-                        trigger_once: bool = False):
+                        trigger_once: bool = False,
+                        dedup_replicas: bool = False):
     """Attach the ingest pipeline to a streaming DataFrame of raw lines.
 
     Returns the started StreamingQuery. `trigger(availableNow=True)` mode
@@ -41,6 +42,12 @@ def stream_ingest_lines(catalog: Catalog, lines_stream: DataFrame,
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         long_df = parse_lines_df(batch_df, default_time_ns=default_time_ns)
         wide = pivot_points(long_df, measurement, tag_keys)
+        if dedup_replicas:
+            # replicated-write idempotency within a batch (the engine-side
+            # form of the reference's point-hash dedup on read,
+            # coordinator.go:97-118); cross-batch duplicates are handled
+            # by the checkpoint (a batch is never re-ingested)
+            wide = wide.dropDuplicates()
         valid, rejected = validate_partition_key(wide, pk)
         write_measurement(valid, table_path, pk)
         if dead_letter_path is not None:

@@ -168,3 +168,29 @@ def test_write_lines_upsert_and_type_conflict(spark):
     # int field where float was first written → rejected
     with _pytest.raises(WriteError, match="exists as double"):
         write_lines(eng, "db", "m,tag=a x=3i 3000\n")
+
+
+def test_line_protocol_export_roundtrip(spark):
+    """Columnar export → parse round-trip (the reference's row→point
+    conversion, importer.go:361-404, without per-row Python)."""
+    from influxdb_ha_spark.lineprotocol import parse_lines_df, to_line_protocol
+    rows = [(1000, "se,attle", "a b", 1.5, 7, "hi \"x\""),
+            (2000, "nyc", None, 2.5, None, None)]
+    df = spark.createDataFrame(
+        rows, "time long, city string, zone string, temp double, "
+              "cnt long, note string")
+    lines = to_line_protocol(df, "weather m", ["city", "zone"],
+                             ["temp", "cnt", "note"])
+    back = parse_lines_df(lines, line_col="line").collect()
+    assert all(r["error"] is None for r in back)
+    by_time = {}
+    for r in back:
+        by_time.setdefault(r["time"], {})[r["field_key"]] = (
+            r["f_float"] if r["f_float"] is not None else
+            r["f_int"] if r["f_int"] is not None else r["f_str"])
+        assert r["measurement"] == "weather m"
+    assert by_time[1000] == {"temp": 1.5, "cnt": 7, "note": 'hi "x"'}
+    assert by_time[2000] == {"temp": 2.5}
+    tags = {r["time"]: r["tags"] for r in back}
+    assert tags[1000] == {"city": "se,attle", "zone": "a b"}
+    assert tags[2000] == {"city": "nyc"}
