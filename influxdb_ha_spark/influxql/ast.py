@@ -120,3 +120,4 @@ class ShowStatement:
     with_key_regex: str | None = None  # ... WITH KEY =~ /re/
     limit: int | None = None       # SHOW ... LIMIT n OFFSET m (paginated
     offset: int | None = None      # meta scans — series.go:67-89 pages)
+    measurement_regex: str | None = None  # SHOW MEASUREMENTS WITH ... =~

@@ -295,6 +295,15 @@ class Parser:
         stmt = ShowStatement(what=what)
         if self.accept("KEYWORD", "ON"):
             stmt.database = self.expect_name()
+        if what == "MEASUREMENTS" and self.accept("KEYWORD", "WITH"):
+            # SHOW MEASUREMENTS WITH MEASUREMENT =~ /re/ (or = name)
+            self.expect("KEYWORD", "MEASUREMENT")
+            if self.peek().kind == "OP" and self.peek().text == "=~":
+                self.next()
+                stmt.measurement_regex = self.expect("REGEX").text
+            else:
+                self.expect("OP", "=")
+                stmt.measurement = self.expect_name()
         if self.accept("KEYWORD", "FROM"):
             stmt.measurement = self.parse_measurement_ref().name
         if self.accept("KEYWORD", "WITH"):

@@ -273,7 +273,12 @@ class Engine:
         if what == "DATABASES":
             return self.catalog.show_databases()
         if what == "MEASUREMENTS":
-            return self.catalog.show_measurements(database)
+            out = self.catalog.show_measurements(database)
+            if stmt.measurement_regex:
+                out = out.where(F.col("name").rlike(stmt.measurement_regex))
+            elif stmt.measurement:
+                out = out.where(F.col("name") == stmt.measurement)
+            return out
         if what == "SERIES":
             return self.catalog.show_series(database, stmt.measurement)
         if what == "TAG KEYS":

@@ -333,3 +333,12 @@ def test_compaction(spark, tmp_path):
     assert stats["rows"] == 1000
     assert stats["files_after"] < stats["files_before"] / 4
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_show_measurements_with_regex(engine):
+    assert engine.query_df(
+        "SHOW MEASUREMENTS WITH MEASUREMENT =~ /^trea/").count() == 1
+    assert engine.query_df(
+        "SHOW MEASUREMENTS WITH MEASUREMENT =~ /^zzz/").count() == 0
+    assert engine.query_df(
+        'SHOW MEASUREMENTS WITH MEASUREMENT = "treasures"').count() == 1
