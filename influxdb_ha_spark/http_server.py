@@ -99,6 +99,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(401, {"error": "authorization failed"})
             return
         epoch = params.get("epoch")
+        chunked = (params.get("chunked") or "").lower() == "true"
         results = []
         for i, stmt in enumerate(_split_statements(q)):
             try:
@@ -109,6 +110,19 @@ class _Handler(BaseHTTPRequestHandler):
             except (QueryError, PartitionKeyError, SyntaxError) as e:
                 self._send(400, {"error": str(e)})
                 return
+        if chunked:
+            # InfluxDB chunked transfer: newline-delimited JSON documents,
+            # one per statement result (query_utils.go emits successive
+            # docs on one response)
+            body = "\n".join(json.dumps({"results": [r]})
+                             for r in results).encode() + b"\n"
+            self.send_response(200)
+            self.send_header("X-Influxdb-Version", VERSION)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
         self._send(200, {"results": results})
 
     def _handle_write(self, params: dict):

@@ -138,3 +138,16 @@ def test_auth_lifecycle(http):
     status, _, _ = _post(base + "/write?db=sharded&u=boss&p=pw",
                          b"treasures,type=x value=1 1500000000000000009")
     assert status == 204
+
+
+def test_chunked_response(http):
+    base, engine = http
+    # note: runs after test_auth_lifecycle → authenticate as boss
+    q = "SHOW MEASUREMENTS; SHOW DATABASES"
+    url = (base + "/query?db=sharded&chunked=true&u=boss&p=pw&q=" +
+           urllib.request.quote(q))
+    with urllib.request.urlopen(url) as r:
+        body = r.read().decode().strip().splitlines()
+    assert len(body) == 2
+    docs = [json.loads(ln) for ln in body]
+    assert [d["results"][0]["statement_id"] for d in docs] == [0, 1]
