@@ -502,6 +502,14 @@ def q_doc_simhash(spark, sf):
     return D.simhash(_t(spark, sf, "documents"), bits=32)
 
 
+def q_doc_dedup_clusters(spark, sf):
+    """Duplicate clusters: connected components over verified near-dup
+    pairs (min-label propagation; oracle = recursive CTE closure)."""
+    pairs = D.minhash_near_duplicates(_t(spark, sf, "documents"),
+                                      threshold=0.7)
+    return D.connected_components(pairs)
+
+
 def q_doc_simhash_near(spark, sf):
     """SimHash near-dups via pigeonhole banding + exact Hamming verify —
     the oracle brute-forces all pairs; banding must find the same set
@@ -872,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_near": q_doc_simhash_near,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
         "emb_brute_topk": q_emb_brute_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,

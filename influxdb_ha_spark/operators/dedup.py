@@ -208,3 +208,43 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (cand.select("id_a", "id_b", ham.alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Duplicate clusters: connected components of the near-dup pair graph,
+    labeling every member with the component's minimum id.
+
+    Iterative min-label propagation — each round, every node adopts the
+    smallest label among itself and its neighbors (two hash-join +
+    groupBy-min passes, fully distributed; no Pregel dependency).
+    Converges in O(component diameter) rounds; near-dup components are
+    shallow in practice. Driver only checks the convergence flag.
+    """
+    edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+             .unionByName(pairs.select(F.col(id_b).alias("a"),
+                                       F.col(id_a).alias("b")))
+             .distinct()
+             .cache())  # edge list reused every round — never recompute
+                        # the upstream (e.g. minhash) pipeline per iteration
+    labels = (edges.select(F.col("a").alias("id"))
+              .distinct().withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges.b == labels.id)
+                 .select(F.col("a").alias("id"), F.col("label")))
+        # localCheckpoint truncates lineage — without it the plan doubles
+        # every round, the classic iterative-algorithm failure at scale
+        new_labels = (labels.select("id", "label").unionByName(neigh)
+                      .groupBy("id").agg(F.min("label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.label") != F.col("o.label")).take(1))
+        labels = new_labels
+        if not changed:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster"))

@@ -422,6 +422,17 @@ def build_oracles() -> dict[str, str]:
             FROM sig)"""
     o["doc_minhash_candidates"] = _candidates_sql(3)
     o["doc_near_dups"] = _near_dups_sql(3, 0.7)
+    o["doc_dedup_clusters"] = f"""
+      WITH RECURSIVE nd AS ({_near_dups_sql(3, 0.7)}),
+      e AS (SELECT id_a AS a, id_b AS b FROM nd
+            UNION SELECT id_b, id_a FROM nd),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        WHERE e.b != r.a),
+      m AS (SELECT a, min(b) AS mb FROM reach GROUP BY a)
+      SELECT a AS doc_id, least(a, mb) AS cluster FROM m"""
     o["doc_ngram_jaccard"] = _near_dups_sql(2, 0.5)
     o["doc_simhash"] = _simhash_sql(32)
     o["doc_simhash_near"] = f"""

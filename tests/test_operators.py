@@ -143,3 +143,12 @@ def test_kmeans_centroids_separates_blobs(spark):
     # and the trained centroids drive ivf_topk end-to-end
     out = S.ivf_topk(df, df.limit(2), cents, k=3, nprobe=1)
     assert out.count() == 6
+
+
+def test_connected_components(spark):
+    from influxdb_ha_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["cluster"]
+           for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
