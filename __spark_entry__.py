@@ -588,6 +588,17 @@ def q_text_tokens(spark, sf):
                      F.col("n_tokens_bpe_est").cast("long").alias("n_tokens_bpe_est"))
 
 
+def q_text_top_tokens(spark, sf):
+    """Corpus heavy hitters: explode tokens → two-phase count → global
+    top-50 (TakeOrderedAndProject; deterministic tie-break on token)."""
+    from influxdb_ha_spark.operators.hashing import tokens_expr
+    d = _t(spark, sf, "documents")
+    return (d.select(F.explode(tokens_expr(F.col("text"))).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("token").asc())
+            .limit(50))
+
+
 def q_text_fingerprint(spark, sf):
     return TX.fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
 
@@ -892,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "text_rolling": q_text_rolling,
+        "text_top_tokens": q_text_top_tokens,
         "mm_meta": q_mm_meta,
         "mm_decode": q_mm_decode,
         "mm_frames": q_mm_frames,

@@ -503,6 +503,10 @@ def build_oracles() -> dict[str, str]:
              ('0x' || substring(md5(text || CAST(w AS VARCHAR)), 1, 8))::BIGINT
                % 1000000 / 1000000.0 AS energy
       FROM d, unnest(generate_series(0, n - 1)) AS t(w)"""
+    o["text_top_tokens"] = f"""
+      WITH t AS (SELECT unnest({TOKS}) AS token FROM documents)
+      SELECT token, count(*) AS n FROM t GROUP BY 1
+      ORDER BY n DESC, token ASC LIMIT 50"""
     o["text_rolling"] = f"""
       WITH h AS (
         SELECT doc_id, list_transform({TOKS},
