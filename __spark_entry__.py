@@ -702,6 +702,20 @@ def q_iq_fill_null(spark, sf):
     return df.select("time", _fr(F.col("mv"), 4).alias("mv"))
 
 
+def q_iq_kitchen_sink(spark, sf):
+    """Interaction coverage: regex predicate + multi-agg + fill(0) +
+    SLIMIT/SOFFSET + ORDER BY time DESC + LIMIT in one statement."""
+    df = _iq(spark, sf,
+             "SELECT sum(value) AS sv, count(value) AS n, max(value) AS mx "
+             "FROM events "
+             f"WHERE time >= {JAN1} AND time < {FEB1} "
+             "AND (event_type = 'click' OR event_type =~ /^(si|vi)/) "
+             "GROUP BY time(1d), event_type fill(0) "
+             "ORDER BY time DESC LIMIT 40 SLIMIT 2 SOFFSET 1")
+    return df.select("time", "event_type", _fr(F.col("sv"), 2).alias("sv"),
+                     "n", _fr(F.col("mx"), 2).alias("mx"))
+
+
 def q_iq_subquery(spark, sf):
     """Subquery source — influxql feature the reference cannot run
     (README.md:190-194); outer agg over inner GROUP BY time() aggregate."""
@@ -855,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iq_sample": q_iq_sample,
         "iq_regex_tag": q_iq_regex_tag,
         "iq_subquery": q_iq_subquery,
+        "iq_kitchen_sink": q_iq_kitchen_sink,
         "iq_bucket_offset": q_iq_bucket_offset,
         "iq_tz_daily": q_iq_tz_daily,
         "iq_fill_null": q_iq_fill_null,

@@ -690,6 +690,29 @@ def build_oracles() -> dict[str, str]:
         GROUP BY 1)
       SELECT spine.time, {fr('a.mv', 4)} AS mv
       FROM spine LEFT JOIN a ON spine.time = a.time"""
+    o["iq_kitchen_sink"] = f"""
+      WITH a AS (
+        SELECT ({EV_TIME} // {DAY}) * {DAY} AS time, event_type,
+               sum(value) AS sv, count(value) AS n, max(value) AS mx
+        FROM events
+        WHERE {EV_TIME} >= {JAN1} AND {EV_TIME} < {FEB1}
+          AND (event_type = 'click' OR regexp_matches(event_type, '^(si|vi)'))
+        GROUP BY 1, 2),
+      series AS (
+        SELECT event_type,
+               row_number() OVER (ORDER BY event_type) AS srank
+        FROM (SELECT DISTINCT event_type FROM a)),
+      spine AS (
+        SELECT unnest(generate_series({JAN1}, {FEB1 - 1}, {DAY})) AS time),
+      filled AS (
+        SELECT spine.time, s.event_type,
+               coalesce(a.sv, 0) AS sv, coalesce(a.n, 0) AS n,
+               coalesce(a.mx, 0) AS mx
+        FROM spine CROSS JOIN (SELECT event_type FROM series
+                               WHERE srank > 1 AND srank <= 3) s
+        LEFT JOIN a ON a.time = spine.time AND a.event_type = s.event_type)
+      SELECT time, event_type, {fr('sv', 2)} AS sv, n, {fr('mx', 2)} AS mx
+      FROM filled ORDER BY time DESC, event_type ASC LIMIT 40"""
     o["iq_subquery"] = f"""
       WITH a AS (
         SELECT ({EV_TIME} // {DAY}) * {DAY} AS time, event_type,
