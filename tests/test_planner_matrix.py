@@ -1,0 +1,65 @@
+"""Systematic consistency matrix: every InfluxQL aggregate through the
+planner must equal the directly-built DataFrame aggregation, across
+grouping shapes (none / tag / time / time+tag) — a regression net over the
+whole §2.4 matrix beyond the per-query goldens."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxdb_ha_spark.planner import influxql_df
+
+AGGS = {
+    "count": F.count, "sum": F.sum, "mean": F.avg, "min": F.min,
+    "max": F.max, "median": F.median, "stddev": F.stddev,
+    "spread": lambda c: F.max(c) - F.min(c),
+    "mode": None,  # covered by agg_mode (tie-break specific)
+    "first": None, "last": None,  # time-paired, covered by iq_first_last
+}
+GROUPINGS = ["none", "tag", "time", "time_tag"]
+
+
+def _expected(df, fn, grouping):
+    agg = fn(F.col("value")).alias("v")
+    if grouping == "none":
+        return {(): df.agg(agg).collect()[0]["v"]}
+    if grouping == "tag":
+        return {(r["type"],): r["v"]
+                for r in df.groupBy("type").agg(agg).collect()}
+    bucket = (F.col("time") - F.col("time") % (3_600_000_000_000)).alias("b")
+    if grouping == "time":
+        return {(r["b"],): r["v"]
+                for r in df.groupBy(bucket).agg(agg).collect()}
+    return {(r["b"], r["type"]): r["v"]
+            for r in df.groupBy(bucket, "type").agg(agg).collect()}
+
+
+@pytest.mark.parametrize("name", [k for k, v in AGGS.items() if v])
+@pytest.mark.parametrize("grouping", GROUPINGS)
+def test_agg_matrix(treasures, name, grouping):
+    df = treasures.get("sharded", "treasures").df
+    fn = AGGS[name]
+    q = f"SELECT {name}(value) AS v FROM treasures"
+    if grouping == "tag":
+        q += " GROUP BY type"
+    elif grouping == "time":
+        q += " GROUP BY time(1h) fill(none)"
+    elif grouping == "time_tag":
+        q += " GROUP BY time(1h), type fill(none)"
+    out = influxql_df(treasures, q, database="sharded")
+    key_cols = {"none": [], "tag": ["type"], "time": ["time"],
+                "time_tag": ["time", "type"]}[grouping]
+    got = {tuple(r[k] for k in key_cols): r["v"] for r in out.collect()}
+    exp = _expected(df, fn, grouping)
+    if grouping in ("time", "time_tag"):
+        # fill(none) drops buckets whose aggregate is null (e.g. stddev of
+        # a single point) — InfluxDB emits no row for them
+        exp = {k: v for k, v in exp.items() if v is not None}
+    assert set(got) == set(exp), (name, grouping)
+    for k in exp:
+        e, g = exp[k], got[k]
+        if e is None or g is None:
+            assert e == g, (name, grouping, k)
+        else:
+            assert g == pytest.approx(e, nan_ok=True), (name, grouping, k)
