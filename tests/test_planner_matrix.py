@@ -63,3 +63,44 @@ def test_agg_matrix(treasures, name, grouping):
             assert e == g, (name, grouping, k)
         else:
             assert g == pytest.approx(e, nan_ok=True), (name, grouping, k)
+
+
+TRANSFORMS = ["difference", "derivative", "cumulative_sum", "elapsed",
+              "moving_average", "non_negative_difference"]
+
+
+@pytest.mark.parametrize("name", TRANSFORMS)
+@pytest.mark.parametrize("grouped", [True, False])
+def test_transform_matrix(treasures, name, grouped):
+    """Transforms through the InfluxQL planner equal the function-library
+    results for both per-tag and whole-measurement (distributed-scan)
+    shapes."""
+    from influxdb_ha_spark.functions import transforms as T
+    df = treasures.get("sharded", "treasures").df
+    arg = {"moving_average": "(value, 2)", "derivative": "(value, 1s)",
+           "elapsed": "(value, 1s)"}.get(name, "(value)")
+    q = f"SELECT {name}{arg} AS v FROM treasures"
+    by = ["type"] if grouped else []
+    if grouped:
+        q += " GROUP BY type"
+    out = influxql_df(treasures, q, database="sharded").collect()
+    kw = {"by": by} if by else {}
+    if name == "moving_average":
+        ref = T.moving_average(df, "value", 2, **kw)
+    elif name == "derivative":
+        ref = T.derivative(df, "value", unit_ns=10**9, **kw)
+    elif name == "elapsed":
+        ref = T.elapsed(df, unit_ns=10**9, **kw)
+    elif name == "cumulative_sum":
+        ref = T.cumulative_sum(df, "value", **kw)
+    elif name == "non_negative_difference":
+        ref = T.non_negative_difference(df, "value", **kw)
+    else:
+        ref = T.difference(df, "value", **kw)
+    refcol = [c for c in ref.columns
+              if c not in ("time", "type", "value")][0]
+    exp = sorted((r["time"], r[refcol]) for r in ref.collect())
+    got = sorted((r["time"], r["v"]) for r in out)
+    assert len(got) == len(exp), (name, grouped)
+    for (te, ve), (tg, vg) in zip(exp, got):
+        assert te == tg and vg == pytest.approx(ve), (name, grouped)
