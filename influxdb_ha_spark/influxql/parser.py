@@ -134,6 +134,8 @@ class Parser:
                 stmt.group_by_tags.append("*")
             elif t.kind == "IDENT":
                 stmt.group_by_tags.append(self.next().text)
+                if self.accept("OP", "::"):
+                    self.next()  # `::tag` annotation
             elif t.kind == "KEYWORD":
                 # tags may collide with keywords (a tag named "tag"/"key");
                 # in item position a keyword is unambiguous — influxql also
@@ -275,6 +277,11 @@ class Parser:
                         args.append(self.parse_expr())
                     self.expect("OP", ")")
                 return Call(t.text.lower(), args)
+            # influxql `ident::field` / `ident::tag` / `ident::<type>` cast
+            # annotations — disambiguation hints; the engine's schema is
+            # typed, so they parse and are accepted as written
+            if self.accept("OP", "::"):
+                self.next()  # consume the annotation word
             return VarRef(t.text)
         raise SyntaxError(f"error parsing query: unexpected token {t.text!r}")
 

@@ -306,3 +306,14 @@ def test_multi_statement_parse_query():
     from influxdb_ha_spark.influxql.parser import parse_query
     stmt = parse_query("SELECT mean(v) FROM m;")
     assert stmt.fields[0].expr.name == "mean"
+
+
+def test_type_annotations(treasures):
+    """`value::field` / `type::tag` annotations parse and behave like the
+    bare identifiers (the engine schema is already typed)."""
+    from influxdb_ha_spark.planner import influxql_df
+    out = influxql_df(treasures,
+                      "SELECT sum(value::field) AS s FROM treasures "
+                      "GROUP BY type::tag", database="sharded")
+    got = {r["type"]: r["s"] for r in out.collect()}
+    assert got["gold"] == 160.0
