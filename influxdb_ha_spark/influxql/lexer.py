@@ -38,12 +38,14 @@ _REGEX_RE = re.compile(r"/(?:[^/\\]|\\.)*/")
 
 def _regex_context(out: list["Token"]) -> bool:
     """A `/` starts a regex literal (not division) right after `=~`, `!~`,
-    or FROM — mirroring influxql's context-sensitive scanner."""
+    FROM, SELECT, or a comma following one of those positions — mirroring
+    influxql's context-sensitive scanner (an expression can never *start*
+    with division, so `,`/SELECT positions are unambiguous)."""
     if not out:
         return False
     t = out[-1]
-    return (t.kind == "OP" and t.text in ("=~", "!~")) or \
-        (t.kind == "KEYWORD" and t.text == "FROM")
+    return (t.kind == "OP" and t.text in ("=~", "!~", ",", "(")) or \
+        (t.kind == "KEYWORD" and t.text in ("FROM", "SELECT"))
 
 
 def tokenize(s: str) -> list[Token]:

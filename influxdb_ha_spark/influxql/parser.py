@@ -252,6 +252,8 @@ class Parser:
 
     def parse_primary(self):
         t = self.next()
+        if t.kind == "REGEX":
+            return RegexLit(t.text)
         if t.kind == "OP" and t.text == "(":
             e = self.parse_expr()
             self.expect("OP", ")")

@@ -156,17 +156,37 @@ class Planner:
 
     def _expand_wildcard_calls(self, stmt: SelectStatement,
                                m: Measurement) -> SelectStatement:
-        """`agg(*)` → one call per field, named `agg_field` (InfluxDB's
-        wildcard-expansion naming)."""
-        if not any(isinstance(f.expr, Call) and f.expr.args
-                   and isinstance(f.expr.args[0], Wildcard)
-                   for f in stmt.fields):
+        """`agg(*)` → one call per field (`agg_field` naming); bare
+        `SELECT /re/` and `agg(/re/)` → the matching fields (influxql
+        regex field selection)."""
+        def is_exp(e):
+            return isinstance(e, RegexLit) or (
+                isinstance(e, Call) and e.args
+                and isinstance(e.args[0], (Wildcard, RegexLit)))
+        if not any(is_exp(f.expr) for f in stmt.fields):
             return stmt
         import copy
+        import re as _re
         out = copy.copy(stmt)
         out.fields = []
         for f in stmt.fields:
             e = f.expr
+            if isinstance(e, RegexLit):
+                rx = _re.compile(e.pattern)
+                for fld in m.fields:
+                    if rx.search(fld):
+                        out.fields.append(SelectField(expr=VarRef(fld),
+                                                      alias=fld))
+                continue
+            if isinstance(e, Call) and e.args and \
+                    isinstance(e.args[0], RegexLit):
+                rx = _re.compile(e.args[0].pattern)
+                for fld in m.fields:
+                    if rx.search(fld):
+                        call = Call(e.name, [VarRef(fld)] + list(e.args[1:]))
+                        out.fields.append(SelectField(
+                            expr=call, alias=f"{e.name}_{fld}"))
+                continue
             if isinstance(e, Call) and e.args and isinstance(e.args[0], Wildcard):
                 numeric = {"int", "bigint", "smallint", "tinyint",
                            "float", "double", "decimal"}

@@ -317,3 +317,15 @@ def test_type_annotations(treasures):
                       "GROUP BY type::tag", database="sharded")
     got = {r["type"]: r["s"] for r in out.collect()}
     assert got["gold"] == 160.0
+
+
+def test_regex_field_selection(treasures):
+    from influxdb_ha_spark.planner import influxql_df
+    out = influxql_df(treasures, "SELECT /^val/ FROM treasures LIMIT 2",
+                      database="sharded")
+    assert "value" in out.columns
+    assert out.count() == 2
+    agg = influxql_df(treasures, "SELECT sum(/^val/) FROM treasures "
+                      "GROUP BY type", database="sharded")
+    got = {r["type"]: r["sum_value"] for r in agg.collect()}
+    assert got["gold"] == 160.0
