@@ -45,7 +45,7 @@ def _regex_context(out: list["Token"]) -> bool:
         return False
     t = out[-1]
     return (t.kind == "OP" and t.text in ("=~", "!~", ",", "(")) or \
-        (t.kind == "KEYWORD" and t.text in ("FROM", "SELECT"))
+        (t.kind == "KEYWORD" and t.text in ("FROM", "SELECT", "BY"))
 
 
 def tokenize(s: str) -> list[Token]:

@@ -132,6 +132,9 @@ class Parser:
             elif t.kind == "OP" and t.text == "*":
                 self.next()
                 stmt.group_by_tags.append("*")
+            elif t.kind == "REGEX":
+                # GROUP BY /re/ — expanded to matching tags at plan time
+                stmt.group_by_tags.append("/" + self.next().text + "/")
             elif t.kind == "IDENT":
                 stmt.group_by_tags.append(self.next().text)
                 if self.accept("OP", "::"):

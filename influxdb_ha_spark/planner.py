@@ -463,10 +463,14 @@ class Planner:
 
     # -- expression helpers ------------------------------------------------
     def _expand_tags(self, tags: list[str], m: Measurement) -> list[str]:
+        import re as _re
         out: list[str] = []
         for t in tags:
             if t == "*":
                 out += [x for x in m.tags if x not in out]
+            elif len(t) > 1 and t.startswith("/") and t.endswith("/"):
+                rx = _re.compile(t[1:-1])
+                out += [x for x in m.tags if rx.search(x) and x not in out]
             elif t not in out:
                 out.append(t)
         return out

@@ -329,3 +329,12 @@ def test_regex_field_selection(treasures):
                       "GROUP BY type", database="sharded")
     got = {r["type"]: r["sum_value"] for r in agg.collect()}
     assert got["gold"] == 160.0
+
+
+def test_group_by_regex_tags(treasures):
+    from influxdb_ha_spark.planner import influxql_df
+    out = influxql_df(treasures,
+                      "SELECT sum(value) AS s FROM treasures GROUP BY /^ty/",
+                      database="sharded")
+    got = {r["type"]: r["s"] for r in out.collect()}
+    assert got == {"gold": 160.0, "silver": 52.0, "trash": 0.0}
