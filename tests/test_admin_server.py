@@ -342,3 +342,24 @@ def test_show_measurements_with_regex(engine):
         "SHOW MEASUREMENTS WITH MEASUREMENT =~ /^zzz/").count() == 0
     assert engine.query_df(
         'SHOW MEASUREMENTS WITH MEASUREMENT = "treasures"').count() == 1
+
+
+def test_alter_retention_policy(engine):
+    engine.query_df("CREATE RETENTION POLICY hot ON sharded "
+                    "DURATION 24h REPLICATION 1")
+    engine.query_df("ALTER RETENTION POLICY hot ON sharded "
+                    "DURATION 48h REPLICATION 2 DEFAULT")
+    rows = {r["name"]: r for r in engine.query_df(
+        "SHOW RETENTION POLICIES ON sharded").collect()}
+    assert rows["hot"]["duration"] == "48h" and rows["hot"]["default"]
+    engine.query_df("DROP RETENTION POLICY hot ON sharded")
+
+
+def test_engine_json_epoch_ms_with_buckets(engine):
+    out = engine.query("SELECT count(value) AS n FROM treasures "
+                       "GROUP BY time(1h) fill(none)", epoch="ms")
+    series = out["results"][0]["series"][0]
+    tcol = series["columns"].index("time")
+    for v in series["values"]:
+        assert isinstance(v[tcol], int)
+        assert v[tcol] < 10**16  # ms magnitude, not ns
