@@ -725,6 +725,13 @@ def q_iq_subquery(spark, sf):
                "GROUP BY time(1d), event_type fill(none)) GROUP BY event_type")
 
 
+def q_iq_top_tag(spark, sf):
+    """top(value, tag, N) — per-tag extremes with the tag returned
+    (the reference's TODO at coordinator.go:143-147)."""
+    return _iq(spark, sf,
+               "SELECT top(value, event_type, 3) AS top FROM events")
+
+
 def q_iq_stats(spark, sf):
     """stddev/median/percentile through the InfluxQL frontend — exact where
     the reference's merge is approximate (calls.go:46-133)."""
@@ -870,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iq_regex_tag": q_iq_regex_tag,
         "iq_subquery": q_iq_subquery,
         "iq_kitchen_sink": q_iq_kitchen_sink,
+        "iq_top_tag": q_iq_top_tag,
         "iq_bucket_offset": q_iq_bucket_offset,
         "iq_tz_daily": q_iq_tz_daily,
         "iq_fill_null": q_iq_fill_null,

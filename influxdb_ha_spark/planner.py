@@ -421,6 +421,30 @@ class Planner:
                 out = out.withColumnRenamed("__bucket", TIME_COL)
             return out
 
+        if call.name in ("top", "bottom") and len(call.args) == 3 and \
+                isinstance(call.args[1], VarRef):
+            # influxql top(f, tag, N): per-tag extreme first, then the N
+            # best tags — returns the tag column with each selected point
+            # (SURVEY §7.2 hard part 5; reference TODO coordinator.go:143-147)
+            tag = call.args[1].name
+            n = int(call.args[2].value)
+            asc = call.name == "bottom"
+            order = F.col(field).asc() if asc else F.col(field).desc()
+            w1 = Window.partitionBy(*(keys + [F.col(tag)])) \
+                .orderBy(order, F.col(TIME_COL).asc())
+            per_tag = (df.withColumn("__r1", F.row_number().over(w1))
+                       .where(F.col("__r1") == 1).drop("__r1"))
+            w2 = Window.partitionBy(*keys).orderBy(
+                order, F.col(TIME_COL).asc()) if keys else None
+            if w2 is not None:
+                out = (per_tag.withColumn("__r2", F.row_number().over(w2))
+                       .where(F.col("__r2") <= n).drop("__r2"))
+            else:
+                out = per_tag.orderBy(order, F.col(TIME_COL).asc()).limit(n)
+            sel = [F.col(TIME_COL)] + [F.col(t) for t in group_tags] + \
+                [F.col(tag), F.col(field).alias(name)]
+            return out.select(*sel)
+
         n = call.args[1].value if len(call.args) > 1 else 1
         if call.name == "sample":  # calls.go:136-151 (defined but unwired)
             order = F.rand(seed=42)

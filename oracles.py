@@ -720,6 +720,14 @@ def build_oracles() -> dict[str, str]:
         FROM events GROUP BY 1, 2)
       SELECT event_type, max(c) AS max_daily, min(c) AS min_daily
       FROM a GROUP BY 1"""
+    o["iq_top_tag"] = f"""
+      WITH per AS (
+        SELECT {EV_TIME} AS time, event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY value DESC, {EV_TIME} ASC) AS rn
+        FROM events)
+      SELECT time, event_type, value AS top FROM per
+      WHERE rn = 1 ORDER BY value DESC, time ASC LIMIT 3"""
     o["iq_stats"] = f"""
       SELECT event_type, {fr('stddev(value)', 4)} AS sd,
              {fr('median(value)', 4)} AS med,

@@ -338,3 +338,19 @@ def test_group_by_regex_tags(treasures):
                       database="sharded")
     got = {r["type"]: r["s"] for r in out.collect()}
     assert got == {"gold": 160.0, "silver": 52.0, "trash": 0.0}
+
+
+def test_top_with_tag_key(treasures):
+    """top(value, tag, N): the N best series-extremes, tag returned with
+    each point (the reference's acknowledged TODO, coordinator.go:143-147)."""
+    from influxdb_ha_spark.planner import influxql_df
+    out = influxql_df(treasures,
+                      "SELECT top(value, type, 2) AS top FROM treasures",
+                      database="sharded")
+    rows = [(r["type"], r["top"]) for r in out.collect()]
+    assert sorted(rows) == [("gold", 100.0), ("silver", 50.0)]
+    out = influxql_df(treasures,
+                      "SELECT bottom(value, type, 2) AS b FROM treasures",
+                      database="sharded")
+    rows = [(r["type"], r["b"]) for r in out.collect()]
+    assert sorted(rows) == [("silver", 2.0), ("trash", 0.0)]
