@@ -51,3 +51,19 @@ def test_roundtrip(measurement, tags, fields, time_ns):
             assert math.isclose(got[k], v, rel_tol=0, abs_tol=0) or got[k] == v
         else:
             assert got[k] == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(ns=st.integers(min_value=0, max_value=2**62))
+def test_time_literal_roundtrip(ns):
+    """RFC3339 formatting ↔ parsing agree at µs fidelity (Spark timestamp
+    precision; coordinator.go:32-42 RFC3339/epoch duality)."""
+    from influxdb_ha_spark.timeutil import parse_time_literal_ns
+    import datetime as dt
+    us = (ns // 1000) * 1000
+    iso = dt.datetime.fromtimestamp(us / 1e9, tz=dt.timezone.utc) \
+        .strftime("%Y-%m-%dT%H:%M:%S")
+    frac_us = (us // 1000) % 1_000_000
+    lit = f"{iso}.{frac_us:06d}Z"
+    got = parse_time_literal_ns(lit)
+    assert abs(got - us) < 1000, (lit, got, us)
