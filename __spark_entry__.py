@@ -43,7 +43,47 @@ _NS = {"region", "nation", "customer", "supplier", "part", "orders",
        "lineitem", "events", "documents", "embeddings"}
 
 
+# Runtime-settable confs the contract depends on. The driver runs these
+# queries on its OWN vanilla SparkSession (no engine defaults from
+# influxdb_ha_spark.session), so they must be applied here, idempotently,
+# before the first parquet read:
+#   - nanosAsLong: events.parquet stores INT64 TIMESTAMP(NANOS) (reference
+#     default precision is ns, service/write_handler.go:48-51); without it
+#     the read throws PARQUET_TYPE_ILLEGAL.
+#   - UTC session timezone: date_format/time-bucket arithmetic is epoch-based.
+#   - ansi=false: InfluxQL div-by-zero / coercion semantics are permissive.
+#   - arrow: the pandas_udf paths (minhash, multimodal) want Arrow batching.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+_CONF_APPLIED: set[int] = set()
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    key = id(spark)
+    if key in _CONF_APPLIED:
+        return
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on some builds; reads below will surface it
+    # Right-size shuffles for local test scale unless the session owner
+    # already tuned them (Spark's out-of-box 200 is wasteful at sf<=0.1).
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except Exception:
+        pass
+    _CONF_APPLIED.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

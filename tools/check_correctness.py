@@ -4,7 +4,12 @@ Runs each __spark_entry__.queries() entry on Spark and its oracle_sql() on
 DuckDB over the same parquet, then compares row count, column names, and an
 order-insensitive value hash. Usage:
 
-    python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [--vanilla] [sf_dir] [query ...]
+
+--vanilla builds a bare SparkSession with NO engine defaults — the driver's
+actual environment. The contract (__spark_entry__._ensure_confs) must make
+every query work there; round 1 shipped 33 red rows because this gate
+didn't exist.
 """
 
 from __future__ import annotations
@@ -54,11 +59,21 @@ def df_hash(cols, rows):
 
 def main():
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(a for a in args if not os.path.isdir(a))
 
-    from influxdb_ha_spark.session import get_spark
-    spark = get_spark(master="local[8]")
+    if vanilla:
+        # The driver's environment: no engine defaults whatsoever.
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.appName("vanilla-gate")
+                 .master("local[8]").config("spark.ui.enabled", "false")
+                 .getOrCreate())
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        from influxdb_ha_spark.session import get_spark
+        spark = get_spark(master="local[8]")
 
     con = duckdb.connect()
     for t in TABLES:
