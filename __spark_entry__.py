@@ -344,6 +344,32 @@ def q_iq_fill_linear(spark, sf):
     return df.select("time", _fr(F.col("mv"), 4).alias("mv"))
 
 
+def q_iq_fill_offset(spark, sf):
+    """GROUP BY time(1d, 6h) + fill(0): the spine must align to the interval
+    OFFSET, not epoch multiples (merge/query_merge.go:72-81 +
+    coordinator.go:196-204 — offset is honored in both bucketing and
+    gap-fill). Regression guard for the round-2 fill.bucket_spine fix."""
+    return _iq(spark, sf,
+               "SELECT count(value) AS n FROM events "
+               f"WHERE time >= {JAN1} AND time < {JAN1 + 10 * DAY} "
+               "AND event_type='signup' GROUP BY time(1d, 6h) fill(0)")
+
+
+MAR15 = 1_710_460_800_000_000_000  # 2024-03-15T00:00:00Z
+
+
+def q_iq_fill_tz(spark, sf):
+    """tz('America/New_York') + fill(0) over a spine spanning the 2024-03-10
+    DST transition: local-midnight bucket edges stay aligned through the
+    23-hour day (influxql tz clause; spine generated in local wall-clock ns
+    and mapped back — functions/fill.bucket_spine tz branch)."""
+    return _iq(spark, sf,
+               "SELECT count(value) AS n FROM events "
+               f"WHERE time >= {JAN1} AND time < {MAR15} "
+               "AND event_type='click' GROUP BY time(1d) fill(0) "
+               "tz('America/New_York')")
+
+
 def q_iq_top5(spark, sf):
     return _iq(spark, sf,
                "SELECT top(value, 5) AS top_value FROM events "
@@ -906,6 +932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iq_fill_zero": q_iq_fill_zero,
         "iq_fill_previous": q_iq_fill_previous,
         "iq_fill_linear": q_iq_fill_linear,
+        "iq_fill_offset": q_iq_fill_offset,
+        "iq_fill_tz": q_iq_fill_tz,
         "iq_top5": q_iq_top5,
         "iq_math_over_agg": q_iq_math_over_agg,
         "iq_spread_tag": q_iq_spread_tag,

@@ -33,12 +33,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SMALL_SPINE = 65_536
+_DAY_NS = 86_400_000_000_000
+
+
+def _floor_bucket(t_ns: int, interval_ns: int, offset_ns: int) -> int:
+    """Python twin of timeutil.time_bucket (epoch-aligned floor + offset)."""
+    shifted = t_ns - offset_ns
+    return shifted - (shifted % interval_ns) + offset_ns
 
 
 def bucket_spine(df_aggregated: DataFrame, bucket_col: str, interval_ns: int,
                  start_ns: int | None, end_ns: int | None,
-                 group_cols: list[str]) -> DataFrame:
+                 group_cols: list[str], offset_ns: int = 0,
+                 tz: str | None = None) -> DataFrame:
     """All buckets in [start, end) per distinct group combination.
+
+    The spine MUST align with the bucket values the aggregation produced
+    (timeutil.time_bucket / time_bucket_tz), so it honors the same
+    `GROUP BY time(interval, offset)` offset and tz(): a misaligned spine
+    left-joins to nothing and fill() silently nulls out every row.
+
+    tz spines are generated as an arithmetic sequence in LOCAL wall-clock ns
+    (where buckets are evenly spaced even across DST) and each edge is
+    mapped back to its UTC instant with to_utc_timestamp — the exact inverse
+    walk time_bucket_tz does per data row, so edges match bit-for-bit.
 
     When the query gave no explicit time bounds, fall back to the observed
     min/max bucket (InfluxDB bounds the spine by the WHERE time range;
@@ -49,11 +67,42 @@ def bucket_spine(df_aggregated: DataFrame, bucket_col: str, interval_ns: int,
             F.min(bucket_col), F.max(bucket_col)).first()
         if lo is None:
             return df_aggregated.select(*group_cols, bucket_col).limit(0)
+        # lo/hi are already bucket values (aligned); use them directly.
         start_ns = lo if start_ns is None else start_ns
         end_ns = hi + interval_ns if end_ns is None else end_ns
-    first_bucket = start_ns - (start_ns % interval_ns)
-    spine = F.explode(F.sequence(
-        F.lit(first_bucket), F.lit(end_ns - 1), F.lit(interval_ns))).alias(bucket_col)
+        bounds_are_buckets = True
+    else:
+        bounds_are_buckets = False
+
+    if tz is None:
+        first_bucket = (start_ns if bounds_are_buckets
+                        else _floor_bucket(start_ns, interval_ns, offset_ns))
+        spine = F.explode(F.sequence(
+            F.lit(first_bucket), F.lit(end_ns - 1),
+            F.lit(interval_ns))).alias(bucket_col)
+    else:
+        # Uniform local-ns sequence starting at floor_local(start), one extra
+        # day of steps as DST slack, mapped back to UTC and clipped at end.
+        base = F.unix_micros(F.from_utc_timestamp(
+            F.timestamp_micros(F.lit(start_ns // 1000)), tz)) * F.lit(1000)
+        shifted = base - F.lit(offset_ns)
+        first_local = (shifted - F.pmod(shifted, F.lit(interval_ns))
+                       + F.lit(offset_ns))
+        steps = F.explode(F.sequence(
+            F.lit(0), F.lit(end_ns - start_ns + _DAY_NS),
+            F.lit(interval_ns))).alias("__step")
+        edges = df_aggregated.sparkSession.range(1).select(steps) \
+            .select((first_local + F.col("__step")).alias("__local"))
+        utc = F.unix_micros(F.to_utc_timestamp(
+            F.timestamp_micros((F.col("__local") / F.lit(1000)).cast("long")),
+            tz)) * F.lit(1000)
+        spine_df = (edges.select(utc.alias(bucket_col))
+                    .where(F.col(bucket_col) < F.lit(end_ns))
+                    .distinct())
+        if group_cols:
+            groups = df_aggregated.select(*group_cols).distinct()
+            return groups.crossJoin(spine_df)
+        return spine_df
     if group_cols:
         groups = df_aggregated.select(*group_cols).distinct()
         return groups.select(*group_cols, spine)
@@ -64,7 +113,9 @@ def fill_buckets(df_aggregated: DataFrame, bucket_col: str, interval_ns: int,
                  mode: str | float | int | None, value_cols: list[str],
                  group_cols: list[str] | None = None,
                  start_ns: int | None = None,
-                 end_ns: int | None = None) -> DataFrame:
+                 end_ns: int | None = None,
+                 offset_ns: int = 0,
+                 tz: str | None = None) -> DataFrame:
     """Apply fill() to a bucket-aggregated DataFrame.
 
     mode: None → 'null' semantics (emit empty buckets as null);
@@ -80,7 +131,7 @@ def fill_buckets(df_aggregated: DataFrame, bucket_col: str, interval_ns: int,
         return df_aggregated.where(keep)
 
     spine = bucket_spine(df_aggregated, bucket_col, interval_ns,
-                         start_ns, end_ns, group_cols)
+                         start_ns, end_ns, group_cols, offset_ns, tz)
     joined = spine.join(df_aggregated, on=group_cols + [bucket_col], how="left")
 
     if mode is None or mode == "null":
@@ -91,7 +142,7 @@ def fill_buckets(df_aggregated: DataFrame, bucket_col: str, interval_ns: int,
 
     if not group_cols:
         nbuckets = _spine_size(df_aggregated, bucket_col, interval_ns,
-                               start_ns, end_ns)
+                               start_ns, end_ns, offset_ns)
         if nbuckets > _SMALL_SPINE and mode in ("previous", "linear"):
             return _fill_ungrouped_segmented(joined, bucket_col, interval_ns,
                                              mode, value_cols, nbuckets)
@@ -127,14 +178,19 @@ def fill_buckets(df_aggregated: DataFrame, bucket_col: str, interval_ns: int,
 
 
 def _spine_size(df_aggregated: DataFrame, bucket_col: str, interval_ns: int,
-                start_ns: int | None, end_ns: int | None) -> int:
+                start_ns: int | None, end_ns: int | None,
+                offset_ns: int = 0) -> int:
+    """Bucket count of the spine (exact for UTC; tz spines may differ by the
+    DST hours in range — irrelevant for the segmented-path size cutoff)."""
     if start_ns is None or end_ns is None:
         lo, hi = df_aggregated.agg(F.min(bucket_col), F.max(bucket_col)).first()
         if lo is None:
             return 0
         start_ns = lo if start_ns is None else start_ns
         end_ns = hi + interval_ns if end_ns is None else end_ns
-    first_bucket = start_ns - (start_ns % interval_ns)
+        first_bucket = start_ns
+    else:
+        first_bucket = _floor_bucket(start_ns, interval_ns, offset_ns)
     return max(0, (end_ns - 1 - first_bucket) // interval_ns + 1)
 
 

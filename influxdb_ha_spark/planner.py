@@ -334,7 +334,9 @@ class Planner:
             tr = self._time_range(stmt, ctx)
             out = fill_buckets(out, TIME_COL, stmt.group_by_time_ns, stmt.fill,
                                value_names, group_tags,
-                               start_ns=tr[0], end_ns=tr[1])
+                               start_ns=tr[0], end_ns=tr[1],
+                               offset_ns=stmt.group_by_offset_ns,
+                               tz=stmt.tz)
         return out
 
     def _apply_transform(self, out: DataFrame, texpr: Call, inner_col: str,

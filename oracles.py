@@ -663,6 +663,51 @@ def build_oracles() -> dict[str, str]:
       SELECT (({EV_TIME} - {6 * HOUR}) // {DAY}) * {DAY} + {6 * HOUR} AS time,
              event_type, count(value) AS n
       FROM events GROUP BY 1, 2"""
+    # offset-aligned fill spine: first bucket = floor(JAN1 into (1d,6h) grid)
+    # = JAN1 - 18h (the bucket containing the range start).
+    _OFF_FIRST = JAN1 - 18 * HOUR
+    o["iq_fill_offset"] = f"""
+      WITH agg AS (
+        SELECT (({EV_TIME} - {6 * HOUR}) // {DAY}) * {DAY} + {6 * HOUR} AS time,
+               count(value) AS n
+        FROM events
+        WHERE {EV_TIME} >= {JAN1} AND {EV_TIME} < {JAN1 + 10 * DAY}
+          AND event_type = 'signup'
+        GROUP BY 1),
+      spine AS (
+        SELECT unnest(generate_series({_OFF_FIRST}, {JAN1 + 10 * DAY} - 1,
+                                      {DAY})) AS time)
+      SELECT s.time, coalesce(a.n, 0) AS n
+      FROM spine s LEFT JOIN agg a USING (time)"""
+    # tz fill spine: uniform local-midnight edges (local ns), mapped back to
+    # the UTC instant — identical walk to fill.bucket_spine's tz branch, so
+    # the 2024-03-10 DST transition yields the same 23-hour-day edge.
+    MAR15 = 1_710_460_800_000_000_000
+    o["iq_fill_tz"] = f"""
+      WITH a AS (
+        SELECT epoch_us(timezone('America/New_York',
+                 to_timestamp({EV_TIME} / 1000000000.0)::TIMESTAMPTZ)) * 1000
+               AS lns, value
+        FROM events
+        WHERE {EV_TIME} >= {JAN1} AND {EV_TIME} < {MAR15}
+          AND event_type = 'click'),
+      agg AS (
+        SELECT epoch_us(timezone('America/New_York',
+                 make_timestamp((lns // {DAY}) * {DAY} // 1000))) * 1000
+               AS time, count(value) AS n
+        FROM a GROUP BY 1),
+      lspine AS (
+        SELECT unnest(generate_series({JAN1 - DAY},
+                                      {MAR15 - JAN1 + JAN1 + DAY},
+                                      {DAY})) AS lb),
+      spine AS (
+        SELECT DISTINCT epoch_us(timezone('America/New_York',
+                 make_timestamp(lb // 1000))) * 1000 AS time
+        FROM lspine
+        WHERE epoch_us(timezone('America/New_York',
+                 make_timestamp(lb // 1000))) * 1000 < {MAR15})
+      SELECT s.time, coalesce(a.n, 0) AS n
+      FROM spine s LEFT JOIN agg a USING (time)"""
     o["iq_tz_daily"] = f"""
       WITH a AS (
         SELECT epoch_us(timezone('America/New_York',
