@@ -130,13 +130,28 @@ class AdminHandler:
         self.users.pop(name, None)
 
     def set_password(self, name: str, password: str):
+        if name not in self.users:
+            raise KeyError(f"user not found: {name}")
         self.users[name]["hash"] = self._hash(password)
 
     def grant(self, name: str, database: str, privilege: str):
+        if name not in self.users:
+            raise KeyError(f"user not found: {name}")
         self.users[name]["grants"][database] = privilege.upper()
 
     def revoke(self, name: str, database: str):
+        if name not in self.users:
+            raise KeyError(f"user not found: {name}")
         self.users[name]["grants"].pop(database, None)
+
+    def has_admin(self) -> bool:
+        """True once any admin user exists (auth.go:61-70 HasAdmin — gates
+        the first-admin-bootstrap exception)."""
+        return any(u["admin"] for u in self.users.values())
+
+    def is_admin(self, name: str) -> bool:
+        u = self.users.get(name)
+        return bool(u and u["admin"])
 
     def authenticate(self, name: str, password: str) -> bool:
         u = self.users.get(name)

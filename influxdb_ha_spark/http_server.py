@@ -21,14 +21,17 @@ from __future__ import annotations
 
 import gzip
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import base64
 
+from .admin import ConflictError
+from .influxql.clusterql import ClusterQLError
 from .planner import PartitionKeyError, QueryError
-from .server import Engine, WriteError, write_lines
+from .server import Engine, WriteError, statement_privileges, write_lines
 
 VERSION = "influxdb-ha-spark"
 
@@ -65,27 +68,61 @@ class _Handler(BaseHTTPRequestHandler):
         qs = parse_qs(urlparse(self.path).query)
         return {k: v[0] for k, v in qs.items()}
 
-    def _authed(self, params: dict, database: str | None,
-                privilege: str) -> bool:
-        """Basic-auth gate, active once any user exists — the reference's
-        model (query_handler.go:90-114: auth optional until users are
-        created; then per-statement privilege checks). Credentials via
-        Authorization: Basic or u/p query params (InfluxDB compat)."""
+    def _auth_user(self, params: dict) -> str | None:
+        """Authenticate and return the username, or None on failure.
+        Auth is optional until any user exists (query_handler.go:90-96).
+        Credentials via Authorization: Basic or u/p query params."""
         admin = self.engine.admin
         if not admin.users:
-            return True
+            return ""  # anonymous, everything allowed (bootstrap phase)
         user = pw = None
         hdr = self.headers.get("Authorization") or ""
         if hdr.startswith("Basic "):
             try:
                 user, _, pw = base64.b64decode(hdr[6:]).decode().partition(":")
             except Exception:
-                return False
+                return None
         elif params.get("u"):
             user, pw = params.get("u"), params.get("p") or ""
         if user is None or not admin.authenticate(user, pw):
+            return None
+        return user
+
+    def _authed(self, params: dict, database: str | None,
+                privilege: str) -> bool:
+        user = self._auth_user(params)
+        if user is None:
             return False
-        return admin.authorize(user, database or "", privilege)
+        if user == "":
+            return True
+        return self.engine.admin.authorize(user, database or "", privilege)
+
+    _FIRST_ADMIN = re.compile(
+        r"^\s*CREATE\s+USER\s+.*WITH\s+ALL\s+PRIVILEGES", re.IGNORECASE)
+
+    def _forbidden_stmt(self, user: str, db: str | None,
+                        stmts: list[str]) -> str | None:
+        """Per-statement privilege check, mirroring the reference's
+        checkAccess loop (query_handler.go:98-111 + auth.go:43-53):
+        admin-only for user/DDL/management statements, WRITE for
+        DELETE/DROP data, READ+WRITE for SELECT INTO, READ otherwise.
+        Returns the first forbidden statement, or None if all pass.
+
+        Bootstrap exception: while no admin user exists, a CREATE USER …
+        WITH ALL PRIVILEGES statement skips the checks
+        (query_handler.go:100-105)."""
+        admin = self.engine.admin
+        if user == "":  # no users yet — auth inactive
+            return None
+        for stmt in stmts:
+            if not admin.has_admin() and self._FIRST_ADMIN.match(stmt):
+                return None  # reference breaks out of the whole loop
+            for priv in statement_privileges(stmt):
+                ok = (admin.is_admin(user) if priv == "admin"
+                      else admin.authorize(user, db or "", priv))
+                if not ok:
+                    return stmt
+        return None
 
     def _handle_query(self, params: dict, body: str):
         q = params.get("q") or ""
@@ -95,20 +132,38 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(400, {"error": "missing required parameter \"q\""})
             return
         db = params.get("db")
-        if not self._authed(params, db, "READ"):
+        user = self._auth_user(params)
+        if user is None:
             self._send(401, {"error": "authorization failed"})
+            return
+        stmts = _split_statements(q)
+        bad = self._forbidden_stmt(user, db, stmts)
+        if bad is not None:
+            # query_handler.go:107-109 → 403 with the offending statement
+            self._send(403, {"error": f"forbidden statement: {bad}"})
             return
         epoch = params.get("epoch")
         chunked = (params.get("chunked") or "").lower() == "true"
         results = []
-        for i, stmt in enumerate(_split_statements(q)):
+        for i, stmt in enumerate(stmts):
             try:
                 r = self.engine.query(stmt, database=db, epoch=epoch)
                 inner = r["results"][0]
                 inner["statement_id"] = i
                 results.append(inner)
-            except (QueryError, PartitionKeyError, SyntaxError) as e:
+            except (QueryError, PartitionKeyError, SyntaxError,
+                    ClusterQLError, KeyError, ValueError) as e:
+                # parse/semantic errors → 400 (routing.go:113-119; unknown
+                # user/measurement surfaces as KeyError/ValueError here)
                 self._send(400, {"error": str(e)})
+                return
+            except ConflictError as e:
+                # duplicate partition key / user → 409 (admin.go:108-112)
+                self._send(409, {"error": str(e)})
+                return
+            except PermissionError as e:
+                # e.g. "first user must be an admin" → 403
+                self._send(403, {"error": str(e)})
                 return
         if chunked:
             # InfluxDB chunked transfer: newline-delimited JSON documents,

@@ -187,13 +187,17 @@ def pivot_points(long_df: DataFrame, measurement: str,
     """
     m = long_df.where((F.col("measurement") == measurement) &
                       F.col("error").isNull())
+    # first-write-wins: the type of the EARLIEST row per field (InfluxDB
+    # fixes a field's type at its first write; min over the type-tag string
+    # would instead pick alphabetically and let a later bool beat an
+    # earlier float). collect() is bounded: one row per field key.
     field_types = {r["field_key"]: r["t"] for r in (
-        m.select("field_key",
+        m.select("field_key", "time",
                  F.when(F.col("f_float").isNotNull(), "f_float")
                  .when(F.col("f_int").isNotNull(), "f_int")
                  .when(F.col("f_bool").isNotNull(), "f_bool")
                  .otherwise("f_str").alias("t"))
-        .groupBy("field_key").agg(F.min("t").alias("t")).collect())}
+        .groupBy("field_key").agg(F.min_by("t", "time").alias("t")).collect())}
     keys = [F.col("time")] + [F.col("tags")[k].alias(k) for k in tag_keys]
     aggs = [F.first(F.when(F.col("field_key") == fk, F.col(col)),
                     ignorenulls=True).alias(fk)

@@ -42,13 +42,10 @@ TRANSFORMS = {"derivative", "non_negative_derivative", "difference",
 ROW_SELECTORS = {"top", "bottom", "distinct", "sample"}
 
 
-class QueryError(Exception):
-    """Maps to HTTP 400 in the server façade (query_handler.go error path)."""
-
-
-class PartitionKeyError(QueryError):
-    """Strict mode: query tags don't cover the partition key
-    (coordinator.go:185-193 — the reference errors instead of scanning)."""
+# Re-exported from errors.py so existing `from .planner import QueryError`
+# call sites keep working; defined there so leaf modules (timeutil) can
+# raise them without a circular import.
+from .errors import PartitionKeyError, QueryError  # noqa: F401,E402
 
 
 @dataclass

@@ -83,6 +83,33 @@ _DELETE = re.compile(r"^\s*DELETE\s+FROM\s+(\S+)(?:\s+WHERE\s+(.*))?$",
                      re.IGNORECASE | re.DOTALL)
 
 
+# Statement → required privileges, mirroring influxql's RequiredPrivileges
+# as consumed by the reference's checkAccess (service/query_handler.go:90-114
+# + service/auth.go:43-53): admin-only management/DDL, WRITE for mutations,
+# READ+WRITE for SELECT INTO, READ otherwise.
+_ADMIN_STMT = re.compile(
+    r"^\s*((CREATE|DROP)\s+(DATABASE|USER|SUBSCRIPTION)"
+    r"|(CREATE|ALTER|DROP)\s+(RETENTION\s+POLICY|CONTINUOUS\s+QUERY)"
+    r"|SET\s+PASSWORD|GRANT\b|REVOKE\b"
+    r"|SHOW\s+(USERS|GRANTS|SUBSCRIPTIONS)\b)", re.IGNORECASE)
+_WRITE_STMT = re.compile(
+    r"^\s*(DELETE\b|DROP\s+(SERIES|MEASUREMENT)\b)", re.IGNORECASE)
+_SELECT_INTO = re.compile(r"^\s*SELECT\b.*\bINTO\b",
+                          re.IGNORECASE | re.DOTALL)
+
+
+def statement_privileges(q: str) -> list[str]:
+    """Privileges a statement needs: ['admin'] | ['WRITE'] |
+    ['READ', 'WRITE'] (SELECT INTO) | ['READ']."""
+    if is_admin_statement(q) or _ADMIN_STMT.match(q):
+        return ["admin"]
+    if _WRITE_STMT.match(q):
+        return ["WRITE"]
+    if _SELECT_INTO.match(q):
+        return ["READ", "WRITE"]
+    return ["READ"]
+
+
 class Engine:
     def __init__(self, catalog: Catalog, database: str = "default",
                  now_ns: int | None = None, **planner_kw):

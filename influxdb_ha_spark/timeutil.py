@@ -15,6 +15,8 @@ from datetime import datetime, timezone
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .errors import QueryError
+
 NS = 1
 US = 1_000
 MS = 1_000_000
@@ -53,18 +55,29 @@ def parse_duration_ns(text: str) -> int:
     return total
 
 
+_TIME_LITERAL_RE = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})"
+    r"(?:[T ](\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,9}))?)?Z?$")
+
+
 def parse_time_literal_ns(text: str) -> int:
-    """RFC3339(-ish) string → epoch ns (InfluxQL time literals)."""
+    """RFC3339(-ish) string → epoch ns (InfluxQL time literals).
+
+    Fractional seconds carry 1-9 digits — strptime's %f caps at 6, but the
+    reference's native resolution is ns, so '…00.123456789Z' is a legal
+    literal. Failures raise QueryError (→ HTTP 400, not a 500)."""
     t = text.strip().strip("'\"")
-    fmts = ["%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S",
-            "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"]
-    for fmt in fmts:
-        try:
-            dt = datetime.strptime(t, fmt).replace(tzinfo=timezone.utc)
-            return int(dt.timestamp()) * SECOND + dt.microsecond * US
-        except ValueError:
-            continue
-    raise ValueError(f"cannot parse time literal: {text!r}")
+    m = _TIME_LITERAL_RE.match(t)
+    if not m:
+        raise QueryError(f"cannot parse time literal: {text!r}")
+    try:
+        dt = datetime(int(m[1]), int(m[2]), int(m[3]),
+                      int(m[4] or 0), int(m[5] or 0), int(m[6] or 0),
+                      tzinfo=timezone.utc)
+    except ValueError as e:
+        raise QueryError(f"cannot parse time literal: {text!r}") from e
+    frac_ns = int((m[7] or "").ljust(9, "0")) if m[7] else 0
+    return int(dt.timestamp()) * SECOND + frac_ns
 
 
 def time_bucket(time_col: Column, interval_ns: int, offset_ns: int = 0) -> Column:

@@ -54,6 +54,19 @@ def test_parse_lines_df_and_pivot(spark):
     assert len(rows) == 3
 
 
+def test_pivot_first_write_wins_typing(spark):
+    """Field type = type of the EARLIEST write, not alphabetical min over
+    type tags (f_bool < f_float would otherwise let a later bool win)."""
+    lines = spark.createDataFrame(
+        [("m,t=a value=1.5 1000",),          # float first
+         ("m,t=a value=true 2000",)],        # bool later — must not win
+        "value string")
+    wide = pivot_points(parse_lines_df(lines), "m", ["t"])
+    assert dict(wide.dtypes)["value"] == "double"
+    vals = {r["time"]: r["value"] for r in wide.collect()}
+    assert vals[1000] == 1.5 and vals[2000] is None
+
+
 def test_partition_key_validation(spark):
     wide = spark.createDataFrame(
         [(1, "gold", 1.0), (2, None, 2.0)],
