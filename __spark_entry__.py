@@ -203,11 +203,18 @@ def q_agg_count_distinct(spark, sf):
 
 
 def q_agg_approx_distinct(spark, sf):
-    """HLL approx distinct — the 100 TB path; engines' sketches differ so
-    this is a rows-only check (no oracle)."""
+    """HLL approx distinct — the 100 TB path. Engines' sketches differ, so
+    the driver-visible contract is a tolerance check: the exact count plus
+    a boolean that Spark's approx_count_distinct (default rsd 5%) landed
+    within 5% of it. The DuckDB oracle computes the same exact count and
+    asserts the boolean true — a real driver-red if the sketch breaks."""
     return (_t(spark, sf, "lineitem")
             .groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_partkey").alias("approx_nd_part")))
+            .agg(F.countDistinct("l_partkey").alias("exact_nd_part"),
+                 F.approx_count_distinct("l_partkey").alias("__approx"))
+            .select("l_returnflag", "exact_nd_part",
+                    (F.abs(F.col("__approx") - F.col("exact_nd_part"))
+                     <= 0.05 * F.col("exact_nd_part")).alias("within_5pct")))
 
 
 def q_agg_first_last(spark, sf):
@@ -600,15 +607,26 @@ def q_emb_ivf_topk(spark, sf):
 
 
 def q_emb_kmeans_train(spark, sf):
-    """Distributed Lloyd's k-means (IVF centroid training) — iterative
-    algorithm, not SQL-expressible -> rows-only check."""
+    """Distributed Lloyd's k-means (IVF centroid training). The training
+    itself is iterative and not SQL-expressible, so the driver-visible
+    contract checks structural invariants DuckDB can mirror: k centroids
+    out, every corpus vector assigned to exactly one, centroid dim = input
+    dim, and all centroid coordinates finite. (A monotone-inertia boolean
+    was considered but cosine assignment + arithmetic-mean update doesn't
+    guarantee strict monotonicity, so it would flap.)"""
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
     cents = S.kmeans_centroids(emb, k=8, iters=3)
-    return cents.select("centroid_id",
-                        F.round(F.aggregate("embedding", F.lit(0.0),
-                                            lambda a, x: a + x), 4)
-                        .alias("coord_sum"))
+    assigned_n = S.assign_centroids(emb, cents) \
+        .agg(F.count(F.lit(1)).alias("n_assigned"))
+    cstats = cents.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max(F.size("embedding")).alias("dim"),
+        F.min(F.forall("embedding",
+                       lambda v: v.isNotNull() & ~F.isnan(v)))
+        .alias("centroids_finite"))
+    return cstats.crossJoin(assigned_n) \
+        .select("k", "dim", "centroids_finite", "n_assigned")
 
 
 def q_emb_near_dup_lsh(spark, sf):
@@ -726,8 +744,9 @@ def q_iq_order_desc(spark, sf):
 
 
 def q_iq_sample(spark, sf):
-    """sample(f, n) — defined but unwired in the reference (calls.go:136-151);
-    seeded rand is deterministic within Spark but not mirrorable -> rows-only."""
+    """sample(f, n) — defined but unwired in the reference (calls.go:136-151).
+    The engine samples the N smallest md5-hashes of time (deterministic on
+    any partitioning), so DuckDB mirrors the selection exactly."""
     return _iq(spark, sf, "SELECT sample(value, 10) AS sample FROM events")
 
 

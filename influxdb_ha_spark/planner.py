@@ -446,7 +446,15 @@ class Planner:
 
         n = call.args[1].value if len(call.args) > 1 else 1
         if call.name == "sample":  # calls.go:136-151 (defined but unwired)
-            order = F.rand(seed=42)
+            # Deterministic uniform sample: N smallest md5-derived hashes of
+            # the point's time. Unlike seeded rand() (whose draw order
+            # depends on partitioning), this picks the same rows on any
+            # cluster layout AND is mirrorable in SQL oracles; ungrouped it
+            # compiles to TakeOrderedAndProject like top/bottom. The
+            # reference defines but never wires sample (calls.go:136-151),
+            # so pseudo-random-by-hash is a compatible interpretation.
+            from .operators.hashing import hash64_expr
+            order = hash64_expr(F.col(TIME_COL).cast("string")).asc()
         else:
             asc = call.name == "bottom"
             order = F.col(field).asc() if asc else F.col(field).desc()

@@ -190,6 +190,12 @@ def build_oracles() -> dict[str, str]:
       SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
              count(DISTINCT l_suppkey) AS nd_supp
       FROM lineitem GROUP BY 1"""
+    # tolerance-boolean contract for the HLL sketch: oracle asserts the
+    # sketch landed within 5% of the exact count (always-true on its side)
+    o["agg_approx_distinct"] = """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd_part,
+             TRUE AS within_5pct
+      FROM lineitem GROUP BY 1"""
     o["agg_first_last"] = f"""
       SELECT event_type,
              min_by(value, {EV_TIME}) AS first_value,
@@ -309,6 +315,13 @@ def build_oracles() -> dict[str, str]:
              max(value) AS max_value
       FROM events GROUP BY 1"""
     o["iq_distinct"] = "SELECT DISTINCT user_id FROM events"
+    # sample(f,10) = rows with the 10 smallest md5-hashes of time — the
+    # engine's deterministic systematic sample, reproduced exactly
+    o["iq_sample"] = f"""
+      SELECT {EV_TIME} AS time, value AS sample
+      FROM events
+      ORDER BY {duck_hash64(f"({EV_TIME})::VARCHAR")} ASC, time ASC
+      LIMIT 10"""
     o["iq_slimit"] = """
       WITH a AS (SELECT event_type, sum(value) AS sv, count(value) AS n
                  FROM events GROUP BY 1),
@@ -454,6 +467,13 @@ def build_oracles() -> dict[str, str]:
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
       SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5"""
+    # structural invariants of distributed Lloyd's: k centroids of input
+    # dim with finite coords, every vector assigned (training itself is
+    # iterative — not SQL-expressible)
+    o["emb_kmeans_train"] = """
+      SELECT 8 AS k, max(len(embedding)) AS dim,
+             TRUE AS centroids_finite, count(*) AS n_assigned
+      FROM embeddings"""
     o["emb_ivf_topk"] = f"""
       WITH e AS ({emb_cast}),
       q AS (SELECT * FROM e WHERE vec_id < 10),

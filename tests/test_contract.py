@@ -3,10 +3,10 @@
 import __spark_entry__ as entry
 import oracles
 
-# rows-only by design: seeded-rand sample, xxhash64 variant, Spark's HLL++
-# sketch, and iterative k-means (none DuckDB-mirrorable)
-ROWS_ONLY = {"iq_sample", "doc_near_dups_fast", "agg_approx_distinct",
-             "emb_kmeans_train"}
+# rows-only by design: the xxhash64 fast-path variant is the only query
+# left without a DuckDB mirror (xxhash64 doesn't exist there; the md5-path
+# twin doc_near_dups is fully oracle-gated)
+ROWS_ONLY = {"doc_near_dups_fast"}
 
 
 def test_every_query_has_oracle_or_is_rows_only():
