@@ -921,7 +921,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    """Inventory, ordered by round-robin across operator families.
+
+    The round-1 driver evaluated only a prefix of this dict, and the
+    original family-block ordering left every doc_/emb_/text_/mm_/show_
+    row untested. Interleaving means any prefix of length N samples all
+    families roughly evenly — a capped evaluation still touches the whole
+    surface."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    iters = [iter(fam.items()) for fam in _FAMILIES]
+    while iters:
+        alive = []
+        for it in iters:
+            pair = next(it, None)
+            if pair is not None:
+                out[pair[0]] = pair[1]
+                alive.append(it)
+        iters = alive
+    return out
+
+
+_FAMILIES = [
+    {
         # aggregations (SURVEY §2.4)
         "agg_count": q_agg_count,
         "agg_sum": q_agg_sum,
@@ -935,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_first_last": q_agg_first_last,
         "agg_top_bottom": q_agg_top_bottom,
         "tpch_q1": q_tpch_q1,
+    },
+    {
         # joins
         "join_revenue_by_segment": q_join_revenue_by_segment,
         "join_brand_revenue": q_join_brand_revenue,
@@ -944,6 +967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "cube_counts": q_cube_counts,
         "union_measurements": q_union_measurements,
+    },
+    {
         # InfluxQL frontend (§3.1)
         "iq_mean_1h": q_iq_mean_1h,
         "iq_mean_1d_tag": q_iq_mean_1d_tag,
@@ -972,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iq_rate_1h": q_iq_rate_1h,
         "iq_cumsum_1d": q_iq_cumsum_1d,
         "iq_moving_count": q_iq_moving_count,
+    },
+    {
         # transforms (§2.4 unsupported-list / §2.5)
         "tr_difference": q_tr_difference,
         "tr_derivative": q_tr_derivative,
@@ -981,9 +1008,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_integral": q_tr_integral,
         "tr_histogram": q_tr_histogram,
         "tr_non_negative": q_tr_non_negative,
+    },
+    {
         # sort/limit/dedup (§2.6)
         "dedup_points": q_dedup_points,
         "limit_offset": q_limit_offset,
+    },
+    {
         # meta (§2.11)
         "show_measurements": q_show_measurements,
         "show_tag_values": q_show_tag_values,
@@ -991,7 +1022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "show_tag_keys": q_show_tag_keys,
         "show_field_keys": q_show_field_keys,
         "cq_backfill": q_cq_backfill,
-        # LLM-pipeline scope (§7)
+    },
+    {
+        # LLM-pipeline scope (§7): document dedup
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_fingerprint_dedup": q_doc_fingerprint_dedup,
         "doc_minhash_sig": q_doc_minhash_sig,
@@ -1002,11 +1035,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": q_doc_simhash,
         "doc_simhash_near": q_doc_simhash_near,
         "doc_dedup_clusters": q_doc_dedup_clusters,
+    },
+    {
+        # LLM-pipeline scope (§7): embedding similarity
         "emb_brute_topk": q_emb_brute_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_kmeans_train": q_emb_kmeans_train,
+    },
+    {
+        # LLM-pipeline scope (§7): text analysis
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1014,12 +1053,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_rolling": q_text_rolling,
         "text_top_tokens": q_text_top_tokens,
+    },
+    {
+        # LLM-pipeline scope (§7): multimodal
         "mm_meta": q_mm_meta,
         "mm_decode": q_mm_decode,
         "mm_frames": q_mm_frames,
         "mm_resize": q_mm_resize,
         "mm_audio": q_mm_audio,
-    }
+    },
+]
 
 
 def oracle_sql() -> dict[str, str]:
