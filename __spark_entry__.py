@@ -688,8 +688,11 @@ def q_text_fingerprint(spark, sf):
 
 
 def q_mm_resize(spark, sf):
-    mm = MM.attach_binary_payload(_t(spark, sf, "documents"), "text")
-    return MM.resize_stub(mm).select(
+    """Resize planning over REAL header-parsed dimensions: the oracle
+    recomputes the synthesizer's arithmetic (width = id%4096+1, height =
+    byte-length%4096+1), so a parser regression mismatches."""
+    mm = MM.synthesize_image_payload(_t(spark, sf, "documents"), "text")
+    return MM.resize_plan(mm).select(
         "doc_id", "width", "height", "out_w", "out_h", "scale_x", "scale_y")
 
 
@@ -711,12 +714,17 @@ def q_mm_meta(spark, sf):
 
 
 def q_mm_decode(spark, sf):
-    mm = MM.attach_binary_payload(_t(spark, sf, "documents"), "text")
-    dec = MM.decode_image_stub(mm)
+    """REAL image-metadata decode: payloads carry valid PNG/JPEG/GIF
+    headers (PNG IHDR + CRC32, JPEG SOF0 marker scan, GIF screen
+    descriptor) and the operator parses them back with stdlib byte
+    arithmetic. The oracle mirrors the generating arithmetic + the
+    per-format channel count, so it verifies parsing, not a fake."""
+    mm = MM.synthesize_image_payload(_t(spark, sf, "documents"), "text")
+    dec = MM.decode_image_metadata(mm)
     return dec.select("doc_id", F.col("width").cast("long").alias("width"),
                       F.col("height").cast("long").alias("height"),
                       F.col("channels").cast("long").alias("channels"),
-                      "decode_ok")
+                      "format", "decode_ok")
 
 
 def q_mm_frames(spark, sf):

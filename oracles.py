@@ -504,11 +504,12 @@ def build_oracles() -> dict[str, str]:
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
       SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5"""
+    # mirrors synthesize_image_payload's generating arithmetic — the Spark
+    # side PARSES these dims back out of real PNG/JPEG/GIF headers
     o["mm_resize"] = """
       WITH d AS (
-        SELECT doc_id,
-               ('0x' || substring(md5(text), 1, 4))::BIGINT % 4096 + 1 AS width,
-               ('0x' || substring(md5(text), 5, 4))::BIGINT % 4096 + 1 AS height
+        SELECT doc_id, doc_id % 4096 + 1 AS width,
+               octet_length(encode(text)) % 4096 + 1 AS height
         FROM documents WHERE text IS NOT NULL)
       SELECT doc_id, width, height, 256 AS out_w, 256 AS out_h,
              round(256.0 / width, 6) AS scale_x,
@@ -619,15 +620,21 @@ def build_oracles() -> dict[str, str]:
       SELECT doc_id, octet_length(encode(text))::BIGINT AS payload_bytes,
              md5(text) AS payload_md5
       FROM documents"""
+    # real header-parse round-trip: the oracle recomputes what the
+    # synthesizer encoded; Spark must parse identical values back out of
+    # the PNG IHDR / JPEG SOF0 / GIF descriptor bytes
     o["mm_decode"] = """
       SELECT doc_id,
              CASE WHEN text IS NULL THEN 0
-                  ELSE ('0x' || substring(md5(text), 1, 4))::BIGINT % 4096 + 1
-             END AS width,
+                  ELSE doc_id % 4096 + 1 END AS width,
              CASE WHEN text IS NULL THEN 0
-                  ELSE ('0x' || substring(md5(text), 5, 4))::BIGINT % 4096 + 1
-             END AS height,
-             CASE WHEN text IS NULL THEN 0 ELSE 3 END AS channels,
+                  ELSE octet_length(encode(text)) % 4096 + 1 END AS height,
+             CASE WHEN text IS NULL THEN 0
+                  WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS channels,
+             CASE WHEN text IS NULL THEN NULL
+                  WHEN doc_id % 3 = 0 THEN 'png'
+                  WHEN doc_id % 3 = 1 THEN 'jpeg'
+                  ELSE 'gif' END AS format,
              text IS NOT NULL AS decode_ok
       FROM documents"""
     o["mm_frames"] = """

@@ -92,11 +92,32 @@ def test_multimodal_plumbing(docs):
     assert dict(mm.dtypes)["payload"] == "binary"
     meta = binary_metadata(mm).first()
     assert meta["n_bytes"] > 0 and meta["sniffed_format"] == "unknown"
+    # text-only payloads carry no image header → decode_ok false everywhere
     dec = decode_image_stub(mm)
     rows = dec.collect()
-    assert len(rows) == 6 and all(r["decode_ok"] for r in rows)
-    with pytest.raises(Exception):  # real codec path is explicitly stubbed
-        decode_image_stub(mm, real_codec=True).collect()
+    assert len(rows) == 6 and not any(r["decode_ok"] for r in rows)
+
+
+def test_image_header_roundtrip(docs):
+    """synthesize → parse is a real round-trip: dimensions/format/channels
+    parsed from the PNG/JPEG/GIF bytes equal the generating arithmetic."""
+    from influxdb_ha_spark.operators.multimodal import (
+        parse_image_header, synthesize_image_payload)
+    mm = synthesize_image_payload(docs, "text")
+    sniffed = binary_metadata(mm).select("doc_id", "sniffed_format").collect()
+    assert {r["sniffed_format"] for r in sniffed} == {"png", "jpeg", "gif"}
+    body_len = {r["doc_id"]: r["n"] for r in docs.selectExpr(
+        "doc_id", "octet_length(encode(text, 'utf-8')) AS n").collect()}
+    for r in decode_image_stub(mm).collect():
+        assert r["decode_ok"], r
+        assert r["width"] == r["doc_id"] % 4096 + 1
+        assert r["height"] == body_len[r["doc_id"]] % 4096 + 1
+        want_fmt = ["png", "jpeg", "gif"][r["doc_id"] % 3]
+        assert r["format"] == want_fmt
+        assert r["channels"] == (4 if want_fmt == "png" else 3)
+    # parser rejects junk rather than guessing
+    assert parse_image_header(b"not an image at all") is None
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x04ab") is None
 
 
 def test_minhash_candidates_truncation_flag(docs):
