@@ -80,6 +80,19 @@ class AdminHandler:
         self.catalog.partition_keys.append(PartitionKey(
             database=stmt.database, measurement=stmt.measurement,
             tags=list(stmt.tags)))
+        # a measurement with a physical hive layout is re-laid-out onto the
+        # new key (the reference's post-key-change data movement,
+        # syncing/importer.go:236-289); metadata-only measurements just get
+        # the key recorded
+        if stmt.measurement:
+            try:
+                m = self.catalog.get(stmt.database, stmt.measurement)
+            except KeyError:
+                m = None
+            if m is not None and m.path:
+                from .sources.partitioned import rebalance_measurement
+                rebalance_measurement(self.catalog, stmt.database,
+                                      stmt.measurement, list(stmt.tags))
         return self.show_partition_keys(stmt.database)
 
     def drop_partition_key(self, stmt: DropPartitionKey) -> DataFrame:

@@ -166,11 +166,19 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(403, {"error": str(e)})
                 return
         if chunked:
-            # InfluxDB chunked transfer: newline-delimited JSON documents,
-            # one per statement result (query_utils.go emits successive
-            # docs on one response)
-            body = "\n".join(json.dumps({"results": [r]})
-                             for r in results).encode() + b"\n"
+            # InfluxDB chunked transfer: newline-delimited JSON documents.
+            # Each statement result is split into chunk_size-value pieces
+            # with "partial": true on every chunk but the last
+            # (query_utils.go:22-28 Partial field; default 10000 rows like
+            # the upstream httpd service).
+            from .result import chunk_result
+            try:
+                chunk_size = int(params.get("chunk_size") or 10_000)
+            except ValueError:
+                chunk_size = 10_000
+            docs = [c for r in results for c in chunk_result(r, chunk_size)]
+            body = "\n".join(json.dumps({"results": [c]})
+                             for c in docs).encode() + b"\n"
             self.send_response(200)
             self.send_header("X-Influxdb-Version", VERSION)
             self.send_header("Content-Type", "application/json")

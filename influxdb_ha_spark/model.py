@@ -38,6 +38,7 @@ class Measurement:
     fields: list[str]
     df: DataFrame
     retention_policy: str = "autogen"
+    path: str | None = None  # physical location when hive-partitioned
 
     def series_df(self) -> DataFrame:
         """SHOW SERIES: distinct tag combinations (importer.go FetchSeries,

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from .hashing import (MERSENNE_P, hash64_expr, minhash_coeffs,
                       minhash_perm_expr, shingle_hashes_expr, shingles_expr,
                       tokens_expr)
+from .util import ensure_min_parallelism
 
 
 # -- exact -----------------------------------------------------------------
@@ -47,7 +48,8 @@ def fingerprint_dedup(df: DataFrame, text_col: str = "text",
     """Dedup on the canonical token-set fingerprint (order/punct-insensitive)."""
     fp = F.md5(F.concat_ws(" ", F.array_sort(
         F.array_distinct(tokens_expr(F.col(text_col))))))
-    return (df.select(fp.alias("fingerprint"), F.col(id_col))
+    return (ensure_min_parallelism(df)
+            .select(fp.alias("fingerprint"), F.col(id_col))
             .groupBy("fingerprint").agg(F.min(id_col).alias(id_col),
                                         F.count("*").alias("n_docs")))
 
@@ -65,6 +67,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     downstream).
     """
     coeffs = minhash_coeffs(num_perm)
+    df = ensure_min_parallelism(df)  # shingle+hash maps must use all cores
     sh = shingles_expr(tokens_expr(F.col(text_col)), shingle_k)
     hashed = (df.select(F.col(id_col), sh.alias("__sh"))
               .where(F.size("__sh") > 0)
@@ -131,10 +134,11 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
                               hash_fn)
     cands = minhash_candidates(sigs, id_col, bands, rows)
-    sh = (df.select(F.col(id_col),
-                    F.array_distinct(
-                        shingles_expr(tokens_expr(F.col(text_col)), shingle_k))
-                    .alias("sh")))
+    sh = (ensure_min_parallelism(df)
+          .select(F.col(id_col),
+                  F.array_distinct(
+                      shingles_expr(tokens_expr(F.col(text_col)), shingle_k))
+                  .alias("sh")))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
@@ -164,8 +168,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Implemented as explode(tokens) → groupBy(doc) with `bits` conditional
     sums — a single two-phase aggregation; the per-doc state is `bits` longs.
     """
-    toks = df.select(F.col(id_col),
-                     F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+    toks = ensure_min_parallelism(df).select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("tok"))
     h = hash64_expr(F.col("tok"))
     sums = [F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
                          F.lit(1)).otherwise(F.lit(-1))).alias(f"b{j}")

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import ensure_min_parallelism
+
 # Schema for decoded image metadata (what a real PIL/OpenCV decode would emit).
 DECODED_SCHEMA = ("doc_id long, width int, height int, channels int, "
                   "format string, decode_ok boolean")
@@ -183,7 +185,8 @@ def decode_image_metadata(df: DataFrame, id_col: str = "doc_id",
                 "decode_ok": [p is not None for p in parsed],
             })
 
-    return df.select(id_col, payload_col).mapInPandas(decode, DECODED_SCHEMA)
+    return (ensure_min_parallelism(df).select(id_col, payload_col)
+            .mapInPandas(decode, DECODED_SCHEMA))
 
 
 # Backwards-compatible alias (the decode is no longer a stub).
@@ -241,7 +244,8 @@ def resize_plan(df: DataFrame, id_col: str = "doc_id",
                 rows["scale_y"].append(round(th / h, 6))
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+    return (ensure_min_parallelism(df).select(id_col, payload_col)
+            .mapInPandas(run, RESIZED_SCHEMA))
 
 
 # Backwards-compatible alias (source dims are now really parsed).
@@ -276,4 +280,5 @@ def audio_features_stub(df: DataFrame, id_col: str = "doc_id",
                         int(hx[:8], 16) % 1_000_000 / 1_000_000)
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_SCHEMA)
+    return (ensure_min_parallelism(df).select(id_col, payload_col)
+            .mapInPandas(run, AUDIO_SCHEMA))

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import ensure_min_parallelism
+
 
 def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity of two float-array columns, fully columnar."""
@@ -38,8 +40,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"))
+    c = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (c.crossJoin(F.broadcast(q))
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
@@ -55,7 +57,7 @@ def assign_centroids(corpus: DataFrame, centroids: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Nearest-centroid assignment (broadcast join over C centroids)."""
     c = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("cent"))
-    scored = (corpus.crossJoin(F.broadcast(c))
+    scored = (ensure_min_parallelism(corpus).crossJoin(F.broadcast(c))
               .select(id_col, vec_col, "centroid_id",
                       cosine_expr(F.col(vec_col), F.col("cent")).alias("sim")))
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(),
@@ -169,8 +171,9 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
     """
     planes = _hyperplanes(dim, bits, tables, seed=7)
     keys_udf = _sign_keys_udf(planes)
-    keyed = (df.select(F.col(id_col), F.col(vec_col),
-                       keys_udf(F.col(vec_col)).alias("__k"))
+    keyed = (ensure_min_parallelism(df)
+             .select(F.col(id_col), F.col(vec_col),
+                     keys_udf(F.col(vec_col)).alias("__k"))
              .select(id_col, vec_col,
                      F.posexplode("__k").alias("tbl", "key")))
     a = keyed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),

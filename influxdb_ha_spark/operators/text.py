@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import tokens_expr
+from .util import ensure_min_parallelism
 
 # Tiny per-language stopword tables for the n-gram/stopword-hit heuristic.
 STOPWORDS = {
@@ -33,6 +34,7 @@ def token_count(df: DataFrame, text_col: str = "text",
                 out: str = "n_tokens") -> DataFrame:
     """Whitespace/punct token count + a BPE-ish subword estimate
     (≈ chars/4 bounded below by word count — the common LLM heuristic)."""
+    df = ensure_min_parallelism(df)
     toks = tokens_expr(F.col(text_col))
     n_words = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -42,6 +44,7 @@ def token_count(df: DataFrame, text_col: str = "text",
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / word-shape statistics."""
+    df = ensure_min_parallelism(df)
     t = F.col(text_col)
     toks = tokens_expr(t)
     n_chars = F.length(t)
@@ -64,6 +67,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
     """Heuristic document quality in [0,1]: rewards stopword presence and
     sane word lengths, penalizes punctuation soup and trivial length.
     (The classic cheap pre-filter before expensive model-based scoring.)"""
+    df = ensure_min_parallelism(df)
     t = F.col(text_col)
     toks = tokens_expr(t)
     n_words = F.size(toks)
@@ -87,6 +91,7 @@ def language_id(df: DataFrame, text_col: str = "text",
                 out: str = "lang_pred") -> DataFrame:
     """Stopword-hit language ID across the STOPWORDS tables; deterministic
     alphabetical tie-break; 'und' (undetermined) when nothing hits."""
+    df = ensure_min_parallelism(df)
     toks = tokens_expr(F.col(text_col))
     scored = F.array(*[
         F.struct(_hits(toks, STOPWORDS[lang]).alias("hits"),
@@ -110,7 +115,7 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     """Canonical content fingerprint: md5 of the sorted distinct token set."""
     fp = F.md5(F.concat_ws(" ", F.array_sort(
         F.array_distinct(tokens_expr(F.col(text_col))))))
-    return df.withColumn(out, fp)
+    return ensure_min_parallelism(df).withColumn(out, fp)
 
 
 def rolling_fingerprints(df: DataFrame, w: int = 8, text_col: str = "text",
@@ -129,7 +134,8 @@ def rolling_fingerprints(df: DataFrame, w: int = 8, text_col: str = "text",
     p = F.lit(MERSENNE_P)
     toks = tokens_expr(F.col(text_col))
     hashes = F.transform(toks, lambda t: hash64_expr(t) % p)
-    d = (df.select(F.col(id_col), hashes.alias("__h"))
+    d = (ensure_min_parallelism(df)
+         .select(F.col(id_col), hashes.alias("__h"))
          .where(F.size("__h") >= w))
     idx = F.sequence(F.lit(1), F.size("__h") - (w - 1))
     win = F.transform(idx, lambda i: F.aggregate(

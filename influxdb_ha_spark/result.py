@@ -34,7 +34,8 @@ def _format_time(ns: int, epoch: str | None):
 def to_influx_series(df: DataFrame, measurement: str,
                      tag_cols: list[str] | None = None,
                      epoch: str | None = None,
-                     statement_id: int = 0) -> dict:
+                     statement_id: int = 0,
+                     messages: list[tuple[str, str]] | None = None) -> dict:
     """Shape a result DataFrame into the InfluxDB JSON result object.
 
     Rows are grouped into one series per tag combination
@@ -66,8 +67,51 @@ def to_influx_series(df: DataFrame, measurement: str,
     if not tag_cols:
         for s in out_series:
             s.pop("tags", None)
-    return {"results": [{"statement_id": statement_id, "series": out_series}]}
+    result = {"statement_id": statement_id, "series": out_series}
+    if messages:
+        # query_utils.go:15-28: user-facing notes ride along with the result
+        result["messages"] = [{"level": lvl, "text": txt}
+                              for lvl, txt in messages]
+    return {"results": [result]}
 
 
 def empty_result(statement_id: int = 0) -> dict:
     return {"results": [{"statement_id": statement_id}]}
+
+
+def chunk_result(result: dict, chunk_size: int) -> list[dict]:
+    """Split one statement result into chunked responses.
+
+    Mirrors the reference/InfluxDB chunked transfer (query_utils.go:22-28 +
+    httpd): each chunk carries at most `chunk_size` values per series and
+    sets `"partial": true` on the result (and series) when more chunks
+    follow. The final chunk omits the flags (omitempty parity).
+    """
+    series = result.get("series") or []
+    if not series or chunk_size <= 0:
+        return [result]
+    chunks: list[dict] = []
+    offsets = [0] * len(series)
+    while True:
+        out_series = []
+        more = False
+        for i, s in enumerate(series):
+            vals = s["values"][offsets[i]:offsets[i] + chunk_size]
+            if not vals and offsets[i] > 0:
+                continue
+            offsets[i] += len(vals)
+            entry = {k: v for k, v in s.items() if k != "values"}
+            entry["values"] = vals
+            if offsets[i] < len(s["values"]):
+                entry["partial"] = True
+                more = True
+            out_series.append(entry)
+        chunk = {"statement_id": result.get("statement_id", 0),
+                 "series": out_series}
+        if "messages" in result and not chunks:
+            chunk["messages"] = result["messages"]
+        if more:
+            chunk["partial"] = True
+        chunks.append(chunk)
+        if not more:
+            return chunks

@@ -1,2 +1,2 @@
 from .partitioned import (choose_layout, load_partitioned,  # noqa: F401
-                          write_partitioned)
+                          rebalance_measurement, write_partitioned)

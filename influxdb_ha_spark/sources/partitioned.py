@@ -60,5 +60,53 @@ def load_partitioned(catalog: Catalog, database: str, name: str, path: str,
     """Register a hive-partitioned measurement table; tag-equality WHERE
     clauses now prune at the file-listing level (PartitionFilters)."""
     df = catalog.spark.read.parquet(path)
-    return catalog.register_dataframe(database, name, df, time_col=time_col,
-                                      tags=tags, fields=fields)
+    m = catalog.register_dataframe(database, name, df, time_col=time_col,
+                                   tags=tags, fields=fields)
+    m.path = path
+    return m
+
+
+def rebalance_measurement(catalog: Catalog, database: str, name: str,
+                          new_partition_tags: list[str],
+                          path: str | None = None) -> list[str]:
+    """Physically re-layout a measurement onto a new partition key.
+
+    The reference moves series between nodes when the ring changes —
+    REMOVE NODE / partition-key changes trigger a full read→route→write
+    pass per affected token (syncing/importer.go:236-289; node join:
+    cmd/handle/launcher/join.go:45-124). The Spark-native equivalent is a
+    one-off batch job: read the current layout, shuffle on the new key,
+    rewrite hive-partitioned, swap directories, re-register. At 100 TB
+    this is exactly the repartition job you'd run — the shuffle routes
+    every row to its new owner in one pass instead of the reference's
+    per-token re-import loop.
+
+    Returns the partition columns of the new layout.
+    """
+    import shutil
+
+    m = catalog.get(database, name)
+    target = path or m.path
+    if not target:
+        raise ValueError(
+            f"measurement {database}.{name} has no physical path to "
+            "rebalance; write it with write_partitioned first")
+    tmp = target.rstrip("/") + ".rebalance-tmp"
+    old = target.rstrip("/") + ".rebalance-old"
+    # materialize the full current dataset into the new layout
+    cols = write_partitioned(m, tmp, partition_tags=new_partition_tags)
+    # swap: old layout survives until the new one is fully written (the
+    # recovery story a real deployment needs; object stores would use a
+    # manifest flip instead of directory renames)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(target, old)
+    os.rename(tmp, target)
+    shutil.rmtree(old)
+    # re-register on the new layout + update the catalog's partition key
+    load_partitioned(catalog, database, name, target,
+                     tags=m.tags, fields=m.fields)
+    for pk in catalog.partition_keys:
+        if pk.database == database and pk.measurement == name:
+            pk.tags = list(new_partition_tags)
+    return cols

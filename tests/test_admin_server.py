@@ -150,6 +150,28 @@ def test_result_shaping_groups_series(spark, treasures):
     assert {s["tags"]["type"] for s in series} == {"gold", "silver", "trash"}
 
 
+def test_result_messages_and_chunking(spark, treasures):
+    """query_utils.go:15-28 shape parity: messages ride on the result;
+    chunk_result splits values with partial flags on all but the last."""
+    from influxdb_ha_spark.result import chunk_result
+
+    df = Engine(treasures, "sharded", now_ns=NOW).query_df(
+        "SELECT value FROM treasures")
+    shaped = to_influx_series(df, "treasures",
+                              messages=[("warning", "example note")])
+    res = shaped["results"][0]
+    assert res["messages"] == [{"level": "warning", "text": "example note"}]
+    n_rows = len(res["series"][0]["values"])
+    chunks = chunk_result(res, 1)
+    assert len(chunks) == n_rows
+    assert all(c["partial"] for c in chunks[:-1])
+    assert "partial" not in chunks[-1]
+    assert chunks[0]["messages"] == res["messages"]  # first chunk only
+    assert "messages" not in chunks[1]
+    # unsplit result passes through untouched
+    assert chunk_result(res, 10_000) == [res]
+
+
 # -- continuous queries --------------------------------------------------------
 
 def test_cq_batch_and_show(spark, treasures):

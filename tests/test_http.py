@@ -151,3 +151,26 @@ def test_chunked_response(http):
     assert len(body) == 2
     docs = [json.loads(ln) for ln in body]
     assert [d["results"][0]["statement_id"] for d in docs] == [0, 1]
+
+
+def test_chunk_size_partial_flag(http):
+    """chunk_size splits a statement's values across docs with
+    partial=true on every chunk but the last (query_utils.go:22-28
+    Partial; reference/InfluxDB chunked semantics)."""
+    base, engine = http
+    q = "SELECT value FROM treasures"  # 4 points written by earlier tests
+    url = (base + "/query?db=sharded&chunked=true&chunk_size=2&u=boss&p=pw"
+           "&q=" + urllib.request.quote(q))
+    with urllib.request.urlopen(url) as r:
+        docs = [json.loads(ln) for ln in r.read().decode().strip().splitlines()]
+    assert len(docs) >= 2
+    n_vals = 0
+    for i, d in enumerate(docs):
+        res = d["results"][0]
+        last = i == len(docs) - 1
+        assert res.get("partial", False) == (not last)
+        for s in res["series"]:
+            assert len(s["values"]) <= 2
+            n_vals += len(s["values"])
+            assert s.get("partial", False) == (not last)
+    assert n_vals >= 4

@@ -31,6 +31,8 @@ BOUNDED_SINGLE_PARTITION = {
     "iq_raw_limit", "iq_order_desc", "iq_sample",
     "limit_offset", "tr_cumulative_sum", "iq_cumsum_1d",
     "emb_brute_topk", "emb_ivf_topk",
+    # two global aggregates (1 row each) joined for the invariant summary
+    "emb_kmeans_train",
 }
 
 # Cartesian/nested-loop joins that are the *intended* plan:
@@ -39,7 +41,11 @@ BOUNDED_SINGLE_PARTITION = {
 #   - emb_ivf_topk: row × broadcast(C centroids) assignment — bounded by C.
 #   - emb_near_dup_pairs: the exact all-pairs reference (quadratic by
 #     definition); the production path is emb_near_dup_lsh (bucketed join).
-ALLOWED_CARTESIAN = {"emb_brute_topk", "emb_ivf_topk", "emb_near_dup_pairs"}
+ALLOWED_CARTESIAN = {
+    "emb_brute_topk", "emb_ivf_topk", "emb_near_dup_pairs",
+    # 1-row × 1-row crossJoin of two global-aggregate summaries
+    "emb_kmeans_train",
+}
 
 
 def audit_plan(plan: str) -> dict:
