@@ -34,6 +34,11 @@ from pyspark.sql import functions as F
 
 _SMALL_SPINE = 65_536
 _DAY_NS = 86_400_000_000_000
+# Hard refusal above this many buckets — mirroring InfluxDB, which rejects
+# GROUP BY time() queries whose bucket count explodes (max-select-buckets).
+# A 100M-row generated spine is never what the user meant (1 s buckets over
+# 3 years); erroring beats silently materializing it.
+MAX_SPINE_BUCKETS = 100_000_000
 
 
 def _floor_bucket(t_ns: int, interval_ns: int, offset_ns: int) -> int:
@@ -130,6 +135,22 @@ def fill_buckets(df_aggregated: DataFrame, bucket_col: str, interval_ns: int,
             keep = keep | p
         return df_aggregated.where(keep)
 
+    if start_ns is None or end_ns is None:
+        # resolve data-driven bounds ONCE (observed buckets are already
+        # aligned, so flooring them below is the identity)
+        lo, hi = df_aggregated.agg(
+            F.min(bucket_col), F.max(bucket_col)).first()
+        if lo is not None:
+            start_ns = lo if start_ns is None else start_ns
+            end_ns = hi + interval_ns if end_ns is None else end_ns
+    nbuckets = _spine_size(df_aggregated, bucket_col, interval_ns,
+                           start_ns, end_ns, offset_ns)
+    if nbuckets > MAX_SPINE_BUCKETS:
+        from ..errors import QueryError
+        raise QueryError(
+            f"GROUP BY time() would generate {nbuckets} buckets "
+            f"(max {MAX_SPINE_BUCKETS}); narrow the time range or widen "
+            "the interval")
     spine = bucket_spine(df_aggregated, bucket_col, interval_ns,
                          start_ns, end_ns, group_cols, offset_ns, tz)
     joined = spine.join(df_aggregated, on=group_cols + [bucket_col], how="left")
@@ -141,8 +162,6 @@ def fill_buckets(df_aggregated: DataFrame, bucket_col: str, interval_ns: int,
         return joined.select(*group_cols, bucket_col, *exprs)
 
     if not group_cols:
-        nbuckets = _spine_size(df_aggregated, bucket_col, interval_ns,
-                               start_ns, end_ns, offset_ns)
         if nbuckets > _SMALL_SPINE and mode in ("previous", "linear"):
             return _fill_ungrouped_segmented(joined, bucket_col, interval_ns,
                                              mode, value_cols, nbuckets)

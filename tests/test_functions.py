@@ -233,3 +233,16 @@ def test_fill_segmented_matches_plain(spark, monkeypatch):
         if "windowspecdefinition(" in low and "__pid" not in low:
             # the only keyless window allowed is the P-row carry table
             assert "__last_" in low or "__first_" in low, line
+
+
+def test_fill_refuses_huge_spine(spark):
+    """fill() must refuse to materialize absurd spines (1 ns buckets over a
+    month) instead of exploding — the InfluxDB max-select-buckets analog."""
+    import pytest as _pytest
+
+    from influxdb_ha_spark.errors import QueryError
+
+    agg = spark.createDataFrame([(0, 1.0)], "time long, v double")
+    with _pytest.raises(QueryError, match="buckets"):
+        fill.fill_buckets(agg, "time", 1, 0, ["v"],
+                          start_ns=0, end_ns=30 * 86_400_000_000_000)

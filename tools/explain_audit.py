@@ -21,31 +21,46 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry_mod
 
-# Queries where a SinglePartition exchange is by-construction bounded:
-#   - final global sort/limit of a small result (TakeOrderedAndProject or
-#     result-sized orderBy),
-#   - the P-row prefix-offset table in scan.distributed_cumsum,
-#   - fill() spines over an ungrouped GROUP BY time() (rows = bucket count).
+# Queries where a SinglePartition exchange is by-construction bounded.
+# Every entry MUST carry a bounded-size justification; the audit fails on
+# an empty one, and flags STALE entries whose plans no longer funnel
+# (so the allowlist can't silently rot into a blanket waiver). Spine-based
+# entries are additionally guarded at runtime: functions/fill.py refuses
+# spines above MAX_SPINE_BUCKETS.
 BOUNDED_SINGLE_PARTITION = {
-    "iq_mean_1h", "iq_fill_zero", "iq_fill_previous", "iq_fill_linear",
-    "iq_raw_limit", "iq_order_desc", "iq_sample",
-    "limit_offset", "tr_cumulative_sum", "iq_cumsum_1d",
-    "emb_brute_topk", "emb_ivf_topk",
-    # two global aggregates (1 row each) joined for the invariant summary
-    "emb_kmeans_train",
+    "iq_fill_previous": "ungrouped fill spine window: rows = bucket count, "
+                        "<= MAX_SPINE_BUCKETS (fill.py hard cap); spines "
+                        "above _SMALL_SPINE switch to the segmented scan",
+    "iq_fill_linear": "ungrouped fill spine window, capped (fill.py); "
+                      "segmented above _SMALL_SPINE",
+    "emb_kmeans_train": "two 1-row global-aggregate summaries joined",
 }
 
-# Cartesian/nested-loop joins that are the *intended* plan:
-#   - emb_brute_topk: corpus × broadcast(queries) — the exact baseline; the
-#     corpus never shuffles, cost is |Q| dot products per corpus row.
-#   - emb_ivf_topk: row × broadcast(C centroids) assignment — bounded by C.
-#   - emb_near_dup_pairs: the exact all-pairs reference (quadratic by
-#     definition); the production path is emb_near_dup_lsh (bucketed join).
+# Cartesian/nested-loop joins that are the *intended* plan (same rules:
+# justification required, stale entries flagged).
 ALLOWED_CARTESIAN = {
-    "emb_brute_topk", "emb_ivf_topk", "emb_near_dup_pairs",
-    # 1-row × 1-row crossJoin of two global-aggregate summaries
-    "emb_kmeans_train",
+    "emb_brute_topk": "corpus x broadcast(queries) exact baseline; corpus "
+                      "never shuffles, cost |Q| dot products per row",
+    "emb_ivf_topk": "row x broadcast(C centroids) assignment, bounded by C",
+    "emb_near_dup_pairs": "exact all-pairs reference (quadratic by "
+                          "definition); production path is emb_near_dup_lsh",
+    "emb_kmeans_train": "1-row x 1-row crossJoin of global aggregates",
 }
+
+
+def check_allowlists(queries: dict) -> list[str]:
+    """Structural hygiene: every allowlist entry names a live query and
+    carries a non-empty justification."""
+    problems = []
+    for table_name, table in (("BOUNDED_SINGLE_PARTITION",
+                               BOUNDED_SINGLE_PARTITION),
+                              ("ALLOWED_CARTESIAN", ALLOWED_CARTESIAN)):
+        for q, why in table.items():
+            if q not in queries:
+                problems.append(f"{table_name}[{q}]: not in queries()")
+            if not (why or "").strip():
+                problems.append(f"{table_name}[{q}]: missing justification")
+    return problems
 
 
 def audit_plan(plan: str) -> dict:
@@ -75,9 +90,11 @@ def main():
     from influxdb_ha_spark.session import get_spark
     spark = get_spark(app_name="explain_audit")
 
-    failures = []
+    qs = entry_mod.queries()
+    failures = list(check_allowlists(qs))
+    stale: list[str] = []
     print(f"{'query':28s} {'xchg':>4} {'1part':>5} {'bhj':>3} {'smj':>3} flags")
-    for name, fn in entry_mod.queries().items():
+    for name, fn in qs.items():
         try:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -97,20 +114,30 @@ def main():
             flags.append("KEYLESS_WINDOW")
         if a["single_part"] and name not in BOUNDED_SINGLE_PARTITION:
             flags.append(f"SINGLE_PARTITION×{a['single_part']}")
-        hard = [f for f in flags if f != "ROW_PYTHON" or True]
         if flags:
             failures.append(name) if any(
                 f.startswith(("CARTESIAN", "ROW_PYTHON", "KEYLESS_WINDOW",
                               "SINGLE_PARTITION")) for f in flags) else None
+        # staleness: allowlisted funnels that no longer appear mean the
+        # waiver outlived the plan it excused
+        if name in BOUNDED_SINGLE_PARTITION and not (
+                a["single_part"] or a["keyless_window"]):
+            stale.append(f"BOUNDED_SINGLE_PARTITION[{name}]")
+        if name in ALLOWED_CARTESIAN and not a["cartesian"]:
+            stale.append(f"ALLOWED_CARTESIAN[{name}]")
         print(f"{name:28s} {a['exchanges']:>4} {a['single_part']:>5} "
               f"{a['broadcast_joins']:>3} {a['sortmerge_joins']:>3} "
               f"{' '.join(flags) or '-'}")
 
     spark.stop()
+    if stale:
+        print(f"\nstale allowlist entries (plan no longer funnels — remove "
+              f"them): {stale}")
     if failures:
         print(f"\n{len(failures)} queries tripped hard flags: {failures}")
         sys.exit(1)
-    print("\nall plans clean")
+    print("\nall plans clean" + ("" if not stale else
+                                 f" ({len(stale)} stale allowlist entries)"))
 
 
 if __name__ == "__main__":
