@@ -545,6 +545,32 @@ def q_doc_exact_dedup(spark, sf):
     return D.exact_dedup(_t(spark, sf, "documents"))
 
 
+def q_doc_decontaminate(spark, sf):
+    """n-gram test-set decontamination: docs sharing 3-gram shingles with
+    the "benchmark" subset (doc_id % 97 == 0). Eval shingle set is tiny →
+    broadcast; the corpus is probed map-side (no corpus shuffle)."""
+    from influxdb_ha_spark.operators import pipeline as P
+    docs = _t(spark, sf, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    return P.decontaminate(tr, ev)
+
+
+def q_doc_train_test_split(spark, sf):
+    """Deterministic hash split (reproducible on any layout — no RNG);
+    emits per-split counts + per-doc assignments for the smallest ids."""
+    from influxdb_ha_spark.operators import pipeline as P
+    return P.train_test_split(_t(spark, sf, "documents"), test_pct=10)
+
+
+def q_doc_stratified_sample(spark, sf):
+    """Exact-N per-source subsample by hash rank — balanced across strata,
+    deterministic across partitionings."""
+    from influxdb_ha_spark.operators import pipeline as P
+    return P.stratified_sample(_t(spark, sf, "documents"),
+                               n_per_stratum=10)
+
+
 def q_doc_fingerprint_dedup(spark, sf):
     return D.fingerprint_dedup(_t(spark, sf, "documents"))
 
@@ -1050,6 +1076,9 @@ _FAMILIES = [
         "doc_simhash": q_doc_simhash,
         "doc_simhash_near": q_doc_simhash_near,
         "doc_dedup_clusters": q_doc_dedup_clusters,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_train_test_split": q_doc_train_test_split,
+        "doc_stratified_sample": q_doc_stratified_sample,
     },
     {
         # LLM-pipeline scope (§7): embedding similarity

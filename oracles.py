@@ -447,6 +447,29 @@ def build_oracles() -> dict[str, str]:
       m AS (SELECT a, min(b) AS mb FROM reach GROUP BY a)
       SELECT a AS doc_id, least(a, mb) AS cluster FROM m"""
     o["doc_ngram_jaccard"] = _near_dups_sql(2, 0.5)
+    # n-gram test-set decontamination: distinct 3-gram overlap between the
+    # benchmark subset (doc_id % 97 = 0) and the rest of the corpus
+    o["doc_decontaminate"] = f"""
+      WITH sh AS ({_shingles_cte(3)}),
+      ev AS (SELECT DISTINCT unnest(list_distinct(sh)) AS g
+             FROM sh WHERE doc_id % 97 = 0),
+      tr AS (SELECT doc_id, unnest(list_distinct(sh)) AS g
+             FROM sh WHERE doc_id % 97 <> 0)
+      SELECT tr.doc_id, count(*) AS n_shared_shingles
+      FROM tr JOIN ev USING (g) GROUP BY 1"""
+    o["doc_train_test_split"] = f"""
+      SELECT doc_id,
+             CASE WHEN {duck_hash64('doc_id::VARCHAR')} % 100 < 10
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents"""
+    o["doc_stratified_sample"] = f"""
+      WITH r AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY {duck_hash64('doc_id::VARCHAR')} ASC, doc_id ASC)
+                 AS rk
+        FROM documents)
+      SELECT source, doc_id FROM r WHERE rk <= 10"""
     o["doc_simhash"] = _simhash_sql(32)
     o["doc_simhash_near"] = f"""
       WITH sk AS ({_simhash_sql(32)})

@@ -173,3 +173,37 @@ def test_connected_components(spark):
     out = {r["doc_id"]: r["cluster"]
            for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_pipeline_ops(docs, spark):
+    """Corpus pipeline ops: decontamination finds planted overlap; the
+    hash split and stratified sample are deterministic and exact."""
+    from influxdb_ha_spark.operators.pipeline import (
+        decontaminate, stratified_sample, train_test_split)
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(1, "the quick brown fox went home"),    # shares 'the quick brown'…
+         (2, "completely unrelated text about spark jobs")],
+        "doc_id long, text string")
+    hits = {r["doc_id"]: r["n_shared_shingles"]
+            for r in decontaminate(tr, ev).collect()}
+    assert 1 in hits and hits[1] >= 2
+    assert 2 not in hits
+
+    sp = train_test_split(docs)
+    rows = dict(sp.groupBy("split").count().collect())
+    assert set(rows) <= {"train", "test"} and sum(rows.values()) == docs.count()
+    # deterministic: same assignment on re-run
+    assert sorted(sp.collect()) == sorted(train_test_split(docs).collect())
+
+    strat = spark.createDataFrame(
+        [(i, f"s{i % 3}", "x") for i in range(30)],
+        "doc_id long, source string, text string")
+    samp = stratified_sample(strat, n_per_stratum=4)
+    per = dict(samp.groupBy("source").count().collect())
+    assert per == {"s0": 4, "s1": 4, "s2": 4}
+    assert sorted(samp.collect()) == sorted(
+        stratified_sample(strat.repartition(7), n_per_stratum=4).collect())
