@@ -368,6 +368,26 @@ def q_iq_fill_offset(spark, sf):
                "AND event_type='signup' GROUP BY time(1d, 6h) fill(0)")
 
 
+def q_iq_holt_winters(spark, sf):
+    """holt_winters(mean(f), 5, 0): additive Holt forecast of the next 5
+    daily buckets (fixed-parameter recurrence — transforms.HW_*; the
+    reference cannot merge holt_winters at all, query_merge.go:171-184).
+    The oracle replays the identical level/trend recurrence in a recursive
+    CTE, so the smoothing arithmetic is value-checked end-to-end."""
+    df = _iq(spark, sf,
+             "SELECT holt_winters(mean(value), 5, 0) AS hw FROM events "
+             f"WHERE time >= {JAN1} AND time < {JAN1 + 14 * DAY} "
+             "GROUP BY time(1d)")
+    return df.select("time", _fr(F.col("hw"), 4).alias("hw"))
+
+
+def q_iq_count_distinct(spark, sf):
+    """count(distinct(f)) — influxql's nested distinct-count form."""
+    return _iq(spark, sf,
+               "SELECT count(distinct(user_id)) AS u FROM events "
+               "GROUP BY event_type")
+
+
 MAR15 = 1_710_460_800_000_000_000  # 2024-03-15T00:00:00Z
 
 
@@ -1019,6 +1039,8 @@ _FAMILIES = [
         "iq_fill_linear": q_iq_fill_linear,
         "iq_fill_offset": q_iq_fill_offset,
         "iq_fill_tz": q_iq_fill_tz,
+        "iq_holt_winters": q_iq_holt_winters,
+        "iq_count_distinct": q_iq_count_distinct,
         "iq_top5": q_iq_top5,
         "iq_math_over_agg": q_iq_math_over_agg,
         "iq_spread_tag": q_iq_spread_tag,

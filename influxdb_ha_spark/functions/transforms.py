@@ -146,3 +146,80 @@ def histogram(df: DataFrame, field: str, lo: float, hi: float, nbuckets: int,
     return (df.withColumn("bucket", b)
             .groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_count"))
             .orderBy(*keys))
+
+
+# Fixed Holt-Winters smoothing parameters. InfluxDB fits alpha/beta/gamma
+# per query with Nelder-Mead (influxdb query/functions holtWinters); the
+# reference cannot run holt_winters on merged results AT ALL
+# (query_merge.go:171-184), so this engine's support is added scope and
+# uses documented fixed parameters instead of a per-query optimizer —
+# deterministic, one pass, and exactly mirrorable in SQL oracles.
+HW_ALPHA, HW_BETA, HW_GAMMA = 0.5, 0.1, 0.1
+
+
+def holt_winters(df: DataFrame, field: str, n_forecast: int, seasonal: int,
+                 interval_ns: int, time_col: str = "time",
+                 by: list[str] | None = None, out: str = "holt_winters",
+                 with_fit: bool = False) -> DataFrame:
+    """holt_winters(agg(f), N, S): additive Holt(-Winters) forecast of the
+    next N buckets (S = seasonal period in buckets, 0 = non-seasonal).
+
+    level/trend(/seasonal) recurrence with the fixed HW_* parameters:
+      level_t = α(y_t − s_t) + (1−α)(level_{t−1} + trend_{t−1})
+      trend_t = β(level_t − level_{t−1}) + (1−β) trend_{t−1}
+      s_t     = γ(y_t − level_t) + (1−γ) s_{t−S}
+    init: level=y₀, trend=y₁−y₀, seasonals = first-period deviations from
+    its mean. Forecast h steps: level + h·trend (+ s). with_fit=True also
+    emits the one-step-ahead fitted values at the observed buckets
+    (holt_winters_with_fit).
+
+    Distribution: the recurrence is inherently sequential PER SERIES, so it
+    runs in applyInPandas grouped by the series tags — series are the
+    parallelism unit, and each series' bucket count is spine-bounded.
+    Null buckets are skipped (InfluxDB's holt_winters consumes the
+    non-null aggregate stream).
+    """
+    import pandas as pd
+
+    by = by or []
+    schema = ", ".join([f"`{c}` string" for c in by]
+                       + [f"`{time_col}` long", f"`{out}` double"])
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.dropna(subset=[field]).sort_values(time_col)
+        ys = [float(v) for v in pdf[field]]
+        ts = [int(t) for t in pdf[time_col]]
+        tags = {c: (pdf[c].iloc[0] if len(pdf) else None) for c in by}
+        rows: list[tuple[int, float]] = []
+        if len(ys) >= 2:
+            m = seasonal if seasonal and len(ys) >= seasonal else 0
+            level, trend = ys[0], ys[1] - ys[0]
+            seas = None
+            if m > 1:
+                base = sum(ys[:m]) / m
+                seas = [ys[i] - base for i in range(m)]
+            if with_fit:
+                rows.append((ts[0], level))
+            for t in range(1, len(ys)):
+                s = seas[t % m] if seas else 0.0
+                if with_fit:
+                    rows.append((ts[t], level + trend + s))
+                prev = level
+                level = HW_ALPHA * (ys[t] - s) \
+                    + (1 - HW_ALPHA) * (level + trend)
+                trend = HW_BETA * (level - prev) + (1 - HW_BETA) * trend
+                if seas:
+                    seas[t % m] = HW_GAMMA * (ys[t] - level) \
+                        + (1 - HW_GAMMA) * s
+            last = ts[-1]
+            n_obs = len(ys)
+            for h in range(1, n_forecast + 1):
+                s = seas[(n_obs - 1 + h) % m] if seas else 0.0
+                rows.append((last + h * interval_ns, level + h * trend + s))
+        return pd.DataFrame(
+            [{**tags, time_col: t, out: v} for t, v in rows],
+            columns=by + [time_col, out])
+
+    if by:
+        return df.groupBy(*by).applyInPandas(fit, schema)
+    return df.groupBy(F.lit(0).alias("__g")).applyInPandas(fit, schema)

@@ -38,7 +38,8 @@ from .timeutil import parse_time_literal_ns, time_bucket, time_bucket_tz
 
 TRANSFORMS = {"derivative", "non_negative_derivative", "difference",
               "non_negative_difference", "cumulative_sum", "elapsed",
-              "moving_average", "integral"}
+              "moving_average", "integral",
+              "holt_winters", "holt_winters_with_fit"}
 ROW_SELECTORS = {"top", "bottom", "distinct", "sample"}
 
 
@@ -326,6 +327,11 @@ class Planner:
             out = self._apply_transform(out, texpr, inner_col, tname,
                                         group_tags, stmt.group_by_time_ns)
             value_names = [tname]
+            if texpr.name.startswith("holt_winters"):
+                # forecast rows lie beyond the query range — a fill spine
+                # over [start, end) would drop them (influxql applies no
+                # fill to holt_winters output either)
+                return out
 
         if stmt.group_by_time_ns and stmt.fill != "none_skip_spine":
             tr = self._time_range(stmt, ctx)
@@ -357,6 +363,20 @@ class Planner:
             return T.cumulative_sum(out, inner_col, **kw).drop(inner_col)
         if texpr.name == "moving_average":
             return T.moving_average(out, inner_col, int(n or 2), **kw).drop(inner_col)
+        if texpr.name in ("holt_winters", "holt_winters_with_fit"):
+            # holt_winters(agg(f), N, S) — requires GROUP BY time(interval)
+            # (influxql semantics; S in buckets)
+            if not bucket_ns:
+                raise QueryError(
+                    "holt_winters requires GROUP BY time(interval)")
+            if len(args) != 2 or not all(isinstance(a, IntegerLit)
+                                         for a in args):
+                raise QueryError(
+                    "holt_winters takes (aggregate, N, S) integer arguments")
+            return T.holt_winters(
+                out, inner_col, int(args[0].value), int(args[1].value),
+                bucket_ns, time_col=TIME_COL, by=group_tags, out=tname,
+                with_fit=texpr.name == "holt_winters_with_fit")
         raise QueryError(f"transform {texpr.name} not supported over aggregates")
 
     # -- transforms on raw series -----------------------------------------
@@ -534,6 +554,14 @@ class Planner:
             key = self._agg_key(expr)
             if key not in sink:
                 field = expr.args[0]
+                if (expr.name == "count" and isinstance(field, Call)
+                        and field.name == "distinct"
+                        and len(field.args) == 1
+                        and isinstance(field.args[0], VarRef)):
+                    # count(distinct(f)) — influxql's canonical distinct
+                    # count form (the DISTINCT keyword parses to this call)
+                    sink[key] = F.countDistinct(F.col(field.args[0].name))
+                    return
                 if not isinstance(field, VarRef):
                     raise QueryError(f"{expr.name}() argument must be a field")
                 extra = tuple(self._literal_value(a) for a in expr.args[1:])
@@ -561,6 +589,8 @@ class Planner:
             return f"_{e.value}"
         if isinstance(e, DurationLit):
             return f"_{e.text}"
+        if isinstance(e, Call):  # e.g. count(distinct(f)) → count_distinct_f_
+            return "_".join([e.name] + [self._expr_text(a) for a in e.args])
         return "x"
 
     def _post_agg_expr(self, expr) -> Column:

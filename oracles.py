@@ -315,6 +315,35 @@ def build_oracles() -> dict[str, str]:
              max(value) AS max_value
       FROM events GROUP BY 1"""
     o["iq_distinct"] = "SELECT DISTINCT user_id FROM events"
+    o["iq_count_distinct"] = """
+      SELECT event_type, count(DISTINCT user_id) AS u
+      FROM events GROUP BY 1"""
+    # replay of transforms.holt_winters' fixed-parameter recurrence
+    # (alpha=0.5, beta=0.1): level/trend carried through a recursive CTE,
+    # then 5 forecast steps from the last bucket
+    o["iq_holt_winters"] = f"""
+      WITH RECURSIVE b AS (
+        SELECT ({EV_TIME} // {DAY}) * {DAY} AS time, avg(value) AS y
+        FROM events
+        WHERE {EV_TIME} >= {JAN1} AND {EV_TIME} < {JAN1 + 14 * DAY}
+        GROUP BY 1),
+      i AS (SELECT row_number() OVER (ORDER BY time) - 1 AS i, time, y
+            FROM b),
+      hw(t, lvl, tr) AS (
+        SELECT 0,
+               (SELECT y FROM i WHERE i = 0),
+               (SELECT y FROM i WHERE i = 1) - (SELECT y FROM i WHERE i = 0)
+        UNION ALL
+        SELECT hw.t + 1,
+               0.5 * i.y + 0.5 * (hw.lvl + hw.tr),
+               0.1 * ((0.5 * i.y + 0.5 * (hw.lvl + hw.tr)) - hw.lvl)
+                 + 0.9 * hw.tr
+        FROM hw JOIN i ON i.i = hw.t + 1),
+      fin AS (SELECT lvl, tr FROM hw ORDER BY t DESC LIMIT 1),
+      lastb AS (SELECT max(time) AS tlast FROM i)
+      SELECT lastb.tlast + h * {DAY} AS time,
+             {fr('fin.lvl + h * fin.tr', 4)} AS hw
+      FROM fin, lastb, (SELECT unnest(generate_series(1, 5)) AS h)"""
     # sample(f,10) = rows with the 10 smallest md5-hashes of time — the
     # engine's deterministic systematic sample, reproduced exactly
     o["iq_sample"] = f"""

@@ -246,3 +246,41 @@ def test_fill_refuses_huge_spine(spark):
     with _pytest.raises(QueryError, match="buckets"):
         fill.fill_buckets(agg, "time", 1, 0, ["v"],
                           start_ns=0, end_ns=30 * 86_400_000_000_000)
+
+
+def test_holt_winters_matches_python_reference(spark):
+    """Engine recurrence (incl. seasonal) equals a straight-line python
+    replay; forecast times continue the bucket grid."""
+    from influxdb_ha_spark.functions.transforms import (
+        HW_ALPHA, HW_BETA, HW_GAMMA, holt_winters)
+
+    ys = [10.0, 12.0, 15.0, 13.0, 18.0, 21.0, 19.0, 24.0]
+    day = 86_400_000_000_000
+    rows = [(i * day, "a", ys[i]) for i in range(len(ys))]
+    df = spark.createDataFrame(rows, "time long, tag string, v double")
+
+    out = holt_winters(df, "v", n_forecast=3, seasonal=4, interval_ns=day,
+                       by=["tag"], out="hw")
+    got = {r["time"]: r["hw"] for r in out.collect()}
+
+    m = 4
+    level, trend = ys[0], ys[1] - ys[0]
+    base = sum(ys[:m]) / m
+    seas = [ys[i] - base for i in range(m)]
+    for t in range(1, len(ys)):
+        s = seas[t % m]
+        prev = level
+        level = HW_ALPHA * (ys[t] - s) + (1 - HW_ALPHA) * (level + trend)
+        trend = HW_BETA * (level - prev) + (1 - HW_BETA) * trend
+        seas[t % m] = HW_GAMMA * (ys[t] - level) + (1 - HW_GAMMA) * s
+    want = {(len(ys) - 1 + h) * day:
+            level + h * trend + seas[(len(ys) - 1 + h) % m]
+            for h in (1, 2, 3)}
+    assert got == pytest.approx(want)
+
+    # ungrouped + with_fit: fitted points at observed times, then forecasts
+    fitted = holt_winters(df, "v", 2, 0, day, by=[], out="hw",
+                          with_fit=True).collect()
+    times = sorted(r["time"] for r in fitted)
+    assert times[:len(ys)] == [i * day for i in range(len(ys))]
+    assert len(times) == len(ys) + 2
