@@ -533,6 +533,21 @@ def q_show_series(spark, sf):
     return cat.show_series("default", "events")
 
 
+def q_show_cardinality(spark, sf):
+    """SHOW <x> [EXACT] CARDINALITY family (influxql 1.x): exact counts of
+    the meta scans, through the full Engine statement route."""
+    from influxdb_ha_spark.server import Engine
+    eng = Engine(_catalog(spark, sf), database="default")
+    series = eng.query_df("SHOW SERIES CARDINALITY") \
+        .select(F.col("count").alias("series_card"))
+    tagv = eng.query_df("SHOW TAG VALUES CARDINALITY FROM events "
+                        "WITH KEY = event_type") \
+        .select(F.col("count").alias("tag_value_card"))
+    fields = eng.query_df("SHOW FIELD KEY CARDINALITY") \
+        .select(F.col("count").alias("field_key_card"))
+    return series.crossJoin(tagv).crossJoin(fields)
+
+
 def q_show_tag_keys(spark, sf):
     """SHOW TAG KEYS from schema metadata (importer.go:596-612 queries the
     data nodes; here it's a catalog lookup — zero scan)."""
@@ -1084,6 +1099,7 @@ _FAMILIES = [
         "show_series": q_show_series,
         "show_tag_keys": q_show_tag_keys,
         "show_field_keys": q_show_field_keys,
+        "show_cardinality": q_show_cardinality,
         "cq_backfill": q_cq_backfill,
     },
     {

@@ -76,12 +76,31 @@ def with_carry(df: DataFrame, time_col: str, k: int,
     `window = Window.partitionBy(__pid).orderBy(time)` sees the last `k`
     rows of the previous time-range bucket as leading context rows.
 
+    Correctness invariant: each bucket's carry must be the k rows that
+    GLOBALLY precede it, which holds iff every feeding bucket has >= k real
+    rows. On sparse inputs (30 aggregate buckets across 32 quantile
+    ranges) that fails — carries come up short and k-row frames at bucket
+    heads silently miss context — so the bucketing is validated with a
+    P-row count and coarsened (parts //= 4) until the invariant holds;
+    degenerate case parts=1 is a single small partition, which is exactly
+    when that's affordable. Large inputs pass on the first try.
+
     Callers compute lag/frame expressions over the window, then must filter
     `~F.col(CARRY)` and drop both helper columns."""
     parts = parts or _default_parts(df)
-    bounds = time_boundaries(df, time_col, parts)
-    d = (df.withColumn(PID, bucket_id(time_col, bounds))
-         .withColumn(CARRY, F.lit(False)))
+    while True:
+        bounds = time_boundaries(df, time_col, parts)
+        d = (df.withColumn(PID, bucket_id(time_col, bounds))
+             .withColumn(CARRY, F.lit(False)))
+        if not bounds or k <= 0:
+            break
+        counts = {r[PID]: r["n"] for r in
+                  d.groupBy(PID).agg(F.count(F.lit(1)).alias("n")).collect()}
+        if all(counts.get(b, 0) >= k for b in range(len(bounds))):
+            break
+        if parts <= 1:
+            break
+        parts = max(1, parts // 4)
     if bounds:
         wtail = Window.partitionBy(PID).orderBy(F.col(time_col).desc())
         tails = (d.withColumn("__rnt", F.row_number().over(wtail))

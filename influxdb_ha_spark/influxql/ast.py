@@ -121,3 +121,4 @@ class ShowStatement:
     limit: int | None = None       # SHOW ... LIMIT n OFFSET m (paginated
     offset: int | None = None      # meta scans — series.go:67-89 pages)
     measurement_regex: str | None = None  # SHOW MEASUREMENTS WITH ... =~
+    cardinality: bool = False      # SHOW <x> [EXACT] CARDINALITY

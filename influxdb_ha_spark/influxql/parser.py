@@ -296,8 +296,12 @@ class Parser:
         t = self.next()
         what = t.text
         if what == "TAG" or what == "FIELD":
-            nxt = self.next().text  # KEYS or VALUES
+            nxt = self.next().text  # KEYS or VALUES (KEY in cardinality form)
+            if nxt == "KEY":
+                nxt = "KEYS"
             what = f"{what} {nxt}"
+        elif what == "MEASUREMENT":
+            what = "MEASUREMENTS"  # SHOW MEASUREMENT CARDINALITY (singular)
         elif what == "RETENTION":
             self.expect("KEYWORD", "POLICIES")
             what = "RETENTION POLICIES"
@@ -305,6 +309,15 @@ class Parser:
             self.expect("KEYWORD", "QUERIES")
             what = "CONTINUOUS QUERIES"
         stmt = ShowStatement(what=what)
+        # SHOW <x> [EXACT] CARDINALITY — counts are always exact here, so
+        # EXACT is accepted and ignored (influxql 1.x cardinality surface)
+        nxt = self.peek()
+        if nxt.text == "EXACT":
+            self.next()
+            nxt = self.peek()
+        if nxt.text == "CARDINALITY":
+            self.next()
+            stmt.cardinality = True
         if self.accept("KEYWORD", "ON"):
             stmt.database = self.expect_name()
         if what == "MEASUREMENTS" and self.accept("KEYWORD", "WITH"):

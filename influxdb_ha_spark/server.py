@@ -285,6 +285,12 @@ class Engine:
 
     # -- SHOW routing (routing.go:121-135) ------------------------------------
     def _show(self, stmt: ShowStatement, db: str) -> DataFrame:
+        if stmt.cardinality:
+            # SHOW <x> [EXACT] CARDINALITY: exact count of the underlying
+            # meta scan (influxql 1.x cardinality statements; the engine
+            # has no sketch-based estimate path — counts are always exact)
+            return self._show_inner(stmt, db).agg(
+                F.count(F.lit(1)).alias("count"))
         out = self._show_inner(stmt, db)
         # SHOW ... LIMIT/OFFSET — paginated meta scans (the reference pages
         # SHOW SERIES 1000 at a time, syncing/series.go:67-89)
@@ -335,9 +341,14 @@ class Engine:
             return out
         if what == "RETENTION POLICIES":
             rows = self.catalog.retention_policies.get(database, [])
+            if not rows:
+                # every InfluxDB database carries the implicit default
+                # autogen policy (infinite retention)
+                rows = [{"name": "autogen", "duration": "0s",
+                         "default": True}]
             return self.catalog.spark.createDataFrame(
                 [(r.get("name"), r.get("duration"), r.get("default", False))
-                 for r in rows] or [],
+                 for r in rows],
                 "name string, duration string, `default` boolean")
         raise QueryError(f"unsupported SHOW statement: {what}")
 

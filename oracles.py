@@ -436,6 +436,11 @@ def build_oracles() -> dict[str, str]:
       SELECT DISTINCT 'event_type' AS key, event_type AS value FROM events"""
     o["show_series"] = """
       SELECT DISTINCT 'events,event_type=' || event_type AS key FROM events"""
+    o["show_cardinality"] = """
+      SELECT count(DISTINCT event_type) AS series_card,
+             count(DISTINCT event_type) AS tag_value_card,
+             4 AS field_key_card
+      FROM events"""
     # schema-derived meta: the oracle states the known schema roles
     o["show_tag_keys"] = """
       SELECT 'events' AS measurement, 'event_type' AS tagKey"""

@@ -385,3 +385,26 @@ def test_engine_json_epoch_ms_with_buckets(engine):
     for v in series["values"]:
         assert isinstance(v[tcol], int)
         assert v[tcol] < 10**16  # ms magnitude, not ns
+
+
+def test_show_cardinality_statements(spark, treasures):
+    """SHOW <x> [EXACT] CARDINALITY family (influxql 1.x meta surface).
+    Isolated catalog: other tests register extra measurements (INTO, CQ)
+    on the shared one, which would shift the counts."""
+    iso = Catalog(spark)
+    iso.register_dataframe("sharded", "treasures",
+                           treasures.get("sharded", "treasures").df,
+                           time_col="time", tags=["type"])
+    eng = Engine(iso, database="sharded", now_ns=NOW)
+    def one(q):
+        return eng.query_df(q).first()["count"]
+    assert one("SHOW MEASUREMENT CARDINALITY") == 1
+    assert one("SHOW SERIES CARDINALITY") == 3
+    assert one("SHOW SERIES EXACT CARDINALITY") == 3
+    assert one("SHOW TAG KEY CARDINALITY") == 1
+    assert one("SHOW FIELD KEY CARDINALITY") >= 1
+    assert one("SHOW TAG VALUES CARDINALITY FROM treasures "
+               "WITH KEY = type") == 3
+    # implicit autogen policy always present
+    rp = eng.query_df("SHOW RETENTION POLICIES ON sharded").collect()
+    assert rp and rp[0]["name"] == "autogen" and rp[0]["default"]

@@ -1,6 +1,7 @@
 """Operator-library unit tests: fill modes, window transforms, math quirks."""
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from influxdb_ha_spark.functions import fill, transforms as T
@@ -284,3 +285,19 @@ def test_holt_winters_matches_python_reference(spark):
     times = sorted(r["time"] for r in fitted)
     assert times[:len(ys)] == [i * day for i in range(len(ys))]
     assert len(times) == len(ys) + 2
+
+
+def test_distributed_scan_sparse_input(spark):
+    """Regression: with ~1 row per quantile bucket, carries used to come up
+    short (previous bucket had < k rows) and moving_average dropped every
+    row. The bucketing must coarsen until each feeding bucket has >= k
+    rows, matching the keyless-window reference exactly."""
+    rows = [(i * 1000, float(i * i % 17)) for i in range(30)]
+    df = spark.createDataFrame(rows, "time long, v double")
+    got = {r["time"]: r["moving_average"]
+           for r in T.moving_average(df, "v", 3, by=[]).collect()}
+    w = Window.orderBy("time").rowsBetween(-2, 0)
+    ref = (df.withColumn("ma", F.avg("v").over(w))
+           .withColumn("c", F.count("v").over(w)).where(F.col("c") >= 3))
+    assert got == {r["time"]: r["ma"] for r in ref.collect()}
+    assert len(got) == 28

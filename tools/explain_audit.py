@@ -34,6 +34,7 @@ BOUNDED_SINGLE_PARTITION = {
     "iq_fill_linear": "ungrouped fill spine window, capped (fill.py); "
                       "segmented above _SMALL_SPINE",
     "emb_kmeans_train": "two 1-row global-aggregate summaries joined",
+    "show_cardinality": "three 1-row cardinality counts joined",
 }
 
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
@@ -45,6 +46,7 @@ ALLOWED_CARTESIAN = {
     "emb_near_dup_pairs": "exact all-pairs reference (quadratic by "
                           "definition); production path is emb_near_dup_lsh",
     "emb_kmeans_train": "1-row x 1-row crossJoin of global aggregates",
+    "show_cardinality": "1-row x 1-row crossJoins of cardinality counts",
 }
 
 
