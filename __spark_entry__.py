@@ -381,6 +381,16 @@ def q_iq_holt_winters(spark, sf):
     return df.select("time", _fr(F.col("hw"), 4).alias("hw"))
 
 
+def q_iq_where_math(spark, sf):
+    """Field arithmetic in WHERE (`value * 2 > 100`, abs(...) < n) — the
+    influxql condition surface beyond simple field-vs-literal."""
+    df = _iq(spark, sf,
+             "SELECT count(value) AS n, sum(value) AS sv FROM events "
+             "WHERE value * 2 > 100 AND abs(value - 50) > 5 "
+             "GROUP BY event_type")
+    return df.select("event_type", "n", _fr(F.col("sv"), 2).alias("sv"))
+
+
 def q_iq_count_distinct(spark, sf):
     """count(distinct(f)) — influxql's nested distinct-count form."""
     return _iq(spark, sf,
@@ -1056,6 +1066,7 @@ _FAMILIES = [
         "iq_fill_tz": q_iq_fill_tz,
         "iq_holt_winters": q_iq_holt_winters,
         "iq_count_distinct": q_iq_count_distinct,
+        "iq_where_math": q_iq_where_math,
         "iq_top5": q_iq_top5,
         "iq_math_over_agg": q_iq_math_over_agg,
         "iq_spread_tag": q_iq_spread_tag,

@@ -621,6 +621,8 @@ class Planner:
             return F.lit(expr.value)
         if isinstance(expr, IntegerLit):
             return F.lit(expr.value)
+        if isinstance(expr, StringLit):
+            return F.lit(expr.value)
         if isinstance(expr, Call) and expr.name in MATH_FUNCS:
             return apply_math(expr.name, *[self._value_expr(a, agg)
                                            for a in expr.args])
@@ -653,6 +655,12 @@ class Planner:
             flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
             op = flip.get(op, op)
         if not isinstance(lhs, VarRef):
+            # field arithmetic in WHERE: `value * 2 > 100`, abs(value) < n…
+            # — both sides through the scalar expression builder (influxql
+            # allows arbitrary field math in conditions)
+            if isinstance(lhs, (BinaryExpr, Call)):
+                return self._cmp(self._value_expr(lhs, None), op,
+                                 self._value_expr(rhs, None))
             raise QueryError(f"unsupported comparison: {expr!r}")
 
         if lhs.name.lower() == "time":

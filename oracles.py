@@ -315,6 +315,11 @@ def build_oracles() -> dict[str, str]:
              max(value) AS max_value
       FROM events GROUP BY 1"""
     o["iq_distinct"] = "SELECT DISTINCT user_id FROM events"
+    o["iq_where_math"] = f"""
+      SELECT event_type, count(value) AS n, {fr('sum(value)', 2)} AS sv
+      FROM events
+      WHERE value * 2 > 100 AND abs(value - 50) > 5
+      GROUP BY 1"""
     o["iq_count_distinct"] = """
       SELECT event_type, count(DISTINCT user_id) AS u
       FROM events GROUP BY 1"""
