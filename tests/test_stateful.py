@@ -102,3 +102,44 @@ def test_cq_stream_end_to_end(spark, tmp_path):
     for i in range(4):
         w = base + i * HOUR
         assert got[(w, "a")] == (2, float(2 * i) + float(2 * i + 1))
+
+
+def test_dedup_stream(spark, tmp_path):
+    """Streaming exact dedup: repeated texts within the watermark are
+    dropped across micro-batches; state is keyed on the content digest."""
+    import json
+
+    from influxdb_ha_spark.streaming.dedup_stream import dedup_stream
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    hour = 3_600_000_000_000
+    base = 1_700_000_000_000_000_000
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for i, txt in enumerate(["alpha doc", "beta doc", "alpha doc"]):
+            f.write(json.dumps({"doc_id": i, "time": base + i * hour,
+                                "text": txt}) + "\n")
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        # duplicate of batch-1 content + one new doc, inside the watermark
+        f.write(json.dumps({"doc_id": 10, "time": base + 3 * hour,
+                            "text": "beta doc"}) + "\n")
+        f.write(json.dumps({"doc_id": 11, "time": base + 4 * hour,
+                            "text": "gamma doc"}) + "\n")
+
+    got = []
+
+    def sink(df, _bid):
+        got.extend((r["doc_id"], r["text"]) for r in df.collect())
+
+    stream = spark.readStream.schema(
+        "doc_id long, time long, text string").json(src)
+    q = (dedup_stream(stream, watermark_delay="2 days")
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    texts = sorted(t for _, t in got)
+    assert texts == ["alpha doc", "beta doc", "gamma doc"]
+    assert (0, "alpha doc") in got and (1, "beta doc") in got
