@@ -41,7 +41,9 @@ _DDL = re.compile(
     re.IGNORECASE)
 
 _CQ = re.compile(
-    r"^\s*CREATE\s+CONTINUOUS\s+QUERY\s+(\S+)\s+ON\s+(\S+)\s+BEGIN\s+(.*?)\s+END\s*$",
+    r"^\s*CREATE\s+CONTINUOUS\s+QUERY\s+(\S+)\s+ON\s+(\S+)"
+    r"(?:\s+RESAMPLE(?:\s+EVERY\s+(\S+))?(?:\s+FOR\s+(\S+))?)?"
+    r"\s+BEGIN\s+(.*?)\s+END\s*$",
     re.IGNORECASE | re.DOTALL)
 _DROP_CQ = re.compile(
     r"^\s*DROP\s+CONTINUOUS\s+QUERY\s+(\S+)\s+ON\s+(\S+)", re.IGNORECASE)
@@ -131,8 +133,12 @@ class Engine:
             return self.admin.handle(q)
         m = _CQ.match(q)
         if m:
+            # RESAMPLE EVERY <d> = trigger interval; FOR <d> = recompute
+            # coverage window (influxql 1.x CQ resampling)
             self.cq.create(ContinuousQuery(name=m.group(1), database=db,
-                                           query=m.group(3)))
+                                           query=m.group(5),
+                                           every=m.group(3),
+                                           for_=m.group(4)))
             return self.catalog.spark.createDataFrame([], "ok string")
         m = _DROP_CQ.match(q)
         if m:

@@ -41,6 +41,7 @@ class ContinuousQuery:
     query: str                   # the inner SELECT ... INTO ... statement
     stmt: SelectStatement = None
     every: str | None = None     # RESAMPLE EVERY — trigger interval
+    for_: str | None = None      # RESAMPLE FOR — recompute coverage window
 
     def __post_init__(self):
         if self.stmt is None:
@@ -72,17 +73,56 @@ class CQRunner:
         self.cqs.pop(name, None)
 
     def show(self) -> DataFrame:
-        rows = [(c.name, c.database, c.query) for c in self.cqs.values()]
+        # display the full CREATE statement like InfluxDB, including any
+        # RESAMPLE clause
+        def text(c: ContinuousQuery) -> str:
+            resample = ""
+            if c.every or c.for_:
+                resample = " RESAMPLE"
+                if c.every:
+                    resample += f" EVERY {c.every}"
+                if c.for_:
+                    resample += f" FOR {c.for_}"
+            return (f"CREATE CONTINUOUS QUERY {c.name} ON {c.database}"
+                    f"{resample} BEGIN {c.query} END")
+
+        rows = [(c.name, c.database, text(c)) for c in self.cqs.values()]
         return self.catalog.spark.createDataFrame(
             rows or [], "name string, database string, query string")
 
     # -- execution ------------------------------------------------------------
     def run_batch(self, name: str) -> DataFrame:
         """One batch pass of the CQ's SELECT; result registered as the INTO
-        measurement (the catch-up/backfill semantics)."""
+        measurement (the catch-up/backfill semantics).
+
+        With RESAMPLE FOR, only the trailing coverage window is recomputed
+        and spliced over the existing target — influxql's resample
+        semantics (recompute recent buckets as late data lands, leave
+        older buckets untouched)."""
+        import copy
+
+        from ..influxql.ast import BinaryExpr, IntegerLit, VarRef
+        from ..timeutil import parse_duration_ns
+
         cq = self.cqs[name]
         planner = Planner(self.catalog, cq.database, now_ns=self.now_ns)
-        out = planner.plan(cq.stmt)
+        stmt = cq.stmt
+        lo = None
+        if cq.for_ and self.now_ns is not None:
+            lo = self.now_ns - parse_duration_ns(cq.for_)
+            stmt = copy.deepcopy(stmt)
+            bound = BinaryExpr(op=">=", lhs=VarRef(name=TIME_COL),
+                               rhs=IntegerLit(value=lo))
+            stmt.where = (bound if stmt.where is None else
+                          BinaryExpr(op="AND", lhs=stmt.where, rhs=bound))
+        out = planner.plan(stmt)
+        if lo is not None:
+            try:
+                existing = self.catalog.get(cq.database, cq.stmt.into.name).df
+                out = existing.where(F.col(TIME_COL) < F.lit(lo)) \
+                    .unionByName(out, allowMissingColumns=True)
+            except KeyError:
+                pass  # first run — nothing to splice
         tags = [c for c in out.columns
                 if c in self.catalog.get(cq.database, cq.stmt.source.name).tags]
         value_cols = [c for c in out.columns if c != TIME_COL and c not in tags]

@@ -408,3 +408,42 @@ def test_show_cardinality_statements(spark, treasures):
     # implicit autogen policy always present
     rp = eng.query_df("SHOW RETENTION POLICIES ON sharded").collect()
     assert rp and rp[0]["name"] == "autogen" and rp[0]["default"]
+
+
+def test_cq_resample_every_for(spark):
+    """CREATE CONTINUOUS QUERY ... RESAMPLE EVERY <d> FOR <d>: EVERY is the
+    trigger cadence, FOR narrows each recompute to the trailing coverage
+    window and splices it over the existing target (influxql 1.x CQ
+    resampling; the reference copies CQ definitions verbatim,
+    importer.go:323-333)."""
+    day = 86_400_000_000_000
+    rows = [(d * day + 1000, "a", float(d * 10 + i))
+            for d in range(4) for i in range(2)]
+    iso = Catalog(spark)
+    iso.register_dataframe(
+        "db", "m", spark.createDataFrame(rows, "time long, tag string, v double"),
+        time_col="time", tags=["tag"])
+    eng = Engine(iso, database="db", now_ns=4 * day)
+    eng.query_df("CREATE CONTINUOUS QUERY c ON db RESAMPLE EVERY 1h FOR 2d "
+                 "BEGIN SELECT count(v) AS n INTO tgt FROM m "
+                 "GROUP BY time(1d) fill(none) END")
+    cq = eng.cq.cqs["c"]
+    assert cq.every == "1h" and cq.for_ == "2d"
+    shown = eng.query_df("SHOW CONTINUOUS QUERIES").first()["query"]
+    assert "RESAMPLE EVERY 1h FOR 2d" in shown
+
+    out1 = eng.cq.run_batch("c")
+    # FOR 2d from now=day4 → only buckets day2, day3 computed
+    assert sorted(r["time"] for r in out1.collect()) == [2 * day, 3 * day]
+
+    # new late data in day3 + old data in day0: recompute covers day3
+    # only; day0 stays untouched (outside the window, spliced from target)
+    m = iso.get("db", "m")
+    extra = spark.createDataFrame(
+        [(3 * day + 5000, "a", 99.0)], "time long, tag string, v double")
+    iso.register_dataframe("db", "m", m.df.unionByName(extra),
+                           time_col="time", tags=["tag"])
+    out2 = eng.cq.run_batch("c")
+    got = {r["time"]: r["n"] for r in out2.collect()}
+    assert got[3 * day] == 3      # picked up the late point
+    assert got[2 * day] == 2
