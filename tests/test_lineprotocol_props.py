@@ -67,3 +67,24 @@ def test_time_literal_roundtrip(ns):
     lit = f"{iso}.{frac_us:06d}Z"
     got = parse_time_literal_ns(lit)
     assert abs(got - us) < 1000, (lit, got, us)
+
+
+@given(t=st.integers(min_value=0, max_value=2**62),
+       interval=st.integers(min_value=1, max_value=10**15),
+       offset=st.integers(min_value=0, max_value=10**15))
+@settings(max_examples=300, deadline=None)
+def test_floor_bucket_matches_time_bucket_arithmetic(t, interval, offset):
+    """fill.bucket_spine's python floor must equal timeutil.time_bucket's
+    column arithmetic for every (t, interval, offset) — the invariant that
+    keeps fill spines joinable to aggregated buckets (the round-2
+    offset-spine bug class). Evaluated in pure python on both sides:
+    time_bucket is (t-o) - pmod(t-o, i) + o with pmod ≥ 0."""
+    from influxdb_ha_spark.functions.fill import _floor_bucket
+
+    offset = offset % interval if interval else 0
+    shifted = t - offset
+    want = shifted - (shifted % interval) + offset  # python % is pmod for i>0
+    assert _floor_bucket(t, interval, offset) == want
+    b = _floor_bucket(t, interval, offset)
+    assert b <= t < b + interval  # the bucket actually contains t
+    assert (b - offset) % interval == 0  # and sits on the offset grid
