@@ -40,6 +40,37 @@ def _split_statements(q: str) -> list[str]:
     return [s.strip() for s in q.split(";") if s.strip()]
 
 
+_BIND = re.compile(r"\$(\w+)")
+
+
+def bind_params(q: str, params_json: str) -> str:
+    """InfluxQL bind parameters: substitute `$name` placeholders with the
+    values from the `params` JSON object (the surface client libraries
+    use; the reference forwards the raw request so InfluxDB resolves them
+    — drop-in parity requires resolving them here). Strings are
+    single-quoted with escaping, numbers/booleans rendered as literals."""
+    try:
+        values = json.loads(params_json)
+    except ValueError as e:
+        raise QueryError(f"invalid params JSON: {e}") from e
+    if not isinstance(values, dict):
+        raise QueryError("params must be a JSON object")
+
+    def render(name: str) -> str:
+        if name not in values:
+            raise QueryError(f"missing parameter: ${name}")
+        v = values[name]
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        raise QueryError(f"unsupported parameter type for ${name}")
+
+    return _BIND.sub(lambda m: render(m.group(1)), q)
+
+
 class _Handler(BaseHTTPRequestHandler):
     engine: Engine = None  # injected by serve()
 
@@ -131,6 +162,12 @@ class _Handler(BaseHTTPRequestHandler):
         if not q:
             self._send(400, {"error": "missing required parameter \"q\""})
             return
+        if params.get("params"):
+            try:
+                q = bind_params(q, params["params"])
+            except QueryError as e:
+                self._send(400, {"error": str(e)})
+                return
         db = params.get("db")
         user = self._auth_user(params)
         if user is None:

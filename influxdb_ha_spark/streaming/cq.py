@@ -62,6 +62,7 @@ class CQRunner:
         self.catalog = catalog
         self.now_ns = now_ns
         self.cqs: dict[str, ContinuousQuery] = {}
+        self._last_run_ns: dict[str, int] = {}
 
     # -- DDL surface (importer.go:579-594 round-trip) ------------------------
     def create(self, cq: ContinuousQuery) -> None:
@@ -130,6 +131,33 @@ class CQRunner:
             cq.database, cq.stmt.into.name, out, time_col=TIME_COL,
             tags=tags, fields=value_cols)
         return out
+
+    def run_due(self, now_ns: int) -> list[str]:
+        """Scheduler tick: run every CQ whose cadence has elapsed.
+
+        Cadence = RESAMPLE EVERY when given, else the CQ's GROUP BY
+        time() interval (influxdb's default run interval). The driver of
+        this loop is external (cron, Airflow, a streaming trigger) — the
+        reference likewise leaves execution timing to InfluxDB's CQ
+        service. Returns the names that ran."""
+        from ..timeutil import parse_duration_ns
+
+        ran = []
+        for name, cq in self.cqs.items():
+            cadence = (parse_duration_ns(cq.every) if cq.every
+                       else (cq.stmt.group_by_time_ns or 0))
+            last = self._last_run_ns.get(name)
+            if last is not None and cadence and now_ns - last < cadence:
+                continue
+            prev_now = self.now_ns
+            self.now_ns = now_ns
+            try:
+                self.run_batch(name)
+            finally:
+                self.now_ns = prev_now
+            self._last_run_ns[name] = now_ns
+            ran.append(name)
+        return ran
 
     def stream_plan(self, name: str, stream: DataFrame,
                     watermark: str = "1 hour") -> DataFrame:

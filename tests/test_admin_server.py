@@ -447,3 +447,30 @@ def test_cq_resample_every_for(spark):
     got = {r["time"]: r["n"] for r in out2.collect()}
     assert got[3 * day] == 3      # picked up the late point
     assert got[2 * day] == 2
+
+
+def test_cq_run_due_cadence(spark):
+    """run_due ticks CQs on their RESAMPLE EVERY cadence (GROUP BY
+    interval when absent): due on first tick, skipped before the cadence
+    elapses, due again after."""
+    day = 86_400_000_000_000
+    hour = 3_600_000_000_000
+    iso = Catalog(spark)
+    iso.register_dataframe(
+        "db", "m",
+        spark.createDataFrame([(i * hour, "a", float(i)) for i in range(48)],
+                              "time long, tag string, v double"),
+        time_col="time", tags=["tag"])
+    eng = Engine(iso, database="db", now_ns=2 * day)
+    eng.query_df("CREATE CONTINUOUS QUERY fast ON db RESAMPLE EVERY 1h "
+                 "BEGIN SELECT count(v) AS n INTO t1 FROM m "
+                 "GROUP BY time(1d) fill(none) END")
+    eng.query_df("CREATE CONTINUOUS QUERY slow ON db BEGIN "
+                 "SELECT count(v) AS n INTO t2 FROM m "
+                 "GROUP BY time(1d) fill(none) END")
+    t0 = 2 * day
+    assert sorted(eng.cq.run_due(t0)) == ["fast", "slow"]
+    assert eng.cq.run_due(t0 + hour // 2) == []          # nothing due yet
+    assert eng.cq.run_due(t0 + hour) == ["fast"]          # EVERY 1h elapsed
+    assert sorted(eng.cq.run_due(t0 + day + hour)) == ["fast", "slow"]
+    assert iso.get("db", "t1").df.count() > 0

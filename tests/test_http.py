@@ -174,3 +174,30 @@ def test_chunk_size_partial_flag(http):
             n_vals += len(s["values"])
             assert s.get("partial", False) == (not last)
     assert n_vals >= 4
+
+
+def test_bind_params(http):
+    """InfluxQL bind parameters: $name placeholders resolved from the
+    `params` JSON object (client-library surface; the reference forwards
+    raw requests so InfluxDB resolves them — here the façade does)."""
+    import urllib.parse
+
+    base, engine = http
+    _post(base + "/write?db=sharded&u=boss&p=pw",
+          b"treasures,type=gold value=100 1500000000000000100")
+    q = "SELECT count(value) AS n FROM treasures WHERE type = $t AND value > $lo"
+    url = (base + "/query?db=sharded&u=boss&p=pw&q=" + urllib.request.quote(q)
+           + "&params=" + urllib.parse.quote('{"t": "gold", "lo": 50}'))
+    with urllib.request.urlopen(url) as r:
+        body = json.loads(r.read())
+    assert body["results"][0]["series"][0]["values"][0][-1] >= 1
+    # missing parameter -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base + "/query?db=sharded&u=boss&p=pw&q=" +
+             urllib.request.quote("SELECT value FROM treasures WHERE type = $nope"))
+    assert e.value.code == 400
+
+    from influxdb_ha_spark.http_server import bind_params
+    assert bind_params("WHERE a = $x AND b = $y",
+                       '{"x": "o\'brien", "y": 2.5}') == \
+        "WHERE a = 'o\\'brien' AND b = 2.5"
