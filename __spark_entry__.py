@@ -59,13 +59,19 @@ _REQUIRED_CONFS = {
     "spark.sql.ansi.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
-_CONF_APPLIED: set[int] = set()
+import weakref
+
+_CONF_APPLIED: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def _ensure_confs(spark: SparkSession) -> None:
-    key = id(spark)
-    if key in _CONF_APPLIED:
-        return
+    # WeakSet, not id()-keyed: a stopped session's address can be reused
+    # by a new one, which would silently skip the confs
+    try:
+        if spark in _CONF_APPLIED:
+            return
+    except TypeError:
+        pass  # non-weakref-able session impl: fall through, sets are cheap
     for k, v in _REQUIRED_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -79,7 +85,10 @@ def _ensure_confs(spark: SparkSession) -> None:
                            os.environ.get("SPARK_GRAFT_CPUS", "32"))
     except Exception:
         pass
-    _CONF_APPLIED.add(key)
+    try:
+        _CONF_APPLIED.add(spark)
+    except TypeError:
+        pass
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
