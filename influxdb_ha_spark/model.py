@@ -125,12 +125,14 @@ class Catalog:
 
     # -- SHOW surface (routing.go:121-135 first-available statements) -----
     def show_databases(self) -> DataFrame:
+        # explicit schema: [] with list-of-column-names cannot infer types
         return self.spark.createDataFrame(
-            [(d,) for d in sorted(self.databases)], ["name"])
+            [(d,) for d in sorted(self.databases)], "name string")
 
     def show_measurements(self, database: str) -> DataFrame:
         return self.spark.createDataFrame(
-            [(m,) for m in sorted(self.databases.get(database, {}))], ["name"])
+            [(m,) for m in sorted(self.databases.get(database, {}))],
+            "name string")
 
     def show_tag_keys(self, database: str, measurement: str | None = None) -> DataFrame:
         rows = []

@@ -474,3 +474,15 @@ def test_cq_run_due_cadence(spark):
     assert eng.cq.run_due(t0 + hour) == ["fast"]          # EVERY 1h elapsed
     assert sorted(eng.cq.run_due(t0 + day + hour)) == ["fast", "slow"]
     assert iso.get("db", "t1").df.count() > 0
+
+
+def test_show_on_empty_catalog(spark):
+    """SHOW statements must not crash on an empty catalog (schema can't be
+    inferred from an empty dataset — regression for DROP MEASUREMENT of
+    the last measurement)."""
+    iso = Catalog(spark)
+    eng = Engine(iso, database="db")
+    assert eng.query_df("SHOW MEASUREMENTS").count() == 0
+    assert eng.query_df("SHOW DATABASES").count() == 0
+    assert eng.query_df("SHOW SERIES").count() == 0
+    assert eng.query_df("SHOW TAG KEYS").count() == 0
