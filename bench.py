@@ -62,12 +62,20 @@ def main():
         .format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+        # second run: steady-state cost with plan analysis + codegen + JIT
+        # already paid — the number that matters for a long-lived cluster.
+        # The headline metric stays the COLD number for round-over-round
+        # comparability (BENCH_r01 measured cold).
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -75,6 +83,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
