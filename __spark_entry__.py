@@ -997,6 +997,35 @@ def q_rollup_revenue(spark, sf):
                     "revenue", "n"))
 
 
+def q_ts_asof_join(spark, sf):
+    """As-of join (added scope — reference has no joins, README.md:190-200):
+    for each click event, the user's most recent purchase value at-or-before
+    the click, within a 1-day tolerance. Distributed shape: union + per-user
+    window carrying the last right-side value (operators/timeseries.py) —
+    one shuffle, no range explosion; DuckDB checks it with its native
+    ASOF LEFT JOIN."""
+    from influxdb_ha_spark.operators.timeseries import asof_join
+    ev = _events_us(spark, sf)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "time")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "time", "value")
+    j = asof_join(clicks, purchases, on="time", by=["user_id"],
+                  value_cols=["value"], tolerance=DAY)
+    return j.select("event_id", "user_id", "time",
+                    F.col("r_time").alias("purchase_time"),
+                    _fr(F.col("r_value"), 6).alias("purchase_value"))
+
+
+def q_ts_sessionize(spark, sf):
+    """Gap-based sessionization (added scope): per-user sessions with a
+    1-hour inactivity gap, one row per session. lag + running-sum over a
+    single per-user sort (operators/timeseries.py:sessionize)."""
+    from influxdb_ha_spark.operators.timeseries import session_stats
+    ev = _events_us(spark, sf).select("user_id", "time")
+    return session_stats(ev, on="time", by=["user_id"], gap=HOUR)
+
+
 def q_union_measurements(spark, sf):
     """union-all of per-partition result streams (coordinator.go:261-302) —
     here: same-schema union + global distinct."""
@@ -1155,6 +1184,11 @@ _FAMILIES = [
         "text_fingerprint": q_text_fingerprint,
         "text_rolling": q_text_rolling,
         "text_top_tokens": q_text_top_tokens,
+    },
+    {
+        # time-series relational ops (added scope; operators/timeseries.py)
+        "ts_asof_join": q_ts_asof_join,
+        "ts_sessionize": q_ts_sessionize,
     },
     {
         # LLM-pipeline scope (§7): multimodal

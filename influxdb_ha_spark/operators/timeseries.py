@@ -1,0 +1,111 @@
+"""Time-series relational operators Spark lacks as built-ins: as-of join
+and gap sessionization.
+
+Added scope beyond the reference (its engine has no joins at all —
+README.md:190-200 routes every SELECT to single-measurement merge), but
+core capability for a time-series engine: "latest reading at or before t"
+(as-of) and activity sessionization are the two canonical event-table ops.
+
+Both are expressed as compositions of built-in DataFrame ops (no UDFs):
+
+- as-of join = union both sides with a side marker, then one window per
+  key ordered by (time, side) carrying the last-seen right-side value
+  forward. ONE shuffle on the `by` keys; no range explosion, no
+  per-row probing. This is the standard distributed as-of shape (vs. the
+  naive time-range join which is quadratic per key).
+- sessionize = lag + running sum over the same per-key window: a session
+  break is `time - lag(time) > gap`; the session id is the running count
+  of breaks. One shuffle, two windows sharing one sort.
+
+Scale: the window partitions by the join/session keys (user, series, ...)
+— high-cardinality by construction in event data, so no single-partition
+funnel; skewed keys fall to AQE skew handling. State per key is O(1)
+(last value carried), unlike a buffered range join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "time",
+              by: Sequence[str] = ("user_id",),
+              value_cols: Sequence[str] = ("value",),
+              tolerance: int | None = None,
+              prefix: str = "r_") -> DataFrame:
+    """For each left row, the most recent right row with
+    right.on <= left.on (inclusive), matched per `by` key.
+
+    `tolerance` (same unit as `on`, ns by convention) nulls out matches
+    older than `on - tolerance`. Output = left columns + `{prefix}{on}`
+    (the matched right time) + `{prefix}{v}` for each value column.
+
+    Right rows must be unique per (by, on) — pre-aggregate otherwise —
+    so the carried value is deterministic on any partitioning.
+    """
+    by = list(by)
+    value_cols = list(value_cols)
+    rv = [f"__rv_{v}" for v in value_cols]
+    r = right.select(
+        *by, F.col(on),
+        *[F.col(v).alias(a) for v, a in zip(value_cols, rv)],
+    ).withColumn("__side", F.lit(0))
+    l = left.withColumn("__side", F.lit(1))
+    for v, a in zip(value_cols, rv):
+        l = l.withColumn(a, F.lit(None).cast(dict(r.dtypes)[a]))
+    # right rows carry nulls for left-only columns
+    for c in l.columns:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(dict(l.dtypes)[c]))
+    u = l.unionByName(r.select(*l.columns))
+    # side=0 sorts before side=1 at equal time → inclusive (>=) semantics
+    w = (Window.partitionBy(*by)
+         .orderBy(F.col(on).asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    r_time = F.last(F.when(F.col("__side") == 0, F.col(on)),
+                    ignorenulls=True).over(w)
+    out = u.withColumn(f"{prefix}{on}", r_time)
+    for v, a in zip(value_cols, rv):
+        out = out.withColumn(
+            f"{prefix}{v}",
+            F.last(F.when(F.col("__side") == 0, F.col(a)),
+                   ignorenulls=True).over(w))
+    out = out.where(F.col("__side") == 1).drop("__side", *rv)
+    if tolerance is not None:
+        in_tol = F.col(f"{prefix}{on}") >= F.col(on) - F.lit(tolerance)
+        for c in [f"{prefix}{v}" for v in value_cols] + [f"{prefix}{on}"]:
+            out = out.withColumn(c, F.when(in_tol, F.col(c)))
+    return out
+
+
+def sessionize(df: DataFrame, on: str = "time",
+               by: Sequence[str] = ("user_id",),
+               gap: int = 3_600_000_000_000,
+               out: str = "session_id") -> DataFrame:
+    """Assign per-key session ids: a new session starts when the gap to
+    the previous event exceeds `gap` (ns). Ids are 1-based and contiguous
+    per key."""
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(on)
+    prev = F.lag(on).over(w)
+    is_new = F.when(prev.isNull() | (F.col(on) - prev > F.lit(gap)),
+                    F.lit(1)).otherwise(F.lit(0))
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out, F.sum(is_new).over(wcum))
+
+
+def session_stats(df: DataFrame, on: str = "time",
+                  by: Sequence[str] = ("user_id",),
+                  gap: int = 3_600_000_000_000) -> DataFrame:
+    """Sessionize then collapse to one row per session:
+    (by..., session_id, n_events, t_start, t_end, duration)."""
+    by = list(by)
+    s = sessionize(df, on=on, by=by, gap=gap)
+    return (s.groupBy(*by, "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(on).alias("t_start"),
+                 F.max(on).alias("t_end"))
+            .withColumn("duration", F.col("t_end") - F.col("t_start")))

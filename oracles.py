@@ -738,6 +738,32 @@ def build_oracles() -> dict[str, str]:
       SELECT o_orderpriority, rnk, o_orderkey,
              {fr('o_totalprice', 2)} AS o_totalprice
       FROM r WHERE rnk <= 3"""
+    o["ts_asof_join"] = f"""
+      WITH l AS (SELECT event_id, user_id, {EV_TIME} AS time FROM events
+                 WHERE event_type = 'click'),
+           r AS (SELECT user_id, {EV_TIME} AS time, value FROM events
+                 WHERE event_type = 'purchase')
+      SELECT l.event_id, l.user_id, l.time,
+             CASE WHEN r.time >= l.time - {DAY} THEN r.time END
+               AS purchase_time,
+             CASE WHEN r.time >= l.time - {DAY} THEN {fr('r.value', 6)} END
+               AS purchase_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.time >= r.time"""
+    o["ts_sessionize"] = f"""
+      WITH e AS (SELECT user_id, {EV_TIME} AS time FROM events),
+           m AS (SELECT user_id, time,
+                        CASE WHEN lag(time) OVER w IS NULL
+                                  OR time - lag(time) OVER w > {HOUR}
+                             THEN 1 ELSE 0 END AS is_new
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY time)),
+           s AS (SELECT user_id, time,
+                        (sum(is_new) OVER (PARTITION BY user_id ORDER BY time
+                          ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+                 FROM m)
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(time) AS t_start, max(time) AS t_end,
+             max(time) - min(time) AS duration
+      FROM s GROUP BY 1, 2"""
     o["cube_counts"] = """
       SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
              coalesce(o_orderpriority, 'ALL') AS o_orderpriority,

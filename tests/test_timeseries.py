@@ -1,0 +1,92 @@
+"""As-of join + sessionization operator tests (operators/timeseries.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxdb_ha_spark.operators.timeseries import (
+    asof_join, session_stats, sessionize)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # (key, time, value) — the right side of the as-of join
+    rows = [
+        ("a", 10, 1.0),
+        ("a", 20, 2.0),
+        ("a", 30, 3.0),
+        ("b", 15, 9.0),
+    ]
+    return spark.createDataFrame(rows, "k string, time long, value double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        ("a", 5),    # before any quote -> no match
+        ("a", 10),   # equal time -> inclusive match (1.0)
+        ("a", 25),   # between -> 2.0
+        ("a", 99),   # after all -> 3.0
+        ("b", 14),   # before b's only quote -> no match
+        ("b", 16),   # -> 9.0
+        ("c", 50),   # key with no quotes at all -> no match
+    ]
+    return spark.createDataFrame(rows, "k string, time long")
+
+
+def test_asof_basic(trades, quotes):
+    out = {(r["k"], r["time"]): (r["r_time"], r["r_value"])
+           for r in asof_join(trades, quotes, on="time", by=["k"],
+                              value_cols=["value"]).collect()}
+    assert out[("a", 5)] == (None, None)
+    assert out[("a", 10)] == (10, 1.0)      # inclusive at equal time
+    assert out[("a", 25)] == (20, 2.0)
+    assert out[("a", 99)] == (30, 3.0)
+    assert out[("b", 14)] == (None, None)
+    assert out[("b", 16)] == (15, 9.0)
+    assert out[("c", 50)] == (None, None)
+
+
+def test_asof_tolerance(trades, quotes):
+    out = {(r["k"], r["time"]): (r["r_time"], r["r_value"])
+           for r in asof_join(trades, quotes, on="time", by=["k"],
+                              value_cols=["value"], tolerance=5).collect()}
+    assert out[("a", 25)] == (20, 2.0)      # gap 5 <= tolerance
+    assert out[("a", 99)] == (None, None)   # gap 69 > tolerance
+    assert out[("b", 16)] == (15, 9.0)
+
+
+def test_asof_empty_right(spark, trades):
+    empty = spark.createDataFrame([], "k string, time long, value double")
+    rows = asof_join(trades, empty, on="time", by=["k"],
+                     value_cols=["value"]).collect()
+    assert len(rows) == trades.count()
+    assert all(r["r_value"] is None for r in rows)
+
+
+def test_asof_keeps_left_columns(spark, quotes):
+    left = spark.createDataFrame([("a", 25, "x")],
+                                 "k string, time long, note string")
+    r = asof_join(left, quotes, on="time", by=["k"],
+                  value_cols=["value"]).collect()[0]
+    assert r["note"] == "x" and r["r_value"] == 2.0
+
+
+def test_sessionize_gap(spark):
+    rows = [("u", t) for t in (0, 10, 25, 100, 105, 300)]
+    df = spark.createDataFrame(rows, "k string, time long")
+    s = {r["time"]: r["session_id"]
+         for r in sessionize(df, on="time", by=["k"], gap=20).collect()}
+    # gaps: 10, 15, 75(new), 5, 195(new)
+    assert s == {0: 1, 10: 1, 25: 1, 100: 2, 105: 2, 300: 3}
+
+
+def test_session_stats(spark):
+    rows = [("u", t) for t in (0, 10, 25, 100, 105, 300)] + [("v", 7)]
+    df = spark.createDataFrame(rows, "k string, time long")
+    out = {(r["k"], r["session_id"]): (r["n_events"], r["t_start"],
+                                       r["t_end"], r["duration"])
+           for r in session_stats(df, on="time", by=["k"], gap=20).collect()}
+    assert out[("u", 1)] == (3, 0, 25, 25)
+    assert out[("u", 2)] == (2, 100, 105, 5)
+    assert out[("u", 3)] == (1, 300, 300, 0)
+    assert out[("v", 1)] == (1, 7, 7, 0)
