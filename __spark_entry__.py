@@ -625,6 +625,58 @@ def q_doc_stratified_sample(spark, sf):
                                n_per_stratum=10)
 
 
+def q_doc_pack_sequences(spark, sf):
+    """Concat-and-chunk training-sequence packing: global token offsets
+    via the distributed prefix sum (never a keyless window), then each
+    doc's first/last 512-token sequence index."""
+    from influxdb_ha_spark.operators import pipeline as P
+    return P.pack_sequences(_t(spark, sf, "documents"), seq_len=512)
+
+
+def q_doc_pii_scrub(spark, sf):
+    """PII redaction: the corpus text is deterministically salted with a
+    synthetic email/IP/phone per doc (the raw corpus has none), scrubbed
+    with the shared regex set, and the result is md5'd so the oracle
+    verifies the exact redacted string, not just counts."""
+    from influxdb_ha_spark.operators import pipeline as P
+    docs = _t(spark, sf, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com ip 10.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".7 call 555-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+    return (P.pii_scrub(salted)
+            .select("doc_id", "n_emails", "n_ips", "n_phones",
+                    F.md5("scrubbed").alias("scrubbed_md5")))
+
+
+def q_doc_repetition(spark, sf):
+    from influxdb_ha_spark.operators.text import repetition_stats
+    r = repetition_stats(_t(spark, sf, "documents"), k=2)
+    return r.select("doc_id", "n_grams", "n_distinct_grams",
+                    _fr(F.col("dup_gram_frac"), 6).alias("dup_gram_frac"),
+                    _fr(F.col("top_gram_frac"), 6).alias("top_gram_frac"))
+
+
+def q_doc_quality_filter(spark, sf):
+    from influxdb_ha_spark.operators.text import quality_filter
+    return quality_filter(_t(spark, sf, "documents")).select(
+        "doc_id", "ok_len", "ok_mean_word_len", "ok_stopwords",
+        "ok_punct", "keep")
+
+
+def q_doc_weighted_sample(spark, sf):
+    """Domain-weighted mixture sampling by hash threshold: src0 kept
+    fully, src1 half, src2 quarter, everything else 10%."""
+    from influxdb_ha_spark.operators import pipeline as P
+    return P.weighted_sample(_t(spark, sf, "documents"),
+                             rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+                             default_rate=0.1)
+
+
 def q_doc_fingerprint_dedup(spark, sf):
     return D.fingerprint_dedup(_t(spark, sf, "documents"))
 
@@ -1166,6 +1218,11 @@ _FAMILIES = [
         "doc_decontaminate": q_doc_decontaminate,
         "doc_train_test_split": q_doc_train_test_split,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "doc_repetition": q_doc_repetition,
+        "doc_quality_filter": q_doc_quality_filter,
+        "doc_weighted_sample": q_doc_weighted_sample,
     },
     {
         # LLM-pipeline scope (§7): embedding similarity

@@ -69,6 +69,80 @@ def train_test_split(df: DataFrame, id_col: str = "doc_id",
         F.when(bucket < test_pct, "test").otherwise("train").alias("split"))
 
 
+def pack_sequences(df: DataFrame, seq_len: int = 512,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing layout: documents are
+    concatenated in id order and cut into fixed `seq_len`-token training
+    sequences; each doc reports its global token offset and the first/last
+    sequence index it lands in.
+
+    The hard part at scale is the GLOBAL running token count — a keyless
+    window would funnel 100 TB through one partition. Reuses the
+    distributed prefix-sum (functions/scan.distributed_cumsum): per-bucket
+    cumsum + a broadcast P-row offset table, so the data never leaves its
+    partitions. Deterministic (id-ordered), so the same packing layout
+    comes out on any cluster.
+    """
+    from ..functions.scan import distributed_cumsum
+
+    d = (ensure_min_parallelism(df)
+         .select(F.col(id_col),
+                 F.size(tokens_expr(F.col(text_col))).cast("long")
+                 .alias("n_tokens")))
+    c = distributed_cumsum(d, "n_tokens", id_col, "__cum")
+    off = F.col("__cum") - F.col("n_tokens")
+    last_tok = F.when(F.col("n_tokens") > 0, F.col("__cum") - 1).otherwise(off)
+    return (c.select(
+        F.col(id_col), F.col("n_tokens"),
+        off.alias("token_offset"),
+        F.floor(off / F.lit(seq_len)).cast("long").alias("first_seq"),
+        F.floor(last_tok / F.lit(seq_len)).cast("long").alias("last_seq")))
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              out: str = "scrubbed") -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-shaped numbers with typed
+    placeholders and count each. Pure regexp column expressions — map-only,
+    zero shuffle, codegen'd; exactly the shape a 100 TB scrub pass needs.
+    Patterns applied in list order (email first so its digits can't be
+    half-eaten by the looser number patterns)."""
+    d = ensure_min_parallelism(df)
+    scrubbed = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        d = d.withColumn(f"n_{name}s",
+                         F.regexp_count(scrubbed, F.lit(pat)).cast("long"))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return d.withColumn(out, scrubbed)
+
+
+def weighted_sample(df: DataFrame, rates: dict[str, float],
+                    default_rate: float = 0.0,
+                    stratum_col: str = "source",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Domain-weighted corpus sampling (the data-mixture step): keep each
+    doc with its source's rate, decided by hash threshold — deterministic,
+    map-only, zero shuffle (vs. rand(): irreproducible; vs. per-source
+    limits: a global shuffle). Rates are exact at the population level:
+    hash64 % 1e6 is uniform, so P(keep) = rate to 1e-6."""
+    m = F.lit(1_000_000)
+    thr = F.lit(int(default_rate * 1_000_000))
+    for src, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == src,
+                     F.lit(int(rate * 1_000_000))).otherwise(thr)
+    return (df.where(hash64_expr(F.col(id_col).cast("string")) % m < thr)
+            .select(id_col, stratum_col))
+
+
 def stratified_sample(df: DataFrame, stratum_col: str = "source",
                       id_col: str = "doc_id", n_per_stratum: int = 10) -> DataFrame:
     """Exactly n docs per stratum, chosen by hash rank (deterministic).

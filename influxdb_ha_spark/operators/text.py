@@ -110,6 +110,60 @@ def language_id(df: DataFrame, text_col: str = "text",
         out, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 2) -> DataFrame:
+    """Gopher-style within-document repetition signals over word k-grams:
+    duplicate-gram fraction (1 - distinct/total) and the coverage of the
+    single most frequent gram. High values flag boilerplate / spam docs.
+
+    Shape: explode k-grams → count per (doc, gram) → collapse per doc.
+    Both aggregations key on the doc id (never the gram alone), so the
+    shuffle is uniform even when one gram dominates the corpus. Docs with
+    fewer than k tokens have no grams and drop out (both engines agree).
+    """
+    from .hashing import shingles_expr
+
+    sh = shingles_expr(tokens_expr(F.col(text_col)), k)
+    ex = (ensure_min_parallelism(df)
+          .select(F.col(id_col), F.explode(sh).alias("__g")))
+    cnt = ex.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__n"))
+    tot = F.sum("__n").cast("double")
+    return (cnt.groupBy(id_col)
+            .agg(F.sum("__n").alias("n_grams"),
+                 F.count(F.lit(1)).alias("n_distinct_grams"),
+                 (F.lit(1.0) - F.count(F.lit(1)) / tot)
+                 .alias("dup_gram_frac"),
+                 (F.max("__n") / tot).alias("top_gram_frac")))
+
+
+def quality_filter(df: DataFrame, text_col: str = "text",
+                   min_words: int = 10, max_words: int = 100_000) -> DataFrame:
+    """C4/Gopher-style rule-based keep/drop flags (the cheap deterministic
+    pre-filter ahead of model scoring): word-count bounds, sane mean word
+    length (3–10), stopword evidence (≥2 hits), punctuation ratio ≤ 0.1.
+    Pure column expressions — map-only, zero shuffle."""
+    d = ensure_min_parallelism(df)
+    t = F.col(text_col)
+    toks = tokens_expr(t)
+    n_words = F.size(toks)
+    n_chars = F.length(t)
+    mean_wl = F.when(n_words > 0,
+                     F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+                     .cast("double") / n_words).otherwise(F.lit(0.0))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars.cast("double")) \
+        .otherwise(F.lit(0.0))
+    ok_len = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    ok_stop = _hits(toks, STOPWORDS["en"]) >= 2
+    ok_punct = punct_ratio <= 0.1
+    return (d.withColumn("ok_len", ok_len)
+            .withColumn("ok_mean_word_len", ok_mwl)
+            .withColumn("ok_stopwords", ok_stop)
+            .withColumn("ok_punct", ok_punct)
+            .withColumn("keep", ok_len & ok_mwl & ok_stop & ok_punct))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 out: str = "fingerprint") -> DataFrame:
     """Canonical content fingerprint: md5 of the sorted distinct token set."""

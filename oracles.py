@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from influxdb_ha_spark.operators.hashing import (
     MERSENNE_P, duck_hash64, duck_tokens, minhash_coeffs)
+from influxdb_ha_spark.operators.pipeline import PII_PATTERNS as _PII
 from influxdb_ha_spark.operators.text import LANGS, STOPWORDS
 
 NOW_NS = 1_717_200_000_000_000_000
@@ -142,6 +143,12 @@ _FILLSRC = f"""
 
 def build_oracles() -> dict[str, str]:
     o: dict[str, str] = {}
+
+    # shared text-expression mirrors (operators/text.py conventions)
+    mean_wl = (f"CASE WHEN len({TOKS}) > 0 THEN "
+               f"list_reduce(list_transform({TOKS}, x -> length(x)), "
+               f"(a, b) -> a + b)::DOUBLE / len({TOKS}) ELSE 0.0 END")
+    punct = (r"(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))")
 
     # -- aggregations ------------------------------------------------------
     o["agg_count"] = """
@@ -461,6 +468,71 @@ def build_oracles() -> dict[str, str]:
     o["doc_exact_dedup"] = """
       SELECT md5(text) AS digest, min(doc_id) AS doc_id
       FROM documents GROUP BY 1"""
+    o["doc_pack_sequences"] = f"""
+      WITH t AS (SELECT doc_id, len({TOKS})::BIGINT AS n_tokens
+                 FROM documents),
+           c AS (SELECT doc_id, n_tokens,
+                        (sum(n_tokens) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+                 FROM t)
+      SELECT doc_id, n_tokens,
+             (cum - n_tokens) AS token_offset,
+             ((cum - n_tokens) // 512) AS first_seq,
+             ((CASE WHEN n_tokens > 0 THEN cum - 1
+                    ELSE cum - n_tokens END) // 512) AS last_seq
+      FROM c"""
+    _em, _ip, _ph = (p for _, p, _r in _PII)
+    o["doc_pii_scrub"] = f"""
+      WITH s AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com ip 10.0.'
+                    || (doc_id % 256) || '.7 call 555-'
+                    || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t0
+        FROM documents),
+      a AS (SELECT doc_id,
+                   len(regexp_extract_all(t0, '{_em}'))::BIGINT AS n_emails,
+                   regexp_replace(t0, '{_em}', '<EMAIL>', 'g') AS t1 FROM s),
+      b AS (SELECT doc_id, n_emails,
+                   len(regexp_extract_all(t1, '{_ip}'))::BIGINT AS n_ips,
+                   regexp_replace(t1, '{_ip}', '<IP>', 'g') AS t2 FROM a),
+      c AS (SELECT doc_id, n_emails, n_ips,
+                   len(regexp_extract_all(t2, '{_ph}'))::BIGINT AS n_phones,
+                   regexp_replace(t2, '{_ph}', '<PHONE>', 'g') AS t3 FROM b)
+      SELECT doc_id, n_emails, n_ips, n_phones, md5(t3) AS scrubbed_md5
+      FROM c"""
+    o["doc_repetition"] = f"""
+      WITH sh AS ({_shingles_cte(2)}),
+           ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+           cnt AS (SELECT doc_id, g, count(*) AS n FROM ex GROUP BY 1, 2)
+      SELECT doc_id, sum(n)::BIGINT AS n_grams,
+             count(*)::BIGINT AS n_distinct_grams,
+             {fr('1.0 - count(*) / (sum(n)::DOUBLE)', 6)} AS dup_gram_frac,
+             {fr('max(n) / (sum(n)::DOUBLE)', 6)} AS top_gram_frac
+      FROM cnt GROUP BY 1"""
+    o["doc_quality_filter"] = f"""
+      WITH b AS (
+        SELECT doc_id, len({TOKS}) AS n_words,
+               {_lang_hits('en')} AS sw,
+               {mean_wl} AS mwl,
+               CASE WHEN length(text) > 0
+                    THEN {punct} / length(text)::DOUBLE
+                    ELSE 0.0 END AS pr
+        FROM documents)
+      SELECT doc_id,
+             (n_words >= 10 AND n_words <= 100000) AS ok_len,
+             (mwl >= 3.0 AND mwl <= 10.0) AS ok_mean_word_len,
+             (sw >= 2) AS ok_stopwords,
+             (pr <= 0.1) AS ok_punct,
+             ((n_words >= 10 AND n_words <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+              AND (sw >= 2) AND (pr <= 0.1)) AS keep
+      FROM b"""
+    o["doc_weighted_sample"] = f"""
+      SELECT doc_id, source FROM documents
+      WHERE {duck_hash64('doc_id::VARCHAR')} % 1000000 <
+            CASE source WHEN 'src0' THEN 1000000
+                        WHEN 'src1' THEN 500000
+                        WHEN 'src2' THEN 250000
+                        ELSE 100000 END"""
     o["doc_fingerprint_dedup"] = f"""
       SELECT md5(array_to_string(list_sort(list_distinct({TOKS})), ' '))
                AS fingerprint,
@@ -615,10 +687,6 @@ def build_oracles() -> dict[str, str]:
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE round({_cos("a.v", "b.v")}, 6) >= 0.9"""
 
-    mean_wl = (f"CASE WHEN len({TOKS}) > 0 THEN "
-               f"list_reduce(list_transform({TOKS}, x -> length(x)), "
-               f"(a, b) -> a + b)::DOUBLE / len({TOKS}) ELSE 0.0 END")
-    punct = (r"(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))")
     o["text_stats"] = f"""
       SELECT doc_id,
              length(text)::BIGINT AS n_chars_c,

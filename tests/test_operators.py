@@ -207,3 +207,80 @@ def test_pipeline_ops(docs, spark):
     assert per == {"s0": 4, "s1": 4, "s2": 4}
     assert sorted(samp.collect()) == sorted(
         stratified_sample(strat.repartition(7), n_per_stratum=4).collect())
+
+
+def test_pack_sequences(spark):
+    """Concat-and-chunk packing: offsets are the exclusive prefix sum in
+    id order; first/last sequence indices follow from integer division."""
+    from influxdb_ha_spark.operators.pipeline import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, " ".join("w" * 1 for _ in range(6))),
+         (4, "x")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["token_offset"],
+                         r["first_seq"], r["last_seq"])
+           for r in pack_sequences(docs, seq_len=4).collect()}
+    # tokens: 3, 2, 6, 1 → offsets 0, 3, 5, 11
+    assert out[1] == (3, 0, 0, 0)    # tokens 0-2 in seq 0
+    assert out[2] == (2, 3, 0, 1)    # tokens 3-4 straddle seqs 0/1
+    assert out[3] == (6, 5, 1, 2)    # tokens 5-10 straddle seqs 1/2
+    assert out[4] == (1, 11, 2, 2)
+    # deterministic on any partitioning
+    assert out == {r["doc_id"]: (r["n_tokens"], r["token_offset"],
+                                 r["first_seq"], r["last_seq"])
+                   for r in pack_sequences(docs.repartition(5),
+                                           seq_len=4).collect()}
+
+
+def test_pii_scrub(spark):
+    from influxdb_ha_spark.operators.pipeline import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com and c.d@e.org ip 10.0.0.1 tel 555-1234 end"),
+         (2, "clean text only")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (2, 1, 1)
+    assert out[1]["scrubbed"] == \
+        "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE> end"
+    assert out[2]["scrubbed"] == "clean text only"
+
+
+def test_repetition_and_quality_filter(spark):
+    from influxdb_ha_spark.operators.text import (
+        quality_filter, repetition_stats)
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"),           # one repeated 2-gram
+         (2, "all words here are fully distinct")],
+        "doc_id long, text string")
+    rep = {r["doc_id"]: r for r in repetition_stats(df, k=2).collect()}
+    assert rep[1]["n_grams"] == 4 and rep[1]["n_distinct_grams"] == 1
+    assert rep[1]["dup_gram_frac"] == 0.75 and rep[1]["top_gram_frac"] == 1.0
+    assert rep[2]["dup_gram_frac"] == 0.0
+
+    good = ("the cat and the dog went to the old market in the town square "
+            "and it was a fine day for everyone there")
+    qf = {r["doc_id"]: r["keep"] for r in quality_filter(
+        spark.createDataFrame([(1, good), (2, "too short"),
+                               (3, "%% ((( ^^^ &&& %% ))) ^^ && %% (( ^ &")],
+                              "doc_id long, text string")).collect()}
+    assert qf == {1: True, 2: False, 3: False}
+
+
+def test_weighted_sample(spark):
+    from influxdb_ha_spark.operators.pipeline import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}", "x") for i in range(200)],
+        "doc_id long, source string, text string")
+    full = weighted_sample(df, rates={"s0": 1.0, "s1": 0.5})
+    per = dict(full.groupBy("source").count().collect())
+    assert per["s0"] == 100            # rate 1.0 keeps everything
+    assert 20 <= per.get("s1", 0) < 100  # ~50, loose bound
+    # deterministic under repartitioning
+    assert sorted(full.collect()) == sorted(
+        weighted_sample(df.repartition(9),
+                        rates={"s0": 1.0, "s1": 0.5}).collect())
+    assert weighted_sample(df, rates={}).count() == 0  # default rate 0

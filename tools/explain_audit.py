@@ -35,6 +35,10 @@ BOUNDED_SINGLE_PARTITION = {
                       "segmented above _SMALL_SPINE",
     "emb_kmeans_train": "two 1-row global-aggregate summaries joined",
     "show_cardinality": "three 1-row cardinality counts joined",
+    "doc_pack_sequences": "distributed prefix sum's offset table: the "
+                          "keyless window ranks only the P per-bucket "
+                          "partial sums (P = bucket count ~ partitions), "
+                          "never the data rows (functions/scan.py)",
 }
 
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
