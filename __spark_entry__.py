@@ -767,6 +767,24 @@ def q_emb_kmeans_train(spark, sf):
         .select("k", "dim", "centroids_finite", "n_assigned")
 
 
+def q_emb_dim_stats(spark, sf):
+    """Per-dimension embedding profile (min/max/mean): posexplode keyed on
+    the dimension index — uniform reduce keys, partial agg before the
+    exchange."""
+    s = S.dim_stats(_t(spark, sf, "embeddings"))
+    return s.select("dim", _fr(F.col("dim_min"), 6).alias("dim_min"),
+                    _fr(F.col("dim_max"), 6).alias("dim_max"),
+                    _fr(F.col("dim_mean"), 6).alias("dim_mean"), "n")
+
+
+def q_emb_normalize(spark, sf):
+    """L2 normalization (map-only): emits the pre-norm magnitude and the
+    first normalized component so the oracle checks the actual scaling."""
+    n = S.l2_normalize(_t(spark, sf, "embeddings"))
+    return n.select("vec_id", _fr(F.col("norm"), 6).alias("norm"),
+                    _fr(F.element_at("embedding", 1), 6).alias("v0"))
+
+
 def q_emb_near_dup_lsh(spark, sf):
     """Scale path: hyperplane-LSH buckets + exact cosine verification —
     shuffles on the bucket key, never materializes N² pairs."""
@@ -1231,6 +1249,8 @@ _FAMILIES = [
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_kmeans_train": q_emb_kmeans_train,
+        "emb_dim_stats": q_emb_dim_stats,
+        "emb_normalize": q_emb_normalize,
     },
     {
         # LLM-pipeline scope (§7): text analysis

@@ -30,6 +30,40 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension distribution stats (min/max/mean/stddev) over an
+    embedding column — the profiling pass that feeds normalization /
+    quantization parameter choices.
+
+    posexplode → groupBy(dim): the shuffle key is the dimension index, so
+    reduce parallelism = dim (perfectly uniform — every row contributes
+    exactly one value per dim); partial aggregation means the exchange
+    carries dim·P summary rows, not N·dim values.
+    """
+    d = ensure_min_parallelism(df)
+    ex = d.select(F.posexplode(vec_col).alias("dim", "v")) \
+        .select("dim", F.col("v").cast("double").alias("v"))
+    return (ex.groupBy("dim")
+            .agg(F.min("v").alias("dim_min"),
+                 F.max("v").alias("dim_max"),
+                 F.avg("v").alias("dim_mean"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def l2_normalize(df: DataFrame, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """L2-normalize each embedding (map-only, codegen'd — zero shuffle).
+    Zero vectors pass through unscaled (norm clamped away from /0).
+    Adds `norm` (the pre-normalization magnitude) and replaces the vector.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
+    return (ensure_min_parallelism(df)
+            .withColumn("norm", norm)
+            .withColumn(vec_col, F.transform(v, lambda x: x / safe)))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.

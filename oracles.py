@@ -533,6 +533,20 @@ def build_oracles() -> dict[str, str]:
                         WHEN 'src1' THEN 500000
                         WHEN 'src2' THEN 250000
                         ELSE 100000 END"""
+    _l2 = ("sqrt(list_reduce(list_transform(embedding, "
+           "x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))")
+    o["emb_dim_stats"] = f"""
+      WITH ex AS (SELECT i - 1 AS dim, embedding[i]::DOUBLE AS v
+                  FROM embeddings, generate_series(1, 64) AS g(i))
+      SELECT dim, {fr('min(v)', 6)} AS dim_min, {fr('max(v)', 6)} AS dim_max,
+             {fr('avg(v)', 6)} AS dim_mean, count(*)::BIGINT AS n
+      FROM ex GROUP BY 1"""
+    o["emb_normalize"] = f"""
+      WITH n AS (SELECT vec_id, {_l2} AS norm, embedding[1]::DOUBLE AS e0
+                 FROM embeddings)
+      SELECT vec_id, {fr('norm', 6)} AS norm,
+             {fr('e0 / (CASE WHEN norm > 0 THEN norm ELSE 1.0 END)', 6)} AS v0
+      FROM n"""
     o["doc_fingerprint_dedup"] = f"""
       SELECT md5(array_to_string(list_sort(list_distinct({TOKS})), ' '))
                AS fingerprint,

@@ -269,6 +269,22 @@ def test_repetition_and_quality_filter(spark):
     assert qf == {1: True, 2: False, 3: False}
 
 
+def test_dim_stats_and_normalize(spark):
+    from influxdb_ha_spark.operators.similarity import dim_stats, l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 2.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    st = {r["dim"]: r for r in dim_stats(df).collect()}
+    assert st[0]["dim_min"] == 0.0 and st[0]["dim_max"] == 3.0
+    assert st[1]["dim_mean"] == 2.0 and st[1]["n"] == 3
+
+    nz = {r["vec_id"]: r for r in l2_normalize(df).collect()}
+    assert nz[1]["norm"] == 5.0
+    assert nz[1]["embedding"] == [0.6, 0.8]
+    assert nz[3]["norm"] == 0.0 and nz[3]["embedding"] == [0.0, 0.0]
+
+
 def test_weighted_sample(spark):
     from influxdb_ha_spark.operators.pipeline import weighted_sample
 
