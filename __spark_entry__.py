@@ -785,6 +785,14 @@ def q_emb_normalize(spark, sf):
                     _fr(F.element_at("embedding", 1), 6).alias("v0"))
 
 
+def q_emb_quantize(spark, sf):
+    """Int8 scalar quantization: per-dim ranges from one stats pass
+    (O(dim) driver collect), then a map-only transform with the ranges
+    inlined as literals. Output exploded per (vec, dim) for the oracle."""
+    q = S.scalar_quantize(_t(spark, sf, "embeddings"))
+    return q.select("vec_id", F.posexplode("qvec").alias("dim", "q"))
+
+
 def q_emb_near_dup_lsh(spark, sf):
     """Scale path: hyperplane-LSH buckets + exact cosine verification —
     shuffles on the bucket key, never materializes N² pairs."""
@@ -1251,6 +1259,7 @@ _FAMILIES = [
         "emb_kmeans_train": q_emb_kmeans_train,
         "emb_dim_stats": q_emb_dim_stats,
         "emb_normalize": q_emb_normalize,
+        "emb_quantize": q_emb_quantize,
     },
     {
         # LLM-pipeline scope (§7): text analysis

@@ -64,6 +64,35 @@ def l2_normalize(df: DataFrame, vec_col: str = "embedding",
             .withColumn(vec_col, F.transform(v, lambda x: x / safe)))
 
 
+def scalar_quantize(df: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id", bits: int = 8) -> DataFrame:
+    """Per-dimension scalar quantization to `bits` (int8 by default) — the
+    standard 4× compression step before ANN indexing.
+
+    Two passes: (1) `dim_stats` reduces the corpus to dim rows of min/max,
+    collected driver-side (O(dim) — same bounded-collect convention as the
+    k-means centroids); (2) the quantization itself is a map-only
+    `transform` with the per-dim ranges inlined as literal arrays — zero
+    shuffle over the corpus, whole-stage codegen, no second scan cost
+    beyond the stats pass. q = clamp(floor((x-min)/(max-min) * 2^bits)).
+    Constant dims (max == min) quantize to 0.
+    """
+    levels = (1 << bits) - 1
+    stats = {r["dim"]: (r["dim_min"], r["dim_max"])
+             for r in dim_stats(df, vec_col).collect()}
+    dims = sorted(stats)
+    mn = F.array(*[F.lit(stats[d][0]) for d in dims])
+    rng = F.array(*[F.lit(stats[d][1] - stats[d][0]) for d in dims])
+    q = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(
+            rng[i] > 0,
+            F.least(F.lit(levels), F.greatest(F.lit(0), F.floor(
+                (x.cast("double") - mn[i]) / rng[i] * F.lit(levels + 1))))
+        ).otherwise(F.lit(0)).cast("int"))
+    return df.select(F.col(id_col), q.alias("qvec"))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.

@@ -547,6 +547,15 @@ def build_oracles() -> dict[str, str]:
       SELECT vec_id, {fr('norm', 6)} AS norm,
              {fr('e0 / (CASE WHEN norm > 0 THEN norm ELSE 1.0 END)', 6)} AS v0
       FROM n"""
+    o["emb_quantize"] = """
+      WITH ex AS (SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
+                  FROM embeddings, generate_series(1, 64) AS g(i)),
+           st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY 1)
+      SELECT e.vec_id, e.dim,
+             (CASE WHEN s.mx > s.mn THEN least(255, greatest(0,
+                floor((e.v - s.mn) / (s.mx - s.mn) * 256)))
+              ELSE 0 END)::INTEGER AS q
+      FROM ex e JOIN st s USING (dim)"""
     o["doc_fingerprint_dedup"] = f"""
       SELECT md5(array_to_string(list_sort(list_distinct({TOKS})), ' '))
                AS fingerprint,

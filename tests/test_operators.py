@@ -285,6 +285,19 @@ def test_dim_stats_and_normalize(spark):
     assert nz[3]["norm"] == 0.0 and nz[3]["embedding"] == [0.0, 0.0]
 
 
+def test_scalar_quantize(spark):
+    from influxdb_ha_spark.operators.similarity import scalar_quantize
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 5.0]), (2, [10.0, 5.0]), (3, [5.0, 5.0])],
+        "vec_id long, embedding array<float>")
+    q = {r["vec_id"]: r["qvec"] for r in scalar_quantize(df).collect()}
+    # dim0 range [0,10]: 0→0, 10→clamped 255, 5→floor(0.5*256)=128
+    assert q[1][0] == 0 and q[2][0] == 255 and q[3][0] == 128
+    # dim1 constant → 0 everywhere
+    assert [q[i][1] for i in (1, 2, 3)] == [0, 0, 0]
+
+
 def test_weighted_sample(spark):
     from influxdb_ha_spark.operators.pipeline import weighted_sample
 
