@@ -862,8 +862,13 @@ def q_mm_resize(spark, sf):
 
 
 def q_mm_audio(spark, sf):
-    mm = MM.attach_binary_payload(_t(spark, sf, "documents"), "text")
-    return MM.audio_features_stub(mm)
+    """REAL audio DSP over REAL container bytes: synthesized valid
+    RIFF/WAVE payloads (square-wave PCM) are chunk-walked and the per-window
+    RMS is computed from the int16 samples; the oracle checks the
+    closed-form RMS (== amplitude) the synthesis implies, so a fake parse
+    or fake DSP cannot pass."""
+    wav = MM.synthesize_wav_payload(_t(spark, sf, "documents"))
+    return MM.audio_features(wav)
 
 
 def q_text_rolling(spark, sf):
@@ -893,10 +898,12 @@ def q_mm_decode(spark, sf):
 
 
 def q_mm_frames(spark, sf):
-    mm = MM.attach_binary_payload(_t(spark, sf, "documents"), "text")
-    fr = MM.frame_sample_stub(mm, every_n=10)
-    return fr.select("doc_id", F.col("frame_index").cast("long").alias("frame_index"),
-                     "frame_md5")
+    """REAL frame enumeration: synthesized multi-frame GIFs with correct
+    block framing are walked block-by-block (image descriptors, sub-block
+    chains, extensions) and every 2nd frame is sampled; the oracle derives
+    the expected frame list from the synthesis arithmetic."""
+    gif = MM.synthesize_gif_animation(_t(spark, sf, "documents"))
+    return MM.frame_sample(gif, every_n=2)
 
 
 

@@ -673,14 +673,14 @@ def build_oracles() -> dict[str, str]:
              round(256.0 / height, 6) AS scale_y
       FROM d"""
     o["mm_audio"] = """
-      WITH d AS (
-        SELECT doc_id, text,
-               greatest(1, octet_length(encode(text)) // 64)::INT AS n
-        FROM documents WHERE text IS NOT NULL)
-      SELECT doc_id, w AS window,
-             ('0x' || substring(md5(text || CAST(w AS VARCHAR)), 1, 8))::BIGINT
-               % 1000000 / 1000000.0 AS energy
-      FROM d, unnest(generate_series(0, n - 1)) AS t(w)"""
+      WITH p AS (SELECT doc_id, (doc_id * 97) % 30000 + 1000 AS amp,
+                        (doc_id % 50 + 20) * 2 AS n_samples
+                 FROM documents),
+           w AS (SELECT doc_id, amp,
+                        ceil(n_samples / 16.0)::INT AS n_win FROM p)
+      SELECT doc_id, t.wdx::INT AS window, 8000 AS sample_rate,
+             floor(amp / 32768.0 * 1000000 + 0.5) / 1000000 AS energy
+      FROM w, unnest(generate_series(0, n_win - 1)) AS t(wdx)"""
     o["text_top_tokens"] = f"""
       WITH t AS (SELECT unnest({TOKS}) AS token FROM documents)
       SELECT token, count(*) AS n FROM t GROUP BY 1
@@ -791,18 +791,12 @@ def build_oracles() -> dict[str, str]:
              text IS NOT NULL AS decode_ok
       FROM documents"""
     o["mm_frames"] = """
-      WITH f AS (
-        SELECT doc_id, text,
-               floor(octet_length(encode(text)) / 16.0)::INT AS n_frames
-        FROM documents),
-      g AS (
-        SELECT doc_id, text,
-               unnest(generate_series(0, greatest(n_frames - 1, 0), 10))
-                 AS frame_index
-        FROM f)
-      SELECT doc_id, frame_index,
-             md5(text || frame_index::VARCHAR) AS frame_md5
-      FROM g"""
+      WITH p AS (SELECT doc_id, (doc_id % 10 + 1)::INT AS n_frames,
+                        (doc_id % 256 + 1)::INT AS frame_w,
+                        ((doc_id * 7) % 256 + 1)::INT AS frame_h
+                 FROM documents)
+      SELECT doc_id, t.fi::INT AS frame_index, frame_w, frame_h, n_frames
+      FROM p, unnest(generate_series(0, n_frames - 1, 2)) AS t(fi)"""
 
     o["iq_first_last"] = f"""
       SELECT event_type,

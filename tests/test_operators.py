@@ -120,6 +120,50 @@ def test_image_header_roundtrip(docs):
     assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x04ab") is None
 
 
+def test_wav_roundtrip(docs):
+    """synthesize_wav → parse_wav → RMS is a real DSP round-trip: the
+    chunk walk recovers the header fields and the windowed RMS of the
+    ±amp square wave equals amp exactly."""
+    import math
+
+    from influxdb_ha_spark.operators.multimodal import (
+        audio_features, parse_wav, synthesize_wav_payload)
+    wav = synthesize_wav_payload(docs)
+    raw = bytes(wav.where("doc_id = 3").first()["payload"])
+    parsed = parse_wav(raw)
+    assert parsed is not None
+    rate, ch, bits, pcm = parsed
+    assert (rate, ch, bits) == (8000, 1, 16)
+    assert len(pcm) == (3 % 50 + 20) * 4
+    amp = (3 * 97) % 30000 + 1000
+    want = math.floor(amp / 32768.0 * 1e6 + 0.5) / 1e6
+    feats = audio_features(wav).where("doc_id = 3").collect()
+    assert len(feats) == math.ceil((3 % 50 + 20) * 2 / 16)
+    assert all(r["energy"] == want and r["sample_rate"] == 8000
+               for r in feats)
+    assert parse_wav(b"RIFFxxxxJUNK") is None
+    assert parse_wav(b"") is None
+
+
+def test_gif_frame_walk(docs):
+    """synthesize_gif_animation → parse_gif_frames walks the real block
+    structure: frame count and per-frame dims match the synthesis."""
+    from influxdb_ha_spark.operators.multimodal import (
+        frame_sample, parse_gif_frames, synthesize_gif_animation)
+    gif = synthesize_gif_animation(docs)
+    raw = bytes(gif.where("doc_id = 5").first()["payload"])
+    frames = parse_gif_frames(raw)
+    assert frames is not None and len(frames) == 5 % 10 + 1
+    assert frames[0] == (5 % 256 + 1, (5 * 7) % 256 + 1)
+    # extension blocks are skipped, truncated payloads rejected
+    with_ext = raw[:13] + b"\x21\xf9\x04ABCD\x00" + raw[13:]
+    assert parse_gif_frames(with_ext) == frames
+    assert parse_gif_frames(raw[:20]) is None
+    assert parse_gif_frames(b"GIF89a") is None
+    out = {r["doc_id"]: r for r in frame_sample(gif, every_n=2).collect()}
+    assert out[5]["n_frames"] == 6 and out[5]["frame_w"] == 6
+
+
 def test_minhash_candidates_truncation_flag(docs):
     sigs = minhash_signatures(docs)
     cands = minhash_candidates(sigs, max_bucket=2)
