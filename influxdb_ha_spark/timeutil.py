@@ -97,8 +97,18 @@ def _pmod(col: Column, divisor: int) -> Column:
 
 
 def ns_to_timestamp(time_col: Column) -> Column:
-    """ns-long → TimestampType (µs truncation) for APIs that need timestamps."""
-    return F.timestamp_micros((time_col / F.lit(1000)).cast("long"))
+    """ns-long → TimestampType (µs truncation) for APIs that need timestamps.
+
+    NOT a plain `/ 1000`: Spark's `/` is double division, and a ~1.7e18 ns
+    epoch doesn't fit a 53-bit mantissa — the low ~9 bits round away, so
+    times within ~512 ns of a µs boundary land on the WRONG microsecond.
+    Split into seconds + sub-second first: `t - t % 1e9` is a multiple of
+    2^9·5^9 (exactly double-representable at this magnitude, spacing 256),
+    so its division is exact; the sub-second part is < 1e9 and exact."""
+    sub_ns = time_col % F.lit(1_000_000_000)
+    sec = ((time_col - sub_ns) / F.lit(1_000_000_000)).cast("long")
+    us = sec * F.lit(1_000_000) + (sub_ns / F.lit(1000)).cast("long")
+    return F.timestamp_micros(us)
 
 
 def timestamp_to_ns(ts_col: Column) -> Column:
