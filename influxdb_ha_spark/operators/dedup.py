@@ -134,11 +134,20 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
                               hash_fn)
     cands = minhash_candidates(sigs, id_col, bands, rows)
-    sh = (ensure_min_parallelism(df)
-          .select(F.col(id_col),
-                  F.array_distinct(
-                      shingles_expr(tokens_expr(F.col(text_col)), shingle_k))
-                  .alias("sh")))
+    # Verify needs shingle sets ONLY for docs that appear in some candidate
+    # pair — semi-join the raw (id, text) down BEFORE shingling, so the
+    # expensive tokenize+shingle map runs once over the corpus (signatures)
+    # plus once over the LSH-bounded candidate set, never 3× the corpus.
+    cand_ids = (cands.select(F.col("id_a").alias(id_col))
+                .unionByName(cands.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    docs_small = (df.select(F.col(id_col), F.col(text_col))
+                  .join(cand_ids, id_col, "left_semi"))
+    sh = docs_small.select(
+        F.col(id_col),
+        F.array_distinct(
+            shingles_expr(tokens_expr(F.col(text_col)), shingle_k))
+        .alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
