@@ -1111,6 +1111,25 @@ def q_ts_sessionize(spark, sf):
     return session_stats(ev, on="time", by=["user_id"], gap=HOUR)
 
 
+def q_ts_interval_join(spark, sf):
+    """Containment join (added scope): purchases landing inside ±12h
+    incident windows around the user's error events — the "events near an
+    incident" query. Keyed path = hash equi-join on user + range filter —
+    no cartesian, no range explosion (operators/timeseries.py).
+    Overlapping windows emit one row per covering window."""
+    from influxdb_ha_spark.operators.timeseries import interval_join
+    ev = _events_us(spark, sf)
+    windows = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id",
+        (F.col("time") - 12 * HOUR).alias("t_start"),
+        (F.col("time") + 12 * HOUR).alias("t_end"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "time", "value")
+    j = interval_join(purchases, windows, on="time", by=["user_id"])
+    return j.select("user_id", "error_id", "time",
+                    _fr(F.col("value"), 6).alias("value"))
+
+
 def q_union_measurements(spark, sf):
     """union-all of per-partition result streams (coordinator.go:261-302) —
     here: same-schema union + global distinct."""
@@ -1282,6 +1301,7 @@ _FAMILIES = [
         # time-series relational ops (added scope; operators/timeseries.py)
         "ts_asof_join": q_ts_asof_join,
         "ts_sessionize": q_ts_sessionize,
+        "ts_interval_join": q_ts_interval_join,
     },
     {
         # LLM-pipeline scope (§7): multimodal

@@ -81,6 +81,47 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "time",
     return out
 
 
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  on: str = "time", by: Sequence[str] = (),
+                  start_col: str = "t_start", end_col: str = "t_end",
+                  bucket: int | None = None) -> DataFrame:
+    """Point-in-interval containment join (events ↔ sessions, readings ↔
+    maintenance windows, ...).
+
+    Two scale-safe plans, chosen by whether shared keys exist:
+
+    - `by` keys: plain equi-join on the keys with the containment range as
+      a post-filter — a hash join, never a cartesian; per-key interval
+      counts bound the filter fan-out.
+    - keyless (`bucket` required, same unit as `on`): each interval
+      explodes to the time buckets it covers and each point maps to its
+      bucket, turning the range join into an equi-join on the bucket key +
+      filter. Bucket keys use exact long arithmetic (`t - t % bucket`),
+      NOT float division — ns epochs don't fit a double mantissa. Pick
+      `bucket` ≈ the typical interval length: fan-out stays O(1) per
+      interval and no bucket key is hot unless the data itself is.
+
+    A point matching k overlapping intervals emits k rows (standard
+    containment-join semantics; disjoint intervals ⇒ ≤1).
+    """
+    if by:
+        cond = [points[c] == intervals[c] for c in by] + [
+            points[on] >= intervals[start_col],
+            points[on] <= intervals[end_col]]
+        return points.join(intervals, cond).drop(*[intervals[c] for c in by])
+    if bucket is None:
+        raise ValueError("keyless interval_join requires a bucket width")
+    b = F.lit(bucket)
+    iv = intervals.withColumn(
+        "__bkt", F.explode(F.sequence(
+            F.col(start_col) - F.col(start_col) % b,
+            F.col(end_col) - F.col(end_col) % b, b)))
+    pt = points.withColumn("__bkt", F.col(on) - F.col(on) % b)
+    return (pt.join(iv, [pt["__bkt"] == iv["__bkt"],
+                         pt[on] >= iv[start_col], pt[on] <= iv[end_col]])
+            .drop("__bkt"))
+
+
 def sessionize(df: DataFrame, on: str = "time",
                by: Sequence[str] = ("user_id",),
                gap: int = 3_600_000_000_000,

@@ -849,6 +849,16 @@ def build_oracles() -> dict[str, str]:
              min(time) AS t_start, max(time) AS t_end,
              max(time) - min(time) AS duration
       FROM s GROUP BY 1, 2"""
+    o["ts_interval_join"] = f"""
+      WITH iv AS (SELECT event_id AS error_id, user_id,
+                         {EV_TIME} - {12 * HOUR} AS t_start,
+                         {EV_TIME} + {12 * HOUR} AS t_end
+                  FROM events WHERE event_type = 'error'),
+           p AS (SELECT user_id, {EV_TIME} AS time, value FROM events
+                 WHERE event_type = 'purchase')
+      SELECT p.user_id, iv.error_id, p.time, {fr('p.value', 6)} AS value
+      FROM p JOIN iv ON p.user_id = iv.user_id
+                    AND p.time >= iv.t_start AND p.time <= iv.t_end"""
     o["cube_counts"] = """
       SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
              coalesce(o_orderpriority, 'ALL') AS o_orderpriority,

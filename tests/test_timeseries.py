@@ -71,6 +71,40 @@ def test_asof_keeps_left_columns(spark, quotes):
     assert r["note"] == "x" and r["r_value"] == 2.0
 
 
+def test_interval_join_keyed(spark):
+    from influxdb_ha_spark.operators.timeseries import interval_join
+    pts = spark.createDataFrame(
+        [("a", 5), ("a", 15), ("a", 25), ("b", 15)],
+        "k string, time long")
+    iv = spark.createDataFrame(
+        [("a", 1, 10, 20), ("a", 2, 14, 30), ("b", 3, 0, 10)],
+        "k string, iv_id long, t_start long, t_end long")
+    got = sorted((r["k"], r["time"], r["iv_id"])
+                 for r in interval_join(pts, iv, by=["k"]).collect())
+    # a@15 overlaps both intervals; a@25 only the second; b@15 none
+    assert got == [("a", 15, 1), ("a", 15, 2), ("a", 25, 2)]
+
+
+def test_interval_join_bucketed(spark):
+    import pytest as _pytest
+
+    from influxdb_ha_spark.operators.timeseries import interval_join
+    pts = spark.createDataFrame([(5,), (15,), (25,), (95,)], "time long")
+    iv = spark.createDataFrame(
+        [(1, 10, 20), (2, 14, 30), (3, 90, 91)],
+        "iv_id long, t_start long, t_end long")
+    got = sorted((r["time"], r["iv_id"]) for r in
+                 interval_join(pts, iv, bucket=8).collect())
+    assert got == [(15, 1), (15, 2), (25, 2)]
+    # inclusive bounds across a bucket edge
+    edge = sorted((r["time"], r["iv_id"]) for r in interval_join(
+        spark.createDataFrame([(10,), (20,)], "time long"),
+        iv, bucket=8).collect())
+    assert edge == [(10, 1), (20, 1), (20, 2)]
+    with _pytest.raises(ValueError):
+        interval_join(pts, iv)  # keyless without bucket
+
+
 def test_sessionize_gap(spark):
     rows = [("u", t) for t in (0, 10, 25, 100, 105, 300)]
     df = spark.createDataFrame(rows, "k string, time long")
