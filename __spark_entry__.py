@@ -848,6 +848,17 @@ def q_text_top_tokens(spark, sf):
             .limit(50))
 
 
+def q_text_lm_score(spark, sf):
+    """Unigram-LM quality scoring against the corpus's own top-16
+    vocabulary (16 < the corpus's 31-token vocab, so the OOV floor path is
+    exercised); vocabulary inlined as a literal map — scoring is map-only."""
+    from influxdb_ha_spark.operators.text import lm_score
+    s = lm_score(_t(spark, sf, "documents"), vocab_size=16)
+    return s.select("doc_id", "n_tokens",
+                    _fr(F.col("lm_score"), 6).alias("lm_score"),
+                    _fr(F.col("oov_frac"), 6).alias("oov_frac"))
+
+
 def q_text_fingerprint(spark, sf):
     return TX.fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
 
@@ -1296,6 +1307,7 @@ _FAMILIES = [
         "text_fingerprint": q_text_fingerprint,
         "text_rolling": q_text_rolling,
         "text_top_tokens": q_text_top_tokens,
+        "text_lm_score": q_text_lm_score,
     },
     {
         # time-series relational ops (added scope; operators/timeseries.py)

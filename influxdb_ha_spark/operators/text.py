@@ -164,6 +164,48 @@ def quality_filter(df: DataFrame, text_col: str = "text",
             .withColumn("keep", ok_len & ok_mwl & ok_stop & ok_punct))
 
 
+def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             vocab_size: int = 4096) -> DataFrame:
+    """CCNet-style unigram language-model quality score: mean log-prob of
+    each doc's tokens under the corpus's own top-`vocab_size` unigram
+    distribution, plus the out-of-vocabulary fraction. Low scores flag
+    gibberish; high OOV flags vocabulary mismatch — the cheap proxy for
+    the perplexity filter pretraining pipelines run before model scoring.
+
+    Two phases: (1) ONE token-keyed aggregation builds the vocabulary
+    (map-side partial counts absorb the Zipf skew of common words before
+    the exchange) and `vocab_size` (token, log p) pairs — bounded — come
+    to the driver, the same O(k) collect convention as k-means centroids;
+    (2) scoring is a map-only fold over each doc's token array with the
+    vocabulary inlined as a literal map — no join, no shuffle, fold order
+    = token order (deterministic). OOV tokens get the standard
+    0.5/total floor.
+    """
+    import math
+
+    toks_of = tokens_expr(F.col(text_col))
+    ex = (ensure_min_parallelism(df)
+          .select(F.explode(toks_of).alias("__t")))
+    counts = ex.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    total = counts.agg(F.sum("__c")).collect()[0][0] or 1
+    top = (counts.orderBy(F.col("__c").desc(), F.col("__t").asc())
+           .limit(vocab_size).collect())
+    floor_lp = math.log(0.5 / total)
+    vocab = F.map_from_arrays(
+        F.array(*[F.lit(r["__t"]) for r in top]),
+        F.array(*[F.lit(math.log(r["__c"] / total)) for r in top]))
+    toks = toks_of
+    n = F.size(toks)
+    lps = F.transform(toks, lambda t: F.coalesce(
+        vocab[t], F.lit(floor_lp)))
+    score = F.when(n > 0, F.aggregate(
+        lps, F.lit(0.0), lambda a, x: a + x) / n)
+    n_oov = F.size(F.filter(toks, lambda t: vocab[t].isNull()))
+    oov = F.when(n > 0, n_oov / n.cast("double")).otherwise(F.lit(0.0))
+    return df.select(F.col(id_col), n.cast("long").alias("n_tokens"),
+                     score.alias("lm_score"), oov.alias("oov_frac"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 out: str = "fingerprint") -> DataFrame:
     """Canonical content fingerprint: md5 of the sorted distinct token set."""

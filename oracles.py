@@ -681,6 +681,19 @@ def build_oracles() -> dict[str, str]:
       SELECT doc_id, t.wdx::INT AS window, 8000 AS sample_rate,
              floor(amp / 32768.0 * 1000000 + 0.5) / 1000000 AS energy
       FROM w, unnest(generate_series(0, n_win - 1)) AS t(wdx)"""
+    o["text_lm_score"] = f"""
+      WITH tok AS (SELECT doc_id, unnest({TOKS}) AS t FROM documents),
+           cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+           tot AS (SELECT sum(c) AS n FROM cnt),
+           voc AS (SELECT t, c FROM cnt ORDER BY c DESC, t ASC LIMIT 16)
+      SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+             {fr('avg(CASE WHEN voc.c IS NOT NULL '
+                 'THEN ln(voc.c / tot.n) ELSE ln(0.5 / tot.n) END)', 6)}
+               AS lm_score,
+             {fr('(count(*) - count(voc.c)) / count(*)::DOUBLE', 6)}
+               AS oov_frac
+      FROM tok LEFT JOIN voc ON tok.t = voc.t CROSS JOIN tot
+      GROUP BY 1"""
     o["text_top_tokens"] = f"""
       WITH t AS (SELECT unnest({TOKS}) AS token FROM documents)
       SELECT token, count(*) AS n FROM t GROUP BY 1

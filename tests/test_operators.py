@@ -313,6 +313,26 @@ def test_repetition_and_quality_filter(spark):
     assert qf == {1: True, 2: False, 3: False}
 
 
+def test_lm_score(spark):
+    """Unigram LM: common-token docs score higher; tokens outside the
+    vocab hit the 0.5/total floor and count as OOV."""
+    import math
+
+    from influxdb_ha_spark.operators.text import lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a a a a"), (3, "zzz qqq")],
+        "doc_id long, text string")
+    # corpus: a×7, b×1, zzz×1, qqq×1 → total 10; vocab_size=2 keeps {a, b}
+    out = {r["doc_id"]: r for r in lm_score(df, vocab_size=2).collect()}
+    la, lb, fl = math.log(7 / 10), math.log(1 / 10), math.log(0.5 / 10)
+    assert abs(out[1]["lm_score"] - (3 * la + lb) / 4) < 1e-12
+    assert abs(out[2]["lm_score"] - la) < 1e-12
+    assert abs(out[3]["lm_score"] - fl) < 1e-12
+    assert out[1]["oov_frac"] == 0.0 and out[3]["oov_frac"] == 1.0
+    assert out[2]["lm_score"] > out[1]["lm_score"] > out[3]["lm_score"]
+
+
 def test_dim_stats_and_normalize(spark):
     from influxdb_ha_spark.operators.similarity import dim_stats, l2_normalize
 
