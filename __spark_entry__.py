@@ -260,6 +260,23 @@ def q_agg_top_bottom(spark, sf):
                     "l_linenumber", "l_extendedprice"))
 
 
+def q_agg_salted(spark, sf):
+    """Two-phase salted aggregation (explicit skew tool, operators/util.py):
+    result must equal the plain groupBy the oracle runs — the salt only
+    changes the exchange shape, never the answer. Decimal accumulation
+    keeps the sum order-independent."""
+    from influxdb_ha_spark.operators.util import salted_agg
+    li = _t(spark, sf, "lineitem").withColumn(
+        "__qty_dec", F.col("l_quantity").cast("decimal(28,2)"))
+    s = salted_agg(li, ["l_returnflag"],
+                   {"sum_qty": ("sum", "__qty_dec"),
+                    "n": ("count", "l_quantity"),
+                    "max_qty": ("max", "l_quantity")}, salt=16)
+    return s.select("l_returnflag",
+                    F.col("sum_qty").cast("double").alias("sum_qty"),
+                    "n", "max_qty")
+
+
 def q_tpch_q1(spark, sf):
     li = _t(spark, sf, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
@@ -1194,6 +1211,7 @@ _FAMILIES = [
         "agg_approx_distinct": q_agg_approx_distinct,
         "agg_first_last": q_agg_first_last,
         "agg_top_bottom": q_agg_top_bottom,
+        "agg_salted": q_agg_salted,
         "tpch_q1": q_tpch_q1,
     },
     {

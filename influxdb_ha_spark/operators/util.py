@@ -5,6 +5,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def salted_agg(df: DataFrame, keys: list[str],
+               aggs: dict[str, tuple[str, str]], salt: int = 16) -> DataFrame:
+    """Two-phase salted aggregation for skewed group keys.
+
+    When one group key holds a disproportionate share of rows (the
+    boilerplate document, the monitoring heartbeat series), a plain
+    groupBy funnels that key's entire volume through one reducer. Salting
+    splits each key into `salt` sub-groups for the first (heavy) exchange
+    and merges the `salt` partials in a second (tiny — |keys|·salt rows)
+    aggregation. Only algebraic aggregates can ride this: `aggs` maps
+    output name → (fn, col) with fn ∈ {sum, count, min, max}.
+
+    Note Spark's own layers already blunt skew — map-side partial
+    aggregation and AQE skew handling — so reach for this only when a
+    profile shows a hot reducer surviving those; it is the explicit form
+    of the same two-phase idea.
+    """
+    from pyspark.sql import functions as F
+
+    allowed = {"sum", "count", "min", "max"}
+    bad = {f for f, _ in aggs.values()} - allowed
+    if bad:
+        raise ValueError(f"non-algebraic aggregate(s) {sorted(bad)}; "
+                         f"salting supports {sorted(allowed)}")
+    salt_col = F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+    partial_exprs = []
+    merge_exprs = []
+    for out, (fn, col) in aggs.items():
+        p = f"__p_{out}"
+        partial_exprs.append(getattr(F, fn)(col).alias(p))
+        merge_fn = "sum" if fn in ("count", "sum") else fn
+        merge_exprs.append(getattr(F, merge_fn)(p).alias(out))
+    return (df.withColumn("__salt", salt_col)
+            .groupBy(*keys, "__salt").agg(*partial_exprs)
+            .groupBy(*keys).agg(*merge_exprs))
+
+
 def ensure_min_parallelism(df: DataFrame,
                            min_parts: int | None = None) -> DataFrame:
     """Round-robin repartition iff the plan is under-partitioned.

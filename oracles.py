@@ -151,6 +151,10 @@ def build_oracles() -> dict[str, str]:
     punct = (r"(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))")
 
     # -- aggregations ------------------------------------------------------
+    o["agg_salted"] = f"""
+      SELECT l_returnflag, {dsum('l_quantity')} AS sum_qty,
+             count(l_quantity) AS n, max(l_quantity) AS max_qty
+      FROM lineitem GROUP BY 1"""
     o["agg_count"] = """
       SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
              count(l_quantity) AS n_qty

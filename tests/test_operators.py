@@ -313,6 +313,29 @@ def test_repetition_and_quality_filter(spark):
     assert qf == {1: True, 2: False, 3: False}
 
 
+def test_salted_agg(spark):
+    """Salted two-phase aggregation equals the plain groupBy, on any
+    partitioning; non-algebraic fns are rejected."""
+    import pytest as _pytest
+
+    from influxdb_ha_spark.operators.util import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", float(i % 7)) for i in range(500)] + [("cold", 3.0)],
+        "k string, v double").repartition(13)
+    got = {r["k"]: (r["total"], r["n"], r["mx"], r["mn"]) for r in
+           salted_agg(df, ["k"], {"total": ("sum", "v"), "n": ("count", "v"),
+                                  "mx": ("max", "v"), "mn": ("min", "v")},
+                      salt=8).collect()}
+    want = {r["k"]: (r["total"], r["n"], r["mx"], r["mn"]) for r in
+            df.groupBy("k").agg(
+                F.sum("v").alias("total"), F.count("v").alias("n"),
+                F.max("v").alias("mx"), F.min("v").alias("mn")).collect()}
+    assert got == want
+    with _pytest.raises(ValueError):
+        salted_agg(df, ["k"], {"m": ("avg", "v")})
+
+
 def test_lm_score(spark):
     """Unigram LM: common-token docs score higher; tokens outside the
     vocab hit the 0.5/total floor and count as OOV."""
