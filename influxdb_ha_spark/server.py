@@ -98,6 +98,8 @@ _WRITE_STMT = re.compile(
     r"^\s*(DELETE\b|DROP\s+(SERIES|MEASUREMENT)\b)", re.IGNORECASE)
 _SELECT_INTO = re.compile(r"^\s*SELECT\b.*\bINTO\b",
                           re.IGNORECASE | re.DOTALL)
+_EXPLAIN = re.compile(r"^\s*EXPLAIN(\s+ANALYZE)?\s+(.+)$",
+                      re.IGNORECASE | re.DOTALL)
 
 
 def statement_privileges(q: str) -> list[str]:
@@ -153,6 +155,10 @@ class Engine:
         if out is not None:
             return out
 
+        m = _EXPLAIN.match(q)
+        if m:
+            return self._explain(m.group(2), db, analyze=bool(m.group(1)))
+
         stmt = parse_query(q)
         if isinstance(stmt, SelectStatement):
             planner = Planner(self.catalog, db, now_ns=self.now_ns,
@@ -198,6 +204,32 @@ class Engine:
         except KeyError:
             pass
         return to_influx_series(df, measurement, tag_cols, epoch)
+
+    def _explain(self, select_q: str, db: str,
+                 analyze: bool = False) -> DataFrame:
+        """`EXPLAIN [ANALYZE] SELECT …` (InfluxQL 1.x statement; the plan
+        shown is Catalyst's — the honest answer for this engine). EXPLAIN
+        returns the parsed/optimized/physical plan tree; ANALYZE executes
+        the query first so the AQE-final physical plan is reported."""
+        try:
+            stmt = parse_query(select_q)
+        except SyntaxError as exc:
+            raise QueryError(f"EXPLAIN: {exc}") from exc
+        if not isinstance(stmt, SelectStatement):
+            raise QueryError("EXPLAIN expects a SELECT statement")
+        planner = Planner(self.catalog, db, now_ns=self.now_ns,
+                          **self.planner_kw)
+        df = planner.plan(stmt)
+        qe = df._jdf.queryExecution()
+        if analyze:
+            df.count()
+            text = ("== Physical Plan (executed, AQE final) ==\n"
+                    + qe.executedPlan().toString())
+        else:
+            text = qe.toString()
+        lines = [(ln,) for ln in text.splitlines() if ln.strip()]
+        return self.catalog.spark.createDataFrame(
+            lines, "`QUERY PLAN` string")
 
     def _route_meta(self, q: str, db: str) -> DataFrame | None:
         """Retention-policy / subscription / user statements — the rest of

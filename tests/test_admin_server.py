@@ -96,6 +96,20 @@ def test_engine_select(engine):
     assert rows[0]["mean"] == 80.0
 
 
+def test_engine_explain(engine):
+    """EXPLAIN SELECT returns the Catalyst plan tree; ANALYZE executes and
+    reports the AQE-final physical plan; non-SELECT → QueryError."""
+    lines = [r["QUERY PLAN"] for r in engine.query_df(
+        "EXPLAIN SELECT mean(value) FROM treasures GROUP BY type").collect()]
+    text = "\n".join(lines)
+    assert "Physical Plan" in text and "HashAggregate" in text
+    an = [r["QUERY PLAN"] for r in engine.query_df(
+        "EXPLAIN ANALYZE SELECT count(value) FROM treasures").collect()]
+    assert "AQE final" in an[0]
+    with pytest.raises(QueryError):
+        engine.query_df("EXPLAIN DROP SERIES FROM treasures")
+
+
 def test_engine_show(engine):
     names = [r["name"] for r in engine.query_df("SHOW MEASUREMENTS").collect()]
     assert names == ["treasures"]
