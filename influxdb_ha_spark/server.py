@@ -17,7 +17,9 @@ what parity requires and what tests drive.
 
 from __future__ import annotations
 
+import itertools
 import re
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -92,7 +94,7 @@ _DELETE = re.compile(r"^\s*DELETE\s+FROM\s+(\S+)(?:\s+WHERE\s+(.*))?$",
 _ADMIN_STMT = re.compile(
     r"^\s*((CREATE|DROP)\s+(DATABASE|USER|SUBSCRIPTION)"
     r"|(CREATE|ALTER|DROP)\s+(RETENTION\s+POLICY|CONTINUOUS\s+QUERY)"
-    r"|SET\s+PASSWORD|GRANT\b|REVOKE\b"
+    r"|SET\s+PASSWORD|GRANT\b|REVOKE\b|KILL\s+QUERY\b"
     r"|SHOW\s+(USERS|GRANTS|SUBSCRIPTIONS)\b)", re.IGNORECASE)
 _WRITE_STMT = re.compile(
     r"^\s*(DELETE\b|DROP\s+(SERIES|MEASUREMENT)\b)", re.IGNORECASE)
@@ -100,6 +102,8 @@ _SELECT_INTO = re.compile(r"^\s*SELECT\b.*\bINTO\b",
                           re.IGNORECASE | re.DOTALL)
 _EXPLAIN = re.compile(r"^\s*EXPLAIN(\s+ANALYZE)?\s+(.+)$",
                       re.IGNORECASE | re.DOTALL)
+_SHOW_QUERIES = re.compile(r"^\s*SHOW\s+QUERIES\s*$", re.IGNORECASE)
+_KILL_QUERY = re.compile(r"^\s*KILL\s+QUERY\s+(\d+)\s*$", re.IGNORECASE)
 
 
 def statement_privileges(q: str) -> list[str]:
@@ -124,6 +128,9 @@ class Engine:
         self.admin = AdminHandler(catalog)
         self.cq = CQRunner(catalog, now_ns=now_ns)
         self.subscriptions: list[dict] = []
+        # SHOW QUERIES / KILL QUERY bookkeeping: qid → Spark job group.
+        self._qid = itertools.count(1)
+        self._running: dict[int, dict] = {}
 
     # -- the /query surface --------------------------------------------------
     def query_df(self, q: str, database: str | None = None) -> DataFrame:
@@ -154,6 +161,28 @@ class Engine:
         out = self._route_meta(q, db)
         if out is not None:
             return out
+
+        if _SHOW_QUERIES.match(q):
+            # query management (InfluxQL 1.x SHOW QUERIES): one row per
+            # in-flight /query execution
+            now = time.time()
+            rows = [(qid, r["query"], r["database"],
+                     round(now - r["started"], 3))
+                    for qid, r in sorted(self._running.items())]
+            return self.catalog.spark.createDataFrame(
+                rows, "qid long, query string, database string, "
+                      "duration_s double")
+        m = _KILL_QUERY.match(q)
+        if m:
+            qid = int(m.group(1))
+            if qid not in self._running:
+                raise QueryError(f"no such query id: {qid}")
+            # Spark-native kill: cancel every job tagged with the query's
+            # job group (interruptOnCancel was set at submission)
+            self.catalog.spark.sparkContext.cancelJobGroup(
+                self._running[qid]["group"])
+            return self.catalog.spark.createDataFrame(
+                [(qid, "killed")], "qid long, status string")
 
         m = _EXPLAIN.match(q)
         if m:
@@ -191,19 +220,35 @@ class Engine:
 
     def query(self, q: str, database: str | None = None,
               epoch: str | None = None) -> dict:
-        """Full /query semantics: DataFrame + InfluxDB JSON shaping."""
-        df = self.query_df(q, database)
-        rows = df.columns
-        if not rows:
-            return empty_result()
-        measurement = self._measurement_of(q) or ""
-        tag_cols = []
+        """Full /query semantics: DataFrame + InfluxDB JSON shaping.
+
+        Execution runs under a per-query Spark job group so SHOW QUERIES
+        can list it and KILL QUERY can cancel it mid-flight (the
+        Spark-native form of InfluxDB 1.x query management; job-group
+        scope is thread-local, matching one HTTP request per thread)."""
+        qid = next(self._qid)
+        group = f"influxql-q{qid}"
+        sc = self.catalog.spark.sparkContext
+        self._running[qid] = {"query": q, "database": database or
+                              self.database, "started": time.time(),
+                              "group": group}
+        sc.setJobGroup(group, q[:120], interruptOnCancel=True)
         try:
-            m = self.catalog.get(database or self.database, measurement)
-            tag_cols = [t for t in m.tags if t in df.columns]
-        except KeyError:
-            pass
-        return to_influx_series(df, measurement, tag_cols, epoch)
+            df = self.query_df(q, database)
+            rows = df.columns
+            if not rows:
+                return empty_result()
+            measurement = self._measurement_of(q) or ""
+            tag_cols = []
+            try:
+                m = self.catalog.get(database or self.database, measurement)
+                tag_cols = [t for t in m.tags if t in df.columns]
+            except KeyError:
+                pass
+            return to_influx_series(df, measurement, tag_cols, epoch)
+        finally:
+            self._running.pop(qid, None)
+            sc._jsc.clearJobGroup()
 
     def _explain(self, select_q: str, db: str,
                  analyze: bool = False) -> DataFrame:

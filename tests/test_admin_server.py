@@ -7,7 +7,7 @@ from influxdb_ha_spark.influxql.clusterql import (ClusterQLError,
                                                   CreatePartitionKey,
                                                   is_admin_statement,
                                                   parse_clusterql)
-from influxdb_ha_spark.model import Catalog
+from influxdb_ha_spark.model import Catalog, Measurement
 from influxdb_ha_spark.planner import QueryError
 from influxdb_ha_spark.result import to_influx_series
 from influxdb_ha_spark.server import Engine
@@ -108,6 +108,56 @@ def test_engine_explain(engine):
     assert "AQE final" in an[0]
     with pytest.raises(QueryError):
         engine.query_df("EXPLAIN DROP SERIES FROM treasures")
+
+
+def test_show_and_kill_queries(treasures):
+    """SHOW QUERIES lists an in-flight /query; KILL QUERY cancels its
+    Spark job group and the collecting thread errors out; finished
+    queries drop off the list."""
+    import threading
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    eng = Engine(treasures, database="sharded", now_ns=NOW)
+    # a measurement whose scan is slow: per-row Python sleep
+    spark = treasures.spark
+    slow_udf = F.udf(lambda v: (_time.sleep(0.4), float(v))[1], "double")
+    base = spark.range(200).select(
+        F.lit(0).cast("long").alias("time"),
+        F.lit("x").alias("type"),
+        slow_udf(F.col("id")).alias("value"))
+    treasures.register(Measurement(name="slowtab", database="sharded",
+                                   tags=["type"], fields=["value"], df=base))
+
+    errors = []
+
+    def run():
+        try:
+            eng.query("SELECT count(value) AS n FROM slowtab")
+        except Exception as exc:  # cancellation surfaces as a Py4J error
+            errors.append(exc)
+
+    t = threading.Thread(target=run)
+    t.start()
+    qid = None
+    for _ in range(100):                      # wait until it shows up
+        rows = eng.query_df("SHOW QUERIES").collect()
+        active = [r for r in rows if "slowtab" in r["query"]]
+        if active:
+            qid = active[0]["qid"]
+            assert active[0]["database"] == "sharded"
+            break
+        _time.sleep(0.1)
+    assert qid is not None, "query never appeared in SHOW QUERIES"
+    killed = eng.query_df(f"KILL QUERY {qid}").collect()
+    assert killed[0]["status"] == "killed"
+    t.join(timeout=60)
+    assert not t.is_alive() and errors, "query was not cancelled"
+    assert all("slowtab" not in r["query"]
+               for r in eng.query_df("SHOW QUERIES").collect())
+    with pytest.raises(QueryError):
+        eng.query_df("KILL QUERY 99999")
 
 
 def test_engine_show(engine):
