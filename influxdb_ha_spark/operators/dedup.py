@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 from .hashing import (MERSENNE_P, hash64_expr, minhash_coeffs,
                       minhash_perm_expr, shingle_hashes_expr, shingles_expr,
-                      tokens_expr)
+                      sql_minhash_sig, sql_shingle_hashes, sql_shingles,
+                      sql_tokens, tokens_expr)
 from .util import ensure_min_parallelism
 
 
@@ -68,16 +69,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """
     coeffs = minhash_coeffs(num_perm)
     df = ensure_min_parallelism(df)  # shingle+hash maps must use all cores
-    sh = shingles_expr(tokens_expr(F.col(text_col)), shingle_k)
-    hashed = (df.select(F.col(id_col), sh.alias("__sh"))
-              .where(F.size("__sh") > 0)
-              .select(F.col(id_col),
-                      shingle_hashes_expr(F.col("__sh"), hash_fn).alias("__h")))
-    # permutation minima as codegen expressions (JVM-side, no Arrow hop).
+    # permutation minima as codegen expressions (JVM-side, no Arrow hop),
+    # emitted as one SQL string per stage — the nested-Column form of this
+    # exact tree cost ~1,500 py4j round trips per cold build (hashing.py).
     # hashing.minhash_sig_udf is the bit-identical numpy alternative —
     # benched neutral at this scale, kept for very-wide num_perm configs.
-    sig = F.array(*[minhash_perm_expr(F.col("__h"), a, b) for a, b in coeffs])
-    return hashed.select(F.col(id_col), sig.alias("signature"))
+    return (df.selectExpr(f"`{id_col}`",
+                          f"{sql_tokens(f'`{text_col}`')} AS __t")
+            .selectExpr(f"`{id_col}`",
+                        f"{sql_shingles('__t', shingle_k)} AS __sh")
+            .where(F.size("__sh") > 0)
+            .selectExpr(f"`{id_col}`",
+                        f"{sql_shingle_hashes('__sh', hash_fn)} AS __h")
+            .selectExpr(f"`{id_col}`",
+                        f"{sql_minhash_sig('__h', coeffs)} AS signature"))
 
 
 def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
@@ -91,13 +96,14 @@ def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
     max_bucket²/2 pairs per bucket; flagged, not silently dropped: the
     `truncated` column marks capped buckets).
     """
-    band_structs = F.array(*[
-        F.struct(F.lit(i).alias("band_id"),
-                 F.md5(F.concat_ws(",", *[
-                     F.element_at("signature", i * rows + j + 1).cast("string")
-                     for j in range(rows)])).alias("band_key"))
-        for i in range(bands)])
-    exploded = (sigs.select(F.col(id_col), F.explode(band_structs).alias("b"))
+    band_structs = ", ".join(
+        "struct({i} AS band_id, md5(concat_ws(',', {parts})) AS band_key)"
+        .format(i=i, parts=", ".join(
+            f"cast(element_at(signature, {i * rows + j + 1}) as string)"
+            for j in range(rows)))
+        for i in range(bands))
+    exploded = (sigs.selectExpr(f"`{id_col}`",
+                                f"explode(array({band_structs})) AS b")
                 .select(id_col, "b.band_id", "b.band_key"))
     buckets = (exploded.groupBy("band_id", "band_key")
                .agg(F.sort_array(F.collect_list(id_col)).alias("ids"),
@@ -143,11 +149,11 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                 .distinct())
     docs_small = (df.select(F.col(id_col), F.col(text_col))
                   .join(cand_ids, id_col, "left_semi"))
-    sh = docs_small.select(
-        F.col(id_col),
-        F.array_distinct(
-            shingles_expr(tokens_expr(F.col(text_col)), shingle_k))
-        .alias("sh"))
+    sh = (docs_small
+          .selectExpr(f"`{id_col}`", f"{sql_tokens(f'`{text_col}`')} AS __t")
+          .selectExpr(f"`{id_col}`",
+                      f"array_distinct({sql_shingles('__t', shingle_k)})"
+                      " AS sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")

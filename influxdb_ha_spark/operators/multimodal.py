@@ -358,6 +358,122 @@ def resize_plan(df: DataFrame, id_col: str = "doc_id",
 resize_stub = resize_plan
 
 
+# --- BMP: full raster synthesis + REAL nearest-neighbor pixel resample -----
+# BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + uncompressed 24-bit BGR rows,
+# bottom-up, 4-byte row alignment) needs no compression codec, so with it
+# the resize path becomes END-TO-END REAL: synthesized full raster → header
+# + pixel parse → numpy nearest-neighbor resample — no imaging library.
+
+def synthesize_bmp_payload(df: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """VALID uncompressed 24-bit BMP per row. Dimensions derive from the
+    id (w = id%16+4, h = id%12+3) and the deterministic pixel pattern
+    pixel(x, y) = (x*7 + y*13 + id) % 256 (replicated to B,G,R) gives the
+    resampler a closed-form oracle. Rows are written bottom-up with
+    4-byte stride alignment — the format's real quirks, exercised by the
+    parser."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = i % 16 + 4, i % 12 + 3
+                x, y = np.arange(w), np.arange(h)
+                gray = ((x[None, :] * 7 + y[:, None] * 13 + i) % 256
+                        ).astype(np.uint8)                # h×w, top-down
+                bgr = np.repeat(gray[:, :, None], 3, axis=2)
+                stride = (w * 3 + 3) // 4 * 4
+                rows = np.zeros((h, stride), dtype=np.uint8)
+                rows[:, :w * 3] = bgr.reshape(h, w * 3)
+                body = rows[::-1].tobytes()               # bottom-up
+                hdr = (b"BM" + (54 + len(body)).to_bytes(4, "little")
+                       + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+                       + (40).to_bytes(4, "little")
+                       + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+                       + (1).to_bytes(2, "little")
+                       + (24).to_bytes(2, "little")
+                       + (0).to_bytes(4, "little")
+                       + len(body).to_bytes(4, "little")
+                       + (2835).to_bytes(4, "little") * 2
+                       + (0).to_bytes(4, "little") * 2)
+                ids.append(i)
+                payloads.append(hdr + body)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (ensure_min_parallelism(df).select(id_col)
+            .mapInPandas(run, "doc_id long, payload binary"))
+
+
+def parse_bmp(raw: bytes):
+    """(width, height, pixels h×w×3 top-down uint8) or None. Pure stdlib
+    header walk + one numpy reshape; handles bottom-up storage and row
+    stride padding; rejects non-24bpp / compressed variants."""
+    import numpy as np
+    if len(raw) < 54 or raw[:2] != b"BM":
+        return None
+    off = int.from_bytes(raw[10:14], "little")
+    w = int.from_bytes(raw[18:22], "little", signed=True)
+    h = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    comp = int.from_bytes(raw[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    stride = (w * 3 + 3) // 4 * 4
+    n = stride * abs(h)
+    if off + n > len(raw):
+        return None
+    body = np.frombuffer(raw, dtype=np.uint8, count=n, offset=off)
+    px = body.reshape(abs(h), stride)[:, :w * 3].reshape(abs(h), w, 3)
+    if h > 0:
+        px = px[::-1]                                    # → top-down
+    return w, abs(h), px
+
+
+RESIZE_PX_SCHEMA = ("doc_id long, width long, height long, out_w long, "
+                    "out_h long, mean_px double, corner_px long")
+
+
+def resize_image(df: DataFrame, id_col: str = "doc_id",
+                 payload_col: str = "payload",
+                 target: tuple = (8, 8)) -> DataFrame:
+    """REAL pixel resample: parse the BMP raster, nearest-neighbor
+    index-map to `target` (src = (dst*src_dim)//dst_dim — pure integer
+    arithmetic, mirrorable in the SQL oracle), and emit resample
+    statistics (mean of the resized raster + its bottom-right pixel).
+    Map-only Arrow batches; unparseable payloads are skipped (dead-letter
+    path). Swapping BMP for PNG/JPEG needs only a codec in parse — the
+    Spark plumbing (schema, partitioning, batch shape) is the production
+    shape already."""
+    tw, th = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "out_w",
+                                    "out_h", "mean_px", "corner_px")}
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                p = parse_bmp(bytes(b)) if b is not None else None
+                if p is None:
+                    continue
+                w, h, px = p
+                xs = (np.arange(tw) * w) // tw
+                ys = (np.arange(th) * h) // th
+                res = px[ys][:, xs]                       # th×tw×3
+                rows["doc_id"].append(int(i))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_w"].append(tw)
+                rows["out_h"].append(th)
+                rows["mean_px"].append(round(float(res.mean()), 6))
+                rows["corner_px"].append(int(res[-1, -1, 0]))
+            yield pd.DataFrame(rows)
+
+    return (ensure_min_parallelism(df).select(id_col, payload_col)
+            .mapInPandas(run, RESIZE_PX_SCHEMA))
+
+
 # --- WAV/PCM: synthesis + REAL RIFF parse and RMS DSP ----------------------
 
 def synthesize_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -234,7 +234,13 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
     """
     planes = _hyperplanes(dim, bits, tables, seed=7)
     keys_udf = _sign_keys_udf(planes)
-    keyed = (ensure_min_parallelism(df)
+    # No ensure_min_parallelism here: the sign-key map is one numpy matmul
+    # per Arrow batch (~µs/row), and the bucket join immediately shuffles
+    # on (tbl, key) which restores full parallelism for the expensive
+    # verify stage. Pre-repartitioning the raw vectors was measured +66%
+    # at sf0.1 (BENCH_r02) for zero benefit — util.py's own guidance:
+    # don't fan out ahead of cheap maps.
+    keyed = (df
              .select(F.col(id_col), F.col(vec_col),
                      keys_udf(F.col(vec_col)).alias("__k"))
              .select(id_col, vec_col,

@@ -93,13 +93,22 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     - `by` keys: plain equi-join on the keys with the containment range as
       a post-filter — a hash join, never a cartesian; per-key interval
       counts bound the filter fan-out.
-    - keyless (`bucket` required, same unit as `on`): each interval
-      explodes to the time buckets it covers and each point maps to its
-      bucket, turning the range join into an equi-join on the bucket key +
-      filter. Bucket keys use exact long arithmetic (`t - t % bucket`),
-      NOT float division — ns epochs don't fit a double mantissa. Pick
-      `bucket` ≈ the typical interval length: fan-out stays O(1) per
-      interval and no bucket key is hot unless the data itself is.
+    - keyless (same unit as `on`): each interval explodes to the time
+      buckets it covers and each point maps to its bucket, turning the
+      range join into an equi-join on the bucket key + filter. Bucket
+      keys use exact long arithmetic (`t - t % bucket`), NOT float
+      division — ns epochs don't fit a double mantissa.
+
+    Keyless bucket sizing: when `bucket` is not given it is derived from
+    the interval-length distribution — the p99 length (one tiny agg over
+    the intervals; a single scalar reaches the driver). A width near the
+    *typical* length (mean/median) explodes each of the few long-tail
+    intervals into `len/bucket` bucket rows — at 100 TB a handful of
+    month-long maintenance windows over a 1 s median would fan out ~2.6 M
+    rows EACH. At p99, 99% of intervals emit 1-2 bucket rows and only the
+    top 1% fan out at all, with ratio bounded by max_len/p99; the cost is
+    a proportionally coarser filter per bucket, which the post-join range
+    predicate absorbs. Pass `bucket` explicitly to override.
 
     A point matching k overlapping intervals emits k rows (standard
     containment-join semantics; disjoint intervals ⇒ ≤1).
@@ -110,7 +119,10 @@ def interval_join(points: DataFrame, intervals: DataFrame,
             points[on] <= intervals[end_col]]
         return points.join(intervals, cond).drop(*[intervals[c] for c in by])
     if bucket is None:
-        raise ValueError("keyless interval_join requires a bucket width")
+        row = intervals.select(F.percentile_approx(
+            F.col(end_col) - F.col(start_col), 0.99, 10_000).alias("p99")
+        ).first()
+        bucket = max(int(row["p99"] or 0), 1)
     b = F.lit(bucket)
     iv = intervals.withColumn(
         "__bkt", F.explode(F.sequence(

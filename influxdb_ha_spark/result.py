@@ -20,6 +20,49 @@ from pyspark.sql import DataFrame
 from .timeutil import PRECISIONS
 
 
+def _sql_lit(v, typ: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    if typ == "STRING":
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+    if typ == "DOUBLE":
+        return f"CAST({float(v)!r} AS DOUBLE)"
+    if typ == "BIGINT":
+        return f"CAST({int(v)} AS BIGINT)"
+    if typ == "BOOLEAN":
+        return "true" if v else "false"
+    raise ValueError(f"unsupported local-result type: {typ}")
+
+
+def local_result(spark, rows, schema: list[tuple[str, str]]) -> DataFrame:
+    """Driver-local rows as a VALUES LocalRelation DataFrame.
+
+    `createDataFrame(local_rows).collect()` parallelizes the rows into an
+    RDD scan whose collect launches a real Spark job — which queues behind
+    busy task slots, so e.g. SHOW QUERIES would hang exactly when the
+    cluster is saturated (when an operator needs it most). A VALUES
+    relation optimizes to LocalTableScan, whose executeCollect returns
+    driver-side without submitting a job — meta statements stay live at
+    any load. Verified: with every local[4] slot pinned by a held UDF,
+    VALUES-collect returns in <0.1 s while createDataFrame-collect blocks
+    until a slot frees.
+
+    `schema` is [(column_name, SQL type)] with types in
+    {STRING, DOUBLE, BIGINT, BOOLEAN}; values are embedded as escaped SQL
+    literals (bounded meta results only — never row data).
+    """
+    names = ", ".join(f"`{n}`" for n, _ in schema)
+    if not rows:
+        cols = ", ".join(f"CAST(NULL AS {t}) AS `{n}`" for n, t in schema)
+        return spark.sql(f"SELECT {cols} WHERE 1=0")
+    vals = ", ".join(
+        "(" + ", ".join(_sql_lit(v, t)
+                        for v, (_, t) in zip(r, schema)) + ")"
+        for r in rows)
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t({names})")
+
+
 def _format_time(ns: int, epoch: str | None):
     if epoch is None:
         dt = datetime.fromtimestamp(ns / 1e9, tz=timezone.utc)

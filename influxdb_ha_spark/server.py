@@ -30,11 +30,16 @@ from .influxql.clusterql import is_admin_statement
 from .influxql.parser import parse_query
 from .model import Catalog, Measurement
 from .planner import Planner, QueryError
-from .result import empty_result, to_influx_series
+from .result import empty_result, local_result, to_influx_series
 from .streaming.cq import ContinuousQuery, CQRunner
 
+# routing.go:113-119 rejects DropShard/ShowShards/ShowStats/ShowDiagnostics/
+# KillQuery. This engine goes one further than the reference and *implements*
+# query management (SHOW QUERIES routes first-available in the reference,
+# routing.go:130-135; KILL QUERY maps naturally onto Spark job-group
+# cancellation), so only the genuinely shard-local statements stay rejected.
 _REJECTED = re.compile(
-    r"^\s*(DROP\s+SHARD|KILL\s+QUERY|SHOW\s+(SHARD|STATS|DIAGNOSTICS))",
+    r"^\s*(DROP\s+SHARD|SHOW\s+(SHARD|STATS|DIAGNOSTICS))",
     re.IGNORECASE)
 
 _DDL = re.compile(
@@ -82,7 +87,6 @@ _SHOW_USERS = re.compile(r"^\s*SHOW\s+USERS", re.IGNORECASE)
 _SHOW_SUBS = re.compile(r"^\s*SHOW\s+SUBSCRIPTIONS", re.IGNORECASE)
 _SHOW_GRANTS = re.compile(r"^\s*SHOW\s+GRANTS\s+FOR\s+\"?(\w+)\"?",
                           re.IGNORECASE)
-_SHOW_QUERIES = re.compile(r"^\s*SHOW\s+QUERIES", re.IGNORECASE)
 _DELETE = re.compile(r"^\s*DELETE\s+FROM\s+(\S+)(?:\s+WHERE\s+(.*))?$",
                      re.IGNORECASE | re.DOTALL)
 
@@ -148,11 +152,11 @@ class Engine:
                                            query=m.group(5),
                                            every=m.group(3),
                                            for_=m.group(4)))
-            return self.catalog.spark.createDataFrame([], "ok string")
+            return local_result(self.catalog.spark, [], [("ok", "STRING")])
         m = _DROP_CQ.match(q)
         if m:
             self.cq.drop(m.group(1))
-            return self.catalog.spark.createDataFrame([], "ok string")
+            return local_result(self.catalog.spark, [], [("ok", "STRING")])
         if re.match(r"^\s*SHOW\s+CONTINUOUS\s+QUERIES", q, re.IGNORECASE):
             return self.cq.show()
         m = _DDL.match(q)
@@ -164,25 +168,36 @@ class Engine:
 
         if _SHOW_QUERIES.match(q):
             # query management (InfluxQL 1.x SHOW QUERIES): one row per
-            # in-flight /query execution
+            # in-flight /query execution plus one per active streaming
+            # query. Built entirely from driver-local state as a VALUES
+            # LocalRelation (result.local_result), so collect() launches
+            # no Spark job — SHOW QUERIES stays live even when every task
+            # slot is busy (which is exactly when an operator reaches for
+            # it).
             now = time.time()
-            rows = [(qid, r["query"], r["database"],
-                     round(now - r["started"], 3))
+            rows = [(str(qid), r["query"], r["database"],
+                     round(now - r["started"], 3), "interactive")
                     for qid, r in sorted(self._running.items())]
-            return self.catalog.spark.createDataFrame(
-                rows, "qid long, query string, database string, "
-                      "duration_s double")
+            rows += [(s.id, s.name or "", db, None, "streaming")
+                     for s in self.catalog.spark.streams.active]
+            return local_result(
+                self.catalog.spark, rows,
+                [("qid", "STRING"), ("query", "STRING"),
+                 ("database", "STRING"), ("duration_s", "DOUBLE"),
+                 ("kind", "STRING")])
         m = _KILL_QUERY.match(q)
         if m:
             qid = int(m.group(1))
             if qid not in self._running:
                 raise QueryError(f"no such query id: {qid}")
             # Spark-native kill: cancel every job tagged with the query's
-            # job group (interruptOnCancel was set at submission)
+            # job group (interruptOnCancel was set at submission). The
+            # result must be job-free too — a busy cluster is the whole
+            # point of killing something.
             self.catalog.spark.sparkContext.cancelJobGroup(
                 self._running[qid]["group"])
-            return self.catalog.spark.createDataFrame(
-                [(qid, "killed")], "qid long, status string")
+            return local_result(self.catalog.spark, [(qid, "killed")],
+                                [("qid", "BIGINT"), ("status", "STRING")])
 
         m = _EXPLAIN.match(q)
         if m:
@@ -206,13 +221,19 @@ class Engine:
                     stored = stored.withColumn("time", F.lit(0).cast("long"))
                 fields = [c for c in stored.columns
                           if c != "time" and c not in tags]
+                # one execution per INTO: persist, count the persisted
+                # DataFrame (materializes the cache), and register the
+                # cached plan — later reads of the target measurement hit
+                # the cache instead of recomputing the source query
+                stored = stored.persist()
+                n = stored.count()
                 self.catalog.register(Measurement(
                     name=stmt.into.name,
                     database=stmt.into.database or db,
                     tags=tags, fields=fields, df=stored))
-                n = out.count()
-                return self.catalog.spark.createDataFrame(
-                    [(stmt.into.name, n)], "written string, n long")
+                return local_result(
+                    self.catalog.spark, [(stmt.into.name, n)],
+                    [("written", "STRING"), ("n", "BIGINT")])
             return out
         if isinstance(stmt, ShowStatement):
             return self._show(stmt, db)
@@ -273,15 +294,15 @@ class Engine:
         else:
             text = qe.toString()
         lines = [(ln,) for ln in text.splitlines() if ln.strip()]
-        return self.catalog.spark.createDataFrame(
-            lines, "`QUERY PLAN` string")
+        return local_result(self.catalog.spark, lines,
+                            [("QUERY PLAN", "STRING")])
 
     def _route_meta(self, q: str, db: str) -> DataFrame | None:
         """Retention-policy / subscription / user statements — the rest of
         the RouteToAll + RouteAuthService surface (routing.go:98-111,
         140-148). Returns None if `q` is none of these."""
         spark = self.catalog.spark
-        ok = lambda: spark.createDataFrame([], "ok string")  # noqa: E731
+        ok = lambda: local_result(spark, [], [("ok", "STRING")])  # noqa: E731
         m = _RP.match(q)
         if m:
             rps = self.catalog.retention_policies.setdefault(m.group(3), [])
@@ -312,9 +333,11 @@ class Engine:
         if _SHOW_SUBS.match(q):
             rows = [(s["database"], s["rp"], s["name"], s["mode"],
                      s["destinations"]) for s in self.subscriptions]
-            return spark.createDataFrame(
-                rows or [], "database string, retention_policy string, "
-                            "name string, mode string, destinations string")
+            return local_result(
+                spark, rows,
+                [("database", "STRING"), ("retention_policy", "STRING"),
+                 ("name", "STRING"), ("mode", "STRING"),
+                 ("destinations", "STRING")])
         m = _CREATE_USER.match(q)
         if m:
             self.admin.create_user(m.group(1), m.group(2), bool(m.group(3)))
@@ -341,13 +364,9 @@ class Engine:
         if m:
             u = self.admin.users.get(m.group(1), {})
             rows = sorted((d, p) for d, p in u.get("grants", {}).items())
-            return spark.createDataFrame(
-                rows or [], "database string, privilege string")
-        if _SHOW_QUERIES.match(q):
-            rows = [(s.id, s.name or "", "streaming")
-                    for s in spark.streams.active]
-            return spark.createDataFrame(
-                rows or [], "qid string, query string, kind string")
+            return local_result(spark, rows,
+                                [("database", "STRING"),
+                                 ("privilege", "STRING")])
         m = _DELETE.match(q)
         if m:
             # DELETE FROM m [WHERE …] — same broadcast path as DROP SERIES
@@ -416,8 +435,8 @@ class Engine:
             dfs = [self.catalog.show_tag_values(database, stmt.measurement, k)
                    for k in keys]
             if not dfs:
-                return self.catalog.spark.createDataFrame(
-                    [], "key string, value string")
+                return local_result(self.catalog.spark, [],
+                                    [("key", "STRING"), ("value", "STRING")])
             out = dfs[0]
             for d in dfs[1:]:
                 out = out.unionByName(d)
@@ -429,10 +448,12 @@ class Engine:
                 # autogen policy (infinite retention)
                 rows = [{"name": "autogen", "duration": "0s",
                          "default": True}]
-            return self.catalog.spark.createDataFrame(
+            return local_result(
+                self.catalog.spark,
                 [(r.get("name"), r.get("duration"), r.get("default", False))
                  for r in rows],
-                "name string, duration string, `default` boolean")
+                [("name", "STRING"), ("duration", "STRING"),
+                 ("default", "BOOLEAN")])
         raise QueryError(f"unsupported SHOW statement: {what}")
 
     # -- DDL broadcast path (routing.go:98-111) --------------------------------
@@ -458,7 +479,7 @@ class Engine:
                 meas.df = meas.df.where(~planner._where_expr(expr, ctx))
             else:
                 meas.df = meas.df.limit(0)
-        return spark.createDataFrame([], "ok string")
+        return local_result(spark, [], [("ok", "STRING")])
 
     @staticmethod
     def _measurement_of(q: str) -> str | None:

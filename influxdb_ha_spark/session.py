@@ -38,6 +38,10 @@ _DEFAULTS = {
     # silent numeric coercion); ANSI mode would turn those into errors.
     "spark.sql.ansi.enabled": "false",
     "spark.ui.enabled": "false",
+    # skip per-DataFrame-op Python call-site capture (~0.5 s per complex
+    # cold query build; error messages lose the user line number, which an
+    # engine's internal plans never surface anyway)
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 

@@ -110,25 +110,43 @@ def test_engine_explain(engine):
         engine.query_df("EXPLAIN DROP SERIES FROM treasures")
 
 
-def test_show_and_kill_queries(treasures):
-    """SHOW QUERIES lists an in-flight /query; KILL QUERY cancels its
-    Spark job group and the collecting thread errors out; finished
-    queries drop off the list."""
+def test_show_and_kill_queries(spark, tmp_path):
+    """SHOW QUERIES lists an in-flight /query even while every task slot
+    is busy (the listing is driver-local — no Spark job); KILL QUERY
+    cancels its job group so the collecting thread errors out; finished
+    queries drop off the list.
+
+    Synchronization is a filesystem latch, not wall-clock sleeps: the scan
+    UDF touches `started` when a task begins and then holds until
+    `release` appears (60 s safety cap), so the query is deterministically
+    in flight for the whole SHOW/KILL window."""
+    import os
     import threading
     import time as _time
 
     from pyspark.sql import functions as F
 
-    eng = Engine(treasures, database="sharded", now_ns=NOW)
-    # a measurement whose scan is slow: per-row Python sleep
-    spark = treasures.spark
-    slow_udf = F.udf(lambda v: (_time.sleep(0.4), float(v))[1], "double")
-    base = spark.range(200).select(
+    started_flag = str(tmp_path / "started")
+    release_flag = str(tmp_path / "release")
+
+    def hold(v):
+        open(started_flag, "a").close()
+        for _ in range(1200):
+            if os.path.exists(release_flag):
+                break
+            _time.sleep(0.05)
+        return float(v)
+
+    # fresh Catalog: this test registers its own measurement (CLAUDE.md
+    # invariant — never mutate the session-scoped treasures fixture)
+    cat = Catalog(spark)
+    base = spark.range(8).select(
         F.lit(0).cast("long").alias("time"),
         F.lit("x").alias("type"),
-        slow_udf(F.col("id")).alias("value"))
-    treasures.register(Measurement(name="slowtab", database="sharded",
-                                   tags=["type"], fields=["value"], df=base))
+        F.udf(hold, "double")(F.col("id")).alias("value"))
+    cat.register(Measurement(name="slowtab", database="sharded",
+                             tags=["type"], fields=["value"], df=base))
+    eng = Engine(cat, database="sharded", now_ns=NOW)
 
     errors = []
 
@@ -140,23 +158,29 @@ def test_show_and_kill_queries(treasures):
 
     t = threading.Thread(target=run)
     t.start()
-    qid = None
-    for _ in range(100):                      # wait until it shows up
+    try:
+        deadline = _time.time() + 30
+        while not os.path.exists(started_flag):
+            assert _time.time() < deadline, "scan tasks never started"
+            assert t.is_alive() or not errors, f"query died early: {errors}"
+            _time.sleep(0.05)
+        # the scan is now provably mid-flight and latched open
         rows = eng.query_df("SHOW QUERIES").collect()
         active = [r for r in rows if "slowtab" in r["query"]]
-        if active:
-            qid = active[0]["qid"]
-            assert active[0]["database"] == "sharded"
-            break
-        _time.sleep(0.1)
-    assert qid is not None, "query never appeared in SHOW QUERIES"
-    killed = eng.query_df(f"KILL QUERY {qid}").collect()
-    assert killed[0]["status"] == "killed"
-    t.join(timeout=60)
-    assert not t.is_alive() and errors, "query was not cancelled"
+        assert active, f"in-flight query missing from SHOW QUERIES: {rows}"
+        assert active[0]["database"] == "sharded"
+        assert active[0]["kind"] == "interactive"
+        qid = active[0]["qid"]
+        killed = eng.query_df(f"KILL QUERY {qid}").collect()
+        assert killed[0]["status"] == "killed"
+        t.join(timeout=60)
+        assert not t.is_alive() and errors, "query was not cancelled"
+    finally:
+        open(release_flag, "a").close()   # unstick tasks if kill failed
+        t.join(timeout=90)
     assert all("slowtab" not in r["query"]
                for r in eng.query_df("SHOW QUERIES").collect())
-    with pytest.raises(QueryError):
+    with pytest.raises(QueryError, match="no such query id"):
         eng.query_df("KILL QUERY 99999")
 
 
@@ -176,9 +200,14 @@ def test_engine_admin_route(engine):
 
 
 def test_engine_rejected_statements(engine):
-    for q in ("DROP SHARD 1", "KILL QUERY 2", "SHOW SHARDS", "SHOW STATS"):
+    for q in ("DROP SHARD 1", "SHOW SHARDS", "SHOW STATS",
+              "SHOW DIAGNOSTICS"):
         with pytest.raises(QueryError, match="not supported on cluster"):
             engine.query_df(q)  # routing.go:113-119
+    # KILL QUERY is *implemented* here (beyond the reference, which rejects
+    # it at routing.go:117) — an unknown qid is a 400, not "not supported"
+    with pytest.raises(QueryError, match="no such query id"):
+        engine.query_df("KILL QUERY 2")
 
 
 def test_engine_drop_series(spark, treasures):
@@ -366,7 +395,8 @@ def test_show_grants_and_queries(engine):
     engine.query_df("GRANT WRITE ON sharded TO gq")
     rows = engine.query_df("SHOW GRANTS FOR gq").collect()
     assert [(r["database"], r["privilege"]) for r in rows] == [("sharded", "WRITE")]
-    assert engine.query_df("SHOW QUERIES").columns == ["qid", "query", "kind"]
+    assert engine.query_df("SHOW QUERIES").columns == [
+        "qid", "query", "database", "duration_s", "kind"]
 
 
 def test_retention_enforcement(spark):

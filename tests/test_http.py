@@ -201,3 +201,39 @@ def test_bind_params(http):
     assert bind_params("WHERE a = $x AND b = $y",
                        '{"x": "o\'brien", "y": 2.5}') == \
         "WHERE a = 'o\\'brien' AND b = 2.5"
+
+
+def test_routing_parity_rejected_vs_added(http):
+    """The exact statement list the reference rejects (routing.go:113-119)
+    must 400 through /query with the reference's message, while the
+    statements this engine ADDS beyond that list (EXPLAIN, SHOW QUERIES,
+    KILL QUERY) must be reachable — the round-2 regression was KILL QUERY
+    landing in both camps at once."""
+    base, _ = http
+    auth = "&u=boss&p=pw"
+    for stmt in ("DROP SHARD 1", "SHOW SHARDS", "SHOW STATS",
+                 "SHOW DIAGNOSTICS"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(base + "/query?db=sharded" + auth + "&q=" +
+                 urllib.request.quote(stmt))
+        assert e.value.code == 400
+        assert "not supported on cluster" in \
+            json.loads(e.value.read())["error"]
+    # added surface: reachable (SHOW QUERIES lists, EXPLAIN plans)
+    status, _, out = _get(base + "/query?db=sharded" + auth + "&q=" +
+                          urllib.request.quote("SHOW QUERIES"))
+    assert status == 200
+    cols = json.loads(out)["results"][0]
+    status, _, out = _get(base + "/query?db=sharded" + auth + "&q=" +
+                          urllib.request.quote(
+                              "EXPLAIN SELECT count(value) FROM treasures"))
+    assert status == 200
+    plan = json.loads(out)
+    assert "Physical Plan" in json.dumps(plan)
+    # KILL QUERY parses and routes (unknown qid -> 400 with its own error,
+    # NOT the rejected-statement message)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(base + "/query?db=sharded" + auth + "&q=" +
+             urllib.request.quote("KILL QUERY 424242"))
+    assert e.value.code == 400
+    assert "no such query id" in json.loads(e.value.read())["error"]

@@ -101,8 +101,40 @@ def test_interval_join_bucketed(spark):
         spark.createDataFrame([(10,), (20,)], "time long"),
         iv, bucket=8).collect())
     assert edge == [(10, 1), (20, 1), (20, 2)]
-    with _pytest.raises(ValueError):
-        interval_join(pts, iv)  # keyless without bucket
+
+
+def test_interval_join_adaptive_bucket(spark):
+    """Keyless join without an explicit bucket derives width from the p99
+    interval length: results must equal the brute-force containment join
+    on a mixed short/long distribution, and the bucket fan-out must not
+    explode on the long tail."""
+    import random
+
+    from influxdb_ha_spark.operators.timeseries import interval_join
+    rnd = random.Random(11)
+    # 95 short intervals (len 1-20), 5 long ones (len 2_000-5_000)
+    ivs = []
+    for i in range(95):
+        s = rnd.randrange(0, 10_000)
+        ivs.append((i, s, s + rnd.randrange(1, 21)))
+    for i in range(95, 100):
+        s = rnd.randrange(0, 8_000)
+        ivs.append((i, s, s + rnd.randrange(2_000, 5_001)))
+    pts = [(t,) for t in rnd.sample(range(0, 12_000), 400)]
+    pdf = spark.createDataFrame(pts, "time long")
+    idf = spark.createDataFrame(ivs, "iv_id long, t_start long, t_end long")
+    got = sorted((r["time"], r["iv_id"])
+                 for r in interval_join(pdf, idf).collect())
+    want = sorted((t, i) for (t,) in pts for (i, s, e) in ivs
+                  if s <= t <= e)
+    assert got == want
+    # the derived bucket bounds fan-out: total exploded bucket rows stay
+    # within a small multiple of the interval count (p99 sizing), instead
+    # of the ~100x a typical-length bucket would give the long tail
+    lens = sorted(e - s for _, s, e in ivs)
+    p99 = lens[int(0.99 * len(lens)) - 1]
+    fanout = sum((e - s) // p99 + 1 for _, s, e in ivs)
+    assert fanout <= 3 * len(ivs)
 
 
 def test_sessionize_gap(spark):
