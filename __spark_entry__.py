@@ -889,6 +889,19 @@ def q_mm_resize(spark, sf):
         "doc_id", "width", "height", "out_w", "out_h", "scale_x", "scale_y")
 
 
+def q_mm_resize_px(spark, sf):
+    """END-TO-END REAL pixel resample: valid 24-bit BMP rasters are
+    synthesized (deterministic pixel pattern (x*7 + y*13 + id) % 256),
+    parsed back (header walk + stride-aware numpy reshape), and
+    nearest-neighbor resampled to 8x8 with pure integer index mapping.
+    The oracle recomputes the resample's mean and bottom-right pixel in
+    closed form over generate_series, so a fake parse, a wrong stride,
+    or an off-by-one in the index map all mismatch."""
+    docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    bmp = MM.synthesize_bmp_payload(docs)
+    return MM.resize_image(bmp, target=(8, 8))
+
+
 def q_mm_audio(spark, sf):
     """REAL audio DSP over REAL container bytes: synthesized valid
     RIFF/WAVE payloads (square-wave PCM) are chunk-walked and the per-window
@@ -1352,6 +1365,7 @@ _FAMILIES = [
         "mm_decode": q_mm_decode,
         "mm_frames": q_mm_frames,
         "mm_resize": q_mm_resize,
+        "mm_resize_px": q_mm_resize_px,
         "mm_audio": q_mm_audio,
     },
 ]

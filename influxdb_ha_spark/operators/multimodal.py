@@ -11,9 +11,14 @@ Audio and video are REAL at the container level too: `synthesize_wav_payload`
 emits valid RIFF/WAVE bytes whose PCM body is chunk-walked and RMS-analyzed
 with numpy (`audio_features`); `synthesize_gif_animation` emits multi-frame
 GIFs whose block structure (descriptors, sub-block chains, extensions) is
-genuinely walked to enumerate frames (`frame_sample`). The only remaining
-fake is pixel rasterization (`resize_plan` plans but does not resample) —
-that genuinely needs an imaging codec the container doesn't ship.
+genuinely walked to enumerate frames (`frame_sample`).
+
+Pixel rasterization is REAL on the uncompressed path: `synthesize_bmp_payload`
+emits valid 24-bit BMPs (bottom-up rows, stride alignment) that
+`resize_image` parses and nearest-neighbor-resamples with numpy — no imaging
+library. Only compressed-codec decode (PNG deflate, JPEG DCT) still needs a
+library the container doesn't ship; `resize_plan` covers those at the
+header/geometry level with the same schema.
 
 Scale shape: payloads stay in their partitions end-to-end (map-only); the
 Arrow transfer batches rows so per-row Python overhead is amortized; metadata

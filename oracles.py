@@ -676,6 +676,24 @@ def build_oracles() -> dict[str, str]:
              round(256.0 / width, 6) AS scale_x,
              round(256.0 / height, 6) AS scale_y
       FROM d"""
+    # closed-form mirror of synthesize_bmp_payload + resize_image: NN
+    # resample of pixel(x,y) = (x*7 + y*13 + id) % 256 from (id%16+4 ×
+    # id%12+3) down to 8×8 with src = (dst*src_dim)//dst_dim
+    o["mm_resize_px"] = """
+      WITH d AS (SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 3 AS h
+                 FROM documents WHERE text IS NOT NULL),
+           g AS (SELECT sx.g AS x, sy.g AS y
+                 FROM generate_series(0, 7) sx(g), generate_series(0, 7) sy(g)),
+           px AS (SELECT d.doc_id, d.w, d.h,
+                         (((g.x * d.w) // 8) * 7 + ((g.y * d.h) // 8) * 13
+                          + d.doc_id) % 256 AS v,
+                         g.x, g.y
+                  FROM d, g)
+      SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+             8::BIGINT AS out_w, 8::BIGINT AS out_h,
+             round(avg(v), 6) AS mean_px,
+             max(CASE WHEN x = 7 AND y = 7 THEN v END)::BIGINT AS corner_px
+      FROM px GROUP BY doc_id, w, h"""
     o["mm_audio"] = """
       WITH p AS (SELECT doc_id, (doc_id * 97) % 30000 + 1000 AS amp,
                         (doc_id % 50 + 20) * 2 AS n_samples

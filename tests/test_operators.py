@@ -164,6 +164,37 @@ def test_gif_frame_walk(docs):
     assert out[5]["n_frames"] == 6 and out[5]["frame_w"] == 6
 
 
+def test_bmp_resize_roundtrip(docs):
+    """synthesize_bmp → parse_bmp → resize_image is END-TO-END real: the
+    parsed raster equals the generating pattern (through bottom-up row
+    storage and 4-byte stride padding) and the nearest-neighbor resample
+    matches a closed-form recomputation."""
+    from influxdb_ha_spark.operators.multimodal import (
+        parse_bmp, resize_image, synthesize_bmp_payload)
+    bmp = synthesize_bmp_payload(docs)
+    raw = bytes(bmp.where("doc_id = 5").first()["payload"])
+    parsed = parse_bmp(raw)
+    assert parsed is not None
+    w, h, px = parsed
+    assert (w, h) == (5 % 16 + 4, 5 % 12 + 3)
+    for yy in range(h):
+        for xx in range(w):
+            assert px[yy, xx, 0] == (xx * 7 + yy * 13 + 5) % 256
+    out = {r["doc_id"]: r for r in
+           resize_image(bmp, target=(8, 8)).collect()}
+    r5 = out[5]
+    xs = [(x * w) // 8 for x in range(8)]
+    ys = [(y * h) // 8 for y in range(8)]
+    vals = [(sx * 7 + sy * 13 + 5) % 256 for sy in ys for sx in xs]
+    assert r5["mean_px"] == round(sum(vals) / len(vals), 6)
+    assert r5["corner_px"] == (xs[-1] * 7 + ys[-1] * 13 + 5) % 256
+    assert len(out) == 6
+    # malformed payloads rejected, not guessed
+    assert parse_bmp(b"BMshort") is None
+    assert parse_bmp(b"\x00" * 60) is None
+    assert parse_bmp(raw[:40]) is None
+
+
 def test_minhash_candidates_truncation_flag(docs):
     sigs = minhash_signatures(docs)
     cands = minhash_candidates(sigs, max_bucket=2)
