@@ -627,6 +627,19 @@ def q_doc_decontaminate(spark, sf):
     return P.decontaminate(tr, ev)
 
 
+def q_doc_decontaminate_bloom(spark, sf):
+    """Scale-path decontamination: eval shingles compressed to a 64 Kbit
+    Bloom bitmap probed map-only (fixed 8 KB footprint vs a broadcast of
+    the whole eval shingle set), exact broadcast verify over the
+    bloom-positive sliver. No false negatives, so the result — and the
+    oracle — is identical to the exact operator."""
+    from influxdb_ha_spark.operators import pipeline as P
+    docs = _t(spark, sf, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    return P.decontaminate_bloom(tr, ev)
+
+
 def q_doc_train_test_split(spark, sf):
     """Deterministic hash split (reproducible on any layout — no RNG);
     emits per-split counts + per-doc assignments for the smallest ids."""
@@ -1323,6 +1336,7 @@ _FAMILIES = [
         "doc_simhash_near": q_doc_simhash_near,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_train_test_split": q_doc_train_test_split,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_pack_sequences": q_doc_pack_sequences,

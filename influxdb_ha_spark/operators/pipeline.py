@@ -54,6 +54,66 @@ def decontaminate(train: DataFrame, eval_set: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_shared_shingles")))
 
 
+def decontaminate_bloom(train: DataFrame, eval_set: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, m_bits: int = 1 << 16,
+                        hashes: int = 4) -> DataFrame:
+    """`decontaminate` with a Bloom prefilter: identical output, fixed
+    probe footprint.
+
+    The exact operator broadcasts the whole eval shingle set to every
+    executor — O(|eval shingles|) memory per executor, which stops
+    scaling when the decontamination list is itself large (all benchmark
+    suites + held-out docs can reach 10^8 shingles). Here the eval set is
+    compressed into an `m_bits` Bloom bitmap (m/8 bytes total, e.g. 8 KB
+    at the default), the corpus is probed MAP-ONLY against the bitmap
+    embedded as a literal array — zero shuffle, zero broadcast table —
+    and only the bloom-positive sliver (true positives + the filter's FP
+    rate) pays the exact broadcast verify. Bloom filters have no false
+    negatives, so after verification the result equals `decontaminate`
+    exactly (same oracle); `m_bits`/`hashes` trade prefilter selectivity
+    for bitmap size with the standard (1-e^{-kn/m})^k FP rate.
+    """
+    from .hashing import sql_shingles, sql_tokens
+
+    ev = (eval_set.select(F.explode(F.array_distinct(
+        shingles_expr(tokens_expr(F.col(text_col)), k))).alias("__sh"))
+        .distinct())
+    # bitmap build: k word-positions per eval shingle → bit_or per 64-bit
+    # word — one tiny shuffle keyed on the word index; only m/64 longs
+    # ever reach the driver
+    pos = [F.pmod(F.xxhash64(F.col("__sh"), F.lit(j)), F.lit(m_bits))
+           for j in range(hashes)]
+    words = (ev.select(F.explode(F.array(*pos)).alias("p"))
+             .selectExpr("cast(p div 64 as int) AS w",
+                         "shiftleft(cast(1 as bigint), "
+                         "cast(p % 64 as int)) AS b")
+             .groupBy("w").agg(F.bit_or("b").alias("bits")).collect())
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r["w"]] |= r["bits"]
+    bm_sql = "array(" + ",".join(f"{w}L" for w in bitmap) + ")"
+
+    def bit_test(j: int) -> str:
+        p = f"pmod(xxhash64(s, {j}), {m_bits})"
+        return (f"(element_at(__bm, cast({p} div 64 as int) + 1) & "
+                f"shiftleft(cast(1 as bigint), cast({p} % 64 as int))) != 0")
+
+    probe = ("exists(__sh, s -> "
+             + " AND ".join(bit_test(j) for j in range(hashes)) + ")")
+    cand = (ensure_min_parallelism(train)
+            .selectExpr(f"`{id_col}`", f"{sql_tokens(f'`{text_col}`')} AS __t")
+            .selectExpr(f"`{id_col}`",
+                        f"array_distinct({sql_shingles('__t', k)}) AS __sh")
+            .selectExpr(f"`{id_col}`", "__sh", f"{bm_sql} AS __bm")
+            .where(F.expr(probe))
+            .select(F.col(id_col), F.explode("__sh").alias("__sh")))
+    # exact verify over the sliver only — removes bloom false positives
+    return (cand.join(F.broadcast(ev), "__sh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared_shingles")))
+
+
 def train_test_split(df: DataFrame, id_col: str = "doc_id",
                      test_pct: int = 10) -> DataFrame:
     """Deterministic split: md5-hash of the id mod 100 < test_pct → 'test'.

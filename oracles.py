@@ -595,6 +595,9 @@ def build_oracles() -> dict[str, str]:
              FROM sh WHERE doc_id % 97 <> 0)
       SELECT tr.doc_id, count(*) AS n_shared_shingles
       FROM tr JOIN ev USING (g) GROUP BY 1"""
+    # bloom prefilter + exact verify ≡ the exact operator (no false
+    # negatives; false positives die in the verify join)
+    o["doc_decontaminate_bloom"] = o["doc_decontaminate"]
     o["doc_train_test_split"] = f"""
       SELECT doc_id,
              CASE WHEN {duck_hash64('doc_id::VARCHAR')} % 100 < 10

@@ -284,6 +284,30 @@ def test_pipeline_ops(docs, spark):
         stratified_sample(strat.repartition(7), n_per_stratum=4).collect())
 
 
+def test_decontaminate_bloom_exact(docs, spark):
+    """The bloom-prefiltered operator returns exactly the exact
+    operator's rows — including with a deliberately tiny bitmap whose FP
+    rate approaches 1 (every false positive must die in the verify
+    stage), and with an eval set producing zero contamination."""
+    from influxdb_ha_spark.operators.pipeline import (decontaminate,
+                                                      decontaminate_bloom)
+
+    ev = docs.where("doc_id IN (1, 5)")
+    tr = docs.where("doc_id NOT IN (1, 5)")
+    want = sorted(map(tuple, decontaminate(tr, ev).collect()))
+    got = sorted(map(tuple, decontaminate_bloom(tr, ev).collect()))
+    assert got == want and want    # non-degenerate: overlap exists
+    # 64-bit bitmap → near-total false positives → still exact
+    tiny = sorted(map(tuple, decontaminate_bloom(
+        tr, ev, m_bits=64, hashes=2).collect()))
+    assert tiny == want
+    # disjoint eval set → empty either way
+    ev2 = spark.createDataFrame(
+        [(9, "zz yy xx ww vv uu tt ss rr qq pp")],
+        "doc_id long, text string")
+    assert decontaminate_bloom(tr, ev2).count() == 0
+
+
 def test_pack_sequences(spark):
     """Concat-and-chunk packing: offsets are the exclusive prefix sum in
     id order; first/last sequence indices follow from integer division."""
