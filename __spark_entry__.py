@@ -58,6 +58,10 @@ _REQUIRED_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # build-speed only (skips per-op Python call-site capture); PySpark
+    # caches the first read, so this takes effect only if set before the
+    # session's first DataFrame op — harmless either way
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 import weakref
 
@@ -831,6 +835,24 @@ def q_emb_near_dup_lsh(spark, sf):
     return S.cosine_near_dup_pairs(emb, threshold=0.9)
 
 
+def q_emb_near_dup_planted(spark, sf):
+    """Non-degenerate LSH gate: the synthetic embeddings are near-random
+    (max pairwise cosine ~0.47), so the 0.9-threshold queries verify only
+    the no-false-positive side. This variant plants exact duplicates
+    (vec_id % 25 == 0, re-keyed +1000000): identical vectors share every
+    LSH bucket (recall 1 by construction) and cosine is exactly 1.0, so
+    the oracle equality checks bucket keying, candidate generation, AND
+    verification on non-empty output."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    planted = (emb.where(F.col("vec_id") % 25 == 0)
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       "embedding"))
+    return S.cosine_near_dup_pairs(emb.unionByName(planted), threshold=0.9)
+
+
 def q_emb_near_dup_pairs(spark, sf):
     """Exact all-pairs baseline (quadratic by construction — kept as the
     correctness reference; production uses emb_near_dup_lsh)."""
@@ -1351,6 +1373,7 @@ _FAMILIES = [
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "emb_near_dup_planted": q_emb_near_dup_planted,
         "emb_kmeans_train": q_emb_kmeans_train,
         "emb_dim_stats": q_emb_dim_stats,
         "emb_normalize": q_emb_normalize,

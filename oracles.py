@@ -741,6 +741,17 @@ def build_oracles() -> dict[str, str]:
              round({_cos("a.v", "b.v")}, 6) AS cosine
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE round({_cos("a.v", "b.v")}, 6) >= 0.9"""
+    # planted exact duplicates: the only pairs ≥0.9 are (v, copy-of-v),
+    # cosine exactly 1.0 — non-empty equality gate for the LSH path
+    o["emb_near_dup_planted"] = f"""
+      WITH e AS ({emb_cast}),
+      aug AS (SELECT vec_id, v FROM e
+              UNION ALL
+              SELECT vec_id + 1000000, v FROM e WHERE vec_id % 25 = 0)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_cos("a.v", "b.v")}, 6) AS cosine
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      WHERE round({_cos("a.v", "b.v")}, 6) >= 0.9"""
     o["emb_near_dup_pairs"] = f"""
       WITH e AS ({emb_cast})
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
