@@ -70,9 +70,14 @@ def tokenize(s: str) -> list[Token]:
         if kind == "IDENT" and text.upper() in KEYWORDS:
             out.append(Token("KEYWORD", text.upper(), pos))
         elif kind == "DQIDENT":
-            out.append(Token("IDENT", text[1:-1].replace('\\"', '"'), pos))
+            out.append(Token(
+                "IDENT", re.sub(r'\\(["\\])', r"\1", text[1:-1]), pos))
         elif kind == "STRING":
-            out.append(Token("STRING", text[1:-1].replace("\\'", "'"), pos))
+            # InfluxQL string literals support \' and \\ escapes; found by
+            # the parse∘print property test (test_parser_props.py) — the
+            # old \'-only unescape made backslash values unprintable
+            out.append(Token(
+                "STRING", re.sub(r"\\(['\\])", r"\1", text[1:-1]), pos))
         else:
             out.append(Token(kind, text, pos))
         pos = m.end()
