@@ -258,6 +258,151 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
             .where(F.col("cosine") >= threshold))
 
 
+def l2_sq_expr(a: Column, b: Column) -> Column:
+    """Squared L2 distance of two double-array columns, fully columnar."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+# -- product quantization ----------------------------------------------------
+# The last rung of the ANN compression ladder (brute → IVF → LSH → int8 SQ
+# → PQ): vectors become m one-byte codes (dim·4 bytes → m bytes, 32× at the
+# defaults) and query scoring becomes m table lookups instead of dim
+# multiplies — the memory layout that lets a 100 TB embedding corpus fit an
+# in-memory search tier.
+
+def pq_train(corpus: DataFrame, m: int = 4, k: int = 16, iters: int = 4,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Train m per-subspace codebooks of k centroids (L2 Lloyd's, the PQ
+    metric) — returns driver-side nested lists (m × k × dim/m floats,
+    bounded like the k-means collect).
+
+    Each subspace trains on a sliced projection of the corpus; the
+    per-iteration shape matches kmeans_centroids (broadcast assignment →
+    per-(centroid, dim) mean), only the metric differs. Deterministic
+    init from the lowest-id vectors."""
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d = dim // m
+    books = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.transform(vec_col, lambda x: x.cast("double")),
+                    s * d + 1, d).alias("sv"))
+        cents = [list(map(float, c)) for c in
+                 (sub.orderBy(id_col).limit(k)
+                  .select("sv").rdd.map(lambda r: r[0]).collect())]
+        for _ in range(iters):
+            cdf = corpus.sparkSession.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "cid int, cent array<double>")
+            scored = (sub.crossJoin(F.broadcast(cdf))
+                      .select(id_col, "sv", "cid",
+                              l2_sq_expr(F.col("sv"), F.col("cent"))
+                              .alias("d2")))
+            w = Window.partitionBy(id_col).orderBy(
+                F.col("d2").asc(), F.col("cid").asc())
+            assigned = (scored.withColumn("r", F.row_number().over(w))
+                        .where(F.col("r") == 1))
+            means = (assigned.select("cid",
+                                     F.posexplode("sv").alias("pos", "v"))
+                     .groupBy("cid", "pos").agg(F.avg("v").alias("mv"))
+                     .groupBy("cid")
+                     .agg(F.array_sort(F.collect_list(
+                         F.struct("pos", "mv"))).alias("pm"))
+                     .select("cid", F.transform(
+                         "pm", lambda x: x["mv"]).alias("cent")))
+            got = {r["cid"]: list(map(float, r["cent"]))
+                   for r in means.collect()}
+            cents = [got.get(i, cents[i]) for i in range(k)]
+        books.append(cents)
+    return books
+
+
+def _books_sql(books) -> list[str]:
+    """Per-subspace codebook as a SQL array<array<double>> literal."""
+    return ["array(" + ", ".join(
+        "array(" + ", ".join(repr(float(x)) for x in c) + ")"
+        for c in book) + ")" for book in books]
+
+
+def pq_encode(corpus: DataFrame, books, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>): per subspace, the L2-nearest codebook entry
+    (first-min tie-break). Map-only — codebooks ride along as literals
+    (m·k·dim/m doubles ≈ 8 KB at the defaults), the corpus never
+    shuffles; one SQL string per code keeps the build off the py4j
+    round-trip path."""
+    m = len(books)
+    d = len(books[0][0])
+    cb = _books_sql(books)
+
+    def sub(s: int) -> str:
+        return (f"slice(transform(`{vec_col}`, x -> cast(x as double)), "
+                f"{s * d + 1}, {d})")
+
+    def code(s: int) -> str:
+        dists = (f"transform({cb[s]}, c -> aggregate(zip_with({sub(s)}, c, "
+                 f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
+                 f"(a, x) -> a + x))")
+        return (f"cast(array_position({dists}, array_min({dists})) - 1 "
+                f"as int)")
+
+    codes = "array(" + ", ".join(code(s) for s in range(m)) + ")"
+    return (ensure_min_parallelism(corpus)
+            .selectExpr(f"`{id_col}`", f"{codes} AS codes"))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, books, k: int = 5,
+            rerank: int = 4, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance top-k: each candidate is scored as
+    Σ_s ‖q_s − codebook_s[code_s]‖² — m array lookups per (query,
+    candidate) instead of dim multiplies — then the top rerank·k
+    candidates per query are re-ranked with exact cosine and the top k
+    returned.
+
+    Scale shape: codes are the only corpus-wide data touched by the ADC
+    pass (m bytes/vector); queries broadcast; the exact re-rank join
+    touches rerank·k·|Q| full vectors — a semi-joined sliver, mirroring
+    the LSH verify-stage pattern."""
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    m = len(books)
+    d = len(books[0][0])
+    cb = _books_sql(books)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.transform(vec_col, lambda x: x.cast("double"))
+                       .alias("qv"))
+    adc = " + ".join(
+        f"aggregate(zip_with(slice(qv, {s * d + 1}, {d}), "
+        f"element_at({cb[s]}, codes[{s}] + 1), "
+        f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
+        f"(a, x) -> a + x)" for s in range(m))
+    scored = (codes.join(F.broadcast(q),
+                         codes[id_col] != q["query_id"])
+              .selectExpr("query_id", f"`{id_col}` AS neighbor_id",
+                          f"({adc}) AS adist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc())
+    cand = (scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= rerank * k)
+            .select("query_id", "neighbor_id"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.transform(vec_col, lambda x: x.cast("double"))
+                       .alias("nv"))
+    exact = (cand.join(nv, "neighbor_id").join(F.broadcast(q), "query_id")
+             .select("query_id", "neighbor_id",
+                     F.round(cosine_expr(F.col("qv"), F.col("nv")), 6)
+                     .alias("cosine")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k))
+
+
 # -- centroid training ------------------------------------------------------
 
 def kmeans_centroids(corpus: DataFrame, k: int = 8, iters: int = 5,

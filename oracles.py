@@ -638,6 +638,13 @@ def build_oracles() -> dict[str, str]:
       SELECT 8 AS k, max(len(embedding)) AS dim,
              TRUE AS centroids_finite, count(*) AS n_assigned
       FROM embeddings"""
+    # PQ is trained iteratively (not SQL-expressible) — the gate mirrors
+    # the structural invariants + recall floor (see q_emb_pq_topk)
+    o["emb_pq_topk"] = f"""
+      WITH e AS ({emb_cast})
+      SELECT vec_id AS query_id, 5::BIGINT AS n_results,
+             TRUE AS valid, TRUE AS recall_ok
+      FROM e WHERE vec_id < 10"""
     o["emb_ivf_topk"] = f"""
       WITH e AS ({emb_cast}),
       q AS (SELECT * FROM e WHERE vec_id < 10),

@@ -440,6 +440,31 @@ def test_scalar_quantize(spark):
     assert [q[i][1] for i in (1, 2, 3)] == [0, 0, 0]
 
 
+def test_pq_encode_and_topk(spark):
+    """PQ invariants: codes are m ints < k, identical vectors share codes,
+    and a planted exact duplicate of a query is its rank-1 neighbor after
+    the exact re-rank."""
+    import random
+
+    from influxdb_ha_spark.operators.similarity import (pq_encode, pq_topk,
+                                                        pq_train)
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((100, list(rows[0][1])))          # exact dup of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=2, k=4, iters=2)
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 4
+    codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    assert len(codes) == 41
+    assert all(len(c) == 2 and all(0 <= x < 4 for x in c)
+               for c in codes.values())
+    assert codes[0] == codes[100]                 # identical vecs, same codes
+    q = df.where("vec_id = 0")
+    top = pq_topk(df, q, books, k=3).orderBy("rank").collect()
+    assert top[0]["neighbor_id"] == 100 and top[0]["cosine"] == 1.0
+    assert [r["rank"] for r in top] == [1, 2, 3]
+
+
 def test_weighted_sample(spark):
     from influxdb_ha_spark.operators.pipeline import weighted_sample
 

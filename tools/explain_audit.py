@@ -34,6 +34,8 @@ BOUNDED_SINGLE_PARTITION = {
     "iq_fill_linear": "ungrouped fill spine window, capped (fill.py); "
                       "segmented above _SMALL_SPINE",
     "emb_kmeans_train": "two 1-row global-aggregate summaries joined",
+    "emb_pq_topk": "the recall gate's n_hits/n_total 1-row global "
+                   "aggregates; result data is per-query windowed",
     "show_cardinality": "three 1-row cardinality counts joined",
     "doc_pack_sequences": "distributed prefix sum's offset table: the "
                           "keyless window ranks only the P per-bucket "
@@ -50,6 +52,9 @@ ALLOWED_CARTESIAN = {
     "emb_near_dup_pairs": "exact all-pairs reference (quadratic by "
                           "definition); production path is emb_near_dup_lsh",
     "emb_kmeans_train": "1-row x 1-row crossJoin of global aggregates",
+    "emb_pq_topk": "ADC pass is codes x broadcast(queries) by design (m "
+                   "bytes/vector scanned, |Q| bounded); plus 1-row recall "
+                   "crossJoins and the brute reference for the recall gate",
     "show_cardinality": "1-row x 1-row crossJoins of cardinality counts",
 }
 
