@@ -755,6 +755,16 @@ def q_doc_dedup_clusters(spark, sf):
     return D.connected_components(pairs)
 
 
+def q_doc_dedup_apply(spark, sf):
+    """The shipped artifact of the dedup family: near-dup pairs →
+    connected components → keep each cluster's min-id representative +
+    all singletons. Oracle recomputes the closure with a recursive CTE
+    and anti-selects the non-representatives."""
+    docs = _t(spark, sf, "documents")
+    pairs = D.minhash_near_duplicates(docs, threshold=0.7)
+    return D.dedup_apply(docs, pairs).select("doc_id")
+
+
 def q_doc_simhash_near(spark, sf):
     """SimHash near-dups via pigeonhole banding + exact Hamming verify —
     the oracle brute-forces all pairs; banding must find the same set
@@ -1389,6 +1399,7 @@ _FAMILIES = [
         "doc_simhash": q_doc_simhash,
         "doc_simhash_near": q_doc_simhash_near,
         "doc_dedup_clusters": q_doc_dedup_clusters,
+        "doc_dedup_apply": q_doc_dedup_apply,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_train_test_split": q_doc_train_test_split,

@@ -243,6 +243,24 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
             .where(F.col("hamming") <= max_hamming))
 
 
+def dedup_apply(df: DataFrame, pairs: DataFrame,
+                id_col: str = "doc_id") -> DataFrame:
+    """Materialize the deduplicated corpus: connected components over the
+    near-dup pair graph, keep each cluster's minimum-id representative
+    plus every unclustered doc.
+
+    The final step a pipeline actually ships: pairs → clusters →
+    surviving id set. The anti-join's right side is only the cluster
+    non-representatives (|dups|, small relative to the corpus by
+    definition), so Catalyst broadcasts it and the corpus never
+    shuffles."""
+    clusters = connected_components(pairs, max_iter=20)
+    losers = (clusters.where(F.col("doc_id") != F.col("cluster"))
+              .select(F.col("doc_id").alias("__loser")))
+    return (df.join(F.broadcast(losers),
+                    df[id_col] == F.col("__loser"), "left_anti"))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iter: int = 20) -> DataFrame:

@@ -584,6 +584,21 @@ def build_oracles() -> dict[str, str]:
         WHERE e.b != r.a),
       m AS (SELECT a, min(b) AS mb FROM reach GROUP BY a)
       SELECT a AS doc_id, least(a, mb) AS cluster FROM m"""
+    # surviving corpus after cluster-representative dedup: everything
+    # except non-min members of a duplicate component
+    o["doc_dedup_apply"] = f"""
+      WITH RECURSIVE nd AS ({_near_dups_sql(3, 0.7)}),
+      e AS (SELECT id_a AS a, id_b AS b FROM nd
+            UNION SELECT id_b, id_a FROM nd),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        WHERE e.b != r.a),
+      m AS (SELECT a, min(b) AS mb FROM reach GROUP BY a),
+      losers AS (SELECT a FROM m WHERE least(a, mb) != a)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT a FROM losers)"""
     o["doc_ngram_jaccard"] = _near_dups_sql(2, 0.5)
     # n-gram test-set decontamination: distinct 3-gram overlap between the
     # benchmark subset (doc_id % 97 = 0) and the rest of the corpus

@@ -164,6 +164,21 @@ def test_gif_frame_walk(docs):
     assert out[5]["n_frames"] == 6 and out[5]["frame_w"] == 6
 
 
+def test_dedup_apply(docs):
+    """The materialized dedup keeps each cluster's min id + singletons:
+    docs 1,2,3 form a near-dup cluster (1 survives), everything else
+    passes through."""
+    from influxdb_ha_spark.operators.dedup import (dedup_apply,
+                                                   minhash_near_duplicates)
+    pairs = minhash_near_duplicates(docs, threshold=0.7)
+    clustered = {r["id_a"] for r in pairs.collect()} | \
+                {r["id_b"] for r in pairs.collect()}
+    assert {1, 2, 3} <= clustered
+    kept = sorted(r["doc_id"] for r in dedup_apply(docs, pairs).collect())
+    assert 1 in kept and 2 not in kept and 3 not in kept
+    assert set(kept) | {2, 3} == {r["doc_id"] for r in docs.collect()}
+
+
 def test_bmp_resize_roundtrip(docs):
     """synthesize_bmp → parse_bmp → resize_image is END-TO-END real: the
     parsed raster equals the generating pattern (through bottom-up row
