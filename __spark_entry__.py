@@ -1297,6 +1297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _PRIORITY = [
     "tpch_q1", "agg_top_bottom", "agg_first_last", "agg_median_percentile",
     "agg_mode", "iq_fill_linear", "iq_slimit", "iq_top5", "iq_subquery",
+    # non-empty LSH evidence: the plain emb_near_dup_lsh row is a
+    # correct-but-0-row gate on this synthetic corpus
+    "emb_near_dup_planted",
 ]
 
 
