@@ -184,6 +184,94 @@ def test_show_and_kill_queries(spark, tmp_path):
         eng.query_df("KILL QUERY 99999")
 
 
+def test_kill_query_isolation(spark, tmp_path):
+    """Cancelling one in-flight query must not disturb a concurrent one:
+    job groups are per-query, so KILL QUERY q1 errors q1's thread while
+    q2 (latched on its own file) completes with a correct result."""
+    import os
+    import threading
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark)
+    flags = {}
+    for name in ("ka", "kb"):
+        started = str(tmp_path / f"{name}.started")
+        release = str(tmp_path / f"{name}.release")
+        flags[name] = (started, release)
+
+        def hold(v, _s=started, _r=release):
+            open(_s, "a").close()
+            for _ in range(1200):
+                if os.path.exists(_r):
+                    break
+                _time.sleep(0.05)
+            return float(v)
+
+        base = spark.range(8).select(
+            F.lit(0).cast("long").alias("time"),
+            F.lit("x").alias("type"),
+            F.udf(hold, "double")(F.col("id")).alias("value"))
+        cat.register(Measurement(name=name, database="sharded",
+                                 tags=["type"], fields=["value"], df=base))
+    eng = Engine(cat, database="sharded", now_ns=NOW)
+
+    results, errors = {}, {}
+
+    def run(name):
+        try:
+            results[name] = eng.query(
+                f"SELECT sum(value) AS s FROM {name}")
+        except Exception as exc:
+            errors[name] = exc
+
+    threads = {n: threading.Thread(target=run, args=(n,)) for n in flags}
+    try:
+        for t in threads.values():
+            t.start()
+        # whichever query's job wins the FIFO race holds every local[4]
+        # slot (submission order between the two threads is not
+        # deterministic); the other is REGISTERED driver-side immediately
+        # but its tasks queue. Kill the running one; the queued one must
+        # inherit the slots and finish unharmed.
+        deadline = _time.time() + 30
+        victim = None
+        while victim is None:
+            assert _time.time() < deadline, "neither scan ever started"
+            for n, (s, _) in flags.items():
+                if os.path.exists(s):
+                    victim = n
+                    break
+            _time.sleep(0.05)
+        other = "kb" if victim == "ka" else "ka"
+        listed = eng.query_df("SHOW QUERIES").collect()
+        by_query = {r["query"]: r["qid"] for r in listed
+                    if r["kind"] == "interactive"}
+        qv = next(v for k, v in by_query.items() if f"FROM {victim}" in k)
+        assert any(f"FROM {other}" in k for k in by_query), \
+            "queued query missing from the driver-side listing"
+        eng.query_df(f"KILL QUERY {qv}").collect()
+        threads[victim].join(timeout=60)
+        assert not threads[victim].is_alive() and victim in errors
+        # the survivor inherits the freed slots, hits its own latch alive
+        deadline = _time.time() + 60
+        while not os.path.exists(flags[other][0]):
+            assert _time.time() < deadline, "survivor never got the slots"
+            _time.sleep(0.05)
+        assert other not in errors and other not in results
+        open(flags[other][1], "a").close()
+        threads[other].join(timeout=90)
+        assert not threads[other].is_alive() and other not in errors
+        vals = results[other]["results"][0]["series"][0]["values"]
+        assert vals[0][-1] == float(sum(range(8)))
+    finally:
+        for _, r in flags.values():
+            open(r, "a").close()
+        for t in threads.values():
+            t.join(timeout=90)
+
+
 def test_engine_show(engine):
     names = [r["name"] for r in engine.query_df("SHOW MEASUREMENTS").collect()]
     assert names == ["treasures"]
