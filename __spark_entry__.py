@@ -1200,6 +1200,21 @@ def q_rollup_revenue(spark, sf):
                     "revenue", "n"))
 
 
+def q_ev_json_props(spark, sf):
+    """Semi-structured extraction: events.props is a JSON string column;
+    get_json_object pulls `$.k` JVM-side (no UDF), aggregated per event
+    type. The Spark-native path for property bags — schema-on-read
+    without exploding the table into columns."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("k").alias("n"),
+                 F.round(F.avg("k"), 6).alias("avg_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
 def q_ts_asof_join(spark, sf):
     """As-of join (added scope — reference has no joins, README.md:190-200):
     for each click event, the user's most recent purchase value at-or-before
@@ -1441,6 +1456,7 @@ _FAMILIES = [
         # time-series relational ops (added scope; operators/timeseries.py)
         "ts_asof_join": q_ts_asof_join,
         "ts_sessionize": q_ts_sessionize,
+        "ev_json_props": q_ev_json_props,
         "ts_interval_join": q_ts_interval_join,
     },
     {

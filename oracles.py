@@ -610,6 +610,14 @@ def build_oracles() -> dict[str, str]:
              FROM sh WHERE doc_id % 97 <> 0)
       SELECT tr.doc_id, count(*) AS n_shared_shingles
       FROM tr JOIN ev USING (g) GROUP BY 1"""
+    # JSON property-bag extraction over events.props
+    o["ev_json_props"] = f"""
+      SELECT event_type, count(k) AS n,
+             {fr('avg(k)', 6)} AS avg_k,
+             min(k) AS min_k, max(k) AS max_k
+      FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k
+            FROM events)
+      GROUP BY event_type"""
     # bloom prefilter + exact verify ≡ the exact operator (no false
     # negatives; false positives die in the verify join)
     o["doc_decontaminate_bloom"] = o["doc_decontaminate"]
