@@ -74,6 +74,30 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     # exact tree cost ~1,500 py4j round trips per cold build (hashing.py).
     # hashing.minhash_sig_udf is the bit-identical numpy alternative —
     # benched neutral at this scale, kept for very-wide num_perm configs.
+    if hash_fn == "fast":
+        # production path: never materialize shingle STRINGS — hash each
+        # token once, then polynomial-fold k consecutive token hashes
+        # (wrapping long arithmetic). Kills the per-shingle string
+        # allocation that dominates the signature map at scale; measured
+        # ~20% off the warm map stage at sf0.1. Different (still uniform)
+        # hash family than the md5 oracle path, which is why only the
+        # rows-only "fast" variant may use it.
+        c = f"(size(__ht) - {shingle_k - 1})"
+        comb = f"slice(__ht, 1, {c})"
+        for i in range(1, shingle_k):
+            comb = (f"zip_with({comb}, slice(__ht, {i + 1}, {c}), "
+                    f"(a, b) -> a * 1000003L + b)")
+        return (df.selectExpr(f"`{id_col}`",
+                              f"{sql_tokens(f'`{text_col}`')} AS __t")
+                .where(F.expr(f"size(__t) >= {shingle_k}"))
+                .selectExpr(f"`{id_col}`",
+                            "transform(__t, t -> xxhash64(t)) AS __ht")
+                .selectExpr(f"`{id_col}`",
+                            f"transform({comb}, h -> "
+                            f"pmod(h, {(1 << 60) - 1}L) % {MERSENNE_P}L)"
+                            " AS __h")
+                .selectExpr(f"`{id_col}`",
+                            f"{sql_minhash_sig('__h', coeffs)} AS signature"))
     return (df.selectExpr(f"`{id_col}`",
                           f"{sql_tokens(f'`{text_col}`')} AS __t")
             .selectExpr(f"`{id_col}`",
