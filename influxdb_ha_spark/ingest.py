@@ -32,6 +32,40 @@ class IngestResult:
     n_rejected: int
 
 
+def fnv1a_32(s: str) -> int:
+    """Byte-identical port of the reference's placement hash
+    (hash/hash.go:8-12, FNV-1a 32 over the joined compound key —
+    consumed by cluster/partitioner.go:83-107). Kept so exported series
+    manifests can be compared 1:1 with a live reference cluster's
+    placements during migration; the known goldens from
+    service/query_handler_test.go:101-103 (gold=3966162835,
+    silver=3042244896, trash=1583631877) pin it in tests."""
+    h = 2166136261
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def reference_placement_manifest(wide: DataFrame,
+                                 pk: PartitionKey) -> DataFrame:
+    """One row per distinct compound partition key with the reference's
+    FNV-1a hash — the migration artifact that maps this engine's
+    partitions onto a reference cluster's token ring. Distinct-first
+    (series count, not row count) then a tiny Arrow-batched hash pass."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def hash_series(keys):
+        return keys.map(fnv1a_32)
+
+    hash_series.__annotations__ = {"keys": pd.Series, "return": pd.Series}
+    h = pandas_udf(hash_series, "long")
+    key = F.concat_ws("", *[F.col(t) for t in pk.tags])
+    return (wide.select(*pk.tags).distinct()
+            .withColumn("compound_key", key)
+            .withColumn("placement_hash", h(F.col("compound_key"))))
+
+
 def validate_partition_key(wide: DataFrame, pk: PartitionKey | None
                            ) -> tuple[DataFrame, DataFrame]:
     """Split rows into (valid, dead-letter) on partition-key completeness.

@@ -207,3 +207,25 @@ def test_line_protocol_export_roundtrip(spark):
     tags = {r["time"]: r["tags"] for r in back}
     assert tags[1000] == {"city": "se,attle", "zone": "a b"}
     assert tags[2000] == {"city": "nyc"}
+
+
+def test_reference_placement_goldens(spark):
+    """The FNV-1a compound-key hash is byte-identical to the reference's
+    placement hash: the exact goldens its own integration tests assert
+    (service/query_handler_test.go:101-103)."""
+    from influxdb_ha_spark.ingest import (fnv1a_32,
+                                          reference_placement_manifest)
+    from influxdb_ha_spark.model import PartitionKey
+
+    assert fnv1a_32("gold") == 3966162835
+    assert fnv1a_32("silver") == 3042244896
+    assert fnv1a_32("trash") == 1583631877
+    df = spark.createDataFrame(
+        [(1, "gold", 1.0), (2, "gold", 2.0), (3, "silver", 3.0),
+         (4, "trash", 4.0)],
+        "time long, type string, value double")
+    pk = PartitionKey("sharded", "treasures", ["type"])
+    m = {r["compound_key"]: r["placement_hash"]
+         for r in reference_placement_manifest(df, pk).collect()}
+    assert m == {"gold": 3966162835, "silver": 3042244896,
+                 "trash": 1583631877}
