@@ -118,15 +118,44 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def assign_centroids(corpus: DataFrame, centroids: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Nearest-centroid assignment (broadcast join over C centroids)."""
-    c = centroids.select(F.col("centroid_id"), F.col(vec_col).alias("cent"))
-    scored = (ensure_min_parallelism(corpus).crossJoin(F.broadcast(c))
-              .select(id_col, vec_col, "centroid_id",
-                      cosine_expr(F.col(vec_col), F.col("cent")).alias("sim")))
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(),
-                                           F.col("centroid_id").asc())
-    return (scored.withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1).drop("r", "sim"))
+    """Nearest-centroid assignment, MAP-ONLY.
+
+    The C centroids are bounded (k×dim — same collect convention as the
+    k-means loop), so they inline as literal arrays and each corpus row
+    computes all C cosines + argmax inside one codegen'd projection.
+    The previous shape (crossJoin(broadcast) → per-id row_number window)
+    materialized N×C rows and shuffled them on the row id purely to pick
+    a max — at 100 TB that's C× the scan volume through an exchange for
+    something a projection expresses. Tie-break preserved: argmax takes
+    the FIRST maximum = lowest centroid_id, exactly what the old
+    (sim DESC, centroid_id ASC) ordering picked; the cosine expression
+    tree is the same aggregate(zip_with(...)) shape, so the doubles are
+    bit-identical and downstream oracles (IVF bucketing) see identical
+    assignments."""
+    cents = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    ids = ", ".join(str(int(r["centroid_id"])) for r in cents)
+
+    def cos_sql(vec: list) -> str:
+        arr = "array(" + ", ".join(repr(float(x)) for x in vec) + ")"
+        return (f"aggregate(zip_with(__v, {arr}, (x, y) -> x * y), "
+                f"cast(0.0 as double), (a, x) -> a + x) / "
+                f"(sqrt(aggregate(__v, cast(0.0 as double), "
+                f"(a, x) -> a + x * x)) * "
+                f"sqrt(aggregate({arr}, cast(0.0 as double), "
+                f"(a, x) -> a + x * x)))")
+
+    sims = "array(" + ", ".join(cos_sql(r[vec_col]) for r in cents) + ")"
+    other = [c for c in corpus.columns]
+    return (ensure_min_parallelism(corpus)
+            .withColumn("__v", F.expr(vec_col))
+            .withColumn("__sims", F.expr(sims))
+            .selectExpr(*[f"`{c}`" for c in other],
+                        # greatest(...,1): a degenerate all-NaN sim row
+                        # (zero-norm vector) falls to centroid[0] instead
+                        # of erroring on index 0
+                        f"element_at(array({ids}), greatest(cast("
+                        f"array_position(__sims, array_max(__sims)) as int)"
+                        f", 1)) AS centroid_id"))
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
@@ -296,17 +325,17 @@ def pq_train(corpus: DataFrame, m: int = 4, k: int = 16, iters: int = 4,
                  (sub.orderBy(id_col).limit(k)
                   .select("sv").rdd.map(lambda r: r[0]).collect())]
         for _ in range(iters):
-            cdf = corpus.sparkSession.createDataFrame(
-                [(i, c) for i, c in enumerate(cents)],
-                "cid int, cent array<double>")
-            scored = (sub.crossJoin(F.broadcast(cdf))
-                      .select(id_col, "sv", "cid",
-                              l2_sq_expr(F.col("sv"), F.col("cent"))
-                              .alias("d2")))
-            w = Window.partitionBy(id_col).orderBy(
-                F.col("d2").asc(), F.col("cid").asc())
-            assigned = (scored.withColumn("r", F.row_number().over(w))
-                        .where(F.col("r") == 1))
+            # map-only argmin (same rationale as assign_centroids: never
+            # materialize N×k rows or shuffle on the row id to pick a min)
+            dists = "array(" + ", ".join(
+                "aggregate(zip_with(sv, array({v}), (x, y) -> "
+                "(x - y) * (x - y)), cast(0.0 as double), (a, x) -> a + x)"
+                .format(v=", ".join(repr(float(x)) for x in c))
+                for c in cents) + ")"
+            assigned = sub.selectExpr(
+                f"`{id_col}`", "sv",
+                f"cast(array_position({dists}, "
+                f"array_min({dists})) as int) - 1 AS cid")
             means = (assigned.select("cid",
                                      F.posexplode("sv").alias("pos", "v"))
                      .groupBy("cid", "pos").agg(F.avg("v").alias("mv"))
