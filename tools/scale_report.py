@@ -1,0 +1,67 @@
+"""Data-scaling evidence: run a representative query slice at every
+available scale factor and report how wall time grows vs data size.
+
+The 100 TB question is "what happens at 100x the data?" — this prints the
+measured local answer at 100x (sf0.001 → sf0.1): a per-query table of
+warm-execution wall seconds (second run of each query, so plan compile and
+JIT — fixed costs that amortize on a long-lived cluster — are excluded)
+and the wall ratio across each 10x data step.
+
+Usage: python tools/scale_report.py [sf_dir ...]
+Defaults to /root/testdata/sf0.001 sf0.01 sf0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+
+# a slice that exercises every heavy shape: scan+agg, exact order stats,
+# broadcast join, time buckets, per-series windows, LSH dedup, ANN, maps
+QUERIES = ["tpch_q1", "agg_median_percentile", "join_brand_revenue",
+           "iq_mean_1h", "tr_moving_average", "doc_near_dups_fast",
+           "emb_near_dup_lsh", "text_quality", "ts_asof_join"]
+
+
+def main():
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.001",
+                            "/root/testdata/sf0.01",
+                            "/root/testdata/sf0.1"]
+    from influxdb_ha_spark.session import get_spark
+    spark = get_spark(app_name="scale_report")
+    spark.range(1000).count()
+    qs = entry.queries()
+    out: dict[str, dict[str, float]] = {}
+    for d in dirs:
+        sf = os.path.basename(d.rstrip("/"))
+        out[sf] = {}
+        for name in QUERIES:
+            fn = qs[name]
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            t0 = time.time()
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+            out[sf][name] = round(time.time() - t0, 3)
+    sfs = list(out)
+    print(f"{'query':26s} " + " ".join(f"{s:>9s}" for s in sfs)
+          + "   ratio/10x")
+    for name in QUERIES:
+        times = [out[s][name] for s in sfs]
+        ratios = [times[i + 1] / times[i] if times[i] > 0 else float("nan")
+                  for i in range(len(times) - 1)]
+        rtxt = ", ".join(f"{r:.2f}" for r in ratios)
+        print(f"{name:26s} " + " ".join(f"{t:9.3f}" for t in times)
+              + f"   [{rtxt}]")
+    totals = {s: round(sum(v.values()), 3) for s, v in out.items()}
+    print(json.dumps({"metric": "scale_report_warm_seconds",
+                      "totals": totals, "per_query": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
