@@ -467,18 +467,27 @@ class Engine:
                 self.catalog.databases.pop(name, None)
         elif m.group(3):  # DROP MEASUREMENT
             self.catalog.databases.get(db, {}).pop(m.group(3), None)
-        elif m.group(5):  # DELETE/DROP SERIES FROM msmt [WHERE tag='v' ...]
+        elif m.group(5):  # DELETE/DROP SERIES FROM m|/re/ [WHERE tag='v' …]
             name, cond = m.group(5), m.group(6)
-            meas = self.catalog.get(db, name)
-            if cond:
-                from .influxql.parser import Parser
-                expr = Parser(cond).parse_expr()
-                planner = Planner(self.catalog, db, now_ns=self.now_ns)
-                from .planner import PlanContext
-                ctx = PlanContext(meas, planner.now_ns)
-                meas.df = meas.df.where(~planner._where_expr(expr, ctx))
+            if name.startswith("/") and name.endswith("/") and len(name) > 1:
+                # DROP SERIES FROM /regex/ — InfluxQL 1.x regex sources
+                # apply the drop across every matching measurement
+                rx = re.compile(name[1:-1])
+                targets = [mm for mm in
+                           self.catalog.databases.get(db, {}).values()
+                           if rx.search(mm.name)]
             else:
-                meas.df = meas.df.limit(0)
+                targets = [self.catalog.get(db, name.strip('"'))]
+            for meas in targets:
+                if cond:
+                    from .influxql.parser import Parser
+                    expr = Parser(cond).parse_expr()
+                    planner = Planner(self.catalog, db, now_ns=self.now_ns)
+                    from .planner import PlanContext
+                    ctx = PlanContext(meas, planner.now_ns)
+                    meas.df = meas.df.where(~planner._where_expr(expr, ctx))
+                else:
+                    meas.df = meas.df.limit(0)
         return local_result(spark, [], [("ok", "STRING")])
 
     @staticmethod

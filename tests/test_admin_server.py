@@ -311,6 +311,27 @@ def test_engine_drop_series(spark, treasures):
     assert after == before - 2
 
 
+def test_engine_drop_series_regex(spark):
+    """DROP SERIES FROM /regex/ applies across every matching measurement
+    (InfluxQL 1.x regex sources on the broadcast-DDL path)."""
+    cat = Catalog(spark)
+    for name in ("cpu_east", "cpu_west", "mem_east"):
+        df = spark.createDataFrame(
+            [(1, "gold", 1.0), (2, "trash", 2.0)],
+            "time long, type string, value double")
+        cat.register_dataframe("sharded", name, df, time_col="time",
+                               tags=["type"])
+    eng = Engine(cat, database="sharded", now_ns=NOW)
+    eng.query_df("DROP SERIES FROM /^cpu_/ WHERE type='gold'")
+    assert eng.query_df("SELECT value FROM cpu_east").count() == 1
+    assert eng.query_df("SELECT value FROM cpu_west").count() == 1
+    assert eng.query_df("SELECT value FROM mem_east").count() == 2
+    eng.query_df("DROP SERIES FROM /east/")
+    assert eng.query_df("SELECT value FROM cpu_east").count() == 0
+    assert eng.query_df("SELECT value FROM mem_east").count() == 0
+    assert eng.query_df("SELECT value FROM cpu_west").count() == 1
+
+
 def test_engine_json_result(engine):
     out = engine.query("SELECT mean(value) FROM treasures WHERE type='gold'")
     series = out["results"][0]["series"][0]
