@@ -369,19 +369,26 @@ class Engine:
                                  ("privilege", "STRING")])
         m = _DELETE.match(q)
         if m:
-            # DELETE FROM m [WHERE …] — same broadcast path as DROP SERIES
-            # (routing.go:98-111); WHERE may include time bounds.
-            meas = self.catalog.get(db, m.group(1))
-            cond = m.group(2)
-            if cond:
-                from .influxql.parser import Parser
-                from .planner import PlanContext
-                expr = Parser(cond).parse_expr()
-                planner = Planner(self.catalog, db, now_ns=self.now_ns)
-                ctx = PlanContext(meas, planner.now_ns)
-                meas.df = meas.df.where(~planner._where_expr(expr, ctx))
+            # DELETE FROM m|/re/ [WHERE …] — same broadcast path as DROP
+            # SERIES (routing.go:98-111); WHERE may include time bounds.
+            name, cond = m.group(1), m.group(2)
+            if name.startswith("/") and name.endswith("/") and len(name) > 1:
+                rx = re.compile(name[1:-1])
+                targets = [mm for mm in
+                           self.catalog.databases.get(db, {}).values()
+                           if rx.search(mm.name)]
             else:
-                meas.df = meas.df.limit(0)
+                targets = [self.catalog.get(db, name.strip('"'))]
+            for meas in targets:
+                if cond:
+                    from .influxql.parser import Parser
+                    from .planner import PlanContext
+                    expr = Parser(cond).parse_expr()
+                    planner = Planner(self.catalog, db, now_ns=self.now_ns)
+                    ctx = PlanContext(meas, planner.now_ns)
+                    meas.df = meas.df.where(~planner._where_expr(expr, ctx))
+                else:
+                    meas.df = meas.df.limit(0)
             return ok()
         return None
 

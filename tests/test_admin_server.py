@@ -330,6 +330,9 @@ def test_engine_drop_series_regex(spark):
     assert eng.query_df("SELECT value FROM cpu_east").count() == 0
     assert eng.query_df("SELECT value FROM mem_east").count() == 0
     assert eng.query_df("SELECT value FROM cpu_west").count() == 1
+    # DELETE FROM /re/ rides the same broadcast path
+    eng.query_df("DELETE FROM /west/")
+    assert eng.query_df("SELECT value FROM cpu_west").count() == 0
 
 
 def test_engine_json_result(engine):
