@@ -127,15 +127,27 @@ def _dsum(col, scale: int = 2):
 
 
 def _events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts as ns-long `time` (the engine's canonical shape)."""
+    """events with ts as ns-long `time` (the engine's canonical shape).
+
+    Handles both physical layouts the driver has generated: INT64
+    TIMESTAMP(NANOS) read as LongType via nanosAsLong, and TIMESTAMP(MICROS)
+    (possibly NTZ) read as a timestamp type. Either way `time` comes out as
+    ns-since-epoch LongType, matching DuckDB's `epoch_ns(ts)` on the same
+    file (naive wall-clock ≡ UTC instant under the UTC session timezone)."""
     df = _t(spark, sf_dir, "events")
+    dtype = dict(df.dtypes)["ts"]
+    if dtype in ("timestamp", "timestamp_ntz"):
+        return df.withColumn(
+            "time", F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+            * F.lit(1000)).drop("ts")
     return df.withColumnRenamed("ts", "time")
 
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events at µs fidelity: DuckDB reads ns-parquet timestamps as µs, so
+    """events at µs fidelity: DuckDB reads the parquet timestamps at µs, so
     oracle-compared queries truncate `time` to µs on the Spark side too (the
-    engine itself stays ns — this is a comparison convention only)."""
+    engine itself stays ns — this is a comparison convention only; a no-op
+    when the source is already µs-precision)."""
     df = _events_ns(spark, sf_dir)
     return df.withColumn("time", F.col("time") - F.col("time") % F.lit(1000))
 

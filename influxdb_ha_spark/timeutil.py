@@ -112,8 +112,14 @@ def ns_to_timestamp(time_col: Column) -> Column:
 
 
 def timestamp_to_ns(ts_col: Column) -> Column:
-    """TimestampType → ns-long (µs precision preserved, sub-µs zero)."""
-    return F.unix_micros(ts_col) * F.lit(1000)
+    """TimestampType → ns-long (µs precision preserved, sub-µs zero).
+
+    Accepts TIMESTAMP_NTZ too: `unix_micros` requires TIMESTAMP_LTZ, so we
+    cast first (a no-op for LTZ input). With the engine's UTC session
+    timezone the NTZ wall-clock is read as a UTC instant — the same
+    convention DuckDB's `epoch_ns(naive_ts)` uses, keeping oracle
+    comparisons consistent."""
+    return F.unix_micros(ts_col.cast("timestamp_ltz")) * F.lit(1000)
 
 
 def format_time(time_col: Column, epoch: str | None) -> Column:
