@@ -91,6 +91,20 @@ class Catalog:
         Everything not time/tag becomes a field unless `fields` is given.
         """
         dtype = dict(df.dtypes)[time_col]
+        if dtype == "timestamp_ntz":
+            # A TIMESTAMP_NTZ wall-clock is interpreted in the session
+            # timezone when cast to LTZ (timeutil.timestamp_to_ns). The
+            # engine's convention (and the DuckDB oracle's epoch_ns) is
+            # UTC; under any other session zone the ns values would shift
+            # silently. Fail loudly instead (ADVICE r3).
+            tz = self.spark.conf.get("spark.sql.session.timeZone")
+            if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                raise ValueError(
+                    f"register_dataframe: time column {time_col!r} is "
+                    f"TIMESTAMP_NTZ but spark.sql.session.timeZone={tz!r}; "
+                    "NTZ wall-clocks are read as UTC instants — set the "
+                    "session timezone to UTC (session.get_spark does) or "
+                    "convert to epoch-ns yourself before registering")
         if dtype in ("timestamp", "timestamp_ntz"):
             df = df.withColumn(TIME_COL, timestamp_to_ns(F.col(time_col)))
             if time_col != TIME_COL:

@@ -56,3 +56,23 @@ def test_ns_time_column(cat):
     assert dt["time"] == "bigint"
     t = m.df.selectExpr("min(time) AS t").first()["t"]
     assert t > 1_700_000_000_000_000_000  # ns magnitude, not µs/ms
+
+
+def test_register_ntz_requires_utc_session(spark):
+    """ADVICE r3: a TIMESTAMP_NTZ time column under a non-UTC session
+    timezone must fail loudly instead of silently shifting ns values."""
+    df = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2020-01-01 00:00:00' AS ts, 1.0 AS value")
+    tz_key = "spark.sql.session.timeZone"
+    old = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "America/New_York")
+        cat = Catalog(spark)
+        with pytest.raises(ValueError, match="timeZone"):
+            cat.register_dataframe("default", "ntz_m", df, "ts", tags=[])
+    finally:
+        spark.conf.set(tz_key, old)
+    # back under UTC the same frame registers fine and lands on the epoch
+    cat = Catalog(spark)
+    m = cat.register_dataframe("default", "ntz_m", df, "ts", tags=[])
+    assert m.df.collect()[0]["time"] == 1577836800_000_000_000
