@@ -292,11 +292,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     labeling every member with the component's minimum id.
 
     Iterative min-label propagation — each round, every node adopts the
-    smallest label among itself and its neighbors (two hash-join +
-    groupBy-min passes, fully distributed; no Pregel dependency).
-    Converges in O(component diameter) rounds; near-dup components are
-    shallow in practice. Driver only checks the convergence flag.
+    smallest label among itself and its neighbors (one groupBy-min + one
+    hash-join pass, fully distributed; no Pregel dependency). Converges
+    in O(component diameter) rounds; near-dup components are shallow in
+    practice.
+
+    One Spark job per round: the changed-label count rides the eager
+    localCheckpoint's materialization job as an `observe()` metric, so
+    convergence costs no extra job. (Round 3 ran a separate join+take(1)
+    convergence job per round — at sf0.01 that doubled the per-iteration
+    driver sync and made `doc_dedup_apply` the slowest gate query.)
     """
+    from pyspark.sql import Observation
+
     edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
              .unionByName(pairs.select(F.col(id_b).alias("a"),
                                        F.col(id_a).alias("b")))
@@ -307,18 +315,26 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
               .distinct().withColumn("label", F.col("id"))
               .localCheckpoint(eager=True))
     for _ in range(max_iter):
-        neigh = (edges.join(labels, edges.b == labels.id)
-                 .select(F.col("a").alias("id"), F.col("label")))
+        # every id has >=1 neighbor (edges are symmetrized), so the
+        # neighbor-min covers all of `labels` — the left join is belt
+        # and braces for an empty pair set
+        neigh_min = (edges.join(labels, edges.b == labels.id)
+                     .groupBy("a").agg(F.min("label").alias("nlabel"))
+                     .withColumnRenamed("a", "id"))
+        obs = Observation()
+        stepped = (labels.join(neigh_min, "id", "left")
+                   .select("id",
+                           F.least(F.col("label"),
+                                   F.coalesce("nlabel", "label"))
+                           .alias("label"),
+                           (F.coalesce("nlabel", "label") < F.col("label"))
+                           .cast("long").alias("__chg"))
+                   .observe(obs, F.sum("__chg").alias("changed"))
+                   .drop("__chg"))
         # localCheckpoint truncates lineage — without it the plan doubles
         # every round, the classic iterative-algorithm failure at scale
-        new_labels = (labels.select("id", "label").unionByName(neigh)
-                      .groupBy("id").agg(F.min("label").alias("label"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.label") != F.col("o.label")).take(1))
-        labels = new_labels
-        if not changed:
+        labels = stepped.localCheckpoint(eager=True)
+        if not obs.get["changed"]:
             break
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"),

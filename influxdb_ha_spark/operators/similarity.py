@@ -116,6 +116,55 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .where(F.col("rank") <= k))
 
 
+# Above this many inlined literal terms (C centroids × dim), the generated
+# SQL / codegen for the literal-array argmax path explodes: plan strings hit
+# SparkStringUtils truncation, analysis time grows superlinearly, and the
+# codegen'd method can blow the JIT's 8 KB inline budget. IVF-scale codebooks
+# (C=4096, dim=768 ≈ 3M terms) must take the executor-broadcast Arrow path
+# instead — still map-only, still zero corpus shuffle.
+LITERAL_TERM_CAP = 65_536
+
+
+def _assign_centroids_arrow(corpus: DataFrame, cents: list,
+                            id_col: str, vec_col: str) -> DataFrame:
+    """Large-C nearest-centroid assignment: one Arrow-batched matmul per
+    batch against an executor-broadcast (C × dim) matrix.
+
+    Same semantics as the literal path: cosine similarity, first-maximum
+    tie-break (= lowest centroid_id — the matrix rows are sorted by id),
+    and Spark's NaN-is-largest ordering (a NaN sim wins argmax; an
+    all-NaN row — zero-norm vector — falls to the first centroid), so the
+    two paths produce identical assignments up to summation-order ULPs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray([[float(x) for x in r[vec_col]] for r in cents],
+                     dtype=np.float64)                    # (C, dim)
+    cent_ids = np.asarray([int(r["centroid_id"]) for r in cents],
+                          dtype=np.int32)
+    cnorm = np.sqrt((mat * mat).sum(axis=1))              # (C,)
+    # ship once per executor, not once per task closure
+    bc = corpus.sparkSession.sparkContext.broadcast((mat, cent_ids, cnorm))
+
+    def nearest(vecs):
+        m, cids, cn = bc.value
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        vnorm = np.sqrt((M * M).sum(axis=1))              # (N,)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (M @ m.T) / (vnorm[:, None] * cn[None, :])
+        # NaN → +inf replicates Spark array_max's NaN-largest ordering;
+        # np.argmax takes the FIRST max = lowest centroid_id on ties
+        idx = np.argmax(np.nan_to_num(sims, nan=np.inf,
+                                      posinf=np.inf, neginf=-np.inf), axis=1)
+        return pd.Series(cids[idx])
+
+    nearest.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    udf = pandas_udf(nearest, "int")
+    return (ensure_min_parallelism(corpus)
+            .withColumn("centroid_id", udf(F.col(vec_col))))
+
+
 def assign_centroids(corpus: DataFrame, centroids: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Nearest-centroid assignment, MAP-ONLY.
@@ -131,8 +180,15 @@ def assign_centroids(corpus: DataFrame, centroids: DataFrame,
     (sim DESC, centroid_id ASC) ordering picked; the cosine expression
     tree is the same aggregate(zip_with(...)) shape, so the doubles are
     bit-identical and downstream oracles (IVF bucketing) see identical
-    assignments."""
+    assignments.
+
+    Size-gated: above LITERAL_TERM_CAP inlined terms (C × dim) the literal
+    SQL itself becomes the bottleneck, so the assignment switches to
+    `_assign_centroids_arrow` — an executor-broadcast numpy argmax, still
+    map-only with zero corpus shuffle."""
     cents = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    if cents and len(cents) * len(cents[0][vec_col]) > LITERAL_TERM_CAP:
+        return _assign_centroids_arrow(corpus, cents, id_col, vec_col)
     ids = ", ".join(str(int(r["centroid_id"])) for r in cents)
 
     def cos_sql(vec: list) -> str:
@@ -326,16 +382,23 @@ def pq_train(corpus: DataFrame, m: int = 4, k: int = 16, iters: int = 4,
                   .select("sv").rdd.map(lambda r: r[0]).collect())]
         for _ in range(iters):
             # map-only argmin (same rationale as assign_centroids: never
-            # materialize N×k rows or shuffle on the row id to pick a min)
-            dists = "array(" + ", ".join(
-                "aggregate(zip_with(sv, array({v}), (x, y) -> "
-                "(x - y) * (x - y)), cast(0.0 as double), (a, x) -> a + x)"
-                .format(v=", ".join(repr(float(x)) for x in c))
-                for c in cents) + ")"
-            assigned = sub.selectExpr(
-                f"`{id_col}`", "sv",
-                f"cast(array_position({dists}, "
-                f"array_min({dists})) as int) - 1 AS cid")
+            # materialize N×k rows or shuffle on the row id to pick a min);
+            # size-gated like assign_centroids — beyond the literal budget
+            # the codebook rides an executor broadcast through Arrow
+            if k * d > LITERAL_TERM_CAP:
+                assigned = (sub.withColumn(
+                    "cid", _argmin_l2_udf(sub.sparkSession, cents)(
+                        F.col("sv"))))
+            else:
+                dists = "array(" + ", ".join(
+                    "aggregate(zip_with(sv, array({v}), (x, y) -> "
+                    "(x - y) * (x - y)), cast(0.0 as double), (a, x) -> a + x)"
+                    .format(v=", ".join(repr(float(x)) for x in c))
+                    for c in cents) + ")"
+                assigned = sub.selectExpr(
+                    f"`{id_col}`", "sv",
+                    f"cast(array_position({dists}, "
+                    f"array_min({dists})) as int) - 1 AS cid")
             means = (assigned.select("cid",
                                      F.posexplode("sv").alias("pos", "v"))
                      .groupBy("cid", "pos").agg(F.avg("v").alias("mv"))
@@ -349,6 +412,31 @@ def pq_train(corpus: DataFrame, m: int = 4, k: int = 16, iters: int = 4,
             cents = [got.get(i, cents[i]) for i in range(k)]
         books.append(cents)
     return books
+
+
+def _argmin_l2_udf(spark_session, cents: list):
+    """Arrow-batched L2 argmin against an executor-broadcast (k × d)
+    codebook — the over-LITERAL_TERM_CAP fallback for the PQ training /
+    encode literal paths. First-minimum tie-break matches the SQL
+    `array_position(d, array_min(d))` convention."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(cents, dtype=np.float64)             # (k, d)
+    bc = spark_session.sparkContext.broadcast(mat)
+
+    def code(vecs):
+        m = bc.value
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        # ‖x−c‖² per (row, centroid) via direct difference — O(N·k·d) but
+        # summation order matches the SQL fold closely enough that only
+        # exact ties (resolved identically: first min) are at risk
+        d2 = ((M[:, None, :] - m[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    code.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(code, "int")
 
 
 def _books_sql(books) -> list[str]:
@@ -367,6 +455,8 @@ def pq_encode(corpus: DataFrame, books, id_col: str = "vec_id",
     round-trip path."""
     m = len(books)
     d = len(books[0][0])
+    if m * len(books[0]) * d > LITERAL_TERM_CAP:
+        return _pq_encode_arrow(corpus, books, id_col, vec_col)
     cb = _books_sql(books)
 
     def sub(s: int) -> str:
@@ -383,6 +473,36 @@ def pq_encode(corpus: DataFrame, books, id_col: str = "vec_id",
     codes = "array(" + ", ".join(code(s) for s in range(m)) + ")"
     return (ensure_min_parallelism(corpus)
             .selectExpr(f"`{id_col}`", f"{codes} AS codes"))
+
+
+def _pq_encode_arrow(corpus: DataFrame, books, id_col: str,
+                     vec_col: str) -> DataFrame:
+    """Over-LITERAL_TERM_CAP pq_encode: all m codes in one Arrow pass
+    against an executor-broadcast (m × k × d) codebook. Per-subspace
+    matmul keeps batch memory at O(N·k), not O(N·k·d). First-min
+    tie-break matches the SQL path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.asarray(books, dtype=np.float64)               # (m, k, d)
+    bc = corpus.sparkSession.sparkContext.broadcast(B)
+
+    def codes_fn(vecs):
+        book = bc.value
+        m_, _, d_ = book.shape
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.empty((len(M), m_), dtype=np.int32)
+        for s in range(m_):
+            Ms = M[:, s * d_:(s + 1) * d_]                # (N, d)
+            d2 = ((Ms[:, None, :] - book[s][None, :, :]) ** 2).sum(axis=2)
+            out[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(out))
+
+    codes_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    udf = pandas_udf(codes_fn, "array<int>")
+    return (ensure_min_parallelism(corpus)
+            .select(F.col(id_col), udf(F.col(vec_col)).alias("codes")))
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, books, k: int = 5,

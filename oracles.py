@@ -573,8 +573,11 @@ def build_oracles() -> dict[str, str]:
             FROM sig)"""
     o["doc_minhash_candidates"] = _candidates_sql(3)
     o["doc_near_dups"] = _near_dups_sql(3, 0.7)
+    # `nd` is referenced twice by `e` (both edge directions) — without
+    # MATERIALIZED DuckDB inlines and recomputes the whole minhash+verify
+    # pipeline per reference (~2× the oracle wall time)
     o["doc_dedup_clusters"] = f"""
-      WITH RECURSIVE nd AS ({_near_dups_sql(3, 0.7)}),
+      WITH RECURSIVE nd AS MATERIALIZED ({_near_dups_sql(3, 0.7)}),
       e AS (SELECT id_a AS a, id_b AS b FROM nd
             UNION SELECT id_b, id_a FROM nd),
       reach(a, b) AS (
@@ -587,7 +590,7 @@ def build_oracles() -> dict[str, str]:
     # surviving corpus after cluster-representative dedup: everything
     # except non-min members of a duplicate component
     o["doc_dedup_apply"] = f"""
-      WITH RECURSIVE nd AS ({_near_dups_sql(3, 0.7)}),
+      WITH RECURSIVE nd AS MATERIALIZED ({_near_dups_sql(3, 0.7)}),
       e AS (SELECT id_a AS a, id_b AS b FROM nd
             UNION SELECT id_b, id_a FROM nd),
       reach(a, b) AS (

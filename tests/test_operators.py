@@ -495,3 +495,49 @@ def test_weighted_sample(spark):
         weighted_sample(df.repartition(9),
                         rates={"s0": 1.0, "s1": 0.5}).collect())
     assert weighted_sample(df, rates={}).count() == 0  # default rate 0
+
+
+def test_assign_centroids_size_gate_paths_agree(spark, monkeypatch):
+    """Above LITERAL_TERM_CAP the assignment must switch to the
+    executor-broadcast Arrow path and produce the same assignments the
+    literal-SQL path does (incl. the zero-vector → first-centroid
+    fallback and the first-max = lowest-id tie-break)."""
+    import random
+    from influxdb_ha_spark.operators import similarity as S
+    rng = random.Random(19)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(80)]
+    rows.append((80, [0.0] * 16))  # zero-norm → all-NaN sims → centroid[0]
+    rows.append((81, rows[3][1]))  # exact clone of a centroid vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(i, rows[i][1]) for i in range(6)],
+        "centroid_id int, embedding array<double>")
+
+    lit = {r["vec_id"]: r["centroid_id"]
+           for r in S.assign_centroids(df, cents).collect()}
+    # 6 × 16 = 96 terms: force the gate over by shrinking the cap
+    monkeypatch.setattr(S, "LITERAL_TERM_CAP", 10)
+    arrow = {r["vec_id"]: r["centroid_id"]
+             for r in S.assign_centroids(df, cents).collect()}
+    assert arrow == lit
+    assert arrow[80] == 0 and arrow[81] == 3
+
+
+def test_pq_encode_size_gate_paths_agree(spark, monkeypatch):
+    """pq_encode's Arrow fallback yields the same codes as the literal
+    SQL path (first-min tie-break preserved)."""
+    import random
+    from influxdb_ha_spark.operators import similarity as S
+    rng = random.Random(23)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = S.pq_train(df, m=4, k=4, iters=2)
+    lit = {r["vec_id"]: list(r["codes"])
+           for r in S.pq_encode(df, books).collect()}
+    monkeypatch.setattr(S, "LITERAL_TERM_CAP", 10)
+    arrow = {r["vec_id"]: list(r["codes"])
+             for r in S.pq_encode(df, books).collect()}
+    assert arrow == lit
+    # and pq_train itself still converges through the gated argmin
+    books2 = S.pq_train(df, m=4, k=4, iters=2)
+    assert len(books2) == 4 and all(len(b) == 4 for b in books2)
