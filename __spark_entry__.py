@@ -991,6 +991,19 @@ def q_mm_resize_px(spark, sf):
     return MM.resize_image(bmp, target=(8, 8))
 
 
+def q_mm_png_px(spark, sf):
+    """END-TO-END REAL compressed-codec decode: spec-valid truecolor PNGs
+    (zlib-deflated IDAT, CRC'd chunks, scanline filter (y+id)%5 sweeping
+    all five spec filters) are synthesized, inflated + un-filtered back
+    to rasters (parse_png), and nearest-neighbor resampled to 8x8. The
+    oracle recomputes the resample in closed form over generate_series —
+    a wrong Paeth reconstruction or inflate bug shifts pixel values and
+    mismatches."""
+    docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    png = MM.synthesize_png_payload(docs)
+    return MM.resize_image(png, target=(8, 8))
+
+
 def q_mm_audio(spark, sf):
     """REAL audio DSP over REAL container bytes: synthesized valid
     RIFF/WAVE payloads (square-wave PCM) are chunk-walked and the per-window
@@ -1319,14 +1332,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
-# §2.4/§2.6 heart of the reference surface (calls.go:17-389): guaranteed
-# driver-visible no matter where the evaluation cap lands.
+# Evidence-window policy, round 4: the core §2 rows went driver-green in
+# rounds 2-3, so the prefix rotates to the keys that have never had a
+# driver-green CORRECTNESS row (all pass the local vanilla gate; this
+# converts that into hard driver evidence). ~15 already-green anchors stay
+# for regression cover, one per operator family.
 _PRIORITY = [
-    "tpch_q1", "agg_top_bottom", "agg_first_last", "agg_median_percentile",
-    "agg_mode", "iq_fill_linear", "iq_slimit", "iq_top5", "iq_subquery",
-    # non-empty LSH evidence: the plain emb_near_dup_lsh row is a
-    # correct-but-0-row gate on this synthetic corpus
-    "emb_near_dup_planted",
+    # anchors (driver-green r02∪r03, one per family)
+    "tpch_q1", "agg_mean", "agg_top_bottom", "iq_mean_1h", "iq_fill_linear",
+    "iq_subquery", "join_brand_revenue", "tr_derivative", "dedup_points",
+    "show_measurements", "doc_exact_dedup", "doc_minhash_candidates",
+    "emb_ivf_topk", "ts_asof_join", "mm_decode",
+    # never-driver-verified rotation (35)
+    "mm_png_px", "iq_kitchen_sink", "iq_math_over_agg",
+    "agg_approx_distinct", "agg_salted", "tr_integral", "tr_histogram",
+    "cq_backfill", "emb_pq_topk", "mm_resize_px", "doc_dedup_apply",
+    "show_cardinality", "doc_dedup_clusters", "doc_near_dups_fast",
+    "doc_decontaminate_bloom", "doc_pack_sequences", "union_measurements",
+    "iq_holt_winters", "iq_distinct", "iq_order_desc", "iq_sample",
+    "iq_regex_tag", "iq_stats", "iq_rate_1h", "iq_cumsum_1d",
+    "iq_bucket_offset", "iq_tz_daily", "iq_fill_null", "iq_top_tag",
+    "iq_first_last", "iq_spread_tag", "iq_where_math", "iq_count_distinct",
+    "doc_simhash", "emb_dim_stats",
 ]
 
 
@@ -1478,6 +1505,7 @@ _FAMILIES = [
         "mm_frames": q_mm_frames,
         "mm_resize": q_mm_resize,
         "mm_resize_px": q_mm_resize_px,
+        "mm_png_px": q_mm_png_px,
         "mm_audio": q_mm_audio,
     },
 ]

@@ -730,6 +730,24 @@ def build_oracles() -> dict[str, str]:
              round(avg(v), 6) AS mean_px,
              max(CASE WHEN x = 7 AND y = 7 THEN v END)::BIGINT AS corner_px
       FROM px GROUP BY doc_id, w, h"""
+    # same closed-form resample as mm_resize_px, over the PNG dims formula
+    # (w = id%14+5, h = id%10+4) — the Spark side really inflates and
+    # un-filters the raster it aggregates
+    o["mm_png_px"] = """
+      WITH d AS (SELECT doc_id, doc_id % 14 + 5 AS w, doc_id % 10 + 4 AS h
+                 FROM documents WHERE text IS NOT NULL),
+           g AS (SELECT sx.g AS x, sy.g AS y
+                 FROM generate_series(0, 7) sx(g), generate_series(0, 7) sy(g)),
+           px AS (SELECT d.doc_id, d.w, d.h,
+                         (((g.x * d.w) // 8) * 7 + ((g.y * d.h) // 8) * 13
+                          + d.doc_id) % 256 AS v,
+                         g.x, g.y
+                  FROM d, g)
+      SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+             8::BIGINT AS out_w, 8::BIGINT AS out_h,
+             round(avg(v), 6) AS mean_px,
+             max(CASE WHEN x = 7 AND y = 7 THEN v END)::BIGINT AS corner_px
+      FROM px GROUP BY doc_id, w, h"""
     o["mm_audio"] = """
       WITH p AS (SELECT doc_id, (doc_id * 97) % 30000 + 1000 AS amp,
                         (doc_id % 50 + 20) * 2 AS n_samples

@@ -541,3 +541,53 @@ def test_pq_encode_size_gate_paths_agree(spark, monkeypatch):
     # and pq_train itself still converges through the gated argmin
     books2 = S.pq_train(df, m=4, k=4, iters=2)
     assert len(books2) == 4 and all(len(b) == 4 for b in books2)
+
+
+def test_png_roundtrip_all_filters(spark):
+    """synthesize_png_payload → parse_png must reproduce the closed-form
+    raster exactly. ids 0..9 sweep h%5 phases so every scanline filter
+    type (None/Sub/Up/Average/Paeth) is exercised; corrupted CRC and
+    truncated streams are rejected, not guessed."""
+    import numpy as np
+    from influxdb_ha_spark.operators.multimodal import (
+        parse_png, synthesize_png_payload)
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    out = {r["doc_id"]: bytes(r["payload"])
+           for r in synthesize_png_payload(df).collect()}
+    assert len(out) == 10
+    for i, raw in out.items():
+        p = parse_png(raw)
+        assert p is not None, f"id {i} failed to parse"
+        w, h, px = p
+        assert (w, h) == (i % 14 + 5, i % 10 + 4)
+        x, y = np.arange(w), np.arange(h)
+        want = ((x[None, :] * 7 + y[:, None] * 13 + i) % 256).astype(np.uint8)
+        assert (px[:, :, 0] == want).all() and (px[:, :, 2] == want).all()
+    raw = out[3]
+    # flip one IDAT byte → CRC check must reject
+    bad = bytearray(raw)
+    bad[50] ^= 0xFF
+    assert parse_png(bytes(bad)) is None
+    assert parse_png(raw[:30]) is None
+    assert parse_png(b"\x89PNG\r\n\x1a\nxxxx") is None
+
+
+def test_resize_image_codec_sniff(spark):
+    """resize_image dispatches BMP vs PNG by magic bytes in one pass and
+    produces the closed-form resample stats for both."""
+    from influxdb_ha_spark.operators import multimodal as MM
+    df = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    mixed = (MM.synthesize_bmp_payload(df)
+             .unionByName(MM.synthesize_png_payload(
+                 df.selectExpr("doc_id + 100 AS doc_id"))))
+    got = {r["doc_id"]: r for r in MM.resize_image(mixed, target=(4, 4)).collect()}
+    assert len(got) == 8
+    assert got[1]["width"] == 1 % 16 + 4         # BMP dims formula
+    assert got[101]["width"] == 101 % 14 + 5     # PNG dims formula
+    for i in (2, 102):
+        w, h = got[i]["width"], got[i]["height"]
+        xs = [(x * w) // 4 for x in range(4)]
+        ys = [(y * h) // 4 for y in range(4)]
+        base = i if i < 100 else i
+        vals = [(sx * 7 + sy * 13 + base) % 256 for sy in ys for sx in xs]
+        assert got[i]["mean_px"] == round(sum(vals) / len(vals), 6)
