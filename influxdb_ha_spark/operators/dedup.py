@@ -120,10 +120,15 @@ def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
     max_bucket²/2 pairs per bucket; flagged, not silently dropped: the
     `truncated` column marks capped buckets).
     """
+    # band key: xxhash64 straight over the band's signature slots (longs)
+    # — no per-row string building, and the shuffle key is 8 bytes instead
+    # of a 32-char md5 hex string. Bucket membership is identical (equal
+    # bands ⇒ equal keys; a 2^-64 key collision would only merge two
+    # buckets, which the downstream Jaccard verify filters out).
     band_structs = ", ".join(
-        "struct({i} AS band_id, md5(concat_ws(',', {parts})) AS band_key)"
+        "struct({i} AS band_id, xxhash64({i}, {parts}) AS band_key)"
         .format(i=i, parts=", ".join(
-            f"cast(element_at(signature, {i * rows + j + 1}) as string)"
+            f"element_at(signature, {i * rows + j + 1})"
             for j in range(rows)))
         for i in range(bands))
     exploded = (sigs.selectExpr(f"`{id_col}`",
@@ -163,6 +168,11 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     so results are near-identical while the map stage gets much cheaper."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
                               hash_fn)
+    # `cands` is referenced twice below (cand_ids + the verify join);
+    # no checkpoint — Catalyst's ReuseExchange dedupes the shared
+    # signature+banding subtree inside the single query, and an eager
+    # checkpoint was measured to nearly double the cold run (splits the
+    # plan into two jobs, loses the reuse).
     cands = minhash_candidates(sigs, id_col, bands, rows)
     # Verify needs shingle sets ONLY for docs that appear in some candidate
     # pair — semi-join the raw (id, text) down BEFORE shingling, so the
