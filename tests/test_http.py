@@ -102,6 +102,45 @@ def test_query_multi_statement_and_errors(http):
     assert e.value.code == 400
 
 
+def test_cq_http_roundtrip(http):
+    """The full reference CQ lifecycle (importer.go:579-594) through the
+    HTTP façade in one pass: /write raw points → CREATE CONTINUOUS QUERY
+    via /query → scheduler tick (run_due — external cadence, like
+    InfluxDB's CQ service) → /query the rolled-up measurement back with
+    numeric epoch params."""
+    base, engine = http
+    h = 3_600_000_000_000  # 1h in ns
+    t0 = 1_600_000_000_000_000_000  # aligned epoch base
+    pts = []
+    for i, v in enumerate((10, 30, 7, 9)):  # two points per hour bucket
+        pts.append(f"cq_src,type=a value={v} {t0 + (i // 2) * h + i % 2}")
+    status, _, _ = _post(base + "/write?db=sharded",
+                         "\n".join(pts).encode())
+    assert status == 204
+    q = ("CREATE CONTINUOUS QUERY hourly_mean ON sharded BEGIN "
+         "SELECT mean(value) AS value INTO cq_hourly FROM cq_src "
+         "GROUP BY time(1h) fill(none) END")
+    status, _, _ = _get(base + "/query?db=sharded&q=" +
+                        urllib.request.quote(q))
+    assert status == 200
+    # the CQ shows through the HTTP surface
+    status, _, out = _get(base + "/query?db=sharded&q=" +
+                          urllib.request.quote("SHOW CONTINUOUS QUERIES"))
+    assert b"hourly_mean" in out
+    # scheduler tick — cadence driver is external (cron/stream trigger)
+    ran = engine.cq.run_due(t0 + 2 * h)
+    assert "hourly_mean" in ran
+    status, _, out = _get(base + "/query?db=sharded&epoch=ns&q=" +
+                          urllib.request.quote(
+                              "SELECT value FROM cq_hourly ORDER BY time"))
+    assert status == 200
+    series = json.loads(out)["results"][0]["series"][0]
+    assert series["name"] == "cq_hourly"
+    got = {t: v for t, v in series["values"]}
+    b0 = t0 - t0 % h  # bucket floor of the first two points
+    assert got == {b0: 20.0, b0 + h: 8.0}
+
+
 def test_auth_lifecycle(http):
     """Reference auth model (query_handler.go:90-114,
     query_handler_test.go:51-81): open until a user exists, then basic-auth
