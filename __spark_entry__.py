@@ -1269,6 +1269,30 @@ def q_ts_sessionize(spark, sf):
     return session_stats(ev, on="time", by=["user_id"], gap=HOUR)
 
 
+def q_ts_m4_downsample(spark, sf):
+    """M4 downsampling (added scope): per (event_type, 1h bucket) keep
+    min/max/first/last — the error-free line-chart reduction (Jugel et
+    al., PVLDB 2014). One partial-aggregated groupBy; output size is
+    |series|x|buckets| regardless of input volume
+    (operators/timeseries.py:m4_downsample)."""
+    from influxdb_ha_spark.operators.timeseries import m4_downsample
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    out = m4_downsample(ev, on="time", by=["event_type"],
+                        value_col="value", interval_ns=HOUR)
+    return out.select("event_type", "bucket", "n",
+                      *[_fr(F.col(c), 6).alias(c)
+                        for c in ("v_min", "v_max", "v_first", "v_last")])
+
+
+def q_doc_containment(spark, sf):
+    """Asymmetric containment dedup (added scope): LSH candidates verified
+    with directional shingle containment |A∩B|/|A| — catches doc-in-doc
+    copies that symmetric Jaccard under-scores
+    (operators/dedup.py:containment_near_duplicates)."""
+    return D.containment_near_duplicates(_t(spark, sf, "documents"),
+                                         threshold=0.8)
+
+
 def q_ts_interval_join(spark, sf):
     """Containment join (added scope): purchases landing inside ±12h
     incident windows around the user's error events — the "events near an
@@ -1466,6 +1490,7 @@ _FAMILIES = [
         "doc_repetition": q_doc_repetition,
         "doc_quality_filter": q_doc_quality_filter,
         "doc_weighted_sample": q_doc_weighted_sample,
+        "doc_containment": q_doc_containment,
     },
     {
         # LLM-pipeline scope (§7): embedding similarity
@@ -1497,6 +1522,7 @@ _FAMILIES = [
         "ts_sessionize": q_ts_sessionize,
         "ev_json_props": q_ev_json_props,
         "ts_interval_join": q_ts_interval_join,
+        "ts_m4_downsample": q_ts_m4_downsample,
     },
     {
         # LLM-pipeline scope (§7): multimodal

@@ -349,3 +349,62 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster"))
+
+
+def containment_near_duplicates(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                shingle_k: int = 3, max_df: int = 50,
+                                threshold: float = 0.8) -> DataFrame:
+    """Asymmetric containment dedup: pairs where one doc's shingle set is
+    mostly inside the other's — catches quotes, concatenations, and
+    doc-in-doc copies that symmetric Jaccard under-scores (a small doc
+    fully contained in a big one has low Jaccard but containment 1.0).
+
+    MinHash LSH can NOT generate these candidates (band collision
+    probability tracks Jaccard, which containment pairs may have ~0 of),
+    so candidates come from a DF-bounded inverted index — the classic
+    prefix-filtering shape: explode distinct shingles, keep only
+    *discriminative* shingles (document frequency in [2, max_df]), and
+    pair up each such shingle's posting list. The df cap bounds every
+    posting list, so one boilerplate shingle can never emit O(n²) pairs;
+    a contained doc is found iff it shares at least one sub-max_df
+    shingle with its container (the standard recall trade of prefix
+    filtering — raise max_df for recall, lower it for cost).
+
+    Verification is exact: cont_a = |∩|/|A|, cont_b = |∩|/|B| on the
+    candidate sliver only; the pair qualifies when either side reaches
+    `threshold`. One shuffle on the shingle key + the verify joins.
+    """
+    sh = (ensure_min_parallelism(df)
+          .selectExpr(f"`{id_col}`", f"{sql_tokens(f'`{text_col}`')} AS __t")
+          .selectExpr(f"`{id_col}`",
+                      f"array_distinct({sql_shingles('__t', shingle_k)})"
+                      " AS sh")
+          .where(F.size("sh") > 0))
+    ex = sh.select(F.col(id_col), F.explode("sh").alias("g"))
+    postings = (ex.groupBy("g")
+                .agg(F.sort_array(F.collect_list(id_col)).alias("ids"),
+                     F.count("*").alias("n"))
+                .where((F.col("n") >= 2) & (F.col("n") <= max_df)))
+    tri = F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("ids") - 1),
+        lambda i: F.struct(
+            F.element_at("ids", i).alias("a"),
+            F.slice("ids", i + 1, F.size("ids") - i).alias("rest"))))
+    cands = (postings.select(tri.alias("p"))
+             .select(F.col("p.a").alias("id_a"),
+                     F.explode("p.rest").alias("id_b"))
+             .distinct())
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    ca = F.when(F.size("sh_a") > 0,
+                inter / F.size("sh_a").cast("double")).otherwise(F.lit(0.0))
+    cb = F.when(F.size("sh_b") > 0,
+                inter / F.size("sh_b").cast("double")).otherwise(F.lit(0.0))
+    return (joined.select("id_a", "id_b",
+                          F.round(ca, 6).alias("cont_a"),
+                          F.round(cb, 6).alias("cont_b"))
+            .where((F.col("cont_a") >= threshold)
+                   | (F.col("cont_b") >= threshold)))

@@ -162,3 +162,29 @@ def session_stats(df: DataFrame, on: str = "time",
                  F.min(on).alias("t_start"),
                  F.max(on).alias("t_end"))
             .withColumn("duration", F.col("t_end") - F.col("t_start")))
+
+
+def m4_downsample(df: DataFrame, on: str = "time",
+                  by: Sequence[str] = ("event_type",),
+                  value_col: str = "value",
+                  interval_ns: int = 3_600_000_000_000) -> DataFrame:
+    """M4 downsampling: per (series, time bucket) keep min, max, first and
+    last values — the standard error-free line-chart reduction (the M4
+    aggregation of Jugel et al., PVLDB 2014: those four points are exactly
+    what a pixel column of a line plot needs).
+
+    Scale shape: one groupBy on (series, bucket) — partial aggregation
+    does min/max/first/last map-side, the exchange carries four scalars
+    per group, and the output is |series|·|buckets| rows regardless of
+    input volume. first/last are min_by/max_by on the timestamp
+    (deterministic whenever (series, time) is unique — the engine's
+    dedup_points invariant).
+    """
+    by = list(by)
+    b = F.col(on) - F.pmod(F.col(on), F.lit(interval_ns))
+    return (df.groupBy(*by, b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(value_col).alias("v_min"),
+                 F.max(value_col).alias("v_max"),
+                 F.min_by(value_col, F.col(on)).alias("v_first"),
+                 F.max_by(value_col, F.col(on)).alias("v_last")))

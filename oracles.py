@@ -959,6 +959,41 @@ def build_oracles() -> dict[str, str]:
       SELECT p.user_id, iv.error_id, p.time, {fr('p.value', 6)} AS value
       FROM p JOIN iv ON p.user_id = iv.user_id
                     AND p.time >= iv.t_start AND p.time <= iv.t_end"""
+    o["ts_m4_downsample"] = f"""
+      WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events)
+      SELECT event_type, time - time % {HOUR} AS bucket,
+             count(*)::BIGINT AS n,
+             {fr('min(value)', 6)} AS v_min, {fr('max(value)', 6)} AS v_max,
+             {fr('arg_min(value, time)', 6)} AS v_first,
+             {fr('arg_max(value, time)', 6)} AS v_last
+      FROM e GROUP BY 1, 2"""
+    # directional shingle containment over DF-bounded inverted-index
+    # candidates (prefix filtering: only shingles with df in [2, 50] pair
+    # their posting lists) — |∩|/|A| and |∩|/|B|, pair kept when either
+    # reaches the threshold
+    o["doc_containment"] = f"""
+      WITH sh AS MATERIALIZED ({_shingles_cte(3)}),
+      shd AS MATERIALIZED (
+        SELECT doc_id, list_distinct(sh) AS sh FROM sh WHERE len(sh) > 0),
+      ex AS (SELECT doc_id, unnest(sh) AS g FROM shd),
+      rare AS (SELECT g FROM ex GROUP BY g
+               HAVING count(*) >= 2 AND count(*) <= 50),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN rare USING (g) JOIN ex b USING (g)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      sc AS (SELECT id_a, id_b,
+                    len(list_filter(sa.sh,
+                        x -> list_contains(sb.sh, x)))::DOUBLE AS inter,
+                    len(sa.sh)::DOUBLE AS na, len(sb.sh)::DOUBLE AS nb
+             FROM cand JOIN shd sa ON sa.doc_id = id_a
+                       JOIN shd sb ON sb.doc_id = id_b)
+      SELECT id_a, id_b,
+             round(CASE WHEN na > 0 THEN inter / na ELSE 0 END, 6) AS cont_a,
+             round(CASE WHEN nb > 0 THEN inter / nb ELSE 0 END, 6) AS cont_b
+      FROM sc
+      WHERE round(CASE WHEN na > 0 THEN inter / na ELSE 0 END, 6) >= 0.8
+         OR round(CASE WHEN nb > 0 THEN inter / nb ELSE 0 END, 6) >= 0.8"""
     o["cube_counts"] = """
       SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
              coalesce(o_orderpriority, 'ALL') AS o_orderpriority,

@@ -591,3 +591,23 @@ def test_resize_image_codec_sniff(spark):
         base = i if i < 100 else i
         vals = [(sx * 7 + sy * 13 + base) % 256 for sy in ys for sx in xs]
         assert got[i]["mean_px"] == round(sum(vals) / len(vals), 6)
+
+
+def test_containment_finds_doc_in_doc(spark):
+    """A small doc fully contained in a big one has low Jaccard but
+    containment 1.0 — the containment path must find it, and the plain
+    jaccard path at the same threshold must NOT."""
+    from influxdb_ha_spark.operators.dedup import (
+        containment_near_duplicates, minhash_near_duplicates)
+    words = [f"w{i}" for i in range(60)]
+    big = " ".join(words)
+    small = " ".join(words[:12])  # exact prefix → all its shingles in big
+    other = " ".join(f"x{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, big), (2, small), (3, other)], "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r for r in
+           containment_near_duplicates(df, threshold=0.9).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)]["cont_b"] == 1.0 and got[(1, 2)]["cont_a"] < 0.9
+    jac = minhash_near_duplicates(df, threshold=0.9).collect()
+    assert not [r for r in jac if (r["id_a"], r["id_b"]) == (1, 2)]

@@ -156,3 +156,18 @@ def test_session_stats(spark):
     assert out[("u", 2)] == (2, 100, 105, 5)
     assert out[("u", 3)] == (1, 300, 300, 0)
     assert out[("v", 1)] == (1, 7, 7, 0)
+
+
+def test_m4_downsample(spark):
+    """min/max/first/last per (series, bucket) — hand-checked tiny case."""
+    from influxdb_ha_spark.operators.timeseries import m4_downsample
+    rows = [("a", 10, 5.0), ("a", 20, 1.0), ("a", 30, 9.0), ("a", 40, 2.0),
+            ("a", 110, 7.0), ("b", 15, 4.0)]
+    df = spark.createDataFrame(rows, "s string, time long, value double")
+    out = {(r["s"], r["bucket"]): r for r in
+           m4_downsample(df, on="time", by=["s"], value_col="value",
+                         interval_ns=100).collect()}
+    g = out[("a", 0)]
+    assert (g["n"], g["v_min"], g["v_max"], g["v_first"], g["v_last"]) == \
+        (4, 1.0, 9.0, 5.0, 2.0)
+    assert out[("a", 100)]["v_first"] == 7.0 and out[("b", 0)]["n"] == 1
