@@ -981,7 +981,8 @@ def build_oracles() -> dict[str, str]:
       cand AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM ex a JOIN rare USING (g) JOIN ex b USING (g)
-        WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        HAVING count(*) >= 3),
       sc AS (SELECT id_a, id_b,
                     len(list_filter(sa.sh,
                         x -> list_contains(sb.sh, x)))::DOUBLE AS inter,

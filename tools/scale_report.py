@@ -26,7 +26,10 @@ import __spark_entry__ as entry
 # broadcast join, time buckets, per-series windows, LSH dedup, ANN, maps
 QUERIES = ["tpch_q1", "agg_median_percentile", "join_brand_revenue",
            "iq_mean_1h", "tr_moving_average", "doc_near_dups_fast",
-           "emb_near_dup_lsh", "text_quality", "ts_asof_join"]
+           "emb_near_dup_lsh", "text_quality", "ts_asof_join",
+           # round-4 additions: M4 reduce, inverted-index containment,
+           # zlib PNG decode (Arrow map)
+           "ts_m4_downsample", "doc_containment", "mm_png_px"]
 
 
 def main():
