@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from .influxql.clusterql import (ClusterQLError, CreatePartitionKey,
                                  DropPartitionKey, RemoveNode,
                                  SetReplicationFactor, ShowNodes,
-                                 ShowPartitionKeys, is_admin_statement,
+                                 ShowPartitionKeys, ShowReplicationFactors,
+                                 UpdatePartitionKey, is_admin_statement,
                                  parse_clusterql)
 from .model import Catalog, PartitionKey
 
@@ -58,6 +59,10 @@ class AdminHandler:
             key = f"{stmt.database}.{stmt.measurement}" if stmt.database else ""
             self.catalog.replication_factors[key] = stmt.factor
             return self._empty("ok string")
+        if isinstance(stmt, UpdatePartitionKey):
+            return self.update_partition_key(stmt)
+        if isinstance(stmt, ShowReplicationFactors):
+            return self.show_replication_factors()
         raise ClusterQLError("unhandled statement")
 
     def _empty(self, schema: str) -> DataFrame:
@@ -94,6 +99,46 @@ class AdminHandler:
                 rebalance_measurement(self.catalog, stmt.database,
                                       stmt.measurement, list(stmt.tags))
         return self.show_partition_keys(stmt.database)
+
+    def update_partition_key(self, stmt) -> DataFrame:
+        """UPDATE PARTITION KEY — the reference's commented-out grammar
+        (language.go:52-55: 'all data need to be downloaded and the
+        partition key tag updated before saving the data in its new
+        position'). Spark's version of that data movement: swap the
+        registered key, then one repartition + hive rewrite
+        (rebalance_measurement). Errors if no key exists to update."""
+        existing = [pk for pk in self.catalog.partition_keys
+                    if pk.database == stmt.database
+                    and pk.measurement == stmt.measurement]
+        if not existing:
+            raise ClusterQLError(
+                f"error parsing query: no partition key on "
+                f"{stmt.database}.{stmt.measurement or '*'} to update")
+        self.catalog.partition_keys = [
+            pk for pk in self.catalog.partition_keys if pk not in existing]
+        self.catalog.partition_keys.append(PartitionKey(
+            database=stmt.database, measurement=stmt.measurement,
+            tags=list(stmt.tags)))
+        if stmt.measurement:
+            try:
+                m = self.catalog.get(stmt.database, stmt.measurement)
+            except KeyError:
+                m = None
+            if m is not None and m.path:
+                from .sources.partitioned import rebalance_measurement
+                rebalance_measurement(self.catalog, stmt.database,
+                                      stmt.measurement, list(stmt.tags))
+        return self.show_partition_keys(stmt.database)
+
+    def show_replication_factors(self) -> DataFrame:
+        """SHOW REPLICATION FACTORS — the reference's commented-out
+        'SHOW REPLICATIONS FACTORS' (language.go:63)."""
+        rows = []
+        for key, factor in sorted(self.catalog.replication_factors.items()):
+            db, _, m = key.partition(".")
+            rows.append((db or "*", m, factor))
+        return self.catalog.spark.createDataFrame(
+            rows, "database string, measurement string, factor int")
 
     def drop_partition_key(self, stmt: DropPartitionKey) -> DataFrame:
         # language.go:45-48 notes data must be moved before dropping — in

@@ -10,6 +10,17 @@ admin detection regex of service/admin.go:16-22:
     REMOVE NODE name
     SET REPLICATION FACTOR n [ON db[.measurement]]
 
+Plus the two statements the reference sketched but left as commented-out
+grammar (language.go:52-63), implemented here for completeness:
+
+    UPDATE PARTITION KEY tag[.tag...] ON db[.measurement]
+        -- "practically what drop partition key does as well. All data
+        -- need to be downloaded and the partition key tag updated before
+        -- saving the data in its new position" (language.go:52-55); in
+        -- Spark that data movement is rebalance_measurement's
+        -- repartition + hive rewrite.
+    SHOW REPLICATION FACTORS      (also the comment's "REPLICATIONS")
+
 Statements parse to small dataclasses; execution lives in admin.py.
 """
 
@@ -19,8 +30,10 @@ import re
 from dataclasses import dataclass
 
 # admin.go:16-22 — detect management statements before InfluxQL parsing
+# (+ UPDATE / REPLICATIONS for the commented-out grammar implemented here)
 ADMIN_RE = re.compile(
-    r"^\s*(REMOVE|SHOW|DROP|CREATE|SET)\s+(NODES|NODE|PARTITION|REPLICATION)",
+    r"^\s*(REMOVE|SHOW|DROP|CREATE|SET|UPDATE)"
+    r"\s+(NODES|NODE|PARTITION|REPLICATIONS?)",
     re.IGNORECASE)
 
 
@@ -63,6 +76,18 @@ class SetReplicationFactor:
     measurement: str = ""
 
 
+@dataclass
+class UpdatePartitionKey:
+    database: str
+    measurement: str  # "" = database-level
+    tags: list[str] = None
+
+
+@dataclass
+class ShowReplicationFactors:
+    pass
+
+
 class ClusterQLError(Exception):
     """Parse error; message format mirrors clusterql/parser_test.go goldens
     (e.g. 'error parsing query: unexpected end of statement, expecting KEY')."""
@@ -91,9 +116,11 @@ def parse_clusterql(q: str):
                 f"error parsing query: found {toks[i]}, expecting {word}")
 
     if up[0] == "SHOW":
-        expect(1, "PARTITION") if len(up) > 1 and up[1] != "NODES" else None
         if len(up) > 1 and up[1] == "NODES":
             return ShowNodes()
+        if len(up) > 1 and up[1] in ("REPLICATION", "REPLICATIONS"):
+            expect(2, "FACTORS")
+            return ShowReplicationFactors()
         expect(1, "PARTITION")
         expect(2, "KEYS")
         db = None
@@ -106,7 +133,7 @@ def parse_clusterql(q: str):
             db = toks[4]
         return ShowPartitionKeys(database=db)
 
-    if up[0] == "CREATE":
+    if up[0] in ("CREATE", "UPDATE"):
         expect(1, "PARTITION")
         expect(2, "KEY")
         if len(toks) < 4:
@@ -120,7 +147,8 @@ def parse_clusterql(q: str):
                 "error parsing query: unexpected end of statement, "
                 "expecting database name")
         db, m = _split_target(toks[5])
-        return CreatePartitionKey(database=db, measurement=m, tags=tags)
+        cls = CreatePartitionKey if up[0] == "CREATE" else UpdatePartitionKey
+        return cls(database=db, measurement=m, tags=tags)
 
     if up[0] == "DROP":
         expect(1, "PARTITION")

@@ -692,3 +692,48 @@ def test_show_on_empty_catalog(spark):
     assert eng.query_df("SHOW DATABASES").count() == 0
     assert eng.query_df("SHOW SERIES").count() == 0
     assert eng.query_df("SHOW TAG KEYS").count() == 0
+
+
+def test_update_partition_key_and_show_rf(spark, tmp_path):
+    """The reference's commented-out grammar (language.go:52-63),
+    implemented: UPDATE PARTITION KEY swaps the key and physically
+    re-lays-out a hive-partitioned measurement; SHOW REPLICATION FACTORS
+    lists the catalog's RF registry."""
+    import os
+
+    from influxdb_ha_spark.admin import AdminHandler
+    from influxdb_ha_spark.influxql.clusterql import (ClusterQLError,
+                                                      is_admin_statement)
+    from influxdb_ha_spark.model import Catalog
+    from influxdb_ha_spark.sources import load_partitioned, write_partitioned
+
+    assert is_admin_statement("UPDATE PARTITION KEY x ON db")
+    assert is_admin_statement("SHOW REPLICATION FACTORS")
+    cat = Catalog(spark)
+    h = AdminHandler(cat)
+    # no key yet -> loud error
+    with pytest.raises(ClusterQLError, match="no partition key"):
+        h.handle("UPDATE PARTITION KEY host ON udb.cpu")
+    # physical measurement hive-partitioned on host, key host
+    src = spark.createDataFrame(
+        [(1_500_000_000_000_000_000 + i, f"h{i % 2}", f"r{i % 3}", float(i))
+         for i in range(12)],
+        "time long, host string, rack string, value double")
+    path = str(tmp_path / "cpu")
+    m = cat.register_dataframe("udb", "cpu", src, time_col="time",
+                               tags=["host", "rack"])
+    write_partitioned(m, path, partition_tags=["host"])
+    load_partitioned(cat, "udb", "cpu", path, tags=["host", "rack"])
+    h.handle("CREATE PARTITION KEY host ON udb.cpu")
+    out = h.handle("UPDATE PARTITION KEY rack ON udb.cpu").collect()
+    assert [(r["measurement"], r["tags"]) for r in out] == [("cpu", "rack")]
+    # the hive layout physically moved to the new key
+    assert any(d.startswith("rack=") for d in os.listdir(path))
+    assert cat.get("udb", "cpu").df.count() == 12
+    # replication factors: default row + per-target override
+    h.handle("SET REPLICATION FACTOR 3 ON udb.cpu")
+    rf = {(r["database"], r["measurement"]): r["factor"]
+          for r in h.handle("SHOW REPLICATION FACTORS").collect()}
+    assert rf[("udb", "cpu")] == 3 and rf[("*", "")] == 2
+    # the comment's original spelling parses too
+    assert h.handle("SHOW REPLICATIONS FACTORS").count() == len(rf)
