@@ -1284,6 +1284,14 @@ def q_ts_m4_downsample(spark, sf):
                         for c in ("v_min", "v_max", "v_first", "v_last")])
 
 
+def q_doc_minhash_estimate(spark, sf):
+    """Sketch accuracy surface: the MinHash Jaccard ESTIMATE (matching
+    signature slots / 16) per LSH candidate pair — what a pipeline uses
+    when exact shingle verification is too expensive
+    (operators/dedup.py:minhash_jaccard_estimate)."""
+    return D.minhash_jaccard_estimate(_t(spark, sf, "documents"))
+
+
 def q_doc_containment(spark, sf):
     """Asymmetric containment dedup (added scope): LSH candidates verified
     with directional shingle containment |A∩B|/|A| — catches doc-in-doc
@@ -1491,6 +1499,7 @@ _FAMILIES = [
         "doc_quality_filter": q_doc_quality_filter,
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_containment": q_doc_containment,
+        "doc_minhash_estimate": q_doc_minhash_estimate,
     },
     {
         # LLM-pipeline scope (§7): embedding similarity

@@ -419,3 +419,31 @@ def containment_near_duplicates(df: DataFrame, text_col: str = "text",
                           F.round(cb, 6).alias("cont_b"))
             .where((F.col("cont_a") >= threshold)
                    | (F.col("cont_b") >= threshold)))
+
+
+def minhash_jaccard_estimate(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", num_perm: int = 16,
+                             bands: int = 4, rows: int = 4,
+                             shingle_k: int = 3) -> DataFrame:
+    """The MinHash Jaccard ESTIMATE (matching signature slots / num_perm)
+    for every LSH candidate pair — the sketch-accuracy surface a pipeline
+    uses when exact shingle verification is too expensive to run on every
+    candidate (the estimate's stderr is ~1/√num_perm ≈ 0.25 at the
+    default 16 permutations; raise num_perm to tighten).
+
+    Map-only beyond the candidate machinery: signatures are already
+    computed for banding, so the estimate is one zip_with/filter over two
+    16-element arrays per pair — no shingle materialization at all.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    cands = minhash_candidates(sigs, id_col, bands, rows)
+    a = sigs.select(F.col(id_col).alias("id_a"),
+                    F.col("signature").alias("sa"))
+    b = sigs.select(F.col(id_col).alias("id_b"),
+                    F.col("signature").alias("sb"))
+    j = cands.join(a, "id_a").join(b, "id_b")
+    eq = F.filter(F.zip_with("sa", "sb", lambda x, y: x == y),
+                  lambda v: v)
+    return j.select(
+        "id_a", "id_b",
+        F.round(F.size(eq) / F.lit(float(num_perm)), 6).alias("est_jaccard"))

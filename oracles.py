@@ -959,6 +959,23 @@ def build_oracles() -> dict[str, str]:
       SELECT p.user_id, iv.error_id, p.time, {fr('p.value', 6)} AS value
       FROM p JOIN iv ON p.user_id = iv.user_id
                     AND p.time >= iv.t_start AND p.time <= iv.t_end"""
+    # MinHash Jaccard estimate per LSH candidate pair: matching signature
+    # slots / num_perm, over the same sig + banding CTEs the candidate
+    # oracle uses
+    o["doc_minhash_estimate"] = f"""
+      WITH sh AS ({_shingles_cte(3)}),
+      sig AS ({_minhash_sig_sql(16, 3)}),
+      bands AS ({_bands_sql()}),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_id, band_key)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(len(list_filter(
+                     [sa.s[i] = sb.s[i] FOR i IN generate_series(1, 16)],
+                     x -> x)) / 16.0, 6) AS est_jaccard
+      FROM cand JOIN sig sa ON sa.doc_id = id_a
+                JOIN sig sb ON sb.doc_id = id_b"""
     o["ts_m4_downsample"] = f"""
       WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events)
       SELECT event_type, time - time % {HOUR} AS bucket,

@@ -611,3 +611,19 @@ def test_containment_finds_doc_in_doc(spark):
     assert got[(1, 2)]["cont_b"] == 1.0 and got[(1, 2)]["cont_a"] < 0.9
     jac = minhash_near_duplicates(df, threshold=0.9).collect()
     assert not [r for r in jac if (r["id_a"], r["id_b"]) == (1, 2)]
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """On planted near-identical docs the slot-match estimate must be
+    high; signatures are 16 slots so estimates are multiples of 1/16."""
+    from influxdb_ha_spark.operators.dedup import minhash_jaccard_estimate
+    base = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(f"w{i}" for i in range(49)) + " zz"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near)], "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in minhash_jaccard_estimate(df).collect()}
+    assert got[(1, 2)] == 1.0          # identical docs: every slot matches
+    assert got.get((1, 3), 0) >= 0.5   # near-dup: most slots match
+    for v in got.values():
+        assert abs(v * 16 - round(v * 16)) < 1e-9
