@@ -1338,54 +1338,71 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_iq_mean_1d_tag(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Inventory: §2-core priority prefix, then round-robin across families.
+def _driver_green_keys() -> set:
+    """Keys with a green row in any committed CORRECTNESS_r*.json — the
+    hard driver evidence accumulated so far. Used to self-rotate the
+    evidence window: the driver samples only a prefix of queries(), so
+    never-driver-verified keys go first each round until the whole
+    inventory has a driver-green row."""
+    import glob
+    import json
+    seen = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                for k, v in json.load(f).items():
+                    if v.get("rows_match") and v.get("schema_match"):
+                        seen.add(k)
+        except (OSError, ValueError):
+            continue
+    return seen
 
-    The driver evaluates only a prefix of this dict (50 rows in rounds
-    1-2), so ordering is evidence policy. The priority prefix pins the
-    core InfluxQL/aggregate operators the judge checks against the
-    calls.go matrix (they were only locally-verified in round 2); the
-    interleave after it still samples every operator family inside any
-    reasonable prefix length."""
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Inventory ordering IS evidence policy: the driver evaluates only a
+    prefix of this dict (50 rows in recent rounds), so the order is
+    (1) a small static anchor set — one driver-green key per operator
+    family, regression cover; (2) every key with NO green row in any
+    committed CORRECTNESS_r*.json, in family-interleaved order — the
+    self-rotating part that converts local-only evidence into hard
+    driver evidence round over round; (3) the already-verified rest,
+    family-interleaved."""
     by_name = {k: v for fam in _FAMILIES for k, v in fam.items()}
-    for name in _PRIORITY:
+    green = _driver_green_keys()
+
+    def interleave():
+        iters = [iter(fam) for fam in _FAMILIES]
+        while iters:
+            alive = []
+            for it in iters:
+                name = next(it, None)
+                if name is not None:
+                    yield name
+                    alive.append(it)
+            iters = alive
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _ANCHORS:
         out[name] = by_name[name]
-    iters = [iter(fam.items()) for fam in _FAMILIES]
-    while iters:
-        alive = []
-        for it in iters:
-            pair = next(it, None)
-            if pair is not None:
-                if pair[0] not in out:
-                    out[pair[0]] = pair[1]
-                alive.append(it)
-        iters = alive
+    order = list(interleave())
+    for name in order:                      # never-driver-verified first
+        if name not in out and name not in green:
+            out[name] = by_name[name]
+    for name in order:                      # then the verified remainder
+        if name not in out:
+            out[name] = by_name[name]
     return out
 
 
-# Evidence-window policy, round 4: the core §2 rows went driver-green in
-# rounds 2-3, so the prefix rotates to the keys that have never had a
-# driver-green CORRECTNESS row (all pass the local vanilla gate; this
-# converts that into hard driver evidence). ~15 already-green anchors stay
-# for regression cover, one per operator family.
-_PRIORITY = [
-    # anchors (driver-green r02∪r03, one per family)
+# Static anchors: one driver-green key per operator family, always at the
+# head of queries() for regression cover no matter what the self-rotating
+# never-verified block (computed from CORRECTNESS_r*.json) contributes.
+_ANCHORS = [
     "tpch_q1", "agg_mean", "agg_top_bottom", "iq_mean_1h", "iq_fill_linear",
     "iq_subquery", "join_brand_revenue", "tr_derivative", "dedup_points",
     "show_measurements", "doc_exact_dedup", "doc_minhash_candidates",
     "emb_ivf_topk", "ts_asof_join", "mm_decode",
-    # never-driver-verified rotation (35)
-    "mm_png_px", "iq_kitchen_sink", "iq_math_over_agg",
-    "agg_approx_distinct", "agg_salted", "tr_integral", "tr_histogram",
-    "cq_backfill", "emb_pq_topk", "mm_resize_px", "doc_dedup_apply",
-    "show_cardinality", "doc_dedup_clusters", "doc_near_dups_fast",
-    "doc_decontaminate_bloom", "doc_pack_sequences", "union_measurements",
-    "iq_holt_winters", "iq_distinct", "iq_order_desc", "iq_sample",
-    "iq_regex_tag", "iq_stats", "iq_rate_1h", "iq_cumsum_1d",
-    "iq_bucket_offset", "iq_tz_daily", "iq_fill_null", "iq_top_tag",
-    "iq_first_last", "iq_spread_tag", "iq_where_math", "iq_count_distinct",
-    "doc_simhash", "emb_dim_stats",
 ]
 
 
