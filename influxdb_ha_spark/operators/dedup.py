@@ -409,9 +409,24 @@ def containment_near_duplicates(df: DataFrame, text_col: str = "text",
              .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("__n_shared"))
              .where(F.col("__n_shared") >= min_shared)
-             .drop("__n_shared"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+             .drop("__n_shared")
+             # referenced twice (cand_ids + the verify join): persist the
+             # DF-bounded pair list so the posting-list subtree runs once
+             .persist())
+    # verify shingles only candidate docs (semi-join before re-shingling)
+    # — the corpus-wide shingle pass runs exactly once (for the postings),
+    # never three times
+    cand_ids = (cands.select(F.col("id_a").alias(id_col))
+                .unionByName(cands.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    sh_small = (df.join(cand_ids, id_col, "left_semi")
+                .selectExpr(f"`{id_col}`",
+                            f"{sql_tokens(f'`{text_col}`')} AS __t")
+                .selectExpr(f"`{id_col}`",
+                            f"array_distinct({sql_shingles('__t', shingle_k)})"
+                            " AS sh"))
+    a = sh_small.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh_small.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     ca = F.when(F.size("sh_a") > 0,
