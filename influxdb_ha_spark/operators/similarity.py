@@ -325,21 +325,29 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
     # verify stage. Pre-repartitioning the raw vectors was measured +66%
     # at sf0.1 (BENCH_r02) for zero benefit — util.py's own guidance:
     # don't fan out ahead of cheap maps.
+    #
+    # Round-4 shape fix: the bucket self-join used to carry the VECTORS
+    # through the (tbl, key) exchange — 3 tables × the full embedding
+    # volume shuffled, and the self-join's two references ran the Arrow
+    # sign-key pass twice. Now only (id, tbl, key) — three longs — enters
+    # the bucket join (persisted, so the UDF runs once), and vectors are
+    # joined back for the LSH-bounded candidate pairs only.
     keyed = (df
-             .select(F.col(id_col), F.col(vec_col),
+             .select(F.col(id_col),
                      keys_udf(F.col(vec_col)).alias("__k"))
-             .select(id_col, vec_col,
-                     F.posexplode("__k").alias("tbl", "key")))
-    a = keyed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                     "tbl", "key")
-    b = keyed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                     "tbl", "key")
+             .select(id_col, F.posexplode("__k").alias("tbl", "key"))
+             .persist())
+    a = keyed.select(F.col(id_col).alias("id_a"), "tbl", "key")
+    b = keyed.select(F.col(id_col).alias("id_b"), "tbl", "key")
     cand = (a.join(b, ["tbl", "key"])
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"]))
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
-    return (cand.select("id_a", "id_b", cos.alias("cosine"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b", cos.alias("cosine"))
             .where(F.col("cosine") >= threshold))
 
 
