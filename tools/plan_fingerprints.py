@@ -15,6 +15,13 @@ broadcast joins, MORE sort-merge joins, or a new cartesian/row-Python/
 single-partition is a regression; an IMPROVEMENT (fewer shuffles) is
 reported and should be re-pinned with --record. Plan shape, not data, is
 fingerprinted — the default sf0.001 keeps the run fast.
+
+Caveat: counters are TEXTUAL occurrences in the executed-plan string. A
+`persist()`ed subtree prints its full child plan under every
+InMemoryRelation reference, so adding a cache can inflate the exchange
+count even though the subtree executes once — when a flagged
+"regression" coincides with an intentional persist, check the runtime
+(bench/scale_report) before believing the counter, then re-record.
 """
 
 from __future__ import annotations
