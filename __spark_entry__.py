@@ -1284,6 +1284,18 @@ def q_ts_m4_downsample(spark, sf):
                         for c in ("v_min", "v_max", "v_first", "v_last")])
 
 
+def q_ts_lttb(spark, sf):
+    """LTTB downsampling (added scope): shape-preserving 64-point
+    reduction per series — sequential per series in applyInPandas, with
+    floating-point order pinned so the DuckDB recursive-CTE oracle
+    replays the exact selection
+    (operators/timeseries.py:lttb_downsample)."""
+    from influxdb_ha_spark.operators.timeseries import lttb_downsample
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return lttb_downsample(ev, on="time", by=["event_type"],
+                           value_col="value", n_out=64)
+
+
 def q_doc_minhash_estimate(spark, sf):
     """Sketch accuracy surface: the MinHash Jaccard ESTIMATE (matching
     signature slots / 16) per LSH candidate pair — what a pipeline uses
@@ -1549,6 +1561,7 @@ _FAMILIES = [
         "ev_json_props": q_ev_json_props,
         "ts_interval_join": q_ts_interval_join,
         "ts_m4_downsample": q_ts_m4_downsample,
+        "ts_lttb": q_ts_lttb,
     },
     {
         # LLM-pipeline scope (§7): multimodal

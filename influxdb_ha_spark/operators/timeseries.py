@@ -188,3 +188,74 @@ def m4_downsample(df: DataFrame, on: str = "time",
                  F.max(value_col).alias("v_max"),
                  F.min_by(value_col, F.col(on)).alias("v_first"),
                  F.max_by(value_col, F.col(on)).alias("v_last")))
+
+
+def lttb_downsample(df: DataFrame, on: str = "time",
+                    by: Sequence[str] = ("event_type",),
+                    value_col: str = "value", n_out: int = 64) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013):
+    keep the first and last point of each series plus, per bucket, the
+    point forming the largest triangle with the previously selected
+    point and the next bucket's average — the visually-faithful
+    downsample M4 can't give (M4 preserves extremes, LTTB preserves
+    shape). Series shorter than `n_out` pass through unchanged.
+
+    The selection recurrence is inherently sequential PER SERIES (each
+    pick depends on the previous one), so it runs in applyInPandas
+    grouped by the series tags — series are the parallelism unit, the
+    same distribution contract as holt_winters. Floating-point order is
+    pinned (sequential time-ordered folds for bucket averages, the
+    spec's exact area expression) so the DuckDB recursive-CTE oracle
+    reproduces the selection bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    by = list(by)
+    schema = ", ".join([f"`{c}` string" for c in by]
+                       + [f"`{on}` long", f"`{value_col}` double"])
+
+    def reduce(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(on)
+        ts = pdf[on].to_numpy(dtype=np.int64)
+        vs = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(ts)
+        keys = [pdf.iloc[0][c] for c in by]
+        if n <= n_out:
+            return pd.DataFrame(
+                [keys + [int(t), float(v)] for t, v in zip(ts, vs)],
+                columns=by + [on, value_col])
+        B = n_out - 2
+        mid_t, mid_v = ts[1:-1], vs[1:-1]
+        n_mid = n - 2
+        bks = np.minimum(B, 1 + (np.arange(n_mid) * B) // n_mid)
+        idxs, ax, ay = {}, {}, {}
+        for b in range(1, B + 1):
+            sel = np.nonzero(bks == b)[0]
+            idxs[b] = sel
+            sx = np.float64(0.0)
+            sy = np.float64(0.0)
+            for i in sel:                     # sequential time-ordered fold
+                sx += np.float64(mid_t[i])    # = DuckDB list_reduce over
+                sy += np.float64(mid_v[i])    #   list(x ORDER BY t)
+            ax[b], ay[b] = sx / len(sel), sy / len(sel)
+        anchors = {b: (ax[b + 1], ay[b + 1]) for b in range(1, B)}
+        anchors[B] = (np.float64(ts[-1]), np.float64(vs[-1]))
+        rows = [(int(ts[0]), float(vs[0]))]
+        st, sv = int(ts[0]), np.float64(vs[0])
+        for b in range(1, B + 1):
+            axb, ayb = anchors[b]
+            std = np.float64(st)
+            best, best_area = None, np.float64(-1.0)
+            for i in idxs[b]:                 # first max = earliest time
+                area = abs((std - axb) * (np.float64(mid_v[i]) - sv)
+                           - np.float64(st - int(mid_t[i])) * (sv - ayb))
+                if area > best_area:
+                    best_area, best = area, i
+            st, sv = int(mid_t[best]), np.float64(mid_v[best])
+            rows.append((st, float(sv)))
+        rows.append((int(ts[-1]), float(vs[-1])))
+        return pd.DataFrame([keys + [t, v] for t, v in rows],
+                            columns=by + [on, value_col])
+
+    return df.groupBy(*by).applyInPandas(reduce, schema)

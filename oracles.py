@@ -959,6 +959,64 @@ def build_oracles() -> dict[str, str]:
       SELECT p.user_id, iv.error_id, p.time, {fr('p.value', 6)} AS value
       FROM p JOIN iv ON p.user_id = iv.user_id
                     AND p.time >= iv.t_start AND p.time <= iv.t_end"""
+    # LTTB (largest-triangle-three-buckets) downsample, replayed exactly:
+    # per-series recursion picks, per bucket, the max-triangle-area point
+    # against the previous selection and the next bucket's average.
+    # Determinism contract with the Spark side: bucket averages are
+    # sequential folds over time-ordered lists (list_reduce), times fold
+    # as DOUBLE (ns magnitudes overflow BIGINT sums), the (st - t) term
+    # stays exact BIGINT before its cast, ties break on earliest time.
+    _B = 62  # n_out 64 - endpoints
+    o["ts_lttb"] = f"""
+      WITH RECURSIVE
+      pts AS (SELECT event_type AS s, {EV_TIME} AS t, value AS v FROM events),
+      mid AS (
+        SELECT s, t, v,
+               row_number() OVER (PARTITION BY s ORDER BY t) AS r,
+               count(*) OVER (PARTITION BY s) AS n_mid
+        FROM pts p
+        WHERE t > (SELECT min(t) FROM pts q WHERE q.s = p.s)
+          AND t < (SELECT max(t) FROM pts q WHERE q.s = p.s)),
+      bkt AS (
+        SELECT s, t, v, least({_B}, 1 + ((r - 1) * {_B}) // n_mid)::INT AS b
+        FROM mid),
+      avgs AS (
+        SELECT s, b,
+               list_reduce(list(t::DOUBLE ORDER BY t), (x, y) -> x + y)
+                 / count(*) AS ax,
+               list_reduce(list(v ORDER BY t), (x, y) -> x + y)
+                 / count(*) AS ay
+        FROM bkt GROUP BY s, b),
+      firsts AS (
+        SELECT s, t, v FROM (
+          SELECT s, t, v, row_number() OVER (PARTITION BY s ORDER BY t) rn
+          FROM pts) WHERE rn = 1),
+      lasts AS (
+        SELECT s, t, v FROM (
+          SELECT s, t, v, row_number() OVER (PARTITION BY s ORDER BY t DESC) rn
+          FROM pts) WHERE rn = 1),
+      bkt2 AS (
+        SELECT p.s, p.t, p.v, p.b,
+               coalesce(a.ax, lp.t::DOUBLE) AS ax,
+               coalesce(a.ay, lp.v) AS ay
+        FROM bkt p
+        LEFT JOIN avgs a ON a.s = p.s AND a.b = p.b + 1
+        JOIN lasts lp ON lp.s = p.s),
+      sel(s, k, st, sv) AS (
+        (SELECT s, 0, t, v FROM firsts)
+        UNION ALL
+        SELECT r.s, r.k + 1, c.t, c.v
+        FROM sel r, LATERAL (
+          SELECT p.t, p.v FROM bkt2 p
+          WHERE p.s = r.s AND p.b = r.k + 1
+          ORDER BY abs((r.st::DOUBLE - p.ax) * (p.v - r.sv)
+                     - (r.st - p.t)::DOUBLE * (r.sv - p.ay)) DESC,
+                   p.t ASC
+          LIMIT 1) c
+        WHERE r.k < {_B})
+      SELECT s AS event_type, st AS time, sv AS value FROM sel
+      UNION ALL
+      SELECT s AS event_type, t AS time, v AS value FROM lasts"""
     # MinHash Jaccard estimate per LSH candidate pair: matching signature
     # slots / num_perm, over the same sig + banding CTEs the candidate
     # oracle uses

@@ -171,3 +171,35 @@ def test_m4_downsample(spark):
     assert (g["n"], g["v_min"], g["v_max"], g["v_first"], g["v_last"]) == \
         (4, 1.0, 9.0, 5.0, 2.0)
     assert out[("a", 100)]["v_first"] == 7.0 and out[("b", 0)]["n"] == 1
+
+
+def test_lttb_downsample(spark):
+    """Endpoints always kept; output is a time-ordered subset of the
+    input of exactly n_out points; short series pass through; the
+    selected interior point of a 1-bucket reduction is the max-area
+    point by hand calculation."""
+    from influxdb_ha_spark.operators.timeseries import lttb_downsample
+    rows = [("a", t, float(v)) for t, v in
+            [(0, 0.0), (1, 1.0), (2, 9.0), (3, 1.5), (4, 2.0)]]
+    rows += [("b", t, float(t)) for t in range(3)]   # short: passthrough
+    df = spark.createDataFrame(rows, "s string, time long, value double")
+    out = lttb_downsample(df, on="time", by=["s"], value_col="value",
+                          n_out=3).collect()
+    a = sorted([(r["time"], r["value"]) for r in out if r["s"] == "a"])
+    # n_out=3: first + one interior + last; (2, 9.0) is the spike with
+    # the largest triangle vs first point and last point (the anchor)
+    assert a == [(0, 0.0), (2, 9.0), (4, 2.0)]
+    b = sorted([(r["time"], r["value"]) for r in out if r["s"] == "b"])
+    assert b == [(0, 0.0), (1, 1.0), (2, 2.0)]
+    # larger random series: size + subset + endpoint invariants
+    import random
+    rng = random.Random(5)
+    big = [("c", t, rng.random() * 100) for t in range(500)]
+    df2 = spark.createDataFrame(big, "s string, time long, value double")
+    got = sorted([(r["time"], r["value"]) for r in
+                  lttb_downsample(df2, on="time", by=["s"],
+                                  value_col="value", n_out=50).collect()])
+    assert len(got) == 50
+    src = dict((t, v) for _, t, v in big)
+    assert all(src[t] == v for t, v in got)
+    assert got[0][0] == 0 and got[-1][0] == 499
