@@ -525,6 +525,19 @@ def q_tr_moving_average(spark, sf):
                      _fr(F.col("moving_average"), 4).alias("moving_average"))
 
 
+def q_tr_ema(spark, sf):
+    """exponential_moving_average(value, 10) per series — sequential EMA
+    recurrence in applyInPandas with pinned float order; the oracle
+    replays the identical recurrence via recursive CTE, so even the
+    cumulative float state hash-matches (planner-wired: the InfluxQL
+    form `SELECT exponential_moving_average(value, 10)` plans to the
+    same operator)."""
+    df = T.exponential_moving_average(
+        _events_us(spark, sf).select("time", "event_type", "value"),
+        "value", n=10, by=["event_type"], out="ema")
+    return df.select("time", "event_type", _fr(F.col("ema"), 6).alias("ema"))
+
+
 def q_tr_integral(spark, sf):
     df = T.integral(_events_us(spark, sf).select("time", "event_type", "value"),
                     "value", unit_ns=HOUR, by=["event_type"])
@@ -1486,6 +1499,7 @@ _FAMILIES = [
         "tr_cumulative_sum": q_tr_cumulative_sum,
         "tr_elapsed": q_tr_elapsed,
         "tr_moving_average": q_tr_moving_average,
+        "tr_ema": q_tr_ema,
         "tr_integral": q_tr_integral,
         "tr_histogram": q_tr_histogram,
         "tr_non_negative": q_tr_non_negative,

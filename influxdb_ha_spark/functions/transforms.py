@@ -223,3 +223,43 @@ def holt_winters(df: DataFrame, field: str, n_forecast: int, seasonal: int,
     if by:
         return df.groupBy(*by).applyInPandas(fit, schema)
     return df.groupBy(F.lit(0).alias("__g")).applyInPandas(fit, schema)
+
+
+def exponential_moving_average(df: DataFrame, field: str, n: int,
+                               time_col: str = "time",
+                               by: list[str] | None = None,
+                               out: str = "exponential_moving_average"
+                               ) -> DataFrame:
+    """Classic EMA over each series: y_0 = x_0, y_t = (1−α)·y_{t−1} + α·x_t
+    with α = 2/(N+1) — the technical-analysis smoothing InfluxQL exposes
+    as EXPONENTIAL_MOVING_AVERAGE(field, N). (InfluxQL's optional
+    hold/warmup variants are not implemented; this is the simple-seed
+    form, emitted from the first point — documented deviation.)
+
+    The recurrence is inherently sequential per series, so like
+    holt_winters it runs in applyInPandas grouped by the series tags;
+    the recurrence is an explicit float64 loop with pinned operand order
+    ((1−α)·prev + α·x) so the DuckDB recursive-CTE oracle reproduces the
+    values bit-for-bit. Nulls are skipped (InfluxQL consumes the
+    non-null stream).
+    """
+    import pandas as pd
+
+    by = by or []
+    alpha = 2.0 / (n + 1)
+    schema = ", ".join([f"`{c}` string" for c in by]
+                       + [f"`{time_col}` long", f"`{out}` double"])
+
+    def ema(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.dropna(subset=[field]).sort_values(time_col)
+        keys = [pdf.iloc[0][c] for c in by] if len(pdf) else []
+        ys = []
+        y = None
+        for x in (float(v) for v in pdf[field]):
+            y = x if y is None else (1.0 - alpha) * y + alpha * x
+            ys.append(y)
+        return pd.DataFrame(
+            [keys + [int(t), v] for t, v in zip(pdf[time_col], ys)],
+            columns=by + [time_col, out])
+
+    return df.groupBy(*by).applyInPandas(ema, schema)

@@ -38,7 +38,7 @@ from .timeutil import parse_time_literal_ns, time_bucket, time_bucket_tz
 
 TRANSFORMS = {"derivative", "non_negative_derivative", "difference",
               "non_negative_difference", "cumulative_sum", "elapsed",
-              "moving_average", "integral",
+              "moving_average", "exponential_moving_average", "integral",
               "holt_winters", "holt_winters_with_fit"}
 ROW_SELECTORS = {"top", "bottom", "distinct", "sample"}
 
@@ -363,6 +363,9 @@ class Planner:
             return T.cumulative_sum(out, inner_col, **kw).drop(inner_col)
         if texpr.name == "moving_average":
             return T.moving_average(out, inner_col, int(n or 2), **kw).drop(inner_col)
+        if texpr.name == "exponential_moving_average":
+            return T.exponential_moving_average(out, inner_col, int(n or 2),
+                                                **kw)
         if texpr.name in ("holt_winters", "holt_winters_with_fit"):
             # holt_winters(agg(f), N, S) — requires GROUP BY time(interval)
             # (influxql semantics; S in buckets)
@@ -406,6 +409,8 @@ class Planner:
             out = T.elapsed(base, unit or 1, time_col=TIME_COL, by=group_tags, out=name)
         elif call.name == "moving_average":
             out = T.moving_average(base, field, int(n or 2), **kw)
+        elif call.name == "exponential_moving_average":
+            out = T.exponential_moving_average(base, field, int(n or 2), **kw)
         elif call.name == "integral":
             out = T.integral(base, field, unit or 10**9, time_col=TIME_COL,
                              by=group_tags, out=name)

@@ -415,6 +415,21 @@ def build_oracles() -> dict[str, str]:
         FROM events)
       SELECT time, event_type, {fr('ma', 4)} AS moving_average
       FROM d WHERE c >= 7"""
+    # EMA recurrence replayed exactly: same (1-a)*prev + a*x operand
+    # order as the Spark-side float64 loop (alpha = 2/(10+1))
+    _ema_a = repr(2.0 / 11)
+    o["tr_ema"] = f"""
+      WITH RECURSIVE
+      p AS (SELECT event_type AS s, {EV_TIME} AS t, value AS v,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY {EV_TIME}) AS r
+            FROM events WHERE value IS NOT NULL),
+      e(s, r, t, y) AS (
+        SELECT s, r, t, v FROM p WHERE r = 1
+        UNION ALL
+        SELECT p.s, p.r, p.t, (1.0 - {_ema_a}) * e.y + {_ema_a} * p.v
+        FROM e JOIN p ON p.s = e.s AND p.r = e.r + 1)
+      SELECT t AS time, s AS event_type, {fr('y', 6)} AS ema FROM e"""
     o["tr_integral"] = f"""
       WITH d AS (
         SELECT event_type,

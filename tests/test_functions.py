@@ -301,3 +301,27 @@ def test_distributed_scan_sparse_input(spark):
            .withColumn("c", F.count("v").over(w)).where(F.col("c") >= 3))
     assert got == {r["time"]: r["ma"] for r in ref.collect()}
     assert len(got) == 28
+
+
+def test_exponential_moving_average(spark):
+    """EMA recurrence y_t = (1-a)y + ax from the first point; the InfluxQL
+    string form plans to the same operator."""
+    from influxdb_ha_spark.functions import transforms as T
+    from influxdb_ha_spark.model import Catalog
+    from influxdb_ha_spark.planner import influxql_df
+    rows = [("a", i, float(v)) for i, v in enumerate([10.0, 20.0, 14.0, 8.0])]
+    df = spark.createDataFrame(rows, "s string, time long, value double")
+    out = {r["time"]: r["ema"] for r in T.exponential_moving_average(
+        df, "value", n=3, by=["s"], out="ema").collect()}
+    a = 0.5  # 2/(3+1)
+    want, y = {}, None
+    for i, v in enumerate([10.0, 20.0, 14.0, 8.0]):
+        y = v if y is None else (1 - a) * y + a * v
+        want[i] = y
+    assert out == want
+    cat = Catalog(spark)
+    cat.register_dataframe("db", "m", df, time_col="time", tags=["s"])
+    iq = influxql_df(
+        cat, "SELECT exponential_moving_average(value, 3) FROM m", "db")
+    got = {r["time"]: r["exponential_moving_average"] for r in iq.collect()}
+    assert got == want
