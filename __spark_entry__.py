@@ -525,6 +525,20 @@ def q_tr_moving_average(spark, sf):
                      _fr(F.col("moving_average"), 4).alias("moving_average"))
 
 
+def q_iq_multi_transform(spark, sf):
+    """Several transforms + a plain aggregate in ONE InfluxQL SELECT
+    (round-4 planner fix: this shape used to crash, and a lone rider
+    aggregate leaked its internal column name). Rider rows keep nulls
+    where a transform is undefined (InfluxDB column alignment); counts
+    keep the arithmetic engine-exact."""
+    df = _iq(spark, sf,
+             "SELECT count(value) AS n, difference(count(value)) AS diff, "
+             "moving_average(count(value), 4) AS ma "
+             "FROM events GROUP BY time(1d), event_type fill(none)")
+    return df.select("time", "event_type", "n", "diff",
+                     _fr(F.col("ma"), 4).alias("ma"))
+
+
 def q_tr_ema(spark, sf):
     """exponential_moving_average(value, 10) per series — sequential EMA
     recurrence in applyInPandas with pinned float order; the oracle
@@ -1491,6 +1505,7 @@ _FAMILIES = [
         "iq_rate_1h": q_iq_rate_1h,
         "iq_cumsum_1d": q_iq_cumsum_1d,
         "iq_moving_count": q_iq_moving_count,
+        "iq_multi_transform": q_iq_multi_transform,
     },
     {
         # transforms (§2.4 unsupported-list / §2.5)

@@ -52,37 +52,48 @@ def _windowed(df: DataFrame, time_col: str, by: list[str], k: int,
 
 
 def difference(df: DataFrame, field: str, time_col: str = "time",
-               by: list[str] | None = None, out: str = "difference") -> DataFrame:
-    """f - lag(f) per series (query_merge.go:221-254 commented-out list)."""
+               by: list[str] | None = None, out: str = "difference",
+               strict: bool = True) -> DataFrame:
+    """f - lag(f) per series (query_merge.go:221-254 commented-out list).
+
+    strict=False keeps undefined rows with a null value instead of
+    filtering them — the alignment InfluxDB uses when other select
+    columns ride alongside the transform."""
     d = _windowed(df, time_col, by or [], 1,
                   lambda w: [(out, F.col(field) - F.lag(field).over(w))])
-    return d.where(F.col(out).isNotNull())
+    return d.where(F.col(out).isNotNull()) if strict else d
 
 
 def non_negative_difference(df: DataFrame, field: str, time_col: str = "time",
                             by: list[str] | None = None,
-                            out: str = "non_negative_difference") -> DataFrame:
-    d = difference(df, field, time_col, by, out)
-    return d.where(F.col(out) >= 0)
+                            out: str = "non_negative_difference",
+                            strict: bool = True) -> DataFrame:
+    d = difference(df, field, time_col, by, out, strict)
+    if strict:
+        return d.where(F.col(out) >= 0)
+    return d.withColumn(out, F.when(F.col(out) >= 0, F.col(out)))
 
 
 def derivative(df: DataFrame, field: str, unit_ns: int = SECOND,
                time_col: str = "time", by: list[str] | None = None,
-               out: str = "derivative") -> DataFrame:
+               out: str = "derivative", strict: bool = True) -> DataFrame:
     """(f - lag(f)) / (time - lag(time)) * unit — InfluxQL derivative(f, unit)."""
     def compute(w):
         dt = (F.col(time_col) - F.lag(time_col).over(w)).cast("double")
         dv = F.col(field) - F.lag(field).over(w)
         return [(out, dv / dt * F.lit(float(unit_ns)))]
     d = _windowed(df, time_col, by or [], 1, compute)
-    return d.where(F.col(out).isNotNull())
+    return d.where(F.col(out).isNotNull()) if strict else d
 
 
 def non_negative_derivative(df: DataFrame, field: str, unit_ns: int = SECOND,
                             time_col: str = "time", by: list[str] | None = None,
-                            out: str = "non_negative_derivative") -> DataFrame:
-    d = derivative(df, field, unit_ns, time_col, by, out)
-    return d.where(F.col(out) >= 0)
+                            out: str = "non_negative_derivative",
+                            strict: bool = True) -> DataFrame:
+    d = derivative(df, field, unit_ns, time_col, by, out, strict)
+    if strict:
+        return d.where(F.col(out) >= 0)
+    return d.withColumn(out, F.when(F.col(out) >= 0, F.col(out)))
 
 
 def cumulative_sum(df: DataFrame, field: str, time_col: str = "time",
@@ -105,15 +116,21 @@ def elapsed(df: DataFrame, unit_ns: int = 1, time_col: str = "time",
 
 def moving_average(df: DataFrame, field: str, n: int, time_col: str = "time",
                    by: list[str] | None = None,
-                   out: str = "moving_average") -> DataFrame:
+                   out: str = "moving_average",
+                   strict: bool = True) -> DataFrame:
     """Trailing n-point average; emitted only once n points exist (InfluxQL
-    semantics). Exact, unlike the reference merge (calls.go:17-44)."""
+    semantics). Exact, unlike the reference merge (calls.go:17-44).
+    strict=False nulls the warmup rows instead of dropping them (the
+    alignment used when other select columns ride alongside)."""
     def compute(w):
         wf = w.rowsBetween(-(n - 1), 0)
         return [(out, F.avg(field).over(wf)),
                 ("__cnt", F.count(field).over(wf))]
     d = _windowed(df, time_col, by or [], n - 1, compute)
-    return d.where(F.col("__cnt") >= n).drop("__cnt")
+    if strict:
+        return d.where(F.col("__cnt") >= n).drop("__cnt")
+    return d.withColumn(out, F.when(F.col("__cnt") >= n, F.col(out))) \
+        .drop("__cnt")
 
 
 def integral(df: DataFrame, field: str, unit_ns: int = SECOND,

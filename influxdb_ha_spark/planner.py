@@ -41,6 +41,10 @@ TRANSFORMS = {"derivative", "non_negative_derivative", "difference",
               "moving_average", "exponential_moving_average", "integral",
               "holt_winters", "holt_winters_with_fit"}
 ROW_SELECTORS = {"top", "bottom", "distinct", "sample"}
+# applyInPandas-based transforms re-emit their own schema, so they can't
+# carry rider columns from other select fields
+_SEQUENTIAL_TRANSFORMS = {"holt_winters", "holt_winters_with_fit",
+                          "exponential_moving_average"}
 
 
 # Re-exported from errors.py so existing `from .planner import QueryError`
@@ -112,6 +116,12 @@ class Planner:
         elif len(calls) == 1 and calls[0].name in TRANSFORMS and \
                 not self._has_inner_agg(calls[0]):
             out = self._plan_transform_raw(stmt, df, m, group_tags, ctx)
+        elif (len(calls) > 1
+              and all(isinstance(f.expr, Call)
+                      and f.expr.name in TRANSFORMS
+                      and not self._has_inner_agg(f.expr)
+                      for f in stmt.fields)):
+            out = self._plan_transform_raw_multi(stmt, df, m, group_tags, ctx)
         else:
             out = self._plan_aggregate(stmt, df, m, group_tags, ctx)
 
@@ -294,7 +304,7 @@ class Planner:
 
         # collect aggregate sub-calls across all select fields
         agg_exprs: dict[str, Column] = {}
-        outer_transform = None
+        outer_transforms: list[tuple[str, Call, str]] = []
         post_fields: list[tuple[str, object]] = []  # (output name, expr)
         for i, f in enumerate(stmt.fields):
             name = f.alias or self._default_name(f.expr)
@@ -302,7 +312,14 @@ class Planner:
             if isinstance(expr, Call) and expr.name in TRANSFORMS and \
                     self._has_inner_agg(expr):
                 # e.g. derivative(mean(value), 1s) over GROUP BY time()
-                outer_transform = (name, expr)
+                if expr.name in _SEQUENTIAL_TRANSFORMS \
+                        and len(stmt.fields) > 1:
+                    # applyInPandas transforms re-emit their own schema,
+                    # so rider columns can't survive alongside them
+                    raise QueryError(
+                        f"{expr.name} cannot be combined with other "
+                        "select fields")
+                outer_transforms.append((name, expr, f"__inner_{i}"))
                 expr = expr.args[0]
                 name = f"__inner_{i}"
             self._collect_aggs(expr, agg_exprs)
@@ -321,12 +338,17 @@ class Planner:
             value_names.append(name)
         out = agged.select(*sel)
 
-        if outer_transform is not None:
-            tname, texpr = outer_transform
-            inner_col = value_names[0]
+        for tname, texpr, inner_col in outer_transforms:
+            # the transform's window rides over the aggregated frame, so
+            # any plain aggregate columns selected alongside survive; the
+            # inner (unnamed) aggregate column is consumed. With riders,
+            # undefined rows keep a null value instead of being filtered
+            # (InfluxDB's column alignment).
             out = self._apply_transform(out, texpr, inner_col, tname,
-                                        group_tags, stmt.group_by_time_ns)
-            value_names = [tname]
+                                        group_tags, stmt.group_by_time_ns,
+                                        strict=len(post_fields) == 1)
+            value_names = [n for n in value_names if n != inner_col]
+            value_names.append(tname)
             if texpr.name.startswith("holt_winters"):
                 # forecast rows lie beyond the query range — a fill spine
                 # over [start, end) would drop them (influxql applies no
@@ -344,25 +366,30 @@ class Planner:
 
     def _apply_transform(self, out: DataFrame, texpr: Call, inner_col: str,
                          tname: str, group_tags: list[str],
-                         bucket_ns: int | None) -> DataFrame:
+                         bucket_ns: int | None,
+                         strict: bool = True) -> DataFrame:
         args = texpr.args[1:]
         unit = args[0].ns if args and isinstance(args[0], DurationLit) else None
         n = args[0].value if args and isinstance(args[0], IntegerLit) else None
         kw = dict(time_col=TIME_COL, by=group_tags, out=tname)
         if texpr.name == "derivative":
-            return T.derivative(out, inner_col, unit or bucket_ns or 10**9, **kw) \
-                .drop(inner_col)
+            return T.derivative(out, inner_col, unit or bucket_ns or 10**9,
+                                strict=strict, **kw).drop(inner_col)
         if texpr.name == "non_negative_derivative":
-            return T.non_negative_derivative(out, inner_col,
-                                             unit or bucket_ns or 10**9, **kw).drop(inner_col)
+            return T.non_negative_derivative(
+                out, inner_col, unit or bucket_ns or 10**9,
+                strict=strict, **kw).drop(inner_col)
         if texpr.name == "difference":
-            return T.difference(out, inner_col, **kw).drop(inner_col)
+            return T.difference(out, inner_col, strict=strict, **kw) \
+                .drop(inner_col)
         if texpr.name == "non_negative_difference":
-            return T.non_negative_difference(out, inner_col, **kw).drop(inner_col)
+            return T.non_negative_difference(out, inner_col, strict=strict,
+                                             **kw).drop(inner_col)
         if texpr.name == "cumulative_sum":
             return T.cumulative_sum(out, inner_col, **kw).drop(inner_col)
         if texpr.name == "moving_average":
-            return T.moving_average(out, inner_col, int(n or 2), **kw).drop(inner_col)
+            return T.moving_average(out, inner_col, int(n or 2),
+                                    strict=strict, **kw).drop(inner_col)
         if texpr.name == "exponential_moving_average":
             return T.exponential_moving_average(out, inner_col, int(n or 2),
                                                 **kw)
@@ -418,6 +445,39 @@ class Planner:
         else:
             raise QueryError(f"unsupported transform {call.name}")
         return out.select(TIME_COL, *group_tags, name)
+
+    def _plan_transform_raw_multi(self, stmt: SelectStatement, df: DataFrame,
+                                  m: Measurement, group_tags: list[str],
+                                  ctx: PlanContext) -> DataFrame:
+        """Several raw-series transforms in one SELECT (e.g.
+        `SELECT derivative(value), moving_average(value, 7) FROM m`):
+        each transform plans independently, then the per-point outputs
+        full-outer-join on (time, tags) — InfluxDB's column alignment.
+        Duplicate unaliased names get the _N suffix InfluxDB appends."""
+        import copy
+
+        for f in stmt.fields:
+            if f.expr.name in ("integral", "elapsed") \
+                    or f.expr.name in _SEQUENTIAL_TRANSFORMS:
+                raise QueryError(
+                    f"{f.expr.name} cannot be combined with other "
+                    "transforms in one SELECT")
+        keys = [TIME_COL] + group_tags
+        out = None
+        used: dict[str, int] = {}
+        for f in stmt.fields:
+            name = f.alias or self._default_name(f.expr)
+            if name in used:
+                used[name] += 1
+                uniq = f"{name}_{used[name]}"
+            else:
+                used[name] = 0
+                uniq = name
+            s1 = copy.copy(stmt)
+            s1.fields = [type(f)(expr=f.expr, alias=uniq)]
+            o = self._plan_transform_raw(s1, df, m, group_tags, ctx)
+            out = o if out is None else out.join(o, keys, "full_outer")
+        return out
 
     # -- row-producing selectors ------------------------------------------
     def _plan_row_selector(self, stmt: SelectStatement, df: DataFrame,

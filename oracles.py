@@ -1247,6 +1247,23 @@ def build_oracles() -> dict[str, str]:
                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
       SELECT time, event_type, {fr('mc', 4)} AS mc
       FROM d WHERE nw >= 4"""
+    # multi-transform select: plain count + difference + moving_average in
+    # one statement; rider rows keep nulls where a transform is undefined
+    o["iq_multi_transform"] = f"""
+      WITH a AS (
+        SELECT ({EV_TIME} // {DAY}) * {DAY} AS time, event_type,
+               count(value) AS n
+        FROM events GROUP BY 1, 2),
+      d AS (
+        SELECT time, event_type, n,
+               n - lag(n) OVER w AS diff,
+               avg(n) OVER w2 AS ma, count(n) OVER w2 AS nw
+        FROM a WINDOW w AS (PARTITION BY event_type ORDER BY time),
+                    w2 AS (PARTITION BY event_type ORDER BY time
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+      SELECT time, event_type, n, diff,
+             CASE WHEN nw >= 4 THEN {fr('ma', 4)} END AS ma
+      FROM d"""
     o["tr_non_negative"] = f"""
       WITH d AS (
         SELECT {EV_TIME} AS time, event_type,

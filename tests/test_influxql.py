@@ -354,3 +354,38 @@ def test_top_with_tag_key(treasures):
                       database="sharded")
     rows = [(r["type"], r["b"]) for r in out.collect()]
     assert sorted(rows) == [("silver", 2.0), ("trash", 0.0)]
+
+
+def test_multi_transform_select(spark):
+    """Round-4 planner fix: several transforms in one SELECT join on
+    (time, tags); a plain aggregate riding with a transform keeps its
+    own column name (it used to leak __inner_N and get dropped), and
+    rider rows keep nulls where a transform is undefined."""
+    from influxdb_ha_spark.model import Catalog
+    from influxdb_ha_spark.planner import influxql_df
+    rows = [("a", i * 1000, float(v)) for i, v in
+            enumerate([1.0, 4.0, 2.0, 8.0])]
+    df = spark.createDataFrame(rows, "s string, time long, value double")
+    cat = Catalog(spark)
+    cat.register_dataframe("db", "m", df, time_col="time", tags=["s"])
+    out = influxql_df(
+        cat, "SELECT difference(value), moving_average(value, 2) FROM m",
+        "db").collect()
+    got = {r["time"]: (r["difference"], r["moving_average"]) for r in out}
+    # difference starts at the 2nd point; ma(2) too — full outer join
+    # keeps every time where either is defined
+    assert got == {1000: (3.0, 2.5), 2000: (-2.0, 3.0), 3000: (6.0, 5.0)}
+    # rider aggregate keeps its name next to a transform-over-aggregate
+    rows2 = [("a", i * 1_000_000_000, float(i)) for i in range(4)]
+    df2 = spark.createDataFrame(rows2, "s string, time long, value double")
+    cat.register_dataframe("db", "m2", df2, time_col="time", tags=["s"])
+    out2 = influxql_df(
+        cat, "SELECT count(value), difference(count(value)) FROM m2 "
+             "GROUP BY time(2s) fill(none)", "db").collect()
+    assert sorted(out2[0].asDict()) == ["count", "difference", "time"]
+    vals = {r["time"]: (r["count"], r["difference"]) for r in out2}
+    assert vals == {0: (2, None), 2_000_000_000: (2, 0)}
+    # duplicate unaliased transforms get InfluxDB's _N suffix
+    out3 = influxql_df(
+        cat, "SELECT difference(value), difference(value) FROM m", "db")
+    assert out3.columns == ["time", "difference", "difference_1"]
