@@ -552,6 +552,18 @@ def q_tr_ema(spark, sf):
     return df.select("time", "event_type", _fr(F.col("ema"), 6).alias("ema"))
 
 
+def q_tr_dema(spark, sf):
+    """DEMA = 2·EMA − EMA(EMA) per series — chained sequential recurrences
+    whose two float64 states the recursive-CTE oracle carries in
+    lockstep, so the cumulative arithmetic hash-matches
+    (functions/transforms.py:double_exponential_moving_average)."""
+    df = T.double_exponential_moving_average(
+        _events_us(spark, sf).select("time", "event_type", "value"),
+        "value", n=10, by=["event_type"], out="dema")
+    return df.select("time", "event_type",
+                     _fr(F.col("dema"), 6).alias("dema"))
+
+
 def q_tr_integral(spark, sf):
     df = T.integral(_events_us(spark, sf).select("time", "event_type", "value"),
                     "value", unit_ns=HOUR, by=["event_type"])
@@ -1515,6 +1527,7 @@ _FAMILIES = [
         "tr_elapsed": q_tr_elapsed,
         "tr_moving_average": q_tr_moving_average,
         "tr_ema": q_tr_ema,
+        "tr_dema": q_tr_dema,
         "tr_integral": q_tr_integral,
         "tr_histogram": q_tr_histogram,
         "tr_non_negative": q_tr_non_negative,

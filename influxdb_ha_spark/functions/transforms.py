@@ -280,3 +280,61 @@ def exponential_moving_average(df: DataFrame, field: str, n: int,
             columns=by + [time_col, out])
 
     return df.groupBy(*by).applyInPandas(ema, schema)
+
+
+def _multi_ema(df: DataFrame, field: str, n: int, depth: int,
+               combine, time_col: str, by: list[str] | None,
+               out: str) -> DataFrame:
+    """Shared body for DEMA/TEMA: carry `depth` chained EMA states per
+    series (y_k is the EMA of the y_{k-1} stream, y_0 = the data), all
+    seeded with the first value, and emit combine(states) per point.
+    Explicit float64 loop with pinned operand order — the DuckDB
+    recursive-CTE oracle carries the same state tuple."""
+    import pandas as pd
+
+    by = by or []
+    alpha = 2.0 / (n + 1)
+    schema = ", ".join([f"`{c}` string" for c in by]
+                       + [f"`{time_col}` long", f"`{out}` double"])
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.dropna(subset=[field]).sort_values(time_col)
+        keys = [pdf.iloc[0][c] for c in by] if len(pdf) else []
+        ys = None
+        rows = []
+        for x in (float(v) for v in pdf[field]):
+            if ys is None:
+                ys = [x] * depth
+            else:
+                prev = x
+                for k in range(depth):
+                    ys[k] = (1.0 - alpha) * ys[k] + alpha * prev
+                    prev = ys[k]
+            rows.append(combine(ys))
+        return pd.DataFrame(
+            [keys + [int(t), v] for t, v in zip(pdf[time_col], rows)],
+            columns=by + [time_col, out])
+
+    return df.groupBy(*by).applyInPandas(run, schema)
+
+
+def double_exponential_moving_average(
+        df: DataFrame, field: str, n: int, time_col: str = "time",
+        by: list[str] | None = None,
+        out: str = "double_exponential_moving_average") -> DataFrame:
+    """DEMA = 2·EMA − EMA(EMA) (Mulloy 1994) — the lag-reduced smoothing
+    InfluxQL exposes as DOUBLE_EXPONENTIAL_MOVING_AVERAGE. Simple-seed
+    form (both states seeded with the first value; InfluxQL's hold
+    variants not implemented — same documented deviation as EMA)."""
+    return _multi_ema(df, field, n, 2,
+                      lambda ys: 2.0 * ys[0] - ys[1], time_col, by, out)
+
+
+def triple_exponential_moving_average(
+        df: DataFrame, field: str, n: int, time_col: str = "time",
+        by: list[str] | None = None,
+        out: str = "triple_exponential_moving_average") -> DataFrame:
+    """TEMA = 3·e1 − 3·e2 + e3 over chained EMA states."""
+    return _multi_ema(df, field, n, 3,
+                      lambda ys: 3.0 * ys[0] - 3.0 * ys[1] + ys[2],
+                      time_col, by, out)

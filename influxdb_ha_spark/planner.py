@@ -38,13 +38,17 @@ from .timeutil import parse_time_literal_ns, time_bucket, time_bucket_tz
 
 TRANSFORMS = {"derivative", "non_negative_derivative", "difference",
               "non_negative_difference", "cumulative_sum", "elapsed",
-              "moving_average", "exponential_moving_average", "integral",
+              "moving_average", "exponential_moving_average",
+              "double_exponential_moving_average",
+              "triple_exponential_moving_average", "integral",
               "holt_winters", "holt_winters_with_fit"}
 ROW_SELECTORS = {"top", "bottom", "distinct", "sample"}
 # applyInPandas-based transforms re-emit their own schema, so they can't
 # carry rider columns from other select fields
 _SEQUENTIAL_TRANSFORMS = {"holt_winters", "holt_winters_with_fit",
-                          "exponential_moving_average"}
+                          "exponential_moving_average",
+                          "double_exponential_moving_average",
+                          "triple_exponential_moving_average"}
 
 
 # Re-exported from errors.py so existing `from .planner import QueryError`
@@ -393,6 +397,12 @@ class Planner:
         if texpr.name == "exponential_moving_average":
             return T.exponential_moving_average(out, inner_col, int(n or 2),
                                                 **kw)
+        if texpr.name == "double_exponential_moving_average":
+            return T.double_exponential_moving_average(out, inner_col,
+                                                       int(n or 2), **kw)
+        if texpr.name == "triple_exponential_moving_average":
+            return T.triple_exponential_moving_average(out, inner_col,
+                                                       int(n or 2), **kw)
         if texpr.name in ("holt_winters", "holt_winters_with_fit"):
             # holt_winters(agg(f), N, S) — requires GROUP BY time(interval)
             # (influxql semantics; S in buckets)
@@ -438,6 +448,12 @@ class Planner:
             out = T.moving_average(base, field, int(n or 2), **kw)
         elif call.name == "exponential_moving_average":
             out = T.exponential_moving_average(base, field, int(n or 2), **kw)
+        elif call.name == "double_exponential_moving_average":
+            out = T.double_exponential_moving_average(base, field,
+                                                      int(n or 2), **kw)
+        elif call.name == "triple_exponential_moving_average":
+            out = T.triple_exponential_moving_average(base, field,
+                                                      int(n or 2), **kw)
         elif call.name == "integral":
             out = T.integral(base, field, unit or 10**9, time_col=TIME_COL,
                              by=group_tags, out=name)

@@ -430,6 +430,24 @@ def build_oracles() -> dict[str, str]:
         SELECT p.s, p.r, p.t, (1.0 - {_ema_a}) * e.y + {_ema_a} * p.v
         FROM e JOIN p ON p.s = e.s AND p.r = e.r + 1)
       SELECT t AS time, s AS event_type, {fr('y', 6)} AS ema FROM e"""
+    # DEMA: the recursion carries BOTH chained EMA states (y2 updates from
+    # the just-updated y1), mirroring the Spark-side loop's operand order
+    o["tr_dema"] = f"""
+      WITH RECURSIVE
+      p AS (SELECT event_type AS s, {EV_TIME} AS t, value AS v,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY {EV_TIME}) AS r
+            FROM events WHERE value IS NOT NULL),
+      e(s, r, t, y1, y2) AS (
+        SELECT s, r, t, v, v FROM p WHERE r = 1
+        UNION ALL
+        SELECT p.s, p.r, p.t,
+               (1.0 - {_ema_a}) * e.y1 + {_ema_a} * p.v,
+               (1.0 - {_ema_a}) * e.y2 + {_ema_a}
+                 * ((1.0 - {_ema_a}) * e.y1 + {_ema_a} * p.v)
+        FROM e JOIN p ON p.s = e.s AND p.r = e.r + 1)
+      SELECT t AS time, s AS event_type,
+             {fr('2.0 * y1 - y2', 6)} AS dema FROM e"""
     o["tr_integral"] = f"""
       WITH d AS (
         SELECT event_type,

@@ -325,3 +325,38 @@ def test_exponential_moving_average(spark):
         cat, "SELECT exponential_moving_average(value, 3) FROM m", "db")
     got = {r["time"]: r["exponential_moving_average"] for r in iq.collect()}
     assert got == want
+
+
+def test_dema_tema(spark):
+    """Chained-EMA indicators: hand recurrence check + planner wiring."""
+    from influxdb_ha_spark.functions import transforms as T
+    from influxdb_ha_spark.model import Catalog
+    from influxdb_ha_spark.planner import influxql_df
+    xs = [10.0, 20.0, 14.0, 8.0, 30.0]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(xs)],
+        "s string, time long, value double")
+    a = 0.5  # 2/(3+1)
+    y1 = y2 = y3 = None
+    dema, tema = {}, {}
+    for i, x in enumerate(xs):
+        if y1 is None:
+            y1 = y2 = y3 = x
+        else:
+            y1 = (1 - a) * y1 + a * x
+            y2 = (1 - a) * y2 + a * y1
+            y3 = (1 - a) * y3 + a * y2
+        dema[i] = 2.0 * y1 - y2
+        tema[i] = 3.0 * y1 - 3.0 * y2 + y3
+    got_d = {r["time"]: r["d"] for r in T.double_exponential_moving_average(
+        df, "value", n=3, by=["s"], out="d").collect()}
+    got_t = {r["time"]: r["t3"] for r in T.triple_exponential_moving_average(
+        df, "value", n=3, by=["s"], out="t3").collect()}
+    assert got_d == dema and got_t == tema
+    cat = Catalog(spark)
+    cat.register_dataframe("db", "m", df, time_col="time", tags=["s"])
+    iq = influxql_df(
+        cat, "SELECT triple_exponential_moving_average(value, 3) FROM m",
+        "db")
+    assert {r["time"]: r["triple_exponential_moving_average"]
+            for r in iq.collect()} == tema
