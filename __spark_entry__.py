@@ -564,6 +564,16 @@ def q_tr_dema(spark, sf):
                      _fr(F.col("dema"), 6).alias("dema"))
 
 
+def q_tr_cmo(spark, sf):
+    """Chande momentum oscillator over trailing 14 deltas per series —
+    pure window aggregate, whole-stage codegen, zero Python
+    (functions/transforms.py:chande_momentum_oscillator)."""
+    df = T.chande_momentum_oscillator(
+        _events_us(spark, sf).select("time", "event_type", "value"),
+        "value", n=14, by=["event_type"], out="cmo")
+    return df.select("time", "event_type", _fr(F.col("cmo"), 6).alias("cmo"))
+
+
 def q_tr_integral(spark, sf):
     df = T.integral(_events_us(spark, sf).select("time", "event_type", "value"),
                     "value", unit_ns=HOUR, by=["event_type"])
@@ -1528,6 +1538,7 @@ _FAMILIES = [
         "tr_moving_average": q_tr_moving_average,
         "tr_ema": q_tr_ema,
         "tr_dema": q_tr_dema,
+        "tr_cmo": q_tr_cmo,
         "tr_integral": q_tr_integral,
         "tr_histogram": q_tr_histogram,
         "tr_non_negative": q_tr_non_negative,

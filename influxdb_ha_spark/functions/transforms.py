@@ -338,3 +338,32 @@ def triple_exponential_moving_average(
     return _multi_ema(df, field, n, 3,
                       lambda ys: 3.0 * ys[0] - 3.0 * ys[1] + ys[2],
                       time_col, by, out)
+
+
+def chande_momentum_oscillator(df: DataFrame, field: str, n: int,
+                               time_col: str = "time",
+                               by: list[str] | None = None,
+                               out: str = "chande_momentum_oscillator",
+                               strict: bool = True) -> DataFrame:
+    """CMO(n) = 100 · (ΣU − ΣD) / (ΣU + ΣD) over the trailing n point
+    deltas, where U/D are the positive/negative move magnitudes — the
+    windowed momentum indicator InfluxQL exposes as
+    CHANDE_MOMENTUM_OSCILLATOR(field, N). Unlike the EMA family this is
+    a pure window aggregate: lag + two conditional sums inside
+    whole-stage codegen, no Python anywhere. Emitted once n deltas
+    exist (strict=False nulls the warmup rows instead)."""
+    def compute(w):
+        d = F.col(field) - F.lag(field).over(w)
+        wf = w.rowsBetween(-(n - 1), 0)
+        up = F.sum(F.when(d > 0, d).otherwise(F.lit(0.0))).over(wf)
+        dn = F.sum(F.when(d < 0, -d).otherwise(F.lit(0.0))).over(wf)
+        cnt = F.count(d).over(wf)
+        val = F.when(up + dn > 0,
+                     F.lit(100.0) * (up - dn) / (up + dn)) \
+            .otherwise(F.lit(0.0))
+        return [(out, val), ("__cnt", cnt)]
+    d = _windowed(df, time_col, by or [], n, compute)
+    if strict:
+        return d.where(F.col("__cnt") >= n).drop("__cnt")
+    return d.withColumn(out, F.when(F.col("__cnt") >= n, F.col(out))) \
+        .drop("__cnt")

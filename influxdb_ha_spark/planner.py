@@ -40,7 +40,8 @@ TRANSFORMS = {"derivative", "non_negative_derivative", "difference",
               "non_negative_difference", "cumulative_sum", "elapsed",
               "moving_average", "exponential_moving_average",
               "double_exponential_moving_average",
-              "triple_exponential_moving_average", "integral",
+              "triple_exponential_moving_average",
+              "chande_momentum_oscillator", "integral",
               "holt_winters", "holt_winters_with_fit"}
 ROW_SELECTORS = {"top", "bottom", "distinct", "sample"}
 # applyInPandas-based transforms re-emit their own schema, so they can't
@@ -394,6 +395,10 @@ class Planner:
         if texpr.name == "moving_average":
             return T.moving_average(out, inner_col, int(n or 2),
                                     strict=strict, **kw).drop(inner_col)
+        if texpr.name == "chande_momentum_oscillator":
+            return T.chande_momentum_oscillator(
+                out, inner_col, int(n or 2), strict=strict, **kw) \
+                .drop(inner_col)
         if texpr.name == "exponential_moving_average":
             return T.exponential_moving_average(out, inner_col, int(n or 2),
                                                 **kw)
@@ -446,6 +451,8 @@ class Planner:
             out = T.elapsed(base, unit or 1, time_col=TIME_COL, by=group_tags, out=name)
         elif call.name == "moving_average":
             out = T.moving_average(base, field, int(n or 2), **kw)
+        elif call.name == "chande_momentum_oscillator":
+            out = T.chande_momentum_oscillator(base, field, int(n or 2), **kw)
         elif call.name == "exponential_moving_average":
             out = T.exponential_moving_average(base, field, int(n or 2), **kw)
         elif call.name == "double_exponential_moving_average":

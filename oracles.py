@@ -448,6 +448,26 @@ def build_oracles() -> dict[str, str]:
         FROM e JOIN p ON p.s = e.s AND p.r = e.r + 1)
       SELECT t AS time, s AS event_type,
              {fr('2.0 * y1 - y2', 6)} AS dema FROM e"""
+    # CMO over the trailing 14 deltas: lag + conditional sums, emitted
+    # once 14 deltas exist — mirrors the Spark window exactly
+    o["tr_cmo"] = f"""
+      WITH d AS (
+        SELECT {EV_TIME} AS time, event_type,
+               value - lag(value) OVER (PARTITION BY event_type
+                                        ORDER BY {EV_TIME}) AS dv
+        FROM events),
+      s AS (
+        SELECT time, event_type,
+               sum(CASE WHEN dv > 0 THEN dv ELSE 0.0 END) OVER w AS up,
+               sum(CASE WHEN dv < 0 THEN -dv ELSE 0.0 END) OVER w AS dn,
+               count(dv) OVER w AS c
+        FROM d WINDOW w AS (PARTITION BY event_type ORDER BY time
+                            ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      SELECT time, event_type,
+             {fr('CASE WHEN up + dn > 0 '
+                 'THEN 100.0 * (up - dn) / (up + dn) ELSE 0.0 END', 6)}
+               AS cmo
+      FROM s WHERE c >= 14"""
     o["tr_integral"] = f"""
       WITH d AS (
         SELECT event_type,

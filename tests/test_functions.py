@@ -360,3 +360,19 @@ def test_dema_tema(spark):
         "db")
     assert {r["time"]: r["triple_exponential_moving_average"]
             for r in iq.collect()} == tema
+
+
+def test_chande_momentum_oscillator(spark):
+    """CMO hand check: deltas +10,-4,+2 → window n=3 at the last point
+    gives 100*(12-4)/(12+4) = 50; warmup rows are dropped (strict)."""
+    from influxdb_ha_spark.functions import transforms as T
+    xs = [1.0, 11.0, 7.0, 9.0]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(xs)],
+        "s string, time long, value double")
+    out = {r["time"]: r["cmo"] for r in T.chande_momentum_oscillator(
+        df, "value", n=3, by=["s"], out="cmo").collect()}
+    assert out == {3: 50.0}
+    nulls = {r["time"]: r["cmo"] for r in T.chande_momentum_oscillator(
+        df, "value", n=3, by=["s"], out="cmo", strict=False).collect()}
+    assert nulls[3] == 50.0 and nulls[0] is None and nulls[2] is None
