@@ -574,6 +574,16 @@ def q_tr_cmo(spark, sf):
     return df.select("time", "event_type", _fr(F.col("cmo"), 6).alias("cmo"))
 
 
+def q_tr_rsi(spark, sf):
+    """Wilder RSI(14) per series — warmup mean seed + smoothing
+    recurrence, replayed bit-exactly by the recursive-CTE oracle
+    (functions/transforms.py:relative_strength_index)."""
+    df = T.relative_strength_index(
+        _events_us(spark, sf).select("time", "event_type", "value"),
+        "value", n=14, by=["event_type"], out="rsi")
+    return df.select("time", "event_type", _fr(F.col("rsi"), 6).alias("rsi"))
+
+
 def q_tr_integral(spark, sf):
     df = T.integral(_events_us(spark, sf).select("time", "event_type", "value"),
                     "value", unit_ns=HOUR, by=["event_type"])
@@ -1539,6 +1549,7 @@ _FAMILIES = [
         "tr_ema": q_tr_ema,
         "tr_dema": q_tr_dema,
         "tr_cmo": q_tr_cmo,
+        "tr_rsi": q_tr_rsi,
         "tr_integral": q_tr_integral,
         "tr_histogram": q_tr_histogram,
         "tr_non_negative": q_tr_non_negative,

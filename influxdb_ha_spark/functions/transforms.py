@@ -367,3 +367,50 @@ def chande_momentum_oscillator(df: DataFrame, field: str, n: int,
         return d.where(F.col("__cnt") >= n).drop("__cnt")
     return d.withColumn(out, F.when(F.col("__cnt") >= n, F.col(out))) \
         .drop("__cnt")
+
+
+def relative_strength_index(df: DataFrame, field: str, n: int,
+                            time_col: str = "time",
+                            by: list[str] | None = None,
+                            out: str = "relative_strength_index"
+                            ) -> DataFrame:
+    """Wilder RSI(n): average gain/loss seeded with the simple mean of
+    the first n deltas, then smoothed as a = (a·(n−1) + x) / n; RSI =
+    100 − 100/(1 + avgGain/avgLoss) (100 when avgLoss is 0). Emitted
+    from the n-th delta onward — the InfluxQL
+    RELATIVE_STRENGTH_INDEX(field, N) surface.
+
+    Sequential per series (the smoothing state), so applyInPandas like
+    the EMA family; float64 loop with pinned operand order (sequential
+    time-ordered warmup folds, the exact smoothing expression) so the
+    DuckDB recursive-CTE oracle replays it bit-for-bit."""
+    import pandas as pd
+
+    by = by or []
+    schema = ", ".join([f"`{c}` string" for c in by]
+                       + [f"`{time_col}` long", f"`{out}` double"])
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.dropna(subset=[field]).sort_values(time_col)
+        keys = [pdf.iloc[0][c] for c in by] if len(pdf) else []
+        ts = [int(t) for t in pdf[time_col]]
+        xs = [float(v) for v in pdf[field]]
+        rows = []
+        if len(xs) > n:
+            gains = [max(xs[i] - xs[i - 1], 0.0) for i in range(1, len(xs))]
+            losses = [max(xs[i - 1] - xs[i], 0.0) for i in range(1, len(xs))]
+            ag = al = 0.0
+            for i in range(n):                    # sequential warmup fold
+                ag += gains[i]
+                al += losses[i]
+            ag, al = ag / n, al / n
+            for i in range(n, len(gains) + 1):
+                if i > n:
+                    ag = (ag * (n - 1.0) + gains[i - 1]) / n
+                    al = (al * (n - 1.0) + losses[i - 1]) / n
+                rsi = 100.0 if al == 0.0 else 100.0 - 100.0 / (1.0 + ag / al)
+                rows.append((ts[i], rsi))
+        return pd.DataFrame([keys + [t, v] for t, v in rows],
+                            columns=by + [time_col, out])
+
+    return df.groupBy(*by).applyInPandas(run, schema)

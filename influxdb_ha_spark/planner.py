@@ -41,7 +41,8 @@ TRANSFORMS = {"derivative", "non_negative_derivative", "difference",
               "moving_average", "exponential_moving_average",
               "double_exponential_moving_average",
               "triple_exponential_moving_average",
-              "chande_momentum_oscillator", "integral",
+              "chande_momentum_oscillator", "relative_strength_index",
+              "integral",
               "holt_winters", "holt_winters_with_fit"}
 ROW_SELECTORS = {"top", "bottom", "distinct", "sample"}
 # applyInPandas-based transforms re-emit their own schema, so they can't
@@ -49,7 +50,8 @@ ROW_SELECTORS = {"top", "bottom", "distinct", "sample"}
 _SEQUENTIAL_TRANSFORMS = {"holt_winters", "holt_winters_with_fit",
                           "exponential_moving_average",
                           "double_exponential_moving_average",
-                          "triple_exponential_moving_average"}
+                          "triple_exponential_moving_average",
+                          "relative_strength_index"}
 
 
 # Re-exported from errors.py so existing `from .planner import QueryError`
@@ -408,6 +410,9 @@ class Planner:
         if texpr.name == "triple_exponential_moving_average":
             return T.triple_exponential_moving_average(out, inner_col,
                                                        int(n or 2), **kw)
+        if texpr.name == "relative_strength_index":
+            return T.relative_strength_index(out, inner_col, int(n or 2),
+                                             **kw)
         if texpr.name in ("holt_winters", "holt_winters_with_fit"):
             # holt_winters(agg(f), N, S) — requires GROUP BY time(interval)
             # (influxql semantics; S in buckets)
@@ -453,6 +458,8 @@ class Planner:
             out = T.moving_average(base, field, int(n or 2), **kw)
         elif call.name == "chande_momentum_oscillator":
             out = T.chande_momentum_oscillator(base, field, int(n or 2), **kw)
+        elif call.name == "relative_strength_index":
+            out = T.relative_strength_index(base, field, int(n or 2), **kw)
         elif call.name == "exponential_moving_average":
             out = T.exponential_moving_average(base, field, int(n or 2), **kw)
         elif call.name == "double_exponential_moving_average":

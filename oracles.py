@@ -448,6 +448,37 @@ def build_oracles() -> dict[str, str]:
         FROM e JOIN p ON p.s = e.s AND p.r = e.r + 1)
       SELECT t AS time, s AS event_type,
              {fr('2.0 * y1 - y2', 6)} AS dema FROM e"""
+    # Wilder RSI(14): warmup = sequential fold over the first 14 gains /
+    # losses (time order), then the smoothing recursion carries both
+    # averages; expression shapes mirror the Spark-side loop exactly
+    o["tr_rsi"] = f"""
+      WITH RECURSIVE
+      d AS (SELECT event_type AS s, {EV_TIME} AS t,
+                   greatest(value - lag(value) OVER w, 0.0) AS g,
+                   greatest(lag(value) OVER w - value, 0.0) AS l,
+                   row_number() OVER w - 1 AS r
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY {EV_TIME})),
+      dd AS (SELECT * FROM d WHERE r >= 1),
+      warm AS (
+        SELECT s,
+               list_reduce(list(g ORDER BY r) [1:14], (x, y) -> x + y)
+                 / 14 AS ag,
+               list_reduce(list(l ORDER BY r) [1:14], (x, y) -> x + y)
+                 / 14 AS al
+        FROM dd WHERE r <= 14 GROUP BY s),
+      e(s, r, t, ag, al) AS (
+        (SELECT dd.s, 14, dd.t, warm.ag, warm.al
+         FROM dd JOIN warm ON warm.s = dd.s WHERE dd.r = 14)
+        UNION ALL
+        SELECT p.s, p.r, p.t,
+               (e.ag * 13.0 + p.g) / 14,
+               (e.al * 13.0 + p.l) / 14
+        FROM e JOIN dd p ON p.s = e.s AND p.r = e.r + 1)
+      SELECT t AS time, s AS event_type,
+             {fr('CASE WHEN al = 0.0 THEN 100.0 '
+                 'ELSE 100.0 - 100.0 / (1.0 + ag / al) END', 6)} AS rsi
+      FROM e"""
     # CMO over the trailing 14 deltas: lag + conditional sums, emitted
     # once 14 deltas exist — mirrors the Spark window exactly
     o["tr_cmo"] = f"""

@@ -376,3 +376,23 @@ def test_chande_momentum_oscillator(spark):
     nulls = {r["time"]: r["cmo"] for r in T.chande_momentum_oscillator(
         df, "value", n=3, by=["s"], out="cmo", strict=False).collect()}
     assert nulls[3] == 50.0 and nulls[0] is None and nulls[2] is None
+
+
+def test_relative_strength_index(spark):
+    """Wilder RSI hand check on a tiny series (n=2): warmup mean of the
+    first 2 deltas, then one smoothed step; all-gain series pins 100."""
+    from influxdb_ha_spark.functions import transforms as T
+    xs = [10.0, 12.0, 11.0, 15.0]  # deltas +2, -1, +4
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(xs)]
+        + [("up", i, float(i)) for i in range(4)],
+        "s string, time long, value double")
+    out = {(r["s"], r["time"]): r["rsi"]
+           for r in T.relative_strength_index(
+               df, "value", n=2, by=["s"], out="rsi").collect()}
+    # series a, t=2 (2nd delta): ag=(2+0)/2=1, al=(0+1)/2=0.5, RS=2
+    assert abs(out[("a", 2)] - (100.0 - 100.0 / 3.0)) < 1e-12
+    # t=3: ag=(1*1+4)/2=2.5, al=(0.5*1+0)/2=0.25 -> 100-100/(1+10)
+    assert abs(out[("a", 3)] - (100.0 - 100.0 / 11.0)) < 1e-12
+    # monotone-up series: avg loss 0 -> RSI 100 at every emitted point
+    assert out[("up", 2)] == 100.0 and out[("up", 3)] == 100.0
