@@ -584,6 +584,18 @@ def q_tr_rsi(spark, sf):
     return df.select("time", "event_type", _fr(F.col("rsi"), 6).alias("rsi"))
 
 
+def q_tr_kama(spark, sf):
+    """Kaufman adaptive moving average (10): efficiency-ratio-driven
+    smoothing constant, sequential per series; the oracle precomputes
+    ER/SC in a window CTE and replays the adaptive recurrence
+    (functions/transforms.py:kaufmans_adaptive_moving_average)."""
+    df = T.kaufmans_adaptive_moving_average(
+        _events_us(spark, sf).select("time", "event_type", "value"),
+        "value", n=10, by=["event_type"], out="kama")
+    return df.select("time", "event_type",
+                     _fr(F.col("kama"), 6).alias("kama"))
+
+
 def q_tr_integral(spark, sf):
     df = T.integral(_events_us(spark, sf).select("time", "event_type", "value"),
                     "value", unit_ns=HOUR, by=["event_type"])
@@ -1550,6 +1562,7 @@ _FAMILIES = [
         "tr_dema": q_tr_dema,
         "tr_cmo": q_tr_cmo,
         "tr_rsi": q_tr_rsi,
+        "tr_kama": q_tr_kama,
         "tr_integral": q_tr_integral,
         "tr_histogram": q_tr_histogram,
         "tr_non_negative": q_tr_non_negative,

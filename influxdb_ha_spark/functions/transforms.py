@@ -414,3 +414,71 @@ def relative_strength_index(df: DataFrame, field: str, n: int,
                             columns=by + [time_col, out])
 
     return df.groupBy(*by).applyInPandas(run, schema)
+
+
+def kaufmans_efficiency_ratio(df: DataFrame, field: str, n: int,
+                              time_col: str = "time",
+                              by: list[str] | None = None,
+                              out: str = "kaufmans_efficiency_ratio",
+                              strict: bool = True) -> DataFrame:
+    """KER(n) = |x_t − x_{t−n}| / Σ|Δx| over the trailing n deltas (0
+    when the path length is 0) — Kaufman's direction/volatility ratio,
+    InfluxQL's KAUFMANS_EFFICIENCY_RATIO(field, N). Pure window
+    aggregate: lag + one windowed sum, whole-stage codegen."""
+    def compute(w):
+        d = F.abs(F.col(field) - F.lag(field).over(w))
+        wf = w.rowsBetween(-(n - 1), 0)
+        path = F.sum(d).over(wf)
+        cnt = F.count(d).over(wf)
+        change = F.abs(F.col(field) - F.lag(field, n).over(w))
+        val = F.when(path > 0, change / path).otherwise(F.lit(0.0))
+        return [(out, val), ("__cnt", cnt)]
+    d = _windowed(df, time_col, by or [], n, compute)
+    if strict:
+        return d.where(F.col("__cnt") >= n).drop("__cnt")
+    return d.withColumn(out, F.when(F.col("__cnt") >= n, F.col(out))) \
+        .drop("__cnt")
+
+
+def kaufmans_adaptive_moving_average(
+        df: DataFrame, field: str, n: int, time_col: str = "time",
+        by: list[str] | None = None,
+        out: str = "kaufmans_adaptive_moving_average") -> DataFrame:
+    """KAMA(n): y_t = y_{t−1} + SC_t·(x_t − y_{t−1}) where the smoothing
+    constant SC_t = (ER_t·(2/3 − 2/31) + 2/31)² adapts to Kaufman's
+    efficiency ratio — fast in trends, slow in noise. Seeded with the
+    point value where emission starts (the n-th delta; InfluxQL's hold
+    variants not implemented — same documented deviation as EMA).
+
+    Sequential per series (the adaptive state), applyInPandas; the ER
+    window arithmetic and the recurrence use pinned float64 operand
+    order so the DuckDB oracle (windowed ER CTE + recursion) replays it
+    bit-for-bit."""
+    import pandas as pd
+
+    by = by or []
+    fast, slow = 2.0 / 3.0, 2.0 / 31.0
+    schema = ", ".join([f"`{c}` string" for c in by]
+                       + [f"`{time_col}` long", f"`{out}` double"])
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.dropna(subset=[field]).sort_values(time_col)
+        keys = [pdf.iloc[0][c] for c in by] if len(pdf) else []
+        ts = [int(t) for t in pdf[time_col]]
+        xs = [float(v) for v in pdf[field]]
+        rows = []
+        if len(xs) > n:
+            deltas = [abs(xs[i] - xs[i - 1]) for i in range(1, len(xs))]
+            y = None
+            for i in range(n, len(xs)):
+                path = 0.0
+                for k in range(i - n, i):     # sequential time-ordered fold
+                    path += deltas[k]
+                er = abs(xs[i] - xs[i - n]) / path if path > 0 else 0.0
+                sc = (er * (fast - slow) + slow) ** 2
+                y = xs[i] if y is None else y + sc * (xs[i] - y)
+                rows.append((ts[i], y))
+        return pd.DataFrame([keys + [t, v] for t, v in rows],
+                            columns=by + [time_col, out])
+
+    return df.groupBy(*by).applyInPandas(run, schema)

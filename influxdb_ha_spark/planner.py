@@ -42,7 +42,8 @@ TRANSFORMS = {"derivative", "non_negative_derivative", "difference",
               "double_exponential_moving_average",
               "triple_exponential_moving_average",
               "chande_momentum_oscillator", "relative_strength_index",
-              "integral",
+              "kaufmans_efficiency_ratio",
+              "kaufmans_adaptive_moving_average", "integral",
               "holt_winters", "holt_winters_with_fit"}
 ROW_SELECTORS = {"top", "bottom", "distinct", "sample"}
 # applyInPandas-based transforms re-emit their own schema, so they can't
@@ -51,7 +52,8 @@ _SEQUENTIAL_TRANSFORMS = {"holt_winters", "holt_winters_with_fit",
                           "exponential_moving_average",
                           "double_exponential_moving_average",
                           "triple_exponential_moving_average",
-                          "relative_strength_index"}
+                          "relative_strength_index",
+                          "kaufmans_adaptive_moving_average"}
 
 
 # Re-exported from errors.py so existing `from .planner import QueryError`
@@ -413,6 +415,13 @@ class Planner:
         if texpr.name == "relative_strength_index":
             return T.relative_strength_index(out, inner_col, int(n or 2),
                                              **kw)
+        if texpr.name == "kaufmans_efficiency_ratio":
+            return T.kaufmans_efficiency_ratio(out, inner_col, int(n or 2),
+                                               strict=strict, **kw) \
+                .drop(inner_col)
+        if texpr.name == "kaufmans_adaptive_moving_average":
+            return T.kaufmans_adaptive_moving_average(out, inner_col,
+                                                      int(n or 2), **kw)
         if texpr.name in ("holt_winters", "holt_winters_with_fit"):
             # holt_winters(agg(f), N, S) — requires GROUP BY time(interval)
             # (influxql semantics; S in buckets)
@@ -460,6 +469,11 @@ class Planner:
             out = T.chande_momentum_oscillator(base, field, int(n or 2), **kw)
         elif call.name == "relative_strength_index":
             out = T.relative_strength_index(base, field, int(n or 2), **kw)
+        elif call.name == "kaufmans_efficiency_ratio":
+            out = T.kaufmans_efficiency_ratio(base, field, int(n or 2), **kw)
+        elif call.name == "kaufmans_adaptive_moving_average":
+            out = T.kaufmans_adaptive_moving_average(base, field,
+                                                     int(n or 2), **kw)
         elif call.name == "exponential_moving_average":
             out = T.exponential_moving_average(base, field, int(n or 2), **kw)
         elif call.name == "double_exponential_moving_average":

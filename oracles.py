@@ -420,7 +420,7 @@ def build_oracles() -> dict[str, str]:
     _ema_a = repr(2.0 / 11)
     o["tr_ema"] = f"""
       WITH RECURSIVE
-      p AS (SELECT event_type AS s, {EV_TIME} AS t, value AS v,
+      p AS MATERIALIZED (SELECT event_type AS s, {EV_TIME} AS t, value AS v,
                    row_number() OVER (PARTITION BY event_type
                                       ORDER BY {EV_TIME}) AS r
             FROM events WHERE value IS NOT NULL),
@@ -434,7 +434,7 @@ def build_oracles() -> dict[str, str]:
     # the just-updated y1), mirroring the Spark-side loop's operand order
     o["tr_dema"] = f"""
       WITH RECURSIVE
-      p AS (SELECT event_type AS s, {EV_TIME} AS t, value AS v,
+      p AS MATERIALIZED (SELECT event_type AS s, {EV_TIME} AS t, value AS v,
                    row_number() OVER (PARTITION BY event_type
                                       ORDER BY {EV_TIME}) AS r
             FROM events WHERE value IS NOT NULL),
@@ -448,6 +448,37 @@ def build_oracles() -> dict[str, str]:
         FROM e JOIN p ON p.s = e.s AND p.r = e.r + 1)
       SELECT t AS time, s AS event_type,
              {fr('2.0 * y1 - y2', 6)} AS dema FROM e"""
+    # KAMA(10): ER per row from an exact lag(x,10) numerator and a
+    # sequential fold over the trailing 10 deltas (sliced from a
+    # per-series ordered list — windowed SUM would not pin the float
+    # order); then the adaptive recurrence replays the Spark loop
+    _kc1 = repr(2.0 / 3.0 - 2.0 / 31.0)
+    _kc2 = repr(2.0 / 31.0)
+    o["tr_kama"] = f"""
+      WITH RECURSIVE
+      p AS (SELECT event_type AS s, {EV_TIME} AS t, value AS x,
+                   abs(value - lag(value) OVER w) AS d,
+                   lag(value, 10) OVER w AS xlag,
+                   row_number() OVER w AS r
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY {EV_TIME})),
+      dl AS MATERIALIZED (SELECT s, list(d ORDER BY r) AS ds
+             FROM p WHERE r >= 2 GROUP BY s),
+      sc AS (SELECT p.s, p.t, p.x, p.r,
+                    list_reduce(dl.ds[(p.r - 10):(p.r - 1)],
+                                (a, b) -> a + b) AS path,
+                    abs(p.x - p.xlag) AS chg
+             FROM p JOIN dl ON dl.s = p.s WHERE p.r >= 11),
+      sc2 AS MATERIALIZED (SELECT s, t, x, r,
+                     pow((CASE WHEN path > 0 THEN chg / path ELSE 0.0 END)
+                         * {_kc1} + {_kc2}, 2) AS sc
+              FROM sc),
+      e(s, r, t, y) AS (
+        (SELECT s, r, t, x FROM sc2 WHERE r = 11)
+        UNION ALL
+        SELECT p2.s, p2.r, p2.t, e.y + p2.sc * (p2.x - e.y)
+        FROM e JOIN sc2 p2 ON p2.s = e.s AND p2.r = e.r + 1)
+      SELECT t AS time, s AS event_type, {fr('y', 6)} AS kama FROM e"""
     # Wilder RSI(14): warmup = sequential fold over the first 14 gains /
     # losses (time order), then the smoothing recursion carries both
     # averages; expression shapes mirror the Spark-side loop exactly
@@ -459,7 +490,7 @@ def build_oracles() -> dict[str, str]:
                    row_number() OVER w - 1 AS r
             FROM events
             WINDOW w AS (PARTITION BY event_type ORDER BY {EV_TIME})),
-      dd AS (SELECT * FROM d WHERE r >= 1),
+      dd AS MATERIALIZED (SELECT * FROM d WHERE r >= 1),
       warm AS (
         SELECT s,
                list_reduce(list(g ORDER BY r) [1:14], (x, y) -> x + y)
@@ -1079,7 +1110,7 @@ def build_oracles() -> dict[str, str]:
         SELECT s, t, v FROM (
           SELECT s, t, v, row_number() OVER (PARTITION BY s ORDER BY t DESC) rn
           FROM pts) WHERE rn = 1),
-      bkt2 AS (
+      bkt2 AS MATERIALIZED (
         SELECT p.s, p.t, p.v, p.b,
                coalesce(a.ax, lp.t::DOUBLE) AS ax,
                coalesce(a.ay, lp.v) AS ay

@@ -396,3 +396,30 @@ def test_relative_strength_index(spark):
     assert abs(out[("a", 3)] - (100.0 - 100.0 / 11.0)) < 1e-12
     # monotone-up series: avg loss 0 -> RSI 100 at every emitted point
     assert out[("up", 2)] == 100.0 and out[("up", 3)] == 100.0
+
+
+def test_kaufmans(spark):
+    """KER hand check (monotone series → ratio 1; reversal shrinks it)
+    and KAMA recurrence replay on a tiny series."""
+    from influxdb_ha_spark.functions import transforms as T
+    xs = [1.0, 2.0, 3.0, 4.0, 2.0]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(xs)],
+        "s string, time long, value double")
+    ker = {r["time"]: r["ker"] for r in T.kaufmans_efficiency_ratio(
+        df, "value", n=3, by=["s"], out="ker").collect()}
+    assert ker[3] == 1.0                      # straight trend: |3|/3
+    assert abs(ker[4] - 0.0) < 1e-12          # |2-2|/(1+1+2) = 0
+    fast, slow = 2.0 / 3.0, 2.0 / 31.0
+    y = None
+    want = {}
+    deltas = [abs(xs[i] - xs[i - 1]) for i in range(1, len(xs))]
+    for i in range(3, len(xs)):
+        path = sum(deltas[i - 3:i])
+        er = abs(xs[i] - xs[i - 3]) / path if path > 0 else 0.0
+        sc = (er * (fast - slow) + slow) ** 2
+        y = xs[i] if y is None else y + sc * (xs[i] - y)
+        want[i] = y
+    kama = {r["time"]: r["kama"] for r in T.kaufmans_adaptive_moving_average(
+        df, "value", n=3, by=["s"], out="kama").collect()}
+    assert kama == want
