@@ -5,8 +5,9 @@ import oracles
 
 # rows-only by design: the xxhash64 fast-path variant is the only query
 # left without a DuckDB mirror (xxhash64 doesn't exist there; the md5-path
-# twin doc_near_dups is fully oracle-gated)
-ROWS_ONLY = {"doc_near_dups_fast"}
+# twin doc_near_dups is fully oracle-gated). Canonical set lives in the
+# entry module so queries() can sink these keys past the driver's window.
+ROWS_ONLY = entry.ROWS_ONLY
 
 
 def test_every_query_has_oracle_or_is_rows_only():
