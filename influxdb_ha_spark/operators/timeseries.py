@@ -248,8 +248,14 @@ def lttb_downsample(df: DataFrame, on: str = "time",
             std = np.float64(st)
             best, best_area = None, np.float64(-1.0)
             for i in idxs[b]:                 # first max = earliest time
+                # Steinarsson's triangle area (×2): with a = previous pick
+                # (st, sv), b = candidate, c = next-bucket anchor:
+                # |(a.x-c.x)(b.y-a.y) - (a.x-b.x)(c.y-a.y)| — the second
+                # factor is (c.y - a.y); a sign flip there stops being a
+                # triangle area (a candidate collinear with a and c would
+                # score maximal instead of zero).
                 area = abs((std - axb) * (np.float64(mid_v[i]) - sv)
-                           - np.float64(st - int(mid_t[i])) * (sv - ayb))
+                           - np.float64(st - int(mid_t[i])) * (ayb - sv))
                 if area > best_area:
                     best_area, best = area, i
             st, sv = int(mid_t[best]), np.float64(mid_v[best])

@@ -1125,7 +1125,7 @@ def build_oracles() -> dict[str, str]:
           SELECT p.t, p.v FROM bkt2 p
           WHERE p.s = r.s AND p.b = r.k + 1
           ORDER BY abs((r.st::DOUBLE - p.ax) * (p.v - r.sv)
-                     - (r.st - p.t)::DOUBLE * (r.sv - p.ay)) DESC,
+                     - (r.st - p.t)::DOUBLE * (p.ay - r.sv)) DESC,
                    p.t ASC
           LIMIT 1) c
         WHERE r.k < {_B})

@@ -203,3 +203,18 @@ def test_lttb_downsample(spark):
     src = dict((t, v) for _, t, v in big)
     assert all(src[t] == v for t, v in got)
     assert got[0][0] == 0 and got[-1][0] == 499
+
+
+def test_lttb_collinear_candidate_scores_zero(spark):
+    """Distinguishes Steinarsson's exact area from the sign-flipped
+    variant |T1 + T2|: with previous pick a=(0,0) and next-bucket anchor
+    c=(10,100), candidate (9,90) is collinear with a and c (true area 0;
+    flipped formula scores it 1800 — maximal) while (1,-5) has true area
+    150 (flipped: 50). Correct LTTB must select (1,-5)."""
+    from influxdb_ha_spark.operators.timeseries import lttb_downsample
+    rows = [("a", 0, 0.0), ("a", 1, -5.0), ("a", 9, 90.0), ("a", 10, 100.0)]
+    df = spark.createDataFrame(rows, "s string, time long, value double")
+    out = sorted([(r["time"], r["value"]) for r in
+                  lttb_downsample(df, on="time", by=["s"], value_col="value",
+                                  n_out=3).collect()])
+    assert out == [(0, 0.0), (1, -5.0), (10, 100.0)]
