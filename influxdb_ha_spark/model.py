@@ -28,6 +28,34 @@ from .timeutil import timestamp_to_ns
 TIME_COL = "time"
 
 
+def _is_utc_zone(tz: str | None) -> bool:
+    """True iff the session-timezone spelling denotes UTC (offset 0).
+
+    Resolved by offset, not by a spelling whitelist (ADVICE r4): named
+    zones go through zoneinfo ('Etc/GMT', 'GMT0', 'UCT', 'Zulu', …) and
+    fixed-offset forms are parsed ('Z', '+00:00', '-0:00', 'UTC+00').
+    Zones with historical non-zero offsets but current offset 0 (none in
+    tzdata's UTC aliases) would need full-history inspection; checking a
+    fixed instant matches how Spark resolves NTZ wall-clocks at read."""
+    if not tz:
+        return False
+    s = tz.strip()
+    import re
+    m = re.fullmatch(r"(?:UTC|GMT|UT)?([+-])?(\d{1,2})(?::(\d{1,2}))?"
+                     r"(?::(\d{1,2}))?", s)
+    if m and (m.group(1) or m.group(2)):
+        return all(int(g or 0) == 0 for g in m.groups()[1:])
+    if s in ("Z", "UTC", "GMT", "UT"):
+        return True
+    try:
+        from datetime import datetime
+        from zoneinfo import ZoneInfo
+        off = datetime(2020, 1, 1, tzinfo=ZoneInfo(s)).utcoffset()
+        return off is not None and off.total_seconds() == 0
+    except Exception:
+        return False
+
+
 @dataclass
 class Measurement:
     """A measurement: schema roles + a DataFrame provider."""
@@ -98,7 +126,7 @@ class Catalog:
             # UTC; under any other session zone the ns values would shift
             # silently. Fail loudly instead (ADVICE r3).
             tz = self.spark.conf.get("spark.sql.session.timeZone")
-            if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            if not _is_utc_zone(tz):
                 raise ValueError(
                     f"register_dataframe: time column {time_col!r} is "
                     f"TIMESTAMP_NTZ but spark.sql.session.timeZone={tz!r}; "

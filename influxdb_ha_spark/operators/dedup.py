@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import keep
 from .hashing import (MERSENNE_P, hash64_expr, minhash_coeffs,
                       minhash_perm_expr, shingle_hashes_expr, shingles_expr,
                       sql_minhash_sig, sql_shingle_hashes, sql_shingles,
@@ -176,8 +177,11 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     # reads it — no eager job split (an eager localCheckpoint was
     # measured to nearly double the COLD run). The pair list is
     # LSH-bounded (tiny next to the corpus) and spills via
-    # MEMORY_AND_DISK, so the cache is safe at any scale.
-    cands = minhash_candidates(sigs, id_col, bands, rows).persist()
+    # MEMORY_AND_DISK, so the cache is safe at any scale. keep() bounds
+    # the session to ONE cached generation per operator (the next
+    # invocation unpersists this one).
+    cands = keep("minhash_near_duplicates.cands",
+                 minhash_candidates(sigs, id_col, bands, rows))
     # Verify needs shingle sets ONLY for docs that appear in some candidate
     # pair — semi-join the raw (id, text) down BEFORE shingling, so the
     # expensive tokenize+shingle map runs once over the corpus (signatures)
@@ -409,10 +413,11 @@ def containment_near_duplicates(df: DataFrame, text_col: str = "text",
              .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("__n_shared"))
              .where(F.col("__n_shared") >= min_shared)
-             .drop("__n_shared")
-             # referenced twice (cand_ids + the verify join): persist the
-             # DF-bounded pair list so the posting-list subtree runs once
-             .persist())
+             .drop("__n_shared"))
+    # referenced twice (cand_ids + the verify join): persist the
+    # DF-bounded pair list so the posting-list subtree runs once;
+    # generation-bounded via keep()
+    cands = keep("containment_near_duplicates.cands", cands)
     # verify shingles only candidate docs (semi-join before re-shingling)
     # — the corpus-wide shingle pass runs exactly once (for the postings),
     # never three times
@@ -453,8 +458,15 @@ def minhash_jaccard_estimate(df: DataFrame, text_col: str = "text",
     Map-only beyond the candidate machinery: signatures are already
     computed for banding, so the estimate is one zip_with/filter over two
     16-element arrays per pair — no shingle materialization at all.
+
+    The sigs subtree is referenced three times (banding + both sides of
+    the pair join) and ReuseExchange does not dedupe it, so it is
+    persisted (generation-bounded) — without that the full shingle +
+    minhash map runs ~3x per query.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    sigs = keep("minhash_jaccard_estimate.sigs",
+                minhash_signatures(df, text_col, id_col, num_perm,
+                                   shingle_k))
     cands = minhash_candidates(sigs, id_col, bands, rows)
     a = sigs.select(F.col(id_col).alias("id_a"),
                     F.col("signature").alias("sa"))

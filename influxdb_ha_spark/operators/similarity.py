@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import keep
 from .util import ensure_min_parallelism
 
 
@@ -332,11 +333,10 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
     # sign-key pass twice. Now only (id, tbl, key) — three longs — enters
     # the bucket join (persisted, so the UDF runs once), and vectors are
     # joined back for the LSH-bounded candidate pairs only.
-    keyed = (df
-             .select(F.col(id_col),
-                     keys_udf(F.col(vec_col)).alias("__k"))
-             .select(id_col, F.posexplode("__k").alias("tbl", "key"))
-             .persist())
+    keyed = keep(
+        "cosine_near_dup_pairs.keyed",
+        df.select(F.col(id_col), keys_udf(F.col(vec_col)).alias("__k"))
+          .select(id_col, F.posexplode("__k").alias("tbl", "key")))
     a = keyed.select(F.col(id_col).alias("id_a"), "tbl", "key")
     b = keyed.select(F.col(id_col).alias("id_b"), "tbl", "key")
     cand = (a.join(b, ["tbl", "key"])

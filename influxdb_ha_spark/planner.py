@@ -315,8 +315,14 @@ class Planner:
         agg_exprs: dict[str, Column] = {}
         outer_transforms: list[tuple[str, Call, str]] = []
         post_fields: list[tuple[str, object]] = []  # (output name, expr)
-        for i, f in enumerate(stmt.fields):
+        used: dict[str, int] = {}  # duplicate unaliased names → _N suffix,
+        for i, f in enumerate(stmt.fields):        # as in the raw-multi path
             name = f.alias or self._default_name(f.expr)
+            if name in used:
+                used[name] += 1
+                name = f"{name}_{used[name]}"
+            else:
+                used[name] = 0
             expr = f.expr
             if isinstance(expr, Call) and expr.name in TRANSFORMS and \
                     self._has_inner_agg(expr):

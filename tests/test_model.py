@@ -76,3 +76,16 @@ def test_register_ntz_requires_utc_session(spark):
     cat = Catalog(spark)
     m = cat.register_dataframe("default", "ntz_m", df, "ts", tags=[])
     assert m.df.collect()[0]["time"] == 1577836800_000_000_000
+
+
+def test_utc_zone_spellings():
+    """ADVICE r4: the NTZ guard resolves UTC by offset, not by a spelling
+    whitelist — every UTC alias passes, every non-zero offset fails."""
+    from influxdb_ha_spark.model import _is_utc_zone
+    for z in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00", "Etc/GMT", "GMT0",
+              "UCT", "Zulu", "UT", "+0:00", "-00:00", "UTC+00", "GMT+0:00",
+              "Etc/Zulu", "Etc/Universal"):
+        assert _is_utc_zone(z), z
+    for z in ("America/New_York", "Europe/Oslo", "+05:30", "-08:00",
+              "GMT+1", "Etc/GMT-2", "Asia/Kolkata", "", None, "Not/AZone"):
+        assert not _is_utc_zone(z), z

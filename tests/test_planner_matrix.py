@@ -104,3 +104,18 @@ def test_transform_matrix(treasures, name, grouped):
     assert len(got) == len(exp), (name, grouped)
     for (te, ve), (tg, vg) in zip(exp, got):
         assert te == tg and vg == pytest.approx(ve), (name, grouped)
+
+
+def test_duplicate_unaliased_outer_transforms_get_suffix(treasures):
+    """ADVICE r4: two outer transforms with the same default name over
+    aggregates must emit `difference` and `difference_1` (the raw-multi
+    path's suffixing), not silently overwrite one with the other."""
+    q = ("SELECT difference(count(value)), difference(mean(value)) "
+         "FROM treasures GROUP BY time(1h) fill(none)")
+    out = influxql_df(treasures, q, database="sharded")
+    assert "difference" in out.columns and "difference_1" in out.columns
+    rows = out.orderBy("time").collect()
+    assert len(rows) > 0
+    # the two series differ (counts vs means), so the columns must not be
+    # copies of each other
+    assert any(r["difference"] != r["difference_1"] for r in rows)
