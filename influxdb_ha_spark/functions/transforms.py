@@ -12,7 +12,11 @@ sort; at 100 TB the partitionBy(tags) keeps state per-series, never global.
 Ungrouped calls (`by=[]` — the whole measurement as one series) do NOT fall
 back to a keyless Window (which would drag every row through one task);
 they run the distributed scan in `scan.py`: time-quantile bucketing +
-boundary-carry rows, P-way parallel.
+boundary-carry rows, P-way parallel. The exception is the sequential
+recurrence family (holt_winters, EMA/DEMA/TEMA, RSI, KAMA), whose state
+cannot be split: ungrouped calls there run one worker per series by
+definition, and are capped at MAX_UNGROUPED_RECURRENCE_ROWS with a loud
+error above it.
 
 `moving_average` is the one frame op the reference *does* merge —
 approximately (count-weighted mean of per-node MAs, calls.go:17-44); the
@@ -28,6 +32,31 @@ from pyspark.sql import functions as F
 
 from ..timeutil import SECOND
 from . import scan
+
+
+# Cap for UNGROUPED (by=[]) calls into the sequential-recurrence family
+# (holt_winters, EMA/DEMA/TEMA, RSI, KAMA): the recurrence is inherently
+# serial, so an ungrouped call routes the whole measurement through ONE
+# Python worker. Window transforms avoid this via the distributed scan,
+# but a recurrence's state cannot be split, so — like fill's
+# MAX_SPINE_BUCKETS precedent — the engine fails loudly instead of
+# quietly funnelling an unbounded series (VERDICT r4 #5). ~5M rows is a
+# few seconds of float64 loop; above that, group by series tags.
+MAX_UNGROUPED_RECURRENCE_ROWS = 5_000_000
+
+
+def _guard_ungrouped_recurrence(df: DataFrame, time_col: str,
+                                fn_name: str) -> None:
+    """Raise when an ungrouped sequential recurrence would funnel more
+    than MAX_UNGROUPED_RECURRENCE_ROWS through a single task. The probe
+    is a limit(cap+1).count() — bounded work, no full scan at scale."""
+    cap = MAX_UNGROUPED_RECURRENCE_ROWS
+    if df.select(time_col).limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"{fn_name}: ungrouped call (no GROUP BY tags) runs the "
+            f"whole series through one sequential worker and the input "
+            f"exceeds {cap:,} rows; group by series tags (by=[...]) or "
+            f"pre-filter the time range")
 
 
 def _series_window(time_col: str, by: list[str]):
@@ -239,6 +268,7 @@ def holt_winters(df: DataFrame, field: str, n_forecast: int, seasonal: int,
 
     if by:
         return df.groupBy(*by).applyInPandas(fit, schema)
+    _guard_ungrouped_recurrence(df, time_col, "holt_winters")
     return df.groupBy(F.lit(0).alias("__g")).applyInPandas(fit, schema)
 
 
@@ -279,6 +309,9 @@ def exponential_moving_average(df: DataFrame, field: str, n: int,
             [keys + [int(t), v] for t, v in zip(pdf[time_col], ys)],
             columns=by + [time_col, out])
 
+    if not by:
+        _guard_ungrouped_recurrence(df, time_col,
+                                    "exponential_moving_average")
     return df.groupBy(*by).applyInPandas(ema, schema)
 
 
@@ -315,6 +348,8 @@ def _multi_ema(df: DataFrame, field: str, n: int, depth: int,
             [keys + [int(t), v] for t, v in zip(pdf[time_col], rows)],
             columns=by + [time_col, out])
 
+    if not by:
+        _guard_ungrouped_recurrence(df, time_col, out)
     return df.groupBy(*by).applyInPandas(run, schema)
 
 
@@ -413,6 +448,8 @@ def relative_strength_index(df: DataFrame, field: str, n: int,
         return pd.DataFrame([keys + [t, v] for t, v in rows],
                             columns=by + [time_col, out])
 
+    if not by:
+        _guard_ungrouped_recurrence(df, time_col, "relative_strength_index")
     return df.groupBy(*by).applyInPandas(run, schema)
 
 
@@ -481,4 +518,7 @@ def kaufmans_adaptive_moving_average(
         return pd.DataFrame([keys + [t, v] for t, v in rows],
                             columns=by + [time_col, out])
 
+    if not by:
+        _guard_ungrouped_recurrence(
+            df, time_col, "kaufmans_adaptive_moving_average")
     return df.groupBy(*by).applyInPandas(run, schema)

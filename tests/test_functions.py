@@ -327,6 +327,36 @@ def test_exponential_moving_average(spark):
     assert got == want
 
 
+def test_ungrouped_recurrence_guard(spark, monkeypatch):
+    """VERDICT r4 #5: an ungrouped (by=[]) sequential recurrence funnels
+    everything through one worker — above the row cap it must fail
+    loudly (fill's MAX_SPINE_BUCKETS precedent), below it it runs."""
+    import pytest
+
+    from influxdb_ha_spark.functions import transforms as T
+    rows = [("a", i, float(i % 7)) for i in range(12)]
+    df = spark.createDataFrame(rows, "s string, time long, value double")
+    # under the cap: ungrouped call works (single series by definition)
+    got = T.exponential_moving_average(df, "value", n=3, by=[],
+                                       out="ema").count()
+    assert got == 12
+    monkeypatch.setattr(T, "MAX_UNGROUPED_RECURRENCE_ROWS", 10)
+    for call in (
+            lambda: T.exponential_moving_average(df, "value", 3, by=[]),
+            lambda: T.double_exponential_moving_average(df, "value", 3,
+                                                        by=[]),
+            lambda: T.relative_strength_index(df, "value", 3, by=[]),
+            lambda: T.kaufmans_adaptive_moving_average(df, "value", 3,
+                                                       by=[]),
+            lambda: T.holt_winters(df, "value", 2, 0, 10**9, by=[]),
+    ):
+        with pytest.raises(ValueError, match="one sequential worker"):
+            call()
+    # grouped calls are unaffected by the cap
+    assert T.exponential_moving_average(df, "value", 3,
+                                        by=["s"]).count() == 12
+
+
 def test_dema_tema(spark):
     """Chained-EMA indicators: hand recurrence check + planner wiring."""
     from influxdb_ha_spark.functions import transforms as T
