@@ -23,9 +23,24 @@ _LIVE: dict[str, DataFrame] = {}
 
 def keep(tag: str, df: DataFrame) -> DataFrame:
     """persist() `df` under `tag`, unpersisting the previous holder of the
-    tag (lazy persist — no job is triggered here)."""
-    prev = _LIVE.pop(tag, None)
+    tag (lazy persist — no job is triggered here).
+
+    If the previous generation has the SAME analyzed plan (the operator
+    invoked twice with identical inputs — the repeated-query hot path),
+    the previous DataFrame is returned instead: its populated cache
+    keeps serving, where unpersist+re-persist would throw the warm data
+    away and recompute the subtree (measured +0.7 s warm at sf0.1 on
+    doc_near_dups_fast)."""
+    prev = _LIVE.get(tag)
     if prev is not None:
+        try:
+            same = prev._jdf.queryExecution().analyzed().sameResult(
+                df._jdf.queryExecution().analyzed())
+        except Exception:
+            same = False
+        if same:
+            return prev
+        _LIVE.pop(tag, None)
         try:
             prev.unpersist()
         except Exception:

@@ -27,8 +27,9 @@ from pyspark.sql import functions as F
 from ..cache import keep
 from .hashing import (MERSENNE_P, hash64_expr, minhash_coeffs,
                       minhash_perm_expr, shingle_hashes_expr, shingles_expr,
-                      sql_minhash_sig, sql_shingle_hashes, sql_shingles,
-                      sql_tokens, tokens_expr)
+                      sql_hashed_shingle_fold, sql_minhash_sig,
+                      sql_shingle_hashes, sql_shingles, sql_tokens,
+                      tokens_expr)
 from .util import ensure_min_parallelism
 
 
@@ -83,11 +84,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         # ~20% off the warm map stage at sf0.1. Different (still uniform)
         # hash family than the md5 oracle path, which is why only the
         # rows-only "fast" variant may use it.
-        c = f"(size(__ht) - {shingle_k - 1})"
-        comb = f"slice(__ht, 1, {c})"
-        for i in range(1, shingle_k):
-            comb = (f"zip_with({comb}, slice(__ht, {i + 1}, {c}), "
-                    f"(a, b) -> a * 1000003L + b)")
+        comb = sql_hashed_shingle_fold("__ht", shingle_k)
         return (df.selectExpr(f"`{id_col}`",
                               f"{sql_tokens(f'`{text_col}`')} AS __t")
                 .where(F.expr(f"size(__t) >= {shingle_k}"))
@@ -186,23 +183,50 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     # pair — semi-join the raw (id, text) down BEFORE shingling, so the
     # expensive tokenize+shingle map runs once over the corpus (signatures)
     # plus once over the LSH-bounded candidate set, never 3× the corpus.
-    cand_ids = (cands.select(F.col("id_a").alias(id_col))
-                .unionByName(cands.select(F.col("id_b").alias(id_col)))
-                .distinct())
-    docs_small = (df.select(F.col(id_col), F.col(text_col))
-                  .join(cand_ids, id_col, "left_semi"))
-    sh = (docs_small
-          .selectExpr(f"`{id_col}`", f"{sql_tokens(f'`{text_col}`')} AS __t")
-          .selectExpr(f"`{id_col}`",
-                      f"array_distinct({sql_shingles('__t', shingle_k)})"
-                      " AS sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    joined = cands.join(a, "id_a").join(b, "id_b")
+    # Single-join verify (r5): explode each candidate pair into its two
+    # member rows, join the raw corpus ONCE on doc id, compute the
+    # shingle set per membership, then group back by pair. Replaces the
+    # r4 shape (semi-join + two broadcast joins whose build sides each
+    # re-ran the shingle subtree AND carried candidate docs' shingle
+    # arrays in broadcasts): one join + one pair-keyed Exchange, the
+    # shingle map runs once, and doc contents ride a bounded shuffle
+    # instead of a broadcast — strictly better at 100 TB where the LSH
+    # candidate set can exceed broadcast limits.
+    sides = cands.select(
+        "id_a", "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col))
+    member_docs = (df.select(F.col(id_col), F.col(text_col))
+                   .join(sides, id_col))
+    if hash_fn == "fast":
+        # hash-domain verify: Jaccard over the SAME polynomial token-hash
+        # fold the signatures use — no shingle strings anywhere in the
+        # fast path. Identical to string-shingle Jaccard up to a 2^-64
+        # fold collision (pinned against the md5 twin's pair set in
+        # tests/test_dedup.py).
+        sh_sql = (f"array_distinct({sql_hashed_shingle_fold('__ht', shingle_k)})")
+        shd = (member_docs
+               .selectExpr("id_a", "id_b", f"`{id_col}`",
+                           f"{sql_tokens(f'`{text_col}`')} AS __t")
+               .selectExpr("id_a", "id_b", f"`{id_col}`",
+                           "transform(__t, t -> xxhash64(t)) AS __ht")
+               .selectExpr("id_a", "id_b", f"`{id_col}`",
+                           f"{sh_sql} AS sh"))
+    else:
+        shd = (member_docs
+               .selectExpr("id_a", "id_b", f"`{id_col}`",
+                           f"{sql_tokens(f'`{text_col}`')} AS __t")
+               .selectExpr("id_a", "id_b", f"`{id_col}`",
+                           f"array_distinct({sql_shingles('__t', shingle_k)})"
+                           " AS sh"))
+    agged = shd.groupBy("id_a", "id_b").agg(
+        F.first(F.when(F.col(id_col) == F.col("id_a"), F.col("sh")),
+                ignorenulls=True).alias("sh_a"),
+        F.first(F.when(F.col(id_col) == F.col("id_b"), F.col("sh")),
+                ignorenulls=True).alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    return (agged.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
 
@@ -422,8 +446,7 @@ def containment_near_duplicates(df: DataFrame, text_col: str = "text",
     # — the corpus-wide shingle pass runs exactly once (for the postings),
     # never three times
     cand_ids = (cands.select(F.col("id_a").alias(id_col))
-                .unionByName(cands.select(F.col("id_b").alias(id_col)))
-                .distinct())
+                .unionByName(cands.select(F.col("id_b").alias(id_col))))
     sh_small = (df.join(cand_ids, id_col, "left_semi")
                 .selectExpr(f"`{id_col}`",
                             f"{sql_tokens(f'`{text_col}`')} AS __t")

@@ -4,6 +4,7 @@ from influxdb_ha_spark import cache
 
 
 def test_keep_bounds_one_generation_per_tag(spark):
+    cache.release()
     a = spark.range(10)
     b = spark.range(20)
     ka = cache.keep("t.x", a)
@@ -18,6 +19,7 @@ def test_keep_bounds_one_generation_per_tag(spark):
 
 
 def test_release_all(spark):
+    cache.release()
     cache.keep("t.a", spark.range(1))
     cache.keep("t.b", spark.range(2))
     assert set(cache.live_tags()) == {"t.a", "t.b"}
