@@ -1075,6 +1075,21 @@ def q_mm_png_px(spark, sf):
     return MM.resize_image(png, target=(8, 8))
 
 
+def q_mm_jpeg_px(spark, sf):
+    """END-TO-END REAL lossy-codec decode: spec-valid baseline JFIF
+    streams are encoded from scratch (FDCT + quantization + canonical
+    Huffman + byte stuffing), then fully entropy-decoded, dequantized and
+    IDCT'd back (parse_jpeg) and resampled to 8x8. Synthesis uses
+    constant 8x8 blocks with DC quantizer step 8, which round-trip
+    BIT-EXACTLY through the lossy codec (only the DC coefficient
+    survives: round(8(v-128)/8)*8/8+128 = v), so the oracle recomputes
+    the resample in closed form — a Huffman, dequant or IDCT bug shifts
+    pixel values and mismatches."""
+    docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    jpg = MM.synthesize_jpeg_payload(docs)
+    return MM.resize_image(jpg, target=(8, 8))
+
+
 def q_mm_audio(spark, sf):
     """REAL audio DSP over REAL container bytes: synthesized valid
     RIFF/WAVE payloads (square-wave PCM) are chunk-walked and the per-window
@@ -1669,6 +1684,7 @@ _FAMILIES = [
         "mm_resize": q_mm_resize,
         "mm_resize_px": q_mm_resize_px,
         "mm_png_px": q_mm_png_px,
+        "mm_jpeg_px": q_mm_jpeg_px,
         "mm_audio": q_mm_audio,
     },
 ]

@@ -21,9 +21,12 @@ library. PNG is now fully real too: its compression is stdlib `zlib`, so
 zlib-deflated IDAT, all five scanline filter types) and `parse_png`
 inflates, un-filters (Sub/Up/Average/Paeth reconstruction) and rasterizes
 them — `resize_image` sniffs the codec by magic bytes and resamples either.
-Only JPEG's DCT entropy decode still needs a library the container doesn't
-ship; `resize_plan` covers it at the header/geometry level with the same
-schema.
+JPEG is real too (r5): `encode_jpeg_gray`/`synthesize_jpeg_payload` emit
+spec-valid baseline JFIF streams (FDCT, quantization, canonical Huffman
+entropy coding with byte stuffing) and `parse_jpeg` is a general baseline
+decoder — marker walk, DQT/DHT parse, Huffman entropy decode with RSTn
+handling, dequant, float IDCT, JFIF YCbCr→RGB. Progressive and subsampled
+streams return None (documented limitation).
 
 Scale shape: payloads stay in their partitions end-to-end (map-only); the
 Arrow transfer batches rows so per-row Python overhead is amortized; metadata
@@ -602,12 +605,15 @@ def parse_png(raw: bytes):
 
 
 def _parse_raster(raw: bytes):
-    """Codec dispatch by magic bytes: BMP and PNG both decode to the same
-    (w, h, h×w×3) raster contract; unknown containers → None."""
+    """Codec dispatch by magic bytes: BMP, PNG and baseline JPEG all
+    decode to the same (w, h, h×w×3) raster contract; unknown containers
+    → None."""
     if raw[:2] == b"BM":
         return parse_bmp(raw)
     if raw[:8] == _PNG_SIG:
         return parse_png(raw)
+    if raw[:2] == b"\xff\xd8":
+        return parse_jpeg(raw)
     return None
 
 
@@ -741,3 +747,438 @@ def audio_features(df: DataFrame, id_col: str = "doc_id",
 
     return (ensure_min_parallelism(df).select(id_col, payload_col)
             .mapInPandas(run, AUDIO_SCHEMA))
+
+
+# --- Baseline JPEG: from-scratch encoder + decoder (ITU T.81) --------------
+# JPEG's entropy layer is pure bit arithmetic and its transform layer is an
+# 8×8 DCT — both expressible with stdlib + numpy, no imaging library. The
+# encoder below emits spec-valid baseline JFIF streams (SOI/APP0/DQT/SOF0/
+# DHT/SOS/EOI, byte-stuffed entropy data, canonical Huffman tables built
+# from BITS/HUFFVAL like Annex C) and `parse_jpeg` is a REAL general
+# baseline decoder: marker walk, DQT/DHT/SOF0/SOS parsing, canonical
+# Huffman entropy decode with 0xFF00 unstuffing and RSTn handling, DC
+# prediction, dequantization, float IDCT, level shift, and JFIF YCbCr→RGB
+# for 3-component scans. Subsampled (non-1x1) and progressive streams
+# return None rather than guessing (documented limitation; the reference's
+# surface is metadata-level only — syncing/importer.go has no pixel path).
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Huffman table specs as (BITS counts-by-length, HUFFVAL symbol list).
+# Validity only requires a canonical prefix code (Annex C); these compact
+# tables cover every symbol the encoder can emit: DC categories 0-11 (all
+# 4-bit codes), AC EOB/ZRL + all (run, size) pairs for size 1-10 (all
+# 8-bit codes). Both leave the all-ones code unassigned.
+_JPEG_DC_SPEC = ([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_JPEG_AC_SPEC = ([0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0],
+                 [0x00, 0xF0] + [(r << 4) | s
+                                 for r in range(16) for s in range(1, 11)])
+
+
+def _jpeg_canonical_codes(counts, symbols):
+    """Annex C code assignment: (symbol -> (code, length))."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            out[symbols[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_basis():
+    import numpy as np
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    c[0, :] /= np.sqrt(2.0)
+    return c  # C @ B @ C.T = FDCT;  C.T @ F @ C = IDCT
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:      # byte stuffing
+                    self.buf.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+            self.acc, self.n = 0, 0
+        return bytes(self.buf)
+
+
+def _jpeg_category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _encode_jpeg_planes(planes, w: int, h: int, qtable=None) -> bytes:
+    """Spec-valid baseline JFIF encode of 1 (grayscale) or 3 (YCbCr,
+    4:4:4) h×w planes: edge-padded 8×8 blocks, float FDCT, quantization,
+    zigzag, per-component DC prediction, canonical-Huffman entropy coding
+    with byte stuffing. All components share quant/Huffman table 0."""
+    import numpy as np
+    if qtable is None:
+        qtable = np.full(64, 8, dtype=np.int32)   # DC step 8: constant
+    q = np.asarray(qtable, dtype=np.int32).reshape(8, 8)   # blocks exact
+    nc = len(planes)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    padded = []
+    for px in planes:
+        p = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        p[:h, :w] = px
+        p[h:, :w] = p[h - 1:h, :w]                # edge replication
+        p[:, w:] = p[:, w - 1:w]
+        padded.append(p)
+    C = _dct_basis()
+    dc_codes = _jpeg_canonical_codes(*_JPEG_DC_SPEC)
+    ac_codes = _jpeg_canonical_codes(*_JPEG_AC_SPEC)
+    bits = _BitWriter()
+    preds = [0] * nc
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                blk = padded[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] \
+                    - 128.0
+                fq = np.rint(C @ blk @ C.T / q).astype(np.int64)
+                zz = [int(fq.flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
+                diff, preds[ci] = zz[0] - preds[ci], zz[0]
+                t = _jpeg_category(diff)
+                code, ln = dc_codes[t]
+                bits.put(code, ln)
+                if t:
+                    bits.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                run = 0
+                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                for k in range(1, last_nz + 1):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]     # ZRL
+                        bits.put(code, ln)
+                        run -= 16
+                    s = _jpeg_category(zz[k])
+                    code, ln = ac_codes[(run << 4) | s]
+                    bits.put(code, ln)
+                    v = zz[k]
+                    bits.put(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_codes[0x00]         # EOB
+                    bits.put(code, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") \
+            + body
+
+    zz_q = bytes(int(q.flat[_JPEG_ZIGZAG[k]]) for k in range(64))
+    dqt = seg(0xDB, b"\x00" + zz_q)
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sof_comps = b"".join(bytes([c + 1, 0x11, 0]) for c in range(nc))
+    sof0 = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+               + bytes([nc]) + sof_comps)
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_SPEC[0])
+              + bytes(_JPEG_DC_SPEC[1])
+              + bytes([0x10]) + bytes(_JPEG_AC_SPEC[0])
+              + bytes(_JPEG_AC_SPEC[1]))
+    sos_comps = b"".join(bytes([c + 1, 0x00]) for c in range(nc))
+    sos = seg(0xDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
+    return (b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + bits.flush()
+            + b"\xff\xd9")
+
+
+def encode_jpeg_gray(px, qtable=None) -> bytes:
+    """Baseline JFIF encode of an h×w uint8 grayscale raster."""
+    h, w = px.shape
+    return _encode_jpeg_planes([px], w, h, qtable)
+
+
+def encode_jpeg_rgb(px, qtable=None) -> bytes:
+    """Baseline JFIF encode of an h×w×3 uint8 RGB raster via the forward
+    JFIF color transform (BT.601 YCbCr), 4:4:4 — the inverse of
+    parse_jpeg's output conversion."""
+    r = px[:, :, 0].astype(float)
+    g = px[:, :, 1].astype(float)
+    b = px[:, :, 2].astype(float)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    h, w = px.shape[:2]
+    return _encode_jpeg_planes([y, cb, cr], w, h, qtable)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    non-RST marker. RSTn markers byte-align and are consumed by reset()."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.done = False
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.d):
+            self.done = True
+            return
+        b = self.d[self.pos]
+        if b == 0xFF:
+            nxt = self.d[self.pos + 1] if self.pos + 1 < len(self.d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:                          # a real marker: stop
+                self.done = True
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+            if self.done:
+                return 0
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def at_rst(self):
+        """If positioned at an RSTn marker, consume it and return n."""
+        self.acc, self.n = 0, 0            # byte-align
+        if (self.pos + 1 < len(self.d) and self.d[self.pos] == 0xFF
+                and 0xD0 <= self.d[self.pos + 1] <= 0xD7):
+            m = self.d[self.pos + 1] & 7
+            self.pos += 2
+            self.done = False
+            return m
+        return None
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int | None:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        if br.done:
+            return None
+        sym = table.get((code, ln))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def parse_jpeg(raw: bytes):
+    """(width, height, pixels h×w×3 top-down uint8) or None — a REAL
+    baseline JPEG decode: marker walk, DQT/DHT parsing (multi-table
+    segments, 8/16-bit quantizers), canonical Huffman entropy decode with
+    byte-unstuffing and RSTn predictor resets, dequantization, float
+    IDCT, level shift, and JFIF YCbCr→RGB. Grayscale and 1x1-sampled
+    (4:4:4) color only; progressive, subsampled, arithmetic-coded or
+    truncated streams return None rather than guessing."""
+    import numpy as np
+    if len(raw) < 4 or raw[0:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, "np.ndarray"] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    comps = None
+    w = h = 0
+    restart_interval = 0
+    pos = 2
+    try:
+        while pos + 4 <= len(raw):
+            if raw[pos] != 0xFF:
+                return None
+            marker = raw[pos + 1]
+            if marker == 0xD9:             # EOI before SOS
+                return None
+            ln = int.from_bytes(raw[pos + 2:pos + 4], "big")
+            body = raw[pos + 4:pos + 2 + ln]
+            if len(body) != ln - 2:
+                return None
+            if marker == 0xDB:             # DQT (possibly several tables)
+                i = 0
+                while i < len(body):
+                    prec, tid = body[i] >> 4, body[i] & 15
+                    i += 1
+                    n = 64 * (2 if prec else 1)
+                    vals = body[i:i + n]
+                    if len(vals) != n:
+                        return None
+                    arr = np.zeros(64, dtype=np.int64)
+                    for k in range(64):
+                        v = (int.from_bytes(vals[2 * k:2 * k + 2], "big")
+                             if prec else vals[k])
+                        arr[_JPEG_ZIGZAG[k]] = v
+                    qtables[tid] = arr.reshape(8, 8)
+                    i += n
+            elif marker == 0xC4:           # DHT (possibly several tables)
+                i = 0
+                while i < len(body):
+                    cls, tid = body[i] >> 4, body[i] & 15
+                    counts = list(body[i + 1:i + 17])
+                    nsym = sum(counts)
+                    syms = list(body[i + 17:i + 17 + nsym])
+                    if len(syms) != nsym:
+                        return None
+                    codes = _jpeg_canonical_codes(counts, syms)
+                    htables[(cls, tid)] = {(c, l): s
+                                           for s, (c, l) in codes.items()}
+                    i += 17 + nsym
+            elif marker == 0xC0 or marker == 0xC1:   # baseline SOF
+                h = int.from_bytes(body[1:3], "big")
+                w = int.from_bytes(body[3:5], "big")
+                nc = body[5]
+                if nc not in (1, 3):
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                    if hv != 0x11:         # subsampling unsupported
+                        return None
+                    comps.append({"id": cid, "tq": tq})
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None                # progressive/arithmetic/etc.
+            elif marker == 0xDD:           # DRI
+                restart_interval = int.from_bytes(body[0:2], "big")
+            elif marker == 0xDA:           # SOS: entropy data follows
+                if comps is None or w <= 0 or h <= 0:
+                    return None
+                ns = body[0]
+                if ns != len(comps):
+                    return None
+                by_id = {c["id"]: c for c in comps}
+                order = []
+                for c in range(ns):
+                    cid, tda = body[1 + 2 * c:3 + 2 * c]
+                    comp = by_id.get(cid)
+                    if comp is None:
+                        return None
+                    comp["dc"] = htables.get((0, tda >> 4))
+                    comp["ac"] = htables.get((1, tda & 15))
+                    comp["q"] = qtables.get(comp["tq"])
+                    if comp["dc"] is None or comp["ac"] is None \
+                            or comp["q"] is None:
+                        return None
+                    order.append(comp)
+                return _jpeg_scan(raw, pos + 2 + ln, order, w, h,
+                                  restart_interval)
+            pos += 2 + ln
+    except (IndexError, ValueError):
+        return None
+    return None
+
+
+def _jpeg_scan(raw, pos, comps, w, h, restart_interval):
+    import numpy as np
+    C = _dct_basis()
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
+    br = _BitReader(raw, pos)
+    preds = [0] * len(comps)
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                if br.at_rst() is None:
+                    return None
+                preds = [0] * len(comps)
+            for ci, comp in enumerate(comps):
+                coef = np.zeros(64, dtype=np.int64)
+                t = _huff_decode(br, comp["dc"])
+                if t is None or t > 11:
+                    return None
+                diff = _extend(br.bits(t), t) if t else 0
+                preds[ci] += diff
+                coef[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(br, comp["ac"])
+                    if sym is None:
+                        return None
+                    if sym == 0x00:        # EOB
+                        break
+                    if sym == 0xF0:        # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    s = sym & 15
+                    if k > 63 or s == 0:
+                        return None
+                    coef[_JPEG_ZIGZAG[k]] = _extend(br.bits(s), s)
+                    k += 1
+                fq = coef.reshape(8, 8) * comp["q"]
+                blk = C.T @ fq @ C + 128.0
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+            mcu += 1
+    if br.done and br.n == 0 and br.pos > len(raw):
+        return None
+    if len(comps) == 1:
+        g = np.clip(np.rint(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        return w, h, np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = (p[:h, :w] for p in planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    px = np.stack([r, g, b], axis=2)
+    return w, h, np.clip(np.rint(px), 0, 255).astype(np.uint8)
+
+
+def synthesize_jpeg_payload(df: DataFrame, id_col: str = "doc_id"
+                            ) -> DataFrame:
+    """VALID baseline JFIF per row, encoded from scratch (encode_jpeg_gray).
+    Dimensions are 8-aligned (w = (id%4+2)*8, h = (id%3+2)*8) and every
+    8×8 block is CONSTANT with value (bx*17 + by*29 + id) % 256 — constant
+    blocks carry only a DC coefficient, and with DC quantizer step 8 the
+    round-trip  round(8(v−128)/8)·8/8 + 128 = v  is bit-exact, so the
+    lossy codec gets a closed-form SQL oracle. The entropy layer is still
+    fully general (Huffman, byte stuffing, DC prediction across blocks)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = (i % 4 + 2) * 8, (i % 3 + 2) * 8
+                bx = np.arange(w) // 8
+                by = np.arange(h) // 8
+                px = ((bx[None, :] * 17 + by[:, None] * 29 + i) % 256
+                      ).astype(np.uint8)
+                ids.append(i)
+                payloads.append(encode_jpeg_gray(px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (ensure_min_parallelism(df).select(id_col)
+            .mapInPandas(run, "doc_id long, payload binary"))

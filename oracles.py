@@ -863,6 +863,29 @@ def build_oracles() -> dict[str, str]:
              round(avg(v), 6) AS mean_px,
              max(CASE WHEN x = 7 AND y = 7 THEN v END)::BIGINT AS corner_px
       FROM px GROUP BY doc_id, w, h"""
+    # JPEG dims are 8-aligned (w = (id%4+2)*8, h = (id%3+2)*8) and every
+    # 8x8 block is constant with value (bx*17 + by*29 + id) % 256; with
+    # DC quantizer step 8 the lossy codec round-trips those blocks
+    # bit-exactly, so the full decode has a closed-form mirror: the
+    # resampled pixel at (x, y) reads block (sx//8, sy//8) with
+    # sx = x*w//8
+    o["mm_jpeg_px"] = """
+      WITH d AS (SELECT doc_id, (doc_id % 4 + 2) * 8 AS w,
+                        (doc_id % 3 + 2) * 8 AS h
+                 FROM documents WHERE text IS NOT NULL),
+           g AS (SELECT sx.g AS x, sy.g AS y
+                 FROM generate_series(0, 7) sx(g), generate_series(0, 7) sy(g)),
+           px AS (SELECT d.doc_id, d.w, d.h,
+                         ((((g.x * d.w) // 8) // 8) * 17
+                          + (((g.y * d.h) // 8) // 8) * 29
+                          + d.doc_id) % 256 AS v,
+                         g.x, g.y
+                  FROM d, g)
+      SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+             8::BIGINT AS out_w, 8::BIGINT AS out_h,
+             round(avg(v), 6) AS mean_px,
+             max(CASE WHEN x = 7 AND y = 7 THEN v END)::BIGINT AS corner_px
+      FROM px GROUP BY doc_id, w, h"""
     o["mm_audio"] = """
       WITH p AS (SELECT doc_id, (doc_id * 97) % 30000 + 1000 AS amp,
                         (doc_id % 50 + 20) * 2 AS n_samples
