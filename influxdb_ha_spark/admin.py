@@ -24,7 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .influxql.clusterql import (ClusterQLError, CreatePartitionKey,
+from .influxql.clusterql import (Backup, ClusterQLError, CreatePartitionKey,
                                  DropPartitionKey, RemoveNode,
                                  SetReplicationFactor, ShowNodes,
                                  ShowPartitionKeys, ShowReplicationFactors,
@@ -63,6 +63,8 @@ class AdminHandler:
             return self.update_partition_key(stmt)
         if isinstance(stmt, ShowReplicationFactors):
             return self.show_replication_factors()
+        if isinstance(stmt, Backup):
+            return self.backup(stmt)
         raise ClusterQLError("unhandled statement")
 
     def _empty(self, schema: str) -> DataFrame:
@@ -129,6 +131,42 @@ class AdminHandler:
                 rebalance_measurement(self.catalog, stmt.database,
                                       stmt.measurement, list(stmt.tags))
         return self.show_partition_keys(stmt.database)
+
+    def backup(self, stmt: Backup) -> DataFrame:
+        """BACKUP — the reference's last commented-out grammar line
+        (language.go:67: 'BACKUP * TO s3://my-bucket/'). Re-expressed as
+        a distributed Parquet export: one write job per measurement to
+        <dest>/<database>/<measurement>/, partitioned by the registered
+        partition-key tags when present so a restore (or a direct
+        spark.read on the backup) keeps partition pruning. No counts or
+        collects — at 100 TB each export is a single scan+write."""
+        targets = []
+        for db, measurements in sorted(self.catalog.databases.items()):
+            if stmt.database is not None and db != stmt.database:
+                continue
+            for name, m in sorted(measurements.items()):
+                if stmt.measurement and name != stmt.measurement:
+                    continue
+                targets.append(m)
+        if stmt.database is not None and not targets:
+            raise ClusterQLError(
+                f"error parsing query: no measurement matches "
+                f"{stmt.database}.{stmt.measurement or '*'}")
+        dest = stmt.destination.rstrip("/")
+        rows = []
+        for m in targets:
+            location = f"{dest}/{m.database}/{m.name}"
+            pk = self.catalog.partition_key_for(m.database, m.name)
+            writer = m.df.write.mode("overwrite")
+            part_cols = [t for t in (pk.tags if pk else []) if t in m.df.columns]
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(location)
+            rows.append((m.database, m.name, location,
+                         ".".join(part_cols)))
+        return self.catalog.spark.createDataFrame(
+            rows, "database string, measurement string, location string, "
+                  "partitioned_by string")
 
     def show_replication_factors(self) -> DataFrame:
         """SHOW REPLICATION FACTORS — the reference's commented-out

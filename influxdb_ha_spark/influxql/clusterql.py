@@ -20,6 +20,10 @@ grammar (language.go:52-63), implemented here for completeness:
         -- Spark that data movement is rebalance_measurement's
         -- repartition + hive rewrite.
     SHOW REPLICATION FACTORS      (also the comment's "REPLICATIONS")
+    BACKUP * TO <path>            (language.go:67: "BACKUP * TO
+        -- s3://my-bucket/ (requires aws keys to be setup on every
+        -- node)"; here a distributed Parquet export job — also accepts
+        -- BACKUP db[.measurement] TO <path> for a scoped backup)
 
 Statements parse to small dataclasses; execution lives in admin.py.
 """
@@ -32,8 +36,9 @@ from dataclasses import dataclass
 # admin.go:16-22 — detect management statements before InfluxQL parsing
 # (+ UPDATE / REPLICATIONS for the commented-out grammar implemented here)
 ADMIN_RE = re.compile(
-    r"^\s*(REMOVE|SHOW|DROP|CREATE|SET|UPDATE)"
-    r"\s+(NODES|NODE|PARTITION|REPLICATIONS?)",
+    r"^\s*(?:(REMOVE|SHOW|DROP|CREATE|SET|UPDATE)"
+    r"\s+(NODES|NODE|PARTITION|REPLICATIONS?)"
+    r"|BACKUP\s)",
     re.IGNORECASE)
 
 
@@ -86,6 +91,18 @@ class UpdatePartitionKey:
 @dataclass
 class ShowReplicationFactors:
     pass
+
+
+@dataclass
+class Backup:
+    """BACKUP * TO <path> (language.go:67, commented-out grammar).
+
+    database is None for the `*` form (back up everything);
+    measurement "" means every measurement in the database."""
+
+    destination: str
+    database: str | None = None
+    measurement: str = ""
 
 
 class ClusterQLError(Exception):
@@ -182,5 +199,21 @@ def parse_clusterql(q: str):
             db, m = _split_target(toks[5])
         return SetReplicationFactor(factor=int(toks[3]), database=db,
                                     measurement=m)
+
+    if up[0] == "BACKUP":
+        if len(toks) < 2:
+            raise ClusterQLError(
+                "error parsing query: unexpected end of statement, "
+                "expecting backup target")
+        expect(2, "TO")
+        if len(toks) < 4:
+            raise ClusterQLError(
+                "error parsing query: unexpected end of statement, "
+                "expecting destination path")
+        if toks[1] == "*":
+            db, m = None, ""
+        else:
+            db, m = _split_target(toks[1])
+        return Backup(destination=toks[3], database=db, measurement=m)
 
     raise ClusterQLError(f"error parsing query: unsupported statement {toks[0]}")

@@ -737,3 +737,53 @@ def test_update_partition_key_and_show_rf(spark, tmp_path):
     assert rf[("udb", "cpu")] == 3 and rf[("*", "")] == 2
     # the comment's original spelling parses too
     assert h.handle("SHOW REPLICATIONS FACTORS").count() == len(rf)
+
+
+def test_backup_statement(spark, tmp_path):
+    """The reference's last commented-out grammar line (language.go:67:
+    'BACKUP * TO s3://my-bucket/'): a distributed Parquet export per
+    measurement, partitioned by the registered partition-key tags so the
+    backup itself keeps partition pruning."""
+    import os
+
+    from influxdb_ha_spark.admin import AdminHandler
+    from influxdb_ha_spark.influxql.clusterql import (Backup, ClusterQLError,
+                                                      is_admin_statement,
+                                                      parse_clusterql)
+    from influxdb_ha_spark.model import Catalog
+
+    assert is_admin_statement("BACKUP * TO s3://my-bucket/")
+    assert not is_admin_statement("SELECT backup FROM cpu")
+    s = parse_clusterql("BACKUP * TO s3://my-bucket/")
+    assert s == Backup(destination="s3://my-bucket/", database=None,
+                       measurement="")
+    assert parse_clusterql("BACKUP db.cpu TO /x") == Backup(
+        destination="/x", database="db", measurement="cpu")
+    with pytest.raises(ClusterQLError, match="expecting TO"):
+        parse_clusterql("BACKUP * INTO /x")
+    with pytest.raises(ClusterQLError, match="expecting destination"):
+        parse_clusterql("BACKUP * TO")
+
+    cat = Catalog(spark)
+    h = AdminHandler(cat)
+    src = spark.createDataFrame(
+        [(1_500_000_000_000_000_000 + i, f"h{i % 2}", float(i))
+         for i in range(10)],
+        "time long, host string, value double")
+    cat.register_dataframe("bdb", "cpu", src, time_col="time", tags=["host"])
+    cat.register_dataframe("bdb", "mem", src.limit(4), time_col="time",
+                           tags=["host"])
+    h.handle("CREATE PARTITION KEY host ON bdb.cpu")
+    dest = str(tmp_path / "bk")
+    out = {r["measurement"]: r for r in h.handle(f"BACKUP * TO {dest}").collect()}
+    assert set(out) == {"cpu", "mem"}
+    assert out["cpu"]["partitioned_by"] == "host"  # pruning preserved
+    assert out["mem"]["partitioned_by"] == ""      # no key registered
+    assert any(d.startswith("host=") for d in os.listdir(out["cpu"]["location"]))
+    assert spark.read.parquet(out["cpu"]["location"]).count() == 10
+    assert spark.read.parquet(out["mem"]["location"]).count() == 4
+    # scoped backup + unknown target errors
+    one = h.handle(f"BACKUP bdb.mem TO {dest}2").collect()
+    assert [r["measurement"] for r in one] == ["mem"]
+    with pytest.raises(ClusterQLError, match="no measurement matches"):
+        h.handle(f"BACKUP nope TO {dest}3")
