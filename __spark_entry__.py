@@ -1418,6 +1418,45 @@ def q_ts_interval_join(spark, sf):
                     _fr(F.col("value"), 6).alias("value"))
 
 
+def q_ts_mad_outliers(spark, sf):
+    """Robust per-series outlier detection (added scope): modified
+    z-score Mi = 0.6745·(x − median)/MAD with the Iglewicz–Hoaglin 3.5
+    cutoff — median/MAD don't inflate under the spikes they flag, unlike
+    a mean/stddev z-score. Two tag-keyed aggregations + a broadcast join
+    back; the event stream itself never shuffles
+    (operators/timeseries.py:mad_outliers)."""
+    from influxdb_ha_spark.operators.timeseries import mad_outliers
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    out = mad_outliers(ev, on="time", by=["event_type"],
+                       value_col="value", threshold=3.5)
+    return (out.where(F.col("is_outlier"))
+            .select("event_type", "time",
+                    _fr(F.col("value"), 6).alias("value"), "robust_z"))
+
+
+def q_emb_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, added scope):
+    cluster by nearest centroid, drop rows within cosine eps of an
+    earlier-id same-cluster row. Planted exact duplicates (vec_id%25==0
+    re-keyed +1000000, the emb_near_dup_planted convention) make the
+    removal set non-empty at eps=0.45 — the threshold also bites real
+    pairs (max natural within-cluster cosine ≈ 0.49), so the oracle
+    replays assignment, the greedy earlier-id rule, AND the planted
+    copies (operators/similarity.py:semantic_dedup)."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    planted = (emb.where(F.col("vec_id") % 25 == 0)
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       "embedding"))
+    corpus = emb.unionByName(planted)
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    kept = S.semantic_dedup(corpus, cent, eps=0.45)
+    return kept.select("vec_id")
+
+
 def q_union_measurements(spark, sf):
     """union-all of per-partition result streams (coordinator.go:261-302) —
     here: same-schema union + global distinct."""
@@ -1655,6 +1694,7 @@ _FAMILIES = [
         "emb_dim_stats": q_emb_dim_stats,
         "emb_normalize": q_emb_normalize,
         "emb_quantize": q_emb_quantize,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
     },
     {
         # LLM-pipeline scope (§7): text analysis
@@ -1675,6 +1715,7 @@ _FAMILIES = [
         "ts_interval_join": q_ts_interval_join,
         "ts_m4_downsample": q_ts_m4_downsample,
         "ts_lttb": q_ts_lttb,
+        "ts_mad_outliers": q_ts_mad_outliers,
     },
     {
         # LLM-pipeline scope (§7): multimodal

@@ -351,6 +351,45 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
             .where(F.col("cosine") >= threshold))
 
 
+def semantic_dedup(corpus: DataFrame, centroids: DataFrame, eps: float = 0.9,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus, then remove rows whose
+    embedding is within cosine `eps` of an earlier-id row in the SAME
+    cluster. Returns the surviving corpus rows.
+
+    The greedy keep rule is deterministic (a row is a duplicate iff some
+    same-cluster row with a smaller id scores >= eps against it), so a
+    SQL oracle can mirror it exactly — unlike the paper's
+    farthest-from-centroid heuristic, which changes nothing about the
+    cost model.
+
+    100 TB shape: centroid assignment is the map-only `assign_centroids`
+    pass (zero corpus shuffle); the pairwise stage shuffles on
+    `centroid_id` only and is quadratic strictly WITHIN a cluster —
+    SemDeDup's own design point: pick k proportional to N (the paper
+    uses 50k clusters for LAION-440M) so cluster sizes stay bounded, and
+    the per-cluster work is s² at bounded s, never N². Only (id, vector)
+    ride the exchange; the duplicate-id set comes back as a broadcast
+    anti-join so the corpus itself shuffles zero times end to end.
+    """
+    assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    a = assigned.select(F.col("centroid_id"),
+                        F.col(id_col).alias("__id_a"),
+                        F.col(vec_col).alias("__va"))
+    b = assigned.select(F.col("centroid_id"),
+                        F.col(id_col).alias("__id_b"),
+                        F.col(vec_col).alias("__vb"))
+    dup_ids = (a.join(b, "centroid_id")
+               .where(F.col("__id_a") < F.col("__id_b"))
+               .where(F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6)
+                      >= eps)
+               .select(F.col("__id_b").alias(id_col))
+               .distinct())
+    return corpus.join(F.broadcast(dup_ids), id_col, "left_anti")
+
+
 def l2_sq_expr(a: Column, b: Column) -> Column:
     """Squared L2 distance of two double-array columns, fully columnar."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),

@@ -265,3 +265,39 @@ def lttb_downsample(df: DataFrame, on: str = "time",
                             columns=by + [on, value_col])
 
     return df.groupBy(*by).applyInPandas(reduce, schema)
+
+
+def mad_outliers(df: DataFrame, on: str = "time",
+                 by: Sequence[str] = ("event_type",),
+                 value_col: str = "value",
+                 threshold: float = 3.5) -> DataFrame:
+    """Robust per-series outlier detection via the modified z-score
+    (Iglewicz & Hoaglin 1993): Mi = 0.6745·(xi − median) / MAD, flagging
+    |Mi| > threshold (their recommended 3.5). Median/MAD are immune to
+    the outliers they detect, unlike mean/stddev z-scores where one
+    spike inflates sigma and masks itself.
+
+    Shape: two per-series aggregations (median, then median of absolute
+    deviations) joined back — both shuffle on the `by` keys only, and
+    the per-series summary (2 doubles) broadcasts back onto the scan, so
+    the event stream itself shuffles zero times. Exact `median` implies
+    a per-group sort at scale; swap in percentile_approx(…, 0.5) for the
+    100 TB path exactly as agg_median documents. A constant series
+    (MAD = 0) yields no finite score: robust_z is NULL and nothing is
+    flagged (the Hampel convention).
+    """
+    by = list(by)
+    med = df.groupBy(*by).agg(F.median(value_col).alias("__med"))
+    mad = (df.join(F.broadcast(med), by)
+           .groupBy(*by)
+           .agg(F.median(F.abs(F.col(value_col) - F.col("__med")))
+                .alias("__mad")))
+    stats = med.join(mad, by)
+    z = F.when(F.col("__mad") > 0,
+               F.round(F.lit(0.6745) * (F.col(value_col) - F.col("__med"))
+                       / F.col("__mad"), 6))
+    return (df.join(F.broadcast(stats), by)
+            .select(*by, F.col(on), F.col(value_col),
+                    z.alias("robust_z"),
+                    F.coalesce(F.abs(z) > threshold, F.lit(False))
+                    .alias("is_outlier")))

@@ -947,6 +947,28 @@ def build_oracles() -> dict[str, str]:
              round({_cos("a.v", "b.v")}, 6) AS cosine
       FROM e a JOIN e b ON a.vec_id < b.vec_id
       WHERE round({_cos("a.v", "b.v")}, 6) >= 0.9"""
+    # SemDeDup greedy rule replayed end-to-end: nearest-centroid
+    # assignment (same sim DESC, cid ASC tie-break as emb_ivf_topk, same
+    # sequential-fold cosine), then a row is a duplicate iff some
+    # same-cluster row with a smaller id scores >= eps against it
+    o["emb_semantic_dedup"] = f"""
+      WITH e AS ({emb_cast}),
+      corpus AS (SELECT vec_id, v FROM e
+                 UNION ALL
+                 SELECT vec_id + 1000000, v FROM e WHERE vec_id % 25 = 0),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      a0 AS (SELECT c.vec_id, ct.cid,
+                    row_number() OVER (PARTITION BY c.vec_id
+                      ORDER BY {_cos("c.v", "ct.cv")} DESC, ct.cid ASC) AS r
+             FROM corpus c CROSS JOIN cent ct),
+      asg AS (SELECT vec_id, cid FROM a0 WHERE r = 1),
+      dup AS (SELECT DISTINCT b.vec_id
+              FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+              JOIN corpus ca ON ca.vec_id = a.vec_id
+              JOIN corpus cb ON cb.vec_id = b.vec_id
+              WHERE round({_cos("ca.v", "cb.v")}, 6) >= 0.45)
+      SELECT vec_id FROM corpus
+      WHERE vec_id NOT IN (SELECT vec_id FROM dup)"""
 
     o["text_stats"] = f"""
       SELECT doc_id,
@@ -1180,6 +1202,21 @@ def build_oracles() -> dict[str, str]:
              {fr('arg_min(value, time)', 6)} AS v_first,
              {fr('arg_max(value, time)', 6)} AS v_last
       FROM e GROUP BY 1, 2"""
+    # Iglewicz–Hoaglin modified z-score: both engines compute the exact
+    # interpolating median (Spark F.median / DuckDB median — (a+b)/2 of
+    # the two middles on even counts, identical doubles), then round the
+    # score at 6 before the 3.5 cutoff so the flag itself compares equal
+    o["ts_mad_outliers"] = f"""
+      WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events),
+      med AS (SELECT event_type, median(value) AS med FROM e GROUP BY 1),
+      mad AS (SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+              FROM e JOIN med m USING (event_type) GROUP BY 1),
+      z AS (SELECT e.event_type, e.time, e.value,
+                   CASE WHEN d.mad > 0 THEN
+                     round(0.6745 * (e.value - m.med) / d.mad, 6) END AS robust_z
+            FROM e JOIN med m USING (event_type) JOIN mad d USING (event_type))
+      SELECT event_type, time, {fr('value', 6)} AS value, robust_z
+      FROM z WHERE coalesce(abs(robust_z) > 3.5, FALSE)"""
     # directional shingle containment over DF-bounded inverted-index
     # candidates (prefix filtering: only shingles with df in [2, 50] pair
     # their posting lists) — |∩|/|A| and |∩|/|B|, pair kept when either

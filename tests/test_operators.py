@@ -627,3 +627,29 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     assert got.get((1, 3), 0) >= 0.5   # near-dup: most slots match
     for v in got.values():
         assert abs(v * 16 - round(v * 16)) < 1e-9
+
+
+def test_semantic_dedup_greedy_within_cluster(spark):
+    """SemDeDup keep rule: within a cluster the earlier id survives and
+    later near-copies drop; near-identical vectors in DIFFERENT clusters
+    both survive (cluster-blindness is the documented recall trade-off)."""
+    from influxdb_ha_spark.operators.similarity import semantic_dedup
+    c0, c1 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (1, [0.9, 0.1, 0.0, 0.0]),   # cluster 0, kept (earliest)
+        (2, [0.9, 0.1, 0.0, 0.01]),  # cluster 0, ~copy of 1 -> dropped
+        (3, [0.1, 0.9, 0.0, 0.0]),   # cluster 1, kept
+        (4, [0.1, 0.9, 0.0, 0.01]),  # cluster 1, ~copy of 3 -> dropped
+        (5, [0.0, 0.0, 1.0, 0.0]),   # cluster 0 or 1, orthogonal -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, c0), (1, c1)], "centroid_id long, embedding array<double>")
+    kept = sorted(r["vec_id"]
+                  for r in semantic_dedup(df, cents, eps=0.99).collect())
+    assert kept == [1, 3, 5]
+    # across clusters the same eps does NOT dedup: 2 assigned to cluster 1
+    # by a centroid swap keeps both 1 and 2
+    kept_hi = sorted(r["vec_id"]
+                     for r in semantic_dedup(df, cents, eps=0.999999).collect())
+    assert kept_hi == [1, 2, 3, 4, 5]

@@ -218,3 +218,33 @@ def test_lttb_collinear_candidate_scores_zero(spark):
                   lttb_downsample(df, on="time", by=["s"], value_col="value",
                                   n_out=3).collect()])
     assert out == [(0, 0.0), (1, -5.0), (10, 100.0)]
+
+
+def test_mad_outliers_flags_spike_not_masked(spark):
+    """A single spike must be flagged; the robust score must not let the
+    spike inflate the scale estimate (the mean/stddev masking failure)."""
+    from influxdb_ha_spark.operators.timeseries import mad_outliers
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 11.5, 9.0, 10.0, 500.0]
+    df = spark.createDataFrame(
+        [(i, "s", v) for i, v in enumerate(vals)],
+        "time long, event_type string, value double")
+    out = mad_outliers(df, on="time", by=["event_type"],
+                       value_col="value").collect()
+    flagged = {r["time"] for r in out if r["is_outlier"]}
+    assert flagged == {9}
+    z = {r["time"]: r["robust_z"] for r in out}
+    # median 10.0, MAD 0.75 -> spike z = 0.6745*490/0.75
+    assert z[9] == pytest.approx(0.6745 * 490 / 0.75, abs=1e-4)
+    assert abs(z[0]) < 1.0
+
+
+def test_mad_outliers_constant_series(spark):
+    """MAD = 0 (constant series): no finite score, nothing flagged —
+    the Hampel convention, not a division error."""
+    from influxdb_ha_spark.operators.timeseries import mad_outliers
+    df = spark.createDataFrame(
+        [(i, "c", 5.0) for i in range(6)] + [(9, "c", 5.0)],
+        "time long, event_type string, value double")
+    out = mad_outliers(df, by=["event_type"]).collect()
+    assert all(r["robust_z"] is None for r in out)
+    assert all(r["is_outlier"] is False for r in out)
