@@ -1457,6 +1457,32 @@ def q_emb_semantic_dedup(spark, sf):
     return kept.select("vec_id")
 
 
+def q_text_bm25(spark, sf):
+    """BM25 top-k lexical retrieval (added scope — the text counterpart
+    of the ANN family): one global stats aggregation (N, Σdl, per-term
+    df — |q|+2 scalars through the exchange), idf inlined as literals,
+    then a map-only scoring projection + TakeOrderedAndProject top-k.
+    The corpus never shuffles (operators/text.py:bm25_topk)."""
+    from influxdb_ha_spark.operators.text import bm25_topk
+    return bm25_topk(_t(spark, sf, "documents"),
+                     query="spark hash join merge", k=10)
+
+
+def q_emb_prototypicality(spark, sf):
+    """Data-pruning scores (Sorscher et al. 2022, added scope): cosine
+    to the assigned centroid + within-cluster percentile + a keep flag
+    dropping the top-20% most-prototypical tail. Map-only assignment,
+    broadcast centroid scoring, one bounded per-cluster window
+    (operators/similarity.py:prototypicality)."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    return S.prototypicality(emb, cent, prune_frac=0.2)
+
+
 def q_union_measurements(spark, sf):
     """union-all of per-partition result streams (coordinator.go:261-302) —
     here: same-schema union + global distinct."""
@@ -1695,6 +1721,7 @@ _FAMILIES = [
         "emb_normalize": q_emb_normalize,
         "emb_quantize": q_emb_quantize,
         "emb_semantic_dedup": q_emb_semantic_dedup,
+        "emb_prototypicality": q_emb_prototypicality,
     },
     {
         # LLM-pipeline scope (§7): text analysis
@@ -1706,6 +1733,7 @@ _FAMILIES = [
         "text_rolling": q_text_rolling,
         "text_top_tokens": q_text_top_tokens,
         "text_lm_score": q_text_lm_score,
+        "text_bm25": q_text_bm25,
     },
     {
         # time-series relational ops (added scope; operators/timeseries.py)

@@ -390,6 +390,42 @@ def semantic_dedup(corpus: DataFrame, centroids: DataFrame, eps: float = 0.9,
     return corpus.join(F.broadcast(dup_ids), id_col, "left_anti")
 
 
+def prototypicality(corpus: DataFrame, centroids: DataFrame,
+                    prune_frac: float = 0.2, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Prototypicality scoring for data pruning (Sorscher et al. 2022,
+    "Beyond neural scaling laws", arXiv:2206.14486): an example's score
+    is its cosine to the assigned cluster centroid; at large data the
+    winning strategy prunes the MOST prototypical (easiest) examples.
+    Emits per-row `proto`, its within-cluster percentile, and a `keep`
+    flag dropping the top `prune_frac` most-prototypical tail.
+
+    Shape: assignment is the map-only `assign_centroids` pass; the
+    scoring join is against the broadcast centroid table (k rows); the
+    only shuffle is the within-cluster cume_dist window on
+    `centroid_id` — bounded per-cluster sort under the same k ∝ N
+    contract as `semantic_dedup`, and ranking per cluster (not
+    globally) is the method's own design: pruning is calibrated within
+    each concept, and no global all-rows window exists to funnel.
+    Ordering ties break on id, so the percentile is deterministic and a
+    SQL window replays it exactly.
+    """
+    assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    cents = centroids.select(F.col("centroid_id"),
+                             F.col(vec_col).alias("__cv"))
+    scored = (assigned.join(F.broadcast(cents), "centroid_id")
+              .select(F.col(id_col), F.col("centroid_id"),
+                      F.round(cosine_expr(F.col(vec_col), F.col("__cv")), 6)
+                      .alias("proto")))
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("proto").asc(), F.col(id_col).asc())
+    pctl = F.cume_dist().over(w)
+    return scored.select(
+        id_col, "centroid_id", "proto",
+        F.round(pctl, 6).alias("pctl"),
+        (pctl <= F.lit(1.0 - prune_frac)).alias("keep"))
+
+
 def l2_sq_expr(a: Column, b: Column) -> Column:
     """Squared L2 distance of two double-array columns, fully columnar."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),

@@ -239,3 +239,64 @@ def rolling_fingerprints(df: DataFrame, w: int = 8, text_col: str = "text",
         lambda acc, h: (acc * B + h) % p))
     return (d.select(id_col, F.posexplode(win).alias("pos", "whash"))
             .select(id_col, (F.col("pos") + 1).alias("pos"), "whash"))
+
+
+def bm25_topk(df: DataFrame, query: str, k: int = 10, k1: float = 1.2,
+              b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """BM25 top-k document retrieval (Robertson & Zaragoza 2009, using
+    Lucene's non-negative idf = ln((N - df + 0.5)/(df + 0.5) + 1)) — the
+    lexical-search counterpart to the embedding ANN family.
+
+    Two phases, corpus never shuffles:
+    (1) ONE global aggregation computes N, Σdl and per-query-term
+        document frequencies (a sum of array_contains flags per term —
+        map-side partials, the exchange carries |q|+2 scalars); the
+        bounded |q|-row result collects driver-side (the k-means /
+        lm_score O(k) convention) and idf values inline as literals.
+    (2) Scoring is a MAP-ONLY projection — per-term tf via a codegen'd
+        array filter, the BM25 sum written as an explicit left-assoc
+        chain in sorted-term order so a SQL oracle replays the float
+        arithmetic bit-for-bit — followed by a global top-k, which
+        Spark executes as TakeOrderedAndProject (per-partition heaps +
+        driver merge), never a full sort.
+    Docs matching no query term (score 0) are excluded, standard IR
+    semantics.
+    """
+    import math
+    import re
+
+    qterms = sorted({t for t in re.sub(r"[^a-z0-9]+", " ", query.lower())
+                     .split() if t})
+    if not qterms:
+        raise ValueError("bm25_topk: query has no tokens")
+    base = (ensure_min_parallelism(df)
+            .select(F.col(id_col), tokens_expr(F.col(text_col))
+                    .alias("__toks"))
+            .withColumn("__dl", F.size("__toks")))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("sdl"),
+        *[F.sum(F.array_contains("__toks", t).cast("long")).alias(f"df{i}")
+          for i, t in enumerate(qterms)]).collect()[0]
+    n_docs = stats["n"] or 1
+    avgdl = (stats["sdl"] or 0) / n_docs
+    idf = [math.log((n_docs - stats[f"df{i}"] + 0.5)
+                    / (stats[f"df{i}"] + 0.5) + 1.0)
+           for i in range(len(qterms))]
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(avgdl))
+
+    def _tf(term: str) -> Column:
+        # NB: a 2-arg lambda here would be read by F.filter as
+        # (element, index) — close over the term with a def instead
+        return F.size(F.filter("__toks", lambda x: x == F.lit(term))) \
+            .cast("double")
+
+    score = F.lit(0.0)
+    for i, t in enumerate(qterms):
+        tf = _tf(t)
+        score = score + F.lit(idf[i]) * (tf * F.lit(k1 + 1.0)) / (tf + norm)
+    out = (base.select(F.col(id_col), F.round(score, 6).alias("score"))
+           .where(F.col("score") > 0)
+           .orderBy(F.col("score").desc(), F.col(id_col).asc())
+           .limit(k))
+    return out

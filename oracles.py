@@ -908,6 +908,27 @@ def build_oracles() -> dict[str, str]:
                AS oov_frac
       FROM tok LEFT JOIN voc ON tok.t = voc.t CROSS JOIN tot
       GROUP BY 1"""
+    # BM25 replay: same Lucene idf, same left-assoc per-term sum in
+    # sorted-term order, tf/dl from the shared tokenizer; avgdl is the
+    # identical IEEE division of the two exact integers
+    _bm_terms = ["hash", "join", "merge", "spark"]
+    _bm_stats = ", ".join(
+        f"sum(list_contains(toks, '{t}')::BIGINT) AS df{i}"
+        for i, t in enumerate(_bm_terms))
+    _bm_sum = " + ".join(
+        f"(ln((s.n - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0) * "
+        f"(len(list_filter(d.toks, x -> x = '{t}'))::DOUBLE * 2.2) / "
+        f"(len(list_filter(d.toks, x -> x = '{t}'))::DOUBLE + "
+        f"1.2 * (0.25 + 0.75 * d.dl / (s.sdl / s.n))))"
+        for i, t in enumerate(_bm_terms))
+    o["text_bm25"] = f"""
+      WITH d AS (SELECT doc_id, {TOKS} AS toks, len({TOKS}) AS dl
+                 FROM documents),
+      s AS (SELECT count(*) AS n, sum(dl) AS sdl, {_bm_stats} FROM d)
+      SELECT doc_id, round(0.0 + {_bm_sum}, 6) AS score
+      FROM d CROSS JOIN s
+      WHERE round(0.0 + {_bm_sum}, 6) > 0
+      ORDER BY score DESC, doc_id ASC LIMIT 10"""
     o["text_top_tokens"] = f"""
       WITH t AS (SELECT unnest({TOKS}) AS token FROM documents)
       SELECT token, count(*) AS n FROM t GROUP BY 1
@@ -969,6 +990,27 @@ def build_oracles() -> dict[str, str]:
               WHERE round({_cos("ca.v", "cb.v")}, 6) >= 0.45)
       SELECT vec_id FROM corpus
       WHERE vec_id NOT IN (SELECT vec_id FROM dup)"""
+    # prototypicality pruning: cosine to assigned centroid, then a
+    # within-cluster cume_dist (ties broken on id — deterministic); keep
+    # compares the UNROUNDED percentile to 0.8, identical IEEE division
+    # rank/count in both engines
+    o["emb_prototypicality"] = f"""
+      WITH e AS ({emb_cast}),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      a0 AS (SELECT e.vec_id, c.cid, c.cv,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY {_cos("e.v", "c.cv")} DESC, c.cid ASC) AS r
+             FROM e CROSS JOIN cent c),
+      scored AS (SELECT a0.vec_id, a0.cid AS centroid_id,
+                        round({_cos("e.v", "a0.cv")}, 6) AS proto
+                 FROM a0 JOIN e ON e.vec_id = a0.vec_id WHERE a0.r = 1),
+      p AS (SELECT vec_id, centroid_id, proto,
+                   cume_dist() OVER (PARTITION BY centroid_id
+                     ORDER BY proto ASC, vec_id ASC) AS cd
+            FROM scored)
+      SELECT vec_id, centroid_id, proto, round(cd, 6) AS pctl,
+             cd <= 0.8 AS keep
+      FROM p"""
 
     o["text_stats"] = f"""
       SELECT doc_id,

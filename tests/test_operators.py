@@ -653,3 +653,55 @@ def test_semantic_dedup_greedy_within_cluster(spark):
     kept_hi = sorted(r["vec_id"]
                      for r in semantic_dedup(df, cents, eps=0.999999).collect())
     assert kept_hi == [1, 2, 3, 4, 5]
+
+
+def test_bm25_topk_ranking(spark):
+    """BM25 sanity: matching more/rarer query terms ranks higher; docs
+    matching nothing are excluded; tf saturates (k1) so term-stuffing
+    can't beat a second distinct term; hand-computed score matches."""
+    import math
+
+    from influxdb_ha_spark.operators.text import bm25_topk
+    docs = [
+        (1, "rust compiler borrow checker"),       # both rare terms
+        (2, "rust rust rust rust rust rust"),      # stuffed single term
+        (3, "python compiler bytecode"),           # one term
+        (4, "java garbage collector"),             # no terms
+        (5, "the rust book"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = bm25_topk(df, "rust compiler", k=10).collect()
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert 4 not in got                      # zero-score excluded
+    assert got[1] == max(got.values())       # two terms beat stuffing
+    ranked = [r["doc_id"] for r in out]
+    assert ranked[0] == 1
+    # hand-computed doc 3: tf(compiler)=1, dl=3, N=5, df(compiler)=2,
+    # avgdl = (4+6+3+3+3)/5
+    avgdl = 19 / 5
+    idf_c = math.log((5 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    exp3 = idf_c * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 3 / avgdl))
+    assert got[3] == pytest.approx(exp3, abs=1e-6)
+    with pytest.raises(ValueError):
+        bm25_topk(df, "!!!")
+
+
+def test_prototypicality_keep_flag(spark):
+    """Closest-to-centroid rows score highest and are pruned first;
+    percentile ranks within the cluster, ties broken on id."""
+    from influxdb_ha_spark.operators.similarity import prototypicality
+    rows = [
+        (1, [1.0, 0.0]),        # proto 1.0 -> most prototypical
+        (2, [0.9, 0.4358899]),  # ~0.9
+        (3, [0.6, 0.8]),        # 0.6
+        (4, [0.0, 1.0]),        # 0.0 vs centroid 0... goes to c1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           prototypicality(df, cents, prune_frac=0.25).collect()}
+    assert out[1]["proto"] == 1.0 and out[1]["pctl"] == 1.0
+    assert not out[1]["keep"]                 # top 25% pruned
+    assert out[3]["keep"] and out[4]["keep"]
+    assert out[4]["pctl"] == 0.25
