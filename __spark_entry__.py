@@ -1418,6 +1418,18 @@ def q_ts_interval_join(spark, sf):
                     _fr(F.col("value"), 6).alias("value"))
 
 
+def q_ts_decompose(spark, sf):
+    """Classical additive seasonal decomposition (added scope): hourly
+    bucket means → centered 25-point moving-average trend → per-phase
+    (hour-of-day) seasonal means → residual. Decimal-accumulated means
+    and round-4 chaining make the float pipeline engine-portable
+    (operators/timeseries.py:seasonal_decompose)."""
+    from influxdb_ha_spark.operators.timeseries import seasonal_decompose
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return seasonal_decompose(ev, on="time", by=["event_type"],
+                              value_col="value", bucket_ns=HOUR, period=24)
+
+
 def q_ts_mad_outliers(spark, sf):
     """Robust per-series outlier detection (added scope): modified
     z-score Mi = 0.6745·(x − median)/MAD with the Iglewicz–Hoaglin 3.5
@@ -1744,6 +1756,7 @@ _FAMILIES = [
         "ts_m4_downsample": q_ts_m4_downsample,
         "ts_lttb": q_ts_lttb,
         "ts_mad_outliers": q_ts_mad_outliers,
+        "ts_decompose": q_ts_decompose,
     },
     {
         # LLM-pipeline scope (§7): multimodal

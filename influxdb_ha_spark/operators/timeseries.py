@@ -267,6 +267,68 @@ def lttb_downsample(df: DataFrame, on: str = "time",
     return df.groupBy(*by).applyInPandas(reduce, schema)
 
 
+def seasonal_decompose(df: DataFrame, on: str = "time",
+                       by: Sequence[str] = ("event_type",),
+                       value_col: str = "value",
+                       bucket_ns: int = 3_600_000_000_000,
+                       period: int = 24) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method of Macaulay 1931, the `decompose()` of every stats stack):
+    bucket the series, estimate trend with a centered (period+1)-point
+    moving average (NULL where the window is incomplete — no padding
+    invention), seasonal as the per-phase mean of the detrended values,
+    residual as what's left. value = trend + seasonal + resid on every
+    fully-windowed row.
+
+    Determinism for the cross-engine gate: per-bucket and per-phase
+    means accumulate in DECIMAL (order-free — a double sum's value
+    depends on partition order), window trend rounds at 4 (the
+    tr_moving_average convention), and all downstream arithmetic runs
+    on the rounded doubles, so both engines chain identical bits.
+
+    Shape at scale: one groupBy on (series, bucket) — output is
+    |series|·|buckets| regardless of input volume — then a per-series
+    window sort and a per-(series, phase) aggregation whose result
+    (|series|·period rows) broadcasts back. The raw stream shuffles
+    once, into the bucket aggregation."""
+    by = list(by)
+    half = period // 2
+
+    def _r(c, k: int):
+        # floor(x·10^k + 0.5)/10^k — a decimal mean lands EXACTLY on
+        # .xxx5 round boundaries (e.g. a /25 division ending in ...75),
+        # where engine round() disagrees; the floor form is bit-stable
+        # (the __spark_entry__._fr convention)
+        s = 10 ** k
+        return F.floor(c * s + F.lit(0.5)) / F.lit(float(s))
+
+    b = F.col(on) - F.pmod(F.col(on), F.lit(bucket_ns))
+    dsum = F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double")
+    g = (df.groupBy(*by, b.alias("bucket"))
+         .agg(_r(dsum / F.count(F.lit(1)), 6).alias("v")))
+    w = Window.partitionBy(*by).orderBy("bucket")
+    wf = w.rowsBetween(-half, half)
+    # decimal window sum, not avg: a double window-avg's value depends on
+    # the engine's frame summation order (sliding vs recompute) — 3 of
+    # ~5k rows flipped at the round-4 boundary in testing
+    tsum = F.sum(F.col("v").cast("decimal(28,6)")).over(wf).cast("double")
+    trend = F.when(F.count("v").over(wf) == 2 * half + 1,
+                   _r(tsum / F.lit(float(2 * half + 1)), 4))
+    t = g.select(*by, "bucket", "v", trend.alias("trend"))
+    phase = F.pmod(F.expr(f"bucket div {bucket_ns}"), F.lit(period))
+    det = (F.col("v") - F.col("trend")).cast("decimal(28,10)")
+    s = (t.where(F.col("trend").isNotNull())
+         .groupBy(*by, phase.alias("__ph"))
+         .agg(_r(F.sum(det).cast("double") / F.count(F.lit(1)), 4)
+              .alias("seasonal")))
+    out = (t.withColumn("__ph", phase)
+           .join(F.broadcast(s), [*by, "__ph"], "left"))
+    return out.select(
+        *by, "bucket", "v", "trend", "seasonal",
+        _r(F.col("v") - F.col("trend") - F.col("seasonal"), 4)
+        .alias("resid"))
+
+
 def mad_outliers(df: DataFrame, on: str = "time",
                  by: Sequence[str] = ("event_type",),
                  value_col: str = "value",

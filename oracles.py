@@ -1244,6 +1244,30 @@ def build_oracles() -> dict[str, str]:
              {fr('arg_min(value, time)', 6)} AS v_first,
              {fr('arg_max(value, time)', 6)} AS v_last
       FROM e GROUP BY 1, 2"""
+    # classical additive decomposition: decimal-accumulated bucket/phase
+    # means (order-free), trend and all downstream chaining on ROUNDED
+    # doubles so both engines see identical bits at every step
+    o["ts_decompose"] = f"""
+      WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events),
+      g AS (SELECT event_type, time - time % {HOUR} AS bucket,
+                   {fr('sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS v
+            FROM e GROUP BY 1, 2),
+      t AS (SELECT event_type, bucket, v,
+                   CASE WHEN count(v) OVER w = 25
+                        THEN {fr('(sum(CAST(v AS DECIMAL(28,6))) OVER w)'
+                                 '::DOUBLE / 25.0', 4)} END AS trend
+            FROM g
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                         ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      s AS (SELECT event_type, (bucket // {HOUR}) % 24 AS ph,
+                   {fr('sum(CAST(v - trend AS DECIMAL(28,10)))::DOUBLE'
+                       ' / count(*)', 4)} AS seasonal
+            FROM t WHERE trend IS NOT NULL GROUP BY 1, 2)
+      SELECT t.event_type, t.bucket, t.v, t.trend, s.seasonal,
+             {fr('t.v - t.trend - s.seasonal', 4)} AS resid
+      FROM t LEFT JOIN s ON s.event_type = t.event_type
+                        AND s.ph = (t.bucket // {HOUR}) % 24"""
     # Iglewicz–Hoaglin modified z-score: both engines compute the exact
     # interpolating median (Spark F.median / DuckDB median — (a+b)/2 of
     # the two middles on even counts, identical doubles), then round the

@@ -248,3 +248,32 @@ def test_mad_outliers_constant_series(spark):
     out = mad_outliers(df, by=["event_type"]).collect()
     assert all(r["robust_z"] is None for r in out)
     assert all(r["is_outlier"] is False for r in out)
+
+
+def test_seasonal_decompose_recovers_components(spark):
+    """A clean signal (linear trend + daily square-wave season) must come
+    back out: identity v = trend + seasonal + resid on fully-windowed
+    rows, NULL trend at the series edges, and the seasonal estimate
+    separating the two phases by their planted offset."""
+    from influxdb_ha_spark.operators.timeseries import seasonal_decompose
+    HOUR = 3_600_000_000_000
+    rows = []
+    for h in range(24 * 6):              # 6 days hourly
+        season = 10.0 if (h % 24) < 12 else -10.0
+        rows.append((h * HOUR, "s", 100.0 + 0.1 * h + season))
+    df = spark.createDataFrame(rows, "time long, event_type string, value double")
+    out = sorted(seasonal_decompose(df, period=24).collect(),
+                 key=lambda r: r["bucket"])
+    assert len(out) == 144
+    # edges: first/last 12 buckets have incomplete windows
+    assert all(r["trend"] is None for r in out[:12] + out[-12:])
+    for r in out[12:-12]:
+        assert r["trend"] is not None
+        assert abs(r["v"] - (r["trend"] + r["seasonal"] + r["resid"])) < 1e-9
+    # phase separation: morning seasonal ~ +10+delta, evening ~ -10+delta
+    morning = {r["seasonal"] for r in out[12:-12]
+               if (r["bucket"] // HOUR) % 24 == 3}
+    evening = {r["seasonal"] for r in out[12:-12]
+               if (r["bucket"] // HOUR) % 24 == 15}
+    assert len(morning) == 1 and len(evening) == 1
+    assert next(iter(morning)) - next(iter(evening)) == pytest.approx(20.0, abs=1.0)
