@@ -66,7 +66,8 @@ def test_statement_privileges_classifier():
               "CREATE RETENTION POLICY rp ON d DURATION 1d REPLICATION 1",
               "CREATE CONTINUOUS QUERY c ON d BEGIN SELECT 1 END",
               "SHOW SUBSCRIPTIONS", "SHOW PARTITION KEYS",
-              "CREATE PARTITION KEY type ON db.m"):
+              "CREATE PARTITION KEY type ON db.m",
+              "BACKUP * TO /tmp/bk", "BACKUP db.m TO s3://bucket/"):
         assert statement_privileges(q) == ["admin"], q
 
 
