@@ -374,7 +374,13 @@ def semantic_dedup(corpus: DataFrame, centroids: DataFrame, eps: float = 0.9,
     ride the exchange; the duplicate-id set comes back as a broadcast
     anti-join so the corpus itself shuffles zero times end to end.
     """
-    assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    # persisted (generation-bounded): both sides of the pair join
+    # reference the assignment subtree — without keep() the C-cosine
+    # argmax map runs twice over the corpus
+    assigned = keep(
+        "semantic_dedup.assigned",
+        assign_centroids(corpus, centroids, id_col, vec_col)
+        .select(F.col("centroid_id"), F.col(id_col), F.col(vec_col)))
     a = assigned.select(F.col("centroid_id"),
                         F.col(id_col).alias("__id_a"),
                         F.col(vec_col).alias("__va"))
