@@ -29,7 +29,10 @@ QUERIES = ["tpch_q1", "agg_median_percentile", "join_brand_revenue",
            "emb_near_dup_lsh", "text_quality", "ts_asof_join",
            # round-4 additions: M4 reduce, inverted-index containment,
            # zlib PNG decode (Arrow map)
-           "ts_m4_downsample", "doc_containment", "mm_png_px"]
+           "ts_m4_downsample", "doc_containment", "mm_png_px",
+           # round-5 additions: SemDeDup cluster dedup, BM25 two-phase
+           # retrieval, decimal-chained decomposition
+           "emb_semantic_dedup", "text_bm25", "ts_decompose"]
 
 
 def main():
