@@ -46,17 +46,25 @@ MAX_UNGROUPED_RECURRENCE_ROWS = 5_000_000
 
 
 def _guard_ungrouped_recurrence(df: DataFrame, time_col: str,
-                                fn_name: str) -> None:
+                                fn_name: str) -> DataFrame:
     """Raise when an ungrouped sequential recurrence would funnel more
     than MAX_UNGROUPED_RECURRENCE_ROWS through a single task. The probe
-    is a limit(cap+1).count() — bounded work, no full scan at scale."""
+    is a limit(cap+1).count() — bounded work even when refusing a huge
+    input (a full count would scan everything before raising). The
+    frame is persisted (generation-bounded) first so partitions the
+    probe materializes are REUSED by the real query instead of
+    re-executed — an aggregated upstream doesn't run twice end-to-end
+    (r5 review fix). Callers must use the returned frame."""
+    from ..cache import keep
     cap = MAX_UNGROUPED_RECURRENCE_ROWS
-    if df.select(time_col).limit(cap + 1).count() > cap:
+    guarded = keep(f"ungrouped_recurrence.{fn_name}", df)
+    if guarded.select(time_col).limit(cap + 1).count() > cap:
         raise ValueError(
             f"{fn_name}: ungrouped call (no GROUP BY tags) runs the "
             f"whole series through one sequential worker and the input "
             f"exceeds {cap:,} rows; group by series tags (by=[...]) or "
             f"pre-filter the time range")
+    return guarded
 
 
 def _series_window(time_col: str, by: list[str]):
@@ -268,7 +276,7 @@ def holt_winters(df: DataFrame, field: str, n_forecast: int, seasonal: int,
 
     if by:
         return df.groupBy(*by).applyInPandas(fit, schema)
-    _guard_ungrouped_recurrence(df, time_col, "holt_winters")
+    df = _guard_ungrouped_recurrence(df, time_col, "holt_winters")
     return df.groupBy(F.lit(0).alias("__g")).applyInPandas(fit, schema)
 
 
@@ -310,8 +318,8 @@ def exponential_moving_average(df: DataFrame, field: str, n: int,
             columns=by + [time_col, out])
 
     if not by:
-        _guard_ungrouped_recurrence(df, time_col,
-                                    "exponential_moving_average")
+        df = _guard_ungrouped_recurrence(df, time_col,
+                                         "exponential_moving_average")
     return df.groupBy(*by).applyInPandas(ema, schema)
 
 
@@ -349,7 +357,7 @@ def _multi_ema(df: DataFrame, field: str, n: int, depth: int,
             columns=by + [time_col, out])
 
     if not by:
-        _guard_ungrouped_recurrence(df, time_col, out)
+        df = _guard_ungrouped_recurrence(df, time_col, out)
     return df.groupBy(*by).applyInPandas(run, schema)
 
 
@@ -449,7 +457,8 @@ def relative_strength_index(df: DataFrame, field: str, n: int,
                             columns=by + [time_col, out])
 
     if not by:
-        _guard_ungrouped_recurrence(df, time_col, "relative_strength_index")
+        df = _guard_ungrouped_recurrence(df, time_col,
+                                         "relative_strength_index")
     return df.groupBy(*by).applyInPandas(run, schema)
 
 
@@ -519,6 +528,6 @@ def kaufmans_adaptive_moving_average(
                             columns=by + [time_col, out])
 
     if not by:
-        _guard_ungrouped_recurrence(
+        df = _guard_ungrouped_recurrence(
             df, time_col, "kaufmans_adaptive_moving_average")
     return df.groupBy(*by).applyInPandas(run, schema)

@@ -45,6 +45,11 @@ def _is_utc_zone(tz: str | None) -> bool:
                      r"(?::(\d{1,2}))?", s)
     if m and (m.group(1) or m.group(2)):
         return all(int(g or 0) == 0 for g in m.groups()[1:])
+    # compact forms ZoneOffset.of accepts: +HHMM / +HHMMSS (r5: '+0000'
+    # previously fell through to zoneinfo, which rejects it)
+    m = re.fullmatch(r"(?:UTC|GMT|UT)?([+-])(\d{4}|\d{6})", s)
+    if m:
+        return int(m.group(2)) == 0
     if s in ("Z", "UTC", "GMT", "UT"):
         return True
     try:

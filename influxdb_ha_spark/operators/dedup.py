@@ -166,32 +166,31 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     so results are near-identical while the map stage gets much cheaper."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k,
                               hash_fn)
-    # `cands` is referenced twice below (cand_ids + the verify join) and
-    # ReuseExchange does NOT dedupe the shared signature+banding subtree
-    # (verified in the executed plan), so without help it runs twice. A
-    # lazy persist() halves the warm run (1.46 → 0.69 s at sf0.1): the
-    # first subtree execution populates the cache, the second reference
-    # reads it — no eager job split (an eager localCheckpoint was
-    # measured to nearly double the COLD run). The pair list is
-    # LSH-bounded (tiny next to the corpus) and spills via
-    # MEMORY_AND_DISK, so the cache is safe at any scale. keep() bounds
-    # the session to ONE cached generation per operator (the next
-    # invocation unpersists this one).
+    # A lazy persist() on the candidate pairs: the banding subtree is
+    # expensive and ReuseExchange does NOT dedupe it across references
+    # (verified in the executed plan), so the cache guarantees it runs
+    # once regardless of how the verify below consumes `cands`. The pair
+    # list is LSH-bounded (tiny next to the corpus) and spills via
+    # MEMORY_AND_DISK. keep() bounds the session to ONE cached
+    # generation per operator (the next invocation unpersists this one).
     cands = keep("minhash_near_duplicates.cands",
                  minhash_candidates(sigs, id_col, bands, rows))
-    # Verify needs shingle sets ONLY for docs that appear in some candidate
-    # pair — semi-join the raw (id, text) down BEFORE shingling, so the
-    # expensive tokenize+shingle map runs once over the corpus (signatures)
-    # plus once over the LSH-bounded candidate set, never 3× the corpus.
     # Single-join verify (r5): explode each candidate pair into its two
     # member rows, join the raw corpus ONCE on doc id, compute the
     # shingle set per membership, then group back by pair. Replaces the
     # r4 shape (semi-join + two broadcast joins whose build sides each
     # re-ran the shingle subtree AND carried candidate docs' shingle
-    # arrays in broadcasts): one join + one pair-keyed Exchange, the
-    # shingle map runs once, and doc contents ride a bounded shuffle
-    # instead of a broadcast — strictly better at 100 TB where the LSH
-    # candidate set can exceed broadcast limits.
+    # arrays in broadcasts): one join + one pair-keyed Exchange, and doc
+    # contents ride a bounded shuffle instead of a broadcast — strictly
+    # better at 100 TB where the LSH candidate set can exceed broadcast
+    # limits. Trade-off (r5 review): the shingle map here runs once per
+    # PAIR MEMBERSHIP, not per distinct doc — a doc in P candidate pairs
+    # is shingled P times, where P is bounded by bands × max_bucket (the
+    # bucket caps exist precisely so no doc can appear in unbounded
+    # pairs). At the measured candidate densities the single join beats
+    # the per-doc-dedup shape (4.95 → 3.7 s cold at sf0.1); a corpus
+    # with pathological hub docs would flip that trade — then restore
+    # the semi-join + distinct-doc shingling shape.
     sides = cands.select(
         "id_a", "id_b",
         F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias(id_col))

@@ -937,6 +937,7 @@ class _BitReader:
         self.acc = 0
         self.n = 0
         self.done = False
+        self.overrun = False   # a bit was requested past the real data
 
     def _fill(self) -> None:
         if self.pos >= len(self.d):
@@ -959,6 +960,12 @@ class _BitReader:
         if self.n == 0:
             self._fill()
             if self.done:
+                # synthesized bit: the stream is exhausted. Flag it so
+                # the scan-level truncation check fires even when the
+                # synthetic zeros happen to parse (r5 review: the old
+                # `br.pos > len(raw)` check was unreachable — pos never
+                # exceeds len).
+                self.overrun = True
                 return 0
         self.n -= 1
         return (self.acc >> self.n) & 1
@@ -1142,7 +1149,7 @@ def _jpeg_scan(raw, pos, comps, w, h, restart_interval):
                 blk = C.T @ fq @ C + 128.0
                 planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
             mcu += 1
-    if br.done and br.n == 0 and br.pos > len(raw):
+    if br.overrun:                     # truncated inside the scan
         return None
     if len(comps) == 1:
         g = np.clip(np.rint(planes[0][:h, :w]), 0, 255).astype(np.uint8)

@@ -371,8 +371,12 @@ def semantic_dedup(corpus: DataFrame, centroids: DataFrame, eps: float = 0.9,
     SemDeDup's own design point: pick k proportional to N (the paper
     uses 50k clusters for LAION-440M) so cluster sizes stay bounded, and
     the per-cluster work is s² at bounded s, never N². Only (id, vector)
-    ride the exchange; the duplicate-id set comes back as a broadcast
-    anti-join so the corpus itself shuffles zero times end to end.
+    ride the exchange. The final anti-join carries NO broadcast hint on
+    purpose: at the method's target regime the duplicate set is a large
+    FRACTION of N (the paper prunes ~50% of LAION), so forcing a
+    broadcast would collect O(N) ids to the driver — Spark auto-
+    broadcasts when the set is actually small and AQE picks the join
+    strategy otherwise.
     """
     # persisted (generation-bounded): both sides of the pair join
     # reference the assignment subtree — without keep() the C-cosine
@@ -393,7 +397,7 @@ def semantic_dedup(corpus: DataFrame, centroids: DataFrame, eps: float = 0.9,
                       >= eps)
                .select(F.col("__id_b").alias(id_col))
                .distinct())
-    return corpus.join(F.broadcast(dup_ids), id_col, "left_anti")
+    return corpus.join(dup_ids, id_col, "left_anti")
 
 
 def prototypicality(corpus: DataFrame, centroids: DataFrame,

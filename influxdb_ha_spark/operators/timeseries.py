@@ -306,6 +306,13 @@ def seasonal_decompose(df: DataFrame, on: str = "time",
     dsum = F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double")
     g = (df.groupBy(*by, b.alias("bucket"))
          .agg(_r(dsum / F.count(F.lit(1)), 6).alias("v")))
+    if not by:
+        # an ungrouped call makes the trend window keyless (single-task
+        # global sort over the bucket table) — same funnel class the
+        # recurrence family caps, so reuse its loud-failure guard; the
+        # probe's materialized partitions are cached for the real run
+        from ..functions.transforms import _guard_ungrouped_recurrence
+        g = _guard_ungrouped_recurrence(g, "bucket", "seasonal_decompose")
     w = Window.partitionBy(*by).orderBy("bucket")
     wf = w.rowsBetween(-half, half)
     # decimal window sum, not avg: a double window-avg's value depends on
@@ -329,6 +336,32 @@ def seasonal_decompose(df: DataFrame, on: str = "time",
         .alias("resid"))
 
 
+def mad_profile(df: DataFrame, by: Sequence[str] = ("event_type",),
+                value_col: str = "value") -> DataFrame:
+    """Per-series robust location/scale: median + MAD (2 doubles per
+    series) — the train half of both `mad_outliers` and the streaming
+    Hampel filter (streaming/outlier_stream.py). Two `by`-keyed
+    aggregations; the second carries the median through `first()` so no
+    third aggregation is needed to pair them (r5 review fix)."""
+    by = list(by)
+    med = df.groupBy(*by).agg(F.median(value_col).alias("med"))
+    return (df.join(F.broadcast(med), by)
+            .groupBy(*by)
+            .agg(F.first("med").alias("med"),
+                 F.median(F.abs(F.col(value_col) - F.col("med")))
+                 .alias("mad")))
+
+
+def mad_score(value: "F.Column", med: "F.Column", mad: "F.Column",
+              threshold: float = 3.5) -> tuple:
+    """(robust_z, is_outlier) column pair for the Iglewicz–Hoaglin
+    modified z-score Mi = 0.6745·(x − median)/MAD — the single shared
+    definition for the batch operator and the streaming twin. MAD = 0 ⇒
+    NULL score, nothing flagged (the Hampel convention)."""
+    z = F.when(mad > 0, F.round(F.lit(0.6745) * (value - med) / mad, 6))
+    return z, F.coalesce(F.abs(z) > threshold, F.lit(False))
+
+
 def mad_outliers(df: DataFrame, on: str = "time",
                  by: Sequence[str] = ("event_type",),
                  value_col: str = "value",
@@ -339,27 +372,17 @@ def mad_outliers(df: DataFrame, on: str = "time",
     the outliers they detect, unlike mean/stddev z-scores where one
     spike inflates sigma and masks itself.
 
-    Shape: two per-series aggregations (median, then median of absolute
-    deviations) joined back — both shuffle on the `by` keys only, and
-    the per-series summary (2 doubles) broadcasts back onto the scan, so
-    the event stream itself shuffles zero times. Exact `median` implies
-    a per-group sort at scale; swap in percentile_approx(…, 0.5) for the
-    100 TB path exactly as agg_median documents. A constant series
-    (MAD = 0) yields no finite score: robust_z is NULL and nothing is
-    flagged (the Hampel convention).
+    Shape: `mad_profile`'s two per-series aggregations — both shuffle on
+    the `by` keys only — and the per-series summary (2 doubles)
+    broadcasts back onto the scan, so the event stream itself shuffles
+    zero times. Exact `median` implies a per-group sort at scale; swap
+    in percentile_approx(…, 0.5) for the 100 TB path exactly as
+    agg_median documents.
     """
     by = list(by)
-    med = df.groupBy(*by).agg(F.median(value_col).alias("__med"))
-    mad = (df.join(F.broadcast(med), by)
-           .groupBy(*by)
-           .agg(F.median(F.abs(F.col(value_col) - F.col("__med")))
-                .alias("__mad")))
-    stats = med.join(mad, by)
-    z = F.when(F.col("__mad") > 0,
-               F.round(F.lit(0.6745) * (F.col(value_col) - F.col("__med"))
-                       / F.col("__mad"), 6))
+    stats = mad_profile(df, by, value_col)
+    z, flag = mad_score(F.col(value_col), F.col("med"), F.col("mad"),
+                        threshold)
     return (df.join(F.broadcast(stats), by)
             .select(*by, F.col(on), F.col(value_col),
-                    z.alias("robust_z"),
-                    F.coalesce(F.abs(z) > threshold, F.lit(False))
-                    .alias("is_outlier")))
+                    z.alias("robust_z"), flag.alias("is_outlier")))

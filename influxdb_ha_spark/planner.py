@@ -316,13 +316,10 @@ class Planner:
         outer_transforms: list[tuple[str, Call, str]] = []
         post_fields: list[tuple[str, object]] = []  # (output name, expr)
         used: dict[str, int] = {}  # duplicate unaliased names → _N suffix,
+        reserved = {f.alias for f in stmt.fields if f.alias}
         for i, f in enumerate(stmt.fields):        # as in the raw-multi path
-            name = f.alias or self._default_name(f.expr)
-            if name in used:
-                used[name] += 1
-                name = f"{name}_{used[name]}"
-            else:
-                used[name] = 0
+            name = self._uniq_name(f.alias or self._default_name(f.expr),
+                                   f.alias is not None, used, reserved)
             expr = f.expr
             if isinstance(expr, Call) and expr.name in TRANSFORMS and \
                     self._has_inner_agg(expr):
@@ -515,14 +512,10 @@ class Planner:
         keys = [TIME_COL] + group_tags
         out = None
         used: dict[str, int] = {}
+        reserved = {f.alias for f in stmt.fields if f.alias}
         for f in stmt.fields:
-            name = f.alias or self._default_name(f.expr)
-            if name in used:
-                used[name] += 1
-                uniq = f"{name}_{used[name]}"
-            else:
-                used[name] = 0
-                uniq = name
+            uniq = self._uniq_name(f.alias or self._default_name(f.expr),
+                                   f.alias is not None, used, reserved)
             s1 = copy.copy(stmt)
             s1.fields = [type(f)(expr=f.expr, alias=uniq)]
             o = self._plan_transform_raw(s1, df, m, group_tags, ctx)
@@ -752,6 +745,25 @@ class Planner:
         if isinstance(expr, VarRef):
             return expr.name
         return "expr"
+
+    @staticmethod
+    def _uniq_name(name: str, is_alias: bool, used: dict,
+                   reserved: set) -> str:
+        """Deduplicate output column names with _N suffixes, never
+        colliding with an explicit alias elsewhere in the SELECT: a
+        generated `mean_1` must not shadow a later `... AS mean_1`
+        (`reserved` holds every explicit alias up front)."""
+        if name not in used and (is_alias or name not in reserved):
+            used[name] = 0
+            return name
+        n = used.get(name, 0)
+        while True:
+            n += 1
+            cand = f"{name}_{n}"
+            if cand not in used and cand not in reserved:
+                used[name] = n
+                used[cand] = 0
+                return cand
 
     # -- WHERE translation -------------------------------------------------
     def _where_expr(self, expr, ctx: PlanContext) -> Column:

@@ -25,37 +25,25 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.timeseries import mad_profile, mad_score
 
-def mad_profile(df: DataFrame, by: Sequence[str] = ("event_type",),
-                value_col: str = "value") -> DataFrame:
-    """Batch profiler: per-series median + MAD (the train half of the
-    streaming Hampel filter). Same two tag-keyed aggregations as
-    mad_outliers; output is 2 doubles per series."""
-    by = list(by)
-    med = df.groupBy(*by).agg(F.median(value_col).alias("med"))
-    return (df.join(F.broadcast(med), by)
-            .groupBy(*by)
-            .agg(F.first("med").alias("med"),
-                 F.median(F.abs(F.col(value_col) - F.col("med")))
-                 .alias("mad")))
+__all__ = ["mad_profile", "outlier_stream"]
 
 
 def outlier_stream(events: DataFrame, profile: DataFrame,
                    by: Sequence[str] = ("event_type",),
                    value_col: str = "value",
                    threshold: float = 3.5) -> DataFrame:
-    """Score a streaming DataFrame against a batch `mad_profile`:
+    """Score a streaming DataFrame against a batch `mad_profile`
+    (operators/timeseries.py — the shared train/score definitions):
     adds robust_z (Iglewicz–Hoaglin modified z-score, NULL when the
     series is unprofiled or MAD = 0) and is_outlier. Stateless —
     stream-static left join + projection, usable in append mode with
     no watermark requirement."""
     by = list(by)
-    z = F.when(F.col("mad") > 0,
-               F.round(F.lit(0.6745) * (F.col(value_col) - F.col("med"))
-                       / F.col("mad"), 6))
+    z, flag = mad_score(F.col(value_col), F.col("med"), F.col("mad"),
+                        threshold)
     return (events.join(F.broadcast(profile), by, "left")
             .withColumn("robust_z", z)
-            .withColumn("is_outlier",
-                        F.coalesce(F.abs(F.col("robust_z")) > threshold,
-                                   F.lit(False)))
+            .withColumn("is_outlier", flag)
             .drop("med", "mad"))

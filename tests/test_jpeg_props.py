@@ -87,6 +87,14 @@ def test_rejects_malformed():
     sof = raw.index(b"\xff\xc0")
     sub[sof + 11] = 0x22                               # comp 1 H/V
     assert parse_jpeg(bytes(sub)) is None
+    # every mid-scan truncation of a multi-block image must return None,
+    # even when the synthesized zero-bits happen to parse (r5 review:
+    # the overrun flag, not the unreachable pos>len check)
+    big = encode_jpeg_gray(
+        (np.arange(24 * 24, dtype=np.uint8) % 251).reshape(24, 24))
+    sos = big.index(b"\xff\xda")
+    for cut in range(sos + 14, len(big) - 2, 7):
+        assert parse_jpeg(big[:cut]) is None, cut
 
 
 def test_dc_prediction_across_blocks_and_byte_stuffing():

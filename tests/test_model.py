@@ -84,8 +84,11 @@ def test_utc_zone_spellings():
     from influxdb_ha_spark.model import _is_utc_zone
     for z in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00", "Etc/GMT", "GMT0",
               "UCT", "Zulu", "UT", "+0:00", "-00:00", "UTC+00", "GMT+0:00",
-              "Etc/Zulu", "Etc/Universal"):
+              "Etc/Zulu", "Etc/Universal",
+              # compact ZoneOffset forms (r5 review fix)
+              "+0000", "-0000", "UTC+0000", "+000000"):
         assert _is_utc_zone(z), z
     for z in ("America/New_York", "Europe/Oslo", "+05:30", "-08:00",
-              "GMT+1", "Etc/GMT-2", "Asia/Kolkata", "", None, "Not/AZone"):
+              "GMT+1", "Etc/GMT-2", "Asia/Kolkata", "", None, "Not/AZone",
+              "+0100", "UTC-0530", "+010000"):
         assert not _is_utc_zone(z), z

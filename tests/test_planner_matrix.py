@@ -119,3 +119,17 @@ def test_duplicate_unaliased_outer_transforms_get_suffix(treasures):
     # the two series differ (counts vs means), so the columns must not be
     # copies of each other
     assert any(r["difference"] != r["difference_1"] for r in rows)
+
+
+def test_generated_suffix_avoids_explicit_alias(treasures):
+    """A generated `_N` suffix must not collide with an explicit alias
+    elsewhere in the SELECT: `mean(v), mean(v), mean(v) AS mean_1` used
+    to emit two columns both named mean_1."""
+    q = ("SELECT mean(value), mean(value), mean(value) AS mean_1 "
+         "FROM treasures GROUP BY time(1d) fill(none)")
+    out = influxql_df(treasures, q, database="sharded")
+    names = out.columns
+    assert len(names) == len(set(names)), names
+    assert "mean" in names and "mean_1" in names
+    # the generated name skipped to the next free suffix
+    assert "mean_2" in names

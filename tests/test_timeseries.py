@@ -277,3 +277,23 @@ def test_seasonal_decompose_recovers_components(spark):
                if (r["bucket"] // HOUR) % 24 == 15}
     assert len(morning) == 1 and len(evening) == 1
     assert next(iter(morning)) - next(iter(evening)) == pytest.approx(20.0, abs=1.0)
+
+
+def test_seasonal_decompose_ungrouped_guarded(spark, monkeypatch):
+    """by=[] routes the trend window through one task — allowed under
+    the recurrence cap (small bucket tables), loud error above it."""
+    from influxdb_ha_spark.functions import transforms as T
+    from influxdb_ha_spark.operators.timeseries import seasonal_decompose
+    HOUR = 3_600_000_000_000
+    df = spark.createDataFrame(
+        [(h * HOUR, float(h % 24)) for h in range(48)],
+        "time long, value double")
+    out = seasonal_decompose(df, by=[], period=4).collect()
+    assert len(out) == 48
+    full = [r for r in out if r["trend"] is not None]
+    assert full and all(
+        abs(r["v"] - (r["trend"] + r["seasonal"] + r["resid"])) < 1e-9
+        for r in full)
+    monkeypatch.setattr(T, "MAX_UNGROUPED_RECURRENCE_ROWS", 10)
+    with pytest.raises(ValueError, match="seasonal_decompose"):
+        seasonal_decompose(df, by=[], period=4)
