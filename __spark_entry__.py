@@ -926,6 +926,61 @@ def q_emb_pq_topk(spark, sf):
         "query_id", "n_results", "valid", "recall_ok")
 
 
+def q_emb_ivfpq_topk(spark, sf):
+    """IVF+PQ composite ANN (FAISS's IVFPQ layout; added scope): probe
+    nprobe centroid buckets, ADC-score only those buckets' byte-codes,
+    exact-rerank the sliver. PQ training is iterative (not
+    SQL-expressible), so the gate mirrors DuckDB-checkable invariants,
+    all computed Spark-side and compared to the oracle's expected
+    constants: exactly k distinct non-self neighbors per query with
+    cosine in [-1,1]; every neighbor's IVF bucket is among the query's
+    probes (in_probed — the oracle CAN replay assignment+probes, and a
+    bucketing bug flips this to false); corpus recall@5 vs exact brute
+    force clears a floor (measured 0.42 at sf0.01 with nprobe=2 of 8;
+    gate 0.20 — a fake ADC or probe path collapses it)."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    qs = emb.where(F.col("vec_id") < 10)
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    books = S.pq_train(emb, m=4, k=16, iters=3)
+    res = S.ivfpq_topk(emb, qs, cent, books, k=5, nprobe=2)
+    brute = S.brute_force_topk(emb, qs, k=5)
+    hits = res.join(brute, ["query_id", "neighbor_id"], "left_semi") \
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    total = brute.agg(F.count(F.lit(1)).alias("n_total"))
+    recall = hits.crossJoin(total).select(
+        (F.col("n_hits") / F.col("n_total") >= 0.20).alias("recall_ok"))
+    assigned = S.assign_centroids(emb, cent).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("centroid_id").alias("n_cid"))
+    qscored = qs.crossJoin(F.broadcast(cent.select(
+        "centroid_id", F.col("embedding").alias("cent")))) \
+        .select(F.col("vec_id").alias("query_id"), "centroid_id",
+                S.cosine_expr(F.col("embedding"), F.col("cent"))
+                .alias("sim"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                                F.col("centroid_id").asc())
+    probes = qscored.withColumn("r", F.row_number().over(wq)) \
+        .where(F.col("r") <= 2).select("query_id", "centroid_id")
+    in_probed = (res.join(assigned, "neighbor_id")
+                 .join(probes.withColumnRenamed("centroid_id", "p_cid"),
+                       "query_id")
+                 .groupBy("query_id", "neighbor_id")
+                 .agg(F.max(F.col("n_cid") == F.col("p_cid")).alias("ok"))
+                 .groupBy("query_id")
+                 .agg(F.min("ok").alias("in_probed")))
+    per = res.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        (F.min(F.col("neighbor_id") != F.col("query_id"))
+         & (F.count_distinct("neighbor_id") == F.count(F.lit(1)))
+         & F.min(F.col("cosine").between(-1.0, 1.0))).alias("valid"))
+    return per.join(in_probed, "query_id").crossJoin(recall).select(
+        "query_id", "n_results", "valid", "in_probed", "recall_ok")
+
+
 def q_emb_dim_stats(spark, sf):
     """Per-dimension embedding profile (min/max/mean): posexplode keyed on
     the dimension index — uniform reduce keys, partial agg before the
@@ -1734,6 +1789,7 @@ _FAMILIES = [
         "emb_quantize": q_emb_quantize,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "emb_prototypicality": q_emb_prototypicality,
+        "emb_ivfpq_topk": q_emb_ivfpq_topk,
     },
     {
         # LLM-pipeline scope (§7): text analysis

@@ -645,6 +645,68 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, books, k: int = 5,
             .where(F.col("rank") <= k))
 
 
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+               books, k: int = 5, nprobe: int = 2, rerank: int = 4,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF+PQ composite search — the production ANN layout (FAISS's
+    IVFPQ; Jégou et al. 2011): coarse-quantize the corpus into centroid
+    buckets (IVF), compress residency to m byte-codes (PQ), then per
+    query probe only `nprobe` buckets, ADC-score just those buckets'
+    CODES, and exact-rerank the top rerank·k sliver.
+
+    Scale shape: both index passes (assignment, encoding) are map-only;
+    the search touches nprobe/C of the corpus and reads only m bytes
+    per touched vector — the two savings multiply, which is why this is
+    the layout that serves billion-vector corpora from RAM. The probe
+    set (|Q|·nprobe rows, query vector included) broadcasts; full
+    vectors are fetched only for the rerank·k·|Q| rerank sliver."""
+    assigned = assign_centroids(corpus, centroids, id_col, vec_col) \
+        .select(F.col(id_col), "centroid_id")
+    codes = pq_encode(corpus, books, id_col, vec_col).join(assigned, id_col)
+    c = centroids.select("centroid_id", F.col(vec_col).alias("cent"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.transform(vec_col, lambda x: x.cast("double"))
+                       .alias("qv"))
+    qscored = (q.crossJoin(F.broadcast(c))
+               .select("query_id", "qv", "centroid_id",
+                       cosine_expr(F.col("qv"), F.col("cent")).alias("sim")))
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                                F.col("centroid_id").asc())
+    probes = (qscored.withColumn("r", F.row_number().over(wq))
+              .where(F.col("r") <= nprobe)
+              .select("query_id", "qv", "centroid_id"))
+    m = len(books)
+    d = len(books[0][0])
+    cb = _books_sql(books)
+    adc = " + ".join(
+        f"aggregate(zip_with(slice(qv, {s * d + 1}, {d}), "
+        f"element_at({cb[s]}, codes[{s}] + 1), "
+        f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
+        f"(a, x) -> a + x)" for s in range(m))
+    scored = (codes.join(F.broadcast(probes), "centroid_id")
+              .where(F.col(id_col) != F.col("query_id"))
+              .selectExpr("query_id", f"`{id_col}` AS neighbor_id",
+                          f"({adc}) AS adist"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc())
+    cand = (scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= rerank * k)
+            .select("query_id", "neighbor_id"))
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.transform(vec_col, lambda x: x.cast("double"))
+                       .alias("nv"))
+    exact = (cand.join(nv, "neighbor_id")
+             .join(F.broadcast(q), "query_id")
+             .select("query_id", "neighbor_id",
+                     F.round(cosine_expr(F.col("qv"), F.col("nv")), 6)
+                     .alias("cosine")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k))
+
+
 # -- centroid training ------------------------------------------------------
 
 def kmeans_centroids(corpus: DataFrame, k: int = 8, iters: int = 5,

@@ -786,6 +786,15 @@ def build_oracles() -> dict[str, str]:
       SELECT vec_id AS query_id, 5::BIGINT AS n_results,
              TRUE AS valid, TRUE AS recall_ok
       FROM e WHERE vec_id < 10"""
+    # IVF+PQ composite: training is iterative — the gate mirrors the
+    # invariants computed Spark-side (see q_emb_ivfpq_topk); n_results
+    # can be < 5 only if a probed bucket holds < 5 candidates (never at
+    # these sizes: 500 vectors / 8 buckets)
+    o["emb_ivfpq_topk"] = f"""
+      WITH e AS ({emb_cast})
+      SELECT vec_id AS query_id, 5::BIGINT AS n_results,
+             TRUE AS valid, TRUE AS in_probed, TRUE AS recall_ok
+      FROM e WHERE vec_id < 10"""
     o["emb_ivf_topk"] = f"""
       WITH e AS ({emb_cast}),
       q AS (SELECT * FROM e WHERE vec_id < 10),

@@ -705,3 +705,35 @@ def test_prototypicality_keep_flag(spark):
     assert not out[1]["keep"]                 # top 25% pruned
     assert out[3]["keep"] and out[4]["keep"]
     assert out[4]["pctl"] == 0.25
+
+
+def test_ivfpq_topk_probes_and_reranks(spark):
+    """IVF+PQ composite: neighbors come only from probed buckets, and
+    the exact rerank orders them by true cosine."""
+    from influxdb_ha_spark.operators import similarity as S
+    import numpy as np
+    rng = np.random.RandomState(7)
+    # two well-separated clusters in 8-d
+    rows = []
+    for i in range(40):
+        base = np.zeros(8)
+        base[0 if i % 2 == 0 else 4] = 10.0
+        rows.append((i, [float(x) for x in base + rng.rand(8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, rows[0][1]), (1, rows[1][1])],
+        "centroid_id long, embedding array<double>")
+    books = S.pq_train(df, m=2, k=8, iters=2)
+    out = S.ivfpq_topk(df, df.where(F.col("vec_id") < 2), cents, books,
+                       k=3, nprobe=1).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    for qid, rs in by_q.items():
+        assert len(rs) == 3
+        # nprobe=1 on separated clusters: neighbors share the query's
+        # parity (same cluster), and ranks follow cosine desc
+        assert all(r["neighbor_id"] % 2 == qid % 2 for r in rs)
+        cs = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cs == sorted(cs, reverse=True)

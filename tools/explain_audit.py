@@ -36,6 +36,9 @@ BOUNDED_SINGLE_PARTITION = {
     "emb_kmeans_train": "two 1-row global-aggregate summaries joined",
     "emb_pq_topk": "the recall gate's n_hits/n_total 1-row global "
                    "aggregates; result data is per-query windowed",
+    "emb_ivfpq_topk": "same recall-gate 1-row global aggregates as "
+                      "emb_pq_topk; the search itself shuffles on "
+                      "centroid_id / query_id only",
     "show_cardinality": "three 1-row cardinality counts joined",
     "doc_pack_sequences": "distributed prefix sum's offset table: the "
                           "keyless window ranks only the P per-bucket "
@@ -55,6 +58,10 @@ ALLOWED_CARTESIAN = {
     "emb_pq_topk": "ADC pass is codes x broadcast(queries) by design (m "
                    "bytes/vector scanned, |Q| bounded); plus 1-row recall "
                    "crossJoins and the brute reference for the recall gate",
+    "emb_ivfpq_topk": "query x broadcast(C centroids) probe selection "
+                      "(bounded by C) + the same brute-reference and "
+                      "1-row recall crossJoins as emb_pq_topk; the ADC "
+                      "pass itself is an equi-join on centroid_id",
     "show_cardinality": "1-row x 1-row crossJoins of cardinality counts",
 }
 
