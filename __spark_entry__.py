@@ -926,18 +926,24 @@ def q_emb_pq_topk(spark, sf):
         "query_id", "n_results", "valid", "recall_ok")
 
 
+# shared by q_emb_ivfpq_topk AND its oracle SQL: the probe replay and
+# the operator call must agree or in_probed flags a phantom bug
+IVFPQ_NPROBE = 2
+
+
 def q_emb_ivfpq_topk(spark, sf):
     """IVF+PQ composite ANN (FAISS's IVFPQ layout; added scope): probe
     nprobe centroid buckets, ADC-score only those buckets' byte-codes,
     exact-rerank the sliver. PQ training is iterative (not
-    SQL-expressible), so the gate mirrors DuckDB-checkable invariants,
-    all computed Spark-side and compared to the oracle's expected
-    constants: exactly k distinct non-self neighbors per query with
-    cosine in [-1,1]; every neighbor's IVF bucket is among the query's
-    probes (in_probed — the oracle CAN replay assignment+probes, and a
-    bucketing bug flips this to false); corpus recall@5 vs exact brute
-    force clears a floor (measured 0.42 at sf0.01 with nprobe=2 of 8;
-    gate 0.20 — a fake ADC or probe path collapses it)."""
+    SQL-expressible), so the gate mixes two kinds of checks: `probed`
+    (each query's sorted probe-bucket list) is replayed INDEPENDENTLY
+    by the DuckDB oracle from the raw vectors — a cosine/tie-break/
+    assignment regression mismatches it; the rest are Spark-computed
+    invariants against oracle constants: exactly k distinct non-self
+    neighbors with cosine in [-1,1], every neighbor's IVF bucket among
+    the probes (in_probed), and corpus recall@5 vs exact brute force
+    over a floor (measured 0.42 at sf0.01 with nprobe=2 of 8; gate
+    0.20 — a fake ADC or probe path collapses it)."""
     emb = _t(spark, sf, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double"))
@@ -946,7 +952,7 @@ def q_emb_ivfpq_topk(spark, sf):
     cent = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
     books = S.pq_train(emb, m=4, k=16, iters=3)
-    res = S.ivfpq_topk(emb, qs, cent, books, k=5, nprobe=2)
+    res = S.ivfpq_topk(emb, qs, cent, books, k=5, nprobe=IVFPQ_NPROBE)
     brute = S.brute_force_topk(emb, qs, k=5)
     hits = res.join(brute, ["query_id", "neighbor_id"], "left_semi") \
         .agg(F.count(F.lit(1)).alias("n_hits"))
@@ -964,7 +970,11 @@ def q_emb_ivfpq_topk(spark, sf):
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                 F.col("centroid_id").asc())
     probes = qscored.withColumn("r", F.row_number().over(wq)) \
-        .where(F.col("r") <= 2).select("query_id", "centroid_id")
+        .where(F.col("r") <= IVFPQ_NPROBE).select("query_id", "centroid_id")
+    probed = probes.groupBy("query_id").agg(
+        F.concat_ws(",", F.transform(
+            F.array_sort(F.collect_list("centroid_id")),
+            lambda x: x.cast("string"))).alias("probed"))
     in_probed = (res.join(assigned, "neighbor_id")
                  .join(probes.withColumnRenamed("centroid_id", "p_cid"),
                        "query_id")
@@ -977,8 +987,10 @@ def q_emb_ivfpq_topk(spark, sf):
         (F.min(F.col("neighbor_id") != F.col("query_id"))
          & (F.count_distinct("neighbor_id") == F.count(F.lit(1)))
          & F.min(F.col("cosine").between(-1.0, 1.0))).alias("valid"))
-    return per.join(in_probed, "query_id").crossJoin(recall).select(
-        "query_id", "n_results", "valid", "in_probed", "recall_ok")
+    return (per.join(in_probed, "query_id").join(probed, "query_id")
+            .crossJoin(recall)
+            .select("query_id", "n_results", "valid", "in_probed",
+                    "probed", "recall_ok"))
 
 
 def q_emb_dim_stats(spark, sf):

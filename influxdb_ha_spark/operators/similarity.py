@@ -540,16 +540,19 @@ def _books_sql(books) -> list[str]:
 
 
 def pq_encode(corpus: DataFrame, books, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
-    """(id, codes array<int>): per subspace, the L2-nearest codebook entry
-    (first-min tie-break). Map-only — codebooks ride along as literals
-    (m·k·dim/m doubles ≈ 8 KB at the defaults), the corpus never
-    shuffles; one SQL string per code keeps the build off the py4j
-    round-trip path."""
+              vec_col: str = "embedding",
+              extra_cols: "Sequence[str]" = ()) -> DataFrame:
+    """(id, [extra_cols...,] codes array<int>): per subspace, the
+    L2-nearest codebook entry (first-min tie-break). Map-only —
+    codebooks ride along as literals (m·k·dim/m doubles ≈ 8 KB at the
+    defaults), the corpus never shuffles; one SQL string per code keeps
+    the build off the py4j round-trip path. `extra_cols` pass through
+    unchanged so callers composing with other map-only passes (IVF
+    assignment) don't need a corpus-by-corpus join to reunite them."""
     m = len(books)
     d = len(books[0][0])
     if m * len(books[0]) * d > LITERAL_TERM_CAP:
-        return _pq_encode_arrow(corpus, books, id_col, vec_col)
+        return _pq_encode_arrow(corpus, books, id_col, vec_col, extra_cols)
     cb = _books_sql(books)
 
     def sub(s: int) -> str:
@@ -565,11 +568,13 @@ def pq_encode(corpus: DataFrame, books, id_col: str = "vec_id",
 
     codes = "array(" + ", ".join(code(s) for s in range(m)) + ")"
     return (ensure_min_parallelism(corpus)
-            .selectExpr(f"`{id_col}`", f"{codes} AS codes"))
+            .selectExpr(f"`{id_col}`", *[f"`{c}`" for c in extra_cols],
+                        f"{codes} AS codes"))
 
 
 def _pq_encode_arrow(corpus: DataFrame, books, id_col: str,
-                     vec_col: str) -> DataFrame:
+                     vec_col: str, extra_cols: "Sequence[str]" = ()
+                     ) -> DataFrame:
     """Over-LITERAL_TERM_CAP pq_encode: all m codes in one Arrow pass
     against an executor-broadcast (m × k × d) codebook. Per-subspace
     matmul keeps batch memory at O(N·k), not O(N·k·d). First-min
@@ -595,38 +600,31 @@ def _pq_encode_arrow(corpus: DataFrame, books, id_col: str,
     codes_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     udf = pandas_udf(codes_fn, "array<int>")
     return (ensure_min_parallelism(corpus)
-            .select(F.col(id_col), udf(F.col(vec_col)).alias("codes")))
+            .select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                    udf(F.col(vec_col)).alias("codes")))
 
 
-def pq_topk(corpus: DataFrame, queries: DataFrame, books, k: int = 5,
-            rerank: int = 4, id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
-    """Asymmetric-distance top-k: each candidate is scored as
-    Σ_s ‖q_s − codebook_s[code_s]‖² — m array lookups per (query,
-    candidate) instead of dim multiplies — then the top rerank·k
-    candidates per query are re-ranked with exact cosine and the top k
-    returned.
-
-    Scale shape: codes are the only corpus-wide data touched by the ADC
-    pass (m bytes/vector); queries broadcast; the exact re-rank join
-    touches rerank·k·|Q| full vectors — a semi-joined sliver, mirroring
-    the LSH verify-stage pattern."""
-    codes = pq_encode(corpus, books, id_col, vec_col)
+def _adc_sql(books) -> str:
+    """The asymmetric-distance SQL expression Σ_s ‖q_s −
+    codebook_s[code_s]‖² over columns `qv` (query vector) and `codes` —
+    the single definition pq_topk and ivfpq_topk share (the scoring,
+    cast chain and fold order must never diverge between them)."""
     m = len(books)
     d = len(books[0][0])
     cb = _books_sql(books)
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.transform(vec_col, lambda x: x.cast("double"))
-                       .alias("qv"))
-    adc = " + ".join(
+    return " + ".join(
         f"aggregate(zip_with(slice(qv, {s * d + 1}, {d}), "
         f"element_at({cb[s]}, codes[{s}] + 1), "
         f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
         f"(a, x) -> a + x)" for s in range(m))
-    scored = (codes.join(F.broadcast(q),
-                         codes[id_col] != q["query_id"])
-              .selectExpr("query_id", f"`{id_col}` AS neighbor_id",
-                          f"({adc}) AS adist"))
+
+
+def _adc_rerank(scored: DataFrame, corpus: DataFrame, q: DataFrame,
+                k: int, rerank: int, id_col: str,
+                vec_col: str) -> DataFrame:
+    """Shared PQ tail: keep the rerank·k best ADC candidates per query
+    (adist asc, id asc tie-break), fetch their full vectors, exact-cosine
+    re-rank, return top k. `scored` = (query_id, neighbor_id, adist)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id").asc())
     cand = (scored.withColumn("r", F.row_number().over(w))
@@ -645,6 +643,30 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, books, k: int = 5,
             .where(F.col("rank") <= k))
 
 
+def pq_topk(corpus: DataFrame, queries: DataFrame, books, k: int = 5,
+            rerank: int = 4, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance top-k: each candidate is scored as
+    Σ_s ‖q_s − codebook_s[code_s]‖² — m array lookups per (query,
+    candidate) instead of dim multiplies — then the top rerank·k
+    candidates per query are re-ranked with exact cosine and the top k
+    returned.
+
+    Scale shape: codes are the only corpus-wide data touched by the ADC
+    pass (m bytes/vector); queries broadcast; the exact re-rank join
+    touches rerank·k·|Q| full vectors — a semi-joined sliver, mirroring
+    the LSH verify-stage pattern."""
+    codes = pq_encode(corpus, books, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.transform(vec_col, lambda x: x.cast("double"))
+                       .alias("qv"))
+    scored = (codes.join(F.broadcast(q),
+                         codes[id_col] != q["query_id"])
+              .selectExpr("query_id", f"`{id_col}` AS neighbor_id",
+                          f"({_adc_sql(books)}) AS adist"))
+    return _adc_rerank(scored, corpus, q, k, rerank, id_col, vec_col)
+
+
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                books, k: int = 5, nprobe: int = 2, rerank: int = 4,
                id_col: str = "vec_id",
@@ -655,15 +677,19 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     query probe only `nprobe` buckets, ADC-score just those buckets'
     CODES, and exact-rerank the top rerank·k sliver.
 
-    Scale shape: both index passes (assignment, encoding) are map-only;
-    the search touches nprobe/C of the corpus and reads only m bytes
-    per touched vector — the two savings multiply, which is why this is
-    the layout that serves billion-vector corpora from RAM. The probe
-    set (|Q|·nprobe rows, query vector included) broadcasts; full
-    vectors are fetched only for the rerank·k·|Q| rerank sliver."""
-    assigned = assign_centroids(corpus, centroids, id_col, vec_col) \
-        .select(F.col(id_col), "centroid_id")
-    codes = pq_encode(corpus, books, id_col, vec_col).join(assigned, id_col)
+    Scale shape: the index build is ONE map-only pass — assignment
+    keeps all corpus columns, so encoding runs directly on the assigned
+    frame with `centroid_id` passing through pq_encode's extra_cols
+    (the earlier corpus⋈corpus join of the two passes was a full
+    double exchange, r5 review fix). The search touches nprobe/C of the
+    corpus and reads only m bytes per touched vector — the two savings
+    multiply, which is why this is the layout that serves
+    billion-vector corpora from RAM. The probe set (|Q|·nprobe rows,
+    query vector included) broadcasts; full vectors are fetched only
+    for the rerank·k·|Q| rerank sliver."""
+    assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    codes = pq_encode(assigned, books, id_col, vec_col,
+                      extra_cols=("centroid_id",))
     c = centroids.select("centroid_id", F.col(vec_col).alias("cent"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.transform(vec_col, lambda x: x.cast("double"))
@@ -676,35 +702,11 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     probes = (qscored.withColumn("r", F.row_number().over(wq))
               .where(F.col("r") <= nprobe)
               .select("query_id", "qv", "centroid_id"))
-    m = len(books)
-    d = len(books[0][0])
-    cb = _books_sql(books)
-    adc = " + ".join(
-        f"aggregate(zip_with(slice(qv, {s * d + 1}, {d}), "
-        f"element_at({cb[s]}, codes[{s}] + 1), "
-        f"(x, y) -> (x - y) * (x - y)), cast(0.0 as double), "
-        f"(a, x) -> a + x)" for s in range(m))
     scored = (codes.join(F.broadcast(probes), "centroid_id")
               .where(F.col(id_col) != F.col("query_id"))
               .selectExpr("query_id", f"`{id_col}` AS neighbor_id",
-                          f"({adc}) AS adist"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id").asc())
-    cand = (scored.withColumn("r", F.row_number().over(w))
-            .where(F.col("r") <= rerank * k)
-            .select("query_id", "neighbor_id"))
-    nv = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       F.transform(vec_col, lambda x: x.cast("double"))
-                       .alias("nv"))
-    exact = (cand.join(nv, "neighbor_id")
-             .join(F.broadcast(q), "query_id")
-             .select("query_id", "neighbor_id",
-                     F.round(cosine_expr(F.col("qv"), F.col("nv")), 6)
-                     .alias("cosine")))
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (exact.withColumn("rank", F.row_number().over(w2))
-            .where(F.col("rank") <= k))
+                          f"({_adc_sql(books)}) AS adist"))
+    return _adc_rerank(scored, corpus, q, k, rerank, id_col, vec_col)
 
 
 # -- centroid training ------------------------------------------------------

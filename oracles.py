@@ -786,15 +786,27 @@ def build_oracles() -> dict[str, str]:
       SELECT vec_id AS query_id, 5::BIGINT AS n_results,
              TRUE AS valid, TRUE AS recall_ok
       FROM e WHERE vec_id < 10"""
-    # IVF+PQ composite: training is iterative — the gate mirrors the
-    # invariants computed Spark-side (see q_emb_ivfpq_topk); n_results
-    # can be < 5 only if a probed bucket holds < 5 candidates (never at
-    # these sizes: 500 vectors / 8 buckets)
+    # IVF+PQ composite: PQ training is iterative (not SQL-expressible)
+    # so n_results/valid/in_probed/recall_ok are Spark-computed
+    # invariants vs expected constants — but `probed` is replayed
+    # INDEPENDENTLY here from the raw vectors (same assignment CTE as
+    # emb_ivf_topk, nprobe=2), so a cosine / tie-break / assignment
+    # regression mismatches the gate even though both of Spark's own
+    # checks would agree with each other
     o["emb_ivfpq_topk"] = f"""
-      WITH e AS ({emb_cast})
-      SELECT vec_id AS query_id, 5::BIGINT AS n_results,
-             TRUE AS valid, TRUE AS in_probed, TRUE AS recall_ok
-      FROM e WHERE vec_id < 10"""
+      WITH e AS ({emb_cast}),
+      q AS (SELECT * FROM e WHERE vec_id < 10),
+      cent AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < 8),
+      p0 AS (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_cos("q.v", "c.v")} DESC, c.centroid_id ASC) AS r
+        FROM q CROSS JOIN cent c)
+      SELECT query_id, 5::BIGINT AS n_results, TRUE AS valid,
+             TRUE AS in_probed,
+             array_to_string(list_sort(list(centroid_id)), ',') AS probed,
+             TRUE AS recall_ok
+      FROM p0 WHERE r <= 2 GROUP BY query_id"""
     o["emb_ivf_topk"] = f"""
       WITH e AS ({emb_cast}),
       q AS (SELECT * FROM e WHERE vec_id < 10),
