@@ -709,6 +709,69 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     return _adc_rerank(scored, corpus, q, k, rerank, id_col, vec_col)
 
 
+def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               pool: int = 20, lam: float = 0.5, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): take each query's `pool` nearest neighbors, then greedily
+    select k of them maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) —
+    relevance traded against redundancy, the standard de-duplicated
+    retrieval head over an ANN candidate pool.
+
+    The greedy selection is inherently sequential per query (each pick
+    changes the penalty term), so it runs in applyInPandas grouped by
+    query_id over the POOL-BOUNDED candidate set — the same
+    parallelism contract as LTTB (series = unit): the corpus-scale work
+    is the candidate generation (brute force here; swap in
+    ivf/pq/ivfpq for scale), and the Python stage touches only
+    |Q|·pool rows. Ties break on lowest candidate id — deterministic,
+    replayable."""
+    import numpy as np
+    import pandas as pd
+
+    cands = brute_force_topk(corpus, queries, k=pool, id_col=id_col,
+                             vec_col=vec_col)
+    nv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.transform(vec_col, lambda x: x.cast("double"))
+                       .alias("nv"))
+    pool_df = cands.select("query_id", "neighbor_id", "cosine") \
+        .join(nv, "neighbor_id")
+
+    def select(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        qid = int(pdf["query_id"].iloc[0])
+        V = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in pdf["nv"]])
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0] = 1.0
+        Vn = V / norms[:, None]
+        sim_q = pdf["cosine"].to_numpy(dtype=np.float64)
+        ids = pdf["neighbor_id"].to_numpy()
+        n = len(ids)
+        chosen: list[int] = []
+        out = []
+        avail = np.ones(n, dtype=bool)
+        for rank in range(1, min(k, n) + 1):
+            if chosen:
+                red = (Vn[avail] @ Vn[chosen].T).max(axis=1)
+            else:
+                red = np.zeros(avail.sum())
+            score = lam * sim_q[avail] - (1.0 - lam) * red
+            # first max = lowest neighbor_id (rows sorted by id)
+            pick_rel = int(np.argmax(score))
+            pick = np.nonzero(avail)[0][pick_rel]
+            out.append((qid, int(ids[pick]), rank,
+                        round(float(score[pick_rel]), 6)))
+            chosen.append(pick)
+            avail[pick] = False
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "rank", "mmr_score"])
+
+    return pool_df.groupBy("query_id").applyInPandas(
+        select, "query_id long, neighbor_id long, rank int, "
+                "mmr_score double")
+
+
 # -- centroid training ------------------------------------------------------
 
 def kmeans_centroids(corpus: DataFrame, k: int = 8, iters: int = 5,

@@ -737,3 +737,34 @@ def test_ivfpq_topk_probes_and_reranks(spark):
         assert all(r["neighbor_id"] % 2 == qid % 2 for r in rs)
         cs = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
         assert cs == sorted(cs, reverse=True)
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR vs plain top-k: with two tight candidate clusters, plain
+    top-k fills with the closer cluster's near-duplicates; MMR at
+    lam=0.5 must interleave the second cluster."""
+    from influxdb_ha_spark.operators import similarity as S
+    rows = [(0, [1.0, 0.0, 0.0])]                      # the query
+    # clusters on opposite sides of the query: A slightly more relevant
+    # (plain top-k returns only A); B's redundancy to A (~0.78) is far
+    # below its relevance (~0.93), so MMR's second pick flips to B
+    for i in range(1, 5):
+        rows.append((i, [0.95, 0.30, 0.001 * i]))
+    for i in range(5, 9):
+        rows.append((i, [0.93, -0.36, 0.001 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") == 0)
+    plain = [r["neighbor_id"] for r in sorted(
+        S.brute_force_topk(df, q, k=4).collect(), key=lambda r: r["rank"])]
+    assert all(n in (1, 2, 3, 4) for n in plain)        # all one cluster
+    mmr = sorted(S.mmr_rerank(df, q, k=4, pool=8, lam=0.5).collect(),
+                 key=lambda r: r["rank"])
+    picked = [r["neighbor_id"] for r in mmr]
+    assert len(picked) == 4 and len(set(picked)) == 4
+    assert picked[0] in (1, 2, 3, 4)                    # most relevant first
+    assert picked[1] in (5, 6, 7, 8)                    # diversity kicks in
+    assert [r["rank"] for r in mmr] == [1, 2, 3, 4]
+    # lam=1.0 degenerates to relevance order = plain top-k set
+    rel = {r["neighbor_id"] for r in
+           S.mmr_rerank(df, q, k=4, pool=8, lam=1.0).collect()}
+    assert rel == set(plain)
