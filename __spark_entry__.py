@@ -993,6 +993,23 @@ def q_emb_ivfpq_topk(spark, sf):
                     "probed", "recall_ok"))
 
 
+def q_emb_mmr_topk(spark, sf):
+    """MMR diversified re-ranking head (Carbonell & Goldstein 1998; added
+    training-pipeline scope beyond the reference): pool = 20 brute-force
+    candidates per query, then greedy selection of k = 5 maximizing
+    0.5·sim(q,d) − 0.5·max-redundancy-to-chosen, run in applyInPandas
+    over the pool-bounded rows only (|Q|·pool). The DuckDB oracle
+    replays the greedy loop as k unrolled SQL stages — same float
+    expression, same lowest-id tie-break — so drift in pooling,
+    redundancy sims, or tie order hash-mismatches."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    q = emb.where(F.col("vec_id") < 10)
+    return S.mmr_rerank(emb, q, k=5, pool=20, lam=0.5)
+
+
 def q_emb_dim_stats(spark, sf):
     """Per-dimension embedding profile (min/max/mean): posexplode keyed on
     the dimension index — uniform reduce keys, partial agg before the
@@ -1802,6 +1819,7 @@ _FAMILIES = [
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "emb_prototypicality": q_emb_prototypicality,
         "emb_ivfpq_topk": q_emb_ivfpq_topk,
+        "emb_mmr_topk": q_emb_mmr_topk,
     },
     {
         # LLM-pipeline scope (§7): text analysis

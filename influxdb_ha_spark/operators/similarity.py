@@ -726,6 +726,8 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ivf/pq/ivfpq for scale), and the Python stage touches only
     |Q|·pool rows. Ties break on lowest candidate id — deterministic,
     replayable."""
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -734,7 +736,10 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
     nv = corpus.select(F.col(id_col).alias("neighbor_id"),
                        F.transform(vec_col, lambda x: x.cast("double"))
                        .alias("nv"))
-    pool_df = cands.select("query_id", "neighbor_id", "cosine") \
+    # broadcast the POOL side (bounded: |Q|*pool rows) so fetching the
+    # candidates' vectors is a map-only probe over the corpus — at sf0.01
+    # AQE would broadcast the tiny corpus instead, which inverts at scale
+    pool_df = F.broadcast(cands.select("query_id", "neighbor_id", "cosine")) \
         .join(nv, "neighbor_id")
 
     def select(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -760,8 +765,13 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
             # first max = lowest neighbor_id (rows sorted by id)
             pick_rel = int(np.argmax(score))
             pick = np.nonzero(avail)[0][pick_rel]
+            # floor-form rounding (not round()): rank-1 scores are exactly
+            # 0.5 * a-6-decimal simq, i.e. permanently ON the .xxxxxx5
+            # half-way boundary where Python round() (banker's) and the
+            # oracle's rounding disagree — __spark_entry__._fr convention
+            sc = float(score[pick_rel])
             out.append((qid, int(ids[pick]), rank,
-                        round(float(score[pick_rel]), 6)))
+                        math.floor(sc * 1e6 + 0.5) / 1e6))
             chosen.append(pick)
             avail[pick] = False
         return pd.DataFrame(

@@ -837,6 +837,64 @@ def build_oracles() -> dict[str, str]:
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
       SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5"""
+    # MMR greedy selection unrolled as k SQL stages (the greedy argmax is
+    # sequential by definition; k=5 is fixed in the contract query, so
+    # the loop unrolls exactly): stage t anti-joins the pool against
+    # picks 1..t-1, computes each survivor's redundancy = max pairwise
+    # cosine to the chosen set, and picks argmax(0.5*simq - 0.5*red)
+    # with the lowest-id tie-break — the same float expression and tie
+    # order as the applyInPandas loop (similarity.py mmr_rerank)
+    _mmr_steps = []
+    for _t_ in range(2, 6):
+        _mmr_steps.append(f"""
+      a{_t_} AS (SELECT p.* FROM pool p LEFT JOIN ch{_t_ - 1} x
+                   ON x.query_id = p.query_id
+                  AND x.neighbor_id = p.neighbor_id
+                 WHERE x.neighbor_id IS NULL),
+      r{_t_} AS (SELECT a.query_id, a.neighbor_id, a.simq,
+                        max(pw.sim) AS red
+                 FROM a{_t_} a
+                 JOIN pw ON pw.query_id = a.query_id
+                        AND pw.a_id = a.neighbor_id
+                 JOIN ch{_t_ - 1} c ON c.query_id = pw.query_id
+                                   AND c.neighbor_id = pw.b_id
+                 GROUP BY a.query_id, a.neighbor_id, a.simq),
+      p{_t_} AS (SELECT query_id, neighbor_id, {_t_} AS rank,
+                        {fr('0.5 * simq - 0.5 * red', 6)} AS mmr_score
+                 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY (0.5 * simq - 0.5 * red) DESC,
+                                  neighbor_id ASC) AS rn
+                       FROM r{_t_}) WHERE rn = 1),
+      ch{_t_} AS (SELECT query_id, neighbor_id FROM ch{_t_ - 1}
+                  UNION ALL
+                  SELECT query_id, neighbor_id FROM p{_t_})""")
+    o["emb_mmr_topk"] = f"""
+      WITH e AS ({emb_cast}),
+      q AS (SELECT * FROM e WHERE vec_id < 10),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({cos_qc}, 6) AS simq
+        FROM e c CROSS JOIN q WHERE c.vec_id != q.vec_id),
+      pool AS (SELECT query_id, neighbor_id, simq
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY simq DESC, neighbor_id ASC) AS rk
+                     FROM scored) WHERE rk <= 20),
+      pv AS (SELECT p.query_id, p.neighbor_id, p.simq, e.v
+             FROM pool p JOIN e ON e.vec_id = p.neighbor_id),
+      pw AS MATERIALIZED (
+        SELECT a.query_id, a.neighbor_id AS a_id,
+               b.neighbor_id AS b_id, {_cos("a.v", "b.v")} AS sim
+        FROM pv a JOIN pv b ON a.query_id = b.query_id),
+      p1 AS (SELECT query_id, neighbor_id, 1 AS rank,
+                    {fr('0.5 * simq - 0.5 * 0.0', 6)} AS mmr_score
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY (0.5 * simq - 0.5 * 0.0) DESC,
+                              neighbor_id ASC) AS rn
+                   FROM pool) WHERE rn = 1),
+      ch1 AS (SELECT query_id, neighbor_id FROM p1),{','.join(_mmr_steps)}
+      SELECT * FROM p1 UNION ALL SELECT * FROM p2
+      UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+      UNION ALL SELECT * FROM p5"""
     # mirrors synthesize_image_payload's generating arithmetic — the Spark
     # side PARSES these dims back out of real PNG/JPEG/GIF headers
     o["mm_resize"] = """

@@ -63,6 +63,9 @@ ALLOWED_CARTESIAN = {
                       "1-row recall crossJoins as emb_pq_topk; the ADC "
                       "pass itself is an equi-join on centroid_id",
     "show_cardinality": "1-row x 1-row crossJoins of cardinality counts",
+    "emb_mmr_topk": "candidate pooling is brute_force_topk's corpus x "
+                    "broadcast(queries) exact baseline (swap in ivf/pq "
+                    "at scale); the greedy stage touches |Q|*pool rows",
 }
 
 
