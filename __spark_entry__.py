@@ -1483,6 +1483,19 @@ def q_doc_containment(spark, sf):
                                          threshold=0.8)
 
 
+def q_doc_substring_dup(spark, sf):
+    """Exact verbatim-span duplicate pairs (Lee et al. 2021
+    arXiv:2107.06499 exact-substring criterion; added training-pipeline
+    scope): the suffix-array method re-expressed as a df-capped
+    posting-list join over positioned k-token span hashes plus a
+    diagonal run-merge — pairs report their longest exact shared token
+    run (operators/dedup.py:substring_duplicates). Oracle replays the
+    identical span hashing, df window, posting join and staircase
+    grouping in DuckDB."""
+    return D.substring_duplicates(_t(spark, sf, "documents"), k=8,
+                                  min_run_tokens=12, max_df=50)
+
+
 def q_ts_interval_join(spark, sf):
     """Containment join (added scope): purchases landing inside ±12h
     incident windows around the user's error events — the "events near an
@@ -1803,6 +1816,7 @@ _FAMILIES = [
         "doc_weighted_sample": q_doc_weighted_sample,
         "doc_containment": q_doc_containment,
         "doc_minhash_estimate": q_doc_minhash_estimate,
+        "doc_substring_dup": q_doc_substring_dup,
     },
     {
         # LLM-pipeline scope (§7): embedding similarity

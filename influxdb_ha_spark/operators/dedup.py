@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..cache import keep
 from .hashing import (MERSENNE_P, hash64_expr, minhash_coeffs,
                       minhash_perm_expr, shingle_hashes_expr, shingles_expr,
-                      sql_hashed_shingle_fold, sql_minhash_sig,
+                      sql_hash64, sql_hashed_shingle_fold, sql_minhash_sig,
                       sql_shingle_hashes, sql_shingles, sql_tokens,
                       tokens_expr)
 from .util import ensure_min_parallelism
@@ -500,3 +500,69 @@ def minhash_jaccard_estimate(df: DataFrame, text_col: str = "text",
     return j.select(
         "id_a", "id_b",
         F.round(F.size(eq) / F.lit(float(num_perm)), 6).alias("est_jaccard"))
+
+
+def substring_duplicates(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 8,
+                         min_run_tokens: int = 12,
+                         max_df: int = 50) -> DataFrame:
+    """Exact verbatim-span duplicate pairs (Lee et al. 2021,
+    arXiv:2107.06499 — the EXACT-SUBSTRING dedup criterion). The paper's
+    single-machine suffix array re-expresses distributedly as a
+    posting-list join over k-token span hashes plus a diagonal
+    run-merge that recovers the full shared-substring length:
+
+      1. every k-token span is hashed AT ITS POSITION (md5-64, the
+         DuckDB-mirrorable hash family) — `transform` inside the array,
+         so only 8-byte hashes ever leave the row;
+      2. document-frequency cap: span hashes with 2..max_df postings
+         survive (a hapax span cannot match; a boilerplate span with
+         thousands of postings would make the bucket join quadratic —
+         the same bounded-inverted-index discipline as
+         `containment_near_duplicates`);
+      3. postings group by hash, pairs expand inside each capped bucket
+         (max max_df²/2 per bucket), keeping both positions;
+      4. r consecutive matches on one diagonal (pos_a − pos_b) are an
+         exact shared substring of k + r − 1 tokens — merged with the
+         row_number staircase, windowed per (pair, diagonal);
+      5. pairs report their longest run and qualifying-run count,
+         thresholded at min_run_tokens.
+
+    100 TB: the span postings table (~L rows per doc) shuffles once,
+    keyed by the 8-byte hash; the df-cap bounds per-key fan-out; the
+    run-merge window partitions by (id_a, id_b, diag) — no global or
+    keyless stage anywhere. Hash collisions (60-bit) can only ADD a
+    spurious match; at the df-capped join scale the expected count is
+    ~n_postings²·2⁻⁶¹ — negligible, and identical in the oracle replay.
+    """
+    hs = f"transform({sql_shingles('tk', k)}, s -> {sql_hash64('s')})"
+    base = (df.where(F.col(text_col).isNotNull())
+            .selectExpr(f"`{id_col}` AS doc_id",
+                        f"{sql_tokens(text_col)} AS tk")
+            .where(F.expr(f"size(tk) >= {k}")))
+    sp = base.select("doc_id", F.posexplode(F.expr(hs)).alias("pos", "h"))
+    buckets = (ensure_min_parallelism(sp).groupBy("h")
+               .agg(F.sort_array(F.collect_list(F.struct("doc_id", "pos")))
+                    .alias("ps"),
+                    F.count(F.lit(1)).alias("n"))
+               .where((F.col("n") >= 2) & (F.col("n") <= max_df)))
+    expand = F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("ps") - 1),
+        lambda i: F.struct(
+            F.element_at("ps", i).alias("x"),
+            F.slice("ps", i + 1, F.size("ps") - i).alias("rest"))))
+    m = (buckets.select(expand.alias("p"))
+         .select(F.col("p.x").alias("x"), F.explode("p.rest").alias("y"))
+         .where(F.col("x.doc_id") != F.col("y.doc_id"))
+         .select(F.col("x.doc_id").alias("id_a"),
+                 F.col("y.doc_id").alias("id_b"),
+                 F.col("x.pos").alias("pa"),
+                 (F.col("x.pos") - F.col("y.pos")).alias("diag")))
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (m.withColumn("st", F.col("pa") - F.row_number().over(w))
+            .groupBy("id_a", "id_b", "diag", "st")
+            .agg((F.count(F.lit(1)) + F.lit(k - 1)).alias("run_len")))
+    return (runs.where(F.col("run_len") >= min_run_tokens)
+            .groupBy("id_a", "id_b")
+            .agg(F.max("run_len").alias("max_run_tokens"),
+                 F.count(F.lit(1)).alias("n_runs")))

@@ -759,6 +759,37 @@ def build_oracles() -> dict[str, str]:
              bit_count(xor(a.simhash, b.simhash)) AS hamming
       FROM sk a JOIN sk b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    # exact-substring dedup (Lee et al. 2021): positioned k-token span
+    # hashes → df-capped posting join → diagonal row_number staircase.
+    # Replays substring_duplicates(k=8, min_run_tokens=12, max_df=50)
+    # term for term — same md5-64 span hash, same BETWEEN df window,
+    # same distinct-doc pair expansion, same k-1 run-length offset
+    _ssk, _ssdf, _ssmr = 8, 50, 12
+    o["doc_substring_dup"] = f"""
+      WITH t AS (SELECT doc_id, {TOKS} AS tk FROM documents
+                 WHERE text IS NOT NULL),
+      sp0 AS (SELECT doc_id,
+              [{{'pos': i - 1,
+                 'h': {duck_hash64(f"array_to_string(tk[i:i+{_ssk - 1}], ' ')")}}}
+               FOR i IN generate_series(1, len(tk) - {_ssk - 1})] AS hs
+              FROM t WHERE len(tk) >= {_ssk}),
+      sp1 AS (SELECT doc_id, unnest(hs) AS s FROM sp0),
+      sp AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM sp1),
+      dfc AS (SELECT h FROM sp GROUP BY h
+              HAVING count(*) BETWEEN 2 AND {_ssdf}),
+      m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+                   a.pos - b.pos AS diag
+            FROM sp a JOIN dfc USING (h) JOIN sp b USING (h)
+            WHERE a.doc_id < b.doc_id),
+      r AS (SELECT id_a, id_b, diag, pa,
+                   pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                           ORDER BY pa) AS st
+            FROM m),
+      runs AS (SELECT id_a, id_b, count(*) + {_ssk - 1} AS run_len
+               FROM r GROUP BY id_a, id_b, diag, st)
+      SELECT id_a, id_b, max(run_len) AS max_run_tokens,
+             count(*) AS n_runs
+      FROM runs WHERE run_len >= {_ssmr} GROUP BY id_a, id_b"""
 
     emb_cast = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
     cos_qc = _cos("q.v", "c.v")

@@ -768,3 +768,28 @@ def test_mmr_rerank_diversifies(spark):
     rel = {r["neighbor_id"] for r in
            S.mmr_rerank(df, q, k=4, pool=8, lam=1.0).collect()}
     assert rel == set(plain)
+
+
+def test_substring_duplicates_finds_verbatim_run(spark):
+    """Planted verbatim overlap: docs 1/2 share an exact 12-token run
+    (different surroundings), doc 3 shares only 3 tokens — below
+    min_run_tokens. The diagonal run-merge must report the FULL shared
+    length, not just that some k-span matched."""
+    from influxdb_ha_spark.operators import dedup as D
+    run = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    rows = [
+        (1, "intro one two " + run + " outro red blue"),
+        (2, "totally different start " + run),
+        (3, "alpha bravo charlie nothing else here matches at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.substring_duplicates(df, k=4, min_run_tokens=10,
+                                 max_df=50).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["max_run_tokens"] == 12
+    assert r["n_runs"] == 1
+    # raising the threshold above the run length removes the pair
+    assert D.substring_duplicates(df, k=4, min_run_tokens=13,
+                                  max_df=50).count() == 0
