@@ -1496,6 +1496,29 @@ def q_doc_substring_dup(spark, sf):
                                   min_run_tokens=12, max_df=50)
 
 
+def q_ts_deadman(spark, sf):
+    """Deadman liveness check (the classic InfluxDB/Kapacitor monitor;
+    added scope): series whose newest point is older than 30 min
+    relative to the anchored "now" (= the global newest point, the
+    deterministic replayable form). One series-keyed groupBy + a 1-row
+    global-max broadcast (operators/timeseries.py:deadman). At sf0.01
+    'error' and 'purchase' are dead, the rest alive — a discriminative
+    gate, not a constant column."""
+    from influxdb_ha_spark.operators.timeseries import deadman
+    return deadman(_events_us(spark, sf), by=["event_type"],
+                   threshold_ns=1800 * 10 ** 9)
+
+
+def q_ts_gaps(spark, sf):
+    """Historical silence report (deadman's complement; added scope):
+    every gap longer than 2 h inside each series' history, via one lag
+    over the per-series time window
+    (operators/timeseries.py:gap_report)."""
+    from influxdb_ha_spark.operators.timeseries import gap_report
+    return gap_report(_events_us(spark, sf), by=["event_type"],
+                      min_gap_ns=2 * HOUR)
+
+
 def q_ts_interval_join(spark, sf):
     """Containment join (added scope): purchases landing inside ±12h
     incident windows around the user's error events — the "events near an
@@ -1857,6 +1880,8 @@ _FAMILIES = [
         "ts_lttb": q_ts_lttb,
         "ts_mad_outliers": q_ts_mad_outliers,
         "ts_decompose": q_ts_decompose,
+        "ts_deadman": q_ts_deadman,
+        "ts_gaps": q_ts_gaps,
     },
     {
         # LLM-pipeline scope (§7): multimodal

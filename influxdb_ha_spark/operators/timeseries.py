@@ -386,3 +386,56 @@ def mad_outliers(df: DataFrame, on: str = "time",
     return (df.join(F.broadcast(stats), by)
             .select(*by, F.col(on), F.col(value_col),
                     z.alias("robust_z"), flag.alias("is_outlier")))
+
+
+def deadman(df: DataFrame, by: Sequence[str] = ("event_type",),
+            on: str = "time", threshold_ns: int = 30 * 60 * 10 ** 9,
+            now_ns: int | None = None) -> DataFrame:
+    """Per-series liveness — the classic InfluxDB/Kapacitor "deadman"
+    check (a monitor alerting when a series stops reporting; the
+    reference proxies such queries but has no alerting op — added
+    scope). A series is `dead` when its newest point is older than
+    `threshold_ns` relative to `now_ns`.
+
+    `now_ns=None` anchors "now" at the GLOBAL newest point — the
+    deterministic, replayable form the contract gate uses (wall-clock
+    now is not replayable); production monitors pass wall-clock ns.
+
+    Shape: one groupBy on the series keys (partial max/count map-side),
+    plus — only in the anchored form — a 1-row global-max aggregate
+    broadcast onto the per-series rows. Nothing else moves; at 100 TB
+    the parquet max-statistics prune most of the scan for the global
+    max.
+    """
+    by = list(by)
+    last = df.groupBy(by).agg(F.max(on).alias("last_time"),
+                              F.count(F.lit(1)).alias("n_points"))
+    if now_ns is None:
+        now = df.agg(F.max(on).alias("__now"))
+        last = last.crossJoin(F.broadcast(now))
+    else:
+        last = last.withColumn("__now", F.lit(now_ns))
+    return (last.select(*by, "last_time", "n_points",
+                        (F.col("__now") - F.col("last_time"))
+                        .alias("age_ns"))
+            .withColumn("dead", F.col("age_ns") > F.lit(threshold_ns)))
+
+
+def gap_report(df: DataFrame, by: Sequence[str] = ("event_type",),
+               on: str = "time",
+               min_gap_ns: int = 2 * 3600 * 10 ** 9) -> DataFrame:
+    """Report every silence longer than `min_gap_ns` inside each series'
+    history: (gap_start, gap_end, gap_ns) per offending interval — the
+    historical complement of `deadman` (which only checks the newest
+    point). One lag over the per-series time window; same single-shuffle
+    shape as sessionize, whose gap test this reuses semantically.
+    """
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(on)
+    prev = F.lag(on).over(w)
+    return (df.select(*by, prev.alias("gap_start"),
+                      F.col(on).alias("gap_end"))
+            .where(F.col("gap_start").isNotNull()
+                   & (F.col("gap_end") - F.col("gap_start")
+                      > F.lit(min_gap_ns)))
+            .withColumn("gap_ns", F.col("gap_end") - F.col("gap_start")))

@@ -1393,6 +1393,29 @@ def build_oracles() -> dict[str, str]:
             FROM e JOIN med m USING (event_type) JOIN mad d USING (event_type))
       SELECT event_type, time, {fr('value', 6)} AS value, robust_z
       FROM z WHERE coalesce(abs(robust_z) > 3.5, FALSE)"""
+    # deadman: newest point per series vs the global newest point (the
+    # deterministic "now" anchor); threshold 1800 s
+    o["ts_deadman"] = f"""
+      WITH d AS (SELECT event_type, {EV_TIME} AS t FROM events),
+      l AS (SELECT event_type, max(t) AS last_time,
+                   count(*) AS n_points FROM d GROUP BY event_type),
+      m AS (SELECT max(t) AS now FROM d)
+      SELECT event_type, last_time, n_points,
+             m.now - last_time AS age_ns,
+             (m.now - last_time) > {1800 * 10 ** 9} AS dead
+      FROM l, m"""
+    # gap report: per-series lag, silences > 2 h
+    o["ts_gaps"] = f"""
+      WITH d AS (SELECT event_type, {EV_TIME} AS t FROM events),
+      g AS (SELECT event_type,
+                   lag(t) OVER (PARTITION BY event_type ORDER BY t)
+                     AS gap_start,
+                   t AS gap_end
+            FROM d)
+      SELECT event_type, gap_start, gap_end,
+             gap_end - gap_start AS gap_ns
+      FROM g WHERE gap_start IS NOT NULL
+        AND gap_end - gap_start > {2 * 3600 * 10 ** 9}"""
     # directional shingle containment over DF-bounded inverted-index
     # candidates (prefix filtering: only shingles with df in [2, 50] pair
     # their posting lists) — |∩|/|A| and |∩|/|B|, pair kept when either

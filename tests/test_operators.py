@@ -793,3 +793,29 @@ def test_substring_duplicates_finds_verbatim_run(spark):
     # raising the threshold above the run length removes the pair
     assert D.substring_duplicates(df, k=4, min_run_tokens=13,
                                   max_df=50).count() == 0
+
+
+def test_deadman_and_gap_report(spark):
+    """Planted liveness: series 'a' reports up to t=100s, 'b' stops at
+    t=40s; with now anchored at the global newest point (100s) and a
+    30s threshold only 'b' is dead. The same data has one 35s silence
+    inside 'a' — gap_report must return exactly that interval."""
+    from influxdb_ha_spark.operators.timeseries import deadman, gap_report
+    S = 10 ** 9
+    rows = [("a", 0 * S), ("a", 10 * S), ("a", 45 * S), ("a", 70 * S),
+            ("a", 100 * S),
+            ("b", 5 * S), ("b", 20 * S), ("b", 40 * S)]
+    df = spark.createDataFrame(rows, "event_type string, time long")
+    dm = {r["event_type"]: r for r in
+          deadman(df, by=["event_type"], threshold_ns=30 * S).collect()}
+    assert not dm["a"]["dead"] and dm["a"]["age_ns"] == 0
+    assert dm["b"]["dead"] and dm["b"]["age_ns"] == 60 * S
+    assert dm["a"]["n_points"] == 5 and dm["b"]["n_points"] == 3
+    # explicit wall-clock now overrides the anchor
+    dm2 = {r["event_type"]: r["dead"] for r in
+           deadman(df, by=["event_type"], threshold_ns=30 * S,
+                   now_ns=200 * S).collect()}
+    assert dm2 == {"a": True, "b": True}
+    gaps = gap_report(df, by=["event_type"], min_gap_ns=30 * S).collect()
+    assert [(g["event_type"], g["gap_start"], g["gap_end"], g["gap_ns"])
+            for g in gaps] == [("a", 10 * S, 45 * S, 35 * S)]

@@ -44,6 +44,8 @@ BOUNDED_SINGLE_PARTITION = {
                           "keyless window ranks only the P per-bucket "
                           "partial sums (P = bucket count ~ partitions), "
                           "never the data rows (functions/scan.py)",
+    "ts_deadman": "the anchored-'now' form's 1-row global-max aggregate "
+                  "(partial max map-side; final = P partials)",
 }
 
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
@@ -66,6 +68,8 @@ ALLOWED_CARTESIAN = {
     "emb_mmr_topk": "candidate pooling is brute_force_topk's corpus x "
                     "broadcast(queries) exact baseline (swap in ivf/pq "
                     "at scale); the greedy stage touches |Q|*pool rows",
+    "ts_deadman": "per-series rows x broadcast(1-row global-max 'now' "
+                  "anchor) — bounded by the series count",
 }
 
 
