@@ -217,3 +217,64 @@ def stratified_sample(df: DataFrame, stratum_col: str = "source",
             .withColumn("__r", F.row_number().over(w))
             .where(F.col("__r") <= n_per_stratum)
             .drop("__r"))
+
+
+def dsir_scores(df: DataFrame, target_pred, text_col: str = "text",
+                id_col: str = "doc_id", n_buckets: int = 1024,
+                alpha: float = 1.0) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 — Data
+    Selection for Language Models via Importance Resampling): score
+    every document by the log-likelihood ratio of a target-domain
+    hashed-n-gram model to the raw-corpus model; resampling by these
+    weights selects raw data distributed like the target domain.
+
+    Stages:
+      1. features = unigram + bigram buckets (md5-64 mod n_buckets, the
+         oracle hash family), order-preserving concat per doc;
+      2. one bucket-count aggregation per side (target = target_pred
+         rows, raw = the rest) — explode keyed on the bucket id, heavy
+         map-side combine (B distinct keys); the collect is 2·B bounded
+         rows (the lm_score-vocab / kmeans-centroid collect precedent);
+      3. per-bucket add-α log weights computed in PYTHON — math.log and
+         DuckDB's ln share libm, while JVM Math.log is intrinsified and
+         can drift an ulp — inlined as a B-term literal array (well
+         under similarity.LITERAL_TERM_CAP);
+      4. per-doc score = sequential left fold of element_at(weights,
+         b+1) over the doc's buckets — map-only, deterministic float
+         order, floor-form rounded.
+
+    100 TB: the corpus shuffles only inside the two count aggregations;
+    scoring is a map-only pass with a broadcast-literal weight table.
+    Docs with no tokens score 0.0 (the fold's initial value).
+    """
+    import math
+
+    from .hashing import sql_hash64, sql_shingles, sql_tokens
+
+    feats = (f"concat("
+             f"transform(__t, x -> {sql_hash64('x')} % {n_buckets}), "
+             f"transform({sql_shingles('__t', 2)}, "
+             f"s -> {sql_hash64('s')} % {n_buckets}))")
+    base = (df.where(F.col(text_col).isNotNull())
+            .selectExpr("*", f"{sql_tokens(f'`{text_col}`')} AS __t")
+            .selectExpr(f"`{id_col}`",
+                        f"coalesce({target_pred}, FALSE) AS __is_t",
+                        f"{feats} AS __b"))
+    cnt = (ensure_min_parallelism(base)
+           .select("__is_t", F.explode("__b").alias("b"))
+           .groupBy("__is_t", "b").agg(F.count(F.lit(1)).alias("c"))
+           .collect())
+    ct = {r["b"]: r["c"] for r in cnt if r["__is_t"]}
+    cr = {r["b"]: r["c"] for r in cnt if not r["__is_t"]}
+    nt, nr = sum(ct.values()), sum(cr.values())
+    ab = alpha * n_buckets
+    w = [math.log((ct.get(b, 0) + alpha) / (nt + ab))
+         - math.log((cr.get(b, 0) + alpha) / (nr + ab))
+         for b in range(n_buckets)]
+    warr = "array(" + ", ".join(f"{x!r}D" for x in w) + ")"
+    score = (f"aggregate(__b, 0.0D, (a, x) -> "
+             f"a + element_at({warr}, cast(x + 1 AS INT)))")
+    return base.selectExpr(f"`{id_col}`",
+                           "cast(size(__b) AS BIGINT) AS n_feats",
+                           f"floor(({score}) * 1e6 + 0.5) / 1e6"
+                           " AS dsir_logratio")

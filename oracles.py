@@ -790,6 +790,41 @@ def build_oracles() -> dict[str, str]:
       SELECT id_a, id_b, max(run_len) AS max_run_tokens,
              count(*) AS n_runs
       FROM runs WHERE run_len >= {_ssmr} GROUP BY id_a, id_b"""
+    # DSIR (Xie et al. 2023): add-1-smoothed log-likelihood ratio of the
+    # target (lang='en') hashed unigram+bigram model to the raw model.
+    # ln() here and math.log in the operator's Python weight table share
+    # libm — the lm_score precedent; fold order mirrors Spark's
+    # aggregate() left fold via list_prepend(0.0, ...)
+    _dsB = 1024
+    _dsH = duck_hash64("array_to_string(tk[i:i+1], ' ')")
+    o["doc_dsir_scores"] = f"""
+      WITH t AS (SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_t,
+                        {TOKS} AS tk
+                 FROM documents WHERE text IS NOT NULL),
+      f AS (SELECT doc_id, is_t,
+              list_concat(
+                list_transform(tk, x -> {duck_hash64('x')} % {_dsB}),
+                CASE WHEN len(tk) < 2 THEN []::BIGINT[] ELSE
+                  [{_dsH} % {_dsB}
+                   FOR i IN generate_series(1, len(tk) - 1)] END) AS bs
+            FROM t),
+      ex AS (SELECT is_t, unnest(bs) AS b FROM f),
+      ct AS (SELECT b, count(*) AS c FROM ex WHERE is_t GROUP BY b),
+      cr AS (SELECT b, count(*) AS c FROM ex WHERE NOT is_t GROUP BY b),
+      nt AS (SELECT sum(c) AS n FROM ct),
+      nr AS (SELECT sum(c) AS n FROM cr),
+      w AS (SELECT g.b,
+              ln((coalesce(ct.c, 0) + 1.0) / (nt.n + {_dsB}.0))
+            - ln((coalesce(cr.c, 0) + 1.0) / (nr.n + {_dsB}.0)) AS w
+            FROM generate_series(0, {_dsB - 1}) g(b)
+            LEFT JOIN ct ON ct.b = g.b LEFT JOIN cr ON cr.b = g.b
+            CROSS JOIN nt CROSS JOIN nr),
+      wa AS (SELECT list(w ORDER BY b) AS arr FROM w)
+      SELECT f.doc_id, len(f.bs)::BIGINT AS n_feats,
+             floor(list_reduce(list_prepend(0.0,
+               list_transform(f.bs, x -> wa.arr[(x + 1)::INT])),
+               (a, y) -> a + y) * 1e6 + 0.5) / 1e6 AS dsir_logratio
+      FROM f CROSS JOIN wa"""
 
     emb_cast = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
     cos_qc = _cos("q.v", "c.v")

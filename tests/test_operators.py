@@ -819,3 +819,26 @@ def test_deadman_and_gap_report(spark):
     gaps = gap_report(df, by=["event_type"], min_gap_ns=30 * S).collect()
     assert [(g["event_type"], g["gap_start"], g["gap_end"], g["gap_ns"])
             for g in gaps] == [("a", 10 * S, 45 * S, 35 * S)]
+
+
+def test_dsir_scores_rank_target_like_docs(spark):
+    """DSIR: docs sharing the target domain's n-grams must outscore
+    out-of-domain docs; empty docs score 0 with 0 features."""
+    from influxdb_ha_spark.operators.pipeline import dsir_scores
+    rows = [
+        (1, "spark sql join shuffle partition spark sql join", "t"),
+        (2, "spark sql aggregate join shuffle spark", "t"),
+        (3, "cat dog fish bird cow horse cat dog", "r"),
+        (4, "dog fish cow bird horse fish cat", "r"),
+        (5, "spark sql join shuffle", "r"),      # target-like raw doc
+        (6, "cat dog fish bird", "r"),           # raw-like raw doc
+        (7, "", "r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, dom string")
+    out = {r["doc_id"]: r for r in
+           dsir_scores(df, "dom = 't'", n_buckets=64).collect()}
+    assert out[5]["dsir_logratio"] > out[6]["dsir_logratio"]
+    assert out[5]["dsir_logratio"] > 0 > out[6]["dsir_logratio"]
+    assert out[7]["n_feats"] == 0 and out[7]["dsir_logratio"] == 0.0
+    # n_feats = unigrams + bigrams
+    assert out[5]["n_feats"] == 4 + 3
