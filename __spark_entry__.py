@@ -871,6 +871,23 @@ def q_emb_ivf_topk(spark, sf):
     return S.ivf_topk(emb, q, cent, k=5, nprobe=2)
 
 
+def q_emb_knn_graph(spark, sf):
+    """Approximate k-NN GRAPH (added scope): every vector's top-5
+    neighbors via IVF candidate generation with MAP-ONLY probe-list
+    computation (literal-inlined centroid sims sorted in-place per row —
+    no N·C crossJoin/window on the query side, which here is the whole
+    corpus). Only (id, centroid_id) rides the bucket join; vectors join
+    back for the candidate sliver. The oracle replays probe selection,
+    candidate generation and the (cosine DESC, id ASC) top-k
+    independently from raw vectors
+    (operators/similarity.py:knn_graph)."""
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    return S.knn_graph(emb, cent, k=5, nprobe=2)
+
+
 def q_emb_kmeans_train(spark, sf):
     """Distributed Lloyd's k-means (IVF centroid training). The training
     itself is iterative and not SQL-expressible, so the driver-visible
@@ -1577,6 +1594,31 @@ def q_ts_mad_outliers(spark, sf):
                     _fr(F.col("value"), 6).alias("value"), "robust_z"))
 
 
+def q_ts_acf(spark, sf):
+    """Sample autocorrelation per series (added scope): hourly bucket
+    means, then the Box–Jenkins biased-estimator ACF at lags 1..12 over
+    the bucketed sequence. Decimal-accumulated sums + round-6 chaining
+    keep the float pipeline engine-portable; the raw stream shuffles once
+    into the bucket agg (operators/timeseries.py:acf)."""
+    from influxdb_ha_spark.operators.timeseries import acf
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return acf(ev, on="time", by=["event_type"], value_col="value",
+               bucket_ns=HOUR, max_lag=12)
+
+
+def q_ts_xcorr(spark, sf):
+    """Lagged cross-correlation between the 'click' and 'purchase'
+    series (added scope): hourly bucket means aligned by bucket
+    arithmetic (wall-clock lag — gaps break pairs), Pearson-style
+    normalization with each series' full-history mean/energy so lag
+    peaks stay comparable (operators/timeseries.py:cross_correlate)."""
+    from influxdb_ha_spark.operators.timeseries import cross_correlate
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return cross_correlate(ev, "click", "purchase", key_col="event_type",
+                           on="time", value_col="value", bucket_ns=HOUR,
+                           max_lag=6)
+
+
 def q_emb_semantic_dedup(spark, sf):
     """SemDeDup-style semantic dedup (Abbas et al. 2023, added scope):
     cluster by nearest centroid, drop rows within cosine eps of an
@@ -1869,6 +1911,7 @@ _FAMILIES = [
         "emb_prototypicality": q_emb_prototypicality,
         "emb_ivfpq_topk": q_emb_ivfpq_topk,
         "emb_mmr_topk": q_emb_mmr_topk,
+        "emb_knn_graph": q_emb_knn_graph,
     },
     {
         # LLM-pipeline scope (§7): text analysis
@@ -1894,6 +1937,8 @@ _FAMILIES = [
         "ts_decompose": q_ts_decompose,
         "ts_deadman": q_ts_deadman,
         "ts_gaps": q_ts_gaps,
+        "ts_acf": q_ts_acf,
+        "ts_xcorr": q_ts_xcorr,
     },
     {
         # LLM-pipeline scope (§7): multimodal

@@ -820,3 +820,86 @@ def kmeans_centroids(corpus: DataFrame, k: int = 8, iters: int = 5,
     return corpus.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         f"centroid_id int, {vec_col} array<double>")
+
+
+def knn_graph(corpus: DataFrame, centroids: DataFrame, k: int = 5,
+              nprobe: int = 2, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: every corpus vector's top-k
+    neighbors by cosine (the all-pairs sibling of ivf_topk — the
+    substrate of kNN-graph dedup/community detection and of graph-based
+    ANN index construction).
+
+    IVF candidate generation, but the query side is the whole corpus, so
+    the ivf_topk shape (queries × centroids crossJoin → per-query
+    row_number window) would push N·C rows through an exchange just to
+    pick probe lists. Instead probe lists are computed MAP-ONLY: the
+    bounded centroids inline as literal arrays (the assign_centroids
+    convention), each row sorts its C sims in-place — array_sort with a
+    (sim DESC, centroid_id ASC) comparator, the exact row_number
+    ordering the oracle replays — and slices the first `nprobe`. The
+    home bucket is probe[0] (same tie-break as assign_centroids'
+    first-max argmax), so ONE map pass yields both sides of the bucket
+    join.
+
+    Only (id, centroid_id) enters the bucket join (the
+    cosine_near_dup_pairs round-4 narrowing); vectors join back for the
+    candidate sliver only. Shape at scale: map pass → bucket-key shuffle
+    of two longs → per-bucket candidate pairs (bounded by nprobe·N/C per
+    vector on balanced buckets) → exact verify → per-vector top-k window
+    keyed by id (high-cardinality, no funnel).
+
+    Degenerate (zero-norm) vectors: all-NaN sims make the comparator
+    fall through to centroid_id order — probes become the lowest-id
+    centroids, consistent on both engines only because the oracle's
+    NULL/NaN ordering never surfaces when, as with the gate corpus, no
+    zero-norm vectors exist; documented contract.
+
+    Above LITERAL_TERM_CAP inlined terms, falls back to
+    ivf_topk(corpus, corpus) — same output, window-based probes.
+    """
+    cents = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    if cents and len(cents) * len(cents[0][vec_col]) > LITERAL_TERM_CAP:
+        out = ivf_topk(corpus, corpus, centroids, k=k, nprobe=nprobe,
+                       id_col=id_col, vec_col=vec_col)
+        return out.withColumnRenamed("query_id", id_col)
+
+    def cos_sql(vec: list) -> str:
+        arr = "array(" + ", ".join(repr(float(x)) for x in vec) + ")"
+        return (f"aggregate(zip_with(__v, {arr}, (x, y) -> x * y), "
+                f"cast(0.0 as double), (a, x) -> a + x) / "
+                f"(sqrt(aggregate(__v, cast(0.0 as double), "
+                f"(a, x) -> a + x * x)) * "
+                f"sqrt(aggregate({arr}, cast(0.0 as double), "
+                f"(a, x) -> a + x * x)))")
+
+    sims = "array(" + ", ".join(cos_sql(r[vec_col]) for r in cents) + ")"
+    ids = ", ".join(str(int(r["centroid_id"])) for r in cents)
+    probe = (f"slice(array_sort("
+             f"zip_with(array({ids}), {sims}, (i, s) -> struct(i AS cid, s AS s)), "
+             f"(l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 "
+             f"WHEN l.cid < r.cid THEN -1 ELSE 1 END), 1, {int(nprobe)})")
+    keyed = keep(
+        "knn_graph.keyed",
+        ensure_min_parallelism(corpus)
+        .withColumn("__v", F.expr(vec_col))
+        .selectExpr(f"`{id_col}`",
+                    f"transform({probe}, p -> p.cid) AS __probes"))
+    probes = keyed.select(F.col(id_col), F.explode("__probes").alias("centroid_id"))
+    home = keyed.select(F.col(id_col).alias("neighbor_id"),
+                        F.element_at("__probes", 1).alias("centroid_id"))
+    cand = (probes.join(home, "centroid_id")
+            .where(F.col("neighbor_id") != F.col(id_col))
+            .select(id_col, "neighbor_id")
+            .dropDuplicates([id_col, "neighbor_id"]))
+    va = corpus.select(F.col(id_col), F.col(vec_col).alias("__va"))
+    vb = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("__vb"))
+    scored = (cand.join(va, id_col).join(vb, "neighbor_id")
+              .select(id_col, "neighbor_id",
+                      F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(),
+                                           F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -439,3 +439,147 @@ def gap_report(df: DataFrame, by: Sequence[str] = ("event_type",),
                    & (F.col("gap_end") - F.col("gap_start")
                       > F.lit(min_gap_ns)))
             .withColumn("gap_ns", F.col("gap_end") - F.col("gap_start")))
+
+
+def _fr(c, k: int):
+    # floor(x·10^k + 0.5)/10^k — bit-stable cross-engine rounding (the
+    # __spark_entry__._fr convention; see seasonal_decompose._r)
+    s = 10 ** k
+    return F.floor(c * s + F.lit(0.5)) / F.lit(float(s))
+
+
+def _bucket_means(df: DataFrame, on: str, by: list, value_col: str,
+                  bucket_ns: int) -> DataFrame:
+    """Per-(series, bucket) mean with decimal accumulation + round-6 —
+    the shared front stage of seasonal_decompose / acf / cross_correlate.
+    ONE shuffle on (by, bucket); output is |series|·|buckets| rows
+    regardless of input volume, so everything downstream is sketch-sized.
+    """
+    b = F.col(on) - F.pmod(F.col(on), F.lit(bucket_ns))
+    dsum = F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double")
+    return (df.groupBy(*by, b.alias("bucket"))
+            .agg(_fr(dsum / F.count(F.lit(1)), 6).alias("v")))
+
+
+def acf(df: DataFrame, on: str = "time",
+        by: Sequence[str] = ("event_type",), value_col: str = "value",
+        bucket_ns: int = 3_600_000_000_000, max_lag: int = 12) -> DataFrame:
+    """Sample autocorrelation function per series: bucket the raw points
+    to per-interval means, then for every lag l in 1..max_lag compute the
+    standard biased-estimator ACF (Box & Jenkins 1970, the `acf()` of
+    every stats stack) over the bucketed sequence in ROW order:
+
+        r_l = sum_t (x_t - mean)(x_{t+l} - mean) / sum_t (x_t - mean)^2
+
+    Row-order lag (not wall-clock lag): on a gap-free grid they agree;
+    across gaps this matches statsmodels' treatment of the series as a
+    plain sequence. Gaps that must break pairs belong to cross_correlate,
+    which aligns by bucket arithmetic instead.
+
+    Determinism for the cross-engine gate: bucket means are decimal-
+    accumulated and rounded at 6 (see _bucket_means); the per-series mean
+    is the same decimal/round-6 form; each centered product is cast to
+    DECIMAL(28,10) so the lag/denominator sums are order-free; the final
+    ratio rounds at 6.
+
+    Shape at scale: the raw stream shuffles once into the bucket agg.
+    The per-series mean is a |series|-row broadcast join; the lag pairing
+    is a self-join of the bucket table on (series, rn+l) — sketch-sized
+    (|series|·|buckets|·max_lag rows), shuffled on the series key, never
+    the raw data. No keyless window: rn partitions by series.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("acf requires at least one series key: an "
+                         "ungrouped call would sort every bucket through "
+                         "one task (the recurrence-guard funnel class)")
+    g = _bucket_means(df, on, by, value_col, bucket_ns)
+    dsum = F.sum(F.col("v").cast("decimal(28,6)")).cast("double")
+    mean = g.groupBy(*by).agg(_fr(dsum / F.count(F.lit(1)), 6).alias("xbar"))
+    w = Window.partitionBy(*by).orderBy("bucket")
+    r = (g.join(F.broadcast(mean), by)
+         .select(*by, "xbar", F.row_number().over(w).alias("rn"),
+                 (F.col("v") - F.col("xbar")).alias("c")))
+    lags = F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
+    a = r.select(*by, "rn", "c", lags)
+    bwd = r.select(*[F.col(k).alias(f"__b_{k}") for k in by],
+                   F.col("rn").alias("__b_rn"), F.col("c").alias("__b_c"))
+    pairs = a.join(bwd, [a[k] == bwd[f"__b_{k}"] for k in by]
+                   + [(a["rn"] + a["lag"]) == bwd["__b_rn"]])
+    num = (pairs.groupBy(*by, "lag")
+           .agg(F.sum((F.col("c") * F.col("__b_c"))
+                      .cast("decimal(28,10)")).cast("double").alias("num"),
+                F.count(F.lit(1)).alias("n_pairs")))
+    den = (r.groupBy(*by)
+           .agg(F.sum((F.col("c") * F.col("c"))
+                      .cast("decimal(28,10)")).cast("double").alias("den")))
+    return (num.join(F.broadcast(den), by)
+            .select(*by, "lag", "n_pairs",
+                    _fr(F.col("num") / F.col("den"), 6).alias("acf")))
+
+
+def cross_correlate(df: DataFrame, series_a: str, series_b: str,
+                    key_col: str = "event_type", on: str = "time",
+                    value_col: str = "value",
+                    bucket_ns: int = 3_600_000_000_000,
+                    max_lag: int = 6) -> DataFrame:
+    """Lagged cross-correlation between two named series: bucket both to
+    per-interval means, align by BUCKET ARITHMETIC (series b shifted by
+    l·bucket_ns — a wall-clock lag, so gaps break pairs instead of
+    silently sliding, unlike acf's row lag), and for every lag l in
+    -max_lag..max_lag compute the Pearson-style normalized cross-
+    correlation over the overlap:
+
+        r_l = sum_t (a_t - abar)(b_{t+l} - bbar)
+              / sqrt(sum (a - abar)^2) / sqrt(sum (b - bbar)^2)
+
+    with each series' mean/denominator taken over its FULL bucketed
+    history (the signal-processing normalization, constant across lags —
+    lag peaks stay comparable; documented contract).
+
+    Determinism: decimal bucket means round-6, decimal product sums,
+    IEEE-exact sqrt (correctly rounded in both engines), final round-6.
+
+    Shape at scale: one bucket-agg shuffle over the filtered pair of
+    series; the lagged self-join runs on the sketch-sized bucket table
+    keyed by shifted bucket; means/denoms are scalar broadcasts.
+    """
+    g = _bucket_means(
+        df.where(F.col(key_col).isin([series_a, series_b])),
+        on, [key_col], value_col, bucket_ns)
+    dsum = F.sum(F.col("v").cast("decimal(28,6)")).cast("double")
+    stats = (g.groupBy(key_col)
+             .agg(_fr(dsum / F.count(F.lit(1)), 6).alias("xbar")))
+    c = (g.join(F.broadcast(stats), key_col)
+         .select(key_col, "bucket", (F.col("v") - F.col("xbar")).alias("c")))
+    den = (c.groupBy(key_col)
+           .agg(F.sqrt(F.sum((F.col("c") * F.col("c"))
+                             .cast("decimal(28,10)")).cast("double"))
+                .alias("den")))
+    # lag fan-out via explode (13 rows per a-bucket), not a nested-loop
+    # join; the b side shifts by bucket arithmetic so the equi-join key
+    # stays hashable
+    ca = (c.where(F.col(key_col) == series_a)
+          .select(F.col("bucket").alias("ab"), F.col("c").alias("ac"),
+                  F.explode(F.sequence(F.lit(-max_lag), F.lit(max_lag)))
+                  .alias("lag")))
+    cb = c.where(F.col(key_col) == series_b).select(
+        F.col("bucket").alias("bb"), F.col("c").alias("bc"))
+    pairs = ca.join(cb, F.col("bb") == F.col("ab")
+                    + F.col("lag").cast("long") * F.lit(bucket_ns))
+    num = (pairs.groupBy("lag")
+           .agg(F.sum((F.col("ac") * F.col("bc"))
+                      .cast("decimal(28,10)")).cast("double").alias("num"),
+                F.count(F.lit(1)).alias("n_pairs")))
+    # scalar denominators: 1-row broadcast nested-loop joins onto the
+    # (2·max_lag+1)-row lag table — bounded by construction and
+    # allowlisted in explain_audit (constant-key equi-joins constant-fold
+    # to the same plan anyway)
+    da = den.where(F.col(key_col) == series_a).select(
+        F.col("den").alias("den_a"))
+    db = den.where(F.col(key_col) == series_b).select(
+        F.col("den").alias("den_b"))
+    return (num.crossJoin(F.broadcast(da)).crossJoin(F.broadcast(db))
+            .select("lag", "n_pairs",
+                    _fr(F.col("num") / F.col("den_a") / F.col("den_b"), 6)
+                    .alias("xcorr")))

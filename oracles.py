@@ -903,6 +903,33 @@ def build_oracles() -> dict[str, str]:
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
       SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5"""
+    # kNN graph: the IVF replay with queries = the whole corpus. Probe
+    # lists (r <= nprobe) and home buckets (r = 1) come from the same
+    # (sim DESC, centroid_id ASC) ranking the Spark side's in-row
+    # comparator sort applies; candidates = probe ⋈ home on the bucket.
+    o["emb_knn_graph"] = f"""
+      WITH e AS ({emb_cast}),
+      cent AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < 8),
+      pr AS (
+        SELECT q.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_cos("q.v", "c.v")} DESC, c.centroid_id ASC) AS r
+        FROM e q CROSS JOIN cent c),
+      home AS (SELECT vec_id AS neighbor_id, centroid_id FROM pr WHERE r = 1),
+      probes AS (SELECT vec_id, centroid_id FROM pr WHERE r <= 2),
+      cand AS (
+        SELECT DISTINCT p.vec_id, h.neighbor_id
+        FROM probes p JOIN home h USING (centroid_id)
+        WHERE h.neighbor_id != p.vec_id),
+      scored AS (
+        SELECT cand.vec_id, cand.neighbor_id,
+               round({_cos("ae.v", "ne.v")}, 6) AS cosine
+        FROM cand
+        JOIN e ae ON ae.vec_id = cand.vec_id
+        JOIN e ne ON ne.vec_id = cand.neighbor_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+      SELECT vec_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5"""
     # MMR greedy selection unrolled as k SQL stages (the greedy argmax is
     # sequential by definition; k=5 is fixed in the contract query, so
     # the loop unrolls exactly): stage t anti-joins the pool against
@@ -1389,6 +1416,70 @@ def build_oracles() -> dict[str, str]:
              {fr('arg_min(value, time)', 6)} AS v_first,
              {fr('arg_max(value, time)', 6)} AS v_last
       FROM e GROUP BY 1, 2"""
+    # Box–Jenkins biased-estimator ACF over hourly bucket means: every
+    # sum that crosses rows accumulates in DECIMAL (order-free); the
+    # centered products are double-multiplied then decimal-cast — the
+    # identical expression on both engines (the ts_decompose convention)
+    o["ts_acf"] = f"""
+      WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events),
+      g AS (SELECT event_type, time - time % {HOUR} AS bucket,
+                   {fr('sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS v
+            FROM e GROUP BY 1, 2),
+      m AS (SELECT event_type,
+                   {fr('sum(CAST(v AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS xbar
+            FROM g GROUP BY 1),
+      r AS (SELECT g.event_type,
+                   row_number() OVER (PARTITION BY g.event_type
+                                      ORDER BY bucket) AS rn,
+                   g.v - m.xbar AS c
+            FROM g JOIN m USING (event_type)),
+      den AS (SELECT event_type,
+                     sum(CAST(c * c AS DECIMAL(28,10)))::DOUBLE AS den
+              FROM r GROUP BY 1),
+      p AS (SELECT a.event_type, l.lag::INT AS lag,
+                   sum(CAST(a.c * b.c AS DECIMAL(28,10)))::DOUBLE AS num,
+                   count(*) AS n_pairs
+            FROM r a
+            CROSS JOIN generate_series(1, 12) l(lag)
+            JOIN r b ON b.event_type = a.event_type
+                    AND b.rn = a.rn + l.lag
+            GROUP BY 1, 2)
+      SELECT p.event_type, p.lag, p.n_pairs, {fr('p.num / den.den', 6)} AS acf
+      FROM p JOIN den USING (event_type)"""
+    # lagged cross-correlation click↔purchase: bucket-arithmetic
+    # alignment (wall-clock lag), full-history Pearson normalization;
+    # sqrt is IEEE-correctly-rounded in both engines
+    o["ts_xcorr"] = f"""
+      WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events
+                 WHERE event_type IN ('click', 'purchase')),
+      g AS (SELECT event_type, time - time % {HOUR} AS bucket,
+                   {fr('sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS v
+            FROM e GROUP BY 1, 2),
+      m AS (SELECT event_type,
+                   {fr('sum(CAST(v AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS xbar
+            FROM g GROUP BY 1),
+      c AS (SELECT g.event_type, g.bucket, g.v - m.xbar AS c
+            FROM g JOIN m USING (event_type)),
+      den AS (SELECT event_type,
+                     sqrt(sum(CAST(c * c AS DECIMAL(28,10)))::DOUBLE) AS den
+              FROM c GROUP BY 1),
+      p AS (SELECT l.lag::INT AS lag,
+                   sum(CAST(a.c * b.c AS DECIMAL(28,10)))::DOUBLE AS num,
+                   count(*) AS n_pairs
+            FROM (SELECT bucket, c FROM c WHERE event_type = 'click') a
+            CROSS JOIN generate_series(-6, 6) l(lag)
+            JOIN (SELECT bucket, c FROM c WHERE event_type = 'purchase') b
+              ON b.bucket = a.bucket + l.lag * {HOUR}
+            GROUP BY 1)
+      SELECT p.lag, p.n_pairs,
+             {fr('p.num / da.den / db.den', 6)} AS xcorr
+      FROM p,
+           (SELECT den FROM den WHERE event_type = 'click') da(den),
+           (SELECT den FROM den WHERE event_type = 'purchase') db(den)"""
     # classical additive decomposition: decimal-accumulated bucket/phase
     # means (order-free), trend and all downstream chaining on ROUNDED
     # doubles so both engines see identical bits at every step

@@ -842,3 +842,45 @@ def test_dsir_scores_rank_target_like_docs(spark):
     assert out[7]["n_feats"] == 0 and out[7]["dsir_logratio"] == 0.0
     # n_feats = unigrams + bigrams
     assert out[5]["n_feats"] == 4 + 3
+
+
+def test_acf_periodic_signal(spark):
+    """A period-4 sawtooth has ACF exactly 1 at lag 4 (biased estimator
+    scaled by pair count) and strongly negative at the half period."""
+    from influxdb_ha_spark.operators.timeseries import acf
+    B = 10 ** 9  # 1s buckets
+    rows = [(i * B, float([0, 1, 0, -1][i % 4]), "s") for i in range(64)]
+    df = spark.createDataFrame(rows, "time long, value double, tag string")
+    out = {r["lag"]: r for r in
+           acf(df, on="time", by=["tag"], value_col="value",
+               bucket_ns=B, max_lag=4).collect()}
+    assert out[4]["n_pairs"] == 60
+    # biased-estimator peak: num has 60 of the 64 denominator terms
+    assert abs(out[4]["acf"] - 60 / 64) < 1e-9
+    assert out[2]["acf"] < -0.8   # anti-phase at the half period
+    assert abs(out[1]["acf"]) < 0.1  # quarter period ~ orthogonal
+
+
+def test_cross_correlate_finds_shift(spark):
+    """b = a delayed by 3 buckets → xcorr peaks at lag +3 with r ≈ 1."""
+    import random
+    from influxdb_ha_spark.operators.timeseries import cross_correlate
+    B = 10 ** 9
+    rng = random.Random(7)
+    sig = [rng.uniform(-1, 1) for _ in range(80)]
+    rows = [(i * B, sig[i], "a") for i in range(80)] + \
+           [((i + 3) * B, sig[i], "b") for i in range(80)]
+    df = spark.createDataFrame(rows, "time long, value double, k string")
+    out = {r["lag"]: r["xcorr"] for r in
+           cross_correlate(df, "a", "b", key_col="k", on="time",
+                           value_col="value", bucket_ns=B,
+                           max_lag=4).collect()}
+    assert out[3] == max(out.values()) and out[3] > 0.9
+    assert all(abs(v) < 0.35 for l, v in out.items() if l != 3)
+
+
+def test_acf_requires_series_key(spark):
+    from influxdb_ha_spark.operators.timeseries import acf
+    df = spark.createDataFrame([(0, 1.0)], "time long, value double")
+    with pytest.raises(ValueError, match="series key"):
+        acf(df, by=[])

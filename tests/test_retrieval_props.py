@@ -110,3 +110,54 @@ def test_mad_outliers_matches_reference(spark, vals, spike):
             z = round(0.6745 * (v - med) / mad, 6)
             assert abs(got[i][0] - z) < 1e-9
             assert got[i][1] == (abs(z) > 3.5)
+
+
+def test_knn_graph_exact_when_all_buckets_probed(spark):
+    """With nprobe = |centroids| every bucket is probed, so the graph
+    must equal brute-force top-k exactly (tie-break: cosine desc, id
+    asc on round-6 cosines) — checked against a Python reference."""
+    import itertools
+    import math
+    import random
+
+    from influxdb_ha_spark.operators.similarity import knn_graph
+
+    rng = random.Random(11)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(30)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>")
+    cent = df.where("vec_id < 2").selectExpr(
+        "vec_id AS centroid_id", "embedding")
+    out = knn_graph(df, cent, k=3, nprobe=2).collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b)))
+
+    expect = {}
+    for i in vecs:
+        nb = sorted(((round(cos(vecs[i], vecs[j]), 6), -j) for j in vecs
+                     if j != i), reverse=True)[:3]
+        expect[i] = [(-j, c) for c, j in nb]
+    got = {}
+    for r in sorted(out, key=lambda r: (r["vec_id"], r["rank"])):
+        got.setdefault(r["vec_id"], []).append(
+            (r["neighbor_id"], r["cosine"]))
+    assert got == expect
+
+
+def test_knn_graph_partitions_by_bucket(spark):
+    """With nprobe=1 a vector's candidates stay inside its home bucket:
+    two well-separated clusters must never cross-link."""
+    from influxdb_ha_spark.operators.similarity import knn_graph
+    a = [[1.0, 0.0, float(i) * 0.01, 0.0] for i in range(5)]
+    b = [[0.0, 1.0, 0.0, float(i) * 0.01] for i in range(5)]
+    rows = [(i, v) for i, v in enumerate(a)] + \
+           [(i + 5, v) for i, v in enumerate(b)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, a[0]), (1, b[0])], "centroid_id long, embedding array<double>")
+    out = knn_graph(df, cent, k=2, nprobe=1).collect()
+    for r in out:
+        assert (r["vec_id"] < 5) == (r["neighbor_id"] < 5)

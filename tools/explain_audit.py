@@ -70,6 +70,9 @@ ALLOWED_CARTESIAN = {
                     "at scale); the greedy stage touches |Q|*pool rows",
     "ts_deadman": "per-series rows x broadcast(1-row global-max 'now' "
                   "anchor) — bounded by the series count",
+    "ts_xcorr": "two 1-row denominator scalars broadcast onto the "
+                "(2*max_lag+1)-row lag table — everything downstream of "
+                "the bucket agg is sketch-sized",
 }
 
 
