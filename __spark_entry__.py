@@ -1594,6 +1594,23 @@ def q_ts_mad_outliers(spark, sf):
                     _fr(F.col("value"), 6).alias("value"), "robust_z"))
 
 
+def q_ts_cusum(spark, sf):
+    """Two-sided CUSUM mean-shift detection (Page 1954, added scope):
+    per-series tabular CUSUM against the decimal round-6 retrospective
+    mean, slack 25 / threshold 250 (≈0.5σ / 5σ of the event values),
+    both sides resetting on alarm. Sequential recurrence in
+    applyInPandas with pinned float order; the oracle replays it as a
+    recursive CTE carrying (s_pos, s_neg, alarm) bit-for-bit
+    (operators/timeseries.py:cusum)."""
+    from influxdb_ha_spark.operators.timeseries import cusum
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    out = cusum(ev, on="time", by=["event_type"], value_col="value",
+                slack=25.0, threshold=250.0)
+    return out.select("event_type", "time",
+                      _fr(F.col("s_pos"), 6).alias("s_pos"),
+                      _fr(F.col("s_neg"), 6).alias("s_neg"), "alarm")
+
+
 def q_ts_acf(spark, sf):
     """Sample autocorrelation per series (added scope): hourly bucket
     means, then the Box–Jenkins biased-estimator ACF at lags 1..12 over
@@ -1651,6 +1668,19 @@ def q_text_bm25(spark, sf):
     from influxdb_ha_spark.operators.text import bm25_topk
     return bm25_topk(_t(spark, sf, "documents"),
                      query="spark hash join merge", k=10)
+
+
+def q_text_cluster(spark, sf):
+    """Text-domain clustering (added scope — the cluster-then-sample
+    domain-discovery step of corpus pipelines): hashed-TF document
+    vectors (64-bucket feature hashing, exact integer counts) assigned
+    to their nearest of 8 fixed seed centroids. The ENTIRE operator is
+    map-only — TF construction and literal-inlined centroid assignment
+    are one projection, zero shuffles; the oracle replays vectorization
+    and the (cosine desc, centroid asc) argmax from raw text
+    (operators/text.py:cluster_assign)."""
+    from influxdb_ha_spark.operators.text import cluster_assign
+    return cluster_assign(_t(spark, sf, "documents"), k=8, n_buckets=64)
 
 
 def q_emb_prototypicality(spark, sf):
@@ -1924,6 +1954,7 @@ _FAMILIES = [
         "text_top_tokens": q_text_top_tokens,
         "text_lm_score": q_text_lm_score,
         "text_bm25": q_text_bm25,
+        "text_cluster": q_text_cluster,
     },
     {
         # time-series relational ops (added scope; operators/timeseries.py)
@@ -1939,6 +1970,7 @@ _FAMILIES = [
         "ts_gaps": q_ts_gaps,
         "ts_acf": q_ts_acf,
         "ts_xcorr": q_ts_xcorr,
+        "ts_cusum": q_ts_cusum,
     },
     {
         # LLM-pipeline scope (§7): multimodal

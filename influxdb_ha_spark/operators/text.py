@@ -300,3 +300,51 @@ def bm25_topk(df: DataFrame, query: str, k: int = 10, k1: float = 1.2,
            .orderBy(F.col("score").desc(), F.col(id_col).asc())
            .limit(k))
     return out
+
+
+def tf_vectors(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", n_buckets: int = 64) -> DataFrame:
+    """Hashed term-frequency document vectors (the `HashingTF` /
+    feature-hashing construction, Weinberger et al. 2009): token →
+    md5-64 bucket, vector slot = exact bucket count. MAP-ONLY — one
+    codegen'd projection, no vocabulary pass, no shuffle; the fixed
+    n_buckets dimensionality is what makes the vector layout identical
+    on every executor with zero coordination, which is the whole point
+    of feature hashing at 100 TB. Counts are integers, so the vectors
+    are exactly representable doubles — cosine over them hits the same
+    bits on any engine that folds left (the oracle's list_reduce)."""
+    from .hashing import sql_hash64, sql_tokens
+    h = (f"transform({sql_tokens(f'`{text_col}`')}, "
+         f"t -> {sql_hash64('t')} % {n_buckets})")
+    tf = (f"transform(sequence(0, {n_buckets - 1}), "
+          f"i -> cast(size(filter(__h, x -> x = i)) as double))")
+    return (df.where(F.col(text_col).isNotNull())
+            .selectExpr(f"`{id_col}`", f"{h} AS __h")
+            .selectExpr(f"`{id_col}`", f"{tf} AS tf",
+                        "cast(size(__h) AS BIGINT) AS n_tokens"))
+
+
+def cluster_assign(df: DataFrame, k: int = 8, text_col: str = "text",
+                   id_col: str = "doc_id", n_buckets: int = 64) -> DataFrame:
+    """Text-domain clustering: nearest-centroid assignment of hashed-TF
+    document vectors — the cluster-then-sample domain-discovery step of
+    corpus pipelines (the text-side sibling of emb_semantic_dedup's
+    assignment stage).
+
+    Centroids here are the first `k` documents' TF vectors (fixed seeds,
+    so the driver contract is deterministic and the oracle can replay
+    assignment from raw text); production swaps in kmeans_centroids-
+    trained centroids — assign_centroids accepts any centroid frame.
+
+    Shape at scale: TF construction and assignment are BOTH map-only
+    (the k×n_buckets centroid literals inline, the assign_centroids
+    convention), so the whole operator is one projection over the
+    corpus: zero shuffles, zero joins.
+    """
+    from .similarity import assign_centroids
+    tf = tf_vectors(df, text_col=text_col, id_col=id_col,
+                    n_buckets=n_buckets).withColumnRenamed("tf", "embedding")
+    cent = (tf.where(F.col(id_col) < k)
+            .select(F.col(id_col).alias("centroid_id"), "embedding"))
+    out = assign_centroids(tf, cent, id_col=id_col, vec_col="embedding")
+    return out.select(id_col, "n_tokens", "centroid_id")

@@ -583,3 +583,70 @@ def cross_correlate(df: DataFrame, series_a: str, series_b: str,
             .select("lag", "n_pairs",
                     _fr(F.col("num") / F.col("den_a") / F.col("den_b"), 6)
                     .alias("xcorr")))
+
+
+def cusum(df: DataFrame, on: str = "time",
+          by: Sequence[str] = ("event_type",), value_col: str = "value",
+          slack: float = 25.0, threshold: float = 250.0,
+          target: float | None = None) -> DataFrame:
+    """Two-sided CUSUM mean-shift detection (Page 1954, the tabular
+    CUSUM of every SPC text): per series ordered by time,
+
+        S+_t = max(0, S+_{t-1} + (x_t - mu - slack))
+        S-_t = max(0, S-_{t-1} + (mu - x_t - slack))
+
+    alarm when either side exceeds `threshold`; on alarm BOTH sides
+    reset (the standard restart), so each alarm marks a fresh detection
+    rather than one saturated excursion. `target` mu defaults to the
+    per-series decimal-accumulated round-6 mean (the ts_decompose
+    convention), the retrospective form; online deployments pass the
+    in-control mean explicitly.
+
+    The recurrence is inherently sequential per series, so like the
+    EMA family it runs in applyInPandas with a pinned float64 operand
+    order ((x - mu) - slack; max via Python's float compare) that the
+    DuckDB recursive-CTE oracle replays bit-for-bit. Ungrouped calls
+    hit the shared recurrence guard.
+
+    Shape at scale: one |series|-row mean agg broadcast back, then one
+    shuffle into the per-series Arrow groups; state is two floats.
+    """
+    import pandas as pd
+
+    by = list(by)
+    if target is None:
+        dsum = F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double")
+        mu_df = (df.where(F.col(value_col).isNotNull())
+                 .groupBy(*by)
+                 .agg(_fr(dsum / F.count(F.lit(1)), 6).alias("__mu")))
+        src = df.join(F.broadcast(mu_df), by)
+    else:
+        src = df.withColumn("__mu", F.lit(float(target)))
+    schema = ", ".join([f"`{c}` string" for c in by]
+                       + [f"`{on}` long", "`s_pos` double",
+                          "`s_neg` double", "`alarm` boolean"])
+    k, h = float(slack), float(threshold)
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.dropna(subset=[value_col]).sort_values(on)
+        keys = [pdf.iloc[0][c] for c in by] if len(pdf) else []
+        mu = float(pdf.iloc[0]["__mu"]) if len(pdf) else 0.0
+        rows = []
+        sp = sn = 0.0
+        alarm = False
+        for t, x in zip(pdf[on], (float(v) for v in pdf[value_col])):
+            if alarm:
+                sp = sn = 0.0
+            up = sp + (x - mu - k)
+            dn = sn + (mu - x - k)
+            sp = up if up > 0.0 else 0.0
+            sn = dn if dn > 0.0 else 0.0
+            alarm = sp > h or sn > h
+            rows.append(keys + [int(t), sp, sn, alarm])
+        return pd.DataFrame(rows, columns=by + [on, "s_pos", "s_neg",
+                                                "alarm"])
+
+    if not by:
+        from ..functions.transforms import _guard_ungrouped_recurrence
+        src = _guard_ungrouped_recurrence(src, on, "cusum")
+    return src.groupBy(*by).applyInPandas(run, schema)

@@ -1093,6 +1093,28 @@ def build_oracles() -> dict[str, str]:
         f"(len(list_filter(d.toks, x -> x = '{t}'))::DOUBLE + "
         f"1.2 * (0.25 + 0.75 * d.dl / (s.sdl / s.n))))"
         for i, t in enumerate(_bm_terms))
+    # hashed-TF clustering: exact integer bucket counts -> cosine argmax
+    # over the 8 seed-doc centroids; _cos's left list_reduce fold mirrors
+    # assign_centroids' aggregate(zip_with(...)) bit-for-bit (dim = 64 =
+    # n_buckets)
+    o["text_cluster"] = f"""
+      WITH d AS (SELECT doc_id, {TOKS} AS tk
+                 FROM documents WHERE text IS NOT NULL),
+      h AS (SELECT doc_id,
+                   list_transform(tk, t -> {duck_hash64('t')} % 64) AS hs
+            FROM d),
+      v AS (SELECT doc_id,
+                   list_transform(range(0, 64), i ->
+                     CAST(len(list_filter(hs, x -> x = i)) AS DOUBLE)) AS tf,
+                   len(hs)::BIGINT AS n_tokens
+            FROM h),
+      cent AS (SELECT doc_id AS centroid_id, tf FROM v WHERE doc_id < 8),
+      a AS (SELECT v.doc_id, v.n_tokens, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.doc_id
+                     ORDER BY {_cos("v.tf", "c.tf")} DESC,
+                              c.centroid_id ASC) AS r
+            FROM v CROSS JOIN cent c)
+      SELECT doc_id, n_tokens, centroid_id FROM a WHERE r = 1"""
     o["text_bm25"] = f"""
       WITH d AS (SELECT doc_id, {TOKS} AS toks, len({TOKS}) AS dl
                  FROM documents),
@@ -1416,6 +1438,43 @@ def build_oracles() -> dict[str, str]:
              {fr('arg_min(value, time)', 6)} AS v_first,
              {fr('arg_max(value, time)', 6)} AS v_last
       FROM e GROUP BY 1, 2"""
+    # Page's two-sided tabular CUSUM: the recursion carries (sp, sn,
+    # alarm) with the Spark-side loop's exact operand order — base case
+    # 0.0 + (x - mu - k) reduces to (x - mu - k); alarm resets both
+    # sides for the NEXT step (CASE on c.alarm), mirroring the Python
+    # `if alarm: sp = sn = 0.0` before the update
+    o["ts_cusum"] = f"""
+      WITH RECURSIVE
+      m AS (SELECT event_type,
+                   {fr('sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS mu
+            FROM events WHERE value IS NOT NULL GROUP BY 1),
+      p AS MATERIALIZED (
+        SELECT e.event_type AS s, {EV_TIME} AS t, e.value AS v, m.mu,
+               row_number() OVER (PARTITION BY e.event_type
+                                  ORDER BY {EV_TIME}) AS r
+        FROM events e JOIN m ON m.event_type = e.event_type
+        WHERE e.value IS NOT NULL),
+      c(s, r, t, sp, sn, alarm) AS (
+        SELECT s, r, t,
+               greatest(v - mu - 25.0, 0.0),
+               greatest(mu - v - 25.0, 0.0),
+               greatest(v - mu - 25.0, 0.0) > 250.0
+                 OR greatest(mu - v - 25.0, 0.0) > 250.0
+        FROM p WHERE r = 1
+        UNION ALL
+        SELECT p.s, p.r, p.t,
+               greatest((CASE WHEN c.alarm THEN 0.0 ELSE c.sp END)
+                        + (p.v - p.mu - 25.0), 0.0),
+               greatest((CASE WHEN c.alarm THEN 0.0 ELSE c.sn END)
+                        + (p.mu - p.v - 25.0), 0.0),
+               greatest((CASE WHEN c.alarm THEN 0.0 ELSE c.sp END)
+                        + (p.v - p.mu - 25.0), 0.0) > 250.0
+                 OR greatest((CASE WHEN c.alarm THEN 0.0 ELSE c.sn END)
+                             + (p.mu - p.v - 25.0), 0.0) > 250.0
+        FROM c JOIN p ON p.s = c.s AND p.r = c.r + 1)
+      SELECT s AS event_type, t AS time, {fr('sp', 6)} AS s_pos,
+             {fr('sn', 6)} AS s_neg, alarm FROM c"""
     # Box–Jenkins biased-estimator ACF over hourly bucket means: every
     # sum that crosses rows accumulates in DECIMAL (order-free); the
     # centered products are double-multiplied then decimal-cast — the

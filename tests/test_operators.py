@@ -884,3 +884,44 @@ def test_acf_requires_series_key(spark):
     df = spark.createDataFrame([(0, 1.0)], "time long, value double")
     with pytest.raises(ValueError, match="series key"):
         acf(df, by=[])
+
+
+def test_text_cluster_assign_groups_by_vocabulary(spark):
+    """Docs sharing a seed doc's vocabulary assign to that seed's
+    centroid; tf_vectors slots hold exact token counts."""
+    from influxdb_ha_spark.operators.text import cluster_assign, tf_vectors
+    rows = [
+        (0, "spark shuffle join partition spark"),
+        (1, "violin cello oboe harp violin cello"),
+        (2, "spark join shuffle shuffle"),
+        (3, "harp oboe cello"),
+        (4, "spark partition join"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["centroid_id"] for r in
+           cluster_assign(df, k=2, n_buckets=32).collect()}
+    assert out == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0}
+    tf = tf_vectors(df, n_buckets=32).where("doc_id = 0").first()
+    assert tf["n_tokens"] == 5
+    assert sum(tf["tf"]) == 5.0 and max(tf["tf"]) == 2.0  # 'spark' x2
+
+
+def test_cusum_detects_planted_shift(spark):
+    """Baseline at the target mean never alarms; a sustained +shift
+    drives S+ past the threshold within ceil(h/(shift-k)) points, then
+    both sides reset."""
+    from influxdb_ha_spark.operators.timeseries import cusum
+    S = 10 ** 9
+    rows = ([(i * S, 10.0, "a") for i in range(20)]
+            + [((20 + i) * S, 22.0, "a") for i in range(10)])
+    df = spark.createDataFrame(rows, "time long, value double, tag string")
+    out = sorted(cusum(df, by=["tag"], value_col="value", slack=2.0,
+                       threshold=50.0, target=10.0).collect(),
+                 key=lambda r: r["time"])
+    pre = [r for r in out if r["time"] < 20 * S]
+    assert all(r["s_pos"] == 0.0 and not r["alarm"] for r in pre)
+    # shift contributes 22-10-2 = 10/point -> alarm at the 6th point
+    alarms = [r["time"] // S for r in out if r["alarm"]]
+    assert alarms[0] == 25
+    post = {r["time"] // S: r["s_pos"] for r in out}
+    assert post[26] == 10.0  # reset then one fresh increment
