@@ -585,6 +585,23 @@ def cross_correlate(df: DataFrame, series_a: str, series_b: str,
                     .alias("xcorr")))
 
 
+def _cusum_step(sp: float, sn: float, alarm: bool, x: float, mu: float,
+                k: float, h: float):
+    """One two-sided CUSUM update with the pinned float operand order
+    shared by the batch operator, the streaming twin
+    (streaming/cusum_stream.py) and — by replay — the recursive-CTE
+    oracle. Keeping the arithmetic in ONE place is what makes the
+    batch/streaming equivalence test meaningful (the shared-MAD-profile
+    precedent, outlier_stream.py)."""
+    if alarm:
+        sp = sn = 0.0
+    up = sp + (x - mu - k)
+    dn = sn + (mu - x - k)
+    sp = up if up > 0.0 else 0.0
+    sn = dn if dn > 0.0 else 0.0
+    return sp, sn, sp > h or sn > h
+
+
 def cusum(df: DataFrame, on: str = "time",
           by: Sequence[str] = ("event_type",), value_col: str = "value",
           slack: float = 25.0, threshold: float = 250.0,
@@ -635,13 +652,7 @@ def cusum(df: DataFrame, on: str = "time",
         sp = sn = 0.0
         alarm = False
         for t, x in zip(pdf[on], (float(v) for v in pdf[value_col])):
-            if alarm:
-                sp = sn = 0.0
-            up = sp + (x - mu - k)
-            dn = sn + (mu - x - k)
-            sp = up if up > 0.0 else 0.0
-            sn = dn if dn > 0.0 else 0.0
-            alarm = sp > h or sn > h
+            sp, sn, alarm = _cusum_step(sp, sn, alarm, x, mu, k, h)
             rows.append(keys + [int(t), sp, sn, alarm])
         return pd.DataFrame(rows, columns=by + [on, "s_pos", "s_neg",
                                                 "alarm"])
