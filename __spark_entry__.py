@@ -1670,6 +1670,17 @@ def q_text_bm25(spark, sf):
                      query="spark hash join merge", k=10)
 
 
+def q_text_entropy(spark, sf):
+    """Per-document token Shannon entropy + normalized entropy (added
+    scope — the gibberish/boilerplate quality signal). The only
+    transcendental is ln over integer counts, so a driver-computed libm
+    log table inlines as literals (the DSIR/lm_score convention) and
+    scoring is a map-only codegen'd projection; one max-doc-length
+    scalar agg sizes the table (operators/text.py:token_entropy)."""
+    from influxdb_ha_spark.operators.text import token_entropy
+    return token_entropy(_t(spark, sf, "documents"))
+
+
 def q_text_cluster(spark, sf):
     """Text-domain clustering (added scope — the cluster-then-sample
     domain-discovery step of corpus pipelines): hashed-TF document
@@ -1955,6 +1966,7 @@ _FAMILIES = [
         "text_lm_score": q_text_lm_score,
         "text_bm25": q_text_bm25,
         "text_cluster": q_text_cluster,
+        "text_entropy": q_text_entropy,
     },
     {
         # time-series relational ops (added scope; operators/timeseries.py)

@@ -348,3 +348,58 @@ def cluster_assign(df: DataFrame, k: int = 8, text_col: str = "text",
             .select(F.col(id_col).alias("centroid_id"), "embedding"))
     out = assign_centroids(tf, cent, id_col=id_col, vec_col="embedding")
     return out.select(id_col, "n_tokens", "centroid_id")
+
+
+def token_entropy(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document token Shannon entropy + normalized entropy — the
+    gibberish/boilerplate quality signal (low entropy = repeated
+    boilerplate, maximal = no token repeated):
+
+        H = ln(n) - (1/n) * sum_c  c * ln(c)     (c = per-token counts)
+        H_norm = H / ln(n_distinct)              (0 when n_distinct = 1)
+
+    Engine-portable WITHOUT a Python hot path: the only transcendental
+    is ln over INTEGER arguments, so a log table ln(1..K) is computed
+    once driver-side with math.log (libm — bit-identical to DuckDB's ln,
+    while JVM Math.log is intrinsified and can drift an ulp: the DSIR /
+    lm_score convention) and inlined as a literal array; K comes from
+    one max-doc-length scalar aggregation (the BM25 stats precedent).
+    Scoring is then a MAP-ONLY codegen'd projection: per-token counts
+    via nested array filters over the lexicographically sorted distinct
+    tokens (deterministic fold order both engines), each term an exact
+    integer-indexed table lookup. Zero shuffle beyond the 1-scalar agg.
+    """
+    import math
+
+    from .hashing import sql_tokens
+    from .util import ensure_min_parallelism
+
+    base = (df.where(F.col(text_col).isNotNull())
+            .selectExpr("*", f"{sql_tokens(f'`{text_col}`')} AS __t"))
+    mx = base.select(F.max(F.size("__t"))).first()[0] or 1
+    if mx > 65_536:
+        raise ValueError(f"token_entropy: max doc length {mx} exceeds the "
+                         "literal log-table cap (65536); pre-truncate or "
+                         "chunk documents first")
+    tab = "array(" + ", ".join(f"{math.log(i)!r}D"
+                               for i in range(1, mx + 1)) + ")"
+    cnts = ("transform(array_sort(array_distinct(__t)), "
+            "x -> size(filter(__t, y -> y = x)))")
+    ssum = (f"aggregate(__c, 0.0D, (a, c) -> "
+            f"a + cast(c AS DOUBLE) * element_at({tab}, c))")
+    return (ensure_min_parallelism(base)
+            .selectExpr(f"`{id_col}`", "__t", f"{cnts} AS __c")
+            .selectExpr(
+                f"`{id_col}`",
+                "cast(size(__t) AS BIGINT) AS n_tokens",
+                "cast(size(__c) AS BIGINT) AS n_distinct",
+                f"CASE WHEN size(__t) = 0 THEN 0.0D ELSE "
+                f"element_at({tab}, size(__t)) "
+                f"- ({ssum}) / cast(size(__t) AS DOUBLE) END AS __h")
+            .selectExpr(
+                f"`{id_col}`", "n_tokens", "n_distinct",
+                "floor(__h * 1e6 + 0.5) / 1e6 AS entropy",
+                f"CASE WHEN n_distinct <= 1 THEN 0.0D ELSE "
+                f"floor(__h / element_at({tab}, cast(n_distinct AS INT)) "
+                f"* 1e6 + 0.5) / 1e6 END AS entropy_norm"))

@@ -1093,6 +1093,32 @@ def build_oracles() -> dict[str, str]:
         f"(len(list_filter(d.toks, x -> x = '{t}'))::DOUBLE + "
         f"1.2 * (0.25 + 0.75 * d.dl / (s.sdl / s.n))))"
         for i, t in enumerate(_bm_terms))
+    # token Shannon entropy: H = ln(n) - (1/n)*sum c*ln(c). DuckDB's ln
+    # and the Spark side's driver-computed math.log literals share libm,
+    # and both engines fold the per-token terms in lexicographically
+    # sorted distinct-token order, so the chained doubles are identical
+    o["text_entropy"] = f"""
+      WITH d AS (SELECT doc_id, {TOKS} AS tk
+                 FROM documents WHERE text IS NOT NULL),
+      c AS (SELECT doc_id, tk,
+                   list_transform(list_sort(list_distinct(tk)),
+                     x -> len(list_filter(tk, y -> y = x))) AS cs
+            FROM d),
+      h AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+                   len(cs)::BIGINT AS n_distinct,
+                   CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+                     ln(len(tk)::DOUBLE)
+                     - list_reduce(list_prepend(0.0,
+                         list_transform(cs, c ->
+                           c::DOUBLE * ln(c::DOUBLE))),
+                         (a, y) -> a + y) / len(tk)::DOUBLE END AS h
+            FROM c)
+      SELECT doc_id, n_tokens, n_distinct,
+             floor(h * 1e6 + 0.5) / 1e6 AS entropy,
+             CASE WHEN n_distinct <= 1 THEN 0.0 ELSE
+               floor(h / ln(n_distinct::DOUBLE) * 1e6 + 0.5) / 1e6
+             END AS entropy_norm
+      FROM h"""
     # hashed-TF clustering: exact integer bucket counts -> cosine argmax
     # over the 8 seed-doc centroids; _cos's left list_reduce fold mirrors
     # assign_centroids' aggregate(zip_with(...)) bit-for-bit (dim = 64 =

@@ -925,3 +925,20 @@ def test_cusum_detects_planted_shift(spark):
     assert alarms[0] == 25
     post = {r["time"] // S: r["s_pos"] for r in out}
     assert post[26] == 10.0  # reset then one fresh increment
+
+
+def test_token_entropy_closed_forms(spark):
+    """Uniform tokens -> H = ln(n), H_norm = 1; single repeated token ->
+    0; empty -> 0 with n=0."""
+    import math
+    from influxdb_ha_spark.operators.text import token_entropy
+    rows = [(1, "a b c d"), (2, "x x x x"), (3, ""),
+            (4, "a a b b")]  # 2 tokens x2 -> H = ln(2)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert abs(out[1]["entropy"] - math.log(4)) < 1e-6
+    assert out[1]["entropy_norm"] == 1.0
+    assert out[2]["entropy"] == 0.0 and out[2]["entropy_norm"] == 0.0
+    assert out[3]["n_tokens"] == 0 and out[3]["entropy"] == 0.0
+    assert abs(out[4]["entropy"] - math.log(2)) < 1e-6
+    assert out[4]["n_distinct"] == 2
