@@ -1808,11 +1808,14 @@ ROWS_ONLY = {"doc_near_dups_fast"}
 # Static anchors: one driver-green key per operator family, always at the
 # head of queries() for regression cover no matter what the self-rotating
 # never-verified block (computed from CORRECTNESS_r*.json) contributes.
+# Slimmed for round 5: 46 keys have no driver-green row yet (the 18 new
+# round-5 operators + the 28 carried from round 4), and 15 anchors + 46
+# pending = 61 > the driver's 50-row window. Four anchors (one per major
+# surface: SQL agg, InfluxQL time bucketing, corpus dedup, ANN) keep
+# regression cover while letting every pending key convert THIS round;
+# restore the wider anchor set once the union is complete.
 _ANCHORS = [
-    "tpch_q1", "agg_mean", "agg_top_bottom", "iq_mean_1h", "iq_fill_linear",
-    "iq_subquery", "join_brand_revenue", "tr_derivative", "dedup_points",
-    "show_measurements", "doc_exact_dedup", "doc_minhash_candidates",
-    "emb_ivf_topk", "ts_asof_join", "mm_decode",
+    "tpch_q1", "iq_mean_1h", "doc_exact_dedup", "emb_ivf_topk",
 ]
 
 
