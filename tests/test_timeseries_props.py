@@ -61,3 +61,83 @@ def test_pack_sequences_matches_bruteforce(spark, docs, seq_len):
         assert got[i] == (n, off, off // seq_len, last_tok // seq_len), \
             (i, text, got[i])
         off += n
+
+
+def test_acf_matches_python_reference(spark):
+    """Randomized series: ACF must match the direct Box-Jenkins formula
+    computed in Python (float tolerance — the oracle gate covers bit
+    exactness; this guards the *formula* against an oracle that merely
+    replays a shared mistake, the LTTB lesson from round 4)."""
+    import random
+
+    from influxdb_ha_spark.operators.timeseries import acf
+
+    rng = random.Random(3)
+    B = 10 ** 9
+    series = {"s1": [rng.uniform(0, 100) for _ in range(40)],
+              "s2": [rng.uniform(-5, 5) for _ in range(25)]}
+    rows = [(i * B + (7 if k == "s2" else 0), v, k)
+            for k, vs in series.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "time long, value double, tag string")
+    out = {(r["tag"], r["lag"]): r["acf"] for r in
+           acf(df, by=["tag"], value_col="value", bucket_ns=B,
+               max_lag=5).collect()}
+    for k, vs in series.items():
+        xbar = sum(vs) / len(vs)
+        den = sum((x - xbar) ** 2 for x in vs)
+        for lag in range(1, 6):
+            num = sum((vs[i] - xbar) * (vs[i + lag] - xbar)
+                      for i in range(len(vs) - lag))
+            assert abs(out[(k, lag)] - num / den) < 1e-5, (k, lag)
+
+
+def test_cross_correlate_matches_python_reference(spark):
+    import random
+
+    from influxdb_ha_spark.operators.timeseries import cross_correlate
+
+    rng = random.Random(9)
+    B = 10 ** 9
+    a = [rng.uniform(0, 10) for _ in range(30)]
+    b = [rng.uniform(0, 10) for _ in range(30)]
+    rows = ([(i * B, a[i], "a") for i in range(30)]
+            + [(i * B, b[i], "b") for i in range(30)])
+    df = spark.createDataFrame(rows, "time long, value double, k string")
+    out = {r["lag"]: r["xcorr"] for r in
+           cross_correlate(df, "a", "b", key_col="k", bucket_ns=B,
+                           max_lag=3).collect()}
+    abar, bbar = sum(a) / len(a), sum(b) / len(b)
+    da = sum((x - abar) ** 2 for x in a) ** 0.5
+    db = sum((x - bbar) ** 2 for x in b) ** 0.5
+    for lag in range(-3, 4):
+        num = sum((a[i] - abar) * (b[i + lag] - bbar)
+                  for i in range(30) if 0 <= i + lag < 30)
+        assert abs(out[lag] - num / da / db) < 1e-5, lag
+
+
+def test_cusum_matches_python_reference(spark):
+    """Randomized fold equality against a direct Python replay of
+    Page's recurrence (guards operator + oracle against shared drift)."""
+    import random
+
+    from influxdb_ha_spark.operators.timeseries import cusum
+
+    rng = random.Random(21)
+    B = 10 ** 9
+    vs = [rng.uniform(0, 40) for _ in range(60)]
+    df = spark.createDataFrame([(i * B, v, "x") for i, v in enumerate(vs)],
+                               "time long, value double, tag string")
+    mu, k, h = 20.0, 3.0, 30.0
+    got = sorted(cusum(df, by=["tag"], value_col="value", slack=k,
+                       threshold=h, target=mu).collect(),
+                 key=lambda r: r["time"])
+    sp = sn = 0.0
+    alarm = False
+    for r, x in zip(got, vs):
+        if alarm:
+            sp = sn = 0.0
+        sp = max(0.0, sp + (x - mu - k))
+        sn = max(0.0, sn + (mu - x - k))
+        alarm = sp > h or sn > h
+        assert (r["s_pos"], r["s_neg"], r["alarm"]) == (sp, sn, alarm)
+    assert any(r["alarm"] for r in got)
