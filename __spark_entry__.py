@@ -1694,6 +1694,38 @@ def q_text_cluster(spark, sf):
     return cluster_assign(_t(spark, sf, "documents"), k=8, n_buckets=64)
 
 
+def q_emb_pca(spark, sf):
+    """Distributed PCA (added scope — the dense reduction completing the
+    embedding compression ladder). Training is an eigendecomposition
+    (not SQL-expressible), so like emb_kmeans_train the gate mixes
+    independently-replayed EXACT values with falsifiable invariants:
+    total and top-k-axes per-dim population variance in integer
+    micro-units (decimal-sum moments + floor rounding — DuckDB recomputes
+    BOTH from raw vectors), plus trace identity, component
+    orthonormality, PCA-beats-axes optimality (top-k eigen subspace must
+    capture at least any k coordinate axes' variance), and a DISTRIBUTED
+    per-row energy check (projection cannot exceed the centered norm —
+    runs over the full corpus through the map-only literal projection)
+    (operators/similarity.py:pca_train/pca_project)."""
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    comps, evals, mean, m = S.pca_train(emb, k=8)
+    proj = S.pca_project(emb, comps, mean)
+    pc2 = " + ".join(f"pc{j} * pc{j}" for j in range(8))
+    energy = proj.selectExpr(
+        f"max(({pc2}) - centered_sq_norm) AS mx").first()["mx"]
+    row = [(m["k"], m["dim"], m["n_rows"],
+            int(m["total_var_micro"]), int(m["axes_var_topk_micro"]),
+            bool(m["trace_ok"]), bool(m["orthonormal_ok"]),
+            bool(m["explained_k"] >= m["axes_var_topk_micro"] / 1e6 - 1e-6),
+            bool(energy <= 1e-9))]
+    return spark.createDataFrame(
+        row, "k int, dim int, n_rows bigint, total_var_micro bigint, "
+             "axes_var_topk_micro bigint, trace_ok boolean, "
+             "orthonormal_ok boolean, pca_beats_axes boolean, "
+             "proj_energy_ok boolean")
+
+
 def q_emb_prototypicality(spark, sf):
     """Data-pruning scores (Sorscher et al. 2022, added scope): cosine
     to the assigned centroid + within-cluster percentile + a keep flag
@@ -1956,6 +1988,7 @@ _FAMILIES = [
         "emb_ivfpq_topk": q_emb_ivfpq_topk,
         "emb_mmr_topk": q_emb_mmr_topk,
         "emb_knn_graph": q_emb_knn_graph,
+        "emb_pca": q_emb_pca,
     },
     {
         # LLM-pipeline scope (§7): text analysis

@@ -888,10 +888,14 @@ def knn_graph(corpus: DataFrame, centroids: DataFrame, k: int = 5,
     probes = keyed.select(F.col(id_col), F.explode("__probes").alias("centroid_id"))
     home = keyed.select(F.col(id_col).alias("neighbor_id"),
                         F.element_at("__probes", 1).alias("centroid_id"))
+    # no dedup needed: a neighbor has exactly ONE home bucket and a
+    # vector's probe buckets are distinct, so each (v, u) candidate pair
+    # materializes at most once — a dropDuplicates here would shuffle
+    # the full candidate set for nothing (removed: −1 exchange, −51%
+    # wall at sf0.1: 5.57 → 2.71 s warm)
     cand = (probes.join(home, "centroid_id")
             .where(F.col("neighbor_id") != F.col(id_col))
-            .select(id_col, "neighbor_id")
-            .dropDuplicates([id_col, "neighbor_id"]))
+            .select(id_col, "neighbor_id"))
     va = corpus.select(F.col(id_col), F.col(vec_col).alias("__va"))
     vb = corpus.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).alias("__vb"))
@@ -903,3 +907,108 @@ def knn_graph(corpus: DataFrame, centroids: DataFrame, k: int = 5,
                                            F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def pca_train(corpus: DataFrame, k: int = 8, vec_col: str = "embedding"):
+    """Distributed PCA training — the dense dimensionality reduction that
+    completes the embedding compression ladder (l2_normalize /
+    scalar_quantize / PQ are per-element or per-subspace; PCA is the
+    global linear map). Classic one-pass shape:
+
+    1. EXACT diagonal moments: posexplode → dim-keyed decimal sums (the
+       dim_stats shuffle — uniform keys, partial agg, dim·P summary rows
+       through the exchange). These feed the GATE values: per-dim
+       population variances as exact micro-units (floor(v·1e6+0.5) ints),
+       so total/top-k-axes variance are integer sums any engine replays.
+    2. Full covariance for the eigendecomposition only: per-partition
+       numpy partials (X'X, Σx, n — dim² doubles each) collected and
+       summed in partition order; a 64×64 float matrix, so driver-side
+       numpy.linalg.eigh is bounded work (the k-means k×dim collect
+       convention). Float order here only perturbs eigenvectors at
+       ~1e-12 — the gate's exact values never touch this path.
+    3. Projection (pca_project) is MAP-ONLY: mean and components inline
+       as literals.
+
+    Returns (components [k×dim rows, descending eigenvalue], eigvals,
+    mean, metrics dict with the exact micro-unit variance totals).
+    """
+    import numpy as np
+
+    d = (ensure_min_parallelism(corpus)
+         .select(F.transform(vec_col, lambda x: x.cast("double"))
+                 .alias("__v")))
+    ex = d.select(F.posexplode("__v").alias("dim", "x"))
+    stats = (ex.groupBy("dim")
+             .agg(F.sum(F.col("x").cast("decimal(28,10)"))
+                  .cast("double").alias("s1"),
+                  F.sum((F.col("x") * F.col("x")).cast("decimal(28,10)"))
+                  .cast("double").alias("s2"),
+                  F.count(F.lit(1)).alias("n"))
+             .orderBy("dim").collect())
+    dim = len(stats)
+    n = int(stats[0]["n"])
+    # per-dim population variance in exact micro-units; the float chain
+    # (decimal-exact s2/n - (s1/n)*(s1/n), then floor-round) is replayed
+    # verbatim by the DuckDB oracle
+    var_micro = [int(np.floor((r["s2"] / n - (r["s1"] / n) * (r["s1"] / n))
+                              * 1e6 + 0.5)) for r in stats]
+    mean = [r["s1"] / n for r in stats]
+
+    def partials(batches):
+        import pandas as pd
+        for pdf in batches:
+            X = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            yield pd.DataFrame({"xtx": [X.T.dot(X).ravel().tolist()],
+                                "sx": [X.sum(axis=0).tolist()],
+                                "cnt": [len(X)]})
+
+    parts = d.mapInPandas(
+        partials, "xtx array<double>, sx array<double>, cnt long").collect()
+    xtx = np.zeros((dim, dim))
+    for p in parts:
+        xtx += np.array(p["xtx"]).reshape(dim, dim)
+    mu = np.array(mean)
+    cov = xtx / n - np.outer(mu, mu)
+    eigvals, eigvecs = np.linalg.eigh(cov)     # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = eigvecs[:, order].T                # k × dim
+    evals = eigvals[order]
+    vtv = comps.dot(comps.T)
+    metrics = {
+        "k": k, "dim": dim, "n_rows": n,
+        "total_var_micro": sum(var_micro),
+        "axes_var_topk_micro": sum(sorted(var_micro, reverse=True)[:k]),
+        "explained_k": float(evals.sum()),
+        "trace_ok": bool(abs(float(np.trace(cov))
+                             - sum(var_micro) / 1e6)
+                         <= 1e-4 * max(1.0, sum(var_micro) / 1e6)),
+        "orthonormal_ok": bool(
+            np.abs(vtv - np.eye(k)).max() < 1e-9),
+    }
+    return comps.tolist(), evals.tolist(), mean, metrics
+
+
+def pca_project(corpus: DataFrame, components, mean,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Map-only projection onto trained components: mean and the k×dim
+    component matrix inline as literals (size-gate territory only above
+    LITERAL_TERM_CAP terms — 8×64 is far below), so each row computes k
+    dot products inside one codegen'd projection; zero shuffle."""
+    marr = "array(" + ", ".join(repr(float(x)) for x in mean) + ")"
+    cols = []
+    for j, comp in enumerate(components):
+        carr = "array(" + ", ".join(repr(float(x)) for x in comp) + ")"
+        cols.append(
+            f"aggregate(zip_with(zip_with(__v, {marr}, (x, m) -> x - m), "
+            f"{carr}, (c, w) -> c * w), cast(0.0 as double), "
+            f"(a, x) -> a + x) AS pc{j}")
+    cols.append(
+        f"aggregate(zip_with(__v, {marr}, (x, m) -> x - m), "
+        f"cast(0.0 as double), (a, x) -> a + x * x) AS centered_sq_norm")
+    return (ensure_min_parallelism(corpus)
+            .withColumn("__v", F.transform(vec_col,
+                                           lambda x: x.cast("double")))
+            .selectExpr(f"`{id_col}`", *cols))

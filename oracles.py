@@ -845,6 +845,29 @@ def build_oracles() -> dict[str, str]:
       SELECT 8 AS k, max(len(embedding)) AS dim,
              TRUE AS centroids_finite, count(*) AS n_assigned
       FROM embeddings"""
+    # PCA: the eigendecomposition itself is not SQL-expressible, but the
+    # gate's VALUE columns are — total and top-k-axes per-dim population
+    # variance recomputed here from raw vectors with the identical
+    # decimal-moment + floor-micro-unit chain (integer-exact compare);
+    # the booleans are Spark-side falsifiable invariants vs TRUE
+    o["emb_pca"] = """
+      WITH ex AS (SELECT i - 1 AS dim, embedding[i]::DOUBLE AS x
+                  FROM embeddings, generate_series(1, 64) AS g(i)),
+      s AS (SELECT dim, sum(CAST(x AS DECIMAL(28,10)))::DOUBLE AS s1,
+                   sum(CAST(x * x AS DECIMAL(28,10)))::DOUBLE AS s2,
+                   count(*) AS n
+            FROM ex GROUP BY 1),
+      v AS (SELECT dim,
+                   floor((s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5)::BIGINT
+                     AS vm
+            FROM s)
+      SELECT 8 AS k, 64 AS dim, (SELECT max(n) FROM s)::BIGINT AS n_rows,
+             (SELECT sum(vm) FROM v)::BIGINT AS total_var_micro,
+             (SELECT sum(vm) FROM
+               (SELECT vm FROM v ORDER BY vm DESC LIMIT 8))::BIGINT
+               AS axes_var_topk_micro,
+             TRUE AS trace_ok, TRUE AS orthonormal_ok,
+             TRUE AS pca_beats_axes, TRUE AS proj_energy_ok"""
     # PQ is trained iteratively (not SQL-expressible) — the gate mirrors
     # the structural invariants + recall floor (see q_emb_pq_topk)
     o["emb_pq_topk"] = f"""

@@ -161,3 +161,42 @@ def test_knn_graph_partitions_by_bucket(spark):
     out = knn_graph(df, cent, k=2, nprobe=1).collect()
     for r in out:
         assert (r["vec_id"] < 5) == (r["neighbor_id"] < 5)
+
+
+def test_pca_matches_numpy_reference(spark):
+    """Trained components/eigenvalues and the distributed projection must
+    match numpy PCA of the same data (sign-aligned; PCA components are
+    defined up to sign)."""
+    import random
+
+    import numpy as np
+
+    from influxdb_ha_spark.operators.similarity import pca_project, pca_train
+
+    rng = random.Random(5)
+    # anisotropic cloud: strong variance on a planted direction
+    base = np.array([rng.gauss(0, 1) for _ in range(6)])
+    X = np.array([[rng.gauss(0, 0.3) for _ in range(6)] for _ in range(80)])
+    X += np.outer(np.array([rng.gauss(0, 3) for _ in range(80)]), base)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>")
+    comps, evals, mean, m = pca_train(df, k=3)
+
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / len(X)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:3]
+    np.testing.assert_allclose(np.array(mean), mu, atol=1e-9)
+    np.testing.assert_allclose(np.array(evals), w[order], rtol=1e-9)
+    for got, want in zip(np.array(comps), v[:, order].T):
+        aligned = want if abs(got @ want) == got @ want else -want
+        np.testing.assert_allclose(got, aligned, atol=1e-8)
+    assert m["trace_ok"] and m["orthonormal_ok"]
+    assert m["explained_k"] >= m["axes_var_topk_micro"] / 1e6 - 1e-6
+
+    proj = {r["vec_id"]: [r[f"pc{j}"] for j in range(3)]
+            for r in pca_project(df, comps, mean).collect()}
+    ref = (X - mu) @ np.array(comps).T
+    for i in range(80):
+        np.testing.assert_allclose(proj[i], ref[i], atol=1e-8)

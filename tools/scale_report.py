@@ -32,7 +32,10 @@ QUERIES = ["tpch_q1", "agg_median_percentile", "join_brand_revenue",
            "ts_m4_downsample", "doc_containment", "mm_png_px",
            # round-5 additions: SemDeDup cluster dedup, BM25 two-phase
            # retrieval, decimal-chained decomposition
-           "emb_semantic_dedup", "text_bm25", "ts_decompose"]
+           "emb_semantic_dedup", "text_bm25", "ts_decompose",
+           # late round-5: bucket-table correlation, map-only probe
+           # kNN graph, CUSUM recurrence, literal-log entropy
+           "ts_acf", "emb_knn_graph", "ts_cusum", "text_entropy"]
 
 
 def main():
