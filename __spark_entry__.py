@@ -1611,6 +1611,18 @@ def q_ts_cusum(spark, sf):
                       _fr(F.col("s_neg"), 6).alias("s_neg"), "alarm")
 
 
+def q_ts_trend(spark, sf):
+    """Per-series OLS linear trend over hourly bucket means (added
+    scope): slope/intercept/r² in closed form over decimal-exact moments
+    with small bucket-index x values, so the regression is HASH-gated —
+    pure identical arithmetic on both engines, not a structural check
+    (operators/timeseries.py:linear_trend)."""
+    from influxdb_ha_spark.operators.timeseries import linear_trend
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return linear_trend(ev, on="time", by=["event_type"],
+                        value_col="value", bucket_ns=HOUR)
+
+
 def q_ts_acf(spark, sf):
     """Sample autocorrelation per series (added scope): hourly bucket
     means, then the Box–Jenkins biased-estimator ACF at lags 1..12 over
@@ -1840,14 +1852,13 @@ ROWS_ONLY = {"doc_near_dups_fast"}
 # Static anchors: one driver-green key per operator family, always at the
 # head of queries() for regression cover no matter what the self-rotating
 # never-verified block (computed from CORRECTNESS_r*.json) contributes.
-# Slimmed for round 5: 46 keys have no driver-green row yet (the 18 new
-# round-5 operators + the 28 carried from round 4), and 15 anchors + 46
-# pending = 61 > the driver's 50-row window. Four anchors (one per major
-# surface: SQL agg, InfluxQL time bucketing, corpus dedup, ANN) keep
-# regression cover while letting every pending key convert THIS round;
-# restore the wider anchor set once the union is complete.
+# Slimmed for round 5: 48 keys have no driver-green row yet (20 new
+# round-5 operators + 28 carried from round 4) and the driver samples a
+# 50-row window, so two anchors (SQL agg + corpus dedup) keep regression
+# cover while letting EVERY pending key convert this round; restore the
+# wider per-family anchor set once the union is complete.
 _ANCHORS = [
-    "tpch_q1", "iq_mean_1h", "doc_exact_dedup", "emb_ivf_topk",
+    "tpch_q1", "doc_exact_dedup",
 ]
 
 
@@ -2019,6 +2030,7 @@ _FAMILIES = [
         "ts_acf": q_ts_acf,
         "ts_xcorr": q_ts_xcorr,
         "ts_cusum": q_ts_cusum,
+        "ts_trend": q_ts_trend,
     },
     {
         # LLM-pipeline scope (§7): multimodal

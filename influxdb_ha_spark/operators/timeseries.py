@@ -661,3 +661,60 @@ def cusum(df: DataFrame, on: str = "time",
         from ..functions.transforms import _guard_ungrouped_recurrence
         src = _guard_ungrouped_recurrence(src, on, "cusum")
     return src.groupBy(*by).applyInPandas(run, schema)
+
+
+def linear_trend(df: DataFrame, on: str = "time",
+                 by: Sequence[str] = ("event_type",),
+                 value_col: str = "value",
+                 bucket_ns: int = 3_600_000_000_000) -> DataFrame:
+    """Per-series ordinary-least-squares linear trend over bucketed
+    means — the 'is this metric drifting' diagnostic (and the internals
+    of every HOLT_WINTERS-style trend seed):
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)     [per bucket step]
+        intercept = (Sy - slope*Sx) / n               [at the first bucket]
+        r2 = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2)*(n*Syy - Sy^2))
+
+    x is the per-series bucket INDEX ((bucket - min_bucket)/bucket_ns —
+    small exact integers; raw ns epochs squared overflow any decimal), so
+    every moment accumulates exactly in DECIMAL and the closed forms are
+    pure arithmetic over identical doubles on both engines — this is a
+    HASH-gated regression, not a structural one. Constant series
+    (zero variance) report r2 = 0.
+
+    Shape at scale: the raw stream shuffles once into the bucket agg
+    (shared _bucket_means); the OLS is ONE more aggregation over the
+    sketch-sized bucket table + a broadcast join of the |series|-row
+    min-bucket table. Output is |series| rows.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("linear_trend requires at least one series key")
+    g = _bucket_means(df, on, by, value_col, bucket_ns)
+    mn = g.groupBy(*by).agg(F.min("bucket").alias("__b0"))
+    x = ((F.col("bucket") - F.col("__b0")) / F.lit(bucket_ns)).cast("long")
+    d = (g.join(F.broadcast(mn), by)
+         .select(*by, x.alias("x"), F.col("v")))
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(28,10)")).cast("double")
+
+    mo = (d.groupBy(*by)
+          .agg(F.count(F.lit(1)).cast("double").alias("n"),
+               dsum(F.col("x").cast("double")).alias("sx"),
+               dsum((F.col("x") * F.col("x")).cast("double")).alias("sxx"),
+               dsum(F.col("v")).alias("sy"),
+               dsum(F.col("v") * F.col("v")).alias("syy"),
+               dsum(F.col("x").cast("double") * F.col("v")).alias("sxy")))
+    num = mo["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = mo["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = mo["n"] * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(denx > 0, num / denx).otherwise(F.lit(0.0))
+    r2 = F.when((denx > 0) & (deny > 0),
+                (num / denx) * (num / deny)).otherwise(F.lit(0.0))
+    return mo.select(
+        *by, F.col("n").cast("bigint").alias("n_buckets"),
+        _fr(slope, 6).alias("slope_per_bucket"),
+        _fr((F.col("sy") - slope * F.col("sx")) / mo["n"], 6)
+        .alias("intercept"),
+        _fr(r2, 6).alias("r2"))

@@ -1487,6 +1487,39 @@ def build_oracles() -> dict[str, str]:
              {fr('arg_min(value, time)', 6)} AS v_first,
              {fr('arg_max(value, time)', 6)} AS v_last
       FROM e GROUP BY 1, 2"""
+    # OLS linear trend: every moment accumulates in DECIMAL over small
+    # bucket-index x values, then the closed forms chain identical
+    # doubles (operand order mirrored verbatim from linear_trend)
+    o["ts_trend"] = f"""
+      WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events),
+      g AS (SELECT event_type, time - time % {HOUR} AS bucket,
+                   {fr('sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS v
+            FROM e GROUP BY 1, 2),
+      mn AS (SELECT event_type, min(bucket) AS b0 FROM g GROUP BY 1),
+      d AS (SELECT g.event_type,
+                   ((g.bucket - mn.b0) // {HOUR})::DOUBLE AS x, g.v
+            FROM g JOIN mn USING (event_type)),
+      mo AS (SELECT event_type, count(*)::DOUBLE AS n,
+                    sum(CAST(x AS DECIMAL(28,10)))::DOUBLE AS sx,
+                    sum(CAST(x * x AS DECIMAL(28,10)))::DOUBLE AS sxx,
+                    sum(CAST(v AS DECIMAL(28,10)))::DOUBLE AS sy,
+                    sum(CAST(v * v AS DECIMAL(28,10)))::DOUBLE AS syy,
+                    sum(CAST(x * v AS DECIMAL(28,10)))::DOUBLE AS sxy
+             FROM d GROUP BY 1),
+      f AS (SELECT event_type, n,
+                   n * sxy - sx * sy AS num,
+                   n * sxx - sx * sx AS denx,
+                   n * syy - sy * sy AS deny, sx, sy
+            FROM mo)
+      SELECT event_type, n::BIGINT AS n_buckets,
+             {fr('CASE WHEN denx > 0 THEN num / denx ELSE 0.0 END', 6)}
+               AS slope_per_bucket,
+             {fr('(sy - (CASE WHEN denx > 0 THEN num / denx ELSE 0.0 END)'
+                 ' * sx) / n', 6)} AS intercept,
+             {fr('CASE WHEN denx > 0 AND deny > 0 THEN'
+                 ' (num / denx) * (num / deny) ELSE 0.0 END', 6)} AS r2
+      FROM f"""
     # Page's two-sided tabular CUSUM: the recursion carries (sp, sn,
     # alarm) with the Spark-side loop's exact operand order — base case
     # 0.0 + (x - mu - k) reduces to (x - mu - k); alarm resets both

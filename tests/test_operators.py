@@ -942,3 +942,25 @@ def test_token_entropy_closed_forms(spark):
     assert out[3]["n_tokens"] == 0 and out[3]["entropy"] == 0.0
     assert abs(out[4]["entropy"] - math.log(2)) < 1e-6
     assert out[4]["n_distinct"] == 2
+
+
+def test_linear_trend_exact_line_and_r2(spark):
+    """A perfect line recovers slope/intercept with r2 = 1; a constant
+    series reports slope 0, r2 = 0; noise keeps r2 < 1."""
+    from influxdb_ha_spark.operators.timeseries import linear_trend
+    B = 10 ** 9
+    rows = ([(i * B, 3.5 * i + 7.0, "line") for i in range(30)]
+            + [(i * B, 42.0, "flat") for i in range(10)]
+            + [(i * B, 5.0 * i + (1.0 if i % 2 else -1.0), "noisy")
+               for i in range(20)])
+    df = spark.createDataFrame(rows, "time long, value double, tag string")
+    out = {r["tag"]: r for r in
+           linear_trend(df, by=["tag"], value_col="value",
+                        bucket_ns=B).collect()}
+    assert out["line"]["slope_per_bucket"] == 3.5
+    assert out["line"]["intercept"] == 7.0
+    assert out["line"]["r2"] == 1.0
+    assert out["flat"]["slope_per_bucket"] == 0.0
+    assert out["flat"]["r2"] == 0.0 and out["flat"]["intercept"] == 42.0
+    assert abs(out["noisy"]["slope_per_bucket"] - 5.0) < 0.02
+    assert 0.9 < out["noisy"]["r2"] < 1.0
