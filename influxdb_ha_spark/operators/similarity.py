@@ -913,7 +913,8 @@ def pca_train(corpus: DataFrame, k: int = 8, vec_col: str = "embedding"):
     """Distributed PCA training — the dense dimensionality reduction that
     completes the embedding compression ladder (l2_normalize /
     scalar_quantize / PQ are per-element or per-subspace; PCA is the
-    global linear map). Classic one-pass shape:
+    global linear map). Two bounded passes over the corpus, each the
+    cheapest form for its precision need:
 
     1. EXACT diagonal moments: posexplode → dim-keyed decimal sums (the
        dim_stats shuffle — uniform keys, partial agg, dim·P summary rows

@@ -482,6 +482,9 @@ def acf(df: DataFrame, on: str = "time",
     DECIMAL(28,10) so the lag/denominator sums are order-free; the final
     ratio rounds at 6.
 
+    Lags longer than a series' bucket count emit no row for that
+    (series, lag) — absent, not NULL — matching the oracle's join.
+
     Shape at scale: the raw stream shuffles once into the bucket agg.
     The per-series mean is a |series|-row broadcast join; the lag pairing
     is a self-join of the bucket table on (series, rn+l) — sketch-sized
