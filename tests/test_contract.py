@@ -24,3 +24,24 @@ def test_oracles_module_matches_entry():
 def test_queries_are_callable():
     for name, fn in entry.queries().items():
         assert callable(fn), name
+
+
+def test_anchor_allotment_self_tunes(monkeypatch):
+    """Anchors take only the window slots pending keys leave free: a
+    heavy round trims them (possibly to zero); a quiet round restores
+    the full per-family pool at the head."""
+    import __spark_entry__ as e
+
+    all_keys = [k for fam in e._FAMILIES for k in fam]
+    # quiet round: everything already driver-green
+    monkeypatch.setattr(e, "_driver_green_keys", lambda: set(all_keys))
+    order = list(e.queries())
+    assert order[:len(e._ANCHOR_POOL)] == e._ANCHOR_POOL
+    # heavy round: nothing green -> every slot goes to pending keys
+    monkeypatch.setattr(e, "_driver_green_keys", lambda: set())
+    order = list(e.queries())
+    window = order[:e._DRIVER_WINDOW]
+    assert all(k not in e.ROWS_ONLY for k in window)
+    # with zero green keys, anchors are pending themselves and must not
+    # consume extra slots ahead of the interleave
+    assert len(set(window)) == e._DRIVER_WINDOW
