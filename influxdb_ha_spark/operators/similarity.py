@@ -922,8 +922,9 @@ def pca_train(corpus: DataFrame, k: int = 8, vec_col: str = "embedding"):
        population variances as exact micro-units (floor(v·1e6+0.5) ints),
        so total/top-k-axes variance are integer sums any engine replays.
     2. Full covariance for the eigendecomposition only: per-partition
-       numpy partials (X'X, Σx, n — dim² doubles each) collected and
-       summed in partition order; a 64×64 float matrix, so driver-side
+       numpy X'X partials (dim² doubles each) collected and summed —
+       the mean comes from the exact stats pass, never from here;
+       a 64×64 float matrix, so driver-side
        numpy.linalg.eigh is bounded work (the k-means k×dim collect
        convention). Float order here only perturbs eigenvectors at
        ~1e-12 — the gate's exact values never touch this path.
@@ -961,12 +962,9 @@ def pca_train(corpus: DataFrame, k: int = 8, vec_col: str = "embedding"):
             X = np.array(pdf["__v"].tolist(), dtype=np.float64)
             if len(X) == 0:
                 continue
-            yield pd.DataFrame({"xtx": [X.T.dot(X).ravel().tolist()],
-                                "sx": [X.sum(axis=0).tolist()],
-                                "cnt": [len(X)]})
+            yield pd.DataFrame({"xtx": [X.T.dot(X).ravel().tolist()]})
 
-    parts = d.mapInPandas(
-        partials, "xtx array<double>, sx array<double>, cnt long").collect()
+    parts = d.mapInPandas(partials, "xtx array<double>").collect()
     xtx = np.zeros((dim, dim))
     for p in parts:
         xtx += np.array(p["xtx"]).reshape(dim, dim)

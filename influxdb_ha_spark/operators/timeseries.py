@@ -293,19 +293,14 @@ def seasonal_decompose(df: DataFrame, on: str = "time",
     once, into the bucket aggregation."""
     by = list(by)
     half = period // 2
-
-    def _r(c, k: int):
-        # floor(x·10^k + 0.5)/10^k — a decimal mean lands EXACTLY on
-        # .xxx5 round boundaries (e.g. a /25 division ending in ...75),
-        # where engine round() disagrees; the floor form is bit-stable
-        # (the __spark_entry__._fr convention)
-        s = 10 ** k
-        return F.floor(c * s + F.lit(0.5)) / F.lit(float(s))
-
-    b = F.col(on) - F.pmod(F.col(on), F.lit(bucket_ns))
-    dsum = F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double")
-    g = (df.groupBy(*by, b.alias("bucket"))
-         .agg(_r(dsum / F.count(F.lit(1)), 6).alias("v")))
+    # shared gate-critical arithmetic: _fr is the floor-form rounding
+    # (a decimal mean lands EXACTLY on .xxx5 boundaries where engine
+    # round() disagrees) and _bucket_means the decimal bucket-mean
+    # stage — ONE definition each, shared with acf/cross_correlate/
+    # linear_trend so the cross-engine bit-stability contract cannot
+    # drift between copies (r5 review)
+    _r = _fr
+    g = _bucket_means(df, on, by, value_col, bucket_ns)
     if not by:
         # an ungrouped call makes the trend window keyless (single-task
         # global sort over the bucket table) — same funnel class the

@@ -46,12 +46,16 @@ def _make_update(mu: float, k: float, h: float):
         else:
             sp, sn, alarm = 0.0, 0.0, False
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.dropna(subset=["value"]).sort_values("time")
-            for t, x in zip(pdf["time"], pdf["value"]):
-                sp, sn, alarm = _cusum_step(sp, sn, alarm, float(x),
-                                            mu, k, h)
-                rows.append((key[0], int(t), sp, sn, alarm))
+        # concat BEFORE sorting: a series whose micro-batch exceeds the
+        # Arrow chunk size (arrow.maxRecordsPerBatch, 10k default)
+        # arrives as multiple pdfs, and per-chunk sorts would fold
+        # across-chunk rows out of time order — silently breaking the
+        # batch/stream equivalence this module promises (r5 review)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.dropna(subset=["value"]).sort_values("time")
+        for t, x in zip(pdf["time"], pdf["value"]):
+            sp, sn, alarm = _cusum_step(sp, sn, alarm, float(x), mu, k, h)
+            rows.append((key[0], int(t), sp, sn, alarm))
         state.update((sp, sn, alarm))
         yield pd.DataFrame(rows, columns=["series", "time", "s_pos",
                                           "s_neg", "alarm"])

@@ -803,15 +803,15 @@ def build_oracles() -> dict[str, str]:
     for _k in range(1, 9):
         _p = f"w{_k - 1}"
         _bpe_stages.append(f"""
-      pc{_k} AS (SELECT p.a AS a, p.b AS b, sum(cnt) AS c
+      pc{_k} AS MATERIALIZED (SELECT p.a AS a, p.b AS b, sum(cnt) AS c
             FROM (SELECT cnt,
                     unnest([{{'a': syms[i], 'b': syms[i + 1]}}
                             FOR i IN generate_series(1, len(syms) - 1)]) AS p
                   FROM {_p} WHERE len(syms) >= 2)
             GROUP BY 1, 2),
-      m{_k} AS (SELECT a, b, c FROM pc{_k}
+      m{_k} AS MATERIALIZED (SELECT a, b, c FROM pc{_k}
                 ORDER BY c DESC, a ASC, b ASC LIMIT 1),
-      w{_k} AS (SELECT w, cnt, syms2 AS syms FROM (
+      w{_k} AS MATERIALIZED (SELECT w, cnt, syms2 AS syms FROM (
         SELECT w, cnt,
           [i FOR i IN generate_series(1, len(syms) - 1)
              IF syms[i] = m.a AND syms[i + 1] = m.b] AS occ,
@@ -822,7 +822,13 @@ def build_oracles() -> dict[str, str]:
             CASE WHEN list_contains(ch, p) THEN m.a || m.b
                  WHEN list_contains(ch, p - 1) THEN NULL
                  ELSE syms[p] END), x -> x IS NOT NULL) AS syms2
-        FROM {_p}, m{_k} m))""")
+        FROM {_p}, m{_k} m)
+        -- merges exhausted before stage {_k}: carry the last generation
+        -- forward, matching bpe_train's loop break (r5 review — the
+        -- cross join above would otherwise empty every later stage and
+        -- doc_bpe_encode's vocab with it)
+        UNION ALL SELECT w, cnt, syms FROM {_p}
+        WHERE NOT EXISTS (SELECT 1 FROM m{_k}))""")
         _bpe_finals.append(
             f"SELECT {_k} AS rank, a AS \"left\", b AS \"right\", "
             f"c::BIGINT AS pair_count FROM m{_k}")
@@ -831,7 +837,7 @@ def build_oracles() -> dict[str, str]:
                  FROM documents WHERE text IS NOT NULL),
       wc AS (SELECT w, count(*) AS cnt
              FROM (SELECT unnest(tk) AS w FROM t) GROUP BY 1),
-      w0 AS (SELECT w, cnt,
+      w0 AS MATERIALIZED (SELECT w, cnt,
                     list_append([w[i] FOR i IN
                                  generate_series(1, len(w))], '</w>') AS syms
              FROM wc),"""
