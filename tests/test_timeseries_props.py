@@ -141,3 +141,53 @@ def test_cusum_matches_python_reference(spark):
         alarm = sp > h or sn > h
         assert (r["s_pos"], r["s_neg"], r["alarm"]) == (sp, sn, alarm)
     assert any(r["alarm"] for r in got)
+
+
+# --- BPE trainer property: arbitrary tiny corpora match the reference ---
+
+def _ref_bpe(texts, n):
+    from collections import Counter
+    words = Counter(w for t in texts for w in t.split())
+    vocab = {tuple(w) + ("</w>",): c for w, c in words.items()}
+    merges = []
+    for rank in range(1, n + 1):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, c))
+        nv = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + cnt
+        vocab = nv
+    return merges, {w: len(w) for w in vocab}  # syms tuples -> lengths
+
+
+@given(st.lists(
+    st.lists(st.text(alphabet="ab1", min_size=1, max_size=5),
+             min_size=1, max_size=6).map(" ".join),
+    min_size=1, max_size=4),
+    st.integers(min_value=1, max_value=6))
+@settings(max_examples=8, deadline=None)
+def test_bpe_train_property(spark, texts, n_merges):
+    """The tiny 'ab1' alphabet forces heavy pair collisions, overlap
+    runs (aaa...), early merge exhaustion, and tie-breaks — the merge
+    list must still equal the reference exactly."""
+    from influxdb_ha_spark.operators.text import bpe_train
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = [(r["rank"], r["left"], r["right"], r["pair_count"])
+           for r in bpe_train(df, n_merges=n_merges).collect()]
+    want, _ = _ref_bpe(texts, n_merges)
+    assert got == want
