@@ -255,11 +255,18 @@ def dsir_scores(df: DataFrame, target_pred, text_col: str = "text",
              f"transform(__t, x -> {sql_hash64('x')} % {n_buckets}), "
              f"transform({sql_shingles('__t', 2)}, "
              f"s -> {sql_hash64('s')} % {n_buckets}))")
-    base = (df.where(F.col(text_col).isNotNull())
-            .selectExpr("*", f"{sql_tokens(f'`{text_col}`')} AS __t")
-            .selectExpr(f"`{id_col}`",
-                        f"coalesce({target_pred}, FALSE) AS __is_t",
-                        f"{feats} AS __b"))
+    from ..cache import keep
+    # keep(): base feeds BOTH the bucket-count collect and the scoring
+    # pass — unpersisted, the md5 tokenize+shingle chain (the dominant
+    # cost) would run twice per call (r5 review; knn_graph.keyed
+    # precedent)
+    base = keep(
+        "dsir_scores.base",
+        df.where(F.col(text_col).isNotNull())
+        .selectExpr("*", f"{sql_tokens(f'`{text_col}`')} AS __t")
+        .selectExpr(f"`{id_col}`",
+                    f"coalesce({target_pred}, FALSE) AS __is_t",
+                    f"{feats} AS __b"))
     cnt = (ensure_min_parallelism(base)
            .select("__is_t", F.explode("__b").alias("b"))
            .groupBy("__is_t", "b").agg(F.count(F.lit(1)).alias("c"))

@@ -126,6 +126,22 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 LITERAL_TERM_CAP = 65_536
 
 
+
+def _literal_cos_sql(vec: list) -> str:
+    """Cosine of the `__v` column against one literal centroid vector —
+    THE expression whose doubles must stay bit-identical between
+    assign_centroids and knn_graph (home bucket = probe[0] relies on
+    it) and which every IVF-family oracle replays. One definition
+    (r5 review; the _fr/_bucket_means consolidation precedent)."""
+    arr = "array(" + ", ".join(repr(float(x)) for x in vec) + ")"
+    return (f"aggregate(zip_with(__v, {arr}, (x, y) -> x * y), "
+            f"cast(0.0 as double), (a, x) -> a + x) / "
+            f"(sqrt(aggregate(__v, cast(0.0 as double), "
+            f"(a, x) -> a + x * x)) * "
+            f"sqrt(aggregate({arr}, cast(0.0 as double), "
+            f"(a, x) -> a + x * x)))")
+
+
 def _assign_centroids_arrow(corpus: DataFrame, cents: list,
                             id_col: str, vec_col: str) -> DataFrame:
     """Large-C nearest-centroid assignment: one Arrow-batched matmul per
@@ -191,17 +207,8 @@ def assign_centroids(corpus: DataFrame, centroids: DataFrame,
     if cents and len(cents) * len(cents[0][vec_col]) > LITERAL_TERM_CAP:
         return _assign_centroids_arrow(corpus, cents, id_col, vec_col)
     ids = ", ".join(str(int(r["centroid_id"])) for r in cents)
-
-    def cos_sql(vec: list) -> str:
-        arr = "array(" + ", ".join(repr(float(x)) for x in vec) + ")"
-        return (f"aggregate(zip_with(__v, {arr}, (x, y) -> x * y), "
-                f"cast(0.0 as double), (a, x) -> a + x) / "
-                f"(sqrt(aggregate(__v, cast(0.0 as double), "
-                f"(a, x) -> a + x * x)) * "
-                f"sqrt(aggregate({arr}, cast(0.0 as double), "
-                f"(a, x) -> a + x * x)))")
-
-    sims = "array(" + ", ".join(cos_sql(r[vec_col]) for r in cents) + ")"
+    sims = "array(" + ", ".join(_literal_cos_sql(r[vec_col])
+                                for r in cents) + ")"
     other = [c for c in corpus.columns]
     return (ensure_min_parallelism(corpus)
             .withColumn("__v", F.expr(vec_col))
@@ -864,16 +871,8 @@ def knn_graph(corpus: DataFrame, centroids: DataFrame, k: int = 5,
                        id_col=id_col, vec_col=vec_col)
         return out.withColumnRenamed("query_id", id_col)
 
-    def cos_sql(vec: list) -> str:
-        arr = "array(" + ", ".join(repr(float(x)) for x in vec) + ")"
-        return (f"aggregate(zip_with(__v, {arr}, (x, y) -> x * y), "
-                f"cast(0.0 as double), (a, x) -> a + x) / "
-                f"(sqrt(aggregate(__v, cast(0.0 as double), "
-                f"(a, x) -> a + x * x)) * "
-                f"sqrt(aggregate({arr}, cast(0.0 as double), "
-                f"(a, x) -> a + x * x)))")
-
-    sims = "array(" + ", ".join(cos_sql(r[vec_col]) for r in cents) + ")"
+    sims = "array(" + ", ".join(_literal_cos_sql(r[vec_col])
+                                for r in cents) + ")"
     ids = ", ".join(str(int(r["centroid_id"])) for r in cents)
     probe = (f"slice(array_sort("
              f"zip_with(array({ids}), {sims}, (i, s) -> struct(i AS cid, s AS s)), "

@@ -388,21 +388,30 @@ def token_entropy(df: DataFrame, text_col: str = "text",
             "x -> size(filter(__t, y -> y = x)))")
     ssum = (f"aggregate(__c, 0.0D, (a, c) -> "
             f"a + cast(c AS DOUBLE) * element_at({tab}, c))")
+    # the two scalar lookups (ln n, ln n_distinct) share ONE more tab
+    # occurrence via a 2-element transform — the literal appears twice
+    # total, not four times (at the 65536-term cap each copy is ~1.3 MB
+    # of SQL to parse/codegen; r5 review)
+    ln2 = (f"transform(array(cast(size(__t) AS INT), "
+           f"cast(size(__c) AS INT)), "
+           f"i -> element_at({tab}, greatest(i, 1)))")
     return (ensure_min_parallelism(base)
             .selectExpr(f"`{id_col}`", "__t", f"{cnts} AS __c")
+            .selectExpr(f"`{id_col}`", "__t", "__c", f"{ln2} AS __ln2")
             .selectExpr(
                 f"`{id_col}`",
                 "cast(size(__t) AS BIGINT) AS n_tokens",
                 "cast(size(__c) AS BIGINT) AS n_distinct",
+                "element_at(__ln2, 2) AS __lnd",
                 f"CASE WHEN size(__t) = 0 THEN 0.0D ELSE "
-                f"element_at({tab}, size(__t)) "
+                f"element_at(__ln2, 1) "
                 f"- ({ssum}) / cast(size(__t) AS DOUBLE) END AS __h")
             .selectExpr(
                 f"`{id_col}`", "n_tokens", "n_distinct",
                 "floor(__h * 1e6 + 0.5) / 1e6 AS entropy",
-                f"CASE WHEN n_distinct <= 1 THEN 0.0D ELSE "
-                f"floor(__h / element_at({tab}, cast(n_distinct AS INT)) "
-                f"* 1e6 + 0.5) / 1e6 END AS entropy_norm"))
+                "CASE WHEN n_distinct <= 1 THEN 0.0D ELSE "
+                "floor(__h / __lnd * 1e6 + 0.5) / 1e6 END"
+                " AS entropy_norm"))
 
 
 def _bpe_merge_exprs(a: str, b: str):

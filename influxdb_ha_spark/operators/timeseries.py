@@ -443,6 +443,16 @@ def _fr(c, k: int):
     return F.floor(c * s + F.lit(0.5)) / F.lit(float(s))
 
 
+def _decimal_mean(col) -> "F.Column":
+    """Order-free round-6 mean: decimal-accumulated sum / count, floor-
+    form rounded — THE gate-critical mean expression, declared once and
+    shared by _bucket_means / acf / cross_correlate / cusum so the
+    cross-engine bit-stability contract cannot drift between copies
+    (r5 review; the _fr/_bucket_means consolidation precedent)."""
+    dsum = F.sum(col.cast("decimal(28,6)")).cast("double")
+    return _fr(dsum / F.count(F.lit(1)), 6)
+
+
 def _bucket_means(df: DataFrame, on: str, by: list, value_col: str,
                   bucket_ns: int) -> DataFrame:
     """Per-(series, bucket) mean with decimal accumulation + round-6 —
@@ -451,9 +461,8 @@ def _bucket_means(df: DataFrame, on: str, by: list, value_col: str,
     regardless of input volume, so everything downstream is sketch-sized.
     """
     b = F.col(on) - F.pmod(F.col(on), F.lit(bucket_ns))
-    dsum = F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double")
     return (df.groupBy(*by, b.alias("bucket"))
-            .agg(_fr(dsum / F.count(F.lit(1)), 6).alias("v")))
+            .agg(_decimal_mean(F.col(value_col)).alias("v")))
 
 
 def acf(df: DataFrame, on: str = "time",
@@ -492,8 +501,7 @@ def acf(df: DataFrame, on: str = "time",
                          "ungrouped call would sort every bucket through "
                          "one task (the recurrence-guard funnel class)")
     g = _bucket_means(df, on, by, value_col, bucket_ns)
-    dsum = F.sum(F.col("v").cast("decimal(28,6)")).cast("double")
-    mean = g.groupBy(*by).agg(_fr(dsum / F.count(F.lit(1)), 6).alias("xbar"))
+    mean = g.groupBy(*by).agg(_decimal_mean(F.col("v")).alias("xbar"))
     w = Window.partitionBy(*by).orderBy("bucket")
     r = (g.join(F.broadcast(mean), by)
          .select(*by, "xbar", F.row_number().over(w).alias("rn"),
@@ -511,9 +519,13 @@ def acf(df: DataFrame, on: str = "time",
     den = (r.groupBy(*by)
            .agg(F.sum((F.col("c") * F.col("c"))
                       .cast("decimal(28,10)")).cast("double").alias("den")))
+    # den = 0 (constant series): Spark's non-ANSI divide yields NULL but
+    # DuckDB's IEEE 0/0 yields NaN — guard to 0.0 on both engines
+    # (linear_trend's denx convention; r5 review)
+    r = F.when(F.col("den") > 0,
+               _fr(F.col("num") / F.col("den"), 6)).otherwise(F.lit(0.0))
     return (num.join(F.broadcast(den), by)
-            .select(*by, "lag", "n_pairs",
-                    _fr(F.col("num") / F.col("den"), 6).alias("acf")))
+            .select(*by, "lag", "n_pairs", r.alias("acf")))
 
 
 def cross_correlate(df: DataFrame, series_a: str, series_b: str,
@@ -545,9 +557,8 @@ def cross_correlate(df: DataFrame, series_a: str, series_b: str,
     g = _bucket_means(
         df.where(F.col(key_col).isin([series_a, series_b])),
         on, [key_col], value_col, bucket_ns)
-    dsum = F.sum(F.col("v").cast("decimal(28,6)")).cast("double")
     stats = (g.groupBy(key_col)
-             .agg(_fr(dsum / F.count(F.lit(1)), 6).alias("xbar")))
+             .agg(_decimal_mean(F.col("v")).alias("xbar")))
     c = (g.join(F.broadcast(stats), key_col)
          .select(key_col, "bucket", (F.col("v") - F.col("xbar")).alias("c")))
     den = (c.groupBy(key_col)
@@ -577,10 +588,12 @@ def cross_correlate(df: DataFrame, series_a: str, series_b: str,
         F.col("den").alias("den_a"))
     db = den.where(F.col(key_col) == series_b).select(
         F.col("den").alias("den_b"))
+    # constant series => den 0: guard to 0.0 (see acf; r5 review)
+    r = F.when((F.col("den_a") > 0) & (F.col("den_b") > 0),
+               _fr(F.col("num") / F.col("den_a") / F.col("den_b"), 6)
+               ).otherwise(F.lit(0.0))
     return (num.crossJoin(F.broadcast(da)).crossJoin(F.broadcast(db))
-            .select("lag", "n_pairs",
-                    _fr(F.col("num") / F.col("den_a") / F.col("den_b"), 6)
-                    .alias("xcorr")))
+            .select("lag", "n_pairs", r.alias("xcorr")))
 
 
 def _cusum_step(sp: float, sn: float, alarm: bool, x: float, mu: float,
@@ -630,10 +643,9 @@ def cusum(df: DataFrame, on: str = "time",
 
     by = list(by)
     if target is None:
-        dsum = F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double")
         mu_df = (df.where(F.col(value_col).isNotNull())
                  .groupBy(*by)
-                 .agg(_fr(dsum / F.count(F.lit(1)), 6).alias("__mu")))
+                 .agg(_decimal_mean(F.col(value_col)).alias("__mu")))
         src = df.join(F.broadcast(mu_df), by)
     else:
         src = df.withColumn("__mu", F.lit(float(target)))
@@ -643,7 +655,11 @@ def cusum(df: DataFrame, on: str = "time",
     k, h = float(slack), float(threshold)
 
     def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.dropna(subset=[value_col]).sort_values(on)
+        # value as the secondary key pins duplicate timestamps: after
+        # (time, value) ordering any remaining ties are equal-x rows,
+        # whose fold order cannot change the carry (r5 review; the
+        # oracle's row_number orders the same way)
+        pdf = pdf.dropna(subset=[value_col]).sort_values([on, value_col])
         keys = [pdf.iloc[0][c] for c in by] if len(pdf) else []
         mu = float(pdf.iloc[0]["__mu"]) if len(pdf) else 0.0
         rows = []
@@ -690,7 +706,10 @@ def linear_trend(df: DataFrame, on: str = "time",
         raise ValueError("linear_trend requires at least one series key")
     g = _bucket_means(df, on, by, value_col, bucket_ns)
     mn = g.groupBy(*by).agg(F.min("bucket").alias("__b0"))
-    x = ((F.col("bucket") - F.col("__b0")) / F.lit(bucket_ns)).cast("long")
+    # integer `div`, NOT double division: a span past 2^53 ns (~104 days)
+    # would round in the long->double conversion and truncate the index
+    # off-by-one, diverging from the oracle's exact `//` (r5 review)
+    x = F.expr(f"(bucket - __b0) div {int(bucket_ns)}")
     d = (g.join(F.broadcast(mn), by)
          .select(*by, x.alias("x"), F.col("v")))
 

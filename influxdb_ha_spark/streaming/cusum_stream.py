@@ -52,7 +52,9 @@ def _make_update(mu: float, k: float, h: float):
         # across-chunk rows out of time order — silently breaking the
         # batch/stream equivalence this module promises (r5 review)
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.dropna(subset=["value"]).sort_values("time")
+        # (time, value) sort: same duplicate-timestamp pinning as the
+        # batch operator (r5 review)
+        pdf = pdf.dropna(subset=["value"]).sort_values(["time", "value"])
         for t, x in zip(pdf["time"], pdf["value"]):
             sp, sn, alarm = _cusum_step(sp, sn, alarm, float(x), mu, k, h)
             rows.append((key[0], int(t), sp, sn, alarm))

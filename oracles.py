@@ -874,8 +874,11 @@ def build_oracles() -> dict[str, str]:
       ex AS (SELECT is_t, unnest(bs) AS b FROM f),
       ct AS (SELECT b, count(*) AS c FROM ex WHERE is_t GROUP BY b),
       cr AS (SELECT b, count(*) AS c FROM ex WHERE NOT is_t GROUP BY b),
-      nt AS (SELECT sum(c) AS n FROM ct),
-      nr AS (SELECT sum(c) AS n FROM cr),
+      -- coalesce: a one-sided corpus (every doc target, or none)
+      -- leaves ct/cr empty and sum() NULL, which would NULL every
+      -- weight while the Python side smooths finitely (r5 review)
+      nt AS (SELECT coalesce(sum(c), 0) AS n FROM ct),
+      nr AS (SELECT coalesce(sum(c), 0) AS n FROM cr),
       w AS (SELECT g.b,
               ln((coalesce(ct.c, 0) + 1.0) / (nt.n + {_dsB}.0))
             - ln((coalesce(cr.c, 0) + 1.0) / (nr.n + {_dsB}.0)) AS w
@@ -1596,8 +1599,12 @@ def build_oracles() -> dict[str, str]:
             FROM events WHERE value IS NOT NULL GROUP BY 1),
       p AS MATERIALIZED (
         SELECT e.event_type AS s, {EV_TIME} AS t, e.value AS v, m.mu,
+               -- value as secondary key pins duplicate timestamps; any
+               -- remaining ties are equal-x rows whose fold order
+               -- cannot change the carry (r5 review; mirrors the
+               -- operator's sort_values([time, value]))
                row_number() OVER (PARTITION BY e.event_type
-                                  ORDER BY {EV_TIME}) AS r
+                                  ORDER BY {EV_TIME}, e.value) AS r
         FROM events e JOIN m ON m.event_type = e.event_type
         WHERE e.value IS NOT NULL),
       c(s, r, t, sp, sn, alarm) AS (
@@ -1650,7 +1657,9 @@ def build_oracles() -> dict[str, str]:
             JOIN r b ON b.event_type = a.event_type
                     AND b.rn = a.rn + l.lag
             GROUP BY 1, 2)
-      SELECT p.event_type, p.lag, p.n_pairs, {fr('p.num / den.den', 6)} AS acf
+      SELECT p.event_type, p.lag, p.n_pairs,
+             CASE WHEN den.den > 0 THEN {fr('p.num / den.den', 6)}
+                  ELSE 0.0 END AS acf
       FROM p JOIN den USING (event_type)"""
     # lagged cross-correlation click↔purchase: bucket-arithmetic
     # alignment (wall-clock lag), full-history Pearson normalization;
@@ -1680,7 +1689,9 @@ def build_oracles() -> dict[str, str]:
               ON b.bucket = a.bucket + l.lag * {HOUR}
             GROUP BY 1)
       SELECT p.lag, p.n_pairs,
-             {fr('p.num / da.den / db.den', 6)} AS xcorr
+             CASE WHEN da.den > 0 AND db.den > 0
+                  THEN {fr('p.num / da.den / db.den', 6)}
+                  ELSE 0.0 END AS xcorr
       FROM p,
            (SELECT den FROM den WHERE event_type = 'click') da(den),
            (SELECT den FROM den WHERE event_type = 'purchase') db(den)"""

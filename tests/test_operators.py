@@ -1027,3 +1027,56 @@ def test_bpe_encode_counts(spark):
     out = bpe_encode_counts(apply_df, vocab).collect()[0]
     assert out["n_words"] == 2
     assert out["n_bpe_tokens"] == v["aaaa"] + 3  # 'zz' -> z z </w>
+
+
+def test_acf_xcorr_constant_series_zero_not_null(spark):
+    """A constant series has zero centered energy: the guard must emit
+    0.0 (not NULL/NaN) on every lag — the cross-engine parity case."""
+    from influxdb_ha_spark.operators.timeseries import acf, cross_correlate
+    B = 10 ** 9
+    rows = ([(i * B, 5.0, "flat") for i in range(10)]
+            + [(i * B, float(i % 3), "live") for i in range(10)])
+    df = spark.createDataFrame(rows, "time long, value double, tag string")
+    out = acf(df, by=["tag"], value_col="value", bucket_ns=B,
+              max_lag=2).collect()
+    flat = [r for r in out if r["tag"] == "flat"]
+    assert flat and all(r["acf"] == 0.0 for r in flat)
+    xc = cross_correlate(df, "flat", "live", key_col="tag", bucket_ns=B,
+                         max_lag=1).collect()
+    assert xc and all(r["xcorr"] == 0.0 for r in xc)
+
+
+def test_cusum_duplicate_timestamps_deterministic(spark):
+    """Duplicate (series, time) rows fold in (time, value) order on any
+    partitioning — repeated runs give identical carries."""
+    from influxdb_ha_spark.operators.timeseries import cusum
+    S = 10 ** 9
+    rows = [(0, 10.0, "a"), (S, 30.0, "a"), (S, 2.0, "a"), (2 * S, 10.0, "a")]
+    outs = []
+    for parts in (1, 4):
+        df = spark.createDataFrame(rows, "time long, value double, tag string") \
+            .repartition(parts)
+        outs.append(sorted(
+            (r["time"], r["s_pos"], r["s_neg"], r["alarm"]) for r in
+            cusum(df, by=["tag"], value_col="value", slack=1.0,
+                  threshold=100.0, target=10.0).collect()))
+    assert outs[0] == outs[1]
+    # value-ascending at the tied second: 2.0 folds before 30.0
+    sp_after = dict((t, p) for t, p, *_ in outs[0])
+    assert sp_after[S] == 19.0  # max(0, 0+(2-11))=0 then 0+(30-11)=19
+
+
+def test_linear_trend_long_span_exact_index(spark):
+    """A 10-year hourly span (>2^53 ns) must keep exact bucket indices:
+    a perfect line still recovers slope exactly (the double-division
+    formulation truncated off-by-one here)."""
+    from influxdb_ha_spark.operators.timeseries import linear_trend
+    H = 3_600_000_000_000
+    t0 = 1_500_000_000_000_000_000
+    idx = [0, 1, 87_660, 87_661]  # ~10 years apart
+    rows = [(t0 + i * H, 2.0 * i + 1.0, "s") for i in idx]
+    out = linear_trend(
+        spark.createDataFrame(rows, "time long, value double, tag string"),
+        by=["tag"], value_col="value", bucket_ns=H).collect()[0]
+    assert out["slope_per_bucket"] == 2.0
+    assert out["intercept"] == 1.0 and out["r2"] == 1.0
