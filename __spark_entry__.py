@@ -1648,6 +1648,20 @@ def q_ts_trend(spark, sf):
                         value_col="value", bucket_ns=HOUR)
 
 
+def q_ts_theil_sen(spark, sf):
+    """Theil–Sen robust trend per series (added scope — the
+    outlier-resistant counterpart of ts_trend's OLS): median of all
+    pairwise bucket-mean slopes + median-residual intercept. Quadratic
+    in BUCKETS only (~260k pairs per 720-bucket series), capped loudly;
+    both medians are the interpolating exact median whose cross-engine
+    parity mad_outliers established
+    (operators/timeseries.py:theil_sen_trend)."""
+    from influxdb_ha_spark.operators.timeseries import theil_sen_trend
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return theil_sen_trend(ev, on="time", by=["event_type"],
+                           value_col="value", bucket_ns=HOUR)
+
+
 def q_ts_acf(spark, sf):
     """Sample autocorrelation per series (added scope): hourly bucket
     means, then the Box–Jenkins biased-estimator ACF at lags 1..12 over
@@ -2071,6 +2085,7 @@ _FAMILIES = [
         "ts_xcorr": q_ts_xcorr,
         "ts_cusum": q_ts_cusum,
         "ts_trend": q_ts_trend,
+        "ts_theil_sen": q_ts_theil_sen,
     },
     {
         # LLM-pipeline scope (§7): multimodal

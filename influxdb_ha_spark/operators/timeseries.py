@@ -735,3 +735,68 @@ def linear_trend(df: DataFrame, on: str = "time",
         _fr((F.col("sy") - slope * F.col("sx")) / mo["n"], 6)
         .alias("intercept"),
         _fr(r2, 6).alias("r2"))
+
+
+def theil_sen_trend(df: DataFrame, on: str = "time",
+                    by: Sequence[str] = ("event_type",),
+                    value_col: str = "value",
+                    bucket_ns: int = 3_600_000_000_000,
+                    max_buckets: int = 4096) -> DataFrame:
+    """Theil–Sen robust trend per series (Theil 1950 / Sen 1968 — the
+    median of all pairwise slopes, the estimator of choice when OLS'
+    squared loss would let outliers steer the fit; up to ~29% of points
+    can be arbitrary before it breaks):
+
+        slope = median over i<j of (v_j - v_i) / (x_j - x_i)
+        intercept = median over i of (v_i - slope * x_i)
+
+    computed over the bucketed means, with x the exact integer bucket
+    step (`div`, the linear_trend convention). The pairwise stage is
+    quadratic IN BUCKETS, never in raw rows — B≈720 hourly buckets is
+    ~260k pairs per series — and a loud cap (`max_buckets`, the
+    recurrence-guard convention) refuses series whose bucket count
+    would explode the pair join; coarsen bucket_ns instead.
+
+    Determinism: bucket means are round-6 (shared _bucket_means), each
+    pair slope is one identical double division on both engines, both
+    medians are the interpolating exact median (Spark F.median /
+    DuckDB median — (a+b)/2 of the two middles, the mad_outliers
+    parity), slope rounds at 6 BEFORE the intercept residuals so the
+    chained arithmetic matches bit-for-bit.
+
+    Shape at scale: one bucket-agg shuffle over the raw stream; the
+    pair join and both medians run on the sketch-sized bucket table,
+    keyed by series (equi-join + range filter — never cartesian).
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("theil_sen_trend requires at least one series key")
+    g = _bucket_means(df, on, by, value_col, bucket_ns)
+    counts = g.groupBy(*by).agg(F.count(F.lit(1)).alias("__n"))
+    over = counts.where(F.col("__n") > max_buckets).limit(1).collect()
+    if over:
+        raise ValueError(
+            f"theil_sen_trend: a series has {over[0]['__n']} buckets "
+            f"(cap {max_buckets}); the pairwise stage is quadratic in "
+            f"buckets — coarsen bucket_ns or pre-filter the time range")
+    a = g.select(*by, F.col("bucket").alias("__ba"), F.col("v").alias("__va"))
+    b = g.select(*[F.col(k).alias(f"__b_{k}") for k in by],
+                 F.col("bucket").alias("__bb"), F.col("v").alias("__vb"))
+    pairs = (a.join(b, [a[k] == b[f"__b_{k}"] for k in by])
+             .where(F.col("__bb") > F.col("__ba"))
+             .select(*by,
+                     ((F.col("__vb") - F.col("__va"))
+                      / F.expr(f"cast((__bb - __ba) div {int(bucket_ns)}"
+                               f" AS DOUBLE)")).alias("__s")))
+    slope = (pairs.groupBy(*by)
+             .agg(_fr(F.median("__s"), 6).alias("slope_per_bucket"),
+                  F.count(F.lit(1)).alias("n_pairs")))
+    mn = g.groupBy(*by).agg(F.min("bucket").alias("__b0"))
+    resid = (g.join(F.broadcast(mn), by).join(F.broadcast(slope), by)
+             .select(*by, "slope_per_bucket", "n_pairs",
+                     (F.col("v") - F.col("slope_per_bucket")
+                      * F.expr(f"cast((bucket - __b0) div {int(bucket_ns)}"
+                               f" AS DOUBLE)")).alias("__r")))
+    return (resid.groupBy(*by, "slope_per_bucket", "n_pairs")
+            .agg(_fr(F.median("__r"), 6).alias("intercept"))
+            .select(*by, "n_pairs", "slope_per_bucket", "intercept"))

@@ -1553,6 +1553,32 @@ def build_oracles() -> dict[str, str]:
              {fr('arg_min(value, time)', 6)} AS v_first,
              {fr('arg_max(value, time)', 6)} AS v_last
       FROM e GROUP BY 1, 2"""
+    # Theil–Sen robust trend: median of pairwise bucket-mean slopes
+    # (exact integer bucket steps via //), then median residual with
+    # the ROUNDED slope — both medians interpolate (a+b)/2 on even
+    # counts, the established mad_outliers cross-engine parity
+    o["ts_theil_sen"] = f"""
+      WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events),
+      g AS (SELECT event_type, time - time % {HOUR} AS bucket,
+                   {fr('sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS v
+            FROM e GROUP BY 1, 2),
+      p AS (SELECT a.event_type,
+                   (b.v - a.v) / ((b.bucket - a.bucket) // {HOUR})::DOUBLE
+                     AS s
+            FROM g a JOIN g b ON b.event_type = a.event_type
+                             AND b.bucket > a.bucket),
+      sl AS (SELECT event_type, {fr('median(s)', 6)} AS slope_per_bucket,
+                    count(*) AS n_pairs
+             FROM p GROUP BY 1),
+      mn AS (SELECT event_type, min(bucket) AS b0 FROM g GROUP BY 1),
+      r AS (SELECT g.event_type, sl.slope_per_bucket, sl.n_pairs,
+                   g.v - sl.slope_per_bucket
+                       * ((g.bucket - mn.b0) // {HOUR})::DOUBLE AS res
+            FROM g JOIN sl USING (event_type) JOIN mn USING (event_type))
+      SELECT event_type, n_pairs, slope_per_bucket,
+             {fr('median(res)', 6)} AS intercept
+      FROM r GROUP BY 1, 2, 3"""
     # OLS linear trend: every moment accumulates in DECIMAL over small
     # bucket-index x values, then the closed forms chain identical
     # doubles (operand order mirrored verbatim from linear_trend)

@@ -1080,3 +1080,46 @@ def test_linear_trend_long_span_exact_index(spark):
         by=["tag"], value_col="value", bucket_ns=H).collect()[0]
     assert out["slope_per_bucket"] == 2.0
     assert out["intercept"] == 1.0 and out["r2"] == 1.0
+
+
+def test_theil_sen_robust_to_outliers(spark):
+    """An exact line plus one wild outlier: Theil-Sen recovers the true
+    slope exactly while OLS is dragged off it; matches a brute-force
+    Python median-of-slopes reference; the bucket cap raises loudly."""
+    import statistics
+
+    from influxdb_ha_spark.operators.timeseries import (linear_trend,
+                                                        theil_sen_trend)
+    B = 10 ** 9
+    vals = [3.0 * i + 2.0 for i in range(21)]
+    vals[20] = 1e6  # wild outlier at the end: max slope leverage
+    df = spark.createDataFrame(
+        [(i * B, v, "s") for i, v in enumerate(vals)],
+        "time long, value double, tag string")
+    ts = theil_sen_trend(df, by=["tag"], value_col="value",
+                         bucket_ns=B).collect()[0]
+    assert ts["slope_per_bucket"] == 3.0
+    assert ts["intercept"] == 2.0
+    assert ts["n_pairs"] == 21 * 20 // 2
+    ols = linear_trend(df, by=["tag"], value_col="value",
+                       bucket_ns=B).collect()[0]
+    assert abs(ols["slope_per_bucket"] - 3.0) > 1000  # OLS dragged away
+
+    # random series: match the direct definition
+    import random
+    rng = random.Random(13)
+    vals = [rng.uniform(0, 50) for _ in range(15)]
+    df2 = spark.createDataFrame(
+        [(i * B, round(v, 6), "r") for i, v in enumerate(vals)],
+        "time long, value double, tag string")
+    got = theil_sen_trend(df2, by=["tag"], value_col="value",
+                          bucket_ns=B).collect()[0]
+    slopes = [(vals[j] - vals[i]) / (j - i)
+              for i in range(15) for j in range(i + 1, 15)]
+    want = statistics.median([round(s, 10) for s in slopes])
+    assert abs(got["slope_per_bucket"] - want) < 1e-5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="quadratic in buckets"):
+        theil_sen_trend(df, by=["tag"], value_col="value", bucket_ns=B,
+                        max_buckets=5)
