@@ -1648,6 +1648,19 @@ def q_ts_trend(spark, sf):
                         value_col="value", bucket_ns=HOUR)
 
 
+def q_ts_mann_kendall(spark, sf):
+    """Mann–Kendall monotonic-trend significance test per series (added
+    scope — the nonparametric companion of q_ts_theil_sen): integer S
+    statistic over all bucket-mean pairs, tie-corrected variance,
+    normal-approximation z with the two-sided 5% flag. Exact by
+    construction — S and the tie correction are integer aggregations
+    (operators/timeseries.py:mann_kendall)."""
+    from influxdb_ha_spark.operators.timeseries import mann_kendall
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return mann_kendall(ev, on="time", by=["event_type"],
+                        value_col="value", bucket_ns=HOUR)
+
+
 def q_ts_theil_sen(spark, sf):
     """Theil–Sen robust trend per series (added scope — the
     outlier-resistant counterpart of ts_trend's OLS): median of all
@@ -2086,6 +2099,7 @@ _FAMILIES = [
         "ts_cusum": q_ts_cusum,
         "ts_trend": q_ts_trend,
         "ts_theil_sen": q_ts_theil_sen,
+        "ts_mann_kendall": q_ts_mann_kendall,
     },
     {
         # LLM-pipeline scope (§7): multimodal

@@ -800,3 +800,63 @@ def theil_sen_trend(df: DataFrame, on: str = "time",
     return (resid.groupBy(*by, "slope_per_bucket", "n_pairs")
             .agg(_fr(F.median("__r"), 6).alias("intercept"))
             .select(*by, "n_pairs", "slope_per_bucket", "intercept"))
+
+
+def mann_kendall(df: DataFrame, on: str = "time",
+                 by: Sequence[str] = ("event_type",),
+                 value_col: str = "value",
+                 bucket_ns: int = 3_600_000_000_000,
+                 max_buckets: int = 4096) -> DataFrame:
+    """Mann–Kendall trend significance test per series (Mann 1945 /
+    Kendall 1975 — the standard nonparametric companion of the Theil–Sen
+    slope: "is there a monotonic trend at all?"):
+
+        S = sum over i<j of sign(v_j - v_i)
+        Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18   (tie groups t)
+        z = (S-1)/sqrt(Var)  if S > 0;  0 if S = 0;  (S+1)/sqrt(Var) else
+
+    EXACT cross-engine by construction: S and the tie correction are
+    INTEGER aggregations over round-6 bucket means, Var is one rational
+    division, sqrt is IEEE-correctly-rounded — nothing to drift. The
+    trend flag applies the two-sided 5% normal cutoff (|z| > 1.959964).
+
+    Same shape and cap as theil_sen_trend: one bucket-agg shuffle, a
+    series-keyed pair join quadratic in buckets only, plus one
+    tie-group aggregation (|series|·|distinct v| rows).
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("mann_kendall requires at least one series key")
+    g = _bucket_means(df, on, by, value_col, bucket_ns)
+    counts = g.groupBy(*by).agg(F.count(F.lit(1)).alias("n"))
+    over = counts.where(F.col("n") > max_buckets).limit(1).collect()
+    if over:
+        raise ValueError(
+            f"mann_kendall: a series has {over[0]['n']} buckets "
+            f"(cap {max_buckets}); the pairwise stage is quadratic in "
+            f"buckets — coarsen bucket_ns or pre-filter the time range")
+    a = g.select(*by, F.col("bucket").alias("__ba"), F.col("v").alias("__va"))
+    b = g.select(*[F.col(k).alias(f"__b_{k}") for k in by],
+                 F.col("bucket").alias("__bb"), F.col("v").alias("__vb"))
+    s = (a.join(b, [a[k] == b[f"__b_{k}"] for k in by])
+         .where(F.col("__bb") > F.col("__ba"))
+         .groupBy(*by)
+         .agg(F.sum(F.signum(F.col("__vb") - F.col("__va"))
+                    .cast("long")).alias("s")))
+    ties = (g.groupBy(*by, "v").agg(F.count(F.lit(1)).alias("t"))
+            .groupBy(*by)
+            .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                       * (2 * F.col("t") + 5)).alias("tie_corr")))
+    n = F.col("n").cast("double")
+    var = ((n * (n - 1) * (2 * n + 5)
+            - F.col("tie_corr").cast("double")) / F.lit(18.0))
+    z = (F.when(F.col("s") > 0,
+                (F.col("s").cast("double") - 1) / F.sqrt(var))
+         .when(F.col("s") < 0,
+               (F.col("s").cast("double") + 1) / F.sqrt(var))
+         .otherwise(F.lit(0.0)))
+    zz = F.when(var > 0, _fr(z, 6)).otherwise(F.lit(0.0))
+    return (counts.join(s, by).join(ties, by)
+            .select(*by, F.col("n").alias("n_buckets"), "s",
+                    zz.alias("z"),
+                    (F.abs(zz) > 1.959964).alias("trend")))

@@ -1553,6 +1553,39 @@ def build_oracles() -> dict[str, str]:
              {fr('arg_min(value, time)', 6)} AS v_first,
              {fr('arg_max(value, time)', 6)} AS v_last
       FROM e GROUP BY 1, 2"""
+    # Mann–Kendall: integer S + integer tie correction over round-6
+    # bucket means — exact on any engine; z = one rational division +
+    # IEEE sqrt, floor-rounded
+    o["ts_mann_kendall"] = f"""
+      WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events),
+      g AS (SELECT event_type, time - time % {HOUR} AS bucket,
+                   {fr('sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS v
+            FROM e GROUP BY 1, 2),
+      n AS (SELECT event_type, count(*) AS n FROM g GROUP BY 1),
+      s AS (SELECT a.event_type,
+                   sum(sign(b.v - a.v))::BIGINT AS s
+            FROM g a JOIN g b ON b.event_type = a.event_type
+                             AND b.bucket > a.bucket
+            GROUP BY 1),
+      tc AS (SELECT event_type,
+                    sum(t * (t - 1) * (2 * t + 5)) AS tie_corr
+             FROM (SELECT event_type, v, count(*) AS t
+                   FROM g GROUP BY 1, 2) GROUP BY 1),
+      f AS (SELECT n.event_type, n.n, s.s,
+                   (n.n::DOUBLE * (n.n - 1) * (2 * n.n + 5)
+                    - tc.tie_corr::DOUBLE) / 18.0 AS var
+            FROM n JOIN s USING (event_type) JOIN tc USING (event_type)),
+      z AS (SELECT event_type, n, s,
+                   CASE WHEN var > 0 THEN
+                     {fr("CASE WHEN s > 0 THEN (s::DOUBLE - 1) / sqrt(var)"
+                         " WHEN s < 0 THEN (s::DOUBLE + 1) / sqrt(var)"
+                         " ELSE 0.0 END", 6)}
+                   ELSE 0.0 END AS z
+            FROM f)
+      SELECT event_type, n::BIGINT AS n_buckets, s, z,
+             abs(z) > 1.959964 AS trend
+      FROM z"""
     # Theil–Sen robust trend: median of pairwise bucket-mean slopes
     # (exact integer bucket steps via //), then median residual with
     # the ROUNDED slope — both medians interpolate (a+b)/2 on even

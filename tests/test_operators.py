@@ -1123,3 +1123,26 @@ def test_theil_sen_robust_to_outliers(spark):
     with _pytest.raises(ValueError, match="quadratic in buckets"):
         theil_sen_trend(df, by=["tag"], value_col="value", bucket_ns=B,
                         max_buckets=5)
+
+
+def test_mann_kendall_closed_forms(spark):
+    """Strictly increasing series: S = n(n-1)/2, trend flagged;
+    constant series: S = 0, full tie correction zeroes the variance,
+    z = 0, no trend; alternating series: |z| small, no trend."""
+    from influxdb_ha_spark.operators.timeseries import mann_kendall
+    B = 10 ** 9
+    rows = ([(i * B, float(i), "up") for i in range(20)]
+            + [(i * B, 7.0, "flat") for i in range(20)]
+            + [(i * B, float(i % 2), "alt") for i in range(20)])
+    df = spark.createDataFrame(rows, "time long, value double, tag string")
+    out = {r["tag"]: r for r in
+           mann_kendall(df, by=["tag"], value_col="value",
+                        bucket_ns=B).collect()}
+    n = 20
+    assert out["up"]["s"] == n * (n - 1) // 2
+    var = n * (n - 1) * (2 * n + 5) / 18.0
+    want_z = (out["up"]["s"] - 1) / var ** 0.5
+    assert abs(out["up"]["z"] - want_z) < 1e-6 and out["up"]["trend"]
+    assert out["flat"]["s"] == 0 and out["flat"]["z"] == 0.0
+    assert not out["flat"]["trend"]
+    assert not out["alt"]["trend"] and abs(out["alt"]["z"]) < 1.0
