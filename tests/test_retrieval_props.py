@@ -107,7 +107,11 @@ def test_mad_outliers_matches_reference(spark, vals, spike):
         if mad == 0:
             assert got[i] == (None, False)
         else:
-            z = round(0.6745 * (v - med) / mad, 6)
+            # floor-form round, matching the operator's _fr exactly:
+            # hypothesis found 0.6745*997/8 = 84.0595625 sitting ON the
+            # .xxxxxx5 boundary, where Python round() and the engine's
+            # deliberate floor(x*1e6+0.5) convention disagree
+            z = math.floor(0.6745 * (v - med) / mad * 1e6 + 0.5) / 1e6
             assert abs(got[i][0] - z) < 1e-9
             assert got[i][1] == (abs(z) > 3.5)
 
