@@ -1648,6 +1648,20 @@ def q_ts_trend(spark, sf):
                         value_col="value", bucket_ns=HOUR)
 
 
+def q_ts_seasonal_mk(spark, sf):
+    """Seasonal Mann–Kendall (Hirsch & Slack 1984, added scope): S and
+    tie-corrected variance within each hour-of-day season, summed —
+    diurnal cycles contribute nothing, only cross-season-consistent
+    drift registers. Exact integer statistics like q_ts_mann_kendall;
+    the pair join adds the phase key, so it is period× cheaper
+    (operators/timeseries.py:seasonal_mann_kendall)."""
+    from influxdb_ha_spark.operators.timeseries import seasonal_mann_kendall
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return seasonal_mann_kendall(ev, on="time", by=["event_type"],
+                                 value_col="value", bucket_ns=HOUR,
+                                 period=24)
+
+
 def q_ts_mann_kendall(spark, sf):
     """Mann–Kendall monotonic-trend significance test per series (added
     scope — the nonparametric companion of q_ts_theil_sen): integer S
@@ -2100,6 +2114,7 @@ _FAMILIES = [
         "ts_trend": q_ts_trend,
         "ts_theil_sen": q_ts_theil_sen,
         "ts_mann_kendall": q_ts_mann_kendall,
+        "ts_seasonal_mk": q_ts_seasonal_mk,
     },
     {
         # LLM-pipeline scope (§7): multimodal

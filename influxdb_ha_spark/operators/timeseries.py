@@ -860,3 +860,71 @@ def mann_kendall(df: DataFrame, on: str = "time",
             .select(*by, F.col("n").alias("n_buckets"), "s",
                     zz.alias("z"),
                     (F.abs(zz) > 1.959964).alias("trend")))
+
+
+def seasonal_mann_kendall(df: DataFrame, on: str = "time",
+                          by: Sequence[str] = ("event_type",),
+                          value_col: str = "value",
+                          bucket_ns: int = 3_600_000_000_000,
+                          period: int = 24,
+                          max_buckets: int = 4096) -> DataFrame:
+    """Seasonal Mann–Kendall trend test (Hirsch & Slack 1984 — the
+    hydrology-standard fix for MK's seasonal false positives): the S
+    statistic and tie-corrected variance are computed WITHIN each
+    season (phase = bucket index mod period, hour-of-day at the
+    defaults) and summed across seasons, so a strong diurnal/annual
+    cycle contributes nothing and only cross-season-consistent
+    monotonic drift registers:
+
+        S = sum_p S_p ,   Var = sum_p Var_p ,   z as in mann_kendall
+
+    Exact like mann_kendall: per-season S and tie corrections are
+    INTEGER aggregations over round-6 bucket means. Shape: the pair
+    join gains the phase key (so it is quadratic in buckets PER
+    SEASON — period× fewer pairs than plain MK), same loud cap.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("seasonal_mann_kendall requires a series key")
+    g = _bucket_means(df, on, by, value_col, bucket_ns)
+    counts = g.groupBy(*by).agg(F.count(F.lit(1)).alias("n_buckets"))
+    over = counts.where(F.col("n_buckets") > max_buckets).limit(1).collect()
+    if over:
+        raise ValueError(
+            f"seasonal_mann_kendall: a series has "
+            f"{over[0]['n_buckets']} buckets (cap {max_buckets}); "
+            f"coarsen bucket_ns or pre-filter the time range")
+    ph = F.pmod(F.expr(f"bucket div {int(bucket_ns)}"), F.lit(period))
+    gp = g.select(*by, ph.alias("__ph"), "bucket", "v")
+    a = gp.select(*by, "__ph", F.col("bucket").alias("__ba"),
+                  F.col("v").alias("__va"))
+    b = gp.select(*[F.col(k).alias(f"__b_{k}") for k in by],
+                  F.col("__ph").alias("__b_ph"),
+                  F.col("bucket").alias("__bb"), F.col("v").alias("__vb"))
+    s = (a.join(b, [a[k] == b[f"__b_{k}"] for k in by]
+                + [a["__ph"] == b["__b_ph"]])
+         .where(F.col("__bb") > F.col("__ba"))
+         .groupBy(*by)
+         .agg(F.sum(F.signum(F.col("__vb") - F.col("__va"))
+                    .cast("long")).alias("s")))
+    np_ = F.col("np").cast("double")
+    pvar = ((np_ * (np_ - 1) * (2 * np_ + 5)
+             - F.col("tie_corr").cast("double")) / F.lit(18.0))
+    var = (gp.groupBy(*by, "__ph")
+           .agg(F.count(F.lit(1)).alias("np"))
+           .join(gp.groupBy(*by, "__ph", "v")
+                 .agg(F.count(F.lit(1)).alias("t"))
+                 .groupBy(*by, "__ph")
+                 .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                            * (2 * F.col("t") + 5)).alias("tie_corr")),
+                 [*by, "__ph"])
+           .groupBy(*by).agg(F.sum(pvar).alias("var")))
+    z = (F.when(F.col("s") > 0,
+                (F.col("s").cast("double") - 1) / F.sqrt(F.col("var")))
+         .when(F.col("s") < 0,
+               (F.col("s").cast("double") + 1) / F.sqrt(F.col("var")))
+         .otherwise(F.lit(0.0)))
+    zz = F.when(F.col("var") > 0, _fr(z, 6)).otherwise(F.lit(0.0))
+    return (counts.join(s, by).join(var, by)
+            .select(*by, "n_buckets", "s", zz.alias("z"),
+                    (F.abs(zz) > 1.959964).alias("trend")))

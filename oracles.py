@@ -1553,6 +1553,41 @@ def build_oracles() -> dict[str, str]:
              {fr('arg_min(value, time)', 6)} AS v_first,
              {fr('arg_max(value, time)', 6)} AS v_last
       FROM e GROUP BY 1, 2"""
+    # Seasonal Mann–Kendall (Hirsch & Slack): per-season integer S and
+    # tie correction, summed — same exactness as plain MK
+    o["ts_seasonal_mk"] = f"""
+      WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events),
+      g AS (SELECT event_type, time - time % {HOUR} AS bucket,
+                   {fr('sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS v
+            FROM e GROUP BY 1, 2),
+      gp AS (SELECT event_type, (bucket // {HOUR}) % 24 AS ph, bucket, v
+             FROM g),
+      n AS (SELECT event_type, count(*) AS n_buckets FROM g GROUP BY 1),
+      s AS (SELECT a.event_type, sum(sign(b.v - a.v))::BIGINT AS s
+            FROM gp a JOIN gp b ON b.event_type = a.event_type
+                              AND b.ph = a.ph AND b.bucket > a.bucket
+            GROUP BY 1),
+      np AS (SELECT event_type, ph, count(*) AS np
+             FROM gp GROUP BY 1, 2),
+      tc AS (SELECT event_type, ph,
+                    sum(t * (t - 1) * (2 * t + 5)) AS tie_corr
+             FROM (SELECT event_type, ph, v, count(*) AS t
+                   FROM gp GROUP BY 1, 2, 3) GROUP BY 1, 2),
+      vv AS (SELECT np.event_type,
+                    sum((np.np::DOUBLE * (np.np - 1) * (2 * np.np + 5)
+                         - tc.tie_corr::DOUBLE) / 18.0) AS var
+             FROM np JOIN tc USING (event_type, ph) GROUP BY 1),
+      z AS (SELECT n.event_type, n.n_buckets, s.s,
+                   CASE WHEN vv.var > 0 THEN
+                     {fr("CASE WHEN s > 0 THEN (s::DOUBLE - 1) / sqrt(var)"
+                         " WHEN s < 0 THEN (s::DOUBLE + 1) / sqrt(var)"
+                         " ELSE 0.0 END", 6)}
+                   ELSE 0.0 END AS z
+            FROM n JOIN s USING (event_type) JOIN vv USING (event_type))
+      SELECT event_type, n_buckets::BIGINT AS n_buckets, s, z,
+             abs(z) > 1.959964 AS trend
+      FROM z"""
     # Mann–Kendall: integer S + integer tie correction over round-6
     # bucket means — exact on any engine; z = one rational division +
     # IEEE sqrt, floor-rounded

@@ -1146,3 +1146,29 @@ def test_mann_kendall_closed_forms(spark):
     assert out["flat"]["s"] == 0 and out["flat"]["z"] == 0.0
     assert not out["flat"]["trend"]
     assert not out["alt"]["trend"] and abs(out["alt"]["z"]) < 1.0
+
+
+def test_seasonal_mk_ignores_cycle_catches_drift(spark):
+    """A pure diurnal cycle (period 4 here) must NOT flag a trend under
+    seasonal MK (within each season the values are constant -> S = 0),
+    while the same cycle plus monotonic drift must."""
+    from influxdb_ha_spark.operators.timeseries import (
+        mann_kendall, seasonal_mann_kendall)
+    B = 10 ** 9
+    cyc = [10.0, 50.0, 90.0, 30.0]
+    rows = ([(i * B, cyc[i % 4], "cycle") for i in range(40)]
+            + [(i * B, cyc[i % 4] + 0.5 * i, "drift") for i in range(40)])
+    df = spark.createDataFrame(rows, "time long, value double, tag string")
+    out = {r["tag"]: r for r in
+           seasonal_mann_kendall(df, by=["tag"], value_col="value",
+                                 bucket_ns=B, period=4).collect()}
+    assert out["cycle"]["s"] == 0 and not out["cycle"]["trend"]
+    assert out["drift"]["trend"] and out["drift"]["s"] == 4 * 45
+    # per-season all-pairs increasing: 4 seasons x C(10,2) = 180 = S
+    # sanity: plain MK on the pure cycle sees a nonzero S (the cycle
+    # pollutes cross-season pairs) — the seasonal form removes exactly
+    # that term
+    mk = {r["tag"]: r for r in
+          mann_kendall(df, by=["tag"], value_col="value",
+                       bucket_ns=B).collect()}
+    assert mk["cycle"]["s"] != 0
