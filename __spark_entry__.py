@@ -1648,6 +1648,20 @@ def q_ts_trend(spark, sf):
                         value_col="value", bucket_ns=HOUR)
 
 
+def q_ts_pettitt(spark, sf):
+    """Pettitt single change-point test per series (Pettitt 1979, added
+    scope — 'did the level shift, and when'): exact integer U_t via the
+    telescoping A_t − B_t endpoint aggregation + one per-series prefix
+    sum, K = max|U_t| with earliest-bucket tie-break; significance via
+    the exact −6K²/(B³+B²) exponent against a precomputed ln(0.025)
+    literal, keeping JVM transcendentals out of the oracle-compared
+    plan (operators/timeseries.py:pettitt_test)."""
+    from influxdb_ha_spark.operators.timeseries import pettitt_test
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return pettitt_test(ev, on="time", by=["event_type"],
+                        value_col="value", bucket_ns=HOUR)
+
+
 def q_ts_seasonal_mk(spark, sf):
     """Seasonal Mann–Kendall (Hirsch & Slack 1984, added scope): S and
     tie-corrected variance within each hour-of-day season, summed —
@@ -2115,6 +2129,7 @@ _FAMILIES = [
         "ts_theil_sen": q_ts_theil_sen,
         "ts_mann_kendall": q_ts_mann_kendall,
         "ts_seasonal_mk": q_ts_seasonal_mk,
+        "ts_pettitt": q_ts_pettitt,
     },
     {
         # LLM-pipeline scope (§7): multimodal

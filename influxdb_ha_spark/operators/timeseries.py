@@ -25,6 +25,7 @@ funnel; skewed keys fall to AQE skew handling. State per key is O(1)
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -928,3 +929,86 @@ def seasonal_mann_kendall(df: DataFrame, on: str = "time",
     return (counts.join(s, by).join(var, by)
             .select(*by, "n_buckets", "s", zz.alias("z"),
                     (F.abs(zz) > 1.959964).alias("trend")))
+
+
+def pettitt_test(df: DataFrame, on: str = "time",
+                 by: Sequence[str] = ("event_type",),
+                 value_col: str = "value",
+                 bucket_ns: int = 3_600_000_000_000,
+                 max_buckets: int = 4096) -> DataFrame:
+    """Pettitt change-point test per series (Pettitt 1979 — the
+    rank-based single change-point detector, the standard
+    "did the level shift, and when" companion to Mann–Kendall's
+    "is it drifting"):
+
+        U_t = sum over i<=t < j of sgn(x_j - x_i)
+        K = max_t |U_t| ,  t* = argmax (earliest on ties)
+        p ~= 2 exp(-6 K^2 / (B^3 + B^2))       (Pettitt's approximation)
+
+    U_t is NOT materialized per (t, pair): with A_t = sum_{j>t}
+    sgn(x_j - x_t) and B_t = sum_{i<t} sgn(x_t - x_i), the exact
+    telescoping U_t = U_{t-1} + A_t - B_t reduces the statistic to two
+    endpoint aggregations over the pair table plus ONE per-series
+    prefix-sum window — integers throughout, so the statistic is exact
+    on any engine; only the final p is a float (IEEE exp, round-6).
+
+    Same bucket-quadratic pair stage and loud cap as theil_sen /
+    mann_kendall; output is |series| rows: (n_buckets, k, change_bucket,
+    u_at_k, log_p_exponent, shift) where log_p_exponent is the EXACT
+    -6K^2/(B^3+B^2) (p = 2*exp of it) and shift compares it to the
+    precomputed ln(0.025) literal — p < 0.05 without running a
+    JVM transcendental in an oracle-compared plan.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("pettitt_test requires at least one series key")
+    g = _bucket_means(df, on, by, value_col, bucket_ns)
+    counts = g.groupBy(*by).agg(F.count(F.lit(1)).alias("n_buckets"))
+    over = counts.where(F.col("n_buckets") > max_buckets).limit(1).collect()
+    if over:
+        raise ValueError(
+            f"pettitt_test: a series has {over[0]['n_buckets']} buckets "
+            f"(cap {max_buckets}); coarsen bucket_ns or pre-filter the "
+            f"time range")
+    a = g.select(*by, F.col("bucket").alias("__ba"), F.col("v").alias("__va"))
+    b = g.select(*[F.col(k).alias(f"__b_{k}") for k in by],
+                 F.col("bucket").alias("__bb"), F.col("v").alias("__vb"))
+    pairs = (a.join(b, [a[k] == b[f"__b_{k}"] for k in by])
+             .where(F.col("__bb") > F.col("__ba"))
+             .select(*by, "__ba", "__bb",
+                     F.signum(F.col("__vb") - F.col("__va"))
+                     .cast("long").alias("__sg")))
+    # A_t keyed by the pair's LEFT endpoint, B_t by the RIGHT
+    at = (pairs.groupBy(*by, F.col("__ba").alias("bucket"))
+          .agg(F.sum("__sg").alias("__a")))
+    bt = (pairs.groupBy(*by, F.col("__bb").alias("bucket"))
+          .agg(F.sum("__sg").alias("__b")))
+    w = Window.partitionBy(*by).orderBy("bucket")
+    u = (g.join(at, [*by, "bucket"], "left").join(bt, [*by, "bucket"], "left")
+         .select(*by, "bucket",
+                 (F.coalesce(F.col("__a"), F.lit(0))
+                  - F.coalesce(F.col("__b"), F.lit(0))).alias("__d"))
+         .select(*by, "bucket",
+                 F.sum("__d").over(
+                     w.rowsBetween(Window.unboundedPreceding, 0))
+                 .alias("u")))
+    wk = Window.partitionBy(*by).orderBy(F.abs(F.col("u")).desc(),
+                                         F.col("bucket").asc())
+    best = (u.withColumn("__r", F.row_number().over(wk))
+            .where(F.col("__r") == 1)
+            .select(*by, F.col("bucket").alias("change_bucket"),
+                    F.col("u").alias("u_at_k"),
+                    F.abs(F.col("u")).alias("k")))
+    # the p-value needs exp(), a JVM-intrinsified transcendental this
+    # codebase deliberately keeps out of oracle-compared plans (the
+    # lm_score/dsir log convention). Report the EXACT exponent instead
+    # (6k^2 and n^3+n^2 are exact integers < 2^53; one double division)
+    # and decide significance against a driver-precomputed libm literal:
+    # p = 2 exp(E) < 0.05  <=>  E < ln(0.025)
+    nb = F.col("n_buckets").cast("double")
+    expo = _fr(F.lit(-6.0) * (F.col("k") * F.col("k")).cast("double")
+               / (nb * nb * nb + nb * nb), 6)
+    return (counts.join(best, by)
+            .select(*by, "n_buckets", "k", "change_bucket", "u_at_k",
+                    expo.alias("log_p_exponent"),
+                    (expo < F.lit(math.log(0.025))).alias("shift")))

@@ -1553,6 +1553,50 @@ def build_oracles() -> dict[str, str]:
              {fr('arg_min(value, time)', 6)} AS v_first,
              {fr('arg_max(value, time)', 6)} AS v_last
       FROM e GROUP BY 1, 2"""
+    # Pettitt change-point: exact integer U_t via the telescoping
+    # A_t - B_t endpoint sums + a window prefix sum; the significance
+    # exponent is one exact double division, compared against the same
+    # libm ln(0.025) literal the Spark side inlines
+    _ln0025 = repr(__import__("math").log(0.025))
+    o["ts_pettitt"] = f"""
+      WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events),
+      g AS (SELECT event_type, time - time % {HOUR} AS bucket,
+                   {fr('sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS v
+            FROM e GROUP BY 1, 2),
+      n AS (SELECT event_type, count(*) AS n_buckets FROM g GROUP BY 1),
+      p AS (SELECT a.event_type, a.bucket AS ba, b.bucket AS bb,
+                   sign(b.v - a.v)::BIGINT AS sg
+            FROM g a JOIN g b ON b.event_type = a.event_type
+                             AND b.bucket > a.bucket),
+      at AS (SELECT event_type, ba AS bucket, sum(sg) AS a
+             FROM p GROUP BY 1, 2),
+      bt AS (SELECT event_type, bb AS bucket, sum(sg) AS b
+             FROM p GROUP BY 1, 2),
+      u AS (SELECT g.event_type, g.bucket,
+                   sum(coalesce(at.a, 0) - coalesce(bt.b, 0)) OVER (
+                     PARTITION BY g.event_type ORDER BY g.bucket
+                     ROWS UNBOUNDED PRECEDING) AS u
+            FROM g LEFT JOIN at ON at.event_type = g.event_type
+                               AND at.bucket = g.bucket
+                   LEFT JOIN bt ON bt.event_type = g.event_type
+                               AND bt.bucket = g.bucket),
+      best AS (SELECT event_type, bucket AS change_bucket, u AS u_at_k,
+                      abs(u) AS k,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY abs(u) DESC, bucket ASC) AS r
+               FROM u),
+      f AS (SELECT n.event_type, n.n_buckets, b.k, b.change_bucket,
+                   b.u_at_k,
+                   {fr('-6.0 * (b.k * b.k)::DOUBLE'
+                       ' / (n.n_buckets::DOUBLE * n.n_buckets'
+                       ' * n.n_buckets + n.n_buckets::DOUBLE'
+                       ' * n.n_buckets)', 6)} AS log_p_exponent
+            FROM n JOIN best b ON b.event_type = n.event_type AND b.r = 1)
+      SELECT event_type, n_buckets::BIGINT AS n_buckets, k,
+             change_bucket, u_at_k, log_p_exponent,
+             log_p_exponent < {_ln0025} AS shift
+      FROM f"""
     # Seasonal Mann–Kendall (Hirsch & Slack): per-season integer S and
     # tie correction, summed — same exactness as plain MK
     o["ts_seasonal_mk"] = f"""

@@ -1172,3 +1172,46 @@ def test_seasonal_mk_ignores_cycle_catches_drift(spark):
           mann_kendall(df, by=["tag"], value_col="value",
                        bucket_ns=B).collect()}
     assert mk["cycle"]["s"] != 0
+
+
+def test_pettitt_finds_planted_shift(spark):
+    """A level shift at position 15 of 30: U_t peaks at the boundary,
+    the change bucket is located exactly, and the exact U_t matches a
+    brute-force double-loop reference; a pure-noise series is not
+    flagged."""
+    import math
+    import random
+
+    from influxdb_ha_spark.operators.timeseries import pettitt_test
+    B = 10 ** 9
+    rng = random.Random(17)
+    shifted = [round(rng.uniform(0, 1), 6) for _ in range(15)] + \
+              [round(rng.uniform(5, 6), 6) for _ in range(15)]
+    noise = [round(rng.uniform(0, 1), 6) for _ in range(30)]
+    rows = ([(i * B, v, "shift") for i, v in enumerate(shifted)]
+            + [(i * B, v, "noise") for i, v in enumerate(noise)])
+    df = spark.createDataFrame(rows, "time long, value double, tag string")
+    out = {r["tag"]: r for r in
+           pettitt_test(df, by=["tag"], value_col="value",
+                        bucket_ns=B).collect()}
+
+    def brute(vals):
+        n = len(vals)
+        us = []
+        for t in range(n):
+            us.append(sum((vals[j] > vals[i]) - (vals[j] < vals[i])
+                          for i in range(t + 1) for j in range(t + 1, n)))
+        k = max(abs(u) for u in us)
+        t_star = min(t for t, u in enumerate(us) if abs(u) == k)
+        return k, t_star, us[t_star]
+
+    for tag, vals in (("shift", shifted), ("noise", noise)):
+        k, t_star, u = brute(vals)
+        r = out[tag]
+        assert (r["k"], r["change_bucket"] // B, r["u_at_k"]) == \
+            (k, t_star, u), tag
+        e = math.floor(-6.0 * k * k / (30.0 ** 3 + 30.0 ** 2) * 1e6
+                       + 0.5) / 1e6
+        assert r["log_p_exponent"] == e
+    assert out["shift"]["shift"] and out["shift"]["change_bucket"] == 14 * B
+    assert not out["noise"]["shift"]
