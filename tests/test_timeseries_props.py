@@ -191,3 +191,66 @@ def test_bpe_train_property(spark, texts, n_merges):
            for r in bpe_train(df, n_merges=n_merges).collect()]
     want, _ = _ref_bpe(texts, n_merges)
     assert got == want
+
+
+# --- trend-inference trio: tie-heavy series vs brute references ---
+
+@given(st.lists(st.integers(0, 3).map(float), min_size=3, max_size=14))
+@settings(max_examples=8, deadline=None)
+def test_mann_kendall_and_pettitt_property(spark, vals):
+    """Tiny integer-valued series force heavy ties: S, the tie-corrected
+    variance path (via z), and Pettitt's exact U_t/K/argmax must all
+    match brute-force references."""
+    from influxdb_ha_spark.operators.timeseries import (mann_kendall,
+                                                        pettitt_test)
+    B = 10 ** 9
+    n = len(vals)
+    df = spark.createDataFrame(
+        [(i * B, v, "s") for i, v in enumerate(vals)],
+        "time long, value double, tag string")
+
+    mk = mann_kendall(df, by=["tag"], value_col="value",
+                      bucket_ns=B).collect()[0]
+    s_ref = sum((vals[j] > vals[i]) - (vals[j] < vals[i])
+                for i in range(n) for j in range(i + 1, n))
+    assert mk["s"] == s_ref
+    from collections import Counter
+    tie = sum(t * (t - 1) * (2 * t + 5)
+              for t in Counter(vals).values())
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    if var > 0:
+        z_ref = ((s_ref - 1) / var ** 0.5 if s_ref > 0 else
+                 (s_ref + 1) / var ** 0.5 if s_ref < 0 else 0.0)
+        assert abs(mk["z"] - z_ref) < 1e-6
+    else:
+        assert mk["z"] == 0.0
+
+    pt = pettitt_test(df, by=["tag"], value_col="value",
+                      bucket_ns=B).collect()[0]
+    us = [sum((vals[j] > vals[i]) - (vals[j] < vals[i])
+              for i in range(t + 1) for j in range(t + 1, n))
+          for t in range(n)]
+    k_ref = max(abs(u) for u in us)
+    t_ref = min(t for t, u in enumerate(us) if abs(u) == k_ref)
+    assert (pt["k"], pt["change_bucket"] // B, pt["u_at_k"]) == \
+        (k_ref, t_ref, us[t_ref])
+
+
+@given(st.lists(st.integers(0, 3).map(float), min_size=4, max_size=12),
+       st.integers(min_value=2, max_value=4))
+@settings(max_examples=6, deadline=None)
+def test_seasonal_mk_property(spark, vals, period):
+    """Seasonal MK S must equal the sum of per-season brute S."""
+    from influxdb_ha_spark.operators.timeseries import seasonal_mann_kendall
+    B = 10 ** 9
+    df = spark.createDataFrame(
+        [(i * B, v, "s") for i, v in enumerate(vals)],
+        "time long, value double, tag string")
+    got = seasonal_mann_kendall(df, by=["tag"], value_col="value",
+                                bucket_ns=B, period=period).collect()[0]
+    s_ref = 0
+    for p in range(period):
+        sv = [v for i, v in enumerate(vals) if i % period == p]
+        s_ref += sum((sv[j] > sv[i]) - (sv[j] < sv[i])
+                     for i in range(len(sv)) for j in range(i + 1, len(sv)))
+    assert got["s"] == s_ref
