@@ -798,9 +798,19 @@ def theil_sen_trend(df: DataFrame, on: str = "time",
                      (F.col("v") - F.col("slope_per_bucket")
                       * F.expr(f"cast((bucket - __b0) div {int(bucket_ns)}"
                                f" AS DOUBLE)")).alias("__r")))
-    return (resid.groupBy(*by, "slope_per_bucket", "n_pairs")
-            .agg(_fr(F.median("__r"), 6).alias("intercept"))
-            .select(*by, "n_pairs", "slope_per_bucket", "intercept"))
+    res = (resid.groupBy(*by, "slope_per_bucket", "n_pairs")
+           .agg(_fr(F.median("__r"), 6).alias("intercept"))
+           .select(*by, "n_pairs", "slope_per_bucket", "intercept"))
+    # LEFT join back onto the series list (r5 verdict #1): a
+    # single-bucket series has no pairs, so the slope aggregate drops
+    # it — contract: the row STAYS, with n_pairs=0 and NULL
+    # slope/intercept (no slope is estimable from one point; NULL, not
+    # a fake 0.0, so downstream can tell "flat" from "unknown")
+    return (counts.select(*by)
+            .join(res, by, "left")
+            .select(*by,
+                    F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+                    "slope_per_bucket", "intercept"))
 
 
 def mann_kendall(df: DataFrame, on: str = "time",
@@ -848,6 +858,14 @@ def mann_kendall(df: DataFrame, on: str = "time",
             .groupBy(*by)
             .agg(F.sum(F.col("t") * (F.col("t") - 1)
                        * (2 * F.col("t") + 5)).alias("tie_corr")))
+    # LEFT join + coalesce: a single-bucket series has no i<j pairs, so
+    # the pair aggregate `s` has no row for it — an inner join would
+    # silently DROP the series instead of reporting s=0/z=0/trend=false
+    # (r5 verdict #1: output cardinality must equal |series|, always)
+    j = (counts.join(s, by, "left").join(ties, by, "left")
+         .select(*by, "n",
+                 F.coalesce(F.col("s"), F.lit(0)).alias("s"),
+                 F.coalesce(F.col("tie_corr"), F.lit(0)).alias("tie_corr")))
     n = F.col("n").cast("double")
     var = ((n * (n - 1) * (2 * n + 5)
             - F.col("tie_corr").cast("double")) / F.lit(18.0))
@@ -857,10 +875,9 @@ def mann_kendall(df: DataFrame, on: str = "time",
                (F.col("s").cast("double") + 1) / F.sqrt(var))
          .otherwise(F.lit(0.0)))
     zz = F.when(var > 0, _fr(z, 6)).otherwise(F.lit(0.0))
-    return (counts.join(s, by).join(ties, by)
-            .select(*by, F.col("n").alias("n_buckets"), "s",
+    return j.select(*by, F.col("n").alias("n_buckets"), "s",
                     zz.alias("z"),
-                    (F.abs(zz) > 1.959964).alias("trend")))
+                    (F.abs(zz) > 1.959964).alias("trend"))
 
 
 def seasonal_mann_kendall(df: DataFrame, on: str = "time",
@@ -879,10 +896,16 @@ def seasonal_mann_kendall(df: DataFrame, on: str = "time",
 
         S = sum_p S_p ,   Var = sum_p Var_p ,   z as in mann_kendall
 
-    Exact like mann_kendall: per-season S and tie corrections are
-    INTEGER aggregations over round-6 bucket means. Shape: the pair
-    join gains the phase key (so it is quadratic in buckets PER
-    SEASON — period× fewer pairs than plain MK), same loud cap.
+    Exact like mann_kendall: per-season S, the per-season variance
+    numerators n_p(n_p-1)(2n_p+5), and the tie corrections all stay
+    INTEGER through the cross-season sums; the single /18.0 happens
+    once at the end, so no double-accumulation order exists for an
+    engine to vary. Output cardinality is ALWAYS |series|: a series in
+    which no season has >= 2 buckets (any series shorter than ~2 days
+    at the period=24 default) reports s=0, z=0, trend=false rather
+    than vanishing. Shape: the pair join gains the phase key (so it is
+    quadratic in buckets PER SEASON — period× fewer pairs than plain
+    MK), same loud cap.
     """
     by = list(by)
     if not by:
@@ -908,9 +931,10 @@ def seasonal_mann_kendall(df: DataFrame, on: str = "time",
          .groupBy(*by)
          .agg(F.sum(F.signum(F.col("__vb") - F.col("__va"))
                     .cast("long")).alias("s")))
-    np_ = F.col("np").cast("double")
-    pvar = ((np_ * (np_ - 1) * (2 * np_ + 5)
-             - F.col("tie_corr").cast("double")) / F.lit(18.0))
+    # per-phase variance pieces stay INTEGER through the cross-phase sum
+    # (r5 advice: summing already-divided doubles made the accumulation
+    # order engine-dependent; sum the exact integer numerators instead
+    # and divide by 18.0 ONCE — now truly "exact like mann_kendall")
     var = (gp.groupBy(*by, "__ph")
            .agg(F.count(F.lit(1)).alias("np"))
            .join(gp.groupBy(*by, "__ph", "v")
@@ -919,16 +943,28 @@ def seasonal_mann_kendall(df: DataFrame, on: str = "time",
                  .agg(F.sum(F.col("t") * (F.col("t") - 1)
                             * (2 * F.col("t") + 5)).alias("tie_corr")),
                  [*by, "__ph"])
-           .groupBy(*by).agg(F.sum(pvar).alias("var")))
+           .groupBy(*by)
+           .agg(F.sum(F.col("np") * (F.col("np") - 1)
+                      * (2 * F.col("np") + 5)).alias("__vn"),
+                F.sum("tie_corr").alias("__tc")))
+    # LEFT join + coalesce (r5 verdict #1): when no season has >= 2
+    # buckets there are no intra-season pairs and the `s` aggregate has
+    # no row — the series must still appear with s=0/z=0/trend=false
+    # (at the default period=24 ANY series shorter than ~2 days hit this)
+    j = (counts.join(s, by, "left").join(var, by, "left")
+         .select(*by, "n_buckets",
+                 F.coalesce(F.col("s"), F.lit(0)).alias("s"),
+                 ((F.coalesce(F.col("__vn"), F.lit(0))
+                   - F.coalesce(F.col("__tc"), F.lit(0)))
+                  .cast("double") / F.lit(18.0)).alias("var")))
     z = (F.when(F.col("s") > 0,
                 (F.col("s").cast("double") - 1) / F.sqrt(F.col("var")))
          .when(F.col("s") < 0,
                (F.col("s").cast("double") + 1) / F.sqrt(F.col("var")))
          .otherwise(F.lit(0.0)))
     zz = F.when(F.col("var") > 0, _fr(z, 6)).otherwise(F.lit(0.0))
-    return (counts.join(s, by).join(var, by)
-            .select(*by, "n_buckets", "s", zz.alias("z"),
-                    (F.abs(zz) > 1.959964).alias("trend")))
+    return j.select(*by, "n_buckets", "s", zz.alias("z"),
+                    (F.abs(zz) > 1.959964).alias("trend"))
 
 
 def pettitt_test(df: DataFrame, on: str = "time",
@@ -954,10 +990,12 @@ def pettitt_test(df: DataFrame, on: str = "time",
 
     Same bucket-quadratic pair stage and loud cap as theil_sen /
     mann_kendall; output is |series| rows: (n_buckets, k, change_bucket,
-    u_at_k, log_p_exponent, shift) where log_p_exponent is the EXACT
-    -6K^2/(B^3+B^2) (p = 2*exp of it) and shift compares it to the
-    precomputed ln(0.025) literal — p < 0.05 without running a
-    JVM transcendental in an oracle-compared plan.
+    u_at_k, pexp_num, pexp_den, log_p_exponent, shift) where
+    pexp_num=6K^2 and pexp_den=B^3+B^2 are EXACT integers,
+    log_p_exponent = -pexp_num/pexp_den rounded at 6 (p = 2*exp of it),
+    and shift compares it to the precomputed ln(0.025) literal —
+    p < 0.05 without running a JVM transcendental in an
+    oracle-compared plan.
     """
     by = list(by)
     if not by:
@@ -1002,13 +1040,19 @@ def pettitt_test(df: DataFrame, on: str = "time",
     # the p-value needs exp(), a JVM-intrinsified transcendental this
     # codebase deliberately keeps out of oracle-compared plans (the
     # lm_score/dsir log convention). Report the EXACT exponent instead
-    # (6k^2 and n^3+n^2 are exact integers < 2^53; one double division)
     # and decide significance against a driver-precomputed libm literal:
     # p = 2 exp(E) < 0.05  <=>  E < ln(0.025)
-    nb = F.col("n_buckets").cast("double")
-    expo = _fr(F.lit(-6.0) * (F.col("k") * F.col("k")).cast("double")
-               / (nb * nb * nb + nb * nb), 6)
+    # Hardened r6: numerator 6k^2 and denominator n^3+n^2 are built in
+    # LONG arithmetic (k<=n(n-1)/2, n<=4096 keeps both < 2^53) and
+    # emitted as integer columns; the only float in the row is ONE
+    # division of those two exactly-represented integers — no double
+    # accumulation whose order an engine could vary
+    num = F.lit(6) * F.col("k") * F.col("k")
+    den = (F.col("n_buckets") * F.col("n_buckets") * F.col("n_buckets")
+           + F.col("n_buckets") * F.col("n_buckets"))
+    expo = _fr(F.lit(-1.0) * num.cast("double") / den.cast("double"), 6)
     return (counts.join(best, by)
             .select(*by, "n_buckets", "k", "change_bucket", "u_at_k",
+                    num.alias("pexp_num"), den.alias("pexp_den"),
                     expo.alias("log_p_exponent"),
                     (expo < F.lit(math.log(0.025))).alias("shift")))

@@ -1588,13 +1588,16 @@ def build_oracles() -> dict[str, str]:
                FROM u),
       f AS (SELECT n.event_type, n.n_buckets, b.k, b.change_bucket,
                    b.u_at_k,
-                   {fr('-6.0 * (b.k * b.k)::DOUBLE'
-                       ' / (n.n_buckets::DOUBLE * n.n_buckets'
-                       ' * n.n_buckets + n.n_buckets::DOUBLE'
-                       ' * n.n_buckets)', 6)} AS log_p_exponent
+                   (6 * b.k * b.k)::BIGINT AS pexp_num,
+                   (n.n_buckets * n.n_buckets * n.n_buckets
+                    + n.n_buckets * n.n_buckets)::BIGINT AS pexp_den,
+                   {fr('-1.0 * (6 * b.k * b.k)::DOUBLE'
+                       ' / (n.n_buckets * n.n_buckets * n.n_buckets'
+                       ' + n.n_buckets * n.n_buckets)::DOUBLE', 6)}
+                     AS log_p_exponent
             FROM n JOIN best b ON b.event_type = n.event_type AND b.r = 1)
       SELECT event_type, n_buckets::BIGINT AS n_buckets, k,
-             change_bucket, u_at_k, log_p_exponent,
+             change_bucket, u_at_k, pexp_num, pexp_den, log_p_exponent,
              log_p_exponent < {_ln0025} AS shift
       FROM f"""
     # Seasonal Mann–Kendall (Hirsch & Slack): per-season integer S and
@@ -1619,16 +1622,22 @@ def build_oracles() -> dict[str, str]:
              FROM (SELECT event_type, ph, v, count(*) AS t
                    FROM gp GROUP BY 1, 2, 3) GROUP BY 1, 2),
       vv AS (SELECT np.event_type,
-                    sum((np.np::DOUBLE * (np.np - 1) * (2 * np.np + 5)
-                         - tc.tie_corr::DOUBLE) / 18.0) AS var
+                    sum(np.np * (np.np - 1) * (2 * np.np + 5)) AS vn,
+                    sum(tc.tie_corr) AS tcs
              FROM np JOIN tc USING (event_type, ph) GROUP BY 1),
-      z AS (SELECT n.event_type, n.n_buckets, s.s,
-                   CASE WHEN vv.var > 0 THEN
+      j AS (SELECT n.event_type, n.n_buckets,
+                   coalesce(s.s, 0) AS s,
+                   (coalesce(vv.vn, 0) - coalesce(vv.tcs, 0))::DOUBLE
+                     / 18.0 AS var
+            FROM n LEFT JOIN s USING (event_type)
+                   LEFT JOIN vv USING (event_type)),
+      z AS (SELECT event_type, n_buckets, s,
+                   CASE WHEN var > 0 THEN
                      {fr("CASE WHEN s > 0 THEN (s::DOUBLE - 1) / sqrt(var)"
                          " WHEN s < 0 THEN (s::DOUBLE + 1) / sqrt(var)"
                          " ELSE 0.0 END", 6)}
                    ELSE 0.0 END AS z
-            FROM n JOIN s USING (event_type) JOIN vv USING (event_type))
+            FROM j)
       SELECT event_type, n_buckets::BIGINT AS n_buckets, s, z,
              abs(z) > 1.959964 AS trend
       FROM z"""
@@ -1651,10 +1660,11 @@ def build_oracles() -> dict[str, str]:
                     sum(t * (t - 1) * (2 * t + 5)) AS tie_corr
              FROM (SELECT event_type, v, count(*) AS t
                    FROM g GROUP BY 1, 2) GROUP BY 1),
-      f AS (SELECT n.event_type, n.n, s.s,
+      f AS (SELECT n.event_type, n.n, coalesce(s.s, 0) AS s,
                    (n.n::DOUBLE * (n.n - 1) * (2 * n.n + 5)
-                    - tc.tie_corr::DOUBLE) / 18.0 AS var
-            FROM n JOIN s USING (event_type) JOIN tc USING (event_type)),
+                    - coalesce(tc.tie_corr, 0)::DOUBLE) / 18.0 AS var
+            FROM n LEFT JOIN s USING (event_type)
+                   LEFT JOIN tc USING (event_type)),
       z AS (SELECT event_type, n, s,
                    CASE WHEN var > 0 THEN
                      {fr("CASE WHEN s > 0 THEN (s::DOUBLE - 1) / sqrt(var)"
@@ -1687,10 +1697,14 @@ def build_oracles() -> dict[str, str]:
       r AS (SELECT g.event_type, sl.slope_per_bucket, sl.n_pairs,
                    g.v - sl.slope_per_bucket
                        * ((g.bucket - mn.b0) // {HOUR})::DOUBLE AS res
-            FROM g JOIN sl USING (event_type) JOIN mn USING (event_type))
-      SELECT event_type, n_pairs, slope_per_bucket,
-             {fr('median(res)', 6)} AS intercept
-      FROM r GROUP BY 1, 2, 3"""
+            FROM g JOIN sl USING (event_type) JOIN mn USING (event_type)),
+      f AS (SELECT event_type, n_pairs, slope_per_bucket,
+                   {fr('median(res)', 6)} AS intercept
+            FROM r GROUP BY 1, 2, 3),
+      ser AS (SELECT event_type FROM g GROUP BY 1)
+      SELECT ser.event_type, coalesce(f.n_pairs, 0) AS n_pairs,
+             f.slope_per_bucket, f.intercept
+      FROM ser LEFT JOIN f USING (event_type)"""
     # OLS linear trend: every moment accumulates in DECIMAL over small
     # bucket-index x values, then the closed forms chain identical
     # doubles (operand order mirrored verbatim from linear_trend)

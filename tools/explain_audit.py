@@ -91,7 +91,50 @@ def check_allowlists(queries: dict) -> list[str]:
     return problems
 
 
+def _tree_depth(line: str) -> int:
+    """Indent depth of a plan-tree line: length of the leading box-drawing
+    prefix (spaces, ':', '|', '+', '-')."""
+    i = 0
+    while i < len(line) and line[i] in " :|+-":
+        i += 1
+    return i
+
+
+def canonicalize_plan(plan: str) -> str:
+    """Cache-invariant plan text: a persist()ed subtree prints its FULL
+    child plan under every InMemoryRelation reference, so raw textual
+    counters (exchanges, joins) depend on how many times the cached
+    subtree happens to be referenced / re-printed — the r5 fingerprint
+    gate cried wolf on exactly this (doc_minhash_estimate 5 -> 8
+    exchanges with zero real plan change). Keep the FIRST print of each
+    distinct cached subtree (so regressions inside it still count, once)
+    and collapse repeats to a one-line marker. Expression ids (#123) are
+    normalized in the dedup key only — the emitted text is untouched."""
+    lines = plan.splitlines()
+    out, seen = [], set()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" in line:
+            d = _tree_depth(line)
+            j = i + 1
+            while j < len(lines) and _tree_depth(lines[j]) > d:
+                j += 1
+            key = re.sub(r"#\d+L?", "#x", "\n".join(lines[i:j]))
+            if key in seen:
+                out.append(line[:d] + "InMemoryRelation [cached-subtree-ref]")
+            else:
+                seen.add(key)
+                out.extend(lines[i:j])
+            i = j
+            continue
+        out.append(line)
+        i += 1
+    return "\n".join(out)
+
+
 def audit_plan(plan: str) -> dict:
+    plan = canonicalize_plan(plan)
     out = {
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
         "single_part": len(re.findall(r"Exchange SinglePartition", plan)),
