@@ -1191,6 +1191,21 @@ def q_mm_jpeg_px(spark, sf):
     return MM.resize_image(jpg, target=(8, 8))
 
 
+def q_mm_jpeg_px_420(spark, sf):
+    """END-TO-END 4:2:0 decode (r6): spec-valid subsampled baseline JFIF
+    streams — full-res luma with 2x2 factors, box-downsampled half-res
+    chroma, interleaved-MCU entropy order — are encoded from scratch and
+    fully decoded back (Huffman + dequant + IDCT + chroma upsample +
+    YCbCr->RGB), then resampled to 8x8. Synthesis uses constant 16x16
+    gray macroblocks (chroma exactly 128, DC-only luma with quantizer
+    step 8), so the lossy subsampled round trip is bit-exact and the
+    oracle recomputes the resample in closed form — an MCU-ordering,
+    upsample or color-transform bug shifts pixels and mismatches."""
+    docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    jpg = MM.synthesize_jpeg420_payload(docs)
+    return MM.resize_image(jpg, target=(8, 8))
+
+
 def q_mm_audio(spark, sf):
     """REAL audio DSP over REAL container bytes: synthesized valid
     RIFF/WAVE payloads (square-wave PCM) are chunk-walked and the per-window
@@ -2140,6 +2155,7 @@ _FAMILIES = [
         "mm_resize_px": q_mm_resize_px,
         "mm_png_px": q_mm_png_px,
         "mm_jpeg_px": q_mm_jpeg_px,
+        "mm_jpeg_px_420": q_mm_jpeg_px_420,
         "mm_audio": q_mm_audio,
     },
 ]

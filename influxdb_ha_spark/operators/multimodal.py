@@ -25,8 +25,10 @@ JPEG is real too (r5): `encode_jpeg_gray`/`synthesize_jpeg_payload` emit
 spec-valid baseline JFIF streams (FDCT, quantization, canonical Huffman
 entropy coding with byte stuffing) and `parse_jpeg` is a general baseline
 decoder — marker walk, DQT/DHT parse, Huffman entropy decode with RSTn
-handling, dequant, float IDCT, JFIF YCbCr→RGB. Progressive and subsampled
-streams return None (documented limitation).
+handling, interleaved-MCU subsampling (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 —
+any 1-2x factor mix, box upsample), dequant, float IDCT, JFIF
+YCbCr→RGB. Progressive and >2x-sampled streams return None (documented
+limitation).
 
 Scale shape: payloads stay in their partitions end-to-end (map-only); the
 Arrow transfer batches rows so per-row Python overhead is amortized; metadata
@@ -757,10 +759,12 @@ def audio_features(df: DataFrame, id_col: str = "doc_id",
 # from BITS/HUFFVAL like Annex C) and `parse_jpeg` is a REAL general
 # baseline decoder: marker walk, DQT/DHT/SOF0/SOS parsing, canonical
 # Huffman entropy decode with 0xFF00 unstuffing and RSTn handling, DC
-# prediction, dequantization, float IDCT, level shift, and JFIF YCbCr→RGB
-# for 3-component scans. Subsampled (non-1x1) and progressive streams
-# return None rather than guessing (documented limitation; the reference's
-# surface is metadata-level only — syncing/importer.go has no pixel path).
+# prediction, interleaved-MCU subsampling (any 1-2x h/v factor mix: 4:4:4,
+# 4:2:2, 4:2:0, 4:4:0; box upsample), dequantization, float IDCT, level
+# shift, and JFIF YCbCr→RGB for 3-component scans. Progressive and
+# >2x-sampled streams return None rather than guessing (documented
+# limitation; the reference's surface is metadata-level only —
+# syncing/importer.go has no pixel path).
 
 _JPEG_ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -831,61 +835,81 @@ def _jpeg_category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
-def _encode_jpeg_planes(planes, w: int, h: int, qtable=None) -> bytes:
-    """Spec-valid baseline JFIF encode of 1 (grayscale) or 3 (YCbCr,
-    4:4:4) h×w planes: edge-padded 8×8 blocks, float FDCT, quantization,
-    zigzag, per-component DC prediction, canonical-Huffman entropy coding
-    with byte stuffing. All components share quant/Huffman table 0."""
+def _encode_jpeg_planes(planes, w: int, h: int, qtable=None,
+                        sampling=None) -> bytes:
+    """Spec-valid baseline JFIF encode of 1 (grayscale) or 3 (YCbCr)
+    planes: edge-padded 8×8 blocks, float FDCT, quantization, zigzag,
+    per-component DC prediction, canonical-Huffman entropy coding with
+    byte stuffing. All components share quant/Huffman table 0.
+
+    `sampling` is an optional per-component (h, v) factor list (default
+    all (1,1) = the original 4:4:4 walk, whose bitstream is unchanged);
+    planes must arrive PRE-DOWNSAMPLED to ceil(w*h_i/hmax) x
+    ceil(h*v_i/vmax). Blocks are emitted in interleaved-MCU order
+    (T.81 A.2.3), matching _jpeg_scan's reader."""
     import numpy as np
     if qtable is None:
         qtable = np.full(64, 8, dtype=np.int32)   # DC step 8: constant
     q = np.asarray(qtable, dtype=np.int32).reshape(8, 8)   # blocks exact
     nc = len(planes)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    if sampling is None:
+        sampling = [(1, 1)] * nc
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     padded = []
-    for px in planes:
-        p = np.empty((bh * 8, bw * 8), dtype=np.float64)
-        p[:h, :w] = px
-        p[h:, :w] = p[h - 1:h, :w]                # edge replication
-        p[:, w:] = p[:, w - 1:w]
+    for px, (hi, vi) in zip(planes, sampling):
+        cw = (w * hi + hmax - 1) // hmax          # component resolution
+        ch = (h * vi + vmax - 1) // vmax
+        p = np.empty((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        p[:ch, :cw] = px
+        p[ch:, :cw] = p[ch - 1:ch, :cw]           # edge replication
+        p[:, cw:] = p[:, cw - 1:cw]
         padded.append(p)
     C = _dct_basis()
     dc_codes = _jpeg_canonical_codes(*_JPEG_DC_SPEC)
     ac_codes = _jpeg_canonical_codes(*_JPEG_AC_SPEC)
     bits = _BitWriter()
     preds = [0] * nc
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(nc):
-                blk = padded[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] \
-                    - 128.0
-                fq = np.rint(C @ blk @ C.T / q).astype(np.int64)
-                zz = [int(fq.flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
-                diff, preds[ci] = zz[0] - preds[ci], zz[0]
-                t = _jpeg_category(diff)
-                code, ln = dc_codes[t]
+
+    def put_block(ci, by, bx):
+        blk = padded[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+        fq = np.rint(C @ blk @ C.T / q).astype(np.int64)
+        zz = [int(fq.flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
+        diff, preds[ci] = zz[0] - preds[ci], zz[0]
+        t = _jpeg_category(diff)
+        code, ln = dc_codes[t]
+        bits.put(code, ln)
+        if t:
+            bits.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]     # ZRL
                 bits.put(code, ln)
-                if t:
-                    bits.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
-                run = 0
-                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-                for k in range(1, last_nz + 1):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]     # ZRL
-                        bits.put(code, ln)
-                        run -= 16
-                    s = _jpeg_category(zz[k])
-                    code, ln = ac_codes[(run << 4) | s]
-                    bits.put(code, ln)
-                    v = zz[k]
-                    bits.put(v if v >= 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_codes[0x00]         # EOB
-                    bits.put(code, ln)
+                run -= 16
+            s = _jpeg_category(zz[k])
+            code, ln = ac_codes[(run << 4) | s]
+            bits.put(code, ln)
+            v = zz[k]
+            bits.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]         # EOB
+            bits.put(code, ln)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                hi, vi = sampling[ci]
+                for v_ in range(vi):
+                    for h_ in range(hi):
+                        put_block(ci, my * vi + v_, mx * hi + h_)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") \
@@ -894,7 +918,9 @@ def _encode_jpeg_planes(planes, w: int, h: int, qtable=None) -> bytes:
     zz_q = bytes(int(q.flat[_JPEG_ZIGZAG[k]]) for k in range(64))
     dqt = seg(0xDB, b"\x00" + zz_q)
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    sof_comps = b"".join(bytes([c + 1, 0x11, 0]) for c in range(nc))
+    sof_comps = b"".join(
+        bytes([c + 1, (sampling[c][0] << 4) | sampling[c][1], 0])
+        for c in range(nc))
     sof0 = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
                + bytes([nc]) + sof_comps)
     dht = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_SPEC[0])
@@ -925,6 +951,36 @@ def encode_jpeg_rgb(px, qtable=None) -> bytes:
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
     h, w = px.shape[:2]
     return _encode_jpeg_planes([y, cb, cr], w, h, qtable)
+
+
+def _box2(p):
+    """2x2 box-average downsample with edge replication to even dims —
+    the inverse of _jpeg_scan's replication upsample (exact on 2x2-
+    constant regions)."""
+    import numpy as np
+    h, w = p.shape
+    if h % 2:
+        p = np.vstack([p, p[-1:, :]])
+    if w % 2:
+        p = np.hstack([p, p[:, -1:]])
+    return (p[0::2, 0::2] + p[0::2, 1::2]
+            + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+
+def encode_jpeg_rgb_420(px, qtable=None) -> bytes:
+    """Baseline JFIF 4:2:0 encode — the common camera/phone chroma
+    layout (r6, closing the r5 'subsampled' scope gap): full-resolution
+    luma with 2x2 sampling factors, chroma 2x2 box-averaged to half
+    resolution with 1x1 factors, interleaved-MCU entropy order."""
+    r = px[:, :, 0].astype(float)
+    g = px[:, :, 1].astype(float)
+    b = px[:, :, 2].astype(float)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    h, w = px.shape[:2]
+    return _encode_jpeg_planes([y, _box2(cb), _box2(cr)], w, h, qtable,
+                               sampling=[(2, 2), (1, 1), (1, 1)])
 
 
 class _BitReader:
@@ -1010,9 +1066,11 @@ def parse_jpeg(raw: bytes):
     baseline JPEG decode: marker walk, DQT/DHT parsing (multi-table
     segments, 8/16-bit quantizers), canonical Huffman entropy decode with
     byte-unstuffing and RSTn predictor resets, dequantization, float
-    IDCT, level shift, and JFIF YCbCr→RGB. Grayscale and 1x1-sampled
-    (4:4:4) color only; progressive, subsampled, arithmetic-coded or
-    truncated streams return None rather than guessing."""
+    IDCT, level shift, and JFIF YCbCr→RGB. Grayscale and 3-component
+    color at any 1-2x sampling-factor mix (4:4:4 / 4:2:2 / 4:2:0 /
+    4:4:0, interleaved MCUs, box chroma upsample); progressive,
+    >2x-sampled, arithmetic-coded or truncated streams return None
+    rather than guessing."""
     import numpy as np
     if len(raw) < 4 or raw[0:2] != b"\xff\xd8":
         return None
@@ -1071,9 +1129,15 @@ def parse_jpeg(raw: bytes):
                 comps = []
                 for c in range(nc):
                     cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                    if hv != 0x11:         # subsampling unsupported
-                        return None
-                    comps.append({"id": cid, "tq": tq})
+                    hi, vi = hv >> 4, hv & 15
+                    if hi not in (1, 2) or vi not in (1, 2):
+                        return None        # only 1-2x sampling factors
+                    if nc == 1:
+                        # non-interleaved single-component scan: the MCU
+                        # is ONE data unit and the component is full-res
+                        # regardless of declared factors (T.81 A.2.2)
+                        hi = vi = 1
+                    comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
             elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
                 return None                # progressive/arithmetic/etc.
@@ -1107,59 +1171,128 @@ def parse_jpeg(raw: bytes):
     return None
 
 
+def _decode_jpeg_block(br, comp, C):
+    """One 8x8 data unit: DC diff + AC run-lengths -> dequant -> IDCT.
+    Returns the spatial block (pre level-shift add of 128) or None."""
+    import numpy as np
+    coef = np.zeros(64, dtype=np.int64)
+    t = _huff_decode(br, comp["dc"])
+    if t is None or t > 11:
+        return None
+    diff = _extend(br.bits(t), t) if t else 0
+    coef[0] = diff                      # caller adds the predictor
+    k = 1
+    while k < 64:
+        sym = _huff_decode(br, comp["ac"])
+        if sym is None:
+            return None
+        if sym == 0x00:        # EOB
+            break
+        if sym == 0xF0:        # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        s = sym & 15
+        if k > 63 or s == 0:
+            return None
+        coef[_JPEG_ZIGZAG[k]] = _extend(br.bits(s), s)
+        k += 1
+    return coef
+
+
 def _jpeg_scan(raw, pos, comps, w, h, restart_interval):
     import numpy as np
     C = _dct_basis()
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
+    # interleaved MCU geometry (T.81 A.2.3): hmax*8 x vmax*8 pixels per
+    # MCU; each component contributes h x v data units per MCU at its
+    # OWN (subsampled) resolution. The 1x1-everywhere case degenerates
+    # to the per-block walk this decoder shipped with in r5.
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
+                       dtype=np.float64) for c in comps]
     br = _BitReader(raw, pos)
     preds = [0] * len(comps)
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 if br.at_rst() is None:
                     return None
                 preds = [0] * len(comps)
             for ci, comp in enumerate(comps):
-                coef = np.zeros(64, dtype=np.int64)
-                t = _huff_decode(br, comp["dc"])
-                if t is None or t > 11:
-                    return None
-                diff = _extend(br.bits(t), t) if t else 0
-                preds[ci] += diff
-                coef[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(br, comp["ac"])
-                    if sym is None:
-                        return None
-                    if sym == 0x00:        # EOB
-                        break
-                    if sym == 0xF0:        # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    s = sym & 15
-                    if k > 63 or s == 0:
-                        return None
-                    coef[_JPEG_ZIGZAG[k]] = _extend(br.bits(s), s)
-                    k += 1
-                fq = coef.reshape(8, 8) * comp["q"]
-                blk = C.T @ fq @ C + 128.0
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+                for v_ in range(comp["v"]):
+                    for h_ in range(comp["h"]):
+                        coef = _decode_jpeg_block(br, comp, C)
+                        if coef is None:
+                            return None
+                        preds[ci] += int(coef[0])
+                        coef[0] = preds[ci]
+                        fq = coef.reshape(8, 8) * comp["q"]
+                        blk = C.T @ fq @ C + 128.0
+                        by = my * comp["v"] + v_
+                        bx = mx * comp["h"] + h_
+                        planes[ci][by * 8:by * 8 + 8,
+                                   bx * 8:bx * 8 + 8] = blk
             mcu += 1
     if br.overrun:                     # truncated inside the scan
         return None
+    # bring every component to full resolution: pixel replication (box
+    # upsample — the simplest conforming choice; T.81 does not mandate a
+    # filter), then crop the MCU padding
+    full = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1:
+            p = np.repeat(p, ry, axis=0)
+        if rx > 1:
+            p = np.repeat(p, rx, axis=1)
+        full.append(p[:h, :w])
     if len(comps) == 1:
-        g = np.clip(np.rint(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return w, h, np.repeat(g[:, :, None], 3, axis=2)
-    y, cb, cr = (p[:h, :w] for p in planes)
+    y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     px = np.stack([r, g, b], axis=2)
     return w, h, np.clip(np.rint(px), 0, 255).astype(np.uint8)
+
+
+def synthesize_jpeg420_payload(df: DataFrame, id_col: str = "doc_id"
+                               ) -> DataFrame:
+    """VALID baseline 4:2:0 JFIF per row (encode_jpeg_rgb_420): 16-aligned
+    dims (w = (id%3+2)*16, h = (id%2+2)*16), every 16×16 MACROBLOCK a
+    constant gray (r=g=b = (mx*23 + my*31 + id) % 256). r=g=b makes the
+    BT.601 chroma exactly 128 (its box downsample and the decoder's
+    replication upsample are both identity on the constant plane), the
+    16×16-constant luma splits into four constant 8×8 blocks per MCU,
+    and with DC quantizer step 8 the whole lossy interleaved-MCU round
+    trip is bit-exact — giving the SUBSAMPLED codec path the same
+    closed-form SQL oracle contract as synthesize_jpeg_payload's 4:4:4
+    path (r6; mm_jpeg_px precedent)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = (i % 3 + 2) * 16, (i % 2 + 2) * 16
+                mx = np.arange(w) // 16
+                my = np.arange(h) // 16
+                g = ((mx[None, :] * 23 + my[:, None] * 31 + i) % 256
+                     ).astype(np.uint8)
+                px = np.repeat(g[:, :, None], 3, axis=2)
+                ids.append(i)
+                payloads.append(encode_jpeg_rgb_420(px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return (ensure_min_parallelism(df).select(id_col)
+            .mapInPandas(run, "doc_id long, payload binary"))
 
 
 def synthesize_jpeg_payload(df: DataFrame, id_col: str = "doc_id"

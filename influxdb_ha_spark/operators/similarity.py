@@ -204,7 +204,13 @@ def assign_centroids(corpus: DataFrame, centroids: DataFrame,
     `_assign_centroids_arrow` — an executor-broadcast numpy argmax, still
     map-only with zero corpus shuffle."""
     cents = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
-    if cents and len(cents) * len(cents[0][vec_col]) > LITERAL_TERM_CAP:
+    if not cents:
+        # an empty centroid frame would build a degenerate empty-array
+        # argmax that assigns garbage silently (r5 advice) — fail
+        # loudly, the trend-family cap convention
+        raise ValueError("assign_centroids: centroid frame is empty — "
+                         "train or seed centroids before assignment")
+    if len(cents) * len(cents[0][vec_col]) > LITERAL_TERM_CAP:
         return _assign_centroids_arrow(corpus, cents, id_col, vec_col)
     ids = ", ".join(str(int(r["centroid_id"])) for r in cents)
     sims = "array(" + ", ".join(_literal_cos_sql(r[vec_col])
@@ -749,25 +755,41 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
     pool_df = F.broadcast(cands.select("query_id", "neighbor_id", "cosine")) \
         .join(nv, "neighbor_id")
 
+    def _fold_dot(a: list, b: list) -> float:
+        # sequential left-fold in index order — the oracle's list_reduce
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + x * y
+        return s
+
     def select(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
         qid = int(pdf["query_id"].iloc[0])
-        V = np.asarray([np.asarray(v, dtype=np.float64)
-                        for v in pdf["nv"]])
-        norms = np.sqrt((V * V).sum(axis=1))
-        norms[norms == 0] = 1.0
-        Vn = V / norms[:, None]
+        # pairwise cosine pinned to the ORACLE's exact operand order
+        # (r5 advice): left-fold dot and squared-norm sums in index
+        # order, then dot / (sqrt(na)*sqrt(nb)) — NOT normalize-then-
+        # BLAS-matmul, whose pairwise summation is mathematically equal
+        # but not bit-identical; the unrounded red feeds the greedy
+        # argmax, so a ulp can flip a near-tied pick cross-engine.
+        # Cost is pool^2 * dim floats per query — pool-bounded.
+        rows = [list(map(float, v)) for v in pdf["nv"]]
+        n = len(rows)
+        nrm = [math.sqrt(_fold_dot(a, a)) or 1.0 for a in rows]
+        pw = np.empty((n, n), dtype=np.float64)
+        for i in range(n):
+            for j in range(n):
+                pw[i, j] = (_fold_dot(rows[i], rows[j])
+                            / (nrm[i] * nrm[j]))
         sim_q = pdf["cosine"].to_numpy(dtype=np.float64)
         ids = pdf["neighbor_id"].to_numpy()
-        n = len(ids)
         chosen: list[int] = []
         out = []
         avail = np.ones(n, dtype=bool)
         for rank in range(1, min(k, n) + 1):
             if chosen:
-                red = (Vn[avail] @ Vn[chosen].T).max(axis=1)
+                red = pw[np.ix_(avail, chosen)].max(axis=1)
             else:
-                red = np.zeros(avail.sum())
+                red = np.zeros(int(avail.sum()))
             score = lam * sim_q[avail] - (1.0 - lam) * red
             # first max = lowest neighbor_id (rows sorted by id)
             pick_rel = int(np.argmax(score))

@@ -331,10 +331,14 @@ def cluster_assign(df: DataFrame, k: int = 8, text_col: str = "text",
     corpus pipelines (the text-side sibling of emb_semantic_dedup's
     assignment stage).
 
-    Centroids here are the first `k` documents' TF vectors (fixed seeds,
-    so the driver contract is deterministic and the oracle can replay
-    assignment from raw text); production swaps in kmeans_centroids-
+    Centroids here are the k LOWEST-id documents' TF vectors (fixed
+    deterministic seeds, so the driver contract is replayable and the
+    oracle can rebuild assignment from raw text; orderBy(id).limit(k),
+    NOT `id < k` — sparse or non-zero-based ids would silently yield
+    fewer seeds, r5 advice); production swaps in kmeans_centroids-
     trained centroids — assign_centroids accepts any centroid frame.
+    Fewer than k documents is a loud ValueError, never a quiet
+    smaller clustering.
 
     Shape at scale: TF construction and assignment are BOTH map-only
     (the k×n_buckets centroid literals inline, the assign_centroids
@@ -344,8 +348,14 @@ def cluster_assign(df: DataFrame, k: int = 8, text_col: str = "text",
     from .similarity import assign_centroids
     tf = tf_vectors(df, text_col=text_col, id_col=id_col,
                     n_buckets=n_buckets).withColumnRenamed("tf", "embedding")
-    cent = (tf.where(F.col(id_col) < k)
+    cent = (tf.orderBy(id_col).limit(k)
             .select(F.col(id_col).alias("centroid_id"), "embedding"))
+    n_cent = cent.count()
+    if n_cent != k:
+        raise ValueError(
+            f"cluster_assign: corpus has only {n_cent} documents with "
+            f"non-null text for k={k} seed centroids — lower k or use "
+            f"kmeans_centroids-trained centroids")
     out = assign_centroids(tf, cent, id_col=id_col, vec_col="embedding")
     return out.select(id_col, "n_tokens", "centroid_id")
 

@@ -1147,6 +1147,28 @@ def build_oracles() -> dict[str, str]:
              round(avg(v), 6) AS mean_px,
              max(CASE WHEN x = 7 AND y = 7 THEN v END)::BIGINT AS corner_px
       FROM px GROUP BY doc_id, w, h"""
+    # 4:2:0 twin: dims are 16-aligned (w = (id%3+2)*16, h = (id%2+2)*16)
+    # and every 16x16 MACROBLOCK is a constant gray (mx*23 + my*31 + id)
+    # % 256 with r=g=b (chroma exactly 128 -> sub/upsample exact, DC-only
+    # luma with quantizer step 8 -> bit-exact round trip); the resampled
+    # pixel at (x, y) reads macroblock (sx//16, sy//16), sx = x*w//8
+    o["mm_jpeg_px_420"] = """
+      WITH d AS (SELECT doc_id, (doc_id % 3 + 2) * 16 AS w,
+                        (doc_id % 2 + 2) * 16 AS h
+                 FROM documents WHERE text IS NOT NULL),
+           g AS (SELECT sx.g AS x, sy.g AS y
+                 FROM generate_series(0, 7) sx(g), generate_series(0, 7) sy(g)),
+           px AS (SELECT d.doc_id, d.w, d.h,
+                         ((((g.x * d.w) // 8) // 16) * 23
+                          + (((g.y * d.h) // 8) // 16) * 31
+                          + d.doc_id) % 256 AS v,
+                         g.x, g.y
+                  FROM d, g)
+      SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+             8::BIGINT AS out_w, 8::BIGINT AS out_h,
+             round(avg(v), 6) AS mean_px,
+             max(CASE WHEN x = 7 AND y = 7 THEN v END)::BIGINT AS corner_px
+      FROM px GROUP BY doc_id, w, h"""
     o["mm_audio"] = """
       WITH p AS (SELECT doc_id, (doc_id * 97) % 30000 + 1000 AS amp,
                         (doc_id % 50 + 20) * 2 AS n_samples
@@ -1223,7 +1245,8 @@ def build_oracles() -> dict[str, str]:
                      CAST(len(list_filter(hs, x -> x = i)) AS DOUBLE)) AS tf,
                    len(hs)::BIGINT AS n_tokens
             FROM h),
-      cent AS (SELECT doc_id AS centroid_id, tf FROM v WHERE doc_id < 8),
+      cent AS (SELECT doc_id AS centroid_id, tf FROM v
+               ORDER BY doc_id LIMIT 8),
       a AS (SELECT v.doc_id, v.n_tokens, c.centroid_id,
                    row_number() OVER (PARTITION BY v.doc_id
                      ORDER BY {_cos("v.tf", "c.tf")} DESC,

@@ -20,7 +20,7 @@ import numpy as np
 from hypothesis import given, settings, strategies as st
 
 from influxdb_ha_spark.operators.multimodal import (
-    encode_jpeg_gray, encode_jpeg_rgb, parse_jpeg)
+    encode_jpeg_gray, encode_jpeg_rgb, encode_jpeg_rgb_420, parse_jpeg)
 
 
 @settings(max_examples=60, deadline=None)
@@ -72,6 +72,47 @@ def test_rgb_roundtrip_bounded_error(data, w, h):
     assert np.abs(got.astype(int) - px.astype(int)).max() <= 6
 
 
+@settings(max_examples=30, deadline=None)
+@given(data=st.data(),
+       w=st.integers(min_value=1, max_value=12),
+       h=st.integers(min_value=1, max_value=10))
+def test_rgb_420_roundtrip_bounded_error_on_2x2_cells(data, w, h):
+    """4:2:0 (r6): color constant per 2x2 cell, so the chroma box
+    downsample and the decoder's replication upsample are mutually
+    exact — the residual error is the same DCT/quant/color-rounding
+    budget as the 4:4:4 test."""
+    cells = np.array(data.draw(st.lists(
+        st.integers(min_value=0, max_value=255),
+        min_size=w * h * 3, max_size=w * h * 3)),
+        dtype=np.uint8).reshape(h, w, 3)
+    px = np.repeat(np.repeat(cells, 2, axis=0), 2, axis=1)
+    out = parse_jpeg(encode_jpeg_rgb_420(px, qtable=np.ones(64, dtype=int)))
+    assert out is not None
+    pw, ph, got = out
+    assert (pw, ph) == (2 * w, 2 * h)
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 8
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data(),
+       w=st.integers(min_value=1, max_value=21),
+       h=st.integers(min_value=1, max_value=19))
+def test_rgb_420_neutral_chroma_arbitrary_dims(data, w, h):
+    """4:2:0 at ARBITRARY (odd, non-MCU-aligned) dims: r=g=b makes
+    chroma exactly 128 everywhere (downsample/upsample exact), while
+    the luma plane carries arbitrary content through the interleaved
+    2x2-luma MCU walk and the 16-pixel MCU edge padding."""
+    g = np.array(data.draw(st.lists(
+        st.integers(min_value=0, max_value=255),
+        min_size=w * h, max_size=w * h)), dtype=np.uint8).reshape(h, w)
+    px = np.repeat(g[:, :, None], 3, axis=2)
+    out = parse_jpeg(encode_jpeg_rgb_420(px, qtable=np.ones(64, dtype=int)))
+    assert out is not None
+    pw, ph, got = out
+    assert (pw, ph) == (w, h)
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 8
+
+
 def test_rejects_malformed():
     px = np.zeros((8, 8), dtype=np.uint8)
     raw = encode_jpeg_gray(px)
@@ -82,10 +123,16 @@ def test_rejects_malformed():
     # progressive SOF (0xC2) must be rejected, not misdecoded
     prog = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert parse_jpeg(prog) is None
-    # subsampled component (2x2 sampling factors in SOF) rejected
+    # 2x2 factors on a SINGLE-component scan: per T.81 A.2.2 a
+    # non-interleaved scan ignores sampling factors — must still decode
     sub = bytearray(raw)
     sof = raw.index(b"\xff\xc0")
     sub[sof + 11] = 0x22                               # comp 1 H/V
+    assert parse_jpeg(bytes(sub)) is not None
+    # >2x sampling factors (unsupported) rejected, not misdecoded
+    sub[sof + 11] = 0x33
+    assert parse_jpeg(bytes(sub)) is None
+    sub[sof + 11] = 0x13
     assert parse_jpeg(bytes(sub)) is None
     # every mid-scan truncation of a multi-block image must return None,
     # even when the synthesized zero-bits happen to parse (r5 review:

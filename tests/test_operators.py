@@ -906,6 +906,29 @@ def test_text_cluster_assign_groups_by_vocabulary(spark):
     assert sum(tf["tf"]) == 5.0 and max(tf["tf"]) == 2.0  # 'spark' x2
 
 
+def test_cluster_assign_sparse_ids_and_small_corpus(spark):
+    """Seeds are the k LOWEST ids (orderBy.limit, not `id < k`): sparse
+    non-zero-based ids must still yield exactly k centroids; a corpus
+    smaller than k fails loudly; an empty centroid frame raises in
+    assign_centroids rather than building an empty argmax (r5 advice)."""
+    import pytest
+    from influxdb_ha_spark.operators.similarity import assign_centroids
+    from influxdb_ha_spark.operators.text import cluster_assign
+    rows = [(100, "spark shuffle join"), (205, "violin cello oboe"),
+            (310, "spark join join"), (447, "cello oboe harp")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["centroid_id"] for r in
+           cluster_assign(df, k=2, n_buckets=32).collect()}
+    # the old `id < k` form found ZERO seeds here; now 100 and 205 seed
+    assert set(out.values()) == {100, 205}
+    assert out == {100: 100, 205: 205, 310: 100, 447: 205}
+    with pytest.raises(ValueError, match="only 4 documents"):
+        cluster_assign(df, k=9, n_buckets=32)
+    empty = spark.createDataFrame([], "centroid_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="centroid frame is empty"):
+        assign_centroids(df.limit(1), empty)
+
+
 def test_cusum_detects_planted_shift(spark):
     """Baseline at the target mean never alarms; a sustained +shift
     drives S+ past the threshold within ceil(h/(shift-k)) points, then
