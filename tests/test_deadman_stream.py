@@ -1,0 +1,130 @@
+"""Streaming deadman twin: per-series liveness state must survive
+micro-batch boundaries, silent series must raise exactly one dead alert
+when their processing-time timeout fires, and returning data must emit
+a recovery row."""
+
+import json
+import os
+import time
+
+from influxdb_ha_spark.streaming.deadman_stream import deadman_stream
+
+
+def _write_batch(d, name, rows):
+    with open(os.path.join(d, name + ".tmp"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(os.path.join(d, name + ".tmp"), os.path.join(d, name))
+
+
+def test_deadman_stream_status_rows_accumulate(spark, tmp_path):
+    """Data path (deterministic): status rows carry the running
+    (last_time, n_points) across micro-batches, dead=false while data
+    flows, and last_time is monotone even when a batch arrives with
+    older points."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "series string, time long"
+    # maxFilesPerTrigger=1 pins the file->micro-batch mapping; a
+    # periodic trigger (NOT availableNow: armed processing-time
+    # timeouts keep that spinning state-cleanup batches) drains both
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    _write_batch(src, "b0.json",
+                 [{"series": "a", "time": t} for t in (10, 30, 20)]
+                 + [{"series": "b", "time": 5}])
+    stream = spark.readStream.schema(schema).json(src)
+    out = deadman_stream(stream, threshold_ms=3_600_000)  # never fires
+    q = (out.writeStream.foreachBatch(sink)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(processingTime="200 milliseconds").start())
+    try:
+        deadline = time.time() + 90
+        while len(collected) < 2 and time.time() < deadline:
+            time.sleep(0.1)
+        # second batch only after the first is consumed — pins the
+        # file->micro-batch order the state transition assertions need
+        _write_batch(src, "b1.json",
+                     [{"series": "a", "time": 25}]    # older than 30
+                     + [{"series": "b", "time": 50}])
+        while len(collected) < 4 and time.time() < deadline:
+            time.sleep(0.1)
+    finally:
+        q.stop()
+
+    got = {(r["series"], r["n_points"]): (r["last_time"], r["dead"],
+                                          r["recovered"])
+           for r in collected}
+    assert got[("a", 3)] == (30, False, False)
+    assert got[("b", 1)] == (5, False, False)
+    assert got[("a", 4)] == (30, False, False)      # monotone last_time
+    assert got[("b", 2)] == (50, False, False)
+
+
+def test_deadman_stream_timeout_alert_and_recovery(spark, tmp_path):
+    """Timeout path: with a 1 ms threshold, a series absent from the
+    next micro-batch (processed >= milliseconds later) raises exactly
+    one dead alert; when its data returns, the status row carries
+    recovered=true. Series 'b' stays live throughout and never
+    alerts."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "series string, time long"
+
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    stream = spark.readStream.schema(schema).json(src)
+    out = deadman_stream(stream, threshold_ms=1)
+
+    _write_batch(src, "b0.json", [{"series": "a", "time": 1},
+                                  {"series": "b", "time": 1}])
+    q = (out.writeStream.foreachBatch(sink)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(processingTime="300 milliseconds").start())
+    try:
+        deadline = time.time() + 60
+        while not any(r["series"] == "a" and not r["dead"]
+                      for r in collected) and time.time() < deadline:
+            time.sleep(0.1)
+        # batch with only 'b': 'a' has been silent past 1 ms -> alert
+        _write_batch(src, "b1.json", [{"series": "b", "time": 2}])
+        while not any(r["series"] == "a" and r["dead"]
+                      for r in collected) and time.time() < deadline:
+            time.sleep(0.1)
+        # 'a' returns -> recovery row
+        _write_batch(src, "b2.json", [{"series": "a", "time": 3},
+                                      {"series": "b", "time": 3}])
+        while not any(r["series"] == "a" and r["recovered"]
+                      for r in collected) and time.time() < deadline:
+            time.sleep(0.1)
+    finally:
+        q.stop()
+
+    a_rows = [r for r in collected if r["series"] == "a"]
+    dead = [r for r in a_rows if r["dead"]]
+    assert dead and dead[0]["last_time"] == 1   # alert carries the state
+    rec = [r for r in a_rows if r["recovered"]]
+    assert rec and rec[0]["last_time"] == 3 and not rec[0]["dead"]
+    # alert-ONCE-per-silence, both series (with a 1 ms threshold every
+    # inter-batch gap is a silence, so 'b' legitimately dies/recovers
+    # too): a dead alert is never followed by another dead alert without
+    # a recovery row in between
+    for s in ("a", "b"):
+        flags = [("D" if r["dead"] else ("R" if r["recovered"] else "L"))
+                 for r in collected if r["series"] == s]
+        prev = None
+        for f in flags:
+            if f == "D":
+                assert prev != "D", (s, flags)
+            if f == "R":                    # recovery only after an alert
+                assert prev == "D", (s, flags)
+            if f in ("D", "R"):
+                prev = f
