@@ -727,6 +727,22 @@ def q_doc_decontaminate_bloom(spark, sf):
     return P.decontaminate_bloom(tr, ev)
 
 
+def q_doc_ngram_overlap(spark, sf):
+    """Per-document n-gram contamination FRACTION (Brown et al. 2020
+    appendix C — the normalized 'dirty document' audit view next to
+    doc_decontaminate's shared-count sliver): every training doc (the
+    doc_id % 89 != 0 side) reports the fraction of its distinct 5-grams
+    found in the doc_id % 89 == 0 'benchmark' subset, plus a
+    contamination flag at 0.1. Output cardinality = |train docs| —
+    clean docs report 0.0, never vanish. Denominator computed in-row
+    (no corpus explode); only matching grams shuffle."""
+    from influxdb_ha_spark.operators import pipeline as P
+    docs = _t(spark, sf, "documents")
+    ev = docs.where(F.col("doc_id") % 89 == 0)
+    tr = docs.where(F.col("doc_id") % 89 != 0)
+    return P.ngram_overlap(tr, ev, n=5, threshold=0.1)
+
+
 def q_doc_train_test_split(spark, sf):
     """Deterministic hash split (reproducible on any layout — no RNG);
     emits per-split counts + per-doc assignments for the smallest ids."""
@@ -2077,6 +2093,7 @@ _FAMILIES = [
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_dedup_apply": q_doc_dedup_apply,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_ngram_overlap": q_doc_ngram_overlap,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_train_test_split": q_doc_train_test_split,
         "doc_stratified_sample": q_doc_stratified_sample,

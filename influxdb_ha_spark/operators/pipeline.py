@@ -54,6 +54,57 @@ def decontaminate(train: DataFrame, eval_set: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_shared_shingles")))
 
 
+def ngram_overlap(train: DataFrame, eval_set: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 13, threshold: float = 0.1) -> DataFrame:
+    """Per-document n-gram contamination FRACTION (the 'dirty document'
+    metric of GPT-3's appendix-C decontamination analysis, Brown et al.
+    2020 arXiv:2005.14165, used at 8-13 grams by the LLM-scale corpus
+    audits): for EVERY training doc, the fraction of its DISTINCT word
+    n-grams that appear anywhere in the evaluation set, plus a
+    contaminated flag at `threshold`.
+
+    `decontaminate` answers "which docs overlap at all, and how many
+    shingles" (inner-join sliver, contaminated docs only); this op is
+    the normalized AUDIT view — output cardinality is exactly |train
+    docs with text| (the r6 series-cardinality convention: clean docs
+    report 0.0, never vanish), which is what a contamination-rate
+    report or a threshold sweep needs.
+
+    Shape at 100 TB: n_ngrams is computed IN-ROW (size of the distinct
+    shingle array — map-only, the corpus never explodes for the
+    denominator); the eval n-gram set is benchmark-sized and
+    broadcasts; only MATCHING (doc, gram) rows leave the map side for
+    the shared-count aggregation (the decontaminate shape); the final
+    totals⋈shared join is left unhinted — the shared side is the
+    contaminated sliver, so AQE broadcasts it when small and falls
+    back honestly when a pathological corpus is mostly contaminated.
+    """
+    grams = lambda df: F.array_distinct(           # noqa: E731
+        shingles_expr(tokens_expr(F.col(text_col)), n))
+    tr = (ensure_min_parallelism(train)
+          .where(F.col(text_col).isNotNull()))
+    tot = tr.select(F.col(id_col),
+                    F.size(grams(tr)).cast("long").alias("n_ngrams"))
+    ev = (eval_set.where(F.col(text_col).isNotNull())
+          .select(F.explode(grams(eval_set)).alias("__g")).distinct())
+    shared = (tr.select(F.col(id_col), F.explode(grams(tr)).alias("__g"))
+              .join(F.broadcast(ev), "__g")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    j = (tot.join(shared, id_col, "left")
+         .select(id_col, "n_ngrams",
+                 F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared")))
+    frac = F.when(
+        F.col("n_ngrams") > 0,
+        F.floor(F.col("n_shared").cast("double")
+                / F.col("n_ngrams").cast("double") * 1e6 + F.lit(0.5))
+        / F.lit(1e6)).otherwise(F.lit(0.0))
+    return j.select(id_col, "n_ngrams", "n_shared",
+                    frac.alias("overlap_frac"),
+                    (frac > F.lit(float(threshold))).alias("contaminated"))
+
+
 def decontaminate_bloom(train: DataFrame, eval_set: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3, m_bits: int = 1 << 16,

@@ -353,8 +353,15 @@ def mad_score(value: "F.Column", med: "F.Column", mad: "F.Column",
     """(robust_z, is_outlier) column pair for the Iglewicz–Hoaglin
     modified z-score Mi = 0.6745·(x − median)/MAD — the single shared
     definition for the batch operator and the streaming twin. MAD = 0 ⇒
-    NULL score, nothing flagged (the Hampel convention)."""
-    z = F.when(mad > 0, F.round(F.lit(0.6745) * (value - med) / mad, 6))
+    NULL score, nothing flagged (the Hampel convention).
+
+    Floor-form rounding, NOT F.round (r6, hypothesis-found): medians of
+    integer-valued data are nice decimals, so 0.6745·(x−med)/mad lands
+    on .xxxxxx5 SHORTEST-REPR boundaries (e.g. 0.6745·(−0.5)/4 reprs as
+    -0.0843125 while the true double sits just below) — Spark's round()
+    HALF_UPs the shortest string repr where DuckDB rounds the actual
+    double, a one-ulp-class cross-engine flip _fr exists to kill."""
+    z = F.when(mad > 0, _fr(F.lit(0.6745) * (value - med) / mad, 6))
     return z, F.coalesce(F.abs(z) > threshold, F.lit(False))
 
 

@@ -739,6 +739,31 @@ def build_oracles() -> dict[str, str]:
     # bloom prefilter + exact verify ≡ the exact operator (no false
     # negatives; false positives die in the verify join)
     o["doc_decontaminate_bloom"] = o["doc_decontaminate"]
+    # normalized contamination fraction (Brown et al. 2020 appendix C):
+    # EVERY train doc, distinct-5-gram overlap with the % 89 benchmark
+    # subset; denominator = the doc's own distinct-gram count
+    o["doc_ngram_overlap"] = f"""
+      WITH sh AS ({_shingles_cte(5)}),
+      ev AS (SELECT DISTINCT unnest(list_distinct(sh)) AS g
+             FROM sh WHERE doc_id % 89 = 0 AND sh IS NOT NULL),
+      tot AS (SELECT doc_id,
+                     len(list_distinct(sh))::BIGINT AS n_ngrams
+              FROM sh WHERE doc_id % 89 <> 0 AND sh IS NOT NULL),
+      tr AS (SELECT doc_id, unnest(list_distinct(sh)) AS g
+             FROM sh WHERE doc_id % 89 <> 0),
+      shared AS (SELECT tr.doc_id, count(*) AS n_shared
+                 FROM tr JOIN ev USING (g) GROUP BY 1),
+      f AS (SELECT t.doc_id, t.n_ngrams,
+                   coalesce(s.n_shared, 0)::BIGINT AS n_shared
+            FROM tot t LEFT JOIN shared s USING (doc_id)),
+      z AS (SELECT doc_id, n_ngrams, n_shared,
+                   CASE WHEN n_ngrams > 0 THEN
+                     {fr('(n_shared::DOUBLE) / (n_ngrams::DOUBLE)', 6)}
+                   ELSE 0.0 END AS overlap_frac
+            FROM f)
+      SELECT doc_id, n_ngrams, n_shared, overlap_frac,
+             overlap_frac > 0.1 AS contaminated
+      FROM z"""
     o["doc_train_test_split"] = f"""
       SELECT doc_id,
              CASE WHEN {duck_hash64('doc_id::VARCHAR')} % 100 < 10
@@ -1905,7 +1930,8 @@ def build_oracles() -> dict[str, str]:
               FROM e JOIN med m USING (event_type) GROUP BY 1),
       z AS (SELECT e.event_type, e.time, e.value,
                    CASE WHEN d.mad > 0 THEN
-                     round(0.6745 * (e.value - m.med) / d.mad, 6) END AS robust_z
+                     {fr('0.6745 * (e.value - m.med) / d.mad', 6)}
+                   END AS robust_z
             FROM e JOIN med m USING (event_type) JOIN mad d USING (event_type))
       SELECT event_type, time, {fr('value', 6)} AS value, robust_z
       FROM z WHERE coalesce(abs(robust_z) > 3.5, FALSE)"""
