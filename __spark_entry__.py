@@ -743,6 +743,20 @@ def q_doc_ngram_overlap(spark, sf):
     return P.ngram_overlap(tr, ev, n=5, threshold=0.1)
 
 
+def q_doc_token_mixture(spark, sf):
+    """Token-budget data mixing (Pile/LLaMA recipe step): 30/20/10% of a
+    5000-token budget from src0/src1/src2, everything else weight 0 —
+    per-source integer token totals set exact integer hash thresholds
+    (floor divisions only, no float in the plan), report form keeps
+    every doc with a keep flag. src0's target exceeds/approaches its
+    supply while src2 samples at ~1/3, so the key exercises the rate
+    cap and mid-range thresholds at once."""
+    from influxdb_ha_spark.operators import pipeline as P
+    docs = _t(spark, sf, "documents")
+    return P.token_budget_mixture(
+        docs, {"src0": 0.3, "src1": 0.2, "src2": 0.1}, total_tokens=5000)
+
+
 def q_doc_train_test_split(spark, sf):
     """Deterministic hash split (reproducible on any layout — no RNG);
     emits per-split counts + per-doc assignments for the smallest ids."""
@@ -2094,6 +2108,7 @@ _FAMILIES = [
         "doc_dedup_apply": q_doc_dedup_apply,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_ngram_overlap": q_doc_ngram_overlap,
+        "doc_token_mixture": q_doc_token_mixture,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_train_test_split": q_doc_train_test_split,
         "doc_stratified_sample": q_doc_stratified_sample,

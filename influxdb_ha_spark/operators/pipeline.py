@@ -165,6 +165,59 @@ def decontaminate_bloom(train: DataFrame, eval_set: DataFrame,
             .agg(F.count(F.lit(1)).alias("n_shared_shingles")))
 
 
+def token_budget_mixture(df: DataFrame, weights: dict[str, float],
+                         total_tokens: int, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         source_col: str = "source") -> DataFrame:
+    """Token-budget corpus MIXING — the data-mixture construction step
+    of Pile/LLaMA-style pretraining recipes ("x% of training tokens
+    from source A, y% from B"; Gao et al. 2020 arXiv:2101.00027 §1
+    frames mixing as per-set weights over a token budget): given
+    per-source token FRACTIONS and a total budget, sample each source
+    by deterministic hash threshold at the rate that meets its budget
+    in expectation.
+
+    EXACT integer arithmetic end to end (no float ever enters the
+    plan): weights convert ONCE driver-side to parts-per-million
+    (wppm = round(frac*1e6) — the only float op, on user-given nice
+    fractions); per-source token totals S_s are integer aggregates;
+    target_s = total_tokens * wppm // 10^6 and the acceptance
+    threshold min(10^6, target_s * 10^6 // S_s) are integer floor
+    divisions, compared against hash64(doc_id) % 10^6 (the
+    weighted_sample convention — population-exact to 1e-6,
+    reproducible on any cluster layout). A source absent from
+    `weights` samples at 0.
+
+    Output is the REPORT form, cardinality = |docs with text|:
+    (doc_id, source, n_tokens, keep) — filter keep for the shard;
+    clean-vs-dropped is auditable per row (the r6 never-vanish
+    convention).
+
+    Shape at 100 TB: ONE source-keyed aggregation (|sources| rows to
+    the driver — the k-means collect convention) and a map-only
+    projection; the corpus never shuffles.
+    """
+    m = 1_000_000
+    toks = tokens_expr(F.col(text_col))
+    base = (ensure_min_parallelism(df)
+            .where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), F.col(source_col),
+                    F.size(toks).cast("long").alias("n_tokens")))
+    totals = {r[source_col]: int(r["__s"]) for r in
+              base.groupBy(source_col)
+              .agg(F.sum("n_tokens").alias("__s")).collect()}
+    thr = F.lit(0)
+    for src in sorted(totals):
+        wppm = int(round(float(weights.get(src, 0.0)) * m))
+        target = int(total_tokens) * wppm // m
+        t = min(m, target * m // totals[src]) if totals[src] > 0 else 0
+        thr = F.when(F.col(source_col) == src, F.lit(t)).otherwise(thr)
+    return base.select(
+        id_col, source_col, "n_tokens",
+        (hash64_expr(F.col(id_col).cast("string")) % F.lit(m) < thr)
+        .alias("keep"))
+
+
 def train_test_split(df: DataFrame, id_col: str = "doc_id",
                      test_pct: int = 10) -> DataFrame:
     """Deterministic split: md5-hash of the id mod 100 < test_pct → 'test'.

@@ -764,6 +764,27 @@ def build_oracles() -> dict[str, str]:
       SELECT doc_id, n_ngrams, n_shared, overlap_frac,
              overlap_frac > 0.1 AS contaminated
       FROM z"""
+    # token-budget mixing: per-source integer token totals -> exact
+    # integer ppm thresholds (floor divisions replay the driver's
+    # Python integer arithmetic literally), hash-threshold keep flags
+    o["doc_token_mixture"] = f"""
+      WITH d AS (SELECT doc_id, source, len({TOKS})::BIGINT AS n_tokens
+                 FROM documents WHERE text IS NOT NULL),
+      s AS (SELECT source, sum(n_tokens)::BIGINT AS st FROM d GROUP BY 1),
+      w AS (SELECT source, st,
+                   CASE source WHEN 'src0' THEN 300000
+                               WHEN 'src1' THEN 200000
+                               WHEN 'src2' THEN 100000
+                               ELSE 0 END AS wppm
+            FROM s),
+      r AS (SELECT source,
+                   CASE WHEN st > 0 THEN least(1000000,
+                        ((5000 * wppm) // 1000000) * 1000000 // st)
+                   ELSE 0 END AS thr
+            FROM w)
+      SELECT d.doc_id, d.source, d.n_tokens,
+             ({duck_hash64("d.doc_id::VARCHAR")} % 1000000) < r.thr AS keep
+      FROM d JOIN r USING (source)"""
     o["doc_train_test_split"] = f"""
       SELECT doc_id,
              CASE WHEN {duck_hash64('doc_id::VARCHAR')} % 100 < 10

@@ -497,6 +497,35 @@ def test_weighted_sample(spark):
     assert weighted_sample(df, rates={}).count() == 0  # default rate 0
 
 
+def test_token_budget_mixture(spark):
+    """Budget-derived rates: a source whose target exceeds its supply
+    caps at keep-everything; a fractional target keeps ~the budgeted
+    token share; weight-0 sources keep nothing but STAY in the report;
+    all deterministic under repartitioning (integer hash thresholds)."""
+    from influxdb_ha_spark.operators.pipeline import token_budget_mixture
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", "tok " * 10) for i in range(300)]
+        + [(900, "s0", None)],                      # null text excluded
+        "doc_id long, source string, text string")
+    # each source: 100 docs x 10 tokens = 1000 tokens supply
+    out = token_budget_mixture(df, {"s0": 0.8, "s1": 0.2},
+                               total_tokens=2500)
+    rows = out.collect()
+    assert len(rows) == 300                         # report cardinality
+    kept_tokens = {s: 0 for s in ("s0", "s1", "s2")}
+    for r in rows:
+        assert r["n_tokens"] == 10
+        if r["keep"]:
+            kept_tokens[r["source"]] += r["n_tokens"]
+    assert kept_tokens["s0"] == 1000   # target 2000 > supply 1000: cap
+    assert 300 <= kept_tokens["s1"] <= 700   # target 500 of 1000, ~half
+    assert kept_tokens["s2"] == 0      # unweighted source: present, 0
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, token_budget_mixture(
+        df.repartition(7), {"s0": 0.8, "s1": 0.2},
+        total_tokens=2500).collect()))
+
+
 def test_assign_centroids_size_gate_paths_agree(spark, monkeypatch):
     """Above LITERAL_TERM_CAP the assignment must switch to the
     executor-broadcast Arrow path and produce the same assignments the
