@@ -113,6 +113,36 @@ def test_rgb_420_neutral_chroma_arbitrary_dims(data, w, h):
     assert np.abs(got.astype(int) - px.astype(int)).max() <= 8
 
 
+@settings(max_examples=20, deadline=None)
+@given(data=st.data(),
+       w=st.integers(min_value=1, max_value=10),
+       h=st.integers(min_value=1, max_value=16))
+def test_422_and_440_asymmetric_sampling_roundtrip(data, w, h):
+    """Asymmetric factors (4:2:2 = 2x1 luma, and 4:4:0 = 1x2) exercise
+    the rx != ry replication upsample and non-square MCU geometry the
+    2x2 test can't reach. Colors constant per 2-pixel cell along the
+    subsampled axis keep the chroma path exact."""
+    from influxdb_ha_spark.operators.multimodal import _encode_jpeg_planes
+
+    cells = np.array(data.draw(st.lists(
+        st.integers(min_value=0, max_value=255),
+        min_size=w * h, max_size=w * h)), dtype=np.uint8).reshape(h, w)
+    for axis, sampling in ((1, [(2, 1), (1, 1), (1, 1)]),    # 4:2:2
+                           (0, [(1, 2), (1, 1), (1, 1)])):   # 4:4:0
+        g = np.repeat(cells, 2, axis=axis).astype(float)
+        gw, gh = g.shape[1], g.shape[0]
+        half = cells.astype(float)    # exact half-res chroma plane
+        raw = _encode_jpeg_planes(
+            [g, half * 0 + 128.0, half * 0 + 128.0], gw, gh,
+            qtable=np.ones(64, dtype=int), sampling=sampling)
+        out = parse_jpeg(raw)
+        assert out is not None
+        pw, ph, got = out
+        assert (pw, ph) == (gw, gh)
+        assert np.abs(got[:, :, 1].astype(int)
+                      - g.astype(int)).max() <= 8, (axis, sampling)
+
+
 def test_rejects_malformed():
     px = np.zeros((8, 8), dtype=np.uint8)
     raw = encode_jpeg_gray(px)
