@@ -1697,14 +1697,17 @@ def q_ts_pettitt(spark, sf):
     """Pettitt single change-point test per series (Pettitt 1979, added
     scope — 'did the level shift, and when'): exact integer U_t via the
     telescoping A_t − B_t endpoint aggregation + one per-series prefix
-    sum, K = max|U_t| with earliest-bucket tie-break; significance via
-    the exact −6K²/(B³+B²) exponent against a precomputed ln(0.025)
-    literal, keeping JVM transcendentals out of the oracle-compared
-    plan (operators/timeseries.py:pettitt_test)."""
+    sum, K = max|U_t| with earliest-bucket tie-break; significance
+    (p < 0.05) via the exact DECIMAL(38,0) comparison
+    6K²·10¹⁶ > floor(ln(40)·10¹⁶)·(B³+B²), so the hashed row is 100%
+    float-free — the operator's log_p_exponent diagnostic (the one
+    float) is dropped here and stays API-only
+    (operators/timeseries.py:pettitt_test)."""
     from influxdb_ha_spark.operators.timeseries import pettitt_test
     ev = _events_us(spark, sf).select("event_type", "time", "value")
     return pettitt_test(ev, on="time", by=["event_type"],
-                        value_col="value", bucket_ns=HOUR)
+                        value_col="value", bucket_ns=HOUR
+                        ).drop("log_p_exponent")
 
 
 def q_ts_seasonal_mk(spark, sf):

@@ -1171,7 +1171,7 @@ def parse_jpeg(raw: bytes):
     return None
 
 
-def _decode_jpeg_block(br, comp, C):
+def _decode_jpeg_block(br, comp):
     """One 8x8 data unit: DC diff + AC run-lengths -> dequant -> IDCT.
     Returns the spatial block (pre level-shift add of 128) or None."""
     import numpy as np
@@ -1225,7 +1225,7 @@ def _jpeg_scan(raw, pos, comps, w, h, restart_interval):
             for ci, comp in enumerate(comps):
                 for v_ in range(comp["v"]):
                     for h_ in range(comp["h"]):
-                        coef = _decode_jpeg_block(br, comp, C)
+                        coef = _decode_jpeg_block(br, comp)
                         if coef is None:
                             return None
                         preds[ci] += int(coef[0])

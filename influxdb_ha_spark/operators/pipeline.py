@@ -71,30 +71,35 @@ def ngram_overlap(train: DataFrame, eval_set: DataFrame,
     report 0.0, never vanish), which is what a contamination-rate
     report or a threshold sweep needs.
 
-    Shape at 100 TB: n_ngrams is computed IN-ROW (size of the distinct
-    shingle array — map-only, the corpus never explodes for the
-    denominator); the eval n-gram set is benchmark-sized and
-    broadcasts; only MATCHING (doc, gram) rows leave the map side for
-    the shared-count aggregation (the decontaminate shape); the final
-    totals⋈shared join is left unhinted — the shared side is the
-    contaminated sliver, so AQE broadcasts it when small and falls
-    back honestly when a pathological corpus is mostly contaminated.
+    Shape at 100 TB (single-pass, r7): the corpus is shingled ONCE —
+    one projection computes the distinct-gram array, and BOTH the
+    in-row denominator (`size`) and the exploded gram stream derive
+    from it, so the tokenize/shingle work appears once in the plan.
+    The eval n-gram set is benchmark-sized and broadcasts; the
+    explode→broadcast-left-join happens map-side, and the per-doc
+    groupBy's partial aggregation collapses each partition to ~|docs|
+    rows before the one shuffle — grams never ride the wire. The old
+    totals⋈shared join is gone entirely (one aggregation carries both
+    the denominator and the hit count).
     """
     grams = lambda df: F.array_distinct(           # noqa: E731
         shingles_expr(tokens_expr(F.col(text_col)), n))
     tr = (ensure_min_parallelism(train)
           .where(F.col(text_col).isNotNull()))
-    tot = tr.select(F.col(id_col),
-                    F.size(grams(tr)).cast("long").alias("n_ngrams"))
     ev = (eval_set.where(F.col(text_col).isNotNull())
-          .select(F.explode(grams(eval_set)).alias("__g")).distinct())
-    shared = (tr.select(F.col(id_col), F.explode(grams(tr)).alias("__g"))
-              .join(F.broadcast(ev), "__g")
-              .groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_shared")))
-    j = (tot.join(shared, id_col, "left")
-         .select(id_col, "n_ngrams",
-                 F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared")))
+          .select(F.explode(grams(eval_set)).alias("__g")).distinct()
+          .withColumn("__hit", F.lit(1)))
+    base = tr.select(F.col(id_col), grams(tr).alias("__grams"))
+    # explode_outer keeps zero-gram docs (null __g -> no hit); the
+    # left join against the broadcast eval set marks hits map-side
+    j = (base.select(id_col,
+                     F.size("__grams").cast("long").alias("n_ngrams"),
+                     F.explode_outer("__grams").alias("__g"))
+         .join(F.broadcast(ev), "__g", "left")
+         .groupBy(id_col)
+         .agg(F.max("n_ngrams").alias("n_ngrams"),
+              F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+              .cast("long").alias("n_shared")))
     frac = F.when(
         F.col("n_ngrams") > 0,
         F.floor(F.col("n_shared").cast("double")

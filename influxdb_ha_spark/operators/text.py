@@ -344,6 +344,11 @@ def cluster_assign(df: DataFrame, k: int = 8, text_col: str = "text",
     (the k×n_buckets centroid literals inline, the assign_centroids
     convention), so the whole operator is one projection over the
     corpus: zero shuffles, zero joins.
+
+    NOTE: calling this function EXECUTES a Spark job eagerly (the
+    seed-count validation below runs `cent.count()` at plan-construction
+    time, the cap-collect convention) — it is not lazily composable the
+    way pure-projection operators are.
     """
     from .similarity import assign_centroids
     tf = tf_vectors(df, text_col=text_col, id_col=id_col,

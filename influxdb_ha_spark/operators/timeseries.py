@@ -999,10 +999,11 @@ def pettitt_test(df: DataFrame, on: str = "time",
     mann_kendall; output is |series| rows: (n_buckets, k, change_bucket,
     u_at_k, pexp_num, pexp_den, log_p_exponent, shift) where
     pexp_num=6K^2 and pexp_den=B^3+B^2 are EXACT integers,
-    log_p_exponent = -pexp_num/pexp_den rounded at 6 (p = 2*exp of it),
-    and shift compares it to the precomputed ln(0.025) literal —
-    p < 0.05 without running a JVM transcendental in an
-    oracle-compared plan.
+    log_p_exponent = -pexp_num/pexp_den rounded at 6 (p = 2*exp of it,
+    a diagnostic convenience — the only float in the row), and shift
+    (p < 0.05) is decided by the EXACT integer comparison
+    pexp_num*10^16 > floor(ln(40)*10^16)*pexp_den in DECIMAL(38,0) —
+    no transcendental and no float anywhere in the decision.
     """
     by = list(by)
     if not by:
@@ -1053,13 +1054,27 @@ def pettitt_test(df: DataFrame, on: str = "time",
     # LONG arithmetic (k<=n(n-1)/2, n<=4096 keeps both < 2^53) and
     # emitted as integer columns; the only float in the row is ONE
     # division of those two exactly-represented integers — no double
-    # accumulation whose order an engine could vary
+    # accumulation whose order an engine could vary.
+    # Hardened r7: `shift` no longer derives from that float at all.
+    # p = 2 exp(-num/den) < 0.05  <=>  num/den > ln(40)
+    #   <=>  num * 10^16 > floor(ln(40) * 10^16) * den
+    # (ln(40) = 3.6888794541139363 is exactly 16 fractional digits of
+    # the libm double here, so scaling by 10^16 makes the threshold an
+    # integer literal). Both sides fit DECIMAL(38,0): num <= 6*(n(n-1)/2)^2
+    # ~ 4.2e14 -> lhs ~ 4.2e30; rhs ~ 3.7e16 * 6.9e10 ~ 2.6e27. The
+    # comparison is exact integer arithmetic on any engine — zero floats
+    # anywhere in the decision.
     num = F.lit(6) * F.col("k") * F.col("k")
     den = (F.col("n_buckets") * F.col("n_buckets") * F.col("n_buckets")
            + F.col("n_buckets") * F.col("n_buckets"))
     expo = _fr(F.lit(-1.0) * num.cast("double") / den.cast("double"), 6)
+    _LN40_SCALED = 36888794541139363  # floor(ln(40) * 1e16)
+    shift = (num.cast("decimal(20,0)")
+             * F.lit(10_000_000_000_000_000).cast("decimal(17,0)")
+             > F.lit(_LN40_SCALED).cast("decimal(17,0)")
+             * den.cast("decimal(20,0)"))
     return (counts.join(best, by)
             .select(*by, "n_buckets", "k", "change_bucket", "u_at_k",
                     num.alias("pexp_num"), den.alias("pexp_den"),
                     expo.alias("log_p_exponent"),
-                    (expo < F.lit(math.log(0.025))).alias("shift")))
+                    shift.alias("shift")))

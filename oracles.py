@@ -779,7 +779,7 @@ def build_oracles() -> dict[str, str]:
             FROM s),
       r AS (SELECT source,
                    CASE WHEN st > 0 THEN least(1000000,
-                        ((5000 * wppm) // 1000000) * 1000000 // st)
+                        ((5000::BIGINT * wppm) // 1000000) * 1000000 // st)
                    ELSE 0 END AS thr
             FROM w)
       SELECT d.doc_id, d.source, d.n_tokens,
@@ -1623,10 +1623,11 @@ def build_oracles() -> dict[str, str]:
              {fr('arg_max(value, time)', 6)} AS v_last
       FROM e GROUP BY 1, 2"""
     # Pettitt change-point: exact integer U_t via the telescoping
-    # A_t - B_t endpoint sums + a window prefix sum; the significance
-    # exponent is one exact double division, compared against the same
-    # libm ln(0.025) literal the Spark side inlines
-    _ln0025 = repr(__import__("math").log(0.025))
+    # A_t - B_t endpoint sums + a window prefix sum; significance via
+    # the exact integer comparison 6K^2*10^16 > floor(ln(40)*1e16)*
+    # (B^3+B^2) in HUGEINT — the compared row is 100% float-free
+    # (log_p_exponent is API-only on the Spark side, dropped from the
+    # entry's output)
     o["ts_pettitt"] = f"""
       WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events),
       g AS (SELECT event_type, time - time % {HOUR} AS bucket,
@@ -1659,15 +1660,12 @@ def build_oracles() -> dict[str, str]:
                    b.u_at_k,
                    (6 * b.k * b.k)::BIGINT AS pexp_num,
                    (n.n_buckets * n.n_buckets * n.n_buckets
-                    + n.n_buckets * n.n_buckets)::BIGINT AS pexp_den,
-                   {fr('-1.0 * (6 * b.k * b.k)::DOUBLE'
-                       ' / (n.n_buckets * n.n_buckets * n.n_buckets'
-                       ' + n.n_buckets * n.n_buckets)::DOUBLE', 6)}
-                     AS log_p_exponent
+                    + n.n_buckets * n.n_buckets)::BIGINT AS pexp_den
             FROM n JOIN best b ON b.event_type = n.event_type AND b.r = 1)
       SELECT event_type, n_buckets::BIGINT AS n_buckets, k,
-             change_bucket, u_at_k, pexp_num, pexp_den, log_p_exponent,
-             log_p_exponent < {_ln0025} AS shift
+             change_bucket, u_at_k, pexp_num, pexp_den,
+             pexp_num::HUGEINT * 10000000000000000::HUGEINT
+               > 36888794541139363::HUGEINT * pexp_den::HUGEINT AS shift
       FROM f"""
     # Seasonal Mann–Kendall (Hirsch & Slack): per-season integer S and
     # tie correction, summed — same exactness as plain MK

@@ -26,7 +26,9 @@ def test_deadman_stream_status_rows_accumulate(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(src)
     schema = "series string, time long"
-    # maxFilesPerTrigger=1 pins the file->micro-batch mapping; a
+    # batch ordering is pinned by SEQUENCING, not reader options: b1's
+    # file is only written after b0's rows have been observed in the
+    # sink, so the source cannot fold them into one micro-batch. A
     # periodic trigger (NOT availableNow: armed processing-time
     # timeouts keep that spinning state-cleanup batches) drains both
     collected = []
@@ -128,3 +130,73 @@ def test_deadman_stream_timeout_alert_and_recovery(spark, tmp_path):
                 assert prev == "D", (s, flags)
             if f in ("D", "R"):
                 prev = f
+
+
+def test_deadman_stream_matches_batch_on_data_path(spark, tmp_path):
+    """Batch/stream structural equivalence on the DATA path (the
+    cusum_stream precedent): on a shared fixture split across two
+    micro-batches, the stream's final accumulated per-series state
+    (last_time, n_points) must equal the batch `deadman` operator's,
+    and applying the batch decision rule (age vs threshold anchored at
+    the global max) to that state must reproduce the batch `dead`
+    flags exactly. The processing-time alert rows are the (documented)
+    non-replayable part; the state arithmetic is the shared core."""
+    from influxdb_ha_spark.operators.timeseries import deadman
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "series string, time long"
+
+    S = 10 ** 9  # ns per "second" of fixture time
+    rows = ([{"series": "a", "time": t * S} for t in (0, 5, 40, 40, 90)]
+            + [{"series": "b", "time": t * S} for t in (1, 2, 3)]      # stops early
+            + [{"series": "c", "time": t * S} for t in (60, 88)])
+    b0 = [r for r in rows if r["time"] < 40 * S]
+    b1 = [r for r in rows if r["time"] >= 40 * S]
+    n_series_b0 = len({r["series"] for r in b0})
+    threshold_ns = 30 * S
+
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    _write_batch(src, "b0.json", b0)
+    stream = spark.readStream.schema(schema).json(src)
+    out = deadman_stream(stream, threshold_ms=3_600_000)  # never fires
+    q = (out.writeStream.foreachBatch(sink)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(processingTime="200 milliseconds").start())
+    try:
+        deadline = time.time() + 90
+        while len(collected) < n_series_b0 and time.time() < deadline:
+            time.sleep(0.1)
+        _write_batch(src, "b1.json", b1)   # only after b0 consumed
+        want = n_series_b0 + len({r["series"] for r in b1})
+        while len(collected) < want and time.time() < deadline:
+            time.sleep(0.1)
+    finally:
+        q.stop()
+
+    # final accumulated state per series = the last emitted status row
+    final = {}
+    for r in collected:
+        final[r["series"]] = (r["last_time"], r["n_points"])
+
+    batch_df = spark.createDataFrame(
+        [(r["series"], r["time"]) for r in rows], schema)
+    expect = {r["series"]: r for r in
+              deadman(batch_df, by=["series"], on="time",
+                      threshold_ns=threshold_ns).collect()}
+
+    assert set(final) == set(expect)
+    for s, (lt, n) in final.items():
+        assert (lt, n) == (expect[s]["last_time"], expect[s]["n_points"]), s
+
+    # same decision arithmetic: batch rule applied to stream state
+    # reproduces the batch dead flags (b dead: age 87s > 30s; a, c live)
+    now_ns = max(lt for lt, _ in final.values())
+    for s, (lt, _) in final.items():
+        assert (now_ns - lt > threshold_ns) == expect[s]["dead"], s
+    assert expect["b"]["dead"] and not expect["a"]["dead"]
