@@ -1890,6 +1890,68 @@ def q_union_measurements(spark, sf):
     return ev.unionByName(ev2).distinct()
 
 
+def q_ev_funnel(spark, sf):
+    """Ordered funnel signup→view→purchase per user (added scope — the
+    events-analytics companion of sessionize; reference proxies InfluxQL
+    only): step i counts only strictly after the user's step-(i-1)
+    first-touch time. One shuffle: k unordered aggregate-windows over
+    the same user partitioning + a reused-partitioning fold
+    (operators/timeseries.py:funnel)."""
+    from influxdb_ha_spark.operators.timeseries import funnel
+    ev = _events_us(spark, sf).select("user_id", "event_type", "time")
+    return funnel(ev, steps=["signup", "view", "purchase"],
+                  by=["user_id"], on="time")
+
+
+def q_ev_retention(spark, sf):
+    """Daily cohort retention matrix (added scope): users cohorted by
+    first-event day; sparse (cohort_bucket, offset) cells count distinct
+    users active offset days later. Activity dedups to (user, day)
+    before anything else, so the cell counts are plain counts
+    (operators/timeseries.py:retention)."""
+    from influxdb_ha_spark.operators.timeseries import retention
+    ev = _events_us(spark, sf).select("user_id", "time")
+    return retention(ev, by=["user_id"], on="time", bucket_ns=DAY)
+
+
+def q_ev_user_paths(spark, sf):
+    """Top user-journey paths (added scope — funnel's exploratory
+    companion): each user's first 5 events ordered by (time, type) fold
+    into a '>'-path; one entity-keyed shuffle (rank prunes to 5 rows
+    per user before the fold), |users| short strings move to the final
+    path count (operators/timeseries.py:user_paths)."""
+    from influxdb_ha_spark.operators.timeseries import user_paths
+    ev = _events_us(spark, sf).select("user_id", "event_type", "time")
+    return user_paths(ev, by=["user_id"], on="time", max_steps=5)
+
+
+def q_ts_perm_entropy(spark, sf):
+    """Order-3 permutation entropy per series (Bandt & Pompe 2002,
+    added scope — the complexity companion of ts_acf/ts_decompose):
+    consecutive bucket-mean triples → ordinal pattern codes via three
+    <=-comparisons (integer-exact), pattern counts, H = ln n − Σc·ln c/n
+    floor-rounded at 6 (the token_entropy hash-gate precedent)
+    (operators/timeseries.py:permutation_entropy)."""
+    from influxdb_ha_spark.operators.timeseries import permutation_entropy
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return permutation_entropy(ev, on="time", by=["event_type"],
+                               value_col="value", bucket_ns=HOUR)
+
+
+def q_doc_canonical(spark, sf):
+    """Cross-source canonical-document election (added scope — the
+    'keep the curated copy' policy of LLM-corpus dedup): one window
+    over the token-set fingerprint key, canonical = (source-priority
+    ASC, id ASC) first row; every doc gets (canonical_id, is_canonical)
+    so drops stay auditable. Priority here = the numeric source suffix
+    (src0 outranks src19) (operators/dedup.py:canonical_select)."""
+    from influxdb_ha_spark.operators.dedup import canonical_select
+    docs = _t(spark, sf, "documents")
+    prio = F.substring(F.col("source"), 4, 8).cast("long")
+    return canonical_select(docs, text_col="text", id_col="doc_id",
+                            priority=prio)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2112,6 +2174,7 @@ _FAMILIES = [
         "doc_decontaminate": q_doc_decontaminate,
         "doc_ngram_overlap": q_doc_ngram_overlap,
         "doc_token_mixture": q_doc_token_mixture,
+        "doc_canonical": q_doc_canonical,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_train_test_split": q_doc_train_test_split,
         "doc_stratified_sample": q_doc_stratified_sample,
@@ -2180,6 +2243,10 @@ _FAMILIES = [
         "ts_mann_kendall": q_ts_mann_kendall,
         "ts_seasonal_mk": q_ts_seasonal_mk,
         "ts_pettitt": q_ts_pettitt,
+        "ts_perm_entropy": q_ts_perm_entropy,
+        "ev_funnel": q_ev_funnel,
+        "ev_retention": q_ev_retention,
+        "ev_user_paths": q_ev_user_paths,
     },
     {
         # LLM-pipeline scope (§7): multimodal

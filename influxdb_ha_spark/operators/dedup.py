@@ -566,3 +566,45 @@ def substring_duplicates(df: DataFrame, text_col: str = "text",
             .groupBy("id_a", "id_b")
             .agg(F.max("run_len").alias("max_run_tokens"),
                  F.count(F.lit(1)).alias("n_runs")))
+
+
+def canonical_select(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     priority: Column | None = None) -> DataFrame:
+    """Canonical-document selection: group documents by their token-set
+    fingerprint (the order/punct-insensitive duplicate key of
+    fingerprint_dedup) and, within each duplicate cluster, elect ONE
+    canonical document by (priority ASC, id ASC) — the cross-source
+    dedup policy of the LLM-corpus pipelines ("when CommonCrawl and a
+    curated source carry the same page, keep the curated copy").
+    Unlike exact_dedup (which RETURNS the survivors), this is the AUDIT
+    view: every document with text gets a row
+    (id, fingerprint, canonical_id, is_canonical), so the caller can
+    either filter `is_canonical` to apply or join `canonical_id` to
+    re-attribute annotations from the dropped copies.
+
+    `priority`: a Column expression ranking sources (lower wins, e.g. a
+    CASE over a source column); None = pure lowest-id election.
+
+    Shape at 100 TB: ONE shuffle — a single window over the fingerprint
+    key (high-cardinality: clusters are duplicate-sized, a handful of
+    rows each) sorted by (priority, id); `first` over the ordered
+    partition yields the canonical id with no join-back and no second
+    pass. The reference dedups points, not documents (coordinator.go:
+    97-118's duplicate-point elimination) — added scope.
+    """
+    prio = priority if priority is not None else F.lit(0)
+    fp = F.md5(F.concat_ws(" ", F.array_sort(
+        F.array_distinct(tokens_expr(F.col(text_col))))))
+    base = (ensure_min_parallelism(df)
+            .where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), fp.alias("fingerprint"),
+                    prio.cast("long").alias("__prio")))
+    w = (Window.partitionBy("fingerprint")
+         .orderBy(F.col("__prio").asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (base.select(
+        id_col, "fingerprint",
+        F.first(id_col).over(w).alias("canonical_id"))
+        .withColumn("is_canonical",
+                    F.col(id_col) == F.col("canonical_id")))

@@ -1078,3 +1078,180 @@ def pettitt_test(df: DataFrame, on: str = "time",
                     num.alias("pexp_num"), den.alias("pexp_den"),
                     expo.alias("log_p_exponent"),
                     shift.alias("shift")))
+
+
+def funnel(df: DataFrame, steps: Sequence[str],
+           by: Sequence[str] = ("user_id",), on: str = "time",
+           type_col: str = "event_type",
+           within_ns: int | None = None) -> DataFrame:
+    """Ordered-funnel analysis: for each entity (`by`), step i counts as
+    reached only if an event of type steps[i] occurs STRICTLY AFTER the
+    entity's step-(i-1) reach time (first-touch semantics — the earliest
+    qualifying time per step, the standard product-analytics funnel).
+    Output is one row per step: (step long, step_name, entities long) —
+    entities that reached that step; entities is non-increasing in step.
+    `within_ns` adds the conversion-window form: step i must also occur
+    no later than `within_ns` after the step-(i-1) reach time.
+
+    The reference proxies InfluxQL only (no funnel op — added scope,
+    the events-analytics companion of sessionize); the semantics are
+    the classic windowed-funnel of the product-analytics engines.
+
+    Shape at 100 TB: ONE shuffle — all k step times are unordered
+    aggregate-windows over the SAME entity partitioning (Catalyst
+    reuses a single Exchange; no sort, frames are whole-partition), and
+    the per-entity reach flags then fold through a partial-agg groupBy
+    into k rows. Events never sort; nothing quadratic; k is query-sized.
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("funnel requires at least one step")
+    by = list(by)
+    w = Window.partitionBy(*by)
+    cur = df
+    prev_t = None
+    tcols = []
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == F.lit(s)
+        if prev_t is not None:
+            cond = cond & F.col(prev_t).isNotNull() \
+                   & (F.col(on) > F.col(prev_t))
+            if within_ns is not None:
+                cond = cond & (F.col(on)
+                               <= F.col(prev_t) + F.lit(int(within_ns)))
+        tc = f"__t{i}"
+        cur = cur.withColumn(tc, F.min(F.when(cond, F.col(on))).over(w))
+        prev_t = tc
+        tcols.append(tc)
+    # one row per entity (the window values are per-entity constants).
+    # The aggregate aliases MUST differ from the window column names:
+    # re-aliasing max(__t0) back to __t0 makes the outer count-agg
+    # resolve against the pre-aggregate window column and Catalyst
+    # collapses the two aggregates into a wrong global one (verified on
+    # Spark 4.1; the renamed form produces the correct per-step counts)
+    ent = cur.groupBy(*by).agg(
+        *[F.max(tc).alias(f"__r{i}") for i, tc in enumerate(tcols)])
+    counts = ent.agg(*[F.sum(F.col(f"__r{i}").isNotNull().cast("long"))
+                       .alias(f"__c{i}") for i in range(len(steps))])
+    pairs = F.array(*[
+        F.struct(F.lit(i).cast("long").alias("step"),
+                 F.lit(s).alias("step_name"),
+                 F.coalesce(F.col(f"__c{i}"), F.lit(0)).alias("entities"))
+        for i, s in enumerate(steps)])
+    return (counts.select(F.explode(pairs).alias("__p"))
+            .select("__p.step", "__p.step_name", "__p.entities"))
+
+
+def retention(df: DataFrame, by: Sequence[str] = ("user_id",),
+              on: str = "time", bucket_ns: int = 86_400_000_000_000,
+              max_offset: int | None = None) -> DataFrame:
+    """Cohort retention: entities are cohorted by the bucket of their
+    FIRST event; for each (cohort_bucket, offset) cell, count the
+    distinct entities active `offset` buckets after their cohort bucket
+    (offset 0 = the cohort size). The classic triangular retention
+    matrix, emitted sparse (only observed cells).
+
+    Shape at 100 TB: dedup to (entity, bucket) activity first (partial
+    agg — the raw volume collapses to entity×active-bucket before
+    anything else), ONE entity-partitioned unordered window for the
+    cohort minimum, then the cell groupBy counts entities directly
+    (the activity rows are already distinct per (entity, bucket), so
+    it is a plain count, not a count-distinct shuffle).
+    """
+    by = list(by)
+    b = (F.col(on) - F.pmod(F.col(on), F.lit(bucket_ns))).alias("__b")
+    act = df.select(*by, b).distinct()
+    w = Window.partitionBy(*by)
+    coh = act.withColumn("__cohort", F.min("__b").over(w))
+    cells = (coh.select(
+        F.col("__cohort").alias("cohort_bucket"),
+        ((F.col("__b") - F.col("__cohort")) / F.lit(bucket_ns))
+        .cast("long").alias("offset")))
+    if max_offset is not None:
+        cells = cells.where(F.col("offset") <= F.lit(int(max_offset)))
+    return (cells.groupBy("cohort_bucket", "offset")
+            .agg(F.count(F.lit(1)).alias("n_entities")))
+
+
+def permutation_entropy(df: DataFrame, on: str = "time",
+                        by: Sequence[str] = ("event_type",),
+                        value_col: str = "value",
+                        bucket_ns: int = 3_600_000_000_000) -> DataFrame:
+    """Order-3 permutation entropy per series (Bandt & Pompe 2002,
+    "Permutation Entropy: A Natural Complexity Measure for Time
+    Series") over the hourly bucket-mean sequence: each consecutive
+    triple (a,b,c) maps to an ordinal pattern via the three pairwise
+    comparisons (a<=b, b<=c, a<=c) — ties resolve to <= (earlier index
+    ranks first, the standard convention) — giving 6 reachable codes;
+    H = ln(n) - (1/n)·sum c·ln c over the pattern counts (the
+    token_entropy formula), h_norm = H/ln(6) in [0,1]. Low H = regular/
+    trending signal; maximal = white noise. The complexity companion of
+    acf/decompose in the anomaly toolkit.
+
+    Shape: the shared _bucket_means front stage (one shuffle, output
+    |series|·|buckets| sketch-sized rows), one ordered per-series
+    window for the two lags, then two tiny groupBys. The only floats
+    are the final H/h_norm, floor-rounded at 6 (the token_entropy
+    hash-gate precedent); counts and codes are exact integers.
+    """
+    by = list(by)
+    g = _bucket_means(df, on, by, value_col, bucket_ns)
+    w = Window.partitionBy(*by).orderBy("bucket")
+    tri = (g.select(*by,
+                    F.lag("v", 2).over(w).alias("__a"),
+                    F.lag("v", 1).over(w).alias("__b"),
+                    F.col("v").alias("__c"))
+           .where(F.col("__a").isNotNull()))
+    code = ((F.col("__a") <= F.col("__b")).cast("long") * 4
+            + (F.col("__b") <= F.col("__c")).cast("long") * 2
+            + (F.col("__a") <= F.col("__c")).cast("long"))
+    cnt = (tri.select(*by, code.alias("pattern"))
+           .groupBy(*by, "pattern")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    n = F.sum("cnt")
+    clnc = F.sum(F.col("cnt").cast("double") * F.log(F.col("cnt")
+                                                     .cast("double")))
+    h = F.log(n.cast("double")) - clnc / n.cast("double")
+    return (cnt.groupBy(*by)
+            .agg(n.alias("n_windows"),
+                 F.count(F.lit(1)).alias("n_patterns"),
+                 _fr(h, 6).alias("h"),
+                 _fr(h / F.lit(math.log(6.0)), 6).alias("h_norm")))
+
+
+def user_paths(df: DataFrame, by: Sequence[str] = ("user_id",),
+               on: str = "time", type_col: str = "event_type",
+               max_steps: int = 5) -> DataFrame:
+    """Top user-journey paths: each entity's first `max_steps` events
+    (ordered by time, ties by event type) join into a '>'-delimited
+    path string; output is (path, n_entities) — the path-exploration
+    companion of `funnel` (funnel scores ONE hypothesized sequence;
+    this surfaces which sequences actually occur). Added scope like
+    funnel/retention; the reference proxies InfluxQL only.
+
+    Determinism: the ordering key is (time, type), so entities with
+    same-timestamp same-type events produce identical paths regardless
+    of physical row order; same-timestamp DIFFERENT-type events order
+    lexicographically — pinned, engine-independent.
+
+    Shape at 100 TB: one entity-keyed shuffle — the ranking window and
+    the per-entity fold share the partitioning (rank prunes each entity
+    to max_steps rows before the fold's collect_list, so the folded
+    arrays are bounded); the final path groupBy moves |entities| short
+    strings. Nothing quadratic, no driver collect.
+    """
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(F.col(on).asc(),
+                                        F.col(type_col).asc())
+    firstn = (df.select(*by, F.col(on), F.col(type_col))
+              .withColumn("__r", F.row_number().over(w))
+              .where(F.col("__r") <= F.lit(int(max_steps))))
+    paths = (firstn.groupBy(*by)
+             .agg(F.concat_ws(
+                 ">", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("__r").alias("r"),
+                                  F.col(type_col).alias("t")))),
+                     lambda x: x["t"])).alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_entities")))

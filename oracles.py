@@ -680,6 +680,22 @@ def build_oracles() -> dict[str, str]:
                AS fingerprint,
              min(doc_id) AS doc_id, count(*) AS n_docs
       FROM documents GROUP BY 1"""
+    # canonical-document election: same fingerprint key as
+    # doc_fingerprint_dedup; within a cluster the (source-priority, id)
+    # first row wins; every doc keeps an audit row
+    o["doc_canonical"] = f"""
+      WITH d AS (SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct({TOKS})), ' '))
+                     AS fingerprint,
+                   substring(source, 4)::BIGINT AS prio
+                 FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id, fingerprint,
+             first_value(doc_id) OVER w AS canonical_id,
+             doc_id = first_value(doc_id) OVER w AS is_canonical
+      FROM d
+      WINDOW w AS (PARTITION BY fingerprint
+                   ORDER BY prio ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
     o["doc_minhash_sig"] = f"""
       WITH sh AS ({_shingles_cte(3)}),
       sig AS ({_minhash_sig_sql(16, 3)})
@@ -1667,6 +1683,81 @@ def build_oracles() -> dict[str, str]:
              pexp_num::HUGEINT * 10000000000000000::HUGEINT
                > 36888794541139363::HUGEINT * pexp_den::HUGEINT AS shift
       FROM f"""
+    # Order-3 permutation entropy (Bandt & Pompe 2002): ordinal codes
+    # from three <=-comparisons over the bucket-mean triples (integer-
+    # exact); only the final H/h_norm are floats, floor-rounded at 6
+    # (the token_entropy precedent); ln(6) inlined as the Python libm
+    # literal so both engines divide by the identical double
+    o["ts_perm_entropy"] = f"""
+      WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events),
+      g AS (SELECT event_type, time - time % {HOUR} AS bucket,
+                   {fr('sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS v
+            FROM e GROUP BY 1, 2),
+      t AS (SELECT event_type,
+                   lag(v, 2) OVER (PARTITION BY event_type
+                                   ORDER BY bucket) AS a,
+                   lag(v, 1) OVER (PARTITION BY event_type
+                                   ORDER BY bucket) AS b,
+                   v AS c
+            FROM g),
+      p AS (SELECT event_type,
+                   ((a <= b)::BIGINT * 4 + (b <= c)::BIGINT * 2
+                    + (a <= c)::BIGINT) AS pattern
+            FROM t WHERE a IS NOT NULL),
+      cnt AS (SELECT event_type, pattern, count(*)::BIGINT AS cnt
+              FROM p GROUP BY 1, 2)
+      SELECT event_type, sum(cnt)::BIGINT AS n_windows,
+             count(*)::BIGINT AS n_patterns,
+             {fr('ln(sum(cnt)::DOUBLE)'
+                 ' - sum(cnt::DOUBLE * ln(cnt::DOUBLE)) / sum(cnt)::DOUBLE',
+                 6)} AS h,
+             {fr('(ln(sum(cnt)::DOUBLE)'
+                 ' - sum(cnt::DOUBLE * ln(cnt::DOUBLE)) / sum(cnt)::DOUBLE)'
+                 ' / ' + '1.791759469228055', 6)} AS h_norm
+      FROM cnt GROUP BY 1"""
+    # Ordered funnel: per-user first-touch chain via windowed min-CASE
+    # (strictly-after gating), then per-step non-null counts
+    o["ev_funnel"] = f"""
+      WITH e AS (SELECT user_id, event_type, {EV_TIME} AS time FROM events),
+      w0 AS (SELECT user_id, event_type, time,
+               min(CASE WHEN event_type = 'signup' THEN time END)
+                 OVER (PARTITION BY user_id) AS t0 FROM e),
+      w1 AS (SELECT *, min(CASE WHEN event_type = 'view'
+                                 AND time > t0 THEN time END)
+                 OVER (PARTITION BY user_id) AS t1 FROM w0),
+      w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                                 AND time > t1 THEN time END)
+                 OVER (PARTITION BY user_id) AS t2 FROM w1),
+      u AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+            FROM w2 GROUP BY 1)
+      SELECT 0::BIGINT AS step, 'signup' AS step_name,
+             count(t0)::BIGINT AS entities FROM u
+      UNION ALL SELECT 1::BIGINT, 'view', count(t1)::BIGINT FROM u
+      UNION ALL SELECT 2::BIGINT, 'purchase', count(t2)::BIGINT FROM u"""
+    # Top user-journey paths: first-5 ranking window ordered by
+    # (time, type) — the pinned tie-break — then an ordered string_agg
+    # fold and a path count
+    o["ev_user_paths"] = f"""
+      WITH e AS (SELECT user_id, event_type, {EV_TIME} AS time FROM events),
+      r AS (SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY time ASC, event_type ASC) AS rk
+            FROM e),
+      p AS (SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rk) AS path
+            FROM r WHERE rk <= 5 GROUP BY 1)
+      SELECT path, count(*)::BIGINT AS n_entities FROM p GROUP BY 1"""
+    # Daily cohort retention: distinct (user, day) activity, windowed
+    # cohort minimum, plain cell counts
+    o["ev_retention"] = f"""
+      WITH e AS (SELECT DISTINCT user_id,
+                        {EV_TIME} - {EV_TIME} % {DAY} AS b FROM events),
+      c AS (SELECT user_id, b,
+                   min(b) OVER (PARTITION BY user_id) AS cohort FROM e)
+      SELECT cohort AS cohort_bucket, ((b - cohort) // {DAY})::BIGINT
+               AS "offset", count(*)::BIGINT AS n_entities
+      FROM c GROUP BY 1, 2"""
     # Seasonal Mann–Kendall (Hirsch & Slack): per-season integer S and
     # tie correction, summed — same exactness as plain MK
     o["ts_seasonal_mk"] = f"""

@@ -46,6 +46,10 @@ BOUNDED_SINGLE_PARTITION = {
                           "never the data rows (functions/scan.py)",
     "ts_deadman": "the anchored-'now' form's 1-row global-max aggregate "
                   "(partial max map-side; final = P partials)",
+    "ev_funnel": "the final 1-row fold of k per-step counts: partial "
+                 "agg collapses each partition to one row of k longs "
+                 "before the SinglePartition exchange (P rows total); "
+                 "the funnel itself is one entity-keyed window shuffle",
 }
 
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
