@@ -1967,11 +1967,22 @@ def _driver_green_keys() -> set:
     evidence window: the driver samples only a prefix of queries(), so
     never-driver-verified keys go first each round until the whole
     inventory has a driver-green row."""
+    return set(_driver_green_last_round())
+
+
+def _driver_green_last_round() -> dict:
+    """key → LATEST round with a green row (rows+schema+hash). The age
+    map behind the rotation: never-green keys are absent; the verified
+    remainder re-samples oldest-evidence-first so ancient green rows
+    (which age as the code evolves) refresh before recent ones."""
     import glob
     import json
-    seen = set()
+    import re
+    last: dict = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(p) as f:
                 for k, v in json.load(f).items():
@@ -1983,10 +1994,10 @@ def _driver_green_keys() -> set:
                         and v.get("schema_match")
                         and v.get("hash_match", True)
                     ):
-                        seen.add(k)
+                        last[k] = max(last.get(k, 0), rnd)
         except (OSError, ValueError):
             continue
-    return seen
+    return last
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2005,7 +2016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     record err:no_oracle; their hard evidence is the pytest pinning
     them to an oracle-gated twin."""
     by_name = {k: v for fam in _FAMILIES for k, v in fam.items()}
-    green = _driver_green_keys()
+    last_green = _driver_green_last_round()
+    green = set(last_green)
 
     def interleave():
         iters = [iter(fam) for fam in _FAMILIES]
@@ -2029,7 +2041,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name in order:                      # never-driver-verified first
         if name not in out and name not in green and name not in ROWS_ONLY:
             out[name] = by_name[name]
-    for name in order:                      # then the verified remainder
+    # the verified remainder re-samples OLDEST driver evidence first
+    # (a green row from r01 ages as the code evolves; refresh it before
+    # one from last round), stable-tie-broken by the family interleave
+    pos = {name: i for i, name in enumerate(order)}
+    for name in sorted(order, key=lambda n: (last_green.get(n, 0),
+                                             pos[n])):
         if name not in out and name not in ROWS_ONLY:
             out[name] = by_name[name]
     for name in order:                      # oracle-less keys dead last
