@@ -885,6 +885,17 @@ def q_doc_simhash_near(spark, sf):
     return D.simhash_near_dups(_t(spark, sf, "documents"), max_hamming=3)
 
 
+def q_emb_recall(spark, sf):
+    """Recall@k of the IVF index against the exact brute-force baseline
+    (Jegou et al. 2011's figure of merit, added scope — the eval
+    harness that makes the ANN family tunable): per-query
+    |approx ∩ exact|/|exact| over the two k-bounded result sets; one
+    query-keyed join, corpus untouched
+    (operators/similarity.py:recall_at_k)."""
+    return S.recall_at_k(q_emb_ivf_topk(spark, sf),
+                         q_emb_brute_topk(spark, sf))
+
+
 def q_emb_brute_topk(spark, sf):
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
@@ -1121,6 +1132,15 @@ def q_emb_near_dup_pairs(spark, sf):
                      F.round(S.cosine_expr(F.col("va"), F.col("vb")), 6)
                      .alias("cosine")))
     return pairs.where(F.col("cosine") >= 0.9)
+
+
+def q_text_readability(spark, sf):
+    """Flesch reading-ease + Flesch-Kincaid grade (Flesch 1948 /
+    Kincaid 1975, added scope — the rule-based complexity companion of
+    text_quality): exact integer word/sentence/vowel-group-syllable
+    counts, one fixed 3-term float expression floor-rounded at 6;
+    map-only, no shuffle (operators/text.py:readability)."""
+    return TX.readability(_t(spark, sf, "documents"))
 
 
 def q_text_stats(spark, sf):
@@ -2211,6 +2231,7 @@ _FAMILIES = [
         # LLM-pipeline scope (§7): embedding similarity
         "emb_brute_topk": q_emb_brute_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "emb_recall": q_emb_recall,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_near_dup_planted": q_emb_near_dup_planted,
@@ -2239,6 +2260,7 @@ _FAMILIES = [
         "text_bm25": q_text_bm25,
         "text_cluster": q_text_cluster,
         "text_entropy": q_text_entropy,
+        "text_readability": q_text_readability,
     },
     {
         # time-series relational ops (added scope; operators/timeseries.py)

@@ -1032,3 +1032,34 @@ def pca_project(corpus: DataFrame, components, mean,
             .withColumn("__v", F.transform(vec_col,
                                            lambda x: x.cast("double")))
             .selectExpr(f"`{id_col}`", *cols))
+
+
+def recall_at_k(ann: DataFrame, exact: DataFrame,
+                query_col: str = "query_id",
+                nbr_col: str = "neighbor_id") -> DataFrame:
+    """Per-query recall of an ANN result set against the exact
+    baseline — THE accuracy yardstick of every ANN index (recall@k =
+    |approx ∩ exact| / |exact| per query; Jégou et al. 2011's figure
+    of merit). Takes the two result DataFrames (any of brute/IVF/PQ/
+    IVFPQ/LSH here produce the (query_id, neighbor_id, ...) shape), so
+    index parameters are swept by re-running only the cheap index side.
+
+    Output: (query_id, n_exact, n_hits, recall) — one row per query in
+    the EXACT baseline (queries the ANN side missed entirely report
+    recall 0.0, never vanish — the series-cardinality convention).
+
+    Shape at 100 TB: both inputs are k-bounded per query (|Q|·k rows
+    total — result-sized, not corpus-sized); one query-keyed equi-join
+    + two query-keyed aggregations. Nothing touches the corpus.
+    """
+    ex = exact.select(F.col(query_col), F.col(nbr_col))
+    an = ann.select(F.col(query_col), F.col(nbr_col))
+    en = ex.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    hn = (ex.join(an, [query_col, nbr_col])
+          .groupBy(query_col).agg(F.count(F.lit(1)).alias("n_hits")))
+    hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    recall = (F.floor(hits.cast("double") / F.col("n_exact").cast("double")
+                      * F.lit(1_000_000) + F.lit(0.5)) / F.lit(1e6))
+    return (en.join(hn, query_col, "left")
+            .select(query_col, F.col("n_exact").cast("long").alias("n_exact"),
+                    hits.alias("n_hits"), recall.alias("recall")))

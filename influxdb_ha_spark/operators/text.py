@@ -551,3 +551,45 @@ def bpe_encode_counts(df: DataFrame, vocab: DataFrame,
     return (j.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum(n).alias("n_bpe_tokens")))
+
+
+def readability(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease + Flesch–Kincaid grade per document (Flesch
+    1948 / Kincaid et al. 1975 — the classic rule-based readability
+    band, still the cheap pre-filter complexity signal in LLM-corpus
+    quality pipelines alongside quality_score):
+
+        ease  = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+        grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59
+
+    with W = token count, S = sentence count (runs of [.!?], floor 1),
+    Syl = per-token syllable estimate max(1, #[aeiouy]+ vowel groups) —
+    the standard heuristic syllabifier; all three are EXACT integers,
+    so the scores are one fixed 3-term float expression over exact
+    operands, floor-rounded at 6 (cross-engine bit-stable like
+    quality_score). Zero-word docs report NULL scores (unknown, not
+    fake-easy). Map-only: one projection, no shuffle, no UDF.
+    """
+    df = ensure_min_parallelism(df)
+    t = F.col(text_col)
+    toks = tokens_expr(t)
+    n_words = F.size(toks).cast("long")
+    n_sent = F.greatest(F.lit(1).cast("long"),
+                        F.regexp_count(t, F.lit(r"[.!?]+")).cast("long"))
+    syl = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda a, x: a + F.greatest(
+            F.lit(1).cast("long"),
+            F.regexp_count(x, F.lit(r"[aeiouy]+")).cast("long")))
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = syl.cast("double") / n_words.cast("double")
+    six = F.lit(1_000_000)
+    ease = (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw)
+    grade = (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
+    r6 = lambda c: F.floor(c * six + F.lit(0.5)) / six.cast("double")  # noqa: E731
+    return (df.where(t.isNotNull())
+            .select(F.col(id_col), n_words.alias("n_words"),
+                    n_sent.alias("n_sentences"), syl.alias("n_syllables"),
+                    F.when(n_words > 0, r6(ease)).alias("flesch"),
+                    F.when(n_words > 0, r6(grade)).alias("fk_grade")))

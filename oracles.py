@@ -1054,6 +1054,24 @@ def build_oracles() -> dict[str, str]:
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
       SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5"""
+    # Recall@k: composed VERBATIM from the two result-set oracles
+    # above (nested WITH in subqueries), so the eval can never drift
+    # from the definitions it grades
+    o["emb_recall"] = f"""
+      WITH ann AS ({o['emb_ivf_topk']}),
+      exact AS ({o['emb_brute_topk']}),
+      en AS (SELECT query_id, count(*)::BIGINT AS n_exact
+             FROM exact GROUP BY 1),
+      hn AS (SELECT e.query_id, count(*)::BIGINT AS n_hits
+             FROM exact e JOIN ann a
+               ON a.query_id = e.query_id
+              AND a.neighbor_id = e.neighbor_id
+             GROUP BY 1)
+      SELECT en.query_id, en.n_exact,
+             coalesce(hn.n_hits, 0)::BIGINT AS n_hits,
+             {fr('coalesce(hn.n_hits, 0)::DOUBLE / en.n_exact::DOUBLE', 6)}
+               AS recall
+      FROM en LEFT JOIN hn ON hn.query_id = en.query_id"""
     # kNN graph: the IVF replay with queries = the whole corpus. Probe
     # lists (r <= nprobe) and home buckets (r = 1) come from the same
     # (sim DESC, centroid_id ASC) ranking the Spark side's in-row
@@ -1406,6 +1424,33 @@ def build_oracles() -> dict[str, str]:
              cd <= 0.8 AS keep
       FROM p"""
 
+    # Flesch / Flesch-Kincaid readability: exact integer counts
+    # (sentence runs of [.!?] floored at 1; per-token syllables =
+    # max(1, vowel groups)), then the fixed 3-term formulas
+    o["text_readability"] = f"""
+      SELECT doc_id,
+             len({TOKS})::BIGINT AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+               AS n_sentences,
+             coalesce(list_sum(list_transform({TOKS},
+               x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))),
+               0)::BIGINT AS n_syllables,
+             CASE WHEN len({TOKS}) > 0 THEN
+               {fr("206.835 - 1.015 * (len(" + TOKS + ")::DOUBLE"
+                   " / greatest(1, len(regexp_extract_all(text, '[.!?]+')))::DOUBLE)"
+                   " - 84.6 * (coalesce(list_sum(list_transform(" + TOKS + ","
+                   " x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0)::DOUBLE"
+                   " / len(" + TOKS + ")::DOUBLE)", 6)}
+             END AS flesch,
+             CASE WHEN len({TOKS}) > 0 THEN
+               {fr("0.39 * (len(" + TOKS + ")::DOUBLE"
+                   " / greatest(1, len(regexp_extract_all(text, '[.!?]+')))::DOUBLE)"
+                   " + 11.8 * (coalesce(list_sum(list_transform(" + TOKS + ","
+                   " x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0)::DOUBLE"
+                   " / len(" + TOKS + ")::DOUBLE)"
+                   " - 15.59", 6)}
+             END AS fk_grade
+      FROM documents WHERE text IS NOT NULL"""
     o["text_stats"] = f"""
       SELECT doc_id,
              length(text)::BIGINT AS n_chars_c,

@@ -57,6 +57,10 @@ BOUNDED_SINGLE_PARTITION = {
 ALLOWED_CARTESIAN = {
     "emb_brute_topk": "corpus x broadcast(queries) exact baseline; corpus "
                       "never shuffles, cost |Q| dot products per row",
+    "emb_recall": "inherits emb_brute_topk's allowlisted corpus x "
+                  "broadcast(queries) baseline as its exact side; the "
+                  "recall computation itself is result-sized "
+                  "(|Q|*k rows) query-keyed joins only",
     "emb_ivf_topk": "row x broadcast(C centroids) assignment, bounded by C",
     "emb_near_dup_pairs": "exact all-pairs reference (quadratic by "
                           "definition); production path is emb_near_dup_lsh",
