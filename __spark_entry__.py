@@ -1945,6 +1945,32 @@ def q_ev_user_paths(spark, sf):
     return user_paths(ev, by=["user_id"], on="time", max_steps=5)
 
 
+def q_ev_active_users(spark, sf):
+    """DAU / trailing-7-day WAU / stickiness per day (added scope — the
+    product-health triple next to ev_retention): activity dedups to
+    (user, day) first, each activity row contributes map-only to its 7
+    window-end days (no COUNT DISTINCT OVER RANGE in Spark — the
+    fan-out form is the distributed equivalent), two bucket-keyed aggs
+    (operators/timeseries.py:active_users)."""
+    from influxdb_ha_spark.operators.timeseries import active_users
+    ev = _events_us(spark, sf).select("user_id", "time")
+    return active_users(ev, by=["user_id"], on="time", bucket_ns=DAY,
+                        window_buckets=7)
+
+
+def q_ts_seasonal_anomaly(spark, sf):
+    """Seasonal-adjusted anomalies (added scope — the composition every
+    monitoring stack ships): modified z-score over the decomposition
+    RESIDUALS, so trend and diurnal cycle stay out of the anomaly
+    budget; composes the three gate-hardened pieces with no new
+    arithmetic (operators/timeseries.py:seasonal_anomalies)."""
+    from influxdb_ha_spark.operators.timeseries import seasonal_anomalies
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return seasonal_anomalies(ev, on="time", by=["event_type"],
+                              value_col="value", bucket_ns=HOUR,
+                              period=24, threshold=3.5)
+
+
 def q_ts_perm_entropy(spark, sf):
     """Order-3 permutation entropy per series (Bandt & Pompe 2002,
     added scope — the complexity companion of ts_acf/ts_decompose):
@@ -2283,9 +2309,11 @@ _FAMILIES = [
         "ts_seasonal_mk": q_ts_seasonal_mk,
         "ts_pettitt": q_ts_pettitt,
         "ts_perm_entropy": q_ts_perm_entropy,
+        "ts_seasonal_anomaly": q_ts_seasonal_anomaly,
         "ev_funnel": q_ev_funnel,
         "ev_retention": q_ev_retention,
         "ev_user_paths": q_ev_user_paths,
+        "ev_active_users": q_ev_active_users,
     },
     {
         # LLM-pipeline scope (§7): multimodal

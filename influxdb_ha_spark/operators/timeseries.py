@@ -1255,3 +1255,81 @@ def user_paths(df: DataFrame, by: Sequence[str] = ("user_id",),
                      lambda x: x["t"])).alias("path")))
     return (paths.groupBy("path")
             .agg(F.count(F.lit(1)).alias("n_entities")))
+
+
+def active_users(df: DataFrame, by: Sequence[str] = ("user_id",),
+                 on: str = "time", bucket_ns: int = 86_400_000_000_000,
+                 window_buckets: int = 7) -> DataFrame:
+    """DAU / trailing-WAU / stickiness per bucket: for each day (bucket),
+    the distinct entities active that day (DAU), the distinct entities
+    active in the trailing `window_buckets`-day window ending that day
+    (WAU), and the DAU/WAU stickiness ratio — the standard
+    product-health triple next to `retention`.
+
+    Trailing distinct-count windows are not expressible as Spark range
+    frames (no COUNT(DISTINCT) OVER RANGE); instead each (entity,
+    active-day) row CONTRIBUTES to the `window_buckets` window-end days
+    it falls into — a map-only ×W fan-out of the already-deduped
+    activity table — and a plain distinct-count per window-end day does
+    the rest. Output rows only for days with actual activity (windows
+    anchored on silent days are not emitted; a spine-join gives the
+    dense form if needed).
+
+    Shape at 100 TB: the raw stream collapses to distinct (entity,
+    bucket) FIRST (the retention front stage — partial-agg dedup, the
+    volume cliff); the ×W explode multiplies only that sketch-sized
+    activity table; two bucket-keyed aggregations follow. W is
+    query-sized (7); nothing quadratic.
+    """
+    by = list(by)
+    b = (F.col(on) - F.pmod(F.col(on), F.lit(bucket_ns))).alias("__b")
+    act = df.select(*by, b).distinct()
+    dau = act.groupBy(F.col("__b").alias("bucket")) \
+             .agg(F.count(F.lit(1)).alias("dau"))
+    contrib = act.select(
+        *by, F.explode(F.sequence(
+            F.col("__b"),
+            F.col("__b") + F.lit((window_buckets - 1) * bucket_ns),
+            F.lit(bucket_ns))).alias("bucket"))
+    wau = contrib.groupBy("bucket").agg(
+        F.count_distinct(*[F.col(k) for k in by]).alias("wau"))
+    stick = (F.floor(F.col("dau").cast("double")
+                     / F.col("wau").cast("double")
+                     * F.lit(1_000_000) + F.lit(0.5)) / F.lit(1e6))
+    return (dau.join(wau, "bucket")
+            .select("bucket", F.col("dau").cast("long").alias("dau"),
+                    F.col("wau").cast("long").alias("wau"),
+                    stick.alias("stickiness")))
+
+
+def seasonal_anomalies(df: DataFrame, on: str = "time",
+                       by: Sequence[str] = ("event_type",),
+                       value_col: str = "value",
+                       bucket_ns: int = 3_600_000_000_000,
+                       period: int = 24,
+                       threshold: float = 3.5) -> DataFrame:
+    """Seasonal-adjusted anomaly detection: Iglewicz–Hoaglin modified
+    z-score over the RESIDUALS of the classical decomposition — the
+    composition every monitoring stack ships as "anomaly detection with
+    seasonality" (a raw-value MAD flags every rush-hour peak; scoring
+    the residual keeps trend and diurnal cycle out of the anomaly
+    budget). Composes seasonal_decompose + mad_profile + mad_score —
+    the three existing gate-hardened pieces, no new arithmetic — and
+    emits the flagged rows: (series, bucket, v, resid, robust_z).
+
+    Shape at scale: decompose's single raw shuffle (everything after
+    the bucket stage is |series|·|buckets| sketch-sized); mad_profile's
+    two residual aggregations and the 2-doubles-per-series broadcast
+    ride the sketch too. Only fully-windowed rows (resid non-NULL)
+    participate — decompose's no-padding contract.
+    """
+    by = list(by)
+    d = seasonal_decompose(df, on, by, value_col, bucket_ns, period)
+    r = d.where(F.col("resid").isNotNull())
+    prof = mad_profile(r, by=by, value_col="resid")
+    j = r.join(F.broadcast(prof), by)
+    z, flag = mad_score(F.col("resid"), F.col("med"), F.col("mad"),
+                        threshold)
+    return (j.select(*by, "bucket", _fr(F.col("v"), 6).alias("v"),
+                     "resid", z.alias("robust_z"))
+            .where(F.coalesce(F.abs(z) > threshold, F.lit(False))))

@@ -1780,6 +1780,19 @@ def build_oracles() -> dict[str, str]:
              count(t0)::BIGINT AS entities FROM u
       UNION ALL SELECT 1::BIGINT, 'view', count(t1)::BIGINT FROM u
       UNION ALL SELECT 2::BIGINT, 'purchase', count(t2)::BIGINT FROM u"""
+    # DAU / trailing-7-day WAU / stickiness: distinct (user, day)
+    # activity, map-only x7 window-end contribution fan-out, two
+    # bucket-keyed aggs; only days with activity emit rows
+    o["ev_active_users"] = f"""
+      WITH act AS (SELECT DISTINCT user_id,
+                          {EV_TIME} - {EV_TIME} % {DAY} AS d FROM events),
+      dau AS (SELECT d, count(*)::BIGINT AS dau FROM act GROUP BY 1),
+      con AS (SELECT DISTINCT user_id, d + i * {DAY} AS wd
+              FROM act, generate_series(0, 6) AS g(i)),
+      wau AS (SELECT wd, count(*)::BIGINT AS wau FROM con GROUP BY 1)
+      SELECT dau.d AS bucket, dau.dau, wau.wau,
+             {fr('dau.dau::DOUBLE / wau.wau::DOUBLE', 6)} AS stickiness
+      FROM dau JOIN wau ON wau.wd = dau.d"""
     # Top user-journey paths: first-5 ranking window ordered by
     # (time, type) — the pinned tie-break — then an ordered string_agg
     # fold and a path count
@@ -2074,6 +2087,23 @@ def build_oracles() -> dict[str, str]:
              {fr('t.v - t.trend - s.seasonal', 4)} AS resid
       FROM t LEFT JOIN s ON s.event_type = t.event_type
                         AND s.ph = (t.bucket // {HOUR}) % 24"""
+    # Seasonal-adjusted anomalies: the decompose oracle composed
+    # VERBATIM as a CTE (nested WITH), then median/MAD over its
+    # residuals and the same rounded modified z-score + 3.5 cutoff
+    o["ts_seasonal_anomaly"] = f"""
+      WITH dcmp AS ({o['ts_decompose']}),
+      r AS (SELECT * FROM dcmp WHERE resid IS NOT NULL),
+      med AS (SELECT event_type, median(resid) AS med FROM r GROUP BY 1),
+      mad AS (SELECT r.event_type, median(abs(r.resid - m.med)) AS mad
+              FROM r JOIN med m USING (event_type) GROUP BY 1),
+      z AS (SELECT r.event_type, r.bucket, {fr('r.v', 6)} AS v, r.resid,
+                   CASE WHEN d.mad > 0 THEN
+                     {fr('0.6745 * (r.resid - m.med) / d.mad', 6)}
+                   END AS robust_z
+            FROM r JOIN med m USING (event_type)
+                   JOIN mad d USING (event_type))
+      SELECT event_type, bucket, v, resid, robust_z
+      FROM z WHERE coalesce(abs(robust_z) > 3.5, FALSE)"""
     # Iglewicz–Hoaglin modified z-score: both engines compute the exact
     # interpolating median (Spark F.median / DuckDB median — (a+b)/2 of
     # the two middles on even counts, identical doubles), then round the

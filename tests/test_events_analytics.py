@@ -152,3 +152,157 @@ def test_user_paths_rank_and_ties(spark):
            for r in user_paths(df, by=["user_id"], on="time",
                                max_steps=3).collect()}
     assert got == {"a>b>c": 2, "a>b": 1}
+
+
+# -- property tests vs brute-force Python references ----------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_uids = st.integers(min_value=1, max_value=4)
+_times = st.integers(min_value=0, max_value=20)
+_types = st.sampled_from(["a", "b", "c"])
+_events = st.lists(st.tuples(_uids, _types, _times), max_size=16)
+
+
+def _ref_funnel(rows, steps, within=None):
+    """Brute-force reference: t_i = min qualifying time given final
+    t_{i-1}, per user."""
+    users = {u for u, _, _ in rows}
+    counts = [0] * len(steps)
+    for u in users:
+        ev = [(t, s) for uu, s, t in rows if uu == u]
+        prev = None
+        for i, step in enumerate(steps):
+            if i == 0:
+                cand = [t for t, s in ev if s == step]
+            elif prev is None:
+                cand = []
+            else:
+                cand = [t for t, s in ev if s == step and t > prev
+                        and (within is None or t <= prev + within)]
+            prev = min(cand) if cand else None
+            if prev is not None:
+                counts[i] += 1
+    return counts
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_events, within=st.one_of(st.none(),
+                                      st.integers(min_value=1, max_value=8)))
+def test_funnel_matches_reference(spark, rows, within):
+    steps = ["a", "b", "c"]
+    expect = _ref_funnel(rows, steps, within)
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "user_id long, event_type string, "
+                                     "time long")
+    got = {r["step"]: r["entities"]
+           for r in funnel(df, steps, by=["user_id"], on="time",
+                           within_ns=within).collect()}
+    assert [got[i] for i in range(3)] == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(st.tuples(_uids, _times), max_size=16))
+def test_retention_matches_reference(spark, rows):
+    if not rows:
+        return
+    B = 5
+    act = {(u, t // B * B) for u, t in rows}
+    cohort = {}
+    for u, b in act:
+        cohort[u] = min(cohort.get(u, b), b)
+    expect = {}
+    for u, b in act:
+        key = (cohort[u], (b - cohort[u]) // B)
+        expect[key] = expect.get(key, 0) + 1
+    df = spark.createDataFrame(rows, "user_id long, time long")
+    got = {(r["cohort_bucket"], r["offset"]): r["n_entities"]
+           for r in retention(df, by=["user_id"], on="time",
+                              bucket_ns=B).collect()}
+    assert got == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_events, k=st.integers(min_value=1, max_value=4))
+def test_user_paths_matches_reference(spark, rows, k):
+    from influxdb_ha_spark.operators.timeseries import user_paths
+    if not rows:
+        return
+    by_user = {}
+    for u, s, t in rows:
+        by_user.setdefault(u, []).append((t, s))
+    expect = {}
+    for u, ev in by_user.items():
+        path = ">".join(s for _, s in sorted(ev)[:k])
+        expect[path] = expect.get(path, 0) + 1
+    df = spark.createDataFrame(rows, "user_id long, event_type string, "
+                                     "time long")
+    got = {r["path"]: r["n_entities"]
+           for r in user_paths(df, by=["user_id"], on="time",
+                               max_steps=k).collect()}
+    assert got == expect
+
+
+def test_active_users_trailing_window(spark):
+    from influxdb_ha_spark.operators.timeseries import active_users
+    B = 5
+    # u1 active buckets 0,5; u2 active bucket 5; u3 active bucket 20
+    rows = [(1, 0), (1, 1), (1, 5), (2, 7), (3, 20)]
+    df = spark.createDataFrame(rows, "user_id long, time long")
+    got = {r["bucket"]: (r["dau"], r["wau"], r["stickiness"])
+           for r in active_users(df, by=["user_id"], on="time",
+                                 bucket_ns=B, window_buckets=2).collect()}
+    # bucket 0: dau {u1}; wau window {-5,0}: {u1}
+    assert got[0] == (1, 1, 1.0)
+    # bucket 5: dau {u1,u2}; window {0,5}: {u1,u2} -> stickiness 1.0
+    assert got[5] == (2, 2, 1.0)
+    # bucket 20: only u3; prior window bucket 15 inactive -> wau {u3}
+    assert got[20] == (1, 1, 1.0)
+    # no row for silent bucket 10/15
+    assert set(got) == {0, 5, 20}
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(st.tuples(_uids, _times), max_size=16),
+       w=st.integers(min_value=1, max_value=3))
+def test_active_users_matches_reference(spark, rows, w):
+    from influxdb_ha_spark.operators.timeseries import active_users
+    if not rows:
+        return
+    B = 5
+    act = {(u, t // B * B) for u, t in rows}
+    days = {b for _, b in act}
+    expect = {}
+    for d in days:
+        dau = {u for u, b in act if b == d}
+        wau = {u for u, b in act if d - (w - 1) * B <= b <= d}
+        expect[d] = (len(dau), len(wau))
+    df = spark.createDataFrame(rows, "user_id long, time long")
+    got = {r["bucket"]: (r["dau"], r["wau"])
+           for r in active_users(df, by=["user_id"], on="time",
+                                 bucket_ns=B, window_buckets=w).collect()}
+    assert got == expect
+
+
+def test_seasonal_anomalies_flags_spike_not_cycle(spark):
+    """A strong diurnal cycle must NOT trip the detector (raw-value MAD
+    would flag every peak); a planted spike on top of the cycle must."""
+    from influxdb_ha_spark.operators.timeseries import seasonal_anomalies
+    B = H
+    period = 4
+    pattern = [0.0, 50.0, 100.0, 50.0]          # aggressive cycle
+    rows = []
+    for i in range(periods := 12 * period):
+        v = pattern[i % period]
+        if i == 30:
+            v += 500.0                           # the anomaly
+        rows.append(("s", i * B, v))
+    df = spark.createDataFrame(rows, "tag string, time long, value double")
+    out = seasonal_anomalies(df, by=["tag"], value_col="value",
+                             bucket_ns=B, period=period).collect()
+    flagged = {r["bucket"] // B for r in out}
+    assert 30 in flagged
+    # the pure cycle rows adjacent to the spike's MA window may wobble;
+    # far-away clean peaks must NOT be flagged
+    assert not any(b < 25 or b > 35 for b in flagged), flagged
