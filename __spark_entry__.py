@@ -743,6 +743,17 @@ def q_doc_ngram_overlap(spark, sf):
     return P.ngram_overlap(tr, ev, n=5, threshold=0.1)
 
 
+def q_doc_chunk(spark, sf):
+    """Overlapping token-window chunking (added scope — the RAG/
+    embedding-prep sibling of doc_pack_sequences: chunks stay WITHIN
+    their document with overlap tokens of carried context): map-only
+    tokenize -> sequence()/posexplode fan-out -> slice/array_join; no
+    shuffle, no UDF (operators/pipeline.py:chunk_documents)."""
+    from influxdb_ha_spark.operators import pipeline as P
+    return P.chunk_documents(_t(spark, sf, "documents"),
+                             chunk_tokens=32, overlap=8)
+
+
 def q_doc_token_mixture(spark, sf):
     """Token-budget data mixing (Pile/LLaMA recipe step): 30/20/10% of a
     5000-token budget from src0/src1/src2, everything else weight 0 —
@@ -2238,6 +2249,7 @@ _FAMILIES = [
         "doc_ngram_overlap": q_doc_ngram_overlap,
         "doc_token_mixture": q_doc_token_mixture,
         "doc_canonical": q_doc_canonical,
+        "doc_chunk": q_doc_chunk,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_train_test_split": q_doc_train_test_split,
         "doc_stratified_sample": q_doc_stratified_sample,

@@ -394,3 +394,43 @@ def dsir_scores(df: DataFrame, target_pred, text_col: str = "text",
                            "cast(size(__b) AS BIGINT) AS n_feats",
                            f"floor(({score}) * 1e6 + 0.5) / 1e6"
                            " AS dsir_logratio")
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/embedding-prep
+    sibling of pack_sequences (packing concatenates documents into
+    fixed training rows and may split a doc mid-thought; chunking
+    keeps each piece WITHIN its document with `overlap` tokens of
+    context carried across boundaries, the retrieval-index layout):
+    chunk i covers tokens [1 + i·stride, … + chunk_tokens) with
+    stride = chunk_tokens − overlap; the last chunk may be short;
+    starts run while start ≤ max(1, n − overlap), so no chunk is fully
+    contained in its predecessor and a ≤chunk_tokens doc yields exactly
+    one chunk. Zero-token docs drop (nothing to index — documented).
+
+    Output: (id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Shape at 100 TB: map-only — tokenize, a sequence()/posexplode
+    fan-out of ~n/stride rows per doc, and slice/array_join
+    projections; no shuffle, no UDF, chunk row count is
+    corpus_tokens/stride by construction.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("chunk_documents: overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_expr(F.col(text_col))
+    base = (ensure_min_parallelism(df)
+            .where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), toks.alias("__toks"))
+            .where(F.size("__toks") > 0))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.size("__toks") - F.lit(overlap)),
+        F.lit(stride))
+    ex = base.select(id_col, "__toks",
+                     F.posexplode(starts).alias("chunk_idx", "__start"))
+    piece = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
+    return ex.select(id_col, F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                     F.size(piece).cast("long").alias("n_chunk_tokens"),
+                     F.array_join(piece, " ").alias("chunk_text"))

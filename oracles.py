@@ -1793,6 +1793,20 @@ def build_oracles() -> dict[str, str]:
       SELECT dau.d AS bucket, dau.dau, wau.wau,
              {fr('dau.dau::DOUBLE / wau.wau::DOUBLE', 6)} AS stickiness
       FROM dau JOIN wau ON wau.wd = dau.d"""
+    # Overlapping token-window chunking: starts = 1, 1+stride, ... while
+    # start <= max(1, n - overlap); chunk_idx = 0-based start ordinal;
+    # DuckDB list slice is 1-based inclusive
+    o["doc_chunk"] = f"""
+      WITH d AS (SELECT doc_id, {TOKS} AS toks FROM documents
+                 WHERE text IS NOT NULL AND len({TOKS}) > 0),
+      s AS (SELECT doc_id, toks,
+                   unnest(generate_series(1, greatest(1, len(toks) - 8),
+                                          24)) AS st
+            FROM d)
+      SELECT doc_id, ((st - 1) // 24)::BIGINT AS chunk_idx,
+             least(32, len(toks) - st + 1)::BIGINT AS n_chunk_tokens,
+             array_to_string(toks[st : st + 31], ' ') AS chunk_text
+      FROM s"""
     # Top user-journey paths: first-5 ranking window ordered by
     # (time, type) — the pinned tie-break — then an ordered string_agg
     # fold and a path count

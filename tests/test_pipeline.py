@@ -1,0 +1,23 @@
+"""Corpus pipeline operators: chunking boundary semantics."""
+
+
+def test_chunk_documents_boundaries(spark):
+    from influxdb_ha_spark.operators.pipeline import chunk_documents
+    import pytest as _pt
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(10))),   # 10 toks: 2 chunks
+        (2, "a b c"),                                 # short: 1 chunk
+        (3, ""),                                      # zero toks: drops
+        (4, None),                                    # null: drops
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=6, overlap=2).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"],
+                                           r["chunk_text"]) for r in out}
+    # doc1: stride 4, starts while <= 10-2=8 -> 1, 5 (start 9 excluded)
+    assert got[(1, 0)] == (6, "w0 w1 w2 w3 w4 w5")
+    assert got[(1, 1)] == (6, "w4 w5 w6 w7 w8 w9")   # 2-token overlap
+    assert got[(2, 0)] == (3, "a b c")
+    assert set(got) == {(1, 0), (1, 1), (2, 0)}
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
