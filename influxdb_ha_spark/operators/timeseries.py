@@ -1212,11 +1212,23 @@ def permutation_entropy(df: DataFrame, on: str = "time",
     clnc = F.sum(F.col("cnt").cast("double") * F.log(F.col("cnt")
                                                      .cast("double")))
     h = F.log(n.cast("double")) - clnc / n.cast("double")
-    return (cnt.groupBy(*by)
-            .agg(n.alias("n_windows"),
-                 F.count(F.lit(1)).alias("n_patterns"),
-                 _fr(h, 6).alias("h"),
-                 _fr(h / F.lit(math.log(6.0)), 6).alias("h_norm")))
+    per = (cnt.groupBy(*by)
+           .agg(n.alias("n_windows"),
+                F.count(F.lit(1)).alias("n_patterns"),
+                _fr(h, 6).alias("h"),
+                _fr(h / F.lit(math.log(6.0)), 6).alias("h_norm")))
+    # output-cardinality == |series| (the r6 convention, enforced
+    # family-wide by tests/test_series_cardinality.py): a series too
+    # short for any triple (< 3 buckets) reports 0 windows / 0 patterns
+    # with NULL entropy — "unknown", never a silent drop
+    series = g.groupBy(*by).agg(F.count(F.lit(1)).alias("__nb")).drop("__nb")
+    return (series.join(per, by, "left")
+            .select(*by,
+                    F.coalesce(F.col("n_windows"), F.lit(0)).cast("long")
+                    .alias("n_windows"),
+                    F.coalesce(F.col("n_patterns"), F.lit(0)).cast("long")
+                    .alias("n_patterns"),
+                    "h", "h_norm"))
 
 
 def user_paths(df: DataFrame, by: Sequence[str] = ("user_id",),

@@ -1751,8 +1751,9 @@ def build_oracles() -> dict[str, str]:
                     + (a <= c)::BIGINT) AS pattern
             FROM t WHERE a IS NOT NULL),
       cnt AS (SELECT event_type, pattern, count(*)::BIGINT AS cnt
-              FROM p GROUP BY 1, 2)
-      SELECT event_type, sum(cnt)::BIGINT AS n_windows,
+              FROM p GROUP BY 1, 2),
+      ser AS (SELECT DISTINCT event_type FROM g),
+      per AS (SELECT event_type, sum(cnt)::BIGINT AS n_windows,
              count(*)::BIGINT AS n_patterns,
              {fr('ln(sum(cnt)::DOUBLE)'
                  ' - sum(cnt::DOUBLE * ln(cnt::DOUBLE)) / sum(cnt)::DOUBLE',
@@ -1760,7 +1761,12 @@ def build_oracles() -> dict[str, str]:
              {fr('(ln(sum(cnt)::DOUBLE)'
                  ' - sum(cnt::DOUBLE * ln(cnt::DOUBLE)) / sum(cnt)::DOUBLE)'
                  ' / ' + '1.791759469228055', 6)} AS h_norm
-      FROM cnt GROUP BY 1"""
+      FROM cnt GROUP BY 1)
+      SELECT ser.event_type,
+             coalesce(per.n_windows, 0)::BIGINT AS n_windows,
+             coalesce(per.n_patterns, 0)::BIGINT AS n_patterns,
+             per.h, per.h_norm
+      FROM ser LEFT JOIN per ON per.event_type = ser.event_type"""
     # Ordered funnel: per-user first-touch chain via windowed min-CASE
     # (strictly-after gating), then per-step non-null counts
     o["ev_funnel"] = f"""

@@ -21,3 +21,33 @@ def test_chunk_documents_boundaries(spark):
     assert set(got) == {(1, 0), (1, 1), (2, 0)}
     with _pt.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.lists(st.text(alphabet="ab ", max_size=30), max_size=6),
+       chunk=st.integers(min_value=2, max_value=8),
+       overlap=st.integers(min_value=0, max_value=3))
+def test_chunk_documents_matches_reference(spark, texts, chunk, overlap):
+    from influxdb_ha_spark.operators.pipeline import chunk_documents
+    if overlap >= chunk:
+        return
+    import re
+    stride = chunk - overlap
+    expect = {}
+    for i, tx in enumerate(texts):
+        toks = [t for t in re.split(r"[^a-z0-9]+", tx.lower()) if t]
+        if not toks:
+            continue
+        starts = range(0, max(1, len(toks) - overlap), stride)
+        for ci, s0 in enumerate(starts):
+            piece = toks[s0:s0 + chunk]
+            expect[(i, ci)] = (len(piece), " ".join(piece))
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"],
+                                           r["chunk_text"]) for r in out}
+    assert got == expect

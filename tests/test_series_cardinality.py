@@ -46,6 +46,9 @@ PER_SERIES_OPS = [
     pytest.param(lambda df: ts.pettitt_test(
         df, by=["tag"], value_col="value", bucket_ns=B), id="pettitt"),
     pytest.param(lambda df: ts.deadman(df, by=["tag"]), id="deadman"),
+    pytest.param(lambda df: ts.permutation_entropy(
+        df, by=["tag"], value_col="value", bucket_ns=B),
+        id="perm_entropy"),
 ]
 
 
@@ -95,6 +98,17 @@ def test_degenerate_trend_values(degenerate_df):
                           bucket_ns=B).collect()}
     assert lt["a"]["slope_per_bucket"] == 0.0   # denx=0 -> 0 by contract
     assert lt["b"]["slope_per_bucket"] == 0.0
+
+    pe = {r["tag"]: r for r in
+          ts.permutation_entropy(degenerate_df, by=["tag"],
+                                 value_col="value", bucket_ns=B).collect()}
+    # a (1 bucket), c (2 buckets): too short for any triple -> 0/0/NULL
+    for t in "ac":
+        assert (pe[t]["n_windows"], pe[t]["n_patterns"]) == (0, 0)
+        assert pe[t]["h"] is None and pe[t]["h_norm"] is None
+    # b: 5 constant buckets -> 3 windows, single all-ties pattern, H=0
+    assert (pe["b"]["n_windows"], pe["b"]["n_patterns"]) == (3, 1)
+    assert pe["b"]["h"] == 0.0
 
 
 def test_per_row_and_per_lag_contracts(degenerate_df):
