@@ -1145,6 +1145,21 @@ def q_emb_near_dup_pairs(spark, sf):
     return pairs.where(F.col("cosine") >= 0.9)
 
 
+def q_text_boilerplate(spark, sf):
+    """C4-style corpus-frequency sentence filtering (Raffel et al. 2020
+    arXiv:1910.10683 §2.2, added scope): a planted boilerplate sentence
+    is appended to every doc ("subscribe to our newsletter today" —
+    the synthetic corpus has no natural sentence punctuation), so its
+    corpus df=|docs| trips the max_df=2 gate and it is stripped from
+    every document while each unique body survives; flagged-sliver
+    anti-join, order-preserving reassembly
+    (operators/text.py:remove_boilerplate)."""
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.concat(F.col("text"),
+                         F.lit(". subscribe to our newsletter today")))
+    return TX.remove_boilerplate(docs, max_df=2)
+
+
 def q_text_readability(spark, sf):
     """Flesch reading-ease + Flesch-Kincaid grade (Flesch 1948 /
     Kincaid 1975, added scope — the rule-based complexity companion of
@@ -2299,6 +2314,7 @@ _FAMILIES = [
         "text_cluster": q_text_cluster,
         "text_entropy": q_text_entropy,
         "text_readability": q_text_readability,
+        "text_boilerplate": q_text_boilerplate,
     },
     {
         # time-series relational ops (added scope; operators/timeseries.py)

@@ -593,3 +593,66 @@ def readability(df: DataFrame, text_col: str = "text",
                     n_sent.alias("n_sentences"), syl.alias("n_syllables"),
                     F.when(n_words > 0, r6(ease)).alias("flesch"),
                     F.when(n_words > 0, r6(grade)).alias("fk_grade")))
+
+
+def remove_boilerplate(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_df: int = 2) -> DataFrame:
+    """Corpus-frequency sentence filtering — the C4 boilerplate-removal
+    step (Raffel et al. 2020 arXiv:1910.10683 §2.2 removed any
+    three-sentence span occurring more than once in the corpus; this is
+    the sentence-granularity form): a sentence appearing in more than
+    `max_df` documents corpus-wide (cookie banners, nav chrome, legal
+    footers) is dropped from EVERY document; the survivors reassemble
+    in original order. Output: (id, n_sentences, n_kept, clean_text)
+    for every doc with text — empty docs report 0/0/'' (never vanish).
+
+    Sentences split on `[.!?]+\\s+` runs (both engines' regex dialects
+    agree — no lookbehind, which RE2 lacks); the trailing punctuation
+    is not preserved in `clean_text` (dedup semantics, not rendering).
+    Frequency keys on the lower/trimmed/whitespace-folded sentence
+    (runs of whitespace compare equal — chrome renders don't agree on
+    spacing); df counts DISTINCT docs (a sentence repeated within one
+    doc is not boilerplate).
+
+    Shape at 100 TB: explode → one sentence-keyed DISTINCT-doc count
+    (partial agg; uniform-hash key) → the flagged set is pruned to
+    count > max_df BEFORE the join back, so the corpus-side anti-join
+    streams against the boilerplate SLIVER (AQE broadcasts it when
+    small, falls back honestly) — the full frequency table never
+    re-joins; reassembly is one doc-keyed fold of the surviving
+    sentences (arrays bounded by document length).
+    """
+    t = F.col(text_col)
+    base = (ensure_min_parallelism(df)
+            .where(t.isNotNull())
+            .select(F.col(id_col),
+                    F.split(t, r"[.!?]+\s+").alias("__ss")))
+    ex = (base.select(id_col, F.posexplode("__ss")
+                      .alias("__idx", "__s"))
+          .withColumn("__k", F.regexp_replace(
+              F.lower(F.trim(F.col("__s"))), r"\s+", " "))
+          .where(F.length("__k") > 0))
+    flagged = (ex.select("__k", id_col).distinct()
+               .groupBy("__k").agg(F.count(F.lit(1)).alias("__df"))
+               .where(F.col("__df") > max_df)
+               .select("__k"))
+    kept = ex.join(flagged, "__k", "left_anti")
+    stats = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sentences"))
+    agg = (kept.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_kept"),
+                F.concat_ws(" ", F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("__idx").alias("i"),
+                                 F.trim(F.col("__s")).alias("s")))),
+                    lambda x: x["s"])).alias("clean_text")))
+    docs = base.select(id_col)
+    return (docs.join(stats, id_col, "left").join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_sentences", F.lit(0)).cast("long")
+                    .alias("n_sentences"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("clean_text", F.lit(""))
+                    .alias("clean_text")))

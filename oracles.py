@@ -1424,6 +1424,37 @@ def build_oracles() -> dict[str, str]:
              cd <= 0.8 AS keep
       FROM p"""
 
+    # C4-style boilerplate removal: zipped unnest for positions,
+    # DISTINCT-doc sentence df, flagged sliver NOT IN, ordered
+    # string_agg reassembly; empty docs report 0/0/''
+    o["text_boilerplate"] = f"""
+      WITH d0 AS (SELECT doc_id,
+                         text || '. subscribe to our newsletter today'
+                           AS text
+                  FROM documents WHERE text IS NOT NULL),
+      base AS (SELECT doc_id,
+                      string_split_regex(text, '[.!?]+\\s+') AS ss
+               FROM d0),
+      ex0 AS (SELECT doc_id, unnest(ss) AS s,
+                     unnest(generate_series(1, len(ss))) AS idx
+              FROM base),
+      ex AS (SELECT doc_id, idx, s,
+                    regexp_replace(lower(trim(s)), '\s+', ' ', 'g') AS k
+             FROM ex0 WHERE length(trim(s)) > 0),
+      flag AS (SELECT k FROM (SELECT k, count(DISTINCT doc_id) AS c
+                              FROM ex GROUP BY 1) WHERE c > 2),
+      kept AS (SELECT * FROM ex WHERE k NOT IN (SELECT k FROM flag)),
+      stats AS (SELECT doc_id, count(*)::BIGINT AS n_sentences
+                FROM ex GROUP BY 1),
+      agg AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                     string_agg(trim(s), ' ' ORDER BY idx)
+                       AS clean_text
+              FROM kept GROUP BY 1)
+      SELECT b.doc_id, coalesce(stats.n_sentences, 0) AS n_sentences,
+             coalesce(agg.n_kept, 0) AS n_kept,
+             coalesce(agg.clean_text, '') AS clean_text
+      FROM base b LEFT JOIN stats ON stats.doc_id = b.doc_id
+                  LEFT JOIN agg ON agg.doc_id = b.doc_id"""
     # Flesch / Flesch-Kincaid readability: exact integer counts
     # (sentence runs of [.!?] floored at 1; per-token syllables =
     # max(1, vowel groups)), then the fixed 3-term formulas

@@ -51,3 +51,32 @@ def test_chunk_documents_matches_reference(spark, texts, chunk, overlap):
     got = {(r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"],
                                            r["chunk_text"]) for r in out}
     assert got == expect
+
+
+def test_remove_boilerplate_c4_semantics(spark):
+    from influxdb_ha_spark.operators.text import remove_boilerplate
+    bp = "subscribe now"
+    docs = [
+        (1, f"unique alpha. {bp}. body one"),
+        (2, f"{bp}. unique beta! also unique"),
+        (3, f"unique gamma? {bp}"),
+        (4, "Subscribe   NOW. fresh text"),   # case/space-folded match
+        (5, ""),                               # empty -> 0/0/''
+        (6, None),                             # null text drops entirely
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate(df, max_df=2).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # the df=4 sentence is stripped everywhere, order preserved
+    assert out[1]["clean_text"] == "unique alpha body one"
+    assert out[2]["clean_text"] == "unique beta also unique"
+    assert out[3]["clean_text"] == "unique gamma"
+    assert out[4]["clean_text"] == "fresh text"
+    assert (out[1]["n_sentences"], out[1]["n_kept"]) == (3, 2)
+    assert (out[5]["n_sentences"], out[5]["n_kept"],
+            out[5]["clean_text"]) == (0, 0, "")
+    # below the threshold nothing is removed
+    out2 = {r["doc_id"]: r for r in
+            remove_boilerplate(df, max_df=10).collect()}
+    assert out2[1]["n_kept"] == 3
