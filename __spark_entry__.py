@@ -1949,6 +1949,17 @@ def q_ev_funnel(spark, sf):
                   by=["user_id"], on="time")
 
 
+def q_ev_funnel_window(spark, sf):
+    """The funnel's conversion-window form (added scope): same ordered
+    first-touch chain but each step must land within 1 day of its
+    predecessor — the hash-gated twin of the within_ns pytest
+    (operators/timeseries.py:funnel)."""
+    from influxdb_ha_spark.operators.timeseries import funnel
+    ev = _events_us(spark, sf).select("user_id", "event_type", "time")
+    return funnel(ev, steps=["signup", "view", "purchase"],
+                  by=["user_id"], on="time", within_ns=DAY)
+
+
 def q_ev_retention(spark, sf):
     """Daily cohort retention matrix (added scope): users cohorted by
     first-event day; sparse (cohort_bucket, offset) cells count distinct
@@ -2339,6 +2350,7 @@ _FAMILIES = [
         "ts_perm_entropy": q_ts_perm_entropy,
         "ts_seasonal_anomaly": q_ts_seasonal_anomaly,
         "ev_funnel": q_ev_funnel,
+        "ev_funnel_window": q_ev_funnel_window,
         "ev_retention": q_ev_retention,
         "ev_user_paths": q_ev_user_paths,
         "ev_active_users": q_ev_active_users,

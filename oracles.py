@@ -1427,13 +1427,13 @@ def build_oracles() -> dict[str, str]:
     # C4-style boilerplate removal: zipped unnest for positions,
     # DISTINCT-doc sentence df, flagged sliver NOT IN, ordered
     # string_agg reassembly; empty docs report 0/0/''
-    o["text_boilerplate"] = f"""
+    o["text_boilerplate"] = rf"""
       WITH d0 AS (SELECT doc_id,
                          text || '. subscribe to our newsletter today'
                            AS text
                   FROM documents WHERE text IS NOT NULL),
       base AS (SELECT doc_id,
-                      string_split_regex(text, '[.!?]+\\s+') AS ss
+                      string_split_regex(text, '[.!?]+\s+') AS ss
                FROM d0),
       ex0 AS (SELECT doc_id, unnest(ss) AS s,
                      unnest(generate_series(1, len(ss))) AS idx
@@ -1800,6 +1800,25 @@ def build_oracles() -> dict[str, str]:
       FROM ser LEFT JOIN per ON per.event_type = ser.event_type"""
     # Ordered funnel: per-user first-touch chain via windowed min-CASE
     # (strictly-after gating), then per-step non-null counts
+    o["ev_funnel_window"] = f"""
+      WITH e AS (SELECT user_id, event_type, {EV_TIME} AS time FROM events),
+      w0 AS (SELECT user_id, event_type, time,
+               min(CASE WHEN event_type = 'signup' THEN time END)
+                 OVER (PARTITION BY user_id) AS t0 FROM e),
+      w1 AS (SELECT *, min(CASE WHEN event_type = 'view'
+                                 AND time > t0
+                                 AND time <= t0 + {DAY} THEN time END)
+                 OVER (PARTITION BY user_id) AS t1 FROM w0),
+      w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                                 AND time > t1
+                                 AND time <= t1 + {DAY} THEN time END)
+                 OVER (PARTITION BY user_id) AS t2 FROM w1),
+      u AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+            FROM w2 GROUP BY 1)
+      SELECT 0::BIGINT AS step, 'signup' AS step_name,
+             count(t0)::BIGINT AS entities FROM u
+      UNION ALL SELECT 1::BIGINT, 'view', count(t1)::BIGINT FROM u
+      UNION ALL SELECT 2::BIGINT, 'purchase', count(t2)::BIGINT FROM u"""
     o["ev_funnel"] = f"""
       WITH e AS (SELECT user_id, event_type, {EV_TIME} AS time FROM events),
       w0 AS (SELECT user_id, event_type, time,

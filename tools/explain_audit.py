@@ -50,6 +50,9 @@ BOUNDED_SINGLE_PARTITION = {
                  "agg collapses each partition to one row of k longs "
                  "before the SinglePartition exchange (P rows total); "
                  "the funnel itself is one entity-keyed window shuffle",
+    "ev_funnel_window": "same bounded k-count fold as ev_funnel (the "
+                        "within_ns form only adds a window predicate "
+                        "to the step conditions)",
 }
 
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
