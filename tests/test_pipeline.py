@@ -80,3 +80,34 @@ def test_remove_boilerplate_c4_semantics(spark):
     out2 = {r["doc_id"]: r for r in
             remove_boilerplate(df, max_df=10).collect()}
     assert out2[1]["n_kept"] == 3
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=st.lists(st.text(alphabet="ab.! ", max_size=25), max_size=6),
+       max_df=st.integers(min_value=1, max_value=3))
+def test_remove_boilerplate_matches_reference(spark, texts, max_df):
+    from influxdb_ha_spark.operators.text import remove_boilerplate
+    import re
+    if not texts:
+        return
+    split = lambda t: re.split(r"[.!?]+\s+", t)   # noqa: E731
+    key = lambda s: re.sub(r"\s+", " ", s.strip().lower())  # noqa: E731
+    pieces = {i: [(idx, s) for idx, s in enumerate(split(t))
+                  if s.strip()]
+              for i, t in enumerate(texts)}
+    dfreq = {}
+    for i, ps in pieces.items():
+        for k in {key(s) for _, s in ps}:
+            dfreq[k] = dfreq.get(k, 0) + 1
+    flagged = {k for k, c in dfreq.items() if c > max_df}
+    expect = {}
+    for i, ps in pieces.items():
+        kept = [(idx, s.strip()) for idx, s in ps
+                if key(s) not in flagged]
+        expect[i] = (len(ps), len(kept),
+                     " ".join(s for _, s in sorted(kept)))
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_sentences"], r["n_kept"], r["clean_text"])
+           for r in remove_boilerplate(df, max_df=max_df).collect()}
+    assert got == expect
