@@ -1145,6 +1145,18 @@ def q_emb_near_dup_pairs(spark, sf):
     return pairs.where(F.col("cosine") >= 0.9)
 
 
+def q_text_line_filter(spark, sf):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2, added scope):
+    min-words / curly-brace / lorem-ipsum per-line rules + ordered
+    reassembly, entirely map-only. The synthetic corpus has no
+    newlines, so the entry derives lines by splitting at ' the '
+    boundaries — short fragments trip the min-words rule, making the
+    gate discriminative (operators/text.py:line_filter)."""
+    docs = _t(spark, sf, "documents").withColumn(
+        "text", F.regexp_replace(F.col("text"), " the ", "\n"))
+    return TX.line_filter(docs, min_words=3)
+
+
 def q_text_boilerplate(spark, sf):
     """C4-style corpus-frequency sentence filtering (Raffel et al. 2020
     arXiv:1910.10683 §2.2, added scope): a planted boilerplate sentence
@@ -2326,6 +2338,7 @@ _FAMILIES = [
         "text_entropy": q_text_entropy,
         "text_readability": q_text_readability,
         "text_boilerplate": q_text_boilerplate,
+        "text_line_filter": q_text_line_filter,
     },
     {
         # time-series relational ops (added scope; operators/timeseries.py)

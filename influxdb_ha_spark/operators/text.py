@@ -656,3 +656,41 @@ def remove_boilerplate(df: DataFrame, text_col: str = "text",
                     .alias("n_kept"),
                     F.coalesce("clean_text", F.lit(""))
                     .alias("clean_text")))
+
+
+def line_filter(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", min_words: int = 3,
+                require_terminal_punct: bool = False) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 arXiv:1910.10683
+    §2.2 — the rules applied to each LINE before any document-level
+    filtering): a line survives iff it has at least `min_words` words,
+    contains no curly brace (code/template leakage), does not contain
+    the phrase "lorem ipsum", and — when `require_terminal_punct`,
+    the paper's strictest rule — ends with terminal punctuation.
+    Survivors reassemble in order; output is
+    (id, n_lines, n_kept, clean_text) for every doc with text (empty
+    docs report 0/0/'' — never vanish).
+
+    Unlike remove_boilerplate (corpus-frequency, needs a shuffle),
+    every rule here is per-line local: the WHOLE operator is map-only
+    — split, per-element filter, array_join — zero shuffle, zero UDF,
+    the ideal 100 TB shape.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+    def keeps(x):
+        k = (F.size(F.split(F.trim(x), r"\s+")) >= min_words) \
+            & (~x.contains("{")) & (~x.contains("}")) \
+            & (~F.lower(x).contains("lorem ipsum"))
+        if require_terminal_punct:
+            k = k & F.trim(x).rlike(r"[.!?\"']$")
+        return k
+    nonempty = F.filter(lines, lambda x: F.length(F.trim(x)) > 0)
+    kept = F.filter(nonempty, keeps)
+    return (ensure_min_parallelism(df)
+            .where(t.isNotNull())
+            .select(F.col(id_col),
+                    F.size(nonempty).cast("long").alias("n_lines"),
+                    F.size(kept).cast("long").alias("n_kept"),
+                    F.array_join(F.transform(kept, F.trim), " ")
+                    .alias("clean_text")))

@@ -1424,6 +1424,27 @@ def build_oracles() -> dict[str, str]:
              cd <= 0.8 AS keep
       FROM p"""
 
+    # C4 line-level rules: entirely in-list (no unnest needed) — split,
+    # per-element filter, ordered rejoin
+    o["text_line_filter"] = rf"""
+      WITH d0 AS (SELECT doc_id, replace(text, ' the ', chr(10)) AS text
+                  FROM documents WHERE text IS NOT NULL),
+      b AS (SELECT doc_id,
+                   list_filter(string_split(text, chr(10)),
+                               x -> length(trim(x)) > 0) AS ne
+            FROM d0),
+      k AS (SELECT doc_id, ne,
+                   list_filter(ne, x ->
+                     len(string_split_regex(trim(x), '\s+')) >= 3
+                     AND NOT contains(x, '{{')
+                     AND NOT contains(x, '}}')
+                     AND NOT contains(lower(x), 'lorem ipsum')) AS kept
+            FROM b)
+      SELECT doc_id, len(ne)::BIGINT AS n_lines,
+             len(kept)::BIGINT AS n_kept,
+             array_to_string(list_transform(kept, x -> trim(x)), ' ')
+               AS clean_text
+      FROM k"""
     # C4-style boilerplate removal: zipped unnest for positions,
     # DISTINCT-doc sentence df, flagged sliver NOT IN, ordered
     # string_agg reassembly; empty docs report 0/0/''

@@ -111,3 +111,28 @@ def test_remove_boilerplate_matches_reference(spark, texts, max_df):
     got = {r["doc_id"]: (r["n_sentences"], r["n_kept"], r["clean_text"])
            for r in remove_boilerplate(df, max_df=max_df).collect()}
     assert got == expect
+
+
+def test_line_filter_c4_rules(spark):
+    from influxdb_ha_spark.operators.text import line_filter
+    docs = [
+        (1, "a good long line here\nno\nhas { brace } in it\n"
+            "contains Lorem Ipsum filler\nanother fine line yes"),
+        (2, "   \n\n"),                       # only blanks -> 0/0/''
+        (3, None),                             # drops
+        (4, "Ends with punctuation.\nends without punctuation here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_filter(df, min_words=3).collect()}
+    assert set(out) == {1, 2, 4}
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (5, 2)
+    assert out[1]["clean_text"] == ("a good long line here "
+                                    "another fine line yes")
+    assert (out[2]["n_lines"], out[2]["n_kept"],
+            out[2]["clean_text"]) == (0, 0, "")
+    # strict C4 terminal-punctuation rule
+    strict = {r["doc_id"]: r for r in
+              line_filter(df, min_words=3,
+                          require_terminal_punct=True).collect()}
+    assert strict[4]["n_kept"] == 1
+    assert strict[4]["clean_text"] == "Ends with punctuation."
