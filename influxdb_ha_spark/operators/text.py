@@ -615,13 +615,14 @@ def remove_boilerplate(df: DataFrame, text_col: str = "text",
     spacing); df counts DISTINCT docs (a sentence repeated within one
     doc is not boilerplate).
 
-    Shape at 100 TB: explode → one sentence-keyed DISTINCT-doc count
-    (partial agg; uniform-hash key) → the flagged set is pruned to
-    count > max_df BEFORE the join back, so the corpus-side anti-join
-    streams against the boilerplate SLIVER (AQE broadcasts it when
-    small, falls back honestly) — the full frequency table never
-    re-joins; reassembly is one doc-keyed fold of the surviving
-    sentences (arrays bounded by document length).
+    Shape at 100 TB: the corpus is exploded once for the frequency
+    build and once for the apply (the minimum for a corpus-frequency
+    op) — the flagged set is pruned to count > max_df BEFORE the join
+    back, so the apply side streams against the boilerplate SLIVER
+    (AQE broadcasts it when small, falls back honestly) and the full
+    frequency table never re-joins; ONE doc-keyed fold then carries
+    the total count, kept count, and ordered reassembly together
+    (arrays bounded by document length).
     """
     t = F.col(text_col)
     base = (ensure_min_parallelism(df)
@@ -636,19 +637,27 @@ def remove_boilerplate(df: DataFrame, text_col: str = "text",
     flagged = (ex.select("__k", id_col).distinct()
                .groupBy("__k").agg(F.count(F.lit(1)).alias("__df"))
                .where(F.col("__df") > max_df)
-               .select("__k"))
-    kept = ex.join(flagged, "__k", "left_anti")
-    stats = ex.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_sentences"))
-    agg = (kept.groupBy(id_col)
-           .agg(F.count(F.lit(1)).alias("n_kept"),
+               .select("__k").withColumn("__flag", F.lit(1)))
+    # ONE apply pass (r7 review: the first cut re-derived the exploded
+    # table in three branches): mark flagged sentences with a broadcast-
+    # friendly sliver left join, then a single per-doc fold carries
+    # total count, kept count, and the ordered reassembly together
+    marked = ex.join(flagged, "__k", "left")
+    agg = (marked.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_sentences"),
+                F.sum(F.when(F.col("__flag").isNull(), 1).otherwise(0))
+                .alias("n_kept"),
                 F.concat_ws(" ", F.transform(
-                    F.array_sort(F.collect_list(
-                        F.struct(F.col("__idx").alias("i"),
-                                 F.trim(F.col("__s")).alias("s")))),
+                    F.filter(
+                        F.array_sort(F.collect_list(F.struct(
+                            F.col("__idx").alias("i"),
+                            F.trim(F.col("__s")).alias("s"),
+                            F.coalesce(F.col("__flag"), F.lit(0))
+                            .alias("f")))),
+                        lambda x: x["f"] == 0),
                     lambda x: x["s"])).alias("clean_text")))
     docs = base.select(id_col)
-    return (docs.join(stats, id_col, "left").join(agg, id_col, "left")
+    return (docs.join(agg, id_col, "left")
             .select(id_col,
                     F.coalesce("n_sentences", F.lit(0)).cast("long")
                     .alias("n_sentences"),

@@ -461,6 +461,15 @@ def _decimal_mean(col) -> "F.Column":
     return _fr(dsum / F.count(F.lit(1)), 6)
 
 
+def _bucket_expr(on: str, bucket_ns: int):
+    """time -> bucket floor (exact long arithmetic) — THE shared bucket
+    expression of the bucketed-series family (_bucket_means) and the
+    cohort/DAU operators (retention, active_users), declared once so an
+    alignment fix cannot silently diverge them (r7 review; the
+    _fr/_bucket_means consolidation precedent)."""
+    return F.col(on) - F.pmod(F.col(on), F.lit(bucket_ns))
+
+
 def _bucket_means(df: DataFrame, on: str, by: list, value_col: str,
                   bucket_ns: int) -> DataFrame:
     """Per-(series, bucket) mean with decimal accumulation + round-6 —
@@ -468,7 +477,7 @@ def _bucket_means(df: DataFrame, on: str, by: list, value_col: str,
     ONE shuffle on (by, bucket); output is |series|·|buckets| rows
     regardless of input volume, so everything downstream is sketch-sized.
     """
-    b = F.col(on) - F.pmod(F.col(on), F.lit(bucket_ns))
+    b = _bucket_expr(on, bucket_ns)
     return (df.groupBy(*by, b.alias("bucket"))
             .agg(_decimal_mean(F.col(value_col)).alias("v")))
 
@@ -1159,7 +1168,7 @@ def retention(df: DataFrame, by: Sequence[str] = ("user_id",),
     it is a plain count, not a count-distinct shuffle).
     """
     by = list(by)
-    b = (F.col(on) - F.pmod(F.col(on), F.lit(bucket_ns))).alias("__b")
+    b = _bucket_expr(on, bucket_ns).alias("__b")
     act = df.select(*by, b).distinct()
     w = Window.partitionBy(*by)
     coh = act.withColumn("__cohort", F.min("__b").over(w))
@@ -1294,7 +1303,7 @@ def active_users(df: DataFrame, by: Sequence[str] = ("user_id",),
     query-sized (7); nothing quadratic.
     """
     by = list(by)
-    b = (F.col(on) - F.pmod(F.col(on), F.lit(bucket_ns))).alias("__b")
+    b = _bucket_expr(on, bucket_ns).alias("__b")
     act = df.select(*by, b).distinct()
     dau = act.groupBy(F.col("__b").alias("bucket")) \
              .agg(F.count(F.lit(1)).alias("dau"))
@@ -1303,8 +1312,12 @@ def active_users(df: DataFrame, by: Sequence[str] = ("user_id",),
             F.col("__b"),
             F.col("__b") + F.lit((window_buckets - 1) * bucket_ns),
             F.lit(bucket_ns))).alias("bucket"))
-    wau = contrib.groupBy("bucket").agg(
-        F.count_distinct(*[F.col(k) for k in by]).alias("wau"))
+    # distinct + plain count, NOT count_distinct: count_distinct skips
+    # NULL entity keys while the DAU side (distinct rows + count(*))
+    # and the DuckDB oracle both count them — a null entity would
+    # break the dau <= wau invariant (r7 review)
+    wau = (contrib.distinct()
+           .groupBy("bucket").agg(F.count(F.lit(1)).alias("wau")))
     stick = (F.floor(F.col("dau").cast("double")
                      / F.col("wau").cast("double")
                      * F.lit(1_000_000) + F.lit(0.5)) / F.lit(1e6))

@@ -36,10 +36,17 @@ def dau_stream(events: DataFrame, entity_col: str = "user_id",
                watermark_delay: str = "1 hour") -> DataFrame:
     """Streaming events (ns-long `time_col`) → one finalized
     (bucket_start, bucket_end, dau) row per day, append mode."""
-    ts = ns_to_timestamp(F.col(time_col))
+    # day floor in EXACT epoch-ns arithmetic BEFORE the timestamp
+    # conversion, not date_trunc('day', ts): date_trunc is
+    # session-timezone dependent, while the batch twin buckets by pure
+    # epoch arithmetic — on a non-UTC driver the two would disagree
+    # near local midnight and break the documented equivalence
+    # (r7 review; the vanilla-session hazard class)
+    day_ns = F.col(time_col) - F.pmod(F.col(time_col),
+                                      F.lit(86_400_000_000_000))
     dedup = (events
              .select(F.col(entity_col).alias("__entity"),
-                     F.date_trunc("day", ts).alias("__day_ts"))
+                     ns_to_timestamp(day_ns).alias("__day_ts"))
              .withWatermark("__day_ts", watermark_delay)
              .dropDuplicatesWithinWatermark(["__entity", "__day_ts"]))
     return (dedup

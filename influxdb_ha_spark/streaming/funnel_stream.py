@@ -54,6 +54,10 @@ def _make_update(steps: Sequence[str], within_ns: int | None):
         reach: list = list(state.get[0]) if state.exists else [None] * k
         rows = []
         pdf = pd.concat(list(pdfs), ignore_index=True)
+        # null-time events arrive as NaN (Arrow nullable int64 ->
+        # float64); drop them like the batch operator's when()-guarded
+        # windows do, instead of crashing astype (r7 review)
+        pdf = pdf.dropna(subset=["time", "event_type"])
         pdf = pdf.sort_values(["time", "event_type"], kind="mergesort")
         for t, typ in zip(pdf["time"].astype("int64"), pdf["event_type"]):
             t = int(t)

@@ -306,3 +306,19 @@ def test_seasonal_anomalies_flags_spike_not_cycle(spark):
     # the pure cycle rows adjacent to the spike's MA window may wobble;
     # far-away clean peaks must NOT be flagged
     assert not any(b < 25 or b > 35 for b in flagged), flagged
+
+
+def test_active_users_null_entity_consistency(spark):
+    """A NULL entity must count identically in DAU and WAU (the r7
+    review found count_distinct silently skipping NULL keys, breaking
+    dau <= wau)."""
+    from influxdb_ha_spark.operators.timeseries import active_users
+    B = 5
+    rows = [(1, 0), (None, 0), (1, B)]
+    df = spark.createDataFrame(rows, "user_id long, time long")
+    got = {r["bucket"]: (r["dau"], r["wau"])
+           for r in active_users(df, by=["user_id"], on="time",
+                                 bucket_ns=B, window_buckets=2).collect()}
+    assert got[0] == (2, 2)          # u1 + NULL both count
+    assert got[B] == (1, 2)          # window {0,5}: u1, NULL
+    assert all(d <= w for d, w in got.values())

@@ -91,6 +91,9 @@ def test_funnel_stream_conversion_window(spark, tmp_path):
         {"user_id": 1, "event_type": "view", "time": 100},   # in window
         {"user_id": 2, "event_type": "signup", "time": 0},
         {"user_id": 2, "event_type": "view", "time": 500},   # outside
+        # malformed: no time field — must be skipped like the batch
+        # operator's null-guarded windows, not crash the query
+        {"user_id": 2, "event_type": "purchase"},
     ])
     collected = []
 

@@ -136,3 +136,34 @@ def test_line_filter_c4_rules(spark):
                           require_terminal_punct=True).collect()}
     assert strict[4]["n_kept"] == 1
     assert strict[4]["clean_text"] == "Ends with punctuation."
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.lists(st.text(alphabet="abe.! iy", max_size=30),
+                      max_size=6))
+def test_readability_matches_reference(spark, texts):
+    from influxdb_ha_spark.operators.text import readability
+    import re
+    if not texts:
+        return
+    expect = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        n_w = len(toks)
+        n_s = max(1, len(re.findall(r"[.!?]+", t)))
+        syl = sum(max(1, len(re.findall(r"[aeiouy]+", w))) for w in toks)
+        if n_w:
+            wps, spw = n_w / n_s, syl / n_w
+            import math
+            r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+            fl = r6(206.835 - 1.015 * wps - 84.6 * spw)
+            fk = r6(0.39 * wps + 11.8 * spw - 15.59)
+        else:
+            fl = fk = None
+        expect[i] = (n_w, n_s, syl, fl, fk)
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_sentences"], r["n_syllables"],
+                         r["flesch"], r["fk_grade"])
+           for r in readability(df).collect()}
+    assert got == expect
