@@ -64,16 +64,27 @@ def main():
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(a for a in args if not os.path.isdir(a))
 
+    # Parallelism-sensitivity sweep knobs (the ts_pettitt forensics,
+    # generalized): override the session shape to hunt partition-order
+    # sensitivity across the whole inventory, e.g.
+    #   SPARK_GATE_MASTER='local[1]' SPARK_GATE_SHUFFLE=7 \
+    #       python tools/check_correctness.py --vanilla
+    master = os.environ.get("SPARK_GATE_MASTER", "local[8]")
+    shuffle = os.environ.get("SPARK_GATE_SHUFFLE")
     if vanilla:
         # The driver's environment: no engine defaults whatsoever.
         from pyspark.sql import SparkSession
-        spark = (SparkSession.builder.appName("vanilla-gate")
-                 .master("local[8]").config("spark.ui.enabled", "false")
-                 .getOrCreate())
+        b = (SparkSession.builder.appName("vanilla-gate")
+             .master(master).config("spark.ui.enabled", "false"))
+        if shuffle:
+            b = b.config("spark.sql.shuffle.partitions", shuffle)
+        spark = b.getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
     else:
         from influxdb_ha_spark.session import get_spark
-        spark = get_spark(master="local[8]")
+        extra = ({"spark.sql.shuffle.partitions": shuffle}
+                 if shuffle else None)
+        spark = get_spark(master=master, extra_conf=extra)
 
     con = duckdb.connect()
     for t in TABLES:
