@@ -322,3 +322,34 @@ def test_active_users_null_entity_consistency(spark):
     assert got[0] == (2, 2)          # u1 + NULL both count
     assert got[B] == (1, 2)          # window {0,5}: u1, NULL
     assert all(d <= w for d, w in got.values())
+
+
+@settings(max_examples=15, deadline=None)
+@given(docs=st.lists(st.tuples(st.text(alphabet="ab ", max_size=10),
+                               st.integers(min_value=0, max_value=3)),
+                     max_size=8))
+def test_canonical_select_matches_reference(spark, docs):
+    import re
+    rows = [(i, t, p) for i, (t, p) in enumerate(docs)]
+    with_text = [(i, t, p) for i, t, p in rows]
+    if not with_text:
+        return
+    fp = lambda t: tuple(sorted({w for w in re.split(  # noqa: E731
+        r"[^a-z0-9]+", t.lower()) if w}))
+    clusters = {}
+    for i, t, p in with_text:
+        clusters.setdefault(fp(t), []).append((p, i))
+    expect = {}
+    for ids in clusters.values():
+        canon = min(ids)[1]
+        for _, i in ids:
+            expect[i] = canon
+    df = spark.createDataFrame(rows, "doc_id long, text string, prio long")
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in canonical_select(df, priority=F.col("prio")).collect()}
+    assert got == expect
+    # exactly one canonical per cluster
+    canon_per_fp = {}
+    for i, c in got.items():
+        canon_per_fp.setdefault(expect[i], set()).add(c)
+    assert all(len(v) == 1 for v in canon_per_fp.values())
