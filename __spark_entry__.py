@@ -754,6 +754,27 @@ def q_doc_chunk(spark, sf):
                              chunk_tokens=32, overlap=8)
 
 
+def q_doc_quality_sample(spark, sf):
+    """Quality-percentile pruning (added scope — 'keep the best 30% by
+    heuristic score', the text-side counterpart of prototypicality
+    pruning): exact interpolating (1-keep_frac) quantile as the
+    threshold, ONE scalar aggregate broadcast back; audit form keeps
+    every doc with (quality, threshold, keep)
+    (operators/pipeline.py:quality_sample)."""
+    from influxdb_ha_spark.operators import pipeline as P
+    return P.quality_sample(_t(spark, sf, "documents"), keep_frac=0.3)
+
+
+def q_doc_ngram_counts(spark, sf):
+    """Corpus bigram count table with a support floor (added scope —
+    the KenLM/contamination-list counting prep): (gram, n_total,
+    n_docs) for every bigram with n_total >= 3; two-level (gram, doc)
+    partial agg, tail pruned before anything downstream
+    (operators/pipeline.py:ngram_counts)."""
+    from influxdb_ha_spark.operators import pipeline as P
+    return P.ngram_counts(_t(spark, sf, "documents"), n=2, min_count=3)
+
+
 def q_doc_token_mixture(spark, sf):
     """Token-budget data mixing (Pile/LLaMA recipe step): 30/20/10% of a
     5000-token budget from src0/src1/src2, everything else weight 0 —
@@ -2293,6 +2314,8 @@ _FAMILIES = [
         "doc_token_mixture": q_doc_token_mixture,
         "doc_canonical": q_doc_canonical,
         "doc_chunk": q_doc_chunk,
+        "doc_quality_sample": q_doc_quality_sample,
+        "doc_ngram_counts": q_doc_ngram_counts,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_train_test_split": q_doc_train_test_split,
         "doc_stratified_sample": q_doc_stratified_sample,

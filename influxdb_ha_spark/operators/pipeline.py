@@ -434,3 +434,71 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     return ex.select(id_col, F.col("chunk_idx").cast("long").alias("chunk_idx"),
                      F.size(piece).cast("long").alias("n_chunk_tokens"),
                      F.array_join(piece, " ").alias("chunk_text"))
+
+
+def quality_sample(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   keep_frac: float = 0.3) -> DataFrame:
+    """Quality-percentile pruning — the "keep the best X% by heuristic
+    score" recipe step between rule filtering and model-based scoring
+    (the data-pruning counterpart of prototypicality on the text side):
+    score every doc with quality_score, compute the EXACT
+    (1 − keep_frac) quantile as the threshold, and flag keep = score ≥
+    threshold. Audit form: every doc reports (quality, threshold,
+    keep) — apply is a `.where(keep)` away.
+
+    Rank-free by design: a global rank/ntile would be one whole-corpus
+    sort; the threshold form needs ONE scalar aggregate broadcast back
+    onto the map-side scores. Exact interpolating percentile implies
+    per-group collection at scale — swap `percentile_approx` at 100 TB
+    exactly as agg_median documents (the threshold moves by the sketch
+    error; the keep semantics are unchanged). Ties at the threshold all
+    keep (≥), so the kept fraction can slightly exceed keep_frac —
+    deterministic, unlike rank tie-breaking by physical order.
+    """
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError("quality_sample: keep_frac must be in (0, 1]")
+    from .text import quality_score
+    scored = (quality_score(df.where(F.col(text_col).isNotNull()),
+                            text_col=text_col)
+              .select(F.col(id_col), F.col("quality")))
+    thr = scored.agg(
+        _fr6(F.percentile("quality", F.lit(1.0 - keep_frac)))
+        .alias("threshold"))
+    return (scored.crossJoin(F.broadcast(thr))
+            .select(id_col, "quality", "threshold",
+                    (F.col("quality") >= F.col("threshold")).alias("keep")))
+
+
+def ngram_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 2,
+                 min_count: int = 2) -> DataFrame:
+    """Corpus n-gram count table — the KenLM/contamination-list prep
+    step (count word n-grams corpus-wide, keep those above a support
+    floor): output (gram, n_total, n_docs) for every n-gram with
+    n_total ≥ min_count. n_docs is the document frequency (distinct
+    docs containing the gram — the df side of the Brown et al. 2020
+    contamination lists); n_total counts every occurrence.
+
+    Shape at 100 TB: explode → ONE gram-keyed aggregation computing
+    both totals (count of occurrence rows) and df (count of distinct
+    docs via a per-doc pre-dedup union trick is NOT needed — the
+    two-level (gram, doc) partial agg collapses occurrences per
+    partition first, then a gram-keyed final agg sums occurrences and
+    counts doc rows). The min_count floor prunes the long tail BEFORE
+    any downstream join/collect; no driver materialization.
+    """
+    sh = shingles_expr(tokens_expr(F.col(text_col)), n)
+    ex = (ensure_min_parallelism(df)
+          .where(F.col(text_col).isNotNull())
+          .select(F.col(id_col), F.explode(sh).alias("gram")))
+    per_doc = (ex.groupBy("gram", id_col)
+               .agg(F.count(F.lit(1)).alias("__occ")))
+    return (per_doc.groupBy("gram")
+            .agg(F.sum("__occ").cast("long").alias("n_total"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("n_total") >= min_count))
+
+
+def _fr6(c):
+    return F.floor(c * 1_000_000 + F.lit(0.5)) / F.lit(1e6)

@@ -1870,6 +1870,25 @@ def build_oracles() -> dict[str, str]:
       SELECT dau.d AS bucket, dau.dau, wau.wau,
              {fr('dau.dau::DOUBLE / wau.wau::DOUBLE', 6)} AS stickiness
       FROM dau JOIN wau ON wau.wd = dau.d"""
+    # Quality-percentile pruning: the text_quality oracle composed
+    # verbatim, exact interpolating quantile threshold, >= keeps ties
+    o["doc_quality_sample"] = f"""
+      WITH q AS ({o['text_quality']}),
+      thr AS (SELECT {fr('quantile_cont(quality, 0.7)', 6)} AS threshold
+              FROM q)
+      SELECT q.doc_id, q.quality, thr.threshold,
+             q.quality >= thr.threshold AS keep
+      FROM q, thr"""
+    # Corpus bigram counts with support floor: per-(gram, doc)
+    # pre-collapse, then totals + document frequency in one pass
+    o["doc_ngram_counts"] = f"""
+      WITH sh AS ({_shingles_cte(2)}),
+      ex AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+      pd AS (SELECT gram, doc_id, count(*)::BIGINT AS occ
+             FROM ex GROUP BY 1, 2)
+      SELECT gram, sum(occ)::BIGINT AS n_total,
+             count(*)::BIGINT AS n_docs
+      FROM pd GROUP BY 1 HAVING sum(occ) >= 3"""
     # Overlapping token-window chunking: starts = 1, 1+stride, ... while
     # start <= max(1, n - overlap); chunk_idx = 0-based start ordinal;
     # DuckDB list slice is 1-based inclusive

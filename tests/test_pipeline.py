@@ -167,3 +167,36 @@ def test_readability_matches_reference(spark, texts):
                          r["flesch"], r["fk_grade"])
            for r in readability(df).collect()}
     assert got == expect
+
+
+def test_quality_sample_threshold_semantics(spark):
+    from influxdb_ha_spark.operators.pipeline import quality_sample
+    import pytest as _pt
+    docs = [(i, ("the and of to in is that it was for "
+                 "good words here" * (i + 1))[:200]) for i in range(6)]
+    docs.append((99, None))                     # null text drops
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = quality_sample(df, keep_frac=0.5).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 99 not in ids and len(out) == 6
+    thr = {r["threshold"] for r in out}
+    assert len(thr) == 1                        # one global threshold
+    for r in out:
+        assert r["keep"] == (r["quality"] >= r["threshold"])
+    assert any(r["keep"] for r in out) and len(out) > 0
+    # keep_frac=1.0 keeps everything (threshold = min)
+    all_keep = quality_sample(df, keep_frac=1.0).collect()
+    assert all(r["keep"] for r in all_keep)
+    with _pt.raises(ValueError):
+        quality_sample(df, keep_frac=0.0)
+
+
+def test_ngram_counts_totals_and_df(spark):
+    from influxdb_ha_spark.operators.pipeline import ngram_counts
+    docs = [(1, "a b a b a b"),    # 'a b' x3, 'b a' x2 in doc 1
+            (2, "a b c"),          # 'a b' x1, 'b c' x1
+            (3, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["gram"]: (r["n_total"], r["n_docs"])
+           for r in ngram_counts(df, n=2, min_count=2).collect()}
+    assert got == {"a b": (4, 2), "b a": (2, 1)}   # 'b c' below floor

@@ -46,6 +46,10 @@ BOUNDED_SINGLE_PARTITION = {
                           "never the data rows (functions/scan.py)",
     "ts_deadman": "the anchored-'now' form's 1-row global-max aggregate "
                   "(partial max map-side; final = P partials)",
+    "doc_quality_sample": "the 1-row exact-percentile threshold "
+                          "aggregate (percentile is non-algebraic — "
+                          "percentile_approx is the documented 100 TB "
+                          "swap); scores themselves stay map-side",
     "ev_funnel": "the final 1-row fold of k per-step counts: partial "
                  "agg collapses each partition to one row of k longs "
                  "before the SinglePartition exchange (P rows total); "
@@ -60,6 +64,9 @@ BOUNDED_SINGLE_PARTITION = {
 ALLOWED_CARTESIAN = {
     "emb_brute_topk": "corpus x broadcast(queries) exact baseline; corpus "
                       "never shuffles, cost |Q| dot products per row",
+    "doc_quality_sample": "broadcast of the 1-row threshold aggregate "
+                          "onto the scored scan — the ts_deadman "
+                          "anchored-'now' crossJoin pattern",
     "emb_recall": "inherits emb_brute_topk's allowlisted corpus x "
                   "broadcast(queries) baseline as its exact side; the "
                   "recall computation itself is result-sized "
