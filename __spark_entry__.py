@@ -2195,6 +2195,51 @@ _DRIVER_WINDOW = 50
 # converted evidence; as the union completes, the pool restores itself.
 # The anchors' regression role is otherwise covered by the local
 # 149/149 vanilla-gate run each round.
+def _graph_edges(spark, sf):
+    """Shared edge list for the graph family: distinct undirected
+    part-co-order edges (two parts connected iff some order contains
+    both — the classic co-purchase graph), built by
+    operators/graph.py:co_occurrence_edges with its group-size cap.
+    Integer-exact end-to-end, so every downstream graph statistic is
+    engine-reproducible without rounding contracts."""
+    from influxdb_ha_spark.operators import graph as GR
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    return GR.co_occurrence_edges(li, "l_orderkey", "l_partkey",
+                                  max_group_size=64)
+
+
+def q_graph_triangles(spark, sf):
+    """Per-node triangle count + local clustering coefficient on the
+    co-order part graph (added scope — the reference has no graph
+    surface, routing.go:137-138): degree-ordered edge orientation
+    bounds the wedge join at O(E^1.5) (Suri & Vassilvitskii 2011);
+    counts are exact integers, clustering is one IEEE division of two
+    exact ints, floor-rounded at 6 (operators/graph.py:triangles)."""
+    from influxdb_ha_spark.operators import graph as GR
+    return GR.triangles(_graph_edges(spark, sf))
+
+
+def q_graph_pagerank(spark, sf):
+    """10-iteration PageRank over the symmetric co-order graph in EXACT
+    fixed-point integer arithmetic (parts-per-10^12, floor divisions) —
+    bit-stable under any partitioning because every per-node fold is an
+    integer sum; the oracle unrolls the same 10 iterations as chained
+    CTEs (operators/graph.py:pagerank). Calling this runs the iteration
+    jobs (the cluster_assign eager-probe convention)."""
+    from influxdb_ha_spark.operators import graph as GR
+    return GR.pagerank(_graph_edges(spark, sf), iters=10)
+
+
+def q_graph_components(spark, sf):
+    """8-round min-label propagation components on the co-order graph
+    (added scope): label(v) = min over closed neighborhood each round —
+    integer min is fold-order-free, and the contract is exactly 8
+    rounds (not convergence), which the oracle unrolls verbatim
+    (operators/graph.py:components)."""
+    from influxdb_ha_spark.operators import graph as GR
+    return GR.components(_graph_edges(spark, sf), rounds=8)
+
+
 _ANCHOR_POOL = [
     "tpch_q1", "agg_mean", "agg_top_bottom", "iq_mean_1h", "iq_fill_linear",
     "iq_subquery", "join_brand_revenue", "tr_derivative", "dedup_points",
@@ -2395,6 +2440,13 @@ _FAMILIES = [
         "ev_retention": q_ev_retention,
         "ev_user_paths": q_ev_user_paths,
         "ev_active_users": q_ev_active_users,
+    },
+    {
+        # graph analytics over co-occurrence edges (added scope;
+        # operators/graph.py)
+        "graph_triangles": q_graph_triangles,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_components": q_graph_components,
     },
     {
         # LLM-pipeline scope (§7): multimodal

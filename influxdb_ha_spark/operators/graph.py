@@ -1,0 +1,238 @@
+"""Graph analytics over co-occurrence edge lists (added scope).
+
+The reference proxies InfluxQL only (service/routing.go:137-138 — no graph
+surface), but a training-data platform leans on graph structure constantly:
+kNN-graph community pruning, co-occurrence statistics, dedup-cluster
+analysis, link-based quality signals (PageRank over a citation/co-purchase
+graph). This module supplies the batch graph core on plain DataFrames:
+
+- co_occurrence_edges : distinct undirected edges from items sharing a
+                        group (parts co-ordered in one order, docs sharing
+                        a dedup bucket, ...), with a group-size cap so one
+                        hot group can't materialize C(n,2) pairs.
+- triangles           : per-node triangle counts + clustering coefficient
+                        via degree-ordered edge orientation (the classic
+                        O(E^1.5) wedge-check bound; Suri & Vassilvitskii
+                        2011 "Counting Triangles and the Curse of the Last
+                        Reducer" is the MapReduce formulation).
+- pagerank            : fixed-iteration PageRank in EXACT fixed-point
+                        integer arithmetic (parts-per-10^12), so every
+                        engine reproduces it bit-for-bit — float PageRank
+                        is fold-order sensitive, integer PageRank is not
+                        (the seasonal-MK exact-numerator discipline).
+- components          : bounded-round min-label propagation (label(v) :=
+                        min over closed neighborhood, r rounds) — integer-
+                        exact; the production escalation for high-diameter
+                        graphs is the large-star/small-star algorithm
+                        (Kiveris et al. 2014), documented in SCALE.md.
+
+Everything is built-in DataFrame ops — zero Python UDFs, zero windows —
+and every shuffle is keyed by group/node/edge (high-cardinality keys, no
+single-reducer funnels). The iterative ops (pagerank, components) run a
+small driver loop; each round localCheckpoint(eager)s its frontier
+(truncating lineage — stacked persists kept every prior round's logical
+plan and OOM'd the driver merely rendering the AQE plan string), so
+calling them executes one job per round (the cluster_assign eager-probe
+convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .util import ensure_min_parallelism
+
+
+def co_occurrence_edges(df: DataFrame, group_col: str, item_col: str,
+                        max_group_size: int = 64) -> DataFrame:
+    """Distinct undirected co-occurrence edges (src < dst) between items
+    appearing in the same group.
+
+    Scale shape: (group, item) dedups on the group key (one shuffle);
+    the within-group self-join reuses that partitioning (co-partitioned
+    equi-join, no extra exchange); the final distinct shuffles edge keys.
+    `max_group_size` bounds per-group fan-out at C(cap, 2): groups above
+    the cap are DROPPED (loudly countable via the returned plan — a hot
+    group like "the empty document's dedup bucket" would otherwise emit
+    billions of pairs). TPC-H orders carry ≤7 lineitems so the default
+    cap never binds on the gate tables; the contract (and the oracle)
+    mirrors the cap exactly either way.
+    """
+    gi = (ensure_min_parallelism(df)
+          .select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i"))
+          .where(F.col("__g").isNotNull() & F.col("__i").isNotNull())
+          .distinct())
+    # group-size cap without a window: aggregate sizes, semi-join back
+    ok = (gi.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+          .where((F.col("__n") >= 2) & (F.col("__n") <= max_group_size))
+          .select("__g"))
+    kept = gi.join(ok, "__g")
+    a = kept.select("__g", F.col("__i").alias("src"))
+    b = kept.select("__g", F.col("__i").alias("dst"))
+    return (a.join(b, "__g")
+            .where(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+            .distinct())
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """Both directions of an undirected (src<dst) edge list."""
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree of the undirected graph: one node-keyed agg."""
+    return (_symmetric(edges).groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree")))
+
+
+def triangles(edges: DataFrame, round_to: int = 6) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient.
+
+    Degree-ordered orientation: each undirected edge points from the
+    endpoint with the smaller (degree, id) to the larger, so every
+    node's ORIENTED out-neighborhood is O(sqrt(E)) on skewed graphs —
+    the wedge join (pairs of oriented out-neighbors, closed by an
+    oriented edge probe) does O(sum outdeg^2) = O(E^1.5) work instead of
+    the hub-quadratic naive form. Each triangle {a,b,c} materializes
+    exactly once (at its lowest-ranked vertex), then explodes to its 3
+    corners for the per-node count.
+
+    clustering = 2*T / (deg*(deg-1)), both operands exact integers, one
+    IEEE division + half-up round — engine-independent.
+    """
+    deg = degrees(edges)
+    da = deg.select(F.col("node").alias("src"), F.col("degree").alias("__ds"))
+    db = deg.select(F.col("node").alias("dst"), F.col("degree").alias("__dd"))
+    ranked = (_symmetric(edges).join(da, "src").join(db, "dst"))
+    oriented = (ranked.where(
+        (F.col("__ds") < F.col("__dd"))
+        | ((F.col("__ds") == F.col("__dd")) & (F.col("src") < F.col("dst"))))
+        .select("src", "dst", "__dd"))
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                         F.col("__dd").alias("__dv"))
+    e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"),
+                         F.col("__dd").alias("__dw"))
+    wedges = (e1.join(e2, "u")
+              .where((F.col("__dv") < F.col("__dw"))
+                     | ((F.col("__dv") == F.col("__dw"))
+                        & (F.col("v") < F.col("w"))))
+              .select("u", "v", "w"))
+    closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closer, ["v", "w"])
+    corners = (tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("triangles")))
+    return (deg.join(corners, "node", "left")
+            .select("node", "degree",
+                    F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"))
+            .withColumn(
+                "clustering",
+                F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+                    F.floor(2.0 * F.col("triangles")
+                            / (F.col("degree") * (F.col("degree") - 1))
+                            * (10 ** round_to) + F.lit(0.5))
+                    / (10 ** round_to))))
+
+
+SCALE_FP = 10 ** 12  # PageRank fixed-point unit: parts-per-10^12
+
+
+def pagerank(edges: DataFrame, iters: int = 10,
+             damping_pct: int = 85) -> DataFrame:
+    """Fixed-iteration PageRank on the symmetric closure of an undirected
+    edge list, in exact fixed-point integers (SCALE_FP units).
+
+    pr_0(v)   = SCALE // N
+    pr_i+1(v) = (100-d)*SCALE // (100*N) + d * (sum over in-neighbors u of
+                pr_i(u) // outdeg(u)) // 100
+
+    Every operand is a BIGINT and every division is a floor — the
+    per-node contribution sum is an INTEGER sum, so fold order cannot
+    perturb the result (float PageRank differs in the last ulps between
+    engines/partitionings; this one is bit-stable by construction).
+    Floor truncation leaks ≤1 unit per in-edge per iteration — at
+    SCALE=1e12 that is a ~1e-9 relative artifact, identically replayed
+    by the oracle.
+
+    Scale shape per iteration: one co-partitioned join (contributions
+    keyed by edge src = pr partitioning) + one node-keyed agg. The
+    driver loop localCheckpoint(eager)s each frontier — persist alone
+    keeps the whole logical plan, and ten stacked iterations of it blew
+    the driver heap just RENDERING the AQE plan string; checkpointing
+    truncates lineage to the materialized rows, the production shape
+    for any iterative DataFrame algorithm. iters jobs total; N and the
+    two literal divisors are the only driver-side scalars.
+    """
+    sym = _symmetric(edges)
+    nodes = sym.select(F.col("src").alias("node")).distinct().persist()
+    out = (sym.groupBy(F.col("src").alias("node"))
+           .agg(F.count(F.lit(1)).alias("outdeg"))).persist()
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        out.unpersist()
+        return nodes.withColumn("pr_fp", F.lit(0).cast("long"))
+    base = ((100 - damping_pct) * SCALE_FP) // (100 * n)
+    pr = (nodes.withColumn("pr_fp", F.lit(SCALE_FP // n).cast("long"))
+          .localCheckpoint(eager=True))
+    edges_k = sym.persist()
+    for _ in range(iters):
+        # `div` is Spark's exact BIGINT integral division — a DOUBLE `/`
+        # + cast would round-to-nearest in the 53-bit mantissa and can
+        # land one unit above the true floor near exact boundaries
+        contrib = (pr.join(out, "node")
+                   .select(F.col("node").alias("src"),
+                           F.expr("pr_fp div outdeg").alias("__c")))
+        summed = (edges_k.join(contrib, "src")
+                  .groupBy(F.col("dst").alias("node"))
+                  .agg(F.sum("__c").alias("__s")))
+        nxt = (nodes.join(summed, "node", "left")
+               .withColumn("__s", F.coalesce(F.col("__s"), F.lit(0)))
+               .select("node",
+                       (F.lit(base)
+                        + F.expr(f"({damping_pct} * __s) div 100"))
+                       .cast("long").alias("pr_fp")))
+        pr = nxt.localCheckpoint(eager=True)
+    edges_k.unpersist()
+    nodes.unpersist()
+    out.unpersist()
+    return pr
+
+
+def components(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """Bounded-round min-label propagation: label(v) starts as v's own id
+    and each round takes the min over the CLOSED neighborhood (self +
+    neighbors). After r rounds every vertex within graph distance r of
+    its component's minimum id carries that id — the documented contract
+    is exactly r rounds, not convergence, so the oracle unrolls the same
+    r joins. Returns (node, component, component_size at round r).
+
+    Integer min is fold-order-free: partitioning cannot perturb it.
+    Scale shape per round: one join keyed by the closed-adjacency src +
+    one node-keyed min agg; the adjacency persists once and each label
+    frontier is localCheckpoint(eager)ed to truncate lineage (see the
+    pagerank note — stacked persists OOM'd the driver on plan strings
+    alone). High-diameter graphs (> r) need the large-star/small-star
+    contraction instead — see SCALE.md.
+    """
+    sym = _symmetric(edges)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    adj = sym.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+    adj = adj.persist()
+    lab = (nodes.withColumn("component", F.col("node").cast("long"))
+           .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        lab = (adj.join(lab.select(F.col("node").alias("src"), "component"),
+                        "src")
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.min("component").alias("component"))
+               .localCheckpoint(eager=True))
+    sizes = lab.groupBy("component").agg(
+        F.count(F.lit(1)).alias("component_size"))
+    res = lab.join(sizes, "component").select("node", "component",
+                                              "component_size")
+    adj.unpersist()
+    return res

@@ -1358,3 +1358,119 @@ def seasonal_anomalies(df: DataFrame, on: str = "time",
     return (j.select(*by, "bucket", _fr(F.col("v"), 6).alias("v"),
                      "resid", z.alias("robust_z"))
             .where(F.coalesce(F.abs(z) > threshold, F.lit(False))))
+
+
+def attribution(df: DataFrame, conversion_type: str = "purchase",
+                by: Sequence[str] = ("user_id",), on: str = "time",
+                type_col: str = "event_type", value_col: str = "value",
+                id_col: str = "event_id", window_ns: int | None = None,
+                model: str = "last") -> DataFrame:
+    """Marketing-touch attribution: each conversion event credits the
+    entity's last (or first) non-conversion touch event at-or-before the
+    conversion time, optionally only within a `window_ns` lookback;
+    unattributed conversions report channel '(none)'. Output per channel:
+    (channel, conversions, revenue) — revenue is the exact-decimal sum of
+    the conversion events' value column (the _dsum convention).
+
+    Added scope (the reference proxies InfluxQL only) — the funnel's
+    revenue-accounting sibling, the standard single-touch attribution
+    models of the product-analytics engines.
+
+    Shape at 100 TB: NOT a conversions×touches pairwise join — the union
+    stream sorts once per entity (one keyed window, ordered by
+    (time, kind, event_id) so same-timestamp touches precede their
+    conversion and the latest/earliest touch wins deterministically) and
+    the qualifying touch is carried by last_value(ignoreNulls)/first_value
+    across that frame. One entity-keyed exchange over the two filtered
+    event classes, then a |channels|-row aggregation.
+    """
+    by = list(by)
+    is_conv = F.col(type_col) == F.lit(conversion_type)
+    tagged = df.select(
+        *by, F.col(on).alias("__t"), F.col(type_col).alias("__ch"),
+        F.col(value_col).alias("__v"),
+        is_conv.cast("int").alias("__k"),
+        F.col(id_col).alias("__id"))
+    w = (Window.partitionBy(*by)
+         .orderBy(F.col("__t").asc(), F.col("__k").asc(),
+                  F.col("__id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    touch = F.when(F.col("__k") == 0,
+                   F.struct(F.col("__t").alias("t"),
+                            F.col("__ch").alias("ch")))
+    if model == "last":
+        carried = F.last(touch, ignoreNulls=True).over(w)
+    elif model == "first":
+        carried = F.first(touch, ignoreNulls=True).over(w)
+    else:
+        raise ValueError(f"unknown attribution model {model!r}; "
+                         "expected 'last' or 'first'")
+    conv = (tagged.withColumn("__touch", carried)
+            .where(F.col("__k") == 1))
+    in_window = F.col("__touch").isNotNull()
+    if window_ns is not None:
+        in_window = in_window & (
+            F.col("__t") - F.col("__touch.t") <= F.lit(int(window_ns)))
+    channel = F.when(in_window, F.col("__touch.ch")).otherwise("(none)")
+    return (conv.select(channel.alias("channel"), "__v")
+            .groupBy("channel")
+            .agg(F.count(F.lit(1)).alias("conversions"),
+                 (F.sum(F.col("__v").cast("decimal(28,6)"))
+                  .cast("double")).alias("revenue")))
+
+
+def rfm_segments(df: DataFrame, conversion_type: str = "purchase",
+                 by: Sequence[str] = ("user_id",), on: str = "time",
+                 type_col: str = "event_type", value_col: str = "value",
+                 now_ns: int | None = None) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation over
+    conversion events: per entity, recency = now − last conversion time,
+    frequency = conversion count, monetary = exact-cents value sum; each
+    scored 1–4 against the population's exact interpolating quartiles
+    (score = 1 + #thresholds strictly exceeded; recency inverted so
+    fresher entities score higher). Output: one row per populated
+    (r_score, f_score, m_score) cell with its entity count and
+    exact-decimal revenue total — the classic CRM segmentation cube,
+    ≤64 rows.
+
+    Quartile thresholds come from ONE 1-row scalar aggregate broadcast
+    back as literals (the doc_quality_sample allowlisted pattern;
+    percentile_approx is the documented 100 TB swap). All three metrics
+    are exact integers (ns recency, counts, cents), so the only floats
+    are the interpolated thresholds — computed identically by both
+    engines from identical integer inputs — and the strict-> comparisons
+    are deterministic at ties.
+    """
+    by = list(by)
+    if now_ns is None:
+        raise ValueError("rfm_segments requires an explicit now_ns "
+                         "anchor (deterministic-now convention)")
+    conv = df.where(F.col(type_col) == F.lit(conversion_type))
+    ent = (conv.groupBy(*by)
+           .agg((F.lit(int(now_ns)) - F.max(on)).alias("__rec"),
+                F.count(F.lit(1)).alias("__freq"),
+                F.sum(F.floor(F.col(value_col) * 100 + F.lit(0.5))
+                      .cast("long")).alias("__cents")))
+    qs = ent.agg(
+        F.percentile("__rec", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)]))
+        .alias("qr"),
+        F.percentile("__freq", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)]))
+        .alias("qf"),
+        F.percentile("__cents", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)]))
+        .alias("qm")).collect()[0]
+
+    def score(col, q):
+        s = F.lit(1)
+        for t in q:
+            s = s + (F.col(col) > F.lit(float(t))).cast("int")
+        return s
+
+    scored = ent.select(
+        *by,
+        (F.lit(5) - score("__rec", qs["qr"])).alias("r_score"),
+        score("__freq", qs["qf"]).alias("f_score"),
+        score("__cents", qs["qm"]).alias("m_score"),
+        F.col("__cents"))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).alias("n_entities"),
+                 (F.sum(F.col("__cents")) / F.lit(100.0)).alias("revenue")))

@@ -2478,4 +2478,92 @@ def build_oracles() -> dict[str, str]:
         SELECT DISTINCT event_type FROM events
         UNION ALL
         SELECT DISTINCT event_type FROM events WHERE value > 100)"""
+
+    # --- graph family (operators/graph.py): co-order part graph.
+    # Everything integer-exact; the iterative ops unroll their fixed
+    # round counts as chained CTEs (the holt_winters unroll precedent).
+    _G_EDGES = """
+      gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+             FROM lineitem
+             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      gok AS (SELECT g FROM gi GROUP BY g
+              HAVING count(*) BETWEEN 2 AND 64),
+      e AS (SELECT DISTINCT a.i AS src, b.i AS dst
+            FROM gi a JOIN gok ON a.g = gok.g
+                      JOIN gi b ON b.g = a.g
+            WHERE a.i < b.i),
+      sym AS (SELECT src, dst FROM e
+              UNION ALL SELECT dst, src FROM e),
+      gnodes AS (SELECT DISTINCT src AS node FROM sym)"""
+
+    o["graph_triangles"] = f"""
+      WITH {_G_EDGES},
+      deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY 1),
+      ori AS (SELECT s.src, s.dst, dd.degree AS dd
+              FROM sym s
+              JOIN deg ds ON ds.node = s.src
+              JOIN deg dd ON dd.node = s.dst
+              WHERE ds.degree < dd.degree
+                 OR (ds.degree = dd.degree AND s.src < s.dst)),
+      wed AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+              FROM ori e1 JOIN ori e2 ON e1.src = e2.src
+              WHERE e1.dd < e2.dd
+                 OR (e1.dd = e2.dd AND e1.dst < e2.dst)),
+      tri AS (SELECT u, v, w FROM wed
+              JOIN ori ON ori.src = wed.v AND ori.dst = wed.w),
+      corners AS (SELECT node, count(*) AS triangles FROM (
+                    SELECT u AS node FROM tri
+                    UNION ALL SELECT v FROM tri
+                    UNION ALL SELECT w FROM tri)
+                  GROUP BY 1)
+      SELECT d.node, d.degree,
+             coalesce(c.triangles, 0) AS triangles,
+             CASE WHEN d.degree < 2 THEN 0.0
+                  ELSE {fr('2.0 * coalesce(c.triangles, 0)'
+                           ' / (d.degree * (d.degree - 1))', 6)}
+             END AS clustering
+      FROM deg d LEFT JOIN corners c ON c.node = d.node"""
+
+    # fixed-point PageRank: same floor-integer recurrence as the Spark
+    # loop, 10 iterations unrolled; sums are HUGEINT in DuckDB so the
+    # 85*s product can't overflow before the ::BIGINT at the end
+    _PR_ITERS, _PR_SCALE, _PR_D = 10, 10 ** 12, 85
+    pr_ctes = [f"""
+      outd AS (SELECT src AS node, count(*) AS outdeg FROM sym GROUP BY 1),
+      gb AS (SELECT ({100 - _PR_D} * {_PR_SCALE}::HUGEINT)
+                    // (100 * count(*)) AS b,
+                    {_PR_SCALE}::HUGEINT // count(*) AS p0
+             FROM gnodes),
+      p0 AS (SELECT node, (SELECT p0 FROM gb) AS pr FROM gnodes)"""]
+    for it in range(1, _PR_ITERS + 1):
+        pr_ctes.append(f"""
+      p{it} AS (SELECT nd.node,
+                       ((SELECT b FROM gb)
+                        + ({_PR_D} * coalesce(s.s, 0)) // 100) AS pr
+                FROM gnodes nd LEFT JOIN (
+                  SELECT sym.dst AS node, sum(p.pr // o.outdeg) AS s
+                  FROM sym
+                  JOIN p{it - 1} p ON p.node = sym.src
+                  JOIN outd o ON o.node = sym.src
+                  GROUP BY sym.dst) s ON s.node = nd.node)""")
+    o["graph_pagerank"] = (
+        "WITH " + _G_EDGES + "," + ",".join(pr_ctes)
+        + f"\n      SELECT node, pr::BIGINT AS pr_fp FROM p{_PR_ITERS}")
+
+    _CC_ROUNDS = 8
+    cc_ctes = ["""
+      adj AS (SELECT src, dst FROM sym
+              UNION ALL SELECT node, node FROM gnodes),
+      l0 AS (SELECT node, node AS component FROM gnodes)"""]
+    for it in range(1, _CC_ROUNDS + 1):
+        cc_ctes.append(f"""
+      l{it} AS (SELECT adj.dst AS node, min(l.component) AS component
+                FROM adj JOIN l{it - 1} l ON l.node = adj.src
+                GROUP BY adj.dst)""")
+    o["graph_components"] = (
+        "WITH " + _G_EDGES + "," + ",".join(cc_ctes) + f""",
+      csizes AS (SELECT component, count(*) AS component_size
+                 FROM l{_CC_ROUNDS} GROUP BY 1)
+      SELECT l.node, l.component, csizes.component_size
+      FROM l{_CC_ROUNDS} l JOIN csizes ON csizes.component = l.component""")
     return o

@@ -1,0 +1,92 @@
+"""Graph-analytics operators (operators/graph.py) on hand-checked graphs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxdb_ha_spark.operators import graph as G
+from influxdb_ha_spark.operators.graph import SCALE_FP
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_co_occurrence_edges_dedup_and_cap(spark):
+    df = spark.createDataFrame(
+        # group 100: items 1,2,2,3 -> edges (1,2),(1,3),(2,3); group 200
+        # re-yields (2,3) (dedup); group 300 has one item (no pairs)
+        [(100, 1), (100, 2), (100, 2), (100, 3), (200, 2), (200, 3),
+         (300, 7)],
+        "g long, i long")
+    got = sorted((r.src, r.dst)
+                 for r in G.co_occurrence_edges(df, "g", "i").collect())
+    assert got == [(1, 2), (1, 3), (2, 3)]
+    # cap: a group above max_group_size contributes nothing
+    big = spark.createDataFrame([(1, i) for i in range(5)] + [(2, 1), (2, 2)],
+                                "g long, i long")
+    capped = sorted((r.src, r.dst)
+                    for r in G.co_occurrence_edges(big, "g", "i",
+                                                   max_group_size=4).collect())
+    assert capped == [(1, 2)]
+
+
+def test_triangles_k4_minus_edge(spark):
+    # 1-2, 1-3, 2-3, 3-4: one triangle {1,2,3}; node 4 pendant
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    rows = {r.node: r for r in G.triangles(e).collect()}
+    assert [rows[n].triangles for n in (1, 2, 3, 4)] == [1, 1, 1, 0]
+    assert [rows[n].degree for n in (1, 2, 3, 4)] == [2, 2, 3, 1]
+    assert rows[1].clustering == 1.0
+    assert rows[3].clustering == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[4].clustering == 0.0
+
+
+def test_triangles_k4_complete(spark):
+    # K4: 4 triangles total, each node in 3, clustering 1.0 everywhere
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    rows = G.triangles(e).collect()
+    assert all(r.triangles == 3 and r.clustering == 1.0 for r in rows)
+
+
+def test_pagerank_mass_and_symmetry(spark):
+    # path 1-2-3: ends symmetric, middle highest; total mass ~= SCALE_FP
+    e = _edges(spark, [(1, 2), (2, 3)])
+    pr = {r.node: r.pr_fp for r in G.pagerank(e, iters=10).collect()}
+    assert pr[1] == pr[3]
+    assert pr[2] > pr[1]
+    # floor truncation leaks <= 1 unit per in-edge per update chain
+    assert 0 <= SCALE_FP - sum(pr.values()) < 1000
+
+
+def test_pagerank_regular_graph_uniform(spark):
+    # on a k-regular graph (triangle) PageRank is exactly uniform and
+    # the integer recurrence preserves it bit-for-bit each iteration
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    pr = {r.node: r.pr_fp for r in G.pagerank(e, iters=7).collect()}
+    assert len(set(pr.values())) == 1
+
+
+def test_components_two_cliques(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11)])
+    rows = {r.node: r for r in G.components(e, rounds=4).collect()}
+    assert [rows[n].component for n in (1, 2, 3)] == [1, 1, 1]
+    assert [rows[n].component for n in (10, 11)] == [10, 10]
+    assert rows[3].component_size == 3 and rows[10].component_size == 2
+
+
+def test_components_bounded_rounds_contract(spark):
+    # a path of length 5: after 2 rounds node 6 has NOT yet received
+    # label 1 (distance 5 > 2) — the fixed-round contract, not
+    # convergence; after 5 rounds it has
+    path = [(i, i + 1) for i in range(1, 6)]
+    e = _edges(spark, path)
+    l2 = {r.node: r.component for r in G.components(e, rounds=2).collect()}
+    assert l2[6] == 4  # min label within distance 2 of node 6
+    l5 = {r.node: r.component for r in G.components(e, rounds=5).collect()}
+    assert set(l5.values()) == {1}
+
+
+def test_degrees(spark):
+    e = _edges(spark, [(1, 2), (1, 3)])
+    d = {r.node: r.degree for r in G.degrees(e).collect()}
+    assert d == {1: 2, 2: 1, 3: 1}
