@@ -2240,6 +2240,49 @@ def q_graph_components(spark, sf):
     return GR.components(_graph_edges(spark, sf), rounds=8)
 
 
+def q_text_collocations(spark, sf):
+    """Corpus bigram collocations by PMI (Church & Hanks 1990, added
+    scope — the phrase-discovery / tokenizer-merge-candidate signal):
+    every ln argument is an exact integer count and the ln values
+    inline from a driver-computed libm sparse log map (the
+    token_entropy convention — JVM Math.log can drift an ulp vs
+    DuckDB's libm ln); min_count=5 support floor; floor-rounded at 6
+    (operators/text.py:pmi_collocations)."""
+    from influxdb_ha_spark.operators.text import pmi_collocations
+    docs = _t(spark, sf, "documents")
+    return pmi_collocations(docs, min_count=5)
+
+
+def q_ev_attribution(spark, sf):
+    """Last-touch marketing attribution (added scope — the funnel's
+    revenue-accounting sibling): each purchase credits the user's most
+    recent prior-or-same-time non-purchase event within a 7-day
+    lookback, else '(none)'; per-channel conversion counts + exact-
+    decimal revenue. NOT a pairwise join: one entity-keyed window over
+    the tagged event stream carries the qualifying touch via
+    last(ignoreNulls) with a pinned (time, kind, event_id) order
+    (operators/timeseries.py:attribution)."""
+    from influxdb_ha_spark.operators.timeseries import attribution
+    ev = _events_us(spark, sf).select("user_id", "event_type", "time",
+                                      "value", "event_id")
+    return attribution(ev, conversion_type="purchase",
+                       window_ns=7 * DAY, model="last")
+
+
+def q_ev_rfm(spark, sf):
+    """RFM quartile segmentation (added scope — the CRM companion of
+    ev_retention): per-user recency (whole seconds — exact in double) /
+    frequency / monetary-cents over purchases, scored 1-4 against exact
+    interpolating population quartiles from ONE 1-row scalar aggregate
+    (the doc_quality_sample pattern; percentile_approx is the 100 TB
+    swap), grouped to the ≤64-cell segmentation cube
+    (operators/timeseries.py:rfm_segments)."""
+    from influxdb_ha_spark.operators.timeseries import rfm_segments
+    ev = _events_us(spark, sf).select("user_id", "event_type", "time",
+                                      "value")
+    return rfm_segments(ev, conversion_type="purchase", now_ns=NOW_NS)
+
+
 _ANCHOR_POOL = [
     "tpch_q1", "agg_mean", "agg_top_bottom", "iq_mean_1h", "iq_fill_linear",
     "iq_subquery", "join_brand_revenue", "tr_derivative", "dedup_points",
@@ -2412,6 +2455,7 @@ _FAMILIES = [
         "text_readability": q_text_readability,
         "text_boilerplate": q_text_boilerplate,
         "text_line_filter": q_text_line_filter,
+        "text_collocations": q_text_collocations,
     },
     {
         # time-series relational ops (added scope; operators/timeseries.py)
@@ -2440,6 +2484,8 @@ _FAMILIES = [
         "ev_retention": q_ev_retention,
         "ev_user_paths": q_ev_user_paths,
         "ev_active_users": q_ev_active_users,
+        "ev_attribution": q_ev_attribution,
+        "ev_rfm": q_ev_rfm,
     },
     {
         # graph analytics over co-occurrence edges (added scope;

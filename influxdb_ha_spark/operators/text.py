@@ -703,3 +703,96 @@ def line_filter(df: DataFrame, text_col: str = "text",
                     F.size(kept).cast("long").alias("n_kept"),
                     F.array_join(F.transform(kept, F.trim), " ")
                     .alias("clean_text")))
+
+
+def pmi_collocations(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     min_count: int = 5) -> DataFrame:
+    """Corpus bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) — the phrase-discovery / tokenizer-merge-
+    candidate signal of corpus preprocessing:
+
+        PMI(x, y) = ln( P(xy) / (P(x) P(y)) )
+                  = ln c_xy + 2 ln T - ln B - ln c_x - ln c_y
+
+    with c_xy bigram occurrences, c_* unigram occurrences, T total
+    tokens, B total bigrams; a `min_count` support floor drops the
+    unstable tail (hapax pairs have maximal PMI by artifact).
+
+    Engine parity: every ln argument is an exact INTEGER count, and the
+    ln values are computed driver-side with math.log (libm — identical
+    to DuckDB's ln; JVM Math.log can drift an ulp — the token_entropy /
+    DSIR / lm_score convention) and inlined as a SPARSE literal map
+    over the distinct count values actually present (Zipf keeps that
+    set tiny next to the vocab — collected once, loud cap at 65536).
+    The PMI expression then folds in one pinned order both engines
+    replay; floor-rounded at 6.
+
+    Shape at 100 TB: one tokenize pass feeds both count aggs (token-
+    and bigram-keyed shuffles — uniform high-cardinality keys), the
+    selected bigrams join the vocab-sized unigram table twice, and the
+    distinct-count collect is |distinct counts|-bounded, not
+    corpus-bounded. The corpus itself never joins anything.
+    """
+    import math
+
+    from .hashing import shingles_expr
+
+    base = (ensure_min_parallelism(df)
+            .where(F.col(text_col).isNotNull())
+            .select(tokens_expr(F.col(text_col)).alias("__t")))
+    base = base.persist()
+    uni = (base.select(F.explode("__t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    uni = uni.persist()
+    big = (base.select(F.explode(shingles_expr(F.col("__t"), 2))
+                       .alias("g"))
+           .groupBy("g").agg(F.count(F.lit(1)).alias("n_pair")))
+    big = big.persist()
+    tb = uni.agg(F.sum("c").alias("T")).collect()[0]
+    bb = big.agg(F.sum("n_pair").alias("B")).collect()[0]
+    t_total, b_total = int(tb["T"] or 0), int(bb["B"] or 0)
+    sel = (big.where(F.col("n_pair") >= F.lit(int(min_count)))
+           .withColumn("w1", F.substring_index("g", " ", 1))
+           .withColumn("w2", F.substring_index("g", " ", -1))
+           .join(uni.select(F.col("w").alias("w1"),
+                            F.col("c").alias("n_w1")), "w1")
+           .join(uni.select(F.col("w").alias("w2"),
+                            F.col("c").alias("n_w2")), "w2"))
+    from ..cache import keep
+    sel = keep("text.pmi.sel", sel)
+    cnt_rows = (sel.select(F.col("n_pair").alias("c"))
+                .unionByName(sel.select(F.col("n_w1").alias("c")))
+                .unionByName(sel.select(F.col("n_w2").alias("c")))
+                .distinct().collect())
+    counts = sorted(int(r["c"]) for r in cnt_rows)
+    if len(counts) > 65_536:
+        raise ValueError(f"pmi_collocations: {len(counts)} distinct count "
+                         "values exceed the literal log-map cap (65536); "
+                         "raise min_count")
+    if not counts or t_total == 0 or b_total == 0:
+        base.unpersist()
+        uni.unpersist()
+        big.unpersist()
+        return sel.select(
+            "w1", "w2", "n_pair", "n_w1", "n_w2",
+            F.lit(0.0).alias("pmi")).where(F.lit(False))
+    logmap = F.create_map(
+        *[x for c in counts
+          for x in (F.lit(c).cast("long"), F.lit(math.log(c)))])
+    const = 2 * math.log(t_total) - math.log(b_total)
+    pmi = (F.element_at(logmap, F.col("n_pair").cast("long"))
+           + F.lit(const)
+           - F.element_at(logmap, F.col("n_w1").cast("long"))
+           - F.element_at(logmap, F.col("n_w2").cast("long")))
+    out = sel.select(
+        "w1", "w2", "n_pair", "n_w1", "n_w2",
+        (F.floor(pmi * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("pmi"))
+    # sel's cache is already populated (the distinct-count collect ran
+    # on it), so the upstream intermediates can release now — the
+    # returned plan reads sel's cache, and sel itself is
+    # generation-bounded under the keep() tag
+    base.unpersist()
+    uni.unpersist()
+    big.unpersist()
+    return out

@@ -1386,7 +1386,9 @@ def attribution(df: DataFrame, conversion_type: str = "purchase",
     """
     by = list(by)
     is_conv = F.col(type_col) == F.lit(conversion_type)
-    tagged = df.select(
+    # null-time rows are unorderable (and Spark/DuckDB default null
+    # ordering differs) — excluded from both engines by contract
+    tagged = df.where(F.col(on).isNotNull()).select(
         *by, F.col(on).alias("__t"), F.col(type_col).alias("__ch"),
         F.col(value_col).alias("__v"),
         is_conv.cast("int").alias("__k"),
@@ -1399,9 +1401,9 @@ def attribution(df: DataFrame, conversion_type: str = "purchase",
                    F.struct(F.col("__t").alias("t"),
                             F.col("__ch").alias("ch")))
     if model == "last":
-        carried = F.last(touch, ignoreNulls=True).over(w)
+        carried = F.last(touch, ignorenulls=True).over(w)
     elif model == "first":
-        carried = F.first(touch, ignoreNulls=True).over(w)
+        carried = F.first(touch, ignorenulls=True).over(w)
     else:
         raise ValueError(f"unknown attribution model {model!r}; "
                          "expected 'last' or 'first'")
@@ -1424,8 +1426,11 @@ def rfm_segments(df: DataFrame, conversion_type: str = "purchase",
                  type_col: str = "event_type", value_col: str = "value",
                  now_ns: int | None = None) -> DataFrame:
     """RFM (recency / frequency / monetary) quartile segmentation over
-    conversion events: per entity, recency = now − last conversion time,
-    frequency = conversion count, monetary = exact-cents value sum; each
+    conversion events: per entity, recency = now − last conversion time
+    in whole SECONDS (ns recency magnitudes exceed double's 2^53 and
+    the quartile comparisons run in double — seconds keep every operand
+    exactly representable), frequency = conversion count, monetary =
+    exact-cents value sum; each
     scored 1–4 against the population's exact interpolating quartiles
     (score = 1 + #thresholds strictly exceeded; recency inverted so
     fresher entities score higher). Output: one row per populated
@@ -1445,12 +1450,16 @@ def rfm_segments(df: DataFrame, conversion_type: str = "purchase",
     if now_ns is None:
         raise ValueError("rfm_segments requires an explicit now_ns "
                          "anchor (deterministic-now convention)")
-    conv = df.where(F.col(type_col) == F.lit(conversion_type))
+    conv = df.where((F.col(type_col) == F.lit(conversion_type))
+                    & F.col(on).isNotNull())
     ent = (conv.groupBy(*by)
-           .agg((F.lit(int(now_ns)) - F.max(on)).alias("__rec"),
+           .agg(F.max(on).alias("__last"),
                 F.count(F.lit(1)).alias("__freq"),
                 F.sum(F.floor(F.col(value_col) * 100 + F.lit(0.5))
-                      .cast("long")).alias("__cents")))
+                      .cast("long")).alias("__cents"))
+           .withColumn("__rec", F.expr(
+               f"({int(now_ns)} - __last) div 1000000000"))
+           .drop("__last"))
     qs = ent.agg(
         F.percentile("__rec", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)]))
         .alias("qr"),

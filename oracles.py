@@ -9,7 +9,7 @@ Tables region..embeddings are pre-registered views on the same parquet.
 from __future__ import annotations
 
 from influxdb_ha_spark.operators.hashing import (
-    MERSENNE_P, duck_hash64, duck_tokens, minhash_coeffs)
+    MERSENNE_P, duck_hash64, duck_shingles, duck_tokens, minhash_coeffs)
 from influxdb_ha_spark.operators.pipeline import PII_PATTERNS as _PII
 from influxdb_ha_spark.operators.text import LANGS, STOPWORDS
 
@@ -2478,6 +2478,78 @@ def build_oracles() -> dict[str, str]:
         SELECT DISTINCT event_type FROM events
         UNION ALL
         SELECT DISTINCT event_type FROM events WHERE value > 100)"""
+
+    # --- PMI collocations (operators/text.py:pmi_collocations): all ln
+    # args are exact integer counts; DuckDB's ln is libm = the Python
+    # math.log the Spark side inlines, and the fold order mirrors the
+    # operator's (ln c_xy + const) - ln c_x - ln c_y with
+    # const = 2 ln T - ln B folded first
+    o["text_collocations"] = f"""
+      WITH t AS (SELECT {TOKS} AS tk FROM documents
+                 WHERE text IS NOT NULL),
+           u AS (SELECT unnest(tk) AS w FROM t),
+           uc AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+           tt AS (SELECT sum(c)::BIGINT AS T FROM uc),
+           b AS (SELECT unnest({duck_shingles('tk', 2)}) AS g FROM t),
+           bc AS (SELECT g, count(*) AS n_pair FROM b GROUP BY g),
+           bt AS (SELECT sum(n_pair)::BIGINT AS B FROM bc),
+           sel AS (SELECT split_part(g, ' ', 1) AS w1,
+                          split_part(g, ' ', 2) AS w2, n_pair
+                   FROM bc WHERE n_pair >= 5)
+      SELECT sel.w1, sel.w2, sel.n_pair,
+             u1.c AS n_w1, u2.c AS n_w2,
+             {fr('(ln(sel.n_pair) + (2 * ln((SELECT T FROM tt)) '
+                 '- ln((SELECT B FROM bt)))) - ln(u1.c) - ln(u2.c)', 6)}
+               AS pmi
+      FROM sel JOIN uc u1 ON u1.w = sel.w1
+               JOIN uc u2 ON u2.w = sel.w2"""
+
+    # --- events analytics: attribution + RFM (operators/timeseries.py)
+    o["ev_attribution"] = f"""
+      WITH t AS (SELECT user_id, {EV_TIME} AS t, event_type AS ch,
+                        value AS v,
+                        CASE WHEN event_type = 'purchase' THEN 1
+                             ELSE 0 END AS k,
+                        event_id AS id
+                 FROM events WHERE ts IS NOT NULL),
+           c AS (SELECT *,
+                        last_value(CASE WHEN k = 0 THEN t END IGNORE NULLS)
+                          OVER w AS tt,
+                        last_value(CASE WHEN k = 0 THEN ch END IGNORE NULLS)
+                          OVER w AS tch
+                 FROM t
+                 WINDOW w AS (PARTITION BY user_id ORDER BY t, k, id
+                              ROWS UNBOUNDED PRECEDING))
+      SELECT CASE WHEN tt IS NOT NULL AND t - tt <= {7 * DAY}
+                  THEN tch ELSE '(none)' END AS channel,
+             count(*) AS conversions,
+             (sum(v::DECIMAL(28,6)))::DOUBLE AS revenue
+      FROM c WHERE k = 1 GROUP BY 1"""
+
+    o["ev_rfm"] = f"""
+      WITH conv AS (SELECT user_id, {EV_TIME} AS t, value FROM events
+                    WHERE event_type = 'purchase' AND ts IS NOT NULL),
+           ent AS (SELECT user_id,
+                          ({NOW_NS} - max(t)) // 1000000000 AS rec,
+                          count(*) AS freq,
+                          sum((floor(value * 100 + 0.5))::BIGINT) AS cents
+                   FROM conv GROUP BY 1),
+           qs AS (SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS qr,
+                         quantile_cont(freq, [0.25, 0.5, 0.75]) AS qf,
+                         quantile_cont(cents, [0.25, 0.5, 0.75]) AS qm
+                  FROM ent),
+           sc AS (SELECT 5 - (1 + (rec > qr[1])::INT + (rec > qr[2])::INT
+                              + (rec > qr[3])::INT) AS r_score,
+                         1 + (freq > qf[1])::INT + (freq > qf[2])::INT
+                           + (freq > qf[3])::INT AS f_score,
+                         1 + (cents > qm[1])::INT + (cents > qm[2])::INT
+                           + (cents > qm[3])::INT AS m_score,
+                         cents
+                  FROM ent, qs)
+      SELECT r_score, f_score, m_score,
+             count(*) AS n_entities,
+             sum(cents) / 100.0 AS revenue
+      FROM sc GROUP BY 1, 2, 3"""
 
     # --- graph family (operators/graph.py): co-order part graph.
     # Everything integer-exact; the iterative ops unroll their fixed
