@@ -2240,6 +2240,121 @@ def q_graph_components(spark, sf):
     return GR.components(_graph_edges(spark, sf), rounds=8)
 
 
+def q_tpch_q3(spark, sf):
+    """TPC-H Q3 shape (shipping-priority top-N, adapted to the test
+    schema): 3-way customer⋈orders⋈lineitem join with selective
+    predicates on both fact sides, per-order exact-decimal revenue,
+    global top-10 as TakeOrderedAndProject (no keyless window) with the
+    (revenue DESC, l_orderkey ASC) tie-break the oracle replays; the
+    date column leaves as a formatted string so timestamp locale
+    semantics never touch the hash."""
+    d = F.lit("1998-06-01").cast("timestamp_ntz")
+    c = _t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").where(F.col("o_orderdate") < d)
+    li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") > d)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("order_date"))
+            .agg(_dsum(disc, 4).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10))
+
+
+def q_tpch_q5(spark, sf):
+    """TPC-H Q5 shape (local-supplier volume): the 6-way snowflake join
+    — lineitem⋈orders⋈customer⋈supplier⋈nation⋈region with the
+    same-nation customer/supplier constraint, region filter, one-year
+    date window, exact-decimal revenue per nation. Dimensions
+    broadcast; the only fact shuffles are the orderkey and custkey
+    equi-joins Catalyst plans."""
+    y0 = F.lit("1997-01-01").cast("timestamp_ntz")
+    y1 = F.lit("1998-01-01").cast("timestamp_ntz")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1))
+    li = _t(spark, sf, "lineitem")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s),
+                  (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(_dsum(disc, 4).alias("revenue")))
+
+
+def q_mm_ahash(spark, sf):
+    """Perceptual average-hash over REAL decoded PNGs (added scope —
+    the image-dedup primitive): synthesized spec-valid PNGs are
+    inflated/unfiltered back to rasters, resampled to 8x8, and bit
+    (y*8+x) set iff v*64 > sum(v) in EXACT integers; emitted as two
+    unsigned 32-bit halves (signed-shift semantics differ across
+    engines at bit 63). The oracle recomputes the code in closed form
+    from the pixel formula — any codec/resample/threshold bug flips
+    bits (operators/multimodal.py:image_ahash)."""
+    docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    png = MM.synthesize_png_payload(docs)
+    return MM.image_ahash(png)
+
+
+def q_mm_image_near_dup(spark, sf):
+    """Near-duplicate image pairs by aHash Hamming <= 3 via banded LSH
+    (added scope): four 16-bit bands make the bucket join EXACT
+    candidate generation at the default threshold (pigeonhole) and the
+    popcount verify is integer-exact; the oracle is the brute-force
+    all-pairs filter, so any missed candidate mismatches
+    (operators/multimodal.py:image_near_dup)."""
+    docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    png = MM.synthesize_png_payload(docs)
+    return MM.image_near_dup(MM.image_ahash(png), max_hamming=3)
+
+
+def q_ts_runs_test(spark, sf):
+    """Wald–Wolfowitz runs test per series (Wald & Wolfowitz 1940,
+    added scope — the randomness screen next to the trend family):
+    hourly bucket means binarized against the series median, exact
+    integer run/above/below counts, one fixed float z expression over
+    those integers; the nonrandom flag compares the ROUNDED z
+    (operators/timeseries.py:runs_test)."""
+    from influxdb_ha_spark.operators.timeseries import runs_test
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return runs_test(ev, on="time", by=["event_type"], value_col="value",
+                     bucket_ns=HOUR)
+
+
+def q_ts_peaks(spark, sf):
+    """Interior local-maximum detection per series (added scope — the
+    alerting primitive under every 'spike detector'): strict >
+    comparisons over the gate-hardened round-6 hourly bucket means
+    with a full 2k neighborhood required — no new arithmetic, parity
+    free (operators/timeseries.py:peaks)."""
+    from influxdb_ha_spark.operators.timeseries import peaks
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return peaks(ev, on="time", by=["event_type"], value_col="value",
+                 bucket_ns=HOUR, k=2)
+
+
+def q_ts_autoperiod(spark, sf):
+    """Dominant-period detection per series (the ACF half of
+    AUTOPERIOD, Vlachos et al. 2005, added scope): argmax of the
+    gate-hardened rounded ACF over lags 1..12, ties to the smallest
+    lag; composes the ts_acf contract verbatim so the period can't
+    drift from the ACF it is derived from
+    (operators/timeseries.py:autoperiod)."""
+    from influxdb_ha_spark.operators.timeseries import autoperiod
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return autoperiod(ev, on="time", by=["event_type"], value_col="value",
+                      bucket_ns=HOUR, max_lag=12)
+
+
 def q_text_collocations(spark, sf):
     """Corpus bigram collocations by PMI (Church & Hanks 1990, added
     scope — the phrase-discovery / tokenizer-merge-candidate signal):
@@ -2307,6 +2422,8 @@ _FAMILIES = [
         "agg_top_bottom": q_agg_top_bottom,
         "agg_salted": q_agg_salted,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
     },
     {
         # joins
@@ -2486,6 +2603,9 @@ _FAMILIES = [
         "ev_active_users": q_ev_active_users,
         "ev_attribution": q_ev_attribution,
         "ev_rfm": q_ev_rfm,
+        "ts_runs_test": q_ts_runs_test,
+        "ts_peaks": q_ts_peaks,
+        "ts_autoperiod": q_ts_autoperiod,
     },
     {
         # graph analytics over co-occurrence edges (added scope;
@@ -2505,6 +2625,8 @@ _FAMILIES = [
         "mm_jpeg_px": q_mm_jpeg_px,
         "mm_jpeg_px_420": q_mm_jpeg_px_420,
         "mm_audio": q_mm_audio,
+        "mm_ahash": q_mm_ahash,
+        "mm_image_near_dup": q_mm_image_near_dup,
     },
 ]
 

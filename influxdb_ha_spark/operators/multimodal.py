@@ -1322,3 +1322,102 @@ def synthesize_jpeg_payload(df: DataFrame, id_col: str = "doc_id"
 
     return (ensure_min_parallelism(df).select(id_col)
             .mapInPandas(run, "doc_id long, payload binary"))
+
+
+AHASH_SCHEMA = ("doc_id long, width long, height long, ahash_hi long, "
+                "ahash_lo long, n_set long")
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL decoded rasters: decode
+    the payload (BMP/PNG/JPEG via the codec dispatch), nearest-neighbor
+    resample to 8×8 grayscale (channel 0 — the synthetic rasters are
+    gray by construction; a production corpus would luma-weight), and
+    set bit (y·8 + x) iff the pixel strictly exceeds the 8×8 mean. The
+    threshold compares v·64 > Σv in EXACT integers, so the 64-bit code
+    is engine-reproducible bit-for-bit; it is emitted as two unsigned
+    32-bit halves (ahash_hi = bits 32..63) because a bare BIGINT would
+    go negative when bit 63 is set and signed-shift semantics differ
+    across engines. n_set = popcount, the code's darkness profile.
+
+    Map-only Arrow batches (the resize_image shape); undecodable
+    payloads are skipped (dead-letter convention).
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height",
+                                    "ahash_hi", "ahash_lo", "n_set")}
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                p = _parse_raster(bytes(b)) if b is not None else None
+                if p is None:
+                    continue
+                w, h, px = p
+                xs = (np.arange(8) * w) // 8
+                ys = (np.arange(8) * h) // 8
+                flat = px[ys][:, xs][:, :, 0].astype(np.int64).ravel()
+                total = int(flat.sum())
+                code = 0
+                for idx, v in enumerate(flat):
+                    if int(v) * 64 > total:
+                        code |= 1 << idx
+                rows["doc_id"].append(int(i))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["ahash_hi"].append(code >> 32)
+                rows["ahash_lo"].append(code & 0xFFFFFFFF)
+                rows["n_set"].append(bin(code).count("1"))
+            yield pd.DataFrame(rows)
+
+    return (ensure_min_parallelism(df).select(id_col, payload_col)
+            .mapInPandas(run, AHASH_SCHEMA))
+
+
+def image_near_dup(ahashes: DataFrame, max_hamming: int = 3,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate IMAGE pairs by aHash Hamming distance ≤
+    `max_hamming`, via banded LSH: the 64-bit code splits into four
+    16-bit bands; two codes within Hamming distance 3 must agree on at
+    least one band (pigeonhole: 4 bands, ≤3 differing bits), so the
+    band-bucket join is EXACT candidate generation for the default
+    threshold — the doc_simhash_near discipline, but over decoded
+    pixels instead of token sets. Raising max_hamming past 3 weakens
+    the guarantee to approximate (documented; add bands to restore it).
+
+    Shape at scale: only (id, band_idx, band_value) rides the bucket
+    shuffle (three longs); candidate pairs dedup on the (a, b) key;
+    hashes join back for the exact popcount verify. No all-pairs
+    anything — the brute-force form exists only in the oracle.
+    """
+    a = ahashes.select(F.col(id_col).alias("__id"),
+                       F.col("ahash_hi").alias("__hi"),
+                       F.col("ahash_lo").alias("__lo"))
+    bands = a.select(
+        "__id",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("bi"),
+                     (F.col("__lo") % 65536).alias("bv")),
+            F.struct(F.lit(1).alias("bi"),
+                     F.expr("__lo div 65536").alias("bv")),
+            F.struct(F.lit(2).alias("bi"),
+                     (F.col("__hi") % 65536).alias("bv")),
+            F.struct(F.lit(3).alias("bi"),
+                     F.expr("__hi div 65536").alias("bv")),
+        )).alias("b")).select("__id", "b.bi", "b.bv")
+    cand = (bands.alias("x").join(
+        bands.alias("y"),
+        [F.col("x.bi") == F.col("y.bi"), F.col("x.bv") == F.col("y.bv"),
+         F.col("x.__id") < F.col("y.__id")])
+        .select(F.col("x.__id").alias("id_a"),
+                F.col("y.__id").alias("id_b"))
+        .distinct())
+    ha = a.select(F.col("__id").alias("id_a"), F.col("__hi").alias("__hi_a"),
+                  F.col("__lo").alias("__lo_a"))
+    hb = a.select(F.col("__id").alias("id_b"), F.col("__hi").alias("__hi_b"),
+                  F.col("__lo").alias("__lo_b"))
+    ham = (F.bit_count(F.expr("__hi_a ^ __hi_b"))
+           + F.bit_count(F.expr("__lo_a ^ __lo_b"))).cast("long")
+    return (cand.join(ha, "id_a").join(hb, "id_b")
+            .select("id_a", "id_b", ham.alias("hamming"))
+            .where(F.col("hamming") <= F.lit(int(max_hamming))))

@@ -1483,3 +1483,121 @@ def rfm_segments(df: DataFrame, conversion_type: str = "purchase",
     return (scored.groupBy("r_score", "f_score", "m_score")
             .agg(F.count(F.lit(1)).alias("n_entities"),
                  (F.sum(F.col("__cents")) / F.lit(100.0)).alias("revenue")))
+
+
+def runs_test(df: DataFrame, on: str = "time",
+              by: Sequence[str] = ("event_type",), value_col: str = "value",
+              bucket_ns: int = 3_600_000_000_000) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness per series (Wald &
+    Wolfowitz 1940): bucket the series to interval means, binarize
+    against the series median (ties-to-median dropped, the classic
+    treatment), count runs R of consecutive same-sign values, and score
+
+        z = (R - mu) / sqrt(var),  mu = 1 + 2 n1 n2 / n,
+        var = 2 n1 n2 (2 n1 n2 - n) / (n^2 (n - 1)),  n = n1 + n2
+
+    Too few runs ⇒ trending/clustered; too many ⇒ oscillating. R, n1,
+    n2 are exact integers (bucket means and the median are the gate-
+    hardened decimal/round-6 forms, so the > / < binarization is
+    deterministic); mu/var/z are one fixed float expression over those
+    integers, floor-rounded at 6; `nonrandom` compares the ROUNDED z to
+    1.96 so the flag cannot straddle engines. Series with n < 2 or
+    var = 0 report NULL z (insufficient evidence), never vanish.
+
+    Shape at scale: one raw→bucket shuffle, a |series|-row median join,
+    one ordered per-series window for the run boundaries, one final
+    per-series agg. Everything after the bucket stage is sketch-sized.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("runs_test requires at least one series key")
+    g = _bucket_means(df, on, by, value_col, bucket_ns)
+    med = g.groupBy(*by).agg(F.median("v").alias("__med"))
+    s = (g.join(F.broadcast(med), by)
+         .where(F.col("v") != F.col("__med"))
+         .select(*by, "bucket", (F.col("v") > F.col("__med")).alias("__up")))
+    w = Window.partitionBy(*by).orderBy("bucket")
+    marked = s.withColumn(
+        "__new_run",
+        F.when(F.lag("__up").over(w).isNull()
+               | (F.col("__up") != F.lag("__up").over(w)), 1).otherwise(0))
+    agg = (marked.groupBy(*by)
+           .agg(F.sum("__new_run").cast("long").alias("runs"),
+                F.sum(F.col("__up").cast("long")).alias("n_above"),
+                F.sum((~F.col("__up")).cast("long")).alias("n_below")))
+    # LEFT join back onto the series list (the r6 trend-family
+    # discipline): an all-equal series drops every tie-to-median row
+    # and would otherwise VANISH instead of reporting NULL z
+    agg = (med.select(*by).join(agg, by, "left")
+           .select(*by,
+                   F.coalesce(F.col("runs"), F.lit(0)).alias("runs"),
+                   F.coalesce(F.col("n_above"), F.lit(0)).alias("n_above"),
+                   F.coalesce(F.col("n_below"), F.lit(0)).alias("n_below")))
+    n = F.col("n_above") + F.col("n_below")
+    two = 2.0 * F.col("n_above") * F.col("n_below")
+    mu = 1.0 + two / n
+    var = (two * (two - n)) / (n * n * (n - 1))
+    z = F.when((n >= 2) & (var > 0),
+               _fr((F.col("runs") - mu) / F.sqrt(var), 6))
+    return agg.select(
+        *by, "n_above", "n_below", "runs", z.alias("z"),
+        F.when(z.isNotNull(), F.abs(z) > 1.96).alias("nonrandom"))
+
+
+def peaks(df: DataFrame, on: str = "time",
+          by: Sequence[str] = ("event_type",), value_col: str = "value",
+          bucket_ns: int = 3_600_000_000_000, k: int = 2) -> DataFrame:
+    """Local-maximum detection per series: a bucket mean is a peak when
+    it STRICTLY exceeds all k preceding and all k following bucket
+    means, with the full 2k neighborhood present (edge buckets with a
+    truncated window never qualify — the contract matches scipy
+    argrelmax's interior-only behavior on the bucketed grid).
+
+    Pure comparisons over the gate-hardened round-6 bucket means —
+    no new arithmetic, engine parity is free. One raw→bucket shuffle +
+    one ordered per-series window (frame of 2k+1 scalars).
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("peaks requires at least one series key")
+    g = _bucket_means(df, on, by, value_col, bucket_ns)
+    w = Window.partitionBy(*by).orderBy("bucket")
+    prev = Window.partitionBy(*by).orderBy("bucket").rowsBetween(-k, -1)
+    nxt = Window.partitionBy(*by).orderBy("bucket").rowsBetween(1, k)
+    return (g.select(
+        *by, "bucket", "v",
+        F.count(F.lit(1)).over(prev).alias("__np"),
+        F.max("v").over(prev).alias("__mp"),
+        F.count(F.lit(1)).over(nxt).alias("__nn"),
+        F.max("v").over(nxt).alias("__mn"))
+        .where((F.col("__np") == k) & (F.col("__nn") == k)
+               & (F.col("v") > F.col("__mp")) & (F.col("v") > F.col("__mn")))
+        .select(*by, "bucket", "v"))
+
+
+def autoperiod(df: DataFrame, on: str = "time",
+               by: Sequence[str] = ("event_type",), value_col: str = "value",
+               bucket_ns: int = 3_600_000_000_000,
+               max_lag: int = 12) -> DataFrame:
+    """Dominant-period detection per series: the lag in 1..max_lag with
+    the highest sample autocorrelation (ties → smallest lag) — the ACF
+    half of the AUTOPERIOD method (Vlachos et al. 2005; the
+    periodogram half needs an FFT, out of scope by design). Composes
+    the gate-hardened `acf` operator (already rounded at 6, so the
+    argmax ordering is deterministic cross-engine) with one per-series
+    rank over max_lag rows.
+
+    Returns (series, period_lag, acf_peak, period_ns). A series whose
+    every lag row is absent (shorter than 2 buckets) emits nothing —
+    the acf contract.
+    """
+    by = list(by)
+    a = acf(df, on, by, value_col, bucket_ns, max_lag)
+    w = Window.partitionBy(*by).orderBy(F.col("acf").desc(),
+                                        F.col("lag").asc())
+    return (a.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .select(*by, F.col("lag").alias("period_lag"),
+                    F.col("acf").alias("acf_peak"),
+                    (F.col("lag") * F.lit(int(bucket_ns)))
+                    .cast("long").alias("period_ns")))

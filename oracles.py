@@ -2479,6 +2479,144 @@ def build_oracles() -> dict[str, str]:
         UNION ALL
         SELECT DISTINCT event_type FROM events WHERE value > 100)"""
 
+    # --- TPC-H Q3/Q5 join anchors (adapted to the test schema)
+    o["tpch_q3"] = f"""
+      SELECT l_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             {dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-01'
+        AND l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY l_orderkey, order_date
+      ORDER BY revenue DESC, l_orderkey ASC
+      LIMIT 10"""
+    o["tpch_q5"] = f"""
+      SELECT n_name,
+             {dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+                   AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name"""
+
+    # --- perceptual image hashing (operators/multimodal.py): closed-
+    # form mirror of the synthesized-PNG pixel formula (the mm_png_px
+    # convention) — Spark actually inflates/unfilters the PNG bytes and
+    # resamples, so a codec bug flips hash bits here
+    _AHASH = f"""
+      ad AS (SELECT doc_id, doc_id % 14 + 5 AS w, doc_id % 10 + 4 AS h
+             FROM documents WHERE text IS NOT NULL),
+      ag AS (SELECT sx.g AS x, sy.g AS y
+             FROM generate_series(0, 7) sx(g), generate_series(0, 7) sy(g)),
+      apx AS (SELECT ad.doc_id, ad.w, ad.h, ag.x, ag.y,
+                     (((ag.x * ad.w) // 8) * 7 + ((ag.y * ad.h) // 8) * 13
+                      + ad.doc_id) % 256 AS v
+              FROM ad, ag),
+      asum AS (SELECT doc_id, sum(v) AS t FROM apx GROUP BY 1),
+      ahash AS (SELECT apx.doc_id,
+                       max(apx.w)::BIGINT AS width,
+                       max(apx.h)::BIGINT AS height,
+                       sum(CASE WHEN apx.v * 64 > asum.t
+                                     AND (apx.y * 8 + apx.x) >= 32
+                                THEN 1::BIGINT << (apx.y * 8 + apx.x - 32)
+                                ELSE 0 END)::BIGINT AS ahash_hi,
+                       sum(CASE WHEN apx.v * 64 > asum.t
+                                     AND (apx.y * 8 + apx.x) < 32
+                                THEN 1::BIGINT << (apx.y * 8 + apx.x)
+                                ELSE 0 END)::BIGINT AS ahash_lo,
+                       sum((apx.v * 64 > asum.t)::INT)::BIGINT AS n_set
+                FROM apx JOIN asum USING (doc_id)
+                GROUP BY apx.doc_id)"""
+    o["mm_ahash"] = f"""
+      WITH {_AHASH}
+      SELECT doc_id, width, height, ahash_hi, ahash_lo, n_set FROM ahash"""
+    # brute-force all-pairs reference: the Spark side must reproduce it
+    # through banded candidate generation, so a missed band bucket or a
+    # wrong popcount both mismatch
+    o["mm_image_near_dup"] = f"""
+      WITH {_AHASH}
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             (bit_count(xor(a.ahash_hi, b.ahash_hi))
+              + bit_count(xor(a.ahash_lo, b.ahash_lo)))::BIGINT AS hamming
+      FROM ahash a JOIN ahash b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+            + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 3"""
+
+    # --- runs test / peaks / autoperiod (operators/timeseries.py)
+    _G_BUCKETS = f"""
+      e AS (SELECT event_type, {EV_TIME} AS time, value FROM events),
+      g AS (SELECT event_type, time - time % {HOUR} AS bucket,
+                   {fr('sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS v
+            FROM e GROUP BY 1, 2)"""
+    o["ts_runs_test"] = f"""
+      WITH {_G_BUCKETS},
+      med AS (SELECT event_type, median(v) AS m FROM g GROUP BY 1),
+      s AS (SELECT g.event_type, bucket, g.v > med.m AS up
+            FROM g JOIN med USING (event_type) WHERE g.v != med.m),
+      mk AS (SELECT event_type, up,
+                    CASE WHEN lag(up) OVER w IS NULL
+                              OR up != lag(up) OVER w THEN 1 ELSE 0 END
+                      AS nr
+             FROM s WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+      a0 AS (SELECT event_type, sum(nr)::BIGINT AS runs,
+                    sum(up::INT)::BIGINT AS n_above,
+                    sum((NOT up)::INT)::BIGINT AS n_below
+             FROM mk GROUP BY 1),
+      a AS (SELECT med.event_type, coalesce(a0.runs, 0) AS runs,
+                   coalesce(a0.n_above, 0) AS n_above,
+                   coalesce(a0.n_below, 0) AS n_below
+            FROM med LEFT JOIN a0 USING (event_type)),
+      x AS (SELECT *, n_above + n_below AS n,
+                   2.0 * n_above * n_below AS two
+            FROM a),
+      z AS (SELECT event_type, n_above, n_below, runs,
+                   CASE WHEN n >= 2
+                             AND (two * (two - n)) / (n * n * (n - 1)) > 0
+                        THEN {fr('(runs - (1.0 + two / n)) / '
+                                 'sqrt((two * (two - n)) / (n * n * (n - 1)))',
+                                 6)}
+                   END AS z
+            FROM x)
+      SELECT event_type, n_above, n_below, runs, z,
+             CASE WHEN z IS NOT NULL THEN abs(z) > 1.96 END AS nonrandom
+      FROM z"""
+
+    o["ts_peaks"] = f"""
+      WITH {_G_BUCKETS},
+      m AS (SELECT event_type, bucket, v,
+                   count(*) OVER wp AS np, max(v) OVER wp AS mp,
+                   count(*) OVER wn AS nn, max(v) OVER wn AS mn
+            FROM g
+            WINDOW wp AS (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+                   wn AS (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING))
+      SELECT event_type, bucket, v FROM m
+      WHERE np = 2 AND nn = 2 AND v > mp AND v > mn"""
+
+    # composes the ts_acf oracle VERBATIM so the period cannot drift
+    # from the ACF definition it is derived from (the emb_recall /
+    # doc_quality_sample composition convention)
+    o["ts_autoperiod"] = f"""
+      WITH acf_res AS ({o['ts_acf']}),
+      rk AS (SELECT event_type, lag, acf,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY acf DESC, lag ASC) AS rk
+             FROM acf_res)
+      SELECT event_type, lag AS period_lag, acf AS acf_peak,
+             (lag * {HOUR})::BIGINT AS period_ns
+      FROM rk WHERE rk = 1"""
+
     # --- PMI collocations (operators/text.py:pmi_collocations): all ln
     # args are exact integer counts; DuckDB's ln is libm = the Python
     # math.log the Spark side inlines, and the fold order mirrors the
