@@ -2240,6 +2240,19 @@ def q_graph_components(spark, sf):
     return GR.components(_graph_edges(spark, sf), rounds=8)
 
 
+def q_graph_link_predict(spark, sf):
+    """Top-3 link suggestions per node by neighbor-overlap Jaccard
+    (Liben-Nowell & Kleinberg 2003, added scope): non-adjacent pairs
+    with >=2 common neighbors, jaccard from exact integer
+    common/degree counts (one rounded division), per-node rank over
+    the ROUNDED value with pinned tie-breaks; the wedge join's
+    hub hazard is bounded by the center_cap contract
+    (operators/graph.py:link_predict)."""
+    from influxdb_ha_spark.operators import graph as GR
+    return GR.link_predict(_graph_edges(spark, sf), k=3, min_common=2,
+                           center_cap=256)
+
+
 def q_tpch_q3(spark, sf):
     """TPC-H Q3 shape (shipping-priority top-N, adapted to the test
     schema): 3-way customer⋈orders⋈lineitem join with selective
@@ -2366,6 +2379,18 @@ def q_text_collocations(spark, sf):
     from influxdb_ha_spark.operators.text import pmi_collocations
     docs = _t(spark, sf, "documents")
     return pmi_collocations(docs, min_count=5)
+
+
+def q_text_keywords(spark, sf):
+    """Per-document top-5 TF-IDF keywords (Sparck Jones 1972, added
+    scope — the summarize/route/label signal): exact integer tf/df/N
+    with the transcendentals inlined from driver-computed libm values
+    (ln N literal + sparse df log map — the collocations convention);
+    per-doc rank over the ROUNDED score with a token tie-break
+    (operators/text.py:tfidf_keywords)."""
+    from influxdb_ha_spark.operators.text import tfidf_keywords
+    docs = _t(spark, sf, "documents")
+    return tfidf_keywords(docs, k=5)
 
 
 def q_ev_attribution(spark, sf):
@@ -2573,6 +2598,7 @@ _FAMILIES = [
         "text_boilerplate": q_text_boilerplate,
         "text_line_filter": q_text_line_filter,
         "text_collocations": q_text_collocations,
+        "text_keywords": q_text_keywords,
     },
     {
         # time-series relational ops (added scope; operators/timeseries.py)
@@ -2613,6 +2639,7 @@ _FAMILIES = [
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
+        "graph_link_predict": q_graph_link_predict,
     },
     {
         # LLM-pipeline scope (§7): multimodal

@@ -796,3 +796,68 @@ def pmi_collocations(df: DataFrame, text_col: str = "text",
     uni.unpersist()
     big.unpersist()
     return out
+
+
+def tfidf_keywords(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Per-document top-k keyword extraction by TF-IDF (Sparck Jones
+    1972) — the classic summarize/route/label signal:
+
+        tfidf(w, d) = tf(w, d) * (ln N - ln df(w))
+
+    tf/df/N are exact integer counts; the two transcendentals inline
+    from driver-computed libm values (ln N as a literal, ln df via the
+    SPARSE log map over the distinct df values actually present — the
+    pmi_collocations / token_entropy convention, because JVM Math.log
+    can drift an ulp vs DuckDB's libm ln). The per-doc ranking orders
+    by the ROUNDED score with a token tie-break, so rank is
+    deterministic cross-engine. Tokens present in every document score
+    exactly 0 (idf = ln N − ln N), the standard stopword null.
+
+    Shape at 100 TB: one tokenize/explode pass → (doc, token) partial-
+    agg tf (the exchange carries counts, not tokens-per-occurrence),
+    one vocab-keyed df agg, a vocab-sized broadcast join back, one
+    per-doc ranking window (high-cardinality key). The distinct-df
+    collect is |distinct df values|-bounded (Zipf-tiny), never
+    vocab-bounded.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    base = (ensure_min_parallelism(df)
+            .where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), tokens_expr(F.col(text_col)).alias("__t")))
+    n_docs = base.count()
+    if n_docs == 0:
+        return base.select(
+            F.col(id_col), F.lit("").alias("token"),
+            F.lit(0).cast("long").alias("tf"),
+            F.lit(0).cast("long").alias("df"),
+            F.lit(0.0).alias("tfidf"),
+            F.lit(0).alias("rank")).where(F.lit(False))
+    tf = (base.select(id_col, F.explode("__t").alias("token"))
+          .groupBy(id_col, "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    from ..cache import keep
+    tf = keep("text.tfidf.tf", tf)
+    dfc = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dfs = sorted(int(r["df"]) for r in
+                 dfc.select("df").distinct().collect())
+    if len(dfs) > 65_536:
+        raise ValueError(f"tfidf_keywords: {len(dfs)} distinct df values "
+                         "exceed the literal log-map cap (65536)")
+    logmap = F.create_map(
+        *[x for d in dfs for x in (F.lit(d).cast("long"),
+                                   F.lit(math.log(d)))])
+    score = (F.col("tf")
+             * (F.lit(math.log(n_docs))
+                - F.element_at(logmap, F.col("df").cast("long"))))
+    scored = (tf.join(F.broadcast(dfc), "token")
+              .select(id_col, "token", "tf", "df",
+                      (F.floor(score * F.lit(1e6) + F.lit(0.5))
+                       / F.lit(1e6)).alias("tfidf")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.lit(int(k))))

@@ -2642,6 +2642,28 @@ def build_oracles() -> dict[str, str]:
       FROM sel JOIN uc u1 ON u1.w = sel.w1
                JOIN uc u2 ON u2.w = sel.w2"""
 
+    # --- per-doc TF-IDF keywords (operators/text.py:tfidf_keywords):
+    # ln over exact integer counts only (libm parity, the collocations
+    # convention); rank over the rounded score
+    o["text_keywords"] = f"""
+      WITH t AS (SELECT doc_id, {TOKS} AS tk FROM documents
+                 WHERE text IS NOT NULL),
+           tf AS (SELECT doc_id, w AS token, count(*) AS tf
+                  FROM (SELECT doc_id, unnest(tk) AS w FROM t)
+                  GROUP BY 1, 2),
+           dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           nn AS (SELECT count(*) AS n FROM t),
+           scored AS (SELECT tf.doc_id, tf.token, tf.tf, dfc.df,
+                             {fr('tf.tf * (ln((SELECT n FROM nn)) '
+                                 '- ln(dfc.df))', 6)} AS tfidf
+                      FROM tf JOIN dfc USING (token)),
+           rk AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY tfidf DESC, token ASC) AS rank
+                  FROM scored)
+      SELECT doc_id, token, tf, df, tfidf, rank::INT AS rank
+      FROM rk WHERE rank <= 5"""
+
     # --- events analytics: attribution + RFM (operators/timeseries.py)
     o["ev_attribution"] = f"""
       WITH t AS (SELECT user_id, {EV_TIME} AS t, event_type AS ch,
@@ -2759,6 +2781,36 @@ def build_oracles() -> dict[str, str]:
     o["graph_pagerank"] = (
         "WITH " + _G_EDGES + "," + ",".join(pr_ctes)
         + f"\n      SELECT node, pr::BIGINT AS pr_fp FROM p{_PR_ITERS}")
+
+    o["graph_link_predict"] = f"""
+      WITH {_G_EDGES},
+      deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY 1),
+      centers AS (SELECT node FROM deg WHERE degree <= 256),
+      via AS (SELECT sym.src, sym.dst FROM sym
+              JOIN centers ON centers.node = sym.src),
+      pairs AS (SELECT a.dst AS u, b.dst AS v, count(*) AS common
+                FROM via a JOIN via b ON a.src = b.src AND a.dst < b.dst
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+      nonadj AS (SELECT p.* FROM pairs p
+                 LEFT JOIN e ON e.src = p.u AND e.dst = p.v
+                 WHERE e.src IS NULL),
+      scored AS (SELECT u, v, common,
+                        {fr('common / (du.degree + dv.degree '
+                            '- common)::DOUBLE', 6)} AS jaccard
+                 FROM nonadj
+                 JOIN deg du ON du.node = nonadj.u
+                 JOIN deg dv ON dv.node = nonadj.v),
+      lp_both AS (SELECT u AS node, v AS candidate, common, jaccard
+               FROM scored
+               UNION ALL
+               SELECT v AS node, u AS candidate, common, jaccard
+               FROM scored),
+      rk AS (SELECT *, row_number() OVER (
+                 PARTITION BY node
+                 ORDER BY jaccard DESC, common DESC, candidate ASC) AS rank
+             FROM lp_both)
+      SELECT node, candidate, common, jaccard, rank::INT AS rank
+      FROM rk WHERE rank <= 3"""
 
     _CC_ROUNDS = 8
     cc_ctes = ["""

@@ -47,3 +47,32 @@ def test_pmi_negative_for_anti_collocation(spark):
 def test_pmi_empty_corpus(spark):
     df = _docs(spark, [])
     assert pmi_collocations(df).count() == 0
+
+
+def test_tfidf_keywords_hand_corpus(spark):
+    import math
+    from influxdb_ha_spark.operators.text import tfidf_keywords
+    docs = _docs(spark, ["x apple apple banana", "x banana cherry",
+                         "x cherry cherry cherry"])
+    rows = tfidf_keywords(docs, k=5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.token] = r
+    # doc 0: apple tf=2 df=1 -> 2*ln3 ranks first
+    top0 = min(by_doc[0].values(), key=lambda r: r.rank)
+    assert top0.token == "apple" and top0.tf == 2 and top0.df == 1
+    assert top0.tfidf == pytest.approx(2 * math.log(3), abs=2e-6)
+    # 'x' appears in every doc -> idf = 0 -> tfidf exactly 0
+    assert all(by_doc[d]["x"].tfidf == 0.0 for d in by_doc)
+    # doc 2: cherry tf=3 df=2 -> 3*(ln3-ln2) top
+    top2 = min(by_doc[2].values(), key=lambda r: r.rank)
+    assert top2.token == "cherry"
+    assert top2.tfidf == pytest.approx(3 * (math.log(3) - math.log(2)),
+                                       abs=2e-6)
+
+
+def test_tfidf_keywords_k_bound_and_empty(spark):
+    from influxdb_ha_spark.operators.text import tfidf_keywords
+    docs = _docs(spark, ["a b c d e f g h"])
+    assert tfidf_keywords(docs, k=3).count() == 3
+    assert tfidf_keywords(_docs(spark, []), k=3).count() == 0

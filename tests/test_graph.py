@@ -90,3 +90,25 @@ def test_degrees(spark):
     e = _edges(spark, [(1, 2), (1, 3)])
     d = {r.node: r.degree for r in G.degrees(e).collect()}
     assert d == {1: 2, 2: 1, 3: 1}
+
+
+def test_link_predict_square_diagonals(spark):
+    # cycle 1-2-3-4-1: the two diagonals are the only non-adjacent
+    # pairs, each sharing BOTH neighbors -> jaccard = 2/(2+2-2) = 1.0
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    rows = G.link_predict(e, k=3, min_common=2).collect()
+    got = {(r.node, r.candidate): (r.common, r.jaccard, r.rank)
+           for r in rows}
+    assert got == {(1, 3): (2, 1.0, 1), (3, 1): (2, 1.0, 1),
+                   (2, 4): (2, 1.0, 1), (4, 2): (2, 1.0, 1)}
+
+
+def test_link_predict_excludes_edges_and_center_cap(spark):
+    # star 0-{1,2,3}: leaves pairwise share center 0 (common=1);
+    # min_common=1 surfaces them, and the hub never appears as a
+    # candidate (it is adjacent to every leaf)
+    e = _edges(spark, [(0, 1), (0, 2), (0, 3)])
+    rows = G.link_predict(e, k=3, min_common=1).collect()
+    assert rows and all(r.node != 0 and r.candidate != 0 for r in rows)
+    # center_cap below the hub degree removes every wedge -> no output
+    assert G.link_predict(e, k=3, min_common=1, center_cap=2).count() == 0
