@@ -1778,15 +1778,52 @@ def q_ts_pettitt(spark, sf):
     telescoping A_t − B_t endpoint aggregation + one per-series prefix
     sum, K = max|U_t| with earliest-bucket tie-break; significance
     (p < 0.05) via the exact DECIMAL(38,0) comparison
-    6K²·10¹⁶ > floor(ln(40)·10¹⁶)·(B³+B²), so the hashed row is 100%
-    float-free — the operator's log_p_exponent diagnostic (the one
-    float) is dropped here and stays API-only
-    (operators/timeseries.py:pettitt_test)."""
+    6K²·10¹⁶ > floor(ln(40)·10¹⁶)·(B³+B²). r8: the pipeline is now
+    INTEGER-EXACT from raw values to output — bucket stage keeps scaled
+    decimal sums + counts, pairwise signs are the cross-multiplied
+    sgn(si_b·n_a − si_a·n_b), so not a single float or rounding step
+    exists anywhere (r5–r7 signed round-6 double means; driver hash-red
+    3 rounds while locally green — this removes the last float stage,
+    and ts_pettitt_means / ts_pettitt_u stage-localize any residue).
+    The operator's log_p_exponent diagnostic (the one float) is dropped
+    here and stays API-only (operators/timeseries.py:pettitt_test)."""
     from influxdb_ha_spark.operators.timeseries import pettitt_test
     ev = _events_us(spark, sf).select("event_type", "time", "value")
     return pettitt_test(ev, on="time", by=["event_type"],
                         value_col="value", bucket_ns=HOUR
                         ).drop("log_p_exponent")
+
+
+def q_ts_pettitt_means(spark, sf):
+    """STAGE DIAGNOSTIC for ts_pettitt (r8, prescribed by the r7
+    verdict): emits the Pettitt pipeline's bucket stage — per
+    (series, hour-bucket) the exact scaled sum si = Σvalue·10⁶ and row
+    count n, integers only. If ts_pettitt ever hash-reds on the driver
+    while this key is green, the divergence is in the pair/prefix
+    stage; if this key reds too, it is in the bucket/scan stage (data
+    or cast). si rides as BIGINT here (fits at gate scale; the operator
+    keeps DECIMAL(38,0)) so the compared surface is plain integers
+    (operators/timeseries.py:pettitt_bucket_sums)."""
+    from influxdb_ha_spark.operators.timeseries import pettitt_bucket_sums
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    g = pettitt_bucket_sums(ev, on="time", by=["event_type"],
+                            value_col="value", bucket_ns=HOUR)
+    return g.select("event_type", "bucket",
+                    F.col("si").cast("long").alias("si"), "n")
+
+
+def q_ts_pettitt_u(spark, sf):
+    """STAGE DIAGNOSTIC for ts_pettitt (r8): emits the full exact
+    U_t table per (series, bucket) — the prefix-sum stage the K/argmax
+    row reduces. Green here + red ts_pettitt would localize the
+    divergence to the final window/tie-break; red here localizes to the
+    pair-sign or prefix stage (operators/timeseries.py:_pettitt_u)."""
+    from influxdb_ha_spark.operators.timeseries import (
+        pettitt_bucket_sums, _pettitt_u)
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    g = pettitt_bucket_sums(ev, on="time", by=["event_type"],
+                            value_col="value", bucket_ns=HOUR)
+    return _pettitt_u(g, ["event_type"])
 
 
 def q_ts_seasonal_mk(spark, sf):
@@ -2322,8 +2359,11 @@ def q_mm_image_near_dup(spark, sf):
     """Near-duplicate image pairs by aHash Hamming <= 3 via banded LSH
     (added scope): four 16-bit bands make the bucket join EXACT
     candidate generation at the default threshold (pigeonhole) and the
-    popcount verify is integer-exact; the oracle is the brute-force
-    all-pairs filter, so any missed candidate mismatches
+    popcount verify is integer-exact. r8: band buckets are capped at
+    max_bucket=200 with a `truncated` flag (the minhash_candidates
+    mechanics) so a template-heavy corpus can't go quadratic; the
+    oracle mirrors the capped generation, and the pytest pins the
+    no-hot-bucket case to brute force + the 500-identical-images guard
     (operators/multimodal.py:image_near_dup)."""
     docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
     png = MM.synthesize_png_payload(docs)
@@ -2620,6 +2660,8 @@ _FAMILIES = [
         "ts_mann_kendall": q_ts_mann_kendall,
         "ts_seasonal_mk": q_ts_seasonal_mk,
         "ts_pettitt": q_ts_pettitt,
+        "ts_pettitt_means": q_ts_pettitt_means,
+        "ts_pettitt_u": q_ts_pettitt_u,
         "ts_perm_entropy": q_ts_perm_entropy,
         "ts_seasonal_anomaly": q_ts_seasonal_anomaly,
         "ev_funnel": q_ev_funnel,

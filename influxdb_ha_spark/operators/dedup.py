@@ -584,7 +584,13 @@ def canonical_select(df: DataFrame, text_col: str = "text",
     re-attribute annotations from the dropped copies.
 
     `priority`: a Column expression ranking sources (lower wins, e.g. a
-    CASE over a source column); None = pure lowest-id election.
+    CASE over a source column); None = pure lowest-id election. A NULL
+    priority (unknown source) sorts LAST — asc_nulls_last, pinned
+    explicitly (r8, ADVICE): Spark's bare ASC puts NULLs first while
+    DuckDB/ANSI defaults put them last, so an unpinned order would make
+    the election engine-dependent the first time a source fails to
+    rank. The contract is total over arbitrary sources: unknown loses
+    to every known priority, ties fall to lowest id.
 
     Shape at 100 TB: ONE shuffle — a single window over the fingerprint
     key (high-cardinality: clusters are duplicate-sized, a handful of
@@ -601,7 +607,7 @@ def canonical_select(df: DataFrame, text_col: str = "text",
             .select(F.col(id_col), fp.alias("fingerprint"),
                     prio.cast("long").alias("__prio")))
     w = (Window.partitionBy("fingerprint")
-         .orderBy(F.col("__prio").asc(), F.col(id_col).asc())
+         .orderBy(F.col("__prio").asc_nulls_last(), F.col(id_col).asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (base.select(
         id_col, "fingerprint",

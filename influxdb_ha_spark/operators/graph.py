@@ -44,6 +44,32 @@ from pyspark.sql import functions as F
 from .util import ensure_min_parallelism
 
 
+def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
+    """Frontier checkpoint for the iterative ops (r8, prescribed by the
+    r7 verdict's task 8): localCheckpoint stores the materialized rows
+    in EXECUTOR block storage — fast, but lossy under executor churn
+    (dynamic allocation, spot kills): a lost replica makes every later
+    round's lineage unrecoverable and fails the job. `reliable=True`
+    switches to checkpoint(), which writes the frontier to the
+    cluster's fault-tolerant checkpoint dir (HDFS/S3) and survives any
+    executor loss — the right default on a 1000-executor cluster with
+    dynamic allocation, at the price of one distributed write per
+    round. Requires SparkContext.setCheckpointDir; the error for a
+    missing dir is re-raised with the fix spelled out rather than
+    Spark's bare IllegalStateException.
+    """
+    if not reliable:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        raise ValueError(
+            "reliable=True needs a fault-tolerant checkpoint dir: call "
+            "spark.sparkContext.setCheckpointDir('hdfs://... or s3://...') "
+            "first (localCheckpoint — reliable=False — has no such "
+            "requirement but does not survive executor loss)")
+    return df.checkpoint(eager=True)
+
+
 def co_occurrence_edges(df: DataFrame, group_col: str, item_col: str,
                         max_group_size: int = 64) -> DataFrame:
     """Distinct undirected co-occurrence edges (src < dst) between items
@@ -140,7 +166,7 @@ SCALE_FP = 10 ** 12  # PageRank fixed-point unit: parts-per-10^12
 
 
 def pagerank(edges: DataFrame, iters: int = 10,
-             damping_pct: int = 85) -> DataFrame:
+             damping_pct: int = 85, reliable: bool = False) -> DataFrame:
     """Fixed-iteration PageRank on the symmetric closure of an undirected
     edge list, in exact fixed-point integers (SCALE_FP units).
 
@@ -175,8 +201,9 @@ def pagerank(edges: DataFrame, iters: int = 10,
         out.unpersist()
         return nodes.withColumn("pr_fp", F.lit(0).cast("long"))
     base = ((100 - damping_pct) * SCALE_FP) // (100 * n)
-    pr = (nodes.withColumn("pr_fp", F.lit(SCALE_FP // n).cast("long"))
-          .localCheckpoint(eager=True))
+    pr = _truncate_lineage(
+        nodes.withColumn("pr_fp", F.lit(SCALE_FP // n).cast("long")),
+        reliable)
     edges_k = sym.persist()
     for _ in range(iters):
         # `div` is Spark's exact BIGINT integral division — a DOUBLE `/`
@@ -194,14 +221,15 @@ def pagerank(edges: DataFrame, iters: int = 10,
                        (F.lit(base)
                         + F.expr(f"({damping_pct} * __s) div 100"))
                        .cast("long").alias("pr_fp")))
-        pr = nxt.localCheckpoint(eager=True)
+        pr = _truncate_lineage(nxt, reliable)
     edges_k.unpersist()
     nodes.unpersist()
     out.unpersist()
     return pr
 
 
-def components(edges: DataFrame, rounds: int = 8) -> DataFrame:
+def components(edges: DataFrame, rounds: int = 8,
+               reliable: bool = False) -> DataFrame:
     """Bounded-round min-label propagation: label(v) starts as v's own id
     and each round takes the min over the CLOSED neighborhood (self +
     neighbors). After r rounds every vertex within graph distance r of
@@ -222,14 +250,14 @@ def components(edges: DataFrame, rounds: int = 8) -> DataFrame:
     adj = sym.unionByName(
         nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
     adj = adj.persist()
-    lab = (nodes.withColumn("component", F.col("node").cast("long"))
-           .localCheckpoint(eager=True))
+    lab = _truncate_lineage(
+        nodes.withColumn("component", F.col("node").cast("long")), reliable)
     for _ in range(rounds):
-        lab = (adj.join(lab.select(F.col("node").alias("src"), "component"),
-                        "src")
-               .groupBy(F.col("dst").alias("node"))
-               .agg(F.min("component").alias("component"))
-               .localCheckpoint(eager=True))
+        lab = _truncate_lineage(
+            adj.join(lab.select(F.col("node").alias("src"), "component"),
+                     "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("component")), reliable)
     sizes = lab.groupBy("component").agg(
         F.count(F.lit(1)).alias("component_size"))
     res = lab.join(sizes, "component").select("node", "component",
@@ -257,6 +285,9 @@ def link_predict(edges: DataFrame, k: int = 3, min_common: int = 2,
     mostly reachable through other shared neighbors; the recall loss is
     the documented trade, and the oracle mirrors the cap exactly). The
     per-node ranking window partitions on the node key — no funnel.
+    The degree join-back is unhinted (r8): the degree table is O(|V|),
+    so it must be free to shuffle-join on the high-cardinality u/v
+    keys; AQE still broadcasts it on small graphs.
     """
     sym = _symmetric(edges)
     deg = degrees(edges)
@@ -275,7 +306,12 @@ def link_predict(edges: DataFrame, k: int = 3, min_common: int = 2,
         ["u", "v"], "left_anti")
     du = deg.select(F.col("node").alias("u"), F.col("degree").alias("__du"))
     dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("__dv"))
-    scored = (non_adj.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # unhinted equi-joins on u/v (r8): the degree table is O(|V|) —
+    # billions of rows on a production co-occurrence graph — so forcing
+    # a broadcast OOMs at exactly the scale this operator targets; AQE
+    # still broadcasts when |V| is genuinely small (the SemDeDup
+    # anti-join precedent from r5)
+    scored = (non_adj.join(du, "u").join(dv, "v")
               .select("u", "v", "common",
                       (F.floor(F.col("common")
                                / (F.col("__du") + F.col("__dv")

@@ -1375,7 +1375,8 @@ def image_ahash(df: DataFrame, id_col: str = "doc_id",
 
 
 def image_near_dup(ahashes: DataFrame, max_hamming: int = 3,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   max_bucket: int = 200) -> DataFrame:
     """Near-duplicate IMAGE pairs by aHash Hamming distance ≤
     `max_hamming`, via banded LSH: the 64-bit code splits into four
     16-bit bands; two codes within Hamming distance 3 must agree on at
@@ -1385,10 +1386,23 @@ def image_near_dup(ahashes: DataFrame, max_hamming: int = 3,
     pixels instead of token sets. Raising max_hamming past 3 weakens
     the guarantee to approximate (documented; add bands to restore it).
 
+    Hot-bucket cap (r8, the minhash_candidates mechanics at
+    dedup.py:110-153): bucket membership lists are sorted and sliced at
+    `max_bucket` docs, so a monochrome or template-heavy corpus — many
+    images sharing a 16-bit band value — emits at most max_bucket²/2
+    pairs per bucket instead of going quadratic. Capped buckets are
+    flagged, not silently dropped: the `truncated` column marks every
+    pair at least one of whose generating buckets was capped, and the Hamming-≤3
+    EXACTNESS guarantee is conditional on no bucket truncating (a
+    truncated=true anywhere means recall may be partial for members
+    beyond the cap). The slice keeps the max_bucket SMALLEST ids
+    (sort_array), a deterministic choice both engines reproduce.
+
     Shape at scale: only (id, band_idx, band_value) rides the bucket
     shuffle (three longs); candidate pairs dedup on the (a, b) key;
     hashes join back for the exact popcount verify. No all-pairs
-    anything — the brute-force form exists only in the oracle.
+    anything and no uncapped self-join — the brute-force form exists
+    only in tests.
     """
     a = ahashes.select(F.col(id_col).alias("__id"),
                        F.col("ahash_hi").alias("__hi"),
@@ -1405,13 +1419,25 @@ def image_near_dup(ahashes: DataFrame, max_hamming: int = 3,
             F.struct(F.lit(3).alias("bi"),
                      F.expr("__hi div 65536").alias("bv")),
         )).alias("b")).select("__id", "b.bi", "b.bv")
-    cand = (bands.alias("x").join(
-        bands.alias("y"),
-        [F.col("x.bi") == F.col("y.bi"), F.col("x.bv") == F.col("y.bv"),
-         F.col("x.__id") < F.col("y.__id")])
-        .select(F.col("x.__id").alias("id_a"),
-                F.col("y.__id").alias("id_b"))
-        .distinct())
+    buckets = (bands.groupBy("bi", "bv")
+               .agg(F.sort_array(F.collect_list("__id")).alias("ids"),
+                    F.count("*").alias("n")))
+    capped = buckets.where(F.col("n") > 1).select(
+        "bi", "bv",
+        F.slice("ids", 1, max_bucket).alias("ids"),
+        (F.col("n") > max_bucket).alias("truncated"))
+    # pairs within a bucket: upper triangle over the capped list (the
+    # minhash_candidates posexplode × slice shape)
+    p = F.explode(F.transform(
+        F.sequence(F.lit(1), F.size("ids") - 1),
+        lambda i: F.struct(
+            F.element_at("ids", i).alias("a"),
+            F.slice("ids", i + 1, F.size("ids") - i).alias("rest"))))
+    pairs = (capped.select(p.alias("p"), "truncated")
+             .select(F.col("p.a").alias("id_a"),
+                     F.explode("p.rest").alias("id_b"), "truncated"))
+    cand = pairs.groupBy("id_a", "id_b").agg(
+        F.max("truncated").alias("truncated"))
     ha = a.select(F.col("__id").alias("id_a"), F.col("__hi").alias("__hi_a"),
                   F.col("__lo").alias("__lo_a"))
     hb = a.select(F.col("__id").alias("id_b"), F.col("__hi").alias("__hi_b"),
@@ -1419,5 +1445,5 @@ def image_near_dup(ahashes: DataFrame, max_hamming: int = 3,
     ham = (F.bit_count(F.expr("__hi_a ^ __hi_b"))
            + F.bit_count(F.expr("__lo_a ^ __lo_b"))).cast("long")
     return (cand.join(ha, "id_a").join(hb, "id_b")
-            .select("id_a", "id_b", ham.alias("hamming"))
+            .select("id_a", "id_b", ham.alias("hamming"), "truncated")
             .where(F.col("hamming") <= F.lit(int(max_hamming))))

@@ -816,10 +816,12 @@ def tfidf_keywords(df: DataFrame, text_col: str = "text",
 
     Shape at 100 TB: one tokenize/explode pass → (doc, token) partial-
     agg tf (the exchange carries counts, not tokens-per-occurrence),
-    one vocab-keyed df agg, a vocab-sized broadcast join back, one
-    per-doc ranking window (high-cardinality key). The distinct-df
-    collect is |distinct df values|-bounded (Zipf-tiny), never
-    vocab-bounded.
+    one vocab-keyed df agg, an UNHINTED token-keyed join back (r8: the
+    df table is vocab-sized — 10⁸–10⁹ tokens on a web corpus — so the
+    join must be allowed to shuffle; AQE broadcasts it only when it
+    actually fits), one per-doc ranking window (high-cardinality key).
+    The distinct-df collect is |distinct df values|-bounded
+    (Zipf-tiny), never vocab-bounded.
     """
     import math
 
@@ -853,7 +855,11 @@ def tfidf_keywords(df: DataFrame, text_col: str = "text",
     score = (F.col("tf")
              * (F.lit(math.log(n_docs))
                 - F.element_at(logmap, F.col("df").cast("long"))))
-    scored = (tf.join(F.broadcast(dfc), "token")
+    # token-keyed equi-join, NO broadcast hint (r8): dfc is vocab-sized
+    # — 10⁸–10⁹ distinct tokens on a web corpus (URLs, typos) — so a
+    # forced BroadcastExchange OOMs exactly where the operator matters;
+    # AQE broadcasts it at runtime only when it is actually small
+    scored = (tf.join(dfc, "token")
               .select(id_col, "token", "tf", "df",
                       (F.floor(score * F.lit(1e6) + F.lit(0.5))
                        / F.lit(1e6)).alias("tfidf")))

@@ -983,6 +983,82 @@ def seasonal_mann_kendall(df: DataFrame, on: str = "time",
                     (F.abs(zz) > 1.959964).alias("trend"))
 
 
+def pettitt_bucket_sums(df: DataFrame, on: str = "time",
+                        by: Sequence[str] = ("event_type",),
+                        value_col: str = "value",
+                        bucket_ns: int = 3_600_000_000_000) -> DataFrame:
+    """Integer-exact bucket stage of the Pettitt pipeline: per
+    (series, bucket) the SCALED decimal sum si = Σvalue·10⁶ (exact —
+    values enter as DECIMAL(28,6), so ×10⁶ is an integer re-scale, not
+    a rounding) and the row count n, both as exact integer types
+    (DECIMAL(38,0) / LONG). No mean is ever formed: the sign of
+    mean_b − mean_a downstream is decided by cross-multiplication
+    si_b·n_a vs si_a·n_b, so the whole pipeline from raw values to the
+    change-point row contains zero floats and zero rounding (r8: this
+    replaces the round-6 double means the r5–r7 contract compared —
+    `sgn(vb − va)` over _fr-rounded doubles was the last float stage).
+
+    Exposed as its own operator (beyond pettitt_test's internal use) so
+    the contract can stage-diagnose a cross-engine divergence: this IS
+    the `ts_pettitt_means` diagnostic key.
+
+    The ×10⁶ happens PER ROW before the sum (decimal(22,6)·10⁶ →
+    decimal(33,6), exact, cast decimal(28,0)) so no arithmetic step ever
+    crosses Spark's 38-digit precision-loss boundary; the sum of
+    decimal(28,0) widens to decimal(38,0) losslessly. Magnitude bound:
+    values round at 6 decimals inside |v| < 10¹⁶ (the decimal(22,6)
+    cast), and |si·n| stays inside DECIMAL(38,0) for any |value| ≤ 10¹²
+    with ≤ 10¹³ points per bucket — far beyond the 4096-bucket series
+    this family caps at.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("pettitt_test requires at least one series key")
+    b = _bucket_expr(on, bucket_ns)
+    si_row = (F.col(value_col).cast("decimal(22,6)")
+              * F.lit(1_000_000)).cast("decimal(28,0)")
+    return (df.groupBy(*by, b.alias("bucket"))
+            .agg(F.sum(si_row).alias("si"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def _pettitt_u(g: DataFrame, by: list) -> DataFrame:
+    """U_t stage of the Pettitt pipeline over the pettitt_bucket_sums
+    table `g` — exact integer prefix statistic per (series, bucket).
+    This IS the `ts_pettitt_u` diagnostic key; pettitt_test composes it.
+    """
+    a = g.select(*by, F.col("bucket").alias("__ba"),
+                 F.col("si").alias("__sa"), F.col("n").alias("__na"))
+    b = g.select(*[F.col(k).alias(f"__b_{k}") for k in by],
+                 F.col("bucket").alias("__bb"),
+                 F.col("si").alias("__sb"), F.col("n").alias("__nb"))
+    # sgn(mean_b − mean_a) == sgn(si_b·n_a − si_a·n_b): counts are
+    # positive, so cross-multiplying clears both divisions without any
+    # float. DECIMAL(38,0)·LONG products and their difference are exact
+    # integer arithmetic on any engine (DuckDB mirrors with HUGEINT).
+    d = (F.col("__sb") * F.col("__na") - F.col("__sa") * F.col("__nb"))
+    sg = (F.when(d > 0, 1).when(d < 0, -1).otherwise(0)
+          .cast("long").alias("__sg"))
+    pairs = (a.join(b, [a[k] == b[f"__b_{k}"] for k in by])
+             .where(F.col("__bb") > F.col("__ba"))
+             .select(*by, "__ba", "__bb", sg))
+    # A_t keyed by the pair's LEFT endpoint, B_t by the RIGHT
+    at = (pairs.groupBy(*by, F.col("__ba").alias("bucket"))
+          .agg(F.sum("__sg").alias("__a")))
+    bt = (pairs.groupBy(*by, F.col("__bb").alias("bucket"))
+          .agg(F.sum("__sg").alias("__b")))
+    w = Window.partitionBy(*by).orderBy("bucket")
+    return (g.join(at, [*by, "bucket"], "left")
+            .join(bt, [*by, "bucket"], "left")
+            .select(*by, "bucket",
+                    (F.coalesce(F.col("__a"), F.lit(0))
+                     - F.coalesce(F.col("__b"), F.lit(0))).alias("__d"))
+            .select(*by, "bucket",
+                    F.sum("__d").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0))
+                    .alias("u")))
+
+
 def pettitt_test(df: DataFrame, on: str = "time",
                  by: Sequence[str] = ("event_type",),
                  value_col: str = "value",
@@ -1001,23 +1077,33 @@ def pettitt_test(df: DataFrame, on: str = "time",
     sgn(x_j - x_t) and B_t = sum_{i<t} sgn(x_t - x_i), the exact
     telescoping U_t = U_{t-1} + A_t - B_t reduces the statistic to two
     endpoint aggregations over the pair table plus ONE per-series
-    prefix-sum window — integers throughout, so the statistic is exact
-    on any engine; only the final p is a float (IEEE exp, round-6).
+    prefix-sum window.
+
+    INTEGER-EXACT END TO END (r8): the bucket stage keeps exact scaled
+    sums (si = Σv·10⁶ as DECIMAL(38,0)) and counts instead of round-6
+    double means, and each pairwise sign is decided by the
+    cross-multiplied comparison sgn(si_b·n_a − si_a·n_b) — equivalent
+    to sgn(mean_b − mean_a) but with zero floats and zero rounding
+    anywhere between the raw values and the output row. (Through r7 the
+    signs compared _fr-rounded double means; two means differing only
+    past the 6th decimal now count as a real sign instead of a tie —
+    strictly closer to Pettitt's definition.)
 
     Same bucket-quadratic pair stage and loud cap as theil_sen /
     mann_kendall; output is |series| rows: (n_buckets, k, change_bucket,
     u_at_k, pexp_num, pexp_den, log_p_exponent, shift) where
     pexp_num=6K^2 and pexp_den=B^3+B^2 are EXACT integers,
     log_p_exponent = -pexp_num/pexp_den rounded at 6 (p = 2*exp of it,
-    a diagnostic convenience — the only float in the row), and shift
-    (p < 0.05) is decided by the EXACT integer comparison
-    pexp_num*10^16 > floor(ln(40)*10^16)*pexp_den in DECIMAL(38,0) —
-    no transcendental and no float anywhere in the decision.
+    a diagnostic convenience — the only float in the row, excluded from
+    the hash-gated contract), and shift (p < 0.05) is decided by the
+    EXACT integer comparison pexp_num*10^16 > floor(ln(40)*10^16)*
+    pexp_den in DECIMAL(38,0) — no transcendental and no float anywhere
+    in the decision.
     """
     by = list(by)
     if not by:
         raise ValueError("pettitt_test requires at least one series key")
-    g = _bucket_means(df, on, by, value_col, bucket_ns)
+    g = pettitt_bucket_sums(df, on, by, value_col, bucket_ns)
     counts = g.groupBy(*by).agg(F.count(F.lit(1)).alias("n_buckets"))
     over = counts.where(F.col("n_buckets") > max_buckets).limit(1).collect()
     if over:
@@ -1025,28 +1111,7 @@ def pettitt_test(df: DataFrame, on: str = "time",
             f"pettitt_test: a series has {over[0]['n_buckets']} buckets "
             f"(cap {max_buckets}); coarsen bucket_ns or pre-filter the "
             f"time range")
-    a = g.select(*by, F.col("bucket").alias("__ba"), F.col("v").alias("__va"))
-    b = g.select(*[F.col(k).alias(f"__b_{k}") for k in by],
-                 F.col("bucket").alias("__bb"), F.col("v").alias("__vb"))
-    pairs = (a.join(b, [a[k] == b[f"__b_{k}"] for k in by])
-             .where(F.col("__bb") > F.col("__ba"))
-             .select(*by, "__ba", "__bb",
-                     F.signum(F.col("__vb") - F.col("__va"))
-                     .cast("long").alias("__sg")))
-    # A_t keyed by the pair's LEFT endpoint, B_t by the RIGHT
-    at = (pairs.groupBy(*by, F.col("__ba").alias("bucket"))
-          .agg(F.sum("__sg").alias("__a")))
-    bt = (pairs.groupBy(*by, F.col("__bb").alias("bucket"))
-          .agg(F.sum("__sg").alias("__b")))
-    w = Window.partitionBy(*by).orderBy("bucket")
-    u = (g.join(at, [*by, "bucket"], "left").join(bt, [*by, "bucket"], "left")
-         .select(*by, "bucket",
-                 (F.coalesce(F.col("__a"), F.lit(0))
-                  - F.coalesce(F.col("__b"), F.lit(0))).alias("__d"))
-         .select(*by, "bucket",
-                 F.sum("__d").over(
-                     w.rowsBetween(Window.unboundedPreceding, 0))
-                 .alias("u")))
+    u = _pettitt_u(g, by)
     wk = Window.partitionBy(*by).orderBy(F.abs(F.col("u")).desc(),
                                          F.col("bucket").asc())
     best = (u.withColumn("__r", F.row_number().over(wk))
@@ -1202,7 +1267,18 @@ def permutation_entropy(df: DataFrame, on: str = "time",
     window for the two lags, then two tiny groupBys. The only floats
     are the final H/h_norm, floor-rounded at 6 (the token_entropy
     hash-gate precedent); counts and codes are exact integers.
+
+    r8 (ADVICE): ln values are DRIVER-SIDE libm literals — sparse
+    create_map over the distinct pattern counts / window totals, the
+    token_entropy/pmi/tfidf convention — instead of in-plan F.log
+    (JVM Math.log is intrinsified and can drift an ulp vs DuckDB's
+    libm ln); and each c·ln c term is cast to DECIMAL(28,12) so the
+    per-series sum is order-free across partitionings (the acf centered-
+    product precedent). The two distinct-value collects are ≤ 6·|series|
+    and ≤ |series| rows respectively — sketch-sized, never data-sized.
     """
+    from ..cache import keep
+
     by = list(by)
     g = _bucket_means(df, on, by, value_col, bucket_ns)
     w = Window.partitionBy(*by).orderBy("bucket")
@@ -1214,18 +1290,38 @@ def permutation_entropy(df: DataFrame, on: str = "time",
     code = ((F.col("__a") <= F.col("__b")).cast("long") * 4
             + (F.col("__b") <= F.col("__c")).cast("long") * 2
             + (F.col("__a") <= F.col("__c")).cast("long"))
-    cnt = (tri.select(*by, code.alias("pattern"))
-           .groupBy(*by, "pattern")
-           .agg(F.count(F.lit(1)).alias("cnt")))
-    n = F.sum("cnt")
-    clnc = F.sum(F.col("cnt").cast("double") * F.log(F.col("cnt")
-                                                     .cast("double")))
-    h = F.log(n.cast("double")) - clnc / n.cast("double")
-    per = (cnt.groupBy(*by)
-           .agg(n.alias("n_windows"),
-                F.count(F.lit(1)).alias("n_patterns"),
-                _fr(h, 6).alias("h"),
-                _fr(h / F.lit(math.log(6.0)), 6).alias("h_norm")))
+    cnt = keep("ts.perm_entropy.cnt",
+               tri.select(*by, code.alias("pattern"))
+               .groupBy(*by, "pattern")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    cvals = sorted(int(r[0]) for r in cnt.select("cnt").distinct().collect())
+    if len(cvals) > 65_536:
+        raise ValueError(f"permutation_entropy: {len(cvals)} distinct "
+                         "pattern counts exceed the literal log-map cap "
+                         "(65536)")
+    if not cvals:  # no series has >= 3 buckets: all-NULL entropy rows
+        cvals = [1]
+    lnc = F.create_map(*[x for c in cvals
+                         for x in (F.lit(c).cast("long"),
+                                   F.lit(math.log(c)))])
+    term = (F.col("cnt").cast("double")
+            * F.element_at(lnc, F.col("cnt").cast("long"))
+            ).cast("decimal(28,12)")
+    per0 = keep("ts.perm_entropy.per0",
+                cnt.groupBy(*by)
+                .agg(F.sum("cnt").alias("n_windows"),
+                     F.count(F.lit(1)).alias("n_patterns"),
+                     F.sum(term).alias("__s")))
+    nvals = sorted(int(r[0]) for r in
+                   per0.select("n_windows").distinct().collect())
+    lnn = F.create_map(*[x for c in (nvals or [1])
+                         for x in (F.lit(c).cast("long"),
+                                   F.lit(math.log(c)))])
+    h = (F.element_at(lnn, F.col("n_windows").cast("long"))
+         - F.col("__s").cast("double") / F.col("n_windows").cast("double"))
+    per = per0.select(*by, "n_windows", "n_patterns",
+                      _fr(h, 6).alias("h"),
+                      _fr(h / F.lit(math.log(6.0)), 6).alias("h_norm"))
     # output-cardinality == |series| (the r6 convention, enforced
     # family-wide by tests/test_series_cardinality.py): a series too
     # short for any triple (< 3 buckets) reports 0 windows / 0 patterns

@@ -683,18 +683,23 @@ def build_oracles() -> dict[str, str]:
     # canonical-document election: same fingerprint key as
     # doc_fingerprint_dedup; within a cluster the (source-priority, id)
     # first row wins; every doc keeps an audit row
+    # r8 (ADVICE): TRY_CAST mirrors Spark's null-on-non-numeric cast
+    # (a bare ::BIGINT would THROW on a non-'srcN' source), and NULLS
+    # LAST is pinned explicitly to match the operator's asc_nulls_last
+    # — the contract is total over arbitrary sources, not just the
+    # clean fixture
     o["doc_canonical"] = f"""
       WITH d AS (SELECT doc_id,
                    md5(array_to_string(list_sort(list_distinct({TOKS})), ' '))
                      AS fingerprint,
-                   substring(source, 4)::BIGINT AS prio
+                   TRY_CAST(substring(source, 4, 8) AS BIGINT) AS prio
                  FROM documents WHERE text IS NOT NULL)
       SELECT doc_id, fingerprint,
              first_value(doc_id) OVER w AS canonical_id,
              doc_id = first_value(doc_id) OVER w AS is_canonical
       FROM d
       WINDOW w AS (PARTITION BY fingerprint
-                   ORDER BY prio ASC, doc_id ASC
+                   ORDER BY prio ASC NULLS LAST, doc_id ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
     o["doc_minhash_sig"] = f"""
       WITH sh AS ({_shingles_cte(3)}),
@@ -1741,15 +1746,48 @@ def build_oracles() -> dict[str, str]:
     # (B^3+B^2) in HUGEINT — the compared row is 100% float-free
     # (log_p_exponent is API-only on the Spark side, dropped from the
     # entry's output)
-    o["ts_pettitt"] = f"""
-      WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events),
+    # r8: integer-exact end to end — the bucket stage keeps scaled sums
+    # si = Σv·10⁶ (per-row DECIMAL(22,6)·10⁶ → HUGEINT, then an exact
+    # integer sum) and counts; each pairwise sign is the cross-multiplied
+    # HUGEINT comparison sign(si_b·n_a − si_a·n_b) ≡ sign(mean_b − mean_a),
+    # so no float and no rounding exists anywhere between the raw values
+    # and the compared row (the r7 form still signed round-6 double means)
+    _PETTITT_G = f"""
+      e AS (SELECT event_type, {EV_TIME} AS time, value FROM events),
       g AS (SELECT event_type, time - time % {HOUR} AS bucket,
-                   {fr('sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
-                     AS v
-            FROM e GROUP BY 1, 2),
+                   sum((CAST(value AS DECIMAL(22,6)) * 1000000)::HUGEINT)
+                     AS si,
+                   count(*) AS n
+            FROM e GROUP BY 1, 2)"""
+    o["ts_pettitt_means"] = f"""
+      WITH {_PETTITT_G}
+      SELECT event_type, bucket, si, n::BIGINT AS n FROM g"""
+    _PETTITT_U = f"""
+      {_PETTITT_G},
+      p AS (SELECT a.event_type, a.bucket AS ba, b.bucket AS bb,
+                   sign(b.si * a.n - a.si * b.n)::BIGINT AS sg
+            FROM g a JOIN g b ON b.event_type = a.event_type
+                             AND b.bucket > a.bucket),
+      at AS (SELECT event_type, ba AS bucket, sum(sg) AS a
+             FROM p GROUP BY 1, 2),
+      bt AS (SELECT event_type, bb AS bucket, sum(sg) AS b
+             FROM p GROUP BY 1, 2),
+      u AS (SELECT g.event_type, g.bucket,
+                   sum(coalesce(at.a, 0) - coalesce(bt.b, 0)) OVER (
+                     PARTITION BY g.event_type ORDER BY g.bucket
+                     ROWS UNBOUNDED PRECEDING) AS u
+            FROM g LEFT JOIN at ON at.event_type = g.event_type
+                               AND at.bucket = g.bucket
+                   LEFT JOIN bt ON bt.event_type = g.event_type
+                               AND bt.bucket = g.bucket)"""
+    o["ts_pettitt_u"] = f"""
+      WITH {_PETTITT_U}
+      SELECT event_type, bucket, u::BIGINT AS u FROM u"""
+    o["ts_pettitt"] = f"""
+      WITH {_PETTITT_G},
       n AS (SELECT event_type, count(*) AS n_buckets FROM g GROUP BY 1),
       p AS (SELECT a.event_type, a.bucket AS ba, b.bucket AS bb,
-                   sign(b.v - a.v)::BIGINT AS sg
+                   sign(b.si * a.n - a.si * b.n)::BIGINT AS sg
             FROM g a JOIN g b ON b.event_type = a.event_type
                              AND b.bucket > a.bucket),
       at AS (SELECT event_type, ba AS bucket, sum(sg) AS a
@@ -1805,15 +1843,17 @@ def build_oracles() -> dict[str, str]:
       cnt AS (SELECT event_type, pattern, count(*)::BIGINT AS cnt
               FROM p GROUP BY 1, 2),
       ser AS (SELECT DISTINCT event_type FROM g),
-      per AS (SELECT event_type, sum(cnt)::BIGINT AS n_windows,
-             count(*)::BIGINT AS n_patterns,
-             {fr('ln(sum(cnt)::DOUBLE)'
-                 ' - sum(cnt::DOUBLE * ln(cnt::DOUBLE)) / sum(cnt)::DOUBLE',
+      per0 AS (SELECT event_type, sum(cnt)::BIGINT AS n_windows,
+                      count(*)::BIGINT AS n_patterns,
+                      sum(CAST(cnt::DOUBLE * ln(cnt::DOUBLE)
+                               AS DECIMAL(28,12))) AS s
+               FROM cnt GROUP BY 1),
+      per AS (SELECT event_type, n_windows, n_patterns,
+             {fr('ln(n_windows::DOUBLE) - s::DOUBLE / n_windows::DOUBLE',
                  6)} AS h,
-             {fr('(ln(sum(cnt)::DOUBLE)'
-                 ' - sum(cnt::DOUBLE * ln(cnt::DOUBLE)) / sum(cnt)::DOUBLE)'
+             {fr('(ln(n_windows::DOUBLE) - s::DOUBLE / n_windows::DOUBLE)'
                  ' / ' + '1.791759469228055', 6)} AS h_norm
-      FROM cnt GROUP BY 1)
+      FROM per0)
       SELECT ser.event_type,
              coalesce(per.n_windows, 0)::BIGINT AS n_windows,
              coalesce(per.n_patterns, 0)::BIGINT AS n_patterns,
@@ -2539,15 +2579,38 @@ def build_oracles() -> dict[str, str]:
     o["mm_ahash"] = f"""
       WITH {_AHASH}
       SELECT doc_id, width, height, ahash_hi, ahash_lo, n_set FROM ahash"""
-    # brute-force all-pairs reference: the Spark side must reproduce it
-    # through banded candidate generation, so a missed band bucket or a
-    # wrong popcount both mismatch
+    # r8: the oracle mirrors the banded CAPPED candidate generation —
+    # four 16-bit bands, per-bucket membership ranked by doc_id and
+    # sliced at max_bucket=200 (the deterministic smallest-ids choice
+    # sort_array + slice makes on the Spark side), truncated = any
+    # generating bucket over the cap. On a fixture with no hot bucket
+    # this equals the pigeonhole-exact brute-force result (pytest pins
+    # that equivalence + the hot-bucket quadratic guard); a missed
+    # band bucket or wrong popcount still mismatches.
     o["mm_image_near_dup"] = f"""
-      WITH {_AHASH}
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      WITH {_AHASH},
+      bands AS (
+        SELECT doc_id, 0 AS bi, ahash_lo % 65536 AS bv FROM ahash
+        UNION ALL SELECT doc_id, 1, ahash_lo // 65536 FROM ahash
+        UNION ALL SELECT doc_id, 2, ahash_hi % 65536 FROM ahash
+        UNION ALL SELECT doc_id, 3, ahash_hi // 65536 FROM ahash),
+      rk AS (SELECT doc_id, bi, bv,
+                    row_number() OVER (PARTITION BY bi, bv
+                                       ORDER BY doc_id) AS rn,
+                    count(*) OVER (PARTITION BY bi, bv) AS sz
+             FROM bands),
+      cand AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                      bool_or(x.sz > 200) AS truncated
+               FROM rk x JOIN rk y ON x.bi = y.bi AND x.bv = y.bv
+                                  AND x.doc_id < y.doc_id
+               WHERE x.rn <= 200 AND y.rn <= 200
+               GROUP BY 1, 2)
+      SELECT c.id_a, c.id_b,
              (bit_count(xor(a.ahash_hi, b.ahash_hi))
-              + bit_count(xor(a.ahash_lo, b.ahash_lo)))::BIGINT AS hamming
-      FROM ahash a JOIN ahash b ON a.doc_id < b.doc_id
+              + bit_count(xor(a.ahash_lo, b.ahash_lo)))::BIGINT AS hamming,
+             c.truncated
+      FROM cand c JOIN ahash a ON a.doc_id = c.id_a
+                  JOIN ahash b ON b.doc_id = c.id_b
       WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
             + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 3"""
 

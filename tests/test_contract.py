@@ -45,3 +45,21 @@ def test_anchor_allotment_self_tunes(monkeypatch):
     # with zero green keys, anchors are pending themselves and must not
     # consume extra slots ahead of the interleave
     assert len(set(window)) == e._DRIVER_WINDOW
+
+
+def test_every_query_has_a_pinned_plan_fingerprint():
+    """r8 guard (prescribed by the r7 verdict after two rounds shipped a
+    new key unpinned): a queries() entry without a PLAN_FINGERPRINTS.json
+    row has no plan-shape regression cover — the round-end ritual must
+    run `tools/plan_fingerprints.py --record` after adding keys. This
+    test makes that step un-skippable."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLAN_FINGERPRINTS.json")
+    with open(path) as f:
+        pinned = set(json.load(f))
+    qs = set(entry.queries())
+    assert qs <= pinned, f"unpinned queries (run --record): {qs - pinned}"
+    assert pinned <= qs, f"stale fingerprints (re-record): {pinned - qs}"

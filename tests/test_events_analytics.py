@@ -110,6 +110,24 @@ def test_canonical_select_cluster_election(spark):
     assert fps[10] == fps[11] == fps[12] and fps[20] == fps[21]
 
 
+def test_canonical_select_null_priority_sorts_last(spark):
+    """r8 (ADVICE): a NULL priority (unranked source) must LOSE to every
+    ranked copy — asc_nulls_last pinned, because Spark's bare ASC puts
+    NULLs first while DuckDB's puts them last; and with ONLY null
+    priorities the election degrades to lowest-id, never a crash."""
+    rows = [(1, "same text here", None), (2, "here same text", 7),
+            (3, "text here same", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, prio long")
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in canonical_select(df, priority=F.col("prio")).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    df2 = spark.createDataFrame([(5, "x y", None), (4, "y x", None)],
+                                "doc_id long, text string, prio long")
+    got2 = {r["doc_id"]: r["canonical_id"]
+            for r in canonical_select(df2, priority=F.col("prio")).collect()}
+    assert got2 == {4: 4, 5: 4}
+
+
 def test_canonical_select_default_priority_is_lowest_id(spark):
     df = spark.createDataFrame([(2, "a b"), (1, "b a")],
                                "doc_id long, text string")

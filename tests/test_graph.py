@@ -112,3 +112,26 @@ def test_link_predict_excludes_edges_and_center_cap(spark):
     assert rows and all(r.node != 0 and r.candidate != 0 for r in rows)
     # center_cap below the hub degree removes every wedge -> no output
     assert G.link_predict(e, k=3, min_common=1, center_cap=2).count() == 0
+
+
+def test_reliable_checkpoint_matches_local_and_errors_without_dir(
+        spark, tmp_path):
+    """r8 (verdict task 8): reliable=True swaps localCheckpoint for
+    fault-tolerant checkpoint() — identical results (the checkpoint
+    mechanism is lineage plumbing, not semantics), loud ValueError when
+    no checkpoint dir is configured."""
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (4, 5)])
+    sc = spark.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            G.pagerank(e, iters=2, reliable=True)
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    pr_local = {r.node: r.pr_fp for r in G.pagerank(e, iters=3).collect()}
+    pr_rel = {r.node: r.pr_fp
+              for r in G.pagerank(e, iters=3, reliable=True).collect()}
+    assert pr_rel == pr_local
+    c_local = {r.node: r.component
+               for r in G.components(e, rounds=3).collect()}
+    c_rel = {r.node: r.component
+             for r in G.components(e, rounds=3, reliable=True).collect()}
+    assert c_rel == c_local

@@ -40,8 +40,8 @@ def test_near_dup_equals_brute_force(spark):
     ids = list(range(0, 200, 3))
     png = MM.synthesize_png_payload(_docs(spark, ids))
     ah = MM.image_ahash(png)
-    got = {(r.id_a, r.id_b): r.hamming
-           for r in MM.image_near_dup(ah, max_hamming=3).collect()}
+    res = MM.image_near_dup(ah, max_hamming=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in res}
     codes = {i: _ref_ahash(i) for i in ids}
     want = {}
     for a in ids:
@@ -51,6 +51,24 @@ def test_near_dup_equals_brute_force(spark):
                 if d <= 3:
                     want[(a, b)] = d
     assert got == want
+    # no band bucket holds >200 of these 67 images, so nothing truncates
+    # and the capped generation IS the pigeonhole-exact result
+    assert all(not r.truncated for r in res)
+
+
+def test_near_dup_hot_bucket_capped_not_quadratic(spark):
+    # 500 IDENTICAL aHash codes — the monochrome/template-corpus case the
+    # r7 verdict flagged: every band bucket holds all 500 ids. The cap
+    # must slice each bucket to its 200 smallest ids (C(200,2) = 19900
+    # pairs, flagged truncated) instead of emitting C(500,2) = 124 750.
+    rows = [(i, 0x12345678, 0x9ABCDEF0, 32) for i in range(500)]
+    ah = spark.createDataFrame(
+        rows, "doc_id long, ahash_hi long, ahash_lo long, n_set long")
+    res = MM.image_near_dup(ah, max_hamming=3).collect()
+    assert len(res) == 19900
+    assert all(r.truncated and r.hamming == 0 for r in res)
+    # deterministic smallest-ids slice: only ids < 200 survive the cap
+    assert max(max(r.id_a, r.id_b) for r in res) == 199
 
 
 def test_near_dup_identical_images_zero_distance(spark):
