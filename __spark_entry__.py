@@ -1331,6 +1331,17 @@ def q_text_rolling(spark, sf):
     return TX.rolling_fingerprints(_t(spark, sf, "documents"), w=8)
 
 
+def q_text_winnowing(spark, sf):
+    """Winnowing fingerprint SELECTION over the rolling hashes
+    (Schleimer, Wilkerson & Aiken 2003 / MOSS, added scope): per
+    selection window of 4 consecutive 8-gram hashes keep the rightmost
+    minimal, dedup'd — any ≥11-token match shares a fingerprint at
+    ~2/5 the storage of text_rolling; rightmost-min pinned cross-engine
+    via min over struct(whash, −pos)
+    (operators/text.py:winnowing_fingerprints)."""
+    return TX.winnowing_fingerprints(_t(spark, sf, "documents"), k=8, s=4)
+
+
 def q_mm_meta(spark, sf):
     mm = MM.attach_binary_payload(_t(spark, sf, "documents"), "text")
     return mm.select("doc_id", F.col("payload_bytes").cast("long").alias("payload_bytes"),
@@ -1879,6 +1890,21 @@ def q_ts_acf(spark, sf):
                bucket_ns=HOUR, max_lag=12)
 
 
+def q_ts_ljung_box(spark, sf):
+    """Ljung–Box portmanteau whiteness test per series (Ljung & Box
+    1978, added scope — the 'is anything left in the residuals' gate of
+    every forecasting stack): Q = n(n+2)·Σ r_k²/(n−k) over the shared
+    acf core's round-6 r_k at up to 12 lags, Q terms accumulated in
+    DECIMAL(28,18) (order-free), the 5% decision against the published
+    χ²₀.₉₅ per-h literals inlined identically in both engines; series
+    with <2 buckets report h=0/NULL q/rejected=false rather than
+    vanishing (operators/timeseries.py:ljung_box)."""
+    from influxdb_ha_spark.operators.timeseries import ljung_box
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return ljung_box(ev, on="time", by=["event_type"], value_col="value",
+                     bucket_ns=HOUR, max_lag=12)
+
+
 def q_ts_xcorr(spark, sf):
     """Lagged cross-correlation between the 'click' and 'purchase'
     series (added scope): hourly bucket means aligned by bucket
@@ -2039,6 +2065,34 @@ def q_ev_retention(spark, sf):
     from influxdb_ha_spark.operators.timeseries import retention
     ev = _events_us(spark, sf).select("user_id", "time")
     return retention(ev, by=["user_id"], on="time", bucket_ns=DAY)
+
+
+def q_ev_heavy_hitters(spark, sf):
+    """Exact φ-heavy hitters over the event stream's entity key (added
+    scope — the hot-entity/skew screen): keys with cnt·140 > n by exact
+    integer comparison, share round-6 reporting only; one key-keyed
+    partial agg + a 1-row scalar crossJoin; output bounded at k−1 rows.
+    The streaming Misra–Gries twin is pytest-pinned superset-of-this
+    (operators/timeseries.py:heavy_hitters)."""
+    from influxdb_ha_spark.operators.timeseries import heavy_hitters
+    ev = _events_us(spark, sf).select("user_id")
+    return heavy_hitters(ev, by=["user_id"], k=140)
+
+
+def q_ev_cohort_ltv(spark, sf):
+    """Daily cohort revenue / LTV triangle (added scope — retention's
+    monetary twin): users cohort by first-event day; purchase events
+    land in (cohort_day, offset) cells reporting distinct buyers,
+    DECIMAL-exact revenue and revenue-per-cohort-member (one rounded
+    float division). One entity-keyed shuffle for first-touch, the
+    purchase slice joins on the same key, one cell-keyed agg
+    (operators/timeseries.py:cohort_ltv)."""
+    from influxdb_ha_spark.operators.timeseries import cohort_ltv
+    ev = _events_us(spark, sf).select("user_id", "event_type", "time",
+                                      "value")
+    return cohort_ltv(ev, by=["user_id"], on="time", value_col="value",
+                      type_col="event_type", revenue_type="purchase",
+                      bucket_ns=DAY)
 
 
 def q_ev_user_paths(spark, sf):
@@ -2341,6 +2395,132 @@ def q_tpch_q5(spark, sf):
             .agg(_dsum(disc, 4).alias("revenue")))
 
 
+def q_tpch_q6(spark, sf):
+    """TPC-H Q6 shape (forecasting-revenue-change): the pure-scan
+    anchor — single lineitem pass, three range predicates, ONE
+    exact-decimal aggregate and zero joins. This is the query whose
+    plan must be nothing but a pushed-filter parquet scan + partial/
+    final HashAggregate; any Exchange beyond the final single-row
+    gather is a red flag, so it anchors the scan-efficiency end of the
+    bench next to Q1's wide-aggregate end. Row-count predicate parity:
+    discounts in this dataset are exact hundredths stored as doubles,
+    so the 0.05/0.07 literals compare identically in both engines."""
+    li = _t(spark, sf, "lineitem")
+    y0 = F.lit("1996-01-01").cast("timestamp_ntz")
+    y1 = F.lit("1997-01-01").cast("timestamp_ntz")
+    return (li.where((F.col("l_shipdate") >= y0)
+                     & (F.col("l_shipdate") < y1)
+                     & (F.col("l_discount") >= 0.05)
+                     & (F.col("l_discount") <= 0.07)
+                     & (F.col("l_quantity") < 24))
+            .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), 4)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+def q_tpch_q14(spark, sf):
+    """TPC-H Q14 shape (promotion effect): lineitem⋈part over one
+    month, conditional exact-decimal aggregation — promo revenue vs
+    total revenue and their percentage. The part side broadcasts (a
+    genuinely bounded dim at any SF relative to the fact); the CASE
+    rides INSIDE the decimal sum so both engines fold the identical
+    per-row operand; the percentage is one float division of two
+    decimal-exact doubles, floor-rounded at 6."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    m0 = F.lit("1997-03-01").cast("timestamp_ntz")
+    m1 = F.lit("1997-04-01").cast("timestamp_ntz")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc) \
+             .otherwise(F.lit(0.0))
+    agg = (li.where((F.col("l_shipdate") >= m0) & (F.col("l_shipdate") < m1))
+           .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .agg(_dsum(promo, 4).alias("promo_revenue"),
+                _dsum(disc, 4).alias("total_revenue")))
+    pct = _fr(F.lit(100.0) * F.col("promo_revenue")
+              / F.col("total_revenue"), 6)
+    return agg.select("promo_revenue", "total_revenue",
+                      pct.alias("promo_pct"))
+
+
+def q_tpch_q18(spark, sf):
+    """TPC-H Q18 shape (large-volume customers): the having-subquery
+    anchor — orders whose lineitem quantity total exceeds 250, joined
+    back to customer⋈orders⋈lineitem for the top-100 report. The
+    heavy-order key set comes from ONE partial-agg over lineitem and
+    gates the fact via a key equi-join (no window, no second scan
+    pattern the naive SQL implies); customer joins UNHINTED — it is
+    O(customers), not a bounded dim, so AQE decides (the r8
+    link_predict/tfidf discipline). Top-100 is TakeOrderedAndProject
+    on (o_totalprice DESC, o_orderdate ASC, o_orderkey ASC) — the
+    orderkey tie-break makes the cut deterministic cross-engine."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(_dsum("l_quantity", 2).alias("total_qty"))
+           .where(F.col("total_qty") > 250))
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("order_date"),
+                    "o_totalprice", "total_qty")
+            .orderBy(F.col("o_totalprice").desc(),
+                     F.col("order_date").asc(),
+                     F.col("o_orderkey").asc())
+            .limit(100))
+
+
+def q_tpch_q10(spark, sf):
+    """TPC-H Q10 shape (returned-item reporting): lineitem filtered to
+    returns ⋈ quarter-windowed orders ⋈ customer ⋈ broadcast(nation),
+    exact-decimal revenue per customer, top-20 as
+    TakeOrderedAndProject with the c_custkey tie-break. Customer joins
+    UNHINTED (O(customers), the r8 discipline); nation is a genuinely
+    bounded dim."""
+    q0 = F.lit("1997-10-01").cast("timestamp_ntz")
+    q1 = F.lit("1998-01-01").cast("timestamp_ntz")
+    li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= q0) & (F.col("o_orderdate") < q1))
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(_dsum(disc, 4).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20))
+
+
+def q_graph_degree_hist(spark, sf):
+    """Power-of-two degree histogram of the co-order graph (added scope
+    — the skew audit run before choosing a join strategy): bucket =
+    floor(log2(degree)) computed EXACTLY as length(bin(degree))−1, a
+    binary digit count with no float log; exact [2^b, 2^(b+1)−1]
+    ranges, node counts and per-bucket max degree
+    (operators/graph.py:degree_histogram)."""
+    from influxdb_ha_spark.operators import graph as GR
+    return GR.degree_histogram(_graph_edges(spark, sf))
+
+
+def q_emb_cluster_purity(spark, sf):
+    """Per-cluster purity eval (added scope — the clustering-quality
+    harness next to emb_recall): labeled vectors assign to the 8 seed
+    centroids via the map-only literal argmax, purity = majority-label
+    fraction with the (count DESC, label ASC) tie-break pinned; two
+    exact integers and one round-6 division per cluster
+    (operators/similarity.py:cluster_purity)."""
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    return S.cluster_purity(emb, cent, label_col="label")
+
+
 def q_mm_ahash(spark, sf):
     """Perceptual average-hash over REAL decoded PNGs (added scope —
     the image-dedup primitive): synthesized spec-valid PNGs are
@@ -2489,6 +2669,10 @@ _FAMILIES = [
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q10": q_tpch_q10,
     },
     {
         # joins
@@ -2606,6 +2790,7 @@ _FAMILIES = [
         "emb_brute_topk": q_emb_brute_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_recall": q_emb_recall,
+        "emb_cluster_purity": q_emb_cluster_purity,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_near_dup_planted": q_emb_near_dup_planted,
@@ -2629,6 +2814,7 @@ _FAMILIES = [
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "text_rolling": q_text_rolling,
+        "text_winnowing": q_text_winnowing,
         "text_top_tokens": q_text_top_tokens,
         "text_lm_score": q_text_lm_score,
         "text_bm25": q_text_bm25,
@@ -2653,6 +2839,7 @@ _FAMILIES = [
         "ts_deadman": q_ts_deadman,
         "ts_gaps": q_ts_gaps,
         "ts_acf": q_ts_acf,
+        "ts_ljung_box": q_ts_ljung_box,
         "ts_xcorr": q_ts_xcorr,
         "ts_cusum": q_ts_cusum,
         "ts_trend": q_ts_trend,
@@ -2667,6 +2854,8 @@ _FAMILIES = [
         "ev_funnel": q_ev_funnel,
         "ev_funnel_window": q_ev_funnel_window,
         "ev_retention": q_ev_retention,
+        "ev_cohort_ltv": q_ev_cohort_ltv,
+        "ev_heavy_hitters": q_ev_heavy_hitters,
         "ev_user_paths": q_ev_user_paths,
         "ev_active_users": q_ev_active_users,
         "ev_attribution": q_ev_attribution,
@@ -2682,6 +2871,7 @@ _FAMILIES = [
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
         "graph_link_predict": q_graph_link_predict,
+        "graph_degree_hist": q_graph_degree_hist,
     },
     {
         # LLM-pipeline scope (§7): multimodal

@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "tpch_q1",            # classic pricing-summary aggregation
+    "tpch_q6",            # pure-scan anchor: pushed filters + 1 aggregate (r8)
     "agg_median_percentile",  # exact order statistics
     "join_brand_revenue",  # broadcast dim join + agg
     "iq_mean_1h",          # InfluxQL frontend: GROUP BY time()

@@ -114,6 +114,30 @@ def degrees(edges: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("degree")))
 
 
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Power-of-two degree histogram — the skew audit every graph job
+    runs BEFORE choosing a join strategy (a heavy log-log tail says
+    "salt the hubs / cap the centers" before a shuffle discovers it the
+    hard way): bucket = floor(log2(degree)), computed EXACTLY as
+    length(bin(degree)) − 1 — a binary-digit count, no float log and
+    therefore no IEEE boundary at the powers of two; both engines share
+    the bin() builtin. Output per bucket: (bucket, lo, hi, n_nodes,
+    max_degree) with lo/hi = the exact [2^b, 2^(b+1)−1] range.
+
+    Shape at scale: one node-keyed degree agg (partial counts), then
+    one ~64-row histogram agg — nothing else moves.
+    """
+    deg = degrees(edges)
+    b = (F.length(F.conv(F.col("degree"), 10, 2)) - 1).cast("long")
+    lo = F.expr("shiftleft(1L, cast(bucket as int))")
+    hi = F.expr("shiftleft(1L, cast(bucket as int) + 1) - 1")
+    return (deg.groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.max("degree").alias("max_degree"))
+            .select("bucket", lo.alias("lo"), hi.alias("hi"),
+                    "n_nodes", "max_degree"))
+
+
 def triangles(edges: DataFrame, round_to: int = 6) -> DataFrame:
     """Per-node triangle participation + local clustering coefficient.
 

@@ -364,6 +364,48 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
             .where(F.col("cosine") >= threshold))
 
 
+def cluster_purity(corpus: DataFrame, centroids: DataFrame,
+                   label_col: str = "label", id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Clustering-quality eval harness — the emb_recall discipline
+    applied to clustering: assign every LABELED vector to its nearest
+    centroid (assign_centroids' map-only literal argmax — same
+    assignment the IVF family gates on) and report per-cluster purity,
+    the majority-label fraction (Manning, Raghavan & Schütze, IR book
+    §16.3's external clustering criterion). Majority tie-break pinned
+    (count DESC, label ASC) so the winner is engine-independent; purity
+    = n_majority / n_vectors, two exact integers, one round-6 division.
+    Rows with NULL labels are excluded by contract (they have no vote).
+
+    Output per non-empty cluster: (centroid_id, n_vectors,
+    majority_label, n_majority, purity).
+
+    Shape at 100 TB: assignment is map-only (zero corpus shuffle); the
+    ONLY exchange carries (centroid_id, label) pair counts — ≤ C·L
+    rows; the majority pick is a window over the C-sized key set.
+    """
+    labeled = corpus.where(F.col(label_col).isNotNull())
+    a = assign_centroids(labeled, centroids, id_col=id_col,
+                         vec_col=vec_col)
+    cl = (a.groupBy("centroid_id", F.col(label_col).alias("label"))
+          .agg(F.count(F.lit(1)).alias("__n")))
+    sizes = (cl.groupBy("centroid_id")
+             .agg(F.sum("__n").alias("n_vectors")))
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("__n").desc(), F.col("label").asc())
+    best = (cl.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("centroid_id", F.col("label").alias("majority_label"),
+                    F.col("__n").alias("n_majority")))
+    pur = F.floor(F.col("n_majority").cast("double")
+                  / F.col("n_vectors").cast("double")
+                  * F.lit(1_000_000) + F.lit(0.5)) / F.lit(1e6)
+    return (sizes.join(best, "centroid_id")
+            .select("centroid_id",
+                    F.col("n_vectors").cast("long").alias("n_vectors"),
+                    "majority_label", "n_majority", pur.alias("purity")))
+
+
 def semantic_dedup(corpus: DataFrame, centroids: DataFrame, eps: float = 0.9,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:

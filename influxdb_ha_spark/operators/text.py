@@ -241,6 +241,47 @@ def rolling_fingerprints(df: DataFrame, w: int = 8, text_col: str = "text",
             .select(id_col, (F.col("pos") + 1).alias("pos"), "whash"))
 
 
+def winnowing_fingerprints(df: DataFrame, k: int = 8, s: int = 4,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local-fingerprinting algorithm) over the Rabin–Karp
+    window hashes of `rolling_fingerprints`: slide a selection window
+    of `s` consecutive k-gram hashes and keep, per window, the RIGHTMOST
+    minimal hash; dedup the selections. GUARANTEE (the paper's Thm 1
+    direction): any token-level match of length ≥ s + k − 1 shares at
+    least one selected fingerprint, at expected density 2/(s+1) — the
+    storage knob plain rolling hashing lacks (it emits EVERY position).
+
+    Rightmost-minimal tie-break is pinned cross-engine by taking min
+    over struct(whash, −pos): smallest hash first, then smallest −pos
+    = LARGEST position — both engines compare structs field-by-field,
+    so ties resolve identically (no engine-dependent argmin).
+
+    Shape at 100 TB: the hash stage is map-only (rolling_fingerprints);
+    selection is ONE doc-keyed running-min window (high-cardinality
+    partition key, bounded s-row frame — no funnel); the dedup
+    shuffles only the ~2/(s+1)-density fingerprint rows, never the
+    corpus. Integer-exact throughout — nothing to round.
+    """
+    if s < 1:
+        raise ValueError("winnowing_fingerprints: selection window s "
+                         "must be >= 1")
+    from pyspark.sql import Window
+
+    r = rolling_fingerprints(df, w=k, text_col=text_col, id_col=id_col)
+    wnd = (Window.partitionBy(id_col).orderBy("pos")
+           .rowsBetween(Window.currentRow, s - 1))
+    m = F.min(F.struct(F.col("whash").alias("h"),
+                       (-F.col("pos")).alias("np"))).over(wnd)
+    c = F.count(F.lit(1)).over(wnd)
+    return (r.select(id_col, m.alias("__m"), c.alias("__c"))
+            .where(F.col("__c") == s)
+            .select(id_col, (-F.col("__m.np")).alias("pos"),
+                    F.col("__m.h").alias("fp"))
+            .distinct())
+
+
 def bm25_topk(df: DataFrame, query: str, k: int = 10, k1: float = 1.2,
               b: float = 0.75, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:

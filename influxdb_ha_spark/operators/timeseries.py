@@ -518,6 +518,14 @@ def acf(df: DataFrame, on: str = "time",
                          "ungrouped call would sort every bucket through "
                          "one task (the recurrence-guard funnel class)")
     g = _bucket_means(df, on, by, value_col, bucket_ns)
+    return _acf_core(g, by, max_lag)
+
+
+def _acf_core(g: DataFrame, by: list, max_lag: int) -> DataFrame:
+    """acf's post-bucket pipeline over a _bucket_means table — factored
+    out (r8) so ljung_box can share ONE bucket shuffle with acf instead
+    of re-scanning the raw stream; the expressions are byte-identical
+    to the pre-refactor acf body (plan fingerprints unchanged)."""
     mean = g.groupBy(*by).agg(_decimal_mean(F.col("v")).alias("xbar"))
     w = Window.partitionBy(*by).orderBy("bucket")
     r = (g.join(F.broadcast(mean), by)
@@ -543,6 +551,82 @@ def acf(df: DataFrame, on: str = "time",
                _fr(F.col("num") / F.col("den"), 6)).otherwise(F.lit(0.0))
     return (num.join(F.broadcast(den), by)
             .select(*by, "lag", "n_pairs", r.alias("acf")))
+
+
+# chi-square 95th-percentile quantiles for df = 1..12 (the standard
+# published table values, 6 dp — Abramowitz & Stegun 1964 table 26.8
+# lineage): inlined as literals in BOTH engines so the Ljung-Box
+# decision is one float compare on pinned-rounding operands (the
+# ts_trend |z| > 1.959964 precedent)
+CHI2_95 = {1: 3.841459, 2: 5.991465, 3: 7.814728, 4: 9.487729,
+           5: 11.070498, 6: 12.591587, 7: 14.067140, 8: 15.507313,
+           9: 16.918978, 10: 18.307038, 11: 19.675138, 12: 21.026070}
+
+
+def ljung_box(df: DataFrame, on: str = "time",
+              by: Sequence[str] = ("event_type",),
+              value_col: str = "value",
+              bucket_ns: int = 3_600_000_000_000,
+              max_lag: int = 12) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test per series (Ljung & Box
+    1978 — "is anything left in the residuals": the standard companion
+    of acf in every forecasting stack):
+
+        Q = n(n+2) · Σ_{k=1..h}  r_k² / (n−k)
+
+    over the hourly bucket-mean sequence, h = min(max_lag, n−1) lags
+    actually available, with the 5% decision Q > χ²_{0.95,h}. Rejecting
+    (white=false…rejected=true) means the series is NOT white noise —
+    autocorrelation structure remains.
+
+    Determinism for the cross-engine gate: r_k comes from the shared
+    acf core (round-6, gate-hardened since r4); each Q term
+    r_k²/(n−k) is a float of two pinned operands cast to
+    DECIMAL(28,18) so the h-term sum is order-free; Q rounds at 6; the
+    χ² thresholds are per-h literals from the published table, inlined
+    identically in the oracle (CASE) and here (create_map).
+
+    Output-cardinality == |series| (the r6 family convention): a series
+    with < 2 buckets has no lags — it reports h=0, NULL q,
+    rejected=false, never a silent drop.
+
+    Shape at scale: ONE raw shuffle (the shared _bucket_means stage);
+    everything downstream — acf core, per-series Q fold, the
+    |series|-row count join — is sketch-sized. No extra scan vs acf
+    alone.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("ljung_box requires at least one series key")
+    if not 1 <= max_lag <= max(CHI2_95):
+        raise ValueError(f"ljung_box: max_lag {max_lag} outside the "
+                         f"inlined chi-square table (1..{max(CHI2_95)}); "
+                         "extend CHI2_95 to raise it")
+    g = _bucket_means(df, on, by, value_col, bucket_ns)
+    counts = g.groupBy(*by).agg(F.count(F.lit(1)).alias("n_buckets"))
+    r = _acf_core(g, by, max_lag).select(*by, "lag", "acf")
+    t = r.join(F.broadcast(counts), by)
+    term = ((F.col("acf") * F.col("acf"))
+            / (F.col("n_buckets") - F.col("lag")).cast("double")
+            ).cast("decimal(28,18)")
+    per = (t.groupBy(*by)
+           .agg(F.max("n_buckets").alias("__n"),
+                F.count(F.lit(1)).alias("h"),
+                F.sum(term).alias("__s")))
+    chi2 = F.create_map(*[x for k, v in sorted(CHI2_95.items())
+                          for x in (F.lit(k).cast("long"), F.lit(v))])
+    q = _fr((F.col("__n") * (F.col("__n") + 2)).cast("double")
+            * F.col("__s").cast("double"), 6)
+    scored = per.select(
+        *by, "h", q.alias("q"),
+        (q > F.element_at(chi2, F.col("h").cast("long")))
+        .alias("rejected"))
+    return (counts.join(scored, by, "left")
+            .select(*by, "n_buckets",
+                    F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h"),
+                    "q",
+                    F.coalesce(F.col("rejected"), F.lit(False))
+                    .alias("rejected")))
 
 
 def cross_correlate(df: DataFrame, series_a: str, series_b: str,
@@ -1245,6 +1329,93 @@ def retention(df: DataFrame, by: Sequence[str] = ("user_id",),
         cells = cells.where(F.col("offset") <= F.lit(int(max_offset)))
     return (cells.groupBy("cohort_bucket", "offset")
             .agg(F.count(F.lit(1)).alias("n_entities")))
+
+
+def cohort_ltv(df: DataFrame, by: Sequence[str] = ("user_id",),
+               on: str = "time", value_col: str = "value",
+               type_col: str = "event_type",
+               revenue_type: str = "purchase",
+               bucket_ns: int = 7 * 86_400_000_000_000) -> DataFrame:
+    """Cohort revenue / LTV triangle — `retention`'s monetary twin (the
+    other half of every growth dashboard): entities cohort by the
+    bucket of their FIRST event of any type; each revenue event
+    (`type_col == revenue_type`) lands in the (cohort_bucket, offset)
+    cell of its owner, offset in buckets since cohort; the cell reports
+    distinct buyers, exact-decimal revenue, and revenue-per-cohort-
+    member (the incremental-LTV curve read cumulatively). Sparse like
+    retention — only cells with revenue emit; cohort_size rides every
+    row so the caller can densify or normalize without a second query.
+
+    Determinism: revenue is a DECIMAL(28,6)-accumulated sum emitted as
+    double (order-free, the _dsum convention); ltv_per_user is ONE
+    float division of that exact double by the exact long cohort size,
+    floor-rounded at 6.
+
+    Shape at 100 TB: ONE entity-keyed shuffle computes first-touch
+    cohorts (partial-agg min); the revenue slice joins it on the same
+    entity key (AQE broadcasts only if the purchaser set is genuinely
+    small); then one cell-keyed agg — the distinct-buyers count rides
+    the SAME exchange as the revenue sum because the pre-agg dedups
+    (entity, cell) first. The cohort-size join is |cohorts|-sized.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("cohort_ltv requires at least one entity key")
+    b = _bucket_expr(on, bucket_ns)
+    first = df.groupBy(*by).agg(F.min(b).alias("__cohort"))
+    sizes = (first.groupBy(F.col("__cohort").alias("cohort_bucket"))
+             .agg(F.count(F.lit(1)).alias("cohort_size")))
+    rev = (df.where(F.col(type_col) == F.lit(revenue_type))
+           .select(*by, b.alias("__b"), F.col(value_col).alias("__v")))
+    cells = (rev.join(first, by)
+             .select(*by,
+                     F.col("__cohort").alias("cohort_bucket"),
+                     ((F.col("__b") - F.col("__cohort"))
+                      / F.lit(bucket_ns)).cast("long").alias("offset"),
+                     "__v"))
+    agg = (cells.groupBy("cohort_bucket", "offset")
+           .agg(F.count_distinct(*[F.col(k) for k in by]).alias("buyers"),
+                F.sum(F.col("__v").cast("decimal(28,6)")).cast("double")
+                .alias("revenue")))
+    out = agg.join(sizes, "cohort_bucket")
+    ltv = _fr(F.col("revenue") / F.col("cohort_size").cast("double"), 6)
+    return out.select("cohort_bucket", "offset", "cohort_size",
+                      "buyers", "revenue", ltv.alias("ltv_per_user"))
+
+
+def heavy_hitters(df: DataFrame, by: Sequence[str] = ("user_id",),
+                  k: int = 140) -> DataFrame:
+    """Exact φ-heavy hitters (φ = 1/k): keys whose event count STRICTLY
+    exceeds n/k — the hot-entity screen (abusive clients, hot shard
+    keys, dominant crawl hosts) every ingestion pipeline runs before
+    the skew hits a shuffle. The decision is the exact integer
+    comparison cnt·k > n — no division, no float, engine-independent
+    even at n near 2⁶³/k; `share` (cnt/n, round-6) is reporting only.
+
+    Shape at 100 TB: ONE key-partial-agg shuffle (the exchange carries
+    (key, count) partials, never events) + one 1-row scalar agg
+    crossJoin-broadcast back (the quality_sample threshold form). At
+    most k−1 keys can exceed n/k, so the output is bounded by the
+    parameter — a true sketch-sized result.
+
+    Streaming twin: streaming/heavy_hitters_stream.py maintains
+    bounded-memory Misra–Gries summaries per shard — a SUPERSET of the
+    true heavy hitters with counts underestimated by ≤ n_shard/k (the
+    classic guarantee); this batch op is the exact reference the twin's
+    equivalence test is pinned to.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("heavy_hitters requires at least one key column")
+    if k < 2:
+        raise ValueError("heavy_hitters: k must be >= 2 (phi = 1/k)")
+    cnt = df.groupBy(*by).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = df.agg(F.count(F.lit(1)).alias("__n"))
+    return (cnt.crossJoin(F.broadcast(tot))
+            .where(F.col("cnt") * F.lit(int(k)) > F.col("__n"))
+            .select(*by, "cnt", F.col("__n").alias("n_total"),
+                    _fr(F.col("cnt").cast("double")
+                        / F.col("__n").cast("double"), 6).alias("share")))
 
 
 def permutation_entropy(df: DataFrame, on: str = "time",

@@ -1062,6 +1062,33 @@ def build_oracles() -> dict[str, str]:
     # Recall@k: composed VERBATIM from the two result-set oracles
     # above (nested WITH in subqueries), so the eval can never drift
     # from the definitions it grades
+    # Per-cluster purity: the IVF assignment CTE (sim DESC, centroid
+    # ASC argmax) + one (centroid, label) count, majority by the pinned
+    # (count DESC, label ASC) tie-break, one round-6 division
+    o["emb_cluster_purity"] = f"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings WHERE label IS NOT NULL),
+      cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 8),
+      assign0 AS (
+        SELECT e.vec_id, e.label, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos("e.v", "c.v")} DESC, c.centroid_id ASC) AS r
+        FROM e CROSS JOIN cent c),
+      a AS (SELECT vec_id, label, centroid_id FROM assign0 WHERE r = 1),
+      cl AS (SELECT centroid_id, label, count(*)::BIGINT AS n
+             FROM a GROUP BY 1, 2),
+      sizes AS (SELECT centroid_id, sum(n)::BIGINT AS n_vectors
+                FROM cl GROUP BY 1),
+      best0 AS (SELECT centroid_id, label, n,
+                       row_number() OVER (PARTITION BY centroid_id
+                         ORDER BY n DESC, label ASC) AS r
+                FROM cl),
+      best AS (SELECT centroid_id, label AS majority_label,
+                      n AS n_majority FROM best0 WHERE r = 1)
+      SELECT s.centroid_id, s.n_vectors, b.majority_label, b.n_majority,
+             {fr('b.n_majority::DOUBLE / s.n_vectors::DOUBLE', 6)} AS purity
+      FROM sizes s JOIN best b USING (centroid_id)"""
     o["emb_recall"] = f"""
       WITH ann AS ({o['emb_ivf_topk']}),
       exact AS ({o['emb_brute_topk']}),
@@ -1360,6 +1387,31 @@ def build_oracles() -> dict[str, str]:
              list_reduce(hs[i:i+7],
                (a, b) -> (a * 1000003 + b) % {MERSENNE_P}) AS whash
       FROM g, unnest(generate_series(1, len(hs) - 7)) AS t(i)"""
+    # Winnowing selection (Schleimer et al. 2003) over the same window-
+    # hash pipeline: rightmost minimal hash per 4-hash selection window
+    # via min over the struct {{h, -pos}} — field-by-field struct
+    # comparison pins the tie-break identically to Spark's
+    # min(struct(whash, -pos)) window
+    o["text_winnowing"] = f"""
+      WITH h AS (
+        SELECT doc_id, list_transform({TOKS},
+                 t -> {duck_hash64('t')} % {MERSENNE_P}) AS hs
+        FROM documents),
+      g AS (SELECT doc_id, hs FROM h WHERE len(hs) >= 8),
+      wh AS (SELECT doc_id, i AS pos,
+                    list_reduce(hs[i:i+7],
+                      (a, b) -> (a * 1000003 + b) % {MERSENNE_P}) AS whash
+             FROM g, unnest(generate_series(1, len(hs) - 7)) AS t(i)),
+      sel AS (SELECT doc_id,
+                     min({{'h': whash, 'np': -pos}}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+                     count(*) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
+              FROM wh)
+      SELECT DISTINCT doc_id, -(m['np']) AS pos, m['h'] AS fp
+      FROM sel WHERE c = 4"""
     # LSH-verified pairs ⊆ exact pairs; exact-precision verification means
     # the exact SQL is the right oracle (recall caveat in the operator doc).
     o["emb_near_dup_lsh"] = f"""
@@ -1966,6 +2018,39 @@ def build_oracles() -> dict[str, str]:
       SELECT cohort AS cohort_bucket, ((b - cohort) // {DAY})::BIGINT
                AS "offset", count(*)::BIGINT AS n_entities
       FROM c GROUP BY 1, 2"""
+    # Exact phi-heavy hitters: strict integer threshold cnt*k > n, at
+    # most k-1 survivors by pigeonhole; share is reporting only
+    o["ev_heavy_hitters"] = f"""
+      WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt
+                 FROM events GROUP BY 1),
+      t AS (SELECT count(*)::BIGINT AS n FROM events)
+      SELECT c.user_id, c.cnt, t.n AS n_total,
+             {fr('c.cnt::DOUBLE / t.n::DOUBLE', 6)} AS share
+      FROM c, t WHERE c.cnt * 140 > t.n"""
+    # Daily cohort revenue / LTV triangle: first-touch cohorts over
+    # ALL events, purchase revenue in DECIMAL(28,6) (order-free), one
+    # rounded division by the exact cohort size
+    _LTV_B = DAY
+    o["ev_cohort_ltv"] = f"""
+      WITH f AS (SELECT user_id,
+                        min({EV_TIME} - {EV_TIME} % {_LTV_B}) AS cohort
+                 FROM events GROUP BY 1),
+      sz AS (SELECT cohort AS cohort_bucket, count(*)::BIGINT
+               AS cohort_size FROM f GROUP BY 1),
+      r AS (SELECT e.user_id, f.cohort AS cohort_bucket,
+                   (({EV_TIME} - {EV_TIME} % {_LTV_B}) - f.cohort)
+                     // {_LTV_B} AS "offset",
+                   e.value
+            FROM events e JOIN f USING (user_id)
+            WHERE e.event_type = 'purchase'),
+      a AS (SELECT cohort_bucket, "offset",
+                   count(DISTINCT user_id)::BIGINT AS buyers,
+                   sum(CAST(value AS DECIMAL(28,6)))::DOUBLE AS revenue
+            FROM r GROUP BY 1, 2)
+      SELECT a.cohort_bucket, a."offset"::BIGINT AS "offset",
+             sz.cohort_size, a.buyers, a.revenue,
+             {fr('a.revenue / sz.cohort_size::DOUBLE', 6)} AS ltv_per_user
+      FROM a JOIN sz USING (cohort_bucket)"""
     # Seasonal Mann–Kendall (Hirsch & Slack): per-season integer S and
     # tie correction, summed — same exactness as plain MK
     o["ts_seasonal_mk"] = f"""
@@ -2179,6 +2264,61 @@ def build_oracles() -> dict[str, str]:
              CASE WHEN den.den > 0 THEN {fr('p.num / den.den', 6)}
                   ELSE 0.0 END AS acf
       FROM p JOIN den USING (event_type)"""
+    # Ljung-Box portmanteau over the same acf pipeline: Q = n(n+2) *
+    # sum r_k^2/(n-k) with DECIMAL(28,18) order-free term accumulation,
+    # chi-square 95% thresholds inlined as the identical published
+    # literals the Spark create_map carries (CASE mirror)
+    _CHI2_CASE = ("CASE q.h " + " ".join(
+        f"WHEN {k} THEN {v!r}"
+        for k, v in sorted({1: 3.841459, 2: 5.991465, 3: 7.814728,
+                            4: 9.487729, 5: 11.070498, 6: 12.591587,
+                            7: 14.067140, 8: 15.507313, 9: 16.918978,
+                            10: 18.307038, 11: 19.675138,
+                            12: 21.026070}.items())) + " END")
+    o["ts_ljung_box"] = f"""
+      WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events),
+      g AS (SELECT event_type, time - time % {HOUR} AS bucket,
+                   {fr('sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS v
+            FROM e GROUP BY 1, 2),
+      m AS (SELECT event_type,
+                   {fr('sum(CAST(v AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS xbar
+            FROM g GROUP BY 1),
+      r AS (SELECT g.event_type,
+                   row_number() OVER (PARTITION BY g.event_type
+                                      ORDER BY bucket) AS rn,
+                   g.v - m.xbar AS c
+            FROM g JOIN m USING (event_type)),
+      den AS (SELECT event_type,
+                     sum(CAST(c * c AS DECIMAL(28,10)))::DOUBLE AS den
+              FROM r GROUP BY 1),
+      p AS (SELECT a.event_type, l.lag::INT AS lag,
+                   sum(CAST(a.c * b.c AS DECIMAL(28,10)))::DOUBLE AS num
+            FROM r a
+            CROSS JOIN generate_series(1, 12) l(lag)
+            JOIN r b ON b.event_type = a.event_type
+                    AND b.rn = a.rn + l.lag
+            GROUP BY 1, 2),
+      acf AS (SELECT p.event_type, p.lag,
+                     CASE WHEN den.den > 0 THEN {fr('p.num / den.den', 6)}
+                          ELSE 0.0 END AS acf
+              FROM p JOIN den USING (event_type)),
+      cnt AS (SELECT event_type, count(*)::BIGINT AS n_buckets
+              FROM g GROUP BY 1),
+      per AS (SELECT a.event_type, max(c.n_buckets) AS n,
+                     count(*)::BIGINT AS h,
+                     sum(CAST(a.acf * a.acf
+                              / (c.n_buckets - a.lag)::DOUBLE
+                              AS DECIMAL(28,18))) AS s
+              FROM acf a JOIN cnt c USING (event_type) GROUP BY 1),
+      q AS (SELECT event_type, h,
+                   {fr('(n * (n + 2))::DOUBLE * s::DOUBLE', 6)} AS q
+            FROM per)
+      SELECT cnt.event_type, cnt.n_buckets,
+             coalesce(q.h, 0)::BIGINT AS h, q.q,
+             coalesce(q.q > {_CHI2_CASE}, false) AS rejected
+      FROM cnt LEFT JOIN q USING (event_type)"""
     # lagged cross-correlation click↔purchase: bucket-arithmetic
     # alignment (wall-clock lag), full-history Pearson normalization;
     # sqrt is IEEE-correctly-rounded in both engines
@@ -2547,6 +2687,53 @@ def build_oracles() -> dict[str, str]:
         AND o_orderdate >= TIMESTAMP '1997-01-01'
         AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY n_name"""
+    o["tpch_q6"] = f"""
+      SELECT {dsum('l_extendedprice * l_discount', 4)} AS revenue,
+             count(*)::BIGINT AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24"""
+    o["tpch_q14"] = f"""
+      WITH a AS (
+        SELECT {dsum("CASE WHEN p_type LIKE 'PROMO%' THEN "
+                     "l_extendedprice * (1 - l_discount) ELSE 0.0 END",
+                     4)} AS promo_revenue,
+               {dsum('l_extendedprice * (1 - l_discount)', 4)}
+                 AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01')
+      SELECT promo_revenue, total_revenue,
+             {fr('100.0 * promo_revenue / total_revenue', 6)} AS promo_pct
+      FROM a"""
+    o["tpch_q10"] = f"""
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             {dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-10-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2, 3, 4
+      ORDER BY revenue DESC, c_custkey ASC
+      LIMIT 20"""
+    o["tpch_q18"] = f"""
+      WITH big AS (
+        SELECT l_orderkey, {dsum('l_quantity', 2)} AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING {dsum('l_quantity', 2)} > 250)
+      SELECT c_name, c_custkey, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+             o_totalprice, total_qty
+      FROM big
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, order_date ASC, o_orderkey ASC
+      LIMIT 100"""
 
     # --- perceptual image hashing (operators/multimodal.py): closed-
     # form mirror of the synthesized-PNG pixel formula (the mm_png_px
@@ -2874,6 +3061,19 @@ def build_oracles() -> dict[str, str]:
              FROM lp_both)
       SELECT node, candidate, common, jaccard, rank::INT AS rank
       FROM rk WHERE rank <= 3"""
+    # Power-of-two degree histogram: bucket = binary digit count - 1
+    # (bin() in both engines), exact shifts for the range bounds
+    o["graph_degree_hist"] = f"""
+      WITH {_G_EDGES},
+      deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY 1),
+      h AS (SELECT (length(bin(degree)) - 1)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_nodes,
+                   max(degree)::BIGINT AS max_degree
+            FROM deg GROUP BY 1)
+      SELECT bucket, (1::BIGINT << bucket::INT) AS lo,
+             ((1::BIGINT << (bucket::INT + 1)) - 1) AS hi,
+             n_nodes, max_degree
+      FROM h"""
 
     _CC_ROUNDS = 8
     cc_ctes = ["""

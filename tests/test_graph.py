@@ -135,3 +135,18 @@ def test_reliable_checkpoint_matches_local_and_errors_without_dir(
     c_rel = {r.node: r.component
              for r in G.components(e, rounds=3, reliable=True).collect()}
     assert c_rel == c_local
+
+
+def test_degree_histogram_exact_buckets(spark):
+    # star: hub degree 5 (bucket 2: [4,7]), leaves degree 1 (bucket 0)
+    # plus a 4-cycle: all degree 2 (bucket 1: [2,3])
+    e = _edges(spark, [(0, i) for i in range(1, 6)]
+               + [(10, 11), (11, 12), (12, 13), (10, 13)])
+    rows = {r.bucket: r for r in G.degree_histogram(e).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert (rows[0].lo, rows[0].hi, rows[0].n_nodes,
+            rows[0].max_degree) == (1, 1, 5, 1)
+    assert (rows[1].lo, rows[1].hi, rows[1].n_nodes,
+            rows[1].max_degree) == (2, 3, 4, 2)
+    assert (rows[2].lo, rows[2].hi, rows[2].n_nodes,
+            rows[2].max_degree) == (4, 7, 1, 5)

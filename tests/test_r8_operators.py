@@ -1,0 +1,160 @@
+"""Hand-checked goldens for the r8 additions: ljung_box, cohort_ltv,
+heavy_hitters (batch), winnowing_fingerprints."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from influxdb_ha_spark.operators.timeseries import (
+    cohort_ltv, heavy_hitters, ljung_box)
+from influxdb_ha_spark.operators.text import (
+    rolling_fingerprints, winnowing_fingerprints)
+
+B = 10 ** 9  # 1 s buckets
+DAY = 86_400_000_000_000
+
+
+def test_ljung_box_alternating_rejects_constant_does_not(spark):
+    # series "x": strict +-1 alternation, 20 buckets -> r_1 ~ -1,
+    # Q explodes past any chi-square bound -> rejected
+    # series "k": constant, acf defined 0 by the den=0 guard -> Q=0
+    # series "s": single point -> no lags: h=0, NULL q, not rejected
+    rows = ([(i * B, 1.0 if i % 2 else -1.0, "x") for i in range(20)]
+            + [(i * B, 5.0, "k") for i in range(10)]
+            + [(0, 3.0, "s")])
+    df = spark.createDataFrame(rows, "time long, value double, tag string")
+    out = {r["tag"]: r for r in
+           ljung_box(df, by=["tag"], value_col="value", bucket_ns=B,
+                     max_lag=12).collect()}
+    assert out["x"]["rejected"] and out["x"]["q"] > 21.026070
+    assert out["x"]["n_buckets"] == 20 and out["x"]["h"] == 12
+    assert out["k"]["q"] == 0.0 and not out["k"]["rejected"]
+    assert out["s"]["h"] == 0 and out["s"]["q"] is None
+    assert not out["s"]["rejected"]
+
+
+def test_ljung_box_matches_python_reference(spark):
+    # deterministic pseudo-noise; reference computes the same
+    # round-6-chained pipeline the operator documents
+    vals = [((i * 37) % 11) - 5.0 for i in range(15)]
+    df = spark.createDataFrame(
+        [(i * B, v, "z") for i, v in enumerate(vals)],
+        "time long, value double, tag string")
+    h = 4
+    out = ljung_box(df, by=["tag"], value_col="value", bucket_ns=B,
+                    max_lag=h).collect()[0]
+
+    def fr6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    n = len(vals)
+    xbar = fr6(sum(vals) / n)  # values are exact halves/integers
+    c = [v - xbar for v in vals]
+    den = sum(x * x for x in c)
+    r = [fr6(sum(c[i] * c[i + lag] for i in range(n - lag)) / den)
+         for lag in range(1, h + 1)]
+    q = fr6(n * (n + 2) * sum(rk * rk / (n - lag)
+                              for lag, rk in enumerate(r, start=1)))
+    assert out["h"] == h and out["n_buckets"] == n
+    assert abs(out["q"] - q) < 2e-6
+
+
+def test_cohort_ltv_hand_matrix(spark):
+    rows = [
+        # u1 cohorts day 0; buys 10.0 on day 0 and 20.0 on day 2
+        (1, "signup", 0, 0.0),
+        (1, "purchase", 10, 10.0),
+        (1, "purchase", 2 * DAY + 5, 20.0),
+        # u2 cohorts day 0 (view), never buys
+        (2, "view", 50, 0.0),
+        # u3 cohorts day 2, buys 7.5 same day
+        (3, "purchase", 2 * DAY + 9, 7.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, time long, value double")
+    out = {(r["cohort_bucket"], r["offset"]): r
+           for r in cohort_ltv(df, by=["user_id"], bucket_ns=DAY).collect()}
+    assert set(out) == {(0, 0), (0, 2), (2 * DAY, 0)}
+    c00 = out[(0, 0)]
+    assert (c00["cohort_size"], c00["buyers"], c00["revenue"]) == (2, 1, 10.0)
+    assert c00["ltv_per_user"] == 5.0
+    c02 = out[(0, 2)]
+    assert (c02["buyers"], c02["revenue"], c02["ltv_per_user"]) \
+        == (1, 20.0, 10.0)
+    c20 = out[(2 * DAY, 0)]
+    assert (c20["cohort_size"], c20["revenue"], c20["ltv_per_user"]) \
+        == (1, 7.5, 7.5)
+
+
+def test_heavy_hitters_strict_threshold(spark):
+    # n = 10: with k = 5 the bar is cnt*5 > 10, i.e. cnt >= 3 — a key
+    # at exactly n/k (2) must NOT qualify (strict >)
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "u string")
+    got = {r["u"]: (r["cnt"], r["n_total"], r["share"])
+           for r in heavy_hitters(df, by=["u"], k=5).collect()}
+    assert got == {"a": (5, 10, 0.5), "b": (3, 10, 0.3)}
+
+
+def test_winnowing_properties(spark):
+    text_a = " ".join(f"w{(i * 7) % 23}" for i in range(40))
+    shared = " ".join(f"s{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, text_a + " " + shared),
+         (2, "unrelated prefix tokens here " + shared),
+         (3, "tiny doc")],  # < k tokens -> no fingerprints
+        "doc_id long, text string")
+    k, s = 8, 4
+    fp = winnowing_fingerprints(docs, k=k, s=s).collect()
+    roll = {(r["doc_id"], r["pos"]): r["whash"]
+            for r in rolling_fingerprints(docs, w=k).collect()}
+    sel = {}
+    for r in fp:
+        # every selection is a real (pos, hash) from the rolling table
+        assert roll[(r["doc_id"], r["pos"])] == r["fp"]
+        sel.setdefault(r["doc_id"], set()).add(r["pos"])
+    assert 3 not in sel
+    # coverage: every s-window of hash positions contains a selection
+    for d in (1, 2):
+        m = max(p for dd, p in roll if dd == d)
+        for j in range(1, m - s + 2):
+            assert any(j <= p <= j + s - 1 for p in sel[d]), (d, j)
+    # guarantee: the shared >= s+k-1 = 11-token run yields a shared fp
+    fps = {d: {(r["fp"]) for r in fp if r["doc_id"] == d} for d in (1, 2)}
+    assert fps[1] & fps[2]
+
+
+def test_cluster_purity_hand_clusters(spark):
+    from influxdb_ha_spark.operators.similarity import cluster_purity
+    # centroid 0 ~ +x, centroid 1 ~ +y; vectors land by cosine;
+    # cluster 0 gets labels [7, 7, 8] -> purity 2/3; cluster 1 pure
+    rows = [
+        (0, [1.0, 0.0], None),    # centroid seed rows double as corpus
+        (1, [0.0, 1.0], None),    # NULL labels -> excluded from voting
+        (10, [0.9, 0.1], 7),
+        (11, [0.8, 0.0], 7),
+        (12, [0.7, 0.2], 8),
+        (20, [0.1, 0.9], 3),
+        (21, [0.0, 0.8], 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    cent = (df.where(F.col("vec_id") < 2)
+            .selectExpr("vec_id AS centroid_id", "embedding"))
+    got = {r.centroid_id: r for r in
+           cluster_purity(df, cent, label_col="label").collect()}
+    assert got[0].n_vectors == 3 and got[0].majority_label == 7
+    assert got[0].n_majority == 2 and got[0].purity == 0.666667
+    assert got[1].n_vectors == 2 and got[1].majority_label == 3
+    assert got[1].purity == 1.0
+
+
+def test_cluster_purity_majority_tie_breaks_to_lowest_label(spark):
+    from influxdb_ha_spark.operators.similarity import cluster_purity
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], None), (10, [0.9, 0.1], 9), (11, [0.8, 0.2], 4)],
+        "vec_id long, embedding array<double>, label int")
+    cent = (df.where(F.col("vec_id") < 1)
+            .selectExpr("vec_id AS centroid_id", "embedding"))
+    r = cluster_purity(df, cent, label_col="label").collect()[0]
+    assert r.majority_label == 4 and r.n_majority == 1 and r.purity == 0.5

@@ -49,6 +49,9 @@ PER_SERIES_OPS = [
     pytest.param(lambda df: ts.permutation_entropy(
         df, by=["tag"], value_col="value", bucket_ns=B),
         id="perm_entropy"),
+    pytest.param(lambda df: ts.ljung_box(
+        df, by=["tag"], value_col="value", bucket_ns=B, max_lag=12),
+        id="ljung_box"),
 ]
 
 

@@ -57,6 +57,14 @@ BOUNDED_SINGLE_PARTITION = {
     "ev_funnel_window": "same bounded k-count fold as ev_funnel (the "
                         "within_ns form only adds a window predicate "
                         "to the step conditions)",
+    "tpch_q6": "the query IS one global scalar aggregate: partial agg "
+               "collapses every partition to one (sum, count) row "
+               "map-side, the SinglePartition exchange carries P rows",
+    "tpch_q14": "same 1-row global-aggregate gather as tpch_q6 (two "
+                "decimal sums); the join below it is a broadcast dim",
+    "ev_heavy_hitters": "the 1-row total-count aggregate (partial "
+                        "count map-side, final = P partials); the key "
+                        "counts themselves shuffle on the key",
 }
 
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
@@ -91,6 +99,9 @@ ALLOWED_CARTESIAN = {
     "ts_xcorr": "two 1-row denominator scalars broadcast onto the "
                 "(2*max_lag+1)-row lag table — everything downstream of "
                 "the bucket agg is sketch-sized",
+    "ev_heavy_hitters": "broadcast of the 1-row total-count aggregate "
+                        "onto the key-count table — the "
+                        "doc_quality_sample threshold pattern",
 }
 
 
