@@ -875,6 +875,19 @@ def q_doc_near_dups(spark, sf):
     return D.minhash_near_duplicates(_t(spark, sf, "documents"), threshold=0.7)
 
 
+def q_doc_cross_dedup(spark, sf):
+    """Incremental-crawl dedup screen (added scope — the cross-snapshot
+    question 'which fresh docs duplicate the corpus we already have'):
+    the gate-hardened near-dup pair pipeline over the union, filtered
+    to pairs straddling the new/reference split (sources src0-src9 play
+    the fresh crawl), oriented (new_id, ref_id); the side filter joins
+    the LSH-bounded PAIR list, never the corpus
+    (operators/dedup.py:cross_corpus_near_duplicates)."""
+    docs = _t(spark, sf, "documents")
+    is_new = F.substring(F.col("source"), 4, 8).cast("long") < 10
+    return D.cross_corpus_near_duplicates(docs, is_new, threshold=0.7)
+
+
 def q_doc_near_dups_fast(spark, sf):
     """Production-path variant: xxhash64 signatures (not DuckDB-mirrorable
     -> rows-only check); verified-Jaccard output is hash-independent up to
@@ -2056,6 +2069,19 @@ def q_ev_funnel_window(spark, sf):
                   by=["user_id"], on="time", within_ns=DAY)
 
 
+def q_ev_funnel_times(spark, sf):
+    """Per-step conversion-lag profile over the funnel's shared reach
+    chain (added scope — the 'how long does each step take' half of the
+    funnel chart): for each step ≥ 1, entities reaching it plus
+    min/exact-median/max of t_i − t_{i−1} in exact ns longs; single
+    entity-keyed shuffle + one 1-row aggregate
+    (operators/timeseries.py:funnel_times)."""
+    from influxdb_ha_spark.operators.timeseries import funnel_times
+    ev = _events_us(spark, sf).select("user_id", "event_type", "time")
+    return funnel_times(ev, steps=["signup", "view", "purchase"],
+                        by=["user_id"], on="time", within_ns=DAY)
+
+
 def q_ev_retention(spark, sf):
     """Daily cohort retention matrix (added scope): users cohorted by
     first-event day; sparse (cohort_bucket, offset) cells count distinct
@@ -2507,6 +2533,17 @@ def q_graph_degree_hist(spark, sf):
     return GR.degree_histogram(_graph_edges(spark, sf))
 
 
+def q_graph_kcore(spark, sf):
+    """Bounded-round k-core peeling on the co-order graph (added scope
+    — the dense-substructure screen / triangle-prune): 8 simultaneous
+    peel rounds at k=3, result = surviving (node, in-core degree);
+    simultaneous removal makes the fixed point partitioning- and
+    engine-independent, and the oracle unrolls the same 8 rounds
+    (operators/graph.py:kcore)."""
+    from influxdb_ha_spark.operators import graph as GR
+    return GR.kcore(_graph_edges(spark, sf), k=80, rounds=8)
+
+
 def q_emb_cluster_purity(spark, sf):
     """Per-cluster purity eval (added scope — the clustering-quality
     harness next to emb_recall): labeled vectors assign to the 8 seed
@@ -2767,6 +2804,7 @@ _FAMILIES = [
         "doc_ngram_overlap": q_doc_ngram_overlap,
         "doc_token_mixture": q_doc_token_mixture,
         "doc_canonical": q_doc_canonical,
+        "doc_cross_dedup": q_doc_cross_dedup,
         "doc_chunk": q_doc_chunk,
         "doc_quality_sample": q_doc_quality_sample,
         "doc_ngram_counts": q_doc_ngram_counts,
@@ -2856,6 +2894,7 @@ _FAMILIES = [
         "ev_retention": q_ev_retention,
         "ev_cohort_ltv": q_ev_cohort_ltv,
         "ev_heavy_hitters": q_ev_heavy_hitters,
+        "ev_funnel_times": q_ev_funnel_times,
         "ev_user_paths": q_ev_user_paths,
         "ev_active_users": q_ev_active_users,
         "ev_attribution": q_ev_attribution,
@@ -2872,6 +2911,7 @@ _FAMILIES = [
         "graph_components": q_graph_components,
         "graph_link_predict": q_graph_link_predict,
         "graph_degree_hist": q_graph_degree_hist,
+        "graph_kcore": q_graph_kcore,
     },
     {
         # LLM-pipeline scope (§7): multimodal

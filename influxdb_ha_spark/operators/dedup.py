@@ -568,6 +568,47 @@ def substring_duplicates(df: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).alias("n_runs")))
 
 
+def cross_corpus_near_duplicates(df: DataFrame, is_new: Column,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 threshold: float = 0.7,
+                                 hash_fn: str = "md5") -> DataFrame:
+    """Incremental-crawl dedup screen: near-duplicate pairs that CROSS
+    the new/reference split — "which fresh documents duplicate the
+    corpus we already ingested", the question every recurring-crawl
+    pipeline asks before admitting a batch (the cross-snapshot half of
+    CommonCrawl-style dedup; within-batch dedup is
+    minhash_near_duplicates itself, decontamination against eval sets
+    is `decontaminate`).
+
+    Pure composition: the gate-hardened minhash_near_duplicates pair
+    pipeline runs over the UNION (so signatures/banding cost is shared
+    with the within-corpus run), then a side-lookup join keeps only
+    pairs whose endpoints straddle `is_new`, oriented (new_id, ref_id).
+    Recall is exactly the underlying pipeline's: LSH candidates ∩
+    verified Jaccard ≥ threshold.
+
+    Shape at 100 TB: the side table is (id, bool) — it joins the
+    LSH-bounded PAIR list, not the corpus; both joins are pair-keyed
+    and AQE-broadcastable. Nothing beyond minhash_near_duplicates'
+    own cost moves.
+    """
+    pairs = minhash_near_duplicates(df, text_col=text_col, id_col=id_col,
+                                    threshold=threshold, hash_fn=hash_fn)
+    sides = df.select(F.col(id_col), is_new.alias("__new"))
+    a = sides.select(F.col(id_col).alias("id_a"),
+                     F.col("__new").alias("__na"))
+    b = sides.select(F.col(id_col).alias("id_b"),
+                     F.col("__new").alias("__nb"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .where(F.col("__na") != F.col("__nb"))
+            .select(F.when(F.col("__na"), F.col("id_a"))
+                    .otherwise(F.col("id_b")).alias("new_id"),
+                    F.when(F.col("__na"), F.col("id_b"))
+                    .otherwise(F.col("id_a")).alias("ref_id"),
+                    "jaccard"))
+
+
 def canonical_select(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      priority: Column | None = None) -> DataFrame:

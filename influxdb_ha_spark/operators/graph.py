@@ -290,6 +290,51 @@ def components(edges: DataFrame, rounds: int = 8,
     return res
 
 
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 8,
+          reliable: bool = False) -> DataFrame:
+    """Bounded-round k-core peeling (Seidman 1983's cores; the
+    Matula–Beck peeling loop, SIMULTANEOUS variant): each round removes
+    EVERY node whose degree in the surviving subgraph is < k, all at
+    once — simultaneous removal makes the result independent of any
+    per-node processing order (the property that lets two engines and
+    any partitioning agree bit-for-bit), and the fixed point IS the
+    k-core. The documented contract is exactly `rounds` rounds (the
+    components convention — the oracle unrolls the same r joins); a
+    graph needing deeper peeling wants more rounds, and real peeling
+    cascades are short (each round must remove ≥1 node or the loop has
+    converged — `rounds` ≥ peel depth gives the true core).
+
+    Returns the surviving nodes with their residual in-core degree:
+    (node, core_degree), core_degree ≥ k.
+
+    The k-core is THE cheap dense-substructure screen of the graph
+    toolkit — community seeding, spam/bot ring detection, and the
+    pruning step before triangle-heavy algorithms (a node outside the
+    2-core is in no triangle at all).
+
+    Shape per round: one node-keyed degree agg over the surviving edge
+    list + two semi-joins gating the edges — all keyed by node/edge,
+    nothing quadratic; the survivor frontier localCheckpoints
+    (reliable=True → fault-tolerant checkpoint(), the pagerank r8
+    convention) to truncate lineage.
+    """
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1")
+    sym = _symmetric(edges)
+    cur = _truncate_lineage(sym, reliable)
+    for _ in range(rounds):
+        deg = (cur.groupBy(F.col("src").alias("node"))
+               .agg(F.count(F.lit(1)).alias("__d")))
+        keep = deg.where(F.col("__d") >= k).select("node")
+        cur = _truncate_lineage(
+            cur.join(keep.select(F.col("node").alias("src")), "src")
+            .join(keep.select(F.col("node").alias("dst")), "dst")
+            .select("src", "dst"), reliable)
+    return (cur.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+            .where(F.col("core_degree") >= k))
+
+
 def link_predict(edges: DataFrame, k: int = 3, min_common: int = 2,
                  center_cap: int = 256, round_to: int = 6) -> DataFrame:
     """Top-k link suggestions per node by neighbor-overlap Jaccard

@@ -1238,6 +1238,40 @@ def pettitt_test(df: DataFrame, on: str = "time",
                     shift.alias("shift")))
 
 
+def _funnel_reach(df: DataFrame, steps: list, by: list, on: str,
+                  type_col: str, within_ns: int | None) -> DataFrame:
+    """The funnel family's shared per-entity reach-time chain (factored
+    out r8 so funnel_times rides the identical expressions — funnel's
+    plan fingerprint is unchanged): one row per entity with columns
+    __r0..__r{k-1}, the first-touch reach time of each step (NULL =
+    never reached under the strictly-after / within_ns gating).
+
+    The aggregate aliases MUST differ from the window column names:
+    re-aliasing max(__t0) back to __t0 makes the outer aggregate
+    resolve against the pre-aggregate window column and Catalyst
+    collapses the two aggregates into a wrong global one (verified on
+    Spark 4.1; the renamed form produces the correct per-step values).
+    """
+    w = Window.partitionBy(*by)
+    cur = df
+    prev_t = None
+    tcols = []
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == F.lit(s)
+        if prev_t is not None:
+            cond = cond & F.col(prev_t).isNotNull() \
+                   & (F.col(on) > F.col(prev_t))
+            if within_ns is not None:
+                cond = cond & (F.col(on)
+                               <= F.col(prev_t) + F.lit(int(within_ns)))
+        tc = f"__t{i}"
+        cur = cur.withColumn(tc, F.min(F.when(cond, F.col(on))).over(w))
+        prev_t = tc
+        tcols.append(tc)
+    return cur.groupBy(*by).agg(
+        *[F.max(tc).alias(f"__r{i}") for i, tc in enumerate(tcols)])
+
+
 def funnel(df: DataFrame, steps: Sequence[str],
            by: Sequence[str] = ("user_id",), on: str = "time",
            type_col: str = "event_type",
@@ -1265,30 +1299,7 @@ def funnel(df: DataFrame, steps: Sequence[str],
     if not steps:
         raise ValueError("funnel requires at least one step")
     by = list(by)
-    w = Window.partitionBy(*by)
-    cur = df
-    prev_t = None
-    tcols = []
-    for i, s in enumerate(steps):
-        cond = F.col(type_col) == F.lit(s)
-        if prev_t is not None:
-            cond = cond & F.col(prev_t).isNotNull() \
-                   & (F.col(on) > F.col(prev_t))
-            if within_ns is not None:
-                cond = cond & (F.col(on)
-                               <= F.col(prev_t) + F.lit(int(within_ns)))
-        tc = f"__t{i}"
-        cur = cur.withColumn(tc, F.min(F.when(cond, F.col(on))).over(w))
-        prev_t = tc
-        tcols.append(tc)
-    # one row per entity (the window values are per-entity constants).
-    # The aggregate aliases MUST differ from the window column names:
-    # re-aliasing max(__t0) back to __t0 makes the outer count-agg
-    # resolve against the pre-aggregate window column and Catalyst
-    # collapses the two aggregates into a wrong global one (verified on
-    # Spark 4.1; the renamed form produces the correct per-step counts)
-    ent = cur.groupBy(*by).agg(
-        *[F.max(tc).alias(f"__r{i}") for i, tc in enumerate(tcols)])
+    ent = _funnel_reach(df, steps, by, on, type_col, within_ns)
     counts = ent.agg(*[F.sum(F.col(f"__r{i}").isNotNull().cast("long"))
                        .alias(f"__c{i}") for i in range(len(steps))])
     pairs = F.array(*[
@@ -1298,6 +1309,62 @@ def funnel(df: DataFrame, steps: Sequence[str],
         for i, s in enumerate(steps)])
     return (counts.select(F.explode(pairs).alias("__p"))
             .select("__p.step", "__p.step_name", "__p.entities"))
+
+
+def funnel_times(df: DataFrame, steps: Sequence[str],
+                 by: Sequence[str] = ("user_id",), on: str = "time",
+                 type_col: str = "event_type",
+                 within_ns: int | None = None) -> DataFrame:
+    """Per-step conversion-LAG profile — the "how long does each step
+    take" companion of `funnel` (every product-analytics funnel chart
+    draws both): for each step i ≥ 1, over the entities that reached
+    it, the lag t_i − t_{i−1} between consecutive first-touch reach
+    times, reported as (step, step_name, entities, min_lag_ns,
+    median_lag_ns, max_lag_ns). Steps nobody reached emit entities=0
+    with NULL stats — present, never dropped. Step 0 has no
+    predecessor and no row (it is the funnel entry, not a conversion).
+
+    Lags are exact ns longs (the chain is integer arithmetic over
+    first-touch times); the median is the exact interpolating
+    percentile (quantile_cont mirror, the ev_rfm convention —
+    percentile_approx is the documented 100 TB swap), exact in double
+    for any lag below 2⁵² ns ≈ 52 days.
+
+    Shape at 100 TB: IDENTICAL to funnel — the k reach times are
+    unordered aggregate-windows over ONE entity partitioning (shared
+    _funnel_reach chain, single data shuffle), and the lag stats fold
+    through one 1-row aggregate (k·4 scalars).
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel_times needs at least two steps — a "
+                         "single step has no conversion lag")
+    by = list(by)
+    ent = _funnel_reach(df, steps, by, on, type_col, within_ns)
+    lag = {i: F.col(f"__r{i}") - F.col(f"__r{i - 1}")
+           for i in range(1, len(steps))}
+    aggs = []
+    for i in range(1, len(steps)):
+        aggs += [
+            F.sum(F.col(f"__r{i}").isNotNull().cast("long"))
+            .alias(f"__c{i}"),
+            F.min(lag[i]).alias(f"__mn{i}"),
+            F.percentile(lag[i], F.lit(0.5)).alias(f"__md{i}"),
+            F.max(lag[i]).alias(f"__mx{i}"),
+        ]
+    one = ent.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(i).cast("long").alias("step"),
+                 F.lit(steps[i]).alias("step_name"),
+                 F.coalesce(F.col(f"__c{i}"), F.lit(0)).alias("entities"),
+                 F.col(f"__mn{i}").alias("min_lag_ns"),
+                 F.col(f"__md{i}").alias("median_lag_ns"),
+                 F.col(f"__mx{i}").alias("max_lag_ns"))
+        for i in range(1, len(steps))])
+    return (one.select(F.explode(rows).alias("__p"))
+            .select("__p.step", "__p.step_name", "__p.entities",
+                    "__p.min_lag_ns", "__p.median_lag_ns",
+                    "__p.max_lag_ns"))
 
 
 def retention(df: DataFrame, by: Sequence[str] = ("user_id",),

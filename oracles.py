@@ -709,6 +709,22 @@ def build_oracles() -> dict[str, str]:
             FROM sig)"""
     o["doc_minhash_candidates"] = _candidates_sql(3)
     o["doc_near_dups"] = _near_dups_sql(3, 0.7)
+    # cross-snapshot dedup screen: the near-dup pair set filtered to
+    # pairs straddling the new/reference split, oriented new -> ref
+    # (MATERIALIZED: nd is referenced once but carries the whole
+    # shingle+banding pipeline — keep DuckDB from re-inlining it into
+    # both CASE branches' join probes)
+    o["doc_cross_dedup"] = f"""
+      WITH nd AS MATERIALIZED ({_near_dups_sql(3, 0.7)}),
+      s AS (SELECT doc_id,
+                   TRY_CAST(substring(source, 4, 8) AS BIGINT) < 10 AS nw
+            FROM documents)
+      SELECT CASE WHEN sa.nw THEN nd.id_a ELSE nd.id_b END AS new_id,
+             CASE WHEN sa.nw THEN nd.id_b ELSE nd.id_a END AS ref_id,
+             nd.jaccard
+      FROM nd JOIN s sa ON sa.doc_id = nd.id_a
+              JOIN s sb ON sb.doc_id = nd.id_b
+      WHERE sa.nw != sb.nw"""
     # `nd` is referenced twice by `e` (both edge directions) — without
     # MATERIALIZED DuckDB inlines and recomputes the whole minhash+verify
     # pipeline per reference (~2× the oracle wall time)
@@ -1932,6 +1948,32 @@ def build_oracles() -> dict[str, str]:
              count(t0)::BIGINT AS entities FROM u
       UNION ALL SELECT 1::BIGINT, 'view', count(t1)::BIGINT FROM u
       UNION ALL SELECT 2::BIGINT, 'purchase', count(t2)::BIGINT FROM u"""
+    # Per-step conversion-lag profile over the same window chain:
+    # exact integer lags, quantile_cont median (the ev_rfm convention)
+    o["ev_funnel_times"] = f"""
+      WITH e AS (SELECT user_id, event_type, {EV_TIME} AS time FROM events),
+      w0 AS (SELECT user_id, event_type, time,
+               min(CASE WHEN event_type = 'signup' THEN time END)
+                 OVER (PARTITION BY user_id) AS t0 FROM e),
+      w1 AS (SELECT *, min(CASE WHEN event_type = 'view'
+                                 AND time > t0
+                                 AND time <= t0 + {DAY} THEN time END)
+                 OVER (PARTITION BY user_id) AS t1 FROM w0),
+      w2 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+                                 AND time > t1
+                                 AND time <= t1 + {DAY} THEN time END)
+                 OVER (PARTITION BY user_id) AS t2 FROM w1),
+      u AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+            FROM w2 GROUP BY 1)
+      SELECT 1::BIGINT AS step, 'view' AS step_name,
+             count(t1)::BIGINT AS entities,
+             min(t1 - t0) AS min_lag_ns,
+             quantile_cont(t1 - t0, 0.5) AS median_lag_ns,
+             max(t1 - t0) AS max_lag_ns FROM u
+      UNION ALL
+      SELECT 2::BIGINT, 'purchase', count(t2)::BIGINT,
+             min(t2 - t1), quantile_cont(t2 - t1, 0.5), max(t2 - t1)
+      FROM u"""
     o["ev_funnel"] = f"""
       WITH e AS (SELECT user_id, event_type, {EV_TIME} AS time FROM events),
       w0 AS (SELECT user_id, event_type, time,
@@ -3074,6 +3116,28 @@ def build_oracles() -> dict[str, str]:
              ((1::BIGINT << (bucket::INT + 1)) - 1) AS hi,
              n_nodes, max_degree
       FROM h"""
+
+    # Bounded-round k-core peeling: unroll the same 8 simultaneous
+    # rounds the Spark driver loop runs (the components convention)
+    # each e{it} is referenced three times by round it+1 (degree agg +
+    # both semi-join sides) — without MATERIALIZED DuckDB inlines and
+    # recomputes the whole prefix per reference, 3^rounds scans of
+    # lineitem ("Too many open files"); the doc_dedup_clusters
+    # precedent
+    _KC_K, _KC_ROUNDS = 80, 8
+    kc_ctes = ["e0 AS MATERIALIZED (SELECT src, dst FROM sym)"]
+    for it in range(1, _KC_ROUNDS + 1):
+        kc_ctes.append(f"""
+      d{it} AS (SELECT src AS node, count(*) AS d FROM e{it - 1}
+                GROUP BY 1),
+      k{it} AS MATERIALIZED (SELECT node FROM d{it} WHERE d >= {_KC_K}),
+      e{it} AS MATERIALIZED (SELECT e.src, e.dst FROM e{it - 1} e
+                JOIN k{it} a ON a.node = e.src
+                JOIN k{it} b ON b.node = e.dst)""")
+    o["graph_kcore"] = (
+        "WITH " + _G_EDGES + "," + ",".join(kc_ctes) + f"""
+      SELECT src AS node, count(*)::BIGINT AS core_degree
+      FROM e{_KC_ROUNDS} GROUP BY 1 HAVING count(*) >= {_KC_K}""")
 
     _CC_ROUNDS = 8
     cc_ctes = ["""

@@ -150,3 +150,20 @@ def test_degree_histogram_exact_buckets(spark):
             rows[1].max_degree) == (2, 3, 4, 2)
     assert (rows[2].lo, rows[2].hi, rows[2].n_nodes,
             rows[2].max_degree) == (4, 7, 1, 5)
+
+
+def test_kcore_peels_cascade(spark):
+    # K4 on {1,2,3,4} (3-core) + a pendant path 4-5-6: one round kills
+    # node 6 (deg 1), the CASCADE then kills 5 (its degree fell to 1);
+    # the surviving 3-core is exactly the K4 with in-core degree 3
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                       (4, 5), (5, 6)])
+    rows = {r.node: r.core_degree for r in G.kcore(e, k=3, rounds=4).collect()}
+    assert rows == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=2: the path dies, the cycle part of K4 plus node 4's tail…
+    # 5 and 6 form a chain, both eventually peel; K4 keeps degree 3
+    rows2 = {r.node: r.core_degree
+             for r in G.kcore(e, k=2, rounds=4).collect()}
+    assert rows2 == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k above max degree -> empty
+    assert G.kcore(e, k=10, rounds=3).count() == 0

@@ -158,3 +158,53 @@ def test_cluster_purity_majority_tie_breaks_to_lowest_label(spark):
             .selectExpr("vec_id AS centroid_id", "embedding"))
     r = cluster_purity(df, cent, label_col="label").collect()[0]
     assert r.majority_label == 4 and r.n_majority == 1 and r.purity == 0.5
+
+
+def test_funnel_times_hand_lags(spark):
+    from influxdb_ha_spark.operators.timeseries import funnel_times
+    H = 3_600_000_000_000
+    rows = [
+        # u1: signup@0, view@2h, purchase@5h -> lags 2h, 3h
+        (1, "signup", 0), (1, "view", 2 * H), (1, "purchase", 5 * H),
+        # u2: signup@0, view@4h, never purchases -> lag 4h, None
+        (2, "signup", 0), (2, "view", 4 * H),
+        # u3: view only (never signs up) -> reaches nothing
+        (3, "view", H),
+    ]
+    df = spark.createDataFrame(rows,
+                               "user_id long, event_type string, time long")
+    out = {r["step"]: r for r in
+           funnel_times(df, steps=["signup", "view", "purchase"],
+                        by=["user_id"], on="time").collect()}
+    assert set(out) == {1, 2}  # step 0 has no conversion lag
+    v = out[1]
+    assert v["step_name"] == "view" and v["entities"] == 2
+    assert (v["min_lag_ns"], v["max_lag_ns"]) == (2 * H, 4 * H)
+    assert v["median_lag_ns"] == 3.0 * H  # exact interpolating median
+    p = out[2]
+    assert p["step_name"] == "purchase" and p["entities"] == 1
+    assert p["min_lag_ns"] == p["max_lag_ns"] == 3 * H
+    # a step nobody reaches stays present with NULL stats
+    out2 = {r["step"]: r for r in
+            funnel_times(df, steps=["signup", "view", "error"],
+                         by=["user_id"], on="time").collect()}
+    assert out2[2]["entities"] == 0 and out2[2]["median_lag_ns"] is None
+
+
+def test_cross_corpus_near_dup_orients_and_filters(spark):
+    from influxdb_ha_spark.operators.dedup import (
+        cross_corpus_near_duplicates)
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base, True),              # new copy
+        (2, base, False),             # ref copy  -> cross pair (1, 2)
+        (3, base + " iota", True),    # new near-dup of both
+        (10, "completely different text with other tokens", False),
+        (11, base, True),             # second new copy: (1,11) is
+                                      # new-new and must NOT emit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, nw boolean")
+    out = cross_corpus_near_duplicates(df, F.col("nw"), threshold=0.5)
+    got = {(r["new_id"], r["ref_id"]) for r in out.collect()}
+    # every emitted pair is oriented new -> ref, and only cross pairs
+    assert got == {(1, 2), (3, 2), (11, 2)}

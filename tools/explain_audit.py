@@ -57,6 +57,10 @@ BOUNDED_SINGLE_PARTITION = {
     "ev_funnel_window": "same bounded k-count fold as ev_funnel (the "
                         "within_ns form only adds a window predicate "
                         "to the step conditions)",
+    "ev_funnel_times": "same bounded fold as ev_funnel but k*4 scalars "
+                       "(count/min/median/max per step); the exact "
+                       "percentile is the one non-algebraic term — "
+                       "percentile_approx is the documented 100 TB swap",
     "tpch_q6": "the query IS one global scalar aggregate: partial agg "
                "collapses every partition to one (sum, count) row "
                "map-side, the SinglePartition exchange carries P rows",
