@@ -2082,6 +2082,17 @@ def q_ev_funnel_times(spark, sf):
                         by=["user_id"], on="time", within_ns=DAY)
 
 
+def q_ev_transitions(spark, sf):
+    """Event-flow transition matrix (added scope — the Sankey edges
+    next to ev_user_paths): consecutive (from_type, to_type) pairs per
+    user under the pinned (time, type) order, with transition and
+    distinct-entity counts; one entity-keyed lag window + a
+    |types|²-bounded agg (operators/timeseries.py:type_transitions)."""
+    from influxdb_ha_spark.operators.timeseries import type_transitions
+    ev = _events_us(spark, sf).select("user_id", "event_type", "time")
+    return type_transitions(ev, by=["user_id"], on="time")
+
+
 def q_ev_retention(spark, sf):
     """Daily cohort retention matrix (added scope): users cohorted by
     first-event day; sparse (cohort_bucket, offset) cells count distinct
@@ -2895,6 +2906,7 @@ _FAMILIES = [
         "ev_cohort_ltv": q_ev_cohort_ltv,
         "ev_heavy_hitters": q_ev_heavy_hitters,
         "ev_funnel_times": q_ev_funnel_times,
+        "ev_transitions": q_ev_transitions,
         "ev_user_paths": q_ev_user_paths,
         "ev_active_users": q_ev_active_users,
         "ev_attribution": q_ev_attribution,

@@ -312,27 +312,44 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 8,
     pruning step before triangle-heavy algorithms (a node outside the
     2-core is in no triangle at all).
 
-    Shape per round: one node-keyed degree agg over the surviving edge
-    list + two semi-joins gating the edges — all keyed by node/edge,
-    nothing quadratic; the survivor frontier localCheckpoints
-    (reliable=True → fault-tolerant checkpoint(), the pagerank r8
-    convention) to truncate lineage.
+    Shape per round: one node-keyed degree agg over the surviving
+    induced subgraph + two node-keyed semi-joins rebuilding it — all
+    keyed by node/edge, nothing quadratic. MEMORY DISCIPLINE (r8 scale
+    fix, found by scale_report at sf0.1): the checkpointed frontier is
+    the O(|V|) SURVIVOR NODE SET, never the O(|E|) edge list — since
+    survivors only shrink, round r's induced subgraph is just the
+    once-persisted symmetric edge list filtered by the CUMULATIVE
+    survivor set, so each round re-derives edges from the persisted
+    base instead of pinning `rounds` edge-table copies in block storage
+    (the earlier form OOM'd a default-heap local session at sf0.1
+    before touching any real scale). reliable=True swaps in
+    fault-tolerant checkpoint() (the pagerank r8 convention).
     """
     if k < 1:
         raise ValueError("kcore: k must be >= 1")
-    sym = _symmetric(edges)
-    cur = _truncate_lineage(sym, reliable)
+    sym = _symmetric(edges).persist()
+    keep = None  # None = every node survives so far
     for _ in range(rounds):
+        if keep is None:
+            cur = sym
+        else:
+            cur = (sym.join(keep.select(F.col("node").alias("src")), "src")
+                   .join(keep.select(F.col("node").alias("dst")), "dst")
+                   .select("src", "dst"))
         deg = (cur.groupBy(F.col("src").alias("node"))
                .agg(F.count(F.lit(1)).alias("__d")))
-        keep = deg.where(F.col("__d") >= k).select("node")
-        cur = _truncate_lineage(
-            cur.join(keep.select(F.col("node").alias("src")), "src")
-            .join(keep.select(F.col("node").alias("dst")), "dst")
-            .select("src", "dst"), reliable)
-    return (cur.groupBy(F.col("src").alias("node"))
-            .agg(F.count(F.lit(1)).alias("core_degree"))
-            .where(F.col("core_degree") >= k))
+        keep = _truncate_lineage(
+            deg.where(F.col("__d") >= k).select("node"), reliable)
+    final = (sym.join(keep.select(F.col("node").alias("src")), "src")
+             .join(keep.select(F.col("node").alias("dst")), "dst")
+             .groupBy(F.col("src").alias("node"))
+             .agg(F.count(F.lit(1)).alias("core_degree"))
+             .where(F.col("core_degree") >= k))
+    # materialize before releasing the shared base (the returned frame
+    # references sym; unpersisting lazily would silently recompute it)
+    final = _truncate_lineage(final, reliable)
+    sym.unpersist()
+    return final
 
 
 def link_predict(edges: DataFrame, k: int = 3, min_common: int = 2,

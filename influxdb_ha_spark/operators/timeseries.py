@@ -1612,6 +1612,39 @@ def user_paths(df: DataFrame, by: Sequence[str] = ("user_id",),
             .agg(F.count(F.lit(1)).alias("n_entities")))
 
 
+def type_transitions(df: DataFrame, by: Sequence[str] = ("user_id",),
+                     on: str = "time",
+                     type_col: str = "event_type") -> DataFrame:
+    """Event-flow transition matrix — the Sankey/flow view next to
+    `user_paths` (paths surface whole journeys; this aggregates the
+    step-to-step edges every flow diagram draws): for each entity's
+    time-ordered event sequence, count consecutive (from_type, to_type)
+    pairs, plus how many distinct entities made each transition.
+
+    Determinism: the per-entity order key is (time, type) — the
+    user_paths convention — so same-timestamp different-type events
+    order lexicographically, pinned and engine-independent.
+
+    Shape at 100 TB: ONE entity-keyed shuffle (the lag window), then a
+    |types|²-bounded pair aggregation; the distinct-entity count rides
+    the same exchange because the pre-agg dedups (entity, pair) first.
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("type_transitions requires an entity key")
+    w = Window.partitionBy(*by).orderBy(F.col(on).asc(),
+                                        F.col(type_col).asc())
+    pairs = (df.select(*by, F.col(on), F.col(type_col))
+             .withColumn("__prev", F.lag(type_col).over(w))
+             .where(F.col("__prev").isNotNull())
+             .select(*by, F.col("__prev").alias("from_type"),
+                     F.col(type_col).alias("to_type")))
+    return (pairs.groupBy("from_type", "to_type")
+            .agg(F.count(F.lit(1)).alias("n_transitions"),
+                 F.count_distinct(*[F.col(k) for k in by])
+                 .alias("n_entities")))
+
+
 def active_users(df: DataFrame, by: Sequence[str] = ("user_id",),
                  on: str = "time", bucket_ns: int = 86_400_000_000_000,
                  window_buckets: int = 7) -> DataFrame:

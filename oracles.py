@@ -2052,6 +2052,18 @@ def build_oracles() -> dict[str, str]:
       SELECT path, count(*)::BIGINT AS n_entities FROM p GROUP BY 1"""
     # Daily cohort retention: distinct (user, day) activity, windowed
     # cohort minimum, plain cell counts
+    # Sankey transition edges: lag over the pinned (time, type) order,
+    # pair counts + distinct entities per edge
+    o["ev_transitions"] = f"""
+      WITH e AS (SELECT user_id, event_type, {EV_TIME} AS time FROM events),
+      p AS (SELECT user_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                     ORDER BY time ASC, event_type ASC) AS from_type,
+                   event_type AS to_type
+            FROM e)
+      SELECT from_type, to_type, count(*)::BIGINT AS n_transitions,
+             count(DISTINCT user_id)::BIGINT AS n_entities
+      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2"""
     o["ev_retention"] = f"""
       WITH e AS (SELECT DISTINCT user_id,
                         {EV_TIME} - {EV_TIME} % {DAY} AS b FROM events),

@@ -208,3 +208,18 @@ def test_cross_corpus_near_dup_orients_and_filters(spark):
     got = {(r["new_id"], r["ref_id"]) for r in out.collect()}
     # every emitted pair is oriented new -> ref, and only cross pairs
     assert got == {(1, 2), (3, 2), (11, 2)}
+
+
+def test_type_transitions_hand_matrix(spark):
+    from influxdb_ha_spark.operators.timeseries import type_transitions
+    rows = [
+        (1, "a", 0), (1, "b", 10), (1, "a", 20),   # a->b, b->a
+        (2, "a", 0), (2, "b", 5),                  # a->b (2nd entity)
+        # same-timestamp tie: types order lexicographically -> a then b
+        (3, "b", 7), (3, "a", 7),
+    ]
+    df = spark.createDataFrame(rows,
+                               "user_id long, event_type string, time long")
+    got = {(r.from_type, r.to_type): (r.n_transitions, r.n_entities)
+           for r in type_transitions(df, by=["user_id"]).collect()}
+    assert got == {("a", "b"): (3, 3), ("b", "a"): (1, 1)}

@@ -35,7 +35,12 @@ QUERIES = ["tpch_q1", "agg_median_percentile", "join_brand_revenue",
            "emb_semantic_dedup", "text_bm25", "ts_decompose",
            # late round-5: bucket-table correlation, map-only probe
            # kNN graph, CUSUM recurrence, literal-log entropy
-           "ts_acf", "emb_knn_graph", "ts_cusum", "text_entropy"]
+           "ts_acf", "emb_knn_graph", "ts_cusum", "text_entropy",
+           # round-7/8 additions: entity-window funnel, iterative
+           # fixed-point graph loop, bounded-round peeling, winnowing
+           # selection, cohort revenue cells
+           "ev_funnel", "graph_pagerank", "graph_kcore",
+           "text_winnowing", "ev_cohort_ltv"]
 
 
 def main():
@@ -43,7 +48,16 @@ def main():
                             "/root/testdata/sf0.01",
                             "/root/testdata/sf0.1"]
     from influxdb_ha_spark.session import get_spark
-    spark = get_spark(app_name="scale_report")
+    # One long-lived session runs the whole slice x 3 SFs back to back,
+    # accumulating keep()-cached LSH intermediates and checkpointed
+    # graph frontiers — Spark's 1g default driver heap (which benches
+    # FASTEST for single queries, see session._DEFAULTS) OOM'd here at
+    # sf0.1 once the graph ops joined the slice. The measurement
+    # harness gets a real heap; engine defaults are unchanged.
+    spark = get_spark(app_name="scale_report",
+                      extra_conf={"spark.driver.memory":
+                                  os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                                 "8g")})
     spark.range(1000).count()
     qs = entry.queries()
     out: dict[str, dict[str, float]] = {}
