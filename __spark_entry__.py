@@ -2082,6 +2082,18 @@ def q_ev_funnel_times(spark, sf):
                         by=["user_id"], on="time", within_ns=DAY)
 
 
+def q_ev_dau_anomaly(spark, sf):
+    """Traffic-anomaly screen over the DAU series (added scope — the
+    incident-review chart): Iglewicz–Hoaglin modified z via the SHARED
+    mad_score definition over active_users' daily distinct counts; two
+    1-row global median aggregates broadcast onto the |days|-row DAU
+    table; MAD=0 scores NULL/flags nothing
+    (operators/timeseries.py:dau_anomaly)."""
+    from influxdb_ha_spark.operators.timeseries import dau_anomaly
+    ev = _events_us(spark, sf).select("user_id", "time")
+    return dau_anomaly(ev, by=["user_id"], on="time", bucket_ns=DAY)
+
+
 def q_ev_transitions(spark, sf):
     """Event-flow transition matrix (added scope — the Sankey edges
     next to ev_user_paths): consecutive (from_type, to_type) pairs per
@@ -2907,6 +2919,7 @@ _FAMILIES = [
         "ev_heavy_hitters": q_ev_heavy_hitters,
         "ev_funnel_times": q_ev_funnel_times,
         "ev_transitions": q_ev_transitions,
+        "ev_dau_anomaly": q_ev_dau_anomaly,
         "ev_user_paths": q_ev_user_paths,
         "ev_active_users": q_ev_active_users,
         "ev_attribution": q_ev_attribution,

@@ -592,6 +592,11 @@ def cross_corpus_near_duplicates(df: DataFrame, is_new: Column,
     LSH-bounded PAIR list, not the corpus; both joins are pair-keyed
     and AQE-broadcastable. Nothing beyond minhash_near_duplicates'
     own cost moves.
+
+    Totality: a NULL `is_new` (unclassifiable provenance) never forms
+    a cross pair — `__na != __nb` is NULL-falsy on both engines, so
+    such docs simply stay out of this view (they still participate in
+    plain within-corpus dedup).
     """
     pairs = minhash_near_duplicates(df, text_col=text_col, id_col=id_col,
                                     threshold=threshold, hash_fn=hash_fn)

@@ -1623,7 +1623,11 @@ def type_transitions(df: DataFrame, by: Sequence[str] = ("user_id",),
 
     Determinism: the per-entity order key is (time, type) — the
     user_paths convention — so same-timestamp different-type events
-    order lexicographically, pinned and engine-independent.
+    order lexicographically, pinned and engine-independent. NULL-typed
+    events are EXCLUDED by contract (the canonical_select totality
+    class: Spark's bare ASC sorts NULLs first, DuckDB's last, so a
+    null type on a tied timestamp would make the lag chain
+    engine-dependent; a typeless event is no transition anyway).
 
     Shape at 100 TB: ONE entity-keyed shuffle (the lag window), then a
     |types|²-bounded pair aggregation; the distinct-entity count rides
@@ -1634,7 +1638,8 @@ def type_transitions(df: DataFrame, by: Sequence[str] = ("user_id",),
         raise ValueError("type_transitions requires an entity key")
     w = Window.partitionBy(*by).orderBy(F.col(on).asc(),
                                         F.col(type_col).asc())
-    pairs = (df.select(*by, F.col(on), F.col(type_col))
+    pairs = (df.where(F.col(type_col).isNotNull())
+             .select(*by, F.col(on), F.col(type_col))
              .withColumn("__prev", F.lag(type_col).over(w))
              .where(F.col("__prev").isNotNull())
              .select(*by, F.col("__prev").alias("from_type"),
@@ -1692,6 +1697,39 @@ def active_users(df: DataFrame, by: Sequence[str] = ("user_id",),
             .select("bucket", F.col("dau").cast("long").alias("dau"),
                     F.col("wau").cast("long").alias("wau"),
                     stick.alias("stickiness")))
+
+
+def dau_anomaly(df: DataFrame, by: Sequence[str] = ("user_id",),
+                on: str = "time", bucket_ns: int = 86_400_000_000_000,
+                threshold: float = 3.5) -> DataFrame:
+    """Traffic-anomaly screen over the DAU series — "did activity dip
+    or spike", the first chart every incident review pulls up: the
+    Iglewicz–Hoaglin modified z-score (the shared mad_score definition,
+    so the arithmetic cannot drift from ts_mad_outliers / the Hampel
+    twin) over active_users' daily distinct-entity counts. Audit view:
+    EVERY day reports (bucket, dau, robust_z, is_anomaly); MAD = 0 (a
+    perfectly flat week) scores NULL and flags nothing, the Hampel
+    convention.
+
+    Shape at 100 TB: the raw stream collapses through active_users'
+    distinct-(entity, day) front stage (window_buckets=1 — no WAU
+    fan-out is paid); everything after lives on the |days|-row DAU
+    table — two 1-row global median aggregates crossJoin-broadcast
+    back, the quality_sample/heavy_hitters scalar pattern on a
+    spine-class bounded table.
+    """
+    act = active_users(df, by=by, on=on, bucket_ns=bucket_ns,
+                       window_buckets=1).select("bucket", "dau")
+    med = act.agg(F.median("dau").alias("med"))
+    prof = (act.crossJoin(F.broadcast(med))
+            .agg(F.first("med").alias("med"),
+                 F.median(F.abs(F.col("dau") - F.col("med")))
+                 .alias("mad")))
+    scored = act.crossJoin(F.broadcast(prof))
+    z, flag = mad_score(F.col("dau").cast("double"), F.col("med"),
+                        F.col("mad"), threshold)
+    return scored.select("bucket", "dau", z.alias("robust_z"),
+                         flag.alias("is_anomaly"))
 
 
 def seasonal_anomalies(df: DataFrame, on: str = "time",

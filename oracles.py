@@ -2052,10 +2052,30 @@ def build_oracles() -> dict[str, str]:
       SELECT path, count(*)::BIGINT AS n_entities FROM p GROUP BY 1"""
     # Daily cohort retention: distinct (user, day) activity, windowed
     # cohort minimum, plain cell counts
+    # DAU robust-z anomaly screen: the mad_outliers arithmetic over the
+    # daily distinct-entity counts (exact interpolating medians, _fr
+    # floor rounding, MAD=0 -> NULL/false)
+    o["ev_dau_anomaly"] = f"""
+      WITH e AS (SELECT DISTINCT user_id,
+                        {EV_TIME} - {EV_TIME} % {DAY} AS b FROM events),
+      d AS (SELECT b AS bucket, count(*)::BIGINT AS dau FROM e GROUP BY 1),
+      m AS (SELECT median(dau) AS med FROM d),
+      p AS (SELECT any_value(m.med) AS med,
+                   median(abs(d.dau - m.med)) AS mad
+            FROM d, m)
+      SELECT d.bucket, d.dau,
+             CASE WHEN p.mad > 0
+                  THEN {fr('0.6745 * (d.dau::DOUBLE - p.med) / p.mad', 6)}
+             END AS robust_z,
+             coalesce(abs(CASE WHEN p.mad > 0
+                  THEN {fr('0.6745 * (d.dau::DOUBLE - p.med) / p.mad', 6)}
+             END) > 3.5, false) AS is_anomaly
+      FROM d, p"""
     # Sankey transition edges: lag over the pinned (time, type) order,
     # pair counts + distinct entities per edge
     o["ev_transitions"] = f"""
-      WITH e AS (SELECT user_id, event_type, {EV_TIME} AS time FROM events),
+      WITH e AS (SELECT user_id, event_type, {EV_TIME} AS time FROM events
+                 WHERE event_type IS NOT NULL),
       p AS (SELECT user_id,
                    lag(event_type) OVER (PARTITION BY user_id
                      ORDER BY time ASC, event_type ASC) AS from_type,

@@ -223,3 +223,39 @@ def test_type_transitions_hand_matrix(spark):
     got = {(r.from_type, r.to_type): (r.n_transitions, r.n_entities)
            for r in type_transitions(df, by=["user_id"]).collect()}
     assert got == {("a", "b"): (3, 3), ("b", "a"): (1, 1)}
+
+
+def test_type_transitions_excludes_null_types(spark):
+    from influxdb_ha_spark.operators.timeseries import type_transitions
+    rows = [(1, "a", 0), (1, None, 5), (1, "b", 10)]
+    df = spark.createDataFrame(rows,
+                               "user_id long, event_type string, time long")
+    got = {(r.from_type, r.to_type): r.n_transitions
+           for r in type_transitions(df, by=["user_id"]).collect()}
+    # the null-typed event is skipped entirely: a -> b, not a -> null -> b
+    assert got == {("a", "b"): 1}
+
+
+def test_dau_anomaly_flags_planted_dip(spark):
+    from influxdb_ha_spark.operators.timeseries import dau_anomaly
+    D = 86_400_000_000_000
+    rows = []
+    for day in range(11):
+        n = 1 if day == 5 else 20 + (day % 3)  # planted outage on day 5
+        for u in range(n):
+            rows.append((u, day * D + u))
+    df = spark.createDataFrame(rows, "user_id long, time long")
+    out = {r.bucket // D: r for r in
+           dau_anomaly(df, by=["user_id"], on="time").collect()}
+    assert len(out) == 11 and out[5].dau == 1
+    assert out[5].is_anomaly and out[5].robust_z < -3.5
+    assert all(not out[d].is_anomaly for d in out if d != 5)
+
+
+def test_dau_anomaly_flat_series_scores_null(spark):
+    from influxdb_ha_spark.operators.timeseries import dau_anomaly
+    D = 86_400_000_000_000
+    rows = [(u, d * D + u) for d in range(5) for u in range(7)]
+    df = spark.createDataFrame(rows, "user_id long, time long")
+    res = dau_anomaly(df, by=["user_id"], on="time").collect()
+    assert all(r.robust_z is None and not r.is_anomaly for r in res)

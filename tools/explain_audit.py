@@ -69,6 +69,10 @@ BOUNDED_SINGLE_PARTITION = {
     "ev_heavy_hitters": "the 1-row total-count aggregate (partial "
                         "count map-side, final = P partials); the key "
                         "counts themselves shuffle on the key",
+    "ev_dau_anomaly": "two 1-row global median/MAD aggregates over the "
+                      "|days|-row DAU table (spine-class bounded; "
+                      "non-algebraic medians — percentile_approx is "
+                      "the documented 100 TB swap)",
 }
 
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
@@ -106,6 +110,9 @@ ALLOWED_CARTESIAN = {
     "ev_heavy_hitters": "broadcast of the 1-row total-count aggregate "
                         "onto the key-count table — the "
                         "doc_quality_sample threshold pattern",
+    "ev_dau_anomaly": "1-row median/MAD scalars broadcast onto the "
+                      "|days|-row DAU table — the quality_sample "
+                      "pattern on a spine-class bounded table",
 }
 
 
