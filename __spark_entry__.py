@@ -2094,6 +2094,27 @@ def q_ev_dau_anomaly(spark, sf):
     return dau_anomaly(ev, by=["user_id"], on="time", bucket_ns=DAY)
 
 
+def q_ev_inter_event(spark, sf):
+    """Per-type inter-event-gap profile (added scope — the cadence
+    chart next to ev_transitions): consecutive same-type same-user
+    gaps, per type n_gaps + exact min/max + exact interpolating median
+    + decimal-exact mean, NULL-typed events excluded, |types| output
+    cardinality with NULL stats for gapless types
+    (operators/timeseries.py:inter_event_profile)."""
+    from influxdb_ha_spark.operators.timeseries import inter_event_profile
+    ev = _events_us(spark, sf).select("user_id", "event_type", "time")
+    return inter_event_profile(ev, by=["user_id"], on="time")
+
+
+def q_doc_dup_profile(spark, sf):
+    """Per-source exact-duplication audit (added scope — the batch
+    report run before paying the near-dup pipeline): per source
+    n_docs, distinct md5 digests, dedup excess, largest clone cluster,
+    round-6 dup_rate (operators/dedup.py:dup_profile)."""
+    from influxdb_ha_spark.operators.dedup import dup_profile
+    return dup_profile(_t(spark, sf, "documents"))
+
+
 def q_ev_transitions(spark, sf):
     """Event-flow transition matrix (added scope — the Sankey edges
     next to ev_user_paths): consecutive (from_type, to_type) pairs per
@@ -2545,6 +2566,75 @@ def q_tpch_q10(spark, sf):
             .limit(20))
 
 
+def q_tpch_q4(spark, sf):
+    """TPC-H Q4 shape (order-priority checking): the fact-gated-by-fact
+    EXISTS anchor — quarter-windowed orders kept iff a matching
+    lineitem exists (returned lines stand in for late lines: this
+    dataset carries no commit/receipt dates), counted per priority.
+    The left-semi join never materializes lineitem columns and dedups
+    the probe side inside the join (no pre-distinct pass); the final
+    aggregate moves ≤5 priority rows."""
+    q0 = F.lit("1997-07-01").cast("timestamp_ntz")
+    q1 = F.lit("1997-10-01").cast("timestamp_ntz")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= q0) & (F.col("o_orderdate") < q1))
+    li = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    return (o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+def q_tpch_q19(spark, sf):
+    """TPC-H Q19 shape (discounted revenue for brand/size/quantity
+    bands): the DISJUNCTIVE-predicate anchor — three OR'd
+    brand×size×quantity conjunctions straddling the lineitem⋈part
+    join. The part-only half of each disjunct (brand, size) prunes the
+    broadcast side at its scan; the mixed OR is evaluated post-join —
+    exactly the shape whose naive three-UNION rewrite would scan
+    lineitem three times. One exact-decimal aggregate out."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    band = ((F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)) | \
+           ((F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)) | \
+           ((F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .where(band)
+            .agg(_dsum(disc, 4).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+def q_tpch_q16(spark, sf):
+    """TPC-H Q16 shape (supplier relationship): the anti-join +
+    multi-key COUNT DISTINCT anchor — part/supplier associations from
+    lineitem (this dataset has no partsupp), parts outside one
+    brand/type band, suppliers with negative balance standing in for
+    the complaints NOT IN, distinct-supplier count per (brand, type,
+    size). The excluded-supplier side joins UNHINTED — it is a
+    filtered slice of an O(suppliers) table, so AQE decides (the r8
+    link_predict/tfidf discipline); part broadcasts (the q14
+    precedent). COUNT DISTINCT is Catalyst's two-level expand/partial
+    plan — no pre-distinct subquery."""
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    p = (_t(spark, sf, "part")
+         .where((F.col("p_brand") != "Brand#12")
+                & ~F.col("p_type").startswith("MEDIUM")
+                & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34,
+                                       39, 49)))
+    bad = _t(spark, sf, "supplier").where(F.col("s_acctbal") < 0) \
+        .select("s_suppkey")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
 def q_graph_degree_hist(spark, sf):
     """Power-of-two degree histogram of the co-order graph (added scope
     — the skew audit run before choosing a join strategy): bucket =
@@ -2567,6 +2657,17 @@ def q_graph_kcore(spark, sf):
     return GR.kcore(_graph_edges(spark, sf), k=80, rounds=8)
 
 
+def q_graph_label_prop(spark, sf):
+    """Bounded-round synchronous label propagation on the co-order
+    graph (added scope — community detection, components' denser
+    sibling): 4 simultaneous vote rounds over the closed neighborhood,
+    most-frequent label wins with the smallest-label tie-break, argmax
+    as one fold-order-free min(struct) aggregate; the oracle unrolls
+    the same 4 rounds (operators/graph.py:label_propagation)."""
+    from influxdb_ha_spark.operators import graph as GR
+    return GR.label_propagation(_graph_edges(spark, sf), rounds=4)
+
+
 def q_emb_cluster_purity(spark, sf):
     """Per-cluster purity eval (added scope — the clustering-quality
     harness next to emb_recall): labeled vectors assign to the 8 seed
@@ -2579,6 +2680,21 @@ def q_emb_cluster_purity(spark, sf):
     cent = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
     return S.cluster_purity(emb, cent, label_col="label")
+
+
+def q_emb_outliers(spark, sf):
+    """Distance-to-assigned-centroid outlier screen (added scope — the
+    embedding-noise filter run before training-set assembly,
+    prototypicality's complementary tail): map-only literal argmax
+    assignment to the 8 seed centroids, round-6 cosine, bottom-5%
+    flag per cluster by the exact integer rule 100·rank ≤ 5·n over
+    the (cosine ASC, id ASC) order — no percentile interpolation in
+    the hash-gated plan (operators/similarity.py:centroid_outliers)."""
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    return S.centroid_outliers(emb.select("vec_id", "embedding"), cent)
 
 
 def q_mm_ahash(spark, sf):
@@ -2733,6 +2849,9 @@ _FAMILIES = [
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q10": q_tpch_q10,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q16": q_tpch_q16,
     },
     {
         # joins
@@ -2828,6 +2947,7 @@ _FAMILIES = [
         "doc_token_mixture": q_doc_token_mixture,
         "doc_canonical": q_doc_canonical,
         "doc_cross_dedup": q_doc_cross_dedup,
+        "doc_dup_profile": q_doc_dup_profile,
         "doc_chunk": q_doc_chunk,
         "doc_quality_sample": q_doc_quality_sample,
         "doc_ngram_counts": q_doc_ngram_counts,
@@ -2852,6 +2972,7 @@ _FAMILIES = [
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_recall": q_emb_recall,
         "emb_cluster_purity": q_emb_cluster_purity,
+        "emb_outliers": q_emb_outliers,
         "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_near_dup_planted": q_emb_near_dup_planted,
@@ -2919,6 +3040,7 @@ _FAMILIES = [
         "ev_heavy_hitters": q_ev_heavy_hitters,
         "ev_funnel_times": q_ev_funnel_times,
         "ev_transitions": q_ev_transitions,
+        "ev_inter_event": q_ev_inter_event,
         "ev_dau_anomaly": q_ev_dau_anomaly,
         "ev_user_paths": q_ev_user_paths,
         "ev_active_users": q_ev_active_users,
@@ -2937,6 +3059,7 @@ _FAMILIES = [
         "graph_link_predict": q_graph_link_predict,
         "graph_degree_hist": q_graph_degree_hist,
         "graph_kcore": q_graph_kcore,
+        "graph_label_prop": q_graph_label_prop,
     },
     {
         # LLM-pipeline scope (§7): multimodal

@@ -660,3 +660,48 @@ def canonical_select(df: DataFrame, text_col: str = "text",
         F.first(id_col).over(w).alias("canonical_id"))
         .withColumn("is_canonical",
                     F.col(id_col) == F.col("canonical_id")))
+
+def dup_profile(df: DataFrame, group_col: str = "source",
+                text_col: str = "text", id_col: str = "doc_id",
+                round_to: int = 6) -> DataFrame:
+    """Per-source duplication audit — "which crawl snapshot is polluting
+    the corpus": for each source, the exact-duplicate profile over
+    md5(text) digests (the exact_dedup key): n_docs, n_unique distinct
+    digests, n_dup_excess = docs the dedup pass would drop, max_clone =
+    the largest single clone cluster (a boilerplate/error-page detector
+    — one digest repeated 10k times is a template, not content),
+    dup_rate = 1 − n_unique/n_docs (two exact integers, one IEEE
+    division, floor-round-6 — the cluster_purity arithmetic). NULL
+    texts share the NULL digest and count as one cluster on both
+    engines (GROUP BY groups NULLs together).
+
+    This is the audit REPORT next to exact_dedup's apply view: run it
+    per ingestion batch and alert on dup_rate jumps before paying the
+    near-dup pipeline. The reference dedups points only
+    (coordinator.go:97-118) — added scope.
+
+    Shape at 100 TB: ONE (source, digest)-keyed shuffle with map-side
+    partial counts (digests are high-cardinality — no funnel), then a
+    |sources|-row aggregate. The corpus text never rides an exchange —
+    only 16-byte digests do.
+    """
+    per = (ensure_min_parallelism(df)
+           .select(F.col(group_col).alias("source"),
+                   F.md5(F.col(text_col)).alias("__d"))
+           .groupBy("source", "__d")
+           .agg(F.count(F.lit(1)).alias("__n")))
+    prof = (per.groupBy("source")
+            .agg(F.sum("__n").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_unique"),
+                 F.max("__n").alias("max_clone")))
+    rate = (F.floor((F.lit(1.0) - F.col("n_unique").cast("double")
+                     / F.col("n_docs").cast("double"))
+                    * F.lit(float(10 ** round_to)) + F.lit(0.5))
+            / F.lit(float(10 ** round_to)))
+    return prof.select("source",
+                       F.col("n_docs").cast("long").alias("n_docs"),
+                       F.col("n_unique").cast("long").alias("n_unique"),
+                       (F.col("n_docs") - F.col("n_unique")).cast("long")
+                       .alias("n_dup_excess"),
+                       F.col("max_clone").cast("long").alias("max_clone"),
+                       rate.alias("dup_rate"))

@@ -352,6 +352,64 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 8,
     return final
 
 
+def label_propagation(edges: DataFrame, rounds: int = 4,
+                      reliable: bool = False) -> DataFrame:
+    """Bounded-round SYNCHRONOUS label propagation (Raghavan, Albert &
+    Kumara 2007, "Near linear time algorithm to detect community
+    structures in large-scale networks") — the community-detection
+    companion of `components`: where min-label propagation finds
+    CONNECTIVITY, LPA finds the denser-than-surroundings blocks inside
+    one component. Every node starts with its own id as label; each
+    round EVERY node simultaneously adopts the most frequent label in
+    its closed neighborhood (self + neighbors — the components
+    convention; the self-vote also damps the bipartite flip-flop the
+    paper notes for synchronous updates), ties broken by SMALLEST
+    label. Synchronous update + total tie order = deterministic and
+    partitioning/engine-independent (the kcore discipline — the
+    paper's asynchronous random-order variant converges faster but is
+    unreproducible by construction). The contract is exactly `rounds`
+    rounds, oracle-unrolled; labels that survive are community seeds,
+    not converged communities — callers wanting the fixed point raise
+    `rounds` (real cores stabilize in a handful of sweeps per the
+    paper's ~5-iteration observation).
+
+    Returns (node, community, community_size) at round `rounds`.
+
+    Shape per round: one join keyed by the closed-adjacency src + ONE
+    (node, label)-keyed vote count + one node-keyed argmax — the
+    argmax is min(struct(−votes, label)), a single fold-order-free
+    aggregate, not a window (no per-node sort, no second shuffle).
+    The adjacency persists once; each label frontier is
+    checkpoint-truncated (the pagerank lineage discipline;
+    reliable=True swaps in fault-tolerant checkpoint()).
+    """
+    sym = _symmetric(edges)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    adj = sym.unionByName(
+        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+    adj = adj.persist()
+    lab = _truncate_lineage(
+        nodes.withColumn("community", F.col("node").cast("long")), reliable)
+    for _ in range(rounds):
+        votes = (adj.join(lab.select(F.col("node").alias("src"),
+                                     "community"), "src")
+                 .groupBy(F.col("dst").alias("node"), "community")
+                 .agg(F.count(F.lit(1)).alias("__c")))
+        lab = _truncate_lineage(
+            votes.groupBy("node")
+            .agg(F.min(F.struct((-F.col("__c")).alias("__neg"),
+                                F.col("community").alias("__l")))
+                 .alias("__best"))
+            .select("node", F.col("__best.__l").alias("community")),
+            reliable)
+    sizes = lab.groupBy("community").agg(
+        F.count(F.lit(1)).alias("community_size"))
+    res = lab.join(sizes, "community").select("node", "community",
+                                              "community_size")
+    adj.unpersist()
+    return res
+
+
 def link_predict(edges: DataFrame, k: int = 3, min_common: int = 2,
                  center_cap: int = 256, round_to: int = 6) -> DataFrame:
     """Top-k link suggestions per node by neighbor-overlap Jaccard

@@ -491,6 +491,57 @@ def prototypicality(corpus: DataFrame, centroids: DataFrame,
         (pctl <= F.lit(1.0 - prune_frac)).alias("keep"))
 
 
+def centroid_outliers(corpus: DataFrame, centroids: DataFrame,
+                      pct: int = 5, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Distance-to-centroid outlier screen — prototypicality's
+    complementary tail: where `prototypicality` prunes the top
+    (easiest, most-prototypical) examples per Sorscher et al., this
+    flags the BOTTOM of each cluster — vectors far from every concept
+    the clustering knows, the standard embedding-space noise screen
+    (mojibake, empty-ish pages, cross-modal garbage) run before
+    training-set assembly.
+
+    Each vector is assigned map-only (`assign_centroids`' literal
+    argmax — the IVF assignment the whole emb family gates on), scored
+    by round-6 cosine to its assigned centroid, then the bottom `pct`
+    percent of each cluster is flagged by the EXACT integer rule
+    100·rank ≤ pct·n over the (cosine ASC, id ASC) within-cluster
+    order — a rank comparison of two integers, so no percentile
+    interpolation ever touches the hash-gated plan (the ts_pettitt
+    float-drift lesson applied proactively).
+
+    Output per vector: (id, centroid_id, cosine, rank, is_outlier) —
+    the audit view; filter is_outlier to apply.
+
+    Shape at 100 TB: assignment and scoring are map-only (centroid
+    table is k rows, broadcast); the ONLY shuffle is the
+    within-cluster ranking window keyed by centroid_id carrying
+    (id, centroid, one double) — cluster sizes are bounded under the
+    same k ∝ N contract as semantic_dedup/prototypicality. The
+    rank-free swap at extreme scale: approx per-cluster threshold via
+    percentile_approx + a map-only compare (the quality_sample
+    pattern), trading exactness at the boundary for zero sort.
+    """
+    assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    cents = centroids.select(F.col("centroid_id"),
+                             F.col(vec_col).alias("__cv"))
+    scored = (assigned.join(F.broadcast(cents), "centroid_id")
+              .select(F.col(id_col), F.col("centroid_id"),
+                      F.round(cosine_expr(F.col(vec_col), F.col("__cv")), 6)
+                      .alias("cosine")))
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("cosine").asc(), F.col(id_col).asc())
+    wn = Window.partitionBy("centroid_id")
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(wn))
+            .select(id_col, "centroid_id", "cosine", "rank",
+                    (F.lit(100) * F.col("rank")
+                     <= F.lit(int(pct)) * F.col("__n"))
+                    .alias("is_outlier")))
+
+
 def l2_sq_expr(a: Column, b: Column) -> Column:
     """Squared L2 distance of two double-array columns, fully columnar."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),

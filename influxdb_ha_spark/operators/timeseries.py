@@ -1699,6 +1699,65 @@ def active_users(df: DataFrame, by: Sequence[str] = ("user_id",),
                     stick.alias("stickiness")))
 
 
+def inter_event_profile(df: DataFrame, by: Sequence[str] = ("user_id",),
+                        on: str = "time",
+                        type_col: str = "event_type") -> DataFrame:
+    """Per-type inter-event-gap profile — "how often does each event
+    fire per user", the cadence chart next to ev_transitions' flow
+    edges: gaps between consecutive events of the SAME type for the
+    SAME entity (per (entity, type) series ordered by time — the gap
+    multiset depends only on the sorted time multiset, so tied
+    timestamps produce a 0 gap under any physical order and cannot
+    make the result engine-dependent). Per type: n_gaps, exact
+    min/max, exact interpolating median (F.median ↔ quantile_cont —
+    the agg_median convention; the midpoint of two middle ns gaps is
+    exactly representable because gaps are data-span-bounded, far
+    below 2^53), and mean = DECIMAL-exact gap sum over count, one IEEE
+    division (ns gap sums overflow BIGINT at corpus scale —
+    DECIMAL(38,0) on the Spark side mirrors DuckDB's HUGEINT sum).
+    Median and mean floor-round to WHOLE nanoseconds — the usual _fr
+    micro-unit scale is wrong for ns magnitudes (x·10⁶ at 10¹⁴ ns
+    overflows the 64-bit floor; caught by the gate) and sub-ns digits
+    of a gap mean carry no information anyway. NULL-typed events are
+    excluded (the type_transitions contract).
+
+    Output-cardinality == |types| (the r6 series-cardinality
+    convention): a type whose entities never repeat it reports
+    n_gaps=0 with NULL stats — "unknown", never a silent drop.
+
+    Shape at 100 TB: ONE (entity, type)-keyed shuffle for the lag
+    window, then a |types|-keyed aggregate of scalar gaps. The exact
+    median holds each type's gap list on one reducer —
+    percentile_approx is the documented 100 TB swap (the
+    agg_median_percentile precedent); everything else is algebraic
+    partial-agg.
+    """
+    by = list(by)
+    w = Window.partitionBy(*by, type_col).orderBy(F.col(on).asc())
+    gaps = (df.where(F.col(type_col).isNotNull())
+            .select(*by, F.col(type_col), F.col(on))
+            .withColumn("__gap", F.col(on) - F.lag(on).over(w))
+            .where(F.col("__gap").isNotNull()))
+    mean = (F.sum(F.col("__gap").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double"))
+    per = (gaps.groupBy(type_col)
+           .agg(F.count(F.lit(1)).alias("n_gaps"),
+                F.min("__gap").alias("min_gap_ns"),
+                F.max("__gap").alias("max_gap_ns"),
+                (F.floor(F.median("__gap") + F.lit(0.5)) / F.lit(1.0))
+                .alias("median_gap_ns"),
+                (F.floor(mean + F.lit(0.5)) / F.lit(1.0))
+                .alias("mean_gap_ns")))
+    types = (df.where(F.col(type_col).isNotNull())
+             .select(type_col).distinct())
+    return (types.join(per, type_col, "left")
+            .select(type_col,
+                    F.coalesce(F.col("n_gaps"), F.lit(0)).cast("long")
+                    .alias("n_gaps"),
+                    "min_gap_ns", "max_gap_ns", "median_gap_ns",
+                    "mean_gap_ns"))
+
+
 def dau_anomaly(df: DataFrame, by: Sequence[str] = ("user_id",),
                 on: str = "time", bucket_ns: int = 86_400_000_000_000,
                 threshold: float = 3.5) -> DataFrame:

@@ -1105,6 +1105,28 @@ def build_oracles() -> dict[str, str]:
       SELECT s.centroid_id, s.n_vectors, b.majority_label, b.n_majority,
              {fr('b.n_majority::DOUBLE / s.n_vectors::DOUBLE', 6)} AS purity
       FROM sizes s JOIN best b USING (centroid_id)"""
+    # Distance-to-centroid outlier screen: the IVF assignment CTE over
+    # ALL vectors, round-6 cosine to the assigned centroid, bottom-5%
+    # per cluster by the exact integer rank rule (no interpolation)
+    o["emb_outliers"] = f"""
+      WITH e AS ({emb_cast.replace('embedding', 'embedding')}),
+      ec AS (SELECT vec_id, v FROM e),
+      cent AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < 8),
+      assign0 AS (
+        SELECT ec.vec_id, c.centroid_id, {_cos("ec.v", "c.v")} AS sim,
+               row_number() OVER (PARTITION BY ec.vec_id
+                 ORDER BY {_cos("ec.v", "c.v")} DESC, c.centroid_id ASC)
+                 AS r
+        FROM ec CROSS JOIN cent c),
+      a AS (SELECT vec_id, centroid_id, round(sim, 6) AS cosine
+            FROM assign0 WHERE r = 1),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY centroid_id
+                 ORDER BY cosine ASC, vec_id ASC) AS rank,
+                 count(*) OVER (PARTITION BY centroid_id) AS n
+             FROM a)
+      SELECT vec_id, centroid_id, cosine, rank::INT AS rank,
+             (100 * rank <= 5 * n) AS is_outlier
+      FROM rk"""
     o["emb_recall"] = f"""
       WITH ann AS ({o['emb_ivf_topk']}),
       exact AS ({o['emb_brute_topk']}),
@@ -2071,6 +2093,41 @@ def build_oracles() -> dict[str, str]:
                   THEN {fr('0.6745 * (d.dau::DOUBLE - p.med) / p.mad', 6)}
              END) > 3.5, false) AS is_anomaly
       FROM d, p"""
+    # Per-type inter-event-gap cadence profile: same-(user, type) lag
+    # gaps, exact median (quantile_cont mirror) + HUGEINT-sum mean,
+    # |types| output cardinality with NULL stats for gapless types
+    o["ev_inter_event"] = f"""
+      WITH e AS (SELECT user_id, event_type, {EV_TIME} AS t FROM events
+                 WHERE event_type IS NOT NULL),
+      g AS (SELECT event_type,
+                   t - lag(t) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY t ASC) AS gap
+            FROM e),
+      gg AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+      p AS (SELECT event_type, count(*)::BIGINT AS n_gaps,
+                   min(gap)::BIGINT AS min_gap_ns,
+                   max(gap)::BIGINT AS max_gap_ns,
+                   {fr('quantile_cont(gap, 0.5)', 0)} AS median_gap_ns,
+                   {fr('sum(gap::HUGEINT)::DOUBLE / count(*)::DOUBLE', 0)}
+                     AS mean_gap_ns
+            FROM gg GROUP BY 1),
+      ty AS (SELECT DISTINCT event_type FROM e)
+      SELECT ty.event_type, coalesce(p.n_gaps, 0)::BIGINT AS n_gaps,
+             p.min_gap_ns, p.max_gap_ns, p.median_gap_ns, p.mean_gap_ns
+      FROM ty LEFT JOIN p USING (event_type)"""
+    # Per-source exact-duplication audit: (source, md5) clusters, then
+    # per-source doc/digest counts, max clone width, round-6 dup rate
+    o["doc_dup_profile"] = f"""
+      WITH per AS (SELECT source, md5(text) AS d, count(*)::BIGINT AS n
+                   FROM documents GROUP BY 1, 2),
+      p AS (SELECT source, sum(n)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_unique,
+                   max(n)::BIGINT AS max_clone
+            FROM per GROUP BY 1)
+      SELECT source, n_docs, n_unique,
+             (n_docs - n_unique)::BIGINT AS n_dup_excess, max_clone,
+             {fr('1.0 - n_unique::DOUBLE / n_docs::DOUBLE', 6)} AS dup_rate
+      FROM p"""
     # Sankey transition edges: lag over the pinned (time, type) order,
     # pair counts + distinct entities per edge
     o["ev_transitions"] = f"""
@@ -2808,6 +2865,34 @@ def build_oracles() -> dict[str, str]:
       JOIN customer ON o_custkey = c_custkey
       ORDER BY o_totalprice DESC, order_date ASC, o_orderkey ASC
       LIMIT 100"""
+    o["tpch_q4"] = """
+      SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        AND o_orderdate < TIMESTAMP '1997-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_returnflag = 'R')
+      GROUP BY 1"""
+    o["tpch_q19"] = f"""
+      SELECT {dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+             count(*)::BIGINT AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)"""
+    o["tpch_q16"] = """
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#12' AND p_type NOT LIKE 'MEDIUM%'
+        AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3"""
 
     # --- perceptual image hashing (operators/multimodal.py): closed-
     # form mirror of the synthesized-PNG pixel formula (the mm_png_px
@@ -3170,6 +3255,31 @@ def build_oracles() -> dict[str, str]:
         "WITH " + _G_EDGES + "," + ",".join(kc_ctes) + f"""
       SELECT src AS node, count(*)::BIGINT AS core_degree
       FROM e{_KC_ROUNDS} GROUP BY 1 HAVING count(*) >= {_KC_K}""")
+
+    # Bounded-round synchronous LPA: unroll the same 4 simultaneous
+    # vote rounds (closed neighborhood, most-frequent label, smallest-
+    # label tie-break) the Spark driver loop runs
+    _LP_ROUNDS = 4
+    lp_ctes = ["""
+      adjl AS MATERIALIZED (SELECT src, dst FROM sym
+              UNION ALL SELECT node, node FROM gnodes),
+      lp0 AS (SELECT node, node AS community FROM gnodes)"""]
+    for it in range(1, _LP_ROUNDS + 1):
+        lp_ctes.append(f"""
+      v{it} AS (SELECT adjl.dst AS node, l.community, count(*) AS c
+                FROM adjl JOIN lp{it - 1} l ON l.node = adjl.src
+                GROUP BY 1, 2),
+      lp{it} AS MATERIALIZED (SELECT node, community FROM (
+                SELECT node, community, row_number() OVER (
+                  PARTITION BY node ORDER BY c DESC, community ASC) AS r
+                FROM v{it}) WHERE r = 1)""")
+    o["graph_label_prop"] = (
+        "WITH " + _G_EDGES + "," + ",".join(lp_ctes) + f""",
+      lpsizes AS (SELECT community, count(*) AS community_size
+                  FROM lp{_LP_ROUNDS} GROUP BY 1)
+      SELECT l.node, l.community, lpsizes.community_size
+      FROM lp{_LP_ROUNDS} l
+      JOIN lpsizes ON lpsizes.community = l.community""")
 
     _CC_ROUNDS = 8
     cc_ctes = ["""

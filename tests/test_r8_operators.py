@@ -259,3 +259,90 @@ def test_dau_anomaly_flat_series_scores_null(spark):
     df = spark.createDataFrame(rows, "user_id long, time long")
     res = dau_anomaly(df, by=["user_id"], on="time").collect()
     assert all(r.robust_z is None and not r.is_anomaly for r in res)
+
+
+def test_dup_profile_hand_counts(spark):
+    from influxdb_ha_spark.operators.dedup import dup_profile
+    rows = [(0, "aa", "s1"), (1, "aa", "s1"), (2, "aa", "s1"),
+            (3, "bb", "s1"), (4, "cc", "s2"), (5, "dd", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in dup_profile(df).collect()}
+    s1 = got["s1"]
+    assert (s1.n_docs, s1.n_unique, s1.n_dup_excess, s1.max_clone) == (4, 2, 2, 3)
+    assert s1.dup_rate == 0.5
+    s2 = got["s2"]
+    assert (s2.n_docs, s2.n_unique, s2.n_dup_excess, s2.max_clone) == (2, 2, 0, 1)
+    assert s2.dup_rate == 0.0
+
+
+def test_inter_event_profile_hand_gaps(spark):
+    from influxdb_ha_spark.operators.timeseries import inter_event_profile
+    # user 1 type a at t=0,10,40  -> gaps 10, 30
+    # user 2 type a at t=100,105  -> gap 5
+    # type b: one event per user  -> 0 gaps, NULL stats
+    # null-typed event must not contribute anywhere
+    rows = [(1, "a", 0), (1, "a", 10), (1, "a", 40),
+            (2, "a", 100), (2, "a", 105),
+            (1, "b", 7), (2, None, 8)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, time long")
+    got = {r.event_type: r for r in
+           inter_event_profile(df, by=["user_id"]).collect()}
+    a = got["a"]
+    assert (a.n_gaps, a.min_gap_ns, a.max_gap_ns) == (3, 5, 30)
+    assert a.median_gap_ns == 10.0  # odd count: exact middle element
+    assert a.mean_gap_ns == 15.0    # (10+30+5)/3
+    b = got["b"]
+    assert b.n_gaps == 0 and b.min_gap_ns is None and b.median_gap_ns is None
+    assert None not in got  # the NULL type never becomes a row
+
+
+def test_inter_event_profile_tied_timestamps_deterministic(spark):
+    from influxdb_ha_spark.operators.timeseries import inter_event_profile
+    # two events at the same instant -> gap 0 under any physical order
+    rows = [(1, "a", 5), (1, "a", 5), (1, "a", 9)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, time long")
+    a = inter_event_profile(df, by=["user_id"]).collect()[0]
+    assert (a.n_gaps, a.min_gap_ns, a.max_gap_ns) == (2, 0, 4)
+    assert a.median_gap_ns == 2.0  # even count: midpoint of 0 and 4
+
+
+def test_centroid_outliers_flags_far_vector(spark):
+    from influxdb_ha_spark.operators.similarity import centroid_outliers
+    # 20 vectors hugging +x, one pointing -x; single centroid = +x
+    rows = [(i, [1.0, 0.01 * i]) for i in range(20)] + [(99, [-1.0, 0.0])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame([(0, [1.0, 0.0])],
+                                  "centroid_id long, embedding array<double>")
+    out = {r.vec_id: r for r in centroid_outliers(corpus, cents).collect()}
+    assert len(out) == 21
+    # bottom 5% of 21 rows: 100*rank <= 5*21 -> rank 1 only
+    assert out[99].is_outlier and out[99].rank == 1
+    assert sum(r.is_outlier for r in out.values()) == 1
+    assert all(r.centroid_id == 0 for r in out.values())
+
+
+def test_label_propagation_two_cliques(spark):
+    from influxdb_ha_spark.operators.graph import label_propagation
+    # two 4-cliques bridged by one edge: LPA labels each clique by its
+    # minimum id; the bridge does not merge them (clique votes dominate)
+    clique1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = spark.createDataFrame(clique1 + clique2 + [(3, 10)],
+                                  "src long, dst long")
+    out = {r.node: r for r in label_propagation(edges, rounds=4).collect()}
+    assert len(out) == 8
+    assert {out[n].community for n in range(4)} == {0}
+    assert {out[n].community for n in range(10, 14)} == {10}
+    assert out[0].community_size == 4 and out[10].community_size == 4
+
+
+def test_label_propagation_star_adopts_center_neighborhood_majority(spark):
+    from influxdb_ha_spark.operators.graph import label_propagation
+    # star 0-(1,2,3): every closed neighborhood's votes tie at 1 and
+    # the smallest label wins — center sees {0,1,2,3} -> 0, leaf i
+    # sees {0, i} -> 0 — so round 1 already converges to community 0
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)],
+                                  "src long, dst long")
+    out = {r.node: r.community for r in
+           label_propagation(edges, rounds=2).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0}

@@ -66,6 +66,9 @@ BOUNDED_SINGLE_PARTITION = {
                "map-side, the SinglePartition exchange carries P rows",
     "tpch_q14": "same 1-row global-aggregate gather as tpch_q6 (two "
                 "decimal sums); the join below it is a broadcast dim",
+    "tpch_q19": "same 1-row global-aggregate gather as tpch_q6/q14 "
+                "(one decimal sum + count); the disjunctive predicate "
+                "and part join collapse map-side before it",
     "ev_heavy_hitters": "the 1-row total-count aggregate (partial "
                         "count map-side, final = P partials); the key "
                         "counts themselves shuffle on the key",
