@@ -2635,6 +2635,134 @@ def q_tpch_q16(spark, sf):
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
 
 
+def q_tpch_q12(spark, sf):
+    """TPC-H Q12 shape (shipping modes vs order priority): the
+    FACT-FACT join anchor — a ship-year slice of lineitem joined to
+    orders with NEITHER side hinted (both scale with SF; AQE picks the
+    strategy — at 100 TB this is the canonical shuffle join every
+    other anchor avoids), then per-returnflag conditional integer
+    counts (returnflag stands in for shipmode: this dataset carries
+    none; urgent = priority 1-URGENT/2-HIGH). Both CASE counts are
+    pure integers — nothing to round."""
+    y0 = F.lit("1997-01-01").cast("timestamp_ntz")
+    y1 = F.lit("1998-01-01").cast("timestamp_ntz")
+    li = (_t(spark, sf, "lineitem")
+          .where((F.col("l_shipdate") >= y0) & (F.col("l_shipdate") < y1))
+          .select("l_orderkey", "l_returnflag"))
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(hi, 0).otherwise(1)).cast("long")
+                 .alias("low_line_count")))
+
+
+def q_tpch_q13(spark, sf):
+    """TPC-H Q13 shape (customer order distribution): the OUTER-JOIN +
+    double-aggregation anchor — every customer LEFT-joined to its
+    non-urgent orders (the filter lives on the null-producing side, so
+    it must precede the join, not follow it — the classic outer-join
+    predicate-placement trap), per-customer order count INCLUDING the
+    zero row, then the count-of-counts histogram. All integers; the
+    zero-order customers are the rows a naive inner join silently
+    drops."""
+    o = (_t(spark, sf, "orders")
+         .where(F.col("o_orderpriority") != "1-URGENT")
+         .select("o_custkey", "o_orderkey"))
+    c = _t(spark, sf, "customer").select("c_custkey")
+    per = (c.join(o, c.c_custkey == o.o_custkey, "left")
+           .groupBy("c_custkey")
+           .agg(F.count("o_orderkey").alias("c_count")))
+    return (per.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .select(F.col("c_count").cast("long").alias("c_count"),
+                    F.col("custdist").cast("long").alias("custdist")))
+
+
+def q_tpch_q15(spark, sf):
+    """TPC-H Q15 shape (top supplier): the ARGMAX-BY-SCALAR anchor —
+    per-supplier quarter revenue in exact DECIMAL(38,4), the 1-row max
+    crossJoin(broadcast)ed back, equality kept IN DECIMAL (ties all
+    survive, the view semantics of the original), then the supplier
+    dim joined UNHINTED (O(suppliers) rows — AQE decides, the
+    q18-customer precedent). Decimal equality is fold-order-free, so
+    the winner set is partitioning-independent — the float version of
+    this query is the textbook nondeterministic argmax."""
+    q0 = F.lit("1997-07-01").cast("timestamp_ntz")
+    q1 = F.lit("1997-10-01").cast("timestamp_ntz")
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= q0) & (F.col("l_shipdate") < q1))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(28,4)")
+    per = li.groupBy("l_suppkey").agg(F.sum(rev).alias("__rev"))
+    mx = per.agg(F.max("__rev").alias("__mx"))
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (per.crossJoin(F.broadcast(mx))
+            .where(F.col("__rev") == F.col("__mx"))
+            .join(s, per.l_suppkey == s.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.col("__rev").cast("double").alias("total_revenue")))
+
+
+def q_tpch_q17(spark, sf):
+    """TPC-H Q17 shape (small-quantity screen): the DECORRELATED
+    correlated-scalar-subquery anchor — lines of one brand kept iff
+    l_quantity < 0.2 × that part's average quantity, rewritten as the
+    per-part (Σq, n) aggregate rejoined to the same brand-pruned fact
+    (two passes over the pruned slice — the standard decorrelation;
+    the brand broadcast prunes BOTH passes at the scan). The 0.2·avg
+    comparison never touches a float: 5·n·q < Σq over DECIMAL(·,6)
+    casts, exact on both engines. One 1-row aggregate out; avg_yearly
+    is the single IEEE division by 7, floor-rounded at 6."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").where(F.col("p_brand") == "Brand#23") \
+        .select("p_partkey")
+    fact = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .select("l_partkey", "l_quantity", "l_extendedprice"))
+    qd = F.col("l_quantity").cast("decimal(18,6)")
+    stats = (fact.groupBy("l_partkey")
+             .agg(F.sum(qd).alias("__qsum"),
+                  F.count(F.lit(1)).alias("__qn")))
+    kept = (fact.join(stats, "l_partkey")
+            .where((F.lit(5) * F.col("__qn")).cast("decimal(12,0)") * qd
+                   < F.col("__qsum")))
+    agg = kept.agg(F.count(F.lit(1)).alias("n_lines"),
+                   _dsum(F.col("l_extendedprice"), 4).alias("total_price"))
+    return agg.select("n_lines", "total_price",
+                      _fr(F.col("total_price") / F.lit(7.0), 6)
+                      .alias("avg_yearly"))
+
+
+def q_tpch_q22(spark, sf):
+    """TPC-H Q22 shape (global customer sales opportunity): the
+    SCALAR-SUBQUERY-FILTER + ANTI-JOIN anchor — customers above the
+    global mean positive balance (the 1-row (Σ, n) aggregate
+    crossJoin(broadcast)ed, compared float-free as bal·n > Σ in
+    DECIMAL) who have gone DORMANT — no order since 2000 (left_anti
+    against the date-pruned projected orders fact, UNHINTED — the q16
+    discipline; the original's no-orders-at-all form is vacuous here,
+    every customer has ordered), grouped by nation (cntrycode stands
+    in as c_nationkey: this dataset has no phones). ≤|nations| rows
+    out; the balance sum is the _dsum decimal convention."""
+    c = _t(spark, sf, "customer") \
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    ab = F.col("c_acctbal").cast("decimal(18,6)")
+    thr = (c.where(F.col("c_acctbal") > 0.0)
+           .agg(F.sum(ab).alias("__s"), F.count(F.lit(1)).alias("__n")))
+    o = (_t(spark, sf, "orders")
+         .where(F.col("o_orderdate")
+                >= F.lit("2000-01-01").cast("timestamp_ntz"))
+         .select("o_custkey"))
+    kept = (c.crossJoin(F.broadcast(thr))
+            .where(ab * F.col("__n").cast("decimal(12,0)") > F.col("__s"))
+            .join(o, c.c_custkey == o.o_custkey, "left_anti"))
+    return (kept.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 _dsum(F.col("c_acctbal"), 6).alias("totacctbal")))
+
+
 def q_graph_degree_hist(spark, sf):
     """Power-of-two degree histogram of the co-order graph (added scope
     — the skew audit run before choosing a join strategy): bucket =
@@ -2666,6 +2794,19 @@ def q_graph_label_prop(spark, sf):
     the same 4 rounds (operators/graph.py:label_propagation)."""
     from influxdb_ha_spark.operators import graph as GR
     return GR.label_propagation(_graph_edges(spark, sf), rounds=4)
+
+
+def q_graph_assortativity(spark, sf):
+    """Degree assortativity r (Newman 2002) of the co-order graph
+    (added scope — the one-number hub-mixing audit that decides the
+    salting strategy degree_hist hints at): Pearson correlation of
+    endpoint degrees over the directed symmetric edge list, every
+    moment an exact DECIMAL(38,0) integer, r = one double division +
+    two IEEE sqrts at the very end, floor-rounded at 6; degenerate
+    (regular) graphs report NULL, never NaN
+    (operators/graph.py:degree_assortativity)."""
+    from influxdb_ha_spark.operators import graph as GR
+    return GR.degree_assortativity(_graph_edges(spark, sf))
 
 
 def q_emb_cluster_purity(spark, sf):
@@ -2852,6 +2993,11 @@ _FAMILIES = [
         "tpch_q4": q_tpch_q4,
         "tpch_q19": q_tpch_q19,
         "tpch_q16": q_tpch_q16,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
     },
     {
         # joins
@@ -3060,6 +3206,7 @@ _FAMILIES = [
         "graph_degree_hist": q_graph_degree_hist,
         "graph_kcore": q_graph_kcore,
         "graph_label_prop": q_graph_label_prop,
+        "graph_assortativity": q_graph_assortativity,
     },
     {
         # LLM-pipeline scope (§7): multimodal

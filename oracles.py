@@ -2893,6 +2893,71 @@ def build_oracles() -> dict[str, str]:
         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                               WHERE s_acctbal < 0)
       GROUP BY 1, 2, 3"""
+    o["tpch_q12"] = """
+      SELECT l_returnflag,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1"""
+    # Q13: the orders filter must precede the LEFT join (predicate on
+    # the null-producing side), zero-order customers kept as c_count=0
+    o["tpch_q13"] = """
+      WITH oo AS (SELECT o_custkey, o_orderkey FROM orders
+                  WHERE o_orderpriority <> '1-URGENT'),
+      per AS (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+              FROM customer LEFT JOIN oo ON c_custkey = o_custkey
+              GROUP BY 1)
+      SELECT c_count, count(*)::BIGINT AS custdist
+      FROM per GROUP BY 1"""
+    # Q15: argmax by DECIMAL equality — ties all survive, fold-order-free
+    o["tpch_q15"] = """
+      WITH per AS (
+        SELECT l_suppkey,
+               sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,4))
+                 AS rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+          AND l_shipdate < TIMESTAMP '1997-10-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, rev::DOUBLE AS total_revenue
+      FROM per JOIN supplier ON l_suppkey = s_suppkey
+      WHERE rev = (SELECT max(rev) FROM per)"""
+    # Q17: decorrelated 0.2·avg screen, float-free as 5·n·q < Σq in DECIMAL
+    o["tpch_q17"] = f"""
+      WITH f AS (SELECT l_partkey, l_quantity, l_extendedprice
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 WHERE p_brand = 'Brand#23'),
+      s AS (SELECT l_partkey, sum(l_quantity::DECIMAL(18,6)) AS qsum,
+                   count(*)::BIGINT AS qn
+            FROM f GROUP BY 1),
+      agg AS (SELECT count(*)::BIGINT AS n_lines,
+                     {dsum('l_extendedprice', 4)} AS total_price
+              FROM f JOIN s USING (l_partkey)
+              WHERE (5 * qn)::DECIMAL(12,0) * (l_quantity::DECIMAL(18,6))
+                    < qsum)
+      SELECT n_lines, total_price,
+             {fr('total_price / 7.0', 6)} AS avg_yearly
+      FROM agg"""
+    # Q22: global-mean-positive-balance filter (float-free: bal·n > Σ in
+    # DECIMAL) + NOT EXISTS anti-join, grouped by nation
+    o["tpch_q22"] = f"""
+      WITH thr AS (SELECT sum(c_acctbal::DECIMAL(18,6)) AS s,
+                          count(*)::BIGINT AS n
+                   FROM customer WHERE c_acctbal > 0.0),
+      kept AS (SELECT c_custkey, c_nationkey, c_acctbal
+               FROM customer, thr
+               WHERE (c_acctbal::DECIMAL(18,6)) * n::DECIMAL(12,0) > s
+                 AND NOT EXISTS (SELECT 1 FROM orders
+                                 WHERE o_custkey = c_custkey
+                                   AND o_orderdate
+                                       >= TIMESTAMP '2000-01-01'))
+      SELECT c_nationkey, count(*)::BIGINT AS numcust,
+             {dsum('c_acctbal', 6)} AS totacctbal
+      FROM kept GROUP BY 1"""
 
     # --- perceptual image hashing (operators/multimodal.py): closed-
     # form mirror of the synthesized-PNG pixel formula (the mm_png_px
@@ -3280,6 +3345,33 @@ def build_oracles() -> dict[str, str]:
       SELECT l.node, l.community, lpsizes.community_size
       FROM lp{_LP_ROUNDS} l
       JOIN lpsizes ON lpsizes.community = l.community""")
+
+    # Degree assortativity (Newman 2002): HUGEINT-exact moments over the
+    # directed symmetric edge list, one double division + two IEEE sqrts
+    # at the end; degenerate denominators -> NULL (mirror of
+    # operators/graph.py:degree_assortativity)
+    _asst_r = ("(m_directed::HUGEINT * sxy - sx * sy)::DOUBLE"
+               " / (sqrt((m_directed::HUGEINT * sxx - sx * sx)::DOUBLE)"
+               " * sqrt((m_directed::HUGEINT * syy - sy * sy)::DOUBLE))")
+    o["graph_assortativity"] = (
+        "WITH " + _G_EDGES + f""",
+      adeg AS (SELECT src AS node, count(*)::BIGINT AS dg
+               FROM sym GROUP BY 1),
+      ee AS (SELECT dx.dg AS x, dy.dg AS y
+             FROM sym JOIN adeg dx ON dx.node = sym.src
+                      JOIN adeg dy ON dy.node = sym.dst),
+      mom AS (SELECT count(*)::BIGINT AS m_directed,
+                     sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                     sum(x::HUGEINT * y) AS sxy,
+                     sum(x::HUGEINT * x) AS sxx,
+                     sum(y::HUGEINT * y) AS syy
+              FROM ee)
+      SELECT m_directed,
+             CASE WHEN (m_directed::HUGEINT * sxx - sx * sx) > 0
+                   AND (m_directed::HUGEINT * syy - sy * sy) > 0
+                  THEN {fr(_asst_r, 6)}
+             END AS r
+      FROM mom""")
 
     _CC_ROUNDS = 8
     cc_ctes = ["""

@@ -336,6 +336,25 @@ def test_label_propagation_two_cliques(spark):
     assert out[0].community_size == 4 and out[10].community_size == 4
 
 
+def test_assortativity_star_is_minus_one(spark):
+    from influxdb_ha_spark.operators.graph import degree_assortativity
+    # star 0-(1,2,3): every edge pairs degree 3 with degree 1 — the
+    # maximally disassortative graph, r = -1 exactly (num = -36, d = 36)
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)],
+                                  "src long, dst long")
+    row = degree_assortativity(edges).collect()[0]
+    assert row.m_directed == 6
+    assert row.r == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from influxdb_ha_spark.operators.graph import degree_assortativity
+    # two disjoint edges: all degrees equal -> zero variance -> NULL, not NaN
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    row = degree_assortativity(edges).collect()[0]
+    assert row.m_directed == 4 and row.r is None
+
+
 def test_label_propagation_star_adopts_center_neighborhood_majority(spark):
     from influxdb_ha_spark.operators.graph import label_propagation
     # star 0-(1,2,3): every closed neighborhood's votes tie at 1 and

@@ -76,6 +76,18 @@ BOUNDED_SINGLE_PARTITION = {
                       "|days|-row DAU table (spine-class bounded; "
                       "non-algebraic medians — percentile_approx is "
                       "the documented 100 TB swap)",
+    "tpch_q15": "the 1-row global-max aggregate over the per-supplier "
+                "revenue table (partial max map-side, final = P "
+                "partials); the revenue agg itself shuffles on suppkey",
+    "tpch_q17": "the final 1-row (count, sum) gather — same shape as "
+                "tpch_q6; both screen passes collapse map-side under "
+                "the brand broadcast before it",
+    "tpch_q22": "the 1-row global (sum, count) positive-balance "
+                "aggregate (partial agg map-side, P partial rows "
+                "gathered); the anti-join shuffles on custkey",
+    "graph_assortativity": "the final 1-row moment aggregate (six "
+                           "decimal partials per partition gathered); "
+                           "the degree joins shuffle on node keys",
 }
 
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
@@ -110,6 +122,9 @@ ALLOWED_CARTESIAN = {
     "ts_xcorr": "two 1-row denominator scalars broadcast onto the "
                 "(2*max_lag+1)-row lag table — everything downstream of "
                 "the bucket agg is sketch-sized",
+    "tpch_q22": "broadcast of the 1-row (sum, count) balance-threshold "
+                "aggregate onto the customer scan — the "
+                "doc_quality_sample scalar-filter pattern",
     "ev_heavy_hitters": "broadcast of the 1-row total-count aggregate "
                         "onto the key-count table — the "
                         "doc_quality_sample threshold pattern",
