@@ -2094,6 +2094,18 @@ def q_ev_dau_anomaly(spark, sf):
     return dau_anomaly(ev, by=["user_id"], on="time", bucket_ns=DAY)
 
 
+def q_ev_lifecycle(spark, sf):
+    """Growth accounting (added scope — the decomposition every DAU
+    chart hides): per-day new / retained / resurrected / churned
+    counts + quick ratio over distinct (user, day) activity; churn is
+    attributed to the day after the last active day and right-censored
+    at the dataset's max day; churn-only days survive the full outer
+    join (operators/timeseries.py:growth_accounting)."""
+    from influxdb_ha_spark.operators.timeseries import growth_accounting
+    ev = _events_us(spark, sf).select("user_id", "time")
+    return growth_accounting(ev, by=["user_id"], on="time", bucket_ns=DAY)
+
+
 def q_ev_inter_event(spark, sf):
     """Per-type inter-event-gap profile (added scope — the cadence
     chart next to ev_transitions): consecutive same-type same-user
@@ -3187,6 +3199,7 @@ _FAMILIES = [
         "ev_funnel_times": q_ev_funnel_times,
         "ev_transitions": q_ev_transitions,
         "ev_inter_event": q_ev_inter_event,
+        "ev_lifecycle": q_ev_lifecycle,
         "ev_dau_anomaly": q_ev_dau_anomaly,
         "ev_user_paths": q_ev_user_paths,
         "ev_active_users": q_ev_active_users,

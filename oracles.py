@@ -2093,6 +2093,40 @@ def build_oracles() -> dict[str, str]:
                   THEN {fr('0.6745 * (d.dau::DOUBLE - p.med) / p.mad', 6)}
              END) > 3.5, false) AS is_anomaly
       FROM d, p"""
+    # Growth accounting: distinct (user, day) activity, lag/lead
+    # classification (new / retained / resurrected), churn into day+1
+    # right-censored at the dataset max day, churn-only days kept by
+    # the FULL join, quick ratio NULL when nobody churned
+    o["ev_lifecycle"] = f"""
+      WITH act AS (SELECT DISTINCT user_id,
+                          {EV_TIME} - {EV_TIME} % {DAY} AS b FROM events),
+      f AS (SELECT user_id, b,
+                   lag(b) OVER (PARTITION BY user_id ORDER BY b) AS pb,
+                   lead(b) OVER (PARTITION BY user_id ORDER BY b) AS nb
+            FROM act),
+      inflow AS (SELECT b AS bucket,
+                   sum(CASE WHEN pb IS NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_new,
+                   sum(CASE WHEN pb = b - {DAY} THEN 1 ELSE 0 END)::BIGINT
+                     AS n_retained,
+                   sum(CASE WHEN pb IS NOT NULL AND pb < b - {DAY}
+                            THEN 1 ELSE 0 END)::BIGINT AS n_resurrected
+                 FROM f GROUP BY 1),
+      mx AS (SELECT max(b) AS mb FROM act),
+      churn AS (SELECT b + {DAY} AS bucket, count(*)::BIGINT AS n_churned
+                FROM f, mx
+                WHERE (nb IS NULL OR nb > b + {DAY})
+                  AND b + {DAY} <= mb
+                GROUP BY 1)
+      SELECT bucket,
+             coalesce(n_new, 0)::BIGINT AS n_new,
+             coalesce(n_retained, 0)::BIGINT AS n_retained,
+             coalesce(n_resurrected, 0)::BIGINT AS n_resurrected,
+             coalesce(n_churned, 0)::BIGINT AS n_churned,
+             CASE WHEN coalesce(n_churned, 0) > 0
+                  THEN {fr('(coalesce(n_new, 0) + coalesce(n_resurrected, 0))::DOUBLE / n_churned::DOUBLE', 6)}
+             END AS quick_ratio
+      FROM inflow FULL JOIN churn USING (bucket)"""
     # Per-type inter-event-gap cadence profile: same-(user, type) lag
     # gaps, exact median (quantile_cont mirror) + HUGEINT-sum mean,
     # |types| output cardinality with NULL stats for gapless types

@@ -336,6 +336,44 @@ def test_label_propagation_two_cliques(spark):
     assert out[0].community_size == 4 and out[10].community_size == 4
 
 
+def test_growth_accounting_hand_lifecycle(spark):
+    from influxdb_ha_spark.operators.timeseries import growth_accounting
+    # bucket_ns=10. user 1 active at days 0,1,3; user 2 at day 1 only.
+    # day 0: u1 new.  day 1: u1 retained, u2 new.  day 2: u2 churns
+    # (churn-only day).  day 3: u1 resurrected.  u1's churn into day 4
+    # is right-censored (max day = 3).
+    rows = [(1, 0), (1, 10), (1, 30), (2, 15)]
+    df = spark.createDataFrame(rows, "user_id long, time long")
+    got = {r.bucket: r for r in
+           growth_accounting(df, by=["user_id"], on="time",
+                             bucket_ns=10).collect()}
+    assert set(got) == {0, 10, 20, 30}
+    assert (got[0].n_new, got[0].n_retained, got[0].n_resurrected,
+            got[0].n_churned) == (1, 0, 0, 0)
+    assert got[0].quick_ratio is None  # nobody churned -> NULL not Inf
+    assert (got[10].n_new, got[10].n_retained) == (1, 1)
+    assert (got[20].n_new, got[20].n_retained, got[20].n_resurrected,
+            got[20].n_churned) == (0, 0, 0, 2)  # u1 gap + u2 last day
+    assert got[20].quick_ratio == 0.0
+    assert (got[30].n_resurrected, got[30].n_churned) == (1, 0)
+
+
+def test_growth_accounting_dau_identity(spark):
+    from influxdb_ha_spark.operators.timeseries import (
+        growth_accounting, active_users)
+    rows = [(u, d * 10 + u) for u in range(5) for d in range(4)
+            if (u + d) % 3 != 0]
+    df = spark.createDataFrame(rows, "user_id long, time long")
+    ga = {r.bucket: r for r in
+          growth_accounting(df, by=["user_id"], on="time",
+                            bucket_ns=10).collect()}
+    dau = {r.bucket: r.dau for r in
+           active_users(df, by=["user_id"], on="time", bucket_ns=10,
+                        window_buckets=1).collect()}
+    for b, r in ga.items():
+        assert r.n_new + r.n_retained + r.n_resurrected == dau.get(b, 0)
+
+
 def test_assortativity_star_is_minus_one(spark):
     from influxdb_ha_spark.operators.graph import degree_assortativity
     # star 0-(1,2,3): every edge pairs degree 3 with degree 1 — the

@@ -88,6 +88,10 @@ BOUNDED_SINGLE_PARTITION = {
     "graph_assortativity": "the final 1-row moment aggregate (six "
                            "decimal partials per partition gathered); "
                            "the degree joins shuffle on node keys",
+    "ev_lifecycle": "the 1-row max-bucket right-censoring anchor "
+                    "(partial max map-side, final = P partials) — the "
+                    "ts_deadman anchored-'now' pattern; the lifecycle "
+                    "window shuffles on the entity key",
 }
 
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
@@ -125,6 +129,9 @@ ALLOWED_CARTESIAN = {
     "tpch_q22": "broadcast of the 1-row (sum, count) balance-threshold "
                 "aggregate onto the customer scan — the "
                 "doc_quality_sample scalar-filter pattern",
+    "ev_lifecycle": "broadcast of the 1-row max-bucket censoring "
+                    "anchor onto the |buckets|-bounded churn-event "
+                    "table — the ts_deadman pattern",
     "ev_heavy_hitters": "broadcast of the 1-row total-count aggregate "
                         "onto the key-count table — the "
                         "doc_quality_sample threshold pattern",
