@@ -1699,6 +1699,24 @@ def active_users(df: DataFrame, by: Sequence[str] = ("user_id",),
                     stick.alias("stickiness")))
 
 
+def inter_event_gaps(df: DataFrame, by: Sequence[str] = ("user_id",),
+                     on: str = "time",
+                     type_col: str = "event_type") -> DataFrame:
+    """Per-(entity, type) consecutive-gap table — the SHARED front
+    stage of `inter_event_profile` and the streaming gap twin
+    (streaming/gap_stream.py), declared once so the two paths cannot
+    drift (the _cusum_step / _bucket_expr consolidation discipline).
+    One row per (NULL-type-excluded) event, `__gap` = distance to the
+    previous same-(entity, type) event, NULL for each series' first
+    event. The gap multiset depends only on the sorted time multiset,
+    so tied timestamps yield 0 under any physical order."""
+    by = list(by)
+    w = Window.partitionBy(*by, type_col).orderBy(F.col(on).asc())
+    return (df.where(F.col(type_col).isNotNull())
+            .select(*by, F.col(type_col), F.col(on))
+            .withColumn("__gap", F.col(on) - F.lag(on).over(w)))
+
+
 def inter_event_profile(df: DataFrame, by: Sequence[str] = ("user_id",),
                         on: str = "time",
                         type_col: str = "event_type") -> DataFrame:
@@ -1733,11 +1751,8 @@ def inter_event_profile(df: DataFrame, by: Sequence[str] = ("user_id",),
     partial-agg.
     """
     by = list(by)
-    w = Window.partitionBy(*by, type_col).orderBy(F.col(on).asc())
-    gaps = (df.where(F.col(type_col).isNotNull())
-            .select(*by, F.col(type_col), F.col(on))
-            .withColumn("__gap", F.col(on) - F.lag(on).over(w))
-            .where(F.col("__gap").isNotNull()))
+    gaps = inter_event_gaps(df, by=by, on=on, type_col=type_col) \
+        .where(F.col("__gap").isNotNull())
     mean = (F.sum(F.col("__gap").cast("decimal(38,0)")).cast("double")
             / F.count(F.lit(1)).cast("double"))
     per = (gaps.groupBy(type_col)
