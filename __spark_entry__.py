@@ -2094,6 +2094,19 @@ def q_ev_dau_anomaly(spark, sf):
     return dau_anomaly(ev, by=["user_id"], on="time", bucket_ns=DAY)
 
 
+def q_ev_mix_drift(spark, sf):
+    """Per-day event-mix drift screen (added scope — the composition
+    alarm next to ev_dau_anomaly's volume alarm; over a corpus's
+    source column it is the ingestion-batch mix check): chi-square
+    goodness-of-fit of each day's type counts vs the corpus mix,
+    exact-DECIMAL cell deviations, φ²-normalized ≤1 terms accumulated
+    order-free in DECIMAL(28,18), flag vs the shared CHI2_95 literals
+    at dof = n_types−1 (operators/timeseries.py:type_mix_drift)."""
+    from influxdb_ha_spark.operators.timeseries import type_mix_drift
+    ev = _events_us(spark, sf).select("event_type", "time")
+    return type_mix_drift(ev, on="time", bucket_ns=DAY)
+
+
 def q_ev_lifecycle(spark, sf):
     """Growth accounting (added scope — the decomposition every DAU
     chart hides): per-day new / retained / resurrected / churned
@@ -3200,6 +3213,7 @@ _FAMILIES = [
         "ev_transitions": q_ev_transitions,
         "ev_inter_event": q_ev_inter_event,
         "ev_lifecycle": q_ev_lifecycle,
+        "ev_mix_drift": q_ev_mix_drift,
         "ev_dau_anomaly": q_ev_dau_anomaly,
         "ev_user_paths": q_ev_user_paths,
         "ev_active_users": q_ev_active_users,

@@ -1773,6 +1773,79 @@ def inter_event_profile(df: DataFrame, by: Sequence[str] = ("user_id",),
                     "mean_gap_ns"))
 
 
+def type_mix_drift(df: DataFrame, on: str = "time",
+                   type_col: str = "event_type",
+                   bucket_ns: int = 86_400_000_000_000,
+                   round_to: int = 6) -> DataFrame:
+    """Per-bucket event-mix drift screen — "did today's traffic LOOK
+    different", the composition-shift alarm next to dau_anomaly's
+    volume alarm (and, run over a training corpus's source/language
+    column, the batch-mix drift check a data pipeline runs per
+    ingestion day): chi-square goodness-of-fit of each bucket's
+    event-type counts against the corpus-wide type distribution.
+
+    Exactness contract (the ljung_box construction): each cell's
+    deviation d = obs·N − D·T is EXACT in DECIMAL (obs = cell count,
+    D = bucket total, T = type total, N = grand total — all integers);
+    the per-cell term is computed NORMALIZED as d²/(D·T·N²) = the
+    cell's φ² contribution, which is ≤ 1 BY CONSTRUCTION (d ≤
+    min(D,T)·N ⇒ d² ≤ D·T·N²), so casting it to DECIMAL(28,18) can
+    never overflow and the per-bucket sum is fold-order-free; χ² is
+    then φ²·N — one deterministic double product at the end. Both φ²
+    and χ² floor-round at `round_to`. The drift flag compares χ²
+    against the same published CHI2_95 literals ljung_box inlines, at
+    dof = n_types − 1; dof outside the table reports NULL — "unknown",
+    never a silent pass. Zero-count cells CONTRIBUTE (the bucket ×
+    type spine is materialized): a day missing a usually-common type
+    is exactly the drift this screen exists to catch. NULL types are
+    excluded (the family contract).
+
+    Shape at 100 TB: raw events collapse through ONE (bucket, type)
+    partial-count shuffle; everything downstream lives on the
+    |buckets|·|types| spine (spine-class bounded — the fill
+    convention), built from a |buckets|-row × broadcast(|types|-row)
+    join plus the 1-row grand total.
+    """
+    cell = (df.where(F.col(type_col).isNotNull())
+            .select(F.col(type_col).alias("__t"),
+                    _bucket_expr(on, bucket_ns).alias("__b"))
+            .groupBy("__b", "__t")
+            .agg(F.count(F.lit(1)).alias("__obs")))
+    dsum = cell.groupBy("__b").agg(F.sum("__obs").alias("__d"))
+    tsum = cell.groupBy("__t").agg(F.sum("__obs").alias("__tc"))
+    nsum = cell.agg(F.sum("__obs").alias("__n"))
+    spine = dsum.crossJoin(F.broadcast(tsum))
+    full = (spine.join(cell, ["__b", "__t"], "left")
+            .crossJoin(F.broadcast(nsum))
+            .select("__b", "__d", "__tc", "__n",
+                    F.coalesce(F.col("__obs"), F.lit(0)).alias("__obs")))
+    dec = lambda c: F.col(c).cast("decimal(19,0)")
+    diff = (dec("__obs") * dec("__n") - dec("__d") * dec("__tc")) \
+        .cast("double")
+    # parenthesization pinned — the oracle multiplies in the same order
+    den = ((F.col("__d").cast("double") * F.col("__tc").cast("double"))
+           * (F.col("__n").cast("double") * F.col("__n").cast("double")))
+    term = ((diff * diff) / den).cast("decimal(28,18)")
+    per = (full.groupBy(F.col("__b").alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("n_types"),
+                F.sum(term).alias("__s"),
+                F.max("__n").alias("__nn")))
+    s = float(10 ** round_to)
+    phi2 = F.floor(F.col("__s").cast("double") * F.lit(s) + F.lit(0.5)) \
+        / F.lit(s)
+    chi2 = F.floor(F.col("__s").cast("double")
+                   * F.col("__nn").cast("double")
+                   * F.lit(s) + F.lit(0.5)) / F.lit(s)
+    cmap = F.create_map(*[x for k, v in sorted(CHI2_95.items())
+                          for x in (F.lit(k).cast("long"), F.lit(v))])
+    out = per.select("bucket",
+                     F.col("n_types").cast("long").alias("n_types"),
+                     phi2.alias("phi2"), chi2.alias("chi2"))
+    return out.withColumn(
+        "drifted",
+        F.col("chi2") > F.element_at(cmap, F.col("n_types") - F.lit(1)))
+
+
 def growth_accounting(df: DataFrame, by: Sequence[str] = ("user_id",),
                       on: str = "time",
                       bucket_ns: int = 86_400_000_000_000,

@@ -2093,6 +2093,47 @@ def build_oracles() -> dict[str, str]:
                   THEN {fr('0.6745 * (d.dau::DOUBLE - p.med) / p.mad', 6)}
              END) > 3.5, false) AS is_anomaly
       FROM d, p"""
+    # Event-mix drift: chi-square GOF per day vs corpus mix; exact
+    # HUGEINT cell deviations, phi^2-normalized <=1 terms in
+    # DECIMAL(28,18) (order-free sum), chi2 = phi2*N, flag vs the same
+    # published CHI2_95 literals ljung_box inlines (dof = n_types-1,
+    # NULL outside the table); zero cells contribute via the spine
+    _MIX_CHI2 = ("CASE per.n_types - 1 " + " ".join(
+        f"WHEN {k} THEN {v!r}"
+        for k, v in sorted({1: 3.841459, 2: 5.991465, 3: 7.814728,
+                            4: 9.487729, 5: 11.070498, 6: 12.591587,
+                            7: 14.067140, 8: 15.507313, 9: 16.918978,
+                            10: 18.307038, 11: 19.675138,
+                            12: 21.026070}.items())) + " END")
+    o["ev_mix_drift"] = f"""
+      WITH cell AS (SELECT event_type AS t,
+                           {EV_TIME} - {EV_TIME} % {DAY} AS b,
+                           count(*)::BIGINT AS obs
+                    FROM events WHERE event_type IS NOT NULL
+                    GROUP BY 1, 2),
+      dd AS (SELECT b, sum(obs)::BIGINT AS d FROM cell GROUP BY 1),
+      tt AS (SELECT t, sum(obs)::BIGINT AS tc FROM cell GROUP BY 1),
+      nn AS (SELECT sum(obs)::BIGINT AS n FROM cell),
+      f AS (SELECT dd.b, dd.d, tt.t, tt.tc, nn.n,
+                   coalesce(cell.obs, 0)::BIGINT AS obs
+            FROM dd CROSS JOIN tt CROSS JOIN nn
+            LEFT JOIN cell ON cell.b = dd.b AND cell.t = tt.t),
+      tm AS (SELECT b,
+                    (((obs::HUGEINT * n - d::HUGEINT * tc)::DOUBLE
+                      * (obs::HUGEINT * n - d::HUGEINT * tc)::DOUBLE)
+                     / ((d::DOUBLE * tc::DOUBLE)
+                        * (n::DOUBLE * n::DOUBLE)))::DECIMAL(28,18)
+                      AS term,
+                    n
+             FROM f),
+      per AS (SELECT b AS bucket, count(*)::BIGINT AS n_types,
+                     sum(term) AS s, max(n) AS n
+              FROM tm GROUP BY 1)
+      SELECT bucket, n_types,
+             {fr('s::DOUBLE', 6)} AS phi2,
+             {fr('s::DOUBLE * n::DOUBLE', 6)} AS chi2,
+             ({fr('s::DOUBLE * n::DOUBLE', 6)} > {_MIX_CHI2}) AS drifted
+      FROM per"""
     # Growth accounting: distinct (user, day) activity, lag/lead
     # classification (new / retained / resurrected), churn into day+1
     # right-censored at the dataset max day, churn-only days kept by

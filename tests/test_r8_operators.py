@@ -336,6 +336,51 @@ def test_label_propagation_two_cliques(spark):
     assert out[0].community_size == 4 and out[10].community_size == 4
 
 
+def test_type_mix_drift_proportional_mix_is_zero(spark):
+    from influxdb_ha_spark.operators.timeseries import type_mix_drift
+    # day 0: a=2, b=4; day 1: a=1, b=2 — identical 1:2 mix both days,
+    # so every cell equals its expectation exactly: chi2 = phi2 = 0
+    rows = ([("a", 0)] * 2 + [("b", 1)] * 4
+            + [("a", 10)] * 1 + [("b", 11)] * 2)
+    df = spark.createDataFrame(rows, "event_type string, time long")
+    got = {r.bucket: r for r in
+           type_mix_drift(df, on="time", bucket_ns=10).collect()}
+    assert set(got) == {0, 10}
+    for r in got.values():
+        assert r.n_types == 2
+        assert r.phi2 == 0.0 and r.chi2 == 0.0
+        assert r.drifted is False
+
+
+def test_type_mix_drift_flags_inverted_day(spark):
+    from influxdb_ha_spark.operators.timeseries import type_mix_drift
+    # days 0-2 are all-a, day 3 is all-b: day 3's mix is maximally
+    # off the corpus mix; zero-count cells must contribute
+    rows = ([("a", t) for t in range(30)]
+            + [("b", 30 + t) for t in range(10)])
+    df = spark.createDataFrame(rows, "event_type string, time long")
+    got = {r.bucket: r for r in
+           type_mix_drift(df, on="time", bucket_ns=10).collect()}
+    # N=40, Ta=30, Tb=10. All-a day (D=10): chi2 = N*phi2 where
+    # phi2 = (10*40-10*30)^2/(10*30*1600) + (0*40-10*10)^2/(10*10*1600)
+    #      = 10000/480000 + 10000/160000 = 1/48 + 1/16 = 1/12
+    # chi2 = 40/12 = 3.333333 < 3.841459 (dof 1) -> not drifted
+    a_day = got[0]
+    assert a_day.chi2 == 3.333333 and a_day.drifted is False
+    # all-b day: phi2 = (10*40-10*10)^2/(10*10*1600)
+    #                 + (0*40-10*30)^2/(10*30*1600) = 9/16 + 3/16 = 0.75
+    # chi2 = 30.0 > 3.841459 -> drifted
+    b_day = got[30]
+    assert b_day.phi2 == 0.75 and b_day.chi2 == 30.0
+    assert b_day.drifted is True
+    # null-type events never shift anything
+    rows2 = rows + [(None, 5)]
+    df2 = spark.createDataFrame(rows2, "event_type string, time long")
+    got2 = {r.bucket: (r.phi2, r.chi2) for r in
+            type_mix_drift(df2, on="time", bucket_ns=10).collect()}
+    assert got2 == {b: (r.phi2, r.chi2) for b, r in got.items()}
+
+
 def test_growth_accounting_hand_lifecycle(spark):
     from influxdb_ha_spark.operators.timeseries import growth_accounting
     # bucket_ns=10. user 1 active at days 0,1,3; user 2 at day 1 only.

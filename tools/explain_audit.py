@@ -92,6 +92,9 @@ BOUNDED_SINGLE_PARTITION = {
                     "(partial max map-side, final = P partials) — the "
                     "ts_deadman anchored-'now' pattern; the lifecycle "
                     "window shuffles on the entity key",
+    "ev_mix_drift": "the 1-row grand-total aggregate (partial count "
+                    "map-side); everything downstream lives on the "
+                    "|buckets|x|types| spine (spine-class bounded)",
 }
 
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
@@ -132,6 +135,9 @@ ALLOWED_CARTESIAN = {
     "ev_lifecycle": "broadcast of the 1-row max-bucket censoring "
                     "anchor onto the |buckets|-bounded churn-event "
                     "table — the ts_deadman pattern",
+    "ev_mix_drift": "|buckets|-row x broadcast(|types|-row) spine "
+                    "build + the 1-row grand-total broadcast — both "
+                    "spine-class bounded (the fill convention)",
     "ev_heavy_hitters": "broadcast of the 1-row total-count aggregate "
                         "onto the key-count table — the "
                         "doc_quality_sample threshold pattern",
