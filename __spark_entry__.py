@@ -2094,6 +2094,19 @@ def q_ev_dau_anomaly(spark, sf):
     return dau_anomaly(ev, by=["user_id"], on="time", bucket_ns=DAY)
 
 
+def q_ev_basket_rules(spark, sf):
+    """Pairwise association rules over (user, day) baskets (added
+    scope — classic market-basket mining, Agrawal et al. 1993):
+    support / both directed confidences / lift per unordered type
+    pair; integer min_count floor, basket size capped [2, 64] (the
+    co_occurrence discipline), every ratio one floor-round-6 division
+    of exact integers (operators/timeseries.py:association_rules)."""
+    from influxdb_ha_spark.operators.timeseries import association_rules
+    ev = _events_us(spark, sf).select("user_id", "event_type", "time")
+    return association_rules(ev, by=["user_id"], on="time",
+                             bucket_ns=DAY, min_count=2)
+
+
 def q_ev_mix_drift(spark, sf):
     """Per-day event-mix drift screen (added scope — the composition
     alarm next to ev_dau_anomaly's volume alarm; over a corpus's
@@ -3214,6 +3227,7 @@ _FAMILIES = [
         "ev_inter_event": q_ev_inter_event,
         "ev_lifecycle": q_ev_lifecycle,
         "ev_mix_drift": q_ev_mix_drift,
+        "ev_basket_rules": q_ev_basket_rules,
         "ev_dau_anomaly": q_ev_dau_anomaly,
         "ev_user_paths": q_ev_user_paths,
         "ev_active_users": q_ev_active_users,

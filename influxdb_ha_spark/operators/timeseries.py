@@ -1773,6 +1773,82 @@ def inter_event_profile(df: DataFrame, by: Sequence[str] = ("user_id",),
                     "mean_gap_ns"))
 
 
+def association_rules(df: DataFrame, by: Sequence[str] = ("user_id",),
+                      on: str = "time", type_col: str = "event_type",
+                      bucket_ns: int = 86_400_000_000_000,
+                      min_count: int = 2, max_basket: int = 64,
+                      round_to: int = 6) -> DataFrame:
+    """Pairwise association rules over (entity, bucket) baskets —
+    support / confidence / lift (Agrawal, Imieliński & Swami 1993,
+    "Mining association rules between sets of items in large
+    databases"): a basket is the distinct set of types an entity
+    touched in one bucket; a pair's support is the fraction of baskets
+    containing both, confidence a→b = P(b | a basket contains a), and
+    lift = how far co-occurrence exceeds independence. Output one row
+    per unordered pair (type_a < type_b) with both directed
+    confidences — the audit view of "users who X also Y within a day".
+
+    Determinism: every count is an exact integer; `min_count` is an
+    ABSOLUTE basket-count floor compared in integers (a fractional
+    min-support would put a float boundary in the row-selection
+    predicate — the quality_filter lesson); support/confidence/lift
+    are each ONE IEEE division of exact-decimal-cast integers,
+    floor-rounded at `round_to`. NULL types are excluded (the family
+    contract).
+
+    Shape at 100 TB: raw events collapse through ONE (entity, bucket,
+    type) distinct shuffle; the pair stage self-joins baskets on the
+    (entity, bucket) key with basket size capped to [2, max_basket]
+    (the co_occurrence_edges cap — one bot entity touching 10⁵ item
+    types would otherwise emit C(10⁵, 2) pairs; capped baskets are
+    DROPPED loudly by contract, mirrored by the oracle); per-type and
+    pair counts shuffle on type keys only. The singles join-back is
+    UNHINTED — |types| is app-bounded here but item domains are not,
+    so AQE decides (the link_predict discipline).
+    """
+    by = list(by)
+    basket = (df.where(F.col(type_col).isNotNull())
+              .select(*by, _bucket_expr(on, bucket_ns).alias("__b"),
+                      F.col(type_col).alias("__t"))
+              .distinct())
+    sized = (basket.groupBy(*by, "__b")
+             .agg(F.count(F.lit(1)).alias("__k")))
+    ok = sized.where((F.col("__k") >= 2) & (F.col("__k") <= max_basket)) \
+              .select(*by, "__b")
+    nb = basket.select(*by, "__b").distinct() \
+               .agg(F.count(F.lit(1)).alias("__nb"))
+    singles = basket.groupBy(F.col("__t").alias("type_a")) \
+                    .agg(F.count(F.lit(1)).alias("n_a"))
+    a = basket.join(ok, [*by, "__b"]) \
+              .select(*by, "__b", F.col("__t").alias("type_a"))
+    b = basket.select(*by, "__b", F.col("__t").alias("type_b"))
+    pairs = (a.join(b, [*by, "__b"])
+             .where(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= int(min_count)))
+    sb = singles.select(F.col("type_a").alias("type_b"),
+                        F.col("n_a").alias("n_b"))
+    j = (pairs.join(singles, "type_a").join(sb, "type_b")
+         .crossJoin(F.broadcast(nb)))
+    dec = lambda c: c.cast("decimal(19,0)")
+    s = float(10 ** round_to)
+    rnd = lambda x: F.floor(x * F.lit(s) + F.lit(0.5)) / F.lit(s)
+    supp = rnd(F.col("n_ab").cast("double") / F.col("__nb").cast("double"))
+    cab = rnd(F.col("n_ab").cast("double") / F.col("n_a").cast("double"))
+    cba = rnd(F.col("n_ab").cast("double") / F.col("n_b").cast("double"))
+    lift = rnd((dec(F.col("n_ab")) * dec(F.col("__nb"))).cast("double")
+               / (dec(F.col("n_a")) * dec(F.col("n_b"))).cast("double"))
+    return j.select("type_a", "type_b",
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.col("n_ab").cast("long").alias("n_ab"),
+                    F.col("__nb").cast("long").alias("n_baskets"),
+                    supp.alias("support"),
+                    cab.alias("conf_a_to_b"), cba.alias("conf_b_to_a"),
+                    lift.alias("lift"))
+
+
 def type_mix_drift(df: DataFrame, on: str = "time",
                    type_col: str = "event_type",
                    bucket_ns: int = 86_400_000_000_000,

@@ -2093,6 +2093,38 @@ def build_oracles() -> dict[str, str]:
                   THEN {fr('0.6745 * (d.dau::DOUBLE - p.med) / p.mad', 6)}
              END) > 3.5, false) AS is_anomaly
       FROM d, p"""
+    # Association rules over (user, day) baskets: distinct basket
+    # membership, size-capped [2, 64] pair generation (capped baskets
+    # dropped from the pair stage only — singles/support denominators
+    # count ALL baskets), integer min_count floor, each ratio one
+    # floor-round-6 division of exact integers
+    o["ev_basket_rules"] = f"""
+      WITH basket AS (SELECT DISTINCT user_id,
+                             {EV_TIME} - {EV_TIME} % {DAY} AS b,
+                             event_type AS t
+                      FROM events WHERE event_type IS NOT NULL),
+      ok AS (SELECT user_id, b FROM basket GROUP BY 1, 2
+             HAVING count(*) BETWEEN 2 AND 64),
+      nb AS (SELECT count(*)::BIGINT AS nb
+             FROM (SELECT DISTINCT user_id, b FROM basket)),
+      singles AS (SELECT t, count(*)::BIGINT AS n FROM basket GROUP BY 1),
+      pairs AS (SELECT x.t AS type_a, y.t AS type_b,
+                       count(*)::BIGINT AS n_ab
+                FROM basket x
+                JOIN ok ON ok.user_id = x.user_id AND ok.b = x.b
+                JOIN basket y ON y.user_id = x.user_id AND y.b = x.b
+                WHERE x.t < y.t
+                GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_ab,
+             nb.nb AS n_baskets,
+             {fr('n_ab::DOUBLE / nb.nb::DOUBLE', 6)} AS support,
+             {fr('n_ab::DOUBLE / sa.n::DOUBLE', 6)} AS conf_a_to_b,
+             {fr('n_ab::DOUBLE / sb.n::DOUBLE', 6)} AS conf_b_to_a,
+             {fr('(n_ab::HUGEINT * nb.nb)::DOUBLE / (sa.n::HUGEINT * sb.n)::DOUBLE', 6)}
+               AS lift
+      FROM pairs
+      JOIN singles sa ON sa.t = type_a
+      JOIN singles sb ON sb.t = type_b, nb"""
     # Event-mix drift: chi-square GOF per day vs corpus mix; exact
     # HUGEINT cell deviations, phi^2-normalized <=1 terms in
     # DECIMAL(28,18) (order-free sum), chi2 = phi2*N, flag vs the same

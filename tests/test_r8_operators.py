@@ -336,6 +336,44 @@ def test_label_propagation_two_cliques(spark):
     assert out[0].community_size == 4 and out[10].community_size == 4
 
 
+def test_association_rules_hand_counts(spark):
+    from influxdb_ha_spark.operators.timeseries import association_rules
+    # bucket=10. Baskets: u1/day0 {a,b}, u2/day0 {a,b}, u3/day0 {a},
+    # u1/day1 {b,c}. N=4 baskets; n_a=3, n_b=3, n_c=1; (a,b) co-occurs
+    # twice; (b,c) once (below min_count=2 -> dropped)
+    rows = [(1, "a", 0), (1, "b", 1), (2, "a", 2), (2, "b", 3),
+            (3, "a", 4), (1, "b", 10), (1, "c", 11)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, time long")
+    out = association_rules(df, by=["user_id"], on="time", bucket_ns=10,
+                            min_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b) == ("a", "b")
+    assert (r.n_a, r.n_b, r.n_ab, r.n_baskets) == (3, 3, 2, 4)
+    assert r.support == 0.5
+    assert r.conf_a_to_b == 0.666667 and r.conf_b_to_a == 0.666667
+    assert r.lift == 0.888889  # 2*4/(3*3)
+
+
+def test_association_rules_basket_cap_drops_pairs_not_singles(spark):
+    from influxdb_ha_spark.operators.timeseries import association_rules
+    # one entity touches 5 types in a day with max_basket=4: the basket
+    # is dropped from the PAIR stage but its types still count in
+    # singles and the basket in n_baskets; two normal baskets supply
+    # the surviving pair
+    big = [(9, t, i) for i, t in enumerate("abcde")]
+    norm = [(1, "a", 0), (1, "b", 1), (2, "a", 2), (2, "b", 3)]
+    df = spark.createDataFrame(big + norm,
+                               "user_id long, event_type string, time long")
+    out = association_rules(df, by=["user_id"], on="time", bucket_ns=100,
+                            min_count=2, max_basket=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b, r.n_ab) == ("a", "b", 2)
+    assert r.n_a == 3 and r.n_b == 3  # the capped basket still counts
+    assert r.n_baskets == 3
+
+
 def test_type_mix_drift_proportional_mix_is_zero(spark):
     from influxdb_ha_spark.operators.timeseries import type_mix_drift
     # day 0: a=2, b=4; day 1: a=1, b=2 — identical 1:2 mix both days,

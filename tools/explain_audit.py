@@ -95,6 +95,10 @@ BOUNDED_SINGLE_PARTITION = {
     "ev_mix_drift": "the 1-row grand-total aggregate (partial count "
                     "map-side); everything downstream lives on the "
                     "|buckets|x|types| spine (spine-class bounded)",
+    "ev_basket_rules": "the 1-row basket-count aggregate (partial "
+                       "count map-side); pair generation shuffles on "
+                       "the (entity, bucket) key with the [2, 64] "
+                       "basket cap",
 }
 
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
@@ -138,6 +142,9 @@ ALLOWED_CARTESIAN = {
     "ev_mix_drift": "|buckets|-row x broadcast(|types|-row) spine "
                     "build + the 1-row grand-total broadcast — both "
                     "spine-class bounded (the fill convention)",
+    "ev_basket_rules": "broadcast of the 1-row basket-count "
+                       "denominator onto the pair-rule table (output "
+                       "bounded by distinct type pairs)",
     "ev_heavy_hitters": "broadcast of the 1-row total-count aggregate "
                         "onto the key-count table — the "
                         "doc_quality_sample threshold pattern",
