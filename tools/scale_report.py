@@ -40,7 +40,12 @@ QUERIES = ["tpch_q1", "agg_median_percentile", "join_brand_revenue",
            # fixed-point graph loop, bounded-round peeling, winnowing
            # selection, cohort revenue cells
            "ev_funnel", "graph_pagerank", "graph_kcore",
-           "text_winnowing", "ev_cohort_ltv"]
+           "text_winnowing", "ev_cohort_ltv",
+           # final round-8 wave: synchronous LPA (iterative vote
+           # loop), basket-key pair self-join, fact-fact outer join +
+           # double agg, entity-window lifecycle classification
+           "graph_label_prop", "ev_basket_rules", "tpch_q13",
+           "ev_lifecycle"]
 
 
 def main():
