@@ -1849,9 +1849,16 @@ def build_oracles() -> dict[str, str]:
                      AS si,
                    count(*) AS n
             FROM e GROUP BY 1, 2)"""
+    # si/k/u_at_k MUST be cast ::BIGINT: DuckDB's sum(BIGINT) / HUGEINT
+    # arithmetic yields HUGEINT output columns, which the driver's
+    # DataFrame/Arrow fetch converts to float64/decimal128 (while the
+    # local gate's fetchall() returns exact ints) — the r5-r8 driver
+    # hash-reds on exactly these keys were this type artifact, not a
+    # value divergence (VERDICT r8 What's-wrong #1).  The green
+    # ts_pettitt_u key always carried u::BIGINT.
     o["ts_pettitt_means"] = f"""
       WITH {_PETTITT_G}
-      SELECT event_type, bucket, si, n::BIGINT AS n FROM g"""
+      SELECT event_type, bucket, si::BIGINT AS si, n::BIGINT AS n FROM g"""
     _PETTITT_U = f"""
       {_PETTITT_G},
       p AS (SELECT a.event_type, a.bucket AS ba, b.bucket AS bb,
@@ -1903,8 +1910,8 @@ def build_oracles() -> dict[str, str]:
                    (n.n_buckets * n.n_buckets * n.n_buckets
                     + n.n_buckets * n.n_buckets)::BIGINT AS pexp_den
             FROM n JOIN best b ON b.event_type = n.event_type AND b.r = 1)
-      SELECT event_type, n_buckets::BIGINT AS n_buckets, k,
-             change_bucket, u_at_k, pexp_num, pexp_den,
+      SELECT event_type, n_buckets::BIGINT AS n_buckets, k::BIGINT AS k,
+             change_bucket, u_at_k::BIGINT AS u_at_k, pexp_num, pexp_den,
              pexp_num::HUGEINT * 10000000000000000::HUGEINT
                > 36888794541139363::HUGEINT * pexp_den::HUGEINT AS shift
       FROM f"""

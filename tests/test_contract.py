@@ -47,6 +47,48 @@ def test_anchor_allotment_self_tunes(monkeypatch):
     assert len(set(window)) == e._DRIVER_WINDOW
 
 
+def test_oracle_output_types_fetch_losslessly():
+    """r9 guard (prescribed by the r8 verdict after the 4-round
+    ts_pettitt saga): DuckDB's sum(BIGINT) and HUGEINT arithmetic
+    produce HUGEINT output columns, which a DataFrame/Arrow fetch
+    converts to float64/decimal128 — so a driver harness hashes 3.0
+    where Spark sends int64 3, while the local gate's fetchall()
+    returns exact Python ints and stays green.  Exactly the two
+    HUGEINT-emitting oracles (ts_pettitt, ts_pettitt_means) were the
+    only driver-red keys for four rounds.  This test binds every
+    oracle_sql() relation and rejects any output column whose DuckDB
+    type is not in the small fetch-path-invariant allowlist, so
+    writing `sum(bigint)` uncast into an oracle SELECT list fails CI
+    immediately instead of after a driver round."""
+    import os
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # Types whose Python value is identical under fetchall(), .df() and
+    # .arrow() round-trips.  Notably ABSENT: HUGEINT/UHUGEINT (float64
+    # under .df()), DECIMAL (Decimal vs float), FLOAT (float32 widening),
+    # UBIGINT (overflows int64), TIMESTAMP/DATE (tz-dependent renders —
+    # the engine's contract is int64 nanoseconds at the edges).
+    allowed = {"VARCHAR", "DOUBLE", "BIGINT", "BOOLEAN", "INTEGER",
+               "SMALLINT", "TINYINT"}
+    bad = {}
+    for name, sql in entry.oracle_sql().items():
+        rel = con.sql(sql)  # binds + plans; does not execute
+        offending = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                     if str(t) not in allowed]
+        if offending:
+            bad[name] = offending
+    assert not bad, f"oracles with fetch-lossy output types: {bad}"
+
+
 def test_every_query_has_a_pinned_plan_fingerprint():
     """r8 guard (prescribed by the r7 verdict after two rounds shipped a
     new key unpinned): a queries() entry without a PLAN_FINGERPRINTS.json
