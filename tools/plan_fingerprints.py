@@ -47,16 +47,29 @@ WORSE_IF_NEW = ("cartesian", "py_row_udf", "keyless_window")
 
 
 def fingerprints(sf_dir: str) -> dict[str, dict]:
+    # Capture MUST be order-independent (r8 verdict What's-wrong #2):
+    # queries() iterates in the evidence-rotation order — a function of
+    # committed CORRECTNESS_r*.json files — and operators share keep()
+    # persist tags, so a key captured after a sibling that populated the
+    # cache prints InMemoryRelation subtrees (fewer textual exchanges)
+    # while the same key captured first prints the expanded pipeline.
+    # Iterating sorted() and releasing the operator cache before every
+    # capture makes the fingerprint a pure function of the code, so a
+    # new evidence file can no longer flip a pin (the r8 doc_cross_dedup
+    # 4->7 phantom regression).
+    from influxdb_ha_spark import cache
     from influxdb_ha_spark.session import get_spark
     spark = get_spark(app_name="plan_fingerprints")
     out = {}
-    for name, fn in entry_mod.queries().items():
+    for name, fn in sorted(entry_mod.queries().items()):
+        cache.release()
         try:
             plan = fn(spark, sf_dir)._jdf.queryExecution() \
                 .executedPlan().toString()
             out[name] = audit_plan(plan)
         except Exception as e:  # noqa: BLE001 — recorded, not swallowed
             out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    cache.release()
     spark.stop()
     return out
 
