@@ -388,6 +388,8 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 8,
     """
     if k < 1:
         raise ValueError("kcore: k must be >= 1")
+    if rounds < 1:
+        raise ValueError("kcore: rounds must be >= 1")
     sym = _symmetric(edges).persist()
     keep = None  # None = every node survives so far
     for _ in range(rounds):

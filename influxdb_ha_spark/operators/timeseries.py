@@ -1089,11 +1089,14 @@ def pettitt_bucket_sums(df: DataFrame, on: str = "time",
     The ×10⁶ happens PER ROW before the sum (decimal(22,6)·10⁶ →
     decimal(33,6), exact, cast decimal(28,0)) so no arithmetic step ever
     crosses Spark's 38-digit precision-loss boundary; the sum of
-    decimal(28,0) widens to decimal(38,0) losslessly. Magnitude bound:
-    values round at 6 decimals inside |v| < 10¹⁶ (the decimal(22,6)
-    cast), and |si·n| stays inside DECIMAL(38,0) for any |value| ≤ 10¹²
-    with ≤ 10¹³ points per bucket — far beyond the 4096-bucket series
-    this family caps at.
+    decimal(28,0) widens to decimal(38,0) losslessly. Magnitude bound
+    (set by the DOWNSTREAM cross-multiplication si_b·n_a − si_a·n_b,
+    not this sum): |si·n| = |Σv·10⁶|·n ≤ 10⁶·V·N² must stay under
+    ~5·10³⁷, so e.g. |value| ≤ 10¹⁰ with ≤ 10¹⁰ points per bucket is
+    safe (10³⁶ per term) — far beyond the 4096-bucket series this
+    family caps at. Beyond that the product overflows DECIMAL(38,0);
+    _pettitt_u raises loudly rather than letting Spark's non-ANSI
+    NULL-on-overflow silently score the pair as a tie.
     """
     by = list(by)
     if not by:
@@ -1121,7 +1124,16 @@ def _pettitt_u(g: DataFrame, by: list) -> DataFrame:
     # float. DECIMAL(38,0)·LONG products and their difference are exact
     # integer arithmetic on any engine (DuckDB mirrors with HUGEINT).
     d = (F.col("__sb") * F.col("__na") - F.col("__sa") * F.col("__nb"))
-    sg = (F.when(d > 0, 1).when(d < 0, -1).otherwise(0)
+    # A NULL d can only mean DECIMAL(38,0) overflow (or an all-NULL
+    # value bucket upstream): under Spark's non-ANSI arithmetic an
+    # overflowing decimal product yields NULL, and an .otherwise(0)
+    # would silently record the pair as a TIE — a wrong statistic where
+    # DuckDB's HUGEINT raises. Fail loudly instead (r8 ADVICE).
+    sg = (F.when(d > 0, 1).when(d < 0, -1).when(d == 0, 0)
+          .otherwise(F.raise_error(F.lit(
+              "pettitt: si_b*n_a - si_a*n_b overflowed DECIMAL(38,0) "
+              "(needs 10^6*|value|*n_per_bucket^2 < ~5e37) or a bucket "
+              "sum is NULL; rescale values or shrink buckets")))
           .cast("long").alias("__sg"))
     pairs = (a.join(b, [a[k] == b[f"__b_{k}"] for k in by])
              .where(F.col("__bb") > F.col("__ba"))
@@ -1514,6 +1526,15 @@ def permutation_entropy(df: DataFrame, on: str = "time",
     per-series sum is order-free across partitionings (the acf centered-
     product precedent). The two distinct-value collects are ≤ 6·|series|
     and ≤ |series| rows respectively — sketch-sized, never data-sized.
+
+    EAGER: unlike most operators here, CONSTRUCTING this DataFrame runs
+    two small Spark jobs (the distinct-count collects that build the
+    literal log maps) — plan-only callers (explain / fingerprinting)
+    pay them too. The literal-map cap is 4096 entries (r8 ADVICE: a
+    64k-entry create_map is an enormous expression tree long before the
+    guard trips); series sets whose distinct pattern-count/window-total
+    cardinality exceeds it should use the in-plan F.log variant and
+    accept the ulp-level oracle tolerance instead.
     """
     from ..cache import keep
 
@@ -1533,10 +1554,10 @@ def permutation_entropy(df: DataFrame, on: str = "time",
                .groupBy(*by, "pattern")
                .agg(F.count(F.lit(1)).alias("cnt")))
     cvals = sorted(int(r[0]) for r in cnt.select("cnt").distinct().collect())
-    if len(cvals) > 65_536:
+    if len(cvals) > 4096:
         raise ValueError(f"permutation_entropy: {len(cvals)} distinct "
                          "pattern counts exceed the literal log-map cap "
-                         "(65536)")
+                         "(4096)")
     if not cvals:  # no series has >= 3 buckets: all-NULL entropy rows
         cvals = [1]
     lnc = F.create_map(*[x for c in cvals
@@ -1552,6 +1573,10 @@ def permutation_entropy(df: DataFrame, on: str = "time",
                      F.sum(term).alias("__s")))
     nvals = sorted(int(r[0]) for r in
                    per0.select("n_windows").distinct().collect())
+    if len(nvals) > 4096:
+        raise ValueError(f"permutation_entropy: {len(nvals)} distinct "
+                         "window totals exceed the literal log-map cap "
+                         "(4096)")
     lnn = F.create_map(*[x for c in (nvals or [1])
                          for x in (F.lit(c).cast("long"),
                                    F.lit(math.log(c)))])
@@ -1805,6 +1830,15 @@ def association_rules(df: DataFrame, by: Sequence[str] = ("user_id",),
     pair counts shuffle on type keys only. The singles join-back is
     UNHINTED — |types| is app-bounded here but item domains are not,
     so AQE decides (the link_predict discipline).
+
+    DENOMINATOR SEMANTICS (deliberate, oracle-mirrored): n_a / n_b /
+    n_baskets count ALL baskets — including size-1 and over-max_basket
+    ones — while n_ab only counts pairs from size-[2, max_basket]
+    baskets. So support/confidence/lift for a type whose occurrences
+    sit mostly in capped (or singleton) baskets are DEFLATED relative
+    to the textbook Agrawal et al. definitions over the mined basket
+    set — a conservative bias: the cap can only under-claim an
+    association, never invent one.
     """
     by = list(by)
     basket = (df.where(F.col(type_col).isNotNull())

@@ -167,3 +167,10 @@ def test_kcore_peels_cascade(spark):
     assert rows2 == {1: 3, 2: 3, 3: 3, 4: 3}
     # k above max degree -> empty
     assert G.kcore(e, k=10, rounds=3).count() == 0
+    # invalid parameters fail loudly, not with an AttributeError deep
+    # in the final join (r8 ADVICE: rounds=0 left keep=None)
+    import pytest
+    with pytest.raises(ValueError, match="rounds"):
+        G.kcore(e, k=2, rounds=0)
+    with pytest.raises(ValueError, match="k must be"):
+        G.kcore(e, k=0, rounds=3)
