@@ -2801,6 +2801,244 @@ def q_tpch_q22(spark, sf):
                  _dsum(F.col("c_acctbal"), 6).alias("totacctbal")))
 
 
+def q_tpch_q2(spark, sf):
+    """TPC-H Q2 shape (minimum-cost supplier): the GROUPWISE-ARGMIN
+    anchor — for each size/type-screened part, the region's cheapest
+    supplier(s), the correlated `= (SELECT min(ps_supplycost) ...)`
+    decorrelated as one per-part min + an exact-DECIMAL equality join
+    back (the q15 argmax pattern, generalized per group; no partsupp
+    in this schema, so lineitem prices stand in for supply cost and
+    DISTINCT collapses repeat (supplier, part, price) lines). Ties all
+    survive — fold-order-free. part/supplier⋈nation⋈region broadcast
+    (both bounded dims); top-100 is TakeOrderedAndProject on
+    (s_acctbal DESC, n_name, s_name, p_partkey)."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").where((F.col("p_size") <= 15)
+                                    & (F.col("p_type") == "STANDARD"))
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    cand = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("p_partkey", "p_name", "s_suppkey", "s_name",
+                    "s_acctbal", "n_name",
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    .alias("__cost"))
+            .distinct())
+    mn = cand.groupBy(F.col("p_partkey").alias("__pk")) \
+             .agg(F.min("__cost").alias("__mc"))
+    return (cand.join(mn, (cand.p_partkey == mn.__pk)
+                      & (cand.__cost == mn.__mc))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "p_name", F.col("__mc").cast("double")
+                    .alias("min_cost"))
+            .orderBy(F.col("s_acctbal").desc(), F.col("n_name").asc(),
+                     F.col("s_name").asc(), F.col("p_partkey").asc())
+            .limit(100))
+
+
+def q_tpch_q7(spark, sf):
+    """TPC-H Q7 shape (volume shipping between nation pairs): the
+    DOUBLE-DIMENSION-ROLE anchor — nation joins the plan TWICE under
+    different roles (supplier side, customer side) with a symmetric
+    cross-pair predicate that must be evaluated POST-join of the two
+    broadcast copies; per (supp_nation, cust_nation, ship-year)
+    exact-decimal revenue over a two-year window. Both nation copies
+    and supplier broadcast; orders/customer equi-joins carry the fact."""
+    y0 = F.lit("1996-01-01").cast("timestamp_ntz")
+    y1 = F.lit("1998-01-01").cast("timestamp_ntz")
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= y0) & (F.col("l_shipdate") < y1))
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("__nk1"),
+        F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("__nk2"),
+        F.col("n_name").alias("cust_nation"))
+    west, east = ["NATION_1", "NATION_2"], ["NATION_3", "NATION_4"]
+    pair = ((F.col("supp_nation").isin(west)
+             & F.col("cust_nation").isin(east))
+            | (F.col("supp_nation").isin(east)
+               & F.col("cust_nation").isin(west)))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n1), s.s_nationkey == F.col("__nk1"))
+            .join(F.broadcast(n2), c.c_nationkey == F.col("__nk2"))
+            .where(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("l_year"))
+            .agg(_dsum(disc, 4).alias("revenue")))
+
+
+def q_tpch_q8(spark, sf):
+    """TPC-H Q8 shape (national market share): the CONDITIONAL-SHARE
+    anchor — 7-way snowflake (fact ⋈ part ⋈ supplier ⋈ nation(supp) ⋈
+    orders ⋈ customer ⋈ nation(cust) ⋈ region) where the region screen
+    binds the CUSTOMER-side nation copy and the reported nation is the
+    SUPPLIER-side copy; share = one-nation volume / total volume per
+    order-year, both sums exact-decimal with the CASE inside the sum
+    (the q14 convention), one float division floor-rounded at 6."""
+    y0 = F.lit("1996-01-01").cast("timestamp_ntz")
+    y1 = F.lit("1998-01-01").cast("timestamp_ntz")
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").where(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1))
+    c = _t(spark, sf, "customer")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("__nk1"),
+        F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf, "region").where(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat = F.when(F.col("supp_nation") == "NATION_3", vol) \
+           .otherwise(F.lit(0.0))
+    agg = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(n1), s.s_nationkey == F.col("__nk1"))
+           .join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey)
+           .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
+           .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+           .agg(_dsum(nat, 4).alias("nation_volume"),
+                _dsum(vol, 4).alias("total_volume")))
+    return agg.select("o_year", "nation_volume", "total_volume",
+                      _fr(F.col("nation_volume")
+                          / F.col("total_volume"), 6).alias("mkt_share"))
+
+
+def q_tpch_q9(spark, sf):
+    """TPC-H Q9 shape (product-type profit): the SKEW-STRESS anchor —
+    a name-substring part screen (no pushdown-friendly equality) over
+    the widest fact chain in the dial, lineitem⋈orders FACT-FACT plus
+    three broadcast dims, profit = revenue − 10% retail cost proxy
+    (no partsupp supplycost in this schema) accumulated as ONE
+    per-row double expression cast DECIMAL(28,4) so both engines fold
+    identical operands; grouped by (supplier nation, order year) —
+    every group touches most partitions, the shape AQE skew handling
+    exists for."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").where(F.col("p_name").contains("widget"))
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    o = _t(spark, sf, "orders")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(_dsum(amount, 4).alias("profit")))
+
+
+def q_tpch_q11(spark, sf):
+    """TPC-H Q11 shape (important stock identification): the
+    GROUP-GLOBAL-THRESHOLD anchor — per-part value from one region's
+    suppliers, kept iff the part's share exceeds 1/1200 of the TOTAL:
+    the correlated `> (SELECT sum(...) * fraction)` decorrelates to a
+    1-row global re-aggregate of the SAME per-part table,
+    crossJoin(broadcast)ed back, compared float-free as val·1200 >
+    total in DECIMAL (the q22 threshold convention). The per-part
+    table is computed ONCE — Spark reuses the shuffle for both the
+    group rows and the global sum."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    v = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+         .groupBy(F.col("l_partkey").alias("p_partkey"))
+         .agg(F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
+              .alias("__val")))
+    tot = v.agg(F.sum("__val").alias("__total"))
+    return (v.crossJoin(F.broadcast(tot))
+            .where(F.col("__val") * F.lit(1200) > F.col("__total"))
+            .select("p_partkey",
+                    F.col("__val").cast("double").alias("part_value")))
+
+
+def q_tpch_q20(spark, sf):
+    """TPC-H Q20 shape (potential part promotion): the NESTED-SEMI-
+    CHAIN anchor — suppliers (region-screened) kept iff they shipped
+    OVER-THRESHOLD volume of a name-screened part in one year: part
+    names gate lineitem (semi #1), the year's (supplier, part) totals
+    clear an exact-decimal HAVING, and the surviving supplier keys
+    gate the supplier dim (semi #2). Both semis dedup inside the join
+    — no distinct passes; the part screen broadcasts, the supplier-key
+    semi is UNHINTED (the q16 discipline)."""
+    y0 = F.lit("1997-01-01").cast("timestamp_ntz")
+    y1 = F.lit("1998-01-01").cast("timestamp_ntz")
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= y0) & (F.col("l_shipdate") < y1))
+    pk = _t(spark, sf, "part").where(F.col("p_name").contains("bolt")) \
+        .select("p_partkey")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").where(F.col("r_name") == "AFRICA")
+    sh = (li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey,
+                  "left_semi")
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+               .alias("__q"))
+          .where(F.col("__q") > 30)
+          .select("l_suppkey"))
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .join(sh, s.s_suppkey == sh.l_suppkey, "left_semi")
+            .select("s_name", "s_acctbal", "n_name"))
+
+
+def q_tpch_q21(spark, sf):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS + NOT-EXISTS DOUBLE-CORRELATION anchor — a supplier's
+    returned line ('R' stands in for receipt>commit: no commit dates
+    here) in a finished multi-supplier order where NO OTHER supplier
+    returned a line: the sole-blame screen. Both correlated
+    subqueries hit the SAME fact under different predicates: EXISTS →
+    left-semi on (orderkey, suppkey≠), NOT EXISTS → left-anti on
+    (orderkey, suppkey≠, 'R') — Spark evaluates the non-equi leg as
+    the semi/anti join's residual condition, no pre-aggregation of
+    lineitem. supplier⋈nation⋈region broadcast; orders fact-fact
+    UNHINTED (the q12 discipline)."""
+    li = _t(spark, sf, "lineitem")
+    l1 = li.where(F.col("l_returnflag") == "R") \
+        .select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+    l2 = li.select(F.col("l_orderkey").alias("__ok2"),
+                   F.col("l_suppkey").alias("__sk2"))
+    l3 = (li.where(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("__ok3"),
+                  F.col("l_suppkey").alias("__sk3")))
+    return (l1.join(o, l1.l_orderkey == o.o_orderkey)
+            .join(l2, (l1.l_orderkey == F.col("__ok2"))
+                  & (l1.l_suppkey != F.col("__sk2")), "left_semi")
+            .join(l3, (l1.l_orderkey == F.col("__ok3"))
+                  & (l1.l_suppkey != F.col("__sk3")), "left_anti")
+            .join(F.broadcast(
+                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                 .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                 .select("s_suppkey", "s_name")),
+                l1.l_suppkey == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
 def q_graph_degree_hist(spark, sf):
     """Power-of-two degree histogram of the co-order graph (added scope
     — the skew audit run before choosing a join strategy): bucket =
@@ -3036,6 +3274,13 @@ _FAMILIES = [
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
     },
     {
         # joins

@@ -3072,6 +3072,121 @@ def build_oracles() -> dict[str, str]:
       SELECT c_nationkey, count(*)::BIGINT AS numcust,
              {dsum('c_acctbal', 6)} AS totacctbal
       FROM kept GROUP BY 1"""
+    # Q2: groupwise argmin by DECIMAL equality — all ties survive
+    o["tpch_q2"] = """
+      WITH cand AS (
+        SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+               n_name, l_extendedprice::DECIMAL(18,2) AS cost
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' AND p_size <= 15
+          AND p_type = 'STANDARD'),
+      mn AS (SELECT p_partkey, min(cost) AS mc FROM cand GROUP BY 1)
+      SELECT s_acctbal, s_name, n_name, cand.p_partkey, p_name,
+             mc::DOUBLE AS min_cost
+      FROM cand JOIN mn ON cand.p_partkey = mn.p_partkey AND cost = mc
+      ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, cand.p_partkey ASC
+      LIMIT 100"""
+    o["tpch_q7"] = f"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate)::BIGINT AS l_year,
+             {dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name IN ('NATION_1', 'NATION_2')
+              AND n2.n_name IN ('NATION_3', 'NATION_4'))
+          OR (n1.n_name IN ('NATION_3', 'NATION_4')
+              AND n2.n_name IN ('NATION_1', 'NATION_2')))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2, 3"""
+    o["tpch_q8"] = f"""
+      WITH flows AS (
+        SELECT year(o_orderdate)::BIGINT AS o_year,
+               l_extendedprice * (1 - l_discount) AS vol,
+               n1.n_name AS supp_nation
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'),
+      a AS (
+        SELECT o_year,
+               {dsum("CASE WHEN supp_nation = 'NATION_3' THEN vol "
+                     "ELSE 0.0 END", 4)} AS nation_volume,
+               {dsum('vol', 4)} AS total_volume
+        FROM flows GROUP BY 1)
+      SELECT o_year, nation_volume, total_volume,
+             {fr('nation_volume / total_volume', 6)} AS mkt_share
+      FROM a"""
+    o["tpch_q9"] = f"""
+      SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+             {dsum('l_extendedprice * (1 - l_discount) '
+                   '- 0.1 * p_retailprice * l_quantity', 4)} AS profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY 1, 2"""
+    # Q11: group-global scalar threshold, float-free in DECIMAL
+    o["tpch_q11"] = """
+      WITH v AS (
+        SELECT l_partkey, sum(l_extendedprice::DECIMAL(28,2)) AS val
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' GROUP BY 1),
+      t AS (SELECT sum(val) AS total FROM v)
+      SELECT l_partkey AS p_partkey, val::DOUBLE AS part_value
+      FROM v, t WHERE val * 1200 > total"""
+    o["tpch_q20"] = """
+      WITH sh AS (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE '%bolt%')
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity::DECIMAL(18,2)) > 30)
+      SELECT s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'AFRICA'
+        AND s_suppkey IN (SELECT l_suppkey FROM sh)"""
+    o["tpch_q21"] = """
+      SELECT s_name, count(*)::BIGINT AS numwait
+      FROM lineitem l1
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+        AND r_name = 'EUROPE'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY 1"""
 
     # --- perceptual image hashing (operators/multimodal.py): closed-
     # form mirror of the synthesized-PNG pixel formula (the mm_png_px

@@ -85,6 +85,9 @@ BOUNDED_SINGLE_PARTITION = {
     "tpch_q22": "the 1-row global (sum, count) positive-balance "
                 "aggregate (partial agg map-side, P partial rows "
                 "gathered); the anti-join shuffles on custkey",
+    "tpch_q11": "the 1-row global part-value total (partial sum "
+                "map-side, P partial rows gathered); the per-part "
+                "agg itself shuffles on partkey",
     "graph_assortativity": "the final 1-row moment aggregate (six "
                            "decimal partials per partition gathered); "
                            "the degree joins shuffle on node keys",
@@ -136,6 +139,11 @@ ALLOWED_CARTESIAN = {
     "tpch_q22": "broadcast of the 1-row (sum, count) balance-threshold "
                 "aggregate onto the customer scan — the "
                 "doc_quality_sample scalar-filter pattern",
+    "tpch_q11": "broadcast of the 1-row global value total onto the "
+                "per-part value table (the decorrelated Q11 group-"
+                "global threshold) — the tpch_q22 scalar-filter "
+                "pattern; Spark reuses the per-part shuffle for both "
+                "the group rows and the total",
     "ev_lifecycle": "broadcast of the 1-row max-bucket censoring "
                     "anchor onto the |buckets|-bounded churn-event "
                     "table — the ts_deadman pattern",
