@@ -1355,6 +1355,17 @@ def q_text_winnowing(spark, sf):
     return TX.winnowing_fingerprints(_t(spark, sf, "documents"), k=8, s=4)
 
 
+def q_text_zipf(spark, sf):
+    """Corpus Zipf-law fit (Zipf 1949, added scope — the one-number
+    corpus-health / batch-drift alarm): OLS of ln f on ln r over the
+    top-500 token frequencies, ranks tie-broken (freq DESC, token
+    ASC), ln from driver-side libm literals (rank array + sparse freq
+    log map — the tfidf convention), OLS products DECIMAL(28,12) so
+    the sums are fold-order-free, slope/intercept floor-round-6
+    (operators/text.py:zipf_fit)."""
+    return TX.zipf_fit(_t(spark, sf, "documents"), top_n=500)
+
+
 def q_mm_meta(spark, sf):
     mm = MM.attach_binary_payload(_t(spark, sf, "documents"), "text")
     return mm.select("doc_id", F.col("payload_bytes").cast("long").alias("payload_bytes"),
@@ -2251,6 +2262,52 @@ def q_ts_perm_entropy(spark, sf):
     ev = _events_us(spark, sf).select("event_type", "time", "value")
     return permutation_entropy(ev, on="time", by=["event_type"],
                                value_col="value", bucket_ns=HOUR)
+
+
+def q_ts_sax(spark, sf):
+    """SAX symbolization per series (Lin et al. 2003, added scope —
+    the discretization front of motif mining / symbolic anomaly
+    indexes): 32 equal-count PAA segments over the hourly bucket-mean
+    sequence, z-scored against decimal-exact series moments and mapped
+    to a 4-letter alphabet by the Gaussian equiprobable breakpoints;
+    segment routing is the integer rule floor(rank·w/n), the z-score
+    rounds at 6 BEFORE breakpoint comparison
+    (operators/timeseries.py:sax_symbols)."""
+    from influxdb_ha_spark.operators.timeseries import sax_symbols
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return sax_symbols(ev, on="time", by=["event_type"],
+                       value_col="value", bucket_ns=HOUR,
+                       segments=32, alphabet=4)
+
+
+def q_ts_matrix_profile(spark, sf):
+    """Euclidean matrix profile per series (Yeh et al. 2016, added
+    scope — motif/discord detection, the modern complement of the
+    MAD/CUSUM point screens): for each length-4 window of the DAILY
+    bucket-mean sequence, the exact-DECIMAL squared distance to its
+    nearest non-trivial neighbor (exclusion zone |i−j| ≥ m), argmin as
+    one fold-order-free min(struct); only the reported distance takes
+    the IEEE sqrt, floor-rounded at 6
+    (operators/timeseries.py:matrix_profile)."""
+    from influxdb_ha_spark.operators.timeseries import matrix_profile
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return matrix_profile(ev, on="time", by=["event_type"],
+                          value_col="value", bucket_ns=HOUR, m=4)
+
+
+def q_ev_gini(spark, sf):
+    """Per-type activity-concentration audit (Gini via the Dorfman
+    1979 rank formula + top-decile share, added scope — the whale-vs-
+    broad-base answer that doubles as the skew audit for every
+    entity-keyed shuffle): exact integer counts/ranks, Σi·c in
+    DECIMAL(38,0), tie-break pinned though provably value-invariant,
+    two floor-round-6 divisions out
+    (operators/timeseries.py:activity_concentration)."""
+    from influxdb_ha_spark.operators.timeseries import (
+        activity_concentration)
+    ev = _events_us(spark, sf).select("user_id", "event_type")
+    return activity_concentration(ev, by=["user_id"],
+                                  type_col="event_type")
 
 
 def q_doc_canonical(spark, sf):
@@ -3426,6 +3483,7 @@ _FAMILIES = [
         "text_fingerprint": q_text_fingerprint,
         "text_rolling": q_text_rolling,
         "text_winnowing": q_text_winnowing,
+        "text_zipf": q_text_zipf,
         "text_top_tokens": q_text_top_tokens,
         "text_lm_score": q_text_lm_score,
         "text_bm25": q_text_bm25,
@@ -3461,6 +3519,8 @@ _FAMILIES = [
         "ts_pettitt_means": q_ts_pettitt_means,
         "ts_pettitt_u": q_ts_pettitt_u,
         "ts_perm_entropy": q_ts_perm_entropy,
+        "ts_sax": q_ts_sax,
+        "ts_matrix_profile": q_ts_matrix_profile,
         "ts_seasonal_anomaly": q_ts_seasonal_anomaly,
         "ev_funnel": q_ev_funnel,
         "ev_funnel_window": q_ev_funnel_window,
@@ -3474,6 +3534,7 @@ _FAMILIES = [
         "ev_mix_drift": q_ev_mix_drift,
         "ev_basket_rules": q_ev_basket_rules,
         "ev_dau_anomaly": q_ev_dau_anomaly,
+        "ev_gini": q_ev_gini,
         "ev_user_paths": q_ev_user_paths,
         "ev_active_users": q_ev_active_users,
         "ev_attribution": q_ev_attribution,

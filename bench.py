@@ -40,7 +40,14 @@ HEADLINE = [
     "tr_cumulative_sum",   # distributed prefix sum (scan.py)
     "emb_near_dup_lsh",    # hyperplane-LSH bucketed near-dup (no N² join)
     "iq_subquery",         # nested InfluxQL planning
+    "tpch_q9",             # widest join chain: fact-fact + 3 dims (r9)
 ]
+
+# Keys added to HEADLINE this round — excluded from `value_excl_new` so
+# round-over-round totals compare the same query set (r8 VERDICT #3c:
+# the honest r7→r8 delta needed tpch_q6 backed out by hand). Rotate
+# this list each round: last round's additions graduate into the base.
+ADDED_THIS_ROUND = ["tpch_q9"]
 
 
 def run_once() -> dict:
@@ -123,6 +130,9 @@ def run_once() -> dict:
         "queries": times,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
+        "value_excl_new": round(sum(v for k, v in times.items()
+                                    if k not in ADDED_THIS_ROUND), 3),
+        "new_keys": ADDED_THIS_ROUND,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     spark.stop()
@@ -157,6 +167,9 @@ def main():
         "queries": qmin,
         "queries_warm": wmin,
         "warm_total": round(sum(wmin.values()), 3),
+        "value_excl_new": round(sum(v for k, v in qmin.items()
+                                    if k not in ADDED_THIS_ROUND), 3),
+        "new_keys": ADDED_THIS_ROUND,
         "sf": base["sf"],
         "runs": n_runs,
         "agg": "min_per_query_over_cold_jvm_runs",

@@ -908,3 +908,99 @@ def tfidf_keywords(df: DataFrame, text_col: str = "text",
         F.col("tfidf").desc(), F.col("token").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= F.lit(int(k))))
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text",
+             top_n: int = 1000) -> DataFrame:
+    """Corpus Zipf-law fit (Zipf 1949; the log-log rank-frequency line
+    whose slope ≈ −1 on natural text): OLS of ln f on ln r over the
+    top_n corpus token frequencies. The one-number corpus-health check
+    every training-data pipeline runs — synthetic/templated/spam-heavy
+    corpora bend the line (slope far from −1, poor fit), and the drift
+    of the slope between ingestion batches is a cheap contamination
+    alarm next to `language_mix` and `token_entropy`.
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),  x = ln r, y = ln f
+        intercept = (Σy − slope_raw·Σx) / n
+
+    Determinism: ranks are integers with the (freq DESC, token ASC)
+    tie-break pinned; ln r inlines from a driver-side libm literal
+    array (ranks are known 1..top_n up front), ln f via the SPARSE
+    literal log map over the ≤ top_n distinct frequencies present (the
+    tfidf_keywords convention — JVM Math.log drifts ulps vs libm);
+    each OLS product casts to DECIMAL(28,12) before summing so the
+    four sums are fold-order-free; slope/intercept are the only IEEE
+    divisions, floor-rounded at 6. Degenerate corpora (< 2 ranks, or
+    all frequencies equal → zero x-variance after tie-ranking) report
+    NULL slope/intercept, never NaN.
+
+    EAGER: constructing this DataFrame runs one small Spark job (the
+    distinct-frequency collect behind the log map — ≤ top_n values,
+    the permutation_entropy convention).
+
+    Shape at 100 TB: one tokenize/explode → token-keyed partial-agg
+    count shuffle (the exchange carries (token, count), never
+    occurrences); top_n selection is TakeOrderedAndProject (no global
+    sort); the regression runs on a top_n-row table — the one keyless
+    rank window is bounded by the top_n PARAMETER, not by data (the
+    explain-audit allowlist justification).
+
+    Added scope (the reference has no corpus-statistics surface).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if top_n < 2:
+        raise ValueError("zipf_fit: top_n must be >= 2")
+    cnt = (ensure_min_parallelism(df)
+           .where(F.col(text_col).isNotNull())
+           .select(F.explode(tokens_expr(F.col(text_col)))
+                   .alias("token"))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
+    top = (cnt.orderBy(F.col("freq").desc(), F.col("token").asc())
+           .limit(int(top_n)))
+    fvals = sorted({int(r["freq"]) for r in
+                    top.select("freq").distinct().collect()})
+    if not fvals:
+        return top.select(
+            F.lit(0).cast("long").alias("n_ranks"),
+            F.lit(None).cast("double").alias("slope"),
+            F.lit(None).cast("double").alias("intercept")) \
+            .where(F.lit(False))
+    lnf = F.create_map(*[x for v in fvals
+                         for x in (F.lit(v).cast("long"),
+                                   F.lit(math.log(v)))])
+    lnr = F.array(*[F.lit(math.log(r)) for r in range(1, top_n + 1)])
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    ranked = top.select(
+        F.element_at(lnr, F.row_number().over(w)).alias("__x"),
+        F.element_at(lnf, F.col("freq")).alias("__y"))
+    d = lambda c: c.cast("decimal(28,12)")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.sum(d(F.col("__x"))).alias("__sx"),
+        F.sum(d(F.col("__y"))).alias("__sy"),
+        F.sum(d(F.col("__x") * F.col("__y"))).alias("__sxy"),
+        F.sum(d(F.col("__x") * F.col("__x"))).alias("__sxx"))
+    # the SUMS are decimal-exact (order-free); the OLS combination runs
+    # in DOUBLE with a pinned parenthesization — decimal products of two
+    # (28,12) operands would cross Spark's precision-38 loss boundary,
+    # and identical exact-decimal inputs make the IEEE ops identical on
+    # both engines (the sax_symbols variance convention)
+    nd = F.col("n_ranks").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy, sxx = F.col("__sxy").cast("double"), F.col("__sxx").cast("double")
+    den = nd * sxx - sx * sx
+    num = nd * sxy - sx * sy
+    slope_raw = num / den
+    ok = (F.col("n_ranks") >= 2) & (den != 0.0)
+    intercept = ((F.col("__sy").cast("double")
+                  - slope_raw * F.col("__sx").cast("double"))
+                 / F.col("n_ranks").cast("double"))
+    r6 = lambda c: (F.floor(c * F.lit(1e6) + F.lit(0.5))  # noqa: E731
+                    / F.lit(1e6))
+    return s.select(
+        "n_ranks",
+        F.when(ok, r6(slope_raw)).alias("slope"),
+        F.when(ok, r6(intercept)).alias("intercept"))

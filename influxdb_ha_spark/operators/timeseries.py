@@ -2333,3 +2333,265 @@ def autoperiod(df: DataFrame, on: str = "time",
                     F.col("acf").alias("acf_peak"),
                     (F.col("lag") * F.lit(int(bucket_ns)))
                     .cast("long").alias("period_ns")))
+
+
+def sax_symbols(df: DataFrame, on: str = "time",
+                by: Sequence[str] = ("event_type",),
+                value_col: str = "value",
+                bucket_ns: int = 3_600_000_000_000,
+                segments: int = 32, alphabet: int = 4,
+                max_buckets: int = 4096) -> DataFrame:
+    """SAX symbolization per series (Lin, Keogh, Lonardi & Chiu 2003,
+    "A Symbolic Representation of Time Series, with Implications for
+    Streaming Algorithms"): PAA-reduce the bucket-mean sequence to
+    `segments` equal-count segments, z-normalize against the SERIES
+    mean/stddev, and map each segment mean to a letter by the standard
+    Gaussian equiprobable breakpoints — the discretization front of
+    motif mining, of symbolic anomaly detection, and of building
+    inverted indexes over a fleet of metric series.
+
+    Determinism (the family contract): segment assignment is the EXACT
+    integer rule seg = floor(rank·segments/n) over the (bucket ASC)
+    row order — no float boundaries in row routing; series moments are
+    decimal-exact (Σv, Σv² accumulated as DECIMAL(28,6)/(38,12) of the
+    already-round-6 bucket means — the assortativity construction);
+    the z-score is two IEEE ops (one subtract-divide, one sqrt) on
+    exact-decimal-derived doubles, floor-rounded at 6 BEFORE the
+    breakpoint comparisons, so symbol routing compares identical
+    rounded doubles on both engines. Breakpoints are driver-side
+    literals (scipy's ppf table inlined for a ∈ {3..8} — public
+    constants from the paper's Table 3 lineage).
+
+    Shape at 100 TB: the shared _bucket_means shuffle, one |series|-
+    row moment aggregate joined back (sketch-sized), one per-series
+    window for ranks, one (series, segment) aggregate —
+    |series|·segments output rows. A constant series (σ = 0) reports
+    NULL z/symbol ("unknown", never a fabricated letter); series
+    longer than max_buckets raise loudly (the pettitt cap contract).
+
+    Added scope (the reference has no symbolic surface) — cited
+    against SURVEY §2 as a training-data/feature-pipeline operator.
+    """
+    _BREAKPOINTS = {
+        3: [-0.4307272992954576, 0.4307272992954576],
+        4: [-0.6744897501960817, 0.0, 0.6744897501960817],
+        5: [-0.8416212335729142, -0.2533471031357997,
+            0.2533471031357997, 0.8416212335729142],
+        6: [-0.9674215661017014, -0.4307272992954576, 0.0,
+            0.4307272992954576, 0.9674215661017014],
+        7: [-1.0675705238469575, -0.5659488219378827,
+            -0.18001236936363817, 0.18001236936363817,
+            0.5659488219378827, 1.0675705238469575],
+        8: [-1.1503493803760083, -0.6744897501960817,
+            -0.3186393639643752, 0.0, 0.3186393639643752,
+            0.6744897501960817, 1.1503493803760083],
+    }
+    if alphabet not in _BREAKPOINTS:
+        raise ValueError(f"sax_symbols: alphabet must be in "
+                         f"{sorted(_BREAKPOINTS)}")
+    if segments < 1:
+        raise ValueError("sax_symbols: segments must be >= 1")
+    by = list(by)
+    g = _bucket_means(df, on, by, value_col, bucket_ns)
+    n_chk = (g.groupBy(*by).agg(F.count(F.lit(1)).alias("__n"))
+             .where(F.col("__n") > max_buckets).limit(1).collect())
+    if n_chk:
+        raise ValueError(
+            f"sax_symbols: a series exceeds max_buckets={max_buckets} "
+            "buckets; widen bucket_ns or raise the cap")
+    # series moments, decimal-exact over the round-6 bucket means
+    mom = (g.groupBy(*by)
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.sum(F.col("v").cast("decimal(28,6)")).alias("__s1"),
+                F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)"))
+                .alias("__s2")))
+    # the SUMS are decimal-exact (order-free); the variance combination
+    # then runs in DOUBLE with a pinned parenthesization — a decimal
+    # product s2·n would cross Spark's precision-38 loss boundary, and
+    # identical exact-decimal inputs make the IEEE ops engine-identical
+    s1d, s2d = F.col("__s1").cast("double"), F.col("__s2").cast("double")
+    nd = F.col("__n").cast("double")
+    varn2 = s2d * nd - s1d * s1d
+    mom = mom.select(*by, "__n",
+                     (s1d / nd).alias("__mu"),
+                     F.sqrt(varn2 / (nd * nd)).alias("__sigma"))
+    w = Window.partitionBy(*by).orderBy("bucket")
+    # integer-exact floor((rank-1)·segments / n): subtract the pmod
+    # remainder first so the division is of an exact multiple — no
+    # float quotient anywhere in row routing
+    num = (F.row_number().over(w) - 1) * F.lit(int(segments))
+    seg = ((num - F.pmod(num, F.col("__n"))) / F.col("__n")).cast("long")
+    segd = (g.join(mom.select(*by, "__n"), by)
+            .select(*by, seg.alias("segment"), "v"))
+    paa = (segd.groupBy(*by, "segment")
+           .agg(_decimal_mean(F.col("v")).alias("paa"),
+                F.count(F.lit(1)).alias("n_pts")))
+    z_raw = (F.col("paa") - F.col("__mu")) / F.col("__sigma")
+    z = F.when(F.col("__sigma") > 0, _fr(z_raw, 6))
+    bps = _BREAKPOINTS[alphabet]
+    sym = F.when(F.col("z").isNull(), F.lit(None).cast("string"))
+    letters = [chr(ord("a") + i) for i in range(alphabet)]
+    cond = F.lit(letters[-1])
+    for i in range(alphabet - 2, -1, -1):
+        cond = F.when(F.col("z") < F.lit(bps[i]), F.lit(letters[i])) \
+                .otherwise(cond)
+    sym = sym.otherwise(cond)
+    return (paa.join(mom, by)
+            .withColumn("z", z)
+            .select(*by, "segment", "n_pts", "paa", "z",
+                    sym.alias("symbol")))
+
+
+def matrix_profile(df: DataFrame, on: str = "time",
+                   by: Sequence[str] = ("event_type",),
+                   value_col: str = "value",
+                   bucket_ns: int = 3_600_000_000_000,
+                   m: int = 4, max_buckets: int = 2048) -> DataFrame:
+    """Euclidean matrix profile per series (Yeh et al. 2016, "Matrix
+    Profile I: All Pairs Similarity Joins for Time Series" — the
+    motif/discord workhorse): for every length-m window of the
+    bucket-mean sequence, the distance to its NEAREST non-trivial
+    neighbor window (exclusion zone |i−j| < m, the standard trivial-
+    match guard) plus that neighbor's index. Low profile = motif
+    (repeated behavior), high profile = discord (the series' most
+    anomalous stretch) — the modern complement of the MAD/CUSUM
+    point-outlier screens.
+
+    This pins the UN-normalized Euclidean variant: squared distance
+    d²(i,j) = Σ_{k<m}(x_{i+k}−x_{j+k})² accumulated term-by-term in
+    DECIMAL(30,12) from the round-6 bucket means, so every pairwise
+    distance is EXACT and the argmin over (d², j) — one fold-order-free
+    min(struct) aggregate, the LPA convention — is deterministic on any
+    engine/partitioning. (The z-normalized variant divides by window
+    σ's — float-heavy with no exactness story; at scale swap in the
+    STOMP recurrence behind the same output contract.) Only the final
+    reported distance takes the IEEE sqrt, floor-rounded at 6.
+
+    Shape: the shared _bucket_means shuffle; windows materialize as m
+    lead columns (map-only); the pair stage is the pettitt-class
+    bucket-quadratic self-join — bounded by the LOUD max_buckets cap
+    (default 2048 → ≤ ~2M pairs/series of (2 longs + m doubles)-wide
+    rows); argmin = one (series, i)-keyed aggregate. At 100 TB series
+    count scales out, series LENGTH is capped by contract — the same
+    trade every published MP-at-scale system makes per-partition.
+
+    Added scope (the reference has no motif surface).
+    """
+    by = list(by)
+    if m < 2:
+        raise ValueError("matrix_profile: m must be >= 2")
+    g = _bucket_means(df, on, by, value_col, bucket_ns)
+    n_chk = (g.groupBy(*by).agg(F.count(F.lit(1)).alias("__n"))
+             .where(F.col("__n") > max_buckets).limit(1).collect())
+    if n_chk:
+        raise ValueError(
+            f"matrix_profile: a series exceeds max_buckets="
+            f"{max_buckets} buckets; widen bucket_ns or raise the cap")
+    w = Window.partitionBy(*by).orderBy("bucket")
+    cols = [F.col("v").alias("__w0")] + [
+        F.lead("v", k).over(w).alias(f"__w{k}") for k in range(1, m)]
+    idx = (F.row_number().over(w) - 1).alias("i")
+    win = (g.select(*by, idx, *cols)
+           .where(F.col(f"__w{m - 1}").isNotNull()))
+    a = win.select(*by, "i", *[F.col(f"__w{k}").alias(f"__a{k}")
+                               for k in range(m)])
+    b = win.select(*[F.col(k).alias(f"__b_{k}") for k in by],
+                   F.col("i").alias("j"),
+                   *[F.col(f"__w{k}").alias(f"__b{k}") for k in range(m)])
+    # exact decimal d²: each squared diff is one double subtract+square
+    # (identical operands both engines), cast DECIMAL(30,12) and summed
+    # term-by-term in a FIXED left-to-right parenthesization — (30,12)
+    # operands keep every intermediate addition under Spark's
+    # precision-38 loss boundary for any m ≤ ~10^5 (each add widens
+    # precision by 1), bounding |diff| ≤ 10^9 per the cap contract
+    d2 = F.lit(0).cast("decimal(30,12)")
+    for k in range(m):
+        diff = F.col(f"__a{k}") - F.col(f"__b{k}")
+        d2 = d2 + (diff * diff).cast("decimal(30,12)")
+    pairs = (a.join(b, [a[k] == b[f"__b_{k}"] for k in by])
+             .where(F.abs(F.col("i") - F.col("j")) >= m)
+             .select(*by, "i", "j", d2.alias("__d2")))
+    best = (pairs.groupBy(*by, "i")
+            .agg(F.min(F.struct(F.col("__d2"), F.col("j")))
+                 .alias("__best")))
+    return (best.select(*by, "i",
+                        F.col("__best.j").alias("nn_index"),
+                        _fr(F.sqrt(F.col("__best.__d2").cast("double")),
+                            6).alias("nn_dist"))
+            )
+
+
+def activity_concentration(df: DataFrame,
+                           by: Sequence[str] = ("user_id",),
+                           type_col: str = "event_type") -> DataFrame:
+    """Per-type activity-concentration audit — Gini coefficient + top-
+    decile share of the per-entity event-count distribution (Gini 1912
+    via the rank formula; Dorfman 1979's "A Formula for the Gini
+    Coefficient"): the one-number answer to "is this event type's
+    volume a broad base or three whales?", which is simultaneously the
+    SKEW AUDIT for every entity-keyed shuffle downstream — a type with
+    gini → 1 is exactly the type whose groupBy(entity) needs salting
+    (the graph degree_histogram companion, on the events side).
+
+        G = (2·Σ i·c_i − (n+1)·Σc) / (n·Σc),  c ascending, i = 1..n
+
+    Exactness: counts and ranks are integers; Σ i·c_i accumulates as
+    DECIMAL(38,0) (i·c overflows BIGINT at 10¹⁰ entities × 10¹² events
+    scale); within a tied count block the Σ i·c_i contribution is
+    permutation-invariant, so the (cnt, entity) rank tie-break cannot
+    change G — but is pinned anyway (the family convention). G and the
+    top-decile share are each ONE floor-round-6 division of exact
+    integers; the decile head count is the integer ceil(n/10) =
+    (n+9) div 10, no float rank boundary. A single-entity type reports
+    G = 0 (no inequality measurable), never NULL/NaN.
+
+    Shape at 100 TB: one (type, entity) count shuffle (partial agg
+    map-side), one type-keyed rank window over the |entities|-per-type
+    count rows, one |types|-row final aggregate. Nothing quadratic;
+    the window is the same entity-per-type cardinality every operator
+    in this family already carries.
+
+    Added scope (the reference has no concentration surface).
+    """
+    by = list(by)
+    if not by:
+        raise ValueError("activity_concentration requires entity keys")
+    cnt = (df.where(F.col(type_col).isNotNull())
+           .groupBy(type_col, *by)
+           .agg(F.count(F.lit(1)).alias("__c")))
+    w = Window.partitionBy(type_col).orderBy(
+        F.col("__c").asc(), *[F.col(k).asc() for k in by])
+    r = cnt.select(type_col, "__c",
+                   F.row_number().over(w).alias("__i"))
+    # i·c as DECIMAL(18,0)×DECIMAL(18,0) → (37,0) — multiplying in LONG
+    # would overflow silently at 10^10 entities × 10^12 events, and a
+    # (38,0)×(38,0) product would cross Spark's precision-38 loss
+    # boundary; 18-digit operands bound the contract at n_entities,
+    # n_events < 10^18 (documented, far beyond any real corpus)
+    dec = lambda c: c.cast("decimal(18,0)")
+    agg = (r.groupBy(type_col)
+           .agg(F.count(F.lit(1)).alias("n_entities"),
+                F.sum("__c").alias("n_events"),
+                F.sum(dec(F.col("__i")) * dec(F.col("__c")))
+                .alias("__ric")))
+    # top-decile tail: ASC rank i is in the top ceil(n/10) iff
+    # i > n − ceil(n/10); ceil(n/10) = (n+9 − pmod(n+9, 10))/10 is an
+    # exact-multiple division — integer everywhere. The |types|-row
+    # count table joins back broadcast (genuinely bounded).
+    n_per = agg.select(type_col, F.col("n_entities").alias("__n"))
+    ceil10 = ((F.col("__n") + 9 - F.pmod(F.col("__n") + 9, F.lit(10)))
+              / F.lit(10)).cast("long")
+    tail = (r.join(F.broadcast(n_per), type_col)
+            .where(F.col("__i") > F.col("__n") - ceil10)
+            .groupBy(type_col)
+            .agg(F.sum("__c").alias("__top")))
+    g_num = (F.col("__ric") + F.col("__ric")
+             - dec(F.col("n_entities") + 1) * dec(F.col("n_events")))
+    g_den = dec(F.col("n_entities")) * dec(F.col("n_events"))
+    return (agg.join(tail, type_col)
+            .select(type_col, "n_entities", "n_events",
+                    _fr(g_num.cast("double") / g_den.cast("double"), 6)
+                    .alias("gini"),
+                    _fr(F.col("__top").cast("double")
+                        / F.col("n_events").cast("double"), 6)
+                    .alias("top_decile_share")))

@@ -1956,6 +1956,135 @@ def build_oracles() -> dict[str, str]:
              coalesce(per.n_patterns, 0)::BIGINT AS n_patterns,
              per.h, per.h_norm
       FROM ser LEFT JOIN per ON per.event_type = ser.event_type"""
+    # SAX symbolization (Lin et al. 2003): integer-exact segment
+    # routing (rk·w)//n, decimal-exact series moments, z rounded at 6
+    # BEFORE the Gaussian-breakpoint comparisons (a=4 literals)
+    o["ts_sax"] = f"""
+      WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events),
+      g AS (SELECT event_type, time - time % {HOUR} AS bucket,
+                   {fr('sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS v
+            FROM e GROUP BY 1, 2),
+      mom AS (SELECT event_type, count(*)::BIGINT AS n,
+                     sum(v::DECIMAL(28,6)) AS s1,
+                     sum((v * v)::DECIMAL(38,12)) AS s2
+              FROM g GROUP BY 1),
+      mm AS (SELECT event_type, n, s1::DOUBLE / n AS mu,
+                    sqrt((s2::DOUBLE * n - s1::DOUBLE * s1::DOUBLE)
+                         / (n::DOUBLE * n::DOUBLE)) AS sigma
+             FROM mom),
+      r AS (SELECT event_type, bucket, v,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY bucket) - 1 AS rk
+            FROM g),
+      segd AS (SELECT r.event_type, (rk * 32) // mm.n AS segment, v
+               FROM r JOIN mm ON r.event_type = mm.event_type),
+      paa AS (SELECT event_type, segment, count(*)::BIGINT AS n_pts,
+                     {fr('sum(CAST(v AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                       AS paa
+              FROM segd GROUP BY 1, 2),
+      z AS (SELECT paa.event_type, segment, n_pts, paa,
+                   CASE WHEN mm.sigma > 0
+                        THEN {fr('(paa - mm.mu) / mm.sigma', 6)} END AS z
+            FROM paa JOIN mm ON paa.event_type = mm.event_type)
+      SELECT event_type, segment, n_pts, paa, z,
+             CASE WHEN z IS NULL THEN NULL
+                  WHEN z < -0.6744897501960817 THEN 'a'
+                  WHEN z < 0.0 THEN 'b'
+                  WHEN z < 0.6744897501960817 THEN 'c'
+                  ELSE 'd' END AS symbol
+      FROM z"""
+    # Euclidean matrix profile (Yeh et al. 2016): m=4 lead-column
+    # windows, exact DECIMAL(30,12) squared distances, argmin by
+    # (d2, j) — the min(struct) order — sqrt only on the reported row
+    o["ts_matrix_profile"] = f"""
+      WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events),
+      g AS (SELECT event_type, time - time % {HOUR} AS bucket,
+                   {fr('sum(CAST(value AS DECIMAL(28,6)))::DOUBLE / count(*)', 6)}
+                     AS v
+            FROM e GROUP BY 1, 2),
+      r AS (SELECT event_type,
+                   row_number() OVER w - 1 AS i, v AS v0,
+                   lead(v, 1) OVER w AS v1,
+                   lead(v, 2) OVER w AS v2,
+                   lead(v, 3) OVER w AS v3
+            FROM g WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+      win AS (SELECT * FROM r WHERE v3 IS NOT NULL),
+      p AS (SELECT a.event_type, a.i, b.i AS j,
+                   ((a.v0 - b.v0) * (a.v0 - b.v0))::DECIMAL(30,12)
+                   + ((a.v1 - b.v1) * (a.v1 - b.v1))::DECIMAL(30,12)
+                   + ((a.v2 - b.v2) * (a.v2 - b.v2))::DECIMAL(30,12)
+                   + ((a.v3 - b.v3) * (a.v3 - b.v3))::DECIMAL(30,12)
+                     AS d2
+            FROM win a JOIN win b ON a.event_type = b.event_type
+                                 AND abs(a.i - b.i) >= 4),
+      best AS (SELECT event_type, i, j, d2,
+                      row_number() OVER (PARTITION BY event_type, i
+                                         ORDER BY d2 ASC, j ASC) AS rn
+               FROM p)
+      SELECT event_type, i, j AS nn_index,
+             {fr('sqrt(d2::DOUBLE)', 6)} AS nn_dist
+      FROM best WHERE rn = 1"""
+    # Activity concentration: Gini via the Dorfman rank formula, exact
+    # DECIMAL(18,0) products, integer ceil(n/10) decile head
+    o["ev_gini"] = f"""
+      WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS c
+                 FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT event_type, user_id, c,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY c ASC, user_id ASC) AS i
+            FROM c),
+      a AS (SELECT event_type, count(*)::BIGINT AS n_entities,
+                   sum(c)::BIGINT AS n_events,
+                   sum(i::DECIMAL(18,0) * c::DECIMAL(18,0)) AS ric
+            FROM r GROUP BY 1),
+      t AS (SELECT r.event_type, sum(c)::BIGINT AS top
+            FROM r JOIN a ON r.event_type = a.event_type
+            WHERE i > n_entities - (n_entities + 9) // 10
+            GROUP BY 1)
+      SELECT a.event_type, n_entities, n_events,
+             {fr('(ric + ric - (n_entities + 1)::DECIMAL(18,0)'
+                 ' * n_events::DECIMAL(18,0))::DOUBLE'
+                 ' / (n_entities::DECIMAL(18,0)'
+                 ' * n_events::DECIMAL(18,0))::DOUBLE', 6)} AS gini,
+             {fr('top::DOUBLE / n_events::DOUBLE', 6)}
+               AS top_decile_share
+      FROM a JOIN t ON a.event_type = t.event_type"""
+    # Zipf fit over the top-500 token frequencies: DuckDB's ln is the
+    # same libm double as the Spark side's driver literals (verified
+    # bit-equal on this box — the perm-entropy convention); OLS sums
+    # DECIMAL(28,12), final combination in pinned-order DOUBLE
+    o["text_zipf"] = f"""
+      WITH tok AS (SELECT unnest({TOKS}) AS token FROM documents
+                   WHERE text IS NOT NULL),
+      cnt AS (SELECT token, count(*)::BIGINT AS freq
+              FROM tok GROUP BY 1),
+      top AS (SELECT token, freq FROM cnt
+              ORDER BY freq DESC, token ASC LIMIT 500),
+      rk AS (SELECT ln((row_number() OVER (ORDER BY freq DESC,
+                                           token ASC))::DOUBLE) AS x,
+                    ln(freq::DOUBLE) AS y
+             FROM top),
+      s AS (SELECT count(*)::BIGINT AS n_ranks,
+                   sum(x::DECIMAL(28,12)) AS sx,
+                   sum(y::DECIMAL(28,12)) AS sy,
+                   sum((x * y)::DECIMAL(28,12)) AS sxy,
+                   sum((x * x)::DECIMAL(28,12)) AS sxx
+            FROM rk),
+      f AS (SELECT n_ranks,
+                   n_ranks::DOUBLE * sxx::DOUBLE
+                     - sx::DOUBLE * sx::DOUBLE AS den,
+                   n_ranks::DOUBLE * sxy::DOUBLE
+                     - sx::DOUBLE * sy::DOUBLE AS num,
+                   sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+            FROM s)
+      SELECT n_ranks,
+             CASE WHEN n_ranks >= 2 AND den != 0.0
+                  THEN {fr('num / den', 6)} END AS slope,
+             CASE WHEN n_ranks >= 2 AND den != 0.0
+                  THEN {fr('(syd - (num / den) * sxd) / n_ranks::DOUBLE',
+                           6)} END AS intercept
+      FROM f"""
     # Ordered funnel: per-user first-touch chain via windowed min-CASE
     # (strictly-after gating), then per-step non-null counts
     o["ev_funnel_window"] = f"""

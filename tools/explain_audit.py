@@ -34,6 +34,10 @@ BOUNDED_SINGLE_PARTITION = {
     "iq_fill_linear": "ungrouped fill spine window, capped (fill.py); "
                       "segmented above _SMALL_SPINE",
     "emb_kmeans_train": "two 1-row global-aggregate summaries joined",
+    "text_zipf": "the rank window runs on the top_n-row (default 500) "
+                 "TakeOrderedAndProject result — bounded by the "
+                 "PARAMETER, not by data; the token-count shuffle "
+                 "before it is fully keyed",
     "emb_pq_topk": "the recall gate's n_hits/n_total 1-row global "
                    "aggregates; result data is per-query windowed",
     "emb_ivfpq_topk": "same recall-gate 1-row global aggregates as "
