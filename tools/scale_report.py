@@ -45,7 +45,14 @@ QUERIES = ["tpch_q1", "agg_median_percentile", "join_brand_revenue",
            # loop), basket-key pair self-join, fact-fact outer join +
            # double agg, entity-window lifecycle classification
            "graph_label_prop", "ev_basket_rules", "tpch_q13",
-           "ev_lifecycle"]
+           "ev_lifecycle",
+           # round-9 additions: bucket-quadratic pair self-join with
+           # lead-column windows (matrix profile), moment-join + segment
+           # routing (SAX), rank-window concentration, token-count +
+           # parameter-bounded regression (zipf), widest TPC-H join
+           # chain + double-role dims
+           "ts_matrix_profile", "ts_sax", "ev_gini", "text_zipf",
+           "tpch_q9", "tpch_q21"]
 
 
 def main():
