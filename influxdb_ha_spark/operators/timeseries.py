@@ -2546,10 +2546,11 @@ def activity_concentration(df: DataFrame,
     G = 0 (no inequality measurable), never NULL/NaN.
 
     Shape at 100 TB: one (type, entity) count shuffle (partial agg
-    map-side), one type-keyed rank window over the |entities|-per-type
-    count rows, one |types|-row final aggregate. Nothing quadratic;
-    the window is the same entity-per-type cardinality every operator
-    in this family already carries.
+    map-side), ONE type-keyed window pass carrying BOTH the rank and
+    the per-type total (two window specs over the same partitioning —
+    one exchange, one sort), one |types|-row final aggregate with the
+    decile tail as a conditional sum inside it. Nothing quadratic, no
+    join-back: the count table is read once.
 
     Added scope (the reference has no concentration surface).
     """
@@ -2561,37 +2562,35 @@ def activity_concentration(df: DataFrame,
            .agg(F.count(F.lit(1)).alias("__c")))
     w = Window.partitionBy(type_col).orderBy(
         F.col("__c").asc(), *[F.col(k).asc() for k in by])
+    wn = Window.partitionBy(type_col)
     r = cnt.select(type_col, "__c",
-                   F.row_number().over(w).alias("__i"))
+                   F.row_number().over(w).alias("__i"),
+                   F.count(F.lit(1)).over(wn).alias("__n"))
     # i·c as DECIMAL(18,0)×DECIMAL(18,0) → (37,0) — multiplying in LONG
     # would overflow silently at 10^10 entities × 10^12 events, and a
     # (38,0)×(38,0) product would cross Spark's precision-38 loss
     # boundary; 18-digit operands bound the contract at n_entities,
     # n_events < 10^18 (documented, far beyond any real corpus)
     dec = lambda c: c.cast("decimal(18,0)")
+    # top-decile tail flag: ASC rank i is in the top ceil(n/10) iff
+    # i > n − ceil(n/10); ceil(n/10) = (n+9 − pmod(n+9, 10))/10 is an
+    # exact-multiple division — integer everywhere
+    ceil10 = ((F.col("__n") + 9 - F.pmod(F.col("__n") + 9, F.lit(10)))
+              / F.lit(10)).cast("long")
+    in_tail = F.col("__i") > F.col("__n") - ceil10
     agg = (r.groupBy(type_col)
            .agg(F.count(F.lit(1)).alias("n_entities"),
                 F.sum("__c").alias("n_events"),
                 F.sum(dec(F.col("__i")) * dec(F.col("__c")))
-                .alias("__ric")))
-    # top-decile tail: ASC rank i is in the top ceil(n/10) iff
-    # i > n − ceil(n/10); ceil(n/10) = (n+9 − pmod(n+9, 10))/10 is an
-    # exact-multiple division — integer everywhere. The |types|-row
-    # count table joins back broadcast (genuinely bounded).
-    n_per = agg.select(type_col, F.col("n_entities").alias("__n"))
-    ceil10 = ((F.col("__n") + 9 - F.pmod(F.col("__n") + 9, F.lit(10)))
-              / F.lit(10)).cast("long")
-    tail = (r.join(F.broadcast(n_per), type_col)
-            .where(F.col("__i") > F.col("__n") - ceil10)
-            .groupBy(type_col)
-            .agg(F.sum("__c").alias("__top")))
+                .alias("__ric"),
+                F.sum(F.when(in_tail, F.col("__c")).otherwise(F.lit(0)))
+                .alias("__top")))
     g_num = (F.col("__ric") + F.col("__ric")
              - dec(F.col("n_entities") + 1) * dec(F.col("n_events")))
     g_den = dec(F.col("n_entities")) * dec(F.col("n_events"))
-    return (agg.join(tail, type_col)
-            .select(type_col, "n_entities", "n_events",
-                    _fr(g_num.cast("double") / g_den.cast("double"), 6)
-                    .alias("gini"),
-                    _fr(F.col("__top").cast("double")
-                        / F.col("n_events").cast("double"), 6)
-                    .alias("top_decile_share")))
+    return agg.select(type_col, "n_entities", "n_events",
+                      _fr(g_num.cast("double") / g_den.cast("double"), 6)
+                      .alias("gini"),
+                      _fr(F.col("__top").cast("double")
+                          / F.col("n_events").cast("double"), 6)
+                      .alias("top_decile_share"))
