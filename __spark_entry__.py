@@ -2295,6 +2295,34 @@ def q_ts_matrix_profile(spark, sf):
                           value_col="value", bucket_ns=HOUR, m=4)
 
 
+def q_ev_markov(spark, sf):
+    """Stationary distribution of the empirical event-transition chain
+    (power iteration, added scope — the long-run importance score that
+    turns ev_transitions' Sankey edges into one number per state):
+    exact fixed-point integers end to end (row-normalize once at 10⁶,
+    iterate 10 rounds at 10¹², every division a floor — the
+    graph_pagerank bit-stability convention), dangling states
+    self-loop exactly; oracle unrolls the same 10 MATERIALIZED rounds
+    (operators/timeseries.py:markov_stationary)."""
+    from influxdb_ha_spark.operators.timeseries import markov_stationary
+    ev = _events_us(spark, sf).select("user_id", "event_type", "time")
+    return markov_stationary(ev, by=["user_id"], iters=10)
+
+
+def q_ts_quantile_bands(spark, sf):
+    """Per-(series, hour) latency bands — n, exact interpolating
+    p50/p95/p99, max (added scope — THE SLO dashboard table;
+    per-bucket companion of the global agg_median_percentile): Spark
+    percentile ↔ DuckDB quantile_cont under the (n−1)·q convention
+    (the ev_inter_event median equivalence extended to the tail),
+    floor-round-6; percentile_approx is the documented 100 TB swap
+    (operators/timeseries.py:quantile_bands)."""
+    from influxdb_ha_spark.operators.timeseries import quantile_bands
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return quantile_bands(ev, on="time", by=["event_type"],
+                          value_col="value", bucket_ns=HOUR)
+
+
 def q_ev_gini(spark, sf):
     """Per-type activity-concentration audit (Gini via the Dorfman
     1979 rank formula + top-decile share, added scope — the whale-vs-
@@ -3535,6 +3563,8 @@ _FAMILIES = [
         "ev_basket_rules": q_ev_basket_rules,
         "ev_dau_anomaly": q_ev_dau_anomaly,
         "ev_gini": q_ev_gini,
+        "ev_markov": q_ev_markov,
+        "ts_quantile_bands": q_ts_quantile_bands,
         "ev_user_paths": q_ev_user_paths,
         "ev_active_users": q_ev_active_users,
         "ev_attribution": q_ev_attribution,

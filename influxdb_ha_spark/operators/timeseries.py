@@ -2594,3 +2594,131 @@ def activity_concentration(df: DataFrame,
                       _fr(F.col("__top").cast("double")
                           / F.col("n_events").cast("double"), 6)
                       .alias("top_decile_share"))
+
+
+def markov_stationary(df: DataFrame, by: Sequence[str] = ("user_id",),
+                      on: str = "time", type_col: str = "event_type",
+                      iters: int = 10) -> DataFrame:
+    """Stationary distribution of the empirical event-transition chain
+    (power iteration over the row-normalized `type_transitions` matrix
+    — the long-run "where does a user's session settle" summary that
+    turns the Sankey edge list into one importance score per state;
+    PageRank's chain-theoretic parent, Kemeny & Snell 1960).
+
+    EXACT FIXED-POINT INTEGERS end to end (the graph.pagerank
+    convention — float power iteration drifts ulps between engines and
+    fold orders; this is bit-stable by construction):
+
+        p_ij = (n_ij · 10⁶) div n_i          (row-normalize ONCE)
+        π_0  = 10¹² div S                     (S = number of states)
+        π_{t+1}(j) = Σ_i (π_t(i) · p_ij) div 10⁶
+
+    Every operand is a BIGINT and every division a floor; the bound
+    π·p ≤ 10¹²·10⁶ = 10¹⁸ keeps all products inside int64, and
+    normalization requires n_ij ≤ 9.2·10¹² (checked LOUDLY — beyond
+    that, raise the probability scale's complement). Floor truncation
+    leaks ≤1 unit per nonzero p_ij per iteration plus the ≤outdeg
+    row-normalization deficit — a ≤1e-6-relative artifact identically
+    replayed by the oracle's unrolled CTEs. DANGLING states (observed
+    only as a transition target) get an exact self-loop p = 10⁶: they
+    absorb, which is the truthful long-run behavior of the observed
+    chain (teleportation belongs to pagerank's damping, not here).
+
+    Shape at 100 TB: the `type_transitions` front stage (ONE entity-
+    keyed window shuffle); everything after lives on the sparse
+    |observed pairs|-bounded edge table and |states|-row π vectors —
+    `iters` joins over sketch-sized tables, no checkpoint needed (the
+    plan depth is parameter-bounded and the tables are tiny, unlike
+    pagerank's O(|V|) frontiers).
+
+    Added scope (the reference has no chain-analysis surface).
+    """
+    SCALE_PI, SCALE_P = 1_000_000_000_000, 1_000_000
+    trans = (type_transitions(df, by, on, type_col)
+             .select("from_type", "to_type", "n_transitions"))
+    from ..cache import keep
+    # states = every type observed in any transition role
+    states = keep("ts.markov.states",
+                  trans.select(F.col("from_type").alias("state"))
+                  .union(trans.select(F.col("to_type").alias("state")))
+                  .distinct())
+    over = (trans.where(F.col("n_transitions")
+                        > 9_200_000_000_000).limit(1).collect())
+    if over:
+        raise ValueError(
+            "markov_stationary: a transition count exceeds 9.2e12 — "
+            "n_ij * 1e6 would overflow int64 in row normalization")
+    outd = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("__n"))
+    p = (trans.join(outd, "from_type")
+         .select(F.col("from_type").alias("src"),
+                 F.col("to_type").alias("dst"),
+                 F.expr(f"(n_transitions * {SCALE_P}) div __n")
+                 .cast("long").alias("__p")))
+    # dangling states: exact self-loop
+    dangle = (states.join(trans.select(F.col("from_type").alias("state"))
+                          .distinct(), "state", "left_anti")
+              .select(F.col("state").alias("src"),
+                      F.col("state").alias("dst"),
+                      F.lit(SCALE_P).cast("long").alias("__p")))
+    p = keep("ts.markov.p", p.unionByName(dangle))
+    n_states = states.count()
+    if n_states == 0:
+        return states.select(F.col("state").alias(type_col),
+                             F.lit(0).cast("long").alias("pi_fp"),
+                             F.lit(0.0).alias("pi"))
+    pi = states.select("state",
+                       F.lit(SCALE_PI // n_states).cast("long")
+                       .alias("__pi"))
+    for _ in range(int(iters)):
+        moved = (pi.join(p, pi.state == p.src)
+                 .select(F.col("dst").alias("state"),
+                         F.expr(f"(__pi * __p) div {SCALE_P}")
+                         .cast("long").alias("__c")))
+        pi = (states.join(moved.groupBy("state")
+                          .agg(F.sum("__c").alias("__pi")),
+                          "state", "left")
+              .select("state", F.coalesce(F.col("__pi"), F.lit(0))
+                      .cast("long").alias("__pi")))
+    return pi.select(F.col("state").alias(type_col),
+                     F.col("__pi").alias("pi_fp"),
+                     _fr(F.col("__pi").cast("double")
+                         / F.lit(float(SCALE_PI)), 6).alias("pi"))
+
+
+def quantile_bands(df: DataFrame, on: str = "time",
+                   by: Sequence[str] = ("event_type",),
+                   value_col: str = "value",
+                   bucket_ns: int = 3_600_000_000_000) -> DataFrame:
+    """Per-(series, bucket) latency/value bands — count, p50/p95/p99
+    and max — THE monitoring workhorse table (SLO dashboards, burn-rate
+    alerts, "did p99 move after the deploy") that every metrics stack
+    materializes continuously; the per-bucket companion of the GLOBAL
+    exact order statistics in `agg_median_percentile`.
+
+    Quantiles are EXACT interpolating order statistics (the (n−1)·q
+    convention — Spark `percentile` ↔ DuckDB `quantile_cont`, the
+    hash-gate equivalence `ev_inter_event` pinned for the median,
+    extended here to the tail), floor-rounded at 6; count and max are
+    exact. At 100 TB swap `percentile_approx` (t-digest) behind the
+    same columns — the documented trade on `agg_median_percentile`.
+
+    Shape: ONE (series, bucket) shuffle; the sort cost of the exact
+    order statistics is per-group (bucket-bounded), not global.
+
+    Added scope (the reference approximates percentile per calls.go:
+    46-103 and has no per-bucket band surface).
+    """
+    by = list(by)
+    b = _bucket_expr(on, bucket_ns)
+    pct = F.percentile(F.col(value_col), F.array(
+        F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return (df.groupBy(*by, b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 pct.alias("__p"),
+                 F.max(value_col).alias("__mx"))
+            .select(*by, "bucket", "n",
+                    _fr(F.element_at("__p", 1), 6).alias("p50"),
+                    _fr(F.element_at("__p", 2), 6).alias("p95"),
+                    _fr(F.element_at("__p", 3), 6).alias("p99"),
+                    _fr(F.col("__mx"), 6).alias("v_max")))

@@ -2384,6 +2384,62 @@ def build_oracles() -> dict[str, str]:
       SELECT from_type, to_type, count(*)::BIGINT AS n_transitions,
              count(DISTINCT user_id)::BIGINT AS n_entities
       FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2"""
+    # Markov stationary distribution: the same fixed-point integer
+    # power iteration as the Spark side (row-normalize at 1e6, iterate
+    # at 1e12, every division a floor), 10 rounds unrolled and
+    # MATERIALIZED (the pagerank/kcore convention — round k+1
+    # references round k once per edge; inlining would re-derive the
+    # whole prefix per reference)
+    _MK_ITERS = 10
+    _mk = [f"""
+      i0 AS MATERIALIZED (
+        SELECT state, (1000000000000 // (SELECT count(*) FROM st))::BIGINT
+          AS pi FROM st)"""]
+    for _k in range(1, _MK_ITERS + 1):
+        _mk.append(f"""
+      i{_k} AS MATERIALIZED (
+        SELECT s.state, coalesce(m.pi, 0)::BIGINT AS pi
+        FROM st s LEFT JOIN (
+          SELECT p0.dst AS state,
+                 sum((i.pi * p0.p) // 1000000)::BIGINT AS pi
+          FROM i{_k - 1} i JOIN p0 ON i.state = p0.src
+          GROUP BY 1) m ON m.state = s.state)""")
+    o["ev_markov"] = f"""
+      WITH e AS (SELECT user_id, event_type, {EV_TIME} AS time FROM events
+                 WHERE event_type IS NOT NULL),
+      pr AS (SELECT user_id,
+                    lag(event_type) OVER (PARTITION BY user_id
+                      ORDER BY time ASC, event_type ASC) AS from_type,
+                    event_type AS to_type
+             FROM e),
+      t AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+            FROM pr WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      st AS (SELECT DISTINCT state FROM (
+               SELECT from_type AS state FROM t
+               UNION SELECT to_type FROM t)),
+      outd AS (SELECT from_type, sum(n)::BIGINT AS nn FROM t GROUP BY 1),
+      p0 AS (SELECT from_type AS src, to_type AS dst,
+                    ((n * 1000000) // nn)::BIGINT AS p
+             FROM t JOIN outd USING (from_type)
+             UNION ALL
+             SELECT state, state, 1000000::BIGINT FROM st
+             WHERE state NOT IN (SELECT from_type FROM t)),
+      {",".join(_mk)}
+      SELECT state AS event_type, pi AS pi_fp,
+             {fr('pi::DOUBLE / 1000000000000.0', 6)} AS pi
+      FROM i{_MK_ITERS}"""
+    # Per-(series, hour) SLO bands: exact interpolating quantiles —
+    # quantile_cont == Spark percentile under the (n-1)*q convention
+    # (the ev_inter_event median equivalence, extended to the tail)
+    o["ts_quantile_bands"] = f"""
+      WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events)
+      SELECT event_type, time - time % {HOUR} AS bucket,
+             count(*)::BIGINT AS n,
+             {fr('quantile_cont(value, 0.5)', 6)} AS p50,
+             {fr('quantile_cont(value, 0.95)', 6)} AS p95,
+             {fr('quantile_cont(value, 0.99)', 6)} AS p99,
+             {fr('max(value)', 6)} AS v_max
+      FROM e GROUP BY 1, 2"""
     o["ev_retention"] = f"""
       WITH e AS (SELECT DISTINCT user_id,
                         {EV_TIME} - {EV_TIME} % {DAY} AS b FROM events),

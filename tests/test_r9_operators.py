@@ -156,3 +156,53 @@ def test_zipf_uniform_corpus_zero_slope(spark):
 def test_zipf_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id long, text string")
     assert zipf_fit(df, top_n=10).collect() == []
+
+
+def test_markov_two_state_chain(spark):
+    # chain a->b->a->b... : P = [[0,1],[1,0]], stationary (0.5, 0.5);
+    # power iteration from uniform hits it exactly at every step
+    from influxdb_ha_spark.operators.timeseries import markov_stationary
+    rows = [(1, i * B, "a" if i % 2 == 0 else "b") for i in range(20)]
+    df = spark.createDataFrame(rows, "user_id long, time long, "
+                               "event_type string")
+    out = {r["event_type"]: r for r in
+           markov_stationary(df, by=["user_id"], iters=6).collect()}
+    assert out["a"]["pi_fp"] == 500_000_000_000
+    assert out["b"]["pi_fp"] == 500_000_000_000
+    assert out["a"]["pi"] == 0.5
+
+
+def test_markov_absorbing_dangling_state(spark):
+    # a -> b only, b never leaves: b is dangling -> exact self-loop,
+    # all mass absorbs into b
+    from influxdb_ha_spark.operators.timeseries import markov_stationary
+    rows = [(u, t * B, ty) for u in range(3)
+            for t, ty in [(0, "a"), (1, "b")]]
+    df = spark.createDataFrame(rows, "user_id long, time long, "
+                               "event_type string")
+    out = {r["event_type"]: r["pi_fp"] for r in
+           markov_stationary(df, by=["user_id"], iters=10).collect()}
+    assert out["b"] == 1_000_000_000_000  # all mass absorbed
+    assert out["a"] == 0
+
+
+def test_markov_empty(spark):
+    from influxdb_ha_spark.operators.timeseries import markov_stationary
+    df = spark.createDataFrame([], "user_id long, time long, "
+                               "event_type string")
+    assert markov_stationary(df, by=["user_id"]).collect() == []
+
+
+def test_quantile_bands_golden(spark):
+    from influxdb_ha_spark.operators.timeseries import quantile_bands
+    # one series, one bucket, values 1..100: p50=50.5, p95=95.05,
+    # p99=99.01 under the (n-1)*q interpolation
+    rows = [(i * 1000, float(i), "x") for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "time long, value double, "
+                               "tag string")
+    r = quantile_bands(df, by=["tag"], value_col="value",
+                       bucket_ns=10**12).collect()[0]
+    assert r["n"] == 100 and r["v_max"] == 100.0
+    assert r["p50"] == 50.5
+    assert r["p95"] == 95.05
+    assert r["p99"] == 99.01
