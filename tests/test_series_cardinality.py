@@ -131,3 +131,53 @@ def test_per_row_and_per_lag_contracts(degenerate_df):
     # a: 1 bucket -> no lags; b: 5 buckets -> lags 1..4; c: lag 1
     assert per == {"b": 4, "c": 1}
     assert all(r["acf"] == 0.0 for r in rows if r["tag"] == "b")
+
+
+def test_r9_family_shapes(degenerate_df):
+    """The r9 additions' cardinality contracts on the same degenerate
+    fixture, pinned so their shapes are DOCUMENTED, not oversights:
+
+    - sax_symbols: >= 1 segment row for EVERY series (a 1-point series
+      is one segment); constant/singleton series carry NULL z/symbol.
+    - quantile_bands: one row per (series, bucket) — every series
+      present; a 1-point bucket has p50 = p95 = p99 = max = the point.
+    - matrix_profile: per-WINDOW — a series with < 2m buckets has no
+      window with a non-trivial (|i-j| >= m) neighbor and is ABSENT by
+      documented contract (the acf absent-not-NULL convention).
+    - markov_stationary: per-STATE over observed transitions — a
+      series key is an ENTITY here, not a state; single-event entities
+      contribute no transitions, and a corpus with none yields an
+      empty chain.
+    """
+    sax = ts.sax_symbols(degenerate_df, by=["tag"], value_col="value",
+                         bucket_ns=B, segments=4, alphabet=4).collect()
+    per = {}
+    for r in sax:
+        per.setdefault(r["tag"], []).append(r)
+    assert sorted(per) == ["a", "b", "c"]
+    assert len(per["a"]) == 1   # one point -> one occupied segment
+    assert per["a"][0]["z"] is None and per["a"][0]["symbol"] is None
+    assert all(r["z"] is None for r in per["b"])   # constant: sigma 0
+
+    qb = ts.quantile_bands(degenerate_df, by=["tag"], value_col="value",
+                           bucket_ns=B).collect()
+    tags = {r["tag"] for r in qb}
+    assert tags == {"a", "b", "c"}
+    one = [r for r in qb if r["tag"] == "a"][0]
+    assert (one["p50"], one["p99"], one["v_max"]) == (7.0, 7.0, 7.0)
+
+    mp = ts.matrix_profile(degenerate_df, by=["tag"], value_col="value",
+                           bucket_ns=B, m=2).collect()
+    # only b (5 buckets >= 2m=4) can host non-trivial neighbors
+    assert {r["tag"] for r in mp} == {"b"}
+    assert all(r["nn_dist"] == 0.0 for r in mp)   # constant series
+
+    # two entities, each with a single event type twice -> self-loops
+    mk = ts.markov_stationary(
+        degenerate_df.withColumnRenamed("tag", "event_type")
+        .withColumn("user_id", F.lit(1)),
+        by=["user_id"]).collect()
+    states = {r["event_type"] for r in mk}
+    # entity 1's time-ordered chain over a/b/c transitions exists;
+    # every observed state gets a pi row
+    assert states <= {"a", "b", "c"} and len(states) >= 1
