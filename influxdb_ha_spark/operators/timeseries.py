@@ -2411,7 +2411,12 @@ def sax_symbols(df: DataFrame, on: str = "time",
     # identical exact-decimal inputs make the IEEE ops engine-identical
     s1d, s2d = F.col("__s1").cast("double"), F.col("__s2").cast("double")
     nd = F.col("__n").cast("double")
-    varn2 = s2d * nd - s1d * s1d
+    # greatest(·, 0): float cancellation on a (near-)constant series
+    # can land s2·n − s1² a few ulps NEGATIVE — Spark's sqrt would give
+    # NaN (and DuckDB's raises), and NaN ordering DIFFERS between the
+    # engines (NaN > 0 is false in Spark, TRUE in DuckDB), so the
+    # clamp is a cross-engine-correctness guard, not cosmetics
+    varn2 = F.greatest(s2d * nd - s1d * s1d, F.lit(0.0))
     mom = mom.select(*by, "__n",
                      (s1d / nd).alias("__mu"),
                      F.sqrt(varn2 / (nd * nd)).alias("__sigma"))
@@ -2642,19 +2647,22 @@ def markov_stationary(df: DataFrame, by: Sequence[str] = ("user_id",),
                   trans.select(F.col("from_type").alias("state"))
                   .union(trans.select(F.col("to_type").alias("state")))
                   .distinct())
-    over = (trans.where(F.col("n_transitions")
-                        > 9_200_000_000_000).limit(1).collect())
-    if over:
-        raise ValueError(
-            "markov_stationary: a transition count exceeds 9.2e12 — "
-            "n_ij * 1e6 would overflow int64 in row normalization")
     outd = trans.groupBy("from_type").agg(
         F.sum("n_transitions").alias("__n"))
+    # overflow guard IN the plan (the pettitt raise_error convention —
+    # an eager collect probe here would run the whole entity-window
+    # pipeline once per construction): beyond 9.2e12 transitions per
+    # pair, n_ij·10⁶ wraps int64 under non-ANSI arithmetic
+    p_val = (F.when(F.col("n_transitions") <= 9_200_000_000_000,
+                    F.expr(f"(n_transitions * {SCALE_P}) div __n"))
+             .otherwise(F.raise_error(F.lit(
+                 "markov_stationary: a transition count exceeds 9.2e12 "
+                 "- n_ij * 1e6 would overflow int64 in row "
+                 "normalization"))))
     p = (trans.join(outd, "from_type")
          .select(F.col("from_type").alias("src"),
                  F.col("to_type").alias("dst"),
-                 F.expr(f"(n_transitions * {SCALE_P}) div __n")
-                 .cast("long").alias("__p")))
+                 p_val.cast("long").alias("__p")))
     # dangling states: exact self-loop
     dangle = (states.join(trans.select(F.col("from_type").alias("state"))
                           .distinct(), "state", "left_anti")

@@ -1970,7 +1970,8 @@ def build_oracles() -> dict[str, str]:
                      sum((v * v)::DECIMAL(38,12)) AS s2
               FROM g GROUP BY 1),
       mm AS (SELECT event_type, n, s1::DOUBLE / n AS mu,
-                    sqrt((s2::DOUBLE * n - s1::DOUBLE * s1::DOUBLE)
+                    sqrt(greatest(s2::DOUBLE * n
+                                  - s1::DOUBLE * s1::DOUBLE, 0)
                          / (n::DOUBLE * n::DOUBLE)) AS sigma
              FROM mom),
       r AS (SELECT event_type, bucket, v,
