@@ -1355,6 +1355,28 @@ def q_text_winnowing(spark, sf):
     return TX.winnowing_fingerprints(_t(spark, sf, "documents"), k=8, s=4)
 
 
+def q_text_burstiness(spark, sf):
+    """Corpus token burstiness — variance-to-mean ratio of per-doc
+    counts for the top-50 tokens, zeros included by the zero-count
+    identity (added scope — Church & Gale 1995; the template/spam
+    screen next to text_zipf): integer Σc/Σc² with DECIMAL(19,0)
+    product casts, population variance (n·Σc²−(Σc)²) combined in
+    pinned-order double, ONE floor-round-6 division; 1-row doc-count
+    broadcast (operators/text.py:token_burstiness)."""
+    return TX.token_burstiness(_t(spark, sf, "documents"), top_n=50)
+
+
+def q_doc_length_profile(spark, sf):
+    """Per-source document-length audit — n_docs/n_measured, exact
+    interpolating p25/p50/p75/p95, decimal-exact mean (added scope —
+    the extraction-pipeline drift alarm on the metadata axis): the
+    ts_quantile_bands percentile ↔ quantile_cont convention; NULL
+    lengths counted but excluded from statistics
+    (operators/text.py:length_profile)."""
+    return TX.length_profile(_t(spark, sf, "documents"),
+                             group_col="source", len_col="n_chars")
+
+
 def q_text_zipf(spark, sf):
     """Corpus Zipf-law fit (Zipf 1949, added scope — the one-number
     corpus-health / batch-drift alarm): OLS of ln f on ln r over the
@@ -3512,6 +3534,8 @@ _FAMILIES = [
         "text_rolling": q_text_rolling,
         "text_winnowing": q_text_winnowing,
         "text_zipf": q_text_zipf,
+        "text_burstiness": q_text_burstiness,
+        "doc_length_profile": q_doc_length_profile,
         "text_top_tokens": q_text_top_tokens,
         "text_lm_score": q_text_lm_score,
         "text_bm25": q_text_bm25,

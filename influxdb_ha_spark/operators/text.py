@@ -1004,3 +1004,111 @@ def zipf_fit(df: DataFrame, text_col: str = "text",
         "n_ranks",
         F.when(ok, r6(slope_raw)).alias("slope"),
         F.when(ok, r6(intercept)).alias("intercept"))
+
+
+def token_burstiness(df: DataFrame, text_col: str = "text",
+                     top_n: int = 50) -> DataFrame:
+    """Corpus token burstiness — the variance-to-mean ratio (index of
+    dispersion) of per-document counts for the top_n corpus tokens
+    (Church & Gale 1995, "Poisson mixtures"; the burstiness literature's
+    standard screen): a token whose occurrences cluster in few
+    documents (VMR >> 1 — topical/templated/spam) reads very
+    differently from one spread Poisson-like (VMR ≈ 1 — function
+    words), and a CORPUS whose common tokens are all bursty is
+    template-heavy — the quality/contamination signal next to
+    `zipf_fit`'s slope and `token_entropy`.
+
+        VMR(w) = Var[c_d(w)] / E[c_d(w)]   over ALL docs d (zeros
+                                            included — absence is data)
+
+    Determinism: per-doc counts are exact integers; Σc and Σc² are
+    exact integer sums over the docs CONTAINING the token, extended to
+    the all-docs population by the zero-count identity (zeros add
+    nothing to either sum — no |docs|×top_n dense join needed);
+    population variance combines as (n·Σc² − (Σc)²) with DECIMAL(19,0)
+    casts bounding operands under the precision-38 product boundary
+    (documented: Σc² < 10¹⁸); VMR = ONE floor-round-6 double division.
+
+    Shape at 100 TB: one tokenize/explode → (doc, token) partial-agg
+    shuffle, one token-keyed moment agg, TakeOrderedAndProject top_n
+    (no global sort); the doc-count scalar is a 1-row aggregate
+    crossJoin(broadcast) (the quality_sample pattern). Zeros never
+    materialize.
+
+    Added scope (the reference has no corpus-statistics surface).
+    """
+    if top_n < 1:
+        raise ValueError("token_burstiness: top_n must be >= 1")
+    base = (ensure_min_parallelism(df)
+            .where(F.col(text_col).isNotNull()))
+    ndocs = base.agg(F.count(F.lit(1)).alias("__nd"))
+    tf = (base.select(F.monotonically_increasing_id().alias("__doc"),
+                      tokens_expr(F.col(text_col)).alias("__t"))
+          .select("__doc", F.explode("__t").alias("token"))
+          .groupBy("__doc", "token")
+          .agg(F.count(F.lit(1)).alias("__c")))
+    d19 = lambda c: c.cast("decimal(19,0)")
+    mom = (tf.groupBy("token")
+           .agg(F.count(F.lit(1)).alias("df_docs"),
+                F.sum("__c").alias("total"),
+                F.sum(d19(F.col("__c")) * d19(F.col("__c")))
+                .alias("__s2")))
+    # population moments over ALL docs: zeros contribute nothing to
+    # Σc/Σc², only to n — so the per-token row + the 1-row doc count
+    # is the whole computation
+    r6 = lambda c: (F.floor(c * F.lit(1e6) + F.lit(0.5))  # noqa: E731
+                    / F.lit(1e6))
+    n = F.col("__nd").cast("double")
+    sc = F.col("total").cast("double")
+    s2 = F.col("__s2").cast("double")
+    vmr = (s2 * n - sc * sc) / (n * sc)   # Var/mean = (nΣc²−(Σc)²)/(n·Σc)
+    return (mom.crossJoin(F.broadcast(ndocs))
+            .orderBy(F.col("total").desc(), F.col("token").asc())
+            .limit(int(top_n))
+            .select("token", "df_docs", "total",
+                    F.col("__nd").alias("n_docs"),
+                    r6(vmr).alias("vmr")))
+
+
+def length_profile(df: DataFrame, group_col: str = "source",
+                   len_col: str = "n_chars") -> DataFrame:
+    """Per-source document-length profile — n_docs, exact interpolating
+    p25/p50/p75/p95 and an exact-decimal mean of the length column: the
+    first audit every corpus intake runs (a source whose length
+    distribution collapses or bimodalizes between crawls changed its
+    extraction pipeline, not its content — the operational sibling of
+    `zipf_fit`/`token_burstiness` on the metadata axis).
+
+    Determinism: quantiles are the exact interpolating (n−1)·q order
+    statistics (Spark `percentile` ↔ DuckDB `quantile_cont`, the
+    ts_quantile_bands convention); the mean is a DECIMAL(28,6)
+    accumulation over int64 lengths divided once (order-free); all
+    floor-rounded at 6. NULL lengths are excluded from the statistics
+    but COUNTED (n_docs vs n_measured — a source suddenly producing
+    NULL lengths is itself the finding, never silently conflated).
+
+    Shape: ONE group-keyed shuffle; per-group (never global) sort for
+    the order statistics; `percentile_approx` is the documented
+    100 TB swap (the agg_median_percentile trade).
+
+    Added scope (the reference has no corpus-audit surface).
+    """
+    d = ensure_min_parallelism(df)
+    v = F.col(len_col).cast("double")
+    pct = F.percentile(v, F.array(F.lit(0.25), F.lit(0.5),
+                                  F.lit(0.75), F.lit(0.95)))
+    r6 = lambda c: (F.floor(c * F.lit(1e6) + F.lit(0.5))  # noqa: E731
+                    / F.lit(1e6))
+    mean = (F.sum(F.col(len_col).cast("decimal(28,6)")).cast("double")
+            / F.count(len_col))
+    return (d.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count(len_col).alias("n_measured"),
+                 pct.alias("__p"),
+                 mean.alias("__m"))
+            .select(group_col, "n_docs", "n_measured",
+                    r6(F.element_at("__p", 1)).alias("p25"),
+                    r6(F.element_at("__p", 2)).alias("p50"),
+                    r6(F.element_at("__p", 3)).alias("p75"),
+                    r6(F.element_at("__p", 4)).alias("p95"),
+                    r6(F.col("__m")).alias("mean_len")))

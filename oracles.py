@@ -2051,6 +2051,38 @@ def build_oracles() -> dict[str, str]:
              {fr('top::DOUBLE / n_events::DOUBLE', 6)}
                AS top_decile_share
       FROM a JOIN t ON a.event_type = t.event_type"""
+    # Token burstiness: population VMR over ALL docs via the
+    # zero-count identity (zeros add nothing to the integer moment
+    # sums); DECIMAL(19,0) product casts, pinned-order double combine
+    o["text_burstiness"] = f"""
+      WITH base AS (SELECT doc_id, text FROM documents
+                    WHERE text IS NOT NULL),
+      nd AS (SELECT count(*)::BIGINT AS n_docs FROM base),
+      tf AS (SELECT doc_id, unnest({TOKS}) AS token FROM base),
+      c AS (SELECT doc_id, token, count(*)::BIGINT AS c
+            FROM tf GROUP BY 1, 2),
+      mom AS (SELECT token, count(*)::BIGINT AS df_docs,
+                     sum(c)::BIGINT AS total,
+                     sum(c::DECIMAL(19,0) * c::DECIMAL(19,0)) AS s2
+              FROM c GROUP BY 1),
+      top AS (SELECT mom.*, nd.n_docs FROM mom, nd
+              ORDER BY total DESC, token ASC LIMIT 50)
+      SELECT token, df_docs, total, n_docs,
+             {fr('(s2::DOUBLE * n_docs - total::DOUBLE * total::DOUBLE)'
+                 ' / (n_docs::DOUBLE * total::DOUBLE)', 6)} AS vmr
+      FROM top"""
+    # Per-source length audit: the quantile_cont == percentile
+    # convention (ts_quantile_bands), NULL lengths counted not measured
+    o["doc_length_profile"] = f"""
+      SELECT source, count(*)::BIGINT AS n_docs,
+             count(n_chars)::BIGINT AS n_measured,
+             {fr('quantile_cont(n_chars::DOUBLE, 0.25)', 6)} AS p25,
+             {fr('quantile_cont(n_chars::DOUBLE, 0.5)', 6)} AS p50,
+             {fr('quantile_cont(n_chars::DOUBLE, 0.75)', 6)} AS p75,
+             {fr('quantile_cont(n_chars::DOUBLE, 0.95)', 6)} AS p95,
+             {fr('sum(n_chars::DECIMAL(28,6))::DOUBLE / count(n_chars)',
+                 6)} AS mean_len
+      FROM documents GROUP BY 1"""
     # Zipf fit over the top-500 token frequencies: DuckDB's ln is the
     # same libm double as the Spark side's driver literals (verified
     # bit-equal on this box — the perm-entropy convention); OLS sums

@@ -206,3 +206,35 @@ def test_quantile_bands_golden(spark):
     assert r["p50"] == 50.5
     assert r["p95"] == 95.05
     assert r["p99"] == 99.01
+
+
+def test_burstiness_uniform_vs_bursty(spark):
+    from influxdb_ha_spark.operators.text import token_burstiness
+    # "flat" appears once in each of 8 docs -> per-doc counts all 1
+    # over n=8 docs: mean 1, var 0 -> VMR 0 (population, zeros absent)
+    # "burst" appears 8 times in ONE doc: counts (8,0,...,0):
+    # mean 1, E[c^2] = 64/8 = 8 -> var 7 -> VMR 7
+    docs = [(i, "flat " + ("burst " * 8 if i == 0 else ""))
+            for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["token"]: r for r in
+           token_burstiness(df, top_n=10).collect()}
+    assert out["flat"]["vmr"] == 0.0
+    assert out["flat"]["df_docs"] == 8 and out["flat"]["total"] == 8
+    assert out["burst"]["vmr"] == 7.0
+    assert out["burst"]["df_docs"] == 1 and out["burst"]["total"] == 8
+    import pytest as _pt
+    with _pt.raises(ValueError, match="top_n"):
+        token_burstiness(df, top_n=0)
+
+
+def test_length_profile_nulls_counted_not_measured(spark):
+    from influxdb_ha_spark.operators.text import length_profile
+    rows = [("s1", 10), ("s1", 20), ("s1", 30), ("s1", None),
+            ("s2", 5)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r["source"]: r for r in length_profile(df).collect()}
+    assert out["s1"]["n_docs"] == 4 and out["s1"]["n_measured"] == 3
+    assert out["s1"]["p50"] == 20.0 and out["s1"]["mean_len"] == 20.0
+    assert out["s1"]["p25"] == 15.0  # (n-1)q interpolation over 3 pts
+    assert out["s2"]["p95"] == 5.0 and out["s2"]["n_docs"] == 1

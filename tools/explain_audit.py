@@ -92,6 +92,9 @@ BOUNDED_SINGLE_PARTITION = {
     "tpch_q11": "the 1-row global part-value total (partial sum "
                 "map-side, P partial rows gathered); the per-part "
                 "agg itself shuffles on partkey",
+    "text_burstiness": "the 1-row corpus doc-count aggregate (partial "
+                       "count map-side); the token-moment agg itself "
+                       "shuffles on (doc, token) then token keys",
     "graph_assortativity": "the final 1-row moment aggregate (six "
                            "decimal partials per partition gathered); "
                            "the degree joins shuffle on node keys",
@@ -160,6 +163,9 @@ ALLOWED_CARTESIAN = {
     "ev_heavy_hitters": "broadcast of the 1-row total-count aggregate "
                         "onto the key-count table — the "
                         "doc_quality_sample threshold pattern",
+    "text_burstiness": "broadcast of the 1-row doc-count denominator "
+                       "onto the token-moment table (output bounded "
+                       "by top_n) — the quality_sample pattern",
     "ev_dau_anomaly": "1-row median/MAD scalars broadcast onto the "
                       "|days|-row DAU table — the quality_sample "
                       "pattern on a spine-class bounded table",
