@@ -9,11 +9,15 @@ from influxdb_ha_spark.operators.timeseries import inter_event_gaps
 from influxdb_ha_spark.streaming.gap_stream import gap_stream
 
 
-def _write_batch(d, name, rows):
-    with open(os.path.join(d, name + ".tmp"), "w") as f:
+def _write_batch(d, name, rows, mtime):
+    p = os.path.join(d, name)
+    with open(p + ".tmp", "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
-    os.rename(os.path.join(d, name + ".tmp"), os.path.join(d, name))
+    os.rename(p + ".tmp", p)
+    # the file source orders batches by modification time; same-second
+    # writes tie and can process files in EITHER order -- pin it
+    os.utime(p, (mtime, mtime))
 
 
 def test_gap_stream_matches_batch(spark, tmp_path):
@@ -36,8 +40,8 @@ def test_gap_stream_matches_batch(spark, tmp_path):
         {"entity": "u1", "etype": "a", "time": 40},
         {"entity": "u2", "etype": "a", "time": 9},
     ]
-    _write_batch(src, "b0.json", rows[:6])
-    _write_batch(src, "b1.json", rows[6:])
+    _write_batch(src, "b0.json", rows[:6], 1_000_000_000)
+    _write_batch(src, "b1.json", rows[6:], 1_000_000_100)
 
     collected = []
 
