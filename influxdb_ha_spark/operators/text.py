@@ -958,8 +958,14 @@ def zipf_fit(df: DataFrame, text_col: str = "text",
            .select(F.explode(tokens_expr(F.col(text_col)))
                    .alias("token"))
            .groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
-    top = (cnt.orderBy(F.col("freq").desc(), F.col("token").asc())
-           .limit(int(top_n)))
+    from ..cache import keep
+    # keep(): the eager distinct-frequency collect below and the final
+    # regression plan both consume `top` — without the generation-
+    # bounded persist the whole tokenize+count pipeline runs twice
+    # (the tfidf_keywords convention)
+    top = keep("text.zipf.top",
+               cnt.orderBy(F.col("freq").desc(), F.col("token").asc())
+               .limit(int(top_n)))
     fvals = sorted({int(r["freq"]) for r in
                     top.select("freq").distinct().collect()})
     if not fvals:
