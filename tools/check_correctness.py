@@ -10,6 +10,17 @@ order-insensitive value hash. Usage:
 actual environment. The contract (__spark_entry__._ensure_confs) must make
 every query work there; round 1 shipped 33 red rows because this gate
 didn't exist.
+
+Scale note (r9, measured): running the FULL inventory at sf0.1 in one
+session accumulates keep()-cached intermediates and checkpointed graph
+frontiers past the 1 g default driver heap — the vanilla session dies
+around the graph family with ConnectionRefused for everything after.
+The driver's own gate runs at sf0.01 where the default heap is fine;
+for an sf0.1 sweep use the engine session with a real heap:
+    SPARK_GRAFT_DRIVER_MEM=8g python tools/check_correctness.py \
+        /root/testdata/sf0.1
+(the scale_report.py precedent — engine DEFAULTS stay at 1 g because
+larger heaps bench slower for single queries, session.py:_DEFAULTS).
 """
 
 from __future__ import annotations
