@@ -2374,6 +2374,70 @@ def q_doc_canonical(spark, sf):
                             priority=prio)
 
 
+def q_sk_kmv(spark, sf):
+    """K-Minimum-Values distinct sketch per returnflag over l_orderkey
+    (added scope — the mergeable cardinality answer behind SHOW
+    CARDINALITY, importer.go:406-612, at 100 TB): k = 256 smallest
+    md5-hash64 values per group, estimate (k−1)·2^60/h_(k) — integer
+    state end-to-end, ONE multiply+divide on identical bits, floor-
+    round-6 (operators/sketch.py:kmv_distinct)."""
+    from influxdb_ha_spark.operators.sketch import kmv_distinct
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_orderkey")
+    return kmv_distinct(li, value_col="l_orderkey",
+                        by=["l_returnflag"], k=256)
+
+
+def q_sk_hll(spark, sf):
+    """HyperLogLog (m=256) distinct sketch per returnflag over
+    l_orderkey (added scope — Flajolet et al. 2007): register maxima of
+    bin()-exact rank-of-first-one, harmonic sum carried EXACTLY as the
+    integer Σ2^(53−M_j), linear-counting branch via a driver-literal
+    ln map (the permutation-entropy convention)
+    (operators/sketch.py:hll_distinct)."""
+    from influxdb_ha_spark.operators.sketch import hll_distinct
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_orderkey")
+    return hll_distinct(li, value_col="l_orderkey", by=["l_returnflag"])
+
+
+def q_sk_countmin(spark, sf):
+    """Count–Min sketch (d=4, w=1024) over l_partkey with the exact
+    top-20 point-query audit (added scope — Cormode & Muthukrishnan
+    2005): the d×w cell build is ONE bounded-output map-combinable
+    groupBy; every row shows cm_est ≥ exact_cnt, the sketch's one-sided
+    guarantee, in exact integers (operators/sketch.py:countmin)."""
+    from influxdb_ha_spark.operators.sketch import countmin
+    li = _t(spark, sf, "lineitem").select("l_partkey")
+    return countmin(li, item_col="l_partkey", d=4, w=1024, top=20)
+
+
+def q_sk_hist_quantile(spark, sf):
+    """One-pass equi-width histogram quantiles (1024 bins over
+    [0, 512), width 0.5 — an exact power of two, so the binning float
+    ops are EXACT) per event_type at p50/p95/p99 — the mergeable
+    single-scan quantile path, the documented 100 TB swap for the
+    sort-exact ts_quantile_bands; rank = ceil(q·n), within-bin linear
+    interpolation floor-round-6
+    (operators/sketch.py:histogram_quantiles)."""
+    from influxdb_ha_spark.operators.sketch import histogram_quantiles
+    ev = _events_us(spark, sf).select("event_type", "value")
+    return histogram_quantiles(ev, value_col="value", by=["event_type"],
+                               lo=0.0, hi=512.0, bins=1024,
+                               qs=(0.5, 0.95, 0.99))
+
+
+def q_graph_bfs(spark, sf):
+    """Multi-source bounded BFS on the co-order part graph (added
+    scope — the blast-radius primitive): seeds = parts with
+    p_partkey % 97 = 0, 4 frontier rounds, exact hop distances —
+    pure set algebra, no ordering anywhere, oracle unrolls the same
+    expand/anti-join rounds (operators/graph.py:bfs)."""
+    from influxdb_ha_spark.operators import graph as GR
+    seeds = (_t(spark, sf, "part")
+             .where(F.pmod(F.col("p_partkey"), F.lit(97)) == 0)
+             .select(F.col("p_partkey").alias("node")))
+    return GR.bfs(_graph_edges(spark, sf), seeds, rounds=4)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3608,6 +3672,14 @@ _FAMILIES = [
         "graph_kcore": q_graph_kcore,
         "graph_label_prop": q_graph_label_prop,
         "graph_assortativity": q_graph_assortativity,
+        "graph_bfs": q_graph_bfs,
+    },
+    {
+        # mergeable sketch summaries (added scope; operators/sketch.py)
+        "sk_kmv": q_sk_kmv,
+        "sk_hll": q_sk_hll,
+        "sk_countmin": q_sk_countmin,
+        "sk_hist_quantile": q_sk_hist_quantile,
     },
     {
         # LLM-pipeline scope (§7): multimodal

@@ -1,0 +1,265 @@
+"""Mergeable sketch summaries (added scope — the 100 TB cardinality /
+frequency / quantile answers).
+
+The reference proxies InfluxQL only (service/routing.go:137-138); its
+closest surface is SHOW CARDINALITY (service/importer.go:406-612), which
+IS a distinct-count question answered exactly. At 100 TB nobody answers
+cardinality exactly on the hot path: the industry answers are bounded-
+state, MERGEABLE sketches whose partial states combine associatively, so
+the map side ships kilobytes per partition instead of re-shuffling the
+raw keys. This module supplies the batch sketch core on plain DataFrames,
+with a twist the usual libraries can't give: every sketch here is
+DETERMINISTIC and cross-engine reproducible (the md5-derived hash64 of
+operators/hashing.py, integer state, pinned float combination points), so
+the DuckDB oracle reproduces the estimates bit-for-bit — the estimates
+are testable values, not just "close to exact".
+
+- kmv_distinct    : K-Minimum-Values distinct sketch (Bar-Yossef et al.
+                    2002 "Counting distinct elements in a data stream";
+                    the theta-sketch ancestor). State = the k smallest
+                    distinct hash values; estimate = (k-1)·M / h_(k).
+- hll_distinct    : HyperLogLog (Flajolet et al. 2007) with the standard
+                    small-range linear-counting correction. State = m
+                    6-bit registers (here one BIGINT per used register);
+                    the harmonic sum Σ2^(−M_j) is carried EXACTLY as the
+                    integer Σ2^(53−M_j), so no float fold order exists.
+- countmin        : Count–Min frequency sketch (Cormode & Muthukrishnan
+                    2005). State = d×w integer cells; point estimate =
+                    min over d cells, always ≥ the true count.
+- histogram_quantiles : fixed-boundary equi-width histogram quantiles —
+                    the one-pass mergeable quantile path (the scale swap
+                    documented next to the exact timeseries.quantile_bands),
+                    with deterministic within-bin linear interpolation.
+
+Scale shapes: every sketch is one map-side-combinable groupBy whose
+output is BOUNDED (k rows, m registers, d·w cells, `bins` buckets) per
+group — the raw keys never ride a shuffle a second time, and two sketch
+states merge by union+re-rank / max / + / + respectively, which is
+exactly what Spark's partial aggregation does for free here.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import MERSENNE_P, hash64_expr, minhash_coeffs
+
+HASH_SPACE = 1 << 60  # hash64 is 15 hex chars = 60 uniform bits
+
+
+def _grp(by):
+    return list(by) if by else []
+
+
+def kmv_distinct(df: DataFrame, value_col: str, by=None,
+                 k: int = 256) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch per group.
+
+    Hash every distinct value with the cross-engine hash64 (uniform on
+    [0, 2^60)), keep the k smallest hashes per group; with fewer than k
+    distinct values the count is exact, otherwise the unbiased estimator
+    (k−1)·2^60 / h_(k) (Bar-Yossef et al. 2002; Beyer et al. 2007 for
+    the unbiasedness of (k−1) over k).
+
+    Returns (by..., k_used, kth_hash, est_distinct): k_used = min(k, n),
+    kth_hash = the largest retained hash (the sketch's theta), and the
+    estimate rounded at 6 (one multiply + one divide on identical operand
+    bits — both engines agree exactly).
+
+    Scale shape: one (group, value) distinct shuffle, then a per-group
+    rank bounded to k. The rank is a window here (oracle parity — the
+    sort is on the DISTINCT values only); the 100 TB swap is a two-phase
+    bottom-k (per-partition k-min heaps via partial aggregation, merge =
+    union + re-rank) which computes the identical state with no sort —
+    states are mergeable because "k smallest of a union" is associative.
+    """
+    g = _grp(by)
+    vals = (df.select(*g, F.col(value_col).alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .distinct()
+            .withColumn("__h", hash64_expr(F.col("__v").cast("string"))))
+    w = (Window.partitionBy(*g) if g else Window.partitionBy()
+         ).orderBy(F.col("__h").asc(), F.col("__v").asc())
+    kept = vals.withColumn("__rn", F.row_number().over(w)) \
+               .where(F.col("__rn") <= k)
+    agg = kept.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("__h").alias("kth_hash"))
+    est = (F.when(F.col("k_used") < k,
+                  F.col("k_used").cast("double"))
+           .otherwise(F.lit(float(k - 1)) * F.lit(float(HASH_SPACE))
+                      / F.col("kth_hash").cast("double")))
+    s = float(10 ** 6)
+    return agg.select(
+        *g, "k_used", "kth_hash",
+        (F.floor(est * F.lit(s) + F.lit(0.5)) / F.lit(s))
+        .alias("est_distinct"))
+
+
+# HLL constants for m = 256 registers (lg m = 8, 52 value bits remain of
+# the 60-bit hash). alpha_m per Flajolet et al. 2007 §4 for m >= 128.
+HLL_M = 256
+_HLL_LG_M = 8
+_HLL_VBITS = 52          # value bits: 60 - lg m
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# alpha·m²·2^52-scaling folded into ONE python-float literal shared with
+# the oracle text, so the only runtime float ops are 1 divide (+ 1 ln on
+# the linear-counting branch) — both IEEE-pinned.
+HLL_NUMER = _HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_VBITS + 1)
+
+
+def hll_distinct(df: DataFrame, value_col: str, by=None) -> DataFrame:
+    """HyperLogLog distinct-count sketch per group, m = 256 registers.
+
+    register j = hash64 mod m; remaining 52 bits w = hash64 >> 8; the
+    register keeps M_j = max over its values of rho(w) = (#leading zeros
+    of w in 52 bits) + 1 = 53 − bitlength(w) (bin() digit count — no
+    float log, both engines share the builtin; w = 0 → rho = 53). The
+    harmonic sum Σ_j 2^(−M_j) (empty registers contribute 2^0) is carried
+    EXACTLY as the BIGINT S = Σ_j 2^(53−M_j) ≤ m·2^53 < 2^62, so the raw
+    estimate alpha·m²·2^53 / S has no fold-order sensitivity at all; the
+    standard small-range correction (E ≤ 2.5m with V empty registers > 0
+    → m·ln(m/V), Flajolet et al. 2007 §4) uses a driver-literal log map
+    (V has only 255 possible values — the permutation-entropy convention),
+    so DuckDB's ln and Spark never need to agree on libm inside the plan.
+
+    Returns (by..., n_buckets_used, n_empty, est_distinct) with the
+    estimate rounded at 6.
+
+    Scale shape: groupBy (group, register) max — map-side combinable,
+    ≤ 256 rows per group out of the shuffle; then one ≤256-row fold per
+    group. Two HLL states merge by register-wise max, which is exactly
+    the partial aggregation Spark already runs.
+    """
+    g = _grp(by)
+    h = hash64_expr(F.col("__v").cast("string"))
+    vals = (df.select(*g, F.col(value_col).alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .withColumn("__h", h)
+            .withColumn("__j", F.pmod(F.col("__h"), F.lit(HLL_M)))
+            .withColumn("__w", F.expr(f"shiftright(__h, {_HLL_LG_M})")))
+    rho = (F.when(F.col("__w") == 0, F.lit(_HLL_VBITS + 1))
+           .otherwise(F.lit(_HLL_VBITS + 1)
+                      - F.length(F.bin(F.col("__w")))))
+    regs = (vals.withColumn("__rho", rho)
+            .groupBy(*g, "__j").agg(F.max("__rho").alias("__m")))
+    folded = regs.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum(F.expr(f"shiftleft(1L, cast({_HLL_VBITS + 1} - __m as int))"))
+        .alias("__s_used"))
+    v_empty = F.lit(HLL_M) - F.col("n_buckets_used")
+    s_total = (F.col("__s_used")
+               + v_empty * F.lit(1 << (_HLL_VBITS + 1)))
+    e_raw = F.lit(HLL_NUMER) / s_total.cast("double")
+    # linear counting: literal ln(m/V) map over V in 1..m-1
+    ln_items = []
+    for v in range(1, HLL_M):
+        ln_items += [F.lit(v), F.lit(HLL_M * math.log(HLL_M / v))]
+    ln_map = F.create_map(*ln_items)
+    est = (F.when((e_raw <= F.lit(2.5 * HLL_M)) & (v_empty > 0),
+                  ln_map[v_empty])
+           .otherwise(e_raw))
+    s = float(10 ** 6)
+    return folded.select(
+        *g, "n_buckets_used", v_empty.alias("n_empty"),
+        (F.floor(est * F.lit(s) + F.lit(0.5)) / F.lit(s))
+        .alias("est_distinct"))
+
+
+def countmin(df: DataFrame, item_col: str, d: int = 4, w: int = 1024,
+             top: int = 20, seed: int = 7) -> DataFrame:
+    """Count–Min sketch build + point-query audit.
+
+    Builds the d×w sketch (row i hashes x to ((a_i·h64(x) mod p) + b_i)
+    mod p mod w — the universal-hash family shared with minhash), then
+    point-queries the EXACT top-`top` items so the output is the audit
+    table every sketch deployment wants: (item, exact_cnt, cm_est) with
+    the guaranteed one-sided error cm_est ≥ exact_cnt visible per row
+    (Cormode & Muthukrishnan 2005: overshoot ≤ εN with prob 1−δ for
+    w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉).
+
+    Scale shape: the sketch build is ONE map-side-combinable groupBy
+    whose output is bounded at d·w cells regardless of input size — the
+    broadcastable summary. The exact side here exists only to audit the
+    estimates at test scale; at 100 TB the sketch replaces it. The probe
+    join broadcasts the top·d probe rows (bounded by construction).
+    """
+    p = F.lit(MERSENNE_P)
+    coeffs = minhash_coeffs(d, seed=seed)
+    items = (df.select(F.col(item_col).alias("item"))
+             .where(F.col("item").isNotNull())
+             .withColumn("__h", hash64_expr(F.col("item").cast("string"))
+                         % p))
+    buckets = F.array(*[
+        ((F.lit(a) * F.col("__h") + F.lit(b)) % p) % F.lit(w)
+        for a, b in coeffs])
+    cells = (items.select(F.posexplode(buckets).alias("row", "bucket"))
+             .groupBy("row", "bucket")
+             .agg(F.count(F.lit(1)).alias("cell_cnt")))
+    exact = (items.groupBy("item").agg(F.count(F.lit(1)).alias("exact_cnt"))
+             .orderBy(F.col("exact_cnt").desc(), F.col("item").asc())
+             .limit(top))
+    probes = (exact
+              .withColumn("__h", hash64_expr(F.col("item").cast("string"))
+                          % p)
+              .select("item", "exact_cnt",
+                      F.posexplode(buckets).alias("row", "bucket")))
+    return (cells.join(F.broadcast(probes), ["row", "bucket"])
+            .groupBy("item")
+            .agg(F.max("exact_cnt").alias("exact_cnt"),
+                 F.min("cell_cnt").alias("cm_est")))
+
+
+def histogram_quantiles(df: DataFrame, value_col: str, by=None,
+                        lo: float = 0.0, hi: float = 1.0, bins: int = 1024,
+                        qs=(0.5, 0.95, 0.99)) -> DataFrame:
+    """One-pass equi-width histogram quantile estimates per group — the
+    MERGEABLE quantile path (histograms over the same boundaries merge by
+    cell-wise +), i.e. the single-scan 100 TB swap for the exact
+    sort-based quantiles of timeseries.quantile_bands, with deterministic
+    error ≤ one bin width.
+
+    bin = clamp(floor((v − lo)/width), 0, bins−1) with width the python
+    double (hi−lo)/bins — one subtraction, one divide, one floor per row,
+    identical bits on both engines. For each q the target rank is
+    r = ceil(q·n) over the group's n non-null values (the inverted-CDF
+    convention), and the estimate interpolates inside the covering bin:
+    lo + width·(bin + (r − cum_below)/bin_count). Values outside [lo, hi)
+    clamp into the edge bins (counted, like any fixed-boundary histogram).
+
+    Returns (by..., q, n, est) with est rounded at 6.
+
+    Scale shape: one (group, bin) count groupBy — map-side combinable,
+    ≤ `bins` rows per group — then rank extraction over those bounded
+    rows (a window over ≤ bins rows per group, never over the data).
+    """
+    g = _grp(by)
+    width = (hi - lo) / bins
+    b = F.floor((F.col("__v") - F.lit(float(lo))) / F.lit(width))
+    b = F.when(b < 0, F.lit(0)).when(b >= bins, F.lit(bins - 1)).otherwise(b)
+    hist = (df.select(*g, F.col(value_col).cast("double").alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .withColumn("__b", b.cast("long"))
+            .groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__c")))
+    wgrp = Window.partitionBy(*g) if g else Window.partitionBy()
+    cum = (hist
+           .withColumn("__cum", F.sum("__c").over(wgrp.orderBy("__b")))
+           .withColumn("__n", F.sum("__c").over(wgrp)))
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    ranked = cum.select(*g, "__b", "__c", "__cum", "__n", qcol)
+    r = F.ceil(F.col("q") * F.col("__n").cast("double"))
+    covering = ranked.where((F.col("__cum") - F.col("__c") < r)
+                            & (r <= F.col("__cum")))
+    est = (F.lit(float(lo))
+           + F.lit(width) * (F.col("__b").cast("double")
+                             + (r.cast("double")
+                                - (F.col("__cum") - F.col("__c"))
+                                .cast("double"))
+                             / F.col("__c").cast("double")))
+    s = float(10 ** 6)
+    return covering.select(
+        *g, "q", F.col("__n").alias("n"),
+        (F.floor(est * F.lit(s) + F.lit(0.5)) / F.lit(s)).alias("est"))

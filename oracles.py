@@ -3836,4 +3836,127 @@ def build_oracles() -> dict[str, str]:
                  FROM l{_CC_ROUNDS} GROUP BY 1)
       SELECT l.node, l.component, csizes.component_size
       FROM l{_CC_ROUNDS} l JOIN csizes ON csizes.component = l.component""")
+
+    # Multi-source bounded BFS: unroll the same 4 frontier rounds
+    # (expand prev frontier, anti-join the reached set) the Spark driver
+    # loop runs; pure set algebra, integer distances. MATERIALIZED on
+    # the twice-referenced reached/frontier sets (the kcore convention).
+    _BFS_ROUNDS = 4
+    bfs_ctes = ["""
+      r0 AS (SELECT DISTINCT p_partkey AS node, 0 AS dist FROM part
+             WHERE p_partkey % 97 = 0)"""]
+    for it in range(1, _BFS_ROUNDS + 1):
+        prev_f = "r0" if it == 1 else f"f{it - 1}"
+        bfs_ctes.append(f"""
+      n{it} AS (SELECT DISTINCT sym.dst AS node
+                FROM sym JOIN {prev_f} f ON sym.src = f.node),
+      f{it} AS MATERIALIZED (SELECT n{it}.node FROM n{it}
+                LEFT JOIN r{it - 1} r ON r.node = n{it}.node
+                WHERE r.node IS NULL),
+      r{it} AS MATERIALIZED (SELECT node, dist FROM r{it - 1}
+                UNION ALL SELECT node, {it} AS dist FROM f{it})""")
+    o["graph_bfs"] = ("WITH " + _G_EDGES + "," + ",".join(bfs_ctes) +
+                      f"\n      SELECT node, dist FROM r{_BFS_ROUNDS}")
+
+    # --- sketch family (operators/sketch.py): deterministic mergeable
+    # sketches — same md5 hash64, integer state, pinned float points;
+    # every output column explicitly ::BIGINT (the ts_pettitt HUGEINT
+    # lesson — DuckDB sum/window-sum widen to HUGEINT).
+    from influxdb_ha_spark.operators.sketch import (
+        HASH_SPACE, HLL_M, HLL_NUMER)
+    _KMV_K = 256
+    _h64v = duck_hash64("v::VARCHAR")
+    o["sk_kmv"] = f"""
+      WITH v AS (SELECT DISTINCT l_returnflag AS g, l_orderkey AS v
+                 FROM lineitem WHERE l_orderkey IS NOT NULL),
+      hh AS (SELECT g, v, {_h64v} AS h FROM v),
+      rk AS (SELECT g, v, h, row_number() OVER (
+                 PARTITION BY g ORDER BY h ASC, v ASC) AS rn FROM hh),
+      a AS (SELECT g, count(*)::BIGINT AS k_used,
+                   max(h)::BIGINT AS kth_hash
+            FROM rk WHERE rn <= {_KMV_K} GROUP BY 1)
+      SELECT g AS l_returnflag, k_used, kth_hash,
+             {fr(f'CASE WHEN k_used < {_KMV_K} THEN k_used::DOUBLE '
+                 f'ELSE {float(_KMV_K - 1)!r} * {float(HASH_SPACE)!r} '
+                 f'/ kth_hash::DOUBLE END', 6)} AS est_distinct
+      FROM a"""
+
+    _hll_raw = f"{HLL_NUMER!r} / s_total::DOUBLE"
+    o["sk_hll"] = f"""
+      WITH v AS (SELECT l_returnflag AS g, l_orderkey AS v
+                 FROM lineitem WHERE l_orderkey IS NOT NULL),
+      hh AS (SELECT g, {_h64v} AS h FROM v),
+      bb AS (SELECT g, h % {HLL_M} AS j,
+                    CASE WHEN h // {HLL_M} = 0 THEN 53
+                         ELSE 53 - length(bin(h // {HLL_M})) END AS rho
+             FROM hh),
+      regs AS (SELECT g, j, max(rho) AS m FROM bb GROUP BY 1, 2),
+      f AS (SELECT g, count(*)::BIGINT AS n_buckets_used,
+                   sum(1::BIGINT << (53 - m)::INT)::BIGINT AS s_used
+            FROM regs GROUP BY 1),
+      t AS (SELECT g, n_buckets_used,
+                   ({HLL_M} - n_buckets_used)::BIGINT AS n_empty,
+                   (s_used + ({HLL_M} - n_buckets_used)
+                    * (1::BIGINT << 53))::BIGINT AS s_total
+            FROM f)
+      SELECT g AS l_returnflag, n_buckets_used, n_empty,
+             {fr(f'CASE WHEN {_hll_raw} <= {2.5 * HLL_M!r} '
+                 f'AND n_empty > 0 '
+                 f'THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} '
+                 f'/ n_empty::DOUBLE) '
+                 f'ELSE {_hll_raw} END', 6)} AS est_distinct
+      FROM t"""
+
+    _cm_coef = minhash_coeffs(4, seed=7)
+    _cm_cells = "\n          UNION ALL ".join(
+        f"SELECT {i} AS rw, (({a} * h + {b}) % {MERSENNE_P}) % 1024 "
+        f"AS bucket FROM it"
+        for i, (a, b) in enumerate(_cm_coef))
+    _cm_probes = "\n          UNION ALL ".join(
+        f"SELECT item, exact_cnt, {i} AS rw, "
+        f"(({a} * h + {b}) % {MERSENNE_P}) % 1024 AS bucket FROM eh"
+        for i, (a, b) in enumerate(_cm_coef))
+    o["sk_countmin"] = f"""
+      WITH it AS (SELECT l_partkey AS item,
+                         {duck_hash64('l_partkey::VARCHAR')}
+                         % {MERSENNE_P} AS h
+                  FROM lineitem WHERE l_partkey IS NOT NULL),
+      cells AS (SELECT rw, bucket, count(*)::BIGINT AS cell_cnt FROM (
+          {_cm_cells}) GROUP BY 1, 2),
+      ex AS (SELECT item, count(*)::BIGINT AS exact_cnt FROM it
+             GROUP BY 1 ORDER BY exact_cnt DESC, item ASC LIMIT 20),
+      eh AS (SELECT item, exact_cnt,
+                    {duck_hash64('item::VARCHAR')} % {MERSENNE_P} AS h
+             FROM ex),
+      pr AS ({_cm_probes})
+      SELECT pr.item, max(pr.exact_cnt)::BIGINT AS exact_cnt,
+             min(cells.cell_cnt)::BIGINT AS cm_est
+      FROM pr JOIN cells ON cells.rw = pr.rw AND cells.bucket = pr.bucket
+      GROUP BY 1"""
+
+    # Histogram quantiles: width 0.5 is a power of two, so the binning
+    # divide/floor are EXACT; ranks and counts integer; one interpolation
+    # division floor-round-6 (quantile_cont convention NOT used — this is
+    # the estimator's own interpolation, mirrored verbatim)
+    _hq_est = ("0.0 + 0.5 * (bin::DOUBLE "
+               "+ (r::DOUBLE - (cum - c)::DOUBLE) / c::DOUBLE)")
+    o["sk_hist_quantile"] = f"""
+      WITH v AS (SELECT event_type, value::DOUBLE AS v FROM events
+                 WHERE value IS NOT NULL),
+      b AS (SELECT event_type,
+                   LEAST(GREATEST(floor((v - 0.0) / 0.5), 0),
+                         1023)::BIGINT AS bin
+            FROM v),
+      h AS (SELECT event_type, bin, count(*)::BIGINT AS c
+            FROM b GROUP BY 1, 2),
+      cm AS (SELECT event_type, bin, c,
+                    sum(c) OVER (PARTITION BY event_type
+                                 ORDER BY bin)::BIGINT AS cum,
+                    sum(c) OVER (PARTITION BY event_type)::BIGINT AS n
+             FROM h),
+      qq AS (SELECT cm.*, q FROM cm,
+             (SELECT unnest([0.5, 0.95, 0.99])::DOUBLE AS q)),
+      rr AS (SELECT *, ceil(q * n::DOUBLE)::BIGINT AS r FROM qq)
+      SELECT event_type, q, n, {fr(_hq_est, 6)} AS est
+      FROM rr WHERE cum - c < r AND r <= cum"""
     return o

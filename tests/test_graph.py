@@ -174,3 +174,31 @@ def test_kcore_peels_cascade(spark):
         G.kcore(e, k=2, rounds=0)
     with pytest.raises(ValueError, match="k must be"):
         G.kcore(e, k=0, rounds=3)
+
+
+def test_bfs_path_distances_and_early_stop(spark):
+    # path 1-2-3-4-5, seed {1}: exact hop distances, bounded by rounds
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in G.bfs(e, seeds, rounds=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+    # rounds beyond the diameter: early stop, full reach
+    got10 = {r.node: r.dist for r in G.bfs(e, seeds, rounds=10).collect()}
+    assert got10 == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_multi_source_takes_nearest(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {r.node: r.dist for r in G.bfs(e, seeds, rounds=4).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_seed_outside_graph_and_validation(spark):
+    e = _edges(spark, [(1, 2)])
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {r.node: r.dist for r in G.bfs(e, seeds, rounds=3).collect()}
+    assert got == {1: 0, 99: 0, 2: 1}
+    import pytest
+    with pytest.raises(ValueError, match="rounds"):
+        G.bfs(e, seeds, rounds=0)

@@ -1,0 +1,150 @@
+"""Sketch operators (operators/sketch.py): estimator accuracy on known
+cardinalities, the CM one-sided guarantee, partition-shape independence,
+and degenerate inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from influxdb_ha_spark.operators.sketch import (
+    HLL_M, countmin, histogram_quantiles, hll_distinct, kmv_distinct)
+
+
+def _vals(spark, n, group="a"):
+    return spark.range(n).select(
+        F.lit(group).alias("g"), (F.col("id") + 1).alias("v"))
+
+
+# -- KMV ---------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    r = kmv_distinct(_vals(spark, 10), "v", by=["g"], k=256).collect()
+    assert len(r) == 1
+    assert r[0].k_used == 10
+    assert r[0].est_distinct == 10.0
+
+
+def test_kmv_estimates_large_cardinality(spark):
+    r = kmv_distinct(_vals(spark, 2000), "v", by=["g"], k=64).collect()[0]
+    assert r.k_used == 64
+    # relative error ~1/sqrt(k) = 12.5%; allow 3 sigma
+    assert 2000 * 0.6 < r.est_distinct < 2000 * 1.4
+
+
+def test_kmv_partition_shape_independent(spark):
+    df = _vals(spark, 500)
+    a = kmv_distinct(df.repartition(7), "v", by=["g"], k=32).collect()[0]
+    b = kmv_distinct(df.coalesce(1), "v", by=["g"], k=32).collect()[0]
+    assert (a.k_used, a.kth_hash, a.est_distinct) == \
+           (b.k_used, b.kth_hash, b.est_distinct)
+
+
+def test_kmv_duplicates_collapse(spark):
+    # 1000 rows over 10 distinct values: sketch sees 10
+    df = spark.range(1000).select(
+        F.lit("a").alias("g"), (F.col("id") % 10).alias("v"))
+    r = kmv_distinct(df, "v", by=["g"], k=256).collect()[0]
+    assert r.k_used == 10 and r.est_distinct == 10.0
+
+
+# -- HLL ---------------------------------------------------------------
+
+
+def test_hll_estimates_within_error(spark):
+    # sigma ~ 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    r = hll_distinct(_vals(spark, 5000), "v", by=["g"]).collect()[0]
+    assert 5000 * 0.8 < r.est_distinct < 5000 * 1.2
+
+
+def test_hll_linear_counting_small_range(spark):
+    r = hll_distinct(_vals(spark, 30), "v", by=["g"]).collect()[0]
+    assert r.n_buckets_used <= 30
+    assert r.n_empty == HLL_M - r.n_buckets_used
+    assert 30 * 0.8 < r.est_distinct < 30 * 1.2
+
+
+def test_hll_partition_shape_independent(spark):
+    df = _vals(spark, 3000)
+    a = hll_distinct(df.repartition(13), "v", by=["g"]).collect()[0]
+    b = hll_distinct(df.coalesce(1), "v", by=["g"]).collect()[0]
+    assert (a.n_buckets_used, a.n_empty, a.est_distinct) == \
+           (b.n_buckets_used, b.n_empty, b.est_distinct)
+
+
+def test_hll_groups_independent(spark):
+    # two groups of very different cardinality stay separated
+    df = _vals(spark, 4000, "big").unionByName(_vals(spark, 20, "small"))
+    r = {x.g: x for x in hll_distinct(df, "v", by=["g"]).collect()}
+    assert r["small"].est_distinct < 40
+    assert r["big"].est_distinct > 3000
+
+
+# -- Count-Min ---------------------------------------------------------
+
+
+def test_countmin_one_sided_and_top(spark):
+    # zipf-ish: item i appears (51 - i) times, i in 1..50
+    rows = [(i,) for i in range(1, 51) for _ in range(51 - i)]
+    df = spark.createDataFrame(rows, "item long")
+    got = countmin(df, "item", d=4, w=1024, top=10).collect()
+    assert len(got) == 10
+    by_item = {r.item: r for r in got}
+    # the exact top-10 are items 1..10 with counts 50..41
+    assert sorted(by_item) == list(range(1, 11))
+    for i, r in by_item.items():
+        assert r.exact_cnt == 51 - i
+        assert r.cm_est >= r.exact_cnt       # CM's one-sided guarantee
+        # w=1024 >> 50 items: overshoot bounded by total/w per row pair
+        assert r.cm_est <= r.exact_cnt + 50
+
+
+def test_countmin_partition_shape_independent(spark):
+    rows = [(i % 37,) for i in range(2000)]
+    df = spark.createDataFrame(rows, "item long")
+    a = sorted(map(tuple, countmin(df.repartition(9), "item",
+                                   top=5).collect()))
+    b = sorted(map(tuple, countmin(df.coalesce(1), "item",
+                                   top=5).collect()))
+    assert a == b
+
+
+# -- Histogram quantiles -----------------------------------------------
+
+
+def test_hist_quantile_within_bin_width(spark):
+    # 1..1000 uniform; lo=0, hi=1024, bins=1024 -> width exactly 1.0
+    df = spark.range(1000).select(
+        F.lit("a").alias("g"), (F.col("id") + 1).cast("double").alias("v"))
+    got = {r.q: r for r in histogram_quantiles(
+        df, "v", by=["g"], lo=0.0, hi=1024.0, bins=1024,
+        qs=(0.5, 0.95, 0.99)).collect()}
+    for q in (0.5, 0.95, 0.99):
+        r = got[q]
+        assert r.n == 1000
+        # rank convention: ceil(q*n)-th value; est within one bin width
+        true_val = -(-q * 1000 // 1)  # ceil(q*n) == that value here
+        assert abs(r.est - true_val) <= 1.0 + 1e-9
+
+
+def test_hist_quantile_clamps_outliers(spark):
+    # values beyond hi land in the top bin (counted, not dropped)
+    df = spark.createDataFrame(
+        [("a", 0.1), ("a", 0.2), ("a", 99.0)], "g string, v double")
+    got = {r.q: r for r in histogram_quantiles(
+        df, "v", by=["g"], lo=0.0, hi=1.0, bins=4, qs=(0.99,)).collect()}
+    r = got[0.99]
+    assert r.n == 3
+    # p99 rank 3 -> the clamped outlier sits in the last bin [0.75, 1.0)
+    assert 0.75 <= r.est <= 1.0
+
+
+def test_sketches_empty_and_null_inputs(spark):
+    empty = spark.createDataFrame([], "g string, v long")
+    nulls = spark.createDataFrame([("a", None)], "g string, v long")
+    for df in (empty, nulls):
+        assert kmv_distinct(df, "v", by=["g"]).count() == 0
+        assert hll_distinct(df, "v", by=["g"]).count() == 0
+        assert countmin(df, "v").count() == 0
+        assert histogram_quantiles(
+            df.select("g", F.col("v").cast("double").alias("v")),
+            "v", by=["g"]).count() == 0
