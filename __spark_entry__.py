@@ -2374,6 +2374,18 @@ def q_doc_canonical(spark, sf):
                             priority=prio)
 
 
+def q_doc_novelty(spark, sf):
+    """Per-document shingle novelty (added scope — the content-
+    diversity audit between exact dedup and near-dup): fraction of each
+    doc's DISTINCT 3-shingles first owned by it under the smallest-
+    doc_id canonical order; one hash-keyed min-agg shuffle, per-doc
+    counts, one rounded division; docs with <3 tokens report NULL
+    (operators/dedup.py:novelty_profile)."""
+    from influxdb_ha_spark.operators.dedup import novelty_profile
+    return novelty_profile(_t(spark, sf, "documents"),
+                           text_col="text", id_col="doc_id")
+
+
 def q_sk_kmv(spark, sf):
     """K-Minimum-Values distinct sketch per returnflag over l_orderkey
     (added scope — the mergeable cardinality answer behind SHOW
@@ -2397,6 +2409,21 @@ def q_sk_hll(spark, sf):
     from influxdb_ha_spark.operators.sketch import hll_distinct
     li = _t(spark, sf, "lineitem").select("l_returnflag", "l_orderkey")
     return hll_distinct(li, value_col="l_orderkey", by=["l_returnflag"])
+
+
+def q_sk_kmv_setops(spark, sf):
+    """Theta-sketch set operations between the 'A' and 'R' returnflag
+    order-key sets (added scope — Dasgupta et al. 2016): |A∪B|, |A∩B|
+    and Jaccard estimated from two 256-value KMV sketches without
+    materializing either set — the audience-overlap question at 100 TB;
+    θ = min of the two sketch maxima, counts exact integers below θ,
+    three pinned multiply+divides floor-round-6
+    (operators/sketch.py:kmv_setops)."""
+    from influxdb_ha_spark.operators.sketch import kmv_setops
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_orderkey")
+    return kmv_setops(li, value_col="l_orderkey",
+                      group_col="l_returnflag",
+                      group_a="A", group_b="R", k=256)
 
 
 def q_sk_countmin(spark, sf):
@@ -3548,6 +3575,7 @@ _FAMILIES = [
         "doc_canonical": q_doc_canonical,
         "doc_cross_dedup": q_doc_cross_dedup,
         "doc_dup_profile": q_doc_dup_profile,
+        "doc_novelty": q_doc_novelty,
         "doc_chunk": q_doc_chunk,
         "doc_quality_sample": q_doc_quality_sample,
         "doc_ngram_counts": q_doc_ngram_counts,
@@ -3677,6 +3705,7 @@ _FAMILIES = [
     {
         # mergeable sketch summaries (added scope; operators/sketch.py)
         "sk_kmv": q_sk_kmv,
+        "sk_kmv_setops": q_sk_kmv_setops,
         "sk_hll": q_sk_hll,
         "sk_countmin": q_sk_countmin,
         "sk_hist_quantile": q_sk_hist_quantile,

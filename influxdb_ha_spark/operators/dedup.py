@@ -705,3 +705,59 @@ def dup_profile(df: DataFrame, group_col: str = "source",
                        .alias("n_dup_excess"),
                        F.col("max_clone").cast("long").alias("max_clone"),
                        rate.alias("dup_rate"))
+
+
+def novelty_profile(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", shingle_k: int = 3,
+                    hash_fn: str = "md5", round_to: int = 6) -> DataFrame:
+    """Per-document shingle NOVELTY — the content-diversity audit
+    between exact dedup (identical docs) and near-dup (similar pairs):
+    for each doc, the fraction of its DISTINCT k-shingles whose FIRST
+    corpus occurrence (smallest `id_col` — the canonical-election
+    ordering convention) is this doc. A late boilerplate clone scores
+    ~0 without ever matching a near-dup pair; the corpus-level mean of
+    this column is the "how much of this crawl is actually new"
+    number every ingestion batch wants (the self-repetition analogue
+    of Lee et al. 2022's dedup diagnostics, computed corpus-wide).
+
+    Returns (id, n_shingles, n_novel, novelty): n_shingles = distinct
+    shingles in the doc, n_novel = those first owned by it, novelty =
+    one IEEE division floor-rounded (NULL for docs with < k tokens —
+    no shingles, no claim). Docs with NULL text are excluded.
+
+    Shape at 100 TB: shingle hashes are per-doc DISTINCT before the
+    explode, so the ONE hash-keyed min-aggregation shuffle (map-side
+    combinable — min is the fold) carries ≤ one row per (doc, distinct
+    shingle); ownership collapses to ≤ one row per distinct corpus
+    shingle, and the per-doc counts/joins are doc-keyed. The corpus
+    text never rides an exchange — only 8-byte hashes do.
+    """
+    base = (ensure_min_parallelism(df)
+            .where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), F.col(text_col)))
+    pairs = (base
+             .selectExpr(f"`{id_col}`",
+                         f"{sql_tokens(f'`{text_col}`')} AS __t")
+             .selectExpr(f"`{id_col}`",
+                         f"{sql_shingles('__t', shingle_k)} AS __sh")
+             .selectExpr(f"`{id_col}`",
+                         f"array_distinct({sql_shingle_hashes('__sh', hash_fn)})"
+                         " AS __hd")
+             .select(F.col(id_col), F.explode("__hd").alias("__h")))
+    owner = pairs.groupBy("__h").agg(F.min(id_col).alias("__first"))
+    novel = (owner.groupBy(F.col("__first").alias(id_col))
+             .agg(F.count(F.lit(1)).alias("n_novel")))
+    per_doc = pairs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    s = float(10 ** round_to)
+    out = (base.select(id_col)
+           .join(per_doc, id_col, "left")
+           .join(novel, id_col, "left"))
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long")
+    n_nv = F.coalesce(F.col("n_novel"), F.lit(0)).cast("long")
+    return out.select(
+        id_col, n_sh.alias("n_shingles"), n_nv.alias("n_novel"),
+        F.when(n_sh > 0,
+               F.floor(n_nv.cast("double") / n_sh.cast("double")
+                       * F.lit(s) + F.lit(0.5)) / F.lit(s))
+        .alias("novelty"))

@@ -169,6 +169,80 @@ def hll_distinct(df: DataFrame, value_col: str, by=None) -> DataFrame:
         .alias("est_distinct"))
 
 
+def kmv_setops(df: DataFrame, value_col: str, group_col: str,
+               group_a, group_b, k: int = 256) -> DataFrame:
+    """Set-operation estimates between two groups' value sets from their
+    KMV sketches — the theta-sketch capability (Dasgupta, Lang, Rhodes &
+    Thaler 2016, "Theta sketch framework"): |A ∪ B|, |A ∩ B| and Jaccard
+    WITHOUT ever materializing the sets. The audience-overlap question
+    ("how many users did both X and Y") answered from two kilobyte
+    summaries.
+
+    θ = min(θ_A, θ_B) (each θ = the group's k-th smallest distinct
+    hash, or its max when the group has < k distinct values — then the
+    group's sketch is exhaustive and the estimates only sharpen). Below
+    θ both sketches are EXACT samples of the hash space [0, θ], so with
+    n_a/n_b/n_common the ≤-θ survivor counts:
+        est_union        = (n_a + n_b − n_common) · 2^60 / θ
+        est_intersection = n_common · 2^60 / θ
+        jaccard_est      = n_common / (n_a + n_b − n_common)
+    — integer counts, one pinned multiply+divide each, floor-round-6.
+
+    Returns ONE row: (theta, n_a, n_b, n_common, est_union,
+    est_intersection, jaccard_est).
+
+    Scale shape: two bounded sketches (the kmv_distinct build, one
+    distinct shuffle + k-bounded rank), then every join/aggregate runs
+    on ≤ k rows per side; θ is a 1-row scalar broadcast (the tpch_q15
+    crossJoin convention). Sketch states persist and merge, so the
+    pairwise matrix over G groups costs G sketch builds, not G² scans.
+    """
+    g = F.col("__g")
+    base = (df.select(F.col(group_col).alias("__g"),
+                      F.col(value_col).alias("__v"))
+            .where(F.col("__v").isNotNull()
+                   & g.isin([group_a, group_b]))
+            .distinct()
+            .withColumn("__h", hash64_expr(F.col("__v").cast("string"))))
+    w = Window.partitionBy("__g").orderBy(F.col("__h").asc(),
+                                          F.col("__v").asc())
+    sk = (base.withColumn("__rn", F.row_number().over(w))
+          .where(F.col("__rn") <= k)
+          .select("__g", "__h"))
+    theta = (sk.groupBy("__g").agg(F.max("__h").alias("__t"))
+             .agg(F.min("__t").alias("theta")))
+    sa = sk.where(g == group_a).select("__h")
+    sb = sk.where(g == group_b).select("__h")
+    na = (sa.crossJoin(F.broadcast(theta))
+          .where(F.col("__h") <= F.col("theta"))
+          .agg(F.count(F.lit(1)).alias("n_a")))
+    nb = (sb.crossJoin(F.broadcast(theta))
+          .where(F.col("__h") <= F.col("theta"))
+          .agg(F.count(F.lit(1)).alias("n_b")))
+    nc = (sa.join(sb, "__h")
+          .crossJoin(F.broadcast(theta))
+          .where(F.col("__h") <= F.col("theta"))
+          .agg(F.count(F.lit(1)).alias("n_common")))
+    one = (theta.crossJoin(F.broadcast(na))
+           .crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(nc)))
+    m = F.lit(float(HASH_SPACE))
+    uni = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    s = float(10 ** 6)
+
+    def _r(c):
+        return F.floor(c * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+    return one.select(
+        "theta", "n_a", "n_b", "n_common",
+        _r(uni.cast("double") * m
+           / F.col("theta").cast("double")).alias("est_union"),
+        _r(F.col("n_common").cast("double") * m
+           / F.col("theta").cast("double")).alias("est_intersection"),
+        F.when(uni > 0,
+               _r(F.col("n_common").cast("double")
+                  / uni.cast("double"))).alias("jaccard_est"))
+
+
 def countmin(df: DataFrame, item_col: str, d: int = 4, w: int = 1024,
              top: int = 20, seed: int = 7) -> DataFrame:
     """Count–Min sketch build + point-query audit.

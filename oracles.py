@@ -3881,6 +3881,64 @@ def build_oracles() -> dict[str, str]:
                  f'/ kth_hash::DOUBLE END', 6)} AS est_distinct
       FROM a"""
 
+    # Per-doc shingle novelty: distinct shingle hashes per doc, global
+    # min-doc_id ownership, one rounded division; <3-token docs -> NULL
+    o["doc_novelty"] = f"""
+      WITH base AS (SELECT doc_id, text FROM documents
+                    WHERE text IS NOT NULL),
+      shn AS (SELECT doc_id,
+                    CASE WHEN len({TOKS}) < 3 THEN []::VARCHAR[]
+                         ELSE [array_to_string(({TOKS})[i:i+2], ' ')
+                               FOR i IN generate_series(1,
+                                                        len({TOKS}) - 2)]
+                    END AS sh
+             FROM base),
+      hh AS (SELECT doc_id, list_distinct(list_transform(sh,
+                    s -> {duck_hash64('s')} % {MERSENNE_P})) AS hd
+             FROM shn),
+      pr AS (SELECT doc_id, unnest(hd) AS h FROM hh),
+      own AS (SELECT h, min(doc_id) AS fid FROM pr GROUP BY 1),
+      nov AS (SELECT fid AS doc_id, count(*)::BIGINT AS n_novel
+              FROM own GROUP BY 1),
+      cnt AS (SELECT doc_id, count(*)::BIGINT AS n_shingles
+              FROM pr GROUP BY 1)
+      SELECT b.doc_id,
+             coalesce(cnt.n_shingles, 0)::BIGINT AS n_shingles,
+             coalesce(nov.n_novel, 0)::BIGINT AS n_novel,
+             CASE WHEN coalesce(cnt.n_shingles, 0) > 0 THEN
+               {fr('coalesce(nov.n_novel, 0)::DOUBLE'
+                   ' / cnt.n_shingles::DOUBLE', 6)} END AS novelty
+      FROM base b LEFT JOIN cnt ON cnt.doc_id = b.doc_id
+                  LEFT JOIN nov ON nov.doc_id = b.doc_id"""
+
+    _M60 = f"{float(HASH_SPACE)!r}"
+    o["sk_kmv_setops"] = f"""
+      WITH v AS (SELECT DISTINCT l_returnflag AS g, l_orderkey AS v
+                 FROM lineitem WHERE l_orderkey IS NOT NULL
+                   AND l_returnflag IN ('A', 'R')),
+      hh AS (SELECT g, v, {_h64v} AS h FROM v),
+      rk AS (SELECT g, h, row_number() OVER (
+                 PARTITION BY g ORDER BY h ASC, v ASC) AS rn FROM hh),
+      sk AS (SELECT g, h FROM rk WHERE rn <= {_KMV_K}),
+      th AS (SELECT min(t)::BIGINT AS theta FROM
+             (SELECT g, max(h) AS t FROM sk GROUP BY 1)),
+      sa AS (SELECT h FROM sk, th WHERE g = 'A' AND h <= theta),
+      sb AS (SELECT h FROM sk, th WHERE g = 'R' AND h <= theta),
+      cnt AS (SELECT (SELECT theta FROM th) AS theta,
+                     (SELECT count(*) FROM sa)::BIGINT AS n_a,
+                     (SELECT count(*) FROM sb)::BIGINT AS n_b,
+                     (SELECT count(*) FROM sa JOIN sb USING (h))::BIGINT
+                       AS n_common)
+      SELECT theta, n_a, n_b, n_common,
+             {fr(f'(n_a + n_b - n_common)::DOUBLE * {_M60} '
+                 '/ theta::DOUBLE', 6)} AS est_union,
+             {fr(f'n_common::DOUBLE * {_M60} / theta::DOUBLE', 6)}
+               AS est_intersection,
+             CASE WHEN (n_a + n_b - n_common) > 0 THEN
+               {fr('n_common::DOUBLE / (n_a + n_b - n_common)::DOUBLE',
+                   6)} END AS jaccard_est
+      FROM cnt"""
+
     _hll_raw = f"{HLL_NUMER!r} / s_total::DOUBLE"
     o["sk_hll"] = f"""
       WITH v AS (SELECT l_returnflag AS g, l_orderkey AS v

@@ -28,3 +28,26 @@ def test_fast_path_pairs_match_md5_twin(spark):
     assert len(md5) > 0, "gate data should contain planted near-dups"
     assert fast == md5, (
         f"fast-only: {sorted(fast - md5)[:5]} md5-only: {sorted(md5 - fast)[:5]}")
+
+
+def test_novelty_profile_hand_golden(spark):
+    from influxdb_ha_spark.operators.dedup import novelty_profile
+    docs = spark.createDataFrame(
+        [(1, "a b c d"),        # shingles {abc, bcd} -> both novel
+         (2, "a b c d"),        # exact clone -> nothing novel
+         (3, "a b c x"),        # {abc(bcx owned by 1), bcx novel} -> 0.5
+         (4, "a b"),            # < 3 tokens -> no shingles, NULL novelty
+         (5, None)],            # NULL text excluded entirely
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in novelty_profile(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert (rows[1].n_shingles, rows[1].n_novel, rows[1].novelty) == (2, 2, 1.0)
+    assert (rows[2].n_shingles, rows[2].n_novel, rows[2].novelty) == (2, 0, 0.0)
+    assert (rows[3].n_shingles, rows[3].n_novel, rows[3].novelty) == (2, 1, 0.5)
+    assert (rows[4].n_shingles, rows[4].n_novel, rows[4].novelty) == (0, 0, None)
+    # repeated shingles inside ONE doc count once (per-doc distinct)
+    rep = spark.createDataFrame([(1, "a b c a b c a b c")],
+                                "doc_id long, text string")
+    r = novelty_profile(rep).collect()[0]
+    # tokens a b c a b c a b c -> distinct 3-shingles {abc, bca, cab}
+    assert r.n_shingles == 3 and r.n_novel == 3 and r.novelty == 1.0

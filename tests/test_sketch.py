@@ -148,3 +148,33 @@ def test_sketches_empty_and_null_inputs(spark):
         assert histogram_quantiles(
             df.select("g", F.col("v").cast("double").alias("v")),
             "v", by=["g"]).count() == 0
+
+
+def test_kmv_setops_planted_overlap(spark):
+    from influxdb_ha_spark.operators.sketch import kmv_setops
+    # A = 1..1000, B = 501..1500: |A∩B|=500, |A∪B|=1500, J=1/3
+    rows = ([("A", v) for v in range(1, 1001)]
+            + [("B", v) for v in range(501, 1501)])
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kmv_setops(df, "v", "g", "A", "B", k=128).collect()[0]
+    assert r.n_a <= 128 and r.n_b <= 128
+    # sigma ~ 1/sqrt(128) = 8.8%; allow ~3 sigma
+    assert 1500 * 0.7 < r.est_union < 1500 * 1.3
+    assert 500 * 0.6 < r.est_intersection < 500 * 1.4
+    assert 1 / 3 * 0.6 < r.jaccard_est < 1 / 3 * 1.4
+
+
+def test_kmv_setops_disjoint_and_identical(spark):
+    from influxdb_ha_spark.operators.sketch import kmv_setops
+    dis = spark.createDataFrame(
+        [("A", v) for v in range(100)] + [("B", v + 1000) for v in range(100)],
+        "g string, v long")
+    r = kmv_setops(dis, "v", "g", "A", "B", k=256).collect()[0]
+    assert r.n_common == 0 and r.est_intersection == 0.0
+    assert r.jaccard_est == 0.0
+    same = spark.createDataFrame(
+        [(g, v) for g in ("A", "B") for v in range(200)], "g string, v long")
+    r2 = kmv_setops(same, "v", "g", "A", "B", k=256).collect()[0]
+    # identical sets, both sketches exhaustive: J exactly 1
+    assert r2.n_a == r2.n_b == r2.n_common == 200
+    assert r2.jaccard_est == 1.0

@@ -28,6 +28,11 @@ import __spark_entry__ as entry_mod
 # entries are additionally guarded at runtime: functions/fill.py refuses
 # spines above MAX_SPINE_BUCKETS.
 BOUNDED_SINGLE_PARTITION = {
+    "sk_kmv_setops": "the θ / n_a / n_b / n_common 1-row scalar "
+                     "aggregates, each folding ≤ k (=256, the sketch "
+                     "parameter) rows — everything after the sketch "
+                     "build is k-bounded by construction; the sketch "
+                     "rank itself partitions on the group key",
     "iq_fill_previous": "ungrouped fill spine window: rows = bucket count, "
                         "<= MAX_SPINE_BUCKETS (fill.py hard cap); spines "
                         "above _SMALL_SPINE switch to the segmented scan",
@@ -114,6 +119,10 @@ BOUNDED_SINGLE_PARTITION = {
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
 # justification required, stale entries flagged).
 ALLOWED_CARTESIAN = {
+    "sk_kmv_setops": "1-row scalar crossJoins only: θ broadcast onto "
+                     "the two ≤k-row sketch sides (the tpch_q15 "
+                     "scalar-anchor pattern), then the three 1-row "
+                     "counts crossJoined into the single output row",
     "emb_brute_topk": "corpus x broadcast(queries) exact baseline; corpus "
                       "never shuffles, cost |Q| dot products per row",
     "doc_quality_sample": "broadcast of the 1-row threshold aggregate "

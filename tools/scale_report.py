@@ -52,7 +52,11 @@ QUERIES = ["tpch_q1", "agg_median_percentile", "join_brand_revenue",
            # parameter-bounded regression (zipf), widest TPC-H join
            # chain + double-role dims
            "ts_matrix_profile", "ts_sax", "ev_gini", "text_zipf",
-           "tpch_q9", "tpch_q21"]
+           "tpch_q9", "tpch_q21",
+           # round-9 continuation: bounded-state sketches (distinct
+           # shuffle + k-rank, register max-agg, d·w-cell build) and
+           # the frontier BFS loop
+           "sk_kmv", "sk_hll", "sk_countmin", "graph_bfs"]
 
 
 def main():
