@@ -657,18 +657,38 @@ def q_show_series(spark, sf):
 
 
 def q_show_cardinality(spark, sf):
-    """SHOW <x> [EXACT] CARDINALITY family (influxql 1.x): exact counts of
-    the meta scans, through the full Engine statement route."""
+    """SHOW <x> EXACT CARDINALITY family (influxql 1.x): exact counts of
+    the meta scans, through the full Engine statement route (the bare
+    non-EXACT forms are HLL-estimated like InfluxDB's —
+    show_cardinality_est)."""
+    from influxdb_ha_spark.server import Engine
+    eng = Engine(_catalog(spark, sf), database="default")
+    series = eng.query_df("SHOW SERIES EXACT CARDINALITY") \
+        .select(F.col("count").alias("series_card"))
+    tagv = eng.query_df("SHOW TAG VALUES EXACT CARDINALITY FROM events "
+                        "WITH KEY = event_type") \
+        .select(F.col("count").alias("tag_value_card"))
+    fields = eng.query_df("SHOW FIELD KEY EXACT CARDINALITY") \
+        .select(F.col("count").alias("field_key_card"))
+    return series.crossJoin(tagv).crossJoin(fields)
+
+
+def q_show_cardinality_est(spark, sf):
+    """Bare SHOW <x> CARDINALITY = HLL-ESTIMATED (InfluxDB 1.x
+    semantics — the reference proxies these statements first-available,
+    routing.go:121-135): the meta scan's row identity feeds the m=256
+    sketch of operators/sketch.hll_distinct, so at scale the answer
+    costs one register-max aggregation instead of a global distinct;
+    the oracle replays the identical sketch in SQL including the
+    concat_ws null-skip key derivation (server.py:_show)."""
     from influxdb_ha_spark.server import Engine
     eng = Engine(_catalog(spark, sf), database="default")
     series = eng.query_df("SHOW SERIES CARDINALITY") \
-        .select(F.col("count").alias("series_card"))
+        .select(F.col("count").alias("series_card_est"))
     tagv = eng.query_df("SHOW TAG VALUES CARDINALITY FROM events "
                         "WITH KEY = event_type") \
-        .select(F.col("count").alias("tag_value_card"))
-    fields = eng.query_df("SHOW FIELD KEY CARDINALITY") \
-        .select(F.col("count").alias("field_key_card"))
-    return series.crossJoin(tagv).crossJoin(fields)
+        .select(F.col("count").alias("tag_value_card_est"))
+    return series.crossJoin(tagv)
 
 
 def q_show_tag_keys(spark, sf):
@@ -3554,6 +3574,7 @@ _FAMILIES = [
         "show_tag_keys": q_show_tag_keys,
         "show_field_keys": q_show_field_keys,
         "show_cardinality": q_show_cardinality,
+        "show_cardinality_est": q_show_cardinality_est,
         "cq_backfill": q_cq_backfill,
     },
     {

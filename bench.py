@@ -41,13 +41,14 @@ HEADLINE = [
     "emb_near_dup_lsh",    # hyperplane-LSH bucketed near-dup (no N² join)
     "iq_subquery",         # nested InfluxQL planning
     "tpch_q9",             # widest join chain: fact-fact + 3 dims (r9)
+    "sk_hll",              # mergeable sketch: register-max cardinality (r9)
 ]
 
 # Keys added to HEADLINE this round — excluded from `value_excl_new` so
 # round-over-round totals compare the same query set (r8 VERDICT #3c:
 # the honest r7→r8 delta needed tpch_q6 backed out by hand). Rotate
 # this list each round: last round's additions graduate into the base.
-ADDED_THIS_ROUND = ["tpch_q9"]
+ADDED_THIS_ROUND = ["tpch_q9", "sk_hll"]
 
 
 def run_once() -> dict:

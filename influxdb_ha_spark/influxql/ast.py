@@ -122,3 +122,4 @@ class ShowStatement:
     offset: int | None = None      # meta scans — series.go:67-89 pages)
     measurement_regex: str | None = None  # SHOW MEASUREMENTS WITH ... =~
     cardinality: bool = False      # SHOW <x> [EXACT] CARDINALITY
+    exact: bool = False            # EXACT modifier (else HLL-estimated)

@@ -309,11 +309,13 @@ class Parser:
             self.expect("KEYWORD", "QUERIES")
             what = "CONTINUOUS QUERIES"
         stmt = ShowStatement(what=what)
-        # SHOW <x> [EXACT] CARDINALITY — counts are always exact here, so
-        # EXACT is accepted and ignored (influxql 1.x cardinality surface)
+        # SHOW <x> [EXACT] CARDINALITY (influxql 1.x cardinality surface):
+        # like InfluxDB, the bare form is ESTIMATED (HLL sketch —
+        # server._show) and EXACT forces the exact distinct count
         nxt = self.peek()
         if nxt.text == "EXACT":
             self.next()
+            stmt.exact = True
             nxt = self.peek()
         if nxt.text == "CARDINALITY":
             self.next()

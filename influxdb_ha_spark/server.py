@@ -395,11 +395,25 @@ class Engine:
     # -- SHOW routing (routing.go:121-135) ------------------------------------
     def _show(self, stmt: ShowStatement, db: str) -> DataFrame:
         if stmt.cardinality:
-            # SHOW <x> [EXACT] CARDINALITY: exact count of the underlying
-            # meta scan (influxql 1.x cardinality statements; the engine
-            # has no sketch-based estimate path — counts are always exact)
-            return self._show_inner(stmt, db).agg(
-                F.count(F.lit(1)).alias("count"))
+            # SHOW <x> [EXACT] CARDINALITY (influxql 1.x cardinality
+            # statements): EXACT counts the meta scan; the bare form is
+            # HLL-ESTIMATED like InfluxDB's — the meta scan's row
+            # identity (concat of its columns) feeds the m=256 sketch
+            # (operators/sketch.hll_distinct), whose register maxima are
+            # map-side combinable, so the estimate never pays the exact
+            # path's global distinct at scale. The estimate rounds to
+            # the exact value for small catalogs (linear counting).
+            inner = self._show_inner(stmt, db)
+            if stmt.exact:
+                return inner.agg(F.count(F.lit(1)).alias("count"))
+            from .operators.sketch import hll_distinct
+            keyed = inner.select(F.concat_ws(
+                "\x1f", *[F.col(c).cast("string")
+                          for c in inner.columns]).alias("__k"))
+            est = hll_distinct(keyed, "__k", by=None)
+            return est.select(
+                F.floor(F.coalesce(F.col("est_distinct"), F.lit(0.0))
+                        + F.lit(0.5)).cast("long").alias("count"))
         out = self._show_inner(stmt, db)
         # SHOW ... LIMIT/OFFSET — paginated meta scans (the reference pages
         # SHOW SERIES 1000 at a time, syncing/series.go:67-89)

@@ -572,6 +572,47 @@ def build_oracles() -> dict[str, str]:
              count(DISTINCT event_type) AS tag_value_card,
              4 AS field_key_card
       FROM events"""
+    # Bare SHOW <x> CARDINALITY is HLL-ESTIMATED (InfluxDB 1.x
+    # semantics; server.py:_show): replay the m=256 sketch of
+    # operators/sketch.hll_distinct in SQL over the same meta-scan row
+    # identities, concat_ws null-skip included, fr6 then floor(+0.5).
+    from influxdb_ha_spark.operators.sketch import (
+        HLL_M as _HM, HLL_NUMER as _HN)
+
+    def _hll_est_sub(sel: str, alias: str) -> str:
+        raw = f"{_HN!r} / s_total::DOUBLE"
+        est = (f"CASE WHEN {raw} <= {2.5 * _HM!r} AND v_empty > 0 "
+               f"THEN {float(_HM)!r} * ln({float(_HM)!r}"
+               f" / v_empty::DOUBLE) ELSE {raw} END")
+        return f"""(WITH vv AS ({sel}),
+      hhc AS (SELECT {duck_hash64('v')} AS h FROM vv
+              WHERE v IS NOT NULL),
+      bbc AS (SELECT h % {_HM} AS j, CASE WHEN h // {_HM} = 0 THEN 53
+                   ELSE 53 - length(bin(h // {_HM})) END AS rho
+              FROM hhc),
+      regsc AS (SELECT j, max(rho) AS m FROM bbc GROUP BY 1),
+      ffc AS (SELECT count(*)::BIGINT AS used,
+                    sum(1::BIGINT << (53 - m)::INT)::BIGINT AS s_used
+              FROM regsc),
+      ttc AS (SELECT ({_HM} - used)::BIGINT AS v_empty,
+                    (s_used + ({_HM} - used)
+                     * (1::BIGINT << 53))::BIGINT AS s_total
+              FROM ffc)
+      SELECT floor(coalesce({fr(est, 6)}, 0.0) + 0.5)::BIGINT
+             AS {alias} FROM ttc)"""
+
+    _series_sel = ("SELECT DISTINCT CASE WHEN event_type IS NULL "
+                   "THEN 'events,event_type' "
+                   "ELSE 'events,event_type=' || event_type END AS v "
+                   "FROM events")
+    _tagv_sel = ("SELECT DISTINCT CASE WHEN event_type IS NULL "
+                 "THEN 'event_type' "
+                 "ELSE 'event_type' || chr(31) || event_type END AS v "
+                 "FROM events")
+    o["show_cardinality_est"] = (
+        "SELECT s.series_card_est, t.tag_value_card_est FROM "
+        + _hll_est_sub(_series_sel, "series_card_est") + " s, "
+        + _hll_est_sub(_tagv_sel, "tag_value_card_est") + " t")
     # schema-derived meta: the oracle states the known schema roles
     o["show_tag_keys"] = """
       SELECT 'events' AS measurement, 'event_type' AS tagKey"""

@@ -787,3 +787,24 @@ def test_backup_statement(spark, tmp_path):
     assert [r["measurement"] for r in one] == ["mem"]
     with pytest.raises(ClusterQLError, match="no measurement matches"):
         h.handle(f"BACKUP nope TO {dest}3")
+
+
+def test_show_cardinality_estimated_vs_exact(spark):
+    """Bare SHOW CARDINALITY is HLL-estimated (InfluxDB 1.x semantics),
+    EXACT forces the exact count: with 500 series the sketch answers
+    within its m=256 error bound; with tiny catalogs (the test above)
+    linear counting rounds to the exact value."""
+    from pyspark.sql import functions as F
+    iso = Catalog(spark)
+    df = spark.range(2000).select(
+        (F.col("id") * 1_000_000_000).alias("time"),
+        F.concat(F.lit("t"), (F.col("id") % 500).cast("string"))
+        .alias("type"),
+        F.col("id").cast("double").alias("value"))
+    iso.register_dataframe("db", "m", df, time_col="time", tags=["type"])
+    eng = Engine(iso, database="db", now_ns=NOW)
+    exact = eng.query_df("SHOW SERIES EXACT CARDINALITY").first()["count"]
+    est = eng.query_df("SHOW SERIES CARDINALITY").first()["count"]
+    assert exact == 500
+    # sigma ~ 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert 0.8 * exact <= est <= 1.2 * exact

@@ -49,6 +49,10 @@ BOUNDED_SINGLE_PARTITION = {
                       "emb_pq_topk; the search itself shuffles on "
                       "centroid_id / query_id only",
     "show_cardinality": "three 1-row cardinality counts joined",
+    "show_cardinality_est": "two 1-row HLL register folds joined (the "
+                            "sketch's ≤256-row fold per count — the "
+                            "estimated path exists precisely to keep "
+                            "this stage sketch-sized)",
     "doc_pack_sequences": "distributed prefix sum's offset table: the "
                           "keyless window ranks only the P per-bucket "
                           "partial sums (P = bucket count ~ partitions), "
@@ -144,6 +148,8 @@ ALLOWED_CARTESIAN = {
                       "1-row recall crossJoins as emb_pq_topk; the ADC "
                       "pass itself is an equi-join on centroid_id",
     "show_cardinality": "1-row x 1-row crossJoins of cardinality counts",
+    "show_cardinality_est": "1-row x 1-row crossJoin of the two "
+                            "estimated counts",
     "emb_mmr_topk": "candidate pooling is brute_force_topk's corpus x "
                     "broadcast(queries) exact baseline (swap in ivf/pq "
                     "at scale); the greedy stage touches |Q|*pool rows",
