@@ -1,0 +1,84 @@
+"""Streaming twin of operators/sketch.histogram_quantiles: per-group
+fixed-boundary histograms folded across micro-batches via
+`applyInPandasWithState`, emitting live whole-history quantile
+estimates.
+
+Complements the exact per-bucket SLO bands of quantile_bands_stream
+(twin #16): that one closes a time bucket and reports its exact
+quantiles; this one answers "p99 over EVERYTHING so far" with state
+bounded at `bins` int64s per group — histograms over shared boundaries
+merge by cell-wise +, so the streamed state equals the batch histogram
+on the union of all micro-batches regardless of batch boundaries, and
+the estimates are bit-identical to the batch operator's (the
+equivalence test pins rows exactly; binning runs JVM-side with the
+batch operator's own clamp expression, and the Python interpolation
+replays the same IEEE ops: r = ceil(q·n), lo + width·(bin +
+(r − cum_below)/c), floor-round-6).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Iterator, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "counts array<long>"
+OUTPUT_SCHEMA = "g string, q double, n long, est double"
+
+
+def _make_update(lo: float, width: float, bins: int, qs: tuple):
+    def update(key: Tuple[Any, ...],
+               pdfs: Iterator["pandas.DataFrame"],  # noqa: F821
+               state: GroupState) -> Iterator[Any]:
+        import numpy as np
+        import pandas as pd
+
+        counts = (np.asarray(state.get[0], dtype=np.int64)
+                  if state.exists else np.zeros(bins, dtype=np.int64))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        counts += np.bincount(batch["bin"].to_numpy(dtype=np.int64),
+                              minlength=bins).astype(np.int64)
+        state.update((counts.tolist(),))
+        n = int(counts.sum())
+        out_q, out_est = [], []
+        cum = np.cumsum(counts)
+        for q in qs:
+            r = math.ceil(q * float(n))
+            b = int(np.searchsorted(cum, r))      # first bin with cum >= r
+            cum_below = int(cum[b] - counts[b])
+            est = lo + width * (float(b)
+                                + (float(r) - float(cum_below))
+                                / float(counts[b]))
+            out_q.append(float(q))
+            out_est.append(math.floor(est * 1e6 + 0.5) / 1e6)
+        yield pd.DataFrame({"g": [key[0]] * len(qs), "q": out_q,
+                            "n": [n] * len(qs), "est": out_est})
+
+    return update
+
+
+def hist_quantile_stream(events: DataFrame, group_col: str,
+                         value_col: str, lo: float = 0.0,
+                         hi: float = 1.0, bins: int = 1024,
+                         qs=(0.5, 0.95, 0.99)) -> DataFrame:
+    """Streaming events → per-group live quantile estimates over the
+    whole history so far; state = `bins` int64s per group."""
+    width = (hi - lo) / bins
+    b = F.floor((F.col(value_col).cast("double") - F.lit(float(lo)))
+                / F.lit(width))
+    b = F.when(b < 0, F.lit(0)).when(b >= bins, F.lit(bins - 1)).otherwise(b)
+    keyed = (events
+             .where(F.col(value_col).isNotNull())
+             .select(F.col(group_col).cast("string").alias("g"),
+                     b.cast("long").alias("bin")))
+    return (keyed.groupBy("g")
+            .applyInPandasWithState(
+                _make_update(float(lo), float(width), int(bins),
+                             tuple(float(q) for q in qs)),
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

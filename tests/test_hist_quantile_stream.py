@@ -1,0 +1,59 @@
+"""Streaming histogram-quantile twin vs batch histogram_quantiles: the
+final streamed estimates must equal the batch operator on the union of
+all micro-batches EXACTLY (histograms over shared boundaries merge by
+cell-wise +), across any batch boundaries; state stays at `bins` int64s
+per group."""
+
+import json
+import os
+
+from influxdb_ha_spark.operators.sketch import histogram_quantiles
+from influxdb_ha_spark.streaming.hist_quantile_stream import (
+    hist_quantile_stream)
+
+
+def _write(d, name, rows):
+    with open(os.path.join(d, name + ".tmp"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(os.path.join(d, name + ".tmp"), os.path.join(d, name))
+
+
+def test_hist_quantile_stream_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # two groups, awkward values (clamped outlier included), split so
+    # batch boundaries cut through both groups
+    rows = ([{"g": "a", "v": float(v)} for v in range(1, 201)]
+            + [{"g": "b", "v": 0.5 * v} for v in range(1, 61)]
+            + [{"g": "b", "v": 9999.0}])            # clamps to top bin
+    _write(src, "b0.json", rows[0::2])
+    _write(src, "b1.json", rows[1::2])
+    lo, hi, bins, qs = 0.0, 256.0, 512, (0.5, 0.95, 0.99)
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.append((batch_id, batch_df.collect()))
+
+    stream = spark.readStream.schema("g string, v double") \
+        .option("maxFilesPerTrigger", 1).json(src)
+    out = hist_quantile_stream(stream, group_col="g", value_col="v",
+                               lo=lo, hi=hi, bins=bins, qs=qs)
+    q = (out.writeStream.foreachBatch(sink)
+         .outputMode("update").option("checkpointLocation",
+                                      str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    final = {}
+    for _, batch in sorted(collected):
+        for r in batch:
+            final[(r["g"], r["q"])] = (r["n"], r["est"])
+    ref_df = spark.createDataFrame([(r["g"], r["v"]) for r in rows],
+                                   "g string, v double")
+    ref = {(r.g, r.q): (r.n, r.est)
+           for r in histogram_quantiles(ref_df, "v", by=["g"], lo=lo,
+                                        hi=hi, bins=bins, qs=qs).collect()}
+    assert final == ref
+    # sanity: the batch reference itself is non-degenerate
+    assert ref[("a", 0.5)][0] == 200
+    assert ref[("b", 0.99)][1] >= 255.5   # the clamped outlier's bin
