@@ -154,11 +154,13 @@ def hll_distinct(df: DataFrame, value_col: str, by=None) -> DataFrame:
     s_total = (F.col("__s_used")
                + v_empty * F.lit(1 << (_HLL_VBITS + 1)))
     e_raw = F.lit(HLL_NUMER) / s_total.cast("double")
-    # linear counting: literal ln(m/V) map over V in 1..m-1
-    ln_items = []
-    for v in range(1, HLL_M):
-        ln_items += [F.lit(v), F.lit(HLL_M * math.log(HLL_M / v))]
-    ln_map = F.create_map(*ln_items)
+    # linear counting: literal ln(m/V) map over V in 1..m-1, emitted as
+    # ONE SQL string — building 2·(m−1) Column literals costs ~500 py4j
+    # round trips (~0.5 s per cold build; the hashing.py sql_minhash_sig
+    # lesson), parsing the same tree JVM-side is one call
+    ln_map = F.expr("map(" + ", ".join(
+        f"{v}, {HLL_M * math.log(HLL_M / v)!r}"
+        for v in range(1, HLL_M)) + ")")
     est = (F.when((e_raw <= F.lit(2.5 * HLL_M)) & (v_empty > 0),
                   ln_map[v_empty])
            .otherwise(e_raw))
