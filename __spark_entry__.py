@@ -2472,6 +2472,21 @@ def q_sk_hist_quantile(spark, sf):
                                qs=(0.5, 0.95, 0.99))
 
 
+def q_sk_join_sample(spark, sf):
+    """Coordinated-sample join-size estimation (added scope — the
+    'should I broadcast, how big is this join' probe run BEFORE
+    committing a join strategy at 100 TB): both sides keep the same
+    1/64 hash slice of the JOIN KEY, so pair groups survive intact and
+    est = sampled_pairs · 64 scales by 1/p ONCE; md5-hash64 sample is
+    engine-reproducible bit-for-bit, exact join kept as the audit
+    column (operators/sketch.py:join_sample_estimate)."""
+    from influxdb_ha_spark.operators.sketch import join_sample_estimate
+    li = _t(spark, sf, "lineitem").select("l_orderkey")
+    o = _t(spark, sf, "orders").select("o_orderkey")
+    return join_sample_estimate(li, o, "l_orderkey", "o_orderkey",
+                                rate=64)
+
+
 def q_graph_bfs(spark, sf):
     """Multi-source bounded BFS on the co-order part graph (added
     scope — the blast-radius primitive): seeds = parts with
@@ -3730,6 +3745,7 @@ _FAMILIES = [
         "sk_hll": q_sk_hll,
         "sk_countmin": q_sk_countmin,
         "sk_hist_quantile": q_sk_hist_quantile,
+        "sk_join_sample": q_sk_join_sample,
     },
     {
         # LLM-pipeline scope (§7): multimodal

@@ -289,6 +289,59 @@ def countmin(df: DataFrame, item_col: str, d: int = 4, w: int = 1024,
                  F.min("cell_cnt").alias("cm_est")))
 
 
+def join_sample_estimate(left: DataFrame, right: DataFrame,
+                         left_key: str, right_key: str,
+                         rate: int = 64) -> DataFrame:
+    """Join-size estimation from COORDINATED hash samples — the
+    cardinality-estimation primitive behind join reordering (the
+    end-biased/correlated sampling idea of Vengerov et al. 2015,
+    "Join size estimation subject to filter conditions"): both sides
+    keep only rows whose JOIN-KEY hash lands in the same 1/`rate`
+    slice (hash64(key) mod rate == 0), so a join pair survives iff its
+    key is sampled — the estimator is sampled_pairs · rate, scaling by
+    1/p ONCE (independent per-side sampling would square the rate and
+    estimate from p² of the pairs; coordination keeps every surviving
+    key's pair group INTACT, which is what makes per-key skew visible
+    in the sample). Deterministic: the hash is the cross-engine md5
+    hash64, so the sample — and therefore the estimate — is
+    reproducible bit-for-bit.
+
+    Returns ONE row: (n_left_sampled, n_right_sampled, sampled_pairs,
+    est_pairs, exact_pairs) — the exact side is the audit column that
+    exists at test scale; at 100 TB the whole point is that the
+    estimate costs two ~1/rate scans + a sample-sized join instead of
+    the full shuffle join it predicts the size of.
+
+    Scale shape: the sample predicates push into both scans (hash of a
+    scanned column — map-side, before any exchange), the sampled join
+    shuffles ~1/rate of each side, and the output is one row. At 100 TB
+    this is the "should I broadcast, and how big is the result" probe
+    run BEFORE committing to a join strategy.
+    """
+    lk = hash64_expr(F.col(left_key).cast("string"))
+    rk = hash64_expr(F.col(right_key).cast("string"))
+    ls = (left.where(F.col(left_key).isNotNull()
+                     & (F.pmod(lk, F.lit(int(rate))) == 0))
+          .select(F.col(left_key).alias("__k")))
+    rs = (right.where(F.col(right_key).isNotNull()
+                      & (F.pmod(rk, F.lit(int(rate))) == 0))
+          .select(F.col(right_key).alias("__k")))
+    nl = ls.agg(F.count(F.lit(1)).alias("n_left_sampled"))
+    nr = rs.agg(F.count(F.lit(1)).alias("n_right_sampled"))
+    sp = ls.join(rs, "__k").agg(F.count(F.lit(1)).alias("sampled_pairs"))
+    ex = (left.where(F.col(left_key).isNotNull())
+          .select(F.col(left_key).alias("__k"))
+          .join(right.where(F.col(right_key).isNotNull())
+                .select(F.col(right_key).alias("__k")), "__k")
+          .agg(F.count(F.lit(1)).alias("exact_pairs")))
+    return (nl.crossJoin(F.broadcast(nr))
+            .crossJoin(F.broadcast(sp))
+            .crossJoin(F.broadcast(ex))
+            .select("n_left_sampled", "n_right_sampled", "sampled_pairs",
+                    (F.col("sampled_pairs") * F.lit(int(rate)))
+                    .alias("est_pairs"), "exact_pairs"))
+
+
 def histogram_quantiles(df: DataFrame, value_col: str, by=None,
                         lo: float = 0.0, hi: float = 1.0, bins: int = 1024,
                         qs=(0.5, 0.95, 0.99)) -> DataFrame:

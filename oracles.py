@@ -4033,6 +4033,26 @@ def build_oracles() -> dict[str, str]:
       FROM pr JOIN cells ON cells.rw = pr.rw AND cells.bucket = pr.bucket
       GROUP BY 1"""
 
+    # Coordinated-sample join-size estimate: same 1/64 hash slice of
+    # the join key on both sides; est scales by the rate ONCE
+    _js_lh = duck_hash64("l_orderkey::VARCHAR")
+    _js_oh = duck_hash64("o_orderkey::VARCHAR")
+    o["sk_join_sample"] = f"""
+      WITH ls AS (SELECT l_orderkey AS k FROM lineitem
+                  WHERE l_orderkey IS NOT NULL AND {_js_lh} % 64 = 0),
+      rs AS (SELECT o_orderkey AS k FROM orders
+             WHERE o_orderkey IS NOT NULL AND {_js_oh} % 64 = 0),
+      sp AS (SELECT count(*)::BIGINT AS c
+             FROM ls JOIN rs ON ls.k = rs.k)
+      SELECT (SELECT count(*) FROM ls)::BIGINT AS n_left_sampled,
+             (SELECT count(*) FROM rs)::BIGINT AS n_right_sampled,
+             sp.c AS sampled_pairs,
+             (sp.c * 64)::BIGINT AS est_pairs,
+             (SELECT count(*) FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_orderkey IS NOT NULL)::BIGINT AS exact_pairs
+      FROM sp"""
+
     # Histogram quantiles: width 0.5 is a power of two, so the binning
     # divide/floor are EXACT; ranks and counts integer; one interpolation
     # division floor-round-6 (quantile_cont convention NOT used — this is

@@ -178,3 +178,27 @@ def test_kmv_setops_disjoint_and_identical(spark):
     # identical sets, both sketches exhaustive: J exactly 1
     assert r2.n_a == r2.n_b == r2.n_common == 200
     assert r2.jaccard_est == 1.0
+
+
+def test_join_sample_estimate_accuracy_and_determinism(spark):
+    from influxdb_ha_spark.operators.sketch import join_sample_estimate
+    # 1:N join: 2000 keys on the left x multiplicity 3 on the right
+    left = spark.range(2000).select((F.col("id") + 1).alias("k"))
+    right = spark.range(6000).select((F.col("id") % 2000 + 1).alias("k"))
+    r = join_sample_estimate(left, right, "k", "k", rate=8).collect()[0]
+    assert r.exact_pairs == 6000
+    assert r.est_pairs == r.sampled_pairs * 8
+    # ~250 of 2000 keys sampled; each carries 3 pairs -> tight estimate
+    assert 6000 * 0.7 <= r.est_pairs <= 6000 * 1.3
+    # determinism: the hash-slice sample is partition-shape independent
+    r2 = join_sample_estimate(left.repartition(7), right.coalesce(1),
+                              "k", "k", rate=8).collect()[0]
+    assert tuple(r) == tuple(r2)
+
+
+def test_join_sample_empty_intersection(spark):
+    from influxdb_ha_spark.operators.sketch import join_sample_estimate
+    left = spark.range(100).select((F.col("id")).alias("k"))
+    right = spark.range(100).select((F.col("id") + 1000).alias("k"))
+    r = join_sample_estimate(left, right, "k", "k", rate=4).collect()[0]
+    assert r.sampled_pairs == 0 and r.est_pairs == 0 and r.exact_pairs == 0

@@ -28,6 +28,11 @@ import __spark_entry__ as entry_mod
 # entries are additionally guarded at runtime: functions/fill.py refuses
 # spines above MAX_SPINE_BUCKETS.
 BOUNDED_SINGLE_PARTITION = {
+    "sk_join_sample": "four 1-row count scalars folded (each a "
+                      "partial-count gather of P partial rows); the "
+                      "sampled join shuffles ~1/rate of each side and "
+                      "the audit join is the exact reference this "
+                      "probe replaces at scale",
     "sk_kmv_setops": "the θ / n_a / n_b / n_common 1-row scalar "
                      "aggregates, each folding ≤ k (=256, the sketch "
                      "parameter) rows — everything after the sketch "
@@ -123,6 +128,8 @@ BOUNDED_SINGLE_PARTITION = {
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
 # justification required, stale entries flagged).
 ALLOWED_CARTESIAN = {
+    "sk_join_sample": "1-row x 1-row crossJoins folding the four "
+                      "count scalars into the single output row",
     "sk_kmv_setops": "1-row scalar crossJoins only: θ broadcast onto "
                      "the two ≤k-row sketch sides (the tpch_q15 "
                      "scalar-anchor pattern), then the three 1-row "
