@@ -291,7 +291,8 @@ def countmin(df: DataFrame, item_col: str, d: int = 4, w: int = 1024,
 
 def join_sample_estimate(left: DataFrame, right: DataFrame,
                          left_key: str, right_key: str,
-                         rate: int = 64) -> DataFrame:
+                         rate: int = 64,
+                         hash_fn: str = "md5") -> DataFrame:
     """Join-size estimation from COORDINATED hash samples — the
     cardinality-estimation primitive behind join reordering (the
     end-biased/correlated sampling idea of Vengerov et al. 2015,
@@ -317,7 +318,27 @@ def join_sample_estimate(left: DataFrame, right: DataFrame,
     shuffles ~1/rate of each side, and the output is one row. At 100 TB
     this is the "should I broadcast, and how big is the result" probe
     run BEFORE committing to a join strategy.
+
+    hash_fn: "md5" (DuckDB-mirrorable, oracle default) | "fast"
+    (xxhash64 on the native key — the minhash_signatures split).
+    MEASURED at sf0.1 (local[8], warm scans): the md5 probe costs 121%
+    of the exact join it predicts — the per-row md5→hex→conv chain
+    outweighs a local hash join — while the xxhash64 probe costs 46%
+    with the same ~5% estimate error; and local joins are the probe's
+    WORST case (compute-bound, no network): on a cluster the exact
+    join pays a full network shuffle the map-side probe predicate
+    never does. Production uses "fast"; "md5" exists to let the oracle
+    replay the exact sample.
     """
+    if hash_fn == "fast":
+        lk = F.pmod(F.xxhash64(F.col(left_key)), F.lit(int(rate)))
+        rk = F.pmod(F.xxhash64(F.col(right_key)), F.lit(int(rate)))
+        ls = (left.where(F.col(left_key).isNotNull() & (lk == 0))
+              .select(F.col(left_key).alias("__k")))
+        rs = (right.where(F.col(right_key).isNotNull() & (rk == 0))
+              .select(F.col(right_key).alias("__k")))
+        return _join_sample_fold(left, right, left_key, right_key,
+                                 ls, rs, rate)
     lk = hash64_expr(F.col(left_key).cast("string"))
     rk = hash64_expr(F.col(right_key).cast("string"))
     ls = (left.where(F.col(left_key).isNotNull()
@@ -326,6 +347,12 @@ def join_sample_estimate(left: DataFrame, right: DataFrame,
     rs = (right.where(F.col(right_key).isNotNull()
                       & (F.pmod(rk, F.lit(int(rate))) == 0))
           .select(F.col(right_key).alias("__k")))
+    return _join_sample_fold(left, right, left_key, right_key,
+                             ls, rs, rate)
+
+
+def _join_sample_fold(left, right, left_key, right_key, ls, rs,
+                      rate: int) -> DataFrame:
     nl = ls.agg(F.count(F.lit(1)).alias("n_left_sampled"))
     nr = rs.agg(F.count(F.lit(1)).alias("n_right_sampled"))
     sp = ls.join(rs, "__k").agg(F.count(F.lit(1)).alias("sampled_pairs"))

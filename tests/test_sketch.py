@@ -202,3 +202,14 @@ def test_join_sample_empty_intersection(spark):
     right = spark.range(100).select((F.col("id") + 1000).alias("k"))
     r = join_sample_estimate(left, right, "k", "k", rate=4).collect()[0]
     assert r.sampled_pairs == 0 and r.est_pairs == 0 and r.exact_pairs == 0
+
+
+def test_join_sample_fast_path(spark):
+    from influxdb_ha_spark.operators.sketch import join_sample_estimate
+    left = spark.range(2000).select((F.col("id") + 1).alias("k"))
+    right = spark.range(6000).select((F.col("id") % 2000 + 1).alias("k"))
+    r = join_sample_estimate(left, right, "k", "k", rate=8,
+                             hash_fn="fast").collect()[0]
+    assert r.exact_pairs == 6000
+    assert r.est_pairs == r.sampled_pairs * 8
+    assert 6000 * 0.7 <= r.est_pairs <= 6000 * 1.3
