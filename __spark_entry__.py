@@ -2394,6 +2394,17 @@ def q_doc_canonical(spark, sf):
                             priority=prio)
 
 
+def q_doc_dedup_sweep(spark, sf):
+    """Dedup threshold tuning table (added scope — the 'what would
+    each cutoff remove' question answered by the corpus instead of
+    folklore): per candidate threshold, LSH-candidate pairs with
+    MinHash est-Jaccard ≥ t and the distinct docs they touch; zero
+    rows kept via the literal threshold spine
+    (operators/dedup.py:dedup_threshold_sweep)."""
+    from influxdb_ha_spark.operators.dedup import dedup_threshold_sweep
+    return dedup_threshold_sweep(_t(spark, sf, "documents"))
+
+
 def q_doc_novelty(spark, sf):
     """Per-document shingle novelty (added scope — the content-
     diversity audit between exact dedup and near-dup): fraction of each
@@ -3612,6 +3623,7 @@ _FAMILIES = [
         "doc_cross_dedup": q_doc_cross_dedup,
         "doc_dup_profile": q_doc_dup_profile,
         "doc_novelty": q_doc_novelty,
+        "doc_dedup_sweep": q_doc_dedup_sweep,
         "doc_chunk": q_doc_chunk,
         "doc_quality_sample": q_doc_quality_sample,
         "doc_ngram_counts": q_doc_ngram_counts,

@@ -502,6 +502,53 @@ def minhash_jaccard_estimate(df: DataFrame, text_col: str = "text",
         F.round(F.size(eq) / F.lit(float(num_perm)), 6).alias("est_jaccard"))
 
 
+def dedup_threshold_sweep(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          thresholds=(0.5, 0.6, 0.7, 0.8, 0.9, 1.0),
+                          num_perm: int = 16, bands: int = 4,
+                          rows: int = 4, shingle_k: int = 3) -> DataFrame:
+    """Dedup threshold tuning table — "how much would each cutoff
+    remove": for every candidate threshold t, the number of LSH
+    candidate pairs with MinHash-estimated Jaccard ≥ t and the number
+    of distinct documents touched by those pairs (the upper bound on
+    docs a dedup pass at t would consider dropping). THE table a
+    pipeline owner reads before committing a near-dup threshold —
+    thresholds are usually picked by folklore (0.8? 0.85?); this makes
+    the corpus answer the question.
+
+    Returns one row per threshold: (threshold, n_pairs, n_docs); a
+    threshold removing nothing still reports its zero row (left join
+    from the literal threshold spine — absence of evidence shown, not
+    omitted).
+
+    Scale shape: everything downstream of the existing candidate
+    machinery (bounded by the LSH band cap) is a ×|thresholds| explode
+    of the PAIR table — never the corpus — followed by two
+    threshold-keyed aggregations; |thresholds| is query-sized.
+    """
+    est = minhash_jaccard_estimate(df, text_col, id_col, num_perm,
+                                   bands, rows, shingle_k)
+    tcol = F.explode(F.array(*[F.lit(float(t)) for t in thresholds]))
+    hit = (est.select("id_a", "id_b", "est_jaccard",
+                      tcol.alias("threshold"))
+           .where(F.col("est_jaccard") >= F.col("threshold")))
+    pairs = hit.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs"))
+    docs = (hit.select("threshold",
+                       F.explode(F.array("id_a", "id_b")).alias("__d"))
+            .distinct()
+            .groupBy("threshold").agg(F.count(F.lit(1)).alias("n_docs")))
+    spine = (df.sparkSession.range(1)
+             .select(tcol.alias("threshold")))
+    return (spine.join(pairs, "threshold", "left")
+            .join(docs, "threshold", "left")
+            .select("threshold",
+                    F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    F.coalesce(F.col("n_docs"), F.lit(0)).cast("long")
+                    .alias("n_docs")))
+
+
 def substring_duplicates(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 8,
                          min_run_tokens: int = 12,

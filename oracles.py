@@ -1863,6 +1863,39 @@ def build_oracles() -> dict[str, str]:
                      x -> x)) / 16.0, 6) AS est_jaccard
       FROM cand JOIN sig sa ON sa.doc_id = id_a
                 JOIN sig sb ON sb.doc_id = id_b"""
+    # Dedup threshold sweep: the minhash-estimate pair table swept over
+    # a literal threshold spine; zero-hit thresholds kept via LEFT JOIN
+    o["doc_dedup_sweep"] = f"""
+      WITH sh AS ({_shingles_cte(3)}),
+      sig AS ({_minhash_sig_sql(16, 3)}),
+      bands AS ({_bands_sql()}),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_id, band_key)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      est AS (
+        SELECT id_a, id_b,
+               round(len(list_filter(
+                     [sa.s[i] = sb.s[i] FOR i IN generate_series(1, 16)],
+                     x -> x)) / 16.0, 6) AS est_jaccard
+        FROM cand JOIN sig sa ON sa.doc_id = id_a
+                  JOIN sig sb ON sb.doc_id = id_b),
+      spine AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9, 1.0])::DOUBLE
+                       AS threshold),
+      hit AS (SELECT s.threshold, e.id_a, e.id_b FROM est e
+              JOIN spine s ON e.est_jaccard >= s.threshold),
+      p AS (SELECT threshold, count(*)::BIGINT AS n_pairs
+            FROM hit GROUP BY 1),
+      dd AS (SELECT threshold, count(*)::BIGINT AS n_docs FROM (
+               SELECT DISTINCT threshold, d FROM (
+                 SELECT threshold, id_a AS d FROM hit
+                 UNION ALL SELECT threshold, id_b FROM hit))
+             GROUP BY 1)
+      SELECT s.threshold, coalesce(p.n_pairs, 0)::BIGINT AS n_pairs,
+             coalesce(dd.n_docs, 0)::BIGINT AS n_docs
+      FROM spine s LEFT JOIN p ON p.threshold = s.threshold
+                   LEFT JOIN dd ON dd.threshold = s.threshold"""
+
     o["ts_m4_downsample"] = f"""
       WITH e AS (SELECT event_type, {EV_TIME} AS time, value FROM events)
       SELECT event_type, time - time % {HOUR} AS bucket,

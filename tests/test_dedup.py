@@ -51,3 +51,19 @@ def test_novelty_profile_hand_golden(spark):
     r = novelty_profile(rep).collect()[0]
     # tokens a b c a b c a b c -> distinct 3-shingles {abc, bca, cab}
     assert r.n_shingles == 3 and r.n_novel == 3 and r.novelty == 1.0
+
+
+def test_dedup_threshold_sweep_golden(spark):
+    from influxdb_ha_spark.operators.dedup import dedup_threshold_sweep
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),   # exact clone
+         (3, "one two three four five six seven")],    # unrelated
+        "doc_id long, text string")
+    rows = {r.threshold: (r.n_pairs, r.n_docs)
+            for r in dedup_threshold_sweep(docs).collect()}
+    assert set(rows) == {0.5, 0.6, 0.7, 0.8, 0.9, 1.0}
+    # identical docs: est_jaccard 1.0 -> the pair survives EVERY cutoff,
+    # touching exactly docs {1, 2}; doc 3 never appears
+    for t in rows:
+        assert rows[t] == (1, 2), t
