@@ -2421,9 +2421,12 @@ def q_sk_kmv(spark, sf):
     """K-Minimum-Values distinct sketch per returnflag over l_orderkey
     (added scope — the mergeable cardinality answer behind SHOW
     CARDINALITY, importer.go:406-612, at 100 TB): k = 256 smallest
-    md5-hash64 values per group, estimate (k−1)·2^60/h_(k) — integer
-    state end-to-end, ONE multiply+divide on identical bits, floor-
-    round-6 (operators/sketch.py:kmv_distinct)."""
+    md5-hash64 values per group via the TWO-PHASE salted bottom-k
+    (rank within (group, hash mod 16) keep k, re-rank the ≤ 16k
+    survivors — no single-task sort of a group's distinct set),
+    estimate (k−1)·2^60/h_(k) — integer state end-to-end, ONE
+    multiply+divide on identical bits, floor-round-6
+    (operators/sketch.py:kmv_distinct)."""
     from influxdb_ha_spark.operators.sketch import kmv_distinct
     li = _t(spark, sf, "lineitem").select("l_returnflag", "l_orderkey")
     return kmv_distinct(li, value_col="l_orderkey",
@@ -2447,9 +2450,10 @@ def q_sk_kmv_setops(spark, sf):
     order-key sets (added scope — Dasgupta et al. 2016): |A∪B|, |A∩B|
     and Jaccard estimated from two 256-value KMV sketches without
     materializing either set — the audience-overlap question at 100 TB;
-    θ = min of the two sketch maxima, counts exact integers below θ,
-    three pinned multiply+divides floor-round-6
-    (operators/sketch.py:kmv_setops)."""
+    θ = min over groups of (k-th smallest hash, or 2^60 when the
+    group's sketch is exhaustive — the standard theta convention),
+    counts exact integers below θ, three pinned multiply+divides
+    floor-round-6 (operators/sketch.py:kmv_setops)."""
     from influxdb_ha_spark.operators.sketch import kmv_setops
     li = _t(spark, sf, "lineitem").select("l_returnflag", "l_orderkey")
     return kmv_setops(li, value_col="l_orderkey",
@@ -2473,14 +2477,32 @@ def q_sk_hist_quantile(spark, sf):
     [0, 512), width 0.5 — an exact power of two, so the binning float
     ops are EXACT) per event_type at p50/p95/p99 — the mergeable
     single-scan quantile path, the documented 100 TB swap for the
-    sort-exact ts_quantile_bands; rank = ceil(q·n), within-bin linear
-    interpolation floor-round-6
+    sort-exact ts_quantile_bands; rank = ceil(q·n) with q validated in
+    (0, 1], within-bin linear interpolation floor-round-6, and the
+    per-group count of rows clamped into the edge bins exposed as
+    n_clamped — a mis-sized [lo, hi) range is loud in the output
     (operators/sketch.py:histogram_quantiles)."""
     from influxdb_ha_spark.operators.sketch import histogram_quantiles
     ev = _events_us(spark, sf).select("event_type", "value")
     return histogram_quantiles(ev, value_col="value", by=["event_type"],
                                lo=0.0, hi=512.0, bins=1024,
                                qs=(0.5, 0.95, 0.99))
+
+
+def q_sk_hist_quantile_auto(spark, sf):
+    """Two-pass histogram quantiles with per-group RANGE DISCOVERY
+    (added scope — the companion the fixed-range sk_hist_quantile
+    needs for arbitrary columns): pass 1 = one map-combinable (min,
+    max) per event_type, pass 2 = the same 1024-bin equi-width
+    histogram with the DISCOVERED boundaries (width = (max−min)/1024,
+    an exact power-of-two scaling), exact v_min/v_max in the output,
+    constant groups degenerate to the exact point
+    (operators/sketch.py:histogram_quantiles_auto)."""
+    from influxdb_ha_spark.operators.sketch import histogram_quantiles_auto
+    ev = _events_us(spark, sf).select("event_type", "value")
+    return histogram_quantiles_auto(ev, value_col="value",
+                                    by=["event_type"], bins=1024,
+                                    qs=(0.5, 0.95, 0.99))
 
 
 def q_sk_join_sample(spark, sf):
@@ -2496,6 +2518,22 @@ def q_sk_join_sample(spark, sf):
     o = _t(spark, sf, "orders").select("o_orderkey")
     return join_sample_estimate(li, o, "l_orderkey", "o_orderkey",
                                 rate=64)
+
+
+def q_sk_merge(spark, sf):
+    """Explicit two-level sketch merge over l_orderkey per returnflag
+    (added scope — the mergeability claim as a gated row): per-(group,
+    shard) PARTIAL KMV bottom-k and HLL register states built
+    explicitly (shard = xxhash64 mod 8, independent of the md5 sketch
+    hash so the states genuinely overlap), merged in a SECOND
+    aggregate — union+re-rank for KMV, register-wise max for HLL; the
+    oracle computes the SINGLE-PASS forms, so the green hash IS the
+    associativity proof that per-executor partials combine to the
+    exact global state (operators/sketch.py:sketch_merge_proof)."""
+    from influxdb_ha_spark.operators.sketch import sketch_merge_proof
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_orderkey")
+    return sketch_merge_proof(li, value_col="l_orderkey",
+                              by=["l_returnflag"], k=256, shards=8)
 
 
 def q_graph_bfs(spark, sf):
@@ -3758,6 +3796,8 @@ _FAMILIES = [
         "sk_countmin": q_sk_countmin,
         "sk_hist_quantile": q_sk_hist_quantile,
         "sk_join_sample": q_sk_join_sample,
+        "sk_merge": q_sk_merge,
+        "sk_hist_quantile_auto": q_sk_hist_quantile_auto,
     },
     {
         # LLM-pipeline scope (§7): multimodal

@@ -42,13 +42,15 @@ HEADLINE = [
     "iq_subquery",         # nested InfluxQL planning
     "tpch_q9",             # widest join chain: fact-fact + 3 dims (r9)
     "sk_hll",              # mergeable sketch: register-max cardinality (r9)
+    "sk_kmv",              # two-phase salted bottom-k (r10 plan swap)
+    "sk_merge",            # explicit partial-state build + merge (r10)
 ]
 
 # Keys added to HEADLINE this round — excluded from `value_excl_new` so
 # round-over-round totals compare the same query set (r8 VERDICT #3c:
 # the honest r7→r8 delta needed tpch_q6 backed out by hand). Rotate
 # this list each round: last round's additions graduate into the base.
-ADDED_THIS_ROUND = ["tpch_q9", "sk_hll"]
+ADDED_THIS_ROUND = ["sk_kmv", "sk_merge"]
 
 
 def run_once() -> dict:

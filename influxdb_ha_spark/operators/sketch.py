@@ -54,8 +54,44 @@ def _grp(by):
     return list(by) if by else []
 
 
+# Default salt fan-out for the two-phase bottom-k: phase 1 ranks within
+# (group, hash mod KMV_SALTS), so no task ever sorts more than ~1/S of a
+# group's distinct set. Raise with cluster size — the state is identical
+# for ANY salts >= 1 ("k smallest of a union" is associative).
+KMV_SALTS = 16
+
+
+def _bottom_k(vals: DataFrame, g, k: int, salts: int = KMV_SALTS
+              ) -> DataFrame:
+    """Two-phase bottom-k over distinct (group..., __v, __h) rows: rank
+    within (group, salt) keep k, then rank within group over the
+    ≤ salts·k survivors keep k. The salt is derived from the hash itself
+    (pmod(__h, salts)) — deterministic, free, and uniform because __h
+    is. Every one of a group's k globally-smallest (h, v) pairs is also
+    among the k smallest of its own salt bucket, so the final kept set —
+    including the (h asc, v asc) tie-break — is IDENTICAL to a single
+    global per-group window; what changes is the plan: no task ever
+    sorts a whole group's distinct set (the r9 verdict's single-task
+    hazard on skewed group keys), and phase 2 sorts ≤ salts·k rows.
+    tests/test_sketch.py:test_kmv_two_phase_equals_single_window pins
+    the state equality against the literal one-window form.
+    """
+    order = [F.col("__h").asc(), F.col("__v").asc()]
+    w1 = Window.partitionBy(*g, "__salt").orderBy(*order)
+    pre = (vals
+           .withColumn("__salt", F.pmod(F.col("__h"), F.lit(int(salts))))
+           .withColumn("__rn", F.row_number().over(w1))
+           .where(F.col("__rn") <= k)
+           .drop("__salt", "__rn"))
+    w2 = (Window.partitionBy(*g) if g else Window.partitionBy()
+          ).orderBy(*order)
+    return (pre.withColumn("__rn", F.row_number().over(w2))
+            .where(F.col("__rn") <= k)
+            .drop("__rn"))
+
+
 def kmv_distinct(df: DataFrame, value_col: str, by=None,
-                 k: int = 256) -> DataFrame:
+                 k: int = 256, salts: int = KMV_SALTS) -> DataFrame:
     """K-Minimum-Values distinct-count sketch per group.
 
     Hash every distinct value with the cross-engine hash64 (uniform on
@@ -69,22 +105,30 @@ def kmv_distinct(df: DataFrame, value_col: str, by=None,
     estimate rounded at 6 (one multiply + one divide on identical operand
     bits — both engines agree exactly).
 
-    Scale shape: one (group, value) distinct shuffle, then a per-group
-    rank bounded to k. The rank is a window here (oracle parity — the
-    sort is on the DISTINCT values only); the 100 TB swap is a two-phase
-    bottom-k (per-partition k-min heaps via partial aggregation, merge =
-    union + re-rank) which computes the identical state with no sort —
-    states are mergeable because "k smallest of a union" is associative.
+    Scale shape: one (group, value) distinct shuffle, then the TWO-PHASE
+    bottom-k of _bottom_k — rank within (group, hash mod `salts`) keep
+    k, re-rank within group over the ≤ salts·k survivors. No task ever
+    sorts a whole group's distinct set; the state (and therefore every
+    estimate) is bit-identical to a single global window because "k
+    smallest of a union" is associative, which is also why two sketch
+    states merge by union + re-rank. The ungrouped (by=None) path is
+    shuffle-safe too: phase 1 partitions on the salt alone and the
+    phase-2 keyless window ranks only the ≤ salts·k survivors — bounded
+    by PARAMETERS, never by data.
     """
     g = _grp(by)
     vals = (df.select(*g, F.col(value_col).alias("__v"))
             .where(F.col("__v").isNotNull())
             .distinct()
             .withColumn("__h", hash64_expr(F.col("__v").cast("string"))))
-    w = (Window.partitionBy(*g) if g else Window.partitionBy()
-         ).orderBy(F.col("__h").asc(), F.col("__v").asc())
-    kept = vals.withColumn("__rn", F.row_number().over(w)) \
-               .where(F.col("__rn") <= k)
+    return _kmv_fold(_bottom_k(vals, g, k, salts), g, k)
+
+
+def _kmv_fold(kept: DataFrame, g, k: int) -> DataFrame:
+    """Fold a kept bottom-k table (group..., __v, __h) into the KMV
+    output (group..., k_used, kth_hash, est_distinct) — shared by
+    kmv_distinct and sketch_merge_proof (a merged kept set folds
+    identically, which is the point)."""
     agg = kept.groupBy(*g).agg(
         F.count(F.lit(1)).alias("k_used"),
         F.max("__h").alias("kth_hash"))
@@ -135,6 +179,14 @@ def hll_distinct(df: DataFrame, value_col: str, by=None) -> DataFrame:
     the partial aggregation Spark already runs.
     """
     g = _grp(by)
+    return _hll_fold(_hll_rows(df, value_col, g)
+                     .groupBy(*g, "__j").agg(F.max("__rho").alias("__m")),
+                     g)
+
+
+def _hll_rows(df: DataFrame, value_col: str, g) -> DataFrame:
+    """Per-row HLL terms (group..., __v, __h, __j, __rho) — the map-side
+    expression shared by hll_distinct and sketch_merge_proof."""
     h = hash64_expr(F.col("__v").cast("string"))
     vals = (df.select(*g, F.col(value_col).alias("__v"))
             .where(F.col("__v").isNotNull())
@@ -144,8 +196,14 @@ def hll_distinct(df: DataFrame, value_col: str, by=None) -> DataFrame:
     rho = (F.when(F.col("__w") == 0, F.lit(_HLL_VBITS + 1))
            .otherwise(F.lit(_HLL_VBITS + 1)
                       - F.length(F.bin(F.col("__w")))))
-    regs = (vals.withColumn("__rho", rho)
-            .groupBy(*g, "__j").agg(F.max("__rho").alias("__m")))
+    return vals.withColumn("__rho", rho)
+
+
+def _hll_fold(regs: DataFrame, g) -> DataFrame:
+    """Fold a register table (group..., __j, __m) into the HLL output
+    (group..., n_buckets_used, n_empty, est_distinct). A register table
+    produced by merging partial states (register-wise max) folds
+    identically to the single-pass one — sketch_merge_proof's gate."""
     folded = regs.groupBy(*g).agg(
         F.count(F.lit(1)).alias("n_buckets_used"),
         F.sum(F.expr(f"shiftleft(1L, cast({_HLL_VBITS + 1} - __m as int))"))
@@ -172,7 +230,8 @@ def hll_distinct(df: DataFrame, value_col: str, by=None) -> DataFrame:
 
 
 def kmv_setops(df: DataFrame, value_col: str, group_col: str,
-               group_a, group_b, k: int = 256) -> DataFrame:
+               group_a, group_b, k: int = 256,
+               salts: int = KMV_SALTS) -> DataFrame:
     """Set-operation estimates between two groups' value sets from their
     KMV sketches — the theta-sketch capability (Dasgupta, Lang, Rhodes &
     Thaler 2016, "Theta sketch framework"): |A ∪ B|, |A ∩ B| and Jaccard
@@ -180,24 +239,32 @@ def kmv_setops(df: DataFrame, value_col: str, group_col: str,
     ("how many users did both X and Y") answered from two kilobyte
     summaries.
 
-    θ = min(θ_A, θ_B) (each θ = the group's k-th smallest distinct
-    hash, or its max when the group has < k distinct values — then the
-    group's sketch is exhaustive and the estimates only sharpen). Below
-    θ both sketches are EXACT samples of the hash space [0, θ], so with
+    θ = min(θ_A, θ_B), where a group with k distinct retained hashes
+    contributes its k-th smallest hash, and a group whose sketch is
+    EXHAUSTIVE (fewer than k distinct values) contributes θ = 2^60 —
+    an exhaustive sketch is an exact sample of the FULL hash space, so
+    its theta is the whole space (the standard theta-sketch convention;
+    using its max retained hash instead would inflate the estimates by
+    ~(n+1)/n for small sets, since E[max of n hashes] ≈ n/(n+1)·2^60).
+    Below θ both sketches are EXACT samples of [0, θ], so with
     n_a/n_b/n_common the ≤-θ survivor counts:
         est_union        = (n_a + n_b − n_common) · 2^60 / θ
         est_intersection = n_common · 2^60 / θ
         jaccard_est      = n_common / (n_a + n_b − n_common)
     — integer counts, one pinned multiply+divide each, floor-round-6.
+    When BOTH groups are exhaustive, θ = 2^60 and all three estimates
+    are exact.
 
     Returns ONE row: (theta, n_a, n_b, n_common, est_union,
     est_intersection, jaccard_est).
 
-    Scale shape: two bounded sketches (the kmv_distinct build, one
-    distinct shuffle + k-bounded rank), then every join/aggregate runs
-    on ≤ k rows per side; θ is a 1-row scalar broadcast (the tpch_q15
-    crossJoin convention). Sketch states persist and merge, so the
-    pairwise matrix over G groups costs G sketch builds, not G² scans.
+    Scale shape: two bounded sketches (the kmv_distinct build: one
+    distinct shuffle + the two-phase salted bottom-k of _bottom_k — no
+    single-task sort of a group's distinct set), then every
+    join/aggregate runs on ≤ k rows per side; θ is a 1-row scalar
+    broadcast (the tpch_q15 crossJoin convention). Sketch states persist
+    and merge, so the pairwise matrix over G groups costs G sketch
+    builds, not G² scans.
     """
     g = F.col("__g")
     base = (df.select(F.col(group_col).alias("__g"),
@@ -206,12 +273,11 @@ def kmv_setops(df: DataFrame, value_col: str, group_col: str,
                    & g.isin([group_a, group_b]))
             .distinct()
             .withColumn("__h", hash64_expr(F.col("__v").cast("string"))))
-    w = Window.partitionBy("__g").orderBy(F.col("__h").asc(),
-                                          F.col("__v").asc())
-    sk = (base.withColumn("__rn", F.row_number().over(w))
-          .where(F.col("__rn") <= k)
-          .select("__g", "__h"))
-    theta = (sk.groupBy("__g").agg(F.max("__h").alias("__t"))
+    sk = _bottom_k(base, ["__g"], k, salts).select("__g", "__h")
+    theta = (sk.groupBy("__g").agg(F.max("__h").alias("__t"),
+                                   F.count(F.lit(1)).alias("__ku"))
+             .select(F.when(F.col("__ku") < k, F.lit(HASH_SPACE))
+                     .otherwise(F.col("__t")).alias("__t"))
              .agg(F.min("__t").alias("theta")))
     sa = sk.where(g == group_a).select("__h")
     sb = sk.where(g == group_b).select("__h")
@@ -321,6 +387,12 @@ def join_sample_estimate(left: DataFrame, right: DataFrame,
 
     hash_fn: "md5" (DuckDB-mirrorable, oracle default) | "fast"
     (xxhash64 on the native key — the minhash_signatures split).
+    xxhash64 hashes the same VALUE differently under different column
+    dtypes (INT 5 ≠ BIGINT 5 ≠ '5'), which would silently DECOORDINATE
+    the two samples and bias the estimate low with no error — so when
+    the two key dtypes differ, the fast path casts both to string (the
+    md5 path's convention, immune by construction); matching dtypes
+    hash natively.
     MEASURED at sf0.1 (local[8], warm scans): the md5 probe costs 121%
     of the exact join it predicts — the per-row md5→hex→conv chain
     outweighs a local hash join — while the xxhash64 probe costs 46%
@@ -331,8 +403,14 @@ def join_sample_estimate(left: DataFrame, right: DataFrame,
     replay the exact sample.
     """
     if hash_fn == "fast":
-        lk = F.pmod(F.xxhash64(F.col(left_key)), F.lit(int(rate)))
-        rk = F.pmod(F.xxhash64(F.col(right_key)), F.lit(int(rate)))
+        same_type = (left.schema[left_key].dataType
+                     == right.schema[right_key].dataType)
+        lc = (F.col(left_key) if same_type
+              else F.col(left_key).cast("string"))
+        rc = (F.col(right_key) if same_type
+              else F.col(right_key).cast("string"))
+        lk = F.pmod(F.xxhash64(lc), F.lit(int(rate)))
+        rk = F.pmod(F.xxhash64(rc), F.lit(int(rate)))
         ls = (left.where(F.col(left_key).isNotNull() & (lk == 0))
               .select(F.col(left_key).alias("__k")))
         rs = (right.where(F.col(right_key).isNotNull() & (rk == 0))
@@ -382,30 +460,49 @@ def histogram_quantiles(df: DataFrame, value_col: str, by=None,
     double (hi−lo)/bins — one subtraction, one divide, one floor per row,
     identical bits on both engines. For each q the target rank is
     r = ceil(q·n) over the group's n non-null values (the inverted-CDF
-    convention), and the estimate interpolates inside the covering bin:
+    convention; q must be in (0, 1] — q=0 has no rank under this
+    convention and raises ValueError, matching hist_quantile_stream),
+    and the estimate interpolates inside the covering bin:
     lo + width·(bin + (r − cum_below)/bin_count). Values outside [lo, hi)
-    clamp into the edge bins (counted, like any fixed-boundary histogram).
+    clamp into the edge bins (counted, like any fixed-boundary
+    histogram) — and the per-group count of such rows is EXPOSED as
+    `n_clamped`, so a mis-sized [lo, hi) range is loud in the output
+    instead of silently skewing the edge-bin estimates.
 
-    Returns (by..., q, n, est) with est rounded at 6.
+    Returns (by..., q, n, n_clamped, est) with est rounded at 6.
 
     Scale shape: one (group, bin) count groupBy — map-side combinable,
     ≤ `bins` rows per group — then rank extraction over those bounded
-    rows (a window over ≤ bins rows per group, never over the data).
+    rows (a window over ≤ `bins` rows per group, never over the data;
+    for by=None that window is keyless but still ≤ `bins` rows —
+    bounded by the PARAMETER, test-scale-safe and scale-safe alike).
     """
     g = _grp(by)
+    if not qs:
+        raise ValueError("histogram_quantiles: qs must be non-empty")
+    for q in qs:
+        if not 0.0 < float(q) <= 1.0:
+            raise ValueError(
+                f"histogram_quantiles: q must be in (0, 1] under the "
+                f"ceil(q*n) inverted-CDF rank convention, got {q!r}")
     width = (hi - lo) / bins
-    b = F.floor((F.col("__v") - F.lit(float(lo))) / F.lit(width))
-    b = F.when(b < 0, F.lit(0)).when(b >= bins, F.lit(bins - 1)).otherwise(b)
+    raw = F.floor((F.col("__v") - F.lit(float(lo))) / F.lit(width))
+    b = (F.when(raw < 0, F.lit(0))
+         .when(raw >= bins, F.lit(bins - 1)).otherwise(raw))
+    oob = (raw < 0) | (raw >= bins)
     hist = (df.select(*g, F.col(value_col).cast("double").alias("__v"))
             .where(F.col("__v").isNotNull())
             .withColumn("__b", b.cast("long"))
-            .groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__c")))
+            .withColumn("__oob", oob.cast("long"))
+            .groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__c"),
+                                    F.sum("__oob").alias("__oc")))
     wgrp = Window.partitionBy(*g) if g else Window.partitionBy()
     cum = (hist
            .withColumn("__cum", F.sum("__c").over(wgrp.orderBy("__b")))
-           .withColumn("__n", F.sum("__c").over(wgrp)))
+           .withColumn("__n", F.sum("__c").over(wgrp))
+           .withColumn("__nc", F.sum("__oc").over(wgrp)))
     qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
-    ranked = cum.select(*g, "__b", "__c", "__cum", "__n", qcol)
+    ranked = cum.select(*g, "__b", "__c", "__cum", "__n", "__nc", qcol)
     r = F.ceil(F.col("q") * F.col("__n").cast("double"))
     covering = ranked.where((F.col("__cum") - F.col("__c") < r)
                             & (r <= F.col("__cum")))
@@ -417,5 +514,147 @@ def histogram_quantiles(df: DataFrame, value_col: str, by=None,
                              / F.col("__c").cast("double")))
     s = float(10 ** 6)
     return covering.select(
+        *g, "q", F.col("__n").alias("n"), F.col("__nc").alias("n_clamped"),
+        (F.floor(est * F.lit(s) + F.lit(0.5)) / F.lit(s)).alias("est"))
+
+
+def sketch_merge_proof(df: DataFrame, value_col: str, by=None,
+                       k: int = 256, shards: int = 8) -> DataFrame:
+    """The mergeability claim as a GREEN ROW instead of prose: build
+    per-(group, shard) PARTIAL sketch states explicitly, merge them in a
+    second aggregate, and emit the same estimates as the single-pass
+    kmv_distinct / hll_distinct — the DuckDB oracle computes the
+    SINGLE-PASS forms, so a green hash IS the associativity proof that
+    per-executor partial states combine to the exact global state (what
+    Spark's partial aggregation does implicitly, made explicit and
+    gated).
+
+    shard = pmod(xxhash64(value), shards) is deliberately INDEPENDENT of
+    the md5 sketch hash: every shard then holds a representative slice
+    of the whole hash space, so the merge genuinely reconciles
+    OVERLAPPING states (k-minima competing across shards, the same HLL
+    register raced by several shards) rather than trivially disjoint
+    ones. The shard key never appears in the oracle — the merged state
+    is shard-invariant by construction, which is the theorem under test:
+
+      KMV:  bottom_k(∪_s bottom_k(V_s)) = bottom_k(V)   (associative)
+      HLL:  max_s(max over V_s of rho)  = max over V of rho
+
+    Returns (by..., kmv_k_used, kmv_est, hll_buckets_used, hll_est).
+
+    Scale shape: the KMV side is two bounded windows (per-shard rank,
+    then a rank over ≤ shards·k survivors); the HLL side is two keyed
+    groupBys whose outputs are ≤ shards·m and ≤ m rows per group; the
+    final join is per-group sketch-sized. This is the plan a REAL
+    multi-level rollup runs (hourly partials → daily merge → global).
+    """
+    g = _grp(by)
+    shard = F.pmod(F.xxhash64(F.col("__v").cast("string")),
+                   F.lit(int(shards)))
+    # -- KMV: per-shard bottom-k partials, merged by union + re-rank
+    vals = (df.select(*g, F.col(value_col).alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .distinct()
+            .withColumn("__h", hash64_expr(F.col("__v").cast("string")))
+            .withColumn("__shard", shard))
+    order = [F.col("__h").asc(), F.col("__v").asc()]
+    w1 = Window.partitionBy(*g, "__shard").orderBy(*order)
+    partial = (vals.withColumn("__rn", F.row_number().over(w1))
+               .where(F.col("__rn") <= k)
+               .drop("__shard", "__rn"))
+    w2 = (Window.partitionBy(*g) if g else Window.partitionBy()
+          ).orderBy(*order)
+    merged = (partial.withColumn("__rn", F.row_number().over(w2))
+              .where(F.col("__rn") <= k).drop("__rn"))
+    kmv = _kmv_fold(merged, g, k).select(
+        *g, F.col("k_used").alias("kmv_k_used"),
+        F.col("est_distinct").alias("kmv_est"))
+    # -- HLL: per-(group, shard, register) maxima partials, merged by max
+    partial_regs = (_hll_rows(df, value_col, g)
+                    .withColumn("__shard", shard)
+                    .groupBy(*g, "__shard", "__j")
+                    .agg(F.max("__rho").alias("__mp")))
+    regs = (partial_regs.groupBy(*g, "__j")
+            .agg(F.max("__mp").alias("__m")))
+    hll = _hll_fold(regs, g).select(
+        *g, F.col("n_buckets_used").alias("hll_buckets_used"),
+        F.col("est_distinct").alias("hll_est"))
+    if g:
+        return kmv.join(hll, g)
+    return kmv.crossJoin(F.broadcast(hll))
+
+
+def histogram_quantiles_auto(df: DataFrame, value_col: str, by=None,
+                             bins: int = 1024,
+                             qs=(0.5, 0.95, 0.99)) -> DataFrame:
+    """TWO-PASS histogram quantiles with per-group RANGE DISCOVERY — the
+    companion histogram_quantiles needs for columns whose [lo, hi) is
+    unknown (fine for SLO latencies with a known budget, wrong for
+    arbitrary columns): pass 1 is one map-side-combinable per-group
+    (min, max) aggregate; pass 2 bins with the DISCOVERED per-group
+    boundaries lo_g = min_g, width_g = (max_g − min_g)/bins, so nothing
+    ever clamps (n_clamped ≡ 0 by construction and is therefore not a
+    column here — the fixed-range operator exposes it instead). The
+    group's exact v_min / v_max ride along in the output. A CONSTANT
+    group (max = min) degenerates to a single point: every quantile is
+    exactly that value.
+
+    Cross-engine determinism: width = (hi − lo)/bins with bins a power
+    of two is an EXACT scaling of the exact min/max, and the binning /
+    interpolation replay histogram_quantiles' pinned IEEE op order.
+
+    Returns (by..., q, n, v_min, v_max, est) with est rounded at 6.
+
+    Scale shape: two scans of the data (the price of range discovery —
+    the honest alternative to guessing [lo, hi)): pass 1 collapses
+    map-side to one (min, max) row per group; pass 2 is the same one
+    (group, bin) count shuffle as histogram_quantiles after a broadcast
+    join of the |groups|-row range table; rank extraction again runs
+    over ≤ `bins` rows per group, never the data.
+    """
+    g = _grp(by)
+    if not qs:
+        raise ValueError("histogram_quantiles_auto: qs must be non-empty")
+    for q in qs:
+        if not 0.0 < float(q) <= 1.0:
+            raise ValueError(
+                f"histogram_quantiles_auto: q must be in (0, 1] under "
+                f"the ceil(q*n) inverted-CDF rank convention, got {q!r}")
+    base = (df.select(*g, F.col(value_col).cast("double").alias("__v"))
+            .where(F.col("__v").isNotNull()))
+    rng = base.groupBy(*g).agg(F.min("__v").alias("__lo"),
+                               F.max("__v").alias("__hi"))
+    joined = (base.join(F.broadcast(rng), g) if g
+              else base.crossJoin(F.broadcast(rng)))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    raw = F.floor((F.col("__v") - F.col("__lo")) / width)
+    b = (F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+         .otherwise(F.when(raw < 0, F.lit(0))
+                    .when(raw >= bins, F.lit(bins - 1)).otherwise(raw)))
+    hist = (joined.withColumn("__b", b.cast("long"))
+            .groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__c"),
+                                    F.min("__lo").alias("__lo"),
+                                    F.min("__hi").alias("__hi")))
+    wgrp = Window.partitionBy(*g) if g else Window.partitionBy()
+    cum = (hist
+           .withColumn("__cum", F.sum("__c").over(wgrp.orderBy("__b")))
+           .withColumn("__n", F.sum("__c").over(wgrp)))
+    qcol = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    ranked = cum.select(*g, "__b", "__c", "__cum", "__n",
+                        "__lo", "__hi", qcol)
+    r = F.ceil(F.col("q") * F.col("__n").cast("double"))
+    covering = ranked.where((F.col("__cum") - F.col("__c") < r)
+                            & (r <= F.col("__cum")))
+    width2 = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    est = (F.when(F.col("__hi") == F.col("__lo"), F.col("__lo"))
+           .otherwise(F.col("__lo")
+                      + width2 * (F.col("__b").cast("double")
+                                  + (r.cast("double")
+                                     - (F.col("__cum") - F.col("__c"))
+                                     .cast("double"))
+                                  / F.col("__c").cast("double"))))
+    s = float(10 ** 6)
+    return covering.select(
         *g, "q", F.col("__n").alias("n"),
+        F.col("__lo").alias("v_min"), F.col("__hi").alias("v_max"),
         (F.floor(est * F.lit(s) + F.lit(0.5)) / F.lit(s)).alias("est"))

@@ -2670,14 +2670,17 @@ def markov_stationary(df: DataFrame, by: Sequence[str] = ("user_id",),
                       F.col("state").alias("dst"),
                       F.lit(SCALE_P).cast("long").alias("__p")))
     p = keep("ts.markov.p", p.unionByName(dangle))
-    n_states = states.count()
-    if n_states == 0:
-        return states.select(F.col("state").alias(type_col),
-                             F.lit(0).cast("long").alias("pi_fp"),
-                             F.lit(0.0).alias("pi"))
-    pi = states.select("state",
-                       F.lit(SCALE_PI // n_states).cast("long")
-                       .alias("__pi"))
+    # π_0 = 10¹² div S with S the state count as an IN-PLAN 1-row
+    # scalar (the q11/tpch_q15 crossJoin convention) — the previous
+    # eager states.count() here ran the whole entity-window transition
+    # pipeline once at CONSTRUCTION time, so plan-only callers
+    # (explain, fingerprint capture) paid a real Spark job. An empty
+    # states table short-circuits naturally: empty × 1-row = empty,
+    # and the div-by-zero branch is never evaluated.
+    n1 = states.agg(F.count(F.lit(1)).alias("__s"))
+    pi = (states.crossJoin(F.broadcast(n1))
+          .select("state", F.expr(f"{SCALE_PI} div __s")
+                  .cast("long").alias("__pi")))
     for _ in range(int(iters)):
         moved = (pi.join(p, pi.state == p.src)
                  .select(F.col("dst").alias("state"),

@@ -403,8 +403,15 @@ class Engine:
             # map-side combinable, so the estimate never pays the exact
             # path's global distinct at scale. The estimate rounds to
             # the exact value for small catalogs (linear counting).
+            # InfluxDB 1.x supports ESTIMATED cardinality only
+            # database-wide: a SCOPED bare form (FROM <m>, WITH KEY,
+            # regex) silently falls back to exact counts there, so it
+            # does here too (the r9 ADVICE semantic-fidelity gap).
+            scoped = bool(stmt.measurement or stmt.measurement_regex
+                          or stmt.with_key or stmt.with_keys
+                          or stmt.with_key_regex)
             inner = self._show_inner(stmt, db)
-            if stmt.exact:
+            if stmt.exact or scoped:
                 return inner.agg(F.count(F.lit(1)).alias("count"))
             from .operators.sketch import hll_distinct
             keyed = inner.select(F.concat_ws(

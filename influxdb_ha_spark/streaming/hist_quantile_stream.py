@@ -65,7 +65,21 @@ def hist_quantile_stream(events: DataFrame, group_col: str,
                          hi: float = 1.0, bins: int = 1024,
                          qs=(0.5, 0.95, 0.99)) -> DataFrame:
     """Streaming events → per-group live quantile estimates over the
-    whole history so far; state = `bins` int64s per group."""
+    whole history so far; state = `bins` int64s per group.
+
+    qs must be in (0, 1] (the ceil(q·n) inverted-CDF convention shared
+    with the batch operator): q = 0 would target rank 0, whose covering
+    "bin" may be empty — previously a ZeroDivisionError INSIDE the
+    stateful update that killed the streaming query, while the batch
+    operator silently emitted no row. Both now raise at construction.
+    """
+    if not qs:
+        raise ValueError("hist_quantile_stream: qs must be non-empty")
+    for q in qs:
+        if not 0.0 < float(q) <= 1.0:
+            raise ValueError(
+                f"hist_quantile_stream: q must be in (0, 1] under the "
+                f"ceil(q*n) inverted-CDF rank convention, got {q!r}")
     width = (hi - lo) / bins
     b = F.floor((F.col(value_col).cast("double") - F.lit(float(lo)))
                 / F.lit(width))

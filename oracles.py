@@ -3994,8 +3994,9 @@ def build_oracles() -> dict[str, str]:
       rk AS (SELECT g, h, row_number() OVER (
                  PARTITION BY g ORDER BY h ASC, v ASC) AS rn FROM hh),
       sk AS (SELECT g, h FROM rk WHERE rn <= {_KMV_K}),
-      th AS (SELECT min(t)::BIGINT AS theta FROM
-             (SELECT g, max(h) AS t FROM sk GROUP BY 1)),
+      th AS (SELECT min(CASE WHEN ku < {_KMV_K} THEN {HASH_SPACE}
+                             ELSE t END)::BIGINT AS theta FROM
+             (SELECT g, max(h) AS t, count(*) AS ku FROM sk GROUP BY 1)),
       sa AS (SELECT h FROM sk, th WHERE g = 'A' AND h <= theta),
       sb AS (SELECT h FROM sk, th WHERE g = 'R' AND h <= theta),
       cnt AS (SELECT (SELECT theta FROM th) AS theta,
@@ -4097,11 +4098,50 @@ def build_oracles() -> dict[str, str]:
                  WHERE value IS NOT NULL),
       b AS (SELECT event_type,
                    LEAST(GREATEST(floor((v - 0.0) / 0.5), 0),
-                         1023)::BIGINT AS bin
+                         1023)::BIGINT AS bin,
+                   CASE WHEN floor((v - 0.0) / 0.5) < 0
+                          OR floor((v - 0.0) / 0.5) >= 1024
+                        THEN 1 ELSE 0 END AS oob
             FROM v),
-      h AS (SELECT event_type, bin, count(*)::BIGINT AS c
+      h AS (SELECT event_type, bin, count(*)::BIGINT AS c,
+                   sum(oob)::BIGINT AS oc
             FROM b GROUP BY 1, 2),
       cm AS (SELECT event_type, bin, c,
+                    sum(c) OVER (PARTITION BY event_type
+                                 ORDER BY bin)::BIGINT AS cum,
+                    sum(c) OVER (PARTITION BY event_type)::BIGINT AS n,
+                    sum(oc) OVER (PARTITION BY event_type)::BIGINT AS nc
+             FROM h),
+      qq AS (SELECT cm.*, q FROM cm,
+             (SELECT unnest([0.5, 0.95, 0.99])::DOUBLE AS q)),
+      rr AS (SELECT *, ceil(q * n::DOUBLE)::BIGINT AS r FROM qq)
+      SELECT event_type, q, n, nc AS n_clamped, {fr(_hq_est, 6)} AS est
+      FROM rr WHERE cum - c < r AND r <= cum"""
+
+    # Two-pass auto-range histogram quantiles: per-group exact min/max
+    # discovered first, then the same binning/interpolation as
+    # sk_hist_quantile with width = (hi - lo)/1024 (exact power-of-two
+    # scaling); constant groups (hi = lo) degenerate to the exact point
+    _hqa_w = "((hi - lo) / 1024.0)"
+    _hqa_est = (f"CASE WHEN hi = lo THEN lo ELSE lo + {_hqa_w} "
+                f"* (bin::DOUBLE + (r::DOUBLE - (cum - c)::DOUBLE) "
+                f"/ c::DOUBLE) END")
+    o["sk_hist_quantile_auto"] = f"""
+      WITH v AS (SELECT event_type, value::DOUBLE AS v FROM events
+                 WHERE value IS NOT NULL),
+      rng AS (SELECT event_type, min(v) AS lo, max(v) AS hi
+              FROM v GROUP BY 1),
+      b AS (SELECT v.event_type,
+                   (CASE WHEN hi = lo THEN 0
+                         ELSE LEAST(GREATEST(
+                                floor((v - lo) / {_hqa_w}), 0), 1023)
+                    END)::BIGINT AS bin,
+                   lo, hi
+            FROM v JOIN rng ON v.event_type = rng.event_type),
+      h AS (SELECT event_type, bin, count(*)::BIGINT AS c,
+                   min(lo) AS lo, min(hi) AS hi
+            FROM b GROUP BY 1, 2),
+      cm AS (SELECT event_type, bin, c, lo, hi,
                     sum(c) OVER (PARTITION BY event_type
                                  ORDER BY bin)::BIGINT AS cum,
                     sum(c) OVER (PARTITION BY event_type)::BIGINT AS n
@@ -4109,6 +4149,46 @@ def build_oracles() -> dict[str, str]:
       qq AS (SELECT cm.*, q FROM cm,
              (SELECT unnest([0.5, 0.95, 0.99])::DOUBLE AS q)),
       rr AS (SELECT *, ceil(q * n::DOUBLE)::BIGINT AS r FROM qq)
-      SELECT event_type, q, n, {fr(_hq_est, 6)} AS est
+      SELECT event_type, q, n, lo AS v_min, hi AS v_max,
+             {fr(_hqa_est, 6)} AS est
       FROM rr WHERE cum - c < r AND r <= cum"""
+
+    # sk_merge: the SINGLE-PASS kmv/hll forms — the Spark side builds
+    # per-shard partial states and merges them; equality with these
+    # single-pass definitions IS the mergeability (associativity) proof
+    _hll_est_sql = fr(f'CASE WHEN {_hll_raw} <= {2.5 * HLL_M!r} '
+                      f'AND ({HLL_M} - n_buckets_used) > 0 '
+                      f'THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} '
+                      f'/ ({HLL_M} - n_buckets_used)::DOUBLE) '
+                      f'ELSE {_hll_raw} END', 6)
+    o["sk_merge"] = f"""
+      WITH v AS (SELECT DISTINCT l_returnflag AS g, l_orderkey AS v
+                 FROM lineitem WHERE l_orderkey IS NOT NULL),
+      hh AS (SELECT g, v, {_h64v} AS h FROM v),
+      rk AS (SELECT g, h, row_number() OVER (
+                 PARTITION BY g ORDER BY h ASC, v ASC) AS rn FROM hh),
+      kmv AS (SELECT g, count(*)::BIGINT AS kmv_k_used,
+                     {fr(f'CASE WHEN count(*) < {_KMV_K} '
+                         f'THEN count(*)::DOUBLE '
+                         f'ELSE {float(_KMV_K - 1)!r} '
+                         f'* {float(HASH_SPACE)!r} '
+                         f'/ max(h)::DOUBLE END', 6)} AS kmv_est
+              FROM rk WHERE rn <= {_KMV_K} GROUP BY 1),
+      bb AS (SELECT g, h % {HLL_M} AS j,
+                    CASE WHEN h // {HLL_M} = 0 THEN 53
+                         ELSE 53 - length(bin(h // {HLL_M})) END AS rho
+             FROM hh),
+      regs AS (SELECT g, j, max(rho) AS m FROM bb GROUP BY 1, 2),
+      f AS (SELECT g, count(*)::BIGINT AS n_buckets_used,
+                   sum(1::BIGINT << (53 - m)::INT)::BIGINT AS s_used
+            FROM regs GROUP BY 1),
+      hll AS (SELECT g, n_buckets_used AS hll_buckets_used,
+                     {_hll_est_sql} AS hll_est
+              FROM (SELECT g, n_buckets_used,
+                           (s_used + ({HLL_M} - n_buckets_used)
+                            * (1::BIGINT << 53))::BIGINT AS s_total
+                    FROM f))
+      SELECT kmv.g AS l_returnflag, kmv_k_used, kmv_est,
+             hll_buckets_used, hll_est
+      FROM kmv JOIN hll ON kmv.g = hll.g"""
     return o

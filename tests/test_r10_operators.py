@@ -1,0 +1,71 @@
+"""r10 fixes as tests: markov_stationary's in-plan state count (zero
+Spark jobs at construction), and the scoped SHOW CARDINALITY exact
+fallback (InfluxDB 1.x estimates database-wide only)."""
+
+from pyspark.sql import functions as F
+
+from influxdb_ha_spark.model import Catalog
+from influxdb_ha_spark.server import Engine
+
+from .conftest import NOW
+
+B = 10 ** 9
+
+
+def test_markov_construction_runs_zero_jobs(spark):
+    """markov_stationary previously ran an eager states.count() during
+    DataFrame CONSTRUCTION — the whole entity-window transition
+    pipeline executed once before the caller ever acted (r9 verdict
+    #2a). π₀ = 10¹² div S is now an in-plan 1-row scalar: building the
+    plan schedules no Spark job."""
+    from influxdb_ha_spark.operators.timeseries import markov_stationary
+    rows = [(1, i * B, "a" if i % 2 == 0 else "b") for i in range(20)]
+    df = spark.createDataFrame(rows, "user_id long, time long, "
+                               "event_type string")
+    sc = spark.sparkContext
+    sc.setJobGroup("markov-construct-probe", "plan-only construction")
+    try:
+        out = markov_stationary(df, by=["user_id"], iters=3)
+        jobs = sc.statusTracker().getJobIdsForGroup(
+            "markov-construct-probe")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(jobs) == [], "construction scheduled Spark jobs"
+    # and the in-plan scalar produces the same stationary vector
+    got = {r["event_type"]: r["pi_fp"] for r in out.collect()}
+    assert got == {"a": 500_000_000_000, "b": 500_000_000_000}
+
+
+def test_markov_empty_in_plan_scalar(spark):
+    # the empty-states early return was dropped with the eager count:
+    # empty x 1-row crossJoin short-circuits, schema preserved
+    from influxdb_ha_spark.operators.timeseries import markov_stationary
+    df = spark.createDataFrame([], "user_id long, time long, "
+                               "event_type string")
+    out = markov_stationary(df, by=["user_id"])
+    assert [f.name for f in out.schema.fields] == ["event_type",
+                                                   "pi_fp", "pi"]
+    assert out.collect() == []
+
+
+def test_show_cardinality_scoped_falls_back_to_exact(spark):
+    """InfluxDB 1.x supports ESTIMATED cardinality only database-wide:
+    a scoped bare form (FROM <m> / WITH KEY) silently falls back to
+    exact counts there — and now here (r9 ADVICE). The unscoped bare
+    form stays HLL-estimated."""
+    iso = Catalog(spark)
+    df = spark.range(2000).select(
+        (F.col("id") * 1_000_000_000).alias("time"),
+        F.concat(F.lit("t"), (F.col("id") % 500).cast("string"))
+        .alias("type"),
+        F.col("id").cast("double").alias("value"))
+    iso.register_dataframe("db", "m", df, time_col="time", tags=["type"])
+    eng = Engine(iso, database="db", now_ns=NOW)
+    # scoped bare forms: EXACT counts even without the EXACT keyword
+    assert eng.query_df("SHOW SERIES CARDINALITY FROM m") \
+              .first()["count"] == 500
+    assert eng.query_df("SHOW TAG VALUES CARDINALITY FROM m "
+                        "WITH KEY = type").first()["count"] == 500
+    # unscoped bare form: still the HLL estimate (within 3 sigma)
+    est = eng.query_df("SHOW SERIES CARDINALITY").first()["count"]
+    assert 0.8 * 500 <= est <= 1.2 * 500

@@ -213,3 +213,170 @@ def test_join_sample_fast_path(spark):
     assert r.exact_pairs == 6000
     assert r.est_pairs == r.sampled_pairs * 8
     assert 6000 * 0.7 <= r.est_pairs <= 6000 * 1.3
+
+
+# -- r10: two-phase bottom-k, theta convention, clamp visibility, merge --
+
+
+def test_kmv_two_phase_equals_single_window(spark):
+    """_bottom_k (salted two-phase) computes the IDENTICAL kept set —
+    including tie-breaks — as the literal one-window form it replaced
+    (r9 verdict #1), for any salt fan-out, by associativity of
+    'k smallest of a union'."""
+    from pyspark.sql import Window
+
+    from influxdb_ha_spark.operators.hashing import hash64_expr
+    from influxdb_ha_spark.operators.sketch import _bottom_k
+    df = _vals(spark, 3000, "a").unionByName(_vals(spark, 700, "b"))
+    vals = (df.select("g", F.col("v").alias("__v")).distinct()
+            .withColumn("__h", hash64_expr(F.col("__v").cast("string"))))
+    w = Window.partitionBy("g").orderBy(F.col("__h").asc(),
+                                        F.col("__v").asc())
+    single = sorted(map(tuple, (
+        vals.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 64).drop("__rn")).collect()))
+    for salts in (1, 4, 16, 64):
+        two = sorted(map(tuple,
+                         _bottom_k(vals, ["g"], 64, salts=salts).collect()))
+        assert two == single, f"salts={salts}"
+
+
+def test_kmv_salts_do_not_change_estimates(spark):
+    df = _vals(spark, 2000)
+    base = kmv_distinct(df, "v", by=["g"], k=64, salts=16).collect()[0]
+    for salts in (1, 3, 64):
+        r = kmv_distinct(df, "v", by=["g"], k=64, salts=salts).collect()[0]
+        assert (r.k_used, r.kth_hash, r.est_distinct) == \
+               (base.k_used, base.kth_hash, base.est_distinct)
+
+
+def test_kmv_setops_exhaustive_theta_is_full_space(spark):
+    """When both sketches are exhaustive (< k distinct values), theta is
+    the FULL hash space (standard theta convention) and all three
+    estimates are exact — the old max-retained-hash theta inflated them
+    by ~(n+1)/n (r9 ADVICE)."""
+    from influxdb_ha_spark.operators.sketch import HASH_SPACE, kmv_setops
+    rows = ([("A", v) for v in range(1, 51)]
+            + [("B", v) for v in range(26, 76)])
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kmv_setops(df, "v", "g", "A", "B", k=256).collect()[0]
+    assert r.theta == HASH_SPACE
+    assert r.est_union == 75.0
+    assert r.est_intersection == 25.0
+    assert abs(r.jaccard_est - 25.0 / 75.0) < 1e-6
+
+
+def test_kmv_setops_mixed_exhaustive_theta(spark):
+    # one side exhaustive, the other not: theta = the non-exhaustive
+    # side's k-th hash (< full space), estimates within sketch error
+    from influxdb_ha_spark.operators.sketch import HASH_SPACE, kmv_setops
+    rows = ([("A", v) for v in range(1, 51)]
+            + [("B", v) for v in range(1, 5001)])
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kmv_setops(df, "v", "g", "A", "B", k=64).collect()[0]
+    assert r.theta < HASH_SPACE
+    assert 5000 * 0.6 < r.est_union < 5000 * 1.4
+
+
+def test_hist_quantile_rejects_bad_q(spark):
+    df = spark.createDataFrame([("a", 0.5)], "g string, v double")
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="0, 1"):
+            histogram_quantiles(df, "v", by=["g"], qs=(bad,))
+    with pytest.raises(ValueError, match="non-empty"):
+        histogram_quantiles(df, "v", by=["g"], qs=())
+
+
+def test_hist_quantile_stream_rejects_bad_q(spark):
+    # construction-time validation fires before any streaming machinery
+    from influxdb_ha_spark.streaming.hist_quantile_stream import (
+        hist_quantile_stream)
+    df = spark.createDataFrame([("a", 0.5)], "g string, v double")
+    with pytest.raises(ValueError, match="0, 1"):
+        hist_quantile_stream(df, "g", "v", qs=(0.0,))
+    with pytest.raises(ValueError, match="non-empty"):
+        hist_quantile_stream(df, "g", "v", qs=())
+
+
+def test_hist_quantile_n_clamped_exposed(spark):
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.2), ("a", 0.4), ("a", 99.0)],
+        "g string, v double")
+    r = histogram_quantiles(df, "v", by=["g"], lo=0.0, hi=1.0, bins=4,
+                            qs=(0.5,)).collect()[0]
+    assert r.n == 4 and r.n_clamped == 2
+    df2 = spark.createDataFrame([("a", 0.2), ("a", 0.6)],
+                                "g string, v double")
+    r2 = histogram_quantiles(df2, "v", by=["g"], lo=0.0, hi=1.0, bins=4,
+                             qs=(1.0,)).collect()[0]
+    assert r2.n_clamped == 0
+
+
+def test_join_sample_fast_mixed_key_dtypes_stay_coordinated(spark):
+    """xxhash64 hashes INT 5 and BIGINT 5 differently — without the
+    common-type cast the samples silently decoordinate and the estimate
+    biases ~rate x low (r9 ADVICE). With it, mixed-dtype keys estimate
+    within normal sampling error."""
+    from influxdb_ha_spark.operators.sketch import join_sample_estimate
+    left = spark.range(2000).select((F.col("id") + 1).cast("int")
+                                    .alias("k"))
+    right = spark.range(6000).select((F.col("id") % 2000 + 1).alias("k"))
+    r = join_sample_estimate(left, right, "k", "k", rate=8,
+                             hash_fn="fast").collect()[0]
+    assert r.exact_pairs == 6000
+    assert 6000 * 0.6 <= r.est_pairs <= 6000 * 1.4
+
+
+def test_sketch_merge_proof_equals_single_pass(spark):
+    from influxdb_ha_spark.operators.sketch import sketch_merge_proof
+    df = _vals(spark, 3000, "a").unionByName(_vals(spark, 100, "b"))
+    got = {r.g: r for r in sketch_merge_proof(
+        df, "v", by=["g"], k=64, shards=8).collect()}
+    kmv = {r.g: r for r in kmv_distinct(df, "v", by=["g"], k=64).collect()}
+    hll = {r.g: r for r in hll_distinct(df, "v", by=["g"]).collect()}
+    for gk in ("a", "b"):
+        assert got[gk].kmv_k_used == kmv[gk].k_used
+        assert got[gk].kmv_est == kmv[gk].est_distinct
+        assert got[gk].hll_buckets_used == hll[gk].n_buckets_used
+        assert got[gk].hll_est == hll[gk].est_distinct
+
+
+def test_sketch_merge_proof_shard_invariant(spark):
+    from influxdb_ha_spark.operators.sketch import sketch_merge_proof
+    df = _vals(spark, 1500)
+    a = sorted(map(tuple, sketch_merge_proof(
+        df, "v", by=["g"], k=32, shards=1).collect()))
+    b = sorted(map(tuple, sketch_merge_proof(
+        df, "v", by=["g"], k=32, shards=16).collect()))
+    assert a == b
+
+
+def test_hist_quantile_auto_discovers_range(spark):
+    from influxdb_ha_spark.operators.sketch import histogram_quantiles_auto
+    # group "a": 1..1000; group "b": constant 7
+    df = (spark.range(1000).select(
+        F.lit("a").alias("g"), (F.col("id") + 1).cast("double").alias("v"))
+        .unionByName(spark.createDataFrame(
+            [("b", 7.0)] * 5, "g string, v double")))
+    got = {(r.g, r.q): r for r in histogram_quantiles_auto(
+        df, "v", by=["g"], bins=1024, qs=(0.5, 0.99)).collect()}
+    a50 = got[("a", 0.5)]
+    assert a50.v_min == 1.0 and a50.v_max == 1000.0 and a50.n == 1000
+    # auto width = 999/1024 < 1: est within one bin of the true rank value
+    assert abs(a50.est - 500.0) <= 999.0 / 1024 + 1e-9
+    b = got[("b", 0.99)]
+    # constant group degenerates to the exact point
+    assert b.v_min == b.v_max == 7.0 and b.est == 7.0 and b.n == 5
+
+
+def test_hist_quantile_auto_rejects_bad_q(spark):
+    from influxdb_ha_spark.operators.sketch import histogram_quantiles_auto
+    df = spark.createDataFrame([("a", 0.5)], "g string, v double")
+    with pytest.raises(ValueError, match="0, 1"):
+        histogram_quantiles_auto(df, "v", by=["g"], qs=(0.0,))
+
+
+def test_hist_quantile_auto_empty(spark):
+    from influxdb_ha_spark.operators.sketch import histogram_quantiles_auto
+    empty = spark.createDataFrame([], "g string, v double")
+    assert histogram_quantiles_auto(empty, "v", by=["g"]).count() == 0

@@ -123,6 +123,10 @@ BOUNDED_SINGLE_PARTITION = {
                        "count map-side); pair generation shuffles on "
                        "the (entity, bucket) key with the [2, 64] "
                        "basket cap",
+    "ev_markov": "the 1-row state-count aggregate for π₀ = 10¹² div S "
+                 "(partial count map-side over the |states|-row table; "
+                 "replaced the eager construction-time count) — "
+                 "everything downstream lives on |states|-row vectors",
 }
 
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
@@ -191,6 +195,10 @@ ALLOWED_CARTESIAN = {
     "ev_dau_anomaly": "1-row median/MAD scalars broadcast onto the "
                       "|days|-row DAU table — the quality_sample "
                       "pattern on a spine-class bounded table",
+    "ev_markov": "broadcast of the 1-row state-count scalar onto the "
+                 "|states|-row state table for π₀ — the tpch_q15 "
+                 "scalar-anchor pattern (in-plan replacement for the "
+                 "eager states.count())",
 }
 
 
