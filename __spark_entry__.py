@@ -2489,6 +2489,20 @@ def q_sk_hist_quantile(spark, sf):
                                qs=(0.5, 0.95, 0.99))
 
 
+def q_sk_overlap_matrix(spark, sf):
+    """Pairwise theta-sketch overlap matrix over the returnflag
+    order-key sets (added scope — kmv_setops generalized to ALL group
+    pairs): G = 3 sketch builds (two-phase bottom-k at k = 128), then
+    |A∪B| / |A∩B| / Jaccard for every unordered pair from pure set
+    algebra over the G·k-row sketch table — G² pairs never rescan the
+    data; thetas use the exhaustive-sketch convention
+    (operators/sketch.py:kmv_overlap_matrix)."""
+    from influxdb_ha_spark.operators.sketch import kmv_overlap_matrix
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_orderkey")
+    return kmv_overlap_matrix(li, value_col="l_orderkey",
+                              group_col="l_returnflag", k=128)
+
+
 def q_sk_hist_quantile_auto(spark, sf):
     """Two-pass histogram quantiles with per-group RANGE DISCOVERY
     (added scope — the companion the fixed-range sk_hist_quantile
@@ -3798,6 +3812,7 @@ _FAMILIES = [
         "sk_join_sample": q_sk_join_sample,
         "sk_merge": q_sk_merge,
         "sk_hist_quantile_auto": q_sk_hist_quantile_auto,
+        "sk_overlap_matrix": q_sk_overlap_matrix,
     },
     {
         # LLM-pipeline scope (§7): multimodal

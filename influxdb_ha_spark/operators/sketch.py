@@ -677,3 +677,91 @@ def histogram_quantiles_auto(df: DataFrame, value_col: str, by=None,
         *g, "q", F.col("__n").alias("n"),
         F.col("__lo").alias("v_min"), F.col("__hi").alias("v_max"),
         (F.floor(est * F.lit(s) + F.lit(0.5)) / F.lit(s)).alias("est"))
+
+
+def kmv_overlap_matrix(df: DataFrame, value_col: str, group_col: str,
+                       k: int = 256, salts: int = KMV_SALTS) -> DataFrame:
+    """PAIRWISE set-operation estimates across ALL groups from their KMV
+    sketches — kmv_setops generalized from one pair to the full
+    audience-overlap MATRIX ("which audiences share users", "which
+    corpora share documents"), making the theta-sketch scale claim real:
+    G sketch BUILDS (one distinct shuffle + the two-phase bottom-k),
+    then every pairwise estimate is set algebra over the G·k-row sketch
+    table — G² pairs never touch the data again.
+
+    Per pair (a, b): θ_ab = min(θ_a, θ_b) with each group's θ = its
+    k-th smallest hash, or 2^60 when its sketch is exhaustive (the
+    kmv_setops theta convention); below θ_ab both sketches are exact
+    samples of [0, θ_ab], so with n_a / n_b / n_common the ≤-θ survivor
+    counts the estimators are kmv_setops' own, floor-round-6. Two
+    exhaustive groups ⇒ that pair's row is exact.
+
+    Returns one row per unordered pair, g_a < g_b lexicographically:
+    (g_a, g_b, theta, n_a, n_b, n_common, est_union, est_intersection,
+    jaccard_est); jaccard_est is NULL when both survivor sets are empty.
+
+    Scale shape: the data-sized work is exactly the kmv_distinct build;
+    the pair enumeration is a |G|×|G| nested-loop join of the G-row
+    theta summary (bounded by the GROUP COUNT, never the data), the
+    survivor/common counts are hash joins on the G·k-row sketch table,
+    and the output is G(G−1)/2 rows. At 100 TB the sketch table for a
+    thousand groups is a few MB — broadcastable — while the exact
+    answer would be a thousand-way self-join of the raw keys.
+    """
+    from ..cache import keep
+    base = (df.select(F.col(group_col).alias("__g"),
+                      F.col(value_col).alias("__v"))
+            .where(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+            .distinct()
+            .withColumn("__h", hash64_expr(F.col("__v").cast("string"))))
+    # the sketch table is consumed by FOUR branches (theta summary +
+    # three count joins); it is G·k rows — persist it (generation-
+    # bounded) so the data-sized build runs once, not once per branch
+    sk = keep("sk.overlap.sk",
+              _bottom_k(base, ["__g"], k, salts).select("__g", "__h"))
+    summ = (sk.groupBy("__g").agg(F.max("__h").alias("__t"),
+                                  F.count(F.lit(1)).alias("__ku"))
+            .select("__g", F.when(F.col("__ku") < k, F.lit(HASH_SPACE))
+                    .otherwise(F.col("__t")).alias("__theta")))
+    a = summ.select(F.col("__g").alias("g_a"),
+                    F.col("__theta").alias("__ta"))
+    b = summ.select(F.col("__g").alias("g_b"),
+                    F.col("__theta").alias("__tb"))
+    pairs = (a.join(b, F.col("g_a") < F.col("g_b"))
+             .select("g_a", "g_b",
+                     F.least("__ta", "__tb").alias("theta")))
+    ska = sk.select(F.col("__g").alias("g_a"), F.col("__h").alias("__h"))
+    skb = sk.select(F.col("__g").alias("g_b"), F.col("__h").alias("__h"))
+    na = (pairs.join(ska, "g_a")
+          .where(F.col("__h") <= F.col("theta"))
+          .groupBy("g_a", "g_b").agg(F.count(F.lit(1)).alias("n_a")))
+    nb = (pairs.join(skb, "g_b")
+          .where(F.col("__h") <= F.col("theta"))
+          .groupBy("g_a", "g_b").agg(F.count(F.lit(1)).alias("n_b")))
+    nc = (pairs.join(ska, "g_a").join(skb, ["g_b", "__h"])
+          .where(F.col("__h") <= F.col("theta"))
+          .groupBy("g_a", "g_b").agg(F.count(F.lit(1)).alias("n_common")))
+    out = (pairs
+           .join(na, ["g_a", "g_b"], "left")
+           .join(nb, ["g_a", "g_b"], "left")
+           .join(nc, ["g_a", "g_b"], "left")
+           .select("g_a", "g_b", "theta",
+                   F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                   F.coalesce("n_b", F.lit(0)).alias("n_b"),
+                   F.coalesce("n_common", F.lit(0)).alias("n_common")))
+    m = F.lit(float(HASH_SPACE))
+    uni = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    s = float(10 ** 6)
+
+    def _r(c):
+        return F.floor(c * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+    return out.select(
+        "g_a", "g_b", "theta", "n_a", "n_b", "n_common",
+        _r(uni.cast("double") * m
+           / F.col("theta").cast("double")).alias("est_union"),
+        _r(F.col("n_common").cast("double") * m
+           / F.col("theta").cast("double")).alias("est_intersection"),
+        F.when(uni > 0,
+               _r(F.col("n_common").cast("double")
+                  / uni.cast("double"))).alias("jaccard_est"))

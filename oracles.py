@@ -4153,6 +4153,55 @@ def build_oracles() -> dict[str, str]:
              {fr(_hqa_est, 6)} AS est
       FROM rr WHERE cum - c < r AND r <= cum"""
 
+    # Pairwise theta-sketch overlap matrix: one sketch per group (the
+    # same rank-k build as sk_kmv at k=128), thetas with the exhaustive
+    # convention, then pure set algebra over the G*k-row sketch table
+    _OM_K = 128
+    o["sk_overlap_matrix"] = f"""
+      WITH v AS (SELECT DISTINCT l_returnflag AS g, l_orderkey AS v
+                 FROM lineitem
+                 WHERE l_returnflag IS NOT NULL
+                   AND l_orderkey IS NOT NULL),
+      hh AS (SELECT g, v, {_h64v} AS h FROM v),
+      rk AS (SELECT g, h, row_number() OVER (
+                 PARTITION BY g ORDER BY h ASC, v ASC) AS rn FROM hh),
+      sk AS (SELECT g, h FROM rk WHERE rn <= {_OM_K}),
+      summ AS (SELECT g, (CASE WHEN count(*) < {_OM_K}
+                               THEN {HASH_SPACE}
+                               ELSE max(h) END)::BIGINT AS theta
+               FROM sk GROUP BY 1),
+      pairs AS (SELECT a.g AS g_a, b.g AS g_b,
+                       LEAST(a.theta, b.theta) AS theta
+                FROM summ a JOIN summ b ON a.g < b.g),
+      na AS (SELECT g_a, g_b, count(*)::BIGINT AS n_a
+             FROM pairs p JOIN sk ON sk.g = p.g_a AND sk.h <= p.theta
+             GROUP BY 1, 2),
+      nb AS (SELECT g_a, g_b, count(*)::BIGINT AS n_b
+             FROM pairs p JOIN sk ON sk.g = p.g_b AND sk.h <= p.theta
+             GROUP BY 1, 2),
+      nc AS (SELECT g_a, g_b, count(*)::BIGINT AS n_common
+             FROM pairs p
+             JOIN sk sa ON sa.g = p.g_a AND sa.h <= p.theta
+             JOIN sk sb ON sb.g = p.g_b AND sb.h = sa.h
+             GROUP BY 1, 2),
+      cnt AS (SELECT p.g_a, p.g_b, p.theta,
+                     coalesce(n_a, 0)::BIGINT AS n_a,
+                     coalesce(n_b, 0)::BIGINT AS n_b,
+                     coalesce(n_common, 0)::BIGINT AS n_common
+              FROM pairs p
+              LEFT JOIN na USING (g_a, g_b)
+              LEFT JOIN nb USING (g_a, g_b)
+              LEFT JOIN nc USING (g_a, g_b))
+      SELECT g_a, g_b, theta, n_a, n_b, n_common,
+             {fr(f'(n_a + n_b - n_common)::DOUBLE * {_M60} '
+                 '/ theta::DOUBLE', 6)} AS est_union,
+             {fr(f'n_common::DOUBLE * {_M60} / theta::DOUBLE', 6)}
+               AS est_intersection,
+             CASE WHEN (n_a + n_b - n_common) > 0 THEN
+               {fr('n_common::DOUBLE / (n_a + n_b - n_common)::DOUBLE',
+                   6)} END AS jaccard_est
+      FROM cnt"""
+
     # sk_merge: the SINGLE-PASS kmv/hll forms — the Spark side builds
     # per-shard partial states and merges them; equality with these
     # single-pass definitions IS the mergeability (associativity) proof

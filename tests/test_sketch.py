@@ -380,3 +380,51 @@ def test_hist_quantile_auto_empty(spark):
     from influxdb_ha_spark.operators.sketch import histogram_quantiles_auto
     empty = spark.createDataFrame([], "g string, v double")
     assert histogram_quantiles_auto(empty, "v", by=["g"]).count() == 0
+
+
+def test_overlap_matrix_planted_and_pair_consistency(spark):
+    """kmv_overlap_matrix generalizes kmv_setops: the (A, B) row must
+    equal kmv_setops(A, B) field-for-field, and the planted overlaps
+    must estimate within sketch error across ALL pairs."""
+    from influxdb_ha_spark.operators.sketch import (kmv_overlap_matrix,
+                                                    kmv_setops)
+    # A = 1..1000, B = 501..1500 (overlap 500), C = 1..100 (subset of A,
+    # exhaustive at k=128)
+    rows = ([("A", v) for v in range(1, 1001)]
+            + [("B", v) for v in range(501, 1501)]
+            + [("C", v) for v in range(1, 101)])
+    df = spark.createDataFrame(rows, "g string, v long")
+    mat = {(r.g_a, r.g_b): r for r in kmv_overlap_matrix(
+        df, "v", "g", k=128).collect()}
+    assert set(mat) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = mat[("A", "B")]
+    pair = kmv_setops(df.where(F.col("g").isin(["A", "B"])),
+                      "v", "g", "A", "B", k=128).collect()[0]
+    assert (ab.theta, ab.n_a, ab.n_b, ab.n_common) == \
+           (pair.theta, pair.n_a, pair.n_b, pair.n_common)
+    assert (ab.est_union, ab.est_intersection, ab.jaccard_est) == \
+           (pair.est_union, pair.est_intersection, pair.jaccard_est)
+    assert 1500 * 0.7 < ab.est_union < 1500 * 1.3
+    # C ⊂ A: intersection ~ |C| = 100, union ~ |A| = 1000
+    ac = mat[("A", "C")]
+    assert 100 * 0.5 < ac.est_intersection < 100 * 1.5
+    assert 1000 * 0.7 < ac.est_union < 1000 * 1.3
+    # B and C are disjoint
+    bc = mat[("B", "C")]
+    assert bc.est_intersection == 0.0 and bc.jaccard_est == 0.0
+
+
+def test_overlap_matrix_all_exhaustive_is_exact(spark):
+    from influxdb_ha_spark.operators.sketch import (HASH_SPACE,
+                                                    kmv_overlap_matrix)
+    rows = ([("A", v) for v in range(50)]
+            + [("B", v) for v in range(25, 75)]
+            + [("C", v) for v in range(100, 120)])
+    df = spark.createDataFrame(rows, "g string, v long")
+    mat = {(r.g_a, r.g_b): r for r in kmv_overlap_matrix(
+        df, "v", "g", k=256).collect()}
+    ab = mat[("A", "B")]
+    assert ab.theta == HASH_SPACE
+    assert ab.est_union == 75.0 and ab.est_intersection == 25.0
+    ac = mat[("A", "C")]
+    assert ac.est_intersection == 0.0 and ac.est_union == 70.0

@@ -199,6 +199,11 @@ ALLOWED_CARTESIAN = {
                  "|states|-row state table for π₀ — the tpch_q15 "
                  "scalar-anchor pattern (in-plan replacement for the "
                  "eager states.count())",
+    "sk_overlap_matrix": "the g_a < g_b pair enumeration is a "
+                         "|G|x|G| nested-loop join of the G-row theta "
+                         "summary — bounded by the GROUP COUNT, never "
+                         "the data; every other join is an equi-join "
+                         "on the G*k-row sketch table",
 }
 
 
