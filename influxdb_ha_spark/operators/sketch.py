@@ -76,6 +76,10 @@ def _bottom_k(vals: DataFrame, g, k: int, salts: int = KMV_SALTS
     tests/test_sketch.py:test_kmv_two_phase_equals_single_window pins
     the state equality against the literal one-window form.
     """
+    if int(salts) < 1:
+        # pmod(h, 0) is null — every row would silently land in ONE
+        # salt partition, the exact funnel the two phases exist to avoid
+        raise ValueError(f"_bottom_k: salts must be >= 1, got {salts!r}")
     order = [F.col("__h").asc(), F.col("__v").asc()]
     w1 = Window.partitionBy(*g, "__salt").orderBy(*order)
     pre = (vals
@@ -563,6 +567,9 @@ def sketch_merge_proof(df: DataFrame, value_col: str, by=None,
     multi-level rollup runs (hourly partials → daily merge → global).
     """
     g = _grp(by)
+    if int(shards) < 1:
+        raise ValueError(
+            f"sketch_merge_proof: shards must be >= 1, got {shards!r}")
     shard = F.pmod(F.xxhash64(F.col("__v").cast("string")),
                    F.lit(int(shards)))
     vals = (df.select(*g, F.col(value_col).alias("__v"))

@@ -428,3 +428,13 @@ def test_overlap_matrix_all_exhaustive_is_exact(spark):
     assert ab.est_union == 75.0 and ab.est_intersection == 25.0
     ac = mat[("A", "C")]
     assert ac.est_intersection == 0.0 and ac.est_union == 70.0
+
+
+def test_bottom_k_rejects_zero_salts(spark):
+    from influxdb_ha_spark.operators.sketch import (kmv_distinct,
+                                                    sketch_merge_proof)
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="salts"):
+        kmv_distinct(df, "v", by=["g"], salts=0)
+    with pytest.raises(ValueError, match="shards"):
+        sketch_merge_proof(df, "v", by=["g"], shards=0)
