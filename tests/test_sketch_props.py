@@ -92,3 +92,32 @@ def test_bfs_layering_invariant(spark, edges, rounds):
         assert 0 <= d <= rounds
         if d > 0:
             assert any(got.get(nb) == d - 1 for nb in adj.get(node, ()))
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=st.lists(st.tuples(st.sampled_from(["a", "b", "c"]), vals),
+                     min_size=1, max_size=30))
+def test_overlap_matrix_exhaustive_equals_exact_set_algebra(spark, rows):
+    """With k larger than every group (all sketches exhaustive, theta =
+    full hash space), the matrix IS exact set algebra — union /
+    intersection / jaccard equal the true values for every pair."""
+    from influxdb_ha_spark.operators.sketch import kmv_overlap_matrix
+    df = spark.createDataFrame(rows, "g string, v long")
+    sets = {}
+    for g, v in rows:
+        sets.setdefault(g, set()).add(v)
+    got = {(r.g_a, r.g_b): r for r in
+           kmv_overlap_matrix(df, "v", "g", k=64).collect()}
+    names = sorted(sets)
+    expected_pairs = {(a, b) for i, a in enumerate(names)
+                      for b in names[i + 1:]}
+    assert set(got) == expected_pairs
+    for (a, b), r in got.items():
+        u = sets[a] | sets[b]
+        i = sets[a] & sets[b]
+        assert r.est_union == float(len(u))
+        assert r.est_intersection == float(len(i))
+        if u:
+            import math
+            assert r.jaccard_est == math.floor(
+                len(i) / len(u) * 1e6 + 0.5) / 1e6
