@@ -56,7 +56,12 @@ QUERIES = ["tpch_q1", "agg_median_percentile", "join_brand_revenue",
            # round-9 continuation: bounded-state sketches (distinct
            # shuffle + k-rank, register max-agg, d·w-cell build) and
            # the frontier BFS loop
-           "sk_kmv", "sk_hll", "sk_countmin", "graph_bfs"]
+           "sk_kmv", "sk_hll", "sk_countmin", "graph_bfs",
+           # round-10 additions: explicit two-level sketch merge
+           # (shared-scan KMV+HLL partials), pairwise theta overlap
+           # matrix over a persisted G·k sketch table, two-pass
+           # auto-range histogram quantiles
+           "sk_merge", "sk_overlap_matrix", "sk_hist_quantile_auto"]
 
 
 def main():
@@ -76,12 +81,23 @@ def main():
                                                  "8g")})
     spark.range(1000).count()
     qs = entry.queries()
+    from influxdb_ha_spark import cache
     out: dict[str, dict[str, float]] = {}
     for d in dirs:
         sf = os.path.basename(d.rstrip("/"))
         out[sf] = {}
         for name in QUERIES:
             fn = qs[name]
+            # hermeticity (the plan_fingerprints r9 fix applied here):
+            # drop every sibling's keep() cache before the warmup, so a
+            # query's number is a function of the QUERY — 41 operators'
+            # accumulated cached RDDs previously inflated late-slice
+            # measurements (text_bm25 read 26.9 s at sf0.1 inside the
+            # long session vs 1.1 s isolated — pure GC/memory pressure,
+            # reproducible only with the full slice resident). The
+            # warmup still populates the query's OWN cache, so the
+            # timed second run keeps the intended warm semantics.
+            cache.release()
             fn(spark, d).write.format("noop").mode("overwrite").save()
             t0 = time.time()
             fn(spark, d).write.format("noop").mode("overwrite").save()
