@@ -54,6 +54,14 @@ def _grp(by):
     return list(by) if by else []
 
 
+def _fr6(c):
+    """floor-round-6 — the module's single pinned rounding (one
+    multiply, one floor, one divide on identical bits in both engines;
+    the oracles' fr(x, 6) mirrors it verbatim)."""
+    s = F.lit(float(10 ** 6))
+    return F.floor(c * s + F.lit(0.5)) / s
+
+
 # Default salt fan-out for the two-phase bottom-k: phase 1 ranks within
 # (group, hash mod KMV_SALTS), so no task ever sorts more than ~1/S of a
 # group's distinct set. Raise with cluster size — the state is identical
@@ -61,8 +69,8 @@ def _grp(by):
 KMV_SALTS = 16
 
 
-def _bottom_k(vals: DataFrame, g, k: int, salts: int = KMV_SALTS
-              ) -> DataFrame:
+def _bottom_k(vals: DataFrame, g, k: int, salts: int = KMV_SALTS,
+              salt_col: str | None = None) -> DataFrame:
     """Two-phase bottom-k over distinct (group..., __v, __h) rows: rank
     within (group, salt) keep k, then rank within group over the
     ≤ salts·k survivors keep k. The salt is derived from the hash itself
@@ -75,18 +83,29 @@ def _bottom_k(vals: DataFrame, g, k: int, salts: int = KMV_SALTS
     hazard on skewed group keys), and phase 2 sorts ≤ salts·k rows.
     tests/test_sketch.py:test_kmv_two_phase_equals_single_window pins
     the state equality against the literal one-window form.
+
+    `salt_col` names an EXISTING column to use as the phase-1 partition
+    key instead (sketch_merge_proof's explicit shard — it wants a salt
+    INDEPENDENT of __h so the partial states genuinely overlap); it is
+    consumed (dropped) with the rank. Associativity makes the final set
+    identical for ANY phase-1 partitioning, which is exactly why one
+    implementation can serve both callers.
     """
-    if int(salts) < 1:
-        # pmod(h, 0) is null — every row would silently land in ONE
-        # salt partition, the exact funnel the two phases exist to avoid
-        raise ValueError(f"_bottom_k: salts must be >= 1, got {salts!r}")
+    if salt_col is None:
+        if int(salts) < 1:
+            # pmod(h, 0) is null — every row would silently land in ONE
+            # salt partition, the funnel the two phases exist to avoid
+            raise ValueError(
+                f"_bottom_k: salts must be >= 1, got {salts!r}")
+        vals = vals.withColumn(
+            "__salt", F.pmod(F.col("__h"), F.lit(int(salts))))
+        salt_col = "__salt"
     order = [F.col("__h").asc(), F.col("__v").asc()]
-    w1 = Window.partitionBy(*g, "__salt").orderBy(*order)
+    w1 = Window.partitionBy(*g, salt_col).orderBy(*order)
     pre = (vals
-           .withColumn("__salt", F.pmod(F.col("__h"), F.lit(int(salts))))
            .withColumn("__rn", F.row_number().over(w1))
            .where(F.col("__rn") <= k)
-           .drop("__salt", "__rn"))
+           .drop(salt_col, "__rn"))
     w2 = (Window.partitionBy(*g) if g else Window.partitionBy()
           ).orderBy(*order)
     return (pre.withColumn("__rn", F.row_number().over(w2))
@@ -140,11 +159,8 @@ def _kmv_fold(kept: DataFrame, g, k: int) -> DataFrame:
                   F.col("k_used").cast("double"))
            .otherwise(F.lit(float(k - 1)) * F.lit(float(HASH_SPACE))
                       / F.col("kth_hash").cast("double")))
-    s = float(10 ** 6)
-    return agg.select(
-        *g, "k_used", "kth_hash",
-        (F.floor(est * F.lit(s) + F.lit(0.5)) / F.lit(s))
-        .alias("est_distinct"))
+    return agg.select(*g, "k_used", "kth_hash",
+                      _fr6(est).alias("est_distinct"))
 
 
 # HLL constants for m = 256 registers (lg m = 8, 52 value bits remain of
@@ -188,19 +204,32 @@ def hll_distinct(df: DataFrame, value_col: str, by=None) -> DataFrame:
                      g)
 
 
+def _hll_jrho() -> tuple:
+    """(register, rank) Column pair derived from a `__h` hash column —
+    THE single definition of the HLL register mapping (j = h mod m,
+    rho = 53 − bitlength of the remaining 52 bits, w = 0 → 53), shared
+    by hll_distinct (via _hll_rows), sketch_merge_proof's partial-state
+    build, and the streaming twin (streaming/hll_stream.py). One
+    definition, three consumers: a change here moves the batch sketch,
+    the merge proof, and the stream together — desynchronizing them
+    silently is the failure the sharing exists to prevent."""
+    w = F.expr(f"shiftright(__h, {_HLL_LG_M})")
+    j = F.pmod(F.col("__h"), F.lit(HLL_M))
+    rho = (F.when(w == 0, F.lit(_HLL_VBITS + 1))
+           .otherwise(F.lit(_HLL_VBITS + 1) - F.length(F.bin(w))))
+    return j, rho
+
+
 def _hll_rows(df: DataFrame, value_col: str, g) -> DataFrame:
     """Per-row HLL terms (group..., __v, __h, __j, __rho) — the map-side
-    expression shared by hll_distinct and sketch_merge_proof."""
+    stage of hll_distinct (sketch_merge_proof derives the same __j/__rho
+    from its own already-hashed rows via _hll_jrho)."""
     h = hash64_expr(F.col("__v").cast("string"))
     vals = (df.select(*g, F.col(value_col).alias("__v"))
             .where(F.col("__v").isNotNull())
-            .withColumn("__h", h)
-            .withColumn("__j", F.pmod(F.col("__h"), F.lit(HLL_M)))
-            .withColumn("__w", F.expr(f"shiftright(__h, {_HLL_LG_M})")))
-    rho = (F.when(F.col("__w") == 0, F.lit(_HLL_VBITS + 1))
-           .otherwise(F.lit(_HLL_VBITS + 1)
-                      - F.length(F.bin(F.col("__w")))))
-    return vals.withColumn("__rho", rho)
+            .withColumn("__h", h))
+    j, rho = _hll_jrho()
+    return vals.withColumn("__j", j).withColumn("__rho", rho)
 
 
 def _hll_fold(regs: DataFrame, g) -> DataFrame:
@@ -226,11 +255,43 @@ def _hll_fold(regs: DataFrame, g) -> DataFrame:
     est = (F.when((e_raw <= F.lit(2.5 * HLL_M)) & (v_empty > 0),
                   ln_map[v_empty])
            .otherwise(e_raw))
-    s = float(10 ** 6)
-    return folded.select(
-        *g, "n_buckets_used", v_empty.alias("n_empty"),
-        (F.floor(est * F.lit(s) + F.lit(0.5)) / F.lit(s))
-        .alias("est_distinct"))
+    return folded.select(*g, "n_buckets_used", v_empty.alias("n_empty"),
+                         _fr6(est).alias("est_distinct"))
+
+
+def _theta_col(k: int):
+    """Exhaustive-aware theta from a per-group sketch summary (__t =
+    max retained hash, __ku = retained count): the group's k-th
+    smallest hash, or the FULL hash space when the sketch is exhaustive
+    (< k distinct values — an exhaustive sketch is an exact sample of
+    the whole space). THE single definition of the theta convention,
+    shared by kmv_setops and kmv_overlap_matrix; the oracles mirror it
+    verbatim."""
+    return (F.when(F.col("__ku") < k, F.lit(HASH_SPACE))
+            .otherwise(F.col("__t")))
+
+
+def _setops_select(counts: DataFrame, head_cols) -> DataFrame:
+    """The three theta-sketch estimators over (theta, n_a, n_b,
+    n_common) survivor counts — single-sourced so the pair operator
+    (kmv_setops) and the matrix operator (kmv_overlap_matrix) cannot
+    diverge:
+        est_union        = (n_a + n_b − n_common) · 2^60 / θ
+        est_intersection = n_common · 2^60 / θ
+        jaccard_est      = n_common / (n_a + n_b − n_common)
+    — integer counts, one pinned multiply+divide each, floor-round-6;
+    jaccard NULL when both survivor sets are empty."""
+    m = F.lit(float(HASH_SPACE))
+    uni = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return counts.select(
+        *head_cols, "theta", "n_a", "n_b", "n_common",
+        _fr6(uni.cast("double") * m
+             / F.col("theta").cast("double")).alias("est_union"),
+        _fr6(F.col("n_common").cast("double") * m
+             / F.col("theta").cast("double")).alias("est_intersection"),
+        F.when(uni > 0,
+               _fr6(F.col("n_common").cast("double")
+                    / uni.cast("double"))).alias("jaccard_est"))
 
 
 def kmv_setops(df: DataFrame, value_col: str, group_col: str,
@@ -280,8 +341,7 @@ def kmv_setops(df: DataFrame, value_col: str, group_col: str,
     sk = _bottom_k(base, ["__g"], k, salts).select("__g", "__h")
     theta = (sk.groupBy("__g").agg(F.max("__h").alias("__t"),
                                    F.count(F.lit(1)).alias("__ku"))
-             .select(F.when(F.col("__ku") < k, F.lit(HASH_SPACE))
-                     .otherwise(F.col("__t")).alias("__t"))
+             .select(_theta_col(k).alias("__t"))
              .agg(F.min("__t").alias("theta")))
     sa = sk.where(g == group_a).select("__h")
     sb = sk.where(g == group_b).select("__h")
@@ -297,22 +357,7 @@ def kmv_setops(df: DataFrame, value_col: str, group_col: str,
           .agg(F.count(F.lit(1)).alias("n_common")))
     one = (theta.crossJoin(F.broadcast(na))
            .crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(nc)))
-    m = F.lit(float(HASH_SPACE))
-    uni = F.col("n_a") + F.col("n_b") - F.col("n_common")
-    s = float(10 ** 6)
-
-    def _r(c):
-        return F.floor(c * F.lit(s) + F.lit(0.5)) / F.lit(s)
-
-    return one.select(
-        "theta", "n_a", "n_b", "n_common",
-        _r(uni.cast("double") * m
-           / F.col("theta").cast("double")).alias("est_union"),
-        _r(F.col("n_common").cast("double") * m
-           / F.col("theta").cast("double")).alias("est_intersection"),
-        F.when(uni > 0,
-               _r(F.col("n_common").cast("double")
-                  / uni.cast("double"))).alias("jaccard_est"))
+    return _setops_select(one, [])
 
 
 def countmin(df: DataFrame, item_col: str, d: int = 4, w: int = 1024,
@@ -391,12 +436,17 @@ def join_sample_estimate(left: DataFrame, right: DataFrame,
 
     hash_fn: "md5" (DuckDB-mirrorable, oracle default) | "fast"
     (xxhash64 on the native key — the minhash_signatures split).
-    xxhash64 hashes the same VALUE differently under different column
-    dtypes (INT 5 ≠ BIGINT 5 ≠ '5'), which would silently DECOORDINATE
-    the two samples and bias the estimate low with no error — so when
-    the two key dtypes differ, the fast path casts both to string (the
-    md5 path's convention, immune by construction); matching dtypes
-    hash natively.
+    COORDINATION REQUIRES A COMMON KEY TYPE: hashing the same joining
+    value through different dtypes decoordinates the samples silently
+    (p² of the pairs survive, est biased ~rate× low, no error) — and
+    string rendering is NOT a safe equalizer either: BIGINT 5 joins
+    DOUBLE 5.0 under Spark's numeric coercion, but '5' ≠ '5.0' as
+    strings. Both paths therefore hash _coordinated_keys' common-type
+    cast: identical dtypes hash natively, two integral types widen to
+    long, any other numeric pair goes through double (mirroring the
+    join's own coercion; keys beyond 2^53 share the double cast's
+    precision loss on both sides, so they stay coordinated), anything
+    else is cast to string.
     MEASURED at sf0.1 (local[8], warm scans): the md5 probe costs 121%
     of the exact join it predicts — the per-row md5→hex→conv chain
     outweighs a local hash join — while the xxhash64 probe costs 46%
@@ -406,31 +456,46 @@ def join_sample_estimate(left: DataFrame, right: DataFrame,
     never does. Production uses "fast"; "md5" exists to let the oracle
     replay the exact sample.
     """
+    lc, rc = _coordinated_keys(left, right, left_key, right_key)
     if hash_fn == "fast":
-        same_type = (left.schema[left_key].dataType
-                     == right.schema[right_key].dataType)
-        lc = (F.col(left_key) if same_type
-              else F.col(left_key).cast("string"))
-        rc = (F.col(right_key) if same_type
-              else F.col(right_key).cast("string"))
         lk = F.pmod(F.xxhash64(lc), F.lit(int(rate)))
         rk = F.pmod(F.xxhash64(rc), F.lit(int(rate)))
-        ls = (left.where(F.col(left_key).isNotNull() & (lk == 0))
-              .select(F.col(left_key).alias("__k")))
-        rs = (right.where(F.col(right_key).isNotNull() & (rk == 0))
-              .select(F.col(right_key).alias("__k")))
-        return _join_sample_fold(left, right, left_key, right_key,
-                                 ls, rs, rate)
-    lk = hash64_expr(F.col(left_key).cast("string"))
-    rk = hash64_expr(F.col(right_key).cast("string"))
-    ls = (left.where(F.col(left_key).isNotNull()
-                     & (F.pmod(lk, F.lit(int(rate))) == 0))
+    else:
+        lk = F.pmod(hash64_expr(lc.cast("string")), F.lit(int(rate)))
+        rk = F.pmod(hash64_expr(rc.cast("string")), F.lit(int(rate)))
+    ls = (left.where(F.col(left_key).isNotNull() & (lk == 0))
           .select(F.col(left_key).alias("__k")))
-    rs = (right.where(F.col(right_key).isNotNull()
-                      & (F.pmod(rk, F.lit(int(rate))) == 0))
+    rs = (right.where(F.col(right_key).isNotNull() & (rk == 0))
           .select(F.col(right_key).alias("__k")))
     return _join_sample_fold(left, right, left_key, right_key,
                              ls, rs, rate)
+
+
+def _coordinated_keys(left: DataFrame, right: DataFrame,
+                      left_key: str, right_key: str) -> tuple:
+    """Key expressions coerced to ONE common type, so both sides hash
+    identical bits for a value their JOIN would match (the r10 review
+    finding: string-casting only equalizes dtypes with identical string
+    renderings — BIGINT 5 vs DOUBLE 5.0 render '5' vs '5.0' and stayed
+    silently decoordinated). Identical dtypes pass through natively
+    (the oracle-pinned path); two integral types widen to long; any
+    other numeric pair casts BOTH sides to double — the same lossy
+    coercion Spark applies to the equality itself, so the sample and
+    the join agree on which values match; everything else goes to
+    string."""
+    from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                   NumericType, ShortType)
+    lt = left.schema[left_key].dataType
+    rt = right.schema[right_key].dataType
+    lc, rc = F.col(left_key), F.col(right_key)
+    if lt == rt:
+        return lc, rc
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    if isinstance(lt, integral) and isinstance(rt, integral):
+        return lc.cast("long"), rc.cast("long")
+    if isinstance(lt, NumericType) and isinstance(rt, NumericType):
+        return lc.cast("double"), rc.cast("double")
+    return lc.cast("string"), rc.cast("string")
 
 
 def _join_sample_fold(left, right, left_key, right_key, ls, rs,
@@ -516,10 +581,9 @@ def histogram_quantiles(df: DataFrame, value_col: str, by=None,
                                 - (F.col("__cum") - F.col("__c"))
                                 .cast("double"))
                              / F.col("__c").cast("double")))
-    s = float(10 ** 6)
     return covering.select(
         *g, "q", F.col("__n").alias("n"), F.col("__nc").alias("n_clamped"),
-        (F.floor(est * F.lit(s) + F.lit(0.5)) / F.lit(s)).alias("est"))
+        _fr6(est).alias("est"))
 
 
 def sketch_merge_proof(df: DataFrame, value_col: str, by=None,
@@ -577,26 +641,20 @@ def sketch_merge_proof(df: DataFrame, value_col: str, by=None,
             .distinct()
             .withColumn("__h", hash64_expr(F.col("__v").cast("string")))
             .withColumn("__shard", shard))
-    # -- KMV: per-shard bottom-k partials, merged by union + re-rank
-    order = [F.col("__h").asc(), F.col("__v").asc()]
-    w1 = Window.partitionBy(*g, "__shard").orderBy(*order)
-    partial = (vals.withColumn("__rn", F.row_number().over(w1))
-               .where(F.col("__rn") <= k)
-               .drop("__shard", "__rn"))
-    w2 = (Window.partitionBy(*g) if g else Window.partitionBy()
-          ).orderBy(*order)
-    merged = (partial.withColumn("__rn", F.row_number().over(w2))
-              .where(F.col("__rn") <= k).drop("__rn"))
+    # -- KMV: per-shard bottom-k partials, merged by union + re-rank —
+    # _bottom_k with the explicit shard as the phase-1 partition key is
+    # EXACTLY this two-phase pipeline (one implementation, so the
+    # "merged state == single-pass state" guarantee cannot drift apart)
+    merged = _bottom_k(vals, g, k, salt_col="__shard")
     kmv = _kmv_fold(merged, g, k).select(
         *g, F.col("k_used").alias("kmv_k_used"),
         F.col("est_distinct").alias("kmv_est"))
     # -- HLL: per-(group, shard, register) maxima partials, merged by
-    # max — branching from the SAME distinct+hashed rows as KMV
-    rho_w = F.expr(f"shiftright(__h, {_HLL_LG_M})")
-    rho = (F.when(rho_w == 0, F.lit(_HLL_VBITS + 1))
-           .otherwise(F.lit(_HLL_VBITS + 1) - F.length(F.bin(rho_w))))
+    # max — branching from the SAME distinct+hashed rows as KMV, with
+    # the register mapping single-sourced from _hll_jrho
+    j, rho = _hll_jrho()
     partial_regs = (vals
-                    .withColumn("__j", F.pmod(F.col("__h"), F.lit(HLL_M)))
+                    .withColumn("__j", j)
                     .withColumn("__rho", rho)
                     .groupBy(*g, "__shard", "__j")
                     .agg(F.max("__rho").alias("__mp")))
@@ -679,11 +737,10 @@ def histogram_quantiles_auto(df: DataFrame, value_col: str, by=None,
                                      - (F.col("__cum") - F.col("__c"))
                                      .cast("double"))
                                   / F.col("__c").cast("double"))))
-    s = float(10 ** 6)
     return covering.select(
         *g, "q", F.col("__n").alias("n"),
         F.col("__lo").alias("v_min"), F.col("__hi").alias("v_max"),
-        (F.floor(est * F.lit(s) + F.lit(0.5)) / F.lit(s)).alias("est"))
+        _fr6(est).alias("est"))
 
 
 def kmv_overlap_matrix(df: DataFrame, value_col: str, group_col: str,
@@ -728,8 +785,7 @@ def kmv_overlap_matrix(df: DataFrame, value_col: str, group_col: str,
               _bottom_k(base, ["__g"], k, salts).select("__g", "__h"))
     summ = (sk.groupBy("__g").agg(F.max("__h").alias("__t"),
                                   F.count(F.lit(1)).alias("__ku"))
-            .select("__g", F.when(F.col("__ku") < k, F.lit(HASH_SPACE))
-                    .otherwise(F.col("__t")).alias("__theta")))
+            .select("__g", _theta_col(k).alias("__theta")))
     a = summ.select(F.col("__g").alias("g_a"),
                     F.col("__theta").alias("__ta"))
     b = summ.select(F.col("__g").alias("g_b"),
@@ -756,19 +812,4 @@ def kmv_overlap_matrix(df: DataFrame, value_col: str, group_col: str,
                    F.coalesce("n_a", F.lit(0)).alias("n_a"),
                    F.coalesce("n_b", F.lit(0)).alias("n_b"),
                    F.coalesce("n_common", F.lit(0)).alias("n_common")))
-    m = F.lit(float(HASH_SPACE))
-    uni = F.col("n_a") + F.col("n_b") - F.col("n_common")
-    s = float(10 ** 6)
-
-    def _r(c):
-        return F.floor(c * F.lit(s) + F.lit(0.5)) / F.lit(s)
-
-    return out.select(
-        "g_a", "g_b", "theta", "n_a", "n_b", "n_common",
-        _r(uni.cast("double") * m
-           / F.col("theta").cast("double")).alias("est_union"),
-        _r(F.col("n_common").cast("double") * m
-           / F.col("theta").cast("double")).alias("est_intersection"),
-        F.when(uni > 0,
-               _r(F.col("n_common").cast("double")
-                  / uni.cast("double"))).alias("jaccard_est"))
+    return _setops_select(out, ["g_a", "g_b"])

@@ -11,9 +11,11 @@ completes the sketch evidence ladder: batch estimate (sk_hll), explicit
 two-level merge proof (sk_merge), live stream (here) — all three share
 ONE state definition.
 
-The register index j and rank rho are computed JVM-side with the exact
-batch expressions (_hll_rows: j = hash64 mod m, rho = 53 − bitlength of
-the remaining 52 hash bits), so the Python update is one
+The register index j and rank rho are computed JVM-side with the batch
+operator's OWN register mapping (operators/sketch._hll_jrho — one
+definition shared by the batch sketch, the merge proof and this twin:
+j = hash64 mod m, rho = 53 − bitlength of the remaining 52 hash bits),
+so the Python update is one
 `np.maximum.at` per (group, batch) and the estimate replays the batch
 operator's pinned arithmetic: the harmonic sum carried EXACTLY as the
 integer Σ2^(53−M_j) (empty registers contribute 2^53), one IEEE divide
@@ -37,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.hashing import hash64_expr
-from ..operators.sketch import HLL_M, HLL_NUMER, _HLL_LG_M, _HLL_VBITS
+from ..operators.sketch import HLL_M, HLL_NUMER, _HLL_VBITS, _hll_jrho
 
 STATE_SCHEMA = "regs array<long>"
 OUTPUT_SCHEMA = ("g string, n_buckets_used long, n_empty long, "
@@ -79,16 +81,12 @@ def hll_distinct_stream(events: DataFrame, group_col: str,
     of the current (n_buckets_used, n_empty, est_distinct) per (group,
     micro-batch). State is m = 256 int64s per group."""
     h = hash64_expr(F.col(value_col).cast("string"))
-    rho_w = F.expr(f"shiftright(__h, {_HLL_LG_M})")
+    j, rho = _hll_jrho()   # the batch operator's own register mapping
     keyed = (events
              .where(F.col(value_col).isNotNull())
              .select(F.col(group_col).cast("string").alias("g"),
                      h.alias("__h"))
-             .select("g",
-                     F.pmod(F.col("__h"), F.lit(HLL_M)).alias("j"),
-                     F.when(rho_w == 0, F.lit(_HLL_VBITS + 1))
-                     .otherwise(F.lit(_HLL_VBITS + 1)
-                                - F.length(F.bin(rho_w))).alias("rho")))
+             .select("g", j.alias("j"), rho.alias("rho")))
     return (keyed.groupBy("g")
             .applyInPandasWithState(_update,
                                     outputStructType=OUTPUT_SCHEMA,

@@ -438,3 +438,20 @@ def test_bottom_k_rejects_zero_salts(spark):
         kmv_distinct(df, "v", by=["g"], salts=0)
     with pytest.raises(ValueError, match="shards"):
         sketch_merge_proof(df, "v", by=["g"], shards=0)
+
+
+def test_join_sample_numeric_dtype_coercion_both_paths(spark):
+    """BIGINT-vs-DOUBLE keys join under Spark's numeric coercion, but
+    '5' != '5.0' as strings — the r10 review found the string cast left
+    them decoordinated in BOTH hash paths. _coordinated_keys routes any
+    mixed numeric pair through double on both sides."""
+    from influxdb_ha_spark.operators.sketch import join_sample_estimate
+    left = spark.range(2000).select((F.col("id") + 1).cast("double")
+                                    .alias("k"))
+    right = spark.range(6000).select((F.col("id") % 2000 + 1).alias("k"))
+    for fn in ("fast", "md5"):
+        r = join_sample_estimate(left, right, "k", "k", rate=8,
+                                 hash_fn=fn).collect()[0]
+        assert r.exact_pairs == 6000, fn
+        # coordinated: within sampling error, not biased ~rate x low
+        assert 6000 * 0.6 <= r.est_pairs <= 6000 * 1.4, fn
