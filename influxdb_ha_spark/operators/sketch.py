@@ -62,6 +62,28 @@ def _fr6(c):
     return F.floor(c * s + F.lit(0.5)) / s
 
 
+def _sketch_hash(c, hash_fn: str):
+    """The sketch family's value hash, uniform on [0, 2^60) — the
+    md5/xxhash64 production split (the minhash_signatures /
+    join_sample_estimate precedent): "md5" is the cross-engine
+    hash64_expr the DuckDB oracles replay bit-for-bit; "fast" is
+    pmod(xxhash64, 2^60), which is EXACTLY uniform (2^64 / 2^60 is
+    integral, so the mod introduces zero bias) and skips the per-row
+    md5→hex→conv chain — the dominant cost of a sketch build (the
+    join_sample measurement: xxhash64 probe 46% of the exact join vs
+    md5's 121%). Both hash the value's STRING rendering, so the two
+    paths sample the same value identity and dtype never decoordinates
+    sketches built from different columns (the _coordinated_keys
+    lesson). "fast" has no DuckDB mirror — production path only; every
+    gated key stays on "md5"."""
+    if hash_fn == "fast":
+        return F.pmod(F.xxhash64(c.cast("string")), F.lit(HASH_SPACE))
+    if hash_fn != "md5":
+        raise ValueError(f"hash_fn must be 'md5' or 'fast', "
+                         f"got {hash_fn!r}")
+    return hash64_expr(c.cast("string"))
+
+
 # Default salt fan-out for the two-phase bottom-k: phase 1 ranks within
 # (group, hash mod KMV_SALTS), so no task ever sorts more than ~1/S of a
 # group's distinct set. Raise with cluster size — the state is identical
@@ -114,7 +136,8 @@ def _bottom_k(vals: DataFrame, g, k: int, salts: int = KMV_SALTS,
 
 
 def kmv_distinct(df: DataFrame, value_col: str, by=None,
-                 k: int = 256, salts: int = KMV_SALTS) -> DataFrame:
+                 k: int = 256, salts: int = KMV_SALTS,
+                 hash_fn: str = "md5") -> DataFrame:
     """K-Minimum-Values distinct-count sketch per group.
 
     Hash every distinct value with the cross-engine hash64 (uniform on
@@ -138,12 +161,17 @@ def kmv_distinct(df: DataFrame, value_col: str, by=None,
     shuffle-safe too: phase 1 partitions on the salt alone and the
     phase-2 keyless window ranks only the ≤ salts·k survivors — bounded
     by PARAMETERS, never by data.
+
+    hash_fn: "md5" (oracle default, DuckDB-replayable bit-for-bit) |
+    "fast" (xxhash64 — the production split, see _sketch_hash; the
+    estimates differ because the sample differs, but every estimator
+    property is identical and the exact-below-k branch agrees exactly).
     """
     g = _grp(by)
     vals = (df.select(*g, F.col(value_col).alias("__v"))
             .where(F.col("__v").isNotNull())
             .distinct()
-            .withColumn("__h", hash64_expr(F.col("__v").cast("string"))))
+            .withColumn("__h", _sketch_hash(F.col("__v"), hash_fn)))
     return _kmv_fold(_bottom_k(vals, g, k, salts), g, k)
 
 
@@ -175,7 +203,8 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 HLL_NUMER = _HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_VBITS + 1)
 
 
-def hll_distinct(df: DataFrame, value_col: str, by=None) -> DataFrame:
+def hll_distinct(df: DataFrame, value_col: str, by=None,
+                 hash_fn: str = "md5") -> DataFrame:
     """HyperLogLog distinct-count sketch per group, m = 256 registers.
 
     register j = hash64 mod m; remaining 52 bits w = hash64 >> 8; the
@@ -197,9 +226,14 @@ def hll_distinct(df: DataFrame, value_col: str, by=None) -> DataFrame:
     ≤ 256 rows per group out of the shuffle; then one ≤256-row fold per
     group. Two HLL states merge by register-wise max, which is exactly
     the partial aggregation Spark already runs.
+
+    hash_fn: "md5" (oracle default) | "fast" (xxhash64 — the
+    production split, see _sketch_hash; registers differ because the
+    hash differs, but the estimator and every state bound are
+    identical).
     """
     g = _grp(by)
-    return _hll_fold(_hll_rows(df, value_col, g)
+    return _hll_fold(_hll_rows(df, value_col, g, hash_fn)
                      .groupBy(*g, "__j").agg(F.max("__rho").alias("__m")),
                      g)
 
@@ -220,14 +254,14 @@ def _hll_jrho() -> tuple:
     return j, rho
 
 
-def _hll_rows(df: DataFrame, value_col: str, g) -> DataFrame:
+def _hll_rows(df: DataFrame, value_col: str, g,
+              hash_fn: str = "md5") -> DataFrame:
     """Per-row HLL terms (group..., __v, __h, __j, __rho) — the map-side
     stage of hll_distinct (sketch_merge_proof derives the same __j/__rho
     from its own already-hashed rows via _hll_jrho)."""
-    h = hash64_expr(F.col("__v").cast("string"))
     vals = (df.select(*g, F.col(value_col).alias("__v"))
             .where(F.col("__v").isNotNull())
-            .withColumn("__h", h))
+            .withColumn("__h", _sketch_hash(F.col("__v"), hash_fn)))
     j, rho = _hll_jrho()
     return vals.withColumn("__j", j).withColumn("__rho", rho)
 

@@ -455,3 +455,24 @@ def test_join_sample_numeric_dtype_coercion_both_paths(spark):
         assert r.exact_pairs == 6000, fn
         # coordinated: within sampling error, not biased ~rate x low
         assert 6000 * 0.6 <= r.est_pairs <= 6000 * 1.4, fn
+
+
+def test_sketch_fast_hash_path(spark):
+    """The xxhash64 production split on the distinct sketches: the
+    exact-below-k branch agrees with md5 exactly (count, not hash,
+    decides it), large-cardinality estimates stay in the 3-sigma band,
+    and pmod(xxhash64, 2^60) keeps every hash in [0, 2^60)."""
+    small = _vals(spark, 10)
+    a = kmv_distinct(small, "v", by=["g"], k=256).collect()[0]
+    b = kmv_distinct(small, "v", by=["g"], k=256,
+                     hash_fn="fast").collect()[0]
+    assert (a.k_used, a.est_distinct) == (b.k_used, b.est_distinct)
+    big = _vals(spark, 2000)
+    r = kmv_distinct(big, "v", by=["g"], k=64, hash_fn="fast").collect()[0]
+    assert 0 <= r.kth_hash < (1 << 60)
+    assert 2000 * 0.6 < r.est_distinct < 2000 * 1.4
+    h = hll_distinct(_vals(spark, 5000), "v", by=["g"],
+                     hash_fn="fast").collect()[0]
+    assert 5000 * 0.8 < h.est_distinct < 5000 * 1.2
+    with pytest.raises(ValueError, match="hash_fn"):
+        kmv_distinct(small, "v", by=["g"], hash_fn="sha")
