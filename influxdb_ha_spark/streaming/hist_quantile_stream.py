@@ -25,8 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-STATE_SCHEMA = "counts array<long>"
-OUTPUT_SCHEMA = "g string, q double, n long, est double"
+STATE_SCHEMA = "counts array<long>, clamped long"
+OUTPUT_SCHEMA = "g string, q double, n long, n_clamped long, est double"
 
 
 def _make_update(lo: float, width: float, bins: int, qs: tuple):
@@ -36,12 +36,17 @@ def _make_update(lo: float, width: float, bins: int, qs: tuple):
         import numpy as np
         import pandas as pd
 
-        counts = (np.asarray(state.get[0], dtype=np.int64)
-                  if state.exists else np.zeros(bins, dtype=np.int64))
+        if state.exists:
+            counts = np.asarray(state.get[0], dtype=np.int64)
+            clamped = int(state.get[1])
+        else:
+            counts = np.zeros(bins, dtype=np.int64)
+            clamped = 0
         batch = pd.concat(list(pdfs), ignore_index=True)
         counts += np.bincount(batch["bin"].to_numpy(dtype=np.int64),
                               minlength=bins).astype(np.int64)
-        state.update((counts.tolist(),))
+        clamped += int(batch["oob"].to_numpy(dtype=np.int64).sum())
+        state.update((counts.tolist(), clamped))
         n = int(counts.sum())
         out_q, out_est = [], []
         cum = np.cumsum(counts)
@@ -55,7 +60,9 @@ def _make_update(lo: float, width: float, bins: int, qs: tuple):
             out_q.append(float(q))
             out_est.append(math.floor(est * 1e6 + 0.5) / 1e6)
         yield pd.DataFrame({"g": [key[0]] * len(qs), "q": out_q,
-                            "n": [n] * len(qs), "est": out_est})
+                            "n": [n] * len(qs),
+                            "n_clamped": [clamped] * len(qs),
+                            "est": out_est})
 
     return update
 
@@ -65,7 +72,10 @@ def hist_quantile_stream(events: DataFrame, group_col: str,
                          hi: float = 1.0, bins: int = 1024,
                          qs=(0.5, 0.95, 0.99)) -> DataFrame:
     """Streaming events → per-group live quantile estimates over the
-    whole history so far; state = `bins` int64s per group.
+    whole history so far; state = `bins` int64s + one clamped-row
+    counter per group, and the output mirrors the batch operator's
+    columns including `n_clamped` (rows outside [lo, hi) folded into
+    the edge bins — loud, not silent, in the stream too).
 
     qs must be in (0, 1] (the ceil(q·n) inverted-CDF convention shared
     with the batch operator): q = 0 would target rank 0, whose covering
@@ -81,13 +91,16 @@ def hist_quantile_stream(events: DataFrame, group_col: str,
                 f"hist_quantile_stream: q must be in (0, 1] under the "
                 f"ceil(q*n) inverted-CDF rank convention, got {q!r}")
     width = (hi - lo) / bins
-    b = F.floor((F.col(value_col).cast("double") - F.lit(float(lo)))
-                / F.lit(width))
-    b = F.when(b < 0, F.lit(0)).when(b >= bins, F.lit(bins - 1)).otherwise(b)
+    raw = F.floor((F.col(value_col).cast("double") - F.lit(float(lo)))
+                  / F.lit(width))
+    b = (F.when(raw < 0, F.lit(0))
+         .when(raw >= bins, F.lit(bins - 1)).otherwise(raw))
+    oob = (raw < 0) | (raw >= bins)
     keyed = (events
              .where(F.col(value_col).isNotNull())
              .select(F.col(group_col).cast("string").alias("g"),
-                     b.cast("long").alias("bin")))
+                     b.cast("long").alias("bin"),
+                     oob.cast("long").alias("oob")))
     return (keyed.groupBy("g")
             .applyInPandasWithState(
                 _make_update(float(lo), float(width), int(bins),

@@ -47,13 +47,16 @@ def test_hist_quantile_stream_equals_batch(spark, tmp_path):
     final = {}
     for _, batch in sorted(collected):
         for r in batch:
-            final[(r["g"], r["q"])] = (r["n"], r["est"])
+            final[(r["g"], r["q"])] = (r["n"], r["n_clamped"], r["est"])
     ref_df = spark.createDataFrame([(r["g"], r["v"]) for r in rows],
                                    "g string, v double")
-    ref = {(r.g, r.q): (r.n, r.est)
+    ref = {(r.g, r.q): (r.n, r.n_clamped, r.est)
            for r in histogram_quantiles(ref_df, "v", by=["g"], lo=lo,
                                         hi=hi, bins=bins, qs=qs).collect()}
     assert final == ref
-    # sanity: the batch reference itself is non-degenerate
+    # sanity: the batch reference itself is non-degenerate, and the
+    # clamped outlier is counted on both paths
     assert ref[("a", 0.5)][0] == 200
-    assert ref[("b", 0.99)][1] >= 255.5   # the clamped outlier's bin
+    assert ref[("b", 0.99)][1] == 1       # n_clamped: the 9999.0 row
+    assert ref[("b", 0.99)][2] >= 255.5   # the clamped outlier's bin
+    assert ref[("a", 0.5)][1] == 0
