@@ -62,6 +62,21 @@ def _fr6(c):
     return F.floor(c * s + F.lit(0.5)) / s
 
 
+def _hist_bin_cols(v, lo, width, bins: int) -> tuple:
+    """(bin, out-of-range) Column pair for the fixed-boundary equi-width
+    histogram: bin = clamp(floor((v − lo)/width), 0, bins−1), oob =
+    raw bin outside [0, bins). THE single clamp definition shared by
+    histogram_quantiles, histogram_quantiles_auto's in-range branch,
+    and the streaming twin (streaming/hist_quantile_stream.py) — their
+    bit-identical stream==batch / Spark==oracle guarantees depend on
+    this expression never diverging between copies (the _hll_jrho
+    convention). `lo`/`width` may be literals or per-group Columns."""
+    raw = F.floor((v - lo) / width)
+    b = (F.when(raw < 0, F.lit(0))
+         .when(raw >= bins, F.lit(bins - 1)).otherwise(raw))
+    return b, (raw < 0) | (raw >= bins)
+
+
 def _sketch_hash(c, hash_fn: str):
     """The sketch family's value hash, uniform on [0, 2^60) — the
     md5/xxhash64 production split (the minhash_signatures /
@@ -589,10 +604,8 @@ def histogram_quantiles(df: DataFrame, value_col: str, by=None,
                 f"histogram_quantiles: q must be in (0, 1] under the "
                 f"ceil(q*n) inverted-CDF rank convention, got {q!r}")
     width = (hi - lo) / bins
-    raw = F.floor((F.col("__v") - F.lit(float(lo))) / F.lit(width))
-    b = (F.when(raw < 0, F.lit(0))
-         .when(raw >= bins, F.lit(bins - 1)).otherwise(raw))
-    oob = (raw < 0) | (raw >= bins)
+    b, oob = _hist_bin_cols(F.col("__v"), F.lit(float(lo)),
+                            F.lit(width), bins)
     hist = (df.select(*g, F.col(value_col).cast("double").alias("__v"))
             .where(F.col("__v").isNotNull())
             .withColumn("__b", b.cast("long"))
@@ -745,10 +758,9 @@ def histogram_quantiles_auto(df: DataFrame, value_col: str, by=None,
     joined = (base.join(F.broadcast(rng), g) if g
               else base.crossJoin(F.broadcast(rng)))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
-    raw = F.floor((F.col("__v") - F.col("__lo")) / width)
+    b_rng, _ = _hist_bin_cols(F.col("__v"), F.col("__lo"), width, bins)
     b = (F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
-         .otherwise(F.when(raw < 0, F.lit(0))
-                    .when(raw >= bins, F.lit(bins - 1)).otherwise(raw)))
+         .otherwise(b_rng))
     hist = (joined.withColumn("__b", b.cast("long"))
             .groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__c"),
                                     F.min("__lo").alias("__lo"),

@@ -6,7 +6,8 @@ estimates.
 Complements the exact per-bucket SLO bands of quantile_bands_stream
 (twin #16): that one closes a time bucket and reports its exact
 quantiles; this one answers "p99 over EVERYTHING so far" with state
-bounded at `bins` int64s per group — histograms over shared boundaries
+bounded at `bins` int64s (+ one clamped-row counter, r10) per group —
+histograms over shared boundaries
 merge by cell-wise +, so the streamed state equals the batch histogram
 on the union of all micro-batches regardless of batch boundaries, and
 the estimates are bit-identical to the batch operator's (the
@@ -25,6 +26,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators.sketch import _hist_bin_cols
+
+# r10: a `clamped` counter joined the state so the stream exposes
+# n_clamped like the batch operator. applyInPandasWithState state
+# schemas cannot migrate — a stream checkpointed under the pre-r10
+# 'counts array<long>' schema must restart from a FRESH checkpoint
+# after upgrading (state-store schema validation rejects the old one).
 STATE_SCHEMA = "counts array<long>, clamped long"
 OUTPUT_SCHEMA = "g string, q double, n long, n_clamped long, est double"
 
@@ -91,13 +99,14 @@ def hist_quantile_stream(events: DataFrame, group_col: str,
                 f"hist_quantile_stream: q must be in (0, 1] under the "
                 f"ceil(q*n) inverted-CDF rank convention, got {q!r}")
     width = (hi - lo) / bins
-    raw = F.floor((F.col(value_col).cast("double") - F.lit(float(lo)))
-                  / F.lit(width))
-    b = (F.when(raw < 0, F.lit(0))
-         .when(raw >= bins, F.lit(bins - 1)).otherwise(raw))
-    oob = (raw < 0) | (raw >= bins)
+    v = F.col(value_col).cast("double")
+    b, oob = _hist_bin_cols(v, F.lit(float(lo)), F.lit(width), bins)
+    # filter on the CAST value, like the batch operator: a non-null
+    # value whose double cast is NULL (e.g. a non-numeric string) must
+    # be dropped here, not arrive as NaN bins that crash the stateful
+    # update the batch path would simply have excluded
     keyed = (events
-             .where(F.col(value_col).isNotNull())
+             .where(v.isNotNull())
              .select(F.col(group_col).cast("string").alias("g"),
                      b.cast("long").alias("bin"),
                      oob.cast("long").alias("oob")))

@@ -2,7 +2,7 @@
 final streamed estimates must equal the batch operator on the union of
 all micro-batches EXACTLY (histograms over shared boundaries merge by
 cell-wise +), across any batch boundaries; state stays at `bins` int64s
-per group."""
+plus one clamped-row counter per group."""
 
 import json
 import os
@@ -60,3 +60,33 @@ def test_hist_quantile_stream_equals_batch(spark, tmp_path):
     assert ref[("b", 0.99)][1] == 1       # n_clamped: the 9999.0 row
     assert ref[("b", 0.99)][2] >= 255.5   # the clamped outlier's bin
     assert ref[("a", 0.5)][1] == 0
+
+
+def test_hist_quantile_stream_drops_uncastable_values(spark, tmp_path):
+    """A non-null value whose double cast is NULL (non-numeric string)
+    must be DROPPED like the batch path drops it — previously it
+    reached the stateful update as a NaN bin and killed the query."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write(src, "b0.json", [{"g": "a", "v": "0.25"},
+                            {"g": "a", "v": "abc"},
+                            {"g": "a", "v": "0.75"}])
+    collected = []
+    stream = spark.readStream.schema("g string, v string") \
+        .option("maxFilesPerTrigger", 1).json(src)
+    out = hist_quantile_stream(stream, group_col="g", value_col="v",
+                               lo=0.0, hi=1.0, bins=4, qs=(1.0,))
+    q = (out.writeStream
+         .foreachBatch(lambda df, bid: collected.append(df.collect()))
+         .outputMode("update").option("checkpointLocation",
+                                      str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = [r for batch in collected for r in batch]
+    assert len(rows) == 1 and rows[0]["n"] == 2   # 'abc' dropped
+    ref = histogram_quantiles(
+        spark.createDataFrame([("a", "0.25"), ("a", "abc"), ("a", "0.75")],
+                              "g string, v string"),
+        "v", by=["g"], lo=0.0, hi=1.0, bins=4, qs=(1.0,)).collect()[0]
+    assert (rows[0]["n"], rows[0]["n_clamped"], rows[0]["est"]) == \
+           (ref.n, ref.n_clamped, ref.est)
