@@ -790,7 +790,8 @@ def histogram_quantiles_auto(df: DataFrame, value_col: str, by=None,
 
 
 def kmv_overlap_matrix(df: DataFrame, value_col: str, group_col: str,
-                       k: int = 256, salts: int = KMV_SALTS) -> DataFrame:
+                       k: int = 256, salts: int = KMV_SALTS,
+                       hash_fn: str = "md5") -> DataFrame:
     """PAIRWISE set-operation estimates across ALL groups from their KMV
     sketches — kmv_setops generalized from one pair to the full
     audience-overlap MATRIX ("which audiences share users", "which
@@ -817,13 +818,17 @@ def kmv_overlap_matrix(df: DataFrame, value_col: str, group_col: str,
     and the output is G(G−1)/2 rows. At 100 TB the sketch table for a
     thousand groups is a few MB — broadcastable — while the exact
     answer would be a thousand-way self-join of the raw keys.
+
+    hash_fn: "md5" (oracle default) | "fast" (xxhash64 — the
+    production split, see _sketch_hash; in the exhaustive regime the
+    two paths return IDENTICAL exact answers, pytest-pinned).
     """
     from ..cache import keep
     base = (df.select(F.col(group_col).alias("__g"),
                       F.col(value_col).alias("__v"))
             .where(F.col("__g").isNotNull() & F.col("__v").isNotNull())
             .distinct()
-            .withColumn("__h", hash64_expr(F.col("__v").cast("string"))))
+            .withColumn("__h", _sketch_hash(F.col("__v"), hash_fn)))
     # the sketch table is consumed by FOUR branches (theta summary +
     # three count joins); it is G·k rows — persist it (generation-
     # bounded) so the data-sized build runs once, not once per branch

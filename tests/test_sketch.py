@@ -476,3 +476,22 @@ def test_sketch_fast_hash_path(spark):
     assert 5000 * 0.8 < h.est_distinct < 5000 * 1.2
     with pytest.raises(ValueError, match="hash_fn"):
         kmv_distinct(small, "v", by=["g"], hash_fn="sha")
+
+
+def test_overlap_matrix_fast_hash_exhaustive_equals_md5(spark):
+    """In the exhaustive regime (k above every group) both hash paths
+    return the IDENTICAL exact matrix — theta is the full space and
+    every count is a set cardinality, independent of the hash."""
+    from influxdb_ha_spark.operators.sketch import kmv_overlap_matrix
+    rows = ([("A", v) for v in range(50)]
+            + [("B", v) for v in range(25, 75)]
+            + [("C", v) for v in range(100, 120)])
+    df = spark.createDataFrame(rows, "g string, v long")
+    a = sorted(map(tuple, kmv_overlap_matrix(df, "v", "g",
+                                             k=256).collect()))
+    b = sorted(map(tuple, kmv_overlap_matrix(df, "v", "g", k=256,
+                                             hash_fn="fast").collect()))
+    # theta/kth-hash columns aside (hash-dependent), the exact
+    # estimates agree: compare everything except theta
+    strip = lambda t: (t[0], t[1]) + t[3:]
+    assert [strip(t) for t in a] == [strip(t) for t in b]
