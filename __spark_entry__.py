@@ -3537,6 +3537,14 @@ _ANCHOR_POOL = [
     "iq_subquery", "join_brand_revenue", "tr_derivative", "dedup_points",
     "show_measurements", "doc_exact_dedup", "doc_minhash_candidates",
     "emb_ivf_topk", "ts_asof_join", "mm_decode",
+    # r10: keys whose PLAN or SCHEMA changed this round — their r9
+    # driver rows describe the pre-change code, so they need fresh
+    # driver evidence (the r9 verdict's explicit done-criterion for
+    # the two-phase bottom-k swap): sk_kmv/sk_kmv_setops (two-phase
+    # build + exhaustive-theta convention), sk_hist_quantile (new
+    # n_clamped column — schema changed), ev_markov (state count moved
+    # in-plan)
+    "sk_kmv", "sk_kmv_setops", "sk_hist_quantile", "ev_markov",
 ]
 
 
