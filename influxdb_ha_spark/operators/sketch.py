@@ -62,6 +62,15 @@ def _fr6(c):
     return F.floor(c * s + F.lit(0.5)) / s
 
 
+def fr6_py(x: float) -> float:
+    """Python-side floor-round-6 — the SAME pinned rounding as the
+    Column-side _fr6, for the streaming twins' pandas state updates.
+    ONE definition (previously five per-twin copies): the twins'
+    stream==batch bit-equality tests depend on this never diverging
+    from the JVM expression."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 def _hist_bin_cols(v, lo, width, bins: int) -> tuple:
     """(bin, out-of-range) Column pair for the fixed-boundary equi-width
     histogram: bin = clamp(floor((v − lo)/width), 0, bins−1), oob =

@@ -25,7 +25,6 @@ summary.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Iterator, Tuple
 
 from pyspark.sql import DataFrame
@@ -33,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.hashing import hash64_expr
-from ..operators.sketch import HASH_SPACE
+from ..operators.sketch import HASH_SPACE, fr6_py
 
 STATE_SCHEMA = "hs array<long>"
 OUTPUT_SCHEMA = ("g string, k_used long, kth_hash long, "
@@ -60,7 +59,7 @@ def _make_update(k: int):
             est = float(k_used)
         else:
             est = float(k - 1) * float(HASH_SPACE) / float(kth)
-        est = math.floor(est * 1e6 + 0.5) / 1e6
+        est = fr6_py(est)
         yield pd.DataFrame({"g": [key[0]], "k_used": [k_used],
                             "kth_hash": [kth], "est_distinct": [est]})
 

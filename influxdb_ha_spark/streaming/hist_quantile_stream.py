@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..operators.sketch import _hist_bin_cols
+from ..operators.sketch import _hist_bin_cols, fr6_py
 
 # r10: a `clamped` counter joined the state so the stream exposes
 # n_clamped like the batch operator. applyInPandasWithState state
@@ -66,7 +66,7 @@ def _make_update(lo: float, width: float, bins: int, qs: tuple):
                                 + (float(r) - float(cum_below))
                                 / float(counts[b]))
             out_q.append(float(q))
-            out_est.append(math.floor(est * 1e6 + 0.5) / 1e6)
+            out_est.append(fr6_py(est))
         yield pd.DataFrame({"g": [key[0]] * len(qs), "q": out_q,
                             "n": [n] * len(qs),
                             "n_clamped": [clamped] * len(qs),

@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.hashing import hash64_expr
-from ..operators.sketch import HLL_M, HLL_NUMER, _HLL_VBITS, _hll_jrho
+from ..operators.sketch import (HLL_M, HLL_NUMER, _HLL_VBITS,
+                                _hll_jrho, fr6_py)
 
 STATE_SCHEMA = "regs array<long>"
 OUTPUT_SCHEMA = ("g string, n_buckets_used long, n_empty long, "
@@ -70,7 +71,7 @@ def _update(key: Tuple[Any, ...],
         est = HLL_M * math.log(HLL_M / v_empty)
     else:
         est = e_raw
-    est = math.floor(est * 1e6 + 0.5) / 1e6
+    est = fr6_py(est)
     yield pd.DataFrame({"g": [key[0]], "n_buckets_used": [n_used],
                         "n_empty": [v_empty], "est_distinct": [est]})
 

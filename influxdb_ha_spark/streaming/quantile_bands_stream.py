@@ -48,9 +48,7 @@ def _bands(vals):
 
     a = np.asarray(vals, dtype=np.float64)
 
-    def r6(x):
-        import math
-        return math.floor(x * 1e6 + 0.5) / 1e6
+    from ..operators.sketch import fr6_py as r6
 
     q = np.percentile(a, [50, 95, 99], method="linear")
     return r6(float(q[0])), r6(float(q[1])), r6(float(q[2])), \

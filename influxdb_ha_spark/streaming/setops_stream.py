@@ -26,7 +26,6 @@ the batch sketch's estimator already prices in.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Iterator, Tuple
 
 from pyspark.sql import DataFrame
@@ -34,16 +33,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.hashing import hash64_expr
-from ..operators.sketch import HASH_SPACE
+from ..operators.sketch import HASH_SPACE, fr6_py
 
 STATE_SCHEMA = "ha array<long>, hb array<long>"
 OUTPUT_SCHEMA = ("pair string, theta long, n_a long, n_b long, "
                  "n_common long, est_union double, "
                  "est_intersection double, jaccard_est double")
-
-
-def _fr6(x: float) -> float:
-    return math.floor(x * 1e6 + 0.5) / 1e6
 
 
 def _make_update(k: int):
@@ -76,9 +71,9 @@ def _make_update(k: int):
         common = np.intersect1d(ha, hb, assume_unique=True)
         n_common = int((common <= theta).sum())
         uni = n_a + n_b - n_common
-        est_u = _fr6(float(uni) * float(HASH_SPACE) / float(theta))
-        est_i = _fr6(float(n_common) * float(HASH_SPACE) / float(theta))
-        jac = (_fr6(float(n_common) / float(uni)) if uni > 0 else None)
+        est_u = fr6_py(float(uni) * float(HASH_SPACE) / float(theta))
+        est_i = fr6_py(float(n_common) * float(HASH_SPACE) / float(theta))
+        jac = (fr6_py(float(n_common) / float(uni)) if uni > 0 else None)
         yield pd.DataFrame({
             "pair": [key[0]], "theta": [theta], "n_a": [n_a],
             "n_b": [n_b], "n_common": [n_common], "est_union": [est_u],

@@ -34,3 +34,26 @@ def treasures(spark):
                            tags=["type"])
     cat.partition_keys.append(PartitionKey("sharded", "treasures", ["type"]))
     return cat
+
+
+def write_json_batch(d, name, rows, mtime=None):
+    """Write one micro-batch file for the file streaming source — THE
+    shared scaffold (previously 19 per-test copies). The source orders
+    files by MODIFICATION TIME; same-second writes tie and can process
+    in either order (the quantile_bands flake class), so the helper
+    pins an mtime: the caller's explicit one, else a stable value
+    derived from the file name's numeric suffix (b0.json, b1.json, …) —
+    batch order matches naming order with zero caller changes."""
+    import json as _json
+    import os as _os
+    import re as _re
+    p = _os.path.join(d, name)
+    with open(p + ".tmp", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    _os.rename(p + ".tmp", p)
+    if mtime is None:
+        m = _re.search(r"(\d+)", name)
+        mtime = 1_000_000_000 + int(m.group(1)) if m else None
+    if mtime is not None:
+        _os.utime(p, (mtime, mtime))

@@ -7,6 +7,7 @@ funnel/cusum structural-equivalence precedent)."""
 import json
 import os
 import time
+from .conftest import write_json_batch as _write
 
 import pytest
 
@@ -15,13 +16,6 @@ from influxdb_ha_spark.streaming.attribution_stream import attribution_stream
 
 SCHEMA = ("user_id long, event_type string, time long, value double, "
           "event_id long")
-
-
-def _write_batch(d, name, rows):
-    with open(os.path.join(d, name + ".tmp"), "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.rename(os.path.join(d, name + ".tmp"), os.path.join(d, name))
 
 
 def _run_stream(spark, tmp_path, b0, b1, n0, n_total, **kw):
@@ -33,7 +27,7 @@ def _run_stream(spark, tmp_path, b0, b1, n0, n_total, **kw):
     def sink(batch_df, batch_id):
         collected.extend(batch_df.collect())
 
-    _write_batch(src, "b0.json", b0)
+    _write(src, "b0.json", b0)
     stream = spark.readStream.schema(SCHEMA).json(src)
     out = attribution_stream(stream, **kw)
     q = (out.writeStream.foreachBatch(sink)
@@ -43,7 +37,7 @@ def _run_stream(spark, tmp_path, b0, b1, n0, n_total, **kw):
         deadline = time.time() + 90
         while len(collected) < n0 and time.time() < deadline:
             time.sleep(0.1)
-        _write_batch(src, "b1.json", b1)   # only after b0 consumed
+        _write(src, "b1.json", b1)   # only after b0 consumed
         while len(collected) < n_total and time.time() < deadline:
             time.sleep(0.1)
     finally:

@@ -5,17 +5,11 @@ state stays at d*w int64s per shard."""
 
 import json
 import os
+from .conftest import write_json_batch as _write
 
 from influxdb_ha_spark.operators.sketch import countmin
 from influxdb_ha_spark.streaming.countmin_stream import (
     countmin_stream, probe_hash)
-
-
-def _write(d, name, rows):
-    with open(os.path.join(d, name + ".tmp"), "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.rename(os.path.join(d, name + ".tmp"), os.path.join(d, name))
 
 
 def test_probe_hash_matches_spark(spark):

@@ -3,16 +3,10 @@ the scored rows must equal the batch operator's on identical data."""
 
 import json
 import os
+from .conftest import write_json_batch as _write
 
 from influxdb_ha_spark.operators.timeseries import cusum
 from influxdb_ha_spark.streaming.cusum_stream import cusum_stream
-
-
-def _write_batch(d, name, rows):
-    with open(os.path.join(d, name + ".tmp"), "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.rename(os.path.join(d, name + ".tmp"), os.path.join(d, name))
 
 
 def test_cusum_stream_matches_batch(spark, tmp_path):
@@ -28,8 +22,8 @@ def test_cusum_stream_matches_batch(spark, tmp_path):
             + [{"series": "a", "time": t, "value": 22.0}
                for t in range(8, 16)]
             + [{"series": "b", "time": t, "value": 9.5} for t in range(16)])
-    _write_batch(src, "b0.json", [r for r in rows if r["time"] < 12])
-    _write_batch(src, "b1.json", [r for r in rows if r["time"] >= 12])
+    _write(src, "b0.json", [r for r in rows if r["time"] < 12])
+    _write(src, "b1.json", [r for r in rows if r["time"] >= 12])
 
     collected = []
 

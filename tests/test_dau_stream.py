@@ -5,6 +5,7 @@ on the shared fixture (the m4/funnel twin equivalence convention)."""
 
 import json
 import os
+from .conftest import write_json_batch as _write
 
 from influxdb_ha_spark.operators.timeseries import active_users
 from influxdb_ha_spark.streaming.dau_stream import dau_stream
@@ -12,13 +13,6 @@ from influxdb_ha_spark.streaming.dau_stream import dau_stream
 DAY = 86_400_000_000_000
 # 2024-01-01T00:00Z in ns
 BASE = 1_704_067_200_000_000_000
-
-
-def _write(d, name, rows):
-    with open(os.path.join(d, name + ".tmp"), "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.rename(os.path.join(d, name + ".tmp"), os.path.join(d, name))
 
 
 def test_dau_stream_matches_batch(spark, tmp_path):

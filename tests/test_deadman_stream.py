@@ -6,15 +6,9 @@ a recovery row."""
 import json
 import os
 import time
+from .conftest import write_json_batch as _write
 
 from influxdb_ha_spark.streaming.deadman_stream import deadman_stream
-
-
-def _write_batch(d, name, rows):
-    with open(os.path.join(d, name + ".tmp"), "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.rename(os.path.join(d, name + ".tmp"), os.path.join(d, name))
 
 
 def test_deadman_stream_status_rows_accumulate(spark, tmp_path):
@@ -36,7 +30,7 @@ def test_deadman_stream_status_rows_accumulate(spark, tmp_path):
     def sink(batch_df, batch_id):
         collected.extend(batch_df.collect())
 
-    _write_batch(src, "b0.json",
+    _write(src, "b0.json",
                  [{"series": "a", "time": t} for t in (10, 30, 20)]
                  + [{"series": "b", "time": 5}])
     stream = spark.readStream.schema(schema).json(src)
@@ -50,7 +44,7 @@ def test_deadman_stream_status_rows_accumulate(spark, tmp_path):
             time.sleep(0.1)
         # second batch only after the first is consumed — pins the
         # file->micro-batch order the state transition assertions need
-        _write_batch(src, "b1.json",
+        _write(src, "b1.json",
                      [{"series": "a", "time": 25}]    # older than 30
                      + [{"series": "b", "time": 50}])
         while len(collected) < 4 and time.time() < deadline:
@@ -86,7 +80,7 @@ def test_deadman_stream_timeout_alert_and_recovery(spark, tmp_path):
     stream = spark.readStream.schema(schema).json(src)
     out = deadman_stream(stream, threshold_ms=1)
 
-    _write_batch(src, "b0.json", [{"series": "a", "time": 1},
+    _write(src, "b0.json", [{"series": "a", "time": 1},
                                   {"series": "b", "time": 1}])
     q = (out.writeStream.foreachBatch(sink)
          .outputMode("append").option("checkpointLocation", ckpt)
@@ -97,12 +91,12 @@ def test_deadman_stream_timeout_alert_and_recovery(spark, tmp_path):
                       for r in collected) and time.time() < deadline:
             time.sleep(0.1)
         # batch with only 'b': 'a' has been silent past 1 ms -> alert
-        _write_batch(src, "b1.json", [{"series": "b", "time": 2}])
+        _write(src, "b1.json", [{"series": "b", "time": 2}])
         while not any(r["series"] == "a" and r["dead"]
                       for r in collected) and time.time() < deadline:
             time.sleep(0.1)
         # 'a' returns -> recovery row
-        _write_batch(src, "b2.json", [{"series": "a", "time": 3},
+        _write(src, "b2.json", [{"series": "a", "time": 3},
                                       {"series": "b", "time": 3}])
         while not any(r["series"] == "a" and r["recovered"]
                       for r in collected) and time.time() < deadline:
@@ -162,7 +156,7 @@ def test_deadman_stream_matches_batch_on_data_path(spark, tmp_path):
     def sink(batch_df, batch_id):
         collected.extend(batch_df.collect())
 
-    _write_batch(src, "b0.json", b0)
+    _write(src, "b0.json", b0)
     stream = spark.readStream.schema(schema).json(src)
     out = deadman_stream(stream, threshold_ms=3_600_000)  # never fires
     q = (out.writeStream.foreachBatch(sink)
@@ -172,7 +166,7 @@ def test_deadman_stream_matches_batch_on_data_path(spark, tmp_path):
         deadline = time.time() + 90
         while len(collected) < n_series_b0 and time.time() < deadline:
             time.sleep(0.1)
-        _write_batch(src, "b1.json", b1)   # only after b0 consumed
+        _write(src, "b1.json", b1)   # only after b0 consumed
         want = n_series_b0 + len({r["series"] for r in b1})
         while len(collected) < want and time.time() < deadline:
             time.sleep(0.1)

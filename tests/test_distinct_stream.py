@@ -5,18 +5,12 @@ estimate arithmetic included; state stays bounded at k hashes."""
 
 import json
 import os
+from .conftest import write_json_batch as _write
 
 from pyspark.sql import functions as F
 
 from influxdb_ha_spark.operators.sketch import kmv_distinct
 from influxdb_ha_spark.streaming.distinct_stream import kmv_distinct_stream
-
-
-def _write(d, name, rows):
-    with open(os.path.join(d, name + ".tmp"), "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.rename(os.path.join(d, name + ".tmp"), os.path.join(d, name))
 
 
 def _drain(spark, src, ckpt, k):

@@ -7,16 +7,10 @@ structural-equivalence precedent)."""
 import json
 import os
 import time
+from .conftest import write_json_batch as _write
 
 from influxdb_ha_spark.operators.timeseries import funnel
 from influxdb_ha_spark.streaming.funnel_stream import funnel_stream
-
-
-def _write_batch(d, name, rows):
-    with open(os.path.join(d, name + ".tmp"), "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.rename(os.path.join(d, name + ".tmp"), os.path.join(d, name))
 
 
 def test_funnel_stream_matches_batch_on_ordered_fixture(spark, tmp_path):
@@ -47,7 +41,7 @@ def test_funnel_stream_matches_batch_on_ordered_fixture(spark, tmp_path):
     def sink(batch_df, batch_id):
         collected.extend(batch_df.collect())
 
-    _write_batch(src, "b0.json", b0)
+    _write(src, "b0.json", b0)
     stream = spark.readStream.schema(schema).json(src)
     out = funnel_stream(stream, steps, entity_col="user_id",
                         time_col="time")
@@ -59,7 +53,7 @@ def test_funnel_stream_matches_batch_on_ordered_fixture(spark, tmp_path):
         # b0 yields 5 transitions: u1/u2/u3/u4 signups + u4's first view
         while len(collected) < 5 and time.time() < deadline:
             time.sleep(0.1)
-        _write_batch(src, "b1.json", b1)   # only after b0 consumed
+        _write(src, "b1.json", b1)   # only after b0 consumed
         while len(collected) < 8 and time.time() < deadline:
             time.sleep(0.1)
     finally:
@@ -86,7 +80,7 @@ def test_funnel_stream_conversion_window(spark, tmp_path):
     os.makedirs(src)
     schema = "user_id long, event_type string, time long"
 
-    _write_batch(src, "b0.json", [
+    _write(src, "b0.json", [
         {"user_id": 1, "event_type": "signup", "time": 0},
         {"user_id": 1, "event_type": "view", "time": 100},   # in window
         {"user_id": 2, "event_type": "signup", "time": 0},

@@ -7,17 +7,11 @@ per shard no matter how many distinct keys stream through."""
 
 import json
 import os
+from .conftest import write_json_batch as _write
 
 from influxdb_ha_spark.operators.timeseries import heavy_hitters
 from influxdb_ha_spark.streaming.heavy_hitters_stream import (
     heavy_hitters_stream)
-
-
-def _write(d, name, rows):
-    with open(os.path.join(d, name + ".tmp"), "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.rename(os.path.join(d, name + ".tmp"), os.path.join(d, name))
 
 
 def _drain(spark, src, ckpt, k, n_shards):

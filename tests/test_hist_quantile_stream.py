@@ -6,17 +6,11 @@ plus one clamped-row counter per group."""
 
 import json
 import os
+from .conftest import write_json_batch as _write
 
 from influxdb_ha_spark.operators.sketch import histogram_quantiles
 from influxdb_ha_spark.streaming.hist_quantile_stream import (
     hist_quantile_stream)
-
-
-def _write(d, name, rows):
-    with open(os.path.join(d, name + ".tmp"), "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.rename(os.path.join(d, name + ".tmp"), os.path.join(d, name))
 
 
 def test_hist_quantile_stream_equals_batch(spark, tmp_path):

@@ -6,16 +6,10 @@ arithmetic included; state stays bounded at m = 256 registers."""
 
 import json
 import os
+from .conftest import write_json_batch as _write
 
 from influxdb_ha_spark.operators.sketch import hll_distinct
 from influxdb_ha_spark.streaming.hll_stream import hll_distinct_stream
-
-
-def _write(d, name, rows):
-    with open(os.path.join(d, name + ".tmp"), "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.rename(os.path.join(d, name + ".tmp"), os.path.join(d, name))
 
 
 def _drain(spark, src, ckpt):

@@ -6,6 +6,7 @@ data."""
 
 import json
 import os
+from .conftest import write_json_batch as _write
 
 import pytest
 
@@ -19,17 +20,6 @@ S = 1_000_000_000  # 1 s in ns
 # 0) as late — an edge real ns-epoch data never hits, documented in
 # the operator module
 B0 = 1000 * S
-
-
-def _write_batch(d, name, rows, mtime):
-    p = os.path.join(d, name)
-    with open(p + ".tmp", "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.rename(p + ".tmp", p)
-    # the file source orders batches by modification time; same-second
-    # writes tie and can process files in EITHER order -- pin it
-    os.utime(p, (mtime, mtime))
 
 
 def test_interval_join_stream_matches_batch(spark, tmp_path):
@@ -61,10 +51,10 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         {"key": "k1", "t_start": B0 + 10 * S, "t_end": B0 + 20 * S},
         {"key": "k2", "t_start": B0 + 5 * S, "t_end": B0 + 40 * S},
     ]
-    _write_batch(psrc, "b0.json", points[:2], 1_000_000_000)
-    _write_batch(psrc, "b1.json", points[2:], 1_000_000_100)
-    _write_batch(isrc, "b0.json", intervals[:2], 1_000_000_000)
-    _write_batch(isrc, "b1.json", intervals[2:], 1_000_000_100)
+    _write(psrc, "b0.json", points[:2], 1_000_000_000)
+    _write(psrc, "b1.json", points[2:], 1_000_000_100)
+    _write(isrc, "b0.json", intervals[:2], 1_000_000_000)
+    _write(isrc, "b1.json", intervals[2:], 1_000_000_100)
 
     pstream = spark.readStream.schema("key string, time long").json(psrc)
     istream = spark.readStream.schema(

@@ -3,18 +3,12 @@ emitted once per finalized bucket in append mode."""
 
 import json
 import os
+from .conftest import write_json_batch as _write
 
 from influxdb_ha_spark.streaming.m4_stream import m4_stream
 
 H = 3_600_000_000_000  # 1h in ns
 BASE = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00Z (hour-aligned)
-
-
-def _write(d, name, rows):
-    with open(os.path.join(d, name + ".tmp"), "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.rename(os.path.join(d, name + ".tmp"), os.path.join(d, name))
 
 
 def test_m4_stream_finalizes_buckets(spark, tmp_path):

@@ -4,19 +4,13 @@ operator flags on the same data; unprofiled series pass through."""
 
 import json
 import os
+from .conftest import write_json_batch as _write
 
 from influxdb_ha_spark.operators.timeseries import mad_outliers
 from influxdb_ha_spark.streaming.outlier_stream import (mad_profile,
                                                         outlier_stream)
 
 BASE = 1_704_067_200_000_000_000
-
-
-def _write(d, name, rows):
-    with open(os.path.join(d, name + ".tmp"), "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.rename(os.path.join(d, name + ".tmp"), os.path.join(d, name))
 
 
 def test_outlier_stream_matches_batch(spark, tmp_path):

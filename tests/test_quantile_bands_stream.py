@@ -6,23 +6,13 @@ restricted to closed buckets."""
 
 import json
 import os
+from .conftest import write_json_batch as _write
 
 from influxdb_ha_spark.operators.timeseries import quantile_bands
 from influxdb_ha_spark.streaming.quantile_bands_stream import (
     quantile_bands_stream)
 
 H = 3_600_000_000_000  # 1 h in ns
-
-
-def _write_batch(d, name, rows, mtime):
-    p = os.path.join(d, name)
-    with open(p + ".tmp", "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.rename(p + ".tmp", p)
-    # the file source orders batches by modification time; same-second
-    # writes tie and can process files in EITHER order — pin it
-    os.utime(p, (mtime, mtime))
 
 
 def test_quantile_bands_stream_matches_batch(spark, tmp_path):
@@ -44,9 +34,9 @@ def test_quantile_bands_stream_matches_batch(spark, tmp_path):
             + [{"series": "s", "time": H + 5, "value": 7.0}]
             + [{"series": "s", "time": 10, "value": 999.0},  # late
                {"series": "s", "time": 2 * H, "value": 1.0}])
-    _write_batch(src, "b0.json", rows[:60], 1_000_000_000)
-    _write_batch(src, "b1.json", rows[60:101], 1_000_000_100)
-    _write_batch(src, "b2.json", rows[101:], 1_000_000_200)
+    _write(src, "b0.json", rows[:60], 1_000_000_000)
+    _write(src, "b1.json", rows[60:101], 1_000_000_100)
+    _write(src, "b2.json", rows[101:], 1_000_000_200)
 
     collected = []
 

@@ -491,7 +491,8 @@ def test_overlap_matrix_fast_hash_exhaustive_equals_md5(spark):
                                              k=256).collect()))
     b = sorted(map(tuple, kmv_overlap_matrix(df, "v", "g", k=256,
                                              hash_fn="fast").collect()))
-    # theta/kth-hash columns aside (hash-dependent), the exact
-    # estimates agree: compare everything except theta
-    strip = lambda t: (t[0], t[1]) + t[3:]
-    assert [strip(t) for t in a] == [strip(t) for t in b]
+    # in the exhaustive regime even theta is hash-independent (the full
+    # space on both paths), so the WHOLE rows must agree
+    assert a == b
+    from influxdb_ha_spark.operators.sketch import HASH_SPACE
+    assert all(t[2] == HASH_SPACE for t in a)

@@ -4,18 +4,12 @@ micro-batches (two file-source batches -> cumulative counts)."""
 import json
 import os
 import time
+from .conftest import write_json_batch as _write
 
 import pytest
 from pyspark.sql import functions as F
 
 from influxdb_ha_spark.streaming.stateful import series_running_stats
-
-
-def _write_batch(d, name, rows):
-    with open(os.path.join(d, name + ".tmp"), "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.rename(os.path.join(d, name + ".tmp"), os.path.join(d, name))
 
 
 def test_running_stats_across_batches(spark, tmp_path):
@@ -24,7 +18,7 @@ def test_running_stats_across_batches(spark, tmp_path):
     os.makedirs(src)
     schema = "series string, time long, value double"
 
-    _write_batch(src, "b0.json", [
+    _write(src, "b0.json", [
         {"series": "gold", "time": 1, "value": 10.0},
         {"series": "gold", "time": 2, "value": 20.0},
         {"series": "trash", "time": 1, "value": 1.0}])
@@ -46,7 +40,7 @@ def test_running_stats_across_batches(spark, tmp_path):
     assert got["gold"]["min"] == 10.0 and got["gold"]["max"] == 20.0
 
     # second batch: state must accumulate, not reset
-    _write_batch(src, "b1.json", [
+    _write(src, "b1.json", [
         {"series": "gold", "time": 5, "value": 5.0}])
     collected.clear()
     stream2 = spark.readStream.schema(schema).json(src)
@@ -74,7 +68,7 @@ def test_cq_stream_end_to_end(spark, tmp_path):
     HOUR = 3_600_000_000_000
     rows = [{"time": base + i * HOUR // 2, "tag": "a", "value": float(i)}
             for i in range(8)]  # 4 hourly windows x 2 points
-    _write_batch(src, "b0.json", rows)
+    _write(src, "b0.json", rows)
 
     cat = Catalog(spark)
     schema = "time long, tag string, value double"

@@ -6,21 +6,11 @@ identical data."""
 import json
 import os
 from collections import Counter
+from .conftest import write_json_batch as _write
 
 from influxdb_ha_spark.operators.timeseries import type_transitions
 from influxdb_ha_spark.streaming.transitions_stream import (
     transitions_stream)
-
-
-def _write_batch(d, name, rows, mtime):
-    p = os.path.join(d, name)
-    with open(p + ".tmp", "w") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
-    os.rename(p + ".tmp", p)
-    # the file source orders batches by modification time; same-second
-    # writes tie and can process files in EITHER order -- pin it
-    os.utime(p, (mtime, mtime))
 
 
 def test_transitions_stream_matches_batch(spark, tmp_path):
@@ -45,8 +35,8 @@ def test_transitions_stream_matches_batch(spark, tmp_path):
         {"entity": "u1", "etype": "a", "time": 40},
         {"entity": "u2", "etype": "c", "time": 9},
     ]
-    _write_batch(src, "b0.json", rows[:6], 1_000_000_000)
-    _write_batch(src, "b1.json", rows[6:], 1_000_000_100)
+    _write(src, "b0.json", rows[:6], 1_000_000_000)
+    _write(src, "b1.json", rows[6:], 1_000_000_100)
 
     collected = []
 
