@@ -2489,6 +2489,23 @@ def q_sk_hist_quantile(spark, sf):
                                qs=(0.5, 0.95, 0.99))
 
 
+def q_sk_hll_rollup(spark, sf):
+    """Time-bucketed HLL rollup over daily user_id partials per
+    event_type (added scope — the hypertable pattern: whole-range
+    distinct counts from MERGED per-day register states, never from
+    rescanning raw events; the time-dimension sibling of sk_merge's
+    shard proof): per-(type, day, register) maxima → register-wise
+    merge → fold, with n_buckets exposing how many daily partials
+    rolled up; the oracle computes the single-pass HLL over the whole
+    range, so the green hash certifies the rollup exactly
+    (operators/sketch.py:hll_rollup)."""
+    from influxdb_ha_spark.operators.sketch import hll_rollup
+    ev = _events_us(spark, sf).select("event_type", "time", "user_id")
+    return hll_rollup(ev, value_col="user_id", time_col="time",
+                      by=["event_type"],
+                      bucket_ns=86_400_000_000_000)
+
+
 def q_sk_overlap_matrix(spark, sf):
     """Pairwise theta-sketch overlap matrix over the returnflag
     order-key sets (added scope — kmv_setops generalized to ALL group
@@ -3821,6 +3838,7 @@ _FAMILIES = [
         "sk_merge": q_sk_merge,
         "sk_hist_quantile_auto": q_sk_hist_quantile_auto,
         "sk_overlap_matrix": q_sk_overlap_matrix,
+        "sk_hll_rollup": q_sk_hll_rollup,
     },
     {
         # LLM-pipeline scope (§7): multimodal

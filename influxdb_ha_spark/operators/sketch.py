@@ -873,3 +873,53 @@ def kmv_overlap_matrix(df: DataFrame, value_col: str, group_col: str,
                    F.coalesce("n_b", F.lit(0)).alias("n_b"),
                    F.coalesce("n_common", F.lit(0)).alias("n_common")))
     return _setops_select(out, ["g_a", "g_b"])
+
+
+def hll_rollup(df: DataFrame, value_col: str, time_col: str = "time",
+               by=None, bucket_ns: int = 86_400_000_000_000,
+               hash_fn: str = "md5") -> DataFrame:
+    """Time-bucketed HLL ROLLUP — the hypertable pattern (hourly/daily
+    partial states materialized once, whole-range answers from merging
+    states, never from rescanning raw data): builds the per-(group,
+    bucket) register table a continuous rollup job would persist, then
+    merges it across buckets by register-wise max into the whole-range
+    distinct estimate. The TIME-dimension sibling of sk_merge's
+    shard-dimension proof: the oracle computes the single-pass HLL over
+    the whole range, so the green hash certifies that per-bucket
+    partials roll up to the exact global state (associativity again) —
+    which is precisely why a day's partials answer "distinct users this
+    month" without touching the raw events.
+
+    Returns (by..., n_buckets, n_buckets_used, n_empty, est_distinct):
+    n_buckets = how many partial states were merged (the rollup's
+    provenance column), the rest are hll_distinct's own outputs.
+
+    Scale shape: one (group, bucket, register) map-combinable groupBy —
+    ≤ m rows per (group, bucket) — then a (group, register) merge and a
+    ≤ m-row fold; the raw values ride ONE shuffle. At 100 TB the
+    partial table is persisted incrementally (per day, by the ingest
+    pipeline) and only the merge+fold stages run per query — this
+    operator IS that query.
+    """
+    g = _grp(by)
+    bkt = (F.col("__t") - F.pmod(F.col("__t"), F.lit(int(bucket_ns))))
+    base = (df.select(*g, F.col(time_col).alias("__t"),
+                      F.col(value_col).alias("__v"))
+            .where(F.col("__v").isNotNull() & F.col("__t").isNotNull())
+            .withColumn("__bkt", bkt)
+            .withColumn("__h", _sketch_hash(F.col("__v"), hash_fn)))
+    j, rho = _hll_jrho()
+    partial = (base.withColumn("__j", j).withColumn("__rho", rho)
+               .groupBy(*g, "__bkt", "__j")
+               .agg(F.max("__rho").alias("__mp")))
+    regs = (partial.groupBy(*g, "__j").agg(F.max("__mp").alias("__m")))
+    nb = (partial.select(*g, "__bkt").distinct()
+          .groupBy(*g).agg(F.count(F.lit(1)).alias("n_buckets")))
+    folded = _hll_fold(regs, g)
+    if g:
+        return nb.join(folded, g).select(*g, "n_buckets",
+                                         "n_buckets_used", "n_empty",
+                                         "est_distinct")
+    return (nb.crossJoin(F.broadcast(folded))
+            .select("n_buckets", "n_buckets_used", "n_empty",
+                    "est_distinct"))

@@ -4153,6 +4153,43 @@ def build_oracles() -> dict[str, str]:
              {fr(_hqa_est, 6)} AS est
       FROM rr WHERE cum - c < r AND r <= cum"""
 
+    # Time-bucketed HLL rollup: the oracle computes the SINGLE-PASS HLL
+    # over the whole range (per-bucket partials merge to it exactly, by
+    # register-wise-max associativity — that equality IS the gate) plus
+    # the distinct-bucket provenance count
+    _hru = duck_hash64("u::VARCHAR")
+    _DAY_NS = 86_400_000_000_000
+    o["sk_hll_rollup"] = f"""
+      WITH v AS (SELECT event_type AS g,
+                        ({EV_TIME} - {EV_TIME} % {_DAY_NS}) AS bkt,
+                        user_id AS u
+                 FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      hh AS (SELECT g, bkt, {_hru} AS h FROM v),
+      bb AS (SELECT g, h % {HLL_M} AS j,
+                    CASE WHEN h // {HLL_M} = 0 THEN 53
+                         ELSE 53 - length(bin(h // {HLL_M})) END AS rho
+             FROM hh),
+      regs AS (SELECT g, j, max(rho) AS m FROM bb GROUP BY 1, 2),
+      f AS (SELECT g, count(*)::BIGINT AS n_buckets_used,
+                   sum(1::BIGINT << (53 - m)::INT)::BIGINT AS s_used
+            FROM regs GROUP BY 1),
+      t AS (SELECT g, n_buckets_used,
+                   ({HLL_M} - n_buckets_used)::BIGINT AS n_empty,
+                   (s_used + ({HLL_M} - n_buckets_used)
+                    * (1::BIGINT << 53))::BIGINT AS s_total
+            FROM f),
+      nb AS (SELECT g, count(DISTINCT bkt)::BIGINT AS n_buckets
+             FROM hh GROUP BY 1)
+      SELECT t.g AS event_type, nb.n_buckets, t.n_buckets_used,
+             t.n_empty,
+             {fr(f'CASE WHEN {_hll_raw} <= {2.5 * HLL_M!r} '
+                 f'AND n_empty > 0 '
+                 f'THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} '
+                 f'/ n_empty::DOUBLE) '
+                 f'ELSE {_hll_raw} END', 6)} AS est_distinct
+      FROM t JOIN nb ON t.g = nb.g"""
+
     # Pairwise theta-sketch overlap matrix: one sketch per group (the
     # same rank-k build as sk_kmv at k=128), thetas with the exhaustive
     # convention, then pure set algebra over the G*k-row sketch table

@@ -496,3 +496,39 @@ def test_overlap_matrix_fast_hash_exhaustive_equals_md5(spark):
     assert a == b
     from influxdb_ha_spark.operators.sketch import HASH_SPACE
     assert all(t[2] == HASH_SPACE for t in a)
+
+
+def test_hll_rollup_equals_single_pass(spark):
+    """Per-bucket partial states merged across buckets equal the
+    single-pass sketch on the same values — for ANY bucketing (the
+    time-dimension associativity pin)."""
+    from influxdb_ha_spark.operators.sketch import hll_rollup
+    B = 10 ** 9
+    rows = [("a", (i % 7) * B * 86_400 + (i % 5) * B * 3600, i % 900)
+            for i in range(3000)] \
+        + [("b", 0, i) for i in range(25)]
+    df = spark.createDataFrame(rows, "g string, time long, v long")
+    got = {r.g: r for r in hll_rollup(
+        df, value_col="v", time_col="time", by=["g"],
+        bucket_ns=86_400 * B).collect()}
+    single = {r.g: r for r in hll_distinct(df, "v", by=["g"]).collect()}
+    assert got["a"].n_buckets == 7 and got["b"].n_buckets == 1
+    for gk in ("a", "b"):
+        assert got[gk].n_buckets_used == single[gk].n_buckets_used
+        assert got[gk].n_empty == single[gk].n_empty
+        assert got[gk].est_distinct == single[gk].est_distinct
+    # bucket granularity cannot move the estimate, only n_buckets
+    hourly = {r.g: r for r in hll_rollup(
+        df, value_col="v", time_col="time", by=["g"],
+        bucket_ns=3600 * B).collect()}
+    assert hourly["a"].est_distinct == single["a"].est_distinct
+    assert hourly["a"].n_buckets > got["a"].n_buckets
+
+
+def test_hll_rollup_empty_and_null(spark):
+    from influxdb_ha_spark.operators.sketch import hll_rollup
+    empty = spark.createDataFrame([], "g string, time long, v long")
+    assert hll_rollup(empty, "v", "time", by=["g"]).count() == 0
+    nulls = spark.createDataFrame([("a", None, 1), ("a", 5, None)],
+                                  "g string, time long, v long")
+    assert hll_rollup(nulls, "v", "time", by=["g"]).count() == 0
