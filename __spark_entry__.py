@@ -2580,6 +2580,27 @@ def q_graph_bfs(spark, sf):
     return GR.bfs(_graph_edges(spark, sf), seeds, rounds=4)
 
 
+def q_graph_sssp(spark, sf):
+    """Weighted multi-source shortest paths on the co-order part graph
+    (added scope — the weighted companion of graph_bfs): edge cost =
+    greatest(1, 6 − co-order count), so frequently co-ordered parts sit
+    "closer"; seeds = parts with p_partkey % 97 = 0, 6 Bellman–Ford
+    frontier rounds — integer min-plus algebra end-to-end, oracle
+    unrolls the same relax/merge/improve rounds
+    (operators/graph.py:sssp)."""
+    from influxdb_ha_spark.operators import graph as GR
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    we = GR.co_occurrence_weights(li, "l_orderkey", "l_partkey",
+                                  max_group_size=64)
+    edges = we.select(
+        "src", "dst",
+        F.greatest(F.lit(1), F.lit(6) - F.col("n_groups")).alias("cost"))
+    seeds = (_t(spark, sf, "part")
+             .where(F.pmod(F.col("p_partkey"), F.lit(97)) == 0)
+             .select(F.col("p_partkey").alias("node")))
+    return GR.sssp(edges, seeds, rounds=6)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3826,6 +3847,7 @@ _FAMILIES = [
         "graph_label_prop": q_graph_label_prop,
         "graph_assortativity": q_graph_assortativity,
         "graph_bfs": q_graph_bfs,
+        "graph_sssp": q_graph_sssp,
     },
     {
         # mergeable sketch summaries (added scope; operators/sketch.py)

@@ -85,6 +85,28 @@ def co_occurrence_edges(df: DataFrame, group_col: str, item_col: str,
     cap never binds on the gate tables; the contract (and the oracle)
     mirrors the cap exactly either way.
     """
+    return _co_pairs(df, group_col, item_col, max_group_size).distinct()
+
+
+def co_occurrence_weights(df: DataFrame, group_col: str, item_col: str,
+                          max_group_size: int = 64) -> DataFrame:
+    """Co-occurrence edges WITH multiplicity: (src, dst, n_groups) where
+    n_groups = how many (capped) groups contain both items — the edge
+    strength that weighted graph ops (sssp, weighted link prediction)
+    consume. Same pair generation and group-size cap as
+    co_occurrence_edges; the final shuffle is the same edge-keyed
+    aggregation, just count instead of distinct (identical scale shape:
+    partial counts combine map-side)."""
+    return (_co_pairs(df, group_col, item_col, max_group_size)
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n_groups")))
+
+
+def _co_pairs(df: DataFrame, group_col: str, item_col: str,
+              max_group_size: int) -> DataFrame:
+    """Per-group ordered item pairs (src < dst), one row per (group,
+    pair) — the shared core of co_occurrence_edges (distinct) and
+    co_occurrence_weights (count)."""
     gi = (ensure_min_parallelism(df)
           .select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i"))
           .where(F.col("__g").isNotNull() & F.col("__i").isNotNull())
@@ -98,8 +120,7 @@ def co_occurrence_edges(df: DataFrame, group_col: str, item_col: str,
     b = kept.select("__g", F.col("__i").alias("dst"))
     return (a.join(b, "__g")
             .where(F.col("src") < F.col("dst"))
-            .select("src", "dst")
-            .distinct())
+            .select("src", "dst"))
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
@@ -587,3 +608,69 @@ def bfs(edges: DataFrame, seeds: DataFrame, rounds: int = 4,
         frontier = new.select("node")
     sym.unpersist()
     return reached
+
+
+def sssp(edges: DataFrame, seeds: DataFrame, rounds: int = 6,
+         cost_col: str = "cost", reliable: bool = False) -> DataFrame:
+    """Multi-source weighted shortest paths, bounded-hop Bellman–Ford
+    with a frontier: after r rounds every node holds the EXACT minimum
+    path cost over paths of ≤ r edges from the nearest seed (and the
+    loop stops early at the true fixpoint — an empty improvement set
+    can never seed a later one, the bfs argument verbatim). The
+    weighted companion of `bfs`: "how CLOSE is each part to a recalled
+    part when edges carry co-order strength", "cheapest contamination
+    path from a benchmark doc through the near-dup graph".
+
+    FRONTIER relaxation (Bellman–Ford restricted to last round's
+    improved set): a node's distance can only improve through a
+    neighbor that itself improved last round, so round i joins ONLY the
+    improved set against the adjacency — total relaxation work is
+    O(Σ frontier-adjacent edges), not rounds·|E| — and each round is
+    one src-keyed join + two node-keyed integer-min aggregations (all
+    partials combine map-side). Costs are cast to long and every
+    combining op is an integer min over sums — no ordering, no floats —
+    so any partitioning and any engine agree exactly; the oracle
+    unrolls the identical relax/merge/improve rounds as CTEs (the bfs
+    convention). The distance and frontier tables are
+    checkpoint-truncated per round (the pagerank lineage discipline;
+    `reliable=True` swaps in fault-tolerant checkpoint()).
+
+    At 100 TB the bounded-round form IS the production algorithm
+    (Δ-stepping's bucket loop degenerates to this on a BSP engine);
+    the dist table is O(|reached nodes|) and edges never replicate —
+    only the improved set moves each round.
+
+    `edges` is an undirected (src < dst) list carrying `cost_col`;
+    seeds' first column is the node id. Returns (node, dist): 0 for
+    seeds, the bounded-hop minimum cost otherwise; unreached nodes are
+    absent.
+    """
+    if rounds < 1:
+        raise ValueError("sssp: rounds must be >= 1")
+    w = edges.select("src", "dst", F.col(cost_col).cast("long").alias("__c"))
+    sym = w.unionByName(
+        w.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                 "__c")).persist()
+    dist = _truncate_lineage(
+        seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        .withColumn("dist", F.lit(0).cast("long")), reliable)
+    frontier = dist
+    for _ in range(rounds):
+        cand = (sym.join(frontier.select(F.col("node").alias("src"),
+                                         F.col("dist").alias("__d")), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min(F.col("__d") + F.col("__c")).alias("dist")))
+        merged = _truncate_lineage(
+            dist.unionByName(cand)
+            .groupBy("node").agg(F.min("dist").alias("dist")), reliable)
+        improved = _truncate_lineage(
+            merged.join(dist.select("node", F.col("dist").alias("__old")),
+                        "node", "left")
+            .where(F.col("__old").isNull() | (F.col("dist") < F.col("__old")))
+            .select("node", "dist"), reliable)
+        if not improved.take(1):
+            break
+        dist = merged
+        frontier = improved
+    sym.unpersist()
+    return dist

@@ -3932,6 +3932,41 @@ def build_oracles() -> dict[str, str]:
     o["graph_bfs"] = ("WITH " + _G_EDGES + "," + ",".join(bfs_ctes) +
                       f"\n      SELECT node, dist FROM r{_BFS_ROUNDS}")
 
+    # Weighted multi-source shortest paths: unroll the same 6 frontier
+    # Bellman-Ford rounds (relax last round's improved set, integer-min
+    # merge, improvement anti-filter) the Spark driver loop runs; edge
+    # cost = greatest(1, 6 - co-order count), min-plus over BIGINTs.
+    # MATERIALIZED on the twice-referenced dist/frontier sets.
+    _SSSP_ROUNDS = 6
+    sssp_ctes = ["""
+      we AS (SELECT a.i AS src, b.i AS dst, count(*) AS n_co
+             FROM gi a JOIN gok ON a.g = gok.g
+                       JOIN gi b ON b.g = a.g
+             WHERE a.i < b.i GROUP BY 1, 2),
+      wsym AS (SELECT src, dst, GREATEST(1, 6 - n_co)::BIGINT AS cost
+               FROM we
+               UNION ALL
+               SELECT dst, src, GREATEST(1, 6 - n_co)::BIGINT FROM we),
+      d0 AS (SELECT DISTINCT p_partkey AS node, 0::BIGINT AS dist
+             FROM part WHERE p_partkey % 97 = 0),
+      i0 AS (SELECT node, dist FROM d0)"""]
+    for it in range(1, _SSSP_ROUNDS + 1):
+        sssp_ctes.append(f"""
+      c{it} AS (SELECT w.dst AS node, min(f.dist + w.cost) AS dist
+                FROM wsym w JOIN i{it - 1} f ON w.src = f.node
+                GROUP BY w.dst),
+      d{it} AS MATERIALIZED (
+                SELECT node, min(dist) AS dist FROM (
+                  SELECT node, dist FROM d{it - 1}
+                  UNION ALL SELECT node, dist FROM c{it})
+                GROUP BY node),
+      i{it} AS MATERIALIZED (
+                SELECT d.node, d.dist FROM d{it} d
+                LEFT JOIN d{it - 1} p ON p.node = d.node
+                WHERE p.node IS NULL OR d.dist < p.dist)""")
+    o["graph_sssp"] = ("WITH " + _G_EDGES + "," + ",".join(sssp_ctes) +
+                       f"\n      SELECT node, dist FROM d{_SSSP_ROUNDS}")
+
     # --- sketch family (operators/sketch.py): deterministic mergeable
     # sketches — same md5 hash64, integer state, pinned float points;
     # every output column explicitly ::BIGINT (the ts_pettitt HUGEINT

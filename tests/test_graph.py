@@ -202,3 +202,52 @@ def test_bfs_seed_outside_graph_and_validation(spark):
     import pytest
     with pytest.raises(ValueError, match="rounds"):
         G.bfs(e, seeds, rounds=0)
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, "src long, dst long, cost long")
+
+
+def test_sssp_prefers_cheap_detour_over_fewer_hops(spark):
+    # 1-3 direct costs 10; 1-2-3 costs 2+2=4: min-plus must pick the
+    # longer-hop cheaper path once rounds allow it
+    e = _wedges(spark, [(1, 3, 10), (1, 2, 2), (2, 3, 2)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    one = {r.node: r.dist for r in G.sssp(e, seeds, rounds=1).collect()}
+    assert one == {1: 0, 2: 2, 3: 10}          # <=1 edge: direct only
+    full = {r.node: r.dist for r in G.sssp(e, seeds, rounds=3).collect()}
+    assert full == {1: 0, 2: 2, 3: 4}
+
+
+def test_sssp_multi_source_early_stop_and_validation(spark):
+    # path 1-2-3-4-5 with unit costs == bfs hop distances; seeds both ends
+    e = _wedges(spark, [(1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1)])
+    seeds = spark.createDataFrame([(1,), (5,), (99,)], "node long")
+    got = {r.node: r.dist for r in G.sssp(e, seeds, rounds=10).collect()}
+    assert got == {1: 0, 5: 0, 99: 0, 2: 1, 4: 1, 3: 2}
+    with pytest.raises(ValueError, match="rounds"):
+        G.sssp(e, seeds, rounds=0)
+
+
+def test_sssp_matches_bfs_on_unit_costs(spark):
+    # random-ish small graph: unit-cost sssp == bfs, field for field
+    pairs = [(a, b) for a in range(1, 9) for b in range(a + 1, 9)
+             if (a * 7 + b * 3) % 4 == 0]
+    e = _edges(spark, pairs)
+    we = e.withColumn("cost", F.lit(1).cast("long"))
+    seeds = spark.createDataFrame([(1,), (6,)], "node long")
+    b = {(r.node, r.dist) for r in G.bfs(e, seeds, rounds=5).collect()}
+    s = {(r.node, r.dist) for r in G.sssp(we, seeds, rounds=5).collect()}
+    assert b == s
+
+
+def test_co_occurrence_weights_counts_groups(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30)],
+        "g long, i long")
+    got = {(r.src, r.dst): r.n_groups
+           for r in G.co_occurrence_weights(df, "g", "i").collect()}
+    assert got == {(10, 20): 2, (10, 30): 1}
+    # distinct edge list is exactly the weighted list's key set
+    e = {(r.src, r.dst) for r in G.co_occurrence_edges(df, "g", "i").collect()}
+    assert e == set(got)
