@@ -2506,6 +2506,25 @@ def q_sk_hll_rollup(spark, sf):
                       bucket_ns=86_400_000_000_000)
 
 
+def q_sk_hll_cube(spark, sf):
+    """Distinct-user CUBE from one register table (added scope — the
+    OLAP generalization of sk_hll_rollup's single time axis): distinct
+    users per (event_type, day), per event_type, per day and overall,
+    ALL grouping sets merged from the same per-(type, day, register)
+    HLL partials via one Catalyst grouping-sets Expand — an exact
+    COUNT(DISTINCT) cube would re-shuffle the raw events once per set;
+    `level` is the GROUPING_ID bitmask (operators/sketch.py:hll_cube)."""
+    from influxdb_ha_spark.operators.sketch import hll_cube
+    ev = (_events_us(spark, sf)
+          .where(F.col("user_id").isNotNull() & F.col("time").isNotNull())
+          .select("event_type",
+                  (F.col("time")
+                   - F.pmod(F.col("time"), F.lit(86_400_000_000_000)))
+                  .alias("day"),
+                  "user_id"))
+    return hll_cube(ev, value_col="user_id", dims=["event_type", "day"])
+
+
 def q_sk_overlap_matrix(spark, sf):
     """Pairwise theta-sketch overlap matrix over the returnflag
     order-key sets (added scope — kmv_setops generalized to ALL group
@@ -3861,6 +3880,7 @@ _FAMILIES = [
         "sk_hist_quantile_auto": q_sk_hist_quantile_auto,
         "sk_overlap_matrix": q_sk_overlap_matrix,
         "sk_hll_rollup": q_sk_hll_rollup,
+        "sk_hll_cube": q_sk_hll_cube,
     },
     {
         # LLM-pipeline scope (§7): multimodal

@@ -923,3 +923,55 @@ def hll_rollup(df: DataFrame, value_col: str, time_col: str = "time",
     return (nb.crossJoin(F.broadcast(folded))
             .select("n_buckets", "n_buckets_used", "n_empty",
                     "est_distinct"))
+
+
+def hll_cube(df: DataFrame, value_col: str, dims: list,
+             sets: list | None = None,
+             hash_fn: str = "md5") -> DataFrame:
+    """Distinct-count CUBE from ONE register table — every grouping
+    set of `dims` answered by merging the finest-grain HLL partials,
+    never by rescanning the raw data. The OLAP generalization of
+    hll_rollup's single time axis: a COUNT(DISTINCT) cube costs one
+    full shuffle PER grouping set on an exact engine (distinct is not
+    an algebraic aggregate — Spark literally expands the input N ways),
+    while HLL states are mergeable, so the cube costs ONE data-sized
+    shuffle to build the per-(dims..., register) partials and the
+    grouping sets ride a single Expand over that bounded table
+    (≤ m rows per finest cell).
+
+    `sets` is a list of dim-name tuples (default: the full cube —
+    every subset of `dims`, finest first); the register id is an
+    always-on key, so one Catalyst grouping-sets node computes every
+    set's merged registers in one pass. Output one row per (set,
+    cell): (dims..., level, n_buckets_used, n_empty, est_distinct)
+    where aggregated-out dims are NULL and `level` is the grouping
+    bitmask (bit i set = dims[i] aggregated out — the standard
+    GROUPING_ID encoding, disambiguating a genuine NULL dim value from
+    an aggregated-out dim), folded by the same _hll_fold as every
+    other consumer of the register mapping.
+
+    Scale shape: one (dims..., register) map-combinable groupBy over
+    the data, then Expand × |sets| over the partial table (bounded by
+    m · Π|dims| cells, not by rows), each set folding ≤ m registers
+    per cell. At 100 TB the partial table is the thing a rollup job
+    persists; this operator is the query plan every dashboard
+    drill-down shares.
+    """
+    if not dims:
+        raise ValueError("hll_cube: dims must be non-empty")
+    if sets is None:
+        from itertools import combinations
+        sets = [list(c) for r in range(len(dims), -1, -1)
+                for c in combinations(dims, r)]
+    for s in sets:
+        if any(d not in dims for d in s):
+            raise ValueError(f"hll_cube: set {s} not a subset of {dims}")
+    rows = _hll_rows(df, value_col, _grp(dims), hash_fn)
+    partial = (rows.groupBy(*dims, "__j")
+               .agg(F.max("__rho").alias("__mp")))
+    level = sum((F.grouping(d).cast("long") * F.lit(1 << i)
+                 for i, d in enumerate(dims)), F.lit(0).cast("long"))
+    regs = (partial.groupingSets([list(s) + ["__j"] for s in sets],
+                                 *dims, "__j")
+            .agg(F.max("__mp").alias("__m"), level.alias("level")))
+    return _hll_fold(regs, list(dims) + ["level"])

@@ -4225,6 +4225,43 @@ def build_oracles() -> dict[str, str]:
                  f'ELSE {_hll_raw} END', 6)} AS est_distinct
       FROM t JOIN nb ON t.g = nb.g"""
 
+    # Distinct-user cube off ONE register table: per-(type, day,
+    # register) partials, then every grouping set merged by
+    # register-wise max in one GROUPING SETS pass (register id is an
+    # always-on key); level = the same GROUPING_ID bitmask the Spark
+    # side emits (bit 0 = event_type aggregated out, bit 1 = day).
+    o["sk_hll_cube"] = f"""
+      WITH v AS (SELECT event_type AS g,
+                        ({EV_TIME} - {EV_TIME} % {_DAY_NS}) AS d,
+                        user_id AS u
+                 FROM events
+                 WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      hh AS (SELECT g, d, {_hru} AS h FROM v),
+      bb AS (SELECT g, d, h % {HLL_M} AS j,
+                    CASE WHEN h // {HLL_M} = 0 THEN 53
+                         ELSE 53 - length(bin(h // {HLL_M})) END AS rho
+             FROM hh),
+      part AS (SELECT g, d, j, max(rho) AS mp FROM bb GROUP BY 1, 2, 3),
+      regs AS (SELECT g, d, j, max(mp) AS m,
+                      (GROUPING(g) + 2 * GROUPING(d))::BIGINT AS level
+               FROM part
+               GROUP BY GROUPING SETS ((g, d, j), (g, j), (d, j), (j))),
+      f AS (SELECT g, d, level, count(*)::BIGINT AS n_buckets_used,
+                   sum(1::BIGINT << (53 - m)::INT)::BIGINT AS s_used
+            FROM regs GROUP BY 1, 2, 3),
+      t AS (SELECT g, d, level, n_buckets_used,
+                   ({HLL_M} - n_buckets_used)::BIGINT AS n_empty,
+                   (s_used + ({HLL_M} - n_buckets_used)
+                    * (1::BIGINT << 53))::BIGINT AS s_total
+            FROM f)
+      SELECT g AS event_type, d AS day, level, n_buckets_used, n_empty,
+             {fr(f'CASE WHEN {_hll_raw} <= {2.5 * HLL_M!r} '
+                 f'AND n_empty > 0 '
+                 f'THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} '
+                 f'/ n_empty::DOUBLE) '
+                 f'ELSE {_hll_raw} END', 6)} AS est_distinct
+      FROM t"""
+
     # Pairwise theta-sketch overlap matrix: one sketch per group (the
     # same rank-k build as sk_kmv at k=128), thetas with the exhaustive
     # convention, then pure set algebra over the G*k-row sketch table

@@ -532,3 +532,58 @@ def test_hll_rollup_empty_and_null(spark):
     nulls = spark.createDataFrame([("a", None, 1), ("a", 5, None)],
                                   "g string, time long, v long")
     assert hll_rollup(nulls, "v", "time", by=["g"]).count() == 0
+
+
+def test_hll_cube_every_set_equals_direct_sketch(spark):
+    """Each grouping set's row folds the SAME merged registers a direct
+    hll_distinct over that grouping computes — the cube is exactly
+    |sets| sketches for the price of one data shuffle."""
+    from influxdb_ha_spark.operators.sketch import hll_cube
+    rows = [("a", i % 3, i % 700) for i in range(2500)] \
+        + [("b", 0, i + 10_000) for i in range(40)]
+    df = spark.createDataFrame(rows, "t string, d long, v long")
+    cube = hll_cube(df, "v", dims=["t", "d"]).collect()
+    by_level = {}
+    for r in cube:
+        by_level.setdefault(r.level, {})[(r.t, r.d)] = r
+    assert set(by_level) == {0, 1, 2, 3}
+    fine = {(r.t, r.d): r for r in hll_distinct(
+        df, "v", by=["t", "d"]).collect()}
+    assert set(by_level[0]) == set(fine)
+    for k, r in by_level[0].items():
+        assert (r.n_buckets_used, r.n_empty, r.est_distinct) == \
+            (fine[k].n_buckets_used, fine[k].n_empty, fine[k].est_distinct)
+    per_d = {r.d: r for r in hll_distinct(df, "v", by=["d"]).collect()}
+    assert {k[1] for k in by_level[1]} == set(per_d)     # t aggregated out
+    for (t, d), r in by_level[1].items():
+        assert t is None and r.est_distinct == per_d[d].est_distinct
+    per_t = {r.t: r for r in hll_distinct(df, "v", by=["t"]).collect()}
+    for (t, d), r in by_level[2].items():
+        assert d is None and r.est_distinct == per_t[t].est_distinct
+    (overall,) = hll_distinct(df, "v").collect()
+    ((_, r),) = by_level[3].items()
+    assert r.est_distinct == overall.est_distinct
+
+
+def test_hll_cube_level_disambiguates_null_dim_value(spark):
+    """A GENUINE null dim value stays a level-0 cell, distinct from the
+    aggregated-out null of a coarser set."""
+    from influxdb_ha_spark.operators.sketch import hll_cube
+    df = spark.createDataFrame([(None, 1), ("x", 2), ("x", 3)],
+                               "t string, v long")
+    got = {(r.t, r.level): r for r in
+           hll_cube(df, "v", dims=["t"]).collect()}
+    assert set(got) == {(None, 0), ("x", 0), (None, 1)}
+    assert got[(None, 0)].n_buckets_used == 1      # just v=1
+    assert got[(None, 1)].n_buckets_used == 3      # all three values
+
+
+def test_hll_cube_custom_sets_and_validation(spark):
+    from influxdb_ha_spark.operators.sketch import hll_cube
+    df = spark.createDataFrame([("a", 1, 1)], "t string, d long, v long")
+    only = hll_cube(df, "v", dims=["t", "d"], sets=[["t"]]).collect()
+    assert len(only) == 1 and only[0].level == 2
+    with pytest.raises(ValueError, match="dims"):
+        hll_cube(df, "v", dims=[])
+    with pytest.raises(ValueError, match="subset"):
+        hll_cube(df, "v", dims=["t"], sets=[["zz"]])
