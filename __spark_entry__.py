@@ -2599,6 +2599,19 @@ def q_graph_bfs(spark, sf):
     return GR.bfs(_graph_edges(spark, sf), seeds, rounds=4)
 
 
+def q_diag_skew(spark, sf):
+    """Shuffle-key skew profile of the events entity key (added scope —
+    the salting decision table run BEFORE committing to user_id-keyed
+    shuffles): top-20 heaviest user_ids with exact count, ppm share,
+    and the integer salt fan-out that levels each back to the mean key
+    load; NULL profiled as a key value (the classic production hot
+    key); integer floor-division end-to-end
+    (operators/diagnostics.py:key_skew_profile)."""
+    from influxdb_ha_spark.operators.diagnostics import key_skew_profile
+    ev = _t(spark, sf, "events").select("user_id")
+    return key_skew_profile(ev, ["user_id"], top=20)
+
+
 def q_graph_sssp(spark, sf):
     """Weighted multi-source shortest paths on the co-order part graph
     (added scope — the weighted companion of graph_bfs): edge cost =
@@ -3881,6 +3894,7 @@ _FAMILIES = [
         "sk_overlap_matrix": q_sk_overlap_matrix,
         "sk_hll_rollup": q_sk_hll_rollup,
         "sk_hll_cube": q_sk_hll_cube,
+        "diag_skew": q_diag_skew,
     },
     {
         # LLM-pipeline scope (§7): multimodal

@@ -4262,6 +4262,22 @@ def build_oracles() -> dict[str, str]:
                  f'ELSE {_hll_raw} END', 6)} AS est_distinct
       FROM t"""
 
+    # Shuffle-key skew profile: one key-keyed count, totals as scalars,
+    # top-20 by (cnt desc, key asc nulls first), integer floor division
+    o["diag_skew"] = """
+      WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt
+                 FROM events GROUP BY 1),
+      s AS (SELECT sum(cnt)::BIGINT AS total_rows,
+                   count(*)::BIGINT AS n_keys FROM c),
+      t AS (SELECT user_id, cnt FROM c
+            ORDER BY cnt DESC, user_id ASC NULLS FIRST LIMIT 20)
+      SELECT t.user_id, t.cnt,
+             ((t.cnt * 1000000) // s.total_rows)::BIGINT AS share_ppm,
+             ((t.cnt + (s.total_rows // s.n_keys) - 1)
+              // (s.total_rows // s.n_keys))::BIGINT AS salt_factor,
+             s.total_rows, s.n_keys
+      FROM t, s"""
+
     # Pairwise theta-sketch overlap matrix: one sketch per group (the
     # same rank-k build as sk_kmv at k=128), thetas with the exhaustive
     # convention, then pure set algebra over the G*k-row sketch table

@@ -69,3 +69,39 @@ def test_show_cardinality_scoped_falls_back_to_exact(spark):
     # unscoped bare form: still the HLL estimate (within 3 sigma)
     est = eng.query_df("SHOW SERIES CARDINALITY").first()["count"]
     assert 0.8 * 500 <= est <= 1.2 * 500
+
+
+def test_key_skew_profile_hand_checked(spark):
+    """10 'hot' + 2 + 1 + 1 rows over 4 keys (one NULL): exact counts,
+    floor-divided ppm shares, and the salt fan-out that levels the hot
+    key back to the mean (mean = 14 div 4 = 3 -> ceil(10/3) = 4)."""
+    from influxdb_ha_spark.operators.diagnostics import key_skew_profile
+    rows = ([("hot",)] * 10 + [("warm",)] * 2 + [("cold",)] + [(None,)])
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.k: r for r in key_skew_profile(df, ["k"], top=3).collect()}
+    # cold and NULL tie at cnt 1; nulls-first tie-break admits NULL
+    assert set(got) == {"hot", "warm", None}
+    assert all(r.total_rows == 14 and r.n_keys == 4
+               for r in got.values())
+    assert (got["hot"].cnt, got["hot"].share_ppm,
+            got["hot"].salt_factor) == (10, 714285, 4)
+    assert (got["warm"].cnt, got["warm"].share_ppm,
+            got["warm"].salt_factor) == (2, 142857, 1)
+    assert (got[None].cnt, got[None].share_ppm,
+            got[None].salt_factor) == (1, 71428, 1)
+    # widening to top=4 admits the remaining tied key
+    all4 = key_skew_profile(df, ["k"], top=4).collect()
+    assert {r.k for r in all4} == {"hot", "warm", "cold", None}
+
+
+def test_key_skew_profile_validation_and_uniform(spark):
+    from influxdb_ha_spark.operators.diagnostics import key_skew_profile
+    import pytest
+    df = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    uni = key_skew_profile(df, ["k"], top=10).collect()
+    assert len(uni) == 3
+    assert all(r.salt_factor == 1 and r.share_ppm == 333333 for r in uni)
+    with pytest.raises(ValueError, match="key_cols"):
+        key_skew_profile(df, [])
+    with pytest.raises(ValueError, match="top"):
+        key_skew_profile(df, ["k"], top=0)

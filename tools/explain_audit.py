@@ -28,6 +28,12 @@ import __spark_entry__ as entry_mod
 # entries are additionally guarded at runtime: functions/fill.py refuses
 # spines above MAX_SPINE_BUCKETS.
 BOUNDED_SINGLE_PARTITION = {
+    "diag_skew": "the 1-row (total_rows, n_keys) global aggregate over "
+                 "the key-count table (partials combine map-side; final "
+                 "= P partial rows); the top slice is a "
+                 "TakeOrderedAndProject bounded by the top parameter — "
+                 "the key-keyed count shuffle is the only data-sized "
+                 "stage",
     "sk_join_sample": "four 1-row count scalars folded (each a "
                       "partial-count gather of P partial rows); the "
                       "sampled join shuffles ~1/rate of each side and "
@@ -132,6 +138,9 @@ BOUNDED_SINGLE_PARTITION = {
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
 # justification required, stale entries flagged).
 ALLOWED_CARTESIAN = {
+    "diag_skew": "the 1-row (total_rows, n_keys) scalar aggregate "
+                 "broadcast onto the ≤top(=20)-row heavy-key slice — "
+                 "the q11/tpch_q15 scalar-anchor pattern",
     "sk_join_sample": "1-row x 1-row crossJoins folding the four "
                       "count scalars into the single output row",
     "sk_kmv_setops": "1-row scalar crossJoins only: θ broadcast onto "
