@@ -968,6 +968,25 @@ def q_emb_brute_topk(spark, sf):
     return S.brute_force_topk(emb, q, k=5)
 
 
+def q_emb_hybrid_rrf(spark, sf):
+    """Hybrid retrieval via reciprocal-rank fusion (added scope — the
+    standard lexical+semantic merge, Cormack et al. 2009): BM25 top-20
+    for 'spark hash join merge' fused with the cosine top-20 around
+    vector 0 at c = 60; rank columns NULL where a doc missed a list;
+    both input lists are k-bounded so the fusion is result-sized
+    (operators/similarity.py:rrf_fuse)."""
+    from influxdb_ha_spark.operators.text import bm25_topk
+    lex = (bm25_topk(_t(spark, sf, "documents"),
+                     query="spark hash join merge", k=20)
+           .select(F.col("doc_id").alias("id"), "score"))
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    sem = (S.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=20)
+           .select(F.col("neighbor_id").alias("id"),
+                   F.col("cosine").alias("score")))
+    return S.rrf_fuse({"lex": lex, "sem": sem}, k=10, c=60)
+
+
 def q_emb_ivf_topk(spark, sf):
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
@@ -3793,6 +3812,7 @@ _FAMILIES = [
         "emb_mmr_topk": q_emb_mmr_topk,
         "emb_knn_graph": q_emb_knn_graph,
         "emb_pca": q_emb_pca,
+        "emb_hybrid_rrf": q_emb_hybrid_rrf,
     },
     {
         # LLM-pipeline scope (§7): text analysis

@@ -1156,3 +1156,54 @@ def recall_at_k(ann: DataFrame, exact: DataFrame,
     return (en.join(hn, query_col, "left")
             .select(query_col, F.col("n_exact").cast("long").alias("n_exact"),
                     hits.alias("n_hits"), recall.alias("recall")))
+
+
+def rrf_fuse(lists: dict, k: int = 10, c: int = 60,
+             id_col: str = "id", score_col: str = "score") -> DataFrame:
+    """Reciprocal-rank fusion of already-truncated retrieval lists
+    (Cormack, Clarke & Buettcher 2009): hybrid search's standard merge
+    of a LEXICAL top-k (BM25) with a SEMANTIC top-k (embedding cosine)
+    — score(d) = Σ_lists 1/(c + rank_d), absent-from-a-list contributes
+    0, c = 60 the published default. Rank fusion deliberately ignores
+    the incomparable raw scores (BM25 is unbounded, cosine lives in
+    [−1, 1]) — that immunity to score calibration is why RRF beats
+    score averaging without training data.
+
+    `lists` maps a name to a (id_col, score_col) DataFrame that is
+    ALREADY a truncated top-k list (the output shape of bm25_topk and
+    brute_force_topk/ivf_topk) — ranks are recomputed here from
+    (score desc, id asc), so ties resolve identically in both engines.
+    Output: (id, rank_<name>... in dict order, rrf_score) — the top `k`
+    by fused score, rank columns NULL where the id missed that list.
+    The fusion sum is written left-assoc in dict order so a SQL oracle
+    replays the float chain bit-for-bit.
+
+    Scale shape: every input is k-bounded BY CONTRACT (the expensive
+    retrieval happened upstream, with its own documented scale path —
+    bm25's map-only projection, IVF's pruned probe), so everything
+    here — the per-list rank windows, the (n−1)-step full-outer join
+    chain, the final TakeOrdered — runs on ≤ Σ|list| rows: result-sized,
+    never corpus-sized. The keyless rank windows are bounded by the
+    lists' own k parameters (the text_zipf allowlist argument).
+    """
+    if not lists:
+        raise ValueError("rrf_fuse: lists must be non-empty")
+    if c < 1:
+        raise ValueError("rrf_fuse: c must be >= 1")
+    fused = None
+    rank_cols = []
+    for name, df in lists.items():
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        r = df.select(F.col(id_col).alias("id"),
+                      F.row_number().over(w).alias(f"rank_{name}"))
+        rank_cols.append(f"rank_{name}")
+        fused = r if fused is None else fused.join(r, "id", "full_outer")
+    score = F.lit(0.0)
+    for rc in rank_cols:
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(rc).cast("double")),
+            F.lit(0.0))
+    return (fused.select("id", *rank_cols,
+                         F.round(score, 6).alias("rrf_score"))
+            .orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+            .limit(int(k)))

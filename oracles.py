@@ -1452,6 +1452,34 @@ def build_oracles() -> dict[str, str]:
       FROM d CROSS JOIN s
       WHERE round(0.0 + {_bm_sum}, 6) > 0
       ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    # Hybrid retrieval RRF: the bm25 top-20 and the cosine top-20 around
+    # vector 0, ranks from (score desc, id asc), fused left-assoc
+    # lex-then-sem as 1/(60+rank) with absent lists contributing 0
+    o["emb_hybrid_rrf"] = f"""
+      WITH d AS (SELECT doc_id, {TOKS} AS toks, len({TOKS}) AS dl
+                 FROM documents),
+      s AS (SELECT count(*) AS n, sum(dl) AS sdl, {_bm_stats} FROM d),
+      bm AS (SELECT doc_id AS id, round(0.0 + {_bm_sum}, 6) AS score
+             FROM d CROSS JOIN s
+             WHERE round(0.0 + {_bm_sum}, 6) > 0
+             ORDER BY score DESC, doc_id ASC LIMIT 20),
+      lexr AS (SELECT id, row_number() OVER (
+                 ORDER BY score DESC, id ASC) AS rank_lex FROM bm),
+      e AS ({emb_cast}),
+      q AS (SELECT * FROM e WHERE vec_id = 0),
+      sc AS (SELECT c.vec_id AS id, round({cos_qc}, 6) AS score
+             FROM e c CROSS JOIN q WHERE c.vec_id != q.vec_id
+             ORDER BY score DESC, id ASC LIMIT 20),
+      semr AS (SELECT id, row_number() OVER (
+                 ORDER BY score DESC, id ASC) AS rank_sem FROM sc),
+      f AS (SELECT COALESCE(l.id, r.id) AS id, l.rank_lex, r.rank_sem,
+                   round(COALESCE(1.0 / (60 + l.rank_lex), 0.0)
+                         + COALESCE(1.0 / (60 + r.rank_sem), 0.0), 6)
+                   AS rrf_score
+            FROM lexr l FULL OUTER JOIN semr r ON l.id = r.id)
+      SELECT id, rank_lex, rank_sem, rrf_score FROM f
+      ORDER BY rrf_score DESC, id ASC LIMIT 10"""
+
     o["text_top_tokens"] = f"""
       WITH t AS (SELECT unnest({TOKS}) AS token FROM documents)
       SELECT token, count(*) AS n FROM t GROUP BY 1

@@ -105,3 +105,39 @@ def test_key_skew_profile_validation_and_uniform(spark):
         key_skew_profile(df, [])
     with pytest.raises(ValueError, match="top"):
         key_skew_profile(df, ["k"], top=0)
+
+
+def test_rrf_fuse_hand_checked(spark):
+    """Two 3-item lists sharing one id: fused scores are exactly
+    1/(60+rank) sums, absent-list ranks are NULL, order is score desc
+    then id asc."""
+    from influxdb_ha_spark.operators.similarity import rrf_fuse
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "id long, score double")
+    sem = spark.createDataFrame(
+        [(2, 0.9), (4, 0.8), (5, 0.7)], "id long, score double")
+    rows = rrf_fuse({"lex": lex, "sem": sem}, k=10).collect()
+    got = {r.id: r for r in rows}
+    fr = lambda x: __import__("math").floor(x * 1e6 + 0.5) / 1e6
+    # id 2: rank 2 in lex, rank 1 in sem
+    assert (got[2].rank_lex, got[2].rank_sem) == (2, 1)
+    assert got[2].rrf_score == fr(1 / 62 + 1 / 61)
+    # id 1: lex only
+    assert (got[1].rank_lex, got[1].rank_sem) == (1, None)
+    assert got[1].rrf_score == fr(1 / 61)
+    # fused order: 2 first (two terms), then rank-1 singles by id
+    assert [r.id for r in rows] == [2, 1, 4, 3, 5]
+
+
+def test_rrf_fuse_tie_break_and_validation(spark):
+    from influxdb_ha_spark.operators.similarity import rrf_fuse
+    import pytest
+    tied = spark.createDataFrame(
+        [(7, 1.0), (3, 1.0), (5, 1.0)], "id long, score double")
+    got = {r.id: r.rank_tied for r in
+           rrf_fuse({"tied": tied}, k=3).collect()}
+    assert got == {3: 1, 5: 2, 7: 3}          # score tie -> id asc
+    with pytest.raises(ValueError, match="lists"):
+        rrf_fuse({})
+    with pytest.raises(ValueError, match="c must"):
+        rrf_fuse({"a": tied}, c=0)

@@ -28,6 +28,12 @@ import __spark_entry__ as entry_mod
 # entries are additionally guarded at runtime: functions/fill.py refuses
 # spines above MAX_SPINE_BUCKETS.
 BOUNDED_SINGLE_PARTITION = {
+    "emb_hybrid_rrf": "the two rank windows run on ALREADY-TRUNCATED "
+                      "top-k retrieval lists (≤ 20 rows each — bounded "
+                      "by the lists' k PARAMETERS, the text_zipf "
+                      "argument), and bm25's 1-row stats aggregate; "
+                      "the corpus-sized work happened upstream in the "
+                      "allowlisted retrieval operators",
     "diag_skew": "the 1-row (total_rows, n_keys) global aggregate over "
                  "the key-count table (partials combine map-side; final "
                  "= P partial rows); the top slice is a "
@@ -138,6 +144,11 @@ BOUNDED_SINGLE_PARTITION = {
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
 # justification required, stale entries flagged).
 ALLOWED_CARTESIAN = {
+    "emb_hybrid_rrf": "inherits emb_brute_topk's allowlisted corpus x "
+                      "broadcast(1 query vector) exact baseline for its "
+                      "semantic list (swap in ivf/pq at scale) plus "
+                      "bm25's 1-row stats scalar; the fusion itself is "
+                      "a full-outer join of two ≤k(=20)-row lists",
     "diag_skew": "the 1-row (total_rows, n_keys) scalar aggregate "
                  "broadcast onto the ≤top(=20)-row heavy-key slice — "
                  "the q11/tpch_q15 scalar-anchor pattern",
