@@ -71,6 +71,30 @@ def fr6_py(x: float) -> float:
     return math.floor(x * 1e6 + 0.5) / 1e6
 
 
+def hll_fold_py(regs) -> tuple:
+    """Python-side mirror of _hll_fold for the streaming twins'
+    pandas state updates: fold one m-register array into
+    (n_buckets_used, n_empty, est_distinct) with the IDENTICAL pinned
+    arithmetic — exact integer harmonic sum Σ2^(53−M_j) (empty
+    registers contribute 2^53), one IEEE divide HLL_NUMER / S, linear
+    counting m·ln(m/V) via the same math.log that built the batch
+    operator's driver-literal ln map, floor-round-6. ONE definition
+    shared by hll_stream and hll_rollup_stream (the fr6_py
+    consolidation argument: the stream==batch bit-equality tests
+    depend on this never diverging from the JVM fold)."""
+    used = [int(m) for m in regs if m > 0]
+    n_used = len(used)
+    v_empty = HLL_M - n_used
+    s_total = (sum(1 << (_HLL_VBITS + 1 - m) for m in used)
+               + v_empty * (1 << (_HLL_VBITS + 1)))
+    e_raw = HLL_NUMER / float(s_total)
+    if e_raw <= 2.5 * HLL_M and v_empty > 0:
+        est = HLL_M * math.log(HLL_M / v_empty)
+    else:
+        est = e_raw
+    return n_used, v_empty, fr6_py(est)
+
+
 def _hist_bin_cols(v, lo, width, bins: int) -> tuple:
     """(bin, out-of-range) Column pair for the fixed-boundary equi-width
     histogram: bin = clamp(floor((v − lo)/width), 0, bins−1), oob =

@@ -31,7 +31,6 @@ no matter how many values stream through.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Iterator, Tuple
 
 from pyspark.sql import DataFrame
@@ -39,8 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.hashing import hash64_expr
-from ..operators.sketch import (HLL_M, HLL_NUMER, _HLL_VBITS,
-                                _hll_jrho, fr6_py)
+from ..operators.sketch import HLL_M, _hll_jrho, hll_fold_py
 
 STATE_SCHEMA = "regs array<long>"
 OUTPUT_SCHEMA = ("g string, n_buckets_used long, n_empty long, "
@@ -59,19 +57,8 @@ def _update(key: Tuple[Any, ...],
     np.maximum.at(regs, batch["j"].to_numpy(dtype=np.int64),
                   batch["rho"].to_numpy(dtype=np.int64))
     state.update((regs.tolist(),))
-    used = regs > 0
-    n_used = int(used.sum())
-    v_empty = HLL_M - n_used
-    # exact integer harmonic sum: Σ 2^(53−M_j), empty registers add 2^53
-    s_total = (sum(1 << (_HLL_VBITS + 1 - int(m)) for m in regs[used])
-               + v_empty * (1 << (_HLL_VBITS + 1)))
-    e_raw = HLL_NUMER / float(s_total)
-    if e_raw <= 2.5 * HLL_M and v_empty > 0:
-        # same math.log the batch operator's driver-literal ln map used
-        est = HLL_M * math.log(HLL_M / v_empty)
-    else:
-        est = e_raw
-    est = fr6_py(est)
+    # single-sourced fold: exact integer harmonic sum + linear counting
+    n_used, v_empty, est = hll_fold_py(regs)
     yield pd.DataFrame({"g": [key[0]], "n_buckets_used": [n_used],
                         "n_empty": [v_empty], "est_distinct": [est]})
 
