@@ -2618,6 +2618,19 @@ def q_graph_bfs(spark, sf):
     return GR.bfs(_graph_edges(spark, sf), seeds, rounds=4)
 
 
+def q_text_fuzzy_pairs(spark, sf):
+    """Blocked fuzzy string matching over the part-name vocabulary
+    (added scope — record linkage's blocking + edit-distance verify):
+    distinct p_names blocked on the last token (the product noun),
+    within-block pairs kept at Levenshtein ≤ 3 — the near-dup
+    machinery for short strings where shingles have nothing to grip;
+    blocks above the cap are dropped, mirroring the oracle
+    (operators/text.py:fuzzy_blocked_pairs)."""
+    from influxdb_ha_spark.operators.text import fuzzy_blocked_pairs
+    return fuzzy_blocked_pairs(_t(spark, sf, "part"), "p_name",
+                               max_dist=3)
+
+
 def q_diag_skew(spark, sf):
     """Shuffle-key skew profile of the events entity key (added scope —
     the salting decision table run BEFORE committing to user_id-keyed
@@ -3825,6 +3838,7 @@ _FAMILIES = [
         "text_winnowing": q_text_winnowing,
         "text_zipf": q_text_zipf,
         "text_burstiness": q_text_burstiness,
+        "text_fuzzy_pairs": q_text_fuzzy_pairs,
         "doc_length_profile": q_doc_length_profile,
         "text_top_tokens": q_text_top_tokens,
         "text_lm_score": q_text_lm_score,

@@ -1480,6 +1480,21 @@ def build_oracles() -> dict[str, str]:
       SELECT id, rank_lex, rank_sem, rrf_score FROM f
       ORDER BY rrf_score DESC, id ASC LIMIT 10"""
 
+    # Blocked fuzzy matching: distinct names, last-token block, size
+    # cap mirrored, within-block pairs at integer Levenshtein <= 3
+    o["text_fuzzy_pairs"] = """
+      WITH s AS (SELECT DISTINCT p_name AS nm FROM part
+                 WHERE p_name IS NOT NULL),
+      bk AS (SELECT regexp_extract(nm, '[a-z0-9]+$', 0) AS block, nm
+             FROM s),
+      ok AS (SELECT block FROM bk GROUP BY 1
+             HAVING count(*) BETWEEN 2 AND 256)
+      SELECT a.block, a.nm AS a, b.nm AS b,
+             levenshtein(a.nm, b.nm)::BIGINT AS dist
+      FROM bk a JOIN ok ON a.block = ok.block
+                JOIN bk b ON b.block = a.block
+      WHERE a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 3"""
+
     o["text_top_tokens"] = f"""
       WITH t AS (SELECT unnest({TOKS}) AS token FROM documents)
       SELECT token, count(*) AS n FROM t GROUP BY 1

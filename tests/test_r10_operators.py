@@ -141,3 +141,29 @@ def test_rrf_fuse_tie_break_and_validation(spark):
         rrf_fuse({})
     with pytest.raises(ValueError, match="c must"):
         rrf_fuse({"a": tied}, c=0)
+
+
+def test_fuzzy_blocked_pairs_hand_checked(spark):
+    """Known edit distances within the 'bolt' block; cross-block pairs
+    never materialize; oversize blocks drop (cap convention)."""
+    from influxdb_ha_spark.operators.text import fuzzy_blocked_pairs
+    df = spark.createDataFrame(
+        [("red bolt",), ("hot bolt",), ("red bolt",),   # dup collapses
+         ("small bolt",), ("red gear",), (None,)], "n string")
+    got = {(r.a, r.b): (r.block, r.dist) for r in
+           fuzzy_blocked_pairs(df, "n", max_dist=3).collect()}
+    # lev(red,hot)=3 qualifies; lev('red bolt','small bolt')=5 and the
+    # cross-block ('red bolt','red gear') pair is never generated
+    assert got == {("hot bolt", "red bolt"): ("bolt", 3)}
+    wider = {(r.a, r.b): r.dist for r in
+             fuzzy_blocked_pairs(df, "n", max_dist=6).collect()}
+    assert wider[("red bolt", "small bolt")] == 5
+    assert ("red bolt", "red gear") not in wider
+    # block-size cap: cap 2 drops the 3-name bolt block entirely
+    assert fuzzy_blocked_pairs(df, "n", max_dist=6,
+                               max_block_size=2).collect() == []
+    import pytest
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_blocked_pairs(df, "n", max_dist=0)
+    with pytest.raises(ValueError, match="max_block_size"):
+        fuzzy_blocked_pairs(df, "n", max_block_size=1)
