@@ -2665,6 +2665,20 @@ def q_graph_sssp(spark, sf):
     return GR.sssp(edges, seeds, rounds=6)
 
 
+def q_graph_closeness(spark, sf):
+    """Sampled-source closeness centrality on the co-order part graph
+    (added scope — Eppstein & Wang 2001: the k-BFS estimator for an
+    otherwise all-pairs quantity): seeds = p_partkey ≡ 0 (mod 97),
+    4 rounds, per-seed exact distances fused into one (node, seed)
+    frontier plan; closeness = n_seeds/Σdist over dist ≥ 1
+    (operators/graph.py:closeness)."""
+    from influxdb_ha_spark.operators import graph as GR
+    seeds = (_t(spark, sf, "part")
+             .where(F.pmod(F.col("p_partkey"), F.lit(97)) == 0)
+             .select(F.col("p_partkey").alias("node")))
+    return GR.closeness(_graph_edges(spark, sf), seeds, rounds=4)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -3914,6 +3928,7 @@ _FAMILIES = [
         "graph_assortativity": q_graph_assortativity,
         "graph_bfs": q_graph_bfs,
         "graph_sssp": q_graph_sssp,
+        "graph_closeness": q_graph_closeness,
     },
     {
         # mergeable sketch summaries (added scope; operators/sketch.py)

@@ -4010,6 +4010,33 @@ def build_oracles() -> dict[str, str]:
     o["graph_sssp"] = ("WITH " + _G_EDGES + "," + ",".join(sssp_ctes) +
                        f"\n      SELECT node, dist FROM d{_SSSP_ROUNDS}")
 
+    # Sampled-source closeness: the bfs unroll with (node, seed) as the
+    # reached key — per-seed distances fused in one pass, fold =
+    # n_seeds / sum(dist) over dist >= 1, floor-round-6
+    _CL_ROUNDS = 4
+    cl_ctes = ["""
+      c0 AS (SELECT DISTINCT p_partkey AS node, p_partkey AS seed,
+                    0 AS dist
+             FROM part WHERE p_partkey % 97 = 0)"""]
+    for it in range(1, _CL_ROUNDS + 1):
+        prev_f = "c0" if it == 1 else f"cf{it - 1}"
+        cl_ctes.append(f"""
+      cn{it} AS (SELECT DISTINCT sym.dst AS node, f.seed
+                 FROM sym JOIN {prev_f} f ON sym.src = f.node),
+      cf{it} AS MATERIALIZED (SELECT n.node, n.seed FROM cn{it} n
+                 LEFT JOIN c{it - 1} r
+                   ON r.node = n.node AND r.seed = n.seed
+                 WHERE r.node IS NULL),
+      c{it} AS MATERIALIZED (SELECT node, seed, dist FROM c{it - 1}
+                 UNION ALL SELECT node, seed, {it} AS dist FROM cf{it})""")
+    o["graph_closeness"] = (
+        "WITH " + _G_EDGES + "," + ",".join(cl_ctes) + f"""
+      SELECT node, count(*)::BIGINT AS n_seeds,
+             sum(dist)::BIGINT AS sum_dist,
+             floor(count(*)::DOUBLE / sum(dist)::BIGINT::DOUBLE
+                   * 1000000.0 + 0.5) / 1000000.0 AS closeness
+      FROM c{_CL_ROUNDS} WHERE dist >= 1 GROUP BY node""")
+
     # --- sketch family (operators/sketch.py): deterministic mergeable
     # sketches — same md5 hash64, integer state, pinned float points;
     # every output column explicitly ::BIGINT (the ts_pettitt HUGEINT

@@ -251,3 +251,36 @@ def test_co_occurrence_weights_counts_groups(spark):
     # distinct edge list is exactly the weighted list's key set
     e = {(r.src, r.dst) for r in G.co_occurrence_edges(df, "g", "i").collect()}
     assert e == set(got)
+
+
+def test_closeness_path_graph_hand_checked(spark):
+    # path 1-2-3-4-5, seeds {1, 5}: per-seed distances are exact and
+    # the fold excludes the seed's own dist-0 pair
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {r.node: r for r in G.closeness(e, seeds, rounds=4).collect()}
+    # node 3: dist 2 to each seed -> 2/4; node 1: only seed 5 at dist 4
+    assert (got[3].n_seeds, got[3].sum_dist, got[3].closeness) == \
+        (2, 4, 0.5)
+    assert (got[1].n_seeds, got[1].sum_dist, got[1].closeness) == \
+        (1, 4, 0.25)
+    assert (got[2].n_seeds, got[2].sum_dist) == (2, 4)   # 1 + 3
+    # bounded rounds: rounds=1 sees only direct neighbors
+    r1 = {r.node: r.n_seeds for r in
+          G.closeness(e, seeds, rounds=1).collect()}
+    assert r1 == {2: 1, 4: 1}
+    with pytest.raises(ValueError, match="rounds"):
+        G.closeness(e, seeds, rounds=0)
+
+
+def test_closeness_center_beats_periphery(spark):
+    # star: center 0 linked to 1..6, seeds {1, 2, 3}: center reaches
+    # all seeds at dist 1; leaves reach them at dist 2 (via center)
+    e = _edges(spark, [(0, i) for i in range(1, 7)])
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    got = {r.node: r.closeness for r in
+           G.closeness(e, seeds, rounds=3).collect()}
+    assert got[0] == 1.0                     # 3 seeds / sum 3
+    assert all(got[leaf] < got[0] for leaf in (4, 5, 6))
+    # a seed leaf excludes itself: 2 seeds at dist 2 each -> 0.5
+    assert got[1] == 0.5
