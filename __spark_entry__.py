@@ -2618,6 +2618,22 @@ def q_graph_bfs(spark, sf):
     return GR.bfs(_graph_edges(spark, sf), seeds, rounds=4)
 
 
+def q_priv_k_anonymity(spark, sf):
+    """k-anonymity risk report over customer quasi-identifiers (added
+    scope — the privacy audit before a structured-data release,
+    Sweeney 2002): QI = (nation, market segment, account-balance
+    kilobucket), k = 5, one grouping-sets pass reporting the full set
+    AND every leave-one-out subset so the output ranks which column to
+    generalize first (operators/pipeline.py:k_anonymity_report)."""
+    from influxdb_ha_spark.operators.pipeline import k_anonymity_report
+    cust = _t(spark, sf, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+        .alias("bal_kbucket"))
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "bal_kbucket"], k=5)
+
+
 def q_text_fuzzy_pairs(spark, sf):
     """Blocked fuzzy string matching over the part-name vocabulary
     (added scope — record linkage's blocking + edit-distance verify):
@@ -3808,6 +3824,7 @@ _FAMILIES = [
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_pii_scrub": q_doc_pii_scrub,
+        "priv_k_anonymity": q_priv_k_anonymity,
         "doc_repetition": q_doc_repetition,
         "doc_quality_filter": q_doc_quality_filter,
         "doc_weighted_sample": q_doc_weighted_sample,

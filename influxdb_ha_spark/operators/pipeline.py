@@ -502,3 +502,57 @@ def ngram_counts(df: DataFrame, text_col: str = "text",
 
 def _fr6(c):
     return F.floor(c * 1_000_000 + F.lit(0.5)) / F.lit(1e6)
+
+
+def k_anonymity_report(df: DataFrame, qi_cols: list,
+                       k: int = 5) -> DataFrame:
+    """k-anonymity risk report over a quasi-identifier combination
+    (Sweeney 2002) — the privacy audit a training-data release runs
+    BEFORE shipping structured records: a row is at risk when its full
+    QI combination is shared by fewer than `k` rows, because joining
+    any external dataset on those columns re-identifies it. One row
+    per GENERALIZATION CANDIDATE: the full QI set plus every
+    leave-one-out subset, all computed from ONE grouping-sets pass —
+    so the report doesn't just measure the risk, it ranks which single
+    column to generalize/drop FIRST (the set whose rows_at_risk falls
+    most), which is the actionable half of the audit.
+
+    Output per set: (level, dropped, n_groups, n_violating,
+    rows_at_risk, total_rows, risk_ppm) — `dropped` names the
+    aggregated-out column ('(none)' = the full QI set), `level` is the
+    GROUPING_ID bitmask, counts are exact integers and risk_ppm an
+    integer floor division (no rounding contract).
+
+    Scale shape: one Expand × (|QI|+1) over the input feeding a single
+    map-combinable count aggregation (cells, not rows, cross the
+    shuffle — the hll_cube argument applied to counting), then a
+    |sets|-row fold. A genuine NULL QI value is just another cell: it
+    collapses into its set's aggregate, so grouping-set NULLs never
+    collide with it.
+    """
+    if not qi_cols:
+        raise ValueError("k_anonymity_report: qi_cols must be non-empty")
+    if k < 2:
+        raise ValueError("k_anonymity_report: k must be >= 2")
+    sets = [list(qi_cols)] + [
+        [c for c in qi_cols if c != drop] for drop in qi_cols]
+    level = sum((F.grouping(c).cast("long") * F.lit(1 << i)
+                 for i, c in enumerate(qi_cols)), F.lit(0).cast("long"))
+    cells = (df.select(*qi_cols)
+             .groupingSets(sets, *qi_cols)
+             .agg(F.count(F.lit(1)).alias("__n"), level.alias("level")))
+    viol = F.col("__n") < F.lit(int(k))
+    dropped = F.lit("(none)")
+    for i, c in enumerate(qi_cols):
+        dropped = F.when(F.col("level") == F.lit(1 << i),
+                         F.lit(c)).otherwise(dropped)
+    return (cells.groupBy("level")
+            .agg(F.count(F.lit(1)).alias("n_groups"),
+                 F.sum(viol.cast("long")).alias("n_violating"),
+                 F.sum(F.when(viol, F.col("__n")).otherwise(F.lit(0)))
+                 .alias("rows_at_risk"),
+                 F.sum("__n").alias("total_rows"))
+            .select("level", dropped.alias("dropped"), "n_groups",
+                    "n_violating", "rows_at_risk", "total_rows",
+                    F.expr("(rows_at_risk * 1000000) div total_rows")
+                    .alias("risk_ppm")))

@@ -1480,6 +1480,31 @@ def build_oracles() -> dict[str, str]:
       SELECT id, rank_lex, rank_sem, rrf_score FROM f
       ORDER BY rrf_score DESC, id ASC LIMIT 10"""
 
+    # k-anonymity report: one GROUPING SETS pass over the QI cells
+    # (full set + every leave-one-out), per-set violation fold at k=5
+    o["priv_k_anonymity"] = """
+      WITH b AS (SELECT c_nationkey AS q0, c_mktsegment AS q1,
+                        floor(c_acctbal / 1000.0)::BIGINT AS q2
+                 FROM customer),
+      g AS (SELECT q0, q1, q2, count(*)::BIGINT AS n,
+                   (GROUPING(q0) + 2 * GROUPING(q1)
+                    + 4 * GROUPING(q2))::BIGINT AS lvl
+            FROM b GROUP BY GROUPING SETS
+              ((q0, q1, q2), (q1, q2), (q0, q2), (q0, q1)))
+      SELECT lvl AS level,
+             CASE lvl WHEN 1 THEN 'c_nationkey'
+                      WHEN 2 THEN 'c_mktsegment'
+                      WHEN 4 THEN 'bal_kbucket'
+                      ELSE '(none)' END AS dropped,
+             count(*)::BIGINT AS n_groups,
+             sum((n < 5)::INT)::BIGINT AS n_violating,
+             sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT
+               AS rows_at_risk,
+             sum(n)::BIGINT AS total_rows,
+             ((sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000)
+              // sum(n))::BIGINT AS risk_ppm
+      FROM g GROUP BY 1, 2"""
+
     # Blocked fuzzy matching: distinct names, last-token block, size
     # cap mirrored, within-block pairs at integer Levenshtein <= 3
     o["text_fuzzy_pairs"] = """

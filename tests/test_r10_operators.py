@@ -167,3 +167,37 @@ def test_fuzzy_blocked_pairs_hand_checked(spark):
         fuzzy_blocked_pairs(df, "n", max_dist=0)
     with pytest.raises(ValueError, match="max_block_size"):
         fuzzy_blocked_pairs(df, "n", max_block_size=1)
+
+
+def test_k_anonymity_report_hand_checked(spark):
+    """QI (city, age): the full set has two singleton cells (risk 2
+    rows); dropping age heals everything, dropping city heals one —
+    the report ranks age as the generalization target."""
+    from influxdb_ha_spark.operators.pipeline import k_anonymity_report
+    rows = [("x", 30)] * 4 + [("x", 31)] + [("y", 30)] * 3 + [("y", 32)]
+    df = spark.createDataFrame(rows, "city string, age long")
+    got = {r.dropped: r for r in
+           k_anonymity_report(df, ["city", "age"], k=2).collect()}
+    full = got["(none)"]
+    assert (full.level, full.n_groups, full.n_violating,
+            full.rows_at_risk, full.total_rows) == (0, 4, 2, 2, 9)
+    assert full.risk_ppm == 2 * 1_000_000 // 9
+    # drop age -> cells {x:5, y:4}: zero risk
+    assert (got["age"].level, got["age"].n_violating,
+            got["age"].rows_at_risk) == (2, 0, 0)
+    # drop city -> cells {30:7, 31:1, 32:1}: 2 rows still at risk
+    assert (got["city"].level, got["city"].rows_at_risk) == (1, 2)
+
+
+def test_k_anonymity_null_qi_is_a_cell_and_validation(spark):
+    from influxdb_ha_spark.operators.pipeline import k_anonymity_report
+    import pytest
+    df = spark.createDataFrame([(None,), (None,), ("z",)], "q string")
+    got = {r.dropped: r for r in
+           k_anonymity_report(df, ["q"], k=2).collect()}
+    # NULL cell has 2 rows (safe at k=2); 'z' is the singleton at risk
+    assert (got["(none)"].n_violating, got["(none)"].rows_at_risk) == (1, 1)
+    with pytest.raises(ValueError, match="qi_cols"):
+        k_anonymity_report(df, [])
+    with pytest.raises(ValueError, match="k must"):
+        k_anonymity_report(df, ["q"], k=1)
