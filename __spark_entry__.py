@@ -2681,6 +2681,18 @@ def q_graph_sssp(spark, sf):
     return GR.sssp(edges, seeds, rounds=6)
 
 
+def q_graph_modularity(spark, sf):
+    """Per-community modularity of the LPA partition on the co-order
+    part graph (added scope — Newman & Girvan 2004: the score that
+    turns graph_label_prop's blocks into 'these blocks beat random'):
+    exact int64 numerator 4·m·e_c − d_c² over (2m)², one floor-round-6
+    division; communities with zero intra edges stay visible
+    (operators/graph.py:modularity)."""
+    from influxdb_ha_spark.operators import graph as GR
+    edges = _graph_edges(spark, sf)
+    return GR.modularity(edges, GR.label_propagation(edges, rounds=4))
+
+
 def q_graph_closeness(spark, sf):
     """Sampled-source closeness centrality on the co-order part graph
     (added scope — Eppstein & Wang 2001: the k-BFS estimator for an
@@ -3946,6 +3958,7 @@ _FAMILIES = [
         "graph_bfs": q_graph_bfs,
         "graph_sssp": q_graph_sssp,
         "graph_closeness": q_graph_closeness,
+        "graph_modularity": q_graph_modularity,
     },
     {
         # mergeable sketch summaries (added scope; operators/sketch.py)

@@ -494,6 +494,64 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
     return res
 
 
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community modularity contributions (Newman & Girvan 2004) of
+    a node partition over an undirected (src < dst) edge list — the
+    quality score that turns label_propagation's output from "here are
+    blocks" into "these blocks beat random": Q = Σ_c [e_c/m −
+    (d_c/2m)²], reported per community so the weak communities are
+    identifiable, with Q itself = the sum of `q_contrib`.
+
+    EXACT arithmetic: the per-community numerator 4·m·e_c − d_c² is
+    computed in int64 (m = edge count, e_c = intra-community edges,
+    d_c = community degree sum — all exact counts) and divided by
+    (2m)² in ONE floor-round-6 IEEE division, so both engines agree
+    bit-for-bit. m is guarded at 2³⁰ edges in-plan (the pettitt loud-
+    overflow convention — beyond that 4m² leaves int64 and the
+    documented swap is DECIMAL(38,0) numerators, which DuckDB's
+    HUGEINT mirrors natively).
+
+    Shape: two node-keyed label joins + one community-keyed count for
+    e_c, one node-keyed degree agg + community-keyed sum for d_c, the
+    edge count as a 1-row broadcast scalar (q11 convention). Labels
+    ride the shuffles, never the adjacency twice. Communities with no
+    intra edges report e_c = 0 (left join), so a partition that
+    shattered a component is visible, not absent.
+
+    Output: (community, n_nodes, e_intra, d_total, q_contrib).
+    """
+    lab = labels.select("node", "community")
+    e = edges.select("src", "dst")
+    m_row = e.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    intra = (e.join(lab.select(F.col("node").alias("src"),
+                               F.col("community").alias("__cs")), "src")
+             .join(lab.select(F.col("node").alias("dst"),
+                              F.col("community").alias("__cd")), "dst")
+             .where(F.col("__cs") == F.col("__cd"))
+             .groupBy(F.col("__cs").alias("community"))
+             .agg(F.count(F.lit(1)).cast("long").alias("e_intra")))
+    dc = (degrees(e).join(lab, "node").groupBy("community")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+               F.sum("degree").cast("long").alias("d_total")))
+    m = F.col("__m")
+    e_c = F.coalesce(F.col("e_intra"), F.lit(0).cast("long"))
+    num = (F.when(m > F.lit(1 << 30),
+                  F.raise_error(F.lit(
+                      "modularity: edge count exceeds 2^30 — 4m^2 "
+                      "leaves int64; switch the numerator to "
+                      "DECIMAL(38,0) (see docstring)")).cast("long"))
+           .otherwise(F.lit(4) * m * e_c
+                      - F.col("d_total") * F.col("d_total")))
+    denom = (F.lit(2) * m) * (F.lit(2) * m)
+    return (dc.join(intra, "community", "left")
+            .crossJoin(F.broadcast(m_row))
+            .select("community", "n_nodes", e_c.alias("e_intra"),
+                    "d_total",
+                    (F.floor(num.cast("double") / denom.cast("double")
+                             * F.lit(1000000.0) + F.lit(0.5))
+                     / F.lit(1000000.0)).alias("q_contrib")))
+
+
 def link_predict(edges: DataFrame, k: int = 3, min_common: int = 2,
                  center_cap: int = 256, round_to: int = 6) -> DataFrame:
     """Top-k link suggestions per node by neighbor-overlap Jaccard

@@ -3935,6 +3935,31 @@ def build_oracles() -> dict[str, str]:
       FROM lp{_LP_ROUNDS} l
       JOIN lpsizes ON lpsizes.community = l.community""")
 
+    # Modularity of the LPA partition: exact BIGINT numerator
+    # 4*m*e_c - d_c^2 over (2m)^2, one floor-round-6 division;
+    # zero-intra communities kept via left join
+    o["graph_modularity"] = (
+        "WITH " + _G_EDGES + "," + ",".join(lp_ctes) + f""",
+      mm AS (SELECT count(*)::BIGINT AS m FROM e),
+      intra AS (SELECT ls.community, count(*)::BIGINT AS e_intra
+                FROM e
+                JOIN lp{_LP_ROUNDS} ls ON ls.node = e.src
+                JOIN lp{_LP_ROUNDS} ld ON ld.node = e.dst
+                WHERE ls.community = ld.community GROUP BY 1),
+      mdeg AS (SELECT src AS node, count(*)::BIGINT AS degree
+               FROM sym GROUP BY 1),
+      dc AS (SELECT l.community, count(*)::BIGINT AS n_nodes,
+                    sum(mdeg.degree)::BIGINT AS d_total
+             FROM mdeg JOIN lp{_LP_ROUNDS} l ON l.node = mdeg.node
+             GROUP BY 1)
+      SELECT dc.community, dc.n_nodes,
+             COALESCE(intra.e_intra, 0)::BIGINT AS e_intra, dc.d_total,
+             floor((4 * mm.m * COALESCE(intra.e_intra, 0)
+                    - dc.d_total * dc.d_total)::DOUBLE
+                   / ((2 * mm.m) * (2 * mm.m))::DOUBLE
+                   * 1000000.0 + 0.5) / 1000000.0 AS q_contrib
+      FROM dc LEFT JOIN intra ON intra.community = dc.community, mm""")
+
     # Degree assortativity (Newman 2002): HUGEINT-exact moments over the
     # directed symmetric edge list, one double division + two IEEE sqrts
     # at the end; degenerate denominators -> NULL (mirror of

@@ -284,3 +284,35 @@ def test_closeness_center_beats_periphery(spark):
     assert all(got[leaf] < got[0] for leaf in (4, 5, 6))
     # a seed leaf excludes itself: 2 seeds at dist 2 each -> 0.5
     assert got[1] == 0.5
+
+
+def test_modularity_two_cliques_hand_checked(spark):
+    # two triangles bridged by one edge, perfect partition: m = 7,
+    # e_c = 3, d_c = 7 each -> q_contrib = 3/7 - (7/14)^2 = 5/28
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6),
+                       (3, 4)])
+    lab = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3)] + [(n, 2) for n in (4, 5, 6)],
+        "node long, community long")
+    got = {r.community: r for r in G.modularity(e, lab).collect()}
+    import math
+    exp = math.floor(5 / 28 * 1e6 + 0.5) / 1e6
+    for c in (1, 2):
+        assert (got[c].n_nodes, got[c].e_intra, got[c].d_total) == (3, 3, 7)
+        assert got[c].q_contrib == exp
+    # one community holding everything scores exactly 0
+    one = spark.createDataFrame([(n, 9) for n in range(1, 7)],
+                                "node long, community long")
+    (row,) = G.modularity(e, one).collect()
+    assert (row.e_intra, row.d_total, row.q_contrib) == (7, 14, 0.0)
+
+
+def test_modularity_shattered_partition_visible(spark):
+    # singleton partition: every community has e_intra = 0 and a
+    # NEGATIVE contribution -- the shattering is visible, not absent
+    e = _edges(spark, [(1, 2), (2, 3)])
+    lab = spark.createDataFrame([(n, n) for n in (1, 2, 3)],
+                                "node long, community long")
+    rows = G.modularity(e, lab).collect()
+    assert len(rows) == 3
+    assert all(r.e_intra == 0 and r.q_contrib < 0 for r in rows)

@@ -28,6 +28,10 @@ import __spark_entry__ as entry_mod
 # entries are additionally guarded at runtime: functions/fill.py refuses
 # spines above MAX_SPINE_BUCKETS.
 BOUNDED_SINGLE_PARTITION = {
+    "graph_modularity": "the 1-row edge-count scalar (partial counts "
+                        "combine map-side; final = P partial rows); "
+                        "every data-sized stage is node- or "
+                        "community-keyed",
     "emb_hybrid_rrf": "the two rank windows run on ALREADY-TRUNCATED "
                       "top-k retrieval lists (≤ 20 rows each — bounded "
                       "by the lists' k PARAMETERS, the text_zipf "
@@ -144,6 +148,11 @@ BOUNDED_SINGLE_PARTITION = {
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
 # justification required, stale entries flagged).
 ALLOWED_CARTESIAN = {
+    "graph_modularity": "the 1-row edge-count scalar broadcast onto "
+                        "the per-community fold (≤ |communities| rows "
+                        "— the q11/tpch_q15 scalar-anchor pattern); "
+                        "e_c/d_c themselves are node/community-keyed "
+                        "equi-joins",
     "emb_hybrid_rrf": "inherits emb_brute_topk's allowlisted corpus x "
                       "broadcast(1 query vector) exact baseline for its "
                       "semantic list (swap in ivf/pq at scale) plus "
