@@ -2660,6 +2660,19 @@ def q_diag_skew(spark, sf):
     return key_skew_profile(ev, ["user_id"], top=20)
 
 
+def q_sk_ams_f2(spark, sf):
+    """AMS tug-of-war F2 (self-join size) sketch per event_type over
+    user_id (added scope — Alon, Matias & Szegedy 1996): d=32 signed
+    counters per group, f2_est = (Σ Z_i²) div d beside the exact
+    Σc² audit — F2 of a join key IS its self-join row count, the
+    companion of sk_join_sample (sizes a two-table join) and diag_skew
+    (the per-key view of the same distribution); integers end-to-end
+    (operators/sketch.py:ams_f2)."""
+    from influxdb_ha_spark.operators.sketch import ams_f2
+    ev = _t(spark, sf, "events").select("event_type", "user_id")
+    return ams_f2(ev, "user_id", by=["event_type"], d=32)
+
+
 def q_graph_sssp(spark, sf):
     """Weighted multi-source shortest paths on the co-order part graph
     (added scope — the weighted companion of graph_bfs): edge cost =
@@ -3973,6 +3986,7 @@ _FAMILIES = [
         "sk_overlap_matrix": q_sk_overlap_matrix,
         "sk_hll_rollup": q_sk_hll_rollup,
         "sk_hll_cube": q_sk_hll_cube,
+        "sk_ams_f2": q_sk_ams_f2,
         "diag_skew": q_diag_skew,
     },
     {

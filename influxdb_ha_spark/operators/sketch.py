@@ -341,6 +341,83 @@ def _hll_fold(regs: DataFrame, g) -> DataFrame:
                          _fr6(est).alias("est_distinct"))
 
 
+def ams_f2(df: DataFrame, item_col: str, by=None, d: int = 32,
+           seed: int = 11, hash_fn: str = "md5") -> DataFrame:
+    """AMS "tug-of-war" second-moment (F2) sketch per group — the
+    self-join-size estimator (Alon, Matias & Szegedy 1996, "The space
+    complexity of approximating the frequency moments"): F2 = Σ_x c_x²
+    is exactly the row count of a self-equi-join on `item_col`, the
+    quantity a join planner needs BEFORE committing to the shuffle, and
+    the "skew energy" a uniform key minimizes. The sketch keeps d
+    signed counters Z_i = Σ_rows s_i(x) with s_i(x) ∈ {−1, +1} drawn
+    from the universal hash family shared with minhash/countmin
+    (s_i = 1 − 2·((a_i·(h64(x) mod p) + b_i) mod p mod 2)); each Z_i²
+    is an unbiased F2 estimate, and the output averages the d of them
+    with one integer floor division: f2_est = (Σ_i Z_i²) div d — exact
+    integers end-to-end, no rounding contract, both engines bit-equal.
+
+    Returns (by..., n_rows, n_items, f2_exact, f2_est): n_items and
+    f2_exact come from an exact key-keyed count — the audit columns
+    that exist at test scale (at 100 TB the sketch replaces them; they
+    are also the countmin convention, exact_cnt beside cm_est).
+
+    Overflow headroom: Z_i² ≤ n² and Σc_x² ≤ n², so groups beyond
+    n = 2²⁸ rows could push Σ_i Z_i² past int64; the build raises
+    loudly there (the pettitt/modularity convention) — the documented
+    swap is DECIMAL(38,0) ↔ DuckDB HUGEINT for the squares.
+
+    Scale shape: ONE map-side-combinable groupBy carrying d+1 integer
+    partial sums per group — no per-row state, no second shuffle, and
+    two states merge by component-wise + (Z is a sum), which is exactly
+    Spark's partial aggregation. The exact audit side is the only
+    key-keyed shuffle and exists for the gate, not the production path.
+
+    hash_fn: "md5" (oracle default, DuckDB-replayable) | "fast"
+    (xxhash64 — the _sketch_hash production split; signs differ because
+    the hash differs, but every estimator property is identical).
+    """
+    g = _grp(by)
+    if int(d) < 1:
+        raise ValueError(f"ams_f2: d must be >= 1, got {d!r}")
+    p = F.lit(MERSENNE_P)
+    coeffs = minhash_coeffs(int(d), seed=seed)
+    base = (df.select(*g, F.col(item_col).alias("__i"))
+            .where(F.col("__i").isNotNull())
+            .withColumn("__h", _sketch_hash(F.col("__i"), hash_fn) % p))
+    signs = [
+        (F.lit(1) - F.lit(2)
+         * (((F.lit(a) * F.col("__h") + F.lit(b)) % p) % F.lit(2)))
+        .cast("long")
+        for a, b in coeffs]
+    zs = base.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[F.sum(s).alias(f"__z{i}") for i, s in enumerate(signs)])
+    sq_sum = sum((F.col(f"__z{i}") * F.col(f"__z{i}")
+                  for i in range(1, len(coeffs))),
+                 F.col("__z0") * F.col("__z0"))
+    # `div` (SQL integer division — exact on int64, where a double
+    # divide would round above 2^53) needs a NAMED operand in F.expr
+    est = (F.when(F.col("n_rows") > F.lit(1 << 28),
+                  F.raise_error(F.lit(
+                      "ams_f2: group exceeds 2^28 rows — sum of Z_i^2 "
+                      "leaves int64; switch the squares to "
+                      "DECIMAL(38,0) (see docstring)")).cast("long"))
+           .otherwise(F.expr(f"__sq div {int(d)}L")))
+    exact = (base.groupBy(*g, "__i")
+             .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+             .groupBy(*g)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                  F.sum(F.col("__c") * F.col("__c")).cast("long")
+                  .alias("f2_exact")))
+    out = (zs.withColumn("__sq", sq_sum)
+           .select(*g, "n_rows", est.cast("long").alias("f2_est")))
+    if g:
+        joined = out.join(exact, g)
+    else:
+        joined = out.crossJoin(F.broadcast(exact))
+    return joined.select(*g, "n_rows", "n_items", "f2_exact", "f2_est")
+
+
 def _theta_col(k: int):
     """Exhaustive-aware theta from a per-group sketch summary (__t =
     max retained hash, __ku = retained count): the group's k-th

@@ -4222,6 +4222,30 @@ def build_oracles() -> dict[str, str]:
       FROM pr JOIN cells ON cells.rw = pr.rw AND cells.bucket = pr.bucket
       GROUP BY 1"""
 
+    # AMS tug-of-war F2: d=32 signed sums per group from the shared
+    # universal hash family (seed 11), est = (sum of squares) // d,
+    # exact Σc² audit beside it — integer-exact end-to-end
+    _ams_coef = minhash_coeffs(32, seed=11)
+    _ams_h = f"{duck_hash64('user_id::VARCHAR')} % {MERSENNE_P}"
+    _ams_zs = ",\n             ".join(
+        f"sum(1 - 2 * ((({a} * h + {b}) % {MERSENNE_P}) % 2))::BIGINT "
+        f"AS z{i}"
+        for i, (a, b) in enumerate(_ams_coef))
+    _ams_sq = " + ".join(f"z{i} * z{i}" for i in range(len(_ams_coef)))
+    o["sk_ams_f2"] = f"""
+      WITH b AS (SELECT event_type AS g, user_id AS i, {_ams_h} AS h
+                 FROM events WHERE user_id IS NOT NULL),
+      z AS (SELECT g, count(*)::BIGINT AS n_rows,
+             {_ams_zs}
+            FROM b GROUP BY 1),
+      ex AS (SELECT g, count(*)::BIGINT AS n_items,
+                    sum(c * c)::BIGINT AS f2_exact
+             FROM (SELECT g, i, count(*)::BIGINT AS c FROM b
+                   GROUP BY 1, 2) GROUP BY 1)
+      SELECT z.g AS event_type, z.n_rows, ex.n_items, ex.f2_exact,
+             (({_ams_sq}) // 32)::BIGINT AS f2_est
+      FROM z JOIN ex ON z.g = ex.g"""
+
     # Coordinated-sample join-size estimate: same 1/64 hash slice of
     # the join key on both sides; est scales by the rate ONCE
     _js_lh = duck_hash64("l_orderkey::VARCHAR")

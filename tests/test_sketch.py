@@ -587,3 +587,84 @@ def test_hll_cube_custom_sets_and_validation(spark):
         hll_cube(df, "v", dims=[])
     with pytest.raises(ValueError, match="subset"):
         hll_cube(df, "v", dims=["t"], sets=[["zz"]])
+
+
+# -- AMS F2 ------------------------------------------------------------
+
+
+def _ams_replay(items, d, seed=11):
+    """Python replay of ams_f2's exact arithmetic (hash64 mod p, LCG
+    sign family, integer floor division)."""
+    import hashlib
+    from collections import Counter
+
+    from influxdb_ha_spark.operators.hashing import (MERSENNE_P,
+                                                     minhash_coeffs)
+    coeffs = minhash_coeffs(d, seed=seed)
+    zs = [0] * d
+    for it in items:
+        h = int(hashlib.md5(str(it).encode()).hexdigest()[:15], 16) \
+            % MERSENNE_P
+        for i, (a, b) in enumerate(coeffs):
+            zs[i] += 1 - 2 * (((a * h + b) % MERSENNE_P) % 2)
+    c = Counter(items)
+    return (len(items), len(c), sum(v * v for v in c.values()),
+            sum(z * z for z in zs) // d)
+
+
+def test_ams_f2_matches_python_replay(spark):
+    from influxdb_ha_spark.operators.sketch import ams_f2
+    rows = ([("a", f"u{i % 7}") for i in range(100)]
+            + [("b", f"v{i % 3}") for i in range(50)])
+    df = spark.createDataFrame(rows, "g string, item string")
+    got = {r.g: r for r in ams_f2(df, "item", by=["g"], d=16).collect()}
+    for gname in ("a", "b"):
+        items = [it for gg, it in rows if gg == gname]
+        n, ni, f2, est = _ams_replay(items, 16)
+        r = got[gname]
+        assert (r.n_rows, r.n_items, r.f2_exact, r.f2_est) == \
+            (n, ni, f2, est)
+
+
+def test_ams_f2_partition_shape_independent(spark):
+    """Z_i is a plain sum — any partitioning folds to identical ints."""
+    from influxdb_ha_spark.operators.sketch import ams_f2
+    rows = [("k", f"x{i % 11}") for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, item string")
+    a = ams_f2(df.repartition(1), "item", by=["g"], d=8).collect()
+    b = ams_f2(df.repartition(13), "item", by=["g"], d=8).collect()
+    assert a == b
+
+
+def test_ams_f2_ungrouped_and_fast_path(spark):
+    """Ungrouped output is one row; the xxhash64 fast path keeps the
+    exact audit columns identical (only the estimate's sample of signs
+    changes with the hash)."""
+    from influxdb_ha_spark.operators.sketch import ams_f2
+    df = spark.createDataFrame([(f"u{i % 5}",) for i in range(40)],
+                               "item string")
+    (md5_row,) = ams_f2(df, "item", d=8).collect()
+    (fast_row,) = ams_f2(df, "item", d=8, hash_fn="fast").collect()
+    n, ni, f2, est = _ams_replay([f"u{i % 5}" for i in range(40)], 8)
+    assert (md5_row.n_rows, md5_row.n_items,
+            md5_row.f2_exact, md5_row.f2_est) == (n, ni, f2, est)
+    assert (fast_row.n_rows, fast_row.n_items, fast_row.f2_exact) == \
+        (n, ni, f2)
+
+
+def test_ams_f2_exact_audit_is_selfjoin_size(spark):
+    """f2_exact IS the self-equi-join row count — the quantity the
+    estimator approximates."""
+    from influxdb_ha_spark.operators.sketch import ams_f2
+    df = spark.createDataFrame([(f"u{i % 4}",) for i in range(30)],
+                               "item string")
+    (r,) = ams_f2(df, "item", d=4).collect()
+    assert r.f2_exact == df.alias("a").join(
+        df.alias("b"), F.col("a.item") == F.col("b.item")).count()
+
+
+def test_ams_f2_validation(spark):
+    from influxdb_ha_spark.operators.sketch import ams_f2
+    df = spark.createDataFrame([("x",)], "item string")
+    with pytest.raises(ValueError, match="d must be >= 1"):
+        ams_f2(df, "item", d=0)
