@@ -2660,6 +2660,20 @@ def q_diag_skew(spark, sf):
     return key_skew_profile(ev, ["user_id"], top=20)
 
 
+def q_diag_profile(spark, sf):
+    """One-sweep column profiler over customer (added scope — the
+    "what is in this table" report behind layout decisions): per
+    column, row/null counts, the deterministic m=256 HLL distinct
+    estimate, and lexicographic min/max of the string rendering;
+    profiled columns restricted to string/integral types, whose
+    renderings both engines produce byte-identically
+    (operators/diagnostics.py:column_profile)."""
+    from influxdb_ha_spark.operators.diagnostics import column_profile
+    return column_profile(
+        _t(spark, sf, "customer"),
+        ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
+
+
 def q_sk_ams_f2(spark, sf):
     """AMS tug-of-war F2 (self-join size) sketch per event_type over
     user_id (added scope — Alon, Matias & Szegedy 1996): d=32 signed
@@ -3988,6 +4002,7 @@ _FAMILIES = [
         "sk_hll_cube": q_sk_hll_cube,
         "sk_ams_f2": q_sk_ams_f2,
         "diag_skew": q_diag_skew,
+        "diag_profile": q_diag_profile,
     },
     {
         # LLM-pipeline scope (§7): multimodal

@@ -11,6 +11,11 @@ distributed operator rather than a notebook one-off).
   the mean. The companion of sketch.join_sample_estimate (which sizes
   the JOIN OUTPUT; this sizes the key DISTRIBUTION feeding it) and of
   graph.degree_histogram (the same audit on graph adjacency).
+- column_profile : the one-sweep data profiler — per column: row/null
+  counts, HLL-estimated distinct cardinality, lexicographic min/max —
+  the "what is actually in this table" report run before schema
+  decisions (which columns can bucket, which need dictionary encoding,
+  which are accidentally constant or accidentally unique).
 
 Everything is built-in DataFrame ops, integer-exact end-to-end (counts,
 floor divisions — no floats anywhere), so any partitioning and any
@@ -71,3 +76,60 @@ def key_skew_profile(df: DataFrame, key_cols: list,
                            "div (total_rows div n_keys)")
                     .alias("salt_factor"),
                     "total_rows", "n_keys"))
+
+
+def column_profile(df: DataFrame, cols: list) -> DataFrame:
+    """One-sweep column profiler: for each named column, the row count,
+    null count, HLL-estimated distinct cardinality (the m = 256
+    register sketch of operators/sketch.py — deterministic, so the
+    estimate is a testable value), and the lexicographic min/max of the
+    column's STRING rendering. The report behind storage/layout
+    decisions: a column with est_distinct ≈ n_rows is a candidate
+    unique key (bucket/sort on it), est_distinct in the hundreds is a
+    dictionary/partition column, n_null ≈ n_rows is dead weight, and
+    min_s/max_s expose accidental sentinel values ('', '0', 'NULL').
+
+    Values are profiled through their string rendering — ONE unified
+    row shape for any input schema, and exactly reproducible for
+    string and integral columns (both engines render them
+    identically). Float renderings differ across engines in general
+    (Java's Double.toString vs DuckDB's shortest-round-trip), so
+    cross-engine-gated profiles should stick to string/int columns;
+    min_s/max_s compare bytewise, which for non-negative fixed-width
+    integers also matches numeric order.
+
+    Returns (col_name, n_rows, n_null, est_distinct, min_s, max_s),
+    one row per profiled column; est_distinct is NULL for an all-null
+    column (no values to sketch).
+
+    Scale shape: the stack (one array-of-structs explode — map-side,
+    ×|cols| rows but ZERO extra scans: column pruning keeps the read
+    at exactly the profiled columns) feeds two bounded aggregations:
+    a (col_name) stats agg carrying 4 integer/string partials and the
+    (col_name, register) HLL maxima (≤ 256 rows per column out of the
+    map side) folded by sketch._hll_fold. Both are map-side
+    combinable; the final join is |cols| rows a side, broadcast. The
+    ×|cols| row inflation is the price of one unified output shape —
+    the alternative (C×(4+m) aggregate expressions in one pass, no
+    explode) trades plan size for it and is the swap at very wide
+    schemas.
+    """
+    if not cols:
+        raise ValueError("column_profile: cols must be non-empty")
+    from .sketch import hll_distinct
+
+    stacked = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 F.col(c).cast("string").alias("__v"))
+        for c in cols])).alias("s")).select("s.col_name", "s.__v")
+    stats = (stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("__v").isNull().cast("long")).cast("long")
+        .alias("n_null"),
+        F.min("__v").alias("min_s"),
+        F.max("__v").alias("max_s")))
+    est = (hll_distinct(stacked, "__v", by=["col_name"])
+           .select("col_name", "est_distinct"))
+    return (stats.join(F.broadcast(est), "col_name", "left")
+            .select("col_name", "n_rows", "n_null", "est_distinct",
+                    "min_s", "max_s"))

@@ -4222,6 +4222,44 @@ def build_oracles() -> dict[str, str]:
       FROM pr JOIN cells ON cells.rw = pr.rw AND cells.bucket = pr.bucket
       GROUP BY 1"""
 
+    # One-sweep column profiler: per column, counts + the m=256 HLL
+    # replay over the string rendering + lexicographic min/max — one
+    # UNION ALL branch per profiled column
+    def _profile_col(tbl: str, c: str) -> str:
+        h = duck_hash64(f"{c}::VARCHAR")
+        est = (f'CASE WHEN {_hll_raw} <= {2.5 * HLL_M!r} '
+               f'AND n_empty > 0 '
+               f'THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} '
+               f'/ n_empty::DOUBLE) '
+               f'ELSE {_hll_raw} END')
+        return f"""
+      SELECT '{c}' AS col_name,
+             (SELECT count(*) FROM {tbl})::BIGINT AS n_rows,
+             (SELECT count(*) FROM {tbl} WHERE {c} IS NULL)::BIGINT
+               AS n_null,
+             (SELECT {fr(est, 6)} FROM (
+                SELECT n_buckets_used,
+                       ({HLL_M} - n_buckets_used)::BIGINT AS n_empty,
+                       (s_used + ({HLL_M} - n_buckets_used)
+                        * (1::BIGINT << 53))::BIGINT AS s_total
+                FROM (SELECT count(*)::BIGINT AS n_buckets_used,
+                             sum(1::BIGINT << (53 - m)::INT)::BIGINT
+                               AS s_used
+                      FROM (SELECT j, max(rho) AS m FROM
+                            (SELECT h % {HLL_M} AS j,
+                                    CASE WHEN h // {HLL_M} = 0 THEN 53
+                                         ELSE 53 - length(bin(
+                                             h // {HLL_M})) END AS rho
+                             FROM (SELECT {h} AS h FROM {tbl}
+                                   WHERE {c} IS NOT NULL))
+                            GROUP BY 1)))) AS est_distinct,
+             (SELECT min({c}::VARCHAR) FROM {tbl}) AS min_s,
+             (SELECT max({c}::VARCHAR) FROM {tbl}) AS max_s"""
+
+    o["diag_profile"] = "\n      UNION ALL ".join(
+        _profile_col("customer", c)
+        for c in ("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+
     # AMS tug-of-war F2: d=32 signed sums per group from the shared
     # universal hash family (seed 11), est = (sum of squares) // d,
     # exact Σc² audit beside it — integer-exact end-to-end

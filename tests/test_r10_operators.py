@@ -2,6 +2,7 @@
 Spark jobs at construction), and the scoped SHOW CARDINALITY exact
 fallback (InfluxDB 1.x estimates database-wide only)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from influxdb_ha_spark.model import Catalog
@@ -201,3 +202,37 @@ def test_k_anonymity_null_qi_is_a_cell_and_validation(spark):
         k_anonymity_report(df, [])
     with pytest.raises(ValueError, match="k must"):
         k_anonymity_report(df, ["q"], k=1)
+
+
+# -- column_profile ----------------------------------------------------
+
+
+def test_column_profile_counts_and_minmax(spark):
+    """Hand-checked profile: counts, nulls, lexicographic min/max, and
+    the HLL estimate equals hll_distinct run directly (exact in the
+    linear-counting regime at these cardinalities)."""
+    from influxdb_ha_spark.operators.diagnostics import column_profile
+    from influxdb_ha_spark.operators.sketch import hll_distinct
+    df = spark.createDataFrame(
+        [(1, "b", None), (2, "a", None), (3, "a", None), (4, None, None)],
+        "k long, s string, dead string")
+    got = {r.col_name: r for r in
+           column_profile(df, ["k", "s", "dead"]).collect()}
+    assert set(got) == {"k", "s", "dead"}
+    k = got["k"]
+    assert (k.n_rows, k.n_null, k.min_s, k.max_s) == (4, 0, "1", "4")
+    s = got["s"]
+    assert (s.n_rows, s.n_null, s.min_s, s.max_s) == (4, 1, "a", "b")
+    (direct,) = hll_distinct(
+        df.select(F.col("s").alias("v")), "v").collect()
+    assert s.est_distinct == direct.est_distinct
+    dead = got["dead"]
+    assert dead.n_null == 4 and dead.est_distinct is None
+    assert dead.min_s is None and dead.max_s is None
+
+
+def test_column_profile_validation(spark):
+    from influxdb_ha_spark.operators.diagnostics import column_profile
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="cols must be non-empty"):
+        column_profile(df, [])
