@@ -2660,6 +2660,20 @@ def q_diag_skew(spark, sf):
     return key_skew_profile(ev, ["user_id"], top=20)
 
 
+def q_doc_setsim_exact(spark, sf):
+    """EXACT token-set Jaccard ≥ 7/10 self-join via prefix filtering
+    (added scope — SSJoin/All-Pairs lineage, the deterministic
+    counterpart of the LSH pipeline: no recall curve, no probabilistic
+    miss) over a 1-in-7 sample of the corpus; rational threshold keeps
+    every pruning comparison integer-exact; the ORACLE is the
+    brute-force pairwise join — a different algorithm, so the green
+    hash certifies the prefix filter's losslessness empirically
+    (operators/dedup.py:setsim_exact_join)."""
+    docs = (_t(spark, sf, "documents")
+            .where(F.pmod(F.col("doc_id"), F.lit(7)) == 0))
+    return D.setsim_exact_join(docs, t_num=7, t_den=10)
+
+
 def q_diag_profile(spark, sf):
     """One-sweep column profiler over customer (added scope — the
     "what is in this table" report behind layout decisions): per
@@ -3855,6 +3869,7 @@ _FAMILIES = [
         "doc_dup_profile": q_doc_dup_profile,
         "doc_novelty": q_doc_novelty,
         "doc_dedup_sweep": q_doc_dedup_sweep,
+        "doc_setsim_exact": q_doc_setsim_exact,
         "doc_chunk": q_doc_chunk,
         "doc_quality_sample": q_doc_quality_sample,
         "doc_ngram_counts": q_doc_ngram_counts,

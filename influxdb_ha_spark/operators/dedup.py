@@ -239,6 +239,97 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                    shingle_k=k)
 
 
+def setsim_exact_join(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", t_num: int = 7,
+                      t_den: int = 10) -> DataFrame:
+    """EXACT token-set similarity self-join via prefix filtering — every
+    pair of documents whose unigram token sets have Jaccard ≥
+    t_num/t_den, with NO probabilistic miss (the deterministic
+    counterpart of minhash_near_duplicates, whose LSH candidate stage
+    has a recall curve; SSJoin/All-Pairs lineage: Chaudhuri, Ganti &
+    Kaushik 2006; Bayardo, Ma & Srikant 2007).
+
+    Prefix principle: order every token by the global total order
+    (document-frequency asc, token asc — rarest first). If
+    J(x, y) ≥ t then |x∩y| ≥ ⌈t·|x|⌉, and two sets with overlap ≥ α
+    must collide within their first |x|−α+1 ordered tokens — so each
+    doc only EMITS its prefix of |x| − ⌈t·|x|⌉ + 1 rarest tokens as
+    join keys, and completeness is preserved (prefix filtering is
+    LOSSLESS, which is why the oracle can be the brute-force pairwise
+    join: same answer by theorem, not by tuning). The threshold is a
+    RATIONAL t_num/t_den so every pruning comparison is exact integer
+    cross-multiplication: ⌈t·n⌉ = (t_num·n + t_den − 1) div t_den, the
+    size filter t·|x| ≤ |y| is t_num·sz_a ≤ t_den·sz_b, and the final
+    verify is t_den·inter ≥ t_num·(sz_a + sz_b − inter) — no float
+    enters until the one reported division.
+
+    Returns (id_a, id_b, size_a, size_b, n_common, jaccard) with
+    id_a < id_b and jaccard = inter/union rounded at 6.
+
+    Scale shape: one token-keyed frequency join + one doc-keyed
+    collect build the ordered sets; the candidate join explodes ONLY
+    prefixes (each doc's rarest tokens — the frequency ordering exists
+    precisely to keep these join groups small) and prunes by the size
+    filter BEFORE the pair distinct; the verify joins token arrays to
+    candidate pairs only — candidate-bounded, like the LSH verify.
+    Skew honesty: a token that stays rare per-document but is shared
+    by a mass-duplicated cluster still fans out k² pairs — that is
+    REAL output (those docs genuinely match), not avoidable work; the
+    documented tightening for harder corpora is the positional filter
+    (PPJoin) which prunes candidates whose prefix positions already
+    bound the overlap below α.
+    """
+    if t_num < 1 or t_den < 1 or t_num > t_den:
+        raise ValueError(
+            f"setsim_exact_join: threshold t_num/t_den must satisfy "
+            f"0 < t_num <= t_den, got {t_num}/{t_den}")
+    tok = (df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+           .distinct())
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    docs = (tok.join(freq, "tok")
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list(
+                F.struct(F.col("f"), F.col("tok").alias("t"))))
+                .alias("__ord"))
+            .withColumn("sz", F.size("__ord"))
+            .withColumn("__plen",
+                        F.col("sz")
+                        - F.expr(f"({t_num}L * sz + {t_den - 1}) "
+                                 f"div {t_den}L") + F.lit(1))
+            .select("id", "sz",
+                    F.expr("transform(__ord, s -> s.t)").alias("toks"),
+                    F.expr("slice(__ord, 1, __plen)").alias("__pref")))
+    pref = (docs.select(F.col("id"), F.col("sz"),
+                        F.explode("__pref").alias("p"))
+            .select("id", "sz", F.col("p.t").alias("tok")))
+    pa = pref.select(F.col("id").alias("id_a"),
+                     F.col("sz").alias("size_a"), "tok")
+    pb = pref.select(F.col("id").alias("id_b"),
+                     F.col("sz").alias("size_b"), "tok")
+    cand = (pa.join(pb, "tok")
+            .where((F.col("id_a") < F.col("id_b"))
+                   & (F.lit(t_num) * F.col("size_a")
+                      <= F.lit(t_den) * F.col("size_b"))
+                   & (F.lit(t_num) * F.col("size_b")
+                      <= F.lit(t_den) * F.col("size_a")))
+            .select("id_a", "id_b", "size_a", "size_b")
+            .distinct())
+    ta = docs.select(F.col("id").alias("id_a"), F.col("toks").alias("__ta"))
+    tb = docs.select(F.col("id").alias("id_b"), F.col("toks").alias("__tb"))
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+            .withColumn("n_common", inter)
+            .where(F.lit(t_den) * F.col("n_common")
+                   >= F.lit(t_num) * (F.col("size_a") + F.col("size_b")
+                                      - F.col("n_common")))
+            .select("id_a", "id_b", "size_a", "size_b", "n_common",
+                    F.round(F.col("n_common").cast("double")
+                            / (F.col("size_a") + F.col("size_b")
+                               - F.col("n_common")).cast("double"), 6)
+                    .alias("jaccard")))
+
+
 # -- SimHash ---------------------------------------------------------------
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -4222,6 +4222,28 @@ def build_oracles() -> dict[str, str]:
       FROM pr JOIN cells ON cells.rw = pr.rw AND cells.bucket = pr.bucket
       GROUP BY 1"""
 
+    # Exact set-similarity join: BRUTE-FORCE pairwise over the sampled
+    # sub-corpus — deliberately a DIFFERENT algorithm than the Spark
+    # prefix-filter join, so the green hash certifies the filter's
+    # losslessness empirically, not just by theorem
+    o["doc_setsim_exact"] = f"""
+      WITH tok AS (SELECT DISTINCT doc_id AS id, unnest({TOKS}) AS tok
+                   FROM documents WHERE doc_id % 7 = 0),
+      sz AS (SELECT id, count(*)::BIGINT AS sz FROM tok GROUP BY 1),
+      com AS (SELECT a.id AS id_a, b.id AS id_b,
+                     count(*)::BIGINT AS n_common
+              FROM tok a JOIN tok b
+                ON a.tok = b.tok AND a.id < b.id
+              GROUP BY 1, 2)
+      SELECT c.id_a, c.id_b, sa.sz AS size_a, sb.sz AS size_b,
+             c.n_common,
+             round(c.n_common::DOUBLE
+                   / (sa.sz + sb.sz - c.n_common)::DOUBLE, 6) AS jaccard
+      FROM com c
+      JOIN sz sa ON sa.id = c.id_a
+      JOIN sz sb ON sb.id = c.id_b
+      WHERE 10 * c.n_common >= 7 * (sa.sz + sb.sz - c.n_common)"""
+
     # One-sweep column profiler: per column, counts + the m=256 HLL
     # replay over the string rendering + lexicographic min/max — one
     # UNION ALL branch per profiled column

@@ -67,3 +67,73 @@ def test_dedup_threshold_sweep_golden(spark):
     # touching exactly docs {1, 2}; doc 3 never appears
     for t in rows:
         assert rows[t] == (1, 2), t
+
+
+def test_setsim_exact_hand_checked(spark):
+    """a={w1..w5}, b={w1..w4,x} -> inter 4, union 6, J=2/3: kept at
+    t=3/5, dropped at t=7/10; c disjoint never pairs."""
+    from influxdb_ha_spark.operators.dedup import setsim_exact_join
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 x"),
+         (3, "p q r s t")], "doc_id long, text string")
+    got = setsim_exact_join(docs, t_num=3, t_den=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b, r.size_a, r.size_b, r.n_common) == \
+        (1, 2, 5, 5, 4)
+    assert r.jaccard == round(4 / 6, 6)
+    assert setsim_exact_join(docs, t_num=7, t_den=10).count() == 0
+
+
+def test_setsim_exact_lossless_vs_brute_force(spark):
+    """Prefix filtering must return EXACTLY the brute-force pair set —
+    the losslessness theorem checked on a corpus with duplicate
+    clusters, subset docs, and singletons."""
+    from pyspark.sql import functions as F
+
+    from influxdb_ha_spark.operators.dedup import setsim_exact_join
+    texts = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta zeta",
+        3: "alpha beta gamma delta epsilon",     # clone of 1
+        4: "alpha beta",                         # subset, fails size
+        5: "one two three four five six",
+        6: "one two three four five seven",
+        7: "lonely",
+    }
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    got = {(r.id_a, r.id_b) for r in
+           setsim_exact_join(docs, t_num=7, t_den=10).collect()}
+    # brute force in python
+    toks = {i: set(t.split()) for i, t in texts.items()}
+    want = set()
+    for a in toks:
+        for b in toks:
+            if a < b:
+                inter = len(toks[a] & toks[b])
+                union = len(toks[a] | toks[b])
+                if 10 * inter >= 7 * union:
+                    want.add((a, b))
+    assert got == want and (1, 3) in got
+
+
+def test_setsim_exact_singleton_and_empty_docs(spark):
+    """Single-token docs keep prefix 1 (identical singletons pair at
+    J=1); empty-token docs are excluded entirely."""
+    from influxdb_ha_spark.operators.dedup import setsim_exact_join
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "solo"), (3, "   "), (4, "!!!")],
+        "doc_id long, text string")
+    got = setsim_exact_join(docs, t_num=1, t_den=1).collect()
+    assert len(got) == 1
+    assert (got[0].id_a, got[0].id_b, got[0].jaccard) == (1, 2, 1.0)
+
+
+def test_setsim_exact_validation(spark):
+    from influxdb_ha_spark.operators.dedup import setsim_exact_join
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="t_num"):
+        setsim_exact_join(docs, t_num=0, t_den=10)
+    with pytest.raises(ValueError, match="t_num"):
+        setsim_exact_join(docs, t_num=11, t_den=10)
