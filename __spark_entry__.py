@@ -2647,6 +2647,18 @@ def q_text_fuzzy_pairs(spark, sf):
                                max_dist=3)
 
 
+def q_text_entities(spark, sf):
+    """Entity resolution over the part-name vocabulary (added scope —
+    the full record-linkage composition): fuzzy_blocked_pairs edges →
+    min-label connected components → every distinct p_name labeled
+    with its component's lexicographically-smallest member as the
+    canonical key, singletons themselves; transitive closure links
+    A–C through B even when dist(A,C) > max_dist
+    (operators/text.py:entity_clusters)."""
+    from influxdb_ha_spark.operators.text import entity_clusters
+    return entity_clusters(_t(spark, sf, "part"), "p_name", max_dist=3)
+
+
 def q_diag_skew(spark, sf):
     """Shuffle-key skew profile of the events entity key (added scope —
     the salting decision table run BEFORE committing to user_id-keyed
@@ -3924,6 +3936,7 @@ _FAMILIES = [
         "text_zipf": q_text_zipf,
         "text_burstiness": q_text_burstiness,
         "text_fuzzy_pairs": q_text_fuzzy_pairs,
+        "text_entities": q_text_entities,
         "doc_length_profile": q_doc_length_profile,
         "text_top_tokens": q_text_top_tokens,
         "text_lm_score": q_text_lm_score,

@@ -1173,3 +1173,54 @@ def fuzzy_blocked_pairs(df: DataFrame, str_col: str,
             .select("block", "a", "b",
                     F.levenshtein("a", "b").alias("dist"))
             .where(F.col("dist") <= F.lit(int(max_dist))))
+
+
+def entity_clusters(df: DataFrame, str_col: str,
+                    block_pattern: str = "[a-z0-9]+$",
+                    max_dist: int = 3, max_block_size: int = 256,
+                    max_iter: int = 20) -> DataFrame:
+    """Entity RESOLUTION over a string column — the full record-linkage
+    composition (Fellegi & Sunter 1969 lineage): fuzzy_blocked_pairs
+    generates the within-block Levenshtein match edges, connected
+    components (dedup.connected_components' min-label propagation)
+    transitively closes them into entities, and every distinct string
+    gets a row: (entity, canonical, cluster_size) with `canonical` the
+    component's lexicographically-smallest member (the deterministic
+    cluster representative — the same smallest-id election as
+    doc_dedup_clusters) and unmatched strings their own singleton
+    entity. The table a pipeline joins back on `entity` to replace
+    free-text variants ("acme corp", "acme corp.") with one canonical
+    key before grouping — the step that turns fuzzy MATCHING into
+    fuzzy DEDUPLICATION.
+
+    Transitive closure is the point of the components pass: A~B and
+    B~C link A and C even when dist(A, C) > max_dist — entity identity
+    is an equivalence relation, pairwise matching is not.
+
+    Scale shape: the pair stage is block-bounded (fuzzy_blocked_pairs'
+    cap — oversized degenerate blocks drop loudly); the closure
+    iterates min-label over the PAIR graph only (|matched vocabulary|
+    nodes, converges in component-diameter rounds — shallow for edit-
+    distance clusters); the singleton completion is one anti-join of
+    the distinct vocabulary; cluster_size one |vocab|-row groupBy. The
+    corpus itself never rides any of it — only the distinct string
+    vocabulary does (the fuzzy_blocked_pairs argument).
+    """
+    from .dedup import connected_components
+    pairs = fuzzy_blocked_pairs(df, str_col, block_pattern=block_pattern,
+                                max_dist=max_dist,
+                                max_block_size=max_block_size)
+    comp = (connected_components(pairs, id_a="a", id_b="b",
+                                 max_iter=max_iter)
+            .select(F.col("doc_id").alias("entity"),
+                    F.col("cluster").alias("canonical")))
+    vocab = (df.select(F.col(str_col).alias("entity"))
+             .where(F.col("entity").isNotNull())
+             .distinct())
+    singles = (vocab.join(comp.select("entity"), "entity", "left_anti")
+               .withColumn("canonical", F.col("entity")))
+    labeled = comp.unionByName(singles)
+    sizes = (labeled.groupBy("canonical")
+             .agg(F.count(F.lit(1)).cast("long").alias("cluster_size")))
+    return (labeled.join(sizes, "canonical")
+            .select("entity", "canonical", "cluster_size"))

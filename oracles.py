@@ -1520,6 +1520,37 @@ def build_oracles() -> dict[str, str]:
                 JOIN bk b ON b.block = a.block
       WHERE a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 3"""
 
+    # Entity resolution: the fuzzy pair edges transitively closed into
+    # components (min-string canonical), singletons completing the
+    # distinct vocabulary; sizes over the canonical label
+    o["text_entities"] = """
+      WITH RECURSIVE s AS (SELECT DISTINCT p_name AS nm FROM part
+                           WHERE p_name IS NOT NULL),
+      bk AS (SELECT regexp_extract(nm, '[a-z0-9]+$', 0) AS block, nm
+             FROM s),
+      ok AS (SELECT block FROM bk GROUP BY 1
+             HAVING count(*) BETWEEN 2 AND 256),
+      pr AS (SELECT a.nm AS a, b.nm AS b
+             FROM bk a JOIN ok ON a.block = ok.block
+                       JOIN bk b ON b.block = a.block
+             WHERE a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 3),
+      e AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        WHERE e.b != r.a),
+      m AS (SELECT a AS entity, least(a, min(b)) AS canonical
+            FROM reach GROUP BY a),
+      lab AS (SELECT entity, canonical FROM m
+              UNION ALL
+              SELECT nm, nm FROM s
+              WHERE nm NOT IN (SELECT entity FROM m)),
+      sz AS (SELECT canonical, count(*)::BIGINT AS cluster_size
+             FROM lab GROUP BY 1)
+      SELECT lab.entity, lab.canonical, sz.cluster_size
+      FROM lab JOIN sz USING (canonical)"""
+
     o["text_top_tokens"] = f"""
       WITH t AS (SELECT unnest({TOKS}) AS token FROM documents)
       SELECT token, count(*) AS n FROM t GROUP BY 1

@@ -236,3 +236,40 @@ def test_column_profile_validation(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="cols must be non-empty"):
         column_profile(df, [])
+
+
+# -- entity_clusters ---------------------------------------------------
+
+
+def test_entity_clusters_transitive_closure(spark):
+    """A~B (dist 1) and B~C (dist 1) but dist(A, C) = 2 > max_dist=1:
+    the closure still puts all three in ONE entity with the
+    lexicographically-smallest member canonical."""
+    from influxdb_ha_spark.operators.text import entity_clusters
+    df = spark.createDataFrame(
+        [("acme corp",), ("acme corpa",), ("acme corpab",),
+         ("zeta inc",)], "name string")
+    got = {r.entity: r for r in
+           entity_clusters(df, "name", block_pattern="^[a-z0-9]+",
+                           max_dist=1).collect()}
+    assert len(got) == 4
+    trio = {"acme corp", "acme corpa", "acme corpab"}
+    for nm in trio:
+        assert got[nm].canonical == "acme corp"
+        assert got[nm].cluster_size == 3
+    assert got["zeta inc"].canonical == "zeta inc"
+    assert got["zeta inc"].cluster_size == 1
+
+
+def test_entity_clusters_covers_whole_vocabulary(spark):
+    """Every distinct non-null string gets exactly one row; duplicates
+    in the input collapse; nulls are excluded."""
+    from influxdb_ha_spark.operators.text import entity_clusters
+    df = spark.createDataFrame(
+        [("aa x",), ("aa x",), ("ab x",), (None,), ("solo y",)],
+        "name string")
+    rows = entity_clusters(df, "name", max_dist=1).collect()
+    assert sorted(r.entity for r in rows) == ["aa x", "ab x", "solo y"]
+    by = {r.entity: r for r in rows}
+    assert by["aa x"].canonical == by["ab x"].canonical == "aa x"
+    assert by["solo y"].cluster_size == 1
