@@ -2700,6 +2700,18 @@ def q_diag_profile(spark, sf):
         ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
 
 
+def q_diag_zonemap(spark, sf):
+    """Zone map of the events value column per day bucket, with the
+    skip verdict for value ∈ [480, 500) (added scope — the per-bucket
+    min/max stats behind parquet row-group skipping / Iceberg file
+    pruning, materialized so a planned predicate's pruning ratio is
+    measurable; min/max involve no arithmetic, engine-exact on
+    doubles) (operators/diagnostics.py:zone_map)."""
+    from influxdb_ha_spark.operators.diagnostics import zone_map
+    ev = _events_us(spark, sf).select("time", "value")
+    return zone_map(ev, "value", pred_lo=480.0, pred_hi=500.0)
+
+
 def q_sk_ams_f2(spark, sf):
     """AMS tug-of-war F2 (self-join size) sketch per event_type over
     user_id (added scope — Alon, Matias & Szegedy 1996): d=32 signed
@@ -4031,6 +4043,7 @@ _FAMILIES = [
         "sk_ams_f2": q_sk_ams_f2,
         "diag_skew": q_diag_skew,
         "diag_profile": q_diag_profile,
+        "diag_zonemap": q_diag_zonemap,
     },
     {
         # LLM-pipeline scope (§7): multimodal

@@ -4313,6 +4313,21 @@ def build_oracles() -> dict[str, str]:
         _profile_col("customer", c)
         for c in ("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
 
+    # Zone map: per-day min/max/counts of value at µs-truncated ns
+    # time, plus the [480, 500) skip verdict — no arithmetic on the
+    # values themselves
+    o["diag_zonemap"] = f"""
+      WITH e AS (SELECT ({EV_TIME} - {EV_TIME} % 1000) AS t, value
+                 FROM events),
+      b AS (SELECT (t - t % {DAY}) AS bucket, value FROM e
+            WHERE t IS NOT NULL)
+      SELECT bucket, count(*)::BIGINT AS n_rows,
+             sum((value IS NULL)::BIGINT)::BIGINT AS n_null,
+             min(value) AS v_min, max(value) AS v_max,
+             (max(value) IS NULL OR max(value) < 480.0
+              OR min(value) >= 500.0) AS prunable
+      FROM b GROUP BY 1"""
+
     # AMS tug-of-war F2: d=32 signed sums per group from the shared
     # universal hash family (seed 11), est = (sum of squares) // d,
     # exact Σc² audit beside it — integer-exact end-to-end

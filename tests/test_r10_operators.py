@@ -273,3 +273,35 @@ def test_entity_clusters_covers_whole_vocabulary(spark):
     by = {r.entity: r for r in rows}
     assert by["aa x"].canonical == by["ab x"].canonical == "aa x"
     assert by["solo y"].cluster_size == 1
+
+
+# -- zone_map ----------------------------------------------------------
+
+
+def test_zone_map_hand_checked(spark):
+    """Two buckets with known ranges; the [10, 20) predicate prunes
+    the bucket entirely below it, keeps the overlapping one, and an
+    all-null bucket is prunable for any range."""
+    from influxdb_ha_spark.operators.diagnostics import zone_map
+    D = 86_400_000_000_000
+    rows = [(0 * D + 5, 1.0), (0 * D + 9, 9.0),          # day 0: [1, 9]
+            (1 * D + 5, 15.0), (1 * D + 9, 25.0),        # day 1: [15, 25]
+            (2 * D + 5, None), (2 * D + 9, None)]        # day 2: nulls
+    df = spark.createDataFrame(rows, "time long, value double")
+    got = {r.bucket // D: r for r in
+           zone_map(df, "value", pred_lo=10.0, pred_hi=20.0).collect()}
+    assert got[0].prunable and (got[0].v_min, got[0].v_max) == (1.0, 9.0)
+    assert not got[1].prunable
+    assert got[2].prunable and got[2].v_min is None
+    assert (got[2].n_rows, got[2].n_null) == (2, 2)
+
+
+def test_zone_map_no_predicate_and_validation(spark):
+    from influxdb_ha_spark.operators.diagnostics import zone_map
+    df = spark.createDataFrame([(1, 1.0)], "time long, value double")
+    cols = zone_map(df, "value").columns
+    assert "prunable" not in cols
+    with pytest.raises(ValueError, match="bucket_ns"):
+        zone_map(df, "value", bucket_ns=0)
+    with pytest.raises(ValueError, match="both pred_lo"):
+        zone_map(df, "value", pred_lo=1.0)
