@@ -2700,6 +2700,23 @@ def q_diag_profile(spark, sf):
         ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
 
 
+def q_diag_join_advisor(spark, sf):
+    """Join-strategy decision table for lineitem ⋈ orders on orderkey
+    (added scope — the one-operator measurement behind every
+    broadcast/salt/shuffle note in SCALE.md): per side exact
+    rows/keys/heaviest-key from ONE key-keyed groupBy each,
+    coordinated 1/64-sample join-size estimate, and the deterministic
+    CASE recommendation — data-dependent by design: broadcast at
+    sf0.01, shuffle at 100 TB
+    (operators/diagnostics.py:join_advisor)."""
+    from influxdb_ha_spark.operators.diagnostics import join_advisor
+    return join_advisor(
+        _t(spark, sf, "lineitem").select("l_orderkey"),
+        _t(spark, sf, "orders").select("o_orderkey"),
+        "l_orderkey", "o_orderkey", rate=64,
+        broadcast_max_rows=50_000)
+
+
 def q_diag_zonemap(spark, sf):
     """Zone map of the events value column per day bucket, with the
     skip verdict for value ∈ [480, 500) (added scope — the per-bucket
@@ -4044,6 +4061,7 @@ _FAMILIES = [
         "diag_skew": q_diag_skew,
         "diag_profile": q_diag_profile,
         "diag_zonemap": q_diag_zonemap,
+        "diag_join_advisor": q_diag_join_advisor,
     },
     {
         # LLM-pipeline scope (§7): multimodal

@@ -186,3 +186,102 @@ def zone_map(df: DataFrame, value_col: str, time_col: str = "time",
                 | (F.col("v_max") < F.lit(pred_lo))
                 | (F.col("v_min") >= F.lit(pred_hi)))
     return out.withColumn("prunable", prunable)
+
+
+def join_advisor(left: DataFrame, right: DataFrame,
+                 left_key: str, right_key: str,
+                 rate: int = 64,
+                 broadcast_max_rows: int = 1_000_000,
+                 skew_salt_threshold: int = 4) -> DataFrame:
+    """The join-strategy decision TABLE for a prospective equi-join —
+    every number the "broadcast the small side / salt the hot keys /
+    let it shuffle" advice in SCALE.md presumes, measured in one
+    operator, plus the decision itself as a column. Per side: exact
+    row count, exact distinct-key count, the heaviest key's row count
+    and the salt fan-out that would level it (the key_skew_profile
+    arithmetic); across sides: the coordinated-sample join-size
+    estimate (the sketch.join_sample_estimate estimator — both sides
+    keep the same 1/`rate` hash slice of the key space, surviving
+    pairs scale by rate ONCE). `recommendation` is a deterministic
+    CASE over those numbers:
+
+      broadcast_right / broadcast_left  — a side fits under
+        `broadcast_max_rows` (rows as the proxy for the real bytes
+        threshold; smaller side wins a tie);
+      salted_shuffle — both sides too big and either side's heaviest
+        key exceeds `skew_salt_threshold` × its mean key load (the
+        partition that would straggle);
+      shuffle — big, level keys: the plain hash/sort-merge exchange
+        is the right plan.
+
+    The decision is DATA-dependent by design: the same query
+    broadcast-joins at sf0.01 and salt-shuffles at 100 TB — which is
+    exactly why the probe exists as an operator and not as a constant
+    in someone's head.
+
+    Returns ONE row: (n_left, n_right, keys_left, keys_right,
+    max_key_left, max_key_right, salt_left, salt_right,
+    sampled_pairs, est_pairs, recommendation).
+
+    Scale shape: per side ONE key-keyed count groupBy (map-side
+    combinable; |distinct keys| rows) folded to a 1-row summary — the
+    row count, EXACT key count and max key load all fall out of the
+    same shuffle, which is why no HLL is needed here; the sample join
+    touches ~1/rate of each side with the predicate pushed into the
+    scan; everything then combines as 1-row broadcast scalars (the
+    q11 convention). Strictly cheaper than the join it de-risks.
+    """
+    if rate < 1:
+        raise ValueError(f"join_advisor: rate must be >= 1, got {rate!r}")
+    from .hashing import hash64_expr
+
+    def side(df, key):
+        counts = (df.where(F.col(key).isNotNull())
+                  .groupBy(F.col(key).alias("__k"))
+                  .agg(F.count(F.lit(1)).alias("__c")))
+        return counts.agg(
+            F.sum("__c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("keys"),
+            F.max("__c").cast("long").alias("max_key"))
+
+    ls = side(left, left_key).select(
+        F.col("n").alias("n_left"), F.col("keys").alias("keys_left"),
+        F.col("max_key").alias("max_key_left"))
+    rs = side(right, right_key).select(
+        F.col("n").alias("n_right"), F.col("keys").alias("keys_right"),
+        F.col("max_key").alias("max_key_right"))
+    lh = F.pmod(hash64_expr(F.col(left_key).cast("string")),
+                F.lit(int(rate)))
+    rh = F.pmod(hash64_expr(F.col(right_key).cast("string")),
+                F.lit(int(rate)))
+    samp = (left.where(F.col(left_key).isNotNull() & (lh == 0))
+            .select(F.col(left_key).alias("__k"))
+            .join(right.where(F.col(right_key).isNotNull() & (rh == 0))
+                  .select(F.col(right_key).alias("__k")), "__k")
+            .agg(F.count(F.lit(1)).cast("long").alias("sampled_pairs")))
+    one = ls.crossJoin(F.broadcast(rs)).crossJoin(F.broadcast(samp))
+    # integer salt factors: ceil(max_key / mean key load), mean =
+    # n div keys (the key_skew_profile arithmetic, floor-division only)
+    salt_l = F.expr("(max_key_left + (n_left div keys_left) - 1) "
+                    "div (n_left div keys_left)")
+    salt_r = F.expr("(max_key_right + (n_right div keys_right) - 1) "
+                    "div (n_right div keys_right)")
+    bmax = F.lit(int(broadcast_max_rows))
+    sthr = F.lit(int(skew_salt_threshold))
+    rec = (F.when((F.col("n_right") <= bmax)
+                  & (F.col("n_right") <= F.col("n_left")),
+                  F.lit("broadcast_right"))
+           .when(F.col("n_left") <= bmax, F.lit("broadcast_left"))
+           .when(F.col("n_right") <= bmax, F.lit("broadcast_right"))
+           .when((F.col("salt_left") >= sthr)
+                 | (F.col("salt_right") >= sthr), F.lit("salted_shuffle"))
+           .otherwise(F.lit("shuffle")))
+    return (one
+            .withColumn("salt_left", salt_l)
+            .withColumn("salt_right", salt_r)
+            .select("n_left", "n_right", "keys_left", "keys_right",
+                    "max_key_left", "max_key_right",
+                    "salt_left", "salt_right", "sampled_pairs",
+                    (F.col("sampled_pairs") * F.lit(int(rate)))
+                    .cast("long").alias("est_pairs"),
+                    rec.alias("recommendation")))

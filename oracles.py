@@ -4313,6 +4313,47 @@ def build_oracles() -> dict[str, str]:
         _profile_col("customer", c)
         for c in ("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
 
+    # Join advisor: per-side rows/keys/max-key from one keyed count,
+    # coordinated 1/64 sample estimate, deterministic CASE decision
+    _ja_lh = duck_hash64("l_orderkey::VARCHAR")
+    _ja_oh = duck_hash64("o_orderkey::VARCHAR")
+    o["diag_join_advisor"] = f"""
+      WITH lc AS (SELECT l_orderkey AS k, count(*)::BIGINT AS c
+                  FROM lineitem WHERE l_orderkey IS NOT NULL
+                  GROUP BY 1),
+      rc AS (SELECT o_orderkey AS k, count(*)::BIGINT AS c
+             FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+      l AS (SELECT sum(c)::BIGINT AS n_left,
+                   count(*)::BIGINT AS keys_left,
+                   max(c)::BIGINT AS max_key_left FROM lc),
+      r AS (SELECT sum(c)::BIGINT AS n_right,
+                   count(*)::BIGINT AS keys_right,
+                   max(c)::BIGINT AS max_key_right FROM rc),
+      sp AS (SELECT count(*)::BIGINT AS sampled_pairs FROM
+               (SELECT l_orderkey AS k FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND {_ja_lh} % 64 = 0) a
+               JOIN
+               (SELECT o_orderkey AS k FROM orders
+                WHERE o_orderkey IS NOT NULL AND {_ja_oh} % 64 = 0) b
+               USING (k)),
+      t AS (SELECT *,
+              ((max_key_left + (n_left // keys_left) - 1)
+               // (n_left // keys_left))::BIGINT AS salt_left,
+              ((max_key_right + (n_right // keys_right) - 1)
+               // (n_right // keys_right))::BIGINT AS salt_right
+            FROM l, r, sp)
+      SELECT n_left, n_right, keys_left, keys_right,
+             max_key_left, max_key_right, salt_left, salt_right,
+             sampled_pairs, (sampled_pairs * 64)::BIGINT AS est_pairs,
+             CASE WHEN n_right <= 50000 AND n_right <= n_left
+                    THEN 'broadcast_right'
+                  WHEN n_left <= 50000 THEN 'broadcast_left'
+                  WHEN n_right <= 50000 THEN 'broadcast_right'
+                  WHEN salt_left >= 4 OR salt_right >= 4
+                    THEN 'salted_shuffle'
+                  ELSE 'shuffle' END AS recommendation
+      FROM t"""
+
     # Zone map: per-day min/max/counts of value at µs-truncated ns
     # time, plus the [480, 500) skip verdict — no arithmetic on the
     # values themselves

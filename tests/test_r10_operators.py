@@ -305,3 +305,40 @@ def test_zone_map_no_predicate_and_validation(spark):
         zone_map(df, "value", bucket_ns=0)
     with pytest.raises(ValueError, match="both pred_lo"):
         zone_map(df, "value", pred_lo=1.0)
+
+
+# -- join_advisor ------------------------------------------------------
+
+
+def test_join_advisor_hand_checked_broadcast_and_salt(spark):
+    """Small right side -> broadcast_right with exact side stats; a
+    hot left key above threshold with big sides -> salted_shuffle."""
+    from influxdb_ha_spark.operators.diagnostics import join_advisor
+    left = spark.createDataFrame(
+        [(k,) for k in [1] * 8 + [2, 3]], "k long")     # hot key 1
+    right = spark.createDataFrame([(1,), (2,)], "k long")
+    (r,) = join_advisor(left, right, "k", "k",
+                        broadcast_max_rows=5).collect()
+    assert (r.n_left, r.keys_left, r.max_key_left) == (10, 3, 8)
+    assert (r.n_right, r.keys_right, r.max_key_right) == (2, 2, 1)
+    # mean left load = 10 div 3 = 3 -> salt = ceil(8/3) = 3
+    assert r.salt_left == 3 and r.salt_right == 1
+    assert r.recommendation == "broadcast_right"
+    # shrink the broadcast budget below both sides: skew now decides
+    (r2,) = join_advisor(left, right, "k", "k", broadcast_max_rows=1,
+                         skew_salt_threshold=3).collect()
+    assert r2.recommendation == "salted_shuffle"
+    (r3,) = join_advisor(left, right, "k", "k", broadcast_max_rows=1,
+                         skew_salt_threshold=10).collect()
+    assert r3.recommendation == "shuffle"
+
+
+def test_join_advisor_sample_estimate_and_validation(spark):
+    """rate=1 samples everything: est_pairs == the exact join size."""
+    from influxdb_ha_spark.operators.diagnostics import join_advisor
+    left = spark.createDataFrame([(i % 5,) for i in range(50)], "k long")
+    right = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    (r,) = join_advisor(left, right, "k", "k", rate=1).collect()
+    assert r.sampled_pairs == r.est_pairs == 50
+    with pytest.raises(ValueError, match="rate"):
+        join_advisor(left, right, "k", "k", rate=0)
