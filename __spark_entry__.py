@@ -2700,6 +2700,22 @@ def q_diag_profile(spark, sf):
         ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
 
 
+def q_graph_harmonic(spark, sf):
+    """Sampled-source harmonic centrality on the co-order part graph
+    (added scope — Marchiori & Latora 2000; Boldi & Vigna 2014): Σ1/d
+    over the same 4-round fused k-seed BFS distances as
+    graph_closeness (shared _seed_distances state — one frontier
+    plan), folded EXACTLY as integer Σ lcm(1..4)/d with one final IEEE
+    division; unreachable seeds contribute 0, so disconnected
+    components keep comparable scores
+    (operators/graph.py:harmonic)."""
+    from influxdb_ha_spark.operators import graph as GR
+    seeds = (_t(spark, sf, "part")
+             .where(F.pmod(F.col("p_partkey"), F.lit(97)) == 0)
+             .select(F.col("p_partkey").alias("node")))
+    return GR.harmonic(_graph_edges(spark, sf), seeds, rounds=4)
+
+
 def q_diag_join_advisor(spark, sf):
     """Join-strategy decision table for lineitem ⋈ orders on orderkey
     (added scope — the one-operator measurement behind every
@@ -4042,6 +4058,7 @@ _FAMILIES = [
         "graph_bfs": q_graph_bfs,
         "graph_sssp": q_graph_sssp,
         "graph_closeness": q_graph_closeness,
+        "graph_harmonic": q_graph_harmonic,
         "graph_modularity": q_graph_modularity,
     },
     {

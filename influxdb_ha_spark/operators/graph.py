@@ -38,6 +38,8 @@ convention).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -697,6 +699,26 @@ def closeness(edges: DataFrame, seeds: DataFrame, rounds: int = 4,
     """
     if rounds < 1:
         raise ValueError("closeness: rounds must be >= 1")
+    reached = _seed_distances(edges, seeds, rounds, reliable)
+    n = F.count(F.lit(1))
+    s = F.sum("dist")
+    return (reached.where(F.col("dist") >= 1)
+            .groupBy("node")
+            .agg(n.cast("long").alias("n_seeds"),
+                 s.cast("long").alias("sum_dist"))
+            .select("node", "n_seeds", "sum_dist",
+                    (F.floor(F.col("n_seeds").cast("double")
+                             / F.col("sum_dist").cast("double")
+                             * F.lit(1000000.0) + F.lit(0.5))
+                     / F.lit(1000000.0)).alias("closeness")))
+
+
+def _seed_distances(edges: DataFrame, seeds: DataFrame, rounds: int,
+                    reliable: bool = False) -> DataFrame:
+    """The fused k-seed BFS state table (node, seed, dist ≤ rounds) —
+    closeness's frontier pipeline factored out so the centrality folds
+    (closeness's n/Σd, harmonic's Σ1/d) share ONE distance
+    computation and cannot drift apart."""
     sym = _symmetric(edges).persist()
     reached = _truncate_lineage(
         seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
@@ -716,17 +738,48 @@ def closeness(edges: DataFrame, seeds: DataFrame, rounds: int = 4,
         reached = _truncate_lineage(reached.unionByName(new), reliable)
         frontier = new
     sym.unpersist()
-    n = F.count(F.lit(1))
-    s = F.sum("dist")
+    return reached
+
+
+def harmonic(edges: DataFrame, seeds: DataFrame, rounds: int = 4,
+             reliable: bool = False) -> DataFrame:
+    """Sampled-source HARMONIC centrality — Σ over reached seeds of
+    1/dist (Marchiori & Latora 2000's harmonic mean variant; the
+    centrality Boldi & Vigna 2014 argue is the axiomatically sound one
+    of the closeness family): unlike closeness it handles DISCONNECTED
+    graphs gracefully — an unreachable seed contributes 0 instead of
+    making the score undefined, so nodes of small components keep
+    comparable scores and the operator emits every node that reached
+    ≥ 1 seed without a reachability footnote.
+
+    Shares closeness's fused k-seed BFS state (_seed_distances — one
+    frontier plan, O(k·|E|) total) and differs only in the fold, which
+    is EXACT-integer here too: dist ≤ rounds, so every 1/dist is a
+    multiple of 1/L with L = lcm(1..rounds) — the fold carries
+    h_fp = Σ L div dist as a BIGINT (the ev_markov fixed-point
+    convention) and performs ONE IEEE division h_fp / L at the end,
+    floor-rounded at 6. No float ever enters a shuffle or a sum.
+
+    Returns (node, n_seeds, h_fp, harmonic): sample-relative like
+    closeness — the population rescale is the caller's constant.
+
+    Scale shape: identical to closeness (the shared state IS the
+    cost); the fold is one node-keyed integer aggregation.
+    """
+    if rounds < 1:
+        raise ValueError("harmonic: rounds must be >= 1")
+    L = math.lcm(*range(1, rounds + 1))
+    reached = _seed_distances(edges, seeds, rounds, reliable)
     return (reached.where(F.col("dist") >= 1)
             .groupBy("node")
-            .agg(n.cast("long").alias("n_seeds"),
-                 s.cast("long").alias("sum_dist"))
-            .select("node", "n_seeds", "sum_dist",
-                    (F.floor(F.col("n_seeds").cast("double")
-                             / F.col("sum_dist").cast("double")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_seeds"),
+                 F.sum(F.expr(f"{L}L div dist")).cast("long")
+                 .alias("h_fp"))
+            .select("node", "n_seeds", "h_fp",
+                    (F.floor(F.col("h_fp").cast("double")
+                             / F.lit(float(L))
                              * F.lit(1000000.0) + F.lit(0.5))
-                     / F.lit(1000000.0)).alias("closeness")))
+                     / F.lit(1000000.0)).alias("harmonic")))
 
 
 def sssp(edges: DataFrame, seeds: DataFrame, rounds: int = 6,

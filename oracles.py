@@ -4118,6 +4118,20 @@ def build_oracles() -> dict[str, str]:
                    * 1000000.0 + 0.5) / 1000000.0 AS closeness
       FROM c{_CL_ROUNDS} WHERE dist >= 1 GROUP BY node""")
 
+    # Harmonic centrality: the SAME unrolled k-seed BFS distances,
+    # folded as the exact integer sum of lcm(1..rounds)//dist with one
+    # final division (dist <= rounds, so every term divides the lcm)
+    import math as _math
+    _CL_LCM = _math.lcm(*range(1, _CL_ROUNDS + 1))
+    o["graph_harmonic"] = (
+        "WITH " + _G_EDGES + "," + ",".join(cl_ctes) + f"""
+      SELECT node, count(*)::BIGINT AS n_seeds,
+             sum({_CL_LCM} // dist)::BIGINT AS h_fp,
+             floor(sum({_CL_LCM} // dist)::BIGINT::DOUBLE
+                   / {float(_CL_LCM)!r}
+                   * 1000000.0 + 0.5) / 1000000.0 AS harmonic
+      FROM c{_CL_ROUNDS} WHERE dist >= 1 GROUP BY node""")
+
     # --- sketch family (operators/sketch.py): deterministic mergeable
     # sketches — same md5 hash64, integer state, pinned float points;
     # every output column explicitly ::BIGINT (the ts_pettitt HUGEINT

@@ -316,3 +316,36 @@ def test_modularity_shattered_partition_visible(spark):
     rows = G.modularity(e, lab).collect()
     assert len(rows) == 3
     assert all(r.e_intra == 0 and r.q_contrib < 0 for r in rows)
+
+
+def test_harmonic_path_graph_hand_checked(spark):
+    # path 1-2-3-4-5, seeds {1, 5}: harmonic = sum of 1/dist, computed
+    # as exact integer lcm(1..4)=12 multiples (h_fp) / 12
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {r.node: r for r in G.harmonic(e, seeds, rounds=4).collect()}
+    # node 3: 1/2 + 1/2 -> h_fp = 6 + 6 = 12 -> 1.0
+    assert (got[3].n_seeds, got[3].h_fp, got[3].harmonic) == (2, 12, 1.0)
+    # node 2: 1/1 + 1/3 -> 12 + 4 = 16 -> 16/12 = 1.333333
+    import math
+    assert (got[2].h_fp, got[2].harmonic) == \
+        (16, math.floor(16 / 12 * 1e6 + 0.5) / 1e6)
+    # node 1 (a seed): only seed 5 at dist 4 -> 3/12 = 0.25; its own
+    # dist-0 pair is excluded
+    assert (got[1].n_seeds, got[1].h_fp, got[1].harmonic) == (1, 3, 0.25)
+    with pytest.raises(ValueError, match="rounds"):
+        G.harmonic(e, seeds, rounds=0)
+
+
+def test_harmonic_handles_disconnection_gracefully(spark):
+    # two components; seeds in both: closeness-style scores would be
+    # incomparable across components, harmonic just sums reachable
+    # seeds — node 2 (component A) scores from seed 1 only
+    e = _edges(spark, [(1, 2), (10, 11)])
+    seeds = spark.createDataFrame([(1,), (10,)], "node long")
+    got = {r.node: r for r in G.harmonic(e, seeds, rounds=3).collect()}
+    assert (got[2].n_seeds, got[2].harmonic) == (1, 1.0)
+    assert (got[11].n_seeds, got[11].harmonic) == (1, 1.0)
+    # shared state with closeness: same reach set
+    cl = {r.node for r in G.closeness(e, seeds, rounds=3).collect()}
+    assert set(got) == cl
