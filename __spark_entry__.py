@@ -2525,6 +2525,25 @@ def q_sk_hll_rollup(spark, sf):
                       bucket_ns=86_400_000_000_000)
 
 
+def q_sk_hist_rollup(spark, sf):
+    """Time-bucketed histogram rollup: daily per-(type, bin) count
+    partials merged cell-wise into whole-range p50/p95/p99 (added
+    scope — the ADDITIVE sibling of sk_hll_rollup's idempotent
+    max-merge; together they cover both sketch merge algebras). Same
+    [0, 512)/1024-bin spine, clamp exposure and q validation as
+    sk_hist_quantile, same _hist_fold arithmetic; the oracle computes
+    the single-pass whole-range quantiles, so the green hash
+    certifies the rollup exactly
+    (operators/sketch.py:histogram_rollup)."""
+    from influxdb_ha_spark.operators.sketch import histogram_rollup
+    ev = _events_us(spark, sf).select("event_type", "time", "value")
+    return histogram_rollup(ev, value_col="value", time_col="time",
+                            by=["event_type"],
+                            bucket_ns=86_400_000_000_000,
+                            lo=0.0, hi=512.0, bins=1024,
+                            qs=(0.5, 0.95, 0.99))
+
+
 def q_sk_hll_cube(spark, sf):
     """Distinct-user CUBE from one register table (added scope — the
     OLAP generalization of sk_hll_rollup's single time axis): distinct
@@ -2645,6 +2664,18 @@ def q_text_fuzzy_pairs(spark, sf):
     from influxdb_ha_spark.operators.text import fuzzy_blocked_pairs
     return fuzzy_blocked_pairs(_t(spark, sf, "part"), "p_name",
                                max_dist=3)
+
+
+def q_doc_shards(spark, sf):
+    """Deterministic training-shard assignment (added scope — the
+    reproducible global shuffle: shard = hash64 mod 8, pos = hash rank
+    within shard, a cross-engine pseudo-random permutation so "shard
+    5, position 12" names the same document on every rerun; per-epoch
+    salt gives a fresh permutation)
+    (operators/pipeline.py:shard_assign)."""
+    from influxdb_ha_spark.operators.pipeline import shard_assign
+    return shard_assign(_t(spark, sf, "documents"), "doc_id",
+                        shards=8, salt="epoch1:")
 
 
 def q_text_entities(spark, sf):
@@ -3927,6 +3958,7 @@ _FAMILIES = [
         "doc_novelty": q_doc_novelty,
         "doc_dedup_sweep": q_doc_dedup_sweep,
         "doc_setsim_exact": q_doc_setsim_exact,
+        "doc_shards": q_doc_shards,
         "doc_chunk": q_doc_chunk,
         "doc_quality_sample": q_doc_quality_sample,
         "doc_ngram_counts": q_doc_ngram_counts,
@@ -4073,6 +4105,7 @@ _FAMILIES = [
         "sk_hist_quantile_auto": q_sk_hist_quantile_auto,
         "sk_overlap_matrix": q_sk_overlap_matrix,
         "sk_hll_rollup": q_sk_hll_rollup,
+        "sk_hist_rollup": q_sk_hist_rollup,
         "sk_hll_cube": q_sk_hll_cube,
         "sk_ams_f2": q_sk_ams_f2,
         "diag_skew": q_diag_skew,

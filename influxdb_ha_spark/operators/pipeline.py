@@ -556,3 +556,51 @@ def k_anonymity_report(df: DataFrame, qi_cols: list,
                     "n_violating", "rows_at_risk", "total_rows",
                     F.expr("(rows_at_risk * 1000000) div total_rows")
                     .alias("risk_ppm")))
+
+
+def shard_assign(df: DataFrame, id_col: str = "doc_id",
+                 shards: int = 8, salt: str = "",
+                 hash_fn: str = "md5") -> DataFrame:
+    """Deterministic training-shard assignment + within-shard order —
+    the REPRODUCIBLE global shuffle every training run needs: shard =
+    hash64(salt ‖ id) mod `shards`, position = rank of the hash within
+    the shard ((hash, id) tie-break). The (shard, pos) pair defines a
+    total order that is a pseudo-random permutation of the corpus,
+    identical across engines, partitionings and reruns — so "epoch 3,
+    shard 5, position 1 204" names the SAME document forever, which is
+    what makes a loss-spike reproducible and a resume-from-step exact.
+    Vary `salt` per epoch for a fresh permutation with the same
+    guarantee.
+
+    Returns (id..., shard, pos): pos is 1-based within shard.
+
+    Scale shape: the hash is map-side; the only shuffle is the
+    per-shard rank window — partitioned BY SHARD, i.e. the exact sort
+    a sharded training-data writer performs anyway
+    (repartition(shard).sortWithinPartitions(hash) is this same plan
+    with the rank materialized); each shard sorts n/shards rows, and
+    `shards` is chosen to make that the writer's target file size.
+    Raise `shards` with corpus size — the window is bounded by
+    n/shards, not by n.
+    """
+    if int(shards) < 1:
+        raise ValueError(f"shard_assign: shards must be >= 1, "
+                         f"got {shards!r}")
+    h = hash64_expr(F.concat(F.lit(salt),
+                             F.col(id_col).cast("string")))
+    if hash_fn == "fast":
+        from .hashing import hash64_fast_expr
+        h = hash64_fast_expr(F.concat(F.lit(salt),
+                                      F.col(id_col).cast("string")))
+    elif hash_fn != "md5":
+        raise ValueError(f"shard_assign: hash_fn must be 'md5' or "
+                         f"'fast', got {hash_fn!r}")
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("__h").asc(), F.col(id_col).asc()))
+    return (df.select(id_col)
+            .where(F.col(id_col).isNotNull())
+            .withColumn("__h", h)
+            .withColumn("shard", F.pmod(F.col("__h"),
+                                        F.lit(int(shards))))
+            .withColumn("pos", F.row_number().over(w))
+            .select(id_col, "shard", "pos"))

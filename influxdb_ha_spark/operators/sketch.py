@@ -722,6 +722,18 @@ def histogram_quantiles(df: DataFrame, value_col: str, by=None,
             .withColumn("__oob", oob.cast("long"))
             .groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__c"),
                                     F.sum("__oob").alias("__oc")))
+    return _hist_fold(hist, g, lo, width, qs)
+
+
+def _hist_fold(hist: DataFrame, g, lo: float, width: float,
+               qs) -> DataFrame:
+    """Quantile extraction over a built histogram table (group...,
+    __b, __c, __oc) — the rank/interpolation stage of
+    histogram_quantiles factored out so the single-pass operator and
+    the time-bucketed rollup (histogram_rollup) fold IDENTICAL cell
+    tables through ONE arithmetic definition (the _hll_fold
+    convention). All windows here run over ≤ `bins` histogram rows
+    per group, never the data."""
     wgrp = Window.partitionBy(*g) if g else Window.partitionBy()
     cum = (hist
            .withColumn("__cum", F.sum("__c").over(wgrp.orderBy("__b")))
@@ -741,6 +753,70 @@ def histogram_quantiles(df: DataFrame, value_col: str, by=None,
     return covering.select(
         *g, "q", F.col("__n").alias("n"), F.col("__nc").alias("n_clamped"),
         _fr6(est).alias("est"))
+
+
+def histogram_rollup(df: DataFrame, value_col: str, time_col: str = "time",
+                     by=None, bucket_ns: int = 86_400_000_000_000,
+                     lo: float = 0.0, hi: float = 1.0, bins: int = 1024,
+                     qs=(0.5, 0.95, 0.99)) -> DataFrame:
+    """Time-bucketed HISTOGRAM rollup — the additive sibling of
+    hll_rollup's max-merge: per-(group, time-bucket, bin) count
+    partials (the table a continuous rollup job persists per
+    hour/day), merged across time buckets by cell-wise + into
+    whole-range quantile estimates. Together the two rollups cover
+    the sketch family's both merge algebras: idempotent max (HLL
+    registers — re-delivery-safe) and plain + (histogram cells —
+    additive, the at-least-once caveat). The oracle computes the
+    SINGLE-PASS histogram quantiles over the whole range, so a green
+    hash certifies that per-bucket partials roll up to the exact
+    global estimate — why yesterday's persisted partials answer
+    "p99 this month" without rescanning raw data.
+
+    Returns (by..., n_buckets, q, n, n_clamped, est): n_buckets = how
+    many partial states were merged (provenance, like hll_rollup),
+    the rest are histogram_quantiles' own columns — same q
+    validation, same clamp exposure, same _hist_fold arithmetic.
+
+    Scale shape: one (group, time-bucket, bin) map-combinable groupBy
+    over the data (the persisted partial table, ≤ bins rows per
+    bucket), a (group, bin) cell-wise + merge, and _hist_fold's
+    ≤ bins-row rank windows. Raw values ride ONE shuffle; per query
+    only the merge+fold stages run.
+    """
+    g = _grp(by)
+    if not qs:
+        raise ValueError("histogram_rollup: qs must be non-empty")
+    for q in qs:
+        if not 0.0 < float(q) <= 1.0:
+            raise ValueError(
+                f"histogram_rollup: q must be in (0, 1] under the "
+                f"ceil(q*n) inverted-CDF rank convention, got {q!r}")
+    if int(bucket_ns) < 1:
+        raise ValueError(f"histogram_rollup: bucket_ns must be >= 1, "
+                         f"got {bucket_ns!r}")
+    width = (hi - lo) / bins
+    b, oob = _hist_bin_cols(F.col("__v"), F.lit(float(lo)),
+                            F.lit(width), bins)
+    bkt = (F.col("__t") - F.pmod(F.col("__t"), F.lit(int(bucket_ns))))
+    partial = (df.select(*g, F.col(time_col).alias("__t"),
+                         F.col(value_col).cast("double").alias("__v"))
+               .where(F.col("__v").isNotNull() & F.col("__t").isNotNull())
+               .withColumn("__bkt", bkt)
+               .withColumn("__b", b.cast("long"))
+               .withColumn("__oob", oob.cast("long"))
+               .groupBy(*g, "__bkt", "__b")
+               .agg(F.count(F.lit(1)).alias("__c"),
+                    F.sum("__oob").alias("__oc")))
+    merged = (partial.groupBy(*g, "__b")
+              .agg(F.sum("__c").alias("__c"), F.sum("__oc").alias("__oc")))
+    nb = (partial.select(*g, "__bkt").distinct()
+          .groupBy(*g).agg(F.count(F.lit(1)).alias("n_buckets")))
+    folded = _hist_fold(merged, g, lo, width, qs)
+    if g:
+        return (nb.join(folded, g)
+                .select(*g, "n_buckets", "q", "n", "n_clamped", "est"))
+    return (nb.crossJoin(F.broadcast(folded))
+            .select("n_buckets", "q", "n", "n_clamped", "est"))
 
 
 def sketch_merge_proof(df: DataFrame, value_col: str, by=None,

@@ -4267,6 +4267,18 @@ def build_oracles() -> dict[str, str]:
       FROM pr JOIN cells ON cells.rw = pr.rw AND cells.bucket = pr.bucket
       GROUP BY 1"""
 
+    # Deterministic shard assignment: hash64('epoch1:' || id) mod 8,
+    # rank within shard by (hash, id)
+    _sh_h = duck_hash64("('epoch1:' || doc_id::VARCHAR)")
+    o["doc_shards"] = f"""
+      WITH h AS (SELECT doc_id, {_sh_h} AS hv FROM documents
+                 WHERE doc_id IS NOT NULL)
+      SELECT doc_id, (hv % 8)::BIGINT AS shard,
+             row_number() OVER (PARTITION BY hv % 8
+                                ORDER BY hv ASC, doc_id ASC)::BIGINT
+               AS pos
+      FROM h"""
+
     # Exact set-similarity join: BRUTE-FORCE pairwise over the sampled
     # sub-corpus — deliberately a DIFFERENT algorithm than the Spark
     # prefix-filter join, so the green hash certifies the filter's
@@ -4457,6 +4469,41 @@ def build_oracles() -> dict[str, str]:
       rr AS (SELECT *, ceil(q * n::DOUBLE)::BIGINT AS r FROM qq)
       SELECT event_type, q, n, nc AS n_clamped, {fr(_hq_est, 6)} AS est
       FROM rr WHERE cum - c < r AND r <= cum"""
+
+    # Histogram ROLLUP: single-pass whole-range quantiles (the rollup's
+    # cell-wise + merge is exact, so the oracle need not replay the
+    # bucketing) + per-group count of merged day partials
+    o["sk_hist_rollup"] = f"""
+      WITH v AS (SELECT event_type, value::DOUBLE AS v,
+                        ({EV_TIME} - {EV_TIME} % 1000) AS t
+                 FROM events
+                 WHERE value IS NOT NULL AND ts IS NOT NULL),
+      nb AS (SELECT event_type,
+                    count(DISTINCT (t - t % {DAY}))::BIGINT AS n_buckets
+             FROM v GROUP BY 1),
+      b AS (SELECT event_type,
+                   LEAST(GREATEST(floor((v - 0.0) / 0.5), 0),
+                         1023)::BIGINT AS bin,
+                   CASE WHEN floor((v - 0.0) / 0.5) < 0
+                          OR floor((v - 0.0) / 0.5) >= 1024
+                        THEN 1 ELSE 0 END AS oob
+            FROM v),
+      h AS (SELECT event_type, bin, count(*)::BIGINT AS c,
+                   sum(oob)::BIGINT AS oc
+            FROM b GROUP BY 1, 2),
+      cm AS (SELECT event_type, bin, c,
+                    sum(c) OVER (PARTITION BY event_type
+                                 ORDER BY bin)::BIGINT AS cum,
+                    sum(c) OVER (PARTITION BY event_type)::BIGINT AS n,
+                    sum(oc) OVER (PARTITION BY event_type)::BIGINT AS nc
+             FROM h),
+      qq AS (SELECT cm.*, q FROM cm,
+             (SELECT unnest([0.5, 0.95, 0.99])::DOUBLE AS q)),
+      rr AS (SELECT *, ceil(q * n::DOUBLE)::BIGINT AS r FROM qq)
+      SELECT rr.event_type, nb.n_buckets, q, n, nc AS n_clamped,
+             {fr(_hq_est, 6)} AS est
+      FROM rr JOIN nb ON nb.event_type = rr.event_type
+      WHERE cum - c < r AND r <= cum"""
 
     # Two-pass auto-range histogram quantiles: per-group exact min/max
     # discovered first, then the same binning/interpolation as

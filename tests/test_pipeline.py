@@ -200,3 +200,37 @@ def test_ngram_counts_totals_and_df(spark):
     got = {r["gram"]: (r["n_total"], r["n_docs"])
            for r in ngram_counts(df, n=2, min_count=2).collect()}
     assert got == {"a b": (4, 2), "b a": (2, 1)}   # 'b c' below floor
+
+
+def test_shard_assign_deterministic_permutation(spark):
+    """Same input -> identical (shard, pos) across partitionings; every
+    id appears once; pos is 1..n_shard within each shard; a different
+    salt yields a different permutation."""
+    from influxdb_ha_spark.operators.pipeline import shard_assign
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = {r.doc_id: (r.shard, r.pos) for r in
+         shard_assign(df.repartition(1), shards=4).collect()}
+    b = {r.doc_id: (r.shard, r.pos) for r in
+         shard_assign(df.repartition(13), shards=4).collect()}
+    assert a == b and len(a) == 200
+    from collections import Counter
+    per_shard = Counter(s for s, _ in a.values())
+    for s, n in per_shard.items():
+        got_pos = sorted(p for sh, p in a.values() if sh == s)
+        assert got_pos == list(range(1, n + 1))
+    salted = {r.doc_id: (r.shard, r.pos) for r in
+              shard_assign(df, shards=4, salt="epoch2:").collect()}
+    assert salted != a
+
+
+def test_shard_assign_fast_path_and_validation(spark):
+    import pytest
+
+    from influxdb_ha_spark.operators.pipeline import shard_assign
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    fast = shard_assign(df, shards=4, hash_fn="fast").collect()
+    assert len(fast) == 50
+    with pytest.raises(ValueError, match="shards"):
+        shard_assign(df, shards=0)
+    with pytest.raises(ValueError, match="hash_fn"):
+        shard_assign(df, hash_fn="sha9000")

@@ -668,3 +668,41 @@ def test_ams_f2_validation(spark):
     df = spark.createDataFrame([("x",)], "item string")
     with pytest.raises(ValueError, match="d must be >= 1"):
         ams_f2(df, "item", d=0)
+
+
+# -- histogram_rollup ---------------------------------------------------
+
+
+def test_histogram_rollup_equals_single_pass(spark):
+    """Cell-wise + merge of daily partials must reproduce the
+    single-pass histogram quantiles exactly — estimates, n, and
+    n_clamped included — for any bucket size."""
+    from influxdb_ha_spark.operators.sketch import (histogram_quantiles,
+                                                    histogram_rollup)
+    D = 86_400_000_000_000
+    rows = [("g", (i % 5) * D + i, float(i % 90) + 600.0 * (i % 37 == 0))
+            for i in range(400)]          # some rows clamp above hi
+    df = spark.createDataFrame(rows, "g string, time long, v double")
+    single = histogram_quantiles(df, "v", by=["g"], lo=0.0, hi=128.0,
+                                 bins=256, qs=(0.5, 0.9)).collect()
+    for bucket_ns in (D, 7 * D):
+        roll = histogram_rollup(df, "v", by=["g"], bucket_ns=bucket_ns,
+                                lo=0.0, hi=128.0, bins=256,
+                                qs=(0.5, 0.9)).collect()
+        assert sorted((r.q, r.n, r.n_clamped, r.est) for r in roll) == \
+            sorted((r.q, r.n, r.n_clamped, r.est) for r in single)
+    one_day = {r.q: r.n_buckets for r in
+               histogram_rollup(df, "v", by=["g"], bucket_ns=D,
+                                lo=0.0, hi=128.0, bins=256,
+                                qs=(0.5, 0.9)).collect()}
+    assert set(one_day.values()) == {5}
+
+
+def test_histogram_rollup_validation(spark):
+    from influxdb_ha_spark.operators.sketch import histogram_rollup
+    df = spark.createDataFrame([("g", 1, 1.0)],
+                               "g string, time long, v double")
+    with pytest.raises(ValueError, match="q must be in"):
+        histogram_rollup(df, "v", by=["g"], qs=(0.0,))
+    with pytest.raises(ValueError, match="bucket_ns"):
+        histogram_rollup(df, "v", by=["g"], bucket_ns=0)

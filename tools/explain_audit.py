@@ -49,6 +49,12 @@ BOUNDED_SINGLE_PARTITION = {
                       "sampled join shuffles ~1/rate of each side and "
                       "the audit join is the exact reference this "
                       "probe replaces at scale",
+    "diag_join_advisor": "three 1-row scalar aggregates (two per-side "
+                         "summaries folding the key-count tables — "
+                         "partials combine map-side — and the sampled "
+                         "join's count); the key-keyed count groupBys "
+                         "and the ~1/rate sample join are the only "
+                         "data-sized stages",
     "sk_kmv_setops": "the θ / n_a / n_b / n_common 1-row scalar "
                      "aggregates, each folding ≤ k (=256, the sketch "
                      "parameter) rows — everything after the sketch "
@@ -161,6 +167,10 @@ ALLOWED_CARTESIAN = {
     "diag_skew": "the 1-row (total_rows, n_keys) scalar aggregate "
                  "broadcast onto the ≤top(=20)-row heavy-key slice — "
                  "the q11/tpch_q15 scalar-anchor pattern",
+    "diag_join_advisor": "1-row x 1-row crossJoins only: the two "
+                         "per-side summary scalars and the 1-row "
+                         "sample-join count folded into the single "
+                         "decision row (the sk_join_sample pattern)",
     "sk_join_sample": "1-row x 1-row crossJoins folding the four "
                       "count scalars into the single output row",
     "sk_kmv_setops": "1-row scalar crossJoins only: θ broadcast onto "
