@@ -2236,6 +2236,20 @@ def q_ev_transitions(spark, sf):
     return type_transitions(ev, by=["user_id"], on="time")
 
 
+def q_ev_precedence(spark, sf):
+    """First-occurrence precedence matrix (added scope — funnel
+    DISCOVERY next to ev_funnel's measurement): for every ordered
+    type pair, how many users saw their first a strictly before their
+    first b, out of those who saw both; ties count in n_both but in
+    neither direction (visible, never silently awarded); one
+    (user, type) min-agg + a per-user ≤|types|-row self-join into a
+    |types|²-bounded count
+    (operators/timeseries.py:precedence_matrix)."""
+    from influxdb_ha_spark.operators.timeseries import precedence_matrix
+    ev = _events_us(spark, sf).select("user_id", "event_type", "time")
+    return precedence_matrix(ev, by=["user_id"], on="time")
+
+
 def q_ev_retention(spark, sf):
     """Daily cohort retention matrix (added scope): users cohorted by
     first-event day; sparse (cohort_bucket, offset) cells count distinct
@@ -4060,6 +4074,7 @@ _FAMILIES = [
         "ev_heavy_hitters": q_ev_heavy_hitters,
         "ev_funnel_times": q_ev_funnel_times,
         "ev_transitions": q_ev_transitions,
+        "ev_precedence": q_ev_precedence,
         "ev_inter_event": q_ev_inter_event,
         "ev_lifecycle": q_ev_lifecycle,
         "ev_mix_drift": q_ev_mix_drift,

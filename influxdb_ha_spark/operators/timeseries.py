@@ -2733,3 +2733,55 @@ def quantile_bands(df: DataFrame, on: str = "time",
                     _fr(F.element_at("__p", 2), 6).alias("p95"),
                     _fr(F.element_at("__p", 3), 6).alias("p99"),
                     _fr(F.col("__mx"), 6).alias("v_max")))
+
+
+def precedence_matrix(df: DataFrame, by: Sequence[str] = ("user_id",),
+                      on: str = "time",
+                      type_col: str = "event_type") -> DataFrame:
+    """First-occurrence PRECEDENCE matrix — funnel DISCOVERY, where
+    ev_funnel is funnel MEASUREMENT: for every ordered pair of event
+    types (a, b), how many entities saw their FIRST a strictly before
+    their FIRST b, out of the entities that saw both at all. The table
+    that tells you which step orderings actually exist in the data
+    before you commit a funnel definition to them ("do users really
+    view before they click before they purchase, and in what
+    fraction?"). Unlike type_transitions (ADJACENT steps only), a
+    precedes b here across any gap — precedence is about the partial
+    order of journeys, not their edges.
+
+    Tie discipline: first occurrences are min(time) per (entity,
+    type); a precedes b only if first_a < first_b STRICTLY, so two
+    types debuting on the same timestamp count in n_both but in
+    NEITHER direction's n_precedes — ties are visible as
+    n_precedes(a,b) + n_precedes(b,a) < n_both, never silently
+    awarded to one side. Exact integers end-to-end; the one division
+    (share_ppm = n_precedes·10⁶ div n_both) is floor.
+
+    Returns (type_a, type_b, n_precedes, n_both, share_ppm) for every
+    ORDERED pair with n_both > 0 (both directions present — the
+    asymmetry between (a,b) and (b,a) IS the funnel signal).
+
+    Scale shape: one (entity, type) min-aggregation — map-side
+    combinable, the only data-sized shuffle — then a per-entity
+    self-join of the ≤|types|-row first-occurrence lists (bounded by
+    the type VOCABULARY per entity, the type_transitions argument)
+    into a |types|²-bounded count aggregate.
+    """
+    g = list(by)
+    firsts = (df.where(F.col(type_col).isNotNull()
+                       & F.col(on).isNotNull())
+              .groupBy(*g, F.col(type_col).alias("__t"))
+              .agg(F.min(on).alias("__ft")))
+    a = firsts.select(*g, F.col("__t").alias("type_a"),
+                      F.col("__ft").alias("__ta"))
+    b = firsts.select(*g, F.col("__t").alias("type_b"),
+                      F.col("__ft").alias("__tb"))
+    pairs = (a.join(b, g)
+             .where(F.col("type_a") != F.col("type_b")))
+    return (pairs.groupBy("type_a", "type_b")
+            .agg(F.sum((F.col("__ta") < F.col("__tb")).cast("long"))
+                 .cast("long").alias("n_precedes"),
+                 F.count(F.lit(1)).cast("long").alias("n_both"))
+            .select("type_a", "type_b", "n_precedes", "n_both",
+                    F.expr("(n_precedes * 1000000) div n_both")
+                    .alias("share_ppm")))

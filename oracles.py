@@ -4267,6 +4267,23 @@ def build_oracles() -> dict[str, str]:
       FROM pr JOIN cells ON cells.rw = pr.rw AND cells.bucket = pr.bucket
       GROUP BY 1"""
 
+    # First-occurrence precedence matrix: per-(user, type) min time,
+    # per-user type-pair self-join, strict-inequality counts, floor ppm
+    o["ev_precedence"] = f"""
+      WITH f AS (SELECT user_id, event_type AS t,
+                        min({EV_TIME} - {EV_TIME} % 1000) AS ft
+                 FROM events
+                 WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                 GROUP BY 1, 2)
+      SELECT a.t AS type_a, b.t AS type_b,
+             sum((a.ft < b.ft)::BIGINT)::BIGINT AS n_precedes,
+             count(*)::BIGINT AS n_both,
+             ((sum((a.ft < b.ft)::BIGINT) * 1000000)
+              // count(*))::BIGINT AS share_ppm
+      FROM f a JOIN f b
+        ON a.user_id = b.user_id AND a.t != b.t
+      GROUP BY 1, 2"""
+
     # Deterministic shard assignment: hash64('epoch1:' || id) mod 8,
     # rank within shard by (hash, id)
     _sh_h = duck_hash64("('epoch1:' || doc_id::VARCHAR)")

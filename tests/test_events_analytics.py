@@ -371,3 +371,44 @@ def test_canonical_select_matches_reference(spark, docs):
     for i, c in got.items():
         canon_per_fp.setdefault(expect[i], set()).add(c)
     assert all(len(v) == 1 for v in canon_per_fp.values())
+
+
+def test_precedence_matrix_hand_checked(spark):
+    """u1: a@1 b@5 c@9; u2: b@2 a@4; u3: a@3 a@8 b@3 -> tie on firsts.
+    (a,b): u1 precedes, u2 does not, u3 tie -> n_precedes 1, n_both 3,
+    and the tie appears in NEITHER direction."""
+    from influxdb_ha_spark.operators.timeseries import precedence_matrix
+    rows = [(1, 1, "a"), (1, 5, "b"), (1, 9, "c"),
+            (2, 2, "b"), (2, 4, "a"),
+            (3, 3, "a"), (3, 8, "a"), (3, 3, "b")]
+    df = spark.createDataFrame(rows, "user_id long, time long, "
+                               "event_type string")
+    got = {(r.type_a, r.type_b): r for r in
+           precedence_matrix(df).collect()}
+    ab, ba = got[("a", "b")], got[("b", "a")]
+    assert (ab.n_precedes, ab.n_both) == (1, 3)
+    assert (ba.n_precedes, ba.n_both) == (1, 3)
+    assert ab.n_precedes + ba.n_precedes < ab.n_both   # tie visible
+    assert ab.share_ppm == 333333
+    # (a, c): only u1 saw both, a first
+    assert (got[("a", "c")].n_precedes, got[("a", "c")].n_both) == (1, 1)
+    assert got[("c", "a")].n_precedes == 0
+    # no self-pairs
+    assert ("a", "a") not in got
+
+
+def test_precedence_matrix_asymmetry_is_funnel_signal(spark):
+    """Synthetic strict funnel view->click->buy for every user: the
+    forward direction carries 100% share, the reverse 0."""
+    from influxdb_ha_spark.operators.timeseries import precedence_matrix
+    rows = []
+    for u in range(10):
+        rows += [(u, 10 * u + 1, "view"), (u, 10 * u + 2, "click"),
+                 (u, 10 * u + 3, "buy")]
+    df = spark.createDataFrame(rows, "user_id long, time long, "
+                               "event_type string")
+    got = {(r.type_a, r.type_b): r.share_ppm for r in
+           precedence_matrix(df).collect()}
+    assert got[("view", "click")] == 1000000
+    assert got[("click", "view")] == 0
+    assert got[("view", "buy")] == 1000000
