@@ -2667,6 +2667,24 @@ def q_priv_k_anonymity(spark, sf):
         cust, ["c_nationkey", "c_mktsegment", "bal_kbucket"], k=5)
 
 
+def q_priv_l_diversity(spark, sf):
+    """l-diversity histogram over customer quasi-identifiers (added
+    scope — Machanavajjhala et al. 2006, the audit k-anonymity
+    misses: a large-but-HOMOGENEOUS QI group leaks the sensitive
+    attribute by membership alone): QI = (nation, market segment),
+    sensitive = account-balance kilobucket, l = 3; one row per
+    observed distinct-value count with the at-risk flag, so the
+    violation mass AND the whole diversity distribution are visible
+    (operators/pipeline.py:l_diversity_report)."""
+    from influxdb_ha_spark.operators.pipeline import l_diversity_report
+    cust = _t(spark, sf, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+        .alias("bal_kbucket"))
+    return l_diversity_report(cust, ["c_nationkey", "c_mktsegment"],
+                              "bal_kbucket", l=3)
+
+
 def q_text_fuzzy_pairs(spark, sf):
     """Blocked fuzzy string matching over the part-name vocabulary
     (added scope — record linkage's blocking + edit-distance verify):
@@ -3982,6 +4000,7 @@ _FAMILIES = [
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_pii_scrub": q_doc_pii_scrub,
         "priv_k_anonymity": q_priv_k_anonymity,
+        "priv_l_diversity": q_priv_l_diversity,
         "doc_repetition": q_doc_repetition,
         "doc_quality_filter": q_doc_quality_filter,
         "doc_weighted_sample": q_doc_weighted_sample,

@@ -604,3 +604,46 @@ def shard_assign(df: DataFrame, id_col: str = "doc_id",
                                         F.lit(int(shards))))
             .withColumn("pos", F.row_number().over(w))
             .select(id_col, "shard", "pos"))
+
+
+def l_diversity_report(df: DataFrame, qi_cols: list,
+                       sensitive_col: str, l: int = 3) -> DataFrame:
+    """l-diversity histogram over a quasi-identifier combination
+    (Machanavajjhala et al. 2006, "l-diversity: privacy beyond
+    k-anonymity") — the audit k-anonymity misses: a QI group can be
+    large (k-anonymous) yet reveal everyone's sensitive value because
+    the group is HOMOGENEOUS (all k rows share one diagnosis / one
+    salary band). A group is l-diverse when its rows span ≥ l DISTINCT
+    sensitive values; below that, membership alone leaks the
+    attribute.
+
+    Returns the diversity HISTOGRAM — one row per observed distinct-
+    value count: (l_distinct, n_groups, n_rows, at_risk) with at_risk
+    = l_distinct < `l` — so the report shows both the violation mass
+    (sum of at-risk rows) and the whole distribution the threshold
+    slices (is the corpus bimodal? one generalization away from
+    compliant?). Exact integers end-to-end, no rounding contract.
+
+    Scale shape: two map-combinable count aggregations — (QI,
+    sensitive) cells, then per-QI-group distinct counts (cells cross
+    the shuffles, not rows: the k_anonymity_report argument) — and a
+    |distinct l values|-row histogram fold. NULL handling: a NULL
+    sensitive value is a real value (its own cell — homogeneously-NULL
+    groups are exactly as leaky as any homogeneous group); NULL QI
+    cells are ordinary groups, as in k_anonymity_report.
+    """
+    if not qi_cols:
+        raise ValueError("l_diversity_report: qi_cols must be non-empty")
+    if l < 2:
+        raise ValueError("l_diversity_report: l must be >= 2")
+    cells = (df.groupBy(*qi_cols, F.col(sensitive_col).alias("__s"))
+             .agg(F.count(F.lit(1)).alias("__n")))
+    groups = (cells.groupBy(*qi_cols)
+              .agg(F.count(F.lit(1)).cast("long").alias("l_distinct"),
+                   F.sum("__n").cast("long").alias("__rows")))
+    return (groups.groupBy("l_distinct")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_groups"),
+                 F.sum("__rows").cast("long").alias("n_rows"))
+            .select("l_distinct", "n_groups", "n_rows",
+                    (F.col("l_distinct") < F.lit(int(l)))
+                    .alias("at_risk")))

@@ -1482,6 +1482,21 @@ def build_oracles() -> dict[str, str]:
 
     # k-anonymity report: one GROUPING SETS pass over the QI cells
     # (full set + every leave-one-out), per-set violation fold at k=5
+    # l-diversity histogram: (QI, sensitive) cells -> per-group
+    # distinct counts -> per-l histogram with the at-risk flag
+    o["priv_l_diversity"] = """
+      WITH c AS (SELECT c_nationkey AS q0, c_mktsegment AS q1,
+                        floor(c_acctbal / 1000.0)::BIGINT AS s,
+                        count(*)::BIGINT AS n
+                 FROM customer GROUP BY 1, 2, 3),
+      g AS (SELECT q0, q1, count(*)::BIGINT AS l_distinct,
+                   sum(n)::BIGINT AS rws
+            FROM c GROUP BY 1, 2)
+      SELECT l_distinct, count(*)::BIGINT AS n_groups,
+             sum(rws)::BIGINT AS n_rows,
+             (l_distinct < 3) AS at_risk
+      FROM g GROUP BY 1"""
+
     o["priv_k_anonymity"] = """
       WITH b AS (SELECT c_nationkey AS q0, c_mktsegment AS q1,
                         floor(c_acctbal / 1000.0)::BIGINT AS q2

@@ -342,3 +342,33 @@ def test_join_advisor_sample_estimate_and_validation(spark):
     assert r.sampled_pairs == r.est_pairs == 50
     with pytest.raises(ValueError, match="rate"):
         join_advisor(left, right, "k", "k", rate=0)
+
+
+# -- l_diversity_report ------------------------------------------------
+
+
+def test_l_diversity_hand_checked(spark):
+    """Group (x): 4 rows all sensitive=1 -> l_distinct 1 (homogeneous,
+    at risk even though k-anonymous at k=4); group (y): 3 rows over 3
+    values -> l_distinct 3, compliant at l=3; NULL sensitive is a real
+    value."""
+    from influxdb_ha_spark.operators.pipeline import l_diversity_report
+    rows = [("x", 1), ("x", 1), ("x", 1), ("x", 1),
+            ("y", 1), ("y", 2), ("y", 3),
+            ("z", None), ("z", None)]
+    df = spark.createDataFrame(rows, "qi string, s int")
+    got = {r.l_distinct: r for r in
+           l_diversity_report(df, ["qi"], "s", l=3).collect()}
+    assert (got[1].n_groups, got[1].n_rows, got[1].at_risk) == \
+        (2, 6, True)          # x (4 rows) and z (2 NULL rows)
+    assert (got[3].n_groups, got[3].n_rows, got[3].at_risk) == \
+        (1, 3, False)
+
+
+def test_l_diversity_validation(spark):
+    from influxdb_ha_spark.operators.pipeline import l_diversity_report
+    df = spark.createDataFrame([("x", 1)], "qi string, s int")
+    with pytest.raises(ValueError, match="qi_cols"):
+        l_diversity_report(df, [], "s")
+    with pytest.raises(ValueError, match="l must be"):
+        l_diversity_report(df, ["qi"], "s", l=1)
