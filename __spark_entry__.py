@@ -2796,6 +2796,21 @@ def q_diag_join_advisor(spark, sf):
         broadcast_max_rows=50_000)
 
 
+def q_diag_salted_distinct(spark, sf):
+    """Exact distinct users per event_type via value-hash salting
+    (added scope — the hot-key COUNT(DISTINCT) fix as a gated
+    operator: per-(key, salt=xxhash64(value) mod 16) exact distinct
+    partials, disjoint by construction, summed per key; the salting
+    changes the PLAN — no single-task distinct funnel — never the
+    result, and the oracle IS the direct count(DISTINCT))
+    (operators/diagnostics.py:salted_distinct_count)."""
+    from influxdb_ha_spark.operators.diagnostics import \
+        salted_distinct_count
+    ev = _t(spark, sf, "events").select("event_type", "user_id")
+    return salted_distinct_count(ev, ["event_type"], "user_id",
+                                 salts=16)
+
+
 def q_diag_zonemap(spark, sf):
     """Zone map of the events value column per day bucket, with the
     skip verdict for value ∈ [480, 500) (added scope — the per-bucket
@@ -4146,6 +4161,7 @@ _FAMILIES = [
         "diag_profile": q_diag_profile,
         "diag_zonemap": q_diag_zonemap,
         "diag_join_advisor": q_diag_join_advisor,
+        "diag_salted_distinct": q_diag_salted_distinct,
     },
     {
         # LLM-pipeline scope (§7): multimodal

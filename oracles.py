@@ -4371,6 +4371,13 @@ def build_oracles() -> dict[str, str]:
         _profile_col("customer", c)
         for c in ("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
 
+    # Salted distinct: the oracle IS the direct form — the salting
+    # changes the plan, never the result
+    o["diag_salted_distinct"] = """
+      SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1"""
+
     # Join advisor: per-side rows/keys/max-key from one keyed count,
     # coordinated 1/64 sample estimate, deterministic CASE decision
     _ja_lh = duck_hash64("l_orderkey::VARCHAR")

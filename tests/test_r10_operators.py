@@ -372,3 +372,41 @@ def test_l_diversity_validation(spark):
         l_diversity_report(df, [], "s")
     with pytest.raises(ValueError, match="l must be"):
         l_diversity_report(df, ["qi"], "s", l=1)
+
+
+# -- salted_distinct_count ---------------------------------------------
+
+
+def test_salted_distinct_equals_direct(spark):
+    """For ANY salt fan-out, the summed per-(key, salt) partials equal
+    the direct count(DISTINCT) exactly — same value, same salt, so
+    partials are disjoint."""
+    from influxdb_ha_spark.operators.diagnostics import \
+        salted_distinct_count
+    rows = [("hot", f"u{i % 97}") for i in range(500)] + \
+           [("cold", f"v{i}") for i in range(7)] + [("hot", None)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    direct = {r.k: r.c for r in
+              df.where(F.col("v").isNotNull())
+              .groupBy("k").agg(F.count_distinct("v").alias("c"))
+              .collect()}
+    for salts in (1, 4, 16, 64):
+        got = {r.k: r.n_distinct for r in
+               salted_distinct_count(df, ["k"], "v",
+                                     salts=salts).collect()}
+        assert got == direct == {"hot": 97, "cold": 7}
+
+
+def test_salted_distinct_plan_splits_hot_key(spark):
+    """The distinct aggregation partitions on (key, salt) — the hot
+    key's set is split across salt partitions in the PLAN."""
+    from influxdb_ha_spark.operators.diagnostics import \
+        salted_distinct_count
+    df = spark.createDataFrame([("k", "v")], "k string, v string")
+    plan = salted_distinct_count(df, ["k"], "v", salts=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    with __import__("pytest").raises(ValueError, match="salts"):
+        salted_distinct_count(df, ["k"], "v", salts=0)
+    with __import__("pytest").raises(ValueError, match="key_cols"):
+        salted_distinct_count(df, [], "v")
