@@ -2558,6 +2558,24 @@ def q_sk_hist_rollup(spark, sf):
                             qs=(0.5, 0.95, 0.99))
 
 
+def q_sk_bloom(spark, sf):
+    """Bloom runtime-filter audit for lineitem semi-join part-sample
+    (added scope — Spark AQE's runtime bloom filter made a gated
+    measurement): the ~1-in-13 part-key sample folded into a 1024-bit
+    bitmap (d=4, md5/LCG family — oracle-replayable), lineitem probed
+    map-only against the literal bitmap; output quantifies the
+    filter's exact selectivity — n_pass/n_match/n_false_pos/fp_ppm,
+    no false negatives by construction
+    (operators/sketch.py:bloom_semijoin)."""
+    from influxdb_ha_spark.operators.sketch import bloom_semijoin
+    big = _t(spark, sf, "lineitem").select("l_partkey")
+    small = (_t(spark, sf, "part")
+             .where(F.pmod(F.col("p_partkey"), F.lit(13)) == 0)
+             .select("p_partkey"))
+    return bloom_semijoin(big, small, "l_partkey", "p_partkey",
+                          m_bits=1024, hashes=4)
+
+
 def q_sk_hll_cube(spark, sf):
     """Distinct-user CUBE from one register table (added scope — the
     OLAP generalization of sk_hll_rollup's single time axis): distinct
@@ -4155,6 +4173,7 @@ _FAMILIES = [
         "sk_overlap_matrix": q_sk_overlap_matrix,
         "sk_hll_rollup": q_sk_hll_rollup,
         "sk_hist_rollup": q_sk_hist_rollup,
+        "sk_bloom": q_sk_bloom,
         "sk_hll_cube": q_sk_hll_cube,
         "sk_ams_f2": q_sk_ams_f2,
         "diag_skew": q_diag_skew,

@@ -1152,3 +1152,100 @@ def hll_cube(df: DataFrame, value_col: str, dims: list,
                                  *dims, "__j")
             .agg(F.max("__mp").alias("__m"), level.alias("level")))
     return _hll_fold(regs, list(dims) + ["level"])
+
+
+def bloom_semijoin(big: DataFrame, small: DataFrame,
+                   big_key: str, small_key: str,
+                   m_bits: int = 1024, hashes: int = 4,
+                   seed: int = 5) -> DataFrame:
+    """Bloom-filter RUNTIME-FILTER audit for a semi-join — the
+    measurement behind "push a bloom of the small side's keys into
+    the big side's scan" (Spark AQE's runtime bloom filter, Bloom
+    1970): the small side's distinct keys are folded into an m-bit
+    bitmap (d word-positions per key from the shared universal hash
+    family, OR-merged — bit_or is associative, commutative AND
+    idempotent, so bloom states merge like HLL registers), the big
+    side is probed MAP-ONLY against the bitmap embedded as a literal,
+    and the output quantifies exactly what the filter buys:
+
+      (n_small_keys, n_big_rows, n_pass_bloom, n_true_match,
+       n_false_pos, fp_ppm)
+
+    with n_false_pos = bloom-positive rows whose key is NOT in the
+    small side (no false negatives by construction — the pytest pins
+    n_pass_bloom ≥ n_true_match and every matching row passing) and
+    fp_ppm the false-positive rate over the non-matching rows the
+    filter exists to kill (floor ppm; the standard (1−e^{−dn/m})^d
+    prediction is the docstring's calibration point). Deterministic:
+    the md5 hash64 + LCG coefficient family is the oracle-replayable
+    convention of every sketch here — decontaminate_bloom is the
+    xxhash64 production sibling; this operator exists to make the
+    filter's SELECTIVITY a gated, testable number.
+
+    EAGER: collecting the ≤ m_bits/64 bitmap words runs the small
+    side's aggregation at construction (m_bits/64 longs to the
+    driver — 16 longs at the default; the decontaminate_bloom/zipf
+    convention, noted for plan-only callers).
+
+    Scale shape: bitmap build = one distinct + position explode into
+    a (word)-keyed bit_or, ≤ m/64 rows out of the shuffle; the probe
+    is a map-side literal-array bit test in the big side's scan — the
+    whole point: the filter costs ZERO shuffle on the big side, and
+    kills (1 − fp) of the non-matching rows before any join. The
+    exact-match side here is the audit (at scale it is the join the
+    bloom protects).
+    """
+    if int(m_bits) < 64 or int(m_bits) % 64:
+        raise ValueError(f"bloom_semijoin: m_bits must be a positive "
+                         f"multiple of 64, got {m_bits!r}")
+    if int(hashes) < 1:
+        raise ValueError(f"bloom_semijoin: hashes must be >= 1, "
+                         f"got {hashes!r}")
+    p = F.lit(MERSENNE_P)
+    coeffs = minhash_coeffs(int(hashes), seed=seed)
+    keys = (small.select(F.col(small_key).alias("__k"))
+            .where(F.col("__k").isNotNull()).distinct())
+    kh = keys.withColumn("__h", hash64_expr(F.col("__k").cast("string"))
+                         % p)
+    pos = F.array(*[((F.lit(a) * F.col("__h") + F.lit(b)) % p)
+                    % F.lit(int(m_bits)) for a, b in coeffs])
+    words = (kh.select(F.explode(pos).alias("__p"))
+             .selectExpr("cast(__p div 64 as int) AS w",
+                         "shiftleft(cast(1 as bigint), "
+                         "cast(__p % 64 as int)) AS b")
+             .groupBy("w").agg(F.bit_or("b").alias("bits")).collect())
+    bitmap = [0] * (int(m_bits) // 64)
+    for r in words:
+        bitmap[r["w"]] |= r["bits"]
+    bm = "array(" + ",".join(f"{w}L" for w in bitmap) + ")"
+    # build the probe predicate as ONE sql string over a named hash col
+    tests = []
+    for a, b in coeffs:
+        posj = f"(({a}L * __h + {b}L) % {MERSENNE_P}L) % {int(m_bits)}L"
+        tests.append(
+            f"(element_at({bm}, cast(({posj}) div 64 as int) + 1) & "
+            f"shiftleft(cast(1 as bigint), cast(({posj}) % 64 as int)))"
+            f" != 0")
+    probe = " AND ".join(tests)
+    bigk = (big.select(F.col(big_key).alias("__k"))
+            .where(F.col("__k").isNotNull())
+            .withColumn("__h", hash64_expr(F.col("__k").cast("string"))
+                        % p))
+    n_big = bigk.agg(F.count(F.lit(1)).cast("long").alias("n_big_rows"))
+    n_pass = (bigk.where(F.expr(probe))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_pass_bloom")))
+    n_match = (bigk.join(F.broadcast(keys), "__k", "left_semi")
+               .agg(F.count(F.lit(1)).cast("long")
+                    .alias("n_true_match")))
+    n_small = keys.agg(F.count(F.lit(1)).cast("long")
+                       .alias("n_small_keys"))
+    one = (n_small.crossJoin(F.broadcast(n_big))
+           .crossJoin(F.broadcast(n_pass))
+           .crossJoin(F.broadcast(n_match)))
+    return one.select(
+        "n_small_keys", "n_big_rows", "n_pass_bloom", "n_true_match",
+        (F.col("n_pass_bloom") - F.col("n_true_match"))
+        .alias("n_false_pos"),
+        F.expr("((n_pass_bloom - n_true_match) * 1000000) div "
+               "greatest(1L, n_big_rows - n_true_match)")
+        .alias("fp_ppm"))

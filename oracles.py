@@ -4509,6 +4509,55 @@ def build_oracles() -> dict[str, str]:
       SELECT event_type, q, n, nc AS n_clamped, {fr(_hq_est, 6)} AS est
       FROM rr WHERE cum - c < r AND r <= cum"""
 
+    # Bloom runtime-filter audit: same md5/LCG positions, word-keyed
+    # bit_or bitmap, 4 left-join bit tests on the probe side
+    _bl_coef = minhash_coeffs(4, seed=5)
+    _bl_kh = f"{duck_hash64('k::VARCHAR')} % {MERSENNE_P}"
+    _bl_bh = f"{duck_hash64('l_partkey::VARCHAR')} % {MERSENNE_P}"
+    _bl_pos = "\n            UNION ALL ".join(
+        f"SELECT (({a} * h + {b}) % {MERSENNE_P}) % 1024 AS p FROM kh"
+        for a, b in _bl_coef)
+
+    def _bl_bit(s: str) -> str:
+        # DuckDB raises on 1::BIGINT << 63 where the JVM wraps to the
+        # sign bit — emit the wrapped value explicitly for bit 63
+        return (f"(CASE WHEN ({s}) = 63 THEN (-9223372036854775807 - 1) "
+                f"ELSE (1::BIGINT << ({s})::INT) END)")
+
+    _bl_tests = " AND ".join(
+        f"(COALESCE(w{i}.bits, 0) & "
+        + _bl_bit(f"((({a} * pr.h + {b}) % {MERSENNE_P}) % 1024) % 64")
+        + ") != 0"
+        for i, (a, b) in enumerate(_bl_coef))
+    _bl_joins = "\n        ".join(
+        f"LEFT JOIN words w{i} ON w{i}.w = "
+        f"(((({a} * pr.h + {b}) % {MERSENNE_P}) % 1024) // 64)"
+        for i, (a, b) in enumerate(_bl_coef))
+    o["sk_bloom"] = f"""
+      WITH keys AS (SELECT DISTINCT p_partkey AS k FROM part
+                    WHERE p_partkey % 13 = 0 AND p_partkey IS NOT NULL),
+      kh AS (SELECT k, {_bl_kh} AS h FROM keys),
+      words AS (SELECT (p // 64)::INT AS w,
+                       bit_or({_bl_bit('p % 64')}) AS bits
+                FROM ({_bl_pos}) GROUP BY 1),
+      pr AS (SELECT l_partkey AS k, {_bl_bh} AS h FROM lineitem
+             WHERE l_partkey IS NOT NULL),
+      np AS (SELECT count(*)::BIGINT AS n_pass_bloom FROM pr
+        {_bl_joins}
+        WHERE {_bl_tests}),
+      nm AS (SELECT count(*)::BIGINT AS n_true_match FROM pr
+             WHERE pr.k IN (SELECT k FROM keys)),
+      t AS (SELECT (SELECT count(*) FROM keys)::BIGINT AS n_small_keys,
+                   (SELECT count(*) FROM pr)::BIGINT AS n_big_rows,
+                   np.n_pass_bloom, nm.n_true_match
+            FROM np, nm)
+      SELECT n_small_keys, n_big_rows, n_pass_bloom, n_true_match,
+             (n_pass_bloom - n_true_match)::BIGINT AS n_false_pos,
+             (((n_pass_bloom - n_true_match) * 1000000)
+              // GREATEST(1, n_big_rows - n_true_match))::BIGINT
+               AS fp_ppm
+      FROM t"""
+
     # Histogram ROLLUP: single-pass whole-range quantiles (the rollup's
     # cell-wise + merge is exact, so the oracle need not replay the
     # bucketing) + per-group count of merged day partials

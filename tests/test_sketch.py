@@ -706,3 +706,46 @@ def test_histogram_rollup_validation(spark):
         histogram_rollup(df, "v", by=["g"], qs=(0.0,))
     with pytest.raises(ValueError, match="bucket_ns"):
         histogram_rollup(df, "v", by=["g"], bucket_ns=0)
+
+
+# -- bloom_semijoin ----------------------------------------------------
+
+
+def test_bloom_semijoin_no_false_negatives_and_counts(spark):
+    """Every true match passes the bloom (no false negatives); counts
+    are exact; fp rate sits in the (1-e^{-dn/m})^d ballpark."""
+    import math
+
+    from influxdb_ha_spark.operators.sketch import bloom_semijoin
+    big = spark.createDataFrame([(i % 500,) for i in range(4000)],
+                                "k long")
+    small = spark.createDataFrame([(i,) for i in range(0, 500, 7)],
+                                  "k long")          # 72 keys
+    (r,) = bloom_semijoin(big, small, "k", "k", m_bits=512,
+                          hashes=4).collect()
+    assert r.n_small_keys == 72
+    assert r.n_big_rows == 4000
+    exact = big.join(small.distinct(), "k", "left_semi").count()
+    assert r.n_true_match == exact
+    assert r.n_pass_bloom >= r.n_true_match          # no false negatives
+    assert r.n_false_pos == r.n_pass_bloom - r.n_true_match
+    pred = (1 - math.exp(-4 * 72 / 512)) ** 4
+    got = r.n_false_pos / max(1, r.n_big_rows - r.n_true_match)
+    assert got < 4 * pred + 0.05                     # calibration band
+
+
+def test_bloom_semijoin_saturated_and_validation(spark):
+    """A tiny bitmap saturates: everything passes (fp -> 1), still no
+    wrong counts; validation rejects bad parameters."""
+    import pytest
+
+    from influxdb_ha_spark.operators.sketch import bloom_semijoin
+    big = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    small = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    (r,) = bloom_semijoin(big, small, "k", "k", m_bits=64,
+                          hashes=4).collect()
+    assert r.n_pass_bloom >= r.n_true_match == 100
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_semijoin(big, small, "k", "k", m_bits=100)
+    with pytest.raises(ValueError, match="hashes"):
+        bloom_semijoin(big, small, "k", "k", hashes=0)
