@@ -2703,6 +2703,24 @@ def q_priv_l_diversity(spark, sf):
                               "bal_kbucket", l=3)
 
 
+def q_priv_t_closeness(spark, sf):
+    """t-closeness audit over customer quasi-identifiers (added scope
+    — Li, Li & Venkatasubramanian 2007, the third rung after
+    priv_k_anonymity and priv_l_diversity: a group large AND diverse
+    can still leak when its sensitive DISTRIBUTION sits far from the
+    corpus-wide one): QI = (nation, segment), sensitive = ordered
+    balance kilobucket, EMD over cumulative distributions computed
+    exactly in cross-multiplied integers, t_ppm vs the conventional
+    0.2 threshold (operators/pipeline.py:t_closeness_report)."""
+    from influxdb_ha_spark.operators.pipeline import t_closeness_report
+    cust = _t(spark, sf, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+        .alias("bal_kbucket"))
+    return t_closeness_report(cust, ["c_nationkey", "c_mktsegment"],
+                              "bal_kbucket", t_ppm_threshold=200_000)
+
+
 def q_text_fuzzy_pairs(spark, sf):
     """Blocked fuzzy string matching over the part-name vocabulary
     (added scope — record linkage's blocking + edit-distance verify):
@@ -4034,6 +4052,7 @@ _FAMILIES = [
         "doc_pii_scrub": q_doc_pii_scrub,
         "priv_k_anonymity": q_priv_k_anonymity,
         "priv_l_diversity": q_priv_l_diversity,
+        "priv_t_closeness": q_priv_t_closeness,
         "doc_repetition": q_doc_repetition,
         "doc_quality_filter": q_doc_quality_filter,
         "doc_weighted_sample": q_doc_weighted_sample,

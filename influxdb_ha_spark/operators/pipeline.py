@@ -647,3 +647,90 @@ def l_diversity_report(df: DataFrame, qi_cols: list,
             .select("l_distinct", "n_groups", "n_rows",
                     (F.col("l_distinct") < F.lit(int(l)))
                     .alias("at_risk")))
+
+
+def t_closeness_report(df: DataFrame, qi_cols: list,
+                       sensitive_col: str,
+                       t_ppm_threshold: int = 200_000) -> DataFrame:
+    """t-closeness audit over an ORDERED sensitive attribute (Li, Li &
+    Venkatasubramanian 2007, "t-closeness: privacy beyond k-anonymity
+    and l-diversity") — the third rung of the privacy ladder gated
+    here (priv_k_anonymity: group too small; priv_l_diversity: group
+    too uniform; this: group's sensitive DISTRIBUTION too far from
+    the corpus-wide one — a group can be large AND diverse yet still
+    leak, e.g. "engineers in this zip all sit in the top salary
+    decile"). Distance is the Earth-Mover's Distance for ordered
+    categories: EMD(p, q) = (1/(B−1))·Σ_j |P_j − Q_j| over cumulative
+    distributions — computed EXACTLY in integers by cross-multiplying
+    the cumulative counts (|cumg_j·N − cumG_j·n_g| — no fractions
+    until the one reported floor division to ppm), so both engines
+    agree bit-for-bit.
+
+    Returns one row per QI group: (qi..., n_rows, t_ppm, at_risk)
+    with t_ppm = EMD·10⁶ floored and at_risk = t_ppm >
+    `t_ppm_threshold` (the conventional t = 0.2 default).
+
+    Overflow headroom: cumg·N ≤ n_g·N, guarded loudly at N = 2³¹ rows
+    (the pettitt/ams convention; the documented swap is DECIMAL(38,0)
+    numerators ↔ DuckDB HUGEINT).
+
+    Scale shape: one (QI, sensitive) count shuffle + one (sensitive)
+    global count (map-combinable both); the cumulative windows run
+    over the group×bucket SPINE (|groups|·B rows — bounded by the
+    bucket vocabulary, never the data), with the global B-row CDF
+    broadcast. A single-bucket corpus (B = 1) has zero distance by
+    definition and reports t_ppm = 0.
+    """
+    if not qi_cols:
+        raise ValueError("t_closeness_report: qi_cols must be "
+                         "non-empty")
+    from pyspark.sql import Window
+    s = F.col(sensitive_col)
+    base = df.where(s.isNotNull()).select(*qi_cols, s.alias("__s"))
+    cells = (base.groupBy(*qi_cols, "__s")
+             .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    glob = (base.groupBy("__s")
+            .agg(F.count(F.lit(1)).cast("long").alias("__gc")))
+    groups = (cells.groupBy(*qi_cols)
+              .agg(F.sum("__c").cast("long").alias("__ng")))
+    # group x bucket spine so missing buckets contribute zero counts
+    spine = groups.crossJoin(F.broadcast(glob.select("__s")))
+    full = (spine.join(cells, [*qi_cols, "__s"], "left")
+            .select(*qi_cols, "__s", "__ng",
+                    F.coalesce("__c", F.lit(0)).cast("long")
+                    .alias("__c")))
+    wg = Window.partitionBy(*qi_cols).orderBy("__s")
+    wgl = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = glob.select(
+        "__s", F.sum("__gc").over(wgl).alias("__cum_glob"),
+        F.sum("__gc").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("__N"),
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("__B"))
+    guarded_ng = (F.when(F.col("__N") > F.lit(1 << 31),
+                         F.raise_error(F.lit(
+                             "t_closeness_report: corpus exceeds 2^31 "
+                             "rows — cum*N leaves int64; switch the "
+                             "numerators to DECIMAL(38,0) (see "
+                             "docstring)")).cast("long"))
+                  .otherwise(F.col("__ng")))
+    terms = (full.join(F.broadcast(gcum), "__s")
+             .withColumn("__cum_grp", F.sum("__c").over(wg))
+             .withColumn("__term",
+                         F.abs(F.col("__cum_grp") * F.col("__N")
+                               - F.col("__cum_glob") * guarded_ng)))
+    return (terms.groupBy(*qi_cols)
+            .agg(F.min("__ng").alias("n_rows"),
+                 F.sum("__term").cast("long").alias("__emd_num"),
+                 F.min("__N").alias("__N"), F.min("__B").alias("__B"))
+            .select(*qi_cols, "n_rows",
+                    F.when(F.col("__B") <= 1, F.lit(0).cast("long"))
+                    .otherwise(F.expr(
+                        "(__emd_num * 1000000) div (n_rows * __N * "
+                        "(__B - 1))")).alias("t_ppm"))
+            .withColumn("at_risk",
+                        F.col("t_ppm") > F.lit(int(t_ppm_threshold))))

@@ -1482,6 +1482,47 @@ def build_oracles() -> dict[str, str]:
 
     # k-anonymity report: one GROUPING SETS pass over the QI cells
     # (full set + every leave-one-out), per-set violation fold at k=5
+    # t-closeness: ordered-EMD in cross-multiplied integers over the
+    # group x bucket spine; single reported floor division to ppm
+    o["priv_t_closeness"] = """
+      WITH b AS (SELECT c_nationkey AS q0, c_mktsegment AS q1,
+                        floor(c_acctbal / 1000.0)::BIGINT AS s
+                 FROM customer),
+      cells AS (SELECT q0, q1, s, count(*)::BIGINT AS c FROM b
+                GROUP BY 1, 2, 3),
+      gl AS (SELECT s, count(*)::BIGINT AS gc FROM b GROUP BY 1),
+      gstats AS (SELECT sum(gc)::BIGINT AS n, count(*)::BIGINT AS nb
+                 FROM gl),
+      gcum AS (SELECT s, sum(gc) OVER (ORDER BY s)::BIGINT AS cumg
+               FROM gl),
+      grp AS (SELECT q0, q1, sum(c)::BIGINT AS ng FROM cells
+              GROUP BY 1, 2),
+      spine AS (SELECT grp.q0, grp.q1, grp.ng, gl.s FROM grp, gl),
+      fl AS (SELECT sp.q0, sp.q1, sp.ng, sp.s,
+                      COALESCE(cells.c, 0)::BIGINT AS c
+               FROM spine sp LEFT JOIN cells
+                 ON cells.q0 = sp.q0 AND cells.q1 = sp.q1
+                AND cells.s = sp.s),
+      terms AS (SELECT f.q0, f.q1, f.ng,
+                       abs(sum(f.c) OVER (PARTITION BY f.q0, f.q1
+                                          ORDER BY f.s)::BIGINT
+                           * gstats.n
+                           - gcum.cumg * f.ng)::BIGINT AS term,
+                       gstats.n AS n, gstats.nb AS nb
+                FROM fl f
+                JOIN gcum ON gcum.s = f.s, gstats)
+      SELECT q0 AS c_nationkey, q1 AS c_mktsegment,
+             min(ng)::BIGINT AS n_rows,
+             (CASE WHEN min(nb) <= 1 THEN 0
+                   ELSE (sum(term) * 1000000)
+                        // (min(ng) * min(n) * (min(nb) - 1))
+              END)::BIGINT AS t_ppm,
+             (CASE WHEN min(nb) <= 1 THEN 0
+                   ELSE (sum(term) * 1000000)
+                        // (min(ng) * min(n) * (min(nb) - 1))
+              END) > 200000 AS at_risk
+      FROM terms GROUP BY 1, 2"""
+
     # l-diversity histogram: (QI, sensitive) cells -> per-group
     # distinct counts -> per-l histogram with the at-risk flag
     o["priv_l_diversity"] = """

@@ -410,3 +410,37 @@ def test_salted_distinct_plan_splits_hot_key(spark):
         salted_distinct_count(df, ["k"], "v", salts=0)
     with __import__("pytest").raises(ValueError, match="key_cols"):
         salted_distinct_count(df, [], "v")
+
+
+# -- t_closeness_report ------------------------------------------------
+
+
+def test_t_closeness_hand_checked(spark):
+    """Two complementary skewed groups over buckets {0,1,2}: EMD terms
+    |cumg*N - cumG*ng| sum to 15 each -> t_ppm = 15e6 // 36 = 416666;
+    a group mirroring the global distribution scores 0."""
+    from influxdb_ha_spark.operators.pipeline import t_closeness_report
+    rows = [("a", 0), ("a", 0), ("a", 1), ("b", 2), ("b", 2), ("b", 2)]
+    df = spark.createDataFrame(rows, "qi string, s long")
+    got = {r.qi: r for r in
+           t_closeness_report(df, ["qi"], "s",
+                              t_ppm_threshold=200_000).collect()}
+    assert (got["a"].t_ppm, got["a"].at_risk) == (416666, True)
+    assert (got["b"].t_ppm, got["b"].at_risk) == (416666, True)
+    # a group proportional to the corpus: distance exactly 0
+    prop = [("g1", 0), ("g1", 1), ("g2", 0), ("g2", 1)]
+    df2 = spark.createDataFrame(prop, "qi string, s long")
+    got2 = {r.qi: r.t_ppm for r in
+            t_closeness_report(df2, ["qi"], "s").collect()}
+    assert got2 == {"g1": 0, "g2": 0}
+
+
+def test_t_closeness_single_bucket_and_validation(spark):
+    """B = 1: zero distance by definition; missing buckets in a group
+    contribute via the spine (no silent row loss)."""
+    from influxdb_ha_spark.operators.pipeline import t_closeness_report
+    df = spark.createDataFrame([("a", 5), ("b", 5)], "qi string, s long")
+    rows = t_closeness_report(df, ["qi"], "s").collect()
+    assert all(r.t_ppm == 0 and not r.at_risk for r in rows)
+    with pytest.raises(ValueError, match="qi_cols"):
+        t_closeness_report(df, [], "s")

@@ -55,6 +55,12 @@ BOUNDED_SINGLE_PARTITION = {
                          "join's count); the key-keyed count groupBys "
                          "and the ~1/rate sample join are the only "
                          "data-sized stages",
+    "priv_t_closeness": "cumulative windows over the B-row global-CDF "
+                        "table, bounded by the sensitive-bucket "
+                        "VOCABULARY (B = 7 kilobuckets at the gate — "
+                        "the sk_hist_quantile bins argument); the "
+                        "data-sized stages are the two map-combinable "
+                        "count shuffles",
     "sk_kmv_setops": "the θ / n_a / n_b / n_common 1-row scalar "
                      "aggregates, each folding ≤ k (=256, the sketch "
                      "parameter) rows — everything after the sketch "
@@ -167,6 +173,10 @@ ALLOWED_CARTESIAN = {
     "diag_skew": "the 1-row (total_rows, n_keys) scalar aggregate "
                  "broadcast onto the ≤top(=20)-row heavy-key slice — "
                  "the q11/tpch_q15 scalar-anchor pattern",
+    "priv_t_closeness": "the |groups|-row summary x broadcast(B-row "
+                        "bucket vocabulary) spine — bounded by the "
+                        "bucket vocabulary on one side and the QI "
+                        "group count on the other, never by data rows",
     "diag_join_advisor": "1-row x 1-row crossJoins only: the two "
                          "per-side summary scalars and the 1-row "
                          "sample-join count folded into the single "
