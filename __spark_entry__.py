@@ -2799,6 +2799,22 @@ def q_diag_profile(spark, sf):
         ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
 
 
+def q_graph_ppr(spark, sf):
+    """Personalized PageRank around the p_partkey ≡ 0 (mod 97) seed
+    basket on the co-order part graph (added scope — Jeh & Widom
+    2002's random walk with restart, the recommendation form of
+    pagerank: teleport returns to the seeds, scores rank parts by
+    proximity-with-authority around the basket); same exact
+    fixed-point integer discipline as graph_pagerank, unreached nodes
+    keep score 0 (operators/graph.py:personalized_pagerank)."""
+    from influxdb_ha_spark.operators import graph as GR
+    seeds = (_t(spark, sf, "part")
+             .where(F.pmod(F.col("p_partkey"), F.lit(97)) == 0)
+             .select(F.col("p_partkey").alias("node")))
+    return GR.personalized_pagerank(_graph_edges(spark, sf), seeds,
+                                    iters=10)
+
+
 def q_graph_harmonic(spark, sf):
     """Sampled-source harmonic centrality on the co-order part graph
     (added scope — Marchiori & Latora 2000; Boldi & Vigna 2014): Σ1/d
@@ -4177,6 +4193,7 @@ _FAMILIES = [
         "graph_sssp": q_graph_sssp,
         "graph_closeness": q_graph_closeness,
         "graph_harmonic": q_graph_harmonic,
+        "graph_ppr": q_graph_ppr,
         "graph_modularity": q_graph_modularity,
     },
     {

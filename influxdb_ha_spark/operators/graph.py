@@ -846,3 +846,77 @@ def sssp(edges: DataFrame, seeds: DataFrame, rounds: int = 6,
         frontier = improved
     sym.unpersist()
     return dist
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          iters: int = 10, damping_pct: int = 85,
+                          reliable: bool = False) -> DataFrame:
+    """Personalized PageRank (Page et al. 1999 §6; the random walk
+    with restart of Jeh & Widom 2002's personalization vector) — the
+    RECOMMENDATION form of pagerank: the teleport mass returns to a
+    SEED set instead of spreading uniformly, so scores rank nodes by
+    proximity-with-authority AROUND the seeds ("users who touched
+    this basket of parts land here next"). Same exact fixed-point
+    integer discipline as pagerank (SCALE_FP units, BIGINT sums,
+    floor `div` everywhere — bit-stable across engines and
+    partitionings by construction):
+
+      ppr_0(v)   = SCALE // |S| if v ∈ S else 0
+      ppr_i+1(v) = [v ∈ S]·(100−d)·SCALE // (100·|S|)
+                   + d · (Σ over in-neighbors u of
+                          ppr_i(u) // outdeg(u)) // 100
+
+    Nodes the walk never reaches keep score 0 and stay in the output
+    — distance-to-seeds information, not noise.
+
+    Scale shape: identical to pagerank — one co-partitioned
+    contribution join + one node-keyed integer agg per iteration,
+    lineage truncated per round; the seed membership rides as a
+    broadcast |S|-row flag join.
+    """
+    if iters < 1:
+        raise ValueError("personalized_pagerank: iters must be >= 1")
+    sym = _symmetric(edges)
+    nodes = sym.select(F.col("src").alias("node")).distinct().persist()
+    out = (sym.groupBy(F.col("src").alias("node"))
+           .agg(F.count(F.lit(1)).alias("outdeg"))).persist()
+    sd = (seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+          .join(nodes, "node", "left_semi").persist())
+    ns = sd.count()
+    if ns == 0:
+        nodes.unpersist()
+        out.unpersist()
+        sd.unpersist()
+        raise ValueError("personalized_pagerank: no seed is a node "
+                         "of the graph")
+    base_seed = ((100 - damping_pct) * SCALE_FP) // (100 * ns)
+    flag = sd.withColumn("__seed", F.lit(1))
+    pr = _truncate_lineage(
+        nodes.join(F.broadcast(flag), "node", "left")
+        .select("node",
+                F.when(F.col("__seed").isNotNull(),
+                       F.lit(SCALE_FP // ns))
+                .otherwise(F.lit(0)).cast("long").alias("ppr_fp")),
+        reliable)
+    edges_k = sym.persist()
+    for _ in range(iters):
+        contrib = (pr.join(out, "node")
+                   .select(F.col("node").alias("src"),
+                           F.expr("ppr_fp div outdeg").alias("__c")))
+        summed = (edges_k.join(contrib, "src")
+                  .groupBy(F.col("dst").alias("node"))
+                  .agg(F.sum("__c").alias("__s")))
+        nxt = (nodes.join(summed, "node", "left")
+               .join(F.broadcast(flag), "node", "left")
+               .withColumn("__s", F.coalesce(F.col("__s"), F.lit(0)))
+               .select("node",
+                       (F.when(F.col("__seed").isNotNull(),
+                               F.lit(base_seed)).otherwise(F.lit(0))
+                        + F.expr(f"({damping_pct} * __s) div 100"))
+                       .cast("long").alias("ppr_fp")))
+        pr = _truncate_lineage(nxt, reliable)
+    edges_k.unpersist()
+    nodes.unpersist()
+    out.unpersist()
+    sd.unpersist()
+    return pr

@@ -3932,6 +3932,39 @@ def build_oracles() -> dict[str, str]:
         "WITH " + _G_EDGES + "," + ",".join(pr_ctes)
         + f"\n      SELECT node, pr::BIGINT AS pr_fp FROM p{_PR_ITERS}")
 
+    # personalized PageRank: same floor-integer recurrence, teleport
+    # conditional on seed membership (seeds restricted to graph nodes)
+    ppr_ctes = [f"""
+      outd AS (SELECT src AS node, count(*) AS outdeg FROM sym GROUP BY 1),
+      sd AS (SELECT DISTINCT p_partkey AS node FROM part
+             WHERE p_partkey % 97 = 0
+               AND p_partkey IN (SELECT node FROM gnodes)),
+      sb AS (SELECT ({100 - _PR_D} * {_PR_SCALE}::HUGEINT)
+                    // (100 * count(*)) AS b,
+                    {_PR_SCALE}::HUGEINT // count(*) AS p0
+             FROM sd),
+      q0 AS (SELECT gn.node,
+                    CASE WHEN sd.node IS NOT NULL
+                         THEN (SELECT p0 FROM sb) ELSE 0 END AS pr
+             FROM gnodes gn LEFT JOIN sd ON sd.node = gn.node)"""]
+    for it in range(1, _PR_ITERS + 1):
+        ppr_ctes.append(f"""
+      q{it} AS (SELECT nd.node,
+                       (CASE WHEN sd.node IS NOT NULL
+                             THEN (SELECT b FROM sb) ELSE 0 END
+                        + ({_PR_D} * coalesce(s.s, 0)) // 100) AS pr
+                FROM gnodes nd
+                LEFT JOIN sd ON sd.node = nd.node
+                LEFT JOIN (
+                  SELECT sym.dst AS node, sum(p.pr // o.outdeg) AS s
+                  FROM sym
+                  JOIN q{it - 1} p ON p.node = sym.src
+                  JOIN outd o ON o.node = sym.src
+                  GROUP BY sym.dst) s ON s.node = nd.node)""")
+    o["graph_ppr"] = (
+        "WITH " + _G_EDGES + "," + ",".join(ppr_ctes)
+        + f"\n      SELECT node, pr::BIGINT AS ppr_fp FROM q{_PR_ITERS}")
+
     o["graph_link_predict"] = f"""
       WITH {_G_EDGES},
       deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY 1),

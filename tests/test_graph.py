@@ -349,3 +349,43 @@ def test_harmonic_handles_disconnection_gracefully(spark):
     # shared state with closeness: same reach set
     cl = {r.node for r in G.closeness(e, seeds, rounds=3).collect()}
     assert set(got) == cl
+
+
+def test_ppr_localizes_mass_around_seed(spark):
+    # path 1-2-3-4-5-6, seed {1}: mass decays with distance from the
+    # seed; the far end scores least but stays in the output
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.ppr_fp for r in
+           G.personalized_pagerank(e, seeds, iters=10).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    # a path is bipartite, so finite-iteration walks carry a parity
+    # ripple (4 vs 5 may swap); the head ordering and the far end are
+    # parity-stable
+    assert got[1] > got[2] > got[3] > got[6] >= 0
+    assert min(got[2], got[3]) > max(got[4], got[5], got[6])
+    # teleport goes ONLY to the seed: with damping 85, node 1 keeps
+    # at least the (100-85)% restart mass
+    assert got[1] >= (15 * 10 ** 12) // 100
+
+
+def test_ppr_uniform_seed_set_equals_pagerank(spark):
+    # seeding EVERY node makes the teleport uniform -> identical to
+    # plain pagerank, including the fixed-point truncation artifacts
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    allseeds = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)],
+                                     "node long")
+    ppr = {r.node: r.ppr_fp for r in
+           G.personalized_pagerank(e, allseeds, iters=6).collect()}
+    pr = {r.node: r.pr_fp for r in G.pagerank(e, iters=6).collect()}
+    assert ppr == pr
+
+
+def test_ppr_validation(spark):
+    e = _edges(spark, [(1, 2)])
+    off_graph = spark.createDataFrame([(99,)], "node long")
+    with pytest.raises(ValueError, match="no seed"):
+        G.personalized_pagerank(e, off_graph)
+    with pytest.raises(ValueError, match="iters"):
+        G.personalized_pagerank(
+            e, spark.createDataFrame([(1,)], "node long"), iters=0)
