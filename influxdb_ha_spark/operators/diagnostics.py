@@ -239,10 +239,14 @@ def join_advisor(left: DataFrame, right: DataFrame,
         counts = (df.where(F.col(key).isNotNull())
                   .groupBy(F.col(key).alias("__k"))
                   .agg(F.count(F.lit(1)).alias("__c")))
+        # coalesce to 0 for an empty/all-null side (r10 review: NULL
+        # aggregates made every recommendation WHEN evaluate to NULL
+        # and fall through to the wrong branch)
         return counts.agg(
-            F.sum("__c").cast("long").alias("n"),
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("n"),
             F.count(F.lit(1)).cast("long").alias("keys"),
-            F.max("__c").cast("long").alias("max_key"))
+            F.coalesce(F.max("__c"), F.lit(0)).cast("long")
+            .alias("max_key"))
 
     ls = side(left, left_key).select(
         F.col("n").alias("n_left"), F.col("keys").alias("keys_left"),
@@ -262,10 +266,12 @@ def join_advisor(left: DataFrame, right: DataFrame,
     one = ls.crossJoin(F.broadcast(rs)).crossJoin(F.broadcast(samp))
     # integer salt factors: ceil(max_key / mean key load), mean =
     # n div keys (the key_skew_profile arithmetic, floor-division only)
-    salt_l = F.expr("(max_key_left + (n_left div keys_left) - 1) "
-                    "div (n_left div keys_left)")
-    salt_r = F.expr("(max_key_right + (n_right div keys_right) - 1) "
-                    "div (n_right div keys_right)")
+    # coalesce(…, 1): an empty side has mean load 0 div 0 = NULL — no
+    # key to salt, fan-out 1
+    salt_l = F.expr("coalesce((max_key_left + (n_left div keys_left) "
+                    "- 1) div (n_left div keys_left), 1L)")
+    salt_r = F.expr("coalesce((max_key_right + (n_right div keys_right)"
+                    " - 1) div (n_right div keys_right), 1L)")
     bmax = F.lit(int(broadcast_max_rows))
     sthr = F.lit(int(skew_salt_threshold))
     rec = (F.when((F.col("n_right") <= bmax)

@@ -769,10 +769,25 @@ def harmonic(edges: DataFrame, seeds: DataFrame, rounds: int = 4,
     if rounds < 1:
         raise ValueError("harmonic: rounds must be >= 1")
     L = math.lcm(*range(1, rounds + 1))
+    if L > 1 << 44:          # lcm(1..30) ~ 2^41; 43+ leaves int64
+        raise ValueError(
+            f"harmonic: lcm(1..{rounds}) = {L} exhausts the int64 "
+            f"fixed-point headroom (h_fp <= n_seeds * L); use rounds "
+            f"<= 30 or switch h_fp to DECIMAL(38,0)")
+    # h_fp <= n_seeds * L: raise loudly before the sum can wrap (the
+    # pettitt/ams convention — r10 review: this operator had no guard)
+    seed_cap = (1 << 62) // L
     reached = _seed_distances(edges, seeds, rounds, reliable)
+    n_seeds_c = F.count(F.lit(1)).cast("long")
+    guarded_n = (F.when(n_seeds_c > F.lit(seed_cap),
+                        F.raise_error(F.lit(
+                            "harmonic: n_seeds * lcm(1..rounds) leaves "
+                            "int64 — lower rounds or switch h_fp to "
+                            "DECIMAL(38,0)")).cast("long"))
+                 .otherwise(n_seeds_c))
     return (reached.where(F.col("dist") >= 1)
             .groupBy("node")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_seeds"),
+            .agg(guarded_n.alias("n_seeds"),
                  F.sum(F.expr(f"{L}L div dist")).cast("long")
                  .alias("h_fp"))
             .select("node", "n_seeds", "h_fp",

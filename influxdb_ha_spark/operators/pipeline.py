@@ -670,9 +670,15 @@ def t_closeness_report(df: DataFrame, qi_cols: list,
     with t_ppm = EMD·10⁶ floored and at_risk = t_ppm >
     `t_ppm_threshold` (the conventional t = 0.2 default).
 
-    Overflow headroom: cumg·N ≤ n_g·N, guarded loudly at N = 2³¹ rows
+    Overflow headroom: the guards protect the ACTUAL products (the
+    r10 review lesson — a corpus-size proxy bound let the real terms
+    wrap below it): n_g·N ≤ 2⁶², emd_num ≤ 2⁶²/10⁶ and
+    n_g·N·(B−1) ≤ 2⁶² each raise loudly against their own operands
     (the pettitt/ams convention; the documented swap is DECIMAL(38,0)
-    numerators ↔ DuckDB HUGEINT).
+    numerators ↔ DuckDB HUGEINT). NULL sensitive values are EXCLUDED
+    (no natural position in the ORDERED-category EMD — deliberately
+    the opposite of l_diversity_report, where NULL is a real value;
+    the oracle mirrors the exclusion).
 
     Scale shape: one (QI, sensitive) count shuffle + one (sensitive)
     global count (map-combinable both); the cumulative windows run
@@ -711,22 +717,39 @@ def t_closeness_report(df: DataFrame, qi_cols: list,
             Window.orderBy(F.lit(1)).rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing))
         .alias("__B"))
-    guarded_ng = (F.when(F.col("__N") > F.lit(1 << 31),
+    # overflow guards protect the ACTUAL products, not a proxy bound
+    # (r10 review finding: an N-only guard let __emd_num*1e6 and the
+    # n_g*N term wrap far below it): terms need n_g*N <= 2^62, the ppm
+    # scaling needs emd_num <= 2^62/10^6, the denominator needs
+    # n_g*N*(B-1) <= 2^62 — each checked against its own operands
+    _max62 = 1 << 62
+    guarded_ng = (F.when(F.col("__ng") > F.expr(f"{_max62}L div __N"),
                          F.raise_error(F.lit(
-                             "t_closeness_report: corpus exceeds 2^31 "
-                             "rows — cum*N leaves int64; switch the "
-                             "numerators to DECIMAL(38,0) (see "
-                             "docstring)")).cast("long"))
+                             "t_closeness_report: n_group * N exceeds "
+                             "2^62 — the cross-multiplied cumulative "
+                             "terms leave int64; switch the numerators "
+                             "to DECIMAL(38,0) (see docstring)"))
+                         .cast("long"))
                   .otherwise(F.col("__ng")))
     terms = (full.join(F.broadcast(gcum), "__s")
              .withColumn("__cum_grp", F.sum("__c").over(wg))
              .withColumn("__term",
                          F.abs(F.col("__cum_grp") * F.col("__N")
                                - F.col("__cum_glob") * guarded_ng)))
+    emd_ok = (F.when((F.col("__emd_num") > F.lit(_max62 // 1_000_000))
+                     | (F.col("n_rows")
+                        > F.expr(f"(({_max62}L div __N) div "
+                                 f"greatest(1L, __B - 1))")),
+                     F.raise_error(F.lit(
+                         "t_closeness_report: ppm scaling leaves int64 "
+                         "— switch to DECIMAL(38,0) (see docstring)"))
+                     .cast("long"))
+              .otherwise(F.col("__emd_num")))
     return (terms.groupBy(*qi_cols)
             .agg(F.min("__ng").alias("n_rows"),
                  F.sum("__term").cast("long").alias("__emd_num"),
                  F.min("__N").alias("__N"), F.min("__B").alias("__B"))
+            .withColumn("__emd_num", emd_ok)
             .select(*qi_cols, "n_rows",
                     F.when(F.col("__B") <= 1, F.lit(0).cast("long"))
                     .otherwise(F.expr(

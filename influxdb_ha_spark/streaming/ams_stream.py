@@ -68,6 +68,14 @@ def _update(key: Tuple[Any, ...],
                       % MERSENNE_P) % 2)
     zs = zs + signs.sum(axis=0, dtype=np.int64)
     n += len(h)
+    # the batch operator's loud 2^28 headroom guard, mirrored (r10
+    # review: numpy int64 wraps silently past it, diverging from the
+    # stream==batch contract instead of failing like ams_f2 does)
+    if n > 1 << 28:
+        raise ValueError(
+            "ams_f2_stream: group exceeds 2^28 lifetime rows — sum of "
+            "Z_i^2 leaves int64; switch the squares to wider integers "
+            "(see operators/sketch.ams_f2)")
     state.update((zs.tolist(), n))
     est = int(np.sum(zs * zs, dtype=np.int64)) // AMS_D
     yield pd.DataFrame({"g": [key[0]], "n_rows": [n], "f2_est": [est]})

@@ -1487,7 +1487,7 @@ def build_oracles() -> dict[str, str]:
     o["priv_t_closeness"] = """
       WITH b AS (SELECT c_nationkey AS q0, c_mktsegment AS q1,
                         floor(c_acctbal / 1000.0)::BIGINT AS s
-                 FROM customer),
+                 FROM customer WHERE c_acctbal IS NOT NULL),
       cells AS (SELECT q0, q1, s, count(*)::BIGINT AS c FROM b
                 GROUP BY 1, 2, 3),
       gl AS (SELECT s, count(*)::BIGINT AS gc FROM b GROUP BY 1),

@@ -444,3 +444,17 @@ def test_t_closeness_single_bucket_and_validation(spark):
     assert all(r.t_ppm == 0 and not r.at_risk for r in rows)
     with pytest.raises(ValueError, match="qi_cols"):
         t_closeness_report(df, [], "s")
+
+
+def test_join_advisor_empty_side(spark):
+    """An empty right side: zero counts (not NULLs), salt 1, and the
+    broadcast-right recommendation — not a fall-through to shuffle
+    (r10 review fix)."""
+    from influxdb_ha_spark.operators.diagnostics import join_advisor
+    left = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    empty = spark.createDataFrame([], "k long")
+    (r,) = join_advisor(left, empty, "k", "k",
+                        broadcast_max_rows=5).collect()
+    assert (r.n_right, r.keys_right, r.max_key_right) == (0, 0, 0)
+    assert r.salt_right == 1
+    assert r.recommendation == "broadcast_right"

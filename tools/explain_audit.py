@@ -44,6 +44,10 @@ BOUNDED_SINGLE_PARTITION = {
                  "TakeOrderedAndProject bounded by the top parameter — "
                  "the key-keyed count shuffle is the only data-sized "
                  "stage",
+    "sk_bloom": "four 1-row count scalars (each a partial-count "
+                "gather of P partial rows); the bitmap build "
+                "collapses to <= m/64 = 16 word rows and the probe "
+                "is map-side — no data-sized funnel anywhere",
     "sk_join_sample": "four 1-row count scalars folded (each a "
                       "partial-count gather of P partial rows); the "
                       "sampled join shuffles ~1/rate of each side and "
@@ -181,6 +185,11 @@ ALLOWED_CARTESIAN = {
                          "per-side summary scalars and the 1-row "
                          "sample-join count folded into the single "
                          "decision row (the sk_join_sample pattern)",
+    "sk_bloom": "1-row x 1-row crossJoins folding the four count "
+                "scalars into the single audit row (the "
+                "sk_join_sample pattern); the probe itself is a "
+                "map-side literal-bitmap bit test — zero join on the "
+                "big side",
     "sk_join_sample": "1-row x 1-row crossJoins folding the four "
                       "count scalars into the single output row",
     "sk_kmv_setops": "1-row scalar crossJoins only: θ broadcast onto "
