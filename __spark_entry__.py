@@ -3905,6 +3905,13 @@ def q_ev_rfm(spark, sf):
 
 
 _ANCHOR_POOL = [
+    # r10 continuation: mm_audio is the ONE key whose latest green
+    # driver row predates r03 (the r9 verdict's explicit refresh
+    # task); pinned at the head so the refresh survives however many
+    # pending keys the round adds — stale-evidence refresh outranks
+    # regression anchors in a window with more pending keys than
+    # oldest-green slots
+    "mm_audio",
     "tpch_q1", "agg_mean", "agg_top_bottom", "iq_mean_1h", "iq_fill_linear",
     "iq_subquery", "join_brand_revenue", "tr_derivative", "dedup_points",
     "show_measurements", "doc_exact_dedup", "doc_minhash_candidates",
