@@ -2236,6 +2236,18 @@ def q_ev_transitions(spark, sf):
     return type_transitions(ev, by=["user_id"], on="time")
 
 
+def q_ev_ab_ranksum(spark, sf):
+    """Mann–Whitney rank-sum test: click vs error event values (added
+    scope — the nonparametric A/B primitive): U from per-VALUE counts
+    + one cumulative pass over the value-vocabulary table (raw rows
+    never ride a rank window), exact-integer 2U and tie-corrected σ²
+    numerators, one correctly-rounded IEEE sqrt — both engines
+    bit-equal (operators/timeseries.py:rank_sum_test)."""
+    from influxdb_ha_spark.operators.timeseries import rank_sum_test
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    return rank_sum_test(ev, "event_type", "value", "click", "error")
+
+
 def q_ev_precedence(spark, sf):
     """First-occurrence precedence matrix (added scope — funnel
     DISCOVERY next to ev_funnel's measurement): for every ordered
@@ -4169,6 +4181,7 @@ _FAMILIES = [
         "ev_funnel_times": q_ev_funnel_times,
         "ev_transitions": q_ev_transitions,
         "ev_precedence": q_ev_precedence,
+        "ev_ab_ranksum": q_ev_ab_ranksum,
         "ev_inter_event": q_ev_inter_event,
         "ev_lifecycle": q_ev_lifecycle,
         "ev_mix_drift": q_ev_mix_drift,

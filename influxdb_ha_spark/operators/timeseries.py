@@ -2785,3 +2785,85 @@ def precedence_matrix(df: DataFrame, by: Sequence[str] = ("user_id",),
             .select("type_a", "type_b", "n_precedes", "n_both",
                     F.expr("(n_precedes * 1000000) div n_both")
                     .alias("share_ppm")))
+
+
+def rank_sum_test(df: DataFrame, group_col: str, value_col: str,
+                  group_a, group_b,
+                  max_n: int = 2_000_000) -> DataFrame:
+    """Mann–Whitney–Wilcoxon rank-sum test between two groups — THE
+    nonparametric A/B-experiment primitive (Mann & Whitney 1947):
+    does treatment shift the metric's distribution, without assuming
+    normality and without the mean's outlier fragility. U counts
+    cross-group pairs (a, b) with a > b (ties half) — computed here
+    WITHOUT materializing pairs or ranking raw rows: per distinct
+    VALUE, the two groups' counts; then U_A = Σ_v cntA(v)·(cumB(<v) +
+    ½·cntB(v)) from one cumulative pass over the value-ordered count
+    table. Carried as the INTEGER 2U (halves ×2), with the exact
+    tie-corrected normal approximation:
+
+      z = (U − n_a·n_b/2) / σ,
+      σ² = n_a·n_b·[(n+1)·n·(n−1) − Σ_t(t³−t)] / (12·n·(n−1))
+
+    — every term an exact BIGINT until one pinned double chain
+    (multiply, divide, ONE correctly-rounded IEEE sqrt — sqrt is
+    exactly rounded in IEEE 754, so both engines agree bit-for-bit),
+    floor-round-6. Σ(t³−t) needs n ≤ ~2·10⁶ in int64; guarded loudly
+    (pettitt convention, DECIMAL(38,0) swap documented).
+
+    Returns ONE row: (n_a, n_b, u_a, z): u_a in exact halves (a
+    double; .5 is exact), z > 0 ⟺ group_a's values sit higher.
+
+    Scale shape: one (value)-keyed count aggregation — map-side
+    combinable, |distinct values| rows out — then cumulative windows
+    over the VALUE-VOCABULARY-bounded count table (the fixed-decimal
+    metric's vocabulary is bounded by its precision; for genuinely
+    continuous metrics, pre-bucket with _hist_bin_cols first — the
+    test on the coarsened scale is the documented trade, exactly the
+    histogram_quantiles argument), and a 1-row fold. The raw rows
+    never ride a rank window.
+    """
+    ga, gb = F.lit(group_a), F.lit(group_b)
+    g = F.col("__g")
+    base = (df.select(F.col(group_col).alias("__g"),
+                      F.col(value_col).alias("__v"))
+            .where(F.col("__v").isNotNull() & g.isin([group_a, group_b])))
+    counts = (base.groupBy("__v")
+              .agg(F.sum((g == ga).cast("long")).alias("__ca"),
+                   F.sum((g == gb).cast("long")).alias("__cb")))
+    wb = (Window.orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    per_v = (counts
+             .withColumn("__cumb", F.coalesce(F.sum("__cb").over(wb),
+                                              F.lit(0))))
+    t = F.col("__ca") + F.col("__cb")
+    folded = per_v.agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+        F.sum(F.lit(2) * F.col("__ca") * F.col("__cumb")
+              + F.col("__ca") * F.col("__cb")).cast("long")
+        .alias("__u2"),
+        F.sum(t * t * t - t).cast("long").alias("__ties"))
+    n = F.col("n_a") + F.col("n_b")
+    guarded_u2 = (F.when(n > F.lit(int(max_n)),
+                         F.raise_error(F.lit(
+                             "rank_sum_test: n exceeds the int64 "
+                             "tie-sum headroom (t^3 terms); "
+                             "pre-bucket the metric or switch the "
+                             "tie sum to DECIMAL(38,0)"))
+                         .cast("long"))
+                  .otherwise(F.col("__u2")))
+    # pinned double chain: exact-integer operands, fixed op order,
+    # one correctly-rounded sqrt
+    num = (guarded_u2 - F.col("n_a") * F.col("n_b")).cast("double")
+    s2 = ((F.col("n_a") * F.col("n_b")).cast("double")
+          * ((n + 1) * n * (n - 1) - F.col("__ties")).cast("double")
+          / (F.lit(12).cast("double") * (n * (n - 1)).cast("double")))
+    z = (F.when((F.col("n_a") == 0) | (F.col("n_b") == 0)
+                | (s2 == F.lit(0.0)), F.lit(None).cast("double"))
+         .otherwise(F.floor(num * F.lit(0.5) / F.sqrt(s2)
+                            * F.lit(1000000.0) + F.lit(0.5))
+                    / F.lit(1000000.0)))
+    return folded.select(
+        "n_a", "n_b",
+        (guarded_u2.cast("double") / F.lit(2.0)).alias("u_a"),
+        z.alias("z"))

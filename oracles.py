@@ -4356,6 +4356,43 @@ def build_oracles() -> dict[str, str]:
       FROM pr JOIN cells ON cells.rw = pr.rw AND cells.bucket = pr.bucket
       GROUP BY 1"""
 
+    # Mann-Whitney rank-sum: per-value group counts, cumulative pass
+    # over the value vocabulary, integer 2U + tie-corrected sigma^2,
+    # one IEEE sqrt (correctly rounded in both engines)
+    o["ev_ab_ranksum"] = """
+      WITH b AS (SELECT event_type AS g, value AS v FROM events
+                 WHERE value IS NOT NULL
+                   AND event_type IN ('click', 'error')),
+      c AS (SELECT v, sum((g = 'click')::BIGINT)::BIGINT AS ca,
+                   sum((g = 'error')::BIGINT)::BIGINT AS cb
+            FROM b GROUP BY 1),
+      p AS (SELECT v, ca, cb,
+                   COALESCE(sum(cb) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT AS cumb
+            FROM c),
+      f AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+                   sum(2 * ca * cumb + ca * cb)::BIGINT AS u2,
+                   sum((ca + cb) * (ca + cb) * (ca + cb)
+                       - (ca + cb))::BIGINT AS ties
+            FROM p),
+      t AS (SELECT n_a, n_b, u2, ties, (n_a + n_b) AS n FROM f)
+      SELECT n_a, n_b, (u2::DOUBLE / 2.0) AS u_a,
+             CASE WHEN n_a = 0 OR n_b = 0
+                    OR ((n_a * n_b)::DOUBLE
+                        * ((n + 1) * n * (n - 1) - ties)::DOUBLE
+                        / (12::DOUBLE * (n * (n - 1))::DOUBLE)) = 0.0
+                  THEN NULL
+                  ELSE floor((u2 - n_a * n_b)::DOUBLE * 0.5
+                             / sqrt((n_a * n_b)::DOUBLE
+                                    * ((n + 1) * n * (n - 1)
+                                       - ties)::DOUBLE
+                                    / (12::DOUBLE
+                                       * (n * (n - 1))::DOUBLE))
+                             * 1000000.0 + 0.5) / 1000000.0
+             END AS z
+      FROM t"""
+
     # First-occurrence precedence matrix: per-(user, type) min time,
     # per-user type-pair self-join, strict-inequality counts, floor ppm
     o["ev_precedence"] = f"""

@@ -458,3 +458,59 @@ def test_join_advisor_empty_side(spark):
     assert (r.n_right, r.keys_right, r.max_key_right) == (0, 0, 0)
     assert r.salt_right == 1
     assert r.recommendation == "broadcast_right"
+
+
+# -- rank_sum_test -----------------------------------------------------
+
+
+def _mwu_replay(a_vals, b_vals):
+    """Python brute-force Mann-Whitney with midrank ties + the exact
+    tie-corrected z, mirroring the operator's pinned arithmetic."""
+    import math
+    u2 = 0
+    for x in a_vals:
+        for y in b_vals:
+            u2 += 2 if x > y else (1 if x == y else 0)
+    na, nb = len(a_vals), len(b_vals)
+    n = na + nb
+    from collections import Counter
+    t = Counter(a_vals + b_vals)
+    ties = sum(v ** 3 - v for v in t.values())
+    s2 = (na * nb) * float((n + 1) * n * (n - 1) - ties) \
+        / (12.0 * (n * (n - 1)))
+    z = None if s2 == 0 else \
+        math.floor((u2 - na * nb) * 0.5 / math.sqrt(s2) * 1e6 + 0.5) / 1e6
+    return na, nb, u2 / 2.0, z
+
+
+def test_rank_sum_matches_brute_force_with_ties(spark):
+    from influxdb_ha_spark.operators.timeseries import rank_sum_test
+    a = [1.0, 2.0, 2.0, 5.0, 7.0]
+    b = [2.0, 3.0, 3.0, 4.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    (r,) = rank_sum_test(df, "g", "v", "a", "b").collect()
+    na, nb, ua, z = _mwu_replay(a, b)
+    assert (r.n_a, r.n_b, r.u_a, r.z) == (na, nb, ua, z)
+    # identical samples: U = n_a*n_b/2 exactly, z = 0
+    same = [("a", v) for v in (1.0, 2.0, 3.0)] + \
+           [("b", v) for v in (1.0, 2.0, 3.0)]
+    (r0,) = rank_sum_test(spark.createDataFrame(same, "g string, "
+                                                "v double"),
+                          "g", "v", "a", "b").collect()
+    assert r0.u_a == 4.5 and r0.z == 0.0
+
+
+def test_rank_sum_detects_shift_and_degenerates(spark):
+    from influxdb_ha_spark.operators.timeseries import rank_sum_test
+    rows = [("a", float(100 + i)) for i in range(50)] + \
+           [("b", float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    (r,) = rank_sum_test(df, "g", "v", "a", "b").collect()
+    assert r.u_a == 2500.0 and r.z > 8          # total separation
+    # all-constant values: sigma = 0 -> z NULL, U still defined
+    const = [("a", 1.0), ("a", 1.0), ("b", 1.0)]
+    (rc,) = rank_sum_test(spark.createDataFrame(const, "g string, "
+                                                "v double"),
+                          "g", "v", "a", "b").collect()
+    assert rc.z is None and rc.u_a == 1.0

@@ -65,6 +65,13 @@ BOUNDED_SINGLE_PARTITION = {
                         "the sk_hist_quantile bins argument); the "
                         "data-sized stages are the two map-combinable "
                         "count shuffles",
+    "ev_ab_ranksum": "the cumulative pass runs over the per-VALUE "
+                     "count table — bounded by the metric's value "
+                     "VOCABULARY (fixed-decimal events.value ≤ 51200 "
+                     "cells; continuous metrics pre-bucket via "
+                     "_hist_bin_cols per the docstring) — plus the "
+                     "1-row test-statistic fold; the only data-sized "
+                     "stage is the map-combinable value count",
     "sk_kmv_setops": "the θ / n_a / n_b / n_common 1-row scalar "
                      "aggregates, each folding ≤ k (=256, the sketch "
                      "parameter) rows — everything after the sketch "
