@@ -2248,6 +2248,17 @@ def q_ev_ab_ranksum(spark, sf):
     return rank_sum_test(ev, "event_type", "value", "click", "error")
 
 
+def q_ev_ab_ks(spark, sf):
+    """Two-sample Kolmogorov–Smirnov D: click vs view event values
+    (added scope — the rank-sum test's distribution-SHAPE companion):
+    D = max integer |cumA·n_b − cumB·n_a| over the same per-value
+    count machinery, ONE floor-rounded division, asymptotic scaling
+    via one IEEE sqrt (operators/timeseries.py:ks_test)."""
+    from influxdb_ha_spark.operators.timeseries import ks_test
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    return ks_test(ev, "event_type", "value", "click", "view")
+
+
 def q_ev_precedence(spark, sf):
     """First-occurrence precedence matrix (added scope — funnel
     DISCOVERY next to ev_funnel's measurement): for every ordered
@@ -4182,6 +4193,7 @@ _FAMILIES = [
         "ev_transitions": q_ev_transitions,
         "ev_precedence": q_ev_precedence,
         "ev_ab_ranksum": q_ev_ab_ranksum,
+        "ev_ab_ks": q_ev_ab_ks,
         "ev_inter_event": q_ev_inter_event,
         "ev_lifecycle": q_ev_lifecycle,
         "ev_mix_drift": q_ev_mix_drift,

@@ -2867,3 +2867,78 @@ def rank_sum_test(df: DataFrame, group_col: str, value_col: str,
         "n_a", "n_b",
         (guarded_u2.cast("double") / F.lit(2.0)).alias("u_a"),
         z.alias("z"))
+
+
+def ks_test(df: DataFrame, group_col: str, value_col: str,
+            group_a, group_b) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D statistic — the rank-sum
+    test's distribution-SHAPE companion (rank_sum_test asks "did the
+    distribution shift"; KS asks "do the distributions DIFFER
+    anywhere": location, spread or shape): D = sup_v |F_a(v) −
+    F_b(v)| over the two empirical CDFs. Computed EXACTLY as integer
+    cross-multiplication over the same per-value count machinery as
+    rank_sum_test: D = max_v |cumA(v)·n_b − cumB(v)·n_a| / (n_a·n_b)
+    — the max of integer numerators, then ONE floor-rounded division;
+    both engines bit-equal with no sqrt needed. The asymptotic scaling
+    rides along: ks_stat_scaled = D·√(n_a·n_b/(n_a+n_b)) (one
+    correctly-rounded IEEE sqrt; > ~1.36 rejects at α = 0.05 in the
+    classic table).
+
+    Returns ONE row: (n_a, n_b, d_num, d_stat, ks_stat_scaled) with
+    d_num the exact integer max |cumA·n_b − cumB·n_a| and d_stat
+    rounded at 6. NULL statistics when either group is empty.
+
+    Overflow: cum·n ≤ n_a·n_b ≤ n² needs n ≤ 2³¹; loudly guarded
+    (pettitt convention).
+
+    Scale shape: identical to rank_sum_test — one map-combinable
+    per-value count shuffle, a cumulative pass over the value
+    VOCABULARY (pre-bucket continuous metrics, same note), and a
+    1-row max fold.
+    """
+    ga, gb = F.lit(group_a), F.lit(group_b)
+    g = F.col("__g")
+    base = (df.select(F.col(group_col).alias("__g"),
+                      F.col(value_col).alias("__v"))
+            .where(F.col("__v").isNotNull() & g.isin([group_a, group_b])))
+    counts = (base.groupBy("__v")
+              .agg(F.sum((g == ga).cast("long")).alias("__ca"),
+                   F.sum((g == gb).cast("long")).alias("__cb")))
+    wle = (Window.orderBy("__v")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    per_v = (counts
+             .withColumn("__cuma", F.sum("__ca").over(wle))
+             .withColumn("__cumb", F.sum("__cb").over(wle)))
+    wall = Window.partitionBy()
+    with_totals = (per_v
+                   .withColumn("__na", F.sum("__ca").over(wall))
+                   .withColumn("__nb", F.sum("__cb").over(wall)))
+    folded = with_totals.agg(
+        F.min("__na").cast("long").alias("n_a"),
+        F.min("__nb").cast("long").alias("n_b"),
+        F.max(F.abs(F.col("__cuma") * F.col("__nb")
+                    - F.col("__cumb") * F.col("__na")))
+        .cast("long").alias("d_num"))
+    guard = (F.when(F.col("n_a") + F.col("n_b") > F.lit(1 << 31),
+                    F.raise_error(F.lit(
+                        "ks_test: n exceeds 2^31 — cum*n leaves "
+                        "int64; switch the numerators to "
+                        "DECIMAL(38,0)")).cast("long"))
+             .otherwise(F.col("d_num")))
+    d = (F.when((F.col("n_a") == 0) | (F.col("n_b") == 0),
+                F.lit(None).cast("double"))
+         .otherwise(F.floor(guard.cast("double")
+                            / (F.col("n_a") * F.col("n_b"))
+                            .cast("double")
+                            * F.lit(1000000.0) + F.lit(0.5))
+                    / F.lit(1000000.0)))
+    scaled = (F.when(d.isNull(), F.lit(None).cast("double"))
+              .otherwise(F.floor(
+                  d * F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")
+                             / (F.col("n_a") + F.col("n_b"))
+                             .cast("double"))
+                  * F.lit(1000000.0) + F.lit(0.5))
+                  / F.lit(1000000.0)))
+    return folded.select("n_a", "n_b", guard.alias("d_num"),
+                         d.alias("d_stat"),
+                         scaled.alias("ks_stat_scaled"))

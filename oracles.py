@@ -4356,6 +4356,38 @@ def build_oracles() -> dict[str, str]:
       FROM pr JOIN cells ON cells.rw = pr.rw AND cells.bucket = pr.bucket
       GROUP BY 1"""
 
+    # Two-sample KS: same per-value machinery, integer cross-multiplied
+    # CDF gap max, one division + one sqrt scaling
+    o["ev_ab_ks"] = """
+      WITH b AS (SELECT event_type AS g, value AS v FROM events
+                 WHERE value IS NOT NULL
+                   AND event_type IN ('click', 'view')),
+      c AS (SELECT v, sum((g = 'click')::BIGINT)::BIGINT AS ca,
+                   sum((g = 'view')::BIGINT)::BIGINT AS cb
+            FROM b GROUP BY 1),
+      p AS (SELECT v, ca, cb,
+                   sum(ca) OVER (ORDER BY v)::BIGINT AS cuma,
+                   sum(cb) OVER (ORDER BY v)::BIGINT AS cumb,
+                   sum(ca) OVER ()::BIGINT AS na,
+                   sum(cb) OVER ()::BIGINT AS nb
+            FROM c),
+      f AS (SELECT min(na)::BIGINT AS n_a, min(nb)::BIGINT AS n_b,
+                   max(abs(cuma * nb - cumb * na))::BIGINT AS d_num
+            FROM p)
+      SELECT n_a, n_b, d_num,
+             CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                  ELSE floor(d_num::DOUBLE / (n_a * n_b)::DOUBLE
+                             * 1000000.0 + 0.5) / 1000000.0
+             END AS d_stat,
+             CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                  ELSE floor((floor(d_num::DOUBLE / (n_a * n_b)::DOUBLE
+                                    * 1000000.0 + 0.5) / 1000000.0)
+                             * sqrt((n_a * n_b)::DOUBLE
+                                    / (n_a + n_b)::DOUBLE)
+                             * 1000000.0 + 0.5) / 1000000.0
+             END AS ks_stat_scaled
+      FROM f"""
+
     # Mann-Whitney rank-sum: per-value group counts, cumulative pass
     # over the value vocabulary, integer 2U + tie-corrected sigma^2,
     # one IEEE sqrt (correctly rounded in both engines)

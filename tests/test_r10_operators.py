@@ -514,3 +514,52 @@ def test_rank_sum_detects_shift_and_degenerates(spark):
                                                 "v double"),
                           "g", "v", "a", "b").collect()
     assert rc.z is None and rc.u_a == 1.0
+
+
+# -- ks_test -----------------------------------------------------------
+
+
+def test_ks_matches_brute_force(spark):
+    """Exact integer D vs a python CDF replay, ties included."""
+    import math
+
+    from influxdb_ha_spark.operators.timeseries import ks_test
+    a = [1.0, 2.0, 2.0, 5.0, 7.0]
+    b = [2.0, 3.0, 3.0, 4.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    (r,) = ks_test(df, "g", "v", "a", "b").collect()
+    vals = sorted(set(a + b))
+    na, nb = len(a), len(b)
+    dnum = max(abs(sum(1 for x in a if x <= v) * nb
+                   - sum(1 for x in b if x <= v) * na) for v in vals)
+    assert (r.n_a, r.n_b, r.d_num) == (na, nb, dnum)
+    assert r.d_stat == math.floor(dnum / (na * nb) * 1e6 + 0.5) / 1e6
+    # identical samples: D = 0
+    same = [("a", v) for v in (1.0, 2.0)] + [("b", v) for v in (1.0, 2.0)]
+    (r0,) = ks_test(spark.createDataFrame(same, "g string, v double"),
+                    "g", "v", "a", "b").collect()
+    assert r0.d_num == 0 and r0.d_stat == 0.0
+    # disjoint supports: D = 1 exactly
+    gap = [("a", 1.0), ("a", 2.0), ("b", 9.0)]
+    (r1,) = ks_test(spark.createDataFrame(gap, "g string, v double"),
+                    "g", "v", "a", "b").collect()
+    assert r1.d_stat == 1.0
+
+
+def test_ks_same_shift_vs_shape_complement(spark):
+    """A pure location shift moves BOTH statistics; equal-median but
+    different-spread samples move KS while the rank-sum z stays small
+    — the reason both tests ship."""
+    from influxdb_ha_spark.operators.timeseries import (ks_test,
+                                                        rank_sum_test)
+    spread = ([("a", 0.0)] * 20
+              + [("b", float(v)) for v in range(1, 11)]
+              + [("b", float(v)) for v in range(-1, -11, -1)])
+    df = spark.createDataFrame(spread, "g string, v double")
+    (ks,) = ks_test(df, "g", "v", "a", "b").collect()
+    (rs,) = rank_sum_test(df, "g", "v", "a", "b").collect()
+    # every a sits at b's median: rank-sum is EXACTLY balanced...
+    assert rs.z == 0.0 and rs.u_a == 200.0
+    # ...while the point-mass vs spread difference is loud in KS
+    assert ks.d_stat == 0.5

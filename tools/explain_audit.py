@@ -65,6 +65,9 @@ BOUNDED_SINGLE_PARTITION = {
                         "the sk_hist_quantile bins argument); the "
                         "data-sized stages are the two map-combinable "
                         "count shuffles",
+    "ev_ab_ks": "same value-vocabulary cumulative pass as "
+                "ev_ab_ranksum (the two tests share the per-value "
+                "count machinery) + the 1-row D fold",
     "ev_ab_ranksum": "the cumulative pass runs over the per-VALUE "
                      "count table — bounded by the metric's value "
                      "VOCABULARY (fixed-decimal events.value ≤ 51200 "
