@@ -2248,6 +2248,21 @@ def q_ev_ab_ranksum(spark, sf):
     return rank_sum_test(ev, "event_type", "value", "click", "error")
 
 
+def q_ev_ab_chisq(spark, sf):
+    """Pearson χ² independence test: event_type × user-parity variant
+    (added scope — the CATEGORICAL member of the A/B trio beside
+    ranksum/KS): per-cell integer microunit terms
+    (dev²·10⁶ div N·row·col, DECIMAL(38,0) intermediates) summed as
+    INTEGERS — no float fold order anywhere
+    (operators/timeseries.py:chi_square_test)."""
+    from influxdb_ha_spark.operators.timeseries import chi_square_test
+    ev = (_t(spark, sf, "events")
+          .where(F.col("user_id").isNotNull())
+          .select("event_type",
+                  F.pmod(F.col("user_id"), F.lit(2)).alias("variant")))
+    return chi_square_test(ev, "event_type", "variant")
+
+
 def q_ev_ab_ks(spark, sf):
     """Two-sample Kolmogorov–Smirnov D: click vs view event values
     (added scope — the rank-sum test's distribution-SHAPE companion):
@@ -4194,6 +4209,7 @@ _FAMILIES = [
         "ev_precedence": q_ev_precedence,
         "ev_ab_ranksum": q_ev_ab_ranksum,
         "ev_ab_ks": q_ev_ab_ks,
+        "ev_ab_chisq": q_ev_ab_chisq,
         "ev_inter_event": q_ev_inter_event,
         "ev_lifecycle": q_ev_lifecycle,
         "ev_mix_drift": q_ev_mix_drift,

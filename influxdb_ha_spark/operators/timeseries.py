@@ -2942,3 +2942,87 @@ def ks_test(df: DataFrame, group_col: str, value_col: str,
     return folded.select("n_a", "n_b", guard.alias("d_num"),
                          d.alias("d_stat"),
                          scaled.alias("ks_stat_scaled"))
+
+
+def chi_square_test(df: DataFrame, row_col: str, col_col: str,
+                    max_n: int = 10 ** 8) -> DataFrame:
+    """Pearson χ² test of independence over a contingency table — the
+    CATEGORICAL member of the A/B trio (rank_sum_test: continuous
+    shift; ks_test: continuous shape; this: are two categorical
+    variables independent — variant × converted, segment × churned).
+    χ² = Σ_cells (O − E)²/E with E = row·col/N, computed from EXACT
+    integer counts with the fractions cleared:
+
+      χ² = Σ_cells (O·N − row·col)² / (N·row·col)
+
+    — each cell's term is floor-scaled to integer MICROUNITS
+    (term_µ = (dev²·10⁶) div (N·row·col), DECIMAL(38,0)-held
+    intermediates, exact integral division) and the fold is an
+    INTEGER sum — no float accumulation anywhere, so fold order
+    cannot perturb the result on any engine or partitioning (a
+    double-sum fold would differ between Spark's and DuckDB's
+    summation orders). The per-cell floor loses < 10⁻⁶ per cell —
+    bounded by |R|·|C|·10⁻⁶ absolute, identically replayed by the
+    oracle. dof = (|R|−1)(|C|−1) rides along; chi2 = Σterm_µ / 10⁶
+    in one pinned division.
+
+    Returns ONE row: (n, n_rows_cat, n_cols_cat, dof, chi2);
+    chi2 NULL when dof = 0 (a degenerate 1×C or R×1 table).
+
+    Overflow: dev²·10⁶ ≤ N⁴·10⁶ must fit DECIMAL(38,0), needing
+    N ≤ 10⁸; guarded loudly (pettitt convention; beyond it,
+    pre-aggregate or widen to HUGEINT-class arithmetic).
+
+    Scale shape: one (row, col)-keyed count — map-combinable, the
+    only data-sized stage — then margins and the fold over the
+    |R|·|C|-bounded cell table (category vocabularies, never rows).
+    """
+    base = (df.select(F.col(row_col).alias("__r"),
+                      F.col(col_col).alias("__c"))
+            .where(F.col("__r").isNotNull() & F.col("__c").isNotNull()))
+    cells = (base.groupBy("__r", "__c")
+             .agg(F.count(F.lit(1)).cast("long").alias("__o")))
+    rows = cells.groupBy("__r").agg(F.sum("__o").cast("long")
+                                    .alias("__rm"))
+    cols = cells.groupBy("__c").agg(F.sum("__o").cast("long")
+                                    .alias("__cm"))
+    # the full R x C spine: a cell absent from the data (O = 0) still
+    # contributes (0 - E)^2/E
+    spine = rows.crossJoin(F.broadcast(cols))
+    full = (spine.join(cells, ["__r", "__c"], "left")
+            .select("__r", "__c", "__rm", "__cm",
+                    F.coalesce("__o", F.lit(0)).cast("long")
+                    .alias("__o")))
+    wall = Window.partitionBy()
+    with_n = full.withColumn("__n", F.sum("__o").over(wall))
+    guarded_o = (F.when(F.col("__n") > F.lit(int(max_n)),
+                        F.raise_error(F.lit(
+                            "chi_square_test: N exceeds 10^8 — "
+                            "dev^2 * 10^6 leaves DECIMAL(38,0); "
+                            "pre-aggregate or widen (see docstring)"))
+                        .cast("long"))
+                 .otherwise(F.col("__o")))
+    # integer microunit term: DECIMAL(38,0) square, exact `div`
+    with_term = (with_n
+                 .withColumn("__dev",
+                             (guarded_o * F.col("__n")
+                              - F.col("__rm") * F.col("__cm"))
+                             .cast("decimal(38,0)"))
+                 .withColumn("__den",
+                             (F.col("__n").cast("decimal(38,0)")
+                              * F.col("__rm") * F.col("__cm")))
+                 .withColumn("__tm",
+                             F.expr("CAST((__dev * __dev * 1000000) "
+                                    "div __den AS LONG)")))
+    folded = with_term.agg(
+        F.min("__n").cast("long").alias("n"),
+        F.count_distinct("__r").cast("long").alias("n_rows_cat"),
+        F.count_distinct("__c").cast("long").alias("n_cols_cat"),
+        F.sum("__tm").cast("long").alias("__chi2_micro"))
+    dof = ((F.col("n_rows_cat") - 1)
+           * (F.col("n_cols_cat") - 1)).cast("long")
+    chi2 = (F.when(dof <= 0, F.lit(None).cast("double"))
+            .otherwise(F.col("__chi2_micro").cast("double")
+                       / F.lit(1000000.0)))
+    return folded.select("n", "n_rows_cat", "n_cols_cat",
+                         dof.alias("dof"), chi2.alias("chi2"))

@@ -4356,6 +4356,40 @@ def build_oracles() -> dict[str, str]:
       FROM pr JOIN cells ON cells.rw = pr.rw AND cells.bucket = pr.bucket
       GROUP BY 1"""
 
+    # Pearson chi-square: integer microunit terms over the R x C spine
+    # (HUGEINT intermediates mirror Spark's DECIMAL(38,0)), integer sum
+    o["ev_ab_chisq"] = """
+      WITH b AS (SELECT event_type AS r, (user_id % 2)::BIGINT AS c
+                 FROM events
+                 WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      cells AS (SELECT r, c, count(*)::BIGINT AS o FROM b GROUP BY 1, 2),
+      rm AS (SELECT r, sum(o)::BIGINT AS rmv FROM cells GROUP BY 1),
+      cm AS (SELECT c, sum(o)::BIGINT AS cmv FROM cells GROUP BY 1),
+      sp AS (SELECT rm.r, cm.c, rm.rmv, cm.cmv FROM rm, cm),
+      fl AS (SELECT sp.r, sp.c, sp.rmv, sp.cmv,
+                    COALESCE(cells.o, 0)::BIGINT AS o
+             FROM sp LEFT JOIN cells
+               ON cells.r = sp.r AND cells.c = sp.c),
+      w AS (SELECT *, sum(o) OVER ()::BIGINT AS n FROM fl),
+      t AS (SELECT n,
+                   ((o::HUGEINT * n - rmv::HUGEINT * cmv)
+                    * (o::HUGEINT * n - rmv::HUGEINT * cmv)
+                    * 1000000)
+                   // (n::HUGEINT * rmv * cmv) AS tm,
+                   r, c
+            FROM w),
+      f AS (SELECT min(n)::BIGINT AS n,
+                   count(DISTINCT r)::BIGINT AS n_rows_cat,
+                   count(DISTINCT c)::BIGINT AS n_cols_cat,
+                   sum(tm)::BIGINT AS micro
+            FROM t)
+      SELECT n, n_rows_cat, n_cols_cat,
+             ((n_rows_cat - 1) * (n_cols_cat - 1))::BIGINT AS dof,
+             CASE WHEN (n_rows_cat - 1) * (n_cols_cat - 1) <= 0
+                  THEN NULL
+                  ELSE micro::DOUBLE / 1000000.0 END AS chi2
+      FROM f"""
+
     # Two-sample KS: same per-value machinery, integer cross-multiplied
     # CDF gap max, one division + one sqrt scaling
     o["ev_ab_ks"] = """

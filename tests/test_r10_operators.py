@@ -563,3 +563,42 @@ def test_ks_same_shift_vs_shape_complement(spark):
     assert rs.z == 0.0 and rs.u_a == 200.0
     # ...while the point-mass vs spread difference is loud in KS
     assert ks.d_stat == 0.5
+
+
+# -- chi_square_test ---------------------------------------------------
+
+
+def test_chi_square_hand_checked(spark):
+    """2x2 table [[10, 20], [20, 10]]: classic chi2 = 6.666... in
+    exact microunits; independent table scores ~0; degenerate 1-col
+    table -> dof 0, chi2 NULL."""
+    from influxdb_ha_spark.operators.timeseries import chi_square_test
+    rows = ([("a", 0)] * 10 + [("a", 1)] * 20
+            + [("b", 0)] * 20 + [("b", 1)] * 10)
+    df = spark.createDataFrame(rows, "r string, c long")
+    (r,) = chi_square_test(df, "r", "c").collect()
+    assert (r.n, r.n_rows_cat, r.n_cols_cat, r.dof) == (60, 2, 2, 1)
+    # chi2 = sum over 4 cells of (O*60 - 30*30)^2*1e6 // (60*30*30),
+    # each cell: (600-900)^2 -> 90000*1e6 // 54000 = 1666666 microunits
+    assert r.chi2 == 4 * 1666666 / 1e6
+    indep = ([("a", 0)] * 10 + [("a", 1)] * 10
+             + [("b", 0)] * 10 + [("b", 1)] * 10)
+    (ri,) = chi_square_test(
+        spark.createDataFrame(indep, "r string, c long"),
+        "r", "c").collect()
+    assert ri.chi2 == 0.0
+    (rd,) = chi_square_test(
+        spark.createDataFrame([("a", 0), ("b", 0)], "r string, c long"),
+        "r", "c").collect()
+    assert rd.dof == 0 and rd.chi2 is None
+
+
+def test_chi_square_absent_cell_contributes(spark):
+    """A structurally-absent cell (O = 0) still contributes (0-E)^2/E
+    via the R x C spine — dropping it would understate chi2."""
+    from influxdb_ha_spark.operators.timeseries import chi_square_test
+    rows = [("a", 0)] * 6 + [("b", 1)] * 6          # perfect diagonal
+    df = spark.createDataFrame(rows, "r string, c long")
+    (r,) = chi_square_test(df, "r", "c").collect()
+    # perfect association in 2x2: chi2 = n exactly
+    assert r.chi2 == 12.0 and r.dof == 1

@@ -68,6 +68,11 @@ BOUNDED_SINGLE_PARTITION = {
     "ev_ab_ks": "same value-vocabulary cumulative pass as "
                 "ev_ab_ranksum (the two tests share the per-value "
                 "count machinery) + the 1-row D fold",
+    "ev_ab_chisq": "the N window and microunit fold run over the "
+                   "|R|·|C|-bounded contingency-cell table (category "
+                   "VOCABULARIES — 5×2 at the gate), never the rows; "
+                   "the one data-sized stage is the map-combinable "
+                   "(row, col) count",
     "ev_ab_ranksum": "the cumulative pass runs over the per-VALUE "
                      "count table — bounded by the metric's value "
                      "VOCABULARY (fixed-decimal events.value ≤ 51200 "
@@ -174,6 +179,9 @@ BOUNDED_SINGLE_PARTITION = {
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
 # justification required, stale entries flagged).
 ALLOWED_CARTESIAN = {
+    "ev_ab_chisq": "the R-margin x C-margin spine crossJoin — "
+                   "bounded by the two category vocabularies (5x2 at "
+                   "the gate), the t_closeness spine argument",
     "graph_modularity": "the 1-row edge-count scalar broadcast onto "
                         "the per-community fold (≤ |communities| rows "
                         "— the q11/tpch_q15 scalar-anchor pattern); "
