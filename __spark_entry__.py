@@ -2837,6 +2837,27 @@ def q_diag_profile(spark, sf):
         ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"])
 
 
+def q_graph_hits(spark, sf):
+    """HITS hubs & authorities on the directed user→event_type
+    engagement graph (added scope — Kleinberg 1999; the bipartite
+    classic: hub quality of users, authority quality of event types):
+    8 rounds of exact fixed-point integer mutual reinforcement, L∞
+    renorm by integer floor division against the round's 1-row max
+    scalar (DECIMAL(38,0) product), in-plan negative-sum overflow
+    guard — bit-stable on any engine/partitioning; node ids prefixed
+    'u:'/'e:' so the two vocabularies never collide
+    (operators/graph.py:hits)."""
+    from influxdb_ha_spark.operators import graph as GR
+    ev = (_events_us(spark, sf)
+          .where(F.col("user_id").isNotNull()
+                 & F.col("event_type").isNotNull()))
+    edges = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("e:"), F.col("event_type")).alias("dst"))
+    return GR.hits(edges, iters=8)
+
+
 def q_graph_ppr(spark, sf):
     """Personalized PageRank around the p_partkey ≡ 0 (mod 97) seed
     basket on the co-order part graph (added scope — Jeh & Widom
@@ -4242,6 +4263,7 @@ _FAMILIES = [
         "graph_closeness": q_graph_closeness,
         "graph_harmonic": q_graph_harmonic,
         "graph_ppr": q_graph_ppr,
+        "graph_hits": q_graph_hits,
         "graph_modularity": q_graph_modularity,
     },
     {

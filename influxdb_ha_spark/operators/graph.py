@@ -935,3 +935,102 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     out.unpersist()
     sd.unpersist()
     return pr
+
+
+def hits(edges: DataFrame, iters: int = 8,
+         reliable: bool = False) -> DataFrame:
+    """HITS hubs & authorities on a DIRECTED edge list (Kleinberg
+    1999) — the two-sided citation/endorsement ranking pagerank's
+    single score can't express: a good HUB points at good
+    authorities, a good AUTHORITY is pointed at by good hubs
+    (user→item bipartite graphs are the classic fit — hub quality of
+    users, authority quality of items — which is why the gate runs it
+    on the user→event_type engagement graph). Same exact fixed-point
+    integer discipline as pagerank:
+
+      a_0 = h_0 = SCALE_FP
+      a'_{i+1}(v) = Σ over in-edges (u→v) of h_i(u)
+      h'_{i+1}(u) = Σ over out-edges (u→v) of a_{i+1}(v)
+
+    with each vector renormalized per round by an integer floor
+    division a = (a'·SCALE) div max(a') against the round's 1-row
+    global max (the q11 scalar convention) — the standard L∞
+    normalization made exact: every operand BIGINT, every division a
+    floor, so any engine and any partitioning agree bit-for-bit
+    (float HITS normalizes by an L2 norm whose sqrt and fold order
+    both wobble; the L∞ integer form has neither).
+
+    Overflow headroom: Σ h over in-edges ≤ indegree·SCALE, safe up to
+    degree ≈ 4.6·10⁶; the guard is IN-PLAN (no eager job at
+    construction — the markov r9 lesson): every per-round sum of
+    positive terms that wraps int64 lands negative, and the renorm
+    raises loudly on any negative sum (DECIMAL(38,0) is the
+    documented swap past that degree).
+
+    Returns (node, hub_fp, auth_fp) in SCALE_FP units — every node of
+    the directed graph, sources with auth 0 and sinks with hub 0
+    staying visible.
+
+    Scale shape per round: two edge-keyed joins + two node-keyed
+    integer sums + two 1-row max scalars; lineage truncated per round
+    (the pagerank convention).
+    """
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
+    e = (edges.select(F.col(edges.columns[0]).alias("src"),
+                      F.col(edges.columns[1]).alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct().persist())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    hub = _truncate_lineage(
+        nodes.withColumn("hub_fp", F.lit(SCALE_FP).cast("long")),
+        reliable)
+    auth = _truncate_lineage(
+        nodes.withColumn("auth_fp", F.lit(SCALE_FP).cast("long")),
+        reliable)
+
+    def _renorm(df, col):
+        mx = df.agg(F.max(col).alias("__mx"),
+                    F.min(col).alias("__mn"))
+        # a wrapped int64 sum of positive terms is negative: raise
+        # loudly instead of renormalizing garbage (the in-plan guard)
+        return (df.crossJoin(F.broadcast(mx))
+                .select("node",
+                        F.when(F.col("__mn") < 0,
+                               F.raise_error(F.lit(
+                                   "hits: a score sum wrapped int64 "
+                                   "(degree * SCALE headroom) — "
+                                   "switch the sums to DECIMAL(38,0)"))
+                               .cast("long"))
+                        .when(F.col("__mx") > 0,
+                              # DECIMAL(38,0) product: raw*SCALE can
+                              # reach ~1e30 — far past int64, well
+                              # inside decimal; quotient <= SCALE
+                              F.expr(f"CAST((CAST({col} AS "
+                                     f"DECIMAL(38,0)) * {SCALE_FP}) "
+                                     f"div __mx AS LONG)"))
+                        .otherwise(F.lit(0)).cast("long").alias(col)))
+
+    for _ in range(iters):
+        a_raw = (e.join(hub.select(F.col("node").alias("src"),
+                                   "hub_fp"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("hub_fp").alias("__s")))
+        auth = _truncate_lineage(_renorm(
+            nodes.join(a_raw, "node", "left")
+            .select("node", F.coalesce("__s", F.lit(0)).cast("long")
+                    .alias("auth_fp")), "auth_fp"), reliable)
+        h_raw = (e.join(auth.select(F.col("node").alias("dst"),
+                                    "auth_fp"), "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("auth_fp").alias("__s")))
+        hub = _truncate_lineage(_renorm(
+            nodes.join(h_raw, "node", "left")
+            .select("node", F.coalesce("__s", F.lit(0)).cast("long")
+                    .alias("hub_fp")), "hub_fp"), reliable)
+    out = hub.join(auth, "node")
+    e.unpersist()
+    nodes.unpersist()
+    return out

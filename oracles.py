@@ -3965,6 +3965,59 @@ def build_oracles() -> dict[str, str]:
         "WITH " + _G_EDGES + "," + ",".join(ppr_ctes)
         + f"\n      SELECT node, pr::BIGINT AS ppr_fp FROM q{_PR_ITERS}")
 
+    # HITS on the directed user->event_type graph: integer mutual
+    # reinforcement, L-inf renorm by floor division per round (HUGEINT
+    # mirrors Spark's DECIMAL(38,0) renorm product); every stage
+    # MATERIALIZED and maxima hoisted to 1-row CTEs so DuckDB opens
+    # the parquet once, not once per scalar subquery
+    _HITS_ITERS = 8
+    hits_ctes = [f"""
+      de AS MATERIALIZED (
+             SELECT DISTINCT 'u:' || user_id::VARCHAR AS src,
+                             'e:' || event_type AS dst
+             FROM events
+             WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      dn AS MATERIALIZED (SELECT src AS node FROM de
+             UNION SELECT dst FROM de),
+      hh0 AS MATERIALIZED (
+             SELECT node, {_PR_SCALE}::HUGEINT AS v FROM dn)"""]
+    for it in range(1, _HITS_ITERS + 1):
+        hits_ctes.append(f"""
+      ar{it} AS MATERIALIZED (
+                 SELECT n.node, coalesce(s.s, 0)::HUGEINT AS v
+                 FROM dn n LEFT JOIN (
+                   SELECT de.dst AS node, sum(h.v) AS s
+                   FROM de JOIN hh{it - 1} h ON h.node = de.src
+                   GROUP BY de.dst) s ON s.node = n.node),
+      am{it} AS MATERIALIZED (SELECT max(v) AS mx FROM ar{it}),
+      aa{it} AS MATERIALIZED (
+                 SELECT node,
+                        CASE WHEN (SELECT mx FROM am{it}) > 0
+                             THEN (v * {_PR_SCALE})
+                                  // (SELECT mx FROM am{it})
+                             ELSE 0 END AS v
+                 FROM ar{it}),
+      hr{it} AS MATERIALIZED (
+                 SELECT n.node, coalesce(s.s, 0)::HUGEINT AS v
+                 FROM dn n LEFT JOIN (
+                   SELECT de.src AS node, sum(a.v) AS s
+                   FROM de JOIN aa{it} a ON a.node = de.dst
+                   GROUP BY de.src) s ON s.node = n.node),
+      hm{it} AS MATERIALIZED (SELECT max(v) AS mx FROM hr{it}),
+      hh{it} AS MATERIALIZED (
+                 SELECT node,
+                        CASE WHEN (SELECT mx FROM hm{it}) > 0
+                             THEN (v * {_PR_SCALE})
+                                  // (SELECT mx FROM hm{it})
+                             ELSE 0 END AS v
+                 FROM hr{it})""")
+    o["graph_hits"] = (
+        "WITH " + ",".join(hits_ctes)
+        + f"""
+      SELECT h.node, h.v::BIGINT AS hub_fp, a.v::BIGINT AS auth_fp
+      FROM hh{_HITS_ITERS} h JOIN aa{_HITS_ITERS} a
+        ON a.node = h.node""")
+
     o["graph_link_predict"] = f"""
       WITH {_G_EDGES},
       deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY 1),

@@ -389,3 +389,31 @@ def test_ppr_validation(spark):
     with pytest.raises(ValueError, match="iters"):
         G.personalized_pagerank(
             e, spark.createDataFrame([(1,)], "node long"), iters=0)
+
+
+def test_hits_bipartite_hand_checked(spark):
+    # users u1..u3 -> items A,B: u1->{A,B}, u2->{A}, u3->{A}
+    # A (3 in-edges) must out-rank B (1); u1 (points at both) must
+    # out-rank u2/u3; the L-inf renorm pins each vector's max at SCALE
+    e = spark.createDataFrame(
+        [("u1", "A"), ("u1", "B"), ("u2", "A"), ("u3", "A")],
+        "src string, dst string")
+    got = {r.node: (r.hub_fp, r.auth_fp) for r in
+           G.hits(e, iters=8).collect()}
+    S = 10 ** 12
+    assert got["A"][1] == S and got["B"][1] < S      # top authority
+    assert got["u1"][0] == S                         # top hub
+    assert got["u2"][0] == got["u3"][0] < S
+    # pure sources have auth 0, pure sinks hub 0 — still present
+    assert got["u1"][1] == 0 and got["A"][0] == 0
+
+
+def test_hits_partition_shape_independent_and_validation(spark):
+    e = spark.createDataFrame(
+        [(f"u{i % 7}", f"i{i % 3}") for i in range(50)],
+        "src string, dst string")
+    a = sorted(tuple(r) for r in G.hits(e.repartition(1), 4).collect())
+    b = sorted(tuple(r) for r in G.hits(e.repartition(13), 4).collect())
+    assert a == b
+    with pytest.raises(ValueError, match="iters"):
+        G.hits(e, iters=0)
