@@ -2577,6 +2577,23 @@ def q_sk_hll_rollup(spark, sf):
                       bucket_ns=86_400_000_000_000)
 
 
+def q_sk_kmv_diff(spark, sf):
+    """Theta-sketch set DIFFERENCE + directional containment between
+    the 'A' and 'R' returnflag order-key sets (added scope — the
+    third leg of the set algebra after sk_kmv_setops' union/
+    intersection/Jaccard): |A∖B|, |B∖A| and |A∩B|/|A|, |A∩B|/|B| from
+    the same two 256-value sketches — the "how much of corpus A is
+    already inside corpus B" question cross-corpus dedup planning
+    asks; same θ convention, exact integer counts below θ, pinned
+    multiply+divides floor-round-6
+    (operators/sketch.py:kmv_difference)."""
+    from influxdb_ha_spark.operators.sketch import kmv_difference
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_orderkey")
+    return kmv_difference(li, value_col="l_orderkey",
+                          group_col="l_returnflag",
+                          group_a="A", group_b="R", k=256)
+
+
 def q_sk_hist_rollup(spark, sf):
     """Time-bucketed histogram rollup: daily per-(type, bin) count
     partials merged cell-wise into whole-range p50/p95/p99 (added
@@ -4280,6 +4297,7 @@ _FAMILIES = [
         "sk_hll_rollup": q_sk_hll_rollup,
         "sk_hist_rollup": q_sk_hist_rollup,
         "sk_bloom": q_sk_bloom,
+        "sk_kmv_diff": q_sk_kmv_diff,
         "sk_hll_cube": q_sk_hll_cube,
         "sk_ams_f2": q_sk_ams_f2,
         "diag_skew": q_diag_skew,

@@ -1249,3 +1249,75 @@ def bloom_semijoin(big: DataFrame, small: DataFrame,
         F.expr("((n_pass_bloom - n_true_match) * 1000000) div "
                "greatest(1L, n_big_rows - n_true_match)")
         .alias("fp_ppm"))
+
+
+def kmv_difference(df: DataFrame, value_col: str, group_col: str,
+                   group_a, group_b, k: int = 256,
+                   salts: int = KMV_SALTS) -> DataFrame:
+    """Set-DIFFERENCE and CONTAINMENT estimates between two groups'
+    value sets from their KMV sketches — the third leg of the
+    theta-sketch set algebra (sk_kmv_setops ships union/intersection/
+    Jaccard; this ships |A∖B|, |B∖A| and the directional containments
+    |A∩B|/|A| and |A∩B|/|B| — the "how much of corpus A is already
+    inside corpus B" question cross-corpus dedup planning asks before
+    committing to a merge). Same θ convention as kmv_setops
+    (exhaustive sketch ⇒ θ = 2⁶⁰, _theta_col single-sourced); below θ
+    both sketches are exact samples of [0, θ], so with n_a / n_b /
+    n_common the ≤-θ survivor counts:
+
+      est_diff_ab      = (n_a − n_common) · 2⁶⁰ / θ
+      est_diff_ba      = (n_b − n_common) · 2⁶⁰ / θ
+      containment_ab   = n_common / n_a        (NULL when n_a = 0)
+      containment_ba   = n_common / n_b        (NULL when n_b = 0)
+
+    — integer counts, one pinned multiply+divide each, floor-round-6.
+    Two exhaustive groups ⇒ all four are exact.
+
+    Returns ONE row: (theta, n_a, n_b, n_common, est_diff_ab,
+    est_diff_ba, containment_ab, containment_ba).
+
+    Scale shape: identical to kmv_setops — one distinct shuffle + the
+    two-phase salted bottom-k build, then every join/aggregate on
+    ≤ k rows per side, θ a 1-row scalar broadcast.
+    """
+    g = F.col("__g")
+    base = (df.select(F.col(group_col).alias("__g"),
+                      F.col(value_col).alias("__v"))
+            .where(F.col("__v").isNotNull()
+                   & g.isin([group_a, group_b]))
+            .distinct()
+            .withColumn("__h", hash64_expr(F.col("__v").cast("string"))))
+    sk = _bottom_k(base, ["__g"], k, salts).select("__g", "__h")
+    theta = (sk.groupBy("__g").agg(F.max("__h").alias("__t"),
+                                   F.count(F.lit(1)).alias("__ku"))
+             .select(_theta_col(k).alias("__t"))
+             .agg(F.min("__t").alias("theta")))
+    sa = sk.where(g == group_a).select("__h")
+    sb = sk.where(g == group_b).select("__h")
+    na = (sa.crossJoin(F.broadcast(theta))
+          .where(F.col("__h") <= F.col("theta"))
+          .agg(F.count(F.lit(1)).alias("n_a")))
+    nb = (sb.crossJoin(F.broadcast(theta))
+          .where(F.col("__h") <= F.col("theta"))
+          .agg(F.count(F.lit(1)).alias("n_b")))
+    nc = (sa.join(sb, "__h")
+          .crossJoin(F.broadcast(theta))
+          .where(F.col("__h") <= F.col("theta"))
+          .agg(F.count(F.lit(1)).alias("n_common")))
+    one = (theta.crossJoin(F.broadcast(na))
+           .crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(nc)))
+    m = F.lit(float(HASH_SPACE))
+    return one.select(
+        "theta", "n_a", "n_b", "n_common",
+        _fr6((F.col("n_a") - F.col("n_common")).cast("double") * m
+             / F.col("theta").cast("double")).alias("est_diff_ab"),
+        _fr6((F.col("n_b") - F.col("n_common")).cast("double") * m
+             / F.col("theta").cast("double")).alias("est_diff_ba"),
+        F.when(F.col("n_a") > 0,
+               _fr6(F.col("n_common").cast("double")
+                    / F.col("n_a").cast("double")))
+        .alias("containment_ab"),
+        F.when(F.col("n_b") > 0,
+               _fr6(F.col("n_common").cast("double")
+                    / F.col("n_b").cast("double")))
+        .alias("containment_ba"))

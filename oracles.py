@@ -4356,6 +4356,39 @@ def build_oracles() -> dict[str, str]:
                    6)} END AS jaccard_est
       FROM cnt"""
 
+    # theta-sketch set DIFFERENCE + containment: same sketch build,
+    # theta convention and survivor counts as sk_kmv_setops
+    o["sk_kmv_diff"] = f"""
+      WITH v AS (SELECT DISTINCT l_returnflag AS g, l_orderkey AS v
+                 FROM lineitem WHERE l_orderkey IS NOT NULL
+                   AND l_returnflag IN ('A', 'R')),
+      hh AS (SELECT g, v, {_h64v} AS h FROM v),
+      rk AS (SELECT g, h, row_number() OVER (
+                 PARTITION BY g ORDER BY h ASC, v ASC) AS rn FROM hh),
+      sk AS (SELECT g, h FROM rk WHERE rn <= {_KMV_K}),
+      th AS (SELECT min(CASE WHEN ku < {_KMV_K} THEN {HASH_SPACE}
+                             ELSE t END)::BIGINT AS theta FROM
+             (SELECT g, max(h) AS t, count(*) AS ku FROM sk GROUP BY 1)),
+      sa AS (SELECT h FROM sk, th WHERE g = 'A' AND h <= theta),
+      sb AS (SELECT h FROM sk, th WHERE g = 'R' AND h <= theta),
+      cnt AS (SELECT (SELECT theta FROM th) AS theta,
+                     (SELECT count(*) FROM sa)::BIGINT AS n_a,
+                     (SELECT count(*) FROM sb)::BIGINT AS n_b,
+                     (SELECT count(*) FROM sa JOIN sb USING (h))::BIGINT
+                       AS n_common)
+      SELECT theta, n_a, n_b, n_common,
+             {fr(f'(n_a - n_common)::DOUBLE * {_M60} '
+                 '/ theta::DOUBLE', 6)} AS est_diff_ab,
+             {fr(f'(n_b - n_common)::DOUBLE * {_M60} '
+                 '/ theta::DOUBLE', 6)} AS est_diff_ba,
+             CASE WHEN n_a > 0 THEN
+               {fr('n_common::DOUBLE / n_a::DOUBLE', 6)}
+             END AS containment_ab,
+             CASE WHEN n_b > 0 THEN
+               {fr('n_common::DOUBLE / n_b::DOUBLE', 6)}
+             END AS containment_ba
+      FROM cnt"""
+
     _hll_raw = f"{HLL_NUMER!r} / s_total::DOUBLE"
     o["sk_hll"] = f"""
       WITH v AS (SELECT l_returnflag AS g, l_orderkey AS v

@@ -749,3 +749,55 @@ def test_bloom_semijoin_saturated_and_validation(spark):
         bloom_semijoin(big, small, "k", "k", m_bits=100)
     with pytest.raises(ValueError, match="hashes"):
         bloom_semijoin(big, small, "k", "k", hashes=0)
+
+
+# -- kmv_difference ----------------------------------------------------
+
+
+def test_kmv_difference_exhaustive_is_exact(spark):
+    """Both groups below k: theta = full space and every estimate is
+    the exact set arithmetic; containments are exact fractions."""
+    from influxdb_ha_spark.operators.sketch import (HASH_SPACE,
+                                                    kmv_difference)
+    rows = [("a", v) for v in range(100)] + \
+           [("b", v) for v in range(60, 160)]          # overlap 40
+    df = spark.createDataFrame(rows, "g string, v long")
+    (r,) = kmv_difference(df, "v", "g", "a", "b", k=256).collect()
+    assert r.theta == HASH_SPACE
+    assert (r.n_a, r.n_b, r.n_common) == (100, 100, 40)
+    assert r.est_diff_ab == 60.0 and r.est_diff_ba == 60.0
+    assert r.containment_ab == r.containment_ba == 0.4
+
+
+def test_kmv_difference_consistency_with_setops(spark):
+    """diff + intersection must reassemble the union estimate on the
+    SAME theta — the three legs of the algebra agree by construction."""
+    from influxdb_ha_spark.operators.sketch import (kmv_difference,
+                                                    kmv_setops)
+    rows = [("a", f"x{v}") for v in range(1200)] + \
+           [("b", f"x{v}") for v in range(800, 2200)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    (d,) = kmv_difference(df, "v", "g", "a", "b", k=128).collect()
+    (s,) = kmv_setops(df, "v", "g", "a", "b", k=128).collect()
+    assert d.theta == s.theta
+    assert (d.n_a, d.n_b, d.n_common) == (s.n_a, s.n_b, s.n_common)
+    # |A\B| + |B\A| + |A∩B| = |A∪B| in the raw (unrounded) estimator;
+    # allow the three independent roundings to differ by <= 2 microunits
+    lhs = d.est_diff_ab + d.est_diff_ba + s.est_intersection
+    assert abs(lhs - s.est_union) < 3e-6
+
+
+def test_kmv_difference_disjoint_and_subset(spark):
+    from influxdb_ha_spark.operators.sketch import kmv_difference
+    dis = [("a", v) for v in range(50)] + [("b", v + 100)
+                                           for v in range(50)]
+    (r,) = kmv_difference(
+        spark.createDataFrame(dis, "g string, v long"),
+        "v", "g", "a", "b").collect()
+    assert r.n_common == 0 and r.containment_ab == 0.0
+    sub = [("a", v) for v in range(30)] + [("b", v) for v in range(10)]
+    (r2,) = kmv_difference(
+        spark.createDataFrame(sub, "g string, v long"),
+        "v", "g", "a", "b").collect()
+    assert r2.containment_ba == 1.0        # B entirely inside A
+    assert r2.est_diff_ba == 0.0
