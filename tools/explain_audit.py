@@ -80,6 +80,10 @@ BOUNDED_SINGLE_PARTITION = {
                      "_hist_bin_cols per the docstring) — plus the "
                      "1-row test-statistic fold; the only data-sized "
                      "stage is the map-combinable value count",
+    "sk_kmv_diff": "same 1-row scalar aggregates as sk_kmv_setops "
+                   "(theta + three survivor counts, each folding <= k "
+                   "sketch rows); identical build, different final "
+                   "estimators",
     "sk_kmv_setops": "the θ / n_a / n_b / n_common 1-row scalar "
                      "aggregates, each folding ≤ k (=256, the sketch "
                      "parameter) rows — everything after the sketch "
@@ -210,6 +214,10 @@ ALLOWED_CARTESIAN = {
                 "big side",
     "sk_join_sample": "1-row x 1-row crossJoins folding the four "
                       "count scalars into the single output row",
+    "sk_kmv_diff": "same 1-row scalar crossJoins as sk_kmv_setops "
+                   "(theta broadcast onto the two <= k-row sketch "
+                   "sides, three 1-row counts folded into the output "
+                   "row)",
     "sk_kmv_setops": "1-row scalar crossJoins only: θ broadcast onto "
                      "the two ≤k-row sketch sides (the tpch_q15 "
                      "scalar-anchor pattern), then the three 1-row "
