@@ -2274,6 +2274,27 @@ def q_ev_ab_ks(spark, sf):
     return ks_test(ev, "event_type", "value", "click", "view")
 
 
+def q_ev_ab_bucketed(spark, sf):
+    """Pre-bucketed A/B readout on a deliberately HIGH-CARDINALITY
+    continuous metric (added scope — the rank-sum/KS docstring
+    advisory "pre-bucket continuous metrics" made API): metric =
+    value + (user_id mod 97)/128 (an exact binary-fraction jitter
+    that blows the value vocabulary up ~97×), coarsened by ab_test's
+    floor(v/0.5)·0.5 bucketing — every float op an exact power-of-two
+    scaling, so both engines bucket bit-identically — then the
+    rank-sum U/z and KS D folds over the WIDTH-BOUNDED bucket
+    vocabulary, combined into one row by a 1-row × 1-row broadcast
+    crossJoin (operators/timeseries.py:ab_test)."""
+    from influxdb_ha_spark.operators.timeseries import ab_test
+    ev = (_t(spark, sf, "events")
+          .select("event_type",
+                  (F.col("value")
+                   + F.pmod(F.col("user_id"), F.lit(97)).cast("double")
+                   / F.lit(128.0)).alias("metric")))
+    return ab_test(ev, "event_type", "metric", "click", "view",
+                   bucket_width=0.5)
+
+
 def q_ev_precedence(spark, sf):
     """First-occurrence precedence matrix (added scope — funnel
     DISCOVERY next to ev_funnel's measurement): for every ordered
@@ -2592,6 +2613,22 @@ def q_sk_kmv_diff(spark, sf):
     return kmv_difference(li, value_col="l_orderkey",
                           group_col="l_returnflag",
                           group_a="A", group_b="R", k=256)
+
+
+def q_sk_kmv_union_k(spark, sf):
+    """K-way theta-sketch union fold over ALL THREE returnflag
+    order-key sets in one pass (added scope — the Dasgupta et al.
+    2016 theta union generalized past sk_kmv_setops' pairwise form:
+    the multi-campaign audience reach question, G sketch builds never
+    G² scans): θ = min over groups of the exhaustive-aware theta,
+    distinct union of sketch hashes ≤ θ is EXACT below θ, est =
+    n_union·2⁶⁰/θ — one pinned multiply+divide floor-round-6; all
+    groups exhaustive ⇒ exact
+    (operators/sketch.py:kmv_union_k)."""
+    from influxdb_ha_spark.operators.sketch import kmv_union_k
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_orderkey")
+    return kmv_union_k(li, value_col="l_orderkey",
+                       group_col="l_returnflag", k=256)
 
 
 def q_sk_hist_rollup(spark, sf):
@@ -4247,6 +4284,7 @@ _FAMILIES = [
         "ev_precedence": q_ev_precedence,
         "ev_ab_ranksum": q_ev_ab_ranksum,
         "ev_ab_ks": q_ev_ab_ks,
+        "ev_ab_bucketed": q_ev_ab_bucketed,
         "ev_ab_chisq": q_ev_ab_chisq,
         "ev_inter_event": q_ev_inter_event,
         "ev_lifecycle": q_ev_lifecycle,
@@ -4298,6 +4336,7 @@ _FAMILIES = [
         "sk_hist_rollup": q_sk_hist_rollup,
         "sk_bloom": q_sk_bloom,
         "sk_kmv_diff": q_sk_kmv_diff,
+        "sk_kmv_union_k": q_sk_kmv_union_k,
         "sk_hll_cube": q_sk_hll_cube,
         "sk_ams_f2": q_sk_ams_f2,
         "diag_skew": q_diag_skew,

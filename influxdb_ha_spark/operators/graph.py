@@ -961,11 +961,15 @@ def hits(edges: DataFrame, iters: int = 8,
     both wobble; the L∞ integer form has neither).
 
     Overflow headroom: Σ h over in-edges ≤ indegree·SCALE, safe up to
-    degree ≈ 4.6·10⁶; the guard is IN-PLAN (no eager job at
-    construction — the markov r9 lesson): every per-round sum of
-    positive terms that wraps int64 lands negative, and the renorm
-    raises loudly on any negative sum (DECIMAL(38,0) is the
-    documented swap past that degree).
+    degree ≈ 4.6·10⁶ (= 2⁶²/SCALE_FP); both guards are IN-PLAN (no
+    eager job at construction — the markov r9 lesson). The renorm
+    raises on any NEGATIVE per-round sum (a wrap into [2⁶³, 2⁶⁴)),
+    and — because a sum past 2⁶⁴ lands positive again and would
+    otherwise renormalize garbage silently — the ACTUAL OPERAND is
+    guarded too: the graph's max in/out-degree is folded once into a
+    1-row scalar and the output raises when it exceeds 2⁶²/SCALE_FP,
+    which bounds every per-round sum inside int64 by construction
+    (DECIMAL(38,0) is the documented swap past that degree).
 
     Returns (node, hub_fp, auth_fp) in SCALE_FP units — every node of
     the directed graph, sources with auth 0 and sinks with hub 0
@@ -984,6 +988,16 @@ def hits(edges: DataFrame, iters: int = 8,
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct().persist())
+    # degree-operand overflow guard (in-plan 1-row scalar): max degree
+    # > 2^62/SCALE_FP means a per-round sum can pass 2^64 and land
+    # POSITIVE — invisible to the negative-sum renorm guard below
+    degcap = (1 << 62) // SCALE_FP
+    deg = (e.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+           .select("__d")
+           .unionByName(e.groupBy("dst")
+                        .agg(F.count(F.lit(1)).alias("__d"))
+                        .select("__d"))
+           .agg(F.max("__d").alias("__degmax")))
     hub = _truncate_lineage(
         nodes.withColumn("hub_fp", F.lit(SCALE_FP).cast("long")),
         reliable)
@@ -1030,7 +1044,18 @@ def hits(edges: DataFrame, iters: int = 8,
             nodes.join(h_raw, "node", "left")
             .select("node", F.coalesce("__s", F.lit(0)).cast("long")
                     .alias("hub_fp")), "hub_fp"), reliable)
-    out = hub.join(auth, "node")
+    out = (hub.join(auth, "node")
+           .crossJoin(F.broadcast(deg))
+           .select("node",
+                   F.when(F.col("__degmax") > F.lit(int(degcap)),
+                          F.raise_error(F.lit(
+                              "hits: max in/out-degree exceeds "
+                              f"2^62/SCALE_FP ({int(degcap)}) — a "
+                              "per-round score sum can pass 2^64 and "
+                              "wrap back POSITIVE; switch the sums "
+                              "to DECIMAL(38,0)")).cast("long"))
+                   .otherwise(F.col("hub_fp")).alias("hub_fp"),
+                   "auth_fp"))
     e.unpersist()
     nodes.unpersist()
     return out

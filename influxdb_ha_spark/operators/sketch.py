@@ -415,7 +415,15 @@ def ams_f2(df: DataFrame, item_col: str, by=None, d: int = 32,
         joined = out.join(exact, g)
     else:
         joined = out.crossJoin(F.broadcast(exact))
-    return joined.select(*g, "n_rows", "n_items", "f2_exact", "f2_est")
+    # ungrouped empty/all-null input: the exact-audit groupBy drops to
+    # zero rows before its global fold and the Z sums are over an
+    # empty group — coalesce all three to 0 so the n_rows=0 row keeps
+    # the integer-exact column contract (the join_advisor convention)
+    return joined.select(
+        *g, "n_rows",
+        F.coalesce("n_items", F.lit(0)).cast("long").alias("n_items"),
+        F.coalesce("f2_exact", F.lit(0)).cast("long").alias("f2_exact"),
+        F.coalesce("f2_est", F.lit(0)).cast("long").alias("f2_est"))
 
 
 def _theta_col(k: int):
@@ -1321,3 +1329,60 @@ def kmv_difference(df: DataFrame, value_col: str, group_col: str,
                _fr6(F.col("n_common").cast("double")
                     / F.col("n_b").cast("double")))
         .alias("containment_ba"))
+
+
+def kmv_union_k(df: DataFrame, value_col: str, group_col: str,
+                k: int = 256, salts: int = KMV_SALTS) -> DataFrame:
+    """K-WAY theta-sketch union fold — |G₁ ∪ G₂ ∪ … ∪ G_n| over ALL
+    groups of `group_col` in ONE pass (the Dasgupta et al. 2016 theta
+    union operation generalized past kmv_setops' pairwise form): the
+    multi-campaign audience question ("how many distinct users did ANY
+    of these N campaigns reach") from G sketch builds, never G scans
+    and never a global distinct of the raw keys.
+
+    θ = min over groups of each group's theta (k-th smallest retained
+    hash; 2⁶⁰ when the group's sketch is exhaustive — _theta_col, the
+    single-sourced convention). Below θ every group's sketch is an
+    EXACT sample of that group's hash set ∩ [0, θ] (KMV keeps the k
+    smallest, and θ ≤ θ_g means nothing ≤ θ was evicted), so the
+    DISTINCT union of all sketch hashes ≤ θ is exactly
+    |∪ᵢ Gᵢ| ∩ [0, θ] and
+
+      est_union = n_union · 2⁶⁰ / θ
+
+    — integer survivor count, ONE pinned multiply+divide,
+    floor-round-6. All groups exhaustive ⇒ θ = 2⁶⁰ and the estimate
+    is EXACT. Zero groups ⇒ (0, 2⁶⁰, 0, 0.0) — the union of no sets,
+    exactly sampled by the full space.
+
+    Returns ONE row: (n_groups, theta, n_union, est_union).
+
+    Scale shape: one distinct shuffle + the two-phase salted bottom-k
+    build (G·k sketch rows out — the only data-sized stage), then the
+    per-group theta fold (G rows), the distinct-union survivor count
+    (≤ G·k rows) and 1-row scalar broadcasts (the kmv_setops
+    convention). Sketch states persist and merge, so adding a new
+    group to the union is one more k-row sketch, not a rescan.
+    """
+    base = (df.select(F.col(group_col).alias("__g"),
+                      F.col(value_col).alias("__v"))
+            .where(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+            .distinct()
+            .withColumn("__h", hash64_expr(F.col("__v").cast("string"))))
+    sk = _bottom_k(base, ["__g"], k, salts).select("__g", "__h")
+    stats = (sk.groupBy("__g").agg(F.max("__h").alias("__t"),
+                                   F.count(F.lit(1)).alias("__ku"))
+             .select(_theta_col(k).alias("__t"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_groups"),
+                  F.coalesce(F.min("__t"), F.lit(HASH_SPACE))
+                  .cast("long").alias("theta")))
+    nu = (sk.select("__h").distinct()
+          .crossJoin(F.broadcast(stats.select("theta")))
+          .where(F.col("__h") <= F.col("theta"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_union")))
+    one = stats.crossJoin(F.broadcast(nu))
+    return one.select(
+        "n_groups", "theta", "n_union",
+        _fr6(F.col("n_union").cast("double")
+             * F.lit(float(HASH_SPACE))
+             / F.col("theta").cast("double")).alias("est_union"))

@@ -1138,9 +1138,16 @@ def fuzzy_blocked_pairs(df: DataFrame, str_col: str,
     candidate-bounding move as dedup's LSH bands, with the block key
     playing the band hash. Blocks above `max_block_size` are DROPPED
     (the co_occurrence_edges cap convention — a degenerate block like
-    an empty-string key would otherwise emit C(n, 2) pairs; the cap is
-    mirrored exactly by the oracle, and production escalates an
-    oversized block to a second-level key, e.g. first+last token).
+    an empty-string key would otherwise emit C(n, 2) pairs) and the
+    drop is LOUD: every output row carries the run's
+    (n_blocks_dropped, n_strings_dropped) — the n_clamped convention,
+    so a block cap that silently excluded the most-duplicated entities
+    is visible in the result itself. The cap and the counters are
+    mirrored exactly by the oracle; production escalates an oversized
+    block to a second-level key, e.g. first+last token. (Caveat: a
+    run whose kept blocks produce ZERO pairs has no rows to carry the
+    counters — probe the 1-row stats side of _fuzzy_blocked directly
+    if that matters.)
 
     Levenshtein is Spark's JVM built-in (codegen, no UDF) and DuckDB's
     — the same classic unit-cost distance, so the gate is
@@ -1148,9 +1155,21 @@ def fuzzy_blocked_pairs(df: DataFrame, str_col: str,
     real-world shape: match entity VOCABULARY, not rows; 100 TB of
     rows funnels to |vocabulary| strings first).
 
-    Output (block, a, b, dist): a < b lexicographically, dist ≤
-    max_dist, one block-keyed shuffle + within-block equi-join.
+    Output (block, a, b, dist, n_blocks_dropped, n_strings_dropped):
+    a < b lexicographically, dist ≤ max_dist, one block-keyed shuffle
+    + within-block equi-join + a 1-row dropped-stats broadcast.
     """
+    pairs, dropped = _fuzzy_blocked(df, str_col, block_pattern,
+                                    max_dist, max_block_size)
+    return pairs.crossJoin(F.broadcast(dropped))
+
+
+def _fuzzy_blocked(df: DataFrame, str_col: str, block_pattern: str,
+                   max_dist: int, max_block_size: int):
+    """Shared core of fuzzy_blocked_pairs / entity_clusters: returns
+    (pairs, dropped) — the within-block match pairs WITHOUT the stats
+    columns, and the 1-row (n_blocks_dropped, n_strings_dropped)
+    aggregate over the blocks excluded by the size cap."""
     if max_dist < 1:
         raise ValueError("fuzzy_blocked_pairs: max_dist must be >= 1")
     if max_block_size < 2:
@@ -1162,17 +1181,24 @@ def fuzzy_blocked_pairs(df: DataFrame, str_col: str,
          .distinct()
          .select(F.regexp_extract(F.col("__s"), block_pattern, 0)
                  .alias("block"), F.col("__s")))
-    ok = (s.groupBy("block").agg(F.count(F.lit(1)).alias("__n"))
+    sizes = s.groupBy("block").agg(F.count(F.lit(1)).alias("__n"))
+    ok = (sizes
           .where((F.col("__n") >= 2) & (F.col("__n") <= max_block_size))
           .select("block"))
+    dropped = (sizes.where(F.col("__n") > F.lit(int(max_block_size)))
+               .agg(F.count(F.lit(1)).cast("long")
+                    .alias("n_blocks_dropped"),
+                    F.coalesce(F.sum("__n"), F.lit(0)).cast("long")
+                    .alias("n_strings_dropped")))
     kept = s.join(ok, "block")
     a = kept.select("block", F.col("__s").alias("a"))
     b = kept.select("block", F.col("__s").alias("b"))
-    return (a.join(b, "block")
-            .where(F.col("a") < F.col("b"))
-            .select("block", "a", "b",
-                    F.levenshtein("a", "b").alias("dist"))
-            .where(F.col("dist") <= F.lit(int(max_dist))))
+    pairs = (a.join(b, "block")
+             .where(F.col("a") < F.col("b"))
+             .select("block", "a", "b",
+                     F.levenshtein("a", "b").alias("dist"))
+             .where(F.col("dist") <= F.lit(int(max_dist))))
+    return pairs, dropped
 
 
 def entity_clusters(df: DataFrame, str_col: str,
@@ -1198,18 +1224,24 @@ def entity_clusters(df: DataFrame, str_col: str,
     is an equivalence relation, pairwise matching is not.
 
     Scale shape: the pair stage is block-bounded (fuzzy_blocked_pairs'
-    cap — oversized degenerate blocks drop loudly); the closure
-    iterates min-label over the PAIR graph only (|matched vocabulary|
-    nodes, converges in component-diameter rounds — shallow for edit-
-    distance clusters); the singleton completion is one anti-join of
-    the distinct vocabulary; cluster_size one |vocab|-row groupBy. The
-    corpus itself never rides any of it — only the distinct string
+    cap); members of an OVERSIZED block get no match edges and so
+    become singleton entities — that loss is LOUD, not silent: every
+    output row carries the run's (n_blocks_dropped, n_strings_dropped)
+    from the pair stage (the n_clamped convention), so "the most
+    duplicated entities live in the block the cap excluded" is visible
+    in the result itself. The closure iterates min-label over the PAIR
+    graph only (|matched vocabulary| nodes, converges in
+    component-diameter rounds — shallow for edit-distance clusters);
+    the singleton completion is one anti-join of the distinct
+    vocabulary; cluster_size one |vocab|-row groupBy. The corpus
+    itself never rides any of it — only the distinct string
     vocabulary does (the fuzzy_blocked_pairs argument).
     """
     from .dedup import connected_components
-    pairs = fuzzy_blocked_pairs(df, str_col, block_pattern=block_pattern,
-                                max_dist=max_dist,
-                                max_block_size=max_block_size)
+    pairs, dropped = _fuzzy_blocked(df, str_col,
+                                    block_pattern=block_pattern,
+                                    max_dist=max_dist,
+                                    max_block_size=max_block_size)
     comp = (connected_components(pairs, id_a="a", id_b="b",
                                  max_iter=max_iter)
             .select(F.col("doc_id").alias("entity"),
@@ -1223,4 +1255,5 @@ def entity_clusters(df: DataFrame, str_col: str,
     sizes = (labeled.groupBy("canonical")
              .agg(F.count(F.lit(1)).cast("long").alias("cluster_size")))
     return (labeled.join(sizes, "canonical")
-            .select("entity", "canonical", "cluster_size"))
+            .select("entity", "canonical", "cluster_size")
+            .crossJoin(F.broadcast(dropped)))

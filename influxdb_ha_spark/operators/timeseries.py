@@ -2870,7 +2870,7 @@ def rank_sum_test(df: DataFrame, group_col: str, value_col: str,
 
 
 def ks_test(df: DataFrame, group_col: str, value_col: str,
-            group_a, group_b) -> DataFrame:
+            group_a, group_b, max_vocab: int = 2_000_000) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov D statistic — the rank-sum
     test's distribution-SHAPE companion (rank_sum_test asks "did the
     distribution shift"; KS asks "do the distributions DIFFER
@@ -2893,8 +2893,16 @@ def ks_test(df: DataFrame, group_col: str, value_col: str,
 
     Scale shape: identical to rank_sum_test — one map-combinable
     per-value count shuffle, a cumulative pass over the value
-    VOCABULARY (pre-bucket continuous metrics, same note), and a
-    1-row max fold.
+    VOCABULARY, and a 1-row max fold. The cumulative pass is a
+    keyless window, so the vocabulary size IS the single-partition
+    bound: `max_vocab` (default 2·10⁶, rank_sum_test's n-cap
+    convention) is enforced by an eager pre-window cap probe (the
+    pettitt `limit(1).collect()` convention — the probe runs BEFORE
+    the window so an unbounded continuous metric raises instead of
+    funneling ~2e9 distinct values through one window task). Past
+    the cap, pre-bucket the metric — `ab_test(bucket_width=...)` is
+    the packaged form. `max_vocab=None` disables the probe (and its
+    extra job) for callers that have already bounded the vocabulary.
     """
     ga, gb = F.lit(group_a), F.lit(group_b)
     g = F.col("__g")
@@ -2904,6 +2912,20 @@ def ks_test(df: DataFrame, group_col: str, value_col: str,
     counts = (base.groupBy("__v")
               .agg(F.sum((g == ga).cast("long")).alias("__ca"),
                    F.sum((g == gb).cast("long")).alias("__cb")))
+    if max_vocab is not None:
+        # cap probe (eager, pre-window): count at most max_vocab+1
+        # distinct values — the GlobalLimit stops the scan early, and
+        # the raise fires before any single-partition window runs
+        nv = (counts.select(F.lit(1).alias("__one"))
+              .limit(int(max_vocab) + 1).count())
+        if nv > int(max_vocab):
+            raise ValueError(
+                f"ks_test: metric vocabulary exceeds max_vocab="
+                f"{int(max_vocab)} distinct values — the CDF "
+                "cumulative pass would funnel them through ONE window "
+                "partition; pre-bucket the metric (ab_test("
+                "bucket_width=...) / sketch._hist_bin_cols) or raise "
+                "max_vocab deliberately")
     wle = (Window.orderBy("__v")
            .rowsBetween(Window.unboundedPreceding, 0))
     per_v = (counts
@@ -3026,3 +3048,57 @@ def chi_square_test(df: DataFrame, row_col: str, col_col: str,
                        / F.lit(1000000.0)))
     return folded.select("n", "n_rows_cat", "n_cols_cat",
                          dof.alias("dof"), chi2.alias("chi2"))
+
+
+def ab_test(df: DataFrame, group_col: str, value_col: str,
+            group_a, group_b, bucket_width: float = None,
+            max_n: int = 2_000_000,
+            max_vocab: int = 2_000_000) -> DataFrame:
+    """The A/B experiment readout in one call — rank-sum (shift) and
+    KS (shape) over the same metric, with the continuous-metric
+    pre-bucketing the two tests' docstrings advise made API: when
+    `bucket_width` is given, the metric is coarsened to its bucket's
+    LEFT EDGE (floor(v/w)·w) before either test runs, which bounds
+    the value vocabulary by range/width no matter how continuous the
+    raw metric is — the vocabulary bound that makes the per-value
+    count formulation safe at 100 TB (rank_sum_test / ks_test scale
+    notes). Both tests on the coarsened scale is the documented
+    trade, exactly the histogram_quantiles argument: U and D move by
+    at most the mass that changes rank within a bucket.
+
+    Choose a power-of-two `bucket_width` (0.25, 0.5, 8.0): v/w is
+    then an exact binary scaling, so floor(v/w)·w is bit-identical
+    in any IEEE-754 engine and the cross-engine gate stays exact.
+
+    Returns ONE row — the union of the two tests' statistics over
+    identical (n_a, n_b): (n_a, n_b, u_a, z, d_num, d_stat,
+    ks_stat_scaled). z > 0 ⟺ group_a sits higher; ks_stat_scaled >
+    ~1.36 rejects equality at α = 0.05.
+
+    Scale shape: the two tests share the bucketed base's per-value
+    count machinery shape (one map-combinable count shuffle each, a
+    vocabulary-bounded cumulative pass, 1-row folds); the final
+    combine is a 1-row × 1-row broadcast crossJoin. With
+    bucket_width set, ks_test's cap probe is skipped (max_vocab=None)
+    — the width already bounds the vocabulary, no extra job needed.
+    """
+    v = F.col(value_col).cast("double")
+    if bucket_width is not None:
+        w = float(bucket_width)
+        if not w > 0:
+            raise ValueError("ab_test: bucket_width must be > 0")
+        base = df.select(
+            F.col(group_col).alias("__g"),
+            (F.floor(v / F.lit(w)) * F.lit(w)).alias("__v"))
+        ks_cap = None  # width bounds the vocabulary; skip the probe
+    else:
+        base = df.select(F.col(group_col).alias("__g"), v.alias("__v"))
+        ks_cap = max_vocab
+    rs = rank_sum_test(base, "__g", "__v", group_a, group_b,
+                       max_n=max_n)
+    ks = (ks_test(base, "__g", "__v", group_a, group_b,
+                  max_vocab=ks_cap)
+          .select("d_num", "d_stat", "ks_stat_scaled"))
+    return (rs.crossJoin(F.broadcast(ks))
+            .select("n_a", "n_b", "u_a", "z",
+                    "d_num", "d_stat", "ks_stat_scaled"))

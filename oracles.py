@@ -1562,18 +1562,24 @@ def build_oracles() -> dict[str, str]:
       FROM g GROUP BY 1, 2"""
 
     # Blocked fuzzy matching: distinct names, last-token block, size
-    # cap mirrored, within-block pairs at integer Levenshtein <= 3
+    # cap mirrored, within-block pairs at integer Levenshtein <= 3;
+    # every row carries the 1-row dropped-block counters (loud cap)
     o["text_fuzzy_pairs"] = """
       WITH s AS (SELECT DISTINCT p_name AS nm FROM part
                  WHERE p_name IS NOT NULL),
       bk AS (SELECT regexp_extract(nm, '[a-z0-9]+$', 0) AS block, nm
              FROM s),
       ok AS (SELECT block FROM bk GROUP BY 1
-             HAVING count(*) BETWEEN 2 AND 256)
+             HAVING count(*) BETWEEN 2 AND 256),
+      dr AS (SELECT count(*)::BIGINT AS n_blocks_dropped,
+                    coalesce(sum(n), 0)::BIGINT AS n_strings_dropped
+             FROM (SELECT block, count(*) AS n FROM bk
+                   GROUP BY 1 HAVING count(*) > 256))
       SELECT a.block, a.nm AS a, b.nm AS b,
-             levenshtein(a.nm, b.nm)::BIGINT AS dist
+             levenshtein(a.nm, b.nm)::BIGINT AS dist,
+             dr.n_blocks_dropped, dr.n_strings_dropped
       FROM bk a JOIN ok ON a.block = ok.block
-                JOIN bk b ON b.block = a.block
+                JOIN bk b ON b.block = a.block, dr
       WHERE a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 3"""
 
     # Entity resolution: the fuzzy pair edges transitively closed into
@@ -1603,9 +1609,14 @@ def build_oracles() -> dict[str, str]:
               SELECT nm, nm FROM s
               WHERE nm NOT IN (SELECT entity FROM m)),
       sz AS (SELECT canonical, count(*)::BIGINT AS cluster_size
-             FROM lab GROUP BY 1)
-      SELECT lab.entity, lab.canonical, sz.cluster_size
-      FROM lab JOIN sz USING (canonical)"""
+             FROM lab GROUP BY 1),
+      dr AS (SELECT count(*)::BIGINT AS n_blocks_dropped,
+                    coalesce(sum(n), 0)::BIGINT AS n_strings_dropped
+             FROM (SELECT block, count(*) AS n FROM bk
+                   GROUP BY 1 HAVING count(*) > 256))
+      SELECT lab.entity, lab.canonical, sz.cluster_size,
+             dr.n_blocks_dropped, dr.n_strings_dropped
+      FROM lab JOIN sz USING (canonical), dr"""
 
     o["text_top_tokens"] = f"""
       WITH t AS (SELECT unnest({TOKS}) AS token FROM documents)
@@ -4356,6 +4367,31 @@ def build_oracles() -> dict[str, str]:
                    6)} END AS jaccard_est
       FROM cnt"""
 
+    # K-way theta union fold: per-group sketches over ALL returnflags,
+    # theta = min of exhaustive-aware per-group thetas, distinct union
+    # of sketch hashes <= theta, one pinned multiply+divide
+    o["sk_kmv_union_k"] = f"""
+      WITH v AS (SELECT DISTINCT l_returnflag AS g, l_orderkey AS v
+                 FROM lineitem WHERE l_orderkey IS NOT NULL
+                   AND l_returnflag IS NOT NULL),
+      hh AS (SELECT g, v, {_h64v} AS h FROM v),
+      rk AS (SELECT g, h, row_number() OVER (
+                 PARTITION BY g ORDER BY h ASC, v ASC) AS rn FROM hh),
+      sk AS (SELECT g, h FROM rk WHERE rn <= {_KMV_K}),
+      st AS (SELECT count(*)::BIGINT AS n_groups,
+                    coalesce(min(CASE WHEN ku < {_KMV_K}
+                                      THEN {HASH_SPACE}
+                                      ELSE t END),
+                             {HASH_SPACE})::BIGINT AS theta
+             FROM (SELECT g, max(h) AS t, count(*) AS ku
+                   FROM sk GROUP BY 1)),
+      un AS (SELECT count(DISTINCT h)::BIGINT AS n_union
+             FROM sk, st WHERE h <= theta)
+      SELECT n_groups, theta, n_union,
+             {fr(f'n_union::DOUBLE * {_M60} / theta::DOUBLE', 6)}
+               AS est_union
+      FROM st, un"""
+
     # theta-sketch set DIFFERENCE + containment: same sketch build,
     # theta convention and survivor counts as sk_kmv_setops
     o["sk_kmv_diff"] = f"""
@@ -4543,6 +4579,64 @@ def build_oracles() -> dict[str, str]:
                                        * (n * (n - 1))::DOUBLE))
                              * 1000000.0 + 0.5) / 1000000.0
              END AS z
+      FROM t"""
+
+    # Pre-bucketed A/B readout: high-cardinality metric coarsened by
+    # floor(v/0.5)*0.5 (exact power-of-two scaling both engines), then
+    # the rank-sum AND KS statistics from one shared per-value count
+    # table; z/d formulas identical to ev_ab_ranksum / ev_ab_ks
+    o["ev_ab_bucketed"] = """
+      WITH m AS (SELECT event_type AS g,
+                        floor((value + (user_id % 97)::DOUBLE / 128.0)
+                              / 0.5) * 0.5 AS v
+                 FROM events),
+      b AS (SELECT g, v FROM m
+            WHERE v IS NOT NULL AND g IN ('click', 'view')),
+      c AS (SELECT v, sum((g = 'click')::BIGINT)::BIGINT AS ca,
+                   sum((g = 'view')::BIGINT)::BIGINT AS cb
+            FROM b GROUP BY 1),
+      p AS (SELECT v, ca, cb,
+                   COALESCE(sum(cb) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT AS cumb_prev,
+                   sum(ca) OVER (ORDER BY v)::BIGINT AS cuma,
+                   sum(cb) OVER (ORDER BY v)::BIGINT AS cumb,
+                   sum(ca) OVER ()::BIGINT AS na,
+                   sum(cb) OVER ()::BIGINT AS nb
+            FROM c),
+      f AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+                   sum(2 * ca * cumb_prev + ca * cb)::BIGINT AS u2,
+                   sum((ca + cb) * (ca + cb) * (ca + cb)
+                       - (ca + cb))::BIGINT AS ties,
+                   max(abs(cuma * nb - cumb * na))::BIGINT AS d_num
+            FROM p),
+      t AS (SELECT n_a, n_b, u2, ties, d_num, (n_a + n_b) AS n FROM f)
+      SELECT n_a, n_b, (u2::DOUBLE / 2.0) AS u_a,
+             CASE WHEN n_a = 0 OR n_b = 0
+                    OR ((n_a * n_b)::DOUBLE
+                        * ((n + 1) * n * (n - 1) - ties)::DOUBLE
+                        / (12::DOUBLE * (n * (n - 1))::DOUBLE)) = 0.0
+                  THEN NULL
+                  ELSE floor((u2 - n_a * n_b)::DOUBLE * 0.5
+                             / sqrt((n_a * n_b)::DOUBLE
+                                    * ((n + 1) * n * (n - 1)
+                                       - ties)::DOUBLE
+                                    / (12::DOUBLE
+                                       * (n * (n - 1))::DOUBLE))
+                             * 1000000.0 + 0.5) / 1000000.0
+             END AS z,
+             d_num,
+             CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                  ELSE floor(d_num::DOUBLE / (n_a * n_b)::DOUBLE
+                             * 1000000.0 + 0.5) / 1000000.0
+             END AS d_stat,
+             CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                  ELSE floor((floor(d_num::DOUBLE / (n_a * n_b)::DOUBLE
+                                    * 1000000.0 + 0.5) / 1000000.0)
+                             * sqrt((n_a * n_b)::DOUBLE
+                                    / (n_a + n_b)::DOUBLE)
+                             * 1000000.0 + 0.5) / 1000000.0
+             END AS ks_stat_scaled
       FROM t"""
 
     # First-occurrence precedence matrix: per-(user, type) min time,

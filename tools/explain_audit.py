@@ -67,7 +67,16 @@ BOUNDED_SINGLE_PARTITION = {
                         "count shuffles",
     "ev_ab_ks": "same value-vocabulary cumulative pass as "
                 "ev_ab_ranksum (the two tests share the per-value "
-                "count machinery) + the 1-row D fold",
+                "count machinery) + the 1-row D fold; vocabulary "
+                "ENFORCED <= max_vocab (default 2e6) by ks_test's "
+                "eager pre-window cap probe (timeseries.py) — an "
+                "unbounded continuous metric raises before the "
+                "window runs",
+    "ev_ab_bucketed": "rank-sum + KS cumulative passes over the "
+                      "BUCKETED value vocabulary — bounded by "
+                      "range/bucket_width by construction (ab_test's "
+                      "floor(v/w)*w coarsening), the packaged form of "
+                      "the pre-bucket advisory; 1-row test folds",
     "ev_ab_chisq": "the N window and microunit fold run over the "
                    "|R|·|C|-bounded contingency-cell table (category "
                    "VOCABULARIES — 5×2 at the gate), never the rows; "
@@ -84,6 +93,11 @@ BOUNDED_SINGLE_PARTITION = {
                    "(theta + three survivor counts, each folding <= k "
                    "sketch rows); identical build, different final "
                    "estimators",
+    "sk_kmv_union_k": "the (n_groups, theta) fold over the G-row "
+                      "per-group theta table and the 1-row distinct-"
+                      "union survivor count over <= G*k sketch rows — "
+                      "everything after the sketch build is G*k-"
+                      "bounded by construction (kmv_setops argument)",
     "sk_kmv_setops": "the θ / n_a / n_b / n_common 1-row scalar "
                      "aggregates, each folding ≤ k (=256, the sketch "
                      "parameter) rows — everything after the sketch "
@@ -183,6 +197,9 @@ BOUNDED_SINGLE_PARTITION = {
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
 # justification required, stale entries flagged).
 ALLOWED_CARTESIAN = {
+    "ev_ab_bucketed": "the 1-row rank-sum fold x broadcast(1-row KS "
+                      "fold) final combine — two scalar test results "
+                      "joined into the single readout row",
     "ev_ab_chisq": "the R-margin x C-margin spine crossJoin — "
                    "bounded by the two category vocabularies (5x2 at "
                    "the gate), the t_closeness spine argument",
@@ -218,6 +235,18 @@ ALLOWED_CARTESIAN = {
                    "(theta broadcast onto the two <= k-row sketch "
                    "sides, three 1-row counts folded into the output "
                    "row)",
+    "text_fuzzy_pairs": "the 1-row (n_blocks_dropped, "
+                        "n_strings_dropped) loud-cap counter broadcast "
+                        "onto every pair row (the n_clamped "
+                        "convention); the pair stage itself is a "
+                        "block-keyed equi-join",
+    "text_entities": "the same 1-row dropped-block counter broadcast "
+                     "as text_fuzzy_pairs, carried through the "
+                     "closure onto every entity row",
+    "sk_kmv_union_k": "1-row scalar crossJoins only: theta broadcast "
+                      "onto the <= G*k-row distinct sketch union, "
+                      "then the 1-row survivor count folded into the "
+                      "output row (the sk_kmv_setops pattern)",
     "sk_kmv_setops": "1-row scalar crossJoins only: θ broadcast onto "
                      "the two ≤k-row sketch sides (the tpch_q15 "
                      "scalar-anchor pattern), then the three 1-row "
