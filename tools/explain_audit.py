@@ -77,6 +77,16 @@ BOUNDED_SINGLE_PARTITION = {
                       "range/bucket_width by construction (ab_test's "
                       "floor(v/w)*w coarsening), the packaged form of "
                       "the pre-bucket advisory; 1-row test folds",
+    "text_fuzzy_pairs": "the 1-row (n_blocks_dropped, "
+                        "n_strings_dropped) loud-cap counter fold — "
+                        "an ungrouped aggregate over the block-size "
+                        "table (|blocks| rows, map-side partials)",
+    "text_entities": "the same 1-row dropped-block counter fold as "
+                     "text_fuzzy_pairs, inherited from the pair stage",
+    "graph_hits": "the 1-row max in/out-degree overflow-guard scalar "
+                  "(partial max map-side over the degree tables) — "
+                  "the only post-lineage-truncation funnel; per-round "
+                  "renorm maxima live inside the truncated rounds",
     "ev_ab_chisq": "the N window and microunit fold run over the "
                    "|R|·|C|-bounded contingency-cell table (category "
                    "VOCABULARIES — 5×2 at the gate), never the rows; "
@@ -240,6 +250,10 @@ ALLOWED_CARTESIAN = {
                         "onto every pair row (the n_clamped "
                         "convention); the pair stage itself is a "
                         "block-keyed equi-join",
+    "graph_hits": "the 1-row degree-guard scalar broadcast onto the "
+                  "final (node, hub, auth) join — the q11/tpch_q15 "
+                  "scalar-anchor pattern (per-round renorm maxima use "
+                  "the same shape inside the truncated rounds)",
     "text_entities": "the same 1-row dropped-block counter broadcast "
                      "as text_fuzzy_pairs, carried through the "
                      "closure onto every entity row",

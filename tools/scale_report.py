@@ -8,7 +8,13 @@ JIT — fixed costs that amortize on a long-lived cluster — are excluded)
 and the wall ratio across each 10x data step.
 
 Usage: python tools/scale_report.py [sf_dir ...]
-Defaults to /root/testdata/sf0.001 sf0.01 sf0.1.
+Defaults to /root/testdata/sf0.001 sf0.01 sf0.1. For the r11 decade
+extension, generate a synthetic sf1 first (tools/gen_scale.py — same
+physical schema, deterministic) and pass it as a fourth dir:
+    python tools/gen_scale.py --sf 1
+    python tools/scale_report.py /root/testdata/sf0.01 \
+        /root/testdata/sf0.1 /root/repo/scale_data/sf1
+SCALE_QUERIES=<comma-list> restricts the slice (ad-hoc re-measurement).
 """
 
 from __future__ import annotations
@@ -62,6 +68,17 @@ QUERIES = ["tpch_q1", "agg_median_percentile", "join_brand_revenue",
            # matrix over a persisted G·k sketch table, two-pass
            # auto-range histogram quantiles
            "sk_merge", "sk_overlap_matrix", "sk_hist_quantile_auto"]
+
+# r11: the bench.py HEADLINE keys not already in the slice — the decade
+# extension (sf0.01 -> sf0.1 -> sf1) covers headline ∪ slice, so every
+# number the driver benches has a measured one-more-decade ratio
+import bench  # noqa: E402
+
+QUERIES += [q for q in bench.HEADLINE if q not in QUERIES]
+
+if os.environ.get("SCALE_QUERIES"):
+    _only = set(os.environ["SCALE_QUERIES"].split(","))
+    QUERIES = [q for q in QUERIES if q in _only]
 
 
 def main():
