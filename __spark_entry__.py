@@ -2631,6 +2631,20 @@ def q_sk_kmv_union_k(spark, sf):
                        group_col="l_returnflag", k=256)
 
 
+def q_sk_kmv_intersect_k(spark, sf):
+    """K-way theta-sketch intersection over ALL THREE returnflag
+    order-key sets (added scope — completes the k-way set algebra
+    next to sk_kmv_union_k: "which users did EVERY campaign reach"):
+    survivors = hashes ≤ θ present in all G sketches (exact below θ),
+    est = n_common·2⁶⁰/θ, one pinned multiply+divide floor-round-6;
+    all groups exhaustive ⇒ exact
+    (operators/sketch.py:kmv_intersect_k)."""
+    from influxdb_ha_spark.operators.sketch import kmv_intersect_k
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_orderkey")
+    return kmv_intersect_k(li, value_col="l_orderkey",
+                           group_col="l_returnflag", k=256)
+
+
 def q_sk_hist_rollup(spark, sf):
     """Time-bucketed histogram rollup: daily per-(type, bin) count
     partials merged cell-wise into whole-range p50/p95/p99 (added
@@ -4337,6 +4351,7 @@ _FAMILIES = [
         "sk_bloom": q_sk_bloom,
         "sk_kmv_diff": q_sk_kmv_diff,
         "sk_kmv_union_k": q_sk_kmv_union_k,
+        "sk_kmv_intersect_k": q_sk_kmv_intersect_k,
         "sk_hll_cube": q_sk_hll_cube,
         "sk_ams_f2": q_sk_ams_f2,
         "diag_skew": q_diag_skew,

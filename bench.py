@@ -50,7 +50,10 @@ HEADLINE = [
 # round-over-round totals compare the same query set (r8 VERDICT #3c:
 # the honest r7→r8 delta needed tpch_q6 backed out by hand). Rotate
 # this list each round: last round's additions graduate into the base.
-ADDED_THIS_ROUND = ["sk_kmv", "sk_merge"]
+# r11: no new headline keys; sk_kmv / sk_merge graduate into the base,
+# so value == value_excl_new this round and the honest r10→r11 delta is
+# r10's `value` vs r11's `value` directly.
+ADDED_THIS_ROUND: list = []
 
 
 def run_once() -> dict:

@@ -1386,3 +1386,61 @@ def kmv_union_k(df: DataFrame, value_col: str, group_col: str,
         _fr6(F.col("n_union").cast("double")
              * F.lit(float(HASH_SPACE))
              / F.col("theta").cast("double")).alias("est_union"))
+
+
+def kmv_intersect_k(df: DataFrame, value_col: str, group_col: str,
+                    k: int = 256, salts: int = KMV_SALTS) -> DataFrame:
+    """K-WAY theta-sketch intersection — |G₁ ∩ G₂ ∩ … ∩ G_n| over ALL
+    groups of `group_col` in one pass, completing the k-way set
+    algebra next to kmv_union_k (the "users EVERY campaign reached"
+    question, where the union fold answers "ANY"). Same build, same
+    single-sourced θ convention: below θ = min over groups of the
+    exhaustive-aware theta, every group's sketch is an exact sample of
+    that group's hash set ∩ [0, θ], so a hash ≤ θ present in ALL G
+    sketches is exactly a member of the intersection ∩ [0, θ] and
+
+      est_intersection = n_common · 2⁶⁰ / θ
+
+    — integer survivor count (hashes ≤ θ whose DISTINCT group count
+    equals n_groups), one pinned multiply+divide, floor-round-6. All
+    groups exhaustive ⇒ exact. Zero groups ⇒ (0, 2⁶⁰, 0, 0.0) by the
+    kmv_union_k degenerate convention (documented, not the set-theory
+    "universe" — an empty group list has no audience to intersect).
+
+    Caveat (standard theta-sketch behavior, Dasgupta et al. 2016 §3):
+    intersection error grows as the true intersection shrinks relative
+    to θ·2⁻⁶⁰ sampling — a tiny overlap of huge sets can land on zero
+    survivors. The exact-below-θ property still bounds it one-sided.
+
+    Returns ONE row: (n_groups, theta, n_common, est_intersection).
+
+    Scale shape: identical to kmv_union_k — one distinct shuffle + the
+    two-phase salted bottom-k (G·k sketch rows), the G-row theta fold,
+    one ≤ G·k-row (hash → distinct-group count) aggregate, 1-row
+    scalar broadcasts.
+    """
+    base = (df.select(F.col(group_col).alias("__g"),
+                      F.col(value_col).alias("__v"))
+            .where(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+            .distinct()
+            .withColumn("__h", hash64_expr(F.col("__v").cast("string"))))
+    sk = (_bottom_k(base, ["__g"], k, salts)
+          .select("__g", "__h").distinct())
+    stats = (sk.groupBy("__g").agg(F.max("__h").alias("__t"),
+                                   F.count(F.lit(1)).alias("__ku"))
+             .select(_theta_col(k).alias("__t"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_groups"),
+                  F.coalesce(F.min("__t"), F.lit(HASH_SPACE))
+                  .cast("long").alias("theta")))
+    nc = (sk.crossJoin(F.broadcast(stats))
+          .where(F.col("__h") <= F.col("theta"))
+          .groupBy("__h", "n_groups")
+          .agg(F.count(F.lit(1)).alias("__cg"))
+          .where(F.col("__cg") == F.col("n_groups"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_common")))
+    one = stats.crossJoin(F.broadcast(nc))
+    return one.select(
+        "n_groups", "theta", "n_common",
+        _fr6(F.col("n_common").cast("double")
+             * F.lit(float(HASH_SPACE))
+             / F.col("theta").cast("double")).alias("est_intersection"))

@@ -4392,6 +4392,31 @@ def build_oracles() -> dict[str, str]:
                AS est_union
       FROM st, un"""
 
+    # K-way theta intersection: survivors <= theta present in ALL
+    # groups' sketches (distinct (g, h) then per-hash group count)
+    o["sk_kmv_intersect_k"] = f"""
+      WITH v AS (SELECT DISTINCT l_returnflag AS g, l_orderkey AS v
+                 FROM lineitem WHERE l_orderkey IS NOT NULL
+                   AND l_returnflag IS NOT NULL),
+      hh AS (SELECT g, v, {_h64v} AS h FROM v),
+      rk AS (SELECT g, h, row_number() OVER (
+                 PARTITION BY g ORDER BY h ASC, v ASC) AS rn FROM hh),
+      sk AS (SELECT DISTINCT g, h FROM rk WHERE rn <= {_KMV_K}),
+      st AS (SELECT count(*)::BIGINT AS n_groups,
+                    coalesce(min(CASE WHEN ku < {_KMV_K}
+                                      THEN {HASH_SPACE}
+                                      ELSE t END),
+                             {HASH_SPACE})::BIGINT AS theta
+             FROM (SELECT g, max(h) AS t, count(*) AS ku
+                   FROM sk GROUP BY 1)),
+      cm AS (SELECT count(*)::BIGINT AS n_common FROM
+             (SELECT h FROM sk, st WHERE h <= theta
+              GROUP BY h, n_groups HAVING count(*) = n_groups))
+      SELECT n_groups, theta, n_common,
+             {fr(f'n_common::DOUBLE * {_M60} / theta::DOUBLE', 6)}
+               AS est_intersection
+      FROM st, cm"""
+
     # theta-sketch set DIFFERENCE + containment: same sketch build,
     # theta convention and survivor counts as sk_kmv_setops
     o["sk_kmv_diff"] = f"""

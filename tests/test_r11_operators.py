@@ -203,3 +203,49 @@ def test_hits_small_graph_unchanged_by_degree_guard(spark):
     got = {r.node: (r.hub_fp, r.auth_fp) for r in hits(df, iters=3)
            .collect()}
     assert got == {1: (SCALE_FP, SCALE_FP), 2: (SCALE_FP, SCALE_FP)}
+
+
+def test_kmv_intersect_k_exhaustive_exact(spark):
+    """All groups exhaustive: est_intersection is EXACTLY the k-way
+    intersection cardinality (g1 ∩ g2 ∩ g3 = {15..19} -> 5)."""
+    from influxdb_ha_spark.operators.sketch import (HASH_SPACE,
+                                                    kmv_intersect_k)
+    rows = ([("g1", i) for i in range(20)]
+            + [("g2", i) for i in range(5, 25)]
+            + [("g3", i) for i in range(15, 30)])
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = kmv_intersect_k(df, "v", "g", k=256).collect()[0]
+    assert out.n_groups == 3
+    assert out.theta == HASH_SPACE
+    assert out.n_common == 5
+    assert out.est_intersection == 5.0
+
+
+def test_kmv_intersect_k_two_groups_matches_setops(spark):
+    """Two groups: the k-way fold reproduces kmv_setops' n_common and
+    est_intersection under the same theta."""
+    from influxdb_ha_spark.operators.sketch import (kmv_intersect_k,
+                                                    kmv_setops)
+    rows = ([("a", i * 3) for i in range(400)]
+            + [("b", i * 5) for i in range(400)])
+    df = spark.createDataFrame(rows, "g string, v long")
+    ik = kmv_intersect_k(df, "v", "g", k=64).collect()[0]
+    so = kmv_setops(df, "v", "g", "a", "b", k=64).collect()[0]
+    assert ik.theta == so.theta
+    assert ik.n_common == so.n_common
+    assert ik.est_intersection == so.est_intersection
+
+
+def test_kmv_intersect_k_empty_and_disjoint(spark):
+    """Zero groups -> the degenerate (0, 2^60, 0, 0.0); disjoint
+    exhaustive groups -> exactly 0.0."""
+    from influxdb_ha_spark.operators.sketch import (HASH_SPACE,
+                                                    kmv_intersect_k)
+    empty = spark.createDataFrame([], "g string, v long")
+    r = kmv_intersect_k(empty, "v", "g").collect()[0]
+    assert (r.n_groups, r.theta, r.n_common, r.est_intersection) == \
+        (0, HASH_SPACE, 0, 0.0)
+    dis = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4)], "g string, v long")
+    r2 = kmv_intersect_k(dis, "v", "g").collect()[0]
+    assert r2.n_common == 0 and r2.est_intersection == 0.0

@@ -103,6 +103,10 @@ BOUNDED_SINGLE_PARTITION = {
                    "(theta + three survivor counts, each folding <= k "
                    "sketch rows); identical build, different final "
                    "estimators",
+    "sk_kmv_intersect_k": "the (n_groups, theta) fold and the 1-row "
+                          "all-groups survivor count — both over the "
+                          "<= G*k-row sketch table (the sk_kmv_union_k "
+                          "argument)",
     "sk_kmv_union_k": "the (n_groups, theta) fold over the G-row "
                       "per-group theta table and the 1-row distinct-"
                       "union survivor count over <= G*k sketch rows — "
@@ -257,6 +261,11 @@ ALLOWED_CARTESIAN = {
     "text_entities": "the same 1-row dropped-block counter broadcast "
                      "as text_fuzzy_pairs, carried through the "
                      "closure onto every entity row",
+    "sk_kmv_intersect_k": "1-row scalar crossJoins only: (n_groups, "
+                          "theta) broadcast onto the <= G*k-row sketch "
+                          "table for the all-groups survivor filter, "
+                          "then the 1-row count folded into the output "
+                          "row (the sk_kmv_union_k pattern)",
     "sk_kmv_union_k": "1-row scalar crossJoins only: theta broadcast "
                       "onto the <= G*k-row distinct sketch union, "
                       "then the 1-row survivor count folded into the "
