@@ -1004,11 +1004,17 @@ def q_emb_knn_graph(spark, sf):
     corpus). Only (id, centroid_id) rides the bucket join; vectors join
     back for the candidate sliver. The oracle replays probe selection,
     candidate generation and the (cosine DESC, id ASC) top-k
-    independently from raw vectors
+    independently from raw vectors. Centroids follow the IVF k ∝ N
+    contract (vec_id ≡ 0 mod 64 → C = N/64, per-cluster size bounded
+    ~64): the r11 sf1 decade run measured the OLD fixed-8-centroid
+    form at 86× on the 10× step — candidates/query = nprobe·N/C is
+    linear in N at fixed C, so the all-vectors kNN graph was N²/4
+    pairs; with C ∝ N the candidate set per query is a constant ~128
+    and the graph build is linear
     (operators/similarity.py:knn_graph)."""
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
-    cent = emb.where(F.col("vec_id") < 8).select(
+    cent = emb.where(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
     return S.knn_graph(emb, cent, k=5, nprobe=2)
 
@@ -2020,7 +2026,11 @@ def q_emb_semantic_dedup(spark, sf):
                .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
                        "embedding"))
     corpus = emb.unionByName(planted)
-    cent = emb.where(F.col("vec_id") < 8).select(
+    # SemDeDup's own design point (the operator docstring): k ∝ N so
+    # per-cluster pairwise work is s² at BOUNDED s — the r11 sf1 decade
+    # run measured the old fixed-8-centroid form at 51× on the 10× step
+    # (cluster size grew with N, the within-cluster join went N²/C)
+    cent = emb.where(F.pmod(F.col("vec_id"), F.lit(64)) == 0).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
     kept = S.semantic_dedup(corpus, cent, eps=0.45)
     return kept.select("vec_id")

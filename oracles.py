@@ -1189,7 +1189,8 @@ def build_oracles() -> dict[str, str]:
     # comparator sort applies; candidates = probe ⋈ home on the bucket.
     o["emb_knn_graph"] = f"""
       WITH e AS ({emb_cast}),
-      cent AS (SELECT vec_id AS centroid_id, v FROM e WHERE vec_id < 8),
+      cent AS (SELECT vec_id AS centroid_id, v FROM e
+               WHERE vec_id % 64 = 0),
       pr AS (
         SELECT q.vec_id, c.centroid_id,
                row_number() OVER (PARTITION BY q.vec_id
@@ -1691,7 +1692,8 @@ def build_oracles() -> dict[str, str]:
       corpus AS (SELECT vec_id, v FROM e
                  UNION ALL
                  SELECT vec_id + 1000000, v FROM e WHERE vec_id % 25 = 0),
-      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e
+               WHERE vec_id % 64 = 0),
       a0 AS (SELECT c.vec_id, ct.cid,
                     row_number() OVER (PARTITION BY c.vec_id
                       ORDER BY {_cos("c.v", "ct.cv")} DESC, ct.cid ASC) AS r

@@ -28,8 +28,9 @@ Design rules:
     * lineitem fans out 1..8 lines/order (mean ≈ 4.06, matching the
       observed 4.07); ~2% of documents are EXACT clones of a group
       leader (sf0.1 ships duplicate texts too) so dedup operators keep
-      real work; embeddings mix a per-label centroid with noise so
-      IVF/k-means cluster structure survives the scale-up.
+      real work; embeddings are NEAR-RANDOM like the real testdata
+      (same-label cosine ≈ 0 — see gen_embeddings for why clustered
+      synthetic vectors would be a data regression, not realism).
 - region/nation are COPIED from sf0.1 verbatim — fixed dimension
   tables, identical at every scale factor (TPC-H semantics).
 
@@ -225,20 +226,25 @@ def gen_documents(spark: SparkSession, n: int) -> DataFrame:
 
 
 def gen_embeddings(spark: SparkSession, n: int) -> DataFrame:
-    """64-dim float vectors = per-label centroid + small noise, so the
-    IVF / k-means / SemDeDup cluster structure survives the scale-up;
-    component range ≈ [-0.39, 0.39] like sf0.1."""
+    """64-dim float vectors, NEAR-RANDOM like the real testdata: the
+    sf0.1 embeddings measure max pairwise cosine ≈ 0.6, mean ≈ 0.0, and
+    SAME-LABEL mean cosine ≈ 0.0 — labels carry NO geometric cluster
+    structure. The first cut of this generator mixed a per-label
+    centroid in (same-label cosine 0.92) and the sf1 decade run blew
+    the LSH/SemDeDup/kNN operators up 40-68× on the 10× step — not an
+    operator regression but a DATA regression: a corpus where every
+    same-label pair is a 0.9-cosine near-dup has a quadratically
+    growing TRUE answer. Matching the real near-random geometry keeps
+    the decade comparison apples-to-apples. Component range
+    ≈ [-0.39, 0.39] like sf0.1."""
     i = F.col("id")
     label = _u("m_lab", [i], 10)
     dims = F.sequence(F.lit(0), F.lit(63))
     vec = F.transform(
         dims,
-        lambda j: ((F.pmod(F.abs(F.xxhash64(F.lit("m_c"), label, j)),
-                           F.lit(1201)).cast("double") - 600.0)
-                   / F.lit(2000.0)
-                   + (F.pmod(F.abs(F.xxhash64(F.lit("m_n"), i, j)),
-                             F.lit(401)).cast("double") - 200.0)
-                   / F.lit(2200.0)).cast("float"))
+        lambda j: ((F.pmod(F.abs(F.xxhash64(F.lit("m_n"), i, j)),
+                           F.lit(1601)).cast("double") - 800.0)
+                   / F.lit(2050.0)).cast("float"))
     return spark.range(n).select(
         i.alias("vec_id"),
         vec.alias("embedding"),
