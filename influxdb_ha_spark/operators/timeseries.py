@@ -2830,6 +2830,15 @@ def rank_sum_test(df: DataFrame, group_col: str, value_col: str,
     counts = (base.groupBy("__v")
               .agg(F.sum((g == ga).cast("long")).alias("__ca"),
                    F.sum((g == gb).cast("long")).alias("__cb")))
+    return _ranksum_fold(counts, max_n)
+
+
+def _ranksum_fold(counts: DataFrame, max_n: int) -> DataFrame:
+    """rank_sum_test's post-counts arithmetic over a (__v, __ca, __cb)
+    per-value count table — factored out (r11) so the batch operator,
+    ab_test/ab_from_counts, and the streaming count twin's readout all
+    share ONE pinned expression tree (bit-equality by construction,
+    not by parallel maintenance)."""
     wb = (Window.orderBy("__v")
           .rowsBetween(Window.unboundedPreceding, -1))
     per_v = (counts
@@ -2926,6 +2935,13 @@ def ks_test(df: DataFrame, group_col: str, value_col: str,
                 "partition; pre-bucket the metric (ab_test("
                 "bucket_width=...) / sketch._hist_bin_cols) or raise "
                 "max_vocab deliberately")
+    return _ks_fold(counts)
+
+
+def _ks_fold(counts: DataFrame) -> DataFrame:
+    """ks_test's post-counts arithmetic over a (__v, __ca, __cb)
+    per-value count table — factored out (r11) for the same shared-
+    expression-tree reason as _ranksum_fold."""
     wle = (Window.orderBy("__v")
            .rowsBetween(Window.unboundedPreceding, 0))
     per_v = (counts
@@ -3075,12 +3091,13 @@ def ab_test(df: DataFrame, group_col: str, value_col: str,
     ks_stat_scaled). z > 0 ⟺ group_a sits higher; ks_stat_scaled >
     ~1.36 rejects equality at α = 0.05.
 
-    Scale shape: the two tests share the bucketed base's per-value
-    count machinery shape (one map-combinable count shuffle each, a
-    vocabulary-bounded cumulative pass, 1-row folds); the final
-    combine is a 1-row × 1-row broadcast crossJoin. With
-    bucket_width set, ks_test's cap probe is skipped (max_vocab=None)
-    — the width already bounds the vocabulary, no extra job needed.
+    Scale shape: the two tests share ONE per-value count table (a
+    single map-combinable count shuffle — r11: the folds are factored
+    helpers over the shared counts, so the count machinery is built
+    once, not once per test), then a vocabulary-bounded cumulative
+    pass and 1-row folds each; the final combine is a 1-row × 1-row
+    broadcast crossJoin. With bucket_width set, the vocabulary cap
+    probe is skipped — the width already bounds it, no extra job.
     """
     v = F.col(value_col).cast("double")
     if bucket_width is not None:
@@ -3094,11 +3111,48 @@ def ab_test(df: DataFrame, group_col: str, value_col: str,
     else:
         base = df.select(F.col(group_col).alias("__g"), v.alias("__v"))
         ks_cap = max_vocab
-    rs = rank_sum_test(base, "__g", "__v", group_a, group_b,
-                       max_n=max_n)
-    ks = (ks_test(base, "__g", "__v", group_a, group_b,
-                  max_vocab=ks_cap)
-          .select("d_num", "d_stat", "ks_stat_scaled"))
+    ga, gb = F.lit(group_a), F.lit(group_b)
+    g = F.col("__g")
+    filt = base.where(F.col("__v").isNotNull()
+                      & g.isin([group_a, group_b]))
+    counts = (filt.groupBy("__v")
+              .agg(F.sum((g == ga).cast("long")).alias("__ca"),
+                   F.sum((g == gb).cast("long")).alias("__cb")))
+    if ks_cap is not None:
+        nv = (counts.select(F.lit(1).alias("__one"))
+              .limit(int(ks_cap) + 1).count())
+        if nv > int(ks_cap):
+            raise ValueError(
+                f"ab_test: metric vocabulary exceeds max_vocab="
+                f"{int(ks_cap)} distinct values — pre-bucket with "
+                "bucket_width=... (power-of-two widths are exact) or "
+                "raise max_vocab deliberately")
+    return ab_from_counts(counts, max_n=max_n)
+
+
+def ab_from_counts(counts: DataFrame, value_col: str = "__v",
+                   count_a: str = "__ca", count_b: str = "__cb",
+                   max_n: int = 2_000_000) -> DataFrame:
+    """The A/B readout over an ALREADY-AGGREGATED per-value count
+    table — (value, count_in_a, count_in_b) rows in, the same ONE-row
+    (n_a, n_b, u_a, z, d_num, d_stat, ks_stat_scaled) out as ab_test,
+    through literally the same fold helpers (_ranksum_fold /
+    _ks_fold), so the statistics are bit-identical by construction.
+
+    This is the readout half of the live-A/B split: per-value count
+    tables are MERGEABLE (cell-wise +, the countmin algebra), so a
+    streaming job maintains the counts incrementally
+    (streaming/ab_stream.py — per-value keyed state, no single-key
+    funnel) or a rollup job keeps per-hour count partials, and this
+    fold turns any merged snapshot into the test statistics. The
+    cumulative pass is bounded by the count table's vocabulary — the
+    caller owns the bucketing contract (ab_test's bucket_width note).
+    """
+    c = counts.select(F.col(value_col).alias("__v"),
+                      F.col(count_a).cast("long").alias("__ca"),
+                      F.col(count_b).cast("long").alias("__cb"))
+    rs = _ranksum_fold(c, max_n)
+    ks = _ks_fold(c).select("d_num", "d_stat", "ks_stat_scaled")
     return (rs.crossJoin(F.broadcast(ks))
             .select("n_a", "n_b", "u_a", "z",
                     "d_num", "d_stat", "ks_stat_scaled"))
