@@ -121,3 +121,31 @@ def test_overlap_matrix_exhaustive_equals_exact_set_algebra(spark, rows):
             import math
             assert r.jaccard_est == math.floor(
                 len(i) / len(u) * 1e6 + 0.5) / 1e6
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=st.lists(st.tuples(st.sampled_from(["a", "b", "c"]), vals),
+                     min_size=1, max_size=24))
+def test_kmv_kway_exhaustive_matches_set_arithmetic(spark, rows):
+    """All-exhaustive regime (k=64 > any vocabulary here): kmv_union_k
+    and kmv_intersect_k are EXACT Python set arithmetic — union of all
+    groups' value sets, intersection over all groups; theta = 2^60."""
+    from influxdb_ha_spark.operators.sketch import (
+        HASH_SPACE, kmv_intersect_k, kmv_union_k)
+    df = spark.createDataFrame(rows, "g string, v long")
+    sets = {}
+    for g, v in rows:
+        sets.setdefault(g, set()).add(v)
+    uni = kmv_union_k(df, "v", "g", k=64).collect()[0]
+    inter = kmv_intersect_k(df, "v", "g", k=64).collect()[0]
+    want_u = set().union(*sets.values())
+    want_i = set.intersection(*sets.values())
+    assert uni.theta == inter.theta == HASH_SPACE
+    assert uni.n_groups == inter.n_groups == len(sets)
+    assert uni.n_union == len(want_u)
+    assert uni.est_union == float(len(want_u))
+    assert inter.n_common == len(want_i)
+    assert inter.est_intersection == float(len(want_i))
+    # algebra sanity: intersection <= min group <= max group <= union
+    assert len(want_i) <= min(len(s) for s in sets.values())
+    assert max(len(s) for s in sets.values()) <= len(want_u)
