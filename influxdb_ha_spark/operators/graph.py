@@ -323,12 +323,16 @@ def pagerank(edges: DataFrame, iters: int = 10,
         summed = (edges_k.join(contrib, "src")
                   .groupBy(F.col("dst").alias("node"))
                   .agg(F.sum("__c").alias("__s")))
-        nxt = (nodes.join(summed, "node", "left")
-               .withColumn("__s", F.coalesce(F.col("__s"), F.lit(0)))
-               .select("node",
-                       (F.lit(base)
-                        + F.expr(f"({damping_pct} * __s) div 100"))
-                       .cast("long").alias("pr_fp")))
+        # r11: no nodes-left-join per round — on the SYMMETRIC closure
+        # every node has an in-edge (in ≡ out), so `summed` already
+        # carries every node and the resurrection join (the directed-
+        # graph shape, still used by personalized_pagerank for its
+        # seed flag) was a redundant fourth per-round stage; values
+        # identical, measured 72.3 -> 42.4 s at sf1 in one session
+        nxt = summed.select(
+            "node",
+            (F.lit(base) + F.expr(f"({damping_pct} * __s) div 100"))
+            .cast("long").alias("pr_fp"))
         pr = _truncate_lineage(nxt, reliable)
     edges_k.unpersist()
     nodes.unpersist()
