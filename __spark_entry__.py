@@ -1186,7 +1186,17 @@ def q_emb_quantize(spark, sf):
 
 def q_emb_near_dup_lsh(spark, sf):
     """Scale path: hyperplane-LSH buckets + exact cosine verification —
-    shuffles on the bucket key, never materializes N² pairs."""
+    shuffles on the bucket key, never materializes N² pairs. The gate
+    exercises the bits ∝ log N contract (r11's IVF C = N/64 lesson
+    applied to hyperplane LSH): bits is DERIVED as
+    ceil(log2(N/target_occupancy)) so expected bucket occupancy — and
+    with it candidate pairs per table, ~N·occupancy/2 — stays linear in
+    N; the r11 decade measured the old fixed-bits form at 6.35× on a
+    10× step. The exact all-pairs oracle stays valid at ANY bits:
+    precision is exact (cosine verification) and both gate corpora are
+    recall-safe (the near-random corpus has no pairs >= 0.9 to miss;
+    see emb_near_dup_planted for the non-empty side)
+    (operators/similarity.py:derived_lsh_bits)."""
     emb = _t(spark, sf, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
     return S.cosine_near_dup_pairs(emb, threshold=0.9)
@@ -1197,9 +1207,11 @@ def q_emb_near_dup_planted(spark, sf):
     (max pairwise cosine ~0.47), so the 0.9-threshold queries verify only
     the no-false-positive side. This variant plants exact duplicates
     (vec_id % 25 == 0, re-keyed +1000000): identical vectors share every
-    LSH bucket (recall 1 by construction) and cosine is exactly 1.0, so
-    the oracle equality checks bucket keying, candidate generation, AND
-    verification on non-empty output."""
+    LSH bucket (recall 1 by construction — identical vectors share every
+    bucket at ANY derived bits, so the bits ∝ log N derivation cannot
+    cost recall here) and cosine is exactly 1.0, so the oracle equality
+    checks bucket keying, candidate generation, AND verification on
+    non-empty output."""
     emb = _t(spark, sf, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double"))
@@ -2269,7 +2281,7 @@ def q_ev_ab_chisq(spark, sf):
     ev = (_t(spark, sf, "events")
           .where(F.col("user_id").isNotNull())
           .select("event_type",
-                  F.pmod(F.col("user_id"), F.lit(2)).alias("variant")))
+                  (F.col("user_id") % F.lit(2)).alias("variant")))
     return chi_square_test(ev, "event_type", "variant")
 
 
@@ -2299,7 +2311,7 @@ def q_ev_ab_bucketed(spark, sf):
     ev = (_t(spark, sf, "events")
           .select("event_type",
                   (F.col("value")
-                   + F.pmod(F.col("user_id"), F.lit(97)).cast("double")
+                   + (F.col("user_id") % F.lit(97)).cast("double")
                    / F.lit(128.0)).alias("metric")))
     return ab_test(ev, "event_type", "metric", "click", "view",
                    bucket_width=0.5)

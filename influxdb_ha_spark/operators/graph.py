@@ -1048,18 +1048,22 @@ def hits(edges: DataFrame, iters: int = 8,
             nodes.join(h_raw, "node", "left")
             .select("node", F.coalesce("__s", F.lit(0)).cast("long")
                     .alias("hub_fp")), "hub_fp"), reliable)
+    # the degree guard wraps BOTH outputs: if only hub_fp carried it, a
+    # downstream projection selecting just (node, auth_fp) would let
+    # column pruning erase the raise_error and the 2^64 positive-wrap
+    # overflow would be silent again for auth-only consumers
+    def _guarded(col: str) -> Column:
+        return (F.when(F.col("__degmax") > F.lit(int(degcap)),
+                       F.raise_error(F.lit(
+                           "hits: max in/out-degree exceeds "
+                           f"2^62/SCALE_FP ({int(degcap)}) — a "
+                           "per-round score sum can pass 2^64 and "
+                           "wrap back POSITIVE; switch the sums "
+                           "to DECIMAL(38,0)")).cast("long"))
+                .otherwise(F.col(col)).alias(col))
     out = (hub.join(auth, "node")
            .crossJoin(F.broadcast(deg))
-           .select("node",
-                   F.when(F.col("__degmax") > F.lit(int(degcap)),
-                          F.raise_error(F.lit(
-                              "hits: max in/out-degree exceeds "
-                              f"2^62/SCALE_FP ({int(degcap)}) — a "
-                              "per-round score sum can pass 2^64 and "
-                              "wrap back POSITIVE; switch the sums "
-                              "to DECIMAL(38,0)")).cast("long"))
-                   .otherwise(F.col("hub_fp")).alias("hub_fp"),
-                   "auth_fp"))
+           .select("node", _guarded("hub_fp"), _guarded("auth_fp")))
     e.unpersist()
     nodes.unpersist()
     return out

@@ -15,6 +15,8 @@ Deterministic (tie-break on id) so the DuckDB oracle can mirror it.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -317,10 +319,25 @@ def _sign_keys_udf(planes: list[list[list[float]]]):
     return pandas_udf(keys, "array<long>")
 
 
+def derived_lsh_bits(n: int, target_occupancy: int = 64,
+                     lo: int = 4, hi: int = 24) -> int:
+    """bits = ceil(log2(N / target_occupancy)), clamped to [lo, hi]:
+    expected bucket occupancy N/2^bits stays ~target_occupancy as the
+    corpus grows, so candidate pairs per table stay ~N·occupancy/2 —
+    LINEAR in N. The r11 sf1 decade measured the fixed-bits form at
+    6.35× on a 10× data step (candidates grow ~N²/2^bits at fixed
+    bits); this is the same k ∝ N contract the IVF gate adopted as
+    C = N/64."""
+    if n <= target_occupancy:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target_occupancy))))
+
+
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          dim: int = 64, bits: int = 10,
-                          tables: int = 3) -> DataFrame:
+                          dim: int = 64, bits: int | None = None,
+                          tables: int = 3, target_occupancy: int = 64,
+                          max_bucket: int | None = None) -> DataFrame:
     """All pairs with cosine >= threshold, LSH-bucketed — the scale path.
 
     Random-hyperplane LSH: vectors agreeing on all `bits` signs in any of
@@ -330,7 +347,22 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
     `tables`/lower `bits` to trade cost for recall). The corpus shuffles on
     the bucket key only; no N² cross join ever materializes, unlike the
     exact baseline which is quadratic by construction.
+
+    `bits=None` (the default) DERIVES bits from the corpus size so the
+    expected bucket occupancy N/2^bits tracks `target_occupancy` — the
+    bits ∝ log N contract the r11 decade showed a fixed `bits` violates
+    (see derived_lsh_bits). NOTE: the derivation counts the corpus, so
+    constructing the plan runs one eager Spark job (the ks_test probe
+    convention); pass an explicit `bits` for lazy composition.
+
+    `max_bucket` (opt-in) is the loud occupancy guard: if any (table,
+    key) bucket exceeds it, the plan RAISES instead of silently going
+    bucket-quadratic — the legitimate trigger is a corpus of mass-
+    duplicated identical vectors, whose TRUE pair answer is itself
+    quadratic and deserves an explicit decision, not a slow job.
     """
+    if bits is None:
+        bits = derived_lsh_bits(df.count(), target_occupancy)
     planes = _hyperplanes(dim, bits, tables, seed=7)
     keys_udf = _sign_keys_udf(planes)
     # No ensure_min_parallelism here: the sign-key map is one numpy matmul
@@ -359,9 +391,30 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
-    return (cand.join(va, "id_a").join(vb, "id_b")
-            .select("id_a", "id_b", cos.alias("cosine"))
-            .where(F.col("cosine") >= threshold))
+    out = (cand.join(va, "id_a").join(vb, "id_b")
+           .select("id_a", "id_b", cos.alias("cosine"))
+           .where(F.col("cosine") >= threshold))
+    if max_bucket is not None:
+        # loud occupancy guard, expressed as a FILTER predicate so no
+        # downstream projection can prune it away (the hits auth_fp
+        # lesson): one map-combinable count + a 1-row max broadcast
+        occ = (keyed.groupBy("tbl", "key")
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .agg(F.coalesce(F.max("__n"), F.lit(0)).alias("__mx")))
+        out = (out.crossJoin(F.broadcast(occ))
+               .where(F.when(
+                   F.col("__mx") > F.lit(int(max_bucket)),
+                   F.raise_error(F.lit(
+                       "cosine_near_dup_pairs: an LSH bucket exceeds "
+                       f"max_bucket={int(max_bucket)} — the corpus has a "
+                       "mass-duplicated sign pattern, so the bucket "
+                       "verify stage (and likely the TRUE answer) is "
+                       "quadratic; raise bits/target_occupancy, dedup "
+                       "exact-identical vectors first, or raise "
+                       "max_bucket deliberately")).cast("boolean"))
+                   .otherwise(F.lit(True)))
+               .drop("__mx"))
+    return out
 
 
 def cluster_purity(corpus: DataFrame, centroids: DataFrame,

@@ -1146,8 +1146,9 @@ def fuzzy_blocked_pairs(df: DataFrame, str_col: str,
     mirrored exactly by the oracle; production escalates an oversized
     block to a second-level key, e.g. first+last token. (Caveat: a
     run whose kept blocks produce ZERO pairs has no rows to carry the
-    counters — probe the 1-row stats side of _fuzzy_blocked directly
-    if that matters.)
+    counters — so an all-dropped run is invisible HERE; use the public
+    `fuzzy_blocked_stats` companion, which returns the 1-row counter
+    table unconditionally, when that failure mode matters.)
 
     Levenshtein is Spark's JVM built-in (codegen, no UDF) and DuckDB's
     — the same classic unit-cost distance, so the gate is
@@ -1162,6 +1163,20 @@ def fuzzy_blocked_pairs(df: DataFrame, str_col: str,
     pairs, dropped = _fuzzy_blocked(df, str_col, block_pattern,
                                     max_dist, max_block_size)
     return pairs.crossJoin(F.broadcast(dropped))
+
+
+def fuzzy_blocked_stats(df: DataFrame, str_col: str,
+                        block_pattern: str = "[a-z0-9]+$",
+                        max_dist: int = 2,
+                        max_block_size: int = 256) -> DataFrame:
+    """The drop counters of `fuzzy_blocked_pairs`, ALWAYS one row —
+    (n_blocks_dropped, n_strings_dropped) — even when every kept block
+    yields zero pairs (the one shape where the pair table can't carry
+    them). Same parameters, same cap rule, same oracle-mirrorable
+    arithmetic; this is the loud-by-construction view of the cap."""
+    _, dropped = _fuzzy_blocked(df, str_col, block_pattern,
+                                max_dist, max_block_size)
+    return dropped
 
 
 def _fuzzy_blocked(df: DataFrame, str_col: str, block_pattern: str,

@@ -2912,6 +2912,12 @@ def ks_test(df: DataFrame, group_col: str, value_col: str,
     the cap, pre-bucket the metric — `ab_test(bucket_width=...)` is
     the packaged form. `max_vocab=None` disables the probe (and its
     extra job) for callers that have already bounded the vocabulary.
+
+    NOTE: with `max_vocab` set (the default), CONSTRUCTING this plan
+    runs an eager Spark job — the probe's per-value count aggregate
+    must complete before the limit applies (the limit bounds the
+    post-shuffle row count, not the scan). Explain-only tooling and
+    lazy plan composition should pass `max_vocab=None`.
     """
     ga, gb = F.lit(group_a), F.lit(group_b)
     g = F.col("__g")
@@ -2922,9 +2928,11 @@ def ks_test(df: DataFrame, group_col: str, value_col: str,
               .agg(F.sum((g == ga).cast("long")).alias("__ca"),
                    F.sum((g == gb).cast("long")).alias("__cb")))
     if max_vocab is not None:
-        # cap probe (eager, pre-window): count at most max_vocab+1
-        # distinct values — the GlobalLimit stops the scan early, and
-        # the raise fires before any single-partition window runs
+        # cap probe (eager, pre-window): the groupBy count shuffle runs
+        # in full (the limit sits ABOVE the aggregate, so it bounds the
+        # result rows, not the scan), but that shuffle is map-combinable
+        # and parallel — cheap next to the single-partition window the
+        # raise exists to prevent; fires before any window runs
         nv = (counts.select(F.lit(1).alias("__one"))
               .limit(int(max_vocab) + 1).count())
         if nv > int(max_vocab):

@@ -1660,6 +1660,9 @@ def build_oracles() -> dict[str, str]:
       FROM sel WHERE c = 4"""
     # LSH-verified pairs ⊆ exact pairs; exact-precision verification means
     # the exact SQL is the right oracle (recall caveat in the operator doc).
+    # The r12 bits ∝ log N derivation needs no mirroring: bits only moves
+    # RECALL, and this corpus has no >= 0.9 pairs to miss (the planted
+    # variant covers the non-empty side with recall 1 by construction).
     o["emb_near_dup_lsh"] = f"""
       WITH e AS ({emb_cast})
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,0 +1,119 @@
+"""Round-12 operator regressions — the r11 ADVICE items.
+
+- hits: the degree-overflow guard must survive an auth-only projection
+  (Catalyst column pruning erased it when only hub_fp carried it).
+- fuzzy_blocked_stats: the dropped-block counters must be reachable even
+  when every kept block yields zero pairs (the all-dropped failure mode
+  where fuzzy_blocked_pairs returns no rows to carry them).
+- ab gates: Spark `%` (dividend-sign) replaces pmod so the variant/jitter
+  arithmetic matches DuckDB `%` for NEGATIVE ids too.
+- cosine_near_dup_pairs: bits=None derives bits from N (the r11 IVF
+  C = N/64 lesson applied to hyperplane LSH).
+"""
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_hits_degree_guard_survives_auth_only_projection(spark):
+    """Selecting only (node, auth_fp) must NOT let column pruning erase
+    the degree-overflow raise_error: both output columns carry the
+    guard (r11 ADVICE #3)."""
+    from influxdb_ha_spark.operators.graph import SCALE_FP, hits
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    out = hits(df, iters=1).select("node", "auth_fp")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "raise_error" in plan
+    got = {r.node: r.auth_fp for r in out.collect()}
+    assert got == {1: SCALE_FP, 2: SCALE_FP}
+
+
+def test_fuzzy_blocked_stats_visible_when_all_blocks_dropped(spark):
+    """All candidate blocks oversized -> zero pair rows, but the public
+    stats accessor still reports the drop (r11 ADVICE #4)."""
+    from influxdb_ha_spark.operators.text import (fuzzy_blocked_pairs,
+                                                  fuzzy_blocked_stats)
+    rows = [(f"name{i} big",) for i in range(5)]
+    df = spark.createDataFrame(rows, "n string")
+    assert fuzzy_blocked_pairs(df, "n", max_dist=3,
+                               max_block_size=3).count() == 0
+    st = fuzzy_blocked_stats(df, "n", max_dist=3,
+                             max_block_size=3).collect()
+    assert len(st) == 1
+    assert (st[0].n_blocks_dropped, st[0].n_strings_dropped) == (1, 5)
+
+
+def test_fuzzy_blocked_stats_matches_pair_carried_counters(spark):
+    """On a mixed run the accessor returns exactly the counters the
+    pair rows carry."""
+    from influxdb_ha_spark.operators.text import (fuzzy_blocked_pairs,
+                                                  fuzzy_blocked_stats)
+    rows = ([(f"name{i} big",) for i in range(5)]
+            + [("red bolt",), ("hot bolt",)])
+    df = spark.createDataFrame(rows, "n string")
+    pair = fuzzy_blocked_pairs(df, "n", max_dist=3,
+                               max_block_size=3).collect()[0]
+    st = fuzzy_blocked_stats(df, "n", max_dist=3,
+                             max_block_size=3).collect()[0]
+    assert (pair.n_blocks_dropped, pair.n_strings_dropped) == \
+        (st.n_blocks_dropped, st.n_strings_dropped) == (1, 5)
+
+
+def test_spark_modulo_matches_duckdb_for_negative_ids(spark):
+    """The ab gates' `user_id % n` must take the DIVIDEND's sign (DuckDB
+    semantics): -5 % 97 = -5, not pmod's 92 (r11 ADVICE #2)."""
+    df = spark.createDataFrame([(-5,), (5,), (-97,)], "user_id long")
+    got = [r.m for r in
+           df.select((F.col("user_id") % F.lit(97)).alias("m"))
+           .orderBy("user_id").collect()]
+    assert got == [0, -5, 5]
+
+
+def test_derived_lsh_bits_tracks_occupancy():
+    """bits = ceil(log2(N/occ)) clamped: occupancy N/2^bits stays ~occ
+    across decades — the linear-candidates contract."""
+    from influxdb_ha_spark.operators.similarity import derived_lsh_bits
+    assert derived_lsh_bits(0) == 4
+    assert derived_lsh_bits(64) == 4           # n <= occ -> lo
+    assert derived_lsh_bits(2_000) == 5        # ceil(log2(31.25))
+    assert derived_lsh_bits(20_000) == 9       # ceil(log2(312.5))
+    assert derived_lsh_bits(200_000) == 12
+    assert derived_lsh_bits(2_000_000) == 15   # each decade ~ +3.3 bits
+    assert derived_lsh_bits(10 ** 12) == 24    # hi clamp
+    # occupancy contract: N / 2^bits <= 2*occ once past the lo clamp
+    for n in (10 ** 4, 10 ** 6, 10 ** 7):
+        b = derived_lsh_bits(n)
+        assert n / (1 << b) <= 2 * 64
+
+
+def test_cosine_near_dup_derived_bits_finds_planted_pair(spark):
+    """bits=None (derived) keeps recall 1 on identical vectors and
+    exact precision: one planted duplicate pair, cosine exactly 1.0."""
+    from influxdb_ha_spark.operators.similarity import \
+        cosine_near_dup_pairs
+    import random
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)])
+            for i in range(200)]
+    rows.append((1_000, list(rows[0][1])))     # exact copy of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_near_dup_pairs(df, threshold=0.99).collect()
+    assert [(r.id_a, r.id_b, r.cosine) for r in got] == [(0, 1_000, 1.0)]
+
+
+def test_cosine_near_dup_max_bucket_guard_raises_loudly(spark):
+    """A mass-duplicated vector blows one bucket past max_bucket: the
+    in-plan filter guard raises instead of going bucket-quadratic."""
+    from influxdb_ha_spark.operators.similarity import \
+        cosine_near_dup_pairs
+    import random
+    rng = random.Random(3)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [(i, list(base)) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="max_bucket"):
+        cosine_near_dup_pairs(df, threshold=0.9, bits=8,
+                              max_bucket=10).collect()
+    # under the cap the same guard is a no-op pass-through
+    ok = cosine_near_dup_pairs(df.where(F.col("vec_id") < 3),
+                               threshold=0.9, bits=8, max_bucket=10)
+    assert ok.count() == 3  # C(3,2) pairs of identical vectors
