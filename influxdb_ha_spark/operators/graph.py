@@ -465,25 +465,30 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
 
     Returns (node, community, community_size) at round `rounds`.
 
-    Shape per round: one join keyed by the closed-adjacency src + ONE
+    Shape per round: one join keyed by the adjacency src + ONE
     (node, label)-keyed vote count + one node-keyed argmax — the
     argmax is min(struct(−votes, label)), a single fold-order-free
     aggregate, not a window (no per-node sort, no second shuffle).
-    The adjacency persists once; each label frontier is
-    checkpoint-truncated (the pagerank lineage discipline;
+    The self-vote is folded in POST-join (r12, the pagerank per-round-
+    stage lesson): each node's own (node, community) row is unioned
+    into the vote count's input instead of materializing |V| self-loop
+    rows in the persisted adjacency — identical closed-neighborhood
+    counts by construction (own label + 1 wherever it also appears
+    among neighbors), but the self rows no longer ride the per-round
+    join exchange × rounds. The adjacency persists once; each label
+    frontier is checkpoint-truncated (the pagerank lineage discipline;
     reliable=True swaps in fault-tolerant checkpoint()).
     """
-    sym = _symmetric(edges)
+    sym = _symmetric(edges).persist()
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    adj = sym.unionByName(
-        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
-    adj = adj.persist()
     lab = _truncate_lineage(
         nodes.withColumn("community", F.col("node").cast("long")), reliable)
     for _ in range(rounds):
-        votes = (adj.join(lab.select(F.col("node").alias("src"),
+        neigh = (sym.join(lab.select(F.col("node").alias("src"),
                                      "community"), "src")
-                 .groupBy(F.col("dst").alias("node"), "community")
+                 .select(F.col("dst").alias("node"), "community"))
+        votes = (neigh.unionByName(lab.select("node", "community"))
+                 .groupBy("node", "community")
                  .agg(F.count(F.lit(1)).alias("__c")))
         lab = _truncate_lineage(
             votes.groupBy("node")
@@ -496,7 +501,7 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
         F.count(F.lit(1)).alias("community_size"))
     res = lab.join(sizes, "community").select("node", "community",
                                               "community_size")
-    adj.unpersist()
+    sym.unpersist()
     return res
 
 
