@@ -24,7 +24,7 @@ def _drain(spark, src, ckpt):
     q = (out.writeStream.foreachBatch(sink)
          .outputMode("update").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     final = {}
     for _, rows in sorted(collected):
         for r in rows:

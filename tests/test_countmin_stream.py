@@ -46,7 +46,7 @@ def test_cm_stream_merged_cells_equal_batch(spark, tmp_path):
          .outputMode("update").option("checkpointLocation",
                                       str(tmp_path / "ck"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     # final cells per (shard, item) = that shard's LAST emission
     final = {}
     for _, batch in sorted(collected):

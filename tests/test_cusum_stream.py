@@ -35,7 +35,7 @@ def test_cusum_stream_matches_batch(spark, tmp_path):
     q = (out.writeStream.foreachBatch(sink)
          .outputMode("append").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     batch_df = spark.createDataFrame(
         [(r["series"], r["time"], r["value"]) for r in rows], schema)

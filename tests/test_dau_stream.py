@@ -46,7 +46,7 @@ def test_dau_stream_matches_batch(spark, tmp_path):
     q = (out.writeStream.foreachBatch(sink)
          .outputMode("append").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     got = {r["bucket_start"].isoformat(): r["dau"] for r in collected}
     assert got == {"2024-01-01T00:00:00": 2, "2024-01-02T00:00:00": 1}

@@ -100,7 +100,7 @@ def test_funnel_stream_conversion_window(spark, tmp_path):
     q = (out.writeStream.foreachBatch(sink)
          .outputMode("append").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     got = {(r["entity"], r["step"]) for r in collected}
     # boundary-inclusive window: u1's view at exactly +100 counts

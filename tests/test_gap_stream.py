@@ -42,7 +42,7 @@ def test_gap_stream_matches_batch(spark, tmp_path):
     q = (gap_stream(stream).writeStream.foreachBatch(sink)
          .outputMode("append").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     # NOTE: batch b1's u2/a event at t=9 arrives AFTER t=5 was consumed,
     # so the stream emits gap 9-5=4 — the batch window over the full

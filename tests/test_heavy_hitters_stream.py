@@ -27,7 +27,7 @@ def _drain(spark, src, ckpt, k, n_shards):
     q = (out.writeStream.foreachBatch(sink)
          .outputMode("update").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     # final summary per shard = that shard's LAST emission
     final = {}
     for _, rows in sorted(collected):

@@ -37,7 +37,7 @@ def test_hist_quantile_stream_equals_batch(spark, tmp_path):
          .outputMode("update").option("checkpointLocation",
                                       str(tmp_path / "ck"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     final = {}
     for _, batch in sorted(collected):
         for r in batch:
@@ -75,7 +75,7 @@ def test_hist_quantile_stream_drops_uncastable_values(spark, tmp_path):
          .outputMode("update").option("checkpointLocation",
                                       str(tmp_path / "ck"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     rows = [r for batch in collected for r in batch]
     assert len(rows) == 1 and rows[0]["n"] == 2   # 'abc' dropped
     ref = histogram_quantiles(

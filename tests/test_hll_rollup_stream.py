@@ -29,7 +29,7 @@ def _drain(spark, src, ckpt, **kw):
     q = (out.writeStream.foreachBatch(sink)
          .outputMode("update").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     final = {}
     for _, rows in sorted(collected):
         for r in rows:
@@ -91,4 +91,4 @@ def test_hll_rollup_stream_bucket_cap_and_validation(spark, tmp_path):
          .option("checkpointLocation", str(tmp_path / "ck2"))
          .trigger(availableNow=True).start())
     with pytest.raises(StreamingQueryException, match="max_buckets"):
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream drain timed out"

@@ -118,7 +118,7 @@ def test_stream_ingest(spark, tmp_path):
         cat, stream, "db", "m", ["host"], str(tmp_path / "table"),
         str(tmp_path / "ckpt"), dead_letter_path=str(tmp_path / "dlq"),
         trigger_once=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     stored = spark.read.parquet(str(tmp_path / "table"))
     assert stored.count() == 2
     dlq = spark.read.json(str(tmp_path / "dlq"))

@@ -70,7 +70,7 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
          .writeStream.foreachBatch(sink).outputMode("append")
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     got = sorted((r["key"], r["time"], r["t_start"], r["t_end"])
                  for r in collected)

@@ -39,7 +39,7 @@ def test_m4_stream_finalizes_buckets(spark, tmp_path):
     q = (out.writeStream.foreachBatch(sink)
          .outputMode("append").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     got = {(r["s"], r["bucket_start"].isoformat()): r
            for r in collected if r["s"] == "a"}

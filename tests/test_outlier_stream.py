@@ -43,7 +43,7 @@ def test_outlier_stream_matches_batch(spark, tmp_path):
     q = (out.writeStream.foreachBatch(sink)
          .outputMode("append").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     got = {r["time"]: (r["robust_z"], r["is_outlier"]) for r in collected}
     for t, (z, flag) in want.items():

@@ -50,7 +50,7 @@ def test_quantile_bands_stream_matches_batch(spark, tmp_path):
     q = (quantile_bands_stream(stream).writeStream.foreachBatch(sink)
          .outputMode("append").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     got = {r["bucket"]: r for r in collected}
     # hour-0 closed with exactly values 1..100 (the late 999 arrived

@@ -37,7 +37,7 @@ def test_session_stream_splits_on_gap(spark, tmp_path):
     q = (out.writeStream.foreachBatch(sink)
          .outputMode("append").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     u_sessions = sorted([r for r in collected if r["user"] == "u"],
                         key=lambda r: r["session_start"])

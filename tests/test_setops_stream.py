@@ -22,7 +22,7 @@ def _drain(spark, src, ckpt, k):
          .foreachBatch(lambda df, bid: collected.append((bid, df.collect())))
          .outputMode("update").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
     last = None
     for _, rows in sorted(collected):
         for r in rows:

@@ -33,7 +33,7 @@ def test_running_stats_across_batches(spark, tmp_path):
     q = (out.writeStream.foreachBatch(sink)
          .outputMode("update").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     got = {r["series"]: r for r in collected}
     assert got["gold"]["n"] == 2 and got["gold"]["sum"] == 30.0
@@ -48,7 +48,7 @@ def test_running_stats_across_batches(spark, tmp_path):
     q2 = (out2.writeStream.foreachBatch(sink)
           .outputMode("update").option("checkpointLocation", ckpt)
           .trigger(availableNow=True).start())
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600), "stream drain timed out"
     gold = [r for r in collected if r["series"] == "gold"][-1]
     assert gold["n"] == 3 and gold["sum"] == 35.0
     assert gold["min"] == 5.0 and gold["last_time"] == 5
@@ -89,7 +89,7 @@ def test_cq_stream_end_to_end(spark, tmp_path):
          .outputMode("update")
          .option("checkpointLocation", str(tmp_path / "ck"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     got = {(r["time"], r["tag"]): (r["n"], r["s"]) for r in collected}
     assert len(got) == 4
@@ -132,7 +132,7 @@ def test_dedup_stream(spark, tmp_path):
          .writeStream.foreachBatch(sink)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     texts = sorted(t for _, t in got)
     assert texts == ["alpha doc", "beta doc", "gamma doc"]

@@ -47,7 +47,7 @@ def test_transitions_stream_matches_batch(spark, tmp_path):
     q = (transitions_stream(stream).writeStream.foreachBatch(sink)
          .outputMode("append").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream drain timed out"
 
     got = Counter((r["entity"], r["from_type"], r["to_type"])
                   for r in collected)
