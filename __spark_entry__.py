@@ -2913,6 +2913,26 @@ def q_doc_setsim_exact(spark, sf):
     return D.setsim_exact_join(docs, t_num=7, t_den=10)
 
 
+def q_doc_dedup_recall(spark, sf):
+    """LSH-dedup RECALL eval (r12, added scope — the emb_recall
+    convention applied to the doc family, the 'measure, don't guess'
+    number behind the banding curve P[found] = 1−(1−j^rows)^bands):
+    the LOSSLESS exact 3-shingle Jaccard ≥ 7/10 pair set
+    (setsim_exact_join(shingle_k=3) — complete by the prefix-filtering
+    theorem, same set definition the LSH path verifies against) vs the
+    pairs minhash_near_duplicates' 4×4 banding actually surfaced. ONE
+    row (n_exact, n_found, n_hit, recall, precision); precision = 1.0
+    is the falsifiable found ⊆ exact containment invariant, REPORTED
+    not assumed (the thresholds differ microscopically: exact rational
+    j ≥ 0.7 vs round-6 verify). Oracle: brute-force pairwise shingle
+    join + the banding replay, composed verbatim
+    (operators/dedup.py:dedup_recall)."""
+    docs = _t(spark, sf, "documents")
+    exact = D.setsim_exact_join(docs, t_num=7, t_den=10, shingle_k=3)
+    found = D.minhash_near_duplicates(docs, threshold=0.7)
+    return D.dedup_recall(exact, found)
+
+
 def q_diag_profile(spark, sf):
     """One-sweep column profiler over customer (added scope — the
     "what is in this table" report behind layout decisions): per
@@ -4213,6 +4233,7 @@ _FAMILIES = [
         "doc_novelty": q_doc_novelty,
         "doc_dedup_sweep": q_doc_dedup_sweep,
         "doc_setsim_exact": q_doc_setsim_exact,
+        "doc_dedup_recall": q_doc_dedup_recall,
         "doc_shards": q_doc_shards,
         "doc_chunk": q_doc_chunk,
         "doc_quality_sample": q_doc_quality_sample,

@@ -241,7 +241,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def setsim_exact_join(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", t_num: int = 7,
-                      t_den: int = 10) -> DataFrame:
+                      t_den: int = 10,
+                      shingle_k: int | None = None) -> DataFrame:
     """EXACT token-set similarity self-join via prefix filtering — every
     pair of documents whose unigram token sets have Jaccard ≥
     t_num/t_den, with NO probabilistic miss (the deterministic
@@ -266,6 +267,12 @@ def setsim_exact_join(df: DataFrame, text_col: str = "text",
     Returns (id_a, id_b, size_a, size_b, n_common, jaccard) with
     id_a < id_b and jaccard = inter/union rounded at 6.
 
+    `shingle_k` (r12) switches the set elements from unigram tokens to
+    k-token shingles — the SAME set definition minhash_near_duplicates
+    verifies against, which makes this join the LOSSLESS exact
+    reference an LSH recall eval needs (dedup_recall): prefix
+    filtering's completeness theorem is element-agnostic.
+
     Scale shape: one token-keyed frequency join + one doc-keyed
     collect build the ordered sets; the candidate join explodes ONLY
     prefixes (each doc's rarest tokens — the frequency ordering exists
@@ -283,9 +290,17 @@ def setsim_exact_join(df: DataFrame, text_col: str = "text",
         raise ValueError(
             f"setsim_exact_join: threshold t_num/t_den must satisfy "
             f"0 < t_num <= t_den, got {t_num}/{t_den}")
-    tok = (df.select(F.col(id_col).alias("id"),
-                     F.explode(tokens_expr(F.col(text_col))).alias("tok"))
-           .distinct())
+    if shingle_k is None:
+        tok = (df.select(F.col(id_col).alias("id"),
+                         F.explode(tokens_expr(F.col(text_col))).alias("tok"))
+               .distinct())
+    else:
+        tok = (df.selectExpr(f"`{id_col}` AS id",
+                             f"{sql_tokens(f'`{text_col}`')} AS __t")
+               .selectExpr("id",
+                           f"explode({sql_shingles('__t', shingle_k)})"
+                           " AS tok")
+               .distinct())
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
     docs = (tok.join(freq, "tok")
             .groupBy("id")
@@ -328,6 +343,48 @@ def setsim_exact_join(df: DataFrame, text_col: str = "text",
                             / (F.col("size_a") + F.col("size_b")
                                - F.col("n_common")).cast("double"), 6)
                     .alias("jaccard")))
+
+
+def dedup_recall(exact: DataFrame, found: DataFrame) -> DataFrame:
+    """LSH-dedup recall eval (the emb_recall convention applied to the
+    document family): how much of the LOSSLESS exact near-dup pair set
+    (setsim_exact_join with the matching shingle_k — complete by the
+    prefix-filtering theorem) did the probabilistic LSH path
+    (minhash_near_duplicates) actually find? The "measure, don't
+    guess" number behind the banding recall curve
+    P[found] = 1−(1−j^rows)^bands.
+
+    ONE row: (n_exact, n_found, n_hit, recall, precision); recall =
+    n_hit/n_exact and precision = n_hit/n_found, round-6, NULL when the
+    denominator is 0 (no pairs is "nothing to measure", not 100%).
+    Precision is expected to be exactly 1.0 whenever both inputs verify
+    with the same set definition and threshold (found ⊆ exact) — a
+    falsifiable invariant the eval REPORTS rather than assumes.
+
+    Shape: result-sized only — a pair-keyed left-semi join between two
+    LSH/prefix-bounded pair lists plus three 1-row aggregates combined
+    by broadcast crossJoins (the q11 scalar convention); the corpus
+    never enters this operator.
+    """
+    # both pair lists are referenced twice (their count + the hit join)
+    # and each sits atop an expensive corpus pipeline ReuseExchange does
+    # not dedupe — persist the RESULT-SIZED pair lists so each pipeline
+    # runs once (generation-bounded, the keep() convention)
+    e = keep("dedup_recall.exact", exact.select("id_a", "id_b"))
+    f = keep("dedup_recall.found", found.select("id_a", "id_b"))
+    hit = e.join(f, ["id_a", "id_b"], "left_semi")
+    ne = e.agg(F.count(F.lit(1)).alias("n_exact"))
+    nf = f.agg(F.count(F.lit(1)).alias("n_found"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    j = ne.crossJoin(F.broadcast(nf)).crossJoin(F.broadcast(nh))
+    rec = F.when(F.col("n_exact") > 0,
+                 F.round(F.col("n_hit").cast("double")
+                         / F.col("n_exact").cast("double"), 6))
+    prec = F.when(F.col("n_found") > 0,
+                  F.round(F.col("n_hit").cast("double")
+                          / F.col("n_found").cast("double"), 6))
+    return j.select("n_exact", "n_found", "n_hit",
+                    rec.alias("recall"), prec.alias("precision"))
 
 
 # -- SimHash ---------------------------------------------------------------

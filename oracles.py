@@ -4720,6 +4720,41 @@ def build_oracles() -> dict[str, str]:
       JOIN sz sb ON sb.id = c.id_b
       WHERE 10 * c.n_common >= 7 * (sa.sz + sb.sz - c.n_common)"""
 
+    # LSH recall eval: the exact side is the brute-force pairwise
+    # 3-shingle join (valid reference because prefix filtering is
+    # lossless — same theorem the doc_setsim_exact gate certifies);
+    # the found side composes the banding replay VERBATIM (the
+    # emb_recall convention). Counts + two guarded round-6 divisions.
+    o["doc_dedup_recall"] = f"""
+      WITH rsh AS MATERIALIZED ({_shingles_cte(3)}),
+      rtok AS (SELECT DISTINCT doc_id AS id, unnest(sh) AS tok
+               FROM rsh WHERE len(sh) > 0),
+      rsz AS (SELECT id, count(*)::BIGINT AS sz FROM rtok GROUP BY 1),
+      rcom AS (SELECT a.id AS id_a, b.id AS id_b,
+                      count(*)::BIGINT AS n_common
+               FROM rtok a JOIN rtok b
+                 ON a.tok = b.tok AND a.id < b.id
+               GROUP BY 1, 2),
+      rexact AS (SELECT c.id_a, c.id_b
+                 FROM rcom c
+                 JOIN rsz sa ON sa.id = c.id_a
+                 JOIN rsz sb ON sb.id = c.id_b
+                 WHERE 10 * c.n_common >= 7 * (sa.sz + sb.sz - c.n_common)),
+      rfound AS (SELECT id_a, id_b FROM ({_near_dups_sql(3, 0.7)})),
+      rhit AS (SELECT e.id_a, e.id_b
+               FROM rexact e JOIN rfound f USING (id_a, id_b)),
+      m AS (SELECT (SELECT count(*) FROM rexact) AS n_exact,
+                   (SELECT count(*) FROM rfound) AS n_found,
+                   (SELECT count(*) FROM rhit) AS n_hit)
+      SELECT n_exact, n_found, n_hit,
+             CASE WHEN n_exact > 0
+                  THEN round(n_hit::DOUBLE / n_exact::DOUBLE, 6) END
+               AS recall,
+             CASE WHEN n_found > 0
+                  THEN round(n_hit::DOUBLE / n_found::DOUBLE, 6) END
+               AS "precision"
+      FROM m"""
+
     # One-sweep column profiler: per column, counts + the m=256 HLL
     # replay over the string rendering + lexicographic min/max — one
     # UNION ALL branch per profiled column

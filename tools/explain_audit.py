@@ -206,11 +206,20 @@ BOUNDED_SINGLE_PARTITION = {
                  "(partial count map-side over the |states|-row table; "
                  "replaced the eager construction-time count) — "
                  "everything downstream lives on |states|-row vectors",
+    "doc_dedup_recall": "the three 1-row pair-set counts (n_exact, "
+                        "n_found, n_hit — partial count map-side over "
+                        "LSH/prefix-bounded PAIR lists, never the "
+                        "corpus) folded into the single eval row",
 }
 
 # Cartesian/nested-loop joins that are the *intended* plan (same rules:
 # justification required, stale entries flagged).
 ALLOWED_CARTESIAN = {
+    "doc_dedup_recall": "1-row x 1-row crossJoins folding the three "
+                        "pair-set count scalars into the single eval "
+                        "row (the sk_join_sample pattern); the hit "
+                        "computation is a pair-keyed left-semi join "
+                        "between two result-sized pair lists",
     "ev_ab_bucketed": "the 1-row rank-sum fold x broadcast(1-row KS "
                       "fold) final combine — two scalar test results "
                       "joined into the single readout row",
