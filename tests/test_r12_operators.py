@@ -68,6 +68,51 @@ def test_spark_modulo_matches_duckdb_for_negative_ids(spark):
     assert got == [0, -5, 5]
 
 
+def test_dedup_recall_hand_values(spark):
+    """4 exact pairs, found hits 2 of them plus a spurious one:
+    recall 0.5, precision 2/3 — counts exact, ratios round-6."""
+    from influxdb_ha_spark.operators.dedup import dedup_recall
+    exact = spark.createDataFrame([(1, 2), (3, 4), (5, 6), (7, 8)],
+                                  "id_a long, id_b long")
+    found = spark.createDataFrame([(1, 2), (3, 4), (9, 10)],
+                                  "id_a long, id_b long")
+    r = dedup_recall(exact, found).collect()[0]
+    assert (r.n_exact, r.n_found, r.n_hit) == (4, 3, 2)
+    assert r.recall == 0.5
+    assert r.precision == round(2 / 3, 6)
+
+
+def test_dedup_recall_empty_denominators_null(spark):
+    """No pairs -> NULL ratio (nothing to measure), never 1.0 or 0/0."""
+    from influxdb_ha_spark.operators.dedup import dedup_recall
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r1 = dedup_recall(empty, pairs).collect()[0]
+    assert (r1.n_exact, r1.n_found, r1.n_hit) == (0, 1, 0)
+    assert r1.recall is None and r1.precision == 0.0
+    r2 = dedup_recall(pairs, empty).collect()[0]
+    assert (r2.n_exact, r2.n_found, r2.n_hit) == (1, 0, 0)
+    assert r2.recall == 0.0 and r2.precision is None
+
+
+def test_setsim_shingle_mode_matches_hand_jaccard(spark):
+    """shingle_k=3 switches the set elements to 3-shingles: two 7-token
+    docs differing in the last word share 4 of their 5 shingles each ->
+    jaccard 4/6 < 0.7 (no pair at 7/10) but a pair at 3/10."""
+    from influxdb_ha_spark.operators.dedup import setsim_exact_join
+    d1 = "alpha beta gamma delta epsilon zeta eta"      # 5 shingles
+    d2 = "alpha beta gamma delta epsilon zeta theta"    # differs last
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    hi = setsim_exact_join(df, t_num=7, t_den=10, shingle_k=3).collect()
+    assert hi == []
+    lo = setsim_exact_join(df, t_num=3, t_den=10, shingle_k=3).collect()
+    assert len(lo) == 1
+    r = lo[0]
+    # shingle sets: 5 each, 4 shared ("zeta eta"/"zeta theta" differ)
+    assert (r.size_a, r.size_b, r.n_common) == (5, 5, 4)
+    assert r.jaccard == round(4 / 6, 6)
+
+
 def test_derived_lsh_bits_tracks_occupancy():
     """bits = ceil(log2(N/occ)) clamped: occupancy N/2^bits stays ~occ
     across decades — the linear-candidates contract."""
