@@ -2381,6 +2381,20 @@ def q_ev_user_paths(spark, sf):
     return user_paths(ev, by=["user_id"], on="time", max_steps=5)
 
 
+def q_ev_path_ngrams(spark, sf):
+    """Sequential 3-gram support mining over per-user event paths
+    (r12, added scope — the ORDERED sibling of ev_basket_rules'
+    unordered baskets, AprioriAll/GSP lineage; type_transitions is
+    the n=2 event-count special case, this measures distinct-ENTITY
+    support at any n): first-8 (time, type)-ordered events per user,
+    every contiguous 3-gram counted once per entity, absolute integer
+    min_support floor (operators/timeseries.py:path_ngrams)."""
+    from influxdb_ha_spark.operators.timeseries import path_ngrams
+    ev = _events_us(spark, sf).select("user_id", "event_type", "time")
+    return path_ngrams(ev, by=["user_id"], on="time", n=3,
+                       max_steps=8, min_support=2)
+
+
 def q_ev_active_users(spark, sf):
     """DAU / trailing-7-day WAU / stickiness per day (added scope — the
     product-health triple next to ev_retention): activity dedups to
@@ -4352,6 +4366,7 @@ _FAMILIES = [
         "ev_markov": q_ev_markov,
         "ts_quantile_bands": q_ts_quantile_bands,
         "ev_user_paths": q_ev_user_paths,
+        "ev_path_ngrams": q_ev_path_ngrams,
         "ev_active_users": q_ev_active_users,
         "ev_attribution": q_ev_attribution,
         "ev_rfm": q_ev_rfm,

@@ -1637,6 +1637,66 @@ def user_paths(df: DataFrame, by: Sequence[str] = ("user_id",),
             .agg(F.count(F.lit(1)).alias("n_entities")))
 
 
+def path_ngrams(df: DataFrame, by: Sequence[str] = ("user_id",),
+                on: str = "time", type_col: str = "event_type",
+                n: int = 3, max_steps: int = 8,
+                min_support: int = 2) -> DataFrame:
+    """Sequential n-gram support mining over per-entity event paths —
+    the ORDERED sibling of association_rules' unordered baskets
+    (AprioriAll/GSP lineage: Agrawal & Srikant 1995, "Mining
+    sequential patterns"; contiguous-gram restriction keeps the
+    pattern lattice linear in sequence length instead of the full
+    subsequence explosion): each entity's first `max_steps` events
+    order by (time, type) — user_paths' determinism contract, so
+    same-timestamp events order lexicographically, engine-independent
+    — and every CONTIGUOUS n-gram of event types counts ONCE per
+    entity (distinct-entity support, the classic definition: a
+    pattern repeating inside one entity is still one supporting
+    entity). type_transitions is the n=2 adjacent-pair special case
+    measured in EVENT counts; this measures ENTITY support at any n.
+
+    Returns (gram, support) for grams with support >= min_support
+    (an ABSOLUTE integer floor — the association_rules min_count
+    convention; a fractional min-support would put a float boundary
+    in row selection). gram is the '>'-joined type sequence.
+
+    Shape at 100 TB: one entity-keyed shuffle (the ranking window and
+    the per-entity fold share the partitioning; rank prunes each
+    entity to max_steps rows BEFORE the fold, so folded arrays are
+    bounded), a map-only gram explode bounded by max_steps − n + 1
+    grams per entity, one distinct on (entity, gram) co-partitioned
+    with the fold's keys, and a final gram-keyed count shuffle that
+    moves |entities|·(max_steps−n+1) short strings at worst. Nothing
+    quadratic, no driver collect.
+    """
+    by = list(by)
+    if n < 1:
+        raise ValueError("path_ngrams: n must be >= 1")
+    if max_steps < n:
+        raise ValueError("path_ngrams: max_steps must be >= n")
+    w = Window.partitionBy(*by).orderBy(F.col(on).asc(),
+                                        F.col(type_col).asc())
+    firstn = (df.where(F.col(type_col).isNotNull())
+              .select(*by, F.col(on), F.col(type_col))
+              .withColumn("__r", F.row_number().over(w))
+              .where(F.col("__r") <= F.lit(int(max_steps))))
+    seqs = (firstn.groupBy(*by)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("__r").alias("r"),
+                             F.col(type_col).alias("t")))),
+                lambda x: x["t"]).alias("__seq")))
+    grams = (seqs.where(F.size("__seq") >= n)
+             .select(*by, F.explode(F.transform(
+                 F.sequence(F.lit(1), F.size("__seq") - (n - 1)),
+                 lambda i: F.concat_ws(">", F.slice("__seq", i, n))))
+                 .alias("gram"))
+             .distinct())
+    return (grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .where(F.col("support") >= F.lit(int(min_support))))
+
+
 def type_transitions(df: DataFrame, by: Sequence[str] = ("user_id",),
                      on: str = "time",
                      type_col: str = "event_type") -> DataFrame:
@@ -1840,11 +1900,18 @@ def association_rules(df: DataFrame, by: Sequence[str] = ("user_id",),
     set — a conservative bias: the cap can only under-claim an
     association, never invent one.
     """
+    from ..cache import keep
     by = list(by)
-    basket = (df.where(F.col(type_col).isNotNull())
-              .select(*by, _bucket_expr(on, bucket_ns).alias("__b"),
-                      F.col(type_col).alias("__t"))
-              .distinct())
+    # the basket relation feeds FIVE consumers (sizes, n_baskets,
+    # singles, both self-join sides): persist one generation (r12 —
+    # without it each consumer re-runs the raw-event distinct shuffle;
+    # ReuseExchange only shares the exchange, not the final aggregate)
+    basket = keep(
+        "ts.assoc_rules.basket",
+        df.where(F.col(type_col).isNotNull())
+        .select(*by, _bucket_expr(on, bucket_ns).alias("__b"),
+                F.col(type_col).alias("__t"))
+        .distinct())
     sized = (basket.groupBy(*by, "__b")
              .agg(F.count(F.lit(1)).alias("__k")))
     ok = sized.where((F.col("__k") >= 2) & (F.col("__k") <= max_basket)) \
@@ -1855,7 +1922,11 @@ def association_rules(df: DataFrame, by: Sequence[str] = ("user_id",),
                     .agg(F.count(F.lit(1)).alias("n_a"))
     a = basket.join(ok, [*by, "__b"]) \
               .select(*by, "__b", F.col("__t").alias("type_a"))
-    b = basket.select(*by, "__b", F.col("__t").alias("type_b"))
+    # both self-join sides come from the CAP-FILTERED set (r12): a pair
+    # needs a-rows from its basket anyway, so b-rows of dropped baskets
+    # were dead weight riding the pair-join shuffle — filtering b is
+    # output-identical and halves the unmatched volume
+    b = a.select(*by, "__b", F.col("type_a").alias("type_b"))
     pairs = (a.join(b, [*by, "__b"])
              .where(F.col("type_a") < F.col("type_b"))
              .groupBy("type_a", "type_b")

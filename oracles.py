@@ -2486,6 +2486,25 @@ def build_oracles() -> dict[str, str]:
                    string_agg(event_type, '>' ORDER BY rk) AS path
             FROM r WHERE rk <= 5 GROUP BY 1)
       SELECT path, count(*)::BIGINT AS n_entities FROM p GROUP BY 1"""
+    # Sequential 3-gram support: the same (time, type)-ordered first-8
+    # ranking as ev_user_paths, contiguous 3-grams via inclusive list
+    # slices, DISTINCT per entity (a pattern repeating inside one
+    # entity is one supporting entity), absolute min_support floor
+    o["ev_path_ngrams"] = f"""
+      WITH e AS (SELECT user_id, event_type, {EV_TIME} AS time
+                 FROM events WHERE event_type IS NOT NULL),
+      r AS (SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY time ASC, event_type ASC) AS rk
+            FROM e),
+      s AS (SELECT user_id, list(event_type ORDER BY rk) AS seq
+            FROM r WHERE rk <= 8 GROUP BY 1),
+      g AS (SELECT DISTINCT user_id,
+                   array_to_string(seq[i:i+2], '>') AS gram
+            FROM s, unnest(generate_series(1, len(seq) - 2)) AS t(i)
+            WHERE len(seq) >= 3)
+      SELECT gram, count(*)::BIGINT AS support
+      FROM g GROUP BY 1 HAVING count(*) >= 2"""
     # Daily cohort retention: distinct (user, day) activity, windowed
     # cohort minimum, plain cell counts
     # DAU robust-z anomaly screen: the mad_outliers arithmetic over the

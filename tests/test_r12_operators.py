@@ -113,6 +113,61 @@ def test_setsim_shingle_mode_matches_hand_jaccard(spark):
     assert r.jaccard == round(4 / 6, 6)
 
 
+def test_path_ngrams_distinct_entity_support(spark):
+    """a>b appears twice inside user 1 but supports once (distinct-
+    entity support); user 2 contributes its own grams; min_support=1
+    shows all, =2 keeps only the shared gram."""
+    from influxdb_ha_spark.operators.timeseries import path_ngrams
+    rows = [(1, "a", 1), (1, "b", 2), (1, "a", 3), (1, "b", 4),
+            (2, "a", 10), (2, "b", 11), (2, "c", 12)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, "
+                                     "time long")
+    got = {r.gram: r.support for r in
+           path_ngrams(df, n=2, max_steps=8, min_support=1).collect()}
+    assert got == {"a>b": 2, "b>a": 1, "b>c": 1}
+    kept = {r.gram: r.support for r in
+            path_ngrams(df, n=2, max_steps=8, min_support=2).collect()}
+    assert kept == {"a>b": 2}
+
+
+def test_path_ngrams_tie_order_and_max_steps(spark):
+    """Same-timestamp events order lexicographically (the user_paths
+    determinism contract) and max_steps prunes BEFORE gram extraction:
+    user 1's events at one instant are c,a,b -> ordered a>b>c; with
+    max_steps=2 only a>b survives."""
+    from influxdb_ha_spark.operators.timeseries import path_ngrams
+    rows = [(1, "c", 5), (1, "a", 5), (1, "b", 5)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, "
+                                     "time long")
+    full = {r.gram for r in
+            path_ngrams(df, n=2, max_steps=8, min_support=1).collect()}
+    assert full == {"a>b", "b>c"}
+    cut = {r.gram for r in
+           path_ngrams(df, n=2, max_steps=2, min_support=1).collect()}
+    assert cut == {"a>b"}
+    tri = {r.gram for r in
+           path_ngrams(df, n=3, max_steps=8, min_support=1).collect()}
+    assert tri == {"a>b>c"}
+
+
+def test_path_ngrams_short_sequences_vanish(spark):
+    """Entities with fewer than n events contribute no grams; n=1
+    degenerates to distinct-entity type support."""
+    from influxdb_ha_spark.operators.timeseries import path_ngrams
+    rows = [(1, "a", 1), (2, "a", 1), (2, "b", 2)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, "
+                                     "time long")
+    assert path_ngrams(df, n=3, max_steps=8, min_support=1).count() == 0
+    uni = {r.gram: r.support for r in
+           path_ngrams(df, n=1, max_steps=8, min_support=1).collect()}
+    assert uni == {"a": 2, "b": 1}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        path_ngrams(df, n=0)
+    with _pt.raises(ValueError):
+        path_ngrams(df, n=4, max_steps=3)
+
+
 def test_derived_lsh_bits_tracks_occupancy():
     """bits = ceil(log2(N/occ)) clamped: occupancy N/2^bits stays ~occ
     across decades — the linear-candidates contract."""
