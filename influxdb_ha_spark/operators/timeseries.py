@@ -1900,18 +1900,19 @@ def association_rules(df: DataFrame, by: Sequence[str] = ("user_id",),
     set — a conservative bias: the cap can only under-claim an
     association, never invent one.
     """
-    from ..cache import keep
     by = list(by)
-    # the basket relation feeds FIVE consumers (sizes, n_baskets,
-    # singles, both self-join sides): persist one generation (r12 —
-    # without it each consumer re-runs the raw-event distinct shuffle;
-    # ReuseExchange only shares the exchange, not the final aggregate)
-    basket = keep(
-        "ts.assoc_rules.basket",
-        df.where(F.col(type_col).isNotNull())
-        .select(*by, _bucket_expr(on, bucket_ns).alias("__b"),
-                F.col(type_col).alias("__t"))
-        .distinct())
+    # NOT persisted, and the b side deliberately UNFILTERED, both by
+    # measurement (r12): the basket relation feeds five consumers, but a
+    # keep()-persisted generation measured 2.4x SLOWER at sf10 (8.9 ->
+    # 21.6 s interleaved — materializing the 10M-row distinct beats
+    # Spark's exchange reuse at no point measured) and ~1.1x at sf1;
+    # deriving b from the cap-filtered a (output-identical) rode the
+    # same regression. The exchange-reuse path wins at every measured
+    # scale, so the r11-shaped plan stands.
+    basket = (df.where(F.col(type_col).isNotNull())
+              .select(*by, _bucket_expr(on, bucket_ns).alias("__b"),
+                      F.col(type_col).alias("__t"))
+              .distinct())
     sized = (basket.groupBy(*by, "__b")
              .agg(F.count(F.lit(1)).alias("__k")))
     ok = sized.where((F.col("__k") >= 2) & (F.col("__k") <= max_basket)) \
@@ -1922,11 +1923,7 @@ def association_rules(df: DataFrame, by: Sequence[str] = ("user_id",),
                     .agg(F.count(F.lit(1)).alias("n_a"))
     a = basket.join(ok, [*by, "__b"]) \
               .select(*by, "__b", F.col("__t").alias("type_a"))
-    # both self-join sides come from the CAP-FILTERED set (r12): a pair
-    # needs a-rows from its basket anyway, so b-rows of dropped baskets
-    # were dead weight riding the pair-join shuffle — filtering b is
-    # output-identical and halves the unmatched volume
-    b = a.select(*by, "__b", F.col("type_a").alias("type_b"))
+    b = basket.select(*by, "__b", F.col("__t").alias("type_b"))
     pairs = (a.join(b, [*by, "__b"])
              .where(F.col("type_a") < F.col("type_b"))
              .groupBy("type_a", "type_b")

@@ -164,6 +164,9 @@ def main():
 
     res: dict[str, dict[str, list[float]]] = {}
     exps = experiments(spark, sf)
+    if os.environ.get("AB_ONLY"):
+        only = set(os.environ["AB_ONLY"].split(","))
+        exps = {k: v for k, v in exps.items() if k in only}
     for rep in range(reps):
         for name, (new, old) in exps.items():
             r = res.setdefault(name, {"new": [], "old": []})
