@@ -2317,6 +2317,46 @@ def q_ev_ab_bucketed(spark, sf):
                    bucket_width=0.5)
 
 
+def q_ev_ab_cuped(spark, sf):
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM
+    2013 — added scope, the A/B family's modern fourth member beside
+    ranksum/KS/χ²): per-user pre-period covariate X (value sum before
+    Jan 16) and experiment metric Y (value sum after), arms by
+    dividend-sign user parity, then θ = cov(X,Y)/var(X) and per-arm
+    raw vs adjusted means from SIX exact DECIMAL(38,0) integer moment
+    sums in ONE global aggregation — order-free on any engine, closed
+    form, no second pass (operators/timeseries.py:cuped)."""
+    from influxdb_ha_spark.operators.timeseries import cuped
+    boundary = 1705363200 * 1_000_000_000  # 2024-01-16T00:00:00Z
+    ev = _events_us(spark, sf).where(F.col("user_id").isNotNull())
+    per_user = (ev.groupBy("user_id").agg(
+        F.coalesce(_dsum(F.when(F.col("time") < F.lit(boundary),
+                                F.col("value"))), F.lit(0.0)).alias("x"),
+        F.coalesce(_dsum(F.when(F.col("time") >= F.lit(boundary),
+                                F.col("value"))), F.lit(0.0)).alias("y"))
+        .select(F.expr("user_id % 2").alias("variant"), "y", "x"))
+    return cuped(per_user, "variant", "y", "x", 0, 1, scale=100.0)
+
+
+def q_ts_hampel(spark, sf):
+    """Rolling Hampel outlier filter (added scope — the LOCAL-context
+    complement of ts_mad_outliers' global median/MAD): flag points
+    beyond 3·1.4826·MAD of their ±1 h rolling median, per series. One
+    (series, time) window sort, then pure JVM array math — lower-median
+    element picks, never interpolation, so every med/mad is an exact
+    input double and the cross-engine gate needs no rounding; window
+    occupancy capped LOUDLY at 4096
+    (operators/timeseries.py:rolling_hampel)."""
+    from influxdb_ha_spark.operators.timeseries import rolling_hampel
+    ev = (_events_us(spark, sf)
+          .where(F.col("value").isNotNull())
+          .select("event_type", "time", "value"))
+    return rolling_hampel(ev, on="time", by=["event_type"],
+                          value_col="value",
+                          window_ns=3_600_000_000_000, k=3.0,
+                          max_window=4096)
+
+
 def q_ev_precedence(spark, sf):
     """First-occurrence precedence matrix (added scope — funnel
     DISCOVERY next to ev_funnel's measurement): for every ordered
@@ -4327,6 +4367,7 @@ _FAMILIES = [
         "ts_m4_downsample": q_ts_m4_downsample,
         "ts_lttb": q_ts_lttb,
         "ts_mad_outliers": q_ts_mad_outliers,
+        "ts_hampel": q_ts_hampel,
         "ts_decompose": q_ts_decompose,
         "ts_deadman": q_ts_deadman,
         "ts_gaps": q_ts_gaps,
@@ -4356,6 +4397,7 @@ _FAMILIES = [
         "ev_ab_ranksum": q_ev_ab_ranksum,
         "ev_ab_ks": q_ev_ab_ks,
         "ev_ab_bucketed": q_ev_ab_bucketed,
+        "ev_ab_cuped": q_ev_ab_cuped,
         "ev_ab_chisq": q_ev_ab_chisq,
         "ev_inter_event": q_ev_inter_event,
         "ev_lifecycle": q_ev_lifecycle,

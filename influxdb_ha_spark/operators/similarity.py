@@ -184,6 +184,59 @@ def _assign_centroids_arrow(corpus: DataFrame, cents: list,
             .withColumn("centroid_id", udf(F.col(vec_col))))
 
 
+def _probe_centroids_arrow(corpus: DataFrame, cents: list, nprobe: int,
+                           vec_col: str,
+                           out_col: str = "__probes") -> DataFrame:
+    """Large-C probe-list computation: the top-`nprobe` nearest
+    centroids per row, ordered (sim DESC, centroid_id ASC), as one
+    Arrow-batched matmul per batch against an executor-broadcast
+    (C × dim) matrix — `_assign_centroids_arrow` generalized from
+    argmax to an ordered top-n.
+
+    This is the scale path the r12 sf10 decade bought: knn_graph's old
+    large-C fallback (ivf_topk with queries = the whole corpus) pushed
+    N·C rows through a per-query row_number window — with the IVF
+    C = N/64 contract that exchange is N²/64 ROWS, measured 71× on the
+    sf1 → sf10 step (957 s at N = 200k). The same N·C cosines in
+    batched numpy are GEMM flops, not shuffle rows: map-only, zero
+    corpus shuffle, linear in N at bounded nprobe.
+
+    Same ordering semantics as the literal comparator (knn_graph's
+    small-C path): stable argsort on −sims with NaN → +inf, so NaN
+    sims sort first (Spark's NaN-largest), and ties keep matrix order
+    = ascending centroid_id. Probe lists agree with the literal path
+    up to summation-order ULPs on near-tied sims (the
+    _assign_centroids_arrow contract, pytest-pinned)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray([[float(x) for x in r[vec_col]] for r in cents],
+                     dtype=np.float64)                    # (C, dim)
+    cent_ids = np.asarray([int(r["centroid_id"]) for r in cents],
+                          dtype=np.int32)
+    cnorm = np.sqrt((mat * mat).sum(axis=1))              # (C,)
+    n_probe = min(int(nprobe), len(cents))
+    bc = corpus.sparkSession.sparkContext.broadcast((mat, cent_ids,
+                                                     cnorm))
+
+    def probes(vecs):
+        m, cids, cn = bc.value
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        vnorm = np.sqrt((M * M).sum(axis=1))              # (N,)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (M @ m.T) / (vnorm[:, None] * cn[None, :])
+        sims = np.nan_to_num(sims, nan=np.inf, posinf=np.inf,
+                             neginf=-np.inf)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(cids[order]))
+
+    probes.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    udf = pandas_udf(probes, "array<int>")
+    return (ensure_min_parallelism(corpus)
+            .withColumn(out_col, udf(F.col(vec_col))))
+
+
 def assign_centroids(corpus: DataFrame, centroids: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Nearest-centroid assignment, MAP-ONLY.
@@ -1030,28 +1083,34 @@ def knn_graph(corpus: DataFrame, centroids: DataFrame, k: int = 5,
     NULL/NaN ordering never surfaces when, as with the gate corpus, no
     zero-norm vectors exist; documented contract.
 
-    Above LITERAL_TERM_CAP inlined terms, falls back to
-    ivf_topk(corpus, corpus) — same output, window-based probes.
+    Above LITERAL_TERM_CAP inlined terms the probe lists come from
+    `_probe_centroids_arrow` instead — the same top-nprobe ordering via
+    one executor-broadcast numpy GEMM per Arrow batch, still map-only.
+    (The pre-r12 fallback here was ivf_topk(corpus, corpus), whose
+    probe selection pushes N·C rows through a per-query window — with
+    C = N/64 that exchange is N²/64 rows, measured 71× on the r12
+    sf1 → sf10 decade step; the Arrow path re-measured it linear.)
     """
     cents = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
     if cents and len(cents) * len(cents[0][vec_col]) > LITERAL_TERM_CAP:
-        out = ivf_topk(corpus, corpus, centroids, k=k, nprobe=nprobe,
-                       id_col=id_col, vec_col=vec_col)
-        return out.withColumnRenamed("query_id", id_col)
-
-    sims = "array(" + ", ".join(_literal_cos_sql(r[vec_col])
-                                for r in cents) + ")"
-    ids = ", ".join(str(int(r["centroid_id"])) for r in cents)
-    probe = (f"slice(array_sort("
-             f"zip_with(array({ids}), {sims}, (i, s) -> struct(i AS cid, s AS s)), "
-             f"(l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 "
-             f"WHEN l.cid < r.cid THEN -1 ELSE 1 END), 1, {int(nprobe)})")
-    keyed = keep(
-        "knn_graph.keyed",
-        ensure_min_parallelism(corpus)
-        .withColumn("__v", F.expr(vec_col))
-        .selectExpr(f"`{id_col}`",
-                    f"transform({probe}, p -> p.cid) AS __probes"))
+        keyed = keep(
+            "knn_graph.keyed",
+            _probe_centroids_arrow(corpus, cents, nprobe, vec_col)
+            .select(F.col(id_col), F.col("__probes")))
+    else:
+        sims = "array(" + ", ".join(_literal_cos_sql(r[vec_col])
+                                    for r in cents) + ")"
+        ids = ", ".join(str(int(r["centroid_id"])) for r in cents)
+        probe = (f"slice(array_sort("
+                 f"zip_with(array({ids}), {sims}, (i, s) -> struct(i AS cid, s AS s)), "
+                 f"(l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 "
+                 f"WHEN l.cid < r.cid THEN -1 ELSE 1 END), 1, {int(nprobe)})")
+        keyed = keep(
+            "knn_graph.keyed",
+            ensure_min_parallelism(corpus)
+            .withColumn("__v", F.expr(vec_col))
+            .selectExpr(f"`{id_col}`",
+                        f"transform({probe}, p -> p.cid) AS __probes"))
     probes = keyed.select(F.col(id_col), F.explode("__probes").alias("centroid_id"))
     home = keyed.select(F.col(id_col).alias("neighbor_id"),
                         F.element_at("__probes", 1).alias("centroid_id"))

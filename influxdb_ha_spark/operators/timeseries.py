@@ -3232,3 +3232,153 @@ def ab_from_counts(counts: DataFrame, value_col: str = "__v",
     return (rs.crossJoin(F.broadcast(ks))
             .select("n_a", "n_b", "u_a", "z",
                     "d_num", "d_stat", "ks_stat_scaled"))
+
+
+def cuped(df: DataFrame, group_col: str, y_col: str, x_col: str,
+          group_a, group_b, scale: float = 100.0) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    WSDM 2013): adjust each randomization unit's experiment metric Y by
+    its pre-experiment covariate X, Y' = Y − θ·(X − mean X) with
+    θ = cov(X,Y)/var(X) pooled over both arms, and report per-arm raw
+    and adjusted means plus the achieved variance reduction ρ². The
+    adjustment leaves the expected treatment effect unchanged (X
+    predates assignment, so E[X|arm] is equal across arms) while
+    removing the between-user variance X explains — the standard way
+    to shrink experiment runtimes on high-variance metrics.
+
+    Input: ONE row per randomization unit — (group, y, x); aggregate
+    per-unit metrics upstream (the gate query builds them with one
+    keyed sum over events).
+
+    Exactness: every statistic reduces to SIX moment sums — n, Σx, Σy,
+    Σx², Σxy, Σy² (global + per arm) — so the whole readout is ONE
+    map-side-combinable aggregation and a 1-row closed-form projection;
+    no second pass over the data, no per-unit adjusted column
+    materialized. To make those sums bit-stable under ANY partitioning
+    (the ab_test bucket_width discipline), x and y are first coarsened
+    to integers ROUND(v·scale) — exact when the metric has ≤log10(scale)
+    decimals, a documented coarsening otherwise — and the moments
+    accumulate as DECIMAL(38,0) integer sums, order-free on any engine
+    (DuckDB mirrors with HUGEINT). θ = (N·Σxy − Σx·Σy)/(N·Σx² − (Σx)²)
+    and the means then involve a handful of IEEE doubles computed from
+    identical integers, floor-rounded to 1e-6 at the edge.
+
+    Scale: a single global aggregate over the per-unit table — partial
+    aggregation makes the shuffle six numbers per task regardless of
+    data size. var(X) = 0 ⇒ θ and adjusted columns NULL (nothing to
+    explain; raw columns still report).
+    """
+    s = float(scale)
+    g = F.col(group_col)
+    base = df.where(g.isin([group_a, group_b])).select(
+        g.alias("__g"),
+        F.floor(F.col(y_col).cast("double") * F.lit(s) + F.lit(0.5))
+        .cast("long").alias("__y"),
+        F.floor(F.col(x_col).cast("double") * F.lit(s) + F.lit(0.5))
+        .cast("long").alias("__x"))
+    d = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+
+    def msum(expr):
+        return F.sum(expr).cast("decimal(38,0)")
+
+    ia = (F.col("__g") == F.lit(group_a)).cast("long")
+    ib = (F.col("__g") == F.lit(group_b)).cast("long")
+    m = base.agg(
+        F.sum(ia).alias("n_a"), F.sum(ib).alias("n_b"),
+        msum(d(F.col("__x"))).alias("sx"),
+        msum(d(F.col("__y"))).alias("sy"),
+        msum(d(F.col("__x")) * d(F.col("__x"))).alias("sxx"),
+        msum(d(F.col("__x")) * d(F.col("__y"))).alias("sxy"),
+        msum(d(F.col("__y")) * d(F.col("__y"))).alias("syy"),
+        msum(d(F.col("__x")) * ia).alias("sxa"),
+        msum(d(F.col("__y")) * ia).alias("sya"),
+        msum(d(F.col("__x")) * ib).alias("sxb"),
+        msum(d(F.col("__y")) * ib).alias("syb"))
+    # closed-form scalars; every operand below is an exact integer cast
+    # to double, so both engines evaluate identical expression trees
+    # over identical bits
+    dbl = lambda name: F.col(name).cast("double")  # noqa: E731
+    n = dbl("n_a") + dbl("n_b")
+    cov_n2 = n * dbl("sxy") - dbl("sx") * dbl("sy")   # N²·cov(X,Y)
+    varx_n2 = n * dbl("sxx") - dbl("sx") * dbl("sx")  # N²·var(X)
+    vary_n2 = n * dbl("syy") - dbl("sy") * dbl("sy")  # N²·var(Y)
+    theta = F.when(varx_n2 > 0, cov_n2 / varx_n2)
+    mean_x = dbl("sx") / n
+    # empty-arm guard: engines disagree on double x/0 (NULL vs inf), so
+    # an empty arm reports NULL means explicitly rather than whatever
+    # the engine's division does
+    ma_raw = F.when(F.col("n_a") > 0, dbl("sya") / dbl("n_a") / F.lit(s))
+    mb_raw = F.when(F.col("n_b") > 0, dbl("syb") / dbl("n_b") / F.lit(s))
+    ma_adj = ma_raw - theta * (dbl("sxa") / dbl("n_a") - mean_x) / F.lit(s)
+    mb_adj = mb_raw - theta * (dbl("sxb") / dbl("n_b") - mean_x) / F.lit(s)
+    var_red = F.when((varx_n2 > 0) & (vary_n2 > 0),
+                     cov_n2 * cov_n2 / (varx_n2 * vary_n2))
+    return m.select(
+        F.col("n_a"), F.col("n_b"),
+        _fr(theta, 6).alias("theta"),
+        _fr(ma_raw, 6).alias("mean_a"),
+        _fr(mb_raw, 6).alias("mean_b"),
+        _fr(ma_raw - mb_raw, 6).alias("diff"),
+        _fr(ma_adj, 6).alias("mean_a_adj"),
+        _fr(mb_adj, 6).alias("mean_b_adj"),
+        _fr(ma_adj - mb_adj, 6).alias("diff_adj"),
+        _fr(var_red, 6).alias("var_reduction"))
+
+
+def rolling_hampel(df: DataFrame, on: str = "time",
+                   by: Sequence[str] = ("event_type",),
+                   value_col: str = "value",
+                   window_ns: int = 3_600_000_000_000,
+                   k: float = 3.0,
+                   max_window: int = 4096) -> DataFrame:
+    """Rolling Hampel filter: flag points more than k·1.4826·MAD from
+    the ROLLING median of their ±window_ns time neighborhood — the
+    local-context complement of `mad_outliers`' global per-series
+    median/MAD (a level shift mid-series poisons a global median; the
+    rolling form adapts). 1.4826·MAD estimates σ under normality;
+    k = 3 is the classical Hampel identifier.
+
+    Exactness across engines: both the median and the MAD use the
+    LOWER-median convention — element ⌈n/2⌉ of the sorted window — so
+    every emitted med/mad is an exact double PICKED from the input,
+    never an interpolated average whose a+(b−a)/2 vs (a+b)/2 ulp could
+    diverge between engines. NULL values are excluded by contract
+    (filter upstream); duplicate timestamps are frame PEERS (range
+    frame), giving order-insensitive windows under any partitioning.
+
+    Shape: ONE shuffle — the (by, time) window sort — then pure array
+    math per row (collect_list over a RANGE frame, array_sort /
+    transform, all JVM-side). Per-row state is the window occupancy,
+    which is data-rate·width, NOT data size — but a fixed width over
+    densening data grows, so occupancy is capped LOUDLY at max_window
+    via an in-plan raise on the emitted row (n is part of the med
+    expression's guard, so no projection prunes it): at higher rates,
+    narrow the window or downsample first (m4_downsample), both
+    order-preserving.
+    """
+    by = list(by)
+    w = (Window.partitionBy(*by).orderBy(F.col(on).cast("long"))
+         .rangeBetween(-int(window_ns), int(window_ns)))
+    arr = F.array_sort(F.collect_list(F.col(value_col).cast("double"))
+                       .over(w))
+    out = df.select(*by, F.col(on), F.col(value_col).cast("double")
+                    .alias(value_col), arr.alias("__arr"))
+    n = F.size("__arr")
+    idx = F.floor((n + F.lit(1)) / F.lit(2)).cast("int")
+    med = F.when(
+        n <= F.lit(int(max_window)), F.element_at("__arr", idx)
+    ).otherwise(F.raise_error(F.lit(
+        f"rolling_hampel: window occupancy exceeds max_window="
+        f"{int(max_window)} — narrow window_ns or downsample first "
+        "(m4_downsample), or raise max_window deliberately")))
+    out = out.select(*by, F.col(on), F.col(value_col),
+                     med.alias("med"), F.col("__arr"), idx.alias("__i"))
+    mad = F.element_at(
+        F.array_sort(F.transform(
+            "__arr", lambda x: F.abs(x - F.col("med")))), F.col("__i"))
+    out = out.select(*by, F.col(on), F.col(value_col), "med",
+                     mad.alias("mad"))
+    flag = (F.abs(F.col(value_col) - F.col("med"))
+            > F.lit(float(k)) * F.lit(1.4826) * F.col("mad"))
+    return out.select(*by, F.col(on), F.col(value_col), "med", "mad",
+                      flag.alias("is_outlier"))

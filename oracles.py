@@ -4688,6 +4688,86 @@ def build_oracles() -> dict[str, str]:
              END AS ks_stat_scaled
       FROM t"""
 
+    # CUPED (Deng et al. 2013): per-user pre/post value sums (exact
+    # DECIMAL), ROUND(v*100) integer coarsening, six HUGEINT moment
+    # sums (mirror of Spark's DECIMAL(38,0)), closed-form scalars over
+    # identical exact-integer doubles, _fr edges
+    _cuped_b = 1705363200 * 10 ** 9
+    o["ev_ab_cuped"] = f"""
+      WITH u AS (SELECT user_id,
+                        coalesce({dsum(f'CASE WHEN {EV_TIME} < '
+                                       f'{_cuped_b} THEN value END')},
+                                 0.0) AS x,
+                        coalesce({dsum(f'CASE WHEN {EV_TIME} >= '
+                                       f'{_cuped_b} THEN value END')},
+                                 0.0) AS y
+                 FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      c AS (SELECT (user_id % 2) AS g,
+                   floor(y * 100.0 + 0.5)::BIGINT AS yi,
+                   floor(x * 100.0 + 0.5)::BIGINT AS xi
+            FROM u WHERE (user_id % 2) IN (0, 1)),
+      m AS (SELECT sum((g = 0)::BIGINT)::BIGINT AS n_a,
+                   sum((g = 1)::BIGINT)::BIGINT AS n_b,
+                   sum(xi::HUGEINT)::DOUBLE AS dsx,
+                   sum(yi::HUGEINT)::DOUBLE AS dsy,
+                   sum(xi::HUGEINT * xi::HUGEINT)::DOUBLE AS dsxx,
+                   sum(xi::HUGEINT * yi::HUGEINT)::DOUBLE AS dsxy,
+                   sum(yi::HUGEINT * yi::HUGEINT)::DOUBLE AS dsyy,
+                   sum(xi::HUGEINT * (g = 0)::BIGINT)::DOUBLE AS dsxa,
+                   sum(yi::HUGEINT * (g = 0)::BIGINT)::DOUBLE AS dsya,
+                   sum(xi::HUGEINT * (g = 1)::BIGINT)::DOUBLE AS dsxb,
+                   sum(yi::HUGEINT * (g = 1)::BIGINT)::DOUBLE AS dsyb
+            FROM c),
+      t AS (SELECT *, (n_a::DOUBLE + n_b::DOUBLE) AS n,
+                   n_a::DOUBLE AS dna, n_b::DOUBLE AS dnb FROM m),
+      s AS (SELECT *, n * dsxy - dsx * dsy AS cov2,
+                   n * dsxx - dsx * dsx AS varx2,
+                   n * dsyy - dsy * dsy AS vary2,
+                   dsx / n AS mean_x,
+                   CASE WHEN n_a > 0 THEN dsya / dna / 100.0 END
+                     AS ma_raw,
+                   CASE WHEN n_b > 0 THEN dsyb / dnb / 100.0 END
+                     AS mb_raw FROM t),
+      f AS (SELECT *, CASE WHEN varx2 > 0 THEN cov2 / varx2 END AS th
+            FROM s),
+      a AS (SELECT *,
+                   ma_raw - th * (dsxa / dna - mean_x) / 100.0 AS adj_a,
+                   mb_raw - th * (dsxb / dnb - mean_x) / 100.0 AS adj_b
+            FROM f)
+      SELECT n_a, n_b, {fr('th', 6)} AS theta,
+             {fr('ma_raw', 6)} AS mean_a, {fr('mb_raw', 6)} AS mean_b,
+             {fr('ma_raw - mb_raw', 6)} AS diff,
+             {fr('adj_a', 6)} AS mean_a_adj,
+             {fr('adj_b', 6)} AS mean_b_adj,
+             {fr('adj_a - adj_b', 6)} AS diff_adj,
+             CASE WHEN varx2 > 0 AND vary2 > 0 THEN
+               {fr('cov2 * cov2 / (varx2 * vary2)', 6)}
+             END AS var_reduction
+      FROM a"""
+
+    # Rolling Hampel: list() over a ±1 h RANGE frame per series,
+    # lower-median element picks (never interpolation — every med/mad
+    # is an exact input double), k·1.4826·MAD strict-> flag
+    o["ts_hampel"] = f"""
+      WITH e AS (SELECT event_type,
+                        ({EV_TIME} - {EV_TIME} % 1000) AS time, value
+                 FROM events WHERE value IS NOT NULL),
+      w AS (SELECT event_type, time, value,
+                   list(value) OVER (PARTITION BY event_type
+                       ORDER BY time RANGE BETWEEN
+                         {3_600_000_000_000} PRECEDING
+                         AND {3_600_000_000_000} FOLLOWING) AS arr
+            FROM e),
+      m AS (SELECT event_type, time, value, list_sort(arr) AS sarr,
+                   ((len(arr) + 1) // 2) AS i FROM w),
+      d AS (SELECT event_type, time, value, sarr[i] AS med,
+                   list_sort(list_transform(
+                     sarr, x -> abs(x - sarr[i])))[i] AS mad
+            FROM m)
+      SELECT event_type, time, value, med, mad,
+             (abs(value - med) > 3.0 * 1.4826 * mad) AS is_outlier
+      FROM d"""
+
     # First-occurrence precedence matrix: per-(user, type) min time,
     # per-user type-pair self-join, strict-inequality counts, floor ppm
     o["ev_precedence"] = f"""

@@ -552,6 +552,35 @@ def test_assign_centroids_size_gate_paths_agree(spark, monkeypatch):
     assert arrow[80] == 0 and arrow[81] == 3
 
 
+def test_knn_graph_size_gate_paths_agree(spark, monkeypatch):
+    """Above LITERAL_TERM_CAP knn_graph's probe lists must come from
+    the Arrow top-nprobe path (r12 — the old ivf_topk fallback pushed
+    N·C rows through a window, N²/64 under the C ∝ N contract) and the
+    graph must equal the literal-SQL path row for row, including the
+    (cosine DESC, neighbor_id ASC) ranking and the zero-norm row's
+    lowest-id probe fallback."""
+    import random
+    from influxdb_ha_spark import cache
+    from influxdb_ha_spark.operators import similarity as S
+    rng = random.Random(29)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(80)]
+    rows.append((80, [0.0] * 16))  # zero-norm → all-NaN sims
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(i, rows[7 * i][1]) for i in range(6)],
+        "centroid_id int, embedding array<double>")
+
+    lit = sorted(map(tuple, S.knn_graph(df, cents, k=3,
+                                        nprobe=2).collect()))
+    cache.release()  # drop the literal keyed generation between paths
+    monkeypatch.setattr(S, "LITERAL_TERM_CAP", 10)
+    arrow = sorted(map(tuple, S.knn_graph(df, cents, k=3,
+                                          nprobe=2).collect()))
+    cache.release()
+    assert arrow == lit
+    assert len(arrow) > 0
+
+
 def test_pq_encode_size_gate_paths_agree(spark, monkeypatch):
     """pq_encode's Arrow fallback yields the same codes as the literal
     SQL path (first-min tie-break preserved)."""

@@ -217,3 +217,144 @@ def test_cosine_near_dup_max_bucket_guard_raises_loudly(spark):
     ok = cosine_near_dup_pairs(df.where(F.col("vec_id") < 3),
                                threshold=0.9, bits=8, max_bucket=10)
     assert ok.count() == 3  # C(3,2) pairs of identical vectors
+
+
+# ---------------------------------------------------------------------------
+# cuped — variance-reduced A/B readout (hand values)
+# ---------------------------------------------------------------------------
+
+def _cuped_rows(spark, rows):
+    return spark.createDataFrame(rows, "g long, y double, x double")
+
+
+def test_cuped_hand_values_covariate_explains_diff(spark):
+    """X and Y perfectly correlated and imbalanced across arms: the raw
+    diff (1.0) is ENTIRELY covariate imbalance — theta = 1, adjusted
+    diff 0, variance reduction rho^2 = 1."""
+    from influxdb_ha_spark.operators.timeseries import cuped
+    df = _cuped_rows(spark, [(0, 10.0, 5.0), (0, 12.0, 7.0),
+                             (1, 11.0, 6.0), (1, 9.0, 4.0)])
+    r = cuped(df, "g", "y", "x", 0, 1, scale=1.0).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.theta == pytest.approx(1.0)
+    assert (r.mean_a, r.mean_b) == (pytest.approx(11.0),
+                                    pytest.approx(10.0))
+    assert r.diff == pytest.approx(1.0)
+    assert (r.mean_a_adj, r.mean_b_adj) == (pytest.approx(10.5),
+                                            pytest.approx(10.5))
+    assert r.diff_adj == pytest.approx(0.0)
+    assert r.var_reduction == pytest.approx(1.0)
+
+
+def test_cuped_constant_covariate_yields_null_theta(spark):
+    """var(X) = 0: theta/adjusted/var_reduction NULL, raw means still
+    report."""
+    from influxdb_ha_spark.operators.timeseries import cuped
+    df = _cuped_rows(spark, [(0, 10.0, 3.0), (0, 14.0, 3.0),
+                             (1, 8.0, 3.0), (1, 12.0, 3.0)])
+    r = cuped(df, "g", "y", "x", 0, 1, scale=1.0).collect()[0]
+    assert r.theta is None and r.mean_a_adj is None
+    assert r.var_reduction is None
+    assert (r.mean_a, r.mean_b) == (pytest.approx(12.0),
+                                    pytest.approx(10.0))
+
+
+def test_cuped_matches_numpy_reference(spark):
+    """Deterministic 2-decimal data vs a float reference computed the
+    classic way (per-unit adjusted column, then means)."""
+    import numpy as np
+    from influxdb_ha_spark.operators.timeseries import cuped
+    rows = []
+    for i in range(200):
+        x = round((i * 37 % 101) / 4.0, 2)
+        y = round(2.5 * x + (i * 53 % 17) / 8.0, 2)
+        rows.append((i % 2, y, x))
+    r = cuped(_cuped_rows(spark, rows), "g", "y", "x", 0, 1,
+              scale=100.0).collect()[0]
+    g = np.array([t[0] for t in rows])
+    y = np.array([t[1] for t in rows])
+    x = np.array([t[2] for t in rows])
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    adj = y - theta * (x - x.mean())
+    assert r.theta == pytest.approx(theta, abs=2e-6)
+    assert r.mean_a_adj == pytest.approx(adj[g == 0].mean(), abs=2e-6)
+    assert r.mean_b_adj == pytest.approx(adj[g == 1].mean(), abs=2e-6)
+    assert r.diff_adj == pytest.approx(
+        adj[g == 0].mean() - adj[g == 1].mean(), abs=2e-6)
+    rho2 = (np.cov(x, y, bias=True)[0, 1] ** 2
+            / (np.var(x) * np.var(y)))
+    assert r.var_reduction == pytest.approx(rho2, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# rolling_hampel — rolling median/MAD outlier filter (hand values)
+# ---------------------------------------------------------------------------
+
+def _hampel_ref(times, vals, w, k):
+    out = []
+    for t, v in zip(times, vals):
+        win = sorted(v2 for t2, v2 in zip(times, vals)
+                     if abs(t2 - t) <= w)
+        i = (len(win) + 1) // 2
+        med = win[i - 1]
+        mad = sorted(abs(u - med) for u in win)[i - 1]
+        out.append((t, v, med, mad, abs(v - med) > k * 1.4826 * mad))
+    return out
+
+
+def test_rolling_hampel_matches_reference(spark):
+    """Every (med, mad, flag) equals the brute-force lower-median
+    reference; the spike is flagged, its neighbors are not (the local
+    window adapts where a global MAD would over- or under-flag)."""
+    from influxdb_ha_spark.operators.timeseries import rolling_hampel
+    times = [i * 10 ** 9 for i in range(12)]
+    vals = [1.0, 1.5, 1.2, 1.4, 100.0, 1.3, 1.1, 1.6, 1.2,
+            50.0, 1.4, 1.3]
+    df = spark.createDataFrame(
+        [("s", t, v) for t, v in zip(times, vals)],
+        "event_type string, time long, value double")
+    got = {r.time: (r.value, r.med, r.mad, r.is_outlier)
+           for r in rolling_hampel(df, window_ns=3 * 10 ** 9,
+                                   k=3.0).collect()}
+    for t, v, med, mad, flag in _hampel_ref(times, vals,
+                                            3 * 10 ** 9, 3.0):
+        assert got[t] == (v, med, mad, flag), t
+    assert got[4 * 10 ** 9][3] is True
+    assert got[3 * 10 ** 9][3] is False
+
+
+def test_rolling_hampel_duplicate_timestamps_are_peers(spark):
+    """RANGE frame: rows at the same timestamp see identical windows
+    regardless of partition order."""
+    from influxdb_ha_spark.operators.timeseries import rolling_hampel
+    df = spark.createDataFrame(
+        [("s", 0, 1.0), ("s", 0, 3.0), ("s", 10 ** 9, 2.0)],
+        "event_type string, time long, value double")
+    rows = rolling_hampel(df, window_ns=2 * 10 ** 9, k=3.0).collect()
+    meds = {(r.time, r.value): r.med for r in rows}
+    # window for every row is [1.0, 3.0, 2.0] sorted -> lower median 2.0
+    assert set(meds.values()) == {2.0}
+
+
+def test_rolling_hampel_occupancy_cap_raises_loudly(spark):
+    """Window occupancy above max_window must raise, not silently
+    truncate — and the guard must survive a med-only projection."""
+    from influxdb_ha_spark.operators.timeseries import rolling_hampel
+    df = spark.createDataFrame(
+        [("s", i, float(i)) for i in range(10)],
+        "event_type string, time long, value double")
+    out = rolling_hampel(df, window_ns=100, max_window=4)
+    with pytest.raises(Exception, match="max_window"):
+        out.collect()
+
+
+def test_cuped_empty_arm_reports_null_not_engine_div0(spark):
+    """An empty arm must report NULL means explicitly (engines disagree
+    on double x/0), never inf — and n_b still reads 0."""
+    from influxdb_ha_spark.operators.timeseries import cuped
+    df = _cuped_rows(spark, [(0, 10.0, 5.0), (0, 12.0, 7.0)])
+    r = cuped(df, "g", "y", "x", 0, 1, scale=1.0).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 0)
+    assert r.mean_b is None and r.mean_b_adj is None
+    assert r.diff is None and r.diff_adj is None
+    assert r.mean_a == pytest.approx(11.0)

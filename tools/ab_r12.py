@@ -3,14 +3,17 @@ back-to-back within ONE session, because only interleaved deltas measure
 code on this box (BASELINE.md §4 — identical trees moved 1.7x between
 same-boot batches while within-batch deltas stayed +-12%).
 
-Experiments (old variant inlined verbatim from the pre-r12 tree so both
-run in one interpreter):
-  label_prop    — self-vote folded post-join (r12) vs |V| self-loop rows
-                  unioned into the persisted adjacency (f3ad515).
+Experiments (the non-live variant inlined verbatim so both run in one
+interpreter):
+  label_prop    — self-vote folded post-join (r12, KEPT: 0.72x at sf1)
+                  vs |V| self-loop rows unioned into the persisted
+                  adjacency (f3ad515).
   basket_rules  — persisted 5-consumer basket + cap-filtered b side
-                  (r12) vs unpersisted basket + unfiltered b (f8105f7).
-  lsh_bits      — derived bits = ceil(log2(N/64)) (r12) vs the old fixed
-                  bits=10 gate form.
+                  (tried r12, REVERTED: 2.4x worse at sf10) vs
+                  unpersisted basket + unfiltered b — the "old" variant
+                  here WON and is the live operator again.
+  lsh_bits      — derived bits = ceil(log2(N/64)) (r12, KEPT: 0.16x at
+                  sf10) vs the old fixed bits=10 gate form.
 
 Usage: python tools/ab_r12.py <sf_dir> [reps]   (default reps=3)
 Prints a table + ONE JSON line. Run on a QUIET box, nothing concurrent.

@@ -28,6 +28,11 @@ import __spark_entry__ as entry_mod
 # entries are additionally guarded at runtime: functions/fill.py refuses
 # spines above MAX_SPINE_BUCKETS.
 BOUNDED_SINGLE_PARTITION = {
+    "ev_ab_cuped": "the 1-row six-moment global aggregate (partials "
+                   "combine map-side — the final exchange carries P "
+                   "partial rows of six DECIMAL sums each, regardless "
+                   "of data size); the per-unit build upstream is "
+                   "unit-keyed",
     "graph_modularity": "the 1-row edge-count scalar (partial counts "
                         "combine map-side; final = P partial rows); "
                         "every data-sized stage is node- or "

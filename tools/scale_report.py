@@ -92,10 +92,14 @@ def main():
     # FASTEST for single queries, see session._DEFAULTS) OOM'd here at
     # sf0.1 once the graph ops joined the slice. The measurement
     # harness gets a real heap; engine defaults are unchanged.
-    spark = get_spark(app_name="scale_report",
-                      extra_conf={"spark.driver.memory":
-                                  os.environ.get("SPARK_GRAFT_DRIVER_MEM",
-                                                 "8g")})
+    extra = {"spark.driver.memory":
+             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")}
+    # SPARK_GRAFT_SHUFFLE: the partitions-∝-data dial (r12 — the sf10
+    # graph keys spill at the fixed 32; a real cluster sizes this up)
+    if os.environ.get("SPARK_GRAFT_SHUFFLE"):
+        extra["spark.sql.shuffle.partitions"] = \
+            os.environ["SPARK_GRAFT_SHUFFLE"]
+    spark = get_spark(app_name="scale_report", extra_conf=extra)
     spark.range(1000).count()
     qs = entry.queries()
     from influxdb_ha_spark import cache
