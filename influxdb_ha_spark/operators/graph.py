@@ -131,6 +131,43 @@ def _symmetric(edges: DataFrame) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
+def _shuffle_parts(df: DataFrame) -> int:
+    """The session's shuffle-partition count (scale-adaptive: tracks the
+    conf, never a literal), with defaultParallelism as the fallback for
+    non-numeric settings."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
+def _keyed_persist(df: DataFrame, key: str) -> DataFrame:
+    """Hash-partition by the per-round join key BEFORE persisting (r12,
+    guide §2.4 'two operations keyed the same way share one exchange'):
+    an iterative loop that joins the persisted edge list on `key` every
+    round used to re-shuffle the full |E| rows each round the moment the
+    frontier side outgrew the broadcast threshold (measured at the r12
+    sf10 decade: |V|≈2M tipped pagerank's contribution join from
+    broadcast to sort-merge, and 10 rounds of |E|=75M shuffle+sort read
+    12.7× on a 10× step). A cache partitioned on `key` satisfies the
+    join's ClusteredDistribution at every round — the edge side never
+    exchanges again; only the O(|V|) frontier moves. One extra |E|
+    shuffle is paid ONCE at persist time (vs rounds× without it).
+    Values are untouched — purely a physical-layout change, and every
+    downstream fold in this module is integer/order-free."""
+    return df.repartition(_shuffle_parts(df), key).persist()
+
+
+# Frontier-side join hint for the per-round edge join: SHUFFLE_HASH
+# builds the O(|V|) frontier into per-partition hash tables and STREAMS
+# the pre-partitioned edge cache — no |E| exchange, no |E| sort, at any
+# scale (sort-merge would re-sort the edges every round; broadcast dies
+# past ~10 MB of frontier). The build side is per-node rows (unique
+# keys, hash-balanced), so the per-partition build is |V|/P with no
+# skew hazard.
+FRONTIER_JOIN_HINT = "shuffle_hash"
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """Per-node degree of the undirected graph: one node-keyed agg."""
     return (_symmetric(edges).groupBy(F.col("src").alias("node"))
@@ -299,20 +336,23 @@ def pagerank(edges: DataFrame, iters: int = 10,
     for any iterative DataFrame algorithm. iters jobs total; N and the
     two literal divisors are the only driver-side scalars.
     """
-    sym = _symmetric(edges)
-    nodes = sym.select(F.col("src").alias("node")).distinct().persist()
-    out = (sym.groupBy(F.col("src").alias("node"))
+    # r12: the edge cache is hash-partitioned by the per-round join key
+    # (src) ONCE; nodes and outdeg derive FROM the partitioned cache so
+    # their aggregations reuse its partitioning (no extra exchange)
+    edges_k = _keyed_persist(_symmetric(edges), "src")
+    nodes = edges_k.select(F.col("src").alias("node")).distinct().persist()
+    out = (edges_k.groupBy(F.col("src").alias("node"))
            .agg(F.count(F.lit(1)).alias("outdeg"))).persist()
     n = nodes.count()
     if n == 0:
         nodes.unpersist()
         out.unpersist()
+        edges_k.unpersist()
         return nodes.withColumn("pr_fp", F.lit(0).cast("long"))
     base = ((100 - damping_pct) * SCALE_FP) // (100 * n)
     pr = _truncate_lineage(
         nodes.withColumn("pr_fp", F.lit(SCALE_FP // n).cast("long")),
         reliable)
-    edges_k = sym.persist()
     for _ in range(iters):
         # `div` is Spark's exact BIGINT integral division — a DOUBLE `/`
         # + cast would round-to-nearest in the 53-bit mantissa and can
@@ -320,7 +360,7 @@ def pagerank(edges: DataFrame, iters: int = 10,
         contrib = (pr.join(out, "node")
                    .select(F.col("node").alias("src"),
                            F.expr("pr_fp div outdeg").alias("__c")))
-        summed = (edges_k.join(contrib, "src")
+        summed = (edges_k.join(contrib.hint(FRONTIER_JOIN_HINT), "src")
                   .groupBy(F.col("dst").alias("node"))
                   .agg(F.sum("__c").alias("__s")))
         # r11: no nodes-left-join per round — on the SYMMETRIC closure
@@ -359,15 +399,18 @@ def components(edges: DataFrame, rounds: int = 8,
     """
     sym = _symmetric(edges)
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    adj = sym.unionByName(
-        nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
-    adj = adj.persist()
+    # r12: closed-adjacency cache partitioned by the per-round join key
+    # + SHUFFLE_HASH label join (see _keyed_persist)
+    adj = _keyed_persist(
+        sym.unionByName(nodes.select(F.col("node").alias("src"),
+                                     F.col("node").alias("dst"))),
+        "src")
     lab = _truncate_lineage(
         nodes.withColumn("component", F.col("node").cast("long")), reliable)
     for _ in range(rounds):
         lab = _truncate_lineage(
-            adj.join(lab.select(F.col("node").alias("src"), "component"),
-                     "src")
+            adj.join(lab.select(F.col("node").alias("src"), "component")
+                     .hint(FRONTIER_JOIN_HINT), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("component")), reliable)
     sizes = lab.groupBy("component").agg(
@@ -417,21 +460,30 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 8,
         raise ValueError("kcore: k must be >= 1")
     if rounds < 1:
         raise ValueError("kcore: rounds must be >= 1")
-    sym = _symmetric(edges).persist()
+    # r12: the survivor filters commute (inner joins on unique node
+    # sets), so the dst semi-join runs FIRST against a dst-partitioned
+    # cache (no |E| exchange) and the src semi-join runs LAST so the
+    # degree agg reuses ITS src partitioning — per-round |E| exchanges
+    # drop 3 → 1 in the sort-merge regime (see _keyed_persist)
+    sym = _keyed_persist(_symmetric(edges), "dst")
     keep = None  # None = every node survives so far
     for _ in range(rounds):
         if keep is None:
             cur = sym
         else:
-            cur = (sym.join(keep.select(F.col("node").alias("src")), "src")
-                   .join(keep.select(F.col("node").alias("dst")), "dst")
+            cur = (sym.join(keep.select(F.col("node").alias("dst"))
+                            .hint(FRONTIER_JOIN_HINT), "dst")
+                   .join(keep.select(F.col("node").alias("src"))
+                         .hint(FRONTIER_JOIN_HINT), "src")
                    .select("src", "dst"))
         deg = (cur.groupBy(F.col("src").alias("node"))
                .agg(F.count(F.lit(1)).alias("__d")))
         keep = _truncate_lineage(
             deg.where(F.col("__d") >= k).select("node"), reliable)
-    final = (sym.join(keep.select(F.col("node").alias("src")), "src")
-             .join(keep.select(F.col("node").alias("dst")), "dst")
+    final = (sym.join(keep.select(F.col("node").alias("dst"))
+                      .hint(FRONTIER_JOIN_HINT), "dst")
+             .join(keep.select(F.col("node").alias("src"))
+                   .hint(FRONTIER_JOIN_HINT), "src")
              .groupBy(F.col("src").alias("node"))
              .agg(F.count(F.lit(1)).alias("core_degree"))
              .where(F.col("core_degree") >= k))
@@ -479,13 +531,18 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
     frontier is checkpoint-truncated (the pagerank lineage discipline;
     reliable=True swaps in fault-tolerant checkpoint()).
     """
-    sym = _symmetric(edges).persist()
+    # r12: src-partitioned edge cache + SHUFFLE_HASH frontier join — the
+    # per-round |E| re-shuffle (and the sort-merge sort that appears the
+    # moment |V| outgrows the broadcast threshold) collapses to one
+    # persist-time exchange (see _keyed_persist)
+    sym = _keyed_persist(_symmetric(edges), "src")
     nodes = sym.select(F.col("src").alias("node")).distinct()
     lab = _truncate_lineage(
         nodes.withColumn("community", F.col("node").cast("long")), reliable)
     for _ in range(rounds):
         neigh = (sym.join(lab.select(F.col("node").alias("src"),
-                                     "community"), "src")
+                                     "community")
+                          .hint(FRONTIER_JOIN_HINT), "src")
                  .select(F.col("dst").alias("node"), "community"))
         votes = (neigh.unionByName(lab.select("node", "community"))
                  .groupBy("node", "community")
@@ -660,14 +717,17 @@ def bfs(edges: DataFrame, seeds: DataFrame, rounds: int = 4,
     """
     if rounds < 1:
         raise ValueError("bfs: rounds must be >= 1")
-    sym = _symmetric(edges).persist()
+    # r12: src-partitioned edge cache + SHUFFLE_HASH frontier join (see
+    # _keyed_persist) — the expand join streams the cache every round
+    sym = _keyed_persist(_symmetric(edges), "src")
     reached = _truncate_lineage(
         seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
         .withColumn("dist", F.lit(0)), reliable)
     frontier = reached.select("node")
     for i in range(1, rounds + 1):
         new = _truncate_lineage(
-            sym.join(frontier.select(F.col("node").alias("src")), "src")
+            sym.join(frontier.select(F.col("node").alias("src"))
+                     .hint(FRONTIER_JOIN_HINT), "src")
             .select(F.col("dst").alias("node")).distinct()
             .join(reached.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(i)), reliable)
@@ -728,7 +788,9 @@ def _seed_distances(edges: DataFrame, seeds: DataFrame, rounds: int,
     closeness's frontier pipeline factored out so the centrality folds
     (closeness's n/Σd, harmonic's Σ1/d) share ONE distance
     computation and cannot drift apart."""
-    sym = _symmetric(edges).persist()
+    # r12: src-partitioned edge cache + SHUFFLE_HASH frontier join
+    # (see _keyed_persist)
+    sym = _keyed_persist(_symmetric(edges), "src")
     reached = _truncate_lineage(
         seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
         .select("node", F.col("node").alias("seed"))
@@ -736,8 +798,8 @@ def _seed_distances(edges: DataFrame, seeds: DataFrame, rounds: int,
     frontier = reached
     for i in range(1, rounds + 1):
         new = _truncate_lineage(
-            sym.join(frontier.select(F.col("node").alias("src"), "seed"),
-                     "src")
+            sym.join(frontier.select(F.col("node").alias("src"), "seed")
+                     .hint(FRONTIER_JOIN_HINT), "src")
             .select(F.col("dst").alias("node"), "seed").distinct()
             .join(reached.select("node", "seed"), ["node", "seed"],
                   "left_anti")
@@ -844,16 +906,20 @@ def sssp(edges: DataFrame, seeds: DataFrame, rounds: int = 6,
     if rounds < 1:
         raise ValueError("sssp: rounds must be >= 1")
     w = edges.select("src", "dst", F.col(cost_col).cast("long").alias("__c"))
-    sym = w.unionByName(
-        w.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
-                 "__c")).persist()
+    # r12: src-partitioned edge cache + SHUFFLE_HASH frontier join
+    # (see _keyed_persist)
+    sym = _keyed_persist(
+        w.unionByName(
+            w.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                     "__c")), "src")
     dist = _truncate_lineage(
         seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
         .withColumn("dist", F.lit(0).cast("long")), reliable)
     frontier = dist
     for _ in range(rounds):
         cand = (sym.join(frontier.select(F.col("node").alias("src"),
-                                         F.col("dist").alias("__d")), "src")
+                                         F.col("dist").alias("__d"))
+                        .hint(FRONTIER_JOIN_HINT), "src")
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min(F.col("__d") + F.col("__c")).alias("dist")))
         merged = _truncate_lineage(
@@ -900,9 +966,11 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     """
     if iters < 1:
         raise ValueError("personalized_pagerank: iters must be >= 1")
-    sym = _symmetric(edges)
-    nodes = sym.select(F.col("src").alias("node")).distinct().persist()
-    out = (sym.groupBy(F.col("src").alias("node"))
+    # r12: src-partitioned edge cache, nodes/outdeg derived from it, and
+    # a SHUFFLE_HASH contribution join (see _keyed_persist)
+    edges_k = _keyed_persist(_symmetric(edges), "src")
+    nodes = edges_k.select(F.col("src").alias("node")).distinct().persist()
+    out = (edges_k.groupBy(F.col("src").alias("node"))
            .agg(F.count(F.lit(1)).alias("outdeg"))).persist()
     sd = (seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
           .join(nodes, "node", "left_semi").persist())
@@ -911,6 +979,7 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
         nodes.unpersist()
         out.unpersist()
         sd.unpersist()
+        edges_k.unpersist()
         raise ValueError("personalized_pagerank: no seed is a node "
                          "of the graph")
     base_seed = ((100 - damping_pct) * SCALE_FP) // (100 * ns)
@@ -922,12 +991,11 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                        F.lit(SCALE_FP // ns))
                 .otherwise(F.lit(0)).cast("long").alias("ppr_fp")),
         reliable)
-    edges_k = sym.persist()
     for _ in range(iters):
         contrib = (pr.join(out, "node")
                    .select(F.col("node").alias("src"),
                            F.expr("ppr_fp div outdeg").alias("__c")))
-        summed = (edges_k.join(contrib, "src")
+        summed = (edges_k.join(contrib.hint(FRONTIER_JOIN_HINT), "src")
                   .groupBy(F.col("dst").alias("node"))
                   .agg(F.sum("__c").alias("__s")))
         nxt = (nodes.join(summed, "node", "left")
@@ -990,10 +1058,16 @@ def hits(edges: DataFrame, iters: int = 8,
     """
     if iters < 1:
         raise ValueError("hits: iters must be >= 1")
-    e = (edges.select(F.col(edges.columns[0]).alias("src"),
-                      F.col(edges.columns[1]).alias("dst"))
-         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-         .distinct().persist())
+    # r12: the auth update joins edges on src, the hub update on dst —
+    # TWO keyed caches (16 bytes/row each) so neither per-round join
+    # ever re-shuffles the edge list (see _keyed_persist); the dst copy
+    # derives from the src cache so the distinct is computed once
+    e = _keyed_persist(
+        edges.select(F.col(edges.columns[0]).alias("src"),
+                     F.col(edges.columns[1]).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct(), "src")
+    e_dst = _keyed_persist(e, "dst")
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct().persist())
@@ -1038,15 +1112,17 @@ def hits(edges: DataFrame, iters: int = 8,
 
     for _ in range(iters):
         a_raw = (e.join(hub.select(F.col("node").alias("src"),
-                                   "hub_fp"), "src")
+                                   "hub_fp")
+                        .hint(FRONTIER_JOIN_HINT), "src")
                  .groupBy(F.col("dst").alias("node"))
                  .agg(F.sum("hub_fp").alias("__s")))
         auth = _truncate_lineage(_renorm(
             nodes.join(a_raw, "node", "left")
             .select("node", F.coalesce("__s", F.lit(0)).cast("long")
                     .alias("auth_fp")), "auth_fp"), reliable)
-        h_raw = (e.join(auth.select(F.col("node").alias("dst"),
-                                    "auth_fp"), "dst")
+        h_raw = (e_dst.join(auth.select(F.col("node").alias("dst"),
+                                        "auth_fp")
+                            .hint(FRONTIER_JOIN_HINT), "dst")
                  .groupBy(F.col("src").alias("node"))
                  .agg(F.sum("auth_fp").alias("__s")))
         hub = _truncate_lineage(_renorm(
@@ -1070,5 +1146,6 @@ def hits(edges: DataFrame, iters: int = 8,
            .crossJoin(F.broadcast(deg))
            .select("node", _guarded("hub_fp"), _guarded("auth_fp")))
     e.unpersist()
+    e_dst.unpersist()
     nodes.unpersist()
     return out
