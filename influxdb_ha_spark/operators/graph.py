@@ -327,8 +327,10 @@ def pagerank(edges: DataFrame, iters: int = 10,
     SCALE=1e12 that is a ~1e-9 relative artifact, identically replayed
     by the oracle.
 
-    Scale shape per iteration: one co-partitioned join (contributions
-    keyed by edge src = pr partitioning) + one node-keyed agg. The
+    Scale shape per iteration: one streamed edge join (contributions
+    keyed by edge src = the cache partitioning) + one node-keyed agg +
+    one exchange-free outdeg re-attach (the agg's partitioning matches
+    the persisted outdeg table — the frontier carries outdeg). The
     driver loop localCheckpoint(eager)s each frontier — persist alone
     keeps the whole logical plan, and ten stacked iterations of it blew
     the driver heap just RENDERING the AQE plan string; checkpointing
@@ -337,47 +339,61 @@ def pagerank(edges: DataFrame, iters: int = 10,
     two literal divisors are the only driver-side scalars.
     """
     # r12: the edge cache is hash-partitioned by the per-round join key
-    # (src) ONCE; nodes and outdeg derive FROM the partitioned cache so
-    # their aggregations reuse its partitioning (no extra exchange)
+    # (src) ONCE; outdeg derives FROM the partitioned cache so its
+    # aggregation reuses its partitioning (no extra exchange). On the
+    # symmetric closure out ≡ the node set, so the separate
+    # nodes.distinct() pass (a second full |E| aggregation at setup) is
+    # gone — n, the initial frontier, and the final output all derive
+    # from `out`.
     edges_k = _keyed_persist(_symmetric(edges), "src")
-    nodes = edges_k.select(F.col("src").alias("node")).distinct().persist()
     out = (edges_k.groupBy(F.col("src").alias("node"))
            .agg(F.count(F.lit(1)).alias("outdeg"))).persist()
-    n = nodes.count()
+    n = out.count()
     if n == 0:
-        nodes.unpersist()
+        res = out.select("node").withColumn("pr_fp", F.lit(0).cast("long"))
         out.unpersist()
         edges_k.unpersist()
-        return nodes.withColumn("pr_fp", F.lit(0).cast("long"))
+        return res
     base = ((100 - damping_pct) * SCALE_FP) // (100 * n)
+    # r12: the frontier CARRIES outdeg (node, pr_fp, outdeg), so the
+    # per-round contribution is a projection of the checkpointed rows —
+    # the old frontier ⋈ out join ran at the top of every round against
+    # a checkpoint whose partitioning Catalyst no longer knows
+    # (localCheckpoint → UnknownPartitioning), costing one O(|V|)
+    # exchange + two sort-merge sorts per round. outdeg is re-attached
+    # at the BOTTOM of the round instead: `summed` leaves its
+    # aggregation hash-partitioned on node, exactly the persisted
+    # partitioning of `out`, so the SHUFFLE_HASH join is exchange-free
+    # and sort-free (guide §2.4 "two operations keyed the same way
+    # share one exchange"). Values identical: same ops, same integer
+    # arithmetic, one round later in the loop body.
     pr = _truncate_lineage(
-        nodes.withColumn("pr_fp", F.lit(SCALE_FP // n).cast("long")),
-        reliable)
+        out.select("node", F.lit(SCALE_FP // n).cast("long").alias("pr_fp"),
+                   "outdeg"), reliable)
     for _ in range(iters):
         # `div` is Spark's exact BIGINT integral division — a DOUBLE `/`
         # + cast would round-to-nearest in the 53-bit mantissa and can
         # land one unit above the true floor near exact boundaries
-        contrib = (pr.join(out, "node")
-                   .select(F.col("node").alias("src"),
-                           F.expr("pr_fp div outdeg").alias("__c")))
+        contrib = pr.select(F.col("node").alias("src"),
+                            F.expr("pr_fp div outdeg").alias("__c"))
         summed = (edges_k.join(contrib.hint(FRONTIER_JOIN_HINT), "src")
                   .groupBy(F.col("dst").alias("node"))
                   .agg(F.sum("__c").alias("__s")))
         # r11: no nodes-left-join per round — on the SYMMETRIC closure
         # every node has an in-edge (in ≡ out), so `summed` already
-        # carries every node and the resurrection join (the directed-
-        # graph shape, still used by personalized_pagerank for its
-        # seed flag) was a redundant fourth per-round stage; values
-        # identical, measured 72.3 -> 42.4 s at sf1 in one session
-        nxt = summed.select(
-            "node",
-            (F.lit(base) + F.expr(f"({damping_pct} * __s) div 100"))
-            .cast("long").alias("pr_fp"))
+        # carries every node and the resurrection join was a redundant
+        # per-round stage; values identical, measured 72.3 -> 42.4 s at
+        # sf1 in one session
+        nxt = (summed.join(out.hint(FRONTIER_JOIN_HINT), "node")
+               .select("node",
+                       (F.lit(base) + F.expr(f"({damping_pct} * __s) div 100"))
+                       .cast("long").alias("pr_fp"),
+                       "outdeg"))
         pr = _truncate_lineage(nxt, reliable)
+    res = pr.select("node", "pr_fp")
     edges_k.unpersist()
-    nodes.unpersist()
     out.unpersist()
-    return pr
+    return res
 
 
 def components(edges: DataFrame, rounds: int = 8,
@@ -537,6 +553,7 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
     # persist-time exchange (see _keyed_persist)
     sym = _keyed_persist(_symmetric(edges), "src")
     nodes = sym.select(F.col("src").alias("node")).distinct()
+    parts = _shuffle_parts(sym)
     lab = _truncate_lineage(
         nodes.withColumn("community", F.col("node").cast("long")), reliable)
     for _ in range(rounds):
@@ -544,7 +561,19 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
                                      "community")
                           .hint(FRONTIER_JOIN_HINT), "src")
                  .select(F.col("dst").alias("node"), "community"))
+        # r12: ONE explicit repartition on node feeds BOTH aggregates —
+        # hash(node) satisfies the ClusteredDistribution of the
+        # (node, community) vote count AND of the node-keyed argmax, so
+        # the round's two exchanges (count keyed (node, community),
+        # then argmax keyed node — together up to ~2·|E| rows moved,
+        # the src-partitioned neighbor stream barely combines map-side)
+        # collapse to one |E|+|V|-row exchange (guide §2.4). Measured
+        # at sf10: per-round sums 182.2 → 133.9 s and 156.1 → 137.1 s
+        # over two interleaved sessions; counts identical (the same
+        # rows meet the same aggregates, partitioning is not an input
+        # to either fold).
         votes = (neigh.unionByName(lab.select("node", "community"))
+                 .repartition(parts, "node")
                  .groupBy("node", "community")
                  .agg(F.count(F.lit(1)).alias("__c")))
         lab = _truncate_lineage(
@@ -966,52 +995,61 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     """
     if iters < 1:
         raise ValueError("personalized_pagerank: iters must be >= 1")
-    # r12: src-partitioned edge cache, nodes/outdeg derived from it, and
-    # a SHUFFLE_HASH contribution join (see _keyed_persist)
+    # r12: src-partitioned edge cache, a SHUFFLE_HASH contribution join
+    # (see _keyed_persist), and the pagerank frontier treatment: outdeg
+    # AND the seed flag ride the persisted `out` table (node, outdeg,
+    # __seed) and the checkpointed frontier carries outdeg, so each
+    # round is projection → streamed edge join → node-keyed sum → one
+    # exchange-free SHUFFLE_HASH join back onto `out` (summed leaves
+    # its aggregation partitioned exactly like the persisted out).
+    # The old per-round shape paid a frontier ⋈ out sort-merge (the
+    # checkpoint's partitioning is unknown to Catalyst) PLUS a
+    # nodes-left-join resurrection — redundant on the SYMMETRIC
+    # closure, where every node has an in-edge and `summed` already
+    # carries all of them (the r11 pagerank lesson; the coalesce(__s,
+    # 0) branch was dead). A separate nodes.distinct() pass is gone
+    # too — `out` IS the node set here.
     edges_k = _keyed_persist(_symmetric(edges), "src")
-    nodes = edges_k.select(F.col("src").alias("node")).distinct().persist()
-    out = (edges_k.groupBy(F.col("src").alias("node"))
-           .agg(F.count(F.lit(1)).alias("outdeg"))).persist()
+    outdeg = (edges_k.groupBy(F.col("src").alias("node"))
+              .agg(F.count(F.lit(1)).alias("outdeg")))
     sd = (seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
-          .join(nodes, "node", "left_semi").persist())
+          .join(outdeg, "node", "left_semi").persist())
     ns = sd.count()
     if ns == 0:
-        nodes.unpersist()
-        out.unpersist()
         sd.unpersist()
         edges_k.unpersist()
         raise ValueError("personalized_pagerank: no seed is a node "
                          "of the graph")
     base_seed = ((100 - damping_pct) * SCALE_FP) // (100 * ns)
     flag = sd.withColumn("__seed", F.lit(1))
+    out = (outdeg.join(F.broadcast(flag), "node", "left")
+           .select("node", "outdeg",
+                   F.col("__seed").isNotNull().alias("__is_seed"))
+           ).persist()
     pr = _truncate_lineage(
-        nodes.join(F.broadcast(flag), "node", "left")
-        .select("node",
-                F.when(F.col("__seed").isNotNull(),
-                       F.lit(SCALE_FP // ns))
-                .otherwise(F.lit(0)).cast("long").alias("ppr_fp")),
-        reliable)
+        out.select("node",
+                   F.when(F.col("__is_seed"), F.lit(SCALE_FP // ns))
+                   .otherwise(F.lit(0)).cast("long").alias("ppr_fp"),
+                   "outdeg"), reliable)
     for _ in range(iters):
-        contrib = (pr.join(out, "node")
-                   .select(F.col("node").alias("src"),
-                           F.expr("ppr_fp div outdeg").alias("__c")))
+        contrib = pr.select(F.col("node").alias("src"),
+                            F.expr("ppr_fp div outdeg").alias("__c"))
         summed = (edges_k.join(contrib.hint(FRONTIER_JOIN_HINT), "src")
                   .groupBy(F.col("dst").alias("node"))
                   .agg(F.sum("__c").alias("__s")))
-        nxt = (nodes.join(summed, "node", "left")
-               .join(F.broadcast(flag), "node", "left")
-               .withColumn("__s", F.coalesce(F.col("__s"), F.lit(0)))
+        nxt = (summed.join(out.hint(FRONTIER_JOIN_HINT), "node")
                .select("node",
-                       (F.when(F.col("__seed").isNotNull(),
-                               F.lit(base_seed)).otherwise(F.lit(0))
+                       (F.when(F.col("__is_seed"), F.lit(base_seed))
+                        .otherwise(F.lit(0))
                         + F.expr(f"({damping_pct} * __s) div 100"))
-                       .cast("long").alias("ppr_fp")))
+                       .cast("long").alias("ppr_fp"),
+                       "outdeg"))
         pr = _truncate_lineage(nxt, reliable)
+    res = pr.select("node", "ppr_fp")
     edges_k.unpersist()
-    nodes.unpersist()
     out.unpersist()
     sd.unpersist()
-    return pr
+    return res
 
 
 def hits(edges: DataFrame, iters: int = 8,
