@@ -44,16 +44,26 @@ HEADLINE = [
     "sk_hll",              # mergeable sketch: register-max cardinality (r9)
     "sk_kmv",              # two-phase salted bottom-k (r10 plan swap)
     "sk_merge",            # explicit partial-state build + merge (r10)
+    # r13 additions (the r12 verdict's task #2): the keys the last two
+    # optimization rounds actually moved at scale — iterative graph
+    # loops and the heavy emb paths — so the driver's round-over-round
+    # A/B finally covers the optimized paths instead of only the
+    # 20-key map/agg/window surface.
+    "graph_pagerank",      # keyed edge cache + exchange-free re-attach
+    "graph_kcore",         # decremental peeling (r12 algorithm swap)
+    "emb_knn_graph",       # map-only probe lists + prenorm verify
+    "emb_semantic_dedup",  # cluster pair stage (r13 target)
 ]
 
 # Keys added to HEADLINE this round — excluded from `value_excl_new` so
 # round-over-round totals compare the same query set (r8 VERDICT #3c:
 # the honest r7→r8 delta needed tpch_q6 backed out by hand). Rotate
 # this list each round: last round's additions graduate into the base.
-# r11: no new headline keys; sk_kmv / sk_merge graduate into the base,
-# so value == value_excl_new this round and the honest r10→r11 delta is
-# r10's `value` vs r11's `value` directly.
-ADDED_THIS_ROUND: list = []
+# r13: the four scale-relevant keys above join the bench; the old-20
+# total (`value_excl_new`) stays directly comparable to BENCH_r12's
+# `value`.
+ADDED_THIS_ROUND: list = ["graph_pagerank", "graph_kcore",
+                          "emb_knn_graph", "emb_semantic_dedup"]
 
 
 def run_once() -> dict:

@@ -39,11 +39,12 @@ convention).
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .util import ensure_min_parallelism
+from .util import conf_parts, ensure_min_parallelism, input_bytes
 
 
 def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
@@ -131,17 +132,59 @@ def _symmetric(edges: DataFrame) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
+# Source-parquet bytes per partition for the label_prop vote exchange
+# and cache (r13, guide §2.1/§2.2 "size partitions to the data, not the
+# cluster"): r12 measured the session-fixed shuffle count as the residual
+# sf10 super-linearity — isolated label_prop at shuffle=128 ran 0.58× vs
+# the 32 default (SCALE_r12.json shuffle_dial_sf10). 8 MiB of source
+# parquet per partition reproduces that optimum at sf10 (~1.1 GB of
+# lineitem-derived leaves → ~150 partitions; measured 0.35-0.37×
+# interleaved vs the same-day session-count base) and leaves every
+# gate/bench scale at the session floor (sf0.1 leaves ≈ 11 MB → floor),
+# so small-scale plans, fingerprints and the driver's bench are
+# unchanged. Env-dialed for clusters whose per-core memory differs from
+# this 4 GiB/core box. NOT applied to the other loops: the same-day
+# interleaved A/Bs showed pagerank (with a pre-agg repartition) at
+# 1.85× WORSE and kcore (cache-only) at ~1.3× worse — only the
+# vote-count shuffle's |E|·rounds row volume profits from the dial;
+# negative results recorded at those loops.
+_CACHE_PART_BYTES = int(os.environ.get("SPARK_GRAFT_CACHE_PART_BYTES",
+                                       str(8 * 1024 * 1024)))
+_PARTS_CAP = 8192  # runaway-input backstop: 8192 × 8 MiB ≈ 64 GB source
+
+
+def _input_bytes(df: DataFrame) -> int:
+    """See util.input_bytes (shared with the similarity pair stages)."""
+    return input_bytes(df)
+
+
+def _conf_parts(df: DataFrame) -> int:
+    """See util.conf_parts."""
+    return conf_parts(df)
+
+
 def _shuffle_parts(df: DataFrame) -> int:
-    """The session's shuffle-partition count (scale-adaptive: tracks the
-    conf, never a literal), with defaultParallelism as the fallback for
-    non-numeric settings."""
-    try:
-        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        return df.sparkSession.sparkContext.defaultParallelism
+    """Scale-adaptive partition count for the iterative loops' edge
+    caches and per-round exchanges: the session's shuffle-partition
+    setting as the FLOOR, grown with the plan's file-input bytes
+    (ceil(bytes / _CACHE_PART_BYTES), capped). The session conf is never
+    shrunk — at gate/bench scale this returns exactly the conf, so the
+    r12 after-plans and fingerprints still describe the shape; at the
+    r12 sf10 decade it returns ~150 where the measured dial optimum was
+    128. Consumed by label_propagation ONLY (its explicit vote
+    repartition — REPARTITION_BY_NUM, never AQE-coalesced — and its
+    cache share the count); the other loops pin the session count
+    after same-day interleaved A/Bs measured the adaptive count as a
+    loss there (see _CACHE_PART_BYTES and the per-loop notes)."""
+    base = _conf_parts(df)
+    b = _input_bytes(df)
+    if b <= 0:
+        return base
+    return max(base, min(_PARTS_CAP, -(-b // _CACHE_PART_BYTES)))
 
 
-def _keyed_persist(df: DataFrame, key: str) -> DataFrame:
+def _keyed_persist(df: DataFrame, key: str,
+                   parts: int | None = None) -> DataFrame:
     """Hash-partition by the per-round join key BEFORE persisting (r12,
     guide §2.4 'two operations keyed the same way share one exchange'):
     an iterative loop that joins the persisted edge list on `key` every
@@ -154,8 +197,18 @@ def _keyed_persist(df: DataFrame, key: str) -> DataFrame:
     exchanges again; only the O(|V|) frontier moves. One extra |E|
     shuffle is paid ONCE at persist time (vs rounds× without it).
     Values are untouched — purely a physical-layout change, and every
-    downstream fold in this module is integer/order-free."""
-    return df.repartition(_shuffle_parts(df), key).persist()
+    downstream fold in this module is integer/order-free.
+
+    `parts` (r13): callers that must share ONE partition count between
+    the cache and other per-round exchanges pass the _shuffle_parts
+    value they computed; default recomputes it here. NOTE (r12 advice):
+    when the count comes from the session conf (the base regime), the
+    zero-exchange re-attach property of downstream aggregations is
+    AQE-initial-plan shape — AQE may coalesce an ENSURE_REQUIREMENTS
+    aggregation exchange below this count at runtime, re-introducing a
+    small O(|V|) exchange; the adaptive regime's explicit
+    REPARTITION_BY_NUM exchanges are never coalesced."""
+    return df.repartition(parts or _shuffle_parts(df), key).persist()
 
 
 # Frontier-side join hint for the per-round edge join: SHUFFLE_HASH
@@ -345,7 +398,22 @@ def pagerank(edges: DataFrame, iters: int = 10,
     # nodes.distinct() pass (a second full |E| aggregation at setup) is
     # gone — n, the initial frontier, and the final output all derive
     # from `out`.
-    edges_k = _keyed_persist(_symmetric(edges), "src")
+    #
+    # r13 NEGATIVE RESULT (recorded so it isn't retried): the
+    # scale-adaptive partition count that wins for label_prop was
+    # generalized here as cache@adaptive + an explicit pre-aggregation
+    # repartition(parts, dst) to keep summed ⋈ out exchange-free — and
+    # LOST 1.85× at sf10 (interleaved A/B on one box/day: r12 shape
+    # 359.9 s vs adaptive 666.8/734.4 s). The pre-agg repartition
+    # forfeits the map-side partial sum, so the per-round exchange
+    # carries the RAW |E| contribution rows (~2× the bytes of the
+    # partial-agged exchange at sf10's ~1.15 rows/key map-side density)
+    # — for pagerank the partial aggregation is worth more than the
+    # partition-count dial. The cache therefore stays at the SESSION
+    # count, keeping the whole r12 zero-per-round-exchange round shape
+    # byte-for-byte.
+    sym = _symmetric(edges)
+    edges_k = _keyed_persist(sym, "src", _conf_parts(sym))
     out = (edges_k.groupBy(F.col("src").alias("node"))
            .agg(F.count(F.lit(1)).alias("outdeg"))).persist()
     n = out.count()
@@ -416,11 +484,16 @@ def components(edges: DataFrame, rounds: int = 8,
     sym = _symmetric(edges)
     nodes = sym.select(F.col("src").alias("node")).distinct()
     # r12: closed-adjacency cache partitioned by the per-round join key
-    # + SHUFFLE_HASH label join (see _keyed_persist)
-    adj = _keyed_persist(
-        sym.unionByName(nodes.select(F.col("node").alias("src"),
-                                     F.col("node").alias("dst"))),
-        "src")
+    # + SHUFFLE_HASH label join (see _keyed_persist). r13: the CACHE
+    # takes the scale-adaptive count; the per-round min-aggregation
+    # keeps Catalyst's partial+final shape at the session count — a
+    # pre-aggregation repartition to the cache count was tried on the
+    # (identically-shaped) pagerank round and LOST 1.85× at sf10
+    # because it forfeits the map-side partial fold (negative result
+    # recorded at the pagerank loop).
+    closed = sym.unionByName(nodes.select(F.col("node").alias("src"),
+                                          F.col("node").alias("dst")))
+    adj = _keyed_persist(closed, "src", _conf_parts(closed))
     lab = _truncate_lineage(
         nodes.withColumn("component", F.col("node").cast("long")), reliable)
     for _ in range(rounds):
@@ -475,6 +548,11 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 8,
         raise ValueError("kcore: k must be >= 1")
     if rounds < 1:
         raise ValueError("kcore: rounds must be >= 1")
+    # r13: session-count cache — the adaptive count was A/B'd here too
+    # (cache-only change) and LOST ~1.3× at sf10 (65.5-72.8 s at conf vs
+    # 88.5 s adaptive, interleaved); only label_prop's vote exchange
+    # profits from the data-proportional count (see _shuffle_parts).
+    #
     # r12 DECREMENTAL peeling (guide §1.2 step 1 — change the
     # algorithm, not the constants): the old loop re-filtered the FULL
     # |E| edge list by the cumulative survivor set and re-aggregated
@@ -497,7 +575,8 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 8,
     # (pinned at sf0.01/sf0.1 and the k/rounds boundary cases in
     # tests/test_r12_optimizations.py; measured 140.2/122.0 →
     # 56.7/59.3 s at sf10, k=80, 8 rounds).
-    sym = _keyed_persist(_symmetric(edges), "src")
+    raw = _symmetric(edges)
+    sym = _keyed_persist(raw, "src", _conf_parts(raw))
     cur = _truncate_lineage(
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).alias("__d")), reliable)
@@ -566,10 +645,13 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
     # r12: src-partitioned edge cache + SHUFFLE_HASH frontier join — the
     # per-round |E| re-shuffle (and the sort-merge sort that appears the
     # moment |V| outgrows the broadcast threshold) collapses to one
-    # persist-time exchange (see _keyed_persist)
-    sym = _keyed_persist(_symmetric(edges), "src")
+    # persist-time exchange (see _keyed_persist). r13: `parts` is the
+    # scale-adaptive count (input-size-derived), computed once and
+    # shared by the cache and the per-round vote repartition below.
+    raw = _symmetric(edges)
+    parts = _shuffle_parts(raw)
+    sym = _keyed_persist(raw, "src", parts)
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    parts = _shuffle_parts(sym)
     lab = _truncate_lineage(
         nodes.withColumn("community", F.col("node").cast("long")), reliable)
     for _ in range(rounds):
@@ -763,8 +845,10 @@ def bfs(edges: DataFrame, seeds: DataFrame, rounds: int = 4,
     if rounds < 1:
         raise ValueError("bfs: rounds must be >= 1")
     # r12: src-partitioned edge cache + SHUFFLE_HASH frontier join (see
-    # _keyed_persist) — the expand join streams the cache every round
-    sym = _keyed_persist(_symmetric(edges), "src")
+    # _keyed_persist) — the expand join streams the cache every round.
+    # Session-count cache (the r13 kcore/pagerank negative result).
+    raw = _symmetric(edges)
+    sym = _keyed_persist(raw, "src", _conf_parts(raw))
     reached = _truncate_lineage(
         seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
         .withColumn("dist", F.lit(0)), reliable)
@@ -834,8 +918,9 @@ def _seed_distances(edges: DataFrame, seeds: DataFrame, rounds: int,
     (closeness's n/Σd, harmonic's Σ1/d) share ONE distance
     computation and cannot drift apart."""
     # r12: src-partitioned edge cache + SHUFFLE_HASH frontier join
-    # (see _keyed_persist)
-    sym = _keyed_persist(_symmetric(edges), "src")
+    # (see _keyed_persist); session-count cache (r13 negative result)
+    raw = _symmetric(edges)
+    sym = _keyed_persist(raw, "src", _conf_parts(raw))
     reached = _truncate_lineage(
         seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
         .select("node", F.col("node").alias("seed"))
@@ -952,11 +1037,11 @@ def sssp(edges: DataFrame, seeds: DataFrame, rounds: int = 6,
         raise ValueError("sssp: rounds must be >= 1")
     w = edges.select("src", "dst", F.col(cost_col).cast("long").alias("__c"))
     # r12: src-partitioned edge cache + SHUFFLE_HASH frontier join
-    # (see _keyed_persist)
-    sym = _keyed_persist(
-        w.unionByName(
-            w.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
-                     "__c")), "src")
+    # (see _keyed_persist); session-count cache (r13 negative result)
+    raw = w.unionByName(
+        w.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                 "__c"))
+    sym = _keyed_persist(raw, "src", _conf_parts(raw))
     dist = _truncate_lineage(
         seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
         .withColumn("dist", F.lit(0).cast("long")), reliable)
@@ -1025,7 +1110,10 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     # carries all of them (the r11 pagerank lesson; the coalesce(__s,
     # 0) branch was dead). A separate nodes.distinct() pass is gone
     # too — `out` IS the node set here.
-    edges_k = _keyed_persist(_symmetric(edges), "src")
+    # (session-count cache — the pagerank r13 negative result applies
+    # verbatim: this loop shares its round shape)
+    sym = _symmetric(edges)
+    edges_k = _keyed_persist(sym, "src", _conf_parts(sym))
     outdeg = (edges_k.groupBy(F.col("src").alias("node"))
               .agg(F.count(F.lit(1)).alias("outdeg")))
     sd = (seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
@@ -1116,12 +1204,12 @@ def hits(edges: DataFrame, iters: int = 8,
     # TWO keyed caches (16 bytes/row each) so neither per-round join
     # ever re-shuffles the edge list (see _keyed_persist); the dst copy
     # derives from the src cache so the distinct is computed once
-    e = _keyed_persist(
-        edges.select(F.col(edges.columns[0]).alias("src"),
-                     F.col(edges.columns[1]).alias("dst"))
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct(), "src")
-    e_dst = _keyed_persist(e, "dst")
+    raw = (edges.select(F.col(edges.columns[0]).alias("src"),
+                        F.col(edges.columns[1]).alias("dst"))
+           .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+           .distinct())
+    e = _keyed_persist(raw, "src", _conf_parts(raw))
+    e_dst = _keyed_persist(e, "dst", _conf_parts(raw))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct().persist())

@@ -2,7 +2,52 @@
 
 from __future__ import annotations
 
+import os
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
+
+
+def input_bytes(df: DataFrame) -> int:
+    """Total size of the DISTINCT files feeding df's plan (the public
+    `inputFiles` API — never a Catalyst join-size estimate, which
+    inherits multiplicative blow-up). 0 when the plan has no file source
+    (in-memory test frames) or file sizes are unreadable."""
+    try:
+        files = set(df.inputFiles())
+    except Exception:
+        return 0
+    total = 0
+    for f in files:
+        path = urlparse(f).path or f
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            pass
+    return total
+
+
+def conf_parts(df: DataFrame) -> int:
+    """The session's shuffle-partition count, with defaultParallelism as
+    the fallback for non-numeric settings."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
+def scale_parts(df: DataFrame, part_bytes: int, cap: int) -> int:
+    """Scale-adaptive partition count (r13, guide §2.1/§2.2 — size
+    partitions to the data, not the cluster): the session's
+    shuffle-partition setting as the FLOOR, grown with the plan's
+    file-input bytes (ceil(bytes / part_bytes), capped at `cap`). The
+    conf is never shrunk, so gate/bench scales keep the session shape
+    and plans/fingerprints unchanged; callers own the dial constants."""
+    base = conf_parts(df)
+    b = input_bytes(df)
+    if b <= 0:
+        return base
+    return max(base, min(cap, -(-b // part_bytes)))
 
 
 def salted_agg(df: DataFrame, keys: list[str],

@@ -35,13 +35,20 @@ def main():
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark(app_name=f"capture_plans_{tag}")
     qs = entry_mod.queries()
+    import contextlib
+    import io
     for name in keys:
         cache.release()
         df = qs[name](spark, sf_dir)
         # capture the pre-execution formatted plan (AQE initial plan):
-        # deterministic, data-independent shape — what the fingerprints pin
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted")
+        # deterministic, data-independent shape — what the fingerprints
+        # pin. Public explain() API (r12 advice: the former
+        # PythonSQLUtils/_jdf reach-in breaks across PySpark versions,
+        # e.g. the connect/classic split).
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(f"# {name} — explain('formatted') at {sf_dir}\n")

@@ -421,7 +421,9 @@ def audit_plan(plan: str) -> dict:
         "single_part": len(re.findall(r"Exchange SinglePartition", plan)),
         "cartesian": bool(re.search(r"CartesianProduct|BroadcastNestedLoop", plan)),
         "py_row_udf": bool(re.search(r"BatchEvalPython", plan)),
-        "arrow_udf": bool(re.search(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)),
+        "arrow_udf": bool(re.search(r"ArrowEvalPython|MapInPandas|"
+                                    r"FlatMapGroupsInPandas|MapInArrow",
+                                    plan)),
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
         "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
         "keyless_window": False,
